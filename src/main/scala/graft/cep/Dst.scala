@@ -1,0 +1,247 @@
+package graft.cep
+
+/** Data Stream Transducer — the compiled IR: an NFA whose transitions carry a
+  * predicate, a data-register update (α) and a stream-register update (β).
+  *
+  * Faithful re-expression of `/root/reference/reflinkcep/DST.py`. Registers
+  * are immutable Scala collections, so the reference's copy-on-write
+  * `deepcopy` (`DST.py:140-144,160-166`) is free.
+  */
+object Dst {
+  /** Insertion-ordered string→string function with Python-dict merge
+    * semantics (`DST.py:26-30`): result keys are `f1`'s in order, then
+    * `f2`'s novel keys appended; `f2` overwrites values of shared keys.
+    */
+  type OutMap = Vector[(String, String)]
+
+  def funcMerge(f1: OutMap, f2: OutMap): OutMap = {
+    val m2 = f2.toMap
+    val updated = f1.map { case (k, v) => k -> m2.getOrElse(k, v) }
+    updated ++ f2.filterNot { case (k, _) => f1.exists(_._1 == k) }
+  }
+}
+
+/** NFA state. Identity is the unique `name` (base + global counter, as in
+  * `DST.py:33-48`). `out` is the output map of accepting states — mutable
+  * because the compiler rewrites it in place when merging sub-automata
+  * (`DST.py:50-56`, used by `compile.py:391-406`).
+  */
+final class State(val name: String, var out: Option[Dst.OutMap])
+    extends Serializable {
+  def extendOutput(o: Dst.OutMap): Unit =
+    out = Some(Dst.funcMerge(o, out.getOrElse(Vector.empty)))
+  def clearOutput(): Unit = out = None
+  override def toString: String =
+    s"State($name,${if (out.isEmpty) 0 else 1})"
+}
+
+/** A live NFA run: current state, data registers η, stream registers ctx,
+  * whether the last consuming transition was a take, and the set of states
+  * already reached via ε since the last consuming transition
+  * (`DST.py:61-81`).
+  */
+final case class Configuration(
+    q: State,
+    eta: Map[String, Long],
+    ctx: Map[String, Vector[Event]],
+    lastTake: Boolean,
+    revEpsClosure: Set[String]
+)
+
+object Configuration {
+  /** Mirrors `Configuration.__post_init__` (`DST.py:69-72`): the current
+    * state is always a member of its own reverse-ε-closure.
+    */
+  def make(
+      q: State,
+      eta: Map[String, Long],
+      ctx: Map[String, Vector[Event]],
+      lastTake: Boolean = false,
+      revEps: Set[String] = Set.empty
+  ): Configuration =
+    Configuration(q, eta, ctx, lastTake, revEps + q.name)
+}
+
+/** Transition predicate: event-type gate + condition expression
+  * (`DST.py:92-126`). `evType = None` denotes ε; `Some("*")` matches any
+  * type (nd-relaxed wildcard).
+  */
+final case class Pred(evType: Option[String], expr: Expr) {
+  val isEpsilon: Boolean = evType.isEmpty
+
+  def neg: Pred = Pred(evType, Expr.Not(expr))
+
+  /** `p → p ∧ ¬until` (`DST.py:110-114`). */
+  def withUntil(until: Expr): Pred =
+    Pred(evType, Expr.And(expr, Expr.Not(until)))
+
+  def evaluate(eta: Map[String, Long], event: Option[Event]): Boolean = {
+    event match {
+      case Some(ev) =>
+        evType match {
+          case Some(t) if t != Pred.AnyType && t != ev.tpe => return false
+          case _                                           => ()
+        }
+      case None => ()
+    }
+    val attrs = event.map(_.attrMap).getOrElse(Map.empty)
+    Expr.evalBool(expr, eta ++ attrs)
+  }
+}
+
+object Pred {
+  val AnyType = "*"
+  def epsilon: Pred = Pred(None, Expr.True)
+}
+
+/** Data-register update α: every expression reads the *pre-update* η
+  * (`DST.py:139-144` evaluates all updates against the original `eta`).
+  */
+final case class DataUpdate(alpha: Vector[(String, Expr)]) {
+  def update(eta: Map[String, Long], event: Option[Event]): Map[String, Long] =
+    if (alpha.isEmpty) eta
+    else {
+      val env = eta ++ event.map(_.attrMap).getOrElse(Map.empty)
+      eta ++ alpha.map { case (k, e) => k -> Expr.evalNum(e, env) }
+    }
+  def isId: Boolean = alpha.isEmpty
+}
+
+object DataUpdate {
+  val Id: DataUpdate = DataUpdate(Vector.empty)
+}
+
+/** Stream-register update β: append the current event to `sink`, or ignore
+  * (`DST.py:151-173`).
+  */
+final case class StreamUpdate(sink: Option[String]) {
+  def update(
+      ctx: Map[String, Vector[Event]],
+      event: Option[Event]
+  ): Map[String, Vector[Event]] =
+    sink match {
+      case None => ctx
+      case Some(s) =>
+        val ev = event.getOrElse(
+          throw new IllegalStateException("trying to take epsilon"))
+        ctx.updated(s, ctx.getOrElse(s, Vector.empty) :+ ev)
+    }
+  def isId: Boolean = sink.isEmpty
+}
+
+object StreamUpdate {
+  val Id: StreamUpdate = StreamUpdate(None)
+}
+
+/** NFA transition. `p` is mutable because the compiler rewrites predicates in
+  * place for `until` (`compile.py:354-359,574-578`).
+  */
+final class Transition(
+    val q1: State,
+    var p: Pred,
+    val q2: State,
+    val alpha: DataUpdate,
+    val beta: StreamUpdate
+) extends Serializable {
+  def isEpsilon: Boolean = p.isEpsilon
+  def isTake: Boolean = !beta.isId
+
+  /** Whether this edge can fire for (conf, event). Each state is ε-reachable
+    * at most once per macro-step (`DST.py:193-196`).
+    */
+  def predict(conf: Configuration, event: Option[Event]): Boolean = {
+    if (isEpsilon && conf.revEpsClosure.contains(q2.name)) false
+    else p.evaluate(conf.eta, event)
+  }
+
+  /** Next configuration (`DST.py:199-221`): ε preserves `lastTake` and
+    * extends the reverse-ε-closure; consuming transitions reset both.
+    */
+  def advance(conf: Configuration, event: Option[Event]): Configuration = {
+    val lastTake = if (isEpsilon) conf.lastTake else isTake
+    val revEps = if (isEpsilon) conf.revEpsClosure else Set.empty[String]
+    Configuration.make(
+      q2,
+      alpha.update(conf.eta, event),
+      beta.update(conf.ctx, event),
+      lastTake,
+      revEps
+    )
+  }
+}
+
+/** The compiled transducer (`DST.py:240-317`).
+  *
+  * @param sigma event-type alphabet
+  * @param pi    declared pattern (output) names
+  * @param x     data-variable names
+  * @param y     stream-variable names
+  * @param states all states (insertion order — deterministic, unlike the
+  *               reference's Python set, which is safe because every
+  *               sub-automaton has exactly one accepting state)
+  */
+final class Dst(
+    val sigma: Set[String],
+    val pi: Set[String],
+    val x: Set[String],
+    val y: Set[String],
+    val states: Vector[State],
+    val q0: State,
+    val eta0: Map[String, Long],
+    val delta: Vector[Transition]
+) extends Serializable {
+
+  /** Transitions indexed by source state, preserving Δ order
+    * (`DST.py:250-256`) — edge order determines match output order.
+    */
+  val edgeMap: Map[String, Vector[Transition]] =
+    delta.groupBy(_.q1.name)
+
+  def startFrom(q: State): Vector[Transition] =
+    edgeMap.getOrElse(q.name, Vector.empty)
+
+  def finalStates: Vector[State] = states.filter(_.out.isDefined)
+
+  def initialConfiguration: Configuration =
+    Configuration.make(q0, eta0, Map.empty)
+
+  /** Accepting iff the last consuming transition was a take and the state
+    * has an output map (`DST.py:294-300`).
+    */
+  def accept(conf: Configuration): Boolean =
+    conf.lastTake && conf.q.out.isDefined
+
+  /** DFS through ε-edges for an accepting configuration, visiting each state
+    * at most once (`DST.py:272-292`).
+    */
+  def findAccepted(conf: Configuration): Option[Configuration] = {
+    val visited = scala.collection.mutable.HashSet.empty[String]
+    def impl(c: Configuration): Option[Configuration] = {
+      visited += c.q.name
+      val edges = startFrom(c.q)
+      var i = 0
+      while (i < edges.length) {
+        val edge = edges(i)
+        if (!visited.contains(edge.q2.name) && edge.isEpsilon &&
+            edge.predict(c, None)) {
+          val nc = edge.advance(c, None)
+          if (accept(nc)) return Some(nc)
+          val dug = impl(nc)
+          if (dug.isDefined) return dug
+        }
+        i += 1
+      }
+      None
+    }
+    impl(conf)
+  }
+
+  /** Project stream registers through the accepting state's output map,
+    * dropping undefined variables (`DST.py:302-311`). Pair order = output-map
+    * insertion order (significant for goldens).
+    */
+  def output(conf: Configuration): Match =
+    conf.q.out.get.collect {
+      case (key, v) if conf.ctx.contains(v) => key -> conf.ctx(v)
+    }
+}

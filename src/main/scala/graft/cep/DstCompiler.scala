@@ -1,0 +1,336 @@
+package graft.cep
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pattern AST → DST compiler.
+  *
+  * One method per AST node kind, re-expressing
+  * `/root/reference/reflinkcep/compile.py:52-585`. Transition *order* in Δ is
+  * semantically significant (it fixes match output order), so each builder
+  * appends edges in the same order as the reference.
+  *
+  * A compiler instance owns the state-name counter, so each `compile` call
+  * yields globally unique state names (cf. `DST.py:33-48`).
+  */
+final class DstCompiler(query: CepQuery) {
+  private var counter = 0
+
+  private def state(base: String, out: Option[Dst.OutMap] = None): State = {
+    val s = new State(s"$base:$counter", out)
+    counter += 1
+    s
+  }
+
+  private def eventTypes: Vector[String] = query.eventTypes
+
+  def compile(): Dst = compileNode(query.patseq)
+
+  /** First (event, condition) of a pattern — used by combine's relaxed
+    * boundary ignore edges, which read `right_ast["event"]/["cndt"]`
+    * (`compile.py:414-424`). Group nodes have no head event; the reference
+    * would KeyError there, we reject explicitly.
+    */
+  private def headEventCndt(p: Pattern): (String, Expr) = p match {
+    case s: Pattern.Spat    => (s.event, s.cndt)
+    case l: Pattern.Lpat    => (l.event, l.cndt)
+    case l: Pattern.LpatInf => (l.event, l.cndt)
+    case other =>
+      throw new IllegalArgumentException(
+        s"relaxed combine boundary needs an event-headed right pattern, got $other")
+  }
+
+  private def takeDataUpdate(
+      vars: Vector[VarDef]): (Set[String], DataUpdate, Map[String, Long]) = {
+    val x = vars.map(_.name).toSet
+    val du = DataUpdate(vars.map(v => v.name -> v.update))
+    val eta0 = vars.map(v => v.name -> v.initial).toMap
+    (x, du, eta0)
+  }
+
+  private def compileNode(p: Pattern): Dst = p match {
+    case s: Pattern.Spat      => compileSpat(s)
+    case l: Pattern.Lpat      => compileLpat(l)
+    case l: Pattern.LpatInf   => compileLpatInf(l)
+    case c: Pattern.Combine   => compileCombine(c)
+    case g: Pattern.Gpat      => compileNode(g.child)
+    case g: Pattern.GpatTimes => compileGpatTimes(g)
+    case g: Pattern.GpatInf   => compileGpatInf(g)
+  }
+
+  /** `compile.py:52-70`. */
+  private def compileSpat(ast: Pattern.Spat): Dst = {
+    val (x, tdu, eta0) = takeDataUpdate(ast.vars)
+    val q0 = state(s"${ast.name}-0")
+    val qf = state(s"${ast.name}-f", Some(Vector(ast.name -> ast.name)))
+    val d = Vector(
+      new Transition(q0, Pred(Some(ast.event), ast.cndt), qf, tdu,
+        StreamUpdate(Some(ast.name))))
+    new Dst(Set(ast.event), Set(ast.name), x, Set(ast.name),
+      Vector(q0, qf), q0, eta0, d)
+  }
+
+  /** `compile.py:73-205`: unrolled chain q0..qm plus ignore-states. */
+  private def compileLpat(ast: Pattern.Lpat): Dst = {
+    val n = ast.from
+    val m = ast.to
+    val (x, tdu, eta0) = takeDataUpdate(ast.vars)
+    val takePred = Pred(Some(ast.event), ast.cndt)
+    val esu = StreamUpdate(Some(ast.name))
+
+    val q0 = state(s"${ast.name}-0")
+    val qf = state(s"${ast.name}-f", Some(Vector(ast.name -> ast.name)))
+    // q(0)=q0, q(1)..q(m); qIgnore(i) ~ q(i+1), 0 <= i < m-1
+    val qTail = Vector.tabulate(m)(i => state(s"${ast.name}-${i + 1}"))
+    val qIgnore = Vector.tabulate(math.max(m - 1, 0))(i =>
+      state(s"${ast.name}-ig-${i + 1}"))
+    val q = q0 +: qTail
+
+    val d = ArrayBuffer.empty[Transition]
+    // take transitions
+    for (i <- 0 until m)
+      d += new Transition(q(i), takePred, q(i + 1), tdu, esu)
+    for (i <- 0 until m - 1)
+      d += new Transition(qIgnore(i), takePred, q(i + 2), tdu, esu)
+    // proceed transitions
+    for (i <- n to m)
+      d += new Transition(q(i), Pred.epsilon, qf, DataUpdate.Id,
+        StreamUpdate.Id)
+    // ignore transitions
+    ast.contiguity match {
+      case Contiguity.Strict => ()
+      case Contiguity.Relaxed =>
+        val negPred = takePred.neg
+        for (i <- 1 until m)
+          d += new Transition(q(i), negPred, qIgnore(i - 1), DataUpdate.Id,
+            StreamUpdate.Id)
+        for (i <- 1 until m)
+          d += new Transition(qIgnore(i - 1), negPred, qIgnore(i - 1),
+            DataUpdate.Id, StreamUpdate.Id)
+        for (e <- eventTypes if e != ast.event) {
+          for (i <- 1 until m)
+            d += new Transition(q(i), Pred(Some(e), Expr.True),
+              qIgnore(i - 1), DataUpdate.Id, StreamUpdate.Id)
+          for (i <- 1 until m)
+            d += new Transition(qIgnore(i - 1), Pred(Some(e), Expr.True),
+              qIgnore(i - 1), DataUpdate.Id, StreamUpdate.Id)
+        }
+      case Contiguity.NdRelaxed =>
+        val anyPred = Pred(Some(Pred.AnyType), Expr.True)
+        for (i <- 1 until m)
+          d += new Transition(q(i), anyPred, qIgnore(i - 1), DataUpdate.Id,
+            StreamUpdate.Id)
+        for (i <- 1 until m)
+          d += new Transition(qIgnore(i - 1), anyPred, qIgnore(i - 1),
+            DataUpdate.Id, StreamUpdate.Id)
+    }
+
+    new Dst(Set(ast.event), Set(ast.name), x, Set(ast.name),
+      (q :+ qf) ++ qIgnore, q0, eta0, d.toVector)
+  }
+
+  /** `compile.py:208-372`: self-loop at q(n) + `qnp` ignore-state; `until`
+    * rewrites every consuming predicate; `from = 0` adds the optional ε.
+    */
+  private def compileLpatInf(ast: Pattern.LpatInf): Dst = {
+    val optional = ast.from == 0
+    val n = if (optional) 1 else ast.from
+    val (x, tdu, eta0) = takeDataUpdate(ast.vars)
+    val takePred = Pred(Some(ast.event), ast.cndt)
+    val esu = StreamUpdate(Some(ast.name))
+
+    val q0 = state(s"${ast.name}-0")
+    val qf = state(s"${ast.name}-f", Some(Vector(ast.name -> ast.name)))
+    val qTail = Vector.tabulate(n)(i => state(s"${ast.name}-${i + 1}"))
+    val qnp = state(s"${ast.name}-np")
+    val q = q0 +: qTail
+
+    val d = ArrayBuffer.empty[Transition]
+    // take transitions
+    for (i <- 0 until n)
+      d += new Transition(q(i), takePred, q(i + 1), tdu, esu)
+    d += new Transition(q(n), takePred, q(n), tdu, esu)
+    d += new Transition(qnp, takePred, q(n), tdu, esu)
+    // proceed transition
+    d += new Transition(q(n), Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
+    // ignore transitions
+    ast.contiguity match {
+      case Contiguity.Strict => ()
+      case Contiguity.Relaxed =>
+        val negPred = takePred.neg
+        for (i <- 1 until n)
+          d += new Transition(q(i), negPred, q(i), DataUpdate.Id,
+            StreamUpdate.Id)
+        for (e <- eventTypes if e != ast.event; i <- 1 until n)
+          d += new Transition(q(i), Pred(Some(e), Expr.True), q(i),
+            DataUpdate.Id, StreamUpdate.Id)
+        d += new Transition(q(n), negPred, qnp, DataUpdate.Id, StreamUpdate.Id)
+        d += new Transition(qnp, negPred, qnp, DataUpdate.Id, StreamUpdate.Id)
+        for (e <- eventTypes if e != ast.event) {
+          d += new Transition(q(n), Pred(Some(e), Expr.True), qnp,
+            DataUpdate.Id, StreamUpdate.Id)
+          d += new Transition(qnp, Pred(Some(e), Expr.True), qnp,
+            DataUpdate.Id, StreamUpdate.Id)
+        }
+      case Contiguity.NdRelaxed =>
+        val anyPred = Pred(Some(Pred.AnyType), Expr.True)
+        for (i <- 1 until n)
+          d += new Transition(q(i), anyPred, q(i), DataUpdate.Id,
+            StreamUpdate.Id)
+        d += new Transition(q(n), anyPred, qnp, DataUpdate.Id, StreamUpdate.Id)
+        d += new Transition(qnp, anyPred, qnp, DataUpdate.Id, StreamUpdate.Id)
+    }
+
+    // until: p → p ∧ ¬until on every consuming (take or ignore) edge
+    ast.until.foreach { u =>
+      d.foreach(t => if (!t.isEpsilon) t.p = t.p.withUntil(u))
+    }
+
+    if (optional)
+      d += new Transition(q0, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
+
+    new Dst(Set(ast.event), Set(ast.name), x, Set(ast.name),
+      (q :+ qnp) :+ qf, q0, eta0, d.toVector)
+  }
+
+  /** `compile.py:375-474`: DST union + ε from left finals to right start +
+    * boundary ignore-state for non-strict contiguity.
+    */
+  private def compileCombine(ast: Pattern.Combine): Dst = {
+    val left = compileNode(ast.left)
+    val right = compileNode(ast.right)
+
+    val states = ArrayBuffer.from(left.states ++ right.states)
+    val d = ArrayBuffer.from(left.delta ++ right.delta)
+
+    val leftFinals = left.finalStates
+    val rightFinals = right.finalStates
+    for (q <- leftFinals; q2 <- rightFinals)
+      q2.extendOutput(q.out.get)
+
+    val q02 = right.q0
+    for (q <- leftFinals) {
+      d += new Transition(q, Pred.epsilon, q02, DataUpdate.Id, StreamUpdate.Id)
+      q.clearOutput()
+    }
+
+    if (ast.contiguity != Contiguity.Strict) {
+      val q02Ignore = state(s"${q02.name}-ignore")
+      states += q02Ignore
+      // replicate right's start take-edges from the ignore state
+      for (edge <- right.startFrom(q02) if edge.isTake)
+        d += new Transition(q02Ignore, edge.p, edge.q2, edge.alpha, edge.beta)
+      ast.contiguity match {
+        case Contiguity.Relaxed =>
+          val (rEv, rCndt) = headEventCndt(ast.right)
+          val negPred = Pred(Some(rEv), rCndt).neg
+          d += new Transition(q02, negPred, q02Ignore, DataUpdate.Id,
+            StreamUpdate.Id)
+          d += new Transition(q02Ignore, negPred, q02Ignore, DataUpdate.Id,
+            StreamUpdate.Id)
+          for (e <- eventTypes if e != rEv) {
+            d += new Transition(q02, Pred(Some(e), Expr.True), q02Ignore,
+              DataUpdate.Id, StreamUpdate.Id)
+            d += new Transition(q02Ignore, Pred(Some(e), Expr.True),
+              q02Ignore, DataUpdate.Id, StreamUpdate.Id)
+          }
+        case Contiguity.NdRelaxed =>
+          val anyPred = Pred(Some(Pred.AnyType), Expr.True)
+          d += new Transition(q02, anyPred, q02Ignore, DataUpdate.Id,
+            StreamUpdate.Id)
+          d += new Transition(q02Ignore, anyPred, q02Ignore, DataUpdate.Id,
+            StreamUpdate.Id)
+        case Contiguity.Strict => ()
+      }
+    }
+
+    new Dst(
+      left.sigma ++ right.sigma,
+      left.pi ++ right.pi,
+      left.x ++ right.x,
+      left.y ++ right.y,
+      states.toVector,
+      left.q0,
+      left.eta0 ++ right.eta0,
+      d.toVector)
+  }
+
+  /** `compile.py:482-526`: child DST unrolled `to` times with ε
+    * proceed-edges between copies; accept after copies `from-1..to-1`.
+    */
+  private def compileGpatTimes(ast: Pattern.GpatTimes): Dst = {
+    val n = ast.from
+    val m = ast.to
+    val dst0 = compileNode(ast.child)
+    val copies = Vector.fill(m)(compileNode(ast.child))
+
+    val q0 = state("gpat-0")
+    val qf = state("gpat-f")
+    val states = ArrayBuffer(q0, qf)
+    val d = ArrayBuffer.empty[Transition]
+    for (c <- copies) { states ++= c.states; d ++= c.delta }
+
+    // proceed
+    d += new Transition(q0, Pred.epsilon, copies(0).q0, DataUpdate.Id,
+      StreamUpdate.Id)
+    for (i <- 0 until m - 1; q <- copies(i).finalStates)
+      d += new Transition(q, Pred.epsilon, copies(i + 1).q0, DataUpdate.Id,
+        StreamUpdate.Id)
+    // output
+    for (i <- (n - 1) until m; q <- copies(i).finalStates)
+      d += new Transition(q, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
+    for (i <- 0 until m; q <- copies(i).finalStates)
+      q.clearOutput()
+    for (q <- dst0.finalStates)
+      qf.extendOutput(q.out.get)
+
+    new Dst(dst0.sigma, dst0.pi, dst0.x, dst0.y, states.toVector, q0,
+      dst0.eta0, d.toVector)
+  }
+
+  /** `compile.py:529-585`: `from` copies, last copy loops back to its own
+    * start; `until` rewrite; optional ε when `from = 0`.
+    */
+  private def compileGpatInf(ast: Pattern.GpatInf): Dst = {
+    val optional = ast.from == 0
+    val n = math.max(ast.from, 1)
+    val dst0 = compileNode(ast.child)
+    val copies = Vector.fill(n)(compileNode(ast.child))
+
+    val q0 = state("gpat-inf-0")
+    val qf = state("gpat-inf-f")
+    val states = ArrayBuffer(q0, qf)
+    val d = ArrayBuffer.empty[Transition]
+    for (c <- copies) { states ++= c.states; d ++= c.delta }
+
+    // proceed
+    d += new Transition(q0, Pred.epsilon, copies(0).q0, DataUpdate.Id,
+      StreamUpdate.Id)
+    for (i <- 0 until n - 1; q <- copies(i).finalStates)
+      d += new Transition(q, Pred.epsilon, copies(i + 1).q0, DataUpdate.Id,
+        StreamUpdate.Id)
+    for (q <- copies(n - 1).finalStates)
+      d += new Transition(q, Pred.epsilon, copies(n - 1).q0, DataUpdate.Id,
+        StreamUpdate.Id)
+    // output
+    for (q <- copies(n - 1).finalStates)
+      d += new Transition(q, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
+    for (i <- 0 until n; q <- copies(i).finalStates)
+      q.clearOutput()
+    for (q <- dst0.finalStates)
+      qf.extendOutput(q.out.get)
+
+    ast.until.foreach { u =>
+      d.foreach(t => if (!t.isEpsilon) t.p = t.p.withUntil(u))
+    }
+
+    if (optional)
+      d += new Transition(q0, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
+
+    new Dst(dst0.sigma, dst0.pi, dst0.x, dst0.y, states.toVector, q0,
+      dst0.eta0, d.toVector)
+  }
+}
+
+object DstCompiler {
+  def compile(query: CepQuery): Dst = new DstCompiler(query).compile()
+}

@@ -1,0 +1,125 @@
+package graft.cep
+
+/** Pattern-sequence AST, the user-facing query surface.
+  *
+  * One case class per AST node kind of the reference
+  * (`/root/reference/reflinkcep/compile.py:41-49` dispatch set:
+  * `spat | lpat | lpat-inf | combine | gpat | gpat-times | gpat-inf`).
+  */
+sealed trait Pattern extends Serializable
+
+/** Per-run data register: `initial` value, `update` expression applied on
+  * every take (`/root/reference/reflinkcep/compile.py:22-27`).
+  */
+final case class VarDef(name: String, initial: Long, update: Expr)
+    extends Serializable
+
+sealed abstract class Contiguity(val yamlName: String) extends Serializable
+object Contiguity {
+  case object Strict extends Contiguity("strict")
+  case object Relaxed extends Contiguity("relaxed")
+  case object NdRelaxed extends Contiguity("nd-relaxed")
+  def fromName(s: String): Contiguity = s match {
+    case "strict"     => Strict
+    case "relaxed"    => Relaxed
+    case "nd-relaxed" => NdRelaxed
+    case other => throw new IllegalArgumentException(s"bad contiguity: $other")
+  }
+}
+
+object Pattern {
+  /** Match exactly one event of type `event` satisfying `cndt`. */
+  final case class Spat(
+      name: String,
+      event: String,
+      cndt: Expr,
+      vars: Vector[VarDef] = Vector.empty
+  ) extends Pattern
+
+  /** Bounded loop: `from..to` events, per-iteration contiguity. */
+  final case class Lpat(
+      name: String,
+      event: String,
+      cndt: Expr,
+      contiguity: Contiguity,
+      from: Int,
+      to: Int,
+      vars: Vector[VarDef] = Vector.empty
+  ) extends Pattern
+
+  /** Unbounded loop: `>= from` events; optional `until` stop-condition. */
+  final case class LpatInf(
+      name: String,
+      event: String,
+      cndt: Expr,
+      contiguity: Contiguity,
+      from: Int,
+      until: Option[Expr] = None,
+      vars: Vector[VarDef] = Vector.empty
+  ) extends Pattern
+
+  /** Sequence concatenation with boundary contiguity. */
+  final case class Combine(
+      contiguity: Contiguity,
+      left: Pattern,
+      right: Pattern
+  ) extends Pattern
+
+  /** Transparent grouping. */
+  final case class Gpat(child: Pattern) extends Pattern
+
+  /** Repeat child group `from..to` times. */
+  final case class GpatTimes(child: Pattern, from: Int, to: Int)
+      extends Pattern
+
+  /** Repeat child group `>= from` times; optional `until`. */
+  final case class GpatInf(
+      child: Pattern,
+      from: Int,
+      until: Option[Expr] = None
+  ) extends Pattern
+
+  // -- convenience constructors with string conditions ---------------------
+  def spat(name: String, event: String, cndt: String): Spat =
+    Spat(name, event, Expr.parse(cndt))
+  def lpat(name: String, event: String, cndt: String, contiguity: Contiguity,
+      from: Int, to: Int, vars: Vector[VarDef] = Vector.empty): Lpat =
+    Lpat(name, event, Expr.parse(cndt), contiguity, from, to, vars)
+  def lpatInf(name: String, event: String, cndt: String,
+      contiguity: Contiguity, from: Int, until: Option[String] = None,
+      vars: Vector[VarDef] = Vector.empty): LpatInf =
+    LpatInf(name, event, Expr.parse(cndt), contiguity, from,
+      until.map(Expr.parse), vars)
+  def varDef(name: String, initial: Long, update: String): VarDef =
+    VarDef(name, initial, Expr.parse(update))
+}
+
+sealed abstract class AfterMatchStrategy(val name: String) extends Serializable
+object AfterMatchStrategy {
+  /** Emit every match; keep all partial runs. */
+  case object NoSkip extends AfterMatchStrategy("NoSkip")
+  /** On accept, kill all partial runs with the same start index. */
+  case object SkipToNext extends AfterMatchStrategy("SkipToNext")
+  /** On first accept in a step, emit it and drop all partial runs. */
+  case object SkipPastLastEvent extends AfterMatchStrategy("SkipPastLastEvent")
+  def fromName(s: String): AfterMatchStrategy = s match {
+    case "NoSkip"            => NoSkip
+    case "SkipToNext"        => SkipToNext
+    case "SkipPastLastEvent" => SkipPastLastEvent
+    case other => throw new IllegalArgumentException(s"bad strategy: $other")
+  }
+}
+
+/** A complete CEP query: pattern + schema context + after-match strategy.
+  *
+  * `schema` enumerates the event-type universe (insertion-ordered — the
+  * order determines relaxed-contiguity ignore-edge generation order, which
+  * pins match output order; see `/root/reference/reflinkcep/compile.py:132`).
+  */
+final case class CepQuery(
+    patseq: Pattern,
+    schema: Vector[(String, Vector[String])],
+    strategy: AfterMatchStrategy = AfterMatchStrategy.NoSkip
+) extends Serializable {
+  def eventTypes: Vector[String] = schema.map(_._1)
+}

@@ -1,0 +1,108 @@
+package graft.cep
+
+import java.util.{List => JList, Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** Loader for the reference's YAML query format (the example-patseq-asts
+  * files in `/root/reference/`, shapes documented in FIXTURES.md §2):
+  *
+  * {{{
+  * type: query
+  * patseq: { type: spat|lpat|lpat-inf|combine|gpat|gpat-times|gpat-inf, ... }
+  * context: { schema: {evType: [attrs...]}, [strategy: NoSkip|...] }
+  * }}}
+  *
+  * snakeyaml preserves mapping insertion order (LinkedHashMap), which we rely
+  * on for the schema's event-type order (it pins ignore-edge generation
+  * order — see `CepQuery.schema`).
+  */
+object YamlQuery {
+
+  def fromYaml(text: String): CepQuery = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val root = yaml.load[JMap[String, Object]](text)
+    fromJava(root)
+  }
+
+  def fromFile(path: String): CepQuery =
+    fromYaml(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  private def fromJava(root: JMap[String, Object]): CepQuery = {
+    val patseq = parsePattern(root.get("patseq").asInstanceOf[JMap[String, Object]])
+    val context = root.get("context").asInstanceOf[JMap[String, Object]]
+    val schemaJ = context.get("schema").asInstanceOf[JMap[String, Object]]
+    val schema = schemaJ.entrySet().asScala.toVector.map { e =>
+      e.getKey -> e.getValue.asInstanceOf[JList[Object]].asScala.toVector
+        .map(_.toString)
+    }
+    val strategy = Option(context.get("strategy"))
+      .map(s => AfterMatchStrategy.fromName(s.toString))
+      .getOrElse(AfterMatchStrategy.NoSkip)
+    CepQuery(patseq, schema, strategy)
+  }
+
+  private def str(m: JMap[String, Object], k: String): String =
+    m.get(k).toString
+
+  private def int(m: JMap[String, Object], k: String): Int =
+    m.get(k).toString.toInt
+
+  private def expr(m: JMap[String, Object], k: String): Expr =
+    Expr.parse(str(m.get(k).asInstanceOf[JMap[String, Object]], "expr"))
+
+  private def vars(m: JMap[String, Object]): Vector[VarDef] =
+    Option(m.get("variables")) match {
+      case None => Vector.empty
+      case Some(v) =>
+        v.asInstanceOf[JMap[String, Object]].entrySet().asScala.toVector.map {
+          e =>
+            val d = e.getValue.asInstanceOf[JMap[String, Object]]
+            VarDef(e.getKey, d.get("initial").toString.toLong,
+              Expr.parse(str(d, "update")))
+        }
+    }
+
+  private def loop(m: JMap[String, Object]): JMap[String, Object] =
+    m.get("loop").asInstanceOf[JMap[String, Object]]
+
+  private def untilOpt(m: JMap[String, Object]): Option[Expr] =
+    Option(m.get("until")).map(u =>
+      Expr.parse(str(u.asInstanceOf[JMap[String, Object]], "expr")))
+
+  private def parsePattern(m: JMap[String, Object]): Pattern =
+    str(m, "type") match {
+      case "spat" =>
+        Pattern.Spat(str(m, "name"), str(m, "event"), expr(m, "cndt"), vars(m))
+      case "lpat" =>
+        val l = loop(m)
+        Pattern.Lpat(str(m, "name"), str(m, "event"), expr(m, "cndt"),
+          Contiguity.fromName(str(l, "contiguity")), int(l, "from"),
+          int(l, "to"), vars(m))
+      case "lpat-inf" =>
+        val l = loop(m)
+        Pattern.LpatInf(str(m, "name"), str(m, "event"), expr(m, "cndt"),
+          Contiguity.fromName(str(l, "contiguity")), int(l, "from"),
+          untilOpt(m), vars(m))
+      case "combine" =>
+        Pattern.Combine(
+          Contiguity.fromName(str(m, "contiguity")),
+          parsePattern(m.get("left").asInstanceOf[JMap[String, Object]]),
+          parsePattern(m.get("right").asInstanceOf[JMap[String, Object]]))
+      case "gpat" =>
+        Pattern.Gpat(
+          parsePattern(m.get("child").asInstanceOf[JMap[String, Object]]))
+      case "gpat-times" =>
+        val l = loop(m)
+        Pattern.GpatTimes(
+          parsePattern(m.get("child").asInstanceOf[JMap[String, Object]]),
+          int(l, "from"), int(l, "to"))
+      case "gpat-inf" =>
+        val l = loop(m)
+        Pattern.GpatInf(
+          parsePattern(m.get("child").asInstanceOf[JMap[String, Object]]),
+          int(l, "from"), untilOpt(m))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported AST node: $other")
+    }
+}

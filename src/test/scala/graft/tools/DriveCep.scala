@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.cep._
+
+/** Manual end-to-end drive of the public CEP API (YAML in, matches out).
+  * Run: sbt "Test/runMain graft.tools.DriveCep"
+  */
+object DriveCep {
+  def main(args: Array[String]): Unit = {
+    val q = YamlQuery.fromYaml("""
+type: "query"
+patseq:
+  type: "combine"
+  contiguity: "relaxed"
+  left:
+    type: "spat"
+    name: "signup"
+    event: "signup"
+    cndt: { expr: "True" }
+  right:
+    type: "lpat-inf"
+    name: "purchases"
+    event: "purchase"
+    cndt: { expr: "value < 40" }
+    loop: { contiguity: relaxed, from: 1 }
+    until: { expr: "value >= 90" }
+context:
+  schema:
+    signup: ["id", "value"]
+    purchase: ["id", "value"]
+    error: ["id", "value"]
+""")
+    val evs = Vector(
+      Event("signup", "id" -> 1L, "value" -> 0L),
+      Event("purchase", "id" -> 2L, "value" -> 10L),
+      Event("error", "id" -> 3L, "value" -> 0L),
+      Event("purchase", "id" -> 4L, "value" -> 95L),
+      Event("purchase", "id" -> 5L, "value" -> 20L))
+    println("MATCHES=" + CepOperator.run(q, evs))
+    println("PARSE_ERR=" + scala.util.Try(Expr.parse("name === 1")).failed.map(_.getMessage))
+    println("EVAL_ERR=" + scala.util.Try(CepOperator.run(CepQuery(Pattern.spat("a", "e", "nosuchattr == 1"), Vector("e" -> Vector("id"))), Vector(Event("e", "id" -> 1L)))).failed.map(_.getMessage))
+    println("EMPTY=" + CepOperator.run(q, Vector.empty))
+    println("BAD_YAML=" + scala.util.Try(YamlQuery.fromYaml("{type: query, patseq: {type: lpat, name: a, event: e, cndt: {expr: 'True'}, loop: {contiguity: sorta, from: 1, to: 2}}, context: {schema: {e: []}}}")).failed.map(_.getMessage))
+    val op = CepOperator.fromQuery(q)
+    val r1 = op(evs); val r2 = op(evs)
+    println("RESET_OK=" + (r1 == r2))
+  }
+}
