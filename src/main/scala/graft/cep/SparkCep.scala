@@ -1,0 +1,114 @@
+package graft.cep
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DataFrame-level CEP: apply a pattern query to an event table.
+  *
+  * Scale design (SURVEY.md §3 target lifecycle): one shuffle to co-locate
+  * each key's events (`repartition(key)`), in-partition secondary sort
+  * `(key, order)`, then a *streaming* `mapPartitions` that feeds each key's
+  * events through the NFA as they arrive — per-task memory is bounded by NFA
+  * state (live runs), never by group size, so the operator survives keys with
+  * millions of events as long as the pattern's run-set stays bounded (strict
+  * contiguity / until / skip strategies). The un-keyed variant reproduces the
+  * reference's single global sequence semantics and is inherently
+  * single-partition — use keys at scale.
+  *
+  * Output: one row per match — key column plus one `array<bigint>` column
+  * per pattern name, holding the order-column values of the bound events
+  * (lean id-based bindings; join back to the event table for payloads
+  * instead of duplicating them into every match).
+  */
+object SparkCep {
+
+  /** Column mapping from a relational event table to the CEP event model
+    * (FIXTURES.md §3): `orderCol` must be unique-per-key and defines arrival
+    * order; `attrCols` become integer attributes visible to conditions
+    * (cast to long, truncating); the order column itself is always visible
+    * as an attribute under its own name.
+    */
+  final case class CepSpec(
+      keyCol: Option[String],
+      orderCol: String,
+      typeCol: String,
+      attrCols: Seq[String]
+  )
+
+  def matchPattern(df: DataFrame, query: CepQuery, spec: CepSpec): DataFrame = {
+    val piNames = patternNames(query.patseq)
+    val keyName = spec.keyCol.getOrElse("__global")
+    val attrNames: Vector[String] =
+      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
+
+    val keyExpr = spec.keyCol match {
+      case Some(k) => col(k).cast(LongType)
+      case None    => lit(0L)
+    }
+    val prepared = df.select(
+      keyExpr.as("__key") +:
+        col(spec.orderCol).cast(LongType).as("__ord") +:
+        col(spec.typeCol).cast(StringType).as("__type") +:
+        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*
+    )
+
+    val parted = spec.keyCol match {
+      case Some(_) =>
+        prepared.repartition(col("__key"))
+          .sortWithinPartitions(col("__key"), col("__ord"))
+      case None =>
+        prepared.repartition(1).sortWithinPartitions(col("__ord"))
+    }
+
+    val outSchema = StructType(
+      StructField(keyName, LongType, nullable = false) +:
+        piNames.map(n =>
+          StructField(n, ArrayType(LongType, containsNull = false),
+            nullable = false))
+    )
+    val orderName = attrNames.head
+
+    val out = parted.mapPartitions { rows =>
+      val executor = new Executor(DstCompiler.compile(query), query.strategy)
+      var curKey = 0L
+      var started = false
+      rows.flatMap { row =>
+        val key = row.getLong(0)
+        if (!started || key != curKey) {
+          executor.reset(); curKey = key; started = true
+        }
+        val attrs = Vector.newBuilder[(String, Long)]
+        attrs += orderName -> row.getLong(1)
+        var i = 3
+        while (i < row.length) {
+          if (!row.isNullAt(i))
+            attrs += attrNames(i - 2) -> row.getLong(i)
+          i += 1
+        }
+        val ev = Event(row.getString(2), attrs.result())
+        executor.feed(ev).map { m =>
+          val byName = m.toMap
+          Row.fromSeq(
+            key +: piNames.map(n =>
+              byName.getOrElse(n, Vector.empty).map(_(orderName))))
+        }
+      }
+    }(Encoders.row(outSchema))
+
+    if (spec.keyCol.isEmpty) out.drop(keyName) else out
+  }
+
+  /** Declared pattern names in left-to-right order (the `Pi` set with the
+    * deterministic order match columns should appear in).
+    */
+  def patternNames(p: Pattern): Vector[String] = p match {
+    case s: Pattern.Spat      => Vector(s.name)
+    case l: Pattern.Lpat      => Vector(l.name)
+    case l: Pattern.LpatInf   => Vector(l.name)
+    case c: Pattern.Combine   => patternNames(c.left) ++ patternNames(c.right)
+    case g: Pattern.Gpat      => patternNames(g.child)
+    case g: Pattern.GpatTimes => patternNames(g.child)
+    case g: Pattern.GpatInf   => patternNames(g.child)
+  }
+}
