@@ -350,6 +350,174 @@ object Queries {
       |ORDER BY o_custkey, rnk""".stripMargin
 
   // =======================================================================
+  // Training-data pipeline operators (graft.ops) over documents/embeddings
+  // =======================================================================
+
+  import graft.ops.{DedupOps, MultiModal, Similarity, TextOps}
+
+  /** Token/char/punct counting + lexical-diversity quality score. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+      |  len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_distinct,
+      |  length(text) AS n_chars_obs,
+      |  length(text) - length(translate(text, '.,!?;:', '')) AS n_punct,
+      |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+      |    THEN (len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) * 1000)
+      |         // len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |    ELSE 0 END AS qscore_milli
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Marker-token language-ID heuristic (scores + arg-max prediction). */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    val score = TextOps.langMarkers.map { case (lang, ms) =>
+      val set = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), t -> list_contains($set, t))) AS score_$lang"
+    }.mkString(",\n      ")
+    val mx = TextOps.langMarkers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
+    val cases = TextOps.langMarkers.map { case (lang, _) =>
+      s"WHEN score_$lang = mx AND mx > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, ${TextOps.langMarkers.map(m => s"score_${m._1}").mkString(", ")},
+       |  CASE $cases ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, $score, $mx AS mx FROM (SELECT doc_id,
+       |  $score, text FROM documents) s0) s1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Polynomial rolling-hash document fingerprint. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprints(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(text)),
+      |        i -> CAST(ascii(text[i]) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup: doc → canonical keep-id + duplicate-group size. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDedup(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val dedupExactSql: String =
+    """SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY text) AS keep_id,
+      |  count(*) OVER (PARTITION BY text) AS group_cnt
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs (inverted-index self-join), J ≥ 0.5. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramJaccardPairs(table(spark, dir, "documents"), "doc_id",
+      "text", n = 3, simMilli = 500)
+      .orderBy("id1", "id2")
+
+  val dedupNgramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t) >= 3 THEN
+      |      list_transform(generate_series(1, len(t) - 2),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END)) AS shingle
+      |  FROM toks),
+      |cnts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id1, id2, inter, c1.n_sh + c2.n_sh - inter AS uni
+      |FROM inter
+      |JOIN cnts c1 ON c1.doc_id = id1
+      |JOIN cnts c2 ON c2.doc_id = id2
+      |WHERE inter * 1000 >= (c1.n_sh + c2.n_sh - inter) * 500
+      |ORDER BY id1, id2""".stripMargin
+
+  /** MinHash + LSH candidate pairs (rows-only: banding internals have no
+    * SQL equivalent; pinned by MinHashSpec unit tests instead).
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minHashLshPairs(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("id1", "id2")
+
+  /** SimHash near-dup pairs (rows-only; pinned by unit tests). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simHashPairs(table(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 10)
+      .orderBy("id1", "id2")
+
+  /** Brute-force cosine top-10 per embedding (micro-scaled similarity). */
+  def knnCosineTop10(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.knnBruteForce(emb, emb, "vec_id", "embedding", k = 10,
+      broadcastProbes = false)
+      .orderBy("query_id", "rnk")
+  }
+
+  val knnCosineTop10Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(floor(1000000 * list_inner_product(q.e, c.e) /
+      |      (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e)))) AS BIGINT)
+      |      AS sim_micro
+      |  FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim_micro,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim_micro DESC, neighbor_id) AS rnk
+      |  FROM pairs)
+      |SELECT query_id, neighbor_id, sim_micro, rnk FROM ranked
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** Random-hyperplane LSH near-neighbors with exact re-rank (rows-only;
+    * recall pinned against brute force in SimilaritySpec).
+    */
+  def embNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    // 8-bit bands + τ=0.4: this corpus has no true near-dups (max pairwise
+    // cosine ≈ 0.51), so the demo threshold is set where candidates exist.
+    Similarity.lshNearNeighbors(table(spark, dir, "embeddings"), "vec_id",
+      "embedding", dim = 64, simMicro = 400000L, bandBits = 8)
+      .orderBy("id1", "id2")
+
+  /** Multimodal plumbing: binary payload → batched stub-decode features. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val assets = MultiModal.ingestFromText(
+      table(spark, dir, "documents"), "doc_id", "text", "source")
+    val featCols = (0 until 8).map(j =>
+      element_at(col("features"), j + 1).as(s"f$j"))
+    MultiModal.extractFeatures(assets)
+      .select(col("asset_id") +: col("modality") +: col("n_bytes") +:
+        featCols: _*)
+      .orderBy("asset_id")
+  }
+
+  val mmFeaturesSql: String = {
+    val feats = (0 until 8).map(j =>
+      s"CAST(list_sum(list_transform(generate_series(${j + 1}, length(text), 8), i -> ascii(text[i]))) AS BIGINT) AS f$j"
+    ).mkString(",\n      |  ")
+    s"""SELECT doc_id AS asset_id, 'blob' AS modality,
+       |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+       |  $feats
+       |FROM documents ORDER BY asset_id""".stripMargin
+  }
+
+  // =======================================================================
   // Registry
   // =======================================================================
 
@@ -366,7 +534,17 @@ object Queries {
     "rel_q1_pricing" -> relQ1Pricing _,
     "rel_q3_top_orders" -> relQ3TopOrders _,
     "rel_nation_stats" -> relNationStats _,
-    "rel_window_top3" -> relWindowTop3 _
+    "rel_window_top3" -> relWindowTop3 _,
+    "text_stats" -> textStats _,
+    "lang_id" -> langIdQuery _,
+    "doc_fingerprint" -> docFingerprint _,
+    "dedup_exact" -> dedupExact _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _,
+    "knn_cosine_top10" -> knnCosineTop10 _,
+    "emb_near_dup_lsh" -> embNearDupLsh _,
+    "mm_features" -> mmFeatures _
   )
 
   val oracles: Map[String, String] = Map(
@@ -381,6 +559,13 @@ object Queries {
     "rel_q1_pricing" -> relQ1PricingSql,
     "rel_q3_top_orders" -> relQ3TopOrdersSql,
     "rel_nation_stats" -> relNationStatsSql,
-    "rel_window_top3" -> relWindowTop3Sql
+    "rel_window_top3" -> relWindowTop3Sql,
+    "text_stats" -> textStatsSql,
+    "lang_id" -> langIdSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "knn_cosine_top10" -> knnCosineTop10Sql,
+    "mm_features" -> mmFeaturesSql
   )
 }

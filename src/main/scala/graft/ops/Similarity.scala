@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — an O(n·m) block join that Spark
+  * parallelizes across partitions; the probe side is broadcast when small
+  * (the common "query batch vs. corpus" shape). Scale path: random
+  * hyperplane LSH — 64-bit sign signatures bucketed into bands, candidates
+  * re-ranked exactly, so the pair join touches signature buckets instead of
+  * the full cross product.
+  *
+  * All similarity math is done in double precision over the float inputs
+  * with a fixed left-to-right summation order (`zip_with` + `aggregate`), so
+  * results are bit-deterministic and reproducible in the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float/double> columns, in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) =>
+      x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x =>
+      x.cast(DoubleType) * x.cast(DoubleType)), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x =>
+      x.cast(DoubleType) * x.cast(DoubleType)), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Integer-scaled cosine (×1e6, floored) — hash-stable across engines. */
+  def cosineMicro(a: Column, b: Column): Column =
+    floor(cosine(a, b) * 1000000L).cast(LongType)
+
+  /** Brute-force cosine top-k: for every probe vector, the k most similar
+    * corpus vectors (excluding itself when probing the corpus against
+    * itself). Deterministic tie-break on (similarity desc, corpus id).
+    *
+    * Physical plan for scale: the probe batch (queries) is collected and
+    * broadcast (it must fit in memory — the usual "query batch vs corpus"
+    * shape); the corpus streams through `mapPartitions` computing dots in
+    * tight primitive loops with *per-partition local top-k* per query, so
+    * the shuffle carries at most `partitions × queries × k` rows instead of
+    * the full cross product; a final window pass merges local top-ks.
+    * The similarity expression tree (`⌊1e6·dot/(‖a‖·‖b‖)⌋`, sequential
+    * left-to-right sums in double) matches the DuckDB oracle bit-for-bit.
+    */
+  def knnBruteForce(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, broadcastProbes: Boolean = true)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+
+    val probeRows = probes.select(col(idCol).cast(LongType),
+      col(vecCol)).collect()
+    val pIds = probeRows.map(_.getLong(0))
+    val pVecs = probeRows.map(r =>
+      r.getSeq[Float](1).iterator.map(_.toDouble).toArray)
+    val pNorms = pVecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val bc = spark.sparkContext.broadcast((pIds, pVecs, pNorms))
+
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", LongType, false),
+      org.apache.spark.sql.types.StructField("neighbor_id", LongType, false),
+      org.apache.spark.sql.types.StructField("sim_micro", LongType, false)))
+
+    val local = corpus.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        val (ids, vecs, norms) = bc.value
+        val m = ids.length
+        // local top-k per query, ordered by (sim desc, neighbor id asc)
+        val topSim = Array.fill(m)(new Array[Long](k))
+        val topId = Array.fill(m)(new Array[Long](k))
+        val topN = new Array[Int](m)
+        def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+          s1 > s2 || (s1 == s2 && i1 < i2)
+        rows.foreach { row =>
+          val cid = row.getLong(0)
+          val cSeq = row.getSeq[Float](1)
+          val cv = new Array[Double](cSeq.length)
+          var d = 0
+          while (d < cv.length) { cv(d) = cSeq(d).toDouble; d += 1 }
+          var cSq = 0.0
+          d = 0
+          while (d < cv.length) { cSq += cv(d) * cv(d); d += 1 }
+          val cNorm = math.sqrt(cSq)
+          var q = 0
+          while (q < m) {
+            if (ids(q) != cid) {
+              val qv = vecs(q)
+              var dot = 0.0
+              d = 0
+              while (d < qv.length) { dot += qv(d) * cv(d); d += 1 }
+              val sim = math.floor(1000000.0 *
+                (dot / (norms(q) * cNorm))).toLong
+              val n = topN(q)
+              if (n < k) {
+                topSim(q)(n) = sim; topId(q)(n) = cid; topN(q) = n + 1
+              } else {
+                // find current worst and replace if the candidate beats it
+                var worst = 0
+                var i = 1
+                while (i < k) {
+                  if (better(topSim(q)(worst), topId(q)(worst),
+                      topSim(q)(i), topId(q)(i))) worst = i
+                  i += 1
+                }
+                if (better(sim, cid, topSim(q)(worst), topId(q)(worst))) {
+                  topSim(q)(worst) = sim; topId(q)(worst) = cid
+                }
+              }
+            }
+            q += 1
+          }
+        }
+        (0 until m).iterator.flatMap { q =>
+          (0 until topN(q)).iterator.map(i =>
+            Row(ids(q), topId(q)(i), topSim(q)(i)))
+        }
+      }(Encoders.row(outSchema))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_micro").desc, col("neighbor_id"))
+    local.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes(i)(d)` in {-1, +1}
+    * via splitmix64 on (seed, i, d). Sign-random projections preserve
+    * cosine locality; ±1 planes avoid float nondeterminism entirely.
+    */
+  private def planeSign(seed: Long, i: Int, d: Int): Int = {
+    var z = seed + 0x9E3779B97F4A7C15L * (i.toLong * 4099 + d + 1)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) -1 else 1
+  }
+
+  /** (id, vec, 64-bit random-hyperplane signature) via tight per-partition
+    * loops (the 64×dim projection is far too large as an expression tree).
+    */
+  def rhpSignatures(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBits: Int = 64, seed: Long = 42L): DataFrame = {
+    val signs: Array[Array[Double]] = Array.tabulate(nBits, dim)((i, d) =>
+      planeSign(seed, i, d).toDouble)
+    val vecType = df.schema(vecCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("__id", LongType, nullable = false),
+      StructField("__vec", vecType, nullable = true),
+      StructField("sig", LongType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val vSeq = row.getSeq[Float](1)
+          val v = new Array[Double](vSeq.length)
+          var d = 0
+          while (d < v.length) { v(d) = vSeq(d).toDouble; d += 1 }
+          var sig = 0L
+          var i = 0
+          while (i < nBits) {
+            val plane = signs(i)
+            var proj = 0.0
+            d = 0
+            while (d < v.length) { proj += v(d) * plane(d); d += 1 }
+            if (proj > 0) sig |= (1L << i)
+            i += 1
+          }
+          Row(row.getLong(0), row.get(1), sig)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** LSH-bucketed near-neighbor pairs: signature band join (4×16 bits) then
+    * exact cosine re-rank, keeping pairs with cosine ≥ simMicro/1e6. The
+    * scale path: joins touch 16-bit buckets, not the cross product.
+    */
+  def lshNearNeighbors(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, simMicro: Long = 950000L, seed: Long = 42L,
+      bandBits: Int = 16): DataFrame = {
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val sigs = rhpSignatures(df, idCol, vecCol, dim, 64, seed)
+      .select(col("__id").as(idCol), col("__vec").as(vecCol), col("sig"))
+    val banded = sigs.select(col(idCol), col(vecCol),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
+            .as("bucket"))): _*)).as("bk"))
+      .select(col(idCol), col(vecCol), col("bk.band"), col("bk.bucket"))
+    banded.select(col("band"), col("bucket"), col(idCol).as("id1"),
+        col(vecCol).as("v1"))
+      .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2"),
+        col(vecCol).as("v2")), Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        cosineMicro(col("v1"), col("v2")).as("sim_micro"))
+      .distinct()
+      .filter(col("sim_micro") >= simMicro)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID, document fingerprinting.
+  *
+  * All are pure narrow transformations (no shuffle, fully codegen-friendly
+  * `org.apache.spark.sql.functions` expressions — no UDFs), so they pipeline
+  * into whatever scan/filter precedes them and scale linearly with input
+  * splits. Every output is integer/string-typed so results hash identically
+  * across engines (driver's DuckDB oracle compare).
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty-safe (multi-space gaps yield no empty tokens). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Token count, distinct-token count, observed char length, punctuation
+    * count, and a 0–1000 lexical-diversity quality score
+    * (`1000 * distinct / total`, integer division).
+    */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(toks).cast(LongType).as("n_tokens"),
+      size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+      length(col(textCol)).cast(LongType).as("n_chars_obs"),
+      (length(col(textCol)) -
+        length(translate(col(textCol), ".,!?;:", "")))
+        .cast(LongType).as("n_punct"),
+      when(size(toks) > 0, expr("(size(array_distinct(filter(split(" + textCol + ", \" \"), t -> t != \"\"))) * 1000L) div size(filter(split(" + textCol + ", \" \"), t -> t != \"\"))"))
+        .otherwise(0L).cast(LongType).as("qscore_milli"))
+  }
+
+  /** Marker-token sets per language for the language-ID heuristic. Fixed,
+    * deterministic, and small enough to replicate in the SQL oracle.
+    * Alphabetical language order doubles as the arg-max tie-break.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** N-gram-free language-ID heuristic: score = number of token occurrences
+    * from each language's marker set; predict the arg-max (ties broken by
+    * language name order), `und` when every score is zero.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df.select(
+      col(idCol) +:
+        langMarkers.map { case (lang, markers) =>
+          size(filter(toks, t => t.isin(markers.map(lit): _*)))
+            .cast(LongType).as(s"score_$lang")
+        }: _*)
+    val mx = greatest(langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    // Alphabetically-first language wins ties: fold so the first marker list
+    // becomes the outermost WHEN (same CASE order as the SQL oracle).
+    val pred = langMarkers.reverse.foldLeft(lit("und")) {
+      case (other, (lang, _)) =>
+        when(col(s"score_$lang") === mx && mx > 0, lit(lang)).otherwise(other)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Polynomial rolling hash of the whole text (base 31, mod 1e9+7) — a
+    * deterministic document fingerprint computable in both Spark and the
+    * DuckDB oracle via the same char-code fold. ASCII-safe (the corpus is
+    * ASCII; both engines return the code point of the leading char).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast(LongType)),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Correctness pins for the pipeline ops whose queries are rows-only in the
+  * driver gate (MinHash/SimHash/LSH internals), plus hand-computed cases for
+  * the oracle-backed ones.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup maps every doc to min id of its text group") {
+    val df = docs(1L -> "a b c", 2L -> "x y", 3L -> "a b c", 4L -> "a b c")
+    val out = DedupOps.exactDedup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 3L), (3L, 1L, 3L), (4L, 1L, 3L), (2L, 2L, 1L)))
+  }
+
+  test("shingles: 3-gram windows, short docs fall back to whole text") {
+    val df = docs(1L -> "a b c d", 2L -> "a b")
+    val out = df.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      DedupOps.shingles(org.apache.spark.sql.functions.col("text"), 3)
+        .as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(out(1L) == Vector("a b c", "b c d"))
+    assert(out(2L) == Vector("a b"))
+  }
+
+  test("ngram jaccard finds the overlapping pair with exact counts") {
+    val df = docs(
+      1L -> "a b c d e",   // shingles: abc bcd cde
+      2L -> "a b c d x",   // shingles: abc bcd cdx  → inter 2, union 4
+      3L -> "p q r s t")
+    val out = DedupOps.ngramJaccardPairs(df, "doc_id", "text", 3, 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 4L)))
+  }
+
+  test("minhash: identical texts share full signatures; disjoint do not") {
+    val df = docs(1L -> "a b c d e f", 2L -> "a b c d e f",
+      3L -> "p q r s t u")
+    val sigs = DedupOps.minHashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 until r.length).map(r.getLong).toVector).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minhash LSH surfaces identical pair at est 1000") {
+    val df = docs(1L -> "a b c d e f", 2L -> "a b c d e f",
+      3L -> "p q r s t u")
+    val pairs = DedupOps.minHashLshPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 1000L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts at hamming 0, near texts nearer than far") {
+    val df = docs(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+      2L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz",
+      4L -> "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")
+    val h = DedupOps.simHash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) == 0)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+  }
+
+  test("knn brute force: exact neighbors on constructed vectors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnBruteForce(df, df, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L) // closest to (1,0) is (0.9,0.1)
+    assert(out(2L) == 1L)
+    assert(out(3L) == 2L) // (0.9,0.1) has nonzero cosine vs (0,1)
+  }
+
+  test("rhp LSH: identical vectors always pair; rerank keeps threshold") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (3L, Seq(-4.0f, 3.0f, -2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshNearNeighbors(df, "vec_id", "embedding", dim = 4,
+      simMicro = 990000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("multimodal: stub features are windowed byte sums over the payload") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((7L, "abcdefghij", "srcX")).toDF("doc_id", "text", "source")
+    val assets = MultiModal.ingestFromText(df, "doc_id", "text", "source")
+    assert(assets.schema.fieldNames.toSeq ==
+      Seq("asset_id", "modality", "payload", "meta"))
+    val feats = MultiModal.extractFeatures(assets).collect()(0)
+    assert(feats.getLong(0) == 7L)
+    assert(feats.getLong(2) == 10L)
+    val f = feats.getSeq[Long](3)
+    // bytes 'a'..'j': positions 0..9; f0 = 'a'+'i', f1 = 'b'+'j', f2 = 'c'…
+    assert(f == Seq('a' + 'i', 'b' + 'j', 'c'.toLong, 'd'.toLong,
+      'e'.toLong, 'f'.toLong, 'g'.toLong, 'h'.toLong).map(_.toLong))
+  }
+
+  test("text stats: counts and quality score") {
+    val df = docs(1L -> "a b a c, d!")
+    val r = TextOps.textStats(df, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) == 5L) // tokens: a b a c, d!
+    assert(r.getLong(3) == 11L) // chars
+    assert(r.getLong(4) == 2L) // , and !
+  }
+
+  test("lang id: marker votes with deterministic tie-break") {
+    val df = docs(
+      1L -> "the cat and the dog",  // en markers: the, and, the → 3
+      2L -> "der hund und die katze ist da", // de: der, und, die, ist → 4
+      3L -> "xyz abc")              // no markers → und
+    val out = TextOps.langId(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+}
