@@ -275,8 +275,10 @@ final class DstCompiler(query: CepQuery) {
     for (i <- 0 until m - 1; q <- copies(i).finalStates)
       d += new Transition(q, Pred.epsilon, copies(i + 1).q0, DataUpdate.Id,
         StreamUpdate.Id)
-    // output
-    for (i <- (n - 1) until m; q <- copies(i).finalStates)
+    // output — note `from = 0` gives range(-1, m), and the reference's
+    // Python list indexing wraps dst[-1] to the LAST copy (and then also
+    // appends its ε-edge again at i = m-1); replicate both, order included.
+    for (i <- (n - 1) until m; q <- copies(if (i < 0) m + i else i).finalStates)
       d += new Transition(q, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
     for (i <- 0 until m; q <- copies(i).finalStates)
       q.clearOutput()

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Differential-corpus generator: enumerate the pattern-shape cross-product
+(the same shape families the reference's exp harness validates against real
+FlinkCEP — SURVEY.md par.5), run each case through the REFERENCE engine at
+/root/reference as the oracle, and emit JSONL consumed by DifferentialSpec.
+
+Output: src/test/resources/differential/cases.jsonl.gz with lines
+  {"id": n, "query": <yaml str>, "input": [[name, price], ...],
+   "expected": <python repr of the reference MatchStream>}
+
+Run:  python3 tools/gen_differential.py
+"""
+import gzip
+import itertools
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, "/root/reference")
+import yaml  # noqa: E402
+
+from reflinkcep.ast import Query  # noqa: E402
+from reflinkcep.compile import compile as ref_compile  # noqa: E402
+from reflinkcep.event import Event  # noqa: E402
+from reflinkcep.operator import CEPOperator  # noqa: E402
+
+OUT = Path(__file__).resolve().parent.parent / \
+    "src/test/resources/differential/cases.jsonl.gz"
+
+SPAT = {"type": "spat", "name": "ps", "event": "e",
+        "cndt": {"expr": "name == 1"}}
+
+CONTIGUITIES = ["strict", "relaxed", "nd-relaxed"]
+STRATEGIES = ["NoSkip", "SkipToNext", "SkipPastLastEvent"]
+
+INPUTS = [
+    # base stream of the differential harness, and the division variant
+    # with event 6 swapped to type c (name 3) so `until: name == 3` fires
+    [(1, 0), (2, 5), (1, 0), (2, 2), (1, 0), (2, 2), (1, 0), (2, 5), (1, 8)],
+    [(1, 0), (2, 5), (1, 0), (2, 2), (1, 0), (3, 2), (1, 0), (2, 5), (1, 8)],
+]
+
+
+def lpat_variants():
+    cndts = [
+        {"cndt": {"expr": "name == 2"}},
+        {"cndt": {"expr": "z1 + price <= 10"},
+         "variables": {"z1": {"update": "z1 + price", "initial": 0}}},
+    ]
+    base = {"name": "pl", "event": "e"}
+    for cndt in cndts:
+        for theta in CONTIGUITIES:
+            for n, m in [(0, 3), (1, 3), (3, 3)]:
+                yield {**base, **cndt, "type": "lpat",
+                       "loop": {"contiguity": theta, "from": n, "to": m}}
+            for until in [{}, {"until": {"expr": "name == 3"}}]:
+                for n in [0, 1]:
+                    yield {**base, **cndt, "type": "lpat-inf",
+                           "loop": {"contiguity": theta, "from": n}, **until}
+
+
+def group_variants():
+    yield {"type": "gpat"}
+    for n, m in [(0, 3), (1, 3), (3, 3)]:
+        yield {"type": "gpat-times", "loop": {"from": n, "to": m}}
+    for until in [{}, {"until": {"expr": "name == 3"}}]:
+        for n in [0, 1]:
+            yield {"type": "gpat-inf", "loop": {"from": n}, **until}
+
+
+def asts():
+    lpats = list(lpat_variants())
+    # division "no-gpat": spat ⊕θ lpat
+    for lp, theta in itertools.product(lpats, CONTIGUITIES):
+        yield {"type": "combine", "contiguity": theta,
+               "left": SPAT, "right": lp}
+    # division "gpat-single": group(lpat)
+    for lp, g in itertools.product(lpats, group_variants()):
+        yield {"child": lp, **g}
+    # division "gpat-combine": group(spat ⊕θ lpat)
+    for lp, theta in itertools.product(lpats, CONTIGUITIES):
+        child = {"type": "combine", "contiguity": theta,
+                 "left": SPAT, "right": lp}
+        for g in group_variants():
+            yield {"child": child, **g}
+
+
+def main():
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    n = 0
+    skipped = 0
+    with gzip.open(OUT, "wt") as f:
+        for ast in asts():
+            for strategy in STRATEGIES:
+                qdict = {"type": "Query", "patseq": ast,
+                         "context": {"strategy": strategy,
+                                     "schema": {"e": ["id", "name", "price"]}}}
+                qyaml = yaml.dump(qdict)
+                for inp in INPUTS:
+                    events = [Event("e", {"id": i + 1, "name": nm,
+                                          "price": pr})
+                              for i, (nm, pr) in enumerate(inp)]
+                    try:
+                        op = CEPOperator.from_query(Query.from_dict(qdict))
+                        expected = repr(op << events)
+                    except Exception as e:  # reference itself rejects shape
+                        skipped += 1
+                        continue
+                    f.write(json.dumps({
+                        "id": n, "query": qyaml, "input": inp,
+                        "expected": expected}) + "\n")
+                    n += 1
+    print(f"wrote {n} cases to {OUT} (skipped {skipped})")
+
+
+if __name__ == "__main__":
+    main()
