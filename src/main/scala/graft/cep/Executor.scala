@@ -26,6 +26,25 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy)
   /** Live-run count (for state-size accounting in streaming). */
   def runCount: Int = S.size
 
+  /** Snapshot the executor's entire mutable state — `(step counter, live
+    * runs)` — for externalization into a streaming state store. States are
+    * referenced by name; `restore` resolves them against this executor's
+    * (deterministically compiled) DST.
+    */
+  def snapshot: (Int, Vector[(Int, Configuration)]) = (i, S.toVector)
+
+  def restore(step: Int, runs: Vector[(Int, Configuration)]): Unit = {
+    i = step
+    S = ArrayBuffer.from(runs)
+  }
+
+  /** Resolve a state name to the DST's state object (for state-store
+    * rehydration).
+    */
+  def stateByName(name: String): State =
+    dst.states.find(_.name == name).getOrElse(
+      throw new IllegalStateException(s"unknown state $name"))
+
   /** Feed one event; return the matches completed by it, in order. */
   def feed(event: Event): Vector[Match] = {
     i += 1

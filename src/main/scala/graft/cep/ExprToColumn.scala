@@ -1,0 +1,66 @@
+package graft.cep
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Lower a condition `Expr` to a Catalyst `Column` for pre-NFA filter
+  * pushdown. Only pure-attribute expressions translate (a reference to a
+  * data register makes the predicate run-dependent → not pushable).
+  * Attributes are compared on their long-cast values, exactly as the NFA
+  * evaluates them.
+  */
+object ExprToColumn {
+
+  def translate(e: Expr, spec: SparkCep.CepSpec,
+      dataVars: Set[String]): Option[Column] = {
+    val attrs = (spec.orderCol +: spec.attrCols).toSet
+    def go(e: Expr): Option[Column] = e match {
+      case Expr.Lit(v)     => Some(lit(v))
+      case Expr.BoolLit(b) => Some(lit(b))
+      case Expr.Ref(n) =>
+        if (dataVars.contains(n) || !attrs.contains(n)) None
+        else Some(col(n).cast(LongType))
+      case Expr.Arith(op, l, r) =>
+        for (a <- go(l); b <- go(r)) yield op match {
+          case "+"  => a + b
+          case "-"  => a - b
+          case "*"  => a * b
+          case "%"  => pmod(a, b) // Python % semantics
+          case "//" => floor(a.cast("double") / b.cast("double")).cast(LongType)
+          case _    => return None
+        }
+      case Expr.Cmp(op, l, r) =>
+        for (a <- go(l); b <- go(r)) yield op match {
+          case "==" => a === b
+          case "!=" => a =!= b
+          case "<"  => a < b
+          case "<=" => a <= b
+          case ">"  => a > b
+          case ">=" => a >= b
+          case _    => return None
+        }
+      case Expr.And(l, r) if isBool(l) && isBool(r) =>
+        for (a <- go(l); b <- go(r)) yield a && b
+      case Expr.Or(l, r) if isBool(l) && isBool(r) =>
+        for (a <- go(l); b <- go(r)) yield a || b
+      case Expr.Not(x) if isBool(x) => go(x).map(!_)
+      case Expr.Neg(x)              => go(x).map(c => -c)
+      case _                        => None // Python truthy-int logic: not pushable
+    }
+    if (isBool(e)) go(e) else None
+  }
+
+  /** Whether the expression is statically boolean-valued (Catalyst logical
+    * operators require it; Python's truthy-int `and`/`or` chains are left
+    * to the NFA evaluator).
+    */
+  private def isBool(e: Expr): Boolean = e match {
+    case _: Expr.BoolLit => true
+    case _: Expr.Cmp     => true
+    case Expr.And(l, r)  => isBool(l) && isBool(r)
+    case Expr.Or(l, r)   => isBool(l) && isBool(r)
+    case Expr.Not(x)     => isBool(x)
+    case _               => false
+  }
+}

@@ -1,6 +1,6 @@
 package graft.cep
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -46,7 +46,11 @@ object SparkCep {
       case Some(k) => col(k).cast(LongType)
       case None    => lit(0L)
     }
-    val prepared = df.select(
+    val source = prefilter(query, spec) match {
+      case Some(cond) => df.filter(cond) // pushes down to the parquet scan
+      case None       => df
+    }
+    val prepared = source.select(
       keyExpr.as("__key") +:
         col(spec.orderCol).cast(LongType).as("__ord") +:
         col(spec.typeCol).cast(StringType).as("__type") +:
@@ -97,6 +101,60 @@ object SparkCep {
     }(Encoders.row(outSchema))
 
     if (spec.keyCol.isEmpty) out.drop(keyName) else out
+  }
+
+  /** Pre-NFA filter pushdown (SURVEY.md §4): a predicate applied *before*
+    * the key shuffle, reaching the parquet scan — at corpus scale this cuts
+    * shuffle volume by the pattern's type selectivity. Only emitted when
+    * provably semantics- and order-preserving:
+    *
+    *  - a single `spat`: events of other types (or failing a pure-attribute
+    *    condition) can never be bound and never affect run survival, under
+    *    every skip strategy — filter to `type = ev [∧ cndt]`.
+    *  - all-relaxed patterns (every loop and combine contiguity `relaxed`,
+    *    no groups, no `until`): events outside the pattern alphabet Σ are
+    *    consumed only by ignore self-structures, so dropping them preserves
+    *    both the match set and emission order — filter to `type ∈ Σ`.
+    *
+    * Strict contiguity (a non-Σ event kills runs), nd-relaxed (skips fork
+    * runs), group loops (ε-chained copy boundaries are implicitly strict)
+    * and `until` (a non-Σ event may satisfy the stop-condition) all make
+    * dropped events semantically observable — no filter there.
+    */
+  def prefilter(query: CepQuery, spec: CepSpec): Option[Column] = {
+    query.patseq match {
+      case s: Pattern.Spat =>
+        val typeCond = col(spec.typeCol) === s.event
+        val varNames = s.vars.map(_.name).toSet
+        ExprToColumn.translate(s.cndt, spec, varNames) match {
+          case Some(c) => Some(typeCond && c)
+          case None    => Some(typeCond)
+        }
+      case p if allRelaxedNoGroupNoUntil(p) =>
+        Some(col(spec.typeCol).isin(alphabet(p).toSeq: _*))
+      case _ => None
+    }
+  }
+
+  private def alphabet(p: Pattern): Set[String] = p match {
+    case s: Pattern.Spat      => Set(s.event)
+    case l: Pattern.Lpat      => Set(l.event)
+    case l: Pattern.LpatInf   => Set(l.event)
+    case c: Pattern.Combine   => alphabet(c.left) ++ alphabet(c.right)
+    case g: Pattern.Gpat      => alphabet(g.child)
+    case g: Pattern.GpatTimes => alphabet(g.child)
+    case g: Pattern.GpatInf   => alphabet(g.child)
+  }
+
+  private def allRelaxedNoGroupNoUntil(p: Pattern): Boolean = p match {
+    case _: Pattern.Spat => true
+    case l: Pattern.Lpat => l.contiguity == Contiguity.Relaxed
+    case l: Pattern.LpatInf =>
+      l.contiguity == Contiguity.Relaxed && l.until.isEmpty
+    case c: Pattern.Combine =>
+      c.contiguity == Contiguity.Relaxed &&
+        allRelaxedNoGroupNoUntil(c.left) && allRelaxedNoGroupNoUntil(c.right)
+    case _ => false // any group node: copy boundaries are implicitly strict
   }
 
   /** Declared pattern names in left-to-right order (the `Pi` set with the

@@ -1,0 +1,123 @@
+package graft.cep
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming CEP: per-key `flatMapGroupsWithState` holding the
+  * NFA run-set `(i, S)` as explicit state (SURVEY.md §3 target lifecycle).
+  *
+  * The reference semantics are processing-time / arrival-order
+  * (`exp/genjava.py:93-94` pins `inProcessingTime`), so events are fed in
+  * micro-batch arrival order per key — there is no watermark/event-time
+  * reordering, matching the reference exactly. State size is bounded by the
+  * pattern's live-run count; skip strategies and `until` prune it.
+  *
+  * The DST is recompiled per executor from the broadcast query (compilation
+  * is deterministic, so state names in stored runs resolve stably across
+  * batches and restarts).
+  */
+object StreamingCep {
+
+  /** Serializable event binding (attr names/values in order). */
+  final case class SerEvent(tpe: String, names: Seq[String], vals: Seq[Long])
+
+  /** One live NFA run, state referenced by name. */
+  final case class SerRun(start: Int, q: String, lastTake: Boolean,
+      revEps: Seq[String], etaKeys: Seq[String], etaVals: Seq[Long],
+      ctxKeys: Seq[String], ctxVals: Seq[Seq[SerEvent]])
+
+  /** Whole per-key executor state. */
+  final case class CepState(step: Int, runs: Seq[SerRun])
+
+  private def toSer(e: Event): SerEvent =
+    SerEvent(e.tpe, e.attrs.map(_._1), e.attrs.map(_._2))
+  private def fromSer(e: SerEvent): Event =
+    Event(e.tpe, e.names.zip(e.vals).toVector)
+
+  private def snapshotState(ex: Executor): CepState = {
+    val (step, runs) = ex.snapshot
+    CepState(step, runs.map { case (k, c) =>
+      SerRun(k, c.q.name, c.lastTake, c.revEpsClosure.toSeq,
+        c.eta.keys.toSeq, c.eta.values.toSeq,
+        c.ctx.keys.toSeq, c.ctx.values.toSeq.map(_.map(toSer)))
+    })
+  }
+
+  private def restoreState(ex: Executor, s: CepState): Unit =
+    ex.restore(s.step, s.runs.toVector.map { r =>
+      (r.start, Configuration(
+        ex.stateByName(r.q),
+        r.etaKeys.zip(r.etaVals).toMap,
+        r.ctxKeys.zip(r.ctxVals.map(_.map(fromSer).toVector)).toMap,
+        r.lastTake,
+        r.revEps.toSet))
+    })
+
+  /** Apply a CEP query to a *streaming* DataFrame. Input columns are mapped
+    * exactly as in the batch operator (`SparkCep.CepSpec`); output rows are
+    * (key, one array<bigint> of order-ids per pattern name).
+    *
+    * Usage: `StreamingCep.matchPattern(readStreamDf, query, spec)
+    * .writeStream.outputMode("append")...`
+    */
+  def matchPattern(df: DataFrame, query: CepQuery,
+      spec: SparkCep.CepSpec): DataFrame = {
+    val piNames = SparkCep.patternNames(query.patseq)
+    val keyName = spec.keyCol.getOrElse("__global")
+    val attrNames: Vector[String] =
+      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
+    val orderName = attrNames.head
+
+    val keyExpr = spec.keyCol match {
+      case Some(k) => col(k).cast(LongType)
+      case None    => lit(0L)
+    }
+    val prepared = df.select(
+      keyExpr.as("__key") +:
+        col(spec.orderCol).cast(LongType).as("__ord") +:
+        col(spec.typeCol).cast(StringType).as("__type") +:
+        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*)
+
+    val outSchema = StructType(
+      StructField(keyName, LongType, nullable = false) +:
+        piNames.map(n =>
+          StructField(n, ArrayType(LongType, containsNull = false),
+            nullable = false)))
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stateEnc: Encoder[CepState] = Encoders.product[CepState]
+
+    import prepared.sparkSession.implicits._
+
+    prepared
+      .groupByKey(_.getLong(0))
+      .flatMapGroupsWithState[CepState, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Row], state: GroupState[CepState]) =>
+          val executor =
+            new Executor(DstCompiler.compile(query), query.strategy)
+          if (state.exists) restoreState(executor, state.get)
+          // arrival-order semantics within the micro-batch: sort by order
+          // column (monotone ingestion ids), as the reference's processing
+          // order is the stream order
+          val events = rows.toVector.sortBy(_.getLong(1))
+          val out = events.flatMap { row =>
+            val attrs = Vector.newBuilder[(String, Long)]
+            attrs += orderName -> row.getLong(1)
+            var i = 3
+            while (i < row.length) {
+              if (!row.isNullAt(i)) attrs += attrNames(i - 2) -> row.getLong(i)
+              i += 1
+            }
+            executor.feed(Event(row.getString(2), attrs.result())).map { m =>
+              val byName = m.toMap
+              Row.fromSeq(key +: piNames.map(n =>
+                byName.getOrElse(n, Vector.empty).map(_(orderName))))
+            }
+          }
+          state.update(snapshotState(executor))
+          out.iterator
+      }
+  }
+}

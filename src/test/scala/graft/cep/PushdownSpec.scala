@@ -1,0 +1,104 @@
+package graft.cep
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The pre-NFA filter pushdown must be invisible: `SparkCep.matchPattern`
+  * (which may prefilter) has to equal the pure in-memory NFA run on the
+  * full unfiltered event sequence, per key. Also pins exactly which
+  * patterns are allowed to push down.
+  */
+class PushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val spec = SparkCep.CepSpec(Some("user_id"), "event_id",
+    "event_type", Seq("value"))
+  private val schema = Vector(
+    "a" -> Vector("event_id", "value"), "b" -> Vector("event_id", "value"),
+    "c" -> Vector("event_id", "value"))
+
+  // one user, a mixed stream exercising skips/kills around types a, b, c
+  private val events = Seq(
+    (1L, 1L, "a", 5L), (1L, 2L, "c", 0L), (1L, 3L, "a", 50L),
+    (1L, 4L, "b", 1L), (1L, 5L, "a", 7L), (1L, 6L, "b", 2L),
+    (1L, 7L, "c", 9L), (1L, 8L, "a", 3L), (2L, 9L, "a", 1L),
+    (2L, 10L, "b", 4L), (2L, 11L, "a", 2L))
+
+  private def groundTruth(q: CepQuery): Set[(Long, String)] =
+    events.groupBy(_._1).toSeq.flatMap { case (key, evs) =>
+      val ordered = evs.sortBy(_._2).map { case (_, id, t, v) =>
+        Event(t, "event_id" -> id, "value" -> v)
+      }
+      CepOperator.run(q, ordered).map { m =>
+        key -> m.map { case (n, es) =>
+          s"$n:${es.map(_("event_id")).mkString("+")}"
+        }.mkString(",")
+      }
+    }.toSet
+
+  private def viaSpark(q: CepQuery): Set[(Long, String)] = {
+    val s = spark
+    import s.implicits._
+    val df = events.toDF("user_id", "event_id", "event_type", "value")
+    val names = SparkCep.patternNames(q.patseq)
+    SparkCep.matchPattern(df, q, spec).collect().map { r =>
+      r.getLong(0) -> names.zipWithIndex.collect {
+        case (n, i) if r.getSeq[Long](i + 1).nonEmpty =>
+          s"$n:${r.getSeq[Long](i + 1).mkString("+")}"
+      }.mkString(",")
+    }.toSet
+  }
+
+  private def check(q: CepQuery): Unit = assert(viaSpark(q) == groundTruth(q))
+
+  test("spat with attribute condition pushes down and stays exact") {
+    val q = CepQuery(Pattern.spat("x", "a", "value < 10"), schema)
+    assert(SparkCep.prefilter(q, spec).isDefined)
+    check(q)
+  }
+
+  test("all-relaxed combine pushes down type filter and stays exact") {
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"),
+        Pattern.lpat("y", "b", "True", Contiguity.Relaxed, 1, 2)),
+      schema)
+    assert(SparkCep.prefilter(q, spec).isDefined)
+    check(q)
+  }
+
+  test("strict / nd-relaxed / until / group patterns do not push down") {
+    val strict = CepQuery(
+      Pattern.Combine(Contiguity.Strict, Pattern.spat("x", "a", "True"),
+        Pattern.spat("y", "b", "True")), schema)
+    val nd = CepQuery(
+      Pattern.lpat("x", "a", "True", Contiguity.NdRelaxed, 2, 2), schema)
+    val untilQ = CepQuery(
+      Pattern.lpatInf("x", "a", "True", Contiguity.Relaxed, 1,
+        Some("value >= 9")), schema)
+    val grp = CepQuery(
+      Pattern.GpatTimes(Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+        1, 2), schema)
+    assert(SparkCep.prefilter(strict, spec).isEmpty)
+    assert(SparkCep.prefilter(nd, spec).isEmpty)
+    assert(SparkCep.prefilter(untilQ, spec).isEmpty)
+    assert(SparkCep.prefilter(grp, spec).isEmpty)
+    // and the unpushed ones still match ground truth end-to-end
+    Seq(strict, nd, untilQ, grp).foreach(check)
+  }
+}
