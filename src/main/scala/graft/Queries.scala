@@ -231,6 +231,48 @@ object Queries {
       |  AND v0 <= 100 AND v0 + v1 <= 100 AND v0 + v1 + v2 <= 100
       |ORDER BY user_id, ids""".stripMargin
 
+  /** §2 #7 gpat-inf {1,∞} of (signup · purchase): maximal-and-partial
+    * alternating chains — every (start, repetition-count) combination, as
+    * NoSkip group loops emit. Oracle: recursive CTE extending consecutive
+    * signup→purchase pairs.
+    */
+  def cepGpatInfSp(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir,
+      CepQuery(
+        Pattern.GpatInf(
+          Pattern.Combine(Contiguity.Strict,
+            Pattern.spat("a", "signup", "True"),
+            Pattern.spat("b", "purchase", "True")),
+          1),
+        eventSchema))
+      .select(col("user_id"), idsCol("a").as("a_ids"),
+        idsCol("b").as("b_ids"))
+      .orderBy("user_id", "a_ids", "b_ids")
+
+  val cepGpatInfSpSql: String =
+    """WITH RECURSIVE seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |pairs AS (
+      |  SELECT s.user_id, s.seq AS s0, s.seq + 1 AS s1,
+      |    s.event_id AS a_id, p.event_id AS b_id
+      |  FROM seqd s JOIN seqd p
+      |    ON p.user_id = s.user_id AND p.seq = s.seq + 1
+      |  WHERE s.event_type = 'signup' AND p.event_type = 'purchase'),
+      |rec AS (
+      |  SELECT user_id, s0, s1, CAST(a_id AS VARCHAR) AS a_ids,
+      |    CAST(b_id AS VARCHAR) AS b_ids
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT r.user_id, r.s0, p.s1,
+      |    r.a_ids || ',' || CAST(p.a_id AS VARCHAR),
+      |    r.b_ids || ',' || CAST(p.b_id AS VARCHAR)
+      |  FROM rec r JOIN pairs p
+      |    ON p.user_id = r.user_id AND p.s0 = r.s1 + 1)
+      |SELECT user_id, a_ids, b_ids FROM rec
+      |ORDER BY user_id, a_ids, b_ids""".stripMargin
+
   /** §2 #3+#10+#15 lpat-inf + until + SkipToNext (rows-only check: the
     * NoSkip/SkipToNext×until semantics are pinned by the golden suites;
     * no simple SQL equivalent).
@@ -528,6 +570,7 @@ object Queries {
     "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairs _,
     "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairs _,
     "cep_gpat_times_sp2" -> cepGpatTimesSp2 _,
+    "cep_gpat_inf_sp" -> cepGpatInfSp _,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairs _,
     "cep_iter_budget" -> cepIterBudget _,
     "cep_until_error_runs" -> cepUntilErrorRuns _,
@@ -554,6 +597,7 @@ object Queries {
     "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairsSql,
     "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairsSql,
     "cep_gpat_times_sp2" -> cepGpatTimesSp2Sql,
+    "cep_gpat_inf_sp" -> cepGpatInfSpSql,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairsSql,
     "cep_iter_budget" -> cepIterBudgetSql,
     "rel_q1_pricing" -> relQ1PricingSql,
