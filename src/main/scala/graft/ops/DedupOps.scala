@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -133,17 +133,59 @@ object DedupOps {
     }
   }
 
-  /** Per-doc MinHash signature: one `min` per hash function, computed by
-    * partial aggregation over the exploded shingle index (k agg columns,
-    * map-side combined — no shingle lists in memory).
+  /** JVM-side mirrors of the Column-expression hashes (bit-identical:
+    * same integer arithmetic; corpus is ASCII so char == codepoint).
+    */
+  private[ops] def polyHashJvm(s: String, base: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * base + s.charAt(i).toLong) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+  private[ops] def tokenHash60Jvm(s: String): Long =
+    polyHashJvm(s, 131L) + polyHashJvm(s, 257L) * 1073741824L
+
+  private[ops] def shinglesJvm(text: String, n: Int): Array[String] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val raw =
+      if (toks.length >= n) toks.sliding(n).map(_.mkString(" "))
+      else Iterator(toks.mkString(" "))
+    raw.toArray.distinct
+  }
+
+  /** Per-doc MinHash signature, computed in one tight per-partition pass
+    * (tokenize → shingle → hash → k running minima per doc) — a narrow
+    * transformation with no shuffle and no interpreted expression trees;
+    * the codegen'd-HOF equivalent spent ~60× longer on the k permutations.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       params: MinHashParams = MinHashParams(), n: Int = 3): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n)
-      .select(col(idCol), tokenHash60(col("sh")).as("h"))
-    val aggs = (0 until params.k).map(i =>
-      min(params.perm(i, col("h"))).as(s"mh_$i"))
-    idx.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val k = params.k
+    val coeffs = params.coeffs.toArray
+    val outSchema = StructType(
+      StructField(idCol, LongType, nullable = false) +:
+        (0 until k).map(i => StructField(s"mh_$i", LongType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val mins = Array.fill(k)(Long.MaxValue)
+          for (sh <- shinglesJvm(row.getString(1), n)) {
+            val h = tokenHash60Jvm(sh)
+            val hr = h % 2147483647L
+            var i = 0
+            while (i < k) {
+              val (a, b) = coeffs(i)
+              val v = (hr * (a % 2147483647L) + b) % 2305843009213693951L
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          Row.fromSeq(row.getLong(0) +: mins.toSeq)
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** LSH candidate pairs: docs sharing any band bucket. Output
@@ -178,21 +220,30 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over token hashes: per bit, the sign of the ±1 sum
-    * across tokens. Computed by explode + 64 partial sums (no token lists
-    * in executor memory).
+    * across tokens. One tight per-partition pass (narrow, no shuffle).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), tokenHash60(col("tok")).as("th"))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("th"), b) % 2 === 1, 1).otherwise(-1))
-        .as(s"bit_$b"))
-    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hashCol = (0 until 64).map(b =>
-      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    sums.select(col(idCol), hashCol.as("simhash"))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("simhash", LongType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val sums = new Array[Int](64)
+          for (tok <- row.getString(1).split(" ") if tok.nonEmpty) {
+            val th = tokenHash60Jvm(tok)
+            var b = 0
+            while (b < 64) {
+              if (((th >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+              b += 1
+            }
+          }
+          var h = 0L
+          var b = 0
+          while (b < 64) { if (sums(b) > 0) h |= (1L << b); b += 1 }
+          Row(row.getLong(0), h)
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Near-duplicate pairs by SimHash: hamming distance ≤ maxHamming, found
