@@ -84,8 +84,8 @@ final case class Pred(evType: Option[String], expr: Expr) {
         }
       case None => ()
     }
-    val attrs = event.map(_.attrMap).getOrElse(Map.empty)
-    Expr.evalBool(expr, eta ++ attrs)
+    val attrs = event.map(_.attrMap).getOrElse(Map.empty[String, Long])
+    Expr.truthy(Expr.evalIn(expr, Expr.env(attrs, eta)))
   }
 }
 
@@ -101,8 +101,11 @@ final case class DataUpdate(alpha: Vector[(String, Expr)]) {
   def update(eta: Map[String, Long], event: Option[Event]): Map[String, Long] =
     if (alpha.isEmpty) eta
     else {
-      val env = eta ++ event.map(_.attrMap).getOrElse(Map.empty)
-      eta ++ alpha.map { case (k, e) => k -> Expr.evalNum(e, env) }
+      val env =
+        Expr.env(event.map(_.attrMap).getOrElse(Map.empty[String, Long]), eta)
+      eta ++ alpha.map { case (k, e) =>
+        k -> Expr.toNum(Expr.evalIn(e, env))
+      }
     }
   def isId: Boolean = alpha.isEmpty
 }

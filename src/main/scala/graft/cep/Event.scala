@@ -17,8 +17,10 @@ final case class Event(tpe: String, attrs: Vector[(String, Long)]) {
 
   def get(key: String): Option[Long] = attrs.find(_._1 == key).map(_._2)
 
-  /** Attribute map used as the evaluation environment. */
-  def attrMap: Map[String, Long] = attrs.toMap
+  /** Attribute map used as the evaluation environment (cached — predicates
+    * evaluate against it once per transition per event).
+    */
+  @transient lazy val attrMap: Map[String, Long] = attrs.toMap
 
   /** Display format pinned by the reference goldens: `type(v1,v2,...)`. */
   override def toString: String =

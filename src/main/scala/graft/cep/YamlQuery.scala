@@ -28,6 +28,29 @@ object YamlQuery {
     fromYaml(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Load a *testcase* document — `{query: <query-doc>, input: [{type,
+    * attrs: {...}}, ...]}` (the differential-harness format, FIXTURES.md
+    * §2) — returning the query plus the event stream.
+    */
+  def testcaseFromYaml(text: String): (CepQuery, Vector[Event]) = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val root = yaml.load[JMap[String, Object]](text)
+    val query = fromJava(root.get("query").asInstanceOf[JMap[String, Object]])
+    val events = root.get("input").asInstanceOf[JList[Object]].asScala
+      .toVector.map { o =>
+        val m = o.asInstanceOf[JMap[String, Object]]
+        val attrs = m.get("attrs").asInstanceOf[JMap[String, Object]]
+          .entrySet().asScala.toVector
+          .map(e => e.getKey -> e.getValue.toString.toLong)
+        Event(m.get("type").toString, attrs)
+      }
+    (query, events)
+  }
+
+  def testcaseFromFile(path: String): (CepQuery, Vector[Event]) =
+    testcaseFromYaml(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
   private def fromJava(root: JMap[String, Object]): CepQuery = {
     val patseq = parsePattern(root.get("patseq").asInstanceOf[JMap[String, Object]])
     val context = root.get("context").asInstanceOf[JMap[String, Object]]
