@@ -15,7 +15,8 @@ import scala.collection.mutable.ArrayBuffer
   * list of live (startIndex, configuration) runs — so it snapshots/restores
   * cheaply for use inside Spark stateful operators.
   */
-final class Executor(val dst: Dst, val strategy: AfterMatchStrategy)
+final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
+    val maxRuns: Option[Int] = None)
     extends Serializable {
 
   private var S: ArrayBuffer[(Int, Configuration)] = ArrayBuffer.empty
@@ -100,6 +101,18 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy)
     }
     if (lazyDelete.nonEmpty)
       S = S.filterNot { case (k, _) => lazyDelete.contains(k) }
+
+    // state-explosion safety valve: nd-relaxed + NoSkip can grow the run
+    // set combinatorially (inherent to the semantics, SURVEY.md §4); at
+    // corpus scale an unbounded key would OOM an executor. Failing loudly
+    // beats silently wrong results — callers opt in via maxRuns.
+    maxRuns.foreach { cap =>
+      if (S.length > cap)
+        throw new IllegalStateException(
+          s"CEP run-set exceeded maxRuns=$cap at step $i (pattern keeps " +
+            "too many partial matches alive; consider a stricter " +
+            "contiguity, an until condition, or a skip strategy)")
+    }
 
     out.result()
   }

@@ -36,7 +36,8 @@ object SparkCep {
       attrCols: Seq[String]
   )
 
-  def matchPattern(df: DataFrame, query: CepQuery, spec: CepSpec): DataFrame = {
+  def matchPattern(df: DataFrame, query: CepQuery, spec: CepSpec,
+      maxRunsPerKey: Option[Int] = None): DataFrame = {
     val piNames = patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     val attrNames: Vector[String] =
@@ -74,7 +75,8 @@ object SparkCep {
     val orderName = attrNames.head
 
     val out = parted.mapPartitions { rows =>
-      val executor = new Executor(DstCompiler.compile(query), query.strategy)
+      val executor =
+        new Executor(DstCompiler.compile(query), query.strategy, maxRunsPerKey)
       var curKey = 0L
       var started = false
       rows.flatMap { row =>

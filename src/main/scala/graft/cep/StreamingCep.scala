@@ -63,7 +63,7 @@ object StreamingCep {
     * .writeStream.outputMode("append")...`
     */
   def matchPattern(df: DataFrame, query: CepQuery,
-      spec: SparkCep.CepSpec): DataFrame = {
+      spec: SparkCep.CepSpec, maxRunsPerKey: Option[Int] = None): DataFrame = {
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     val attrNames: Vector[String] =
@@ -95,8 +95,8 @@ object StreamingCep {
       .flatMapGroupsWithState[CepState, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Row], state: GroupState[CepState]) =>
-          val executor =
-            new Executor(DstCompiler.compile(query), query.strategy)
+          val executor = new Executor(DstCompiler.compile(query),
+            query.strategy, maxRunsPerKey)
           if (state.exists) restoreState(executor, state.get)
           // arrival-order semantics within the micro-batch: sort by order
           // column (monotone ingestion ids), as the reference's processing
