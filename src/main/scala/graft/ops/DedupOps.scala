@@ -83,17 +83,25 @@ object DedupOps {
           Window.partitionBy(col("sh"))))
           .filter(col("freq") <= maxShingleFreq).drop("freq")
       }
+    // carry each doc's shingle count on the index rows so the pair join
+    // resolves Jaccard directly — no post-aggregation re-joins
     val counts = filtered.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select(col(idCol).as("id1"), col("sh"))
-    val b = filtered.select(col(idCol).as("id2"), col("sh"))
-    val inter = a.join(b, "sh")
+    // no broadcast hint: Spark/AQE picks broadcast while counts fit and
+    // falls back to a shuffle join at corpus scale. Cache the enriched
+    // index: both sides of the self-join read it, and alias-differing
+    // projections defeat exchange reuse (MEMORY_AND_DISK — spills, never
+    // OOMs at scale).
+    val idx2 = filtered.join(counts, idCol).cache()
+    val a = idx2.select(col(idCol).as("id1"), col("sh"),
+      col("n_sh").as("n1"))
+    val b = idx2.select(col(idCol).as("id2"), col("sh"),
+      col("n_sh").as("n2"))
+    a.join(b, "sh")
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col(idCol).as("id1"), col("n_sh").as("n1")), "id1")
-      .join(counts.select(col(idCol).as("id2"), col("n_sh").as("n2")), "id2")
+      .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"),
+        first(col("n2")).as("n2"))
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * 1000 >= col("uni") * simMilli)
       .select(col("id1"), col("id2"), col("inter"), col("uni"))

@@ -81,6 +81,32 @@ class PushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(q)
   }
 
+  test("global (un-keyed) operator reproduces the single-sequence run") {
+    val s = spark
+    import s.implicits._
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Strict, Pattern.spat("x", "a", "True"),
+        Pattern.spat("y", "b", "True")), schema)
+    val globalSpec = spec.copy(keyCol = None)
+    val df = events.toDF("user_id", "event_id", "event_type", "value")
+    val got = SparkCep.matchPattern(df, q, globalSpec).collect()
+      .map(r => (r.getSeq[Long](0).mkString("+"),
+        r.getSeq[Long](1).mkString("+"))).toSet
+    val ordered = events.sortBy(_._2).map { case (_, id, t, v) =>
+      Event(t, "event_id" -> id, "value" -> v)
+    }
+    val want = CepOperator.run(q, ordered).map { m =>
+      (m.toMap.apply("x").map(_("event_id")).mkString("+"),
+        m.toMap.apply("y").map(_("event_id")).mkString("+"))
+    }.toSet
+    assert(got == want)
+    // the cross-user boundary pair (8,"a") -> (9,"b"... id 9 is "a") — check
+    // at least that global mode can match across user boundaries when types
+    // line up: events 8 (a, user1) and 9 (a, user2) are not a pair, but
+    // 9 (a) followed by 10 (b) is, and both appear in the global run.
+    assert(want.contains(("9", "10")))
+  }
+
   test("strict / nd-relaxed / until / group patterns do not push down") {
     val strict = CepQuery(
       Pattern.Combine(Contiguity.Strict, Pattern.spat("x", "a", "True"),
