@@ -68,6 +68,12 @@ def group_variants():
             yield {"type": "gpat-inf", "loop": {"from": n}, **until}
 
 
+def tiny_group_variants():
+    yield {"type": "gpat"}
+    yield {"type": "gpat-times", "loop": {"from": 0, "to": 3}}
+    yield {"type": "gpat-inf", "loop": {"from": 1}}
+
+
 def asts():
     lpats = list(lpat_variants())
     # division "no-gpat": spat ⊕θ lpat
@@ -83,6 +89,18 @@ def asts():
                  "left": SPAT, "right": lp}
         for g in group_variants():
             yield {"child": child, **g}
+    # division "gpat-combine-gpat": combine whose RIGHT side is itself a
+    # group, optionally wrapped in an outer group — exercises ε-chained
+    # boundaries into sub-automata. Relaxed combine with a group right side
+    # is rejected by the reference (KeyError on right_ast["event"]) and the
+    # runner below skips those identically.
+    for lp, inner, theta in itertools.product(
+            lpats, tiny_group_variants(), CONTIGUITIES):
+        comb = {"type": "combine", "contiguity": theta,
+                "left": SPAT, "right": {"child": lp, **inner}}
+        yield comb
+        for outer in tiny_group_variants():
+            yield {"child": comb, **outer}
 
 
 def main():
