@@ -101,6 +101,12 @@ def asts():
         yield comb
         for outer in tiny_group_variants():
             yield {"child": comb, **outer}
+    # combine with a group on the LEFT (all contiguities valid: boundary
+    # ignore edges only inspect the right head, which is a spat here)
+    for lp, inner, theta in itertools.product(
+            lpats, tiny_group_variants(), CONTIGUITIES):
+        yield {"type": "combine", "contiguity": theta,
+               "left": {"child": lp, **inner}, "right": SPAT}
 
 
 def main():
