@@ -505,8 +505,7 @@ object Queries {
   /** Brute-force cosine top-10 per embedding (micro-scaled similarity). */
   def knnCosineTop10(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    Similarity.knnBruteForce(emb, emb, "vec_id", "embedding", k = 10,
-      broadcastProbes = false)
+    Similarity.knnBruteForce(emb, emb, "vec_id", "embedding", k = 10)
       .orderBy("query_id", "rnk")
   }
 

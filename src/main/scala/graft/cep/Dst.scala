@@ -200,6 +200,10 @@ final class Dst(
   val edgeMap: Map[String, Vector[Transition]] =
     delta.groupBy(_.q1.name)
 
+  /** State lookup by unique name (state-store rehydration). */
+  val stateByName: Map[String, State] =
+    states.map(s => s.name -> s).toMap
+
   def startFrom(q: State): Vector[Transition] =
     edgeMap.getOrElse(q.name, Vector.empty)
 

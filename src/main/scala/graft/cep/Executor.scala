@@ -43,7 +43,7 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     * rehydration).
     */
   def stateByName(name: String): State =
-    dst.states.find(_.name == name).getOrElse(
+    dst.stateByName.getOrElse(name,
       throw new IllegalStateException(s"unknown state $name"))
 
   /** Feed one event; return the matches completed by it, in order. */

@@ -26,9 +26,11 @@ object ExprToColumn {
           case "+"  => a + b
           case "-"  => a - b
           case "*"  => a * b
-          case "%"  => pmod(a, b) // Python % semantics
-          case "//" => floor(a.cast("double") / b.cast("double")).cast(LongType)
-          case _    => return None
+          case "%" => pmod(a, b) // Python % semantics
+          // "//" is NOT pushed down: a double-division floor diverges from
+          // Math.floorDiv above 2^53, and the prefilter must never disagree
+          // with the NFA evaluator
+          case _ => return None
         }
       case Expr.Cmp(op, l, r) =>
         for (a <- go(l); b <- go(r)) yield op match {

@@ -47,9 +47,15 @@ object SparkCep {
       case Some(k) => col(k).cast(LongType)
       case None    => lit(0L)
     }
-    val source = prefilter(query, spec) match {
+    val source0 = prefilter(query, spec) match {
       case Some(cond) => df.filter(cond) // pushes down to the parquet scan
       case None       => df
+    }
+    // null keys carry no entity identity and cannot join a sequence — drop
+    // them explicitly rather than silently collapsing onto key 0
+    val source = spec.keyCol match {
+      case Some(k) => source0.filter(col(k).isNotNull)
+      case None    => source0
     }
     val prepared = source.select(
       keyExpr.as("__key") +:

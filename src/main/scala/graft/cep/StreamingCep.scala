@@ -90,13 +90,17 @@ object StreamingCep {
 
     import prepared.sparkSession.implicits._
 
+    // compile once on the driver; the immutable DST ships in the closure
+    // and is shared by every key in the task (state names resolve against
+    // it stably across batches/restarts since compilation is deterministic)
+    val dst = DstCompiler.compile(query)
+
     prepared
       .groupByKey(_.getLong(0))
       .flatMapGroupsWithState[CepState, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Row], state: GroupState[CepState]) =>
-          val executor = new Executor(DstCompiler.compile(query),
-            query.strategy, maxRunsPerKey)
+          val executor = new Executor(dst, query.strategy, maxRunsPerKey)
           if (state.exists) restoreState(executor, state.get)
           // arrival-order semantics within the micro-batch: sort by order
           // column (monotone ingestion ids), as the reference's processing
@@ -119,5 +123,9 @@ object StreamingCep {
           state.update(snapshotState(executor))
           out.iterator
       }
+      // align with the batch operator: the synthetic key column is an
+      // implementation detail in un-keyed mode
+      .transform(ds =>
+        if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
   }
 }

@@ -115,8 +115,11 @@ object DedupOps {
       seed: Long = 42L) {
     val k: Int = bands * rows
     private val p = 2305843009213693951L // 2^61 - 1
-    /** Deterministic (a, b) per hash function via splitmix64-style mixing. */
-    def coeffs: IndexedSeq[(Long, Long)] = (0 until k).map { i =>
+    /** Deterministic (a, b) per hash function via splitmix64-style mixing
+      * (computed once per JVM — transient so closures reship the seed, not
+      * the table).
+      */
+    @transient lazy val coeffs: IndexedSeq[(Long, Long)] = (0 until k).map { i =>
       var z = seed + 0x9E3779B97F4A7C15L * (i + 1)
       def mix(): Long = {
         z += 0x9E3779B97F4A7C15L
@@ -129,14 +132,11 @@ object DedupOps {
       val b = (mix() & Long.MaxValue) % p
       (a, b)
     }
-    def perm(i: Int, h: Column): Column = {
+    /** (a·h + b) mod p with both operands reduced below 2^31 so the product
+      * fits in 63 bits — the single definition used by the signature loop.
+      */
+    def perm(i: Int, h: Long): Long = {
       val (a, b) = coeffs(i)
-      // (a*h + b) mod p without overflow: values < 2^61, products overflow —
-      // use multiplyExact-free modular trick via BigDecimal? Keep it simple
-      // and exact: reduce h first, then combine in unsigned 128-bit via
-      // two-step Russian-peasant on the column is overkill — instead use
-      // (a mod 2^31)*(h mod 2^31) ranges: constrain a,b < 2^31 so a*h fits
-      // in 63 bits after reducing h to < 2^31.
       ((h % 2147483647L) * (a % 2147483647L) + b) % 2305843009213693951L
     }
   }
@@ -172,7 +172,6 @@ object DedupOps {
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       params: MinHashParams = MinHashParams(), n: Int = 3): DataFrame = {
     val k = params.k
-    val coeffs = params.coeffs.toArray
     val outSchema = StructType(
       StructField(idCol, LongType, nullable = false) +:
         (0 until k).map(i => StructField(s"mh_$i", LongType, nullable = false)))
@@ -182,11 +181,9 @@ object DedupOps {
           val mins = Array.fill(k)(Long.MaxValue)
           for (sh <- shinglesJvm(row.getString(1), n)) {
             val h = tokenHash60Jvm(sh)
-            val hr = h % 2147483647L
             var i = 0
             while (i < k) {
-              val (a, b) = coeffs(i)
-              val v = (hr * (a % 2147483647L) + b) % 2305843009213693951L
+              val v = params.perm(i, h)
               if (v < mins(i)) mins(i) = v
               i += 1
             }
@@ -255,16 +252,22 @@ object DedupOps {
   }
 
   /** Near-duplicate pairs by SimHash: hamming distance ≤ maxHamming, found
-    * via 4×16-bit band join (any pair within distance 3 shares at least one
-    * exact 16-bit band by pigeonhole).
+    * via a band join sized so recall is total: with `bands > maxHamming`
+    * differing bits cannot touch every band (pigeonhole), so every
+    * qualifying pair shares at least one exact band. Bands are the smallest
+    * divisor-of-64 count above maxHamming.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 32, s"maxHamming=$maxHamming needs >32 bands")
+    val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = simHash(df, idCol, textCol).cache()
     val banded = sh.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+          shiftright(col("simhash"), b * width).bitwiseAND(mask)
             .as("bucket"))): _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bucket"))
     banded.select(col("band"), col("bucket"), col(idCol).as("id1"),

@@ -49,11 +49,13 @@ object Similarity {
     * left-to-right sums in double) matches the DuckDB oracle bit-for-bit.
     */
   def knnBruteForce(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int = 10, broadcastProbes: Boolean = true)
-      : DataFrame = {
+      vecCol: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
 
+    // the probe batch is collected and broadcast — it must fit in driver /
+    // executor memory (the usual query-batch shape). For corpus×corpus at
+    // scale, use lshNearNeighbors instead.
     val probeRows = probes.select(col(idCol).cast(LongType),
       col(vecCol)).collect()
     val pIds = probeRows.map(_.getLong(0))

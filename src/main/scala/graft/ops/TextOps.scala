@@ -33,7 +33,12 @@ object TextOps {
       (length(col(textCol)) -
         length(translate(col(textCol), ".,!?;:", "")))
         .cast(LongType).as("n_punct"),
-      when(size(toks) > 0, expr("(size(array_distinct(filter(split(" + textCol + ", \" \"), t -> t != \"\"))) * 1000L) div size(filter(split(" + textCol + ", \" \"), t -> t != \"\"))"))
+      // integer division via floor on an exact double quotient (counts are
+      // far below 2^53); built from the same typed columns, so any textCol
+      // name works (no SQL-string splicing)
+      when(size(toks) > 0,
+        floor(size(array_distinct(toks)).cast(DoubleType) * 1000d /
+          size(toks).cast(DoubleType)))
         .otherwise(0L).cast(LongType).as("qscore_milli"))
   }
 

@@ -13,7 +13,8 @@ import org.json4s.jackson.JsonMethods
   */
 class DifferentialSpec extends AnyFunSuite {
 
-  private def loadCases(): Iterator[(Int, String, Vector[(Int, Int)], String)] = {
+  private def loadCases()
+      : Iterator[(Int, String, Vector[(String, Int, Int)], String)] = {
     val in = getClass.getResourceAsStream("/differential/cases.jsonl.gz")
     require(in != null, "differential corpus missing — run tools/gen_differential.py")
     val gz = new java.util.zip.GZIPInputStream(in)
@@ -24,7 +25,8 @@ class DifferentialSpec extends AnyFunSuite {
       val JString(expected) = (j \ "expected"): @unchecked
       val input = (j \ "input") match {
         case JArray(evs) => evs.map {
-          case JArray(List(JInt(n), JInt(p))) => (n.toInt, p.toInt)
+          case JArray(List(JString(t), JInt(n), JInt(p))) =>
+            (t, n.toInt, p.toInt)
           case other => fail(s"bad input $other")
         }.toVector
         case other => fail(s"bad input list $other")
@@ -39,7 +41,10 @@ class DifferentialSpec extends AnyFunSuite {
     loadCases().foreach { case (id, queryYaml, input, expected) =>
       n += 1
       val q = YamlQuery.fromYaml(queryYaml)
-      val events = GoldenUtil.eventsOf(input: _*)
+      val events = input.zipWithIndex.map { case ((t, nm, pr), i) =>
+        Event(t, Vector("id" -> (i + 1).toLong, "name" -> nm.toLong,
+          "price" -> pr.toLong))
+      }
       val got = GoldenUtil.streamRepr(CepOperator.run(q, events))
       if (got != expected && failures.length < 5)
         failures += s"case $id:\n  query: ${queryYaml.replace("\n", " | ")}\n  expected: $expected\n  got:      $got"

@@ -114,26 +114,49 @@ def main():
     n = 0
     skipped = 0
     with gzip.open(OUT, "wt") as f:
+        def emit(qdict, typed_input):
+            nonlocal n, skipped
+            qyaml = yaml.dump(qdict)
+            events = [Event(t, {"id": i + 1, "name": nm, "price": pr})
+                      for i, (t, nm, pr) in enumerate(typed_input)]
+            try:
+                op = CEPOperator.from_query(Query.from_dict(qdict))
+                expected = repr(op << events)
+            except Exception:  # reference itself rejects the shape
+                skipped += 1
+                return
+            f.write(json.dumps({
+                "id": n, "query": qyaml,
+                "input": [list(e) for e in typed_input],
+                "expected": expected}) + "\n")
+            n += 1
+
         for ast in asts():
             for strategy in STRATEGIES:
                 qdict = {"type": "Query", "patseq": ast,
                          "context": {"strategy": strategy,
                                      "schema": {"e": ["id", "name", "price"]}}}
-                qyaml = yaml.dump(qdict)
                 for inp in INPUTS:
-                    events = [Event("e", {"id": i + 1, "name": nm,
-                                          "price": pr})
-                              for i, (nm, pr) in enumerate(inp)]
-                    try:
-                        op = CEPOperator.from_query(Query.from_dict(qdict))
-                        expected = repr(op << events)
-                    except Exception as e:  # reference itself rejects shape
-                        skipped += 1
-                        continue
-                    f.write(json.dumps({
-                        "id": n, "query": qyaml, "input": inp,
-                        "expected": expected}) + "\n")
-                    n += 1
+                    emit(qdict, [("e", nm, pr) for nm, pr in inp])
+
+        # multi-type schema division: a second event type `f` in the schema
+        # (and in the stream) exercises the per-event-type relaxed ignore
+        # edges (`for e in schema if e != ev`) that single-type cases never
+        # generate. Shapes: the no-gpat combine division.
+        lpats = list(lpat_variants())
+        multi_input = [("e", 1, 0), ("f", 9, 1), ("e", 2, 5), ("e", 1, 0),
+                       ("f", 9, 2), ("e", 2, 2), ("e", 1, 0), ("e", 2, 2),
+                       ("e", 3, 0), ("e", 1, 8)]
+        for lp, theta in itertools.product(lpats, CONTIGUITIES):
+            ast = {"type": "combine", "contiguity": theta,
+                   "left": SPAT, "right": lp}
+            for strategy in STRATEGIES:
+                qdict = {"type": "Query", "patseq": ast,
+                         "context": {"strategy": strategy,
+                                     "schema": {
+                                         "e": ["id", "name", "price"],
+                                         "f": ["id", "name", "price"]}}}
+                emit(qdict, multi_input)
     print(f"wrote {n} cases to {OUT} (skipped {skipped})")
 
 
