@@ -79,6 +79,48 @@ object Pattern {
       until: Option[Expr] = None
   ) extends Pattern
 
+  /** Pretty-printer mirroring the reference's `ast_repr`
+    * (`/root/reference/reflinkcep/ast.py:16-58`): contiguity glyphs
+    * `⋅ ∘ ⊙`, loops as `_g{n,m}` suffixes, groups parenthesised,
+    * `U(expr)` for until.
+    */
+  def repr(p: Pattern): String = {
+    def glyph(c: Contiguity): String = c match {
+      case Contiguity.Strict    => "⋅"
+      case Contiguity.Relaxed   => "∘"
+      case Contiguity.NdRelaxed => "⊙"
+    }
+    p match {
+      case s: Spat => s"${s.name}:${s.event}:[${ExprRepr(s.cndt)}]"
+      case l: Lpat =>
+        s"${l.name}:${l.event}:[${ExprRepr(l.cndt)}]_${glyph(l.contiguity)}{${l.from},${l.to}}"
+      case l: LpatInf =>
+        val u = l.until.map(e => s"U(${ExprRepr(e)})").getOrElse("")
+        s"${l.name}:${l.event}:[${ExprRepr(l.cndt)}]_${glyph(l.contiguity)}{${l.from},inf}$u"
+      case c: Combine => s"${repr(c.left)}${glyph(c.contiguity)}${repr(c.right)}"
+      case g: Gpat    => s"(${repr(g.child)})"
+      case g: GpatTimes => s"(${repr(g.child)}){${g.from},${g.to}}"
+      case g: GpatInf =>
+        val u = g.until.map(e => s"U(${ExprRepr(e)})").getOrElse("")
+        s"(${repr(g.child)}){${g.from},inf}$u"
+    }
+  }
+
+  /** Render an expression back to the reference's condition syntax. */
+  private[cep] object ExprRepr {
+    def apply(e: Expr): String = e match {
+      case Expr.Lit(v)         => v.toString
+      case Expr.BoolLit(b)     => if (b) "True" else "False"
+      case Expr.Ref(n)         => n
+      case Expr.Arith(op, l, r) => s"${apply(l)} $op ${apply(r)}"
+      case Expr.Cmp(op, l, r)  => s"${apply(l)} $op ${apply(r)}"
+      case Expr.And(l, r)      => s"${apply(l)} and ${apply(r)}"
+      case Expr.Or(l, r)       => s"${apply(l)} or ${apply(r)}"
+      case Expr.Not(x)         => s"not (${apply(x)})"
+      case Expr.Neg(x)         => s"-${apply(x)}"
+    }
+  }
+
   // -- convenience constructors with string conditions ---------------------
   def spat(name: String, event: String, cndt: String): Spat =
     Spat(name, event, Expr.parse(cndt))
@@ -122,4 +164,8 @@ final case class CepQuery(
     strategy: AfterMatchStrategy = AfterMatchStrategy.NoSkip
 ) extends Serializable {
   def eventTypes: Vector[String] = schema.map(_._1)
+
+  /** `Strategy(pattern-repr)`, as the reference's `Query.__repr__`. */
+  override def toString: String =
+    s"${strategy.name}(${Pattern.repr(patseq)})"
 }
