@@ -23,6 +23,14 @@ object StreamingCep {
   /** Serializable event binding (attr names/values in order). */
   final case class SerEvent(tpe: String, names: Seq[String], vals: Seq[Long])
 
+  /** A buffered not-yet-processed event for the event-time variant. */
+  final case class BufEvent(ts: Long, ord: Long, tpe: String,
+      names: Seq[String], vals: Seq[Long])
+
+  /** Event-time state: NFA runs + the reorder buffer. */
+  final case class CepStateEt(step: Int, runs: Seq[SerRun],
+      buffer: Seq[BufEvent])
+
   /** One live NFA run, state referenced by name. */
   final case class SerRun(start: Int, q: String, lastTake: Boolean,
       revEps: Seq[String], etaKeys: Seq[String], etaVals: Seq[Long],
@@ -125,6 +133,111 @@ object StreamingCep {
       }
       // align with the batch operator: the synthetic key column is an
       // implementation detail in un-keyed mode
+      .transform(ds =>
+        if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
+  }
+
+  /** Event-time CEP (beyond-parity extension — the reference is strictly
+    * processing-time): out-of-order events are buffered per key and fed to
+    * the NFA in `(ts, order)` order once the watermark passes them, so any
+    * event no later than `delay` behind the stream head lands in its
+    * event-time position. Events older than the watermark at arrival are
+    * dropped (standard late-data policy). An event-time timeout re-wakes
+    * each key when the watermark passes its earliest buffered event, so
+    * quiet keys still drain.
+    *
+    * `tsCol` must be a timestamp column; `delay` is a duration string
+    * (e.g. "10 seconds") used for `withWatermark`.
+    */
+  def matchPatternEventTime(df: DataFrame, query: CepQuery,
+      spec: SparkCep.CepSpec, tsCol: String, delay: String,
+      maxRunsPerKey: Option[Int] = None): DataFrame = {
+    val piNames = SparkCep.patternNames(query.patseq)
+    val keyName = spec.keyCol.getOrElse("__global")
+    val attrNames: Vector[String] =
+      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
+    val orderName = attrNames.head
+
+    val keyExpr = spec.keyCol match {
+      case Some(k) => col(k).cast(LongType)
+      case None    => lit(0L)
+    }
+    val withWm = df.withWatermark(tsCol, delay)
+    val source = spec.keyCol match {
+      case Some(k) => withWm.filter(col(k).isNotNull)
+      case None    => withWm
+    }
+    // keep tsCol as a TIMESTAMP — a cast would strip the watermark tag and
+    // EventTimeTimeout requires a watermarked column in the child plan
+    val prepared = source.select(
+      keyExpr.as("__key") +:
+        col(tsCol).as("__ts") +:
+        col(spec.orderCol).cast(LongType).as("__ord") +:
+        col(spec.typeCol).cast(StringType).as("__type") +:
+        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*)
+
+    val outSchema = StructType(
+      StructField(keyName, LongType, nullable = false) +:
+        piNames.map(n =>
+          StructField(n, ArrayType(LongType, containsNull = false),
+            nullable = false)))
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stateEnc: Encoder[CepStateEt] = Encoders.product[CepStateEt]
+
+    import prepared.sparkSession.implicits._
+
+    val dst = DstCompiler.compile(query)
+
+    prepared
+      .groupByKey(_.getLong(0))
+      .flatMapGroupsWithState[CepStateEt, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[Row], state: GroupState[CepStateEt]) =>
+          val executor = new Executor(dst, query.strategy, maxRunsPerKey)
+          val prev = if (state.exists) state.get else CepStateEt(0, Nil, Nil)
+          restoreState(executor,
+            CepState(prev.step, prev.runs))
+
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmSec = wmMs / 1000
+          val incoming = rows.map { row =>
+            val names = Vector.newBuilder[String]
+            val vals = Vector.newBuilder[Long]
+            names += orderName; vals += row.getLong(2)
+            var i = 4
+            while (i < row.length) {
+              if (!row.isNullAt(i)) {
+                names += attrNames(i - 3); vals += row.getLong(i)
+              }
+              i += 1
+            }
+            BufEvent(row.getTimestamp(1).getTime / 1000, row.getLong(2),
+              row.getString(3), names.result(), vals.result())
+          }.toVector
+          // drop events already behind the watermark at arrival (late data)
+          val buffered = (prev.buffer ++
+            incoming.filter(e => wmMs <= 0 || e.ts >= wmSec)).toVector
+          // the watermark guarantees nothing earlier can still arrive —
+          // release the prefix up to it, in event-time order
+          val (ready, still) =
+            if (wmMs <= 0) (Vector.empty[BufEvent], buffered)
+            else buffered.partition(_.ts < wmSec)
+          val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
+            executor.feed(Event(e.tpe, e.names.zip(e.vals).toVector)).map {
+              m =>
+                val byName = m.toMap
+                Row.fromSeq(key +: piNames.map(n =>
+                  byName.getOrElse(n, Vector.empty).map(_(orderName))))
+            }
+          }
+
+          val snap = snapshotState(executor)
+          state.update(CepStateEt(snap.step, snap.runs, still))
+          if (still.nonEmpty)
+            // wake when the watermark passes the earliest buffered event
+            state.setTimeoutTimestamp((still.map(_.ts).min + 1) * 1000)
+          out.iterator
+      }
       .transform(ds =>
         if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
   }
