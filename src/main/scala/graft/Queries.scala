@@ -496,10 +496,13 @@ object Queries {
     DedupOps.minHashLshPairs(table(spark, dir, "documents"), "doc_id", "text")
       .orderBy("id1", "id2")
 
-  /** SimHash near-dup pairs (rows-only; pinned by unit tests). */
+  /** SimHash near-dup pairs at the classic radius 3 (total recall via
+    * 4×16-bit bands; wider radii force narrower buckets and a much larger
+    * candidate join). Rows-only; pinned by unit tests.
+    */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simHashPairs(table(spark, dir, "documents"), "doc_id", "text",
-      maxHamming = 10)
+      maxHamming = 3)
       .orderBy("id1", "id2")
 
   /** Brute-force cosine top-10 per embedding (micro-scaled similarity). */
