@@ -273,9 +273,11 @@ object Queries {
       |SELECT user_id, a_ids, b_ids FROM rec
       |ORDER BY user_id, a_ids, b_ids""".stripMargin
 
-  /** §2 #3+#10+#15 lpat-inf + until + SkipToNext (rows-only check: the
-    * NoSkip/SkipToNext×until semantics are pinned by the golden suites;
-    * no simple SQL equivalent).
+  /** §2 #3+#10+#15 lpat-inf{2,∞} + until + SkipToNext: per signup, the
+    * first two cheap purchases after it — unless a value≥400 event lands
+    * between them (the until stop-condition kills the run). SkipToNext
+    * emits only the first accept per start, so each signup yields at most
+    * one row.
     */
   def cepUntilErrorRuns(spark: SparkSession, dir: String): DataFrame =
     cep(spark, dir,
@@ -283,11 +285,36 @@ object Queries {
         Pattern.Combine(Contiguity.Relaxed,
           Pattern.spat("s", "signup", "True"),
           Pattern.lpatInf("p", "purchase", "value < 40", Contiguity.Relaxed,
-            1, Some("value >= 400"))),
+            2, Some("value >= 400"))),
         eventSchema, AfterMatchStrategy.SkipToNext))
       .select(col("user_id"), element_at(col("s"), 1).as("s_id"),
         idsCol("p").as("p_ids"))
       .orderBy("user_id", "s_id", "p_ids")
+
+  val cepUntilErrorRunsSql: String =
+    """WITH cheap AS (
+      |  SELECT user_id, event_id FROM events
+      |  WHERE event_type = 'purchase' AND CAST(FLOOR(value) AS BIGINT) < 40),
+      |firsts AS (
+      |  SELECT s.user_id, s.event_id AS s_id, MIN(p.event_id) AS p1
+      |  FROM (SELECT user_id, event_id FROM events
+      |        WHERE event_type = 'signup') s
+      |  JOIN cheap p ON p.user_id = s.user_id AND p.event_id > s.event_id
+      |  GROUP BY s.user_id, s.event_id),
+      |seconds AS (
+      |  SELECT f.user_id, f.s_id, f.p1, MIN(p.event_id) AS p2
+      |  FROM firsts f
+      |  JOIN cheap p ON p.user_id = f.user_id AND p.event_id > f.p1
+      |  GROUP BY f.user_id, f.s_id, f.p1)
+      |SELECT user_id, s_id,
+      |  CAST(p1 AS VARCHAR) || ',' || CAST(p2 AS VARCHAR) AS p_ids
+      |FROM seconds sec
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM events b
+      |  WHERE b.user_id = sec.user_id
+      |    AND b.event_id > sec.p1 AND b.event_id < sec.p2
+      |    AND CAST(FLOOR(b.value) AS BIGINT) >= 400)
+      |ORDER BY user_id, s_id, p_ids""".stripMargin
 
   // =======================================================================
   // Relational queries (Spark built-ins; exact-integer outputs for hashing)
@@ -600,6 +627,7 @@ object Queries {
     "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairsSql,
     "cep_gpat_times_sp2" -> cepGpatTimesSp2Sql,
     "cep_gpat_inf_sp" -> cepGpatInfSpSql,
+    "cep_until_error_runs" -> cepUntilErrorRunsSql,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairsSql,
     "cep_iter_budget" -> cepIterBudgetSql,
     "rel_q1_pricing" -> relQ1PricingSql,
