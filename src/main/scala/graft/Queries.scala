@@ -516,12 +516,66 @@ object Queries {
       |WHERE inter * 1000 >= (c1.n_sh + c2.n_sh - inter) * 500
       |ORDER BY id1, id2""".stripMargin
 
-  /** MinHash + LSH candidate pairs (rows-only: banding internals have no
-    * SQL equivalent; pinned by MinHashSpec unit tests instead).
+  /** MinHash + LSH candidate pairs. The oracle regenerates the *entire*
+    * pipeline in SQL — shingles, double-base polynomial hashes, all 64
+    * permutations (coefficients embedded from `MinHashParams`),
+    * deterministic band buckets, candidate join, signature-agreement
+    * estimate — proving the LSH machinery is engine-portable.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minHashLshPairs(table(spark, dir, "documents"), "doc_id", "text")
       .orderBy("id1", "id2")
+
+  val dedupMinhashLshSql: String = {
+    val params = DedupOps.MinHashParams()
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(s)), " +
+        s"i -> CAST(ascii(s[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    val mins = (0 until params.k).map { i =>
+      val (a, b) = params.coeffs(i)
+      s"MIN((hr * ${a % 2147483647L} + $b) % 2305843009213693951) AS mh_$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until params.bands).map { band =>
+      val bucket = (0 until params.rows).foldLeft("CAST(0 AS BIGINT)") {
+        (acc, r) =>
+          s"((($acc * 131) % 2147483647 + mh_${band * params.rows + r} % 2147483647) % 2147483647)"
+      }
+      s"SELECT doc_id, $band AS band, $bucket AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val eqSum = (0 until params.k).map(i =>
+      s"(CASE WHEN l.mh_$i = r.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(t) >= 3 THEN
+       |      list_transform(generate_series(1, len(t) - 2),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [array_to_string(t, ' ')] END)) AS s
+       |  FROM toks),
+       |h AS (
+       |  SELECT doc_id,
+       |    ((${poly(131)} + ${poly(257)} * 1073741824) % 2147483647) AS hr
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+       |SELECT c.id1, c.id2,
+       |  CAST((($eqSum) * 1000) // ${params.k} AS BIGINT) AS est_milli
+       |FROM cand c
+       |JOIN sig l ON l.doc_id = c.id1
+       |JOIN sig r ON r.doc_id = c.id2
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   /** SimHash near-dup pairs at the classic radius 3 (total recall via
     * 4×16-bit bands; wider radii force narrower buckets and a much larger
@@ -556,8 +610,10 @@ object Queries {
       |SELECT query_id, neighbor_id, sim_micro, rnk FROM ranked
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
-  /** Random-hyperplane LSH near-neighbors with exact re-rank (rows-only;
-    * recall pinned against brute force in SimilaritySpec).
+  /** Random-hyperplane LSH near-neighbors with exact re-rank. The oracle
+    * rebuilds the whole pipeline in SQL: the ±1 plane matrix is embedded as
+    * literals, signatures come from sign-of-inner-product bit sums, then
+    * band join + exact cosine re-rank (double math bit-identical to Spark).
     */
   def embNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     // 8-bit bands + τ=0.4: this corpus has no true near-dups (max pairwise
@@ -565,6 +621,45 @@ object Queries {
     Similarity.lshNearNeighbors(table(spark, dir, "embeddings"), "vec_id",
       "embedding", dim = 64, simMicro = 400000L, bandBits = 8)
       .orderBy("id1", "id2")
+
+  val embNearDupLshSql: String = {
+    val planes = Similarity.planeMatrix(42L, 64, 64)
+    // carry the bit VALUE (1L << i) as a literal — DuckDB's checked shift
+    // rejects 1 << 63, but the two's-complement literal sums identically
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(CAST(${1L << i} AS BIGINT), [${p.map(_.toString + ".0").mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    val bands = (0 until 8).map(b =>
+      s"SELECT vec_id, e, $b AS band, (sig >> ${b * 8}) & 255 AS bucket FROM sig"
+    ).mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |planes(bit, p) AS (VALUES
+       |    $planeRows),
+       |sig AS (
+       |  SELECT v.vec_id, v.e,
+       |    CAST(SUM(CASE WHEN list_inner_product(v.e, pl.p) > 0
+       |      THEN pl.bit ELSE 0 END) AS BIGINT) AS sig
+       |  FROM v CROSS JOIN planes pl
+       |  GROUP BY v.vec_id, v.e),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2,
+       |    l.e AS e1, r.e AS e2
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bucket = r.bucket
+       |   AND l.vec_id < r.vec_id)
+       |SELECT id1, id2,
+       |  CAST(floor(1000000 * list_inner_product(e1, e2) /
+       |    (sqrt(list_inner_product(e1, e1)) * sqrt(list_inner_product(e2, e2))))
+       |    AS BIGINT) AS sim_micro
+       |FROM cand
+       |WHERE CAST(floor(1000000 * list_inner_product(e1, e2) /
+       |    (sqrt(list_inner_product(e1, e1)) * sqrt(list_inner_product(e2, e2))))
+       |    AS BIGINT) >= 400000
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   /** Multimodal plumbing: binary payload → batched stub-decode features. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -628,6 +723,8 @@ object Queries {
     "cep_gpat_times_sp2" -> cepGpatTimesSp2Sql,
     "cep_gpat_inf_sp" -> cepGpatInfSpSql,
     "cep_until_error_runs" -> cepUntilErrorRunsSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "emb_near_dup_lsh" -> embNearDupLshSql,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairsSql,
     "cep_iter_budget" -> cepIterBudgetSql,
     "rel_q1_pricing" -> relQ1PricingSql,

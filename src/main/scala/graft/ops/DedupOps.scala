@@ -197,12 +197,21 @@ object DedupOps {
     * (id1, id2, est_milli) with est = fraction of equal signature
     * components × 1000.
     */
+  /** Deterministic band-bucket key: fold the band's signature components
+    * into mod 2^31-1 (engine-portable, unlike Murmur — the DuckDB oracle
+    * reproduces it exactly).
+    */
+  private def bucketKey(cols: Seq[Column]): Column =
+    cols.foldLeft(lit(0L)) { (acc, c) =>
+      ((acc * 131) % 2147483647L + c % 2147483647L) % 2147483647L
+    }
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       params: MinHashParams = MinHashParams(), n: Int = 3): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, params, n).cache()
     val bandKeys = (0 until params.bands).map { b =>
       val cols = (0 until params.rows).map(r => col(s"mh_${b * params.rows + r}"))
-      struct(lit(b).as("band"), hash(cols: _*).as("bucket"))
+      struct(lit(b).as("band"), bucketKey(cols).as("bucket"))
     }
     val exploded = sigs.select(col(idCol),
       explode(array(bandKeys: _*)).as("bk"))

@@ -134,6 +134,10 @@ object Similarity {
     * via splitmix64 on (seed, i, d). Sign-random projections preserve
     * cosine locality; ±1 planes avoid float nondeterminism entirely.
     */
+  /** The full ±1 plane matrix (for oracle generation / inspection). */
+  def planeMatrix(seed: Long, nBits: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(nBits, dim)((i, d) => planeSign(seed, i, d))
+
   private def planeSign(seed: Long, i: Int, d: Int): Int = {
     var z = seed + 0x9E3779B97F4A7C15L * (i.toLong * 4099 + d + 1)
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
