@@ -106,18 +106,40 @@ object Pattern {
     }
   }
 
-  /** Render an expression back to the reference's condition syntax. */
+  /** Render an expression back to the reference's condition syntax, with
+    * precedence parentheses so the output re-parses to the same AST
+    * (e.g. `(a or b) and c`, `-(a + b)`, `a - (b - c)`).
+    */
   private[cep] object ExprRepr {
-    def apply(e: Expr): String = e match {
-      case Expr.Lit(v)         => v.toString
-      case Expr.BoolLit(b)     => if (b) "True" else "False"
-      case Expr.Ref(n)         => n
-      case Expr.Arith(op, l, r) => s"${apply(l)} $op ${apply(r)}"
-      case Expr.Cmp(op, l, r)  => s"${apply(l)} $op ${apply(r)}"
-      case Expr.And(l, r)      => s"${apply(l)} and ${apply(r)}"
-      case Expr.Or(l, r)       => s"${apply(l)} or ${apply(r)}"
-      case Expr.Not(x)         => s"not (${apply(x)})"
-      case Expr.Neg(x)         => s"-${apply(x)}"
+    private def prec(e: Expr): Int = e match {
+      case _: Expr.Or  => 1
+      case _: Expr.And => 2
+      case _: Expr.Not => 3
+      case _: Expr.Cmp => 4
+      case Expr.Arith(op, _, _) => if (op == "+" || op == "-") 5 else 6
+      case _: Expr.Neg => 7
+      case _           => 10
+    }
+
+    def apply(e: Expr): String = {
+      // left-assoc binary: parenthesise a left child of lower precedence
+      // and a right child of lower-or-equal precedence
+      def lhs(c: Expr) = if (prec(c) < prec(e)) s"(${apply(c)})" else apply(c)
+      def rhs(c: Expr) = if (prec(c) <= prec(e)) s"(${apply(c)})" else apply(c)
+      e match {
+        case Expr.Lit(v)          => v.toString
+        case Expr.BoolLit(b)      => if (b) "True" else "False"
+        case Expr.Ref(n)          => n
+        case Expr.Arith(op, l, r) => s"${lhs(l)} $op ${rhs(r)}"
+        // comparison is non-associative in our grammar — parenthesise an
+        // equal-precedence child on either side
+        case Expr.Cmp(op, l, r) => s"${rhs(l)} $op ${rhs(r)}"
+        case Expr.And(l, r)       => s"${lhs(l)} and ${rhs(r)}"
+        case Expr.Or(l, r)        => s"${lhs(l)} or ${rhs(r)}"
+        case Expr.Not(x)          => s"not (${apply(x)})"
+        case Expr.Neg(x) =>
+          if (prec(x) < 7) s"-(${apply(x)})" else s"-${apply(x)}"
+      }
     }
   }
 

@@ -39,6 +39,29 @@ object StreamingCep {
   /** Whole per-key executor state. */
   final case class CepState(step: Int, runs: Seq[SerRun])
 
+  /** Decode an event from a projected row: `ordIdx`/`typeIdx` locate the
+    * order and type columns, attrs start at `attrStart` (shared by both
+    * streaming variants, whose projections differ only by the ts column).
+    */
+  private def rowToEvent(row: Row, ordIdx: Int, typeIdx: Int, attrStart: Int,
+      attrNames: Vector[String], orderName: String): Event = {
+    val attrs = Vector.newBuilder[(String, Long)]
+    attrs += orderName -> row.getLong(ordIdx)
+    var i = attrStart
+    while (i < row.length) {
+      if (!row.isNullAt(i)) attrs += attrNames(i - attrStart + 1) -> row.getLong(i)
+      i += 1
+    }
+    Event(row.getString(typeIdx), attrs.result())
+  }
+
+  private def matchToRow(key: Long, m: Match, piNames: Vector[String],
+      orderName: String): Row = {
+    val byName = m.toMap
+    Row.fromSeq(key +: piNames.map(n =>
+      byName.getOrElse(n, Vector.empty).map(_(orderName))))
+  }
+
   private def toSer(e: Event): SerEvent =
     SerEvent(e.tpe, e.attrs.map(_._1), e.attrs.map(_._2))
   private def fromSer(e: SerEvent): Event =
@@ -115,18 +138,8 @@ object StreamingCep {
           // order is the stream order
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
-            val attrs = Vector.newBuilder[(String, Long)]
-            attrs += orderName -> row.getLong(1)
-            var i = 3
-            while (i < row.length) {
-              if (!row.isNullAt(i)) attrs += attrNames(i - 2) -> row.getLong(i)
-              i += 1
-            }
-            executor.feed(Event(row.getString(2), attrs.result())).map { m =>
-              val byName = m.toMap
-              Row.fromSeq(key +: piNames.map(n =>
-                byName.getOrElse(n, Vector.empty).map(_(orderName))))
-            }
+            executor.feed(rowToEvent(row, 1, 2, 3, attrNames, orderName))
+              .map(matchToRow(key, _, piNames, orderName))
           }
           state.update(snapshotState(executor))
           out.iterator
@@ -164,8 +177,9 @@ object StreamingCep {
     }
     val withWm = df.withWatermark(tsCol, delay)
     val source = spec.keyCol match {
-      case Some(k) => withWm.filter(col(k).isNotNull)
-      case None    => withWm
+      case Some(k) =>
+        withWm.filter(col(k).isNotNull && col(tsCol).isNotNull)
+      case None => withWm.filter(col(tsCol).isNotNull)
     }
     // keep tsCol as a TIMESTAMP — a cast would strip the watermark tag and
     // EventTimeTimeout requires a watermarked column in the child plan
@@ -199,43 +213,31 @@ object StreamingCep {
             CepState(prev.step, prev.runs))
 
           val wmMs = state.getCurrentWatermarkMs()
-          val wmSec = wmMs / 1000
           val incoming = rows.map { row =>
-            val names = Vector.newBuilder[String]
-            val vals = Vector.newBuilder[Long]
-            names += orderName; vals += row.getLong(2)
-            var i = 4
-            while (i < row.length) {
-              if (!row.isNullAt(i)) {
-                names += attrNames(i - 3); vals += row.getLong(i)
-              }
-              i += 1
-            }
-            BufEvent(row.getTimestamp(1).getTime / 1000, row.getLong(2),
-              row.getString(3), names.result(), vals.result())
+            val ev = rowToEvent(row, 2, 3, 4, attrNames, orderName)
+            // millisecond precision — sub-second out-of-order events must
+            // still sort by true event time
+            BufEvent(row.getTimestamp(1).getTime, row.getLong(2), ev.tpe,
+              ev.attrs.map(_._1), ev.attrs.map(_._2))
           }.toVector
           // drop events already behind the watermark at arrival (late data)
           val buffered = (prev.buffer ++
-            incoming.filter(e => wmMs <= 0 || e.ts >= wmSec)).toVector
+            incoming.filter(e => wmMs <= 0 || e.ts >= wmMs)).toVector
           // the watermark guarantees nothing earlier can still arrive —
           // release the prefix up to it, in event-time order
           val (ready, still) =
             if (wmMs <= 0) (Vector.empty[BufEvent], buffered)
-            else buffered.partition(_.ts < wmSec)
+            else buffered.partition(_.ts < wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
-            executor.feed(Event(e.tpe, e.names.zip(e.vals).toVector)).map {
-              m =>
-                val byName = m.toMap
-                Row.fromSeq(key +: piNames.map(n =>
-                  byName.getOrElse(n, Vector.empty).map(_(orderName))))
-            }
+            executor.feed(Event(e.tpe, e.names.zip(e.vals).toVector))
+              .map(matchToRow(key, _, piNames, orderName))
           }
 
           val snap = snapshotState(executor)
           state.update(CepStateEt(snap.step, snap.runs, still))
           if (still.nonEmpty)
             // wake when the watermark passes the earliest buffered event
-            state.setTimeoutTimestamp((still.map(_.ts).min + 1) * 1000)
+            state.setTimeoutTimestamp(still.map(_.ts).min + 1)
           out.iterator
       }
       .transform(ds =>

@@ -30,6 +30,7 @@ class EventTimeCepSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+  private def tsMs(ms: Long) = new java.sql.Timestamp(ms)
 
   test("out-of-order arrival within the watermark matches in-order batch") {
     val s = spark
@@ -72,6 +73,41 @@ class EventTimeCepSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getSeq[Long](2).toVector)).toSet
     assert(matches == Set((1L, Vector(1L), Vector(2L))),
       s"got $matches")
+  }
+
+  test("sub-second out-of-order events sort by millisecond event time") {
+    val s = spark
+    import s.implicits._
+    val query = CepQuery(
+      Pattern.Combine(Contiguity.Strict,
+        Pattern.spat("a", "signup", "True"),
+        Pattern.spat("b", "purchase", "True")),
+      Vector("signup" -> Vector("event_id", "value"),
+        "purchase" -> Vector("event_id", "value"),
+        "click" -> Vector("event_id", "value")))
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[TsEv]
+    val out = StreamingCep.matchPatternEventTime(
+      mem.toDF(), query, spec, "ts", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("cep_et_ms")
+      .outputMode("append").start()
+    try {
+      // same second, 200ms apart, arriving reversed with DESCENDING order
+      // ids — only true millisecond event time puts signup first
+      mem.addData(TsEv(1, 1, "purchase", 5, tsMs(10800)))
+      mem.addData(TsEv(1, 2, "signup", 0, tsMs(10200)))
+      q.processAllAvailable()
+      mem.addData(TsEv(9, 99, "click", 0, ts(30)))
+      q.processAllAvailable()
+      mem.addData(TsEv(9, 100, "click", 0, ts(40)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.sql("SELECT * FROM cep_et_ms").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+        r.getSeq[Long](2).toVector)).toSet
+    assert(got == Set((1L, Vector(2L), Vector(1L))), s"got $got")
   }
 
   test("events later than the watermark delay are dropped, not reordered") {

@@ -25,6 +25,12 @@ class ReprSpec extends AnyFunSuite {
     assert(Pattern.repr(
       GpatTimes(Gpat(spat("a", "e", "True")), 2, 3)) ==
       "((a:e:[True])){2,3}")
+    // precedence parens: output must re-parse to the same AST
+    val mixed = Expr.parse("(name == 1 or name == 2) and price < 4")
+    val rendered = Pattern.repr(Spat("a", "e", mixed))
+    assert(rendered == "a:e:[(name == 1 or name == 2) and price < 4]")
+    val negSum = Expr.Neg(Expr.Arith("+", Expr.Ref("a"), Expr.Ref("b")))
+    assert(Pattern.repr(Spat("x", "e", negSum)) == "x:e:[-(a + b)]")
     val q = CepQuery(spat("a", "e", "True"),
       Vector("e" -> Vector("id")), AfterMatchStrategy.SkipToNext)
     assert(q.toString == "SkipToNext(a:e:[True])")
