@@ -493,28 +493,39 @@ object Queries {
       "text", n = 3, simMilli = 500)
       .orderBy("id1", "id2")
 
-  val dedupNgramJaccardSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    CASE WHEN len(t) >= 3 THEN
-      |      list_transform(generate_series(1, len(t) - 2),
-      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |    ELSE [array_to_string(t, ' ')] END)) AS shingle
-      |  FROM toks),
-      |cnts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id)
-      |SELECT id1, id2, inter, c1.n_sh + c2.n_sh - inter AS uni
-      |FROM inter
-      |JOIN cnts c1 ON c1.doc_id = id1
-      |JOIN cnts c2 ON c2.doc_id = id2
-      |WHERE inter * 1000 >= (c1.n_sh + c2.n_sh - inter) * 500
-      |ORDER BY id1, id2""".stripMargin
+  val dedupNgramJaccardSql: String = {
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(shingle)), " +
+        s"i -> CAST(ascii(shingle[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    // join on the same 60-bit shingle hash the engine shuffles on —
+    // collisions (if any) are mirrored, keeping the compare exact
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |shs AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(t) >= 3 THEN
+       |      list_transform(generate_series(1, len(t) - 2),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [array_to_string(t, ' ')] END)) AS shingle
+       |  FROM toks),
+       |sh AS (
+       |  SELECT doc_id,
+       |    (${poly(131)} + ${poly(257)} * 1073741824) AS h
+       |  FROM shs),
+       |cnts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id1, id2, inter, c1.n_sh + c2.n_sh - inter AS uni
+       |FROM inter
+       |JOIN cnts c1 ON c1.doc_id = id1
+       |JOIN cnts c2 ON c2.doc_id = id2
+       |WHERE inter * 1000 >= (c1.n_sh + c2.n_sh - inter) * 500
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   /** MinHash + LSH candidate pairs. The oracle regenerates the *entire*
     * pipeline in SQL — shingles, double-base polynomial hashes, all 64

@@ -59,13 +59,26 @@ object DedupOps {
   def tokenHash60(s: Column): Column =
     polyHash(s, 131L) + polyHash(s, 257L) * 1073741824L // << 30
 
-  /** Exploded (id, shingle) inverted index, distinct per doc. The shingle
-    * *string* is the join key — collision-free, and the shuffle key is a
-    * short n-gram, not the document.
+  /** Exploded (id, shingle-hash) inverted index, distinct per doc. The
+    * 60-bit `tokenHash60` is the join key: an 8-byte shuffle key instead of
+    * the n-gram string, and — because the DuckDB oracle applies the *same*
+    * hash — any collision is mirrored identically in both engines, keeping
+    * the comparison exact.
     */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+      n: Int = 3): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sh", LongType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          shinglesJvm(row.getString(1), n).iterator
+            .map(s => Row(id, tokenHash60Jvm(s)))
+        }
+      }(Encoders.row(outSchema))
+  }
 
   /** All pairs with n-gram Jaccard similarity ≥ simMilli/1000, via the
     * inverted-index self-join. Output is integer-only:
