@@ -147,9 +147,14 @@ def main():
         multi_input = [("e", 1, 0), ("f", 9, 1), ("e", 2, 5), ("e", 1, 0),
                        ("f", 9, 2), ("e", 2, 2), ("e", 1, 0), ("e", 2, 2),
                        ("e", 3, 0), ("e", 1, 8)]
-        for lp, theta in itertools.product(lpats, CONTIGUITIES):
-            ast = {"type": "combine", "contiguity": theta,
-                   "left": SPAT, "right": lp}
+        multi_asts = itertools.chain(
+            ({"type": "combine", "contiguity": theta, "left": SPAT,
+              "right": lp}
+             for lp, theta in itertools.product(lpats, CONTIGUITIES)),
+            # groups too: relaxed other-type ignore edges inside group copies
+            ({"child": lp, **g}
+             for lp, g in itertools.product(lpats, group_variants())))
+        for ast in multi_asts:
             for strategy in STRATEGIES:
                 qdict = {"type": "Query", "patseq": ast,
                          "context": {"strategy": strategy,
