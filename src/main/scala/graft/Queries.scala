@@ -487,6 +487,27 @@ object Queries {
       |  count(*) OVER (PARTITION BY text) AS group_cnt
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Normalization → exact dedup composition: documents collapsing to the
+    * same canonical text map to one keep-id (the standard pre-dedup
+    * normalize step as a pipeline stage).
+    */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.normalize(col("text")).as("norm_text"))
+    DedupOps.exactDedup(docs, "doc_id", "norm_text").orderBy("doc_id")
+  }
+
+  val dedupNormalizedSql: String =
+    """WITH normed AS (
+      |  SELECT doc_id,
+      |    lower(trim(regexp_replace(translate(text, '.,!?;:', ''),
+      |      '\s+', ' ', 'g'))) AS norm_text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY norm_text) AS keep_id,
+      |  count(*) OVER (PARTITION BY norm_text) AS group_cnt
+      |FROM normed ORDER BY doc_id""".stripMargin
+
   /** N-gram Jaccard near-dup pairs (inverted-index self-join), J ≥ 0.5. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     DedupOps.ngramJaccardPairs(table(spark, dir, "documents"), "doc_id",
@@ -590,12 +611,55 @@ object Queries {
 
   /** SimHash near-dup pairs at the classic radius 3 (total recall via
     * 4×16-bit bands; wider radii force narrower buckets and a much larger
-    * candidate join). Rows-only; pinned by unit tests.
+    * candidate join). Oracle rebuilds the pipeline: per-token dual
+    * polynomial hashes, 64 signed bit sums, sign-bit assembly, band join,
+    * hamming via bit_count(xor).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simHashPairs(table(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3)
       .orderBy("id1", "id2")
+
+  val dedupSimhashSql: String = {
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(tok)), " +
+        s"i -> CAST(ascii(tok[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    val bitSums = (0 until 64).map(b =>
+      s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit_$b")
+      .mkString(",\n    ")
+    val hash = (0 until 64).map(b =>
+      s"(CASE WHEN bit_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 16}) & 65535 AS bucket FROM sh"
+    ).mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    (${poly(131)} + ${poly(257)} * 1073741824) AS th
+       |  FROM tok),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+       |    l.simhash AS h1, r.simhash AS h2
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bucket = r.bucket
+       |   AND l.doc_id < r.doc_id)
+       |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   /** Brute-force cosine top-10 per embedding (micro-scaled similarity). */
   def knnCosineTop10(spark: SparkSession, dir: String): DataFrame = {
@@ -717,6 +781,7 @@ object Queries {
     "lang_id" -> langIdQuery _,
     "doc_fingerprint" -> docFingerprint _,
     "dedup_exact" -> dedupExact _,
+    "dedup_normalized" -> dedupNormalized _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
@@ -735,6 +800,7 @@ object Queries {
     "cep_gpat_inf_sp" -> cepGpatInfSpSql,
     "cep_until_error_runs" -> cepUntilErrorRunsSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "emb_near_dup_lsh" -> embNearDupLshSql,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairsSql,
     "cep_iter_budget" -> cepIterBudgetSql,
@@ -746,6 +812,7 @@ object Queries {
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_normalized" -> dedupNormalizedSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql

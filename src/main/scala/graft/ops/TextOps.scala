@@ -19,6 +19,13 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Canonical text normalization for dedup: strip punctuation, collapse
+    * whitespace, trim, lowercase — the standard pre-dedup step so that
+    * formatting variants of the same document collapse together.
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(translate(text, ".,!?;:", ""), "\\s+", " ")))
+
   /** Token count, distinct-token count, observed char length, punctuation
     * count, and a 0–1000 lexical-diversity quality score
     * (`1000 * distinct / total`, integer division).

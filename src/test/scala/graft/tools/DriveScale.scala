@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.cep._
+
+/** Scale probe: 4M synthetic events over 40 keys (100k events/key) through
+  * the batch CEP operator — validates the streaming-NFA memory claim and
+  * measures throughput on a selective strict pattern.
+  */
+object DriveScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = 4000000L
+    val df = spark.range(n).select(
+      (col("id") % 40).as("user_id"),
+      col("id").as("event_id"),
+      element_at(
+        array(lit("click"), lit("view"), lit("purchase"), lit("signup")),
+        (pmod(hash(col("id")), lit(4)) + 1).cast("int"))
+        .as("event_type"),
+      pmod(col("id") * 40503, lit(500)).as("value"))
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Strict,
+        Pattern.spat("a", "signup", "True"),
+        Pattern.lpat("b", "purchase", "value < 250", Contiguity.Strict, 1, 2)),
+      Vector("click" -> Vector("event_id", "value"),
+        "view" -> Vector("event_id", "value"),
+        "purchase" -> Vector("event_id", "value"),
+        "signup" -> Vector("event_id", "value")))
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+    val t0 = System.nanoTime()
+    val matches = SparkCep.matchPattern(df, q, spec).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE_MATCHES=$matches SECONDS=$sec%.1f EVENTS_PER_SEC=${(n / sec).toLong}")
+    spark.stop()
+  }
+}
