@@ -26,7 +26,15 @@ object ExprToColumn {
           case "+"  => a + b
           case "-"  => a - b
           case "*"  => a * b
-          case "%" => pmod(a, b) // Python % semantics
+          // `%` is pushed only for a positive-literal divisor, where Spark's
+          // pmod equals the NFA's Math.floorMod; for a variable or negative
+          // divisor they diverge (floorMod(7,-3) = -2 vs pmod(7,-3) = 1) and
+          // the general ((a%b)+b)%b rewrite can overflow under ANSI where
+          // floorMod would not
+          case "%" => r match {
+            case Expr.Lit(d) if d > 0 && d <= Long.MaxValue / 2 => pmod(a, b)
+            case _ => return None
+          }
           // "//" is NOT pushed down: a double-division floor diverges from
           // Math.floorDiv above 2^53, and the prefilter must never disagree
           // with the NFA evaluator

@@ -27,7 +27,10 @@ object SparkCep {
     * (FIXTURES.md §3): `orderCol` must be unique-per-key and defines arrival
     * order; `attrCols` become integer attributes visible to conditions
     * (cast to long, truncating); the order column itself is always visible
-    * as an attribute under its own name.
+    * as an attribute under its own name. `keyCol` may be any type: numeric
+    * keys are used as-is (cast to long); non-numeric keys (strings, structs)
+    * are hashed to a long with xxhash64 — key identity is preserved, the
+    * numeric key value in the output is then a hash, not the original.
     */
   final case class CepSpec(
       keyCol: Option[String],
@@ -44,8 +47,15 @@ object SparkCep {
       (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
 
     val keyExpr = spec.keyCol match {
-      case Some(k) => col(k).cast(LongType)
-      case None    => lit(0L)
+      case Some(k) =>
+        df.schema(k).dataType match {
+          case _: NumericType => col(k).cast(LongType)
+          // non-numeric keys (e.g. string user ids) keep their identity
+          // through a 64-bit hash — casting them would null out (or, under
+          // ANSI, error on) every non-numeric value
+          case _ => xxhash64(col(k))
+        }
+      case None => lit(0L)
     }
     val source0 = prefilter(query, spec) match {
       case Some(cond) => df.filter(cond) // pushes down to the parquet scan
@@ -135,7 +145,12 @@ object SparkCep {
         val typeCond = col(spec.typeCol) === s.event
         val varNames = s.vars.map(_.name).toSet
         ExprToColumn.translate(s.cndt, spec, varNames) match {
-          case Some(c) => Some(typeCond && c)
+          // coalesce(c, true): a null attribute makes the condition NULL in
+          // Catalyst, which a bare filter would silently drop — the NFA
+          // instead raises "name is not defined" for the same event. Passing
+          // null-valued conditions through keeps the pushed and non-pushed
+          // paths behaviorally identical (the NFA raises either way).
+          case Some(c) => Some(typeCond && coalesce(c, lit(true)))
           case None    => Some(typeCond)
         }
       case p if allRelaxedNoGroupNoUntil(p) =>

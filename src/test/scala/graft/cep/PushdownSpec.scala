@@ -107,6 +107,57 @@ class PushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.contains(("9", "10")))
   }
 
+  test("% pushes down only for positive literal divisors, stays exact") {
+    // positive literal divisor: pmod == floorMod, pushable
+    val pos = CepQuery(Pattern.spat("x", "a", "value % 3 == 2"), schema)
+    assert(SparkCep.prefilter(pos, spec).isDefined)
+    check(pos)
+    // negative divisor: Spark pmod(7,-3)=1 but NFA floorMod(7,-3)=-2 — the
+    // condition must NOT be pushed (prefilter falls back to type-only)
+    val neg = CepQuery(Pattern.spat("x", "a", "value % -3 == -2"), schema)
+    val c = SparkCep.prefilter(neg, spec)
+    assert(c.isDefined && !c.get.toString.contains("pmod"))
+    check(neg)
+  }
+
+  test("non-numeric (string) keys are hashed, not cast to null") {
+    val s = spark
+    import s.implicits._
+    val strEvents = events.map { case (k, id, t, v) => (s"user-$k", id, t, v) }
+    val df = strEvents.toDF("user_id", "event_id", "event_type", "value")
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed, Pattern.spat("x", "a", "True"),
+        Pattern.spat("y", "b", "True")), schema)
+    val got = SparkCep.matchPattern(df, q, spec).collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](1).mkString("+"),
+        r.getSeq[Long](2).mkString("+"))
+    }
+    // same match multiset as the numeric-key ground truth, with distinct
+    // string keys mapped to distinct hashed longs
+    val want = groundTruth(q)
+    assert(got.length == want.size)
+    assert(got.map(_._1).distinct.length ==
+      want.map(_._1).toSeq.distinct.length)
+  }
+
+  test("null attribute raises in both pushed and non-pushed paths") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1L, "a", Some(5L)), (1L, 2L, "a", None: Option[Long]))
+      .toDF("user_id", "event_id", "event_type", "value")
+    val q = CepQuery(Pattern.spat("x", "a", "value < 10"), schema)
+    assert(SparkCep.prefilter(q, spec).isDefined)
+    // the null-value event passes the prefilter (condition is NULL → kept)
+    // and the NFA raises name-not-defined, exactly like the unpushed path
+    val ex = intercept[Exception] {
+      SparkCep.matchPattern(df, q, spec).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause != null) rootMsg(t.getCause)
+      else String.valueOf(t.getMessage)
+    assert(rootMsg(ex).contains("not defined"))
+  }
+
   test("strict / nd-relaxed / until / group patterns do not push down") {
     val strict = CepQuery(
       Pattern.Combine(Contiguity.Strict, Pattern.spat("x", "a", "True"),
