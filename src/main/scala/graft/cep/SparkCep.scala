@@ -129,15 +129,22 @@ object SparkCep {
     *  - a single `spat`: events of other types (or failing a pure-attribute
     *    condition) can never be bound and never affect run survival, under
     *    every skip strategy — filter to `type = ev [∧ cndt]`.
-    *  - all-relaxed patterns (every loop and combine contiguity `relaxed`,
-    *    no groups, no `until`): events outside the pattern alphabet Σ are
-    *    consumed only by ignore self-structures, so dropping them preserves
-    *    both the match set and emission order — filter to `type ∈ Σ`.
+    *  - all-skippable patterns (every loop and combine contiguity `relaxed`
+    *    or `nd-relaxed`, no groups, no `until`): a non-Σ event is consumed
+    *    only by ignore edges — relaxed ignores cover "all other event
+    *    types", nd-relaxed ignores are wildcards — and an ignore neither
+    *    binds, forks (the take/ignore fork needs an applicable take, which
+    *    requires a Σ type), nor emits, so every run survives it with state
+    *    unchanged; runs *started* at a non-Σ event die immediately either
+    *    way (no pre-first-take ignore edges). Dropping non-Σ events
+    *    therefore preserves the run set at every remaining step, hence the
+    *    match set, emission order, and all skip strategies — filter to
+    *    `type ∈ Σ`.
     *
-    * Strict contiguity (a non-Σ event kills runs), nd-relaxed (skips fork
-    * runs), group loops (ε-chained copy boundaries are implicitly strict)
-    * and `until` (a non-Σ event may satisfy the stop-condition) all make
-    * dropped events semantically observable — no filter there.
+    * Strict contiguity (a non-Σ event kills runs), group loops (ε-chained
+    * copy boundaries are implicitly strict) and `until` (a non-Σ event may
+    * satisfy the stop-condition) make dropped events semantically
+    * observable — no filter there.
     */
   def prefilter(query: CepQuery, spec: CepSpec): Option[Column] = {
     query.patseq match {
@@ -153,7 +160,7 @@ object SparkCep {
           case Some(c) => Some(typeCond && coalesce(c, lit(true)))
           case None    => Some(typeCond)
         }
-      case p if allRelaxedNoGroupNoUntil(p) =>
+      case p if allSkippableNoGroupNoUntil(p) =>
         Some(col(spec.typeCol).isin(alphabet(p).toSeq: _*))
       case _ => None
     }
@@ -169,14 +176,17 @@ object SparkCep {
     case g: Pattern.GpatInf   => alphabet(g.child)
   }
 
-  private def allRelaxedNoGroupNoUntil(p: Pattern): Boolean = p match {
+  private def skippable(c: Contiguity): Boolean =
+    c == Contiguity.Relaxed || c == Contiguity.NdRelaxed
+
+  private def allSkippableNoGroupNoUntil(p: Pattern): Boolean = p match {
     case _: Pattern.Spat => true
-    case l: Pattern.Lpat => l.contiguity == Contiguity.Relaxed
-    case l: Pattern.LpatInf =>
-      l.contiguity == Contiguity.Relaxed && l.until.isEmpty
+    case l: Pattern.Lpat => skippable(l.contiguity)
+    case l: Pattern.LpatInf => skippable(l.contiguity) && l.until.isEmpty
     case c: Pattern.Combine =>
-      c.contiguity == Contiguity.Relaxed &&
-        allRelaxedNoGroupNoUntil(c.left) && allRelaxedNoGroupNoUntil(c.right)
+      skippable(c.contiguity) &&
+        allSkippableNoGroupNoUntil(c.left) &&
+        allSkippableNoGroupNoUntil(c.right)
     case _ => false // any group node: copy boundaries are implicitly strict
   }
 

@@ -96,25 +96,26 @@ object DedupOps {
           Window.partitionBy(col("sh"))))
           .filter(col("freq") <= maxShingleFreq).drop("freq")
       }
-    // carry each doc's shingle count on the index rows so the pair join
-    // resolves Jaccard directly — no post-aggregation re-joins
     val counts = filtered.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sh"))
-    // no broadcast hint: Spark/AQE picks broadcast while counts fit and
-    // falls back to a shuffle join at corpus scale. Cache the enriched
-    // index: both sides of the self-join read it, and alias-differing
-    // projections defeat exchange reuse (MEMORY_AND_DISK — spills, never
-    // OOMs at scale).
-    val idx2 = filtered.join(counts, idCol).cache()
-    val a = idx2.select(col(idCol).as("id1"), col("sh"),
-      col("n_sh").as("n1"))
-    val b = idx2.select(col(idCol).as("id2"), col("sh"),
-      col("n_sh").as("n2"))
+    // the self-join carries only (sh, id) — 16-byte rows, fully codegen'd —
+    // and the per-doc shingle counts join back onto the *aggregated*
+    // (id1, id2, inter) pairs, orders of magnitude fewer rows than the raw
+    // join output. (A groupBy-collect_list + JVM pair-emission variant
+    // measured ~2× slower here: boxed Row emission loses to the codegen'd
+    // hash join.) No broadcast hint: AQE broadcasts counts while it fits
+    // and falls back to a shuffle join at corpus scale. Cache the index:
+    // both sides of the self-join read it, and alias-differing projections
+    // defeat exchange reuse (the default storage level spills, never OOMs).
+    val idx2 = filtered.cache()
+    val a = idx2.select(col(idCol).as("id1"), col("sh"))
+    val b = idx2.select(col(idCol).as("id2"), col("sh"))
     a.join(b, "sh")
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"),
-        first(col("n2")).as("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col(idCol).as("id1"), col("n_sh").as("n1")), "id1")
+      .join(counts.select(col(idCol).as("id2"), col("n_sh").as("n2")), "id2")
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * 1000 >= col("uni") * simMilli)
       .select(col("id1"), col("id2"), col("inter"), col("uni"))
@@ -145,13 +146,18 @@ object DedupOps {
       val b = (mix() & Long.MaxValue) % p
       (a, b)
     }
+    /** Coefficients unpacked into primitive arrays (reduced mod 2^31-1 up
+      * front) — the signature loop calls `perm` k times per shingle and must
+      * not unbox a tuple per call.
+      */
+    @transient private lazy val aArr: Array[Long] =
+      coeffs.map(_._1 % 2147483647L).toArray
+    @transient private lazy val bArr: Array[Long] = coeffs.map(_._2).toArray
     /** (a·h + b) mod p with both operands reduced below 2^31 so the product
       * fits in 63 bits — the single definition used by the signature loop.
       */
-    def perm(i: Int, h: Long): Long = {
-      val (a, b) = coeffs(i)
-      ((h % 2147483647L) * (a % 2147483647L) + b) % 2305843009213693951L
-    }
+    def perm(i: Int, h: Long): Long =
+      ((h % 2147483647L) * aArr(i) + bArr(i)) % 2305843009213693951L
   }
 
   /** JVM-side mirrors of the Column-expression hashes (bit-identical:
@@ -177,17 +183,20 @@ object DedupOps {
     raw.toArray.distinct
   }
 
-  /** Per-doc MinHash signature, computed in one tight per-partition pass
-    * (tokenize → shingle → hash → k running minima per doc) — a narrow
-    * transformation with no shuffle and no interpreted expression trees;
-    * the codegen'd-HOF equivalent spent ~60× longer on the k permutations.
+  /** Per-doc MinHash signature as one `array<long>` column of length k,
+    * computed in one tight per-partition pass (tokenize → shingle → hash →
+    * k running minima per doc) — a narrow transformation with no shuffle
+    * and no interpreted expression trees; the codegen'd-HOF equivalent
+    * spent ~60× longer on the k permutations, and a k-column-wide schema
+    * spent seconds in janino compiling 65-column codegen units.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       params: MinHashParams = MinHashParams(), n: Int = 3): DataFrame = {
     val k = params.k
-    val outSchema = StructType(
-      StructField(idCol, LongType, nullable = false) +:
-        (0 until k).map(i => StructField(s"mh_$i", LongType, nullable = false)))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("mhs", ArrayType(LongType, containsNull = false),
+        nullable = false)))
     df.select(col(idCol).cast(LongType), col(textCol))
       .mapPartitions { rows =>
         rows.map { row =>
@@ -201,49 +210,73 @@ object DedupOps {
               i += 1
             }
           }
-          Row.fromSeq(row.getLong(0) +: mins.toSeq)
+          Row(row.getLong(0), mins.toSeq)
         }
       }(Encoders.row(outSchema))
   }
 
-  /** LSH candidate pairs: docs sharing any band bucket. Output
-    * (id1, id2, est_milli) with est = fraction of equal signature
-    * components × 1000.
-    */
   /** Deterministic band-bucket key: fold the band's signature components
     * into mod 2^31-1 (engine-portable, unlike Murmur — the DuckDB oracle
     * reproduces it exactly).
     */
-  private def bucketKey(cols: Seq[Column]): Column =
-    cols.foldLeft(lit(0L)) { (acc, c) =>
-      ((acc * 131) % 2147483647L + c % 2147483647L) % 2147483647L
+  private[ops] def bucketKeyJvm(mhs: scala.collection.Seq[Long], from: Int,
+      until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      acc = ((acc * 131) % 2147483647L + mhs(i) % 2147483647L) % 2147483647L
+      i += 1
     }
+    acc
+  }
 
+  /** LSH candidate pairs: docs sharing any band bucket. Output
+    * (id1, id2, est_milli) with est = fraction of equal signature
+    * components × 1000. Band keys and the agreement estimate are computed
+    * in tight JVM passes; only the (band, bucket) candidate join and the
+    * two signature joins (AQE-broadcast while small) shuffle.
+    */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       params: MinHashParams = MinHashParams(), n: Int = 3): DataFrame = {
+    val bands = params.bands
+    val rows_ = params.rows
+    val k = params.k
     val sigs = minHashSignatures(df, idCol, textCol, params, n).cache()
-    val bandKeys = (0 until params.bands).map { b =>
-      val cols = (0 until params.rows).map(r => col(s"mh_${b * params.rows + r}"))
-      struct(lit(b).as("band"), bucketKey(cols).as("bucket"))
-    }
-    val exploded = sigs.select(col(idCol),
-      explode(array(bandKeys: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bucket"))
-      .distinct()
-    val cand = exploded.select(col("band"), col("bucket"),
-        col(idCol).as("id1"))
-      .join(exploded.select(col("band"), col("bucket"), col(idCol).as("id2")),
+    val bandSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("band", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false)))
+    // per doc the band keys are distinct by construction (the band index is
+    // part of the key) — no dedup shuffle needed on the banded index
+    val banded = sigs.mapPartitions { rs =>
+      rs.flatMap { r =>
+        val id = r.getLong(0)
+        val mhs = r.getSeq[Long](1)
+        (0 until bands).iterator.map(b =>
+          Row(id, b, bucketKeyJvm(mhs, b * rows_, (b + 1) * rows_)))
+      }
+    }(Encoders.row(bandSchema))
+    val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2")),
         Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val sigEq = (0 until params.k).map(i =>
-      when(col(s"l.mh_$i") === col(s"r.mh_$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    val estSchema = StructType(Seq(
+      StructField("id1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false),
+      StructField("est_milli", LongType, nullable = false)))
     cand
-      .join(sigs.as("l"), col("id1") === col(s"l.$idCol"))
-      .join(sigs.as("r"), col("id2") === col(s"r.$idCol"))
-      .select(col("id1"), col("id2"),
-        ((sigEq * 1000) / params.k).cast(LongType).as("est_milli"))
+      .join(sigs.select(col(idCol).as("id1"), col("mhs").as("m1")), "id1")
+      .join(sigs.select(col(idCol).as("id2"), col("mhs").as("m2")), "id2")
+      .select(col("id1"), col("id2"), col("m1"), col("m2"))
+      .mapPartitions { rs =>
+        rs.map { r =>
+          val m1 = r.getSeq[Long](2); val m2 = r.getSeq[Long](3)
+          var eq = 0; var i = 0
+          while (i < k) { if (m1(i) == m2(i)) eq += 1; i += 1 }
+          Row(r.getLong(0), r.getLong(1), eq.toLong * 1000L / k)
+        }
+      }(Encoders.row(estSchema))
   }
 
   /** 64-bit SimHash over token hashes: per bit, the sign of the ±1 sum

@@ -179,9 +179,33 @@ object Similarity {
       }(Encoders.row(outSchema))
   }
 
+  /** Exact JVM mirror of `cosineMicro`: double math with left-to-right
+    * summation — bit-identical to the Column expression and to DuckDB's
+    * `list_inner_product`.
+    */
+  private[ops] def cosineMicroJvm(a: scala.collection.Seq[Float],
+      b: scala.collection.Seq[Float]): Long = {
+    val n = a.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var d = 0
+    while (d < n) {
+      val x = a(d).toDouble; val y = b(d).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      d += 1
+    }
+    math.floor(1000000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+  }
+
   /** LSH-bucketed near-neighbor pairs: signature band join (4×16 bits) then
     * exact cosine re-rank, keeping pairs with cosine ≥ simMicro/1e6. The
     * scale path: joins touch 16-bit buckets, not the cross product.
+    *
+    * The band join carries ids only (8-byte rows), pairs are deduplicated
+    * *before* any similarity math — a pair colliding in several bands is
+    * scored once — and vectors are joined back to the surviving candidates
+    * (AQE broadcasts the signature side while it fits; at corpus scale it
+    * degrades to a shuffle join on id). The re-rank itself is a tight
+    * per-partition primitive loop, not an interpreted HOF expression.
     */
   def lshNearNeighbors(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, simMicro: Long = 950000L, seed: Long = 42L,
@@ -190,20 +214,34 @@ object Similarity {
     val mask = (1L << bandBits) - 1
     val sigs = rhpSignatures(df, idCol, vecCol, dim, 64, seed)
       .select(col("__id").as(idCol), col("__vec").as(vecCol), col("sig"))
-    val banded = sigs.select(col(idCol), col(vecCol),
+      .cache()
+    // per doc the nBands (band, bucket) keys are distinct by construction
+    // (band is part of the key) — no dedup needed on the exploded index
+    val banded = sigs.select(col(idCol),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
             .as("bucket"))): _*)).as("bk"))
-      .select(col(idCol), col(vecCol), col("bk.band"), col("bk.bucket"))
-    banded.select(col("band"), col("bucket"), col(idCol).as("id1"),
-        col(vecCol).as("v1"))
-      .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2"),
-        col(vecCol).as("v2")), Seq("band", "bucket"))
+      .select(col(idCol), col("bk.band"), col("bk.bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2")),
+        Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        cosineMicro(col("v1"), col("v2")).as("sim_micro"))
-      .distinct()
+      .select("id1", "id2").distinct()
+    val pairs = cand
+      .join(sigs.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
+      .join(sigs.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+    val outSchema = StructType(Seq(
+      StructField("id1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false),
+      StructField("sim_micro", LongType, nullable = false)))
+    pairs.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0), r.getLong(1),
+          cosineMicroJvm(r.getSeq[Float](2), r.getSeq[Float](3)))
+      }
+    }(Encoders.row(outSchema))
       .filter(col("sim_micro") >= simMicro)
   }
 }

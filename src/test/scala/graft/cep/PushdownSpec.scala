@@ -158,12 +158,23 @@ class PushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rootMsg(ex).contains("not defined"))
   }
 
-  test("strict / nd-relaxed / until / group patterns do not push down") {
+  test("nd-relaxed patterns push down the type filter and stay exact") {
+    val nd = CepQuery(
+      Pattern.lpat("x", "a", "True", Contiguity.NdRelaxed, 2, 2), schema)
+    val ndCombine = CepQuery(
+      Pattern.Combine(Contiguity.NdRelaxed,
+        Pattern.spat("x", "a", "value < 10"),
+        Pattern.lpat("y", "b", "True", Contiguity.NdRelaxed, 1, 2)), schema)
+    assert(SparkCep.prefilter(nd, spec).isDefined)
+    assert(SparkCep.prefilter(ndCombine, spec).isDefined)
+    check(nd)
+    check(ndCombine)
+  }
+
+  test("strict / until / group patterns do not push down") {
     val strict = CepQuery(
       Pattern.Combine(Contiguity.Strict, Pattern.spat("x", "a", "True"),
         Pattern.spat("y", "b", "True")), schema)
-    val nd = CepQuery(
-      Pattern.lpat("x", "a", "True", Contiguity.NdRelaxed, 2, 2), schema)
     val untilQ = CepQuery(
       Pattern.lpatInf("x", "a", "True", Contiguity.Relaxed, 1,
         Some("value >= 9")), schema)
@@ -172,10 +183,9 @@ class PushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
         Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
         1, 2), schema)
     assert(SparkCep.prefilter(strict, spec).isEmpty)
-    assert(SparkCep.prefilter(nd, spec).isEmpty)
     assert(SparkCep.prefilter(untilQ, spec).isEmpty)
     assert(SparkCep.prefilter(grp, spec).isEmpty)
     // and the unpushed ones still match ground truth end-to-end
-    Seq(strict, nd, untilQ, grp).foreach(check)
+    Seq(strict, untilQ, grp).foreach(check)
   }
 }

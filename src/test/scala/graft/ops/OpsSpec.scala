@@ -62,8 +62,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = docs(1L -> "a b c d e f", 2L -> "a b c d e f",
       3L -> "p q r s t u")
     val sigs = DedupOps.minHashSignatures(df, "doc_id", "text")
-      .collect().map(r => r.getLong(0) ->
-        (1 until r.length).map(r.getLong).toVector).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
   }
