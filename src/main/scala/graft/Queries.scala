@@ -418,6 +418,149 @@ object Queries {
       |WHERE rnk <= 3
       |ORDER BY o_custkey, rnk""".stripMargin
 
+  /** JSON scalar functions: extract `props.k` and aggregate per type. */
+  def relJsonProps(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(get_json_object(col("props"), "$.k").cast(LongType)).as("sum_k"))
+      .orderBy("event_type")
+
+  val relJsonPropsSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Gap-based sessionization (4h inactivity splits a session) — the
+    * batch formulation of a streaming session window: lag + cumulative
+    * split-count per user, then per-session aggregates. The event
+    * timestamp is read as nanos (long) and reduced to exact micros.
+    */
+  def relSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val gapUs = 14400000000L // 4 hours
+    val us = expr("ts div 1000")
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), us.as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+      .withColumn("session_id",
+        sum(when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs,
+          1L).otherwise(0L)).over(wOrd).cast(LongType))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("start_id"), max(col("event_id")).as("end_id"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val relSessionStatsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id,
+      |    CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 14400000000
+      |      THEN 1 ELSE 0 END) OVER (
+      |        PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_id
+      |  FROM t)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(event_id) AS start_id, max(event_id) AS end_id
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** As-of join shape: for every purchase, the user's most recent earlier
+    * signup (windowed last-before, the standard point-in-time lookup).
+    */
+  def relAsofSignup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        max(when(col("event_type") === "signup", col("event_id")))
+          .over(w).as("last_signup"))
+      .filter(col("event_type") === "purchase" && col("last_signup").isNotNull)
+      .select(col("user_id"), col("event_id"), col("last_signup"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val relAsofSignupSql: String =
+    """SELECT user_id, event_id, last_signup FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    MAX(CASE WHEN event_type = 'signup' THEN event_id END) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup
+      |  FROM events) t
+      |WHERE event_type = 'purchase' AND last_signup IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Hierarchical aggregation: ROLLUP over (returnflag, linestatus) with
+    * grouping id; group nulls coalesced to 'ALL' for engine-stable hashing.
+    */
+  def relRollupPricing(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("cnt"), sum(cents("l_quantity")).as("sum_qty_c"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("cnt"), col("sum_qty_c"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  val relRollupPricingSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** Set operations: nations with customers, intersected with / minus
+    * nations with suppliers (INTERSECT and EXCEPT legs, tagged).
+    */
+  def relNationsSet(spark: SparkSession, dir: String): DataFrame = {
+    val nation = table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val custN = table(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct()
+    val suppN = table(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct()
+    custN.intersect(suppN).withColumn("tag", lit("both"))
+      .unionAll(custN.except(suppN).withColumn("tag", lit("cust_only")))
+      .orderBy("tag", "n_name")
+  }
+
+  val relNationsSetSql: String =
+    """WITH custN AS (
+      |  SELECT DISTINCT n_name FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |suppN AS (
+      |  SELECT DISTINCT n_name FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT n_name, 'both' AS tag FROM (
+      |  SELECT n_name FROM custN INTERSECT SELECT n_name FROM suppN) a
+      |UNION ALL
+      |SELECT n_name, 'cust_only' AS tag FROM (
+      |  SELECT n_name FROM custN EXCEPT SELECT n_name FROM suppN) b
+      |ORDER BY tag, n_name""".stripMargin
+
+  /** Anti join: customers that never placed an order. */
+  def relCustNoOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(col("c_custkey"))
+      .join(table(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+
+  val relCustNoOrdersSql: String =
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   // =======================================================================
   // Training-data pipeline operators (graft.ops) over documents/embeddings
   // =======================================================================
@@ -461,6 +604,17 @@ object Queries {
        |  $score, text FROM documents) s0) s1
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Whitespace vs BPE-ish token counts (LLM budget accounting). */
+  def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textTokenCountsSql: String =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws,
+       |  len(regexp_extract_all(text, '${TextOps.bpeishPattern}')) AS n_bpeish
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Polynomial rolling-hash document fingerprint. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -685,6 +839,51 @@ object Queries {
       |SELECT query_id, neighbor_id, sim_micro, rnk FROM ranked
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** IVF approximate top-5: deterministic coarse quantizer (centroids =
+    * the 16 smallest vec_ids), nprobe=4 cells per query, exact re-rank.
+    * The oracle reproduces cell assignment, probe lists, and ranking with
+    * identical floored-micro cosine and tie-breaks.
+    */
+  def knnIvfTop5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb, "vec_id", "embedding", k = 5, nlist = 16,
+      nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  val knnIvfTop5Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+      |sims AS (
+      |  SELECT v.vec_id, v.e, c.cid,
+      |    CAST(floor(1000000 * list_inner_product(v.e, c.ce) /
+      |      (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.ce, c.ce))))
+      |      AS BIGINT) AS sim
+      |  FROM v CROSS JOIN cent c),
+      |ranked_cells AS (
+      |  SELECT vec_id, e, cid, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |  FROM sims),
+      |assign AS (
+      |  SELECT vec_id, e, cid AS cell FROM ranked_cells WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, e AS qe, cid AS cell FROM ranked_cells
+      |  WHERE rn <= 4),
+      |cand AS (
+      |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+      |    CAST(floor(1000000 * list_inner_product(p.qe, a.e) /
+      |      (sqrt(list_inner_product(p.qe, p.qe)) * sqrt(list_inner_product(a.e, a.e))))
+      |      AS BIGINT) AS sim_micro
+      |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim_micro,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim_micro DESC, neighbor_id) AS rnk
+      |  FROM cand)
+      |SELECT query_id, neighbor_id, sim_micro, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** Random-hyperplane LSH near-neighbors with exact re-rank. The oracle
     * rebuilds the whole pipeline in SQL: the ±1 plane matrix is embedded as
     * literals, signatures come from sign-of-inner-product bit sums, then
@@ -777,6 +976,14 @@ object Queries {
     "rel_q3_top_orders" -> relQ3TopOrders _,
     "rel_nation_stats" -> relNationStats _,
     "rel_window_top3" -> relWindowTop3 _,
+    "rel_json_props" -> relJsonProps _,
+    "rel_session_stats" -> relSessionStats _,
+    "rel_asof_signup" -> relAsofSignup _,
+    "rel_rollup_pricing" -> relRollupPricing _,
+    "rel_nations_set" -> relNationsSet _,
+    "rel_cust_no_orders" -> relCustNoOrders _,
+    "text_token_counts" -> textTokenCounts _,
+    "knn_ivf_top5" -> knnIvfTop5 _,
     "text_stats" -> textStats _,
     "lang_id" -> langIdQuery _,
     "doc_fingerprint" -> docFingerprint _,
@@ -808,6 +1015,14 @@ object Queries {
     "rel_q3_top_orders" -> relQ3TopOrdersSql,
     "rel_nation_stats" -> relNationStatsSql,
     "rel_window_top3" -> relWindowTop3Sql,
+    "rel_json_props" -> relJsonPropsSql,
+    "rel_session_stats" -> relSessionStatsSql,
+    "rel_asof_signup" -> relAsofSignupSql,
+    "rel_rollup_pricing" -> relRollupPricingSql,
+    "rel_nations_set" -> relNationsSetSql,
+    "rel_cust_no_orders" -> relCustNoOrdersSql,
+    "text_token_counts" -> textTokenCountsSql,
+    "knn_ivf_top5" -> knnIvfTop5Sql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,

@@ -179,6 +179,97 @@ object Similarity {
       }(Encoders.row(outSchema))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    * the corpus into `nlist` cells; each probe scans only its `nprobe`
+    * nearest cells, then re-ranks exactly. The classic ANN scale path —
+    * cells are the shuffle/partition unit, so a probe touches
+    * `nprobe/nlist` of the corpus instead of all of it.
+    *
+    * The quantizer is deterministic and engine-portable (no k-means
+    * iterations): the centroids are the embeddings of the `nlist` smallest
+    * corpus ids, similarity is floored-micro cosine with (sim desc, id asc)
+    * tie-breaks everywhere — the DuckDB oracle reproduces cell assignment,
+    * probe lists, and re-rank exactly.
+    *
+    * Physical plan: centroids are collected (nlist vectors) and broadcast;
+    * cell assignment and probe-list selection are narrow JVM passes; the
+    * candidate join shuffles on cell id (the IVF partition unit); the final
+    * per-query top-k is a window over ≤ |cell|·nprobe candidates.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val centRows = corpus.select(col(idCol).cast(LongType), col(vecCol))
+      .orderBy(col(idCol)).limit(nlist).collect()
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(_.getSeq[Float](1).toArray)
+    val bc = spark.sparkContext.broadcast((centIds, centVecs))
+
+    def simToCentroids(v: scala.collection.Seq[Float]): Array[Long] = {
+      val (_, cvs) = bc.value
+      cvs.map(cv => cosineMicroJvm(v, cv))
+    }
+
+    val assignSchema = StructType(Seq(
+      StructField("__cell", LongType, nullable = false),
+      StructField("__cid", LongType, nullable = false),
+      StructField("__cvec", corpus.schema(vecCol).dataType, nullable = true)))
+    val assigned = corpus.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        val (ids, _) = bc.value
+        rows.map { r =>
+          val v = r.getSeq[Float](1)
+          val sims = simToCentroids(v)
+          var best = 0
+          var i = 1
+          while (i < sims.length) {
+            // max sim; ties to the smaller centroid id (ids are sorted)
+            if (sims(i) > sims(best)) best = i
+            i += 1
+          }
+          Row(ids(best), r.getLong(0), r.get(1))
+        }
+      }(Encoders.row(assignSchema))
+
+    val probeSchema = StructType(Seq(
+      StructField("__cell", LongType, nullable = false),
+      StructField("__qid", LongType, nullable = false),
+      StructField("__qvec", probes.schema(vecCol).dataType, nullable = true)))
+    val probed = probes.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        val (ids, _) = bc.value
+        rows.flatMap { r =>
+          val v = r.getSeq[Float](1)
+          val sims = simToCentroids(v)
+          // top nprobe cells by (sim desc, centroid id asc)
+          val order = ids.indices.sortBy(i => (-sims(i), ids(i)))
+          order.take(nprobe).iterator.map(i => Row(ids(i), r.getLong(0), r.get(1)))
+        }
+      }(Encoders.row(probeSchema))
+
+    val simSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("sim_micro", LongType, nullable = false)))
+    val scored = probed.join(assigned, "__cell")
+      .filter(col("__qid") =!= col("__cid"))
+      .select(col("__qid"), col("__cid"), col("__qvec"), col("__cvec"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), r.getLong(1),
+            cosineMicroJvm(r.getSeq[Float](2), r.getSeq[Float](3)))
+        }
+      }(Encoders.row(simSchema))
+      // a (query, neighbor) pair can surface through at most one cell (the
+      // neighbor's unique assignment) — no dedup needed
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_micro").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
   /** Exact JVM mirror of `cosineMicro`: double math with left-to-right
     * summation — bit-identical to the Column expression and to DuckDB's
     * `list_inner_product`.

@@ -82,6 +82,23 @@ object TextOps {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** GPT-2-style pre-tokenizer regex, reduced to the engine-portable core:
+    * optional leading space + (letter run | digit run | other-symbol run).
+    * Both Java regex (Spark) and RE2 (DuckDB) match it leftmost-first with
+    * identical results. The unit of LLM budget accounting: counts
+    * approximate BPE token counts far better than whitespace splitting
+    * (every punctuation run and digit run is its own token).
+    */
+  val bpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Whitespace token count plus the BPE-ish subword-ish token count. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast(LongType).as("n_ws"),
+      size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
+        .cast(LongType).as("n_bpeish"))
+
   /** Polynomial rolling hash of the whole text (base 31, mod 1e9+7) — a
     * deterministic document fingerprint computable in both Spark and the
     * DuckDB oracle via the same char-code fold. ASCII-safe (the corpus is

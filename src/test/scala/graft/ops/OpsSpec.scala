@@ -103,6 +103,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == 2L) // (0.9,0.1) has nonzero cosine vs (0,1)
   }
 
+  test("ivf with full probe coverage equals brute force; partial probes subset") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.9f, 0.1f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // nlist = corpus size, nprobe = nlist → every cell probed → exact
+    val full = rows(Similarity.ivfTopK(df, df, "vec_id", "embedding",
+      k = 2, nlist = 5, nprobe = 5))
+    val exact = rows(Similarity.knnBruteForce(df, df, "vec_id", "embedding",
+      k = 2))
+    assert(full == exact)
+    // partial probing returns a subset of the exact candidate set per query
+    val partial = Similarity.ivfTopK(df, df, "vec_id", "embedding",
+      k = 2, nlist = 3, nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = Similarity.knnBruteForce(df, df, "vec_id", "embedding",
+      k = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partial.subsetOf(exactPairs))
+  }
+
+  test("token counts: bpe-ish regex splits letter/digit/symbol runs") {
+    val df = docs(1L -> "ab3 x, 42!!")
+    val r = TextOps.tokenCounts(df, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) == 3L) // whitespace: ab3 | x, | 42!!
+    // bpe-ish: [ab][3][ x][,][ 42][!!]
+    assert(r.getLong(2) == 6L)
+  }
+
   test("rhp LSH: identical vectors always pair; rerank keeps threshold") {
     val s = spark
     import s.implicits._
