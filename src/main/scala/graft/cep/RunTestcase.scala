@@ -1,27 +1,84 @@
 package graft.cep
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, Path}
+import java.util.{Map => JMap}
+
 /** CLI entry point mirroring the reference's testcase runner
   * (`/root/reference/exp/run.py` lifecycle: load `{query, input}` YAML,
   * compile, feed, print matches one per line in the fancy format).
   *
-  * Usage: `sbt "runMain graft.cep.RunTestcase <testcase.yml> [more...]"`
+  * Usage:
+  * `sbt "runMain graft.cep.RunTestcase [--out <dir>] [--csv <file>] <tc.yml>...`
+  *
+  * With `--out`, writes per testcase the reference's result artifacts
+  * (`exp/run.py:70-80`): `<name>.yml` — the testcase document with a
+  * `results.reflinkcep: {output, elapsed_ms}` section added — and
+  * `<name>.txt` with the fancy match lines. With `--csv`, appends the
+  * recorder rows (`tests/utils.py:36-68` column layout) to one CSV file.
   */
 object RunTestcase {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: RunTestcase <testcase.yml> [more...]")
-    for (path <- args) {
-      val (query, events) = YamlQuery.testcaseFromFile(path)
+    var outDir: Option[Path] = None
+    var csvFile: Option[Path] = None
+    val paths = Vector.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--out" => outDir = Some(Paths.get(args(i + 1))); i += 2
+        case "--csv" => csvFile = Some(Paths.get(args(i + 1))); i += 2
+        case p       => paths += p; i += 1
+      }
+    }
+    val files = paths.result()
+    require(files.nonEmpty,
+      "usage: RunTestcase [--out <dir>] [--csv <file>] <testcase.yml> [more...]")
+    outDir.foreach(Files.createDirectories(_))
+    val csvRows = Vector.newBuilder[String]
+
+    for ((path, idx) <- files.zipWithIndex) {
+      val text = new String(Files.readAllBytes(Paths.get(path)),
+        StandardCharsets.UTF_8)
+      val (query, events) = YamlQuery.testcaseFromYaml(text)
       val t0 = System.nanoTime()
       val matches = CepOperator.run(query, events)
       val elapsedMs = (System.nanoTime() - t0) / 1e6
-      if (args.length > 1) println(s"== $path ==")
-      matches.foreach { m =>
-        println(m.map { case (name, evs) =>
-          s"$name: ${evs.mkString(", ")}"
-        }.mkString("; "))
-      }
+      if (files.length > 1) println(s"== $path ==")
+      val fancy = MatchSink.fancyRepr(matches)
+      if (fancy.nonEmpty) println(fancy)
       System.err.println(
         f"$path: ${matches.length} matches in $elapsedMs%.2f ms")
+
+      outDir.foreach { dir =>
+        val base = Paths.get(path).getFileName.toString
+        val stem = base.stripSuffix(".yml").stripSuffix(".yaml")
+        Files.write(dir.resolve(s"$stem.txt"),
+          (fancy + "\n").getBytes(StandardCharsets.UTF_8))
+        // reload the raw document and add the results section, as the
+        // reference writes results.reflinkcep back into the testcase
+        val yaml = new org.yaml.snakeyaml.Yaml()
+        val root = yaml.load[JMap[String, Object]](text)
+        val results = Option(root.get("results"))
+          .map(_.asInstanceOf[JMap[String, Object]])
+          .getOrElse {
+            val m = new java.util.LinkedHashMap[String, Object]()
+            root.put("results", m)
+            m
+          }
+        val ours = new java.util.LinkedHashMap[String, Object]()
+        ours.put("output", fancy)
+        ours.put("elapsed_ms", java.lang.Double.valueOf(elapsedMs))
+        results.put("reflinkcep", ours)
+        Files.write(dir.resolve(s"$stem.yml"),
+          yaml.dump(root).getBytes(StandardCharsets.UTF_8))
+      }
+      csvRows += MatchSink.csvRow(idx, path, Pattern.repr(query.patseq),
+        events, matches, elapsedMs)
+    }
+
+    csvFile.foreach { f =>
+      val lines = (MatchSink.csvHead +: csvRows.result()).mkString("\n") + "\n"
+      Files.write(f, lines.getBytes(StandardCharsets.UTF_8))
     }
   }
 }

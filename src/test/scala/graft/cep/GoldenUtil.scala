@@ -17,19 +17,13 @@ object GoldenUtil {
     }.toVector
 
   /** Python-dict repr of one match: `{'a': [e(1,1,0)], 'b': [e(2,2,0)]}`. */
-  def dictRepr(m: Match): String =
-    m.map { case (k, evs) => s"'$k': [${evs.mkString(", ")}]" }
-      .mkString("{", ", ", "}")
+  def dictRepr(m: Match): String = MatchSink.dictRepr(m)
 
   /** Python-list repr of a match stream. */
-  def streamRepr(ms: Seq[Match]): String =
-    ms.map(dictRepr).mkString("[", ", ", "]")
+  def streamRepr(ms: Seq[Match]): String = MatchSink.streamRepr(ms)
 
   /** Fancy per-line repr: `a: e(..), e(..); b: e(..)`. */
-  def fancyRepr(ms: Seq[Match]): String =
-    ms.map(m =>
-      m.map { case (k, evs) => s"$k: ${evs.mkString(", ")}" }
-        .mkString("; ")).mkString("\n")
+  def fancyRepr(ms: Seq[Match]): String = MatchSink.fancyRepr(ms)
 
   val schemaNP: Vector[(String, Vector[String])] =
     Vector("e" -> Vector("name", "price"))
