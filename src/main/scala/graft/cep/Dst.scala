@@ -84,14 +84,18 @@ final case class Pred(evType: Option[String], expr: Expr) {
         }
       case None => ()
     }
-    val attrs = event.map(_.attrMap).getOrElse(Map.empty[String, Long])
-    Expr.truthy(Expr.evalIn(expr, Expr.env(attrs, eta)))
+    val attrs = event match {
+      case Some(ev) => ev.attrMap
+      case None     => Pred.emptyAttrs
+    }
+    Expr.evalBoolIn(expr, Expr.env(attrs, eta))
   }
 }
 
 object Pred {
   val AnyType = "*"
   def epsilon: Pred = Pred(None, Expr.True)
+  private[cep] val emptyAttrs = Map.empty[String, Long]
 }
 
 /** Data-register update α: every expression reads the *pre-update* η
@@ -102,9 +106,9 @@ final case class DataUpdate(alpha: Vector[(String, Expr)]) {
     if (alpha.isEmpty) eta
     else {
       val env =
-        Expr.env(event.map(_.attrMap).getOrElse(Map.empty[String, Long]), eta)
+        Expr.env(event.map(_.attrMap).getOrElse(Pred.emptyAttrs), eta)
       eta ++ alpha.map { case (k, e) =>
-        k -> Expr.toNum(Expr.evalIn(e, env))
+        k -> Expr.evalNumIn(e, env)
       }
     }
   def isId: Boolean = alpha.isEmpty
@@ -204,8 +208,23 @@ final class Dst(
   val stateByName: Map[String, State] =
     states.map(s => s.name -> s).toMap
 
-  def startFrom(q: State): Vector[Transition] =
-    edgeMap.getOrElse(q.name, Vector.empty)
+  // identity-keyed edge index: startFrom sits on the innermost NFA loop
+  // (once per live run per event) and must not hash state-name strings.
+  // State has reference equality, so the key hash is the (cached) identity
+  // hashCode. Built lazily and transient: it rebuilds after Java
+  // deserialization on executors, keyed by the deserialized State objects.
+  @transient private lazy val edgeIdx
+      : java.util.IdentityHashMap[State, Vector[Transition]] = {
+    val m = new java.util.IdentityHashMap[State, Vector[Transition]]()
+    states.foreach(s =>
+      m.put(s, edgeMap.getOrElse(s.name, Vector.empty)))
+    m
+  }
+
+  def startFrom(q: State): Vector[Transition] = {
+    val v = edgeIdx.get(q)
+    if (v != null) v else edgeMap.getOrElse(q.name, Vector.empty)
+  }
 
   def finalStates: Vector[State] = states.filter(_.out.isDefined)
 

@@ -100,6 +100,50 @@ object Expr {
   def evalBool(e: Expr, env: Map[String, Long]): Boolean = truthy(eval(e, env))
   def evalNum(e: Expr, env: Map[String, Long]): Long = toNum(eval(e, env))
 
+  /** Allocation-free evaluator for the NFA hot path: every `Val` of the
+    * boxed evaluator maps to a Long with identical truthiness and numeric
+    * value (`toNum` preserves truthiness: truthy(v) == (toNum(v) != 0), and
+    * comparisons/arithmetic read operands through `toNum`), so folding to
+    * primitive longs is semantics-preserving — including Python's
+    * operand-returning `and`/`or` (`a and b` = a when a is falsy, i.e. 0).
+    * Property-tested equal to `evalIn` over the differential corpus.
+    */
+  def evalNumIn(e: Expr, env: Env): Long = e match {
+    case Lit(v)     => v
+    case BoolLit(b) => if (b) 1L else 0L
+    case Ref(n)     => env.lookup(n)
+    case Arith(op, l, r) =>
+      val a = evalNumIn(l, env); val b = evalNumIn(r, env)
+      op match {
+        case "+"  => a + b
+        case "-"  => a - b
+        case "*"  => a * b
+        case "%"  => Math.floorMod(a, b)
+        case "//" => Math.floorDiv(a, b)
+        case other => throw new EvalException(s"bad arith op $other")
+      }
+    case Cmp(op, l, r) =>
+      val a = evalNumIn(l, env); val b = evalNumIn(r, env)
+      val res = op match {
+        case "==" => a == b
+        case "!=" => a != b
+        case "<"  => a < b
+        case "<=" => a <= b
+        case ">"  => a > b
+        case ">=" => a >= b
+        case other => throw new EvalException(s"bad cmp op $other")
+      }
+      if (res) 1L else 0L
+    case And(l, r) =>
+      val a = evalNumIn(l, env); if (a == 0L) a else evalNumIn(r, env)
+    case Or(l, r) =>
+      val a = evalNumIn(l, env); if (a != 0L) a else evalNumIn(r, env)
+    case Not(x) => if (evalNumIn(x, env) == 0L) 1L else 0L
+    case Neg(x) => -evalNumIn(x, env)
+  }
+
+  def evalBoolIn(e: Expr, env: Env): Boolean = evalNumIn(e, env) != 0L
+
   val True: Expr = BoolLit(true)
 
   /** Parse the Python-expression subset. */

@@ -46,17 +46,7 @@ object SparkCep {
     val attrNames: Vector[String] =
       (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
 
-    val keyExpr = spec.keyCol match {
-      case Some(k) =>
-        df.schema(k).dataType match {
-          case _: NumericType => col(k).cast(LongType)
-          // non-numeric keys (e.g. string user ids) keep their identity
-          // through a 64-bit hash — casting them would null out (or, under
-          // ANSI, error on) every non-numeric value
-          case _ => xxhash64(col(k))
-        }
-      case None => lit(0L)
-    }
+    val keyExprC = keyExpr(df, spec)
     val source0 = prefilter(query, spec) match {
       case Some(cond) => df.filter(cond) // pushes down to the parquet scan
       case None       => df
@@ -68,7 +58,7 @@ object SparkCep {
       case None    => source0
     }
     val prepared = source.select(
-      keyExpr.as("__key") +:
+      keyExprC.as("__key") +:
         col(spec.orderCol).cast(LongType).as("__ord") +:
         col(spec.typeCol).cast(StringType).as("__type") +:
         attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*
@@ -120,6 +110,21 @@ object SparkCep {
 
     if (spec.keyCol.isEmpty) out.drop(keyName) else out
   }
+
+  /** Long key derivation shared by the batch and streaming operators:
+    * numeric key columns cast (truncating); non-numeric (string, struct —
+    * i.e. composite) keys hash via xxhash64, since a cast would null out
+    * (or, under ANSI, error on) every non-numeric value.
+    */
+  private[cep] def keyExpr(df: DataFrame, spec: CepSpec): Column =
+    spec.keyCol match {
+      case Some(k) =>
+        df.schema(k).dataType match {
+          case _: NumericType => col(k).cast(LongType)
+          case _              => xxhash64(col(k))
+        }
+      case None => lit(0L)
+    }
 
   /** Pre-NFA filter pushdown (SURVEY.md §4): a predicate applied *before*
     * the key shuffle, reaching the parquet scan — at corpus scale this cuts

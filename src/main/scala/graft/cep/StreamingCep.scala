@@ -101,12 +101,18 @@ object StreamingCep {
       (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
     val orderName = attrNames.head
 
-    val keyExpr = spec.keyCol match {
-      case Some(k) => col(k).cast(LongType)
-      case None    => lit(0L)
+    // same source policy as the batch operator: semantics-preserving
+    // pre-NFA pushdown, null keys dropped, non-numeric keys hashed
+    val source0 = SparkCep.prefilter(query, spec) match {
+      case Some(cond) => df.filter(cond)
+      case None       => df
     }
-    val prepared = df.select(
-      keyExpr.as("__key") +:
+    val source = spec.keyCol match {
+      case Some(k) => source0.filter(col(k).isNotNull)
+      case None    => source0
+    }
+    val prepared = source.select(
+      SparkCep.keyExpr(df, spec).as("__key") +:
         col(spec.orderCol).cast(LongType).as("__ord") +:
         col(spec.typeCol).cast(StringType).as("__type") +:
         attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*)
@@ -171,10 +177,6 @@ object StreamingCep {
       (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
     val orderName = attrNames.head
 
-    val keyExpr = spec.keyCol match {
-      case Some(k) => col(k).cast(LongType)
-      case None    => lit(0L)
-    }
     val withWm = df.withWatermark(tsCol, delay)
     val source = spec.keyCol match {
       case Some(k) =>
@@ -184,7 +186,7 @@ object StreamingCep {
     // keep tsCol as a TIMESTAMP — a cast would strip the watermark tag and
     // EventTimeTimeout requires a watermarked column in the child plan
     val prepared = source.select(
-      keyExpr.as("__key") +:
+      SparkCep.keyExpr(df, spec).as("__key") +:
         col(tsCol).as("__ts") +:
         col(spec.orderCol).cast(LongType).as("__ord") +:
         col(spec.typeCol).cast(StringType).as("__type") +:
