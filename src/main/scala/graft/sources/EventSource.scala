@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Uniform source layer for event/document tables: one entry point over
+  * Parquet (the native scale format), CSV, and JSON lines, batch or
+  * streaming.
+  *
+  * The reference's only sources are YAML files loaded whole
+  * (`/root/reference/reflinkcep/ast.py:69-81`, `exp/run.py:52-61`) —
+  * `graft.cep.YamlQuery` covers that surface. This object is the scale
+  * path: splittable columnar scans with column pruning and predicate
+  * pushdown for Parquet, schema-pinned text formats for interchange.
+  *
+  * Every reader takes an explicit schema: at 100 TB, schema inference is
+  * a full extra pass over the data (and nondeterministic under sampling) —
+  * never let the engine guess.
+  */
+object EventSource {
+
+  def parquet(spark: SparkSession, path: String): DataFrame = {
+    // events.parquet carries timestamp[ns]; Spark 4 rejects nanos unless
+    // read as long (TESTDATA schema note)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+  }
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Streaming variants: identical schemas, `readStream` instead of
+    * `read` — the frames feed `StreamingCep`/`StreamingSessions` directly.
+    */
+  def parquetStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  def csvStream(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.readStream.schema(schema).option("header", header.toString)
+      .csv(path)
+
+  def jsonStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+}
