@@ -81,7 +81,7 @@ object Similarity {
           s1 > s2 || (s1 == s2 && i1 < i2)
         rows.foreach { row =>
           val cid = row.getLong(0)
-          val cSeq = row.getSeq[Float](1)
+          val cSeq = toFloatArray(row.getSeq[Float](1))
           val cv = new Array[Double](cSeq.length)
           var d = 0
           while (d < cv.length) { cv(d) = cSeq(d).toDouble; d += 1 }
@@ -207,7 +207,7 @@ object Similarity {
     val centVecs = centRows.map(_.getSeq[Float](1).toArray)
     val bc = spark.sparkContext.broadcast((centIds, centVecs))
 
-    def simToCentroids(v: scala.collection.Seq[Float]): Array[Long] = {
+    def simToCentroids(v: Array[Float]): Array[Long] = {
       val (_, cvs) = bc.value
       cvs.map(cv => cosineMicroJvm(v, cv))
     }
@@ -220,8 +220,7 @@ object Similarity {
       .mapPartitions { rows =>
         val (ids, _) = bc.value
         rows.map { r =>
-          val v = r.getSeq[Float](1)
-          val sims = simToCentroids(v)
+          val sims = simToCentroids(toFloatArray(r.getSeq[Float](1)))
           var best = 0
           var i = 1
           while (i < sims.length) {
@@ -241,8 +240,7 @@ object Similarity {
       .mapPartitions { rows =>
         val (ids, _) = bc.value
         rows.flatMap { r =>
-          val v = r.getSeq[Float](1)
-          val sims = simToCentroids(v)
+          val sims = simToCentroids(toFloatArray(r.getSeq[Float](1)))
           // top nprobe cells by (sim desc, centroid id asc)
           val order = ids.indices.sortBy(i => (-sims(i), ids(i)))
           order.take(nprobe).iterator.map(i => Row(ids(i), r.getLong(0), r.get(1)))
@@ -253,29 +251,75 @@ object Similarity {
       StructField("query_id", LongType, nullable = false),
       StructField("neighbor_id", LongType, nullable = false),
       StructField("sim_micro", LongType, nullable = false)))
-    val scored = probed.join(assigned, "__cell")
-      .filter(col("__qid") =!= col("__cid"))
-      .select(col("__qid"), col("__cid"), col("__qvec"), col("__cvec"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          Row(r.getLong(0), r.getLong(1),
-            cosineMicroJvm(r.getSeq[Float](2), r.getSeq[Float](3)))
-        }
+    // cogroup by cell — the IVF physical plan: each task materializes one
+    // cell's vectors (cells are executor-sized by the nlist choice) and
+    // scans its probes against them in a primitive loop, emitting only the
+    // per-(probe, cell) top-k. A plain join would materialize
+    // |probes|·|cell| rows each carrying two vectors; this shuffles the
+    // vectors once and emits k rows per probe per cell. The global top-k
+    // is a subset of the union of per-cell top-ks, so the final window
+    // ranks nprobe·k candidates per query, not the whole scan.
+    implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+    val scored = assigned.groupByKey(_.getLong(0))
+      .cogroup(probed.groupByKey(_.getLong(0))) {
+        (_, corpusRows, probeRows) =>
+          val cids = Array.newBuilder[Long]
+          val cvecs = Array.newBuilder[Array[Float]]
+          corpusRows.foreach { r =>
+            cids += r.getLong(1); cvecs += toFloatArray(r.getSeq[Float](2))
+          }
+          val ids = cids.result(); val vecs = cvecs.result()
+          def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+            s1 > s2 || (s1 == s2 && i1 < i2)
+          probeRows.flatMap { pr =>
+            val qid = pr.getLong(1)
+            val qv = toFloatArray(pr.getSeq[Float](2))
+            val topSim = new Array[Long](k); val topId = new Array[Long](k)
+            var n = 0
+            var c = 0
+            while (c < ids.length) {
+              if (ids(c) != qid) {
+                val sim = cosineMicroJvm(qv, vecs(c))
+                if (n < k) { topSim(n) = sim; topId(n) = ids(c); n += 1 }
+                else {
+                  var worst = 0; var i = 1
+                  while (i < k) {
+                    if (better(topSim(worst), topId(worst),
+                        topSim(i), topId(i))) worst = i
+                    i += 1
+                  }
+                  if (better(sim, ids(c), topSim(worst), topId(worst))) {
+                    topSim(worst) = sim; topId(worst) = ids(c)
+                  }
+                }
+              }
+              c += 1
+            }
+            (0 until n).iterator.map(i => Row(qid, topId(i), topSim(i)))
+          }
       }(Encoders.row(simSchema))
-      // a (query, neighbor) pair can surface through at most one cell (the
-      // neighbor's unique assignment) — no dedup needed
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_micro").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
   }
 
+  /** Unwrap a row's array<float> column to the primitive array without
+    * copying when Spark hands back an `ArraySeq.ofFloat` wrapper — the
+    * generic `Seq[Float].apply` boxes per element, which dominates
+    * million-pair re-rank loops.
+    */
+  private[ops] def toFloatArray(s: scala.collection.Seq[Float]): Array[Float] =
+    s match {
+      case w: scala.collection.mutable.ArraySeq.ofFloat => w.array
+      case _                                            => s.toArray
+    }
+
   /** Exact JVM mirror of `cosineMicro`: double math with left-to-right
     * summation — bit-identical to the Column expression and to DuckDB's
     * `list_inner_product`.
     */
-  private[ops] def cosineMicroJvm(a: scala.collection.Seq[Float],
-      b: scala.collection.Seq[Float]): Long = {
+  private[ops] def cosineMicroJvm(a: Array[Float], b: Array[Float]): Long = {
     val n = a.length
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var d = 0
@@ -286,6 +330,10 @@ object Similarity {
     }
     math.floor(1000000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
   }
+
+  private[ops] def cosineMicroJvm(a: scala.collection.Seq[Float],
+      b: scala.collection.Seq[Float]): Long =
+    cosineMicroJvm(toFloatArray(a), toFloatArray(b))
 
   /** LSH-bucketed near-neighbor pairs: signature band join (4×16 bits) then
     * exact cosine re-rank, keeping pairs with cosine ≥ simMicro/1e6. The
