@@ -957,6 +957,33 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  /** Multimodal frame sampling: payloads as 16-byte frames, every 2nd
+    * frame emitted as its own row, fingerprinted (the video-to-frames
+    * explosion shape with a deterministic stub in place of a codec).
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val assets = MultiModal.ingestFromText(
+      table(spark, dir, "documents"), "doc_id", "text", "source")
+    MultiModal.frameSample(assets, frameBytes = 16, stride = 2)
+      .select(col("asset_id"), col("frame_no"),
+        octet_length(col("frame")).cast(LongType).as("n_bytes"),
+        TextOps.fingerprint(decode(col("frame"), "UTF-8")).as("fp"))
+      .orderBy("asset_id", "frame_no")
+  }
+
+  val mmFrameSampleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, length(text)//16 - 1, 2)) AS frame_no
+      |  FROM documents WHERE length(text) >= 16)
+      |SELECT doc_id AS asset_id, CAST(frame_no AS BIGINT) AS frame_no,
+      |  CAST(16 AS BIGINT) AS n_bytes,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, 16),
+      |      i -> CAST(ascii(substr(text, frame_no*16+i, 1)) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      |FROM f ORDER BY asset_id, frame_no""".stripMargin
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -994,7 +1021,8 @@ object Queries {
     "dedup_simhash" -> dedupSimhash _,
     "knn_cosine_top10" -> knnCosineTop10 _,
     "emb_near_dup_lsh" -> embNearDupLsh _,
-    "mm_features" -> mmFeatures _
+    "mm_features" -> mmFeatures _,
+    "mm_frame_sample" -> mmFrameSample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1030,6 +1058,7 @@ object Queries {
     "dedup_normalized" -> dedupNormalizedSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "knn_cosine_top10" -> knnCosineTop10Sql,
-    "mm_features" -> mmFeaturesSql
+    "mm_features" -> mmFeaturesSql,
+    "mm_frame_sample" -> mmFrameSampleSql
   )
 }

@@ -80,4 +80,73 @@ object MultiModal {
         }
       }(Encoders.row(featureSchema))
   }
+
+  /** RESIZE STUB — deterministic fake "resize": rescale the payload to
+    * exactly `targetBytes` by averaging fixed-width source windows (the
+    * byte-level analogue of box-filter image downscaling). Real media
+    * resize replaces the window math; the narrow per-partition batch shape
+    * and binary-in/binary-out schema are the real plumbing.
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    val out = new Array[Byte](targetBytes)
+    if (payload != null && payload.length > 0) {
+      var j = 0
+      while (j < targetBytes) {
+        val from = (j.toLong * payload.length / targetBytes).toInt
+        val until0 = ((j + 1).toLong * payload.length / targetBytes).toInt
+        val until = if (until0 > from) until0 else from + 1
+        var sum = 0L
+        var i = from
+        while (i < until && i < payload.length) {
+          sum += (payload(i) & 0xFF); i += 1
+        }
+        out(j) = (sum / (until - from)).toByte
+        j += 1
+      }
+    }
+    out
+  }
+
+  /** Resize every asset's payload to `targetBytes` (metadata updated). */
+  def resize(assets: DataFrame, targetBytes: Int): DataFrame = {
+    val outSchema = assetSchema
+    assets.select("asset_id", "modality", "payload", "meta.n_bytes",
+        "meta.source")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val resized = resizeStub(payload, targetBytes)
+          Row(r.getLong(0), r.getString(1), resized,
+            Row(resized.length.toLong, if (r.isNullAt(4)) null
+              else r.getString(4)))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** FRAME-SAMPLE STUB — deterministic fake "frame sampling": treat the
+    * payload as `frameBytes`-sized frames and emit every `stride`-th frame
+    * as its own asset row (`asset_id`, `frame_no`, frame payload) — the
+    * video-to-frames explosion shape, one output row per sampled frame.
+    */
+  def frameSample(assets: DataFrame, frameBytes: Int,
+      stride: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    assets.select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](1)
+          val nFrames = payload.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            Row(id, f.toLong,
+              java.util.Arrays.copyOfRange(payload, f * frameBytes,
+                (f + 1) * frameBytes))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
 }

@@ -167,6 +167,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       'e'.toLong, 'f'.toLong, 'g'.toLong, 'h'.toLong).map(_.toLong))
   }
 
+  test("multimodal resize and frame sampling are deterministic byte ops") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "abcdefgh", "src")).toDF("doc_id", "text", "source")
+    val assets = MultiModal.ingestFromText(df, "doc_id", "text", "source")
+    // resize 8 bytes -> 4: windows of 2, averaged
+    val resized = MultiModal.resize(assets, 4).collect()(0)
+    val bytes = resized.getAs[Array[Byte]](2)
+    assert(bytes.toSeq == Seq(('a' + 'b') / 2, ('c' + 'd') / 2,
+      ('e' + 'f') / 2, ('g' + 'h') / 2).map(_.toByte))
+    assert(resized.getStruct(3).getLong(0) == 4L)
+    // frames of 3 bytes, stride 2 -> frames 0 and 2 ("abc", "ghi"-less)
+    val df2 = Seq((2L, "abcdefghi", "src")).toDF("doc_id", "text", "source")
+    val frames = MultiModal.frameSample(
+      MultiModal.ingestFromText(df2, "doc_id", "text", "source"), 3, 2)
+      .collect().map(r => (r.getLong(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).toSet
+    assert(frames == Set((0L, "abc"), (2L, "ghi")))
+  }
+
   test("text stats: counts and quality score") {
     val df = docs(1L -> "a b a c, d!")
     val r = TextOps.textStats(df, "doc_id", "text").collect()(0)
