@@ -34,10 +34,15 @@ object DedupOps {
 
   /** Exact duplicate mapping: every doc → the minimum doc-id holding its
     * exact text (`keep_id`), plus the duplicate-group size. One shuffle.
+    * With `byDigest`, the shuffle key is `sha2(text, 256)` — 32-byte keys
+    * instead of whole documents, the corpus-scale variant (collision
+    * probability 2^-128: cryptographically negligible).
     */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def exactDedup(df: DataFrame, idCol: String, textCol: String,
+      byDigest: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(textCol))
+    val key = if (byDigest) sha2(col(textCol), 256) else col(textCol)
+    val w = Window.partitionBy(key)
     df.select(
       col(idCol),
       min(col(idCol)).over(w).as("keep_id"),

@@ -58,6 +58,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 2L, 2L, 4L)))
   }
 
+  test("digest-keyed exact dedup equals text-keyed exact dedup") {
+    val df = docs(1L -> "same text", 2L -> "same text", 3L -> "other")
+    def rows(byDigest: Boolean) =
+      DedupOps.exactDedup(df, "doc_id", "text", byDigest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(byDigest = true) == rows(byDigest = false))
+    assert(rows(byDigest = true) ==
+      Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
   test("minhash: identical texts share full signatures; disjoint do not") {
     val df = docs(1L -> "a b c d e f", 2L -> "a b c d e f",
       3L -> "p q r s t u")
