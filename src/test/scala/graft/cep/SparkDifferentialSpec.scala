@@ -1,0 +1,132 @@
+package graft.cep
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Spark-layer differential sampling: every 500th corpus case runs through
+  * the full `SparkCep.matchPattern` path (DataFrame → prefilter →
+  * repartition → sort → NFA → match rows) in global mode and must produce
+  * the in-memory operator's matches — same bindings, same order. Guards
+  * the Spark integration (column mapping, pushdown, ordering) against the
+  * whole shape cross-product, not just hand-picked patterns.
+  */
+class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def loadSample(step: Int)
+      : Vector[(Int, String, Vector[(String, Int, Int)])] = {
+    val in = getClass.getResourceAsStream("/differential/cases.jsonl.gz")
+    require(in != null, "differential corpus missing")
+    val gz = new java.util.zip.GZIPInputStream(in)
+    scala.io.Source.fromInputStream(gz, "UTF-8").getLines().zipWithIndex
+      .collect { case (line, i) if i % step == 0 => line }
+      .map { line =>
+        val j = JsonMethods.parse(line)
+        val id = (j \ "id") match { case JInt(v) => v.toInt; case _ => -1 }
+        val JString(query) = (j \ "query"): @unchecked
+        val input = (j \ "input") match {
+          case JArray(evs) => evs.map {
+            case JArray(List(JString(t), JInt(n), JInt(p))) =>
+              (t, n.toInt, p.toInt)
+            case other => fail(s"bad input $other")
+          }.toVector
+          case other => fail(s"bad input list $other")
+        }
+        (id, query, input)
+      }.toVector
+  }
+
+  test("sampled corpus cases match through the full Spark operator") {
+    val s = spark
+    import s.implicits._
+    val sample = loadSample(500)
+    assert(sample.nonEmpty)
+    var checked = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((id, queryYaml, input) <- sample) {
+      val q = YamlQuery.fromYaml(queryYaml)
+      val events = input.zipWithIndex.map { case ((t, nm, pr), i) =>
+        Event(t, Vector("id" -> (i + 1).toLong, "name" -> nm.toLong,
+          "price" -> pr.toLong))
+      }
+      val names = SparkCep.patternNames(q.patseq)
+      val want = CepOperator.run(q, events).map(m =>
+        names.map(n => m.toMap.getOrElse(n, Vector.empty).map(_("id"))))
+
+      val df = input.zipWithIndex.map { case ((t, nm, pr), i) =>
+        ((i + 1).toLong, t, nm.toLong, pr.toLong)
+      }.toDF("id", "type", "name", "price")
+      val spec = SparkCep.CepSpec(None, "id", "type", Seq("name", "price"))
+      val got = SparkCep.matchPattern(df, q, spec).collect().toVector
+        .map(r => names.indices.map(i => r.getSeq[Long](i)).toVector)
+
+      if (got != want && failures.length < 3)
+        failures += s"case $id: want=$want got=$got"
+      checked += 1
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    info(s"$checked sampled cases matched through Spark")
+  }
+
+  test("sampled corpus cases match through streaming CEP across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sample = loadSample(2000)
+    assert(sample.nonEmpty)
+    var checked = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((id, queryYaml, input) <- sample) {
+      val q = YamlQuery.fromYaml(queryYaml)
+      val events = input.zipWithIndex.map { case ((t, nm, pr), i) =>
+        Event(t, Vector("id" -> (i + 1).toLong, "name" -> nm.toLong,
+          "price" -> pr.toLong))
+      }
+      val names = SparkCep.patternNames(q.patseq)
+      val want = CepOperator.run(q, events).map(m =>
+        names.map(n => m.toMap.getOrElse(n, Vector.empty).map(_("id"))))
+        .toSet
+
+      val rows = input.zipWithIndex.map { case ((t, nm, pr), i) =>
+        ((i + 1).toLong, t, nm.toLong, pr.toLong)
+      }
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val mem = MemoryStream[(Long, String, Long, Long)]
+      val spec = SparkCep.CepSpec(None, "id", "type", Seq("name", "price"))
+      val out = StreamingCep.matchPattern(
+        mem.toDF().toDF("id", "type", "name", "price"), q, spec)
+      val qn = s"sdiff_$id"
+      val sq = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        if (b1.nonEmpty) { mem.addData(b1: _*); sq.processAllAvailable() }
+        if (b2.nonEmpty) { mem.addData(b2: _*); sq.processAllAvailable() }
+      } finally sq.stop()
+      val got = spark.table(qn).collect().toVector
+        .map(r => names.indices.map(i => r.getSeq[Long](i)).toVector)
+        .toSet
+      if (got != want && failures.length < 3)
+        failures += s"case $id: want=$want got=$got"
+      checked += 1
+      spark.sql(s"DROP TABLE IF EXISTS $qn")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    info(s"$checked sampled cases matched through streaming CEP")
+  }
+}
