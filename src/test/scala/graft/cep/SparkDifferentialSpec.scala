@@ -83,6 +83,48 @@ class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"$checked sampled cases matched through Spark")
   }
 
+  test("keyed mode isolates interleaved key copies across sampled shapes") {
+    val s = spark
+    import s.implicits._
+    val sample = loadSample(1000)
+    var checked = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((id, queryYaml, input) <- sample) {
+      val q = YamlQuery.fromYaml(queryYaml)
+      val events = input.zipWithIndex.map { case ((t, nm, pr), i) =>
+        Event(t, Vector("id" -> (i + 1).toLong, "name" -> nm.toLong,
+          "price" -> pr.toLong))
+      }
+      val names = SparkCep.patternNames(q.patseq)
+      val want = CepOperator.run(q, events).map(m =>
+        names.map(n => m.toMap.getOrElse(n, Vector.empty).map(_("id"))))
+
+      // two keys, rows interleaved; each key carries the full sequence
+      // (same per-key ids so both keys must reproduce `want` exactly)
+      val rows = input.zipWithIndex.flatMap { case ((t, nm, pr), i) =>
+        Seq((7L, (i + 1).toLong, t, nm.toLong, pr.toLong),
+          (9L, (i + 1).toLong, t, nm.toLong, pr.toLong))
+      }
+      val df = rows.toDF("k", "id", "type", "name", "price")
+      val spec = SparkCep.CepSpec(Some("k"), "id", "type",
+        Seq("name", "price"))
+      val got = SparkCep.matchPattern(df, q, spec).collect().toVector
+        .groupBy(_.getLong(0))
+        .map { case (k, rs) =>
+          k -> rs.map(r =>
+            names.indices.map(i => r.getSeq[Long](i + 1)).toVector)
+        }
+      val ok = got.keySet == Set(7L, 9L) &&
+        got.values.forall(_ == want) ||
+        (want.isEmpty && got.isEmpty)
+      if (!ok && failures.length < 3)
+        failures += s"case $id: want=$want got=$got"
+      checked += 1
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    info(s"$checked sampled cases isolated correctly under keys")
+  }
+
   test("sampled corpus cases match through streaming CEP across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
