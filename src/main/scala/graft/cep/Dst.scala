@@ -270,4 +270,19 @@ final class Dst(
     conf.q.out.get.collect {
       case (key, v) if conf.ctx.contains(v) => key -> conf.ctx(v)
     }
+
+  /** Debug dump of the transition map, one source state per block — the
+    * reference's `_print_trans_map` surface (`DST.py:313-317`).
+    */
+  def transMapString: String =
+    states.filter(s => edgeMap.contains(s.name)).map { s =>
+      s"${s.name}:[\n${edgeMap(s.name).map(edgeString).mkString("\n")}\n]"
+    }.mkString("\n")
+
+  private def edgeString(t: Transition): String = {
+    val kind =
+      if (t.isEpsilon) "eps" else if (t.isTake) "take" else "ignore"
+    val tpe = t.p.evType.getOrElse("ε")
+    s"  ${t.q1.name} --$kind[$tpe]--> ${t.q2.name}"
+  }
 }

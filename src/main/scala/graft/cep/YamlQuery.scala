@@ -28,6 +28,12 @@ object YamlQuery {
     fromYaml(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Load `<dir>/<name>.yml` — the reference's `Query.from_sample`
+    * convenience (`ast.py:68-74`) with an explicit sample directory.
+    */
+  def fromSample(name: String, dir: String): CepQuery =
+    fromFile(s"$dir/$name.yml")
+
   /** Load a *testcase* document — `{query: <query-doc>, input: [{type,
     * attrs: {...}}, ...]}` (the differential-harness format, FIXTURES.md
     * §2) — returning the query plus the event stream.

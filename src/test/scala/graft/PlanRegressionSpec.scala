@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The physical plans we designed for must not silently regress: CEP
+  * prefilters reach the scan as data filters, dimension joins broadcast,
+  * scans prune to referenced columns. Checked on sf0.001 (plan shape is
+  * size-independent for these properties, modulo AQE join choices on the
+  * explicitly-hinted joins).
+  */
+class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("cep spat pushes type and condition into the parquet scan") {
+    val p = plan("cep_spat_purchase")
+    assert(p.contains("event_type"), "type filter missing from plan")
+    assert(p.matches("(?s).*DataFilters: \\[[^\\]]*event_type[^\\]]*purchase.*"),
+      "type condition not in scan DataFilters")
+  }
+
+  test("cep nd-relaxed pushes the alphabet filter to the scan") {
+    val p = plan("cep_ndrelaxed_click_pairs")
+    assert(p.matches("(?s).*DataFilters: \\[[^\\]]*event_type[^\\]]*click.*"),
+      "alphabet filter not in scan DataFilters")
+  }
+
+  test("q3 dimension joins broadcast") {
+    val p = plan("rel_q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join in Q3 plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1 scan prunes to the referenced columns") {
+    val p = plan("rel_q1_pricing")
+    val scan = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_returnflag") && scan.contains("l_quantity"))
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipdate"),
+      s"unreferenced columns read: $scan")
+  }
+
+  test("dst transition map prints every reachable state block") {
+    import graft.cep._
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed, Pattern.spat("a", "x", "True"),
+        Pattern.spat("b", "y", "True")),
+      Vector("x" -> Vector("id"), "y" -> Vector("id")))
+    val dst = DstCompiler.compile(q)
+    val s = dst.transMapString
+    assert(s.contains(":["))
+    assert(dst.delta.forall(t => s.contains(t.q1.name)))
+  }
+}
