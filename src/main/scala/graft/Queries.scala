@@ -957,6 +957,38 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  /** KMV distinct-token sketch over the corpus vocabulary — an
+    * engine-portable alternative to HLL: pure order statistics over the
+    * deterministic 60-bit token hash, so the oracle checks the *estimate*
+    * exactly, not approximately.
+    */
+  def sketchDistinctTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Sketches, TextOps}
+    val toks = table(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    Sketches.kmvDistinct(toks, "tok", k = 256)
+  }
+
+  val sketchDistinctTokensSql: String = {
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(tok)), " +
+        s"i -> CAST(ascii(tok[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT DISTINCT ((${poly(131)} * ${poly(257)}) % 1000000007) AS h
+       |  FROM toks),
+       |mins AS (SELECT h FROM h ORDER BY h LIMIT 256)
+       |SELECT count(*) AS k_used, max(h) AS kth_min,
+       |  CASE WHEN count(*) < 256 THEN count(*)
+       |    ELSE CAST(floor(CAST(count(*) - 1 AS DOUBLE) *
+       |      (1000000007.0 / CAST(max(h) AS DOUBLE))) AS BIGINT)
+       |  END AS est_distinct
+       |FROM mins""".stripMargin
+  }
+
   /** Multimodal frame sampling: payloads as 16-byte frames, every 2nd
     * frame emitted as its own row, fingerprinted (the video-to-frames
     * explosion shape with a deterministic stub in place of a codec).
@@ -1022,7 +1054,8 @@ object Queries {
     "knn_cosine_top10" -> knnCosineTop10 _,
     "emb_near_dup_lsh" -> embNearDupLsh _,
     "mm_features" -> mmFeatures _,
-    "mm_frame_sample" -> mmFrameSample _
+    "mm_frame_sample" -> mmFrameSample _,
+    "sketch_distinct_tokens" -> sketchDistinctTokens _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1059,6 +1092,7 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql,
-    "mm_frame_sample" -> mmFrameSampleSql
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "sketch_distinct_tokens" -> sketchDistinctTokensSql
   )
 }

@@ -51,12 +51,10 @@ object DedupOps {
 
   /** Deterministic polynomial hash of a string (base `base`, mod 1e9+7 —
     * products stay below 2^40, so ANSI-mode overflow can never trip).
+    * Native codegen'd expression; see `graft.functions.PolyHash`.
     */
   def polyHash(s: Column, base: Long = 131L): Column =
-    aggregate(
-      transform(split(s, ""), c => ascii(c).cast(LongType)),
-      lit(0L),
-      (acc, c) => (acc * base + c) % 1000000007L)
+    graft.functions.PolyHash.polyHash(s, base)
 
   /** Two independent 30-bit polynomial hashes combined into a ~60-bit
     * token hash (bit-spread for SimHash/MinHash without long overflow).

@@ -101,14 +101,13 @@ object TextOps {
 
   /** Polynomial rolling hash of the whole text (base 31, mod 1e9+7) — a
     * deterministic document fingerprint computable in both Spark and the
-    * DuckDB oracle via the same char-code fold. ASCII-safe (the corpus is
-    * ASCII; both engines return the code point of the leading char).
+    * DuckDB oracle via the same char-code fold. Runs as a native
+    * codegen'd Catalyst expression (`graft.functions.PolyHash`); the
+    * interpreted `aggregate(transform(split(...)))` HOF formulation of
+    * the same fold is pinned equal by `PolyHashSpec`.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast(LongType)),
-      lit(0L),
-      (acc, c) => (acc * 31 + c) % 1000000007L)
+    graft.functions.PolyHash.polyHash(text, 31L)
 
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), fingerprint(col(textCol)).as("fp"))

@@ -218,6 +218,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames == Set((0L, "abc"), (2L, "ghi")))
   }
 
+  test("kmv sketch: exact below k, within 20% above k") {
+    val s = spark
+    import s.implicits._
+    // 50 distinct values < k=256 → exact count
+    val small = (1 to 50).map(i => s"tok$i").toDF("v")
+    val r1 = Sketches.kmvDistinct(small, "v", 256).collect()(0)
+    assert(r1.getLong(0) == 50L && r1.getLong(2) == 50L)
+    // 5000 distinct values > k → estimate within 20%
+    val big = (1 to 5000).map(i => s"token$i").toDF("v")
+    val r2 = Sketches.kmvDistinct(big, "v", 256).collect()(0)
+    assert(r2.getLong(0) == 256L)
+    val est = r2.getLong(2).toDouble
+    assert(est > 4000 && est < 6000, s"est=$est")
+  }
+
   test("text stats: counts and quality score") {
     val df = docs(1L -> "a b a c, d!")
     val r = TextOps.textStats(df, "doc_id", "text").collect()(0)
