@@ -605,6 +605,41 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Pre-training-filter quality heuristics: stopword / word-length /
+    * punctuation ratios plus the composite gate.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textQualitySql: String = {
+    val stops = TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, len(toks) AS n_tokens,
+       |    len(list_filter(toks, x -> list_contains($stops, lower(x)))) AS n_stop,
+       |    list_sum(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, x -> CAST(length(x) AS BIGINT)))) AS char_sum,
+       |    length(text) - length(translate(text, '.,!?;:', '')) AS n_punct
+       |  FROM t)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens ELSE 0 END AS BIGINT)
+       |    AS stop_ratio_milli,
+       |  CAST(CASE WHEN n_tokens > 0 THEN char_sum * 1000 // n_tokens ELSE 0 END AS BIGINT)
+       |    AS mean_word_len_milli,
+       |  CAST(CASE WHEN length(text) > 0 THEN n_punct * 1000 // length(text) ELSE 0 END AS BIGINT)
+       |    AS punct_ratio_milli,
+       |  (n_tokens > 0
+       |    AND (CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens ELSE 0 END) > 0
+       |    AND (CASE WHEN n_tokens > 0 THEN char_sum * 1000 // n_tokens ELSE 0 END) BETWEEN 2000 AND 12000
+       |    AND (CASE WHEN length(text) > 0 THEN n_punct * 1000 // length(text) ELSE 0 END) < 200)
+       |    AS quality_ok
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Whitespace vs BPE-ish token counts (LLM budget accounting). */
   def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(table(spark, dir, "documents"), "doc_id", "text")
@@ -1042,6 +1077,7 @@ object Queries {
     "rel_nations_set" -> relNationsSet _,
     "rel_cust_no_orders" -> relCustNoOrders _,
     "text_token_counts" -> textTokenCounts _,
+    "text_quality" -> textQuality _,
     "knn_ivf_top5" -> knnIvfTop5 _,
     "text_stats" -> textStats _,
     "lang_id" -> langIdQuery _,
@@ -1083,6 +1119,7 @@ object Queries {
     "rel_nations_set" -> relNationsSetSql,
     "rel_cust_no_orders" -> relCustNoOrdersSql,
     "text_token_counts" -> textTokenCountsSql,
+    "text_quality" -> textQualitySql,
     "knn_ivf_top5" -> knnIvfTop5Sql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

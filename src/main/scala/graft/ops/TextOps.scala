@@ -82,6 +82,54 @@ object TextOps {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** English stopword set for quality heuristics (small, fixed,
+    * replicable in the SQL oracle).
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "are")
+
+  /** Document-quality heuristics in the standard pre-training-filter
+    * style (all ratios in exact integer millis):
+    *  - `stop_ratio_milli`: stopword fraction of tokens (natural prose
+    *    has some; ~0 signals boilerplate/code/tables);
+    *  - `mean_word_len_milli`: mean token length (extremes signal junk);
+    *  - `punct_ratio_milli`: punctuation chars per char;
+    *  - `quality_ok`: the composite gate (has tokens, some stopwords,
+    *    sane word length, punctuation below 20%).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast(LongType)
+    val nStop = size(filter(toks,
+      t => lower(t).isin(stopwords.map(lit): _*))).cast(LongType)
+    val charSum = aggregate(transform(toks, t => length(t).cast(LongType)),
+      lit(0L), (a, c) => a + c)
+    val nPunct = (length(col(textCol)) -
+      length(translate(col(textCol), ".,!?;:", ""))).cast(LongType)
+    // floor of an exact double quotient == integer division for these
+    // magnitudes (numerators < 2^53; an exactly-integer quotient divides
+    // exactly in IEEE)
+    val stopRatio =
+      when(nTok > 0, floor(nStop * 1000.0 / nTok)).otherwise(0L)
+        .cast(LongType)
+    val meanLen =
+      when(nTok > 0, floor(charSum * 1000.0 / nTok)).otherwise(0L)
+        .cast(LongType)
+    val punctRatio = when(length(col(textCol)) > 0,
+      floor(nPunct * 1000.0 / length(col(textCol)))).otherwise(0L)
+      .cast(LongType)
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      stopRatio.as("stop_ratio_milli"),
+      meanLen.as("mean_word_len_milli"),
+      punctRatio.as("punct_ratio_milli"),
+      (nTok > 0 && stopRatio > 0 && meanLen >= 2000 && meanLen <= 12000 &&
+        punctRatio < 200).cast("boolean").as("quality_ok"))
+  }
+
   /** GPT-2-style pre-tokenizer regex, reduced to the engine-portable core:
     * optional leading space + (letter run | digit run | other-symbol run).
     * Both Java regex (Spark) and RE2 (DuckDB) match it leftmost-first with
