@@ -46,5 +46,27 @@ object DriveNfaBench {
       println(f"NFA $name: matches=$matches best=${best}%.2fs " +
         f"rate=${(n / best).toLong}/s")
     }
+
+    // run-set-heavy case: nd-relaxed pairs keep every started run alive,
+    // so live runs grow linearly and the work quadratically — the shape
+    // that stresses per-(run, event) predicate evaluation
+    val ndQ = CepQuery(
+      Pattern.lpat("a", "purchase", "value < 250", Contiguity.NdRelaxed,
+        2, 2), schema)
+    val ndN = 20000
+    var best = Double.MaxValue
+    var matches = 0L
+    for (_ <- 1 to 4) {
+      val ex = new Executor(DstCompiler.compile(ndQ), ndQ.strategy)
+      ex.reset()
+      val t0 = System.nanoTime()
+      var m = 0L
+      var i = 0
+      while (i < ndN) { m += ex.feed(events(i)).length; i += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < best) { best = sec; matches = m }
+    }
+    println(f"NFA nd_pairs: matches=$matches best=${best}%.2fs " +
+      f"rate=${(ndN / best).toLong}/s")
   }
 }
