@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** Differential test: 8,820 generated cases (pattern-shape × contiguity ×
+/** Differential test: 27,783 generated cases (pattern-shape × contiguity ×
   * loop bounds × until × skip-strategy × 2 inputs — the same cross-product
   * families the reference validates against real FlinkCEP) with expected
   * outputs produced by the reference engine itself

@@ -46,6 +46,11 @@ def lpat_variants():
         {"cndt": {"expr": "name == 2"}},
         {"cndt": {"expr": "z1 + price <= 10"},
          "variables": {"z1": {"update": "z1 + price", "initial": 0}}},
+        # two interacting registers: running sum + take count, both read
+        # by the condition (multi-register fold coverage)
+        {"cndt": {"expr": "z1 + price <= 12 and z2 < 3"},
+         "variables": {"z1": {"update": "z1 + price", "initial": 0},
+                       "z2": {"update": "z2 + 1", "initial": 0}}},
     ]
     base = {"name": "pl", "event": "e"}
     for cndt in cndts:
