@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extension wiring graft's native expressions into Spark SQL —
+  * install with `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`): after that
+  * `SELECT polyhash(text, 31)` works from plain SQL and views, fully
+  * codegen'd.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("polyhash"),
+      new ExpressionInfo(classOf[graft.functions.PolyHash].getName,
+        "polyhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "polyhash(str, base) takes exactly two arguments")
+        val base = args(1) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _)  => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"polyhash base must be an integer literal, got $other")
+        }
+        graft.functions.PolyHash(args.head, base)
+      }))
+  }
+}
