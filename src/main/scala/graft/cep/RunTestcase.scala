@@ -19,22 +19,27 @@ import java.util.{Map => JMap}
   */
 object RunTestcase {
   def main(args: Array[String]): Unit = {
+    val usage =
+      "usage: RunTestcase [--out <dir>] [--csv <file>] <testcase.yml> [more...]"
     var outDir: Option[Path] = None
     var csvFile: Option[Path] = None
     val paths = Vector.newBuilder[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--out" => outDir = Some(Paths.get(args(i + 1))); i += 2
-        case "--csv" => csvFile = Some(Paths.get(args(i + 1))); i += 2
-        case p       => paths += p; i += 1
+        case "--out" | "--csv" =>
+          require(i + 1 < args.length, s"${args(i)} needs an operand — $usage")
+          if (args(i) == "--out") outDir = Some(Paths.get(args(i + 1)))
+          else csvFile = Some(Paths.get(args(i + 1)))
+          i += 2
+        case p => paths += p; i += 1
       }
     }
     val files = paths.result()
-    require(files.nonEmpty,
-      "usage: RunTestcase [--out <dir>] [--csv <file>] <testcase.yml> [more...]")
+    require(files.nonEmpty, usage)
     outDir.foreach(Files.createDirectories(_))
     val csvRows = Vector.newBuilder[String]
+    val usedStems = scala.collection.mutable.HashSet.empty[String]
 
     for ((path, idx) <- files.zipWithIndex) {
       val text = new String(Files.readAllBytes(Paths.get(path)),
@@ -51,7 +56,16 @@ object RunTestcase {
 
       outDir.foreach { dir =>
         val base = Paths.get(path).getFileName.toString
-        val stem = base.stripSuffix(".yml").stripSuffix(".yaml")
+        val stem0 = base.stripSuffix(".yml").stripSuffix(".yaml")
+        // same-named testcases from different directories must not
+        // overwrite each other's artifacts
+        val stem =
+          if (usedStems.add(stem0)) stem0
+          else {
+            var n = 1
+            while (!usedStems.add(s"$stem0-$n")) n += 1
+            s"$stem0-$n"
+          }
         Files.write(dir.resolve(s"$stem.txt"),
           (fancy + "\n").getBytes(StandardCharsets.UTF_8))
         // reload the raw document and add the results section, as the
@@ -72,13 +86,21 @@ object RunTestcase {
         Files.write(dir.resolve(s"$stem.yml"),
           yaml.dump(root).getBytes(StandardCharsets.UTF_8))
       }
-      csvRows += MatchSink.csvRow(idx, path, Pattern.repr(query.patseq),
-        events, matches, elapsedMs)
+      if (csvFile.isDefined)
+        csvRows += MatchSink.csvRow(idx, path, Pattern.repr(query.patseq),
+          events, matches, elapsedMs)
     }
 
+    // append (like the reference recorder accumulating one results file);
+    // the header is written only when creating the file
     csvFile.foreach { f =>
-      val lines = (MatchSink.csvHead +: csvRows.result()).mkString("\n") + "\n"
-      Files.write(f, lines.getBytes(StandardCharsets.UTF_8))
+      val fresh = !Files.exists(f)
+      val rows = csvRows.result()
+      val lines =
+        (if (fresh) MatchSink.csvHead +: rows else rows).mkString("\n") + "\n"
+      Files.write(f, lines.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
   }
 }
