@@ -10,13 +10,14 @@ import graft.cep._
   */
 object DriveScale {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val threads = args.headOption.getOrElse("8")
+    val spark = SparkSession.builder().master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val n = 4000000L
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(4000000L)
     val df = spark.range(n).select(
-      (col("id") % 40).as("user_id"),
+      (col("id") % 400).as("user_id"),
       col("id").as("event_id"),
       element_at(
         array(lit("click"), lit("view"), lit("purchase"), lit("signup")),
