@@ -111,10 +111,12 @@ object DedupOps {
     // both sides of the self-join read it, and alias-differing projections
     // defeat exchange reuse (the default storage level spills, never OOMs).
     val idx2 = filtered.cache()
-    val a = idx2.select(col(idCol).as("id1"), col("sh"))
-    val b = idx2.select(col(idCol).as("id2"), col("sh"))
-    a.join(b, "sh")
-      .filter(col("id1") < col("id2"))
+    // alias-based self-join: both sides share the exact same child plan,
+    // so the shuffle on sh is computed once and reused (ReusedExchange)
+    // instead of exchanging the index twice under diverging projections
+    idx2.as("a").join(idx2.as("b"), col("a.sh") === col("b.sh"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
       .join(counts.select(col(idCol).as("id1"), col("n_sh").as("n1")), "id1")
