@@ -697,10 +697,15 @@ object Queries {
       |  count(*) OVER (PARTITION BY norm_text) AS group_cnt
       |FROM normed ORDER BY doc_id""".stripMargin
 
-  /** N-gram Jaccard near-dup pairs (inverted-index self-join), J ≥ 0.5. */
+  /** N-gram Jaccard near-dup pairs, J ≥ 0.5, via the PPJoin-style
+    * prefix-filtered join (`ngramJaccardPairsPrefix`) — the corpus-scale
+    * plan is the benched plan: only rarest-first prefixes are self-joined,
+    * candidates are verified by sorted-merge intersection. Output is
+    * property-tested identical to the plain inverted-index variant.
+    */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.ngramJaccardPairs(table(spark, dir, "documents"), "doc_id",
-      "text", n = 3, simMilli = 500)
+    DedupOps.ngramJaccardPairsPrefix(table(spark, dir, "documents"),
+      "doc_id", "text", n = 3, simMilli = 500)
       .orderBy("id1", "id2")
 
   val dedupNgramJaccardSql: String = {

@@ -40,6 +40,13 @@ object RunTestcase {
     outDir.foreach(Files.createDirectories(_))
     val csvRows = Vector.newBuilder[String]
     val usedStems = scala.collection.mutable.HashSet.empty[String]
+    // when appending to an existing results file, continue its row
+    // numbering (the reference recorder numbers rows continuously across
+    // invocations): offset by the data rows already present (minus header)
+    val idxOffset = csvFile
+      .filter(Files.exists(_))
+      .map(f => math.max(0, Files.readAllLines(f).size - 1))
+      .getOrElse(0)
 
     for ((path, idx) <- files.zipWithIndex) {
       val text = new String(Files.readAllBytes(Paths.get(path)),
@@ -87,8 +94,8 @@ object RunTestcase {
           yaml.dump(root).getBytes(StandardCharsets.UTF_8))
       }
       if (csvFile.isDefined)
-        csvRows += MatchSink.csvRow(idx, path, Pattern.repr(query.patseq),
-          events, matches, elapsedMs)
+        csvRows += MatchSink.csvRow(idxOffset + idx, path,
+          Pattern.repr(query.patseq), events, matches, elapsedMs)
     }
 
     // append (like the reference recorder accumulating one results file);

@@ -17,6 +17,11 @@ import org.apache.spark.sql.types._
   * All similarity math is done in double precision over the float inputs
   * with a fixed left-to-right summation order (`zip_with` + `aggregate`), so
   * results are bit-deterministic and reproducible in the DuckDB oracle.
+  *
+  * Cache contract: `lshNearNeighbors` caches its signature frame (both the
+  * band join and the re-rank read it); the blocks persist until the caller
+  * releases them — call `spark.catalog.clearCache()` after materializing
+  * the result in a long-lived session (the graft bench does, per query).
   */
 object Similarity {
 
@@ -39,88 +44,107 @@ object Similarity {
     * corpus vectors (excluding itself when probing the corpus against
     * itself). Deterministic tie-break on (similarity desc, corpus id).
     *
-    * Physical plan for scale: the probe batch (queries) is collected and
-    * broadcast (it must fit in memory — the usual "query batch vs corpus"
-    * shape); the corpus streams through `mapPartitions` computing dots in
-    * tight primitive loops with *per-partition local top-k* per query, so
-    * the shuffle carries at most `partitions × queries × k` rows instead of
-    * the full cross product; a final window pass merges local top-ks.
-    * The similarity expression tree (`⌊1e6·dot/(‖a‖·‖b‖)⌋`, sequential
-    * left-to-right sums in double) matches the DuckDB oracle bit-for-bit.
+    * Physical plan for scale — a fully distributed block-nested join with
+    * no driver-side materialization of either side: the corpus is
+    * hash-partitioned into `chunks` blocks, probes are replicated to every
+    * block (an `explode` over the chunk ids — a shuffle of `|probes| ×
+    * chunks` id+vector rows, never a `collect`), and a cogroup scores each
+    * block in one tight primitive loop, emitting only the per-(probe,
+    * block) top-k. The final window merges `chunks × k` candidates per
+    * probe. Executor memory is bounded by one corpus block (`|corpus| /
+    * chunks` vectors — size `chunks` accordingly); the probe side streams.
+    * Compute is the unavoidable O(|corpus|·|probes|·dim) of exact KNN —
+    * for corpus×corpus at scale use `ivfTopK` / `lshNearNeighbors`, which
+    * replace the cross product, not just its layout.
+    * The JVM loop (`⌊1e6·dot/(‖a‖·‖b‖)⌋`, sequential left-to-right sums in
+    * double) matches the DuckDB oracle bit-for-bit.
+    *
+    * @param chunks corpus block count; 0 ⇒ `spark.sql.shuffle.partitions`
     */
   def knnBruteForce(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int = 10): DataFrame = {
+      vecCol: String, k: Int = 10, chunks: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
+    val nChunks =
+      if (chunks > 0) chunks
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    // the probe batch is collected and broadcast — it must fit in driver /
-    // executor memory (the usual query-batch shape). For corpus×corpus at
-    // scale, use lshNearNeighbors instead.
-    val probeRows = probes.select(col(idCol).cast(LongType),
-      col(vecCol)).collect()
-    val pIds = probeRows.map(_.getLong(0))
-    val pVecs = probeRows.map(r =>
-      r.getSeq[Float](1).iterator.map(_.toDouble).toArray)
-    val pNorms = pVecs.map(v => math.sqrt(v.map(x => x * x).sum))
-    val bc = spark.sparkContext.broadcast((pIds, pVecs, pNorms))
+    val corpusKeyed = corpus.select(
+      pmod(xxhash64(col(idCol)), lit(nChunks.toLong)).cast(IntegerType)
+        .as("__chunk"),
+      col(idCol).cast(LongType).as("__cid"), col(vecCol).as("__cvec"))
+    val probeRep = probes.select(
+      explode(sequence(lit(0), lit(nChunks - 1))).as("__chunk"),
+      col(idCol).cast(LongType).as("__qid"), col(vecCol).as("__qvec"))
 
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("query_id", LongType, false),
-      org.apache.spark.sql.types.StructField("neighbor_id", LongType, false),
-      org.apache.spark.sql.types.StructField("sim_micro", LongType, false)))
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("sim_micro", LongType, nullable = false)))
 
-    val local = corpus.select(col(idCol).cast(LongType), col(vecCol))
-      .mapPartitions { rows =>
-        val (ids, vecs, norms) = bc.value
-        val m = ids.length
-        // local top-k per query, ordered by (sim desc, neighbor id asc)
-        val topSim = Array.fill(m)(new Array[Long](k))
-        val topId = Array.fill(m)(new Array[Long](k))
-        val topN = new Array[Int](m)
+    implicit val intEnc = org.apache.spark.sql.Encoders.scalaInt
+    val local = corpusKeyed.groupByKey(_.getInt(0))
+      .cogroup(probeRep.groupByKey(_.getInt(0))) { (_, cRows, pRows) =>
+        // materialize this corpus block once (ids, double vectors, norms)
+        val cidB = Array.newBuilder[Long]
+        val cvB = Array.newBuilder[Array[Double]]
+        val cnB = Array.newBuilder[Double]
+        cRows.foreach { r =>
+          val f = toFloatArray(r.getSeq[Float](2))
+          val v = new Array[Double](f.length)
+          var d = 0
+          while (d < f.length) { v(d) = f(d).toDouble; d += 1 }
+          var sq = 0.0
+          d = 0
+          while (d < v.length) { sq += v(d) * v(d); d += 1 }
+          cidB += r.getLong(1); cvB += v; cnB += math.sqrt(sq)
+        }
+        val cids = cidB.result()
+        val cvecs = cvB.result()
+        val cnorms = cnB.result()
         def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
           s1 > s2 || (s1 == s2 && i1 < i2)
-        rows.foreach { row =>
-          val cid = row.getLong(0)
-          val cSeq = toFloatArray(row.getSeq[Float](1))
-          val cv = new Array[Double](cSeq.length)
+        // probes stream through; per probe a size-k top list over the block
+        pRows.flatMap { pr =>
+          val qid = pr.getLong(1)
+          val f = toFloatArray(pr.getSeq[Float](2))
+          val qv = new Array[Double](f.length)
           var d = 0
-          while (d < cv.length) { cv(d) = cSeq(d).toDouble; d += 1 }
-          var cSq = 0.0
+          while (d < f.length) { qv(d) = f(d).toDouble; d += 1 }
+          var sq = 0.0
           d = 0
-          while (d < cv.length) { cSq += cv(d) * cv(d); d += 1 }
-          val cNorm = math.sqrt(cSq)
-          var q = 0
-          while (q < m) {
-            if (ids(q) != cid) {
-              val qv = vecs(q)
+          while (d < qv.length) { sq += qv(d) * qv(d); d += 1 }
+          val qNorm = math.sqrt(sq)
+          val topSim = new Array[Long](k)
+          val topId = new Array[Long](k)
+          var n = 0
+          var c = 0
+          while (c < cids.length) {
+            if (cids(c) != qid) {
+              val cv = cvecs(c)
               var dot = 0.0
               d = 0
-              while (d < qv.length) { dot += qv(d) * cv(d); d += 1 }
+              while (d < cv.length) { dot += qv(d) * cv(d); d += 1 }
               val sim = math.floor(1000000.0 *
-                (dot / (norms(q) * cNorm))).toLong
-              val n = topN(q)
-              if (n < k) {
-                topSim(q)(n) = sim; topId(q)(n) = cid; topN(q) = n + 1
-              } else {
+                (dot / (qNorm * cnorms(c)))).toLong
+              if (n < k) { topSim(n) = sim; topId(n) = cids(c); n += 1 }
+              else {
                 // find current worst and replace if the candidate beats it
                 var worst = 0
                 var i = 1
                 while (i < k) {
-                  if (better(topSim(q)(worst), topId(q)(worst),
-                      topSim(q)(i), topId(q)(i))) worst = i
+                  if (better(topSim(worst), topId(worst),
+                      topSim(i), topId(i))) worst = i
                   i += 1
                 }
-                if (better(sim, cid, topSim(q)(worst), topId(q)(worst))) {
-                  topSim(q)(worst) = sim; topId(q)(worst) = cid
+                if (better(sim, cids(c), topSim(worst), topId(worst))) {
+                  topSim(worst) = sim; topId(worst) = cids(c)
                 }
               }
             }
-            q += 1
+            c += 1
           }
-        }
-        (0 until m).iterator.flatMap { q =>
-          (0 until topN(q)).iterator.map(i =>
-            Row(ids(q), topId(q)(i), topSim(q)(i)))
+          (0 until n).iterator.map(i => Row(qid, topId(i), topSim(i)))
         }
       }(Encoders.row(outSchema))
 

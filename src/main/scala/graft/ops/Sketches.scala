@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Engine-portable sketches for corpus-scale profiling.
   *
@@ -39,8 +39,29 @@ object Sketches {
     * which case `est` is that exact count.
     */
   def kmvDistinct(df: DataFrame, valueCol: String, k: Int = 256): DataFrame = {
-    val mins = df.select(estimatorHash(col(valueCol)).as("h"))
-      .distinct().orderBy(col("h")).limit(k)
+    val hashed = df.select(estimatorHash(col(valueCol)).as("h"))
+    val preSchema = StructType(Seq(StructField("h", LongType,
+      nullable = false)))
+    // Per-partition distinct k-min pre-pass: each of the global k smallest
+    // distinct hashes is among its own partition's k smallest distinct
+    // hashes, so emitting every partition's local k-min set (a bounded
+    // TreeSet — dedup and order in one structure) is lossless while the
+    // exchange under the final distinct/limit carries ≤ k·partitions rows,
+    // never the corpus's full distinct hash set. Nulls (hash of a null
+    // value) are skipped — the estimator is over present values.
+    val pre = hashed.mapPartitions { rows =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      rows.foreach { r =>
+        if (!r.isNullAt(0)) {
+          val h = r.getLong(0)
+          if (set.size < k) set.add(h)
+          else if (h < set.last && set.add(h)) set.pollLast()
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      set.iterator.asScala.map(h => Row(h.longValue))
+    }(Encoders.row(preSchema))
+    val mins = pre.distinct().orderBy(col("h")).limit(k)
     mins.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_min"))
       .select(col("k_used"), col("kth_min"),
         when(col("k_used") < k, col("k_used"))

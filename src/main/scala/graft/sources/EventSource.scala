@@ -19,9 +19,15 @@ import org.apache.spark.sql.types.StructType
   */
 object EventSource {
 
+  /** Parquet scan. NOTE the deliberate session-wide side effect: this sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session (there is
+    * no per-reader option for it), so timestamp[ns] columns read as long in
+    * *every* subsequent parquet read of the session. That is the engine's
+    * one supported interpretation of nanos — events.parquet carries
+    * timestamp[ns], which Spark 4 otherwise rejects at read — and keeping
+    * it uniform session-wide means mixed-source plans agree on the type.
+    */
   def parquet(spark: SparkSession, path: String): DataFrame = {
-    // events.parquet carries timestamp[ns]; Spark 4 rejects nanos unless
-    // read as long (TESTDATA schema note)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path)
   }
