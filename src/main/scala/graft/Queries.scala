@@ -28,7 +28,7 @@ object Queries {
     * ordered by the monotone event_id, `value` visible to conditions as a
     * truncated long.
     */
-  private val eventSpec =
+  private[graft] val eventSpec =
     CepSpec(Some("user_id"), "event_id", "event_type", Seq("value"))
 
   private val eventSchema: Vector[(String, Vector[String])] = Vector(
@@ -50,9 +50,11 @@ object Queries {
   // =======================================================================
 
   /** §2 #1 spat: single purchase below 40. */
+  val cepSpatPurchaseQuery: CepQuery =
+    CepQuery(Pattern.spat("a", "purchase", "value < 40"), eventSchema)
+
   def cepSpatPurchase(spark: SparkSession, dir: String): DataFrame =
-    cep(spark, dir,
-      CepQuery(Pattern.spat("a", "purchase", "value < 40"), eventSchema))
+    cep(spark, dir, cepSpatPurchaseQuery)
       .select(col("user_id"), element_at(col("a"), 1).as("a_id"))
       .orderBy("user_id", "a_id")
 
@@ -62,13 +64,15 @@ object Queries {
       |ORDER BY user_id, a_id""".stripMargin
 
   /** §2 #4+#11 combine strict: signup immediately followed by purchase. */
+  val cepNextSignupPurchaseQuery: CepQuery =
+    CepQuery(
+      Pattern.Combine(Contiguity.Strict,
+        Pattern.spat("a", "signup", "True"),
+        Pattern.spat("b", "purchase", "True")),
+      eventSchema)
+
   def cepNextSignupPurchase(spark: SparkSession, dir: String): DataFrame =
-    cep(spark, dir,
-      CepQuery(
-        Pattern.Combine(Contiguity.Strict,
-          Pattern.spat("a", "signup", "True"),
-          Pattern.spat("b", "purchase", "True")),
-        eventSchema))
+    cep(spark, dir, cepNextSignupPurchaseQuery)
       .select(col("user_id"), element_at(col("a"), 1).as("a_id"),
         element_at(col("b"), 1).as("b_id"))
       .orderBy("user_id", "a_id")
@@ -83,11 +87,13 @@ object Queries {
       |ORDER BY user_id, a_id""".stripMargin
 
   /** §2 #2+#11 lpat strict {3,3}: three consecutive clicks (every window). */
+  val cepLpatStrictClicksQuery: CepQuery =
+    CepQuery(
+      Pattern.lpat("a", "click", "True", Contiguity.Strict, 3, 3),
+      eventSchema)
+
   def cepLpatStrictClicks(spark: SparkSession, dir: String): DataFrame =
-    cep(spark, dir,
-      CepQuery(
-        Pattern.lpat("a", "click", "True", Contiguity.Strict, 3, 3),
-        eventSchema))
+    cep(spark, dir, cepLpatStrictClicksQuery)
       .select(col("user_id"), element_at(col("a"), 1).as("a1"),
         element_at(col("a"), 2).as("a2"), element_at(col("a"), 3).as("a3"))
       .orderBy("user_id", "a1")
@@ -104,11 +110,13 @@ object Queries {
   /** §2 #2+#12 lpat relaxed {2,2}: consecutive pairs in the per-user
     * subsequence of cheap purchases (relaxed skips only non-matching events).
     */
+  val cepLpatRelaxedPurchasePairsQuery: CepQuery =
+    CepQuery(
+      Pattern.lpat("a", "purchase", "value < 40", Contiguity.Relaxed, 2, 2),
+      eventSchema)
+
   def cepLpatRelaxedPurchasePairs(spark: SparkSession, dir: String): DataFrame =
-    cep(spark, dir,
-      CepQuery(
-        Pattern.lpat("a", "purchase", "value < 40", Contiguity.Relaxed, 2, 2),
-        eventSchema))
+    cep(spark, dir, cepLpatRelaxedPurchasePairsQuery)
       .select(col("user_id"), element_at(col("a"), 1).as("a1"),
         element_at(col("a"), 2).as("a2"))
       .orderBy("user_id", "a1")
@@ -123,11 +131,13 @@ object Queries {
       |ORDER BY user_id, a1""".stripMargin
 
   /** §2 #2+#13 lpat nd-relaxed {2,2}: *all* ordered pairs of clicks. */
+  val cepNdRelaxedClickPairsQuery: CepQuery =
+    CepQuery(
+      Pattern.lpat("a", "click", "True", Contiguity.NdRelaxed, 2, 2),
+      eventSchema)
+
   def cepNdRelaxedClickPairs(spark: SparkSession, dir: String): DataFrame =
-    cep(spark, dir,
-      CepQuery(
-        Pattern.lpat("a", "click", "True", Contiguity.NdRelaxed, 2, 2),
-        eventSchema))
+    cep(spark, dir, cepNdRelaxedClickPairsQuery)
       .select(col("user_id"), element_at(col("a"), 1).as("a1"),
         element_at(col("a"), 2).as("a2"))
       .orderBy("user_id", "a1", "a2")
@@ -142,15 +152,17 @@ object Queries {
   /** §2 #6 gpat-times {2,2} of (signup · purchase): four consecutive events
     * alternating signup/purchase — exercises group unrolling.
     */
+  val cepGpatTimesSp2Query: CepQuery =
+    CepQuery(
+      Pattern.GpatTimes(
+        Pattern.Combine(Contiguity.Strict,
+          Pattern.spat("a", "signup", "True"),
+          Pattern.spat("b", "purchase", "True")),
+        2, 2),
+      eventSchema)
+
   def cepGpatTimesSp2(spark: SparkSession, dir: String): DataFrame =
-    cep(spark, dir,
-      CepQuery(
-        Pattern.GpatTimes(
-          Pattern.Combine(Contiguity.Strict,
-            Pattern.spat("a", "signup", "True"),
-            Pattern.spat("b", "purchase", "True")),
-          2, 2),
-        eventSchema))
+    cep(spark, dir, cepGpatTimesSp2Query)
       .select(col("user_id"), element_at(col("a"), 1).as("a1"),
         element_at(col("b"), 1).as("b1"), element_at(col("a"), 2).as("a2"),
         element_at(col("b"), 2).as("b2"))
@@ -167,14 +179,48 @@ object Queries {
       |  AND t2 = 'signup' AND t3 = 'purchase'
       |ORDER BY user_id, a1""".stripMargin
 
+  /** §2 #5 gpat (plain transparent group): the outermost node is a bare
+    * `Gpat` wrapping (error · cheap click) — the group compiles to exactly
+    * its child's automaton (reference `compile.py:477-479`, shape of
+    * `example-patseq-asts/gpat-hello.yml`), so the output equals the
+    * ungrouped combine. This is the dedicated oracle row for the gpat
+    * operator itself.
+    */
+  val cepGpatPlainErrorClickQuery: CepQuery =
+    CepQuery(
+      Pattern.Gpat(
+        Pattern.Combine(Contiguity.Strict,
+          Pattern.spat("a", "error", "True"),
+          Pattern.spat("b", "click", "value < 50"))),
+      eventSchema)
+
+  def cepGpatPlainErrorClick(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepGpatPlainErrorClickQuery)
+      .select(col("user_id"), element_at(col("a"), 1).as("a_id"),
+        element_at(col("b"), 1).as("b_id"))
+      .orderBy("user_id", "a_id")
+
+  val cepGpatPlainErrorClickSql: String =
+    """SELECT user_id, event_id AS a_id, next_id AS b_id FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type) OVER w AS next_type,
+      |    LEAD(event_id)   OVER w AS next_id,
+      |    LEAD(value)      OVER w AS next_value
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t
+      |WHERE event_type = 'error' AND next_type = 'click'
+      |  AND CAST(FLOOR(next_value) AS BIGINT) < 50
+      |ORDER BY user_id, a_id""".stripMargin
+
   /** §2 #16 SkipPastLastEvent: greedy non-overlapping consecutive click
     * pairs (each accept clears all partial runs).
     */
+  val cepSkipPastClickPairsQuery: CepQuery =
+    CepQuery(
+      Pattern.lpat("a", "click", "True", Contiguity.Strict, 2, 2),
+      eventSchema, AfterMatchStrategy.SkipPastLastEvent)
+
   def cepSkipPastClickPairs(spark: SparkSession, dir: String): DataFrame =
-    cep(spark, dir,
-      CepQuery(
-        Pattern.lpat("a", "click", "True", Contiguity.Strict, 2, 2),
-        eventSchema, AfterMatchStrategy.SkipPastLastEvent))
+    cep(spark, dir, cepSkipPastClickPairsQuery)
       .select(col("user_id"), element_at(col("a"), 1).as("a1"),
         element_at(col("a"), 2).as("a2"))
       .orderBy("user_id", "a1")
@@ -203,12 +249,14 @@ object Queries {
   /** §2 #9 iterative condition: 2–3 consecutive purchases whose running
     * value-sum stays ≤ 100 (per-take register fold).
     */
+  val cepIterBudgetQuery: CepQuery =
+    CepQuery(
+      Pattern.lpat("a", "purchase", "X + value <= 100", Contiguity.Strict,
+        2, 3, Vector(Pattern.varDef("X", 0, "X + value"))),
+      eventSchema)
+
   def cepIterBudget(spark: SparkSession, dir: String): DataFrame =
-    cep(spark, dir,
-      CepQuery(
-        Pattern.lpat("a", "purchase", "X + value <= 100", Contiguity.Strict,
-          2, 3, Vector(Pattern.varDef("X", 0, "X + value"))),
-        eventSchema))
+    cep(spark, dir, cepIterBudgetQuery)
       .select(col("user_id"), idsCol("a").as("ids"))
       .orderBy("user_id", "ids")
 
@@ -236,15 +284,17 @@ object Queries {
     * NoSkip group loops emit. Oracle: recursive CTE extending consecutive
     * signup→purchase pairs.
     */
+  val cepGpatInfSpQuery: CepQuery =
+    CepQuery(
+      Pattern.GpatInf(
+        Pattern.Combine(Contiguity.Strict,
+          Pattern.spat("a", "signup", "True"),
+          Pattern.spat("b", "purchase", "True")),
+        1),
+      eventSchema)
+
   def cepGpatInfSp(spark: SparkSession, dir: String): DataFrame =
-    cep(spark, dir,
-      CepQuery(
-        Pattern.GpatInf(
-          Pattern.Combine(Contiguity.Strict,
-            Pattern.spat("a", "signup", "True"),
-            Pattern.spat("b", "purchase", "True")),
-          1),
-        eventSchema))
+    cep(spark, dir, cepGpatInfSpQuery)
       .select(col("user_id"), idsCol("a").as("a_ids"),
         idsCol("b").as("b_ids"))
       .orderBy("user_id", "a_ids", "b_ids")
@@ -279,14 +329,16 @@ object Queries {
     * emits only the first accept per start, so each signup yields at most
     * one row.
     */
+  val cepUntilErrorRunsQuery: CepQuery =
+    CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("s", "signup", "True"),
+        Pattern.lpatInf("p", "purchase", "value < 40", Contiguity.Relaxed,
+          2, Some("value >= 400"))),
+      eventSchema, AfterMatchStrategy.SkipToNext)
+
   def cepUntilErrorRuns(spark: SparkSession, dir: String): DataFrame =
-    cep(spark, dir,
-      CepQuery(
-        Pattern.Combine(Contiguity.Relaxed,
-          Pattern.spat("s", "signup", "True"),
-          Pattern.lpatInf("p", "purchase", "value < 40", Contiguity.Relaxed,
-            2, Some("value >= 400"))),
-        eventSchema, AfterMatchStrategy.SkipToNext))
+    cep(spark, dir, cepUntilErrorRunsQuery)
       .select(col("user_id"), element_at(col("s"), 1).as("s_id"),
         idsCol("p").as("p_ids"))
       .orderBy("user_id", "s_id", "p_ids")
@@ -1060,12 +1112,31 @@ object Queries {
   // Registry
   // =======================================================================
 
+  /** The CepQuery behind each cep_* registry entry — the streaming
+    * batch==stream gate iterates this map, so it always tests exactly the
+    * patterns the registry ships.
+    */
+  val cepRegistryQueries: Map[String, CepQuery] = Map(
+    "cep_spat_purchase" -> cepSpatPurchaseQuery,
+    "cep_next_signup_purchase" -> cepNextSignupPurchaseQuery,
+    "cep_lpat_strict_clicks" -> cepLpatStrictClicksQuery,
+    "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairsQuery,
+    "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairsQuery,
+    "cep_gpat_plain_error_click" -> cepGpatPlainErrorClickQuery,
+    "cep_gpat_times_sp2" -> cepGpatTimesSp2Query,
+    "cep_gpat_inf_sp" -> cepGpatInfSpQuery,
+    "cep_skip_past_click_pairs" -> cepSkipPastClickPairsQuery,
+    "cep_iter_budget" -> cepIterBudgetQuery,
+    "cep_until_error_runs" -> cepUntilErrorRunsQuery
+  )
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cep_spat_purchase" -> cepSpatPurchase _,
     "cep_next_signup_purchase" -> cepNextSignupPurchase _,
     "cep_lpat_strict_clicks" -> cepLpatStrictClicks _,
     "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairs _,
     "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairs _,
+    "cep_gpat_plain_error_click" -> cepGpatPlainErrorClick _,
     "cep_gpat_times_sp2" -> cepGpatTimesSp2 _,
     "cep_gpat_inf_sp" -> cepGpatInfSp _,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairs _,
@@ -1105,6 +1176,7 @@ object Queries {
     "cep_lpat_strict_clicks" -> cepLpatStrictClicksSql,
     "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairsSql,
     "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairsSql,
+    "cep_gpat_plain_error_click" -> cepGpatPlainErrorClickSql,
     "cep_gpat_times_sp2" -> cepGpatTimesSp2Sql,
     "cep_gpat_inf_sp" -> cepGpatInfSpSql,
     "cep_until_error_runs" -> cepUntilErrorRunsSql,

@@ -39,8 +39,15 @@ object SparkCep {
       attrCols: Seq[String]
   )
 
+  /** @param maxRunsPerKey hard valve: fail the task if any key's live-run
+    *   set exceeds the cap (state explosion beats a silent OOM)
+    * @param skewAcc optional gauge: records max live-run count, the key it
+    *   occurred on, and total events fed — read it driver-side after an
+    *   action to find pathological keys before they hit the valve
+    */
   def matchPattern(df: DataFrame, query: CepQuery, spec: CepSpec,
-      maxRunsPerKey: Option[Int] = None): DataFrame = {
+      maxRunsPerKey: Option[Int] = None,
+      skewAcc: Option[CepSkewAccumulator] = None): DataFrame = {
     val piNames = patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     val attrNames: Vector[String] =
@@ -99,7 +106,9 @@ object SparkCep {
           i += 1
         }
         val ev = Event(row.getString(2), attrs.result())
-        executor.feed(ev).map { m =>
+        val matches = executor.feed(ev)
+        skewAcc.foreach(_.add((key, executor.runCount.toLong)))
+        matches.map { m =>
           val byName = m.toMap
           Row.fromSeq(
             key +: piNames.map(n =>
