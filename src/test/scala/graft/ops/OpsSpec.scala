@@ -70,12 +70,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    for (thresh <- Seq(300, 500, 800)) {
+    for (thresh <- Seq(300, 500, 800);
+        cap <- Seq(Long.MaxValue, 8L)) {
       val plain = rows(DedupOps.ngramJaccardPairs(df, "doc_id", "text", 3,
-        thresh))
+        thresh, cap))
       val prefix = rows(DedupOps.ngramJaccardPairsPrefix(df, "doc_id",
-        "text", 3, thresh))
-      assert(prefix == plain, s"thresh=$thresh")
+        "text", 3, thresh, cap))
+      assert(prefix == plain, s"thresh=$thresh cap=$cap")
     }
   }
 
