@@ -56,6 +56,31 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unreferenced columns read: $scan")
   }
 
+  test("knn brute force plan is the distributed block join (no collect)") {
+    // materialize the source first (the parquet footer read runs a job),
+    // then operator construction itself must not run any job — the
+    // round-2 implementation collected the probe side eagerly while
+    // *building* the DataFrame
+    val emb = Queries.table(spark, dir, "embeddings")
+    emb.schema // forces the footer read
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = graft.ops.Similarity.knnBruteForce(emb, emb, "vec_id",
+      "embedding", k = 10)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      "building the KNN plan ran Spark jobs — a driver-side collect is back")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CoGroup"), "block cogroup missing from KNN plan")
+  }
+
+  test("registry jaccard plan carries the posting-list frequency cap") {
+    val p = plan("dedup_ngram_jaccard")
+    // the maxShingleFreq window filter materializes as a count window +
+    // freq <= 64 filter before the self-join
+    assert(p.contains("Window"), "frequency window missing — cap not in plan")
+    assert(p.contains("64"), "cap literal missing from plan")
+  }
+
   test("dst transition map prints every reachable state block") {
     import graft.cep._
     val q = CepQuery(
