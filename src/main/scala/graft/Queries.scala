@@ -617,7 +617,7 @@ object Queries {
   // Training-data pipeline operators (graft.ops) over documents/embeddings
   // =======================================================================
 
-  import graft.ops.{DedupOps, MultiModal, Similarity, TextOps}
+  import graft.ops.{DedupOps, MultiModal, Sampling, Similarity, TextOps}
 
   /** Token/char/punct counting + lexical-diversity quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -764,14 +764,19 @@ object Queries {
       "doc_id", "text", n = 3, simMilli = 500, maxShingleFreq = 64L)
       .orderBy("id1", "id2")
 
-  val dedupNgramJaccardSql: String = {
+  /** Shared CTE body reproducing the capped Jaccard pipeline (shingles →
+    * 60-bit hashes → document-frequency cap → per-doc counts →
+    * intersection counts) — used by the pair query and the clustering
+    * query, so both oracles run the identical pipeline.
+    */
+  private val jaccardCtes: String = {
     val poly = (base: Int) =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"list_transform(generate_series(1, length(shingle)), " +
         s"i -> CAST(ascii(shingle[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
     // join on the same 60-bit shingle hash the engine shuffles on —
     // collisions (if any) are mirrored, keeping the compare exact
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
        |  FROM documents),
        |shs AS (
@@ -793,13 +798,74 @@ object Queries {
        |inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
-       |SELECT id1, id2, inter, c1.n_sh + c2.n_sh - inter AS uni
-       |FROM inter
-       |JOIN cnts c1 ON c1.doc_id = id1
-       |JOIN cnts c2 ON c2.doc_id = id2
-       |WHERE inter * 1000 >= (c1.n_sh + c2.n_sh - inter) * 500
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jpairs AS (
+       |  SELECT id1, id2, inter, c1.n_sh + c2.n_sh - inter AS uni
+       |  FROM inter
+       |  JOIN cnts c1 ON c1.doc_id = id1
+       |  JOIN cnts c2 ON c2.doc_id = id2
+       |  WHERE inter * 1000 >= (c1.n_sh + c2.n_sh - inter) * 500)""".stripMargin
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $jaccardCtes
+       |SELECT id1, id2, inter, uni FROM jpairs
        |ORDER BY id1, id2""".stripMargin
+
+  /** Near-dup clustering: connected components over the capped-Jaccard
+    * pair graph (iterative min-label propagation); every doc maps to the
+    * smallest doc id in its component (`cluster_id` — keeping
+    * `doc_id == cluster_id` dedups the corpus to one representative per
+    * cluster). The oracle re-runs the identical pair pipeline plus a
+    * recursive reachability CTE — graph algorithms verified against SQL
+    * recursion.
+    */
+  def dedupClusterKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      simMilli = 500, maxShingleFreq = 64L)
+    DedupOps.nearDupKeepMap(docs, "doc_id", pairs).orderBy("doc_id")
+  }
+
+  val dedupClusterKeepSql: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |und AS (
+       |  SELECT id1 AS a, id2 AS b FROM jpairs
+       |  UNION ALL SELECT id2, id1 FROM jpairs),
+       |reach AS (
+       |  SELECT a AS node, b AS r FROM und
+       |  UNION
+       |  SELECT re.node, u.b FROM reach re JOIN und u ON u.a = re.r),
+       |mins AS (SELECT node, min(r) AS minr FROM reach GROUP BY node)
+       |SELECT d.doc_id,
+       |  COALESCE(LEAST(d.doc_id, m.minr), d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN mins m ON m.node = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Deterministic stratified sampling: permille rates per language
+    * (downsample dominant `en`, keep tails) via the engine-portable
+    * polynomial hash of the doc id — reproducible across engines, runs,
+    * and partitionings, unlike positional `df.sample`.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(table(spark, dir, "documents"), "doc_id",
+      "lang", Map("en" -> 300, "zh" -> 800), defaultMilli = 600)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val sampleStratifiedSql: String = {
+    val idStr = "CAST(doc_id AS VARCHAR)"
+    val poly =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($idStr)), " +
+        s"i -> CAST(ascii($idStr[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ($poly) % 1000 <
+       |  CASE WHEN lang = 'en' THEN 300
+       |       WHEN lang = 'zh' THEN 800
+       |       ELSE 600 END
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** MinHash + LSH candidate pairs. The oracle regenerates the *entire*
@@ -1169,6 +1235,8 @@ object Queries {
     "dedup_exact" -> dedupExact _,
     "dedup_normalized" -> dedupNormalized _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_cluster_keep" -> dedupClusterKeep _,
+    "sample_stratified" -> sampleStratified _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "knn_cosine_top10" -> knnCosineTop10 _,
@@ -1212,6 +1280,8 @@ object Queries {
     "dedup_exact" -> dedupExactSql,
     "dedup_normalized" -> dedupNormalizedSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_cluster_keep" -> dedupClusterKeepSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql,
     "mm_frame_sample" -> mmFrameSampleSql,

@@ -384,6 +384,70 @@ object DedupOps {
       }(Encoders.row(estSchema))
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every node starts labeled with itself; each
+    * round takes the min of its own and its neighbors' labels; at
+    * fixpoint the label is the component's minimum node id — the
+    * canonical "keep" id of a duplicate cluster.
+    *
+    * Scale shape: one shuffle join (edges ⋈ labels) + one partial-agg
+    * `min` per round; rounds = graph diameter. Near-dup graphs are
+    * cliquish (diameter 2–3), so this converges in a handful of rounds;
+    * labels are `localCheckpoint`ed each round so lineage stays flat.
+    * (For general graphs with long chains, the large-star/small-star
+    * O(log n)-round variant is the published fix — not needed for dedup
+    * graphs, noted for honesty.)
+    *
+    * Input: edge frame with two long id columns. Output:
+    * `(node, cluster)` for every node appearing in an edge.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"))
+      .union(edges.select(col(dstCol).cast(LongType).as("a"),
+        col(srcCol).cast(LongType).as("b")))
+      .distinct().cache()
+    var labels = und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und.join(labels, und("b") === labels("node"))
+        .groupBy(und("a").as("n2")).agg(min(col("lbl")).as("nbrLbl"))
+      // materialize old + new labels once, then read change-count and the
+      // next label frame off the checkpoint (no recomputation)
+      val step = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbrLbl"), col("lbl")))
+            .as("newLbl"))
+        .localCheckpoint(true)
+      converged = step.filter(col("newLbl") < col("lbl")).isEmpty
+      labels = step.select(col("node"), col("newLbl").as("lbl"))
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("node"), col("lbl").as("cluster"))
+  }
+
+  /** Duplicate-cluster keep map for a whole corpus: every doc's
+    * `cluster_id` is the smallest doc id in its near-dup component
+    * (docs in no pair are their own cluster). Downstream, keeping
+    * `doc_id == cluster_id` prunes the corpus to one representative per
+    * cluster — the step that turns near-dup *pairs* into an actual
+    * dedup decision.
+    */
+  def nearDupKeepMap(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs, "id1", "id2")
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .join(cc, col("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(least(col("doc_id"), col("cluster")), col("doc_id"))
+          .as("cluster_id"))
+  }
+
   /** 64-bit SimHash over token hashes: per bit, the sign of the ±1 sum
     * across tokens. One tight per-partition pass (narrow, no shuffle).
     */

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-dependent *per partitioning* (it samples by
+  * position, so a repartition changes the picked rows); at corpus scale a
+  * sample must be a pure function of the data so it is reproducible
+  * across runs, engines, partitionings, and incremental re-ingests.
+  * These operators hash a stable id with the engine-portable polynomial
+  * hash (`graft.functions.PolyHash`, mirrored in SQL oracles) and keep a
+  * row iff `hash(id) mod 1000 < rateMilli` — a narrow, codegen'd filter
+  * that pushes into the scan, no shuffle, no state.
+  *
+  * Stratified variant: per-stratum permille rates (e.g. downsample the
+  * dominant language, keep the tail) — the standard data-mixing move for
+  * LLM corpora, as one deterministic filter.
+  */
+object Sampling {
+
+  /** `hash(id as string) mod 1000` — the sampling key, in [0, 1000). */
+  def sampleKey(idCol: Column): Column =
+    graft.functions.PolyHash.polyHash(idCol.cast("string"), 131L) % 1000L
+
+  /** Keep rows whose sample key falls below `rateMilli` (permille). */
+  def deterministicSample(df: DataFrame, idCol: String,
+      rateMilli: Int): DataFrame = {
+    require(rateMilli >= 0 && rateMilli <= 1000, s"rate $rateMilli")
+    df.filter(sampleKey(col(idCol)) < rateMilli)
+  }
+
+  /** Per-stratum permille rates; strata not in `rates` use
+    * `defaultMilli`. One `CASE WHEN` filter — still narrow/codegen'd.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Int], defaultMilli: Int): DataFrame = {
+    require((defaultMilli +: rates.values.toSeq)
+      .forall(r => r >= 0 && r <= 1000), s"rates out of [0,1000]")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultMilli)) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(sampleKey(col(idCol)) < rate)
+  }
+}

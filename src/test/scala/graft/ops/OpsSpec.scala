@@ -80,6 +80,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("connected components: chains collapse to min id, singletons kept") {
+    val s = spark
+    import s.implicits._
+    // a 5-chain (diameter forces multiple propagation rounds), a pair,
+    // and an isolated doc (no edge)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (8L, 9L))
+      .toDF("id1", "id2")
+    val cc = DedupOps.connectedComponents(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(cc(8L) == 8L && cc(9L) == 8L)
+
+    val docs = (1L to 10L).map(i => i -> s"doc $i")
+    val keep = DedupOps.nearDupKeepMap(
+      docs.toDF("doc_id", "text"), "doc_id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(keep(_) == 1L))
+    assert(keep(8L) == 8L && keep(9L) == 8L)
+    // isolated docs are their own cluster
+    assert(Seq(6L, 7L, 10L).forall(i => keep(i) == i))
+  }
+
+  test("deterministic sampling is partitioning-invariant and rate-bounded") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 1000L).map(i => i -> ("r" + i)).toDF("id", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    val a = ids(Sampling.deterministicSample(df, "id", 200))
+    val b = ids(Sampling.deterministicSample(df.repartition(7), "id", 200))
+    assert(a == b, "sample changed under repartitioning")
+    assert(a.nonEmpty && a.size < 400, s"rate 20% kept ${a.size}/1000")
+    assert(ids(Sampling.deterministicSample(df, "id", 0)).isEmpty)
+    assert(ids(Sampling.deterministicSample(df, "id", 1000)).size == 1000)
+    // a higher rate strictly contains a lower one (same hash, same cut)
+    val wide = ids(Sampling.deterministicSample(df, "id", 500))
+    assert(a.subsetOf(wide))
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 100L).map(i => (i, "en")) ++
+      (101L to 200L).map(i => (i, "de"))).toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0), defaultMilli = 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.forall(_._2 == "de"), "rate-0 stratum leaked rows")
+    assert(kept.length == 100, "default rate 1000 must keep all of 'de'")
+  }
+
   test("digest-keyed exact dedup equals text-keyed exact dedup") {
     val df = docs(1L -> "same text", 2L -> "same text", 3L -> "other")
     def rows(byDigest: Boolean) =
