@@ -90,6 +90,9 @@ object SparkCep {
     val out = parted.mapPartitions { rows =>
       val executor =
         new Executor(DstCompiler.compile(query), query.strategy, maxRunsPerKey)
+      // resolve the optional gauge once per task: the per-event cost when
+      // disabled is a single null check, not an Option dispatch + closure
+      val acc = skewAcc.orNull
       var curKey = 0L
       var started = false
       rows.flatMap { row =>
@@ -107,7 +110,7 @@ object SparkCep {
         }
         val ev = Event(row.getString(2), attrs.result())
         val matches = executor.feed(ev)
-        skewAcc.foreach(_.add((key, executor.runCount.toLong)))
+        if (acc != null) acc.add((key, executor.runCount.toLong))
         matches.map { m =>
           val byName = m.toMap
           Row.fromSeq(
