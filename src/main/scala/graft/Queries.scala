@@ -636,6 +636,34 @@ object Queries {
       |    ELSE 0 END AS qscore_milli
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Intra-document n-gram repetition (Gopher/RefinedWeb-style quality
+    * signal): fraction of bigram occurrences repeating an earlier bigram.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionScore(table(spark, dir, "documents"), "doc_id",
+      "text", n = 2)
+      .orderBy("doc_id")
+
+  val textRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 2 THEN
+      |      list_transform(generate_series(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1])
+      |    ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+      |  CASE WHEN len(grams) > 0 THEN
+      |    CAST(floor((len(grams) - len(list_distinct(grams))) * 1000.0
+      |      / len(grams)) AS BIGINT)
+      |  ELSE 0 END AS rep_milli
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** Marker-token language-ID heuristic (scores + arg-max prediction). */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     TextOps.langId(table(spark, dir, "documents"), "doc_id", "text")
@@ -1228,6 +1256,7 @@ object Queries {
     "rel_cust_no_orders" -> relCustNoOrders _,
     "text_token_counts" -> textTokenCounts _,
     "text_quality" -> textQuality _,
+    "text_repetition" -> textRepetition _,
     "knn_ivf_top5" -> knnIvfTop5 _,
     "text_stats" -> textStats _,
     "lang_id" -> langIdQuery _,
@@ -1273,6 +1302,7 @@ object Queries {
     "rel_cust_no_orders" -> relCustNoOrdersSql,
     "text_token_counts" -> textTokenCountsSql,
     "text_quality" -> textQualitySql,
+    "text_repetition" -> textRepetitionSql,
     "knn_ivf_top5" -> knnIvfTop5Sql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

@@ -147,6 +147,32 @@ object TextOps {
       size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
         .cast(LongType).as("n_bpeish"))
 
+  /** Intra-document repetition score (the Gopher/RefinedWeb-style quality
+    * signal): the fraction of n-gram occurrences that are repeats of an
+    * earlier n-gram in the same doc, `(total − distinct) / total` in
+    * exact integer millis. High repetition flags boilerplate, templated
+    * spam, and looping generations. Narrow, codegen-friendly HOFs —
+    * no shuffle, no UDF; docs shorter than n grams score 0.
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(typedLit(Array.empty[String]))
+    val total = size(grams).cast(LongType)
+    val distinctN = size(array_distinct(grams)).cast(LongType)
+    df.select(
+      col(idCol),
+      total.as("n_grams"),
+      distinctN.as("n_distinct_grams"),
+      when(total > 0,
+        floor((total - distinctN).cast(DoubleType) * 1000d /
+          total.cast(DoubleType)))
+        .otherwise(0L).cast(LongType).as("rep_milli"))
+  }
+
   /** Polynomial rolling hash of the whole text (base 31, mod 1e9+7) — a
     * deterministic document fingerprint computable in both Spark and the
     * DuckDB oracle via the same char-code fold. Runs as a native

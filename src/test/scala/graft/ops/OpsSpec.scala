@@ -213,6 +213,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partial.subsetOf(exactPairs))
   }
 
+  test("repetition score: duplicate bigram fraction, short docs score 0") {
+    val df = docs(
+      1L -> "a b a b a b",   // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      2L -> "w x y z",       // all distinct → 0
+      3L -> "solo")          // < n tokens → 0 grams, 0 score
+    val out = TextOps.repetitionScore(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((5L, 2L, 600L))) // (5-2)/5 = 600 milli
+    assert(out(2L) == ((3L, 3L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
   test("token counts: bpe-ish regex splits letter/digit/symbol runs") {
     val df = docs(1L -> "ab3 x, 42!!")
     val r = TextOps.tokenCounts(df, "doc_id", "text").collect()(0)
