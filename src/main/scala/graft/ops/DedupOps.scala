@@ -84,9 +84,14 @@ object DedupOps {
     df.select(col(idCol).cast(LongType), col(textCol))
       .mapPartitions { rows =>
         rows.flatMap { row =>
-          val id = row.getLong(0)
-          shinglesJvm(row.getString(1), n).iterator
-            .map(s => Row(id, tokenHash60Jvm(s)))
+          // null text/id ⇒ the doc is simply absent from the index — the
+          // same rows a SQL unnest-over-NULL drops, so oracles agree
+          if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
+          else {
+            val id = row.getLong(0)
+            shinglesJvm(row.getString(1), n).iterator
+              .map(s => Row(id, tokenHash60Jvm(s)))
+          }
         }
       }(Encoders.row(outSchema))
   }
@@ -304,18 +309,22 @@ object DedupOps {
         nullable = false)))
     df.select(col(idCol).cast(LongType), col(textCol))
       .mapPartitions { rows =>
-        rows.map { row =>
-          val mins = Array.fill(k)(Long.MaxValue)
-          for (sh <- shinglesJvm(row.getString(1), n)) {
-            val h = tokenHash60Jvm(sh)
-            var i = 0
-            while (i < k) {
-              val v = params.perm(i, h)
-              if (v < mins(i)) mins(i) = v
-              i += 1
+        rows.flatMap { row =>
+          // null text/id ⇒ no signature (doc excluded, matching the index)
+          if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
+          else {
+            val mins = Array.fill(k)(Long.MaxValue)
+            for (sh <- shinglesJvm(row.getString(1), n)) {
+              val h = tokenHash60Jvm(sh)
+              var i = 0
+              while (i < k) {
+                val v = params.perm(i, h)
+                if (v < mins(i)) mins(i) = v
+                i += 1
+              }
             }
+            Iterator.single(Row(row.getLong(0), mins.toSeq))
           }
-          Row(row.getLong(0), mins.toSeq)
         }
       }(Encoders.row(outSchema))
   }
@@ -457,20 +466,24 @@ object DedupOps {
       StructField("simhash", LongType, nullable = false)))
     df.select(col(idCol).cast(LongType), col(textCol))
       .mapPartitions { rows =>
-        rows.map { row =>
-          val sums = new Array[Int](64)
-          for (tok <- row.getString(1).split(" ") if tok.nonEmpty) {
-            val th = tokenHash60Jvm(tok)
-            var b = 0
-            while (b < 64) {
-              if (((th >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-              b += 1
+        rows.flatMap { row =>
+          // null text/id ⇒ no signature (doc excluded, matching the index)
+          if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
+          else {
+            val sums = new Array[Int](64)
+            for (tok <- row.getString(1).split(" ") if tok.nonEmpty) {
+              val th = tokenHash60Jvm(tok)
+              var b = 0
+              while (b < 64) {
+                if (((th >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+                b += 1
+              }
             }
+            var h = 0L
+            var b = 0
+            while (b < 64) { if (sums(b) > 0) h |= (1L << b); b += 1 }
+            Iterator.single(Row(row.getLong(0), h))
           }
-          var h = 0L
-          var b = 0
-          while (b < 64) { if (sums(b) > 0) h |= (1L << b); b += 1 }
-          Row(row.getLong(0), h)
         }
       }(Encoders.row(outSchema))
   }

@@ -85,11 +85,12 @@ object Similarity {
     implicit val intEnc = org.apache.spark.sql.Encoders.scalaInt
     val local = corpusKeyed.groupByKey(_.getInt(0))
       .cogroup(probeRep.groupByKey(_.getInt(0))) { (_, cRows, pRows) =>
-        // materialize this corpus block once (ids, double vectors, norms)
+        // materialize this corpus block once (ids, double vectors, norms);
+        // null id/vector rows are excluded from both sides
         val cidB = Array.newBuilder[Long]
         val cvB = Array.newBuilder[Array[Double]]
         val cnB = Array.newBuilder[Double]
-        cRows.foreach { r =>
+        cRows.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).foreach { r =>
           val f = toFloatArray(r.getSeq[Float](2))
           val v = new Array[Double](f.length)
           var d = 0
@@ -105,7 +106,7 @@ object Similarity {
         def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
           s1 > s2 || (s1 == s2 && i1 < i2)
         // probes stream through; per probe a size-k top list over the block
-        pRows.flatMap { pr =>
+        pRows.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).flatMap { pr =>
           val qid = pr.getLong(1)
           val f = toFloatArray(pr.getSeq[Float](2))
           val qv = new Array[Double](f.length)
@@ -183,7 +184,8 @@ object Similarity {
       StructField("sig", LongType, nullable = false)))
     df.select(col(idCol).cast(LongType), col(vecCol))
       .mapPartitions { rows =>
-        rows.map { row =>
+        // null id/vector ⇒ excluded from the signature frame
+        rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { row =>
           val vSeq = row.getSeq[Float](1)
           val v = new Array[Double](vSeq.length)
           var d = 0
@@ -226,6 +228,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     val centRows = corpus.select(col(idCol).cast(LongType), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .orderBy(col(idCol)).limit(nlist).collect()
     val centIds = centRows.map(_.getLong(0))
     val centVecs = centRows.map(_.getSeq[Float](1).toArray)
@@ -243,7 +246,7 @@ object Similarity {
     val assigned = corpus.select(col(idCol).cast(LongType), col(vecCol))
       .mapPartitions { rows =>
         val (ids, _) = bc.value
-        rows.map { r =>
+        rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
           val sims = simToCentroids(toFloatArray(r.getSeq[Float](1)))
           var best = 0
           var i = 1
@@ -263,7 +266,7 @@ object Similarity {
     val probed = probes.select(col(idCol).cast(LongType), col(vecCol))
       .mapPartitions { rows =>
         val (ids, _) = bc.value
-        rows.flatMap { r =>
+        rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { r =>
           val sims = simToCentroids(toFloatArray(r.getSeq[Float](1)))
           // top nprobe cells by (sim desc, centroid id asc)
           val order = ids.indices.sortBy(i => (-sims(i), ids(i)))

@@ -131,6 +131,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.length == 100, "default rate 1000 must keep all of 'de'")
   }
 
+  test("null text/id rows are excluded, never NPE, across the dedup/ANN ops") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1L), Some("a b c d e")),
+      (Some(2L), Some("a b c d e")),
+      (Some(3L), None),            // null text
+      (None: Option[Long], Some("x y z w v"))) // null id
+      .toDF("doc_id", "text")
+    // every op must run and cover exactly docs 1 and 2
+    val idx = DedupOps.shingleIndex(df, "doc_id", "text")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idx == Set(1L, 2L))
+    val sigs = DedupOps.minHashSignatures(df, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigs == Set(1L, 2L))
+    val sh = DedupOps.simHash(df, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(sh == Set(1L, 2L))
+    val pairs = DedupOps.ngramJaccardPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+
+    val emb = Seq(
+      (Some(1L), Some(Seq(1.0f, 0.0f))),
+      (Some(2L), Some(Seq(0.9f, 0.1f))),
+      (Some(3L), None),            // null vector
+      (None: Option[Long], Some(Seq(0.0f, 1.0f)))) // null id
+      .toDF("vec_id", "embedding")
+    val knn = Similarity.knnBruteForce(emb, emb, "vec_id", "embedding", 2)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(knn == Set(1L, 2L))
+    val ivf = Similarity.ivfTopK(emb, emb, "vec_id", "embedding", 2, 2, 2)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ivf == Set(1L, 2L))
+    val lsh = Similarity.lshNearNeighbors(emb, "vec_id", "embedding",
+      dim = 2, simMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L)) })
+  }
+
   test("digest-keyed exact dedup equals text-keyed exact dedup") {
     val df = docs(1L -> "same text", 2L -> "same text", 3L -> "other")
     def rows(byDigest: Boolean) =

@@ -34,10 +34,15 @@ object DriveScale {
         "signup" -> Vector("event_id", "value")))
     val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
       Seq("value"))
+    val skew = CepSkewAccumulator.registered(spark, "cep_skew")
     val t0 = System.nanoTime()
-    val matches = SparkCep.matchPattern(df, q, spec).count()
+    val matches =
+      SparkCep.matchPattern(df, q, spec, skewAcc = Some(skew)).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_MATCHES=$matches SECONDS=$sec%.1f EVENTS_PER_SEC=${(n / sec).toLong}")
+    val st = skew.value
+    println(s"SCALE_SKEW max_runs=${st.maxRuns} hottest_key=${st.hottestKey} " +
+      s"events_fed=${st.events}")
     spark.stop()
   }
 }
