@@ -4,14 +4,17 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-/** Session extension wiring graft's native expressions into Spark SQL —
+/** Session extension wiring graft's native surface into Spark SQL —
   * install with `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`): after that
-  * `SELECT polyhash(text, 31)` works from plain SQL and views, fully
-  * codegen'd.
+  * `SELECT polyhash(text, 31)` works from plain SQL and views (fully
+  * codegen'd), and the planner lowers `graft.plans.CepMatchPlan` nodes
+  * (the `SparkCep.matchPatternExec` path, which also self-registers the
+  * strategy per session for extension-less setups).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.CepStrategy)
     ext.injectFunction((
       new FunctionIdentifier("polyhash"),
       new ExpressionInfo(classOf[graft.functions.PolyHash].getName,

@@ -45,14 +45,14 @@ object SparkCep {
     *   occurred on, and total events fed — read it driver-side after an
     *   action to find pathological keys before they hit the valve
     */
-  def matchPattern(df: DataFrame, query: CepQuery, spec: CepSpec,
-      maxRunsPerKey: Option[Int] = None,
-      skewAcc: Option[CepSkewAccumulator] = None): DataFrame = {
-    val piNames = patternNames(query.patseq)
-    val keyName = spec.keyCol.getOrElse("__global")
+  /** Shared front half of both physical formulations: semantics-preserving
+    * pre-NFA pushdown, null-key drop, key derivation, and the canonical
+    * `(__key, __ord, __type, attr…)` projection.
+    */
+  private[graft] def prepare(df: DataFrame, query: CepQuery, spec: CepSpec)
+      : (DataFrame, Vector[String]) = {
     val attrNames: Vector[String] =
       (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
-
     val keyExprC = keyExpr(df, spec)
     val source0 = prefilter(query, spec) match {
       case Some(cond) => df.filter(cond) // pushes down to the parquet scan
@@ -70,6 +70,15 @@ object SparkCep {
         col(spec.typeCol).cast(StringType).as("__type") +:
         attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*
     )
+    (prepared, attrNames)
+  }
+
+  def matchPattern(df: DataFrame, query: CepQuery, spec: CepSpec,
+      maxRunsPerKey: Option[Int] = None,
+      skewAcc: Option[CepSkewAccumulator] = None): DataFrame = {
+    val piNames = patternNames(query.patseq)
+    val keyName = spec.keyCol.getOrElse("__global")
+    val (prepared, attrNames) = prepare(df, query, spec)
 
     val parted = spec.keyCol match {
       case Some(_) =>
@@ -120,6 +129,36 @@ object SparkCep {
       }
     }(Encoders.row(outSchema))
 
+    if (spec.keyCol.isEmpty) out.drop(keyName) else out
+  }
+
+  /** The CEP operator as a first-class Catalyst plan (`graft.plans.
+    * CepMatchPlan` + `CepStrategy` + `CepMatchExec`): identical semantics
+    * and output to `matchPattern`, but the partitioning/ordering needs are
+    * *declared* (`requiredChildDistribution`/`Ordering`), so the planner
+    * inserts the shuffle only when the input isn't already co-partitioned
+    * by key — a pre-partitioned/bucketed input pays only a local sort,
+    * where `matchPattern`'s explicit `repartition` always shuffles.
+    * Registers `CepStrategy` on the session idempotently (also installed
+    * by `GraftExtensions` via `spark.sql.extensions`).
+    */
+  def matchPatternExec(df: DataFrame, query: CepQuery, spec: CepSpec,
+      maxRunsPerKey: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val piNames = patternNames(query.patseq)
+    val keyName = spec.keyCol.getOrElse("__global")
+    val (prepared, attrNames) = prepare(df, query, spec)
+    val spark = df.sparkSession
+    GraftColumnBridge.addStrategy(spark, graft.plans.CepStrategy)
+    val output =
+      AttributeReference(keyName, LongType, nullable = false)() +:
+        piNames.map(n => AttributeReference(n,
+          ArrayType(LongType, containsNull = false), nullable = false)())
+    val plan = graft.plans.CepMatchPlan(query, spec.keyCol.isDefined,
+      piNames, attrNames.head, attrNames, maxRunsPerKey, output,
+      prepared.queryExecution.analyzed)
+    val out = GraftColumnBridge.ofRows(spark, plan)
     if (spec.keyCol.isEmpty) out.drop(keyName) else out
   }
 

@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+import graft.cep.{CepQuery, DstCompiler, Event, Executor}
+
+/** The CEP pattern-match operator as a first-class Catalyst plan — the
+  * prompt's extension path (c): a custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`, planned through the session's planner instead of a
+  * `mapPartitions` lambda.
+  *
+  * Why this beats the typed-operator formulation at scale: the physical
+  * node *declares* its needs — `requiredChildDistribution =
+  * ClusteredDistribution(key)` and `requiredChildOrdering = (key, ord)` —
+  * and `EnsureRequirements` inserts the exchange/sort only when the child
+  * doesn't already satisfy them. A manual `repartition(key)` (the
+  * `matchPattern` path) always shuffles, even when the input is already
+  * hash-partitioned by the key (bucketed source, co-partitioned upstream
+  * stage); this node re-uses that partitioning and pays only a local
+  * sort — pinned by `CepExecSpec`. The NFA loop itself is identical.
+  *
+  * Child contract (built by `SparkCep.prepare`): columns
+  * `(__key: long, __ord: long, __type: string, attr…: long)`.
+  */
+final case class CepMatchPlan(
+    query: CepQuery,
+    keyed: Boolean,
+    piNames: Seq[String],
+    orderName: String,
+    attrNames: Seq[String],
+    maxRunsPerKey: Option[Int],
+    output: Seq[Attribute],
+    child: LogicalPlan) extends UnaryNode {
+  // the NFA consumes every child column — claim them all so ColumnPruning
+  // never strips the prepared projection beneath us
+  override def references: AttributeSet = AttributeSet(child.output)
+  override def producedAttributes: AttributeSet = outputSet
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : CepMatchPlan = copy(child = newChild)
+}
+
+/** Planner rule: lower the logical CEP node to its physical operator. */
+object CepStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: CepMatchPlan =>
+      CepMatchExec(p.query, p.keyed, p.piNames, p.orderName, p.attrNames,
+        p.maxRunsPerKey, p.output, planLater(p.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class CepMatchExec(
+    query: CepQuery,
+    keyed: Boolean,
+    piNames: Seq[String],
+    orderName: String,
+    attrNames: Seq[String],
+    maxRunsPerKey: Option[Int],
+    output: Seq[Attribute],
+    child: SparkPlan) extends UnaryExecNode {
+
+  /** Keyed: each key's events co-located (any hash partitioning on the
+    * key satisfies it — no forced re-shuffle). Global: the reference's
+    * single-sequence semantics need every row in one partition.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keyed) ClusteredDistribution(Seq(child.output.head)) :: Nil
+    else AllTuples :: Nil
+
+  /** Per-key arrival order via in-partition secondary sort (a global sort
+    * is never required).
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (keyed)
+      Seq(Seq(SortOrder(child.output.head, Ascending),
+        SortOrder(child.output(1), Ascending)))
+    else Seq(Seq(SortOrder(child.output(1), Ascending)))
+
+  /** Matches stay partitioned by key — downstream key-wise ops reuse it. */
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val q = query
+    val names = piNames.toVector
+    val aNames = attrNames.toVector
+    val oName = orderName
+    val maxRuns = maxRunsPerKey
+    val outTypes = output.map(_.dataType).toArray
+    val nOut = outTypes.length
+    child.execute().mapPartitions({ iter =>
+      val proj = UnsafeProjection.create(outTypes)
+      val executor =
+        new Executor(DstCompiler.compile(q), q.strategy, maxRuns)
+      var curKey = 0L
+      var started = false
+      iter.flatMap { row =>
+        val key = row.getLong(0)
+        if (!started || key != curKey) {
+          executor.reset(); curKey = key; started = true
+        }
+        val attrs = Vector.newBuilder[(String, Long)]
+        attrs += oName -> row.getLong(1)
+        var i = 3
+        while (i < row.numFields) {
+          if (!row.isNullAt(i)) attrs += aNames(i - 2) -> row.getLong(i)
+          i += 1
+        }
+        val ev = Event(row.getUTF8String(2).toString, attrs.result())
+        // LAZY map: proj reuses one UnsafeRow buffer, so each projected
+        // row must be consumed downstream before the next match of the
+        // same event is projected (a strict Vector.map would emit N
+        // references to the last match's bytes)
+        executor.feed(ev).iterator.map { m =>
+          val byName = m.toMap
+          val vals = new Array[Any](nOut)
+          vals(0) = key
+          var j = 0
+          while (j < names.length) {
+            val ids = byName.getOrElse(names(j), Vector.empty)
+            val arr = new Array[Long](ids.length)
+            var e = 0
+            while (e < arr.length) { arr(e) = ids(e)(oName); e += 1 }
+            vals(j + 1) = new GenericArrayData(arr)
+            j += 1
+          }
+          // proj reuses its buffer — standard operator contract (buffering
+          // consumers copy), same as ProjectExec
+          proj(new GenericInternalRow(vals))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : CepMatchExec = copy(child = newChild)
+}

@@ -13,4 +13,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a custom LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4 — same subpackage-accessor pattern).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently register an extra planner strategy on the session. */
+  def addStrategy(spark: org.apache.spark.sql.SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
 }

@@ -43,6 +43,13 @@ object DriveScale {
     val st = skew.value
     println(s"SCALE_SKEW max_runs=${st.maxRuns} hottest_key=${st.hottestKey} " +
       s"events_fed=${st.events}")
+    // the Catalyst-planned operator (InternalRow end-to-end, declared
+    // distribution) on the identical input + pattern
+    val t1 = System.nanoTime()
+    val matchesExec = SparkCep.matchPatternExec(df, q, spec).count()
+    val secExec = (System.nanoTime() - t1) / 1e9
+    require(matchesExec == matches, s"exec diverged: $matchesExec vs $matches")
+    println(f"SCALE_EXEC SECONDS=$secExec%.1f EVENTS_PER_SEC=${(n / secExec).toLong}")
     spark.stop()
   }
 }
