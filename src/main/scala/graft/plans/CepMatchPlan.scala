@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, HashPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -83,8 +83,23 @@ final case class CepMatchExec(
         SortOrder(child.output(1), Ascending)))
     else Seq(Seq(SortOrder(child.output(1), Ascending)))
 
-  /** Matches stay partitioned by key — downstream key-wise ops reuse it. */
-  override def outputPartitioning = child.outputPartitioning
+  /** Matches stay partitioned by key — but the claim must be expressed in
+    * *our* output attribute (the child's `__key` is not visible above this
+    * node, so passing its partitioning through verbatim would be a dangling
+    * reference no downstream requirement could ever match). When the child
+    * is hash-partitioned exactly on the key, rewrite to the output key
+    * attr so downstream key-wise operators skip their shuffle; otherwise
+    * claim nothing.
+    */
+  override def outputPartitioning: Partitioning =
+    child.outputPartitioning match {
+      case h: HashPartitioning
+          if keyed && h.expressions.length == 1 &&
+            h.expressions.head.semanticEquals(child.output.head) =>
+        HashPartitioning(Seq(output.head), h.numPartitions)
+      case p if !keyed => p // single partition either way
+      case p => UnknownPartitioning(p.numPartitions)
+    }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val q = query

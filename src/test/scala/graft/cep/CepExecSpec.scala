@@ -83,6 +83,36 @@ class CepExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("downstream key aggregation reuses the operator's partitioning") {
+    val spec = graft.Queries.eventSpec
+    val query = graft.Queries.cepNextSignupPurchaseQuery
+    val perKey = SparkCep.matchPatternExec(events, query, spec)
+      .groupBy(col("user_id")).count()
+    val plan = perKey.queryExecution.executedPlan.toString
+    // exactly the operator's own key exchange — the aggregate rides on the
+    // rewritten outputPartitioning instead of adding a second shuffle
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected the CEP exchange only:\n$plan")
+  }
+
+  test("exec matches the typed path on hashed (non-numeric) keys") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("alice", 1L, "signup", 0L), ("alice", 2L, "purchase", 10L),
+      ("bob", 3L, "signup", 0L), ("bob", 4L, "click", 0L),
+      ("bob", 5L, "purchase", 20L))
+      .toDF("user", "event_id", "event_type", "value")
+    val spec = SparkCep.CepSpec(Some("user"), "event_id", "event_type",
+      Seq("value"))
+    val query = graft.Queries.cepNextSignupPurchaseQuery
+    val a = SparkCep.matchPattern(df, query, spec)
+      .collect().map(_.toString).sorted.toSeq
+    val b = SparkCep.matchPatternExec(df, query, spec)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.size == 1) // only alice's strict pair
+  }
+
   test("exec handles the un-keyed global-sequence mode") {
     val s = spark
     import s.implicits._
