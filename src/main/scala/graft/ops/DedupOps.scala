@@ -409,13 +409,45 @@ object DedupOps {
     *
     * Input: edge frame with two long id columns. Output:
     * `(node, cluster)` for every node appearing in an edge.
+    *
+    * Adaptive execution: a near-dup pair graph is orders of magnitude
+    * smaller than its corpus (pairs survive banding + caps + thresholds),
+    * so when the edge count is at most `localEdgeThreshold` (default 1 M
+    * edges ≈ 16 MB — the broadcast-small-side budget) the components are
+    * solved with driver-side union-find in one pass instead of paying
+    * per-round job scheduling; above it, the distributed propagation
+    * loop runs. Both paths are property-tested equal.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
-    val und = edges.select(col(srcCol).cast(LongType).as("a"),
-        col(dstCol).cast(LongType).as("b"))
-      .union(edges.select(col(dstCol).cast(LongType).as("a"),
-        col(srcCol).cast(LongType).as("b")))
+      maxIter: Int = 50, localEdgeThreshold: Long = 1000000L): DataFrame = {
+    val e2 = edges.select(col(srcCol).cast(LongType).as("a"),
+      col(dstCol).cast(LongType).as("b"))
+    val probeCap = math.min(localEdgeThreshold + 1, Int.MaxValue.toLong).toInt
+    if (e2.limit(probeCap).count() <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      e2.collect().foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val a = r.getLong(0); val b = r.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by min root keeps labels deterministic
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+      }
+      val rows = parent.keys.toArray.sorted.map(n => (n, find(n)))
+      import spark.implicits._
+      return rows.toSeq.toDF("node", "cluster")
+    }
+    val und = e2
+      .union(e2.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
     var labels = und.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))

@@ -91,6 +91,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 5L).forall(cc(_) == 1L))
     assert(cc(8L) == 8L && cc(9L) == 8L)
+    // force the distributed propagation loop (threshold 0) — must equal
+    // the driver-side union-find on the identical graph
+    val ccDist = DedupOps.connectedComponents(edges, "id1", "id2",
+      localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDist == cc, "local union-find and distributed loop diverged")
 
     val docs = (1L to 10L).map(i => i -> s"doc $i")
     val keep = DedupOps.nearDupKeepMap(
@@ -100,6 +106,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keep(8L) == 8L && keep(9L) == 8L)
     // isolated docs are their own cluster
     assert(Seq(6L, 7L, 10L).forall(i => keep(i) == i))
+  }
+
+  test("connected components: random graphs agree between both paths") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+        .toDF("id1", "id2")
+      val local = DedupOps.connectedComponents(edges, "id1", "id2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = DedupOps.connectedComponents(edges, "id1", "id2",
+        localEdgeThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"seed=$seed")
+      // labels are component minima: every label labels itself
+      assert(local.values.toSet.forall(c => local(c) == c), s"seed=$seed")
+    }
   }
 
   test("deterministic sampling is partitioning-invariant and rate-bounded") {
