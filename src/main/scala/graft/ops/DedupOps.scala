@@ -422,8 +422,13 @@ object DedupOps {
       maxIter: Int = 50, localEdgeThreshold: Long = 1000000L): DataFrame = {
     val e2 = edges.select(col(srcCol).cast(LongType).as("a"),
       col(dstCol).cast(LongType).as("b"))
+    // one action probes and fetches together: collect up to cap+1 edges —
+    // at or under the threshold they ARE the graph (solve locally without
+    // recomputing the upstream pair pipeline); over it, fall through to
+    // the distributed loop
     val probeCap = math.min(localEdgeThreshold + 1, Int.MaxValue.toLong).toInt
-    if (e2.limit(probeCap).count() <= localEdgeThreshold) {
+    val probed = e2.limit(probeCap).collect()
+    if (probed.length <= localEdgeThreshold) {
       val spark = edges.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -433,7 +438,7 @@ object DedupOps {
         while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      e2.collect().foreach { r =>
+      probed.foreach { r =>
         if (!r.isNullAt(0) && !r.isNullAt(1)) {
           val a = r.getLong(0); val b = r.getLong(1)
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
