@@ -20,13 +20,22 @@ object Bench {
     // caches are cleared before every timed run so both measure the real
     // compute, not a cache hit; cold-vs-steady separates fixed per-query
     // overhead from O(data) work when comparing across machines/rounds.
+    // a failed query records -1 (never its time-to-crash: a regression
+    // that breaks a query must not read as that query getting faster) and
+    // is excluded from totals
     def timed(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+          -1.0
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> (timed(name, fn), timed(name, fn))
@@ -34,8 +43,8 @@ object Bench {
     def jmap(sel: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._1).sum
-    val totalSteady = results.values.map(_._2).sum
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val totalSteady = results.values.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"total_steady":$totalSteady,"sf":"$sfDir"}""")
     spark.stop()
   }

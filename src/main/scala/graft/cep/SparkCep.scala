@@ -39,12 +39,6 @@ object SparkCep {
       attrCols: Seq[String]
   )
 
-  /** @param maxRunsPerKey hard valve: fail the task if any key's live-run
-    *   set exceeds the cap (state explosion beats a silent OOM)
-    * @param skewAcc optional gauge: records max live-run count, the key it
-    *   occurred on, and total events fed — read it driver-side after an
-    *   action to find pathological keys before they hit the valve
-    */
   /** Shared front half of both physical formulations: semantics-preserving
     * pre-NFA pushdown, null-key drop, key derivation, and the canonical
     * `(__key, __ord, __type, attr…)` projection.
@@ -73,6 +67,16 @@ object SparkCep {
     (prepared, attrNames)
   }
 
+  /** Typed-operator formulation of the CEP match (the Catalyst-planned
+    * `matchPatternExec` is the faster default; this one carries the skew
+    * gauge and backs the streaming state codec).
+    *
+    * @param maxRunsPerKey hard valve: fail the task if any key's live-run
+    *   set exceeds the cap (state explosion beats a silent OOM)
+    * @param skewAcc optional gauge: records max live-run count, the key it
+    *   occurred on, and total events fed — read it driver-side after an
+    *   action to find pathological keys before they hit the valve
+    */
   def matchPattern(df: DataFrame, query: CepQuery, spec: CepSpec,
       maxRunsPerKey: Option[Int] = None,
       skewAcc: Option[CepSkewAccumulator] = None): DataFrame = {

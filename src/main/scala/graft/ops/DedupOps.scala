@@ -420,8 +420,11 @@ object DedupOps {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50, localEdgeThreshold: Long = 1000000L): DataFrame = {
+    // null endpoints carry no identity: drop them up front so the local
+    // and distributed paths agree on the graph
     val e2 = edges.select(col(srcCol).cast(LongType).as("a"),
       col(dstCol).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
     // one action probes and fetches together: collect up to cap+1 edges —
     // at or under the threshold they ARE the graph (solve locally without
     // recomputing the upstream pair pipeline); over it, fall through to
@@ -439,13 +442,11 @@ object DedupOps {
         r
       }
       probed.foreach { r =>
-        if (!r.isNullAt(0) && !r.isNullAt(1)) {
-          val a = r.getLong(0); val b = r.getLong(1)
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          // union by min root keeps labels deterministic
-          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-        }
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by min root keeps labels deterministic
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
       val rows = parent.keys.toArray.sorted.map(n => (n, find(n)))
       import spark.implicits._
@@ -454,9 +455,11 @@ object DedupOps {
     val und = e2
       .union(e2.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
-    var labels = und.select(col("a").as("node")).distinct()
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    var checkpointed = und.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
+    var labels: DataFrame = checkpointed
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -470,10 +473,21 @@ object DedupOps {
             .as("newLbl"))
         .localCheckpoint(true)
       converged = step.filter(col("newLbl") < col("lbl")).isEmpty
+      // release the previous round's checkpointed blocks deterministically
+      // (they would otherwise linger until the ContextCleaner GCs them)
+      GraftColumnBridge.unpersistLocalCheckpoint(checkpointed)
+      checkpointed = step
       labels = step.select(col("node"), col("newLbl").as("lbl"))
       iter += 1
     }
     und.unpersist()
+    // silent non-convergence would return labels that are not component
+    // minima (and not even idempotent) — under-deduping downstream with
+    // no signal. Loud beats wrong, same stance as maxRunsPerKey.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — the " +
+        "graph has a component with diameter beyond maxIter; raise " +
+        "maxIter (rounds are cheap relative to wrong dedup decisions)")
     labels.select(col("node"), col("lbl").as("cluster"))
   }
 

@@ -120,6 +120,12 @@ final case class CepMatchExec(
         if (!started || key != curKey) {
           executor.reset(); curKey = key; started = true
         }
+        // null order values have no position in the sequence — fail loudly
+        // (the typed path NPEs on them; silent getLong-as-0 would corrupt
+        // match ids)
+        if (row.isNullAt(1)) throw new IllegalArgumentException(
+          s"CEP order column is null for key $key — order values must be " +
+            "non-null and unique per key")
         val attrs = Vector.newBuilder[(String, Long)]
         attrs += oName -> row.getLong(1)
         var i = 3
@@ -127,7 +133,11 @@ final case class CepMatchExec(
           if (!row.isNullAt(i)) attrs += aNames(i - 2) -> row.getLong(i)
           i += 1
         }
-        val ev = Event(row.getUTF8String(2).toString, attrs.result())
+        // null type: a non-matching event type (matchPattern semantics —
+        // it still advances strict contiguity), never an NPE
+        val tpe =
+          if (row.isNullAt(2)) null else row.getUTF8String(2).toString
+        val ev = Event(tpe, attrs.result())
         // LAZY map: proj reuses one UnsafeRow buffer, so each projected
         // row must be consumed downstream before the next match of the
         // same event is projected (a strict Vector.map would emit N

@@ -23,11 +23,29 @@ object GraftColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
-  /** Idempotently register an extra planner strategy on the session. */
+  /** Idempotently register an extra planner strategy on the session.
+    * Synchronized on the ExperimentalMethods instance: the read-modify-
+    * write would otherwise race concurrent registrations (or concurrent
+    * user code touching extraStrategies) and drop one of them.
+    */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,
       s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!cs.experimental.extraStrategies.contains(s))
-      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+    cs.experimental.synchronized {
+      if (!cs.experimental.extraStrategies.contains(s))
+        cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+    }
   }
+
+  /** Release the storage behind a `localCheckpoint(eager = true)` frame.
+    * `Dataset.unpersist` only consults the cache manager and never frees
+    * checkpoint RDD blocks; iterative algorithms need deterministic
+    * release of superseded rounds.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

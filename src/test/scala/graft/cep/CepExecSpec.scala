@@ -113,6 +113,35 @@ class CepExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.size == 1) // only alice's strict pair
   }
 
+  test("exec treats null event types as non-matching, errs on null order") {
+    val s = spark
+    import s.implicits._
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+    val query = graft.Queries.cepNextSignupPurchaseQuery
+    // a null type between signup and purchase breaks strict contiguity in
+    // BOTH formulations (it is an event, just of no matching type)
+    val withNullType = Seq(
+      (1L, 1L, Option("signup"), 0L), (1L, 2L, None: Option[String], 0L),
+      (1L, 3L, Option("purchase"), 0L), (2L, 4L, Option("signup"), 0L),
+      (2L, 5L, Option("purchase"), 0L))
+      .toDF("user_id", "event_id", "event_type", "value")
+    val a = SparkCep.matchPattern(withNullType, query, spec)
+      .collect().map(_.toString).sorted.toSeq
+    val b = SparkCep.matchPatternExec(withNullType, query, spec)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.size == 1) // only user 2's uninterrupted pair
+
+    val withNullOrd = Seq(
+      (1L, Option(1L), "signup", 0L), (1L, None: Option[Long], "purchase", 0L))
+      .toDF("user_id", "event_id", "event_type", "value")
+    val e = intercept[org.apache.spark.SparkException] {
+      SparkCep.matchPatternExec(withNullOrd, query, spec).collect()
+    }
+    assert(e.getMessage.contains("order column is null") ||
+      Option(e.getCause).exists(_.getMessage.contains("order column is null")))
+  }
+
   test("exec handles the un-keyed global-sequence mode") {
     val s = spark
     import s.implicits._

@@ -108,6 +108,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(6L, 7L, 10L).forall(i => keep(i) == i))
   }
 
+  test("connected components: null edges dropped identically; loud non-convergence") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      (Option(1L), Option(2L)),
+      (None: Option[Long], Option(7L)), // null endpoint: edge dropped
+      (Option(8L), None: Option[Long]))
+      .toDF("id1", "id2")
+    def nodes(threshold: Long) =
+      DedupOps.connectedComponents(edges, "id1", "id2",
+        localEdgeThreshold = threshold)
+        .collect().map(_.getLong(0)).toSet
+    assert(nodes(1000000L) == Set(1L, 2L))
+    assert(nodes(0L) == Set(1L, 2L), "paths diverged on null edges")
+
+    // a 6-chain cannot converge in 2 propagation rounds — must fail loudly
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, "id1", "id2", maxIter = 2,
+        localEdgeThreshold = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connected components: random graphs agree between both paths") {
     val s = spark
     import s.implicits._
