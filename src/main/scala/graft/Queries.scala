@@ -92,6 +92,28 @@ object Queries {
       |WHERE event_type = 'signup' AND next_type = 'purchase'
       |ORDER BY user_id, a_id""".stripMargin
 
+  /** CEP composed with a downstream relational aggregation: matches per
+    * user of the strict signup→purchase pattern. Exercises the
+    * Catalyst-planned operator's `outputPartitioning` contract end-to-end:
+    * the groupBy rides on the CEP exchange instead of re-shuffling
+    * (pinned by `CepExecSpec`).
+    */
+  def cepAggMatchCounts(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepNextSignupPurchaseQuery)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy("user_id")
+
+  val cepAggMatchCountsSql: String =
+    """WITH pairs AS (
+      |  SELECT user_id FROM (
+      |    SELECT user_id, event_type,
+      |      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |        AS next_type
+      |    FROM events) t
+      |  WHERE event_type = 'signup' AND next_type = 'purchase')
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches
+      |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** §2 #2+#11 lpat strict {3,3}: three consecutive clicks (every window). */
   val cepLpatStrictClicksQuery: CepQuery =
     CepQuery(
@@ -1250,6 +1272,7 @@ object Queries {
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairs _,
     "cep_iter_budget" -> cepIterBudget _,
     "cep_until_error_runs" -> cepUntilErrorRuns _,
+    "cep_agg_match_counts" -> cepAggMatchCounts _,
     "rel_q1_pricing" -> relQ1Pricing _,
     "rel_q3_top_orders" -> relQ3TopOrders _,
     "rel_nation_stats" -> relNationStats _,
@@ -1291,6 +1314,7 @@ object Queries {
     "cep_gpat_times_sp2" -> cepGpatTimesSp2Sql,
     "cep_gpat_inf_sp" -> cepGpatInfSpSql,
     "cep_until_error_runs" -> cepUntilErrorRunsSql,
+    "cep_agg_match_counts" -> cepAggMatchCountsSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "emb_near_dup_lsh" -> embNearDupLshSql,

@@ -101,21 +101,10 @@ object StreamingCep {
       (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
     val orderName = attrNames.head
 
-    // same source policy as the batch operator: semantics-preserving
-    // pre-NFA pushdown, null keys dropped, non-numeric keys hashed
-    val source0 = SparkCep.prefilter(query, spec) match {
-      case Some(cond) => df.filter(cond)
-      case None       => df
-    }
-    val source = spec.keyCol match {
-      case Some(k) => source0.filter(col(k).isNotNull)
-      case None    => source0
-    }
-    val prepared = source.select(
-      SparkCep.keyExpr(df, spec).as("__key") +:
-        col(spec.orderCol).cast(LongType).as("__ord") +:
-        col(spec.typeCol).cast(StringType).as("__type") +:
-        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*)
+    // same source policy as the batch operator (shared `prepare`):
+    // semantics-preserving pre-NFA pushdown, null keys dropped,
+    // non-numeric keys hashed, canonical projection
+    val (prepared, _) = SparkCep.prepare(df, query, spec)
 
     val outSchema = StructType(
       StructField(keyName, LongType, nullable = false) +:
