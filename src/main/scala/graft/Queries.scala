@@ -924,6 +924,110 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** End-to-end corpus curation — the canonical training-data pipeline as
+    * ONE composed query: quality gate → deterministic stratified sample →
+    * normalized exact-dedup keepers → per-language counts. Every stage is
+    * a registry operator; the oracle re-runs the identical composition in
+    * SQL. The narrow stages (quality, sampling, normalize) fuse into the
+    * scan; the only shuffles are the dedup window and the final count.
+    */
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val ok = TextOps.qualityScore(docs, "doc_id", "text")
+      .filter(col("quality_ok")).select("doc_id")
+    val gated = docs.join(ok, "doc_id")
+    val sampled = Sampling.stratifiedSample(gated, "doc_id", "lang",
+      Map("en" -> 500), defaultMilli = 800)
+    val keep = DedupOps.exactDedup(
+      sampled.select(col("doc_id"),
+        TextOps.normalize(col("text")).as("norm")), "doc_id", "norm")
+      .filter(col("doc_id") === col("keep_id")).select("doc_id")
+    sampled.join(keep, "doc_id")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  val pipelineCurateSql: String = {
+    val stops = TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val idStr = "CAST(doc_id AS VARCHAR)"
+    val poly =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($idStr)), " +
+        s"i -> CAST(ascii($idStr[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, lang, len(toks) AS n_tokens,
+       |    len(list_filter(toks, x -> list_contains($stops, lower(x)))) AS n_stop,
+       |    list_sum(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, x -> CAST(length(x) AS BIGINT)))) AS char_sum,
+       |    length(text) - length(translate(text, '.,!?;:', '')) AS n_punct
+       |  FROM t),
+       |gated AS (
+       |  SELECT doc_id, text, lang FROM m
+       |  WHERE n_tokens > 0
+       |    AND (CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens ELSE 0 END) > 0
+       |    AND (CASE WHEN n_tokens > 0 THEN char_sum * 1000 // n_tokens ELSE 0 END) BETWEEN 2000 AND 12000
+       |    AND (CASE WHEN length(text) > 0 THEN n_punct * 1000 // length(text) ELSE 0 END) < 200),
+       |sampled AS (
+       |  SELECT doc_id, text, lang FROM gated
+       |  WHERE ($poly) % 1000 <
+       |    CASE WHEN lang = 'en' THEN 500 ELSE 800 END),
+       |normed AS (
+       |  SELECT doc_id, lang,
+       |    lower(trim(regexp_replace(translate(text, '.,!?;:', ''),
+       |      '\\s+', ' ', 'g'))) AS norm
+       |  FROM sampled),
+       |keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS keep_id
+       |    FROM normed) k
+       |  WHERE doc_id = keep_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM sampled JOIN keep USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Per-language embedding centroids in exact integer micro space:
+    * every vector element is floored to micros *before* aggregation, so
+    * the sum is order-free exact integer math (a float mean would depend
+    * on partition-dependent summation order and could never hash-match).
+    * Physical shape: join on id, narrow posexplode, one (lang, pos)
+    * shuffle with partial aggregation — the standard "domain centroid"
+    * corpus statistic.
+    */
+  def embLangCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    emb.join(docs, emb("vec_id") === docs("doc_id"))
+      .select(col("lang"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("lang"), col("pos").cast(LongType).as("pos"),
+        floor(col("x").cast(DoubleType) * 1000000d).cast(LongType).as("xm"))
+      .groupBy(col("lang"), col("pos"))
+      .agg(sum(col("xm")).as("s"), count(lit(1)).as("n"))
+      .select(col("lang"), col("pos"),
+        floor(col("s").cast(DoubleType) / col("n").cast(DoubleType))
+          .cast(LongType).as("centroid_micro"))
+      .orderBy("lang", "pos")
+  }
+
+  val embLangCentroidsSql: String =
+    """WITH j AS (
+      |  SELECT d.lang, e.embedding
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      |x AS (
+      |  SELECT lang, CAST(i - 1 AS BIGINT) AS pos,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      |  FROM j CROSS JOIN generate_series(1, 64) AS g(i))
+      |SELECT lang, pos,
+      |  CAST(floor(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT)
+      |    AS centroid_micro
+      |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin
+
   /** MinHash + LSH candidate pairs. The oracle regenerates the *entire*
     * pipeline in SQL — shingles, double-base polynomial hashes, all 64
     * permutations (coefficients embedded from `MinHashParams`),
@@ -1295,6 +1399,8 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_cluster_keep" -> dedupClusterKeep _,
     "sample_stratified" -> sampleStratified _,
+    "pipeline_curate" -> pipelineCurate _,
+    "emb_lang_centroids" -> embLangCentroids _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "knn_cosine_top10" -> knnCosineTop10 _,
@@ -1342,6 +1448,8 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_cluster_keep" -> dedupClusterKeepSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "pipeline_curate" -> pipelineCurateSql,
+    "emb_lang_centroids" -> embLangCentroidsSql,
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql,
     "mm_frame_sample" -> mmFrameSampleSql,
