@@ -147,7 +147,8 @@ object SparkCep {
     * by `GraftExtensions` via `spark.sql.extensions`).
     */
   def matchPatternExec(df: DataFrame, query: CepQuery, spec: CepSpec,
-      maxRunsPerKey: Option[Int] = None): DataFrame = {
+      maxRunsPerKey: Option[Int] = None,
+      skewAcc: Option[CepSkewAccumulator] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val piNames = patternNames(query.patseq)
@@ -160,7 +161,7 @@ object SparkCep {
         piNames.map(n => AttributeReference(n,
           ArrayType(LongType, containsNull = false), nullable = false)())
     val plan = graft.plans.CepMatchPlan(query, spec.keyCol.isDefined,
-      piNames, attrNames.head, attrNames, maxRunsPerKey, output,
+      piNames, attrNames.head, attrNames, maxRunsPerKey, skewAcc, output,
       prepared.queryExecution.analyzed)
     val out = GraftColumnBridge.ofRows(spark, plan)
     if (spec.keyCol.isEmpty) out.drop(keyName) else out

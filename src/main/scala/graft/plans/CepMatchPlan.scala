@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
-import graft.cep.{CepQuery, DstCompiler, Event, Executor}
+import graft.cep.{CepQuery, CepSkewAccumulator, DstCompiler, Event, Executor}
 
 /** The CEP pattern-match operator as a first-class Catalyst plan — the
   * prompt's extension path (c): a custom `LogicalPlan` + `SparkStrategy` +
@@ -36,6 +36,7 @@ final case class CepMatchPlan(
     orderName: String,
     attrNames: Seq[String],
     maxRunsPerKey: Option[Int],
+    skewAcc: Option[CepSkewAccumulator],
     output: Seq[Attribute],
     child: LogicalPlan) extends UnaryNode {
   // the NFA consumes every child column — claim them all so ColumnPruning
@@ -51,7 +52,7 @@ object CepStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: CepMatchPlan =>
       CepMatchExec(p.query, p.keyed, p.piNames, p.orderName, p.attrNames,
-        p.maxRunsPerKey, p.output, planLater(p.child)) :: Nil
+        p.maxRunsPerKey, p.skewAcc, p.output, planLater(p.child)) :: Nil
     case _ => Nil
   }
 }
@@ -63,6 +64,7 @@ final case class CepMatchExec(
     orderName: String,
     attrNames: Seq[String],
     maxRunsPerKey: Option[Int],
+    skewAcc: Option[CepSkewAccumulator],
     output: Seq[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
@@ -109,10 +111,13 @@ final case class CepMatchExec(
     val maxRuns = maxRunsPerKey
     val outTypes = output.map(_.dataType).toArray
     val nOut = outTypes.length
+    val skew = skewAcc
     child.execute().mapPartitions({ iter =>
       val proj = UnsafeProjection.create(outTypes)
       val executor =
         new Executor(DstCompiler.compile(q), q.strategy, maxRuns)
+      // gauge resolved once per task; disabled cost is one null check
+      val acc = skew.orNull
       var curKey = 0L
       var started = false
       iter.flatMap { row =>
@@ -138,11 +143,13 @@ final case class CepMatchExec(
         val tpe =
           if (row.isNullAt(2)) null else row.getUTF8String(2).toString
         val ev = Event(tpe, attrs.result())
+        val matches = executor.feed(ev)
+        if (acc != null) acc.add((key, executor.runCount.toLong))
         // LAZY map: proj reuses one UnsafeRow buffer, so each projected
         // row must be consumed downstream before the next match of the
         // same event is projected (a strict Vector.map would emit N
         // references to the last match's bytes)
-        executor.feed(ev).iterator.map { m =>
+        matches.iterator.map { m =>
           val byName = m.toMap
           val vals = new Array[Any](nOut)
           vals(0) = key

@@ -52,5 +52,14 @@ class CepSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the gauge must not perturb results: identical output without it
     val plain = SparkCep.matchPattern(df, query, spec).count()
     assert(plain == matches)
+
+    // the Catalyst-planned operator carries the same gauge
+    val skew2 = CepSkewAccumulator.registered(s, "cep_skew_exec")
+    val execMatches = SparkCep.matchPatternExec(df, query, spec,
+      skewAcc = Some(skew2)).count()
+    assert(execMatches == matches)
+    val st2 = skew2.value
+    assert(st2.hottestKey == 7L && st2.events == rows.length.toLong)
+    assert(st2.maxRuns == stats.maxRuns)
   }
 }
