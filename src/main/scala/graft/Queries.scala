@@ -932,17 +932,18 @@ object Queries {
     * scan; the only shuffles are the dedup window and the final count.
     */
   def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = table(spark, dir, "documents")
-    val ok = TextOps.qualityScore(docs, "doc_id", "text")
-      .filter(col("quality_ok")).select("doc_id")
-    val gated = docs.join(ok, "doc_id")
-    val sampled = Sampling.stratifiedSample(gated, "doc_id", "lang",
+    // quality gate and sample are inline predicates (one scan, no metric
+    // frame joined back); keeper selection is a window min over the
+    // surviving rows — the only shuffles are that window and the count
+    val sampled = Sampling.stratifiedSample(
+      docs.filter(TextOps.qualityOk(col("text"))), "doc_id", "lang",
       Map("en" -> 500), defaultMilli = 800)
-    val keep = DedupOps.exactDedup(
-      sampled.select(col("doc_id"),
-        TextOps.normalize(col("text")).as("norm")), "doc_id", "norm")
-      .filter(col("doc_id") === col("keep_id")).select("doc_id")
-    sampled.join(keep, "doc_id")
+    sampled
+      .withColumn("keep_id", min(col("doc_id")).over(
+        Window.partitionBy(TextOps.normalize(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .orderBy("lang")
   }
@@ -1020,13 +1021,15 @@ object Queries {
       |  SELECT d.lang, e.embedding
       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
       |x AS (
-      |  SELECT lang, CAST(i - 1 AS BIGINT) AS pos,
-      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
-      |  FROM j CROSS JOIN generate_series(1, 64) AS g(i))
-      |SELECT lang, pos,
-      |  CAST(floor(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT)
+      |  SELECT lang, unnest(list_transform(embedding,
+      |    (v, i) -> {'pos': CAST(i - 1 AS BIGINT),
+      |               'xm': CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)}))
+      |    AS u
+      |  FROM j)
+      |SELECT lang, u.pos AS pos,
+      |  CAST(floor(CAST(sum(u.xm) AS DOUBLE) / count(*)) AS BIGINT)
       |    AS centroid_micro
-      |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin
+      |FROM x GROUP BY lang, u.pos ORDER BY lang, pos""".stripMargin
 
   /** MinHash + LSH candidate pairs. The oracle regenerates the *entire*
     * pipeline in SQL — shingles, double-base polynomial hashes, all 64

@@ -67,9 +67,10 @@ object SparkCep {
     (prepared, attrNames)
   }
 
-  /** Typed-operator formulation of the CEP match (the Catalyst-planned
-    * `matchPatternExec` is the faster default; this one carries the skew
-    * gauge and backs the streaming state codec).
+  /** Typed-operator formulation of the CEP match — the Catalyst-planned
+    * `matchPatternExec` is the faster default (both carry the skew
+    * gauge); this one backs the streaming state codec and serves as the
+    * differential baseline.
     *
     * @param maxRunsPerKey hard valve: fail the task if any key's live-run
     *   set exceeds the cap (state explosion beats a silent OOM)

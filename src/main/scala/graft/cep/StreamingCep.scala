@@ -97,14 +97,12 @@ object StreamingCep {
       spec: SparkCep.CepSpec, maxRunsPerKey: Option[Int] = None): DataFrame = {
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
-    val attrNames: Vector[String] =
-      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
-    val orderName = attrNames.head
-
     // same source policy as the batch operator (shared `prepare`):
     // semantics-preserving pre-NFA pushdown, null keys dropped,
-    // non-numeric keys hashed, canonical projection
-    val (prepared, _) = SparkCep.prepare(df, query, spec)
+    // non-numeric keys hashed, canonical projection — the returned
+    // attrNames ARE the projection's attr order the row decode relies on
+    val (prepared, attrNames) = SparkCep.prepare(df, query, spec)
+    val orderName = attrNames.head
 
     val outSchema = StructType(
       StructField(keyName, LongType, nullable = false) +:

@@ -98,16 +98,19 @@ object TextOps {
     *  - `quality_ok`: the composite gate (has tokens, some stopwords,
     *    sane word length, punctuation below 20%).
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val toks = tokens(col(textCol))
+  /** The quality-metric columns over a text column, shared by the scoring
+    * frame and the inline gate predicate.
+    */
+  private def qualityCols(textCol: Column)
+      : (Column, Column, Column, Column) = {
+    val toks = tokens(textCol)
     val nTok = size(toks).cast(LongType)
     val nStop = size(filter(toks,
       t => lower(t).isin(stopwords.map(lit): _*))).cast(LongType)
     val charSum = aggregate(transform(toks, t => length(t).cast(LongType)),
       lit(0L), (a, c) => a + c)
-    val nPunct = (length(col(textCol)) -
-      length(translate(col(textCol), ".,!?;:", ""))).cast(LongType)
+    val nPunct = (length(textCol) -
+      length(translate(textCol, ".,!?;:", ""))).cast(LongType)
     // floor of an exact double quotient == integer division for these
     // magnitudes (numerators < 2^53; an exactly-integer quotient divides
     // exactly in IEEE)
@@ -117,9 +120,25 @@ object TextOps {
     val meanLen =
       when(nTok > 0, floor(charSum * 1000.0 / nTok)).otherwise(0L)
         .cast(LongType)
-    val punctRatio = when(length(col(textCol)) > 0,
-      floor(nPunct * 1000.0 / length(col(textCol)))).otherwise(0L)
+    val punctRatio = when(length(textCol) > 0,
+      floor(nPunct * 1000.0 / length(textCol))).otherwise(0L)
       .cast(LongType)
+    (nTok, stopRatio, meanLen, punctRatio)
+  }
+
+  /** The composite quality gate as a single boolean Column — usable as an
+    * inline `filter` predicate that fuses into the scan (no metric frame,
+    * no self-join back onto the corpus).
+    */
+  def qualityOk(textCol: Column): Column = {
+    val (nTok, stopRatio, meanLen, punctRatio) = qualityCols(textCol)
+    nTok > 0 && stopRatio > 0 && meanLen >= 2000 && meanLen <= 12000 &&
+      punctRatio < 200
+  }
+
+  def qualityScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val (nTok, stopRatio, meanLen, punctRatio) = qualityCols(col(textCol))
     df.select(
       col(idCol),
       nTok.as("n_tokens"),

@@ -51,7 +51,12 @@ class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.toVector
   }
 
-  test("sampled corpus cases match through the full Spark operator") {
+  /** Run every 500th corpus case through `runner` in global mode and
+    * require the in-memory operator's matches, including order.
+    */
+  private def checkSampledGlobal(label: String,
+      runner: (org.apache.spark.sql.DataFrame, CepQuery,
+        SparkCep.CepSpec) => org.apache.spark.sql.DataFrame): Unit = {
     val s = spark
     import s.implicits._
     val sample = loadSample(500)
@@ -72,7 +77,7 @@ class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         ((i + 1).toLong, t, nm.toLong, pr.toLong)
       }.toDF("id", "type", "name", "price")
       val spec = SparkCep.CepSpec(None, "id", "type", Seq("name", "price"))
-      val got = SparkCep.matchPattern(df, q, spec).collect().toVector
+      val got = runner(df, q, spec).collect().toVector
         .map(r => names.indices.map(i => r.getSeq[Long](i)).toVector)
 
       if (got != want && failures.length < 3)
@@ -80,39 +85,17 @@ class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       checked += 1
     }
     assert(failures.isEmpty, failures.mkString("\n"))
-    info(s"$checked sampled cases matched through Spark")
+    info(s"$checked sampled cases matched through $label")
+  }
+
+  test("sampled corpus cases match through the full Spark operator") {
+    checkSampledGlobal("Spark (typed)",
+      (df, q, spec) => SparkCep.matchPattern(df, q, spec))
   }
 
   test("sampled corpus cases match through the Catalyst-planned operator") {
-    val s = spark
-    import s.implicits._
-    val sample = loadSample(500)
-    assert(sample.nonEmpty)
-    var checked = 0
-    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((id, queryYaml, input) <- sample) {
-      val q = YamlQuery.fromYaml(queryYaml)
-      val events = input.zipWithIndex.map { case ((t, nm, pr), i) =>
-        Event(t, Vector("id" -> (i + 1).toLong, "name" -> nm.toLong,
-          "price" -> pr.toLong))
-      }
-      val names = SparkCep.patternNames(q.patseq)
-      val want = CepOperator.run(q, events).map(m =>
-        names.map(n => m.toMap.getOrElse(n, Vector.empty).map(_("id"))))
-
-      val df = input.zipWithIndex.map { case ((t, nm, pr), i) =>
-        ((i + 1).toLong, t, nm.toLong, pr.toLong)
-      }.toDF("id", "type", "name", "price")
-      val spec = SparkCep.CepSpec(None, "id", "type", Seq("name", "price"))
-      val got = SparkCep.matchPatternExec(df, q, spec).collect().toVector
-        .map(r => names.indices.map(i => r.getSeq[Long](i)).toVector)
-
-      if (got != want && failures.length < 3)
-        failures += s"case $id: want=$want got=$got"
-      checked += 1
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
-    info(s"$checked sampled cases matched through CepMatchExec")
+    checkSampledGlobal("CepMatchExec",
+      (df, q, spec) => SparkCep.matchPatternExec(df, q, spec))
   }
 
   test("keyed mode isolates interleaved key copies across sampled shapes") {
