@@ -16,6 +16,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.CepStrategy)
     ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName,
+        "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(str) takes exactly one argument")
+        graft.functions.SimHash64(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("polyhash"),
       new ExpressionInfo(classOf[graft.functions.PolyHash].getName,
         "polyhash"),

@@ -509,35 +509,17 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over token hashes: per bit, the sign of the ±1 sum
-    * across tokens. One tight per-partition pass (narrow, no shuffle).
+    * across tokens. Runs as the native codegen'd
+    * `graft.functions.SimHash64` expression — the signature fuses into
+    * the scan's whole-stage-codegen pipeline (no `mapPartitions`
+    * iterator boundary; equality with the JVM-loop formulation pinned by
+    * `SimHash64Spec`). Null text/id rows are excluded, matching the
+    * other index builders.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("simhash", LongType, nullable = false)))
-    df.select(col(idCol).cast(LongType), col(textCol))
-      .mapPartitions { rows =>
-        rows.flatMap { row =>
-          // null text/id ⇒ no signature (doc excluded, matching the index)
-          if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
-          else {
-            val sums = new Array[Int](64)
-            for (tok <- row.getString(1).split(" ") if tok.nonEmpty) {
-              val th = tokenHash60Jvm(tok)
-              var b = 0
-              while (b < 64) {
-                if (((th >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-                b += 1
-              }
-            }
-            var h = 0L
-            var b = 0
-            while (b < 64) { if (sums(b) > 0) h |= (1L << b); b += 1 }
-            Iterator.single(Row(row.getLong(0), h))
-          }
-        }
-      }(Encoders.row(outSchema))
-  }
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as(idCol),
+        graft.functions.SimHash64.simHash64(col(textCol)).as("simhash"))
 
   /** Near-duplicate pairs by SimHash: hamming distance ≤ maxHamming, found
     * via a band join sized so recall is total: with `bands > maxHamming`
