@@ -1345,6 +1345,157 @@ object Queries {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
       |FROM f ORDER BY asset_id, frame_no""".stripMargin
 
+  /** Shared SQL fragment: the two-base polynomial 60-bit hash of a column
+    * named `shingle` (mirrors `DedupOps.tokenHash60Jvm` bit-for-bit).
+    */
+  private val shingleHash60Sql: String = {
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(shingle)), " +
+        s"i -> CAST(ascii(shingle[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    s"(${poly(131)} + ${poly(257)} * 1073741824)"
+  }
+
+  /** Benchmark decontamination: the corpus is split deterministically into
+    * a held-out "benchmark" slice (doc_id ≡ 7 mod 10) and the training
+    * slice; every training doc reports how many of its distinct 5-gram
+    * spans occur anywhere in the benchmark (the eval-decontamination
+    * check, n=5 because these docs are 10–99 tokens).
+    */
+  def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    graft.ops.Contamination.contaminationReport(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7),
+      "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  val decontamOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |shs AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(t) >= 5 THEN
+       |      list_transform(generate_series(1, len(t) - 4),
+       |        i -> array_to_string(t[i:i+4], ' '))
+       |    ELSE [array_to_string(t, ' ')] END)) AS shingle
+       |  FROM toks),
+       |sh AS (SELECT doc_id, $shingleHash60Sql AS h FROM shs),
+       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 7),
+       |train AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 <> 7),
+       |counts AS (SELECT doc_id, count(*) AS n_spans FROM train GROUP BY doc_id),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_hit FROM train
+       |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_spans, coalesce(h.n_hit, 0) AS n_hit,
+       |  (coalesce(h.n_hit, 0) * 1000) // c.n_spans AS contam_milli,
+       |  coalesce(h.n_hit, 0) > 0 AS contaminated
+       |FROM counts c LEFT JOIN hits h ON h.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
+  /** Passage-level duplication: per doc, the fraction of its 8-gram span
+    * occurrences whose n-gram appears in at least one other document.
+    */
+  def textDupPassages(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Contamination.dupPassageStats(
+      table(spark, dir, "documents"), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
+  val textDupPassagesSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) >= 8 THEN
+       |      list_transform(generate_series(1, len(t) - 7),
+       |        i -> array_to_string(t[i:i+7], ' '))
+       |    ELSE [array_to_string(t, ' ')] END) AS shingle
+       |  FROM toks),
+       |sh AS (SELECT doc_id, $shingleHash60Sql AS h FROM spans),
+       |docfreq AS (
+       |  SELECT h, count(*) AS nd
+       |  FROM (SELECT DISTINCT doc_id, h FROM sh) GROUP BY h)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  (CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+       |    // count(*) AS dup_milli
+       |FROM sh JOIN docfreq USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-doc TF-IDF top-3 terms (integer-exact linear-idf scoring). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Relevance.tfIdfTopTerms(
+      table(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rnk")
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+      |dfq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfq.dfreq,
+      |    (tf.tf * 1000 * n.n_docs) // dfq.dfreq AS score
+      |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, token) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tf, dfreq, score
+      |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** Global vocabulary heavy hitters: top-20 tokens by occurrence count. */
+  def vocabTop20(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Relevance.vocabTopK(table(spark, dir, "documents"), "text",
+      k = 20)
+      .orderBy("rnk")
+
+  val vocabTop20Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      |  FROM documents),
+      |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+      |  FROM counts)
+      |SELECT CAST(rnk AS BIGINT) AS rnk, token, cnt FROM ranked
+      |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** Int8 scalar-quantized brute-force top-5 (SQ8: codes are ⌊x·128⌋
+    * clamped to [-128, 127]; scoring is the integer dot product — the
+    * bandwidth-quartered exact-scan rung of the ANN ladder).
+    */
+  def knnSq8Top5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.knnSq8TopK(emb, emb, "vec_id", "embedding", k = 5,
+      scale = 128)
+      .orderBy("query_id", "rnk")
+  }
+
+  val knnSq8Top5Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> greatest(-128, least(127, CAST(floor(x * 128) AS BIGINT))))
+      |    AS DOUBLE[]) AS qv
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS dot_q
+      |  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, dot_q,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dot_q DESC, neighbor_id) AS rnk
+      |  FROM pairs)
+      |SELECT query_id, neighbor_id, dot_q, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -1410,7 +1561,12 @@ object Queries {
     "emb_near_dup_lsh" -> embNearDupLsh _,
     "mm_features" -> mmFeatures _,
     "mm_frame_sample" -> mmFrameSample _,
-    "sketch_distinct_tokens" -> sketchDistinctTokens _
+    "sketch_distinct_tokens" -> sketchDistinctTokens _,
+    "decontam_overlap" -> decontamOverlap _,
+    "text_dup_passages" -> textDupPassages _,
+    "tfidf_top_terms" -> tfidfTopTerms _,
+    "vocab_top20" -> vocabTop20 _,
+    "knn_sq8_top5" -> knnSq8Top5 _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1456,6 +1612,11 @@ object Queries {
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "sketch_distinct_tokens" -> sketchDistinctTokensSql
+    "sketch_distinct_tokens" -> sketchDistinctTokensSql,
+    "decontam_overlap" -> decontamOverlapSql,
+    "text_dup_passages" -> textDupPassagesSql,
+    "tfidf_top_terms" -> tfidfTopTermsSql,
+    "vocab_top20" -> vocabTop20Sql,
+    "knn_sq8_top5" -> knnSq8Top5Sql
   )
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Benchmark decontamination and duplicated-passage analysis — the two
+  * n-gram-span curation signals a pre-training pipeline runs after dedup:
+  *
+  *   - `contaminationReport`: for every training document, how many of its
+  *     distinct token n-grams also occur anywhere in a held-out benchmark
+  *     set (the classic 13-gram eval-decontamination check, n configurable
+  *     since short documents need shorter spans).
+  *   - `dupPassageStats`: per document, the fraction of its n-gram span
+  *     *occurrences* that appear in at least one other document —
+  *     passage-level duplication (the signal behind "remove documents made
+  *     of boilerplate", complementary to whole-doc near-dedup).
+  *
+  * Scale notes (design target ~100 TB of documents):
+  *   - Spans are hashed to 8-byte keys (`DedupOps.tokenHash60Jvm`) in one
+  *     narrow per-partition pass; no n-gram strings are ever shuffled. The
+  *     DuckDB oracle applies the same hash, so collisions (if any) are
+  *     mirrored and the compare stays exact.
+  *   - The benchmark span set is bounded (eval suites are fixed-size, MBs
+  *     not TBs) — it is broadcast, so the contamination check is a
+  *     map-side semi join: one scan of the corpus, zero corpus shuffles
+  *     beyond the per-doc count aggregation.
+  *   - `dupPassageStats` shuffles the span index twice (doc-frequency
+  *     aggregation, then the frequency join back) — both on the 8-byte
+  *     hash; the index is cached because both consumers read it (caller
+  *     releases via `spark.catalog.clearCache()`, same contract as
+  *     `DedupOps`).
+  */
+object Contamination {
+
+  /** Positional n-gram spans (NOT distinct per doc — unlike
+    * `DedupOps.shinglesJvm`): one entry per occurrence, so repeated
+    * passages inside a document count every time. Documents shorter than
+    * `n` tokens contribute their whole text as one span.
+    */
+  private[ops] def spansJvm(text: String, n: Int): Array[String] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toArray
+    else Array(toks.mkString(" "))
+  }
+
+  /** Exploded (id, span-hash) index with one row per span occurrence. */
+  def spanIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sh", LongType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          // null text/id ⇒ absent from the index (matches SQL unnest-drop)
+          if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
+          else {
+            val id = row.getLong(0)
+            spansJvm(row.getString(1), n).iterator
+              .map(s => Row(id, DedupOps.tokenHash60Jvm(s)))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Per-train-doc contamination against a benchmark corpus: distinct
+    * n-gram spans, how many of them occur in the benchmark, the permille
+    * ratio, and the contaminated flag. Every train doc is reported (clean
+    * docs with `n_hit = 0`), so the output doubles as the keep-list after
+    * an anti-join on `contaminated`.
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    // distinct spans per doc — standard decontamination counts unique
+    // n-grams, so the (already-distinct) shingle index is the right input
+    val trainIdx = DedupOps.shingleIndex(train, idCol, textCol, n)
+    val benchSet = DedupOps.shingleIndex(bench, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    // benchmark span sets are fixed-size (an eval suite, not a corpus):
+    // broadcast ⇒ map-side semi join, no shuffle of the train index
+    val hits = trainIdx.join(broadcast(benchSet), "sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    trainIdx.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      // n_spans ≥ 1 by construction (short docs yield the whole-doc span)
+      .withColumn("contam_milli",
+        floor(col("n_hit").cast(DoubleType) * 1000d /
+          col("n_spans").cast(DoubleType)).cast(LongType))
+      .withColumn("contaminated", col("n_hit") > 0)
+  }
+
+  /** Per-doc duplicated-passage statistics: total span occurrences, span
+    * occurrences whose n-gram appears in ≥ 2 distinct documents, and the
+    * permille duplicated fraction.
+    */
+  def dupPassageStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val spans = spanIndex(df, idCol, textCol, n).cache()
+    // doc frequency per span hash: distinct (doc, span) first so intra-doc
+    // repeats don't inflate the cross-document count
+    val docFreq = spans.distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("__ndocs"))
+    spans.join(docFreq, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_milli",
+        floor(col("n_dup").cast(DoubleType) * 1000d /
+          col("n_spans").cast(DoubleType)).cast(LongType))
+  }
+}

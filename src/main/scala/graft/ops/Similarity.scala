@@ -155,6 +155,128 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Scalar int8 quantization of one float component:
+    * `clamp(⌊x · scale⌋, -128, 127)`. With `scale` a power of two the
+    * product is exact in double, so the quantized code is bit-deterministic
+    * across engines (the DuckDB oracle applies the identical formula).
+    */
+  private[ops] def quantizeSq8Jvm(x: Float, scale: Int): Byte = {
+    val q = math.floor(x.toDouble * scale)
+    (if (q < -128) -128L else if (q > 127) 127L else q.toLong).toByte
+  }
+
+  /** Column form of the int8 quantizer (array<float> → array<long> codes,
+    * for inspection/tests; the KNN path quantizes to packed bytes JVM-side).
+    */
+  def quantizeSq8(vec: Column, scale: Int = 128): Column =
+    transform(vec, x => greatest(lit(-128L), least(lit(127L),
+      floor(x.cast(DoubleType) * scale).cast(LongType))))
+
+  /** Brute-force top-k by int8-quantized dot product — the memory-bound
+    * scan path of exact KNN. Each vector is quantized to `dim` bytes in
+    * the narrow pre-shuffle pass, so every downstream exchange and every
+    * corpus block held by a scoring task is 4× smaller than float32 (the
+    * classic SQ8 trade: recall loss bounded by quantization error, scan
+    * bandwidth quartered — at 100 TB the corpus scan is bandwidth-bound,
+    * making this the default first rung before IVF/LSH pruning).
+    *
+    * Same fully distributed block-nested shape as `knnBruteForce` (corpus
+    * hash-chunked, probes replicated per chunk, cogroup scores each block
+    * in a primitive loop emitting per-block top-k, window merges); scoring
+    * is an integer dot product over byte codes with (dot desc, id asc)
+    * tie-breaks. Output: (query_id, neighbor_id, dot_q, rnk).
+    *
+    * @param chunks corpus block count; 0 ⇒ `spark.sql.shuffle.partitions`
+    */
+  def knnSq8TopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, scale: Int = 128, chunks: Int = 0)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val nChunks =
+      if (chunks > 0) chunks
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val qSchema = StructType(Seq(
+      StructField("__chunk", IntegerType, nullable = false),
+      StructField("__id", LongType, nullable = false),
+      StructField("__q", BinaryType, nullable = false)))
+    // quantize BEFORE the shuffle: bytes, not floats, go over the wire
+    def quantized(df: DataFrame, replicate: Boolean): DataFrame =
+      df.select(col(idCol).cast(LongType), col(vecCol))
+        .mapPartitions { rows =>
+          rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { r =>
+            val id = r.getLong(0)
+            val f = toFloatArray(r.getSeq[Float](1))
+            val q = new Array[Byte](f.length)
+            var d = 0
+            while (d < f.length) { q(d) = quantizeSq8Jvm(f(d), scale); d += 1 }
+            if (replicate) (0 until nChunks).iterator.map(c => Row(c, id, q))
+            else {
+              val c = ((id.## % nChunks) + nChunks) % nChunks
+              Iterator.single(Row(c, id, q))
+            }
+          }
+        }(Encoders.row(qSchema))
+
+    val corpusQ = quantized(corpus, replicate = false)
+    val probesQ = quantized(probes, replicate = true)
+
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("dot_q", LongType, nullable = false)))
+    implicit val intEnc = org.apache.spark.sql.Encoders.scalaInt
+    val local = corpusQ.groupByKey(_.getInt(0))
+      .cogroup(probesQ.groupByKey(_.getInt(0))) { (_, cRows, pRows) =>
+        val cidB = Array.newBuilder[Long]
+        val cqB = Array.newBuilder[Array[Byte]]
+        cRows.foreach { r =>
+          cidB += r.getLong(1); cqB += r.getAs[Array[Byte]](2)
+        }
+        val cids = cidB.result()
+        val cqs = cqB.result()
+        def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+          s1 > s2 || (s1 == s2 && i1 < i2)
+        pRows.flatMap { pr =>
+          val qid = pr.getLong(1)
+          val qq = pr.getAs[Array[Byte]](2)
+          val topDot = new Array[Long](k)
+          val topId = new Array[Long](k)
+          var n = 0
+          var c = 0
+          while (c < cids.length) {
+            if (cids(c) != qid) {
+              val cq = cqs(c)
+              var dot = 0L
+              var d = 0
+              while (d < cq.length) { dot += qq(d).toLong * cq(d); d += 1 }
+              if (n < k) { topDot(n) = dot; topId(n) = cids(c); n += 1 }
+              else {
+                var worst = 0
+                var i = 1
+                while (i < k) {
+                  if (better(topDot(worst), topId(worst),
+                      topDot(i), topId(i))) worst = i
+                  i += 1
+                }
+                if (better(dot, cids(c), topDot(worst), topId(worst))) {
+                  topDot(worst) = dot; topId(worst) = cids(c)
+                }
+              }
+            }
+            c += 1
+          }
+          (0 until n).iterator.map(i => Row(qid, topId(i), topDot(i)))
+        }
+      }(Encoders.row(outSchema))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    local.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes(i)(d)` in {-1, +1}
     * via splitmix64 on (seed, i, d). Sign-random projections preserve
     * cosine locality; ±1 planes avoid float nondeterminism entirely.

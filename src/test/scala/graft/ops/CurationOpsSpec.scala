@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Hand-computed pins for the round-3 curation ops: benchmark
+  * decontamination, duplicated-passage stats, TF-IDF top terms, vocabulary
+  * heavy hitters, and int8 scalar-quantized KNN.
+  */
+class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("contaminationReport counts benchmark-overlapping distinct spans") {
+    val train = docs(1L -> "a b c", 2L -> "x y", 3L -> "p q")
+    val bench = docs(10L -> "b c d", 11L -> "x y")
+    val out = Contamination.contaminationReport(train, bench,
+      "doc_id", "text", n = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    // doc 1: spans {a b, b c}, bench holds {b c, c d, x y} → 1 hit of 2
+    // doc 2: whole-doc span "x y" is in the bench → fully contaminated
+    // doc 3: clean
+    assert(out == Set(
+      (1L, 2L, 1L, 500L, true),
+      (2L, 1L, 1L, 1000L, true),
+      (3L, 1L, 0L, 0L, false)))
+  }
+
+  test("dupPassageStats counts span occurrences shared across docs") {
+    val df = docs(1L -> "a b c a b", 2L -> "a b x", 3L -> "z z")
+    val out = Contamination.dupPassageStats(df, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // "a b" lives in docs 1 and 2; doc 1 has it twice (both occurrences
+    // count), its other spans (b c, c a) are unique; "z z" is doc-3-only
+    assert(out == Set(
+      (1L, 4L, 2L, 500L),
+      (2L, 2L, 1L, 500L),
+      (3L, 1L, 0L, 0L)))
+    spark.catalog.clearCache()
+  }
+
+  test("tfIdfTopTerms ranks by tf*N/df with token tie-break") {
+    val df = docs(1L -> "a a b", 2L -> "b c", 3L -> "c c c")
+    val out = Relevance.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // N=3; df: a→1, b→2, c→2. doc1: a=2*3000/1=6000, b=1*3000/2=1500;
+    // doc2: b and c tie at 1500 → token asc; doc3: c=3*3000/2=4500
+    assert(out == Set(
+      (1L, 1L, "a", 2L, 1L, 6000L),
+      (1L, 2L, "b", 1L, 2L, 1500L),
+      (2L, 1L, "b", 1L, 2L, 1500L),
+      (2L, 2L, "c", 1L, 2L, 1500L),
+      (3L, 1L, "c", 3L, 2L, 4500L)))
+    spark.catalog.clearCache()
+  }
+
+  test("vocabTopK: global heavy hitters, count desc then token asc") {
+    val df = docs(1L -> "c a b c", 2L -> "c b c a")
+    val out = Relevance.vocabTopK(df, "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "c", 4L), (2L, "a", 2L)))
+  }
+
+  test("quantizeSq8Jvm floors, scales, and clamps to int8") {
+    assert(Similarity.quantizeSq8Jvm(0.5f, 128) == 64.toByte)
+    assert(Similarity.quantizeSq8Jvm(-0.5f, 128) == -64.toByte)
+    assert(Similarity.quantizeSq8Jvm(1.5f, 128) == 127.toByte)   // clamp hi
+    assert(Similarity.quantizeSq8Jvm(-1.5f, 128) == -128.toByte) // clamp lo
+    assert(Similarity.quantizeSq8Jvm(0.0f, 128) == 0.toByte)
+    // exactly representable negative: floor(-0.25 * 128) = -32
+    assert(Similarity.quantizeSq8Jvm(-0.25f, 128) == -32.toByte)
+  }
+
+  test("knnSq8TopK: integer-dot ranking with id tie-break, self excluded") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // q = (127, 0)  (floor(128)=128 clamps)
+      (2L, Seq(0.5f, 0.5f)),   // q = (64, 64)
+      (3L, Seq(0.0f, 1.0f)))   // q = (0, 127)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnSq8TopK(emb, emb, "vec_id", "embedding",
+      k = 2, scale = 128, chunks = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // dots: 1·2 = 127*64 = 8128, 1·3 = 0, 2·3 = 64*127 = 8128;
+    // probe 2 ties between 1 and 3 → neighbor id ascending
+    assert(out == Set(
+      (1L, 2L, 8128L, 1L), (1L, 3L, 0L, 2L),
+      (2L, 1L, 8128L, 1L), (2L, 3L, 8128L, 2L),
+      (3L, 2L, 8128L, 1L), (3L, 1L, 0L, 2L)))
+  }
+
+  test("column quantizer matches the JVM quantizer on real vectors") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    import org.apache.spark.sql.functions.col
+    val rows = emb.select(col("vec_id"),
+      Similarity.quantizeSq8(col("embedding"), 128).as("q"),
+      col("embedding")).collect()
+    rows.foreach { r =>
+      val viaCol = r.getSeq[Long](1)
+      val viaJvm = r.getSeq[Float](2).map(x =>
+        Similarity.quantizeSq8Jvm(x, 128).toLong)
+      assert(viaCol == viaJvm, s"vec ${r.getLong(0)}")
+    }
+  }
+}
