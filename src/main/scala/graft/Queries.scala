@@ -1496,6 +1496,55 @@ object Queries {
       |SELECT query_id, neighbor_id, dot_q, CAST(rnk AS BIGINT) AS rnk
       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Product-quantized ADC top-5: 8 subspaces × 16 codewords (codebook =
+    * subvectors of the 16 smallest vec_ids, the same deterministic
+    * quantizer device as IVF), approximate dot = exact integer sum of
+    * per-subspace floored-micro codeword dots. The oracle rebuilds the
+    * codebook, the argmax encoding, the probe lookup tables, and the
+    * ranking in SQL.
+    */
+  def knnPqAdcTop5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.pqTopK(emb, emb, "vec_id", "embedding", k = 5, m = 8,
+      ksub = 16)
+      .orderBy("query_id", "rnk")
+  }
+
+  val knnPqAdcTop5Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cbv AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, e
+      |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+      |sub AS (SELECT unnest(generate_series(0, 7)) AS j),
+      |cb AS (
+      |  SELECT s.j, c.cw, c.e[s.j*8+1 : s.j*8+8] AS w
+      |  FROM cbv c CROSS JOIN sub s),
+      |dm AS (
+      |  SELECT v.vec_id, cb.j, cb.cw,
+      |    CAST(floor(1000000 * list_inner_product(
+      |      v.e[cb.j*8+1 : cb.j*8+8], cb.w)) AS BIGINT) AS dotm
+      |  FROM v CROSS JOIN cb),
+      |enc AS (
+      |  SELECT vec_id, j, cw FROM (
+      |    SELECT vec_id, j, cw, row_number() OVER (
+      |      PARTITION BY vec_id, j ORDER BY dotm DESC, cw) AS rn
+      |    FROM dm)
+      |  WHERE rn = 1),
+      |scores AS (
+      |  SELECT l.vec_id AS query_id, enc.vec_id AS neighbor_id,
+      |    CAST(sum(l.dotm) AS BIGINT) AS score_q
+      |  FROM enc JOIN dm l ON l.j = enc.j AND l.cw = enc.cw
+      |    AND l.vec_id <> enc.vec_id
+      |  GROUP BY l.vec_id, enc.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score_q,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_q DESC, neighbor_id) AS rnk
+      |  FROM scores)
+      |SELECT query_id, neighbor_id, score_q, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -1566,7 +1615,8 @@ object Queries {
     "text_dup_passages" -> textDupPassages _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "vocab_top20" -> vocabTop20 _,
-    "knn_sq8_top5" -> knnSq8Top5 _
+    "knn_sq8_top5" -> knnSq8Top5 _,
+    "knn_pq_adc_top5" -> knnPqAdcTop5 _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1617,6 +1667,7 @@ object Queries {
     "text_dup_passages" -> textDupPassagesSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "vocab_top20" -> vocabTop20Sql,
-    "knn_sq8_top5" -> knnSq8Top5Sql
+    "knn_sq8_top5" -> knnSq8Top5Sql,
+    "knn_pq_adc_top5" -> knnPqAdcTop5Sql
   )
 }

@@ -26,8 +26,14 @@ import org.apache.spark.sql.types._
   *     few M rows) and degrades to a shuffle join beyond that. Token skew
   *     ("the") is bounded: the joined df side has ONE row per token, so no
   *     row explosion — skewed partitions are handled by AQE skew split.
-  *   - The per-doc top-k window partitions by doc id — same shuffle key as
-  *     `termFrequencies`, so the exchange is reused.
+  *   - The per-doc top-k window shuffles by doc id, but Spark's
+  *     WindowGroupLimit applies the rank limit per-partition BEFORE that
+  *     exchange — at most k rows per doc per partition are shuffled, not
+  *     every scored term (pinned by PlanRegressionSpec).
+  *
+  * Cache contract: `tfIdfTopTerms` caches the term-frequency frame (both
+  * the df aggregation and the scoring join read it); the caller releases
+  * it via `spark.catalog.clearCache()` after materializing the result.
   */
 object Relevance {
 

@@ -277,6 +277,181 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Floored-micro dot product of a query subvector against a codeword
+    * (double math, left-to-right — bit-identical to DuckDB's
+    * `list_inner_product` on the same slices).
+    */
+  private[ops] def dotMicroJvm(a: Array[Double], aFrom: Int,
+      b: Array[Double], len: Int): Long = {
+    var dot = 0.0
+    var d = 0
+    while (d < len) { dot += a(aFrom + d) * b(d); d += 1 }
+    math.floor(1000000.0 * dot).toLong
+  }
+
+  /** Product-quantized top-k with asymmetric-distance computation (ADC) —
+    * the deep-compression rung of the ANN ladder: each vector is encoded
+    * as `m` codebook indices (one byte per subspace: 8 bytes for a 64-dim
+    * float vector, 32× smaller), and scoring a probe against the corpus
+    * is table lookups, not float math.
+    *
+    * The codebook is deterministic and engine-portable (same device as
+    * `ivfTopK`'s coarse quantizer): the codewords of subspace `j` are the
+    * `j`-th subvectors of the `ksub` smallest-id corpus vectors — no
+    * k-means iterations, so the DuckDB oracle rebuilds encoding, lookup
+    * tables, and ranking exactly. Assignment and scoring use floored-micro
+    * subvector dot products (`argmax`, ties to the smaller codeword
+    * index); the ADC score is the exact integer sum of the `m` per-
+    * subspace micro dots.
+    *
+    * Physical plan: the codebook is collected (`ksub` rows) and broadcast;
+    * encoding is a narrow per-partition pass emitting `m`-byte codes (the
+    * only corpus-sized shuffle carries id + 8-byte code); the scoring is
+    * the same block-nested cogroup as `knnBruteForce`/`knnSq8TopK`, but
+    * each probe first builds its `m × ksub` lookup table once per block
+    * and then scans byte codes with integer adds — at 100 TB the scan
+    * reads 32× fewer bytes than float and does no multiplies.
+    *
+    * @param m    subspace count (dim must divide evenly)
+    * @param ksub codewords per subspace (≤ 256 so codes fit in a byte)
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, m: Int = 8, ksub: Int = 16,
+      chunks: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ksub <= 256, "codes must fit in one byte")
+    val spark = corpus.sparkSession
+    val nChunks =
+      if (chunks > 0) chunks
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val cbRows = corpus.select(col(idCol).cast(LongType), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(ksub).collect()
+    val dim = toFloatArray(cbRows.head.getSeq[Float](1)).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // cb(j)(c) = subvector j of the c-th smallest-id corpus vector
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      cbRows.map { r =>
+        val f = toFloatArray(r.getSeq[Float](1))
+        Array.tabulate(subDim)(d => f(j * subDim + d).toDouble)
+      }
+    }
+    val bc = spark.sparkContext.broadcast(cb)
+
+    def toDoubles(f: Array[Float]): Array[Double] = {
+      val v = new Array[Double](f.length)
+      var d = 0
+      while (d < f.length) { v(d) = f(d).toDouble; d += 1 }
+      v
+    }
+
+    val codeSchema = StructType(Seq(
+      StructField("__chunk", IntegerType, nullable = false),
+      StructField("__id", LongType, nullable = false),
+      StructField("__code", BinaryType, nullable = false)))
+    val corpusCodes = corpus.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        val book = bc.value
+        rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
+          val id = r.getLong(0)
+          val v = toDoubles(toFloatArray(r.getSeq[Float](1)))
+          val code = new Array[Byte](m)
+          var j = 0
+          while (j < m) {
+            val words = book(j)
+            var best = 0
+            var bestDot = dotMicroJvm(v, j * subDim, words(0), subDim)
+            var c = 1
+            while (c < words.length) {
+              val dot = dotMicroJvm(v, j * subDim, words(c), subDim)
+              if (dot > bestDot) { bestDot = dot; best = c }
+              c += 1
+            }
+            code(j) = best.toByte
+            j += 1
+          }
+          val chunk = ((id.## % nChunks) + nChunks) % nChunks
+          Row(chunk, id, code)
+        }
+      }(Encoders.row(codeSchema))
+
+    val probeSchema = StructType(Seq(
+      StructField("__chunk", IntegerType, nullable = false),
+      StructField("__id", LongType, nullable = false),
+      StructField("__vec", probes.schema(vecCol).dataType, nullable = true)))
+    val probeRep = probes.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { r =>
+          (0 until nChunks).iterator.map(c => Row(c, r.getLong(0), r.get(1)))
+        }
+      }(Encoders.row(probeSchema))
+
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("score_q", LongType, nullable = false)))
+    implicit val intEnc = org.apache.spark.sql.Encoders.scalaInt
+    val local = corpusCodes.groupByKey(_.getInt(0))
+      .cogroup(probeRep.groupByKey(_.getInt(0))) { (_, cRows, pRows) =>
+        val cidB = Array.newBuilder[Long]
+        val ccB = Array.newBuilder[Array[Byte]]
+        cRows.foreach { r =>
+          cidB += r.getLong(1); ccB += r.getAs[Array[Byte]](2)
+        }
+        val cids = cidB.result()
+        val ccodes = ccB.result()
+        val book = bc.value
+        def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+          s1 > s2 || (s1 == s2 && i1 < i2)
+        pRows.flatMap { pr =>
+          val qid = pr.getLong(1)
+          val qv = toDoubles(toFloatArray(pr.getSeq[Float](2)))
+          // ADC lookup table: per (subspace, codeword) the micro dot of
+          // the probe's subvector against the codeword — built once per
+          // (probe, block), then the code scan is integer adds only
+          val lut = Array.tabulate(m, ksub) { (j, c) =>
+            if (c < book(j).length)
+              dotMicroJvm(qv, j * subDim, book(j)(c), subDim)
+            else 0L
+          }
+          val topS = new Array[Long](k)
+          val topI = new Array[Long](k)
+          var n = 0
+          var ci = 0
+          while (ci < cids.length) {
+            if (cids(ci) != qid) {
+              val code = ccodes(ci)
+              var s = 0L
+              var j = 0
+              while (j < m) { s += lut(j)(code(j) & 0xff); j += 1 }
+              if (n < k) { topS(n) = s; topI(n) = cids(ci); n += 1 }
+              else {
+                var worst = 0
+                var i = 1
+                while (i < k) {
+                  if (better(topS(worst), topI(worst), topS(i), topI(i)))
+                    worst = i
+                  i += 1
+                }
+                if (better(s, cids(ci), topS(worst), topI(worst))) {
+                  topS(worst) = s; topI(worst) = cids(ci)
+                }
+              }
+            }
+            ci += 1
+          }
+          (0 until n).iterator.map(i => Row(qid, topI(i), topS(i)))
+        }
+      }(Encoders.row(outSchema))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("neighbor_id"))
+    local.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes(i)(d)` in {-1, +1}
     * via splitmix64 on (seed, i, d). Sign-random projections preserve
     * cosine locality; ±1 planes avoid float nondeterminism entirely.

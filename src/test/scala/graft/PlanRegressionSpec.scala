@@ -81,6 +81,45 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("64"), "cap literal missing from plan")
   }
 
+  test("decontam plan: split filter at the scan, bench set broadcast") {
+    val p = plan("decontam_overlap")
+    assert(p.matches("(?s).*DataFilters: \\[[^\\]]*doc_id[^\\]]*% 10.*"),
+      "train/bench split filter not pushed to the documents scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark span set no longer broadcast — corpus-side shuffle is back")
+  }
+
+  test("tfidf plan: rank limit applies before the window exchange") {
+    val p = plan("tfidf_top_terms")
+    // Spark's WindowGroupLimit (Partial) keeps ≤k rows per doc per
+    // partition ahead of the doc_id shuffle — the property that makes the
+    // top-k window linear at corpus scale
+    assert(p.contains("WindowGroupLimit"), "window group limit missing")
+    assert(p.matches("(?s).*WindowGroupLimit.*Partial.*"),
+      "partial (pre-shuffle) rank limit missing")
+  }
+
+  test("vocab top-k is TakeOrdered, never a global sort") {
+    val p = plan("vocab_top20")
+    assert(p.contains("TakeOrderedAndProject"), "TakeOrdered missing")
+    val scan = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("text") && !scan.contains("lang"),
+      s"vocab scan reads more than the text column: $scan")
+  }
+
+  test("sq8 knn plan is the distributed block join (no collect)") {
+    val emb = Queries.table(spark, dir, "embeddings")
+    emb.schema
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = graft.ops.Similarity.knnSq8TopK(emb, emb, "vec_id",
+      "embedding", k = 5)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      "building the SQ8 KNN plan ran Spark jobs — a driver collect crept in")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CoGroup"), "block cogroup missing from SQ8 KNN plan")
+  }
+
   test("dst transition map prints every reachable state block") {
     import graft.cep._
     val q = CepQuery(

@@ -116,6 +116,33 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 2L, 8128L, 1L), (3L, 1L, 0L, 2L)))
   }
 
+  test("pqTopK: codebook encoding, ADC lookup sums, and tie-breaks") {
+    val s = spark
+    import s.implicits._
+    // dim=4, m=2 subspaces, codebook = all 4 vectors (ksub=4). One-hot
+    // vectors make the hand computation exact: v1 encodes to (cw0, cw0)
+    // — subspace-1 ties resolve to codeword 0, which REPRESENTS v1's
+    // subvector (1,0), so ADC scores carry visible quantization error:
+    // probe v1 scores v3 and v4 at 1e6 (their subspace-0 code is cw0 =
+    // (1,0)) and v2 at 0.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(emb, emb, "vec_id", "embedding",
+      k = 3, m = 2, ksub = 4, chunks = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 3L, 1000000L, 1L), (1L, 4L, 1000000L, 2L), (1L, 2L, 0L, 3L),
+      (2L, 1L, 0L, 1L), (2L, 3L, 0L, 2L), (2L, 4L, 0L, 3L),
+      (3L, 1L, 0L, 1L), (3L, 2L, 0L, 2L), (3L, 4L, 0L, 3L),
+      (4L, 1L, 0L, 1L), (4L, 2L, 0L, 2L), (4L, 3L, 0L, 3L)))
+  }
+
   test("column quantizer matches the JVM quantizer on real vectors") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
