@@ -1496,6 +1496,28 @@ object Queries {
       |SELECT query_id, neighbor_id, dot_q, CAST(rnk AS BIGINT) AS rnk
       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Salted fact-to-dimension join (orders × customer): the explicit
+    * skew-mitigation shape — the big side spreads each key over 8 salt
+    * sub-keys (salt hashed from the order key, which varies within a
+    * customer), the dimension side replicates per salt. Output is
+    * row-identical to the plain join, which is exactly what the oracle
+    * checks.
+    */
+  def relSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    graft.ops.Skew.saltedJoin(orders, cust, Seq("custkey"),
+      col("o_orderkey"), buckets = 8)
+      .orderBy("o_orderkey")
+  }
+
+  val relSaltedJoinSql: String =
+    """SELECT o_custkey AS custkey, o_orderkey, c_nationkey
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Product-quantized ADC top-5: 8 subspaces × 16 codewords (codebook =
     * subvectors of the 16 smallest vec_ids, the same deterministic
     * quantizer device as IVF), approximate dot = exact integer sum of
@@ -1616,7 +1638,8 @@ object Queries {
     "tfidf_top_terms" -> tfidfTopTerms _,
     "vocab_top20" -> vocabTop20 _,
     "knn_sq8_top5" -> knnSq8Top5 _,
-    "knn_pq_adc_top5" -> knnPqAdcTop5 _
+    "knn_pq_adc_top5" -> knnPqAdcTop5 _,
+    "rel_salted_join" -> relSaltedJoin _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1668,6 +1691,7 @@ object Queries {
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "vocab_top20" -> vocabTop20Sql,
     "knn_sq8_top5" -> knnSq8Top5Sql,
-    "knn_pq_adc_top5" -> knnPqAdcTop5Sql
+    "knn_pq_adc_top5" -> knnPqAdcTop5Sql,
+    "rel_salted_join" -> relSaltedJoinSql
   )
 }
