@@ -1567,6 +1567,70 @@ object Queries {
       |SELECT query_id, neighbor_id, score_q, CAST(rnk AS BIGINT) AS rnk
       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** IVFPQ top-5 (flat-code variant): IVF cells prune the scan (nprobe=4
+    * of nlist=16), PQ codes compress it (8 subspaces × 16 codewords),
+    * scored by ADC lookup tables. The oracle composes the IVF assignment
+    * CTEs with the PQ encoding CTEs — identical quantizers, tie-breaks,
+    * and integer score sums.
+    */
+  def knnIvfPqTop5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb, "vec_id", "embedding", k = 5,
+      nlist = 16, nprobe = 4, m = 8, ksub = 16)
+      .orderBy("query_id", "rnk")
+  }
+
+  val knnIvfPqTop5Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+      |csims AS (
+      |  SELECT v.vec_id, v.e, c.cid,
+      |    CAST(floor(1000000 * list_inner_product(v.e, c.ce) /
+      |      (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.ce, c.ce))))
+      |      AS BIGINT) AS sim
+      |  FROM v CROSS JOIN cent c),
+      |ranked_cells AS (
+      |  SELECT vec_id, cid, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |  FROM csims),
+      |assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+      |probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked_cells WHERE rn <= 4),
+      |cbv AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, e
+      |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+      |sub AS (SELECT unnest(generate_series(0, 7)) AS j),
+      |cb AS (
+      |  SELECT s.j, c.cw, c.e[s.j*8+1 : s.j*8+8] AS w
+      |  FROM cbv c CROSS JOIN sub s),
+      |dm AS (
+      |  SELECT v.vec_id, cb.j, cb.cw,
+      |    CAST(floor(1000000 * list_inner_product(
+      |      v.e[cb.j*8+1 : cb.j*8+8], cb.w)) AS BIGINT) AS dotm
+      |  FROM v CROSS JOIN cb),
+      |enc AS (
+      |  SELECT vec_id, j, cw FROM (
+      |    SELECT vec_id, j, cw, row_number() OVER (
+      |      PARTITION BY vec_id, j ORDER BY dotm DESC, cw) AS rn
+      |    FROM dm)
+      |  WHERE rn = 1),
+      |cand AS (
+      |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      |scores AS (
+      |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.dotm) AS BIGINT) AS score_q
+      |  FROM cand c
+      |  JOIN enc ON enc.vec_id = c.neighbor_id
+      |  JOIN dm l ON l.vec_id = c.query_id AND l.j = enc.j AND l.cw = enc.cw
+      |  GROUP BY c.query_id, c.neighbor_id),
+      |rankedq AS (
+      |  SELECT query_id, neighbor_id, score_q,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_q DESC, neighbor_id) AS rnk
+      |  FROM scores)
+      |SELECT query_id, neighbor_id, score_q, CAST(rnk AS BIGINT) AS rnk
+      |FROM rankedq WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -1639,6 +1703,7 @@ object Queries {
     "vocab_top20" -> vocabTop20 _,
     "knn_sq8_top5" -> knnSq8Top5 _,
     "knn_pq_adc_top5" -> knnPqAdcTop5 _,
+    "knn_ivfpq_top5" -> knnIvfPqTop5 _,
     "rel_salted_join" -> relSaltedJoin _
   )
 
@@ -1692,6 +1757,7 @@ object Queries {
     "vocab_top20" -> vocabTop20Sql,
     "knn_sq8_top5" -> knnSq8Top5Sql,
     "knn_pq_adc_top5" -> knnPqAdcTop5Sql,
+    "knn_ivfpq_top5" -> knnIvfPqTop5Sql,
     "rel_salted_join" -> relSaltedJoinSql
   )
 }

@@ -452,6 +452,169 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF + PQ composition (faiss-style IVFPQ with `by_residual=false`):
+    * the coarse quantizer prunes the scan to `nprobe` of `nlist` cells,
+    * and within a cell the scan reads `m`-byte PQ codes scored by ADC
+    * lookup tables — the two scale levers composed: a probe touches
+    * `nprobe/nlist` of the corpus AND reads 32× fewer bytes of it. This
+    * is the standard corpus-scale ANN layout; the flat-code variant
+    * (raw-vector codebooks rather than residual codebooks) keeps the
+    * oracle exactly reproducible in SQL.
+    *
+    * Both quantizers are the deterministic first-ids device (`ivfTopK`,
+    * `pqTopK`); assignment and scoring use floored-micro dots with the
+    * same tie-breaks. Physical plan: centroids (`nlist` rows) and the
+    * codebook (`ksub` rows) broadcast; cell assignment + PQ encoding is
+    * one narrow pass emitting (cell, id, code); the cogroup shuffles on
+    * cell id; per (probe, cell) the LUT builds once and codes scan with
+    * integer adds.
+    */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ksub <= 256, "codes must fit in one byte")
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).cast(LongType), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val centRows = base.orderBy(col(idCol)).limit(math.max(nlist, ksub))
+      .collect()
+    val dim = toFloatArray(centRows.head.getSeq[Float](1)).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val centIds = centRows.take(nlist).map(_.getLong(0))
+    val centVecs = centRows.take(nlist).map(r =>
+      toFloatArray(r.getSeq[Float](1)))
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      centRows.take(ksub).map { r =>
+        val f = toFloatArray(r.getSeq[Float](1))
+        Array.tabulate(subDim)(d => f(j * subDim + d).toDouble)
+      }
+    }
+    val bc = spark.sparkContext.broadcast((centIds, centVecs, cb))
+
+    def toDoubles(f: Array[Float]): Array[Double] = {
+      val v = new Array[Double](f.length)
+      var d = 0
+      while (d < f.length) { v(d) = f(d).toDouble; d += 1 }
+      v
+    }
+
+    val codeSchema = StructType(Seq(
+      StructField("__cell", LongType, nullable = false),
+      StructField("__id", LongType, nullable = false),
+      StructField("__code", BinaryType, nullable = false)))
+    val assignedCodes = corpus.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        val (ids, cvs, book) = bc.value
+        rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
+          val f = toFloatArray(r.getSeq[Float](1))
+          // coarse assignment: max cosine, ties to the smaller centroid id
+          var best = 0
+          var bestSim = cosineMicroJvm(f, cvs(0))
+          var i = 1
+          while (i < cvs.length) {
+            val sim = cosineMicroJvm(f, cvs(i))
+            if (sim > bestSim) { bestSim = sim; best = i }
+            i += 1
+          }
+          val v = toDoubles(f)
+          val code = new Array[Byte](m)
+          var j = 0
+          while (j < m) {
+            val words = book(j)
+            var bc2 = 0
+            var bd = dotMicroJvm(v, j * subDim, words(0), subDim)
+            var c = 1
+            while (c < words.length) {
+              val dot = dotMicroJvm(v, j * subDim, words(c), subDim)
+              if (dot > bd) { bd = dot; bc2 = c }
+              c += 1
+            }
+            code(j) = bc2.toByte
+            j += 1
+          }
+          Row(ids(best), r.getLong(0), code)
+        }
+      }(Encoders.row(codeSchema))
+
+    val probeSchema = StructType(Seq(
+      StructField("__cell", LongType, nullable = false),
+      StructField("__qid", LongType, nullable = false),
+      StructField("__qvec", probes.schema(vecCol).dataType, nullable = true)))
+    val probed = probes.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        val (ids, cvs, _) = bc.value
+        rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { r =>
+          val f = toFloatArray(r.getSeq[Float](1))
+          val sims = cvs.map(cv => cosineMicroJvm(f, cv))
+          val order = ids.indices.sortBy(i => (-sims(i), ids(i)))
+          order.take(nprobe).iterator
+            .map(i => Row(ids(i), r.getLong(0), r.get(1)))
+        }
+      }(Encoders.row(probeSchema))
+
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("score_q", LongType, nullable = false)))
+    implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+    val scored = assignedCodes.groupByKey(_.getLong(0))
+      .cogroup(probed.groupByKey(_.getLong(0))) { (_, cRows, pRows) =>
+        val cidB = Array.newBuilder[Long]
+        val ccB = Array.newBuilder[Array[Byte]]
+        cRows.foreach { r =>
+          cidB += r.getLong(1); ccB += r.getAs[Array[Byte]](2)
+        }
+        val cids = cidB.result()
+        val ccodes = ccB.result()
+        val (_, _, book) = bc.value
+        def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+          s1 > s2 || (s1 == s2 && i1 < i2)
+        pRows.flatMap { pr =>
+          val qid = pr.getLong(1)
+          val qv = toDoubles(toFloatArray(pr.getSeq[Float](2)))
+          val lut = Array.tabulate(m, ksub) { (j, c) =>
+            if (c < book(j).length)
+              dotMicroJvm(qv, j * subDim, book(j)(c), subDim)
+            else 0L
+          }
+          val topS = new Array[Long](k)
+          val topI = new Array[Long](k)
+          var n = 0
+          var ci = 0
+          while (ci < cids.length) {
+            if (cids(ci) != qid) {
+              val code = ccodes(ci)
+              var s = 0L
+              var j = 0
+              while (j < m) { s += lut(j)(code(j) & 0xff); j += 1 }
+              if (n < k) { topS(n) = s; topI(n) = cids(ci); n += 1 }
+              else {
+                var worst = 0
+                var i = 1
+                while (i < k) {
+                  if (better(topS(worst), topI(worst), topS(i), topI(i)))
+                    worst = i
+                  i += 1
+                }
+                if (better(s, cids(ci), topS(worst), topI(worst))) {
+                  topS(worst) = s; topI(worst) = cids(ci)
+                }
+              }
+            }
+            ci += 1
+          }
+          (0 until n).iterator.map(i => Row(qid, topI(i), topS(i)))
+        }
+      }(Encoders.row(outSchema))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes(i)(d)` in {-1, +1}
     * via splitmix64 on (seed, i, d). Sign-random projections preserve
     * cosine locality; ±1 planes avoid float nondeterminism entirely.

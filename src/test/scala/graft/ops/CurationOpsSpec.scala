@@ -143,6 +143,19 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 1L, 0L, 1L), (4L, 2L, 0L, 2L), (4L, 3L, 0L, 3L)))
   }
 
+  test("ivfPqTopK with full probing equals pqTopK (pruning is a no-op)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pq = Similarity.pqTopK(emb, emb, "vec_id", "embedding",
+      k = 3, m = 8, ksub = 8)
+      .collect().map(_.toString).sorted
+    val ivfpq = Similarity.ivfPqTopK(emb, emb, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 4, m = 8, ksub = 8)
+      .collect().map(_.toString).sorted
+    assert(ivfpq.sameElements(pq),
+      "full-probe IVFPQ diverged from flat PQ scoring")
+  }
+
   test("column quantizer matches the JVM quantizer on real vectors") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
