@@ -992,6 +992,149 @@ object Queries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Shared SQL fragment: the two-base polynomial 60-bit hash of a column
+    * named `shingle` (mirrors `DedupOps.tokenHash60Jvm` bit-for-bit).
+    * Declared ahead of every val that splices it (Scala object vals
+    * initialize in declaration order).
+    */
+  private val shingleHash60Sql: String = {
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(shingle)), " +
+        s"i -> CAST(ascii(shingle[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    s"(${poly(131)} + ${poly(257)} * 1073741824)"
+  }
+
+  /** The curation pipeline with the full gate set — quality →
+    * benchmark decontamination (docs sharing any 5-gram span with the
+    * held-out slice drop) → duplicated-passage gate (docs with ≥ half
+    * their 8-gram spans shared drop) → stratified sample → normalized
+    * dedup keepers → per-language counts. Every stage is a registry
+    * operator; the oracle replays the identical composition. The two
+    * contamination stages add three shuffles on 8-byte span hashes; the
+    * benchmark set stays a broadcast semi-join.
+    */
+  def pipelineCurateFull(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Contamination
+    val docs = table(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 10 === 7)
+    // the gated/clean frames each feed several downstream stages — cache
+    // them so the quality gate and the decontam join run once, not per
+    // consumer (caller releases via clearCache, the bench does)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+      .filter(TextOps.qualityOk(col("text")))
+      .select("doc_id", "text", "lang").cache()
+    val contam = Contamination.contaminationReport(train, bench,
+      "doc_id", "text", n = 5)
+    val clean = train.join(
+      contam.filter(!col("contaminated")).select("doc_id"), "doc_id")
+      .cache()
+    val dup = Contamination.dupPassageStats(clean, "doc_id", "text", n = 8)
+    val kept = clean.join(
+      dup.filter(col("dup_milli") < 500).select("doc_id"), "doc_id")
+    val sampled = Sampling.stratifiedSample(kept, "doc_id", "lang",
+      Map("en" -> 500), defaultMilli = 800)
+    sampled
+      .withColumn("keep_id", min(col("doc_id")).over(
+        Window.partitionBy(TextOps.normalize(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  val pipelineCurateFullSql: String = {
+    val stops = TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val idStr = "CAST(doc_id AS VARCHAR)"
+    val poly =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($idStr)), " +
+        s"i -> CAST(ascii($idStr[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id % 10 <> 7),
+       |m AS (
+       |  SELECT doc_id, text, lang, len(toks) AS n_tokens,
+       |    len(list_filter(toks, x -> list_contains($stops, lower(x)))) AS n_stop,
+       |    list_sum(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, x -> CAST(length(x) AS BIGINT)))) AS char_sum,
+       |    length(text) - length(translate(text, '.,!?;:', '')) AS n_punct
+       |  FROM t),
+       |gated AS (
+       |  SELECT doc_id, text, lang FROM m
+       |  WHERE n_tokens > 0
+       |    AND (CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens ELSE 0 END) > 0
+       |    AND (CASE WHEN n_tokens > 0 THEN char_sum * 1000 // n_tokens ELSE 0 END) BETWEEN 2000 AND 12000
+       |    AND (CASE WHEN length(text) > 0 THEN n_punct * 1000 // length(text) ELSE 0 END) < 200),
+       |btoks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS bt
+       |  FROM documents WHERE doc_id % 10 = 7),
+       |bshs AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(bt) >= 5 THEN
+       |      list_transform(generate_series(1, len(bt) - 4),
+       |        i -> array_to_string(bt[i:i+4], ' '))
+       |    ELSE [array_to_string(bt, ' ')] END)) AS shingle
+       |  FROM btoks),
+       |benchh AS (SELECT DISTINCT $shingleHash60Sql AS h FROM bshs),
+       |gtoks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS gt
+       |  FROM gated),
+       |gshs AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(gt) >= 5 THEN
+       |      list_transform(generate_series(1, len(gt) - 4),
+       |        i -> array_to_string(gt[i:i+4], ' '))
+       |    ELSE [array_to_string(gt, ' ')] END)) AS shingle
+       |  FROM gtoks),
+       |gh AS (SELECT doc_id, $shingleHash60Sql AS h FROM gshs),
+       |clean AS (
+       |  SELECT doc_id, text, lang FROM gated
+       |  WHERE doc_id NOT IN (
+       |    SELECT doc_id FROM gh WHERE h IN (SELECT h FROM benchh))),
+       |ctoks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ct
+       |  FROM clean),
+       |cspans AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(ct) >= 8 THEN
+       |      list_transform(generate_series(1, len(ct) - 7),
+       |        i -> array_to_string(ct[i:i+7], ' '))
+       |    ELSE [array_to_string(ct, ' ')] END) AS shingle
+       |  FROM ctoks),
+       |csh AS (SELECT doc_id, $shingleHash60Sql AS h FROM cspans),
+       |cdf AS (
+       |  SELECT h, count(*) AS nd
+       |  FROM (SELECT DISTINCT doc_id, h FROM csh) GROUP BY h),
+       |dstat AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM csh JOIN cdf USING (h) GROUP BY doc_id),
+       |kept AS (
+       |  SELECT c.doc_id, c.text, c.lang FROM clean c
+       |  JOIN dstat d ON d.doc_id = c.doc_id
+       |  WHERE (d.n_dup * 1000) // d.n_spans < 500),
+       |sampled AS (
+       |  SELECT doc_id, text, lang FROM kept
+       |  WHERE ($poly) % 1000 <
+       |    CASE WHEN lang = 'en' THEN 500 ELSE 800 END),
+       |normed AS (
+       |  SELECT doc_id, lang,
+       |    lower(trim(regexp_replace(translate(text, '.,!?;:', ''),
+       |      '\\s+', ' ', 'g'))) AS norm
+       |  FROM sampled),
+       |keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS keep_id
+       |    FROM normed) k
+       |  WHERE doc_id = keep_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM sampled JOIN keep USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Per-language embedding centroids in exact integer micro space:
     * every vector element is floored to micros *before* aggregation, so
     * the sum is order-free exact integer math (a float mean would depend
@@ -1345,17 +1488,6 @@ object Queries {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
       |FROM f ORDER BY asset_id, frame_no""".stripMargin
 
-  /** Shared SQL fragment: the two-base polynomial 60-bit hash of a column
-    * named `shingle` (mirrors `DedupOps.tokenHash60Jvm` bit-for-bit).
-    */
-  private val shingleHash60Sql: String = {
-    val poly = (base: Int) =>
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(generate_series(1, length(shingle)), " +
-        s"i -> CAST(ascii(shingle[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
-    s"(${poly(131)} + ${poly(257)} * 1073741824)"
-  }
-
   /** Benchmark decontamination: the corpus is split deterministically into
     * a held-out "benchmark" slice (doc_id ≡ 7 mod 10) and the training
     * slice; every training doc reports how many of its distinct 5-gram
@@ -1689,6 +1821,7 @@ object Queries {
     "dedup_cluster_keep" -> dedupClusterKeep _,
     "sample_stratified" -> sampleStratified _,
     "pipeline_curate" -> pipelineCurate _,
+    "pipeline_curate_full" -> pipelineCurateFull _,
     "emb_lang_centroids" -> embLangCentroids _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
@@ -1746,6 +1879,7 @@ object Queries {
     "dedup_cluster_keep" -> dedupClusterKeepSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_curate_full" -> pipelineCurateFullSql,
     "emb_lang_centroids" -> embLangCentroidsSql,
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql,

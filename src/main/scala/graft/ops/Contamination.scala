@@ -73,8 +73,10 @@ object Contamination {
   def contaminationReport(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     // distinct spans per doc — standard decontamination counts unique
-    // n-grams, so the (already-distinct) shingle index is the right input
-    val trainIdx = DedupOps.shingleIndex(train, idCol, textCol, n)
+    // n-grams, so the (already-distinct) shingle index is the right input;
+    // cached because both the count and the hit aggregation read it (same
+    // caller-releases contract as DedupOps)
+    val trainIdx = DedupOps.shingleIndex(train, idCol, textCol, n).cache()
     val benchSet = DedupOps.shingleIndex(bench, idCol, textCol, n)
       .select(col("sh")).distinct()
     // benchmark span sets are fixed-size (an eval suite, not a corpus):

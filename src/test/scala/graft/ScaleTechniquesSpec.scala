@@ -67,6 +67,23 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed.count() == plain.count())
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val out = s"$warehouse/docs_by_lang"
+    Queries.table(spark, dir, "documents")
+      .write.partitionBy("lang").mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang predicate not applied as a partition filter:\n$plan")
+    // the pruned scan must agree with the unpartitioned filter
+    val expected = Queries.table(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    assert(back.count() == expected)
+  }
+
   test("salted join is row-identical to the plain join") {
     val orders = Queries.table(spark, dir, "orders")
       .select(org.apache.spark.sql.functions.col("o_orderkey"),
