@@ -1506,7 +1506,8 @@ object Queries {
   val decontamOverlapSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
        |shs AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    CASE WHEN len(t) >= 5 THEN
@@ -1538,7 +1539,8 @@ object Queries {
   val textDupPassagesSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
        |spans AS (
        |  SELECT doc_id, unnest(
        |    CASE WHEN len(t) >= 8 THEN

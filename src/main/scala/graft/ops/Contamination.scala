@@ -33,18 +33,10 @@ import org.apache.spark.sql.types._
   */
 object Contamination {
 
-  /** Positional n-gram spans (NOT distinct per doc — unlike
-    * `DedupOps.shinglesJvm`): one entry per occurrence, so repeated
-    * passages inside a document count every time. Documents shorter than
-    * `n` tokens contribute their whole text as one span.
+  /** Exploded (id, span-hash) index with one row per span occurrence
+    * (positional spans — `DedupOps.spansJvm` — NOT distinct per doc, so
+    * repeated passages inside a document count every time).
     */
-  private[ops] def spansJvm(text: String, n: Int): Array[String] = {
-    val toks = text.split(" ").filter(_.nonEmpty)
-    if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toArray
-    else Array(toks.mkString(" "))
-  }
-
-  /** Exploded (id, span-hash) index with one row per span occurrence. */
   def spanIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val outSchema = StructType(Seq(
@@ -57,7 +49,7 @@ object Contamination {
           if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
           else {
             val id = row.getLong(0)
-            spansJvm(row.getString(1), n).iterator
+            DedupOps.spansJvm(row.getString(1), n).iterator
               .map(s => Row(id, DedupOps.tokenHash60Jvm(s)))
           }
         }

@@ -285,13 +285,20 @@ object DedupOps {
   private[ops] def tokenHash60Jvm(s: String): Long =
     polyHashJvm(s, 131L) + polyHashJvm(s, 257L) * 1073741824L
 
-  private[ops] def shinglesJvm(text: String, n: Int): Array[String] = {
+  /** Positional n-gram spans — one entry per occurrence; documents
+    * shorter than `n` tokens contribute their whole text as one span.
+    * The single tokenize/slide core behind both the distinct shingle
+    * semantics (dedup) and the occurrence-counting span semantics
+    * (contamination/dup-passage).
+    */
+  private[ops] def spansJvm(text: String, n: Int): Array[String] = {
     val toks = text.split(" ").filter(_.nonEmpty)
-    val raw =
-      if (toks.length >= n) toks.sliding(n).map(_.mkString(" "))
-      else Iterator(toks.mkString(" "))
-    raw.toArray.distinct
+    if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toArray
+    else Array(toks.mkString(" "))
   }
+
+  private[ops] def shinglesJvm(text: String, n: Int): Array[String] =
+    spansJvm(text, n).distinct
 
   /** Per-doc MinHash signature as one `array<long>` column of length k,
     * computed in one tight per-partition pass (tokenize → shingle → hash →

@@ -55,9 +55,10 @@ object Relevance {
     val tf = termFrequencies(df, idCol, textCol).cache()
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
     // corpus size as a broadcast single-row frame — no driver-side action,
-    // the count lands in the same job as the rest of the plan
-    val nDocs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .agg(count(lit(1)).as("n_docs"))
+    // the count lands in the same job as the rest of the plan. N counts
+    // ALL corpus rows (mirroring the oracle's bare count(*)): null-text
+    // docs are part of the corpus even though they contribute no terms
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(docFreq, "token")
       .crossJoin(broadcast(nDocs))
       // tf ≤ doc length, N·1000·tf stays far below 2^53: the double

@@ -91,34 +91,24 @@ object Similarity {
         val cvB = Array.newBuilder[Array[Double]]
         val cnB = Array.newBuilder[Double]
         cRows.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).foreach { r =>
-          val f = toFloatArray(r.getSeq[Float](2))
-          val v = new Array[Double](f.length)
-          var d = 0
-          while (d < f.length) { v(d) = f(d).toDouble; d += 1 }
+          val v = toDoubles(toFloatArray(r.getSeq[Float](2)))
           var sq = 0.0
-          d = 0
+          var d = 0
           while (d < v.length) { sq += v(d) * v(d); d += 1 }
           cidB += r.getLong(1); cvB += v; cnB += math.sqrt(sq)
         }
         val cids = cidB.result()
         val cvecs = cvB.result()
         val cnorms = cnB.result()
-        def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
-          s1 > s2 || (s1 == s2 && i1 < i2)
         // probes stream through; per probe a size-k top list over the block
         pRows.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).flatMap { pr =>
           val qid = pr.getLong(1)
-          val f = toFloatArray(pr.getSeq[Float](2))
-          val qv = new Array[Double](f.length)
-          var d = 0
-          while (d < f.length) { qv(d) = f(d).toDouble; d += 1 }
+          val qv = toDoubles(toFloatArray(pr.getSeq[Float](2)))
           var sq = 0.0
-          d = 0
+          var d = 0
           while (d < qv.length) { sq += qv(d) * qv(d); d += 1 }
           val qNorm = math.sqrt(sq)
-          val topSim = new Array[Long](k)
-          val topId = new Array[Long](k)
-          var n = 0
+          val top = new TopK(k)
           var c = 0
           while (c < cids.length) {
             if (cids(c) != qid) {
@@ -126,26 +116,12 @@ object Similarity {
               var dot = 0.0
               d = 0
               while (d < cv.length) { dot += qv(d) * cv(d); d += 1 }
-              val sim = math.floor(1000000.0 *
-                (dot / (qNorm * cnorms(c)))).toLong
-              if (n < k) { topSim(n) = sim; topId(n) = cids(c); n += 1 }
-              else {
-                // find current worst and replace if the candidate beats it
-                var worst = 0
-                var i = 1
-                while (i < k) {
-                  if (better(topSim(worst), topId(worst),
-                      topSim(i), topId(i))) worst = i
-                  i += 1
-                }
-                if (better(sim, cids(c), topSim(worst), topId(worst))) {
-                  topSim(worst) = sim; topId(worst) = cids(c)
-                }
-              }
+              top.offer(math.floor(1000000.0 *
+                (dot / (qNorm * cnorms(c)))).toLong, cids(c))
             }
             c += 1
           }
-          (0 until n).iterator.map(i => Row(qid, topId(i), topSim(i)))
+          top.rows(qid)
         }
       }(Encoders.row(outSchema))
 
@@ -236,14 +212,10 @@ object Similarity {
         }
         val cids = cidB.result()
         val cqs = cqB.result()
-        def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
-          s1 > s2 || (s1 == s2 && i1 < i2)
         pRows.flatMap { pr =>
           val qid = pr.getLong(1)
           val qq = pr.getAs[Array[Byte]](2)
-          val topDot = new Array[Long](k)
-          val topId = new Array[Long](k)
-          var n = 0
+          val top = new TopK(k)
           var c = 0
           while (c < cids.length) {
             if (cids(c) != qid) {
@@ -251,23 +223,11 @@ object Similarity {
               var dot = 0L
               var d = 0
               while (d < cq.length) { dot += qq(d).toLong * cq(d); d += 1 }
-              if (n < k) { topDot(n) = dot; topId(n) = cids(c); n += 1 }
-              else {
-                var worst = 0
-                var i = 1
-                while (i < k) {
-                  if (better(topDot(worst), topId(worst),
-                      topDot(i), topId(i))) worst = i
-                  i += 1
-                }
-                if (better(dot, cids(c), topDot(worst), topId(worst))) {
-                  topDot(worst) = dot; topId(worst) = cids(c)
-                }
-              }
+              top.offer(dot, cids(c))
             }
             c += 1
           }
-          (0 until n).iterator.map(i => Row(qid, topId(i), topDot(i)))
+          top.rows(qid)
         }
       }(Encoders.row(outSchema))
 
@@ -340,13 +300,6 @@ object Similarity {
     }
     val bc = spark.sparkContext.broadcast(cb)
 
-    def toDoubles(f: Array[Float]): Array[Double] = {
-      val v = new Array[Double](f.length)
-      var d = 0
-      while (d < f.length) { v(d) = f(d).toDouble; d += 1 }
-      v
-    }
-
     val codeSchema = StructType(Seq(
       StructField("__chunk", IntegerType, nullable = false),
       StructField("__id", LongType, nullable = false),
@@ -403,22 +356,23 @@ object Similarity {
         val cids = cidB.result()
         val ccodes = ccB.result()
         val book = bc.value
-        def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
-          s1 > s2 || (s1 == s2 && i1 < i2)
         pRows.flatMap { pr =>
           val qid = pr.getLong(1)
           val qv = toDoubles(toFloatArray(pr.getSeq[Float](2)))
           // ADC lookup table: per (subspace, codeword) the micro dot of
           // the probe's subvector against the codeword — built once per
-          // (probe, block), then the code scan is integer adds only
+          // (probe, block), then the code scan is integer adds only.
+          // Deliberately NOT precomputed before replication: the LUT is
+          // m·ksub longs (4× the float vector at the registry config), so
+          // shipping it would grow the probe shuffle, while rebuilding is
+          // O(m·ksub·subDim) — amortized to noise over a corpus-sized
+          // block scan.
           val lut = Array.tabulate(m, ksub) { (j, c) =>
             if (c < book(j).length)
               dotMicroJvm(qv, j * subDim, book(j)(c), subDim)
             else 0L
           }
-          val topS = new Array[Long](k)
-          val topI = new Array[Long](k)
-          var n = 0
+          val top = new TopK(k)
           var ci = 0
           while (ci < cids.length) {
             if (cids(ci) != qid) {
@@ -426,23 +380,11 @@ object Similarity {
               var s = 0L
               var j = 0
               while (j < m) { s += lut(j)(code(j) & 0xff); j += 1 }
-              if (n < k) { topS(n) = s; topI(n) = cids(ci); n += 1 }
-              else {
-                var worst = 0
-                var i = 1
-                while (i < k) {
-                  if (better(topS(worst), topI(worst), topS(i), topI(i)))
-                    worst = i
-                  i += 1
-                }
-                if (better(s, cids(ci), topS(worst), topI(worst))) {
-                  topS(worst) = s; topI(worst) = cids(ci)
-                }
-              }
+              top.offer(s, cids(ci))
             }
             ci += 1
           }
-          (0 until n).iterator.map(i => Row(qid, topI(i), topS(i)))
+          top.rows(qid)
         }
       }(Encoders.row(outSchema))
 
@@ -492,13 +434,6 @@ object Similarity {
       }
     }
     val bc = spark.sparkContext.broadcast((centIds, centVecs, cb))
-
-    def toDoubles(f: Array[Float]): Array[Double] = {
-      val v = new Array[Double](f.length)
-      var d = 0
-      while (d < f.length) { v(d) = f(d).toDouble; d += 1 }
-      v
-    }
 
     val codeSchema = StructType(Seq(
       StructField("__cell", LongType, nullable = false),
@@ -569,19 +504,16 @@ object Similarity {
         val cids = cidB.result()
         val ccodes = ccB.result()
         val (_, _, book) = bc.value
-        def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
-          s1 > s2 || (s1 == s2 && i1 < i2)
         pRows.flatMap { pr =>
           val qid = pr.getLong(1)
           val qv = toDoubles(toFloatArray(pr.getSeq[Float](2)))
+          // per-(probe, cell) LUT: same rebuild-vs-ship tradeoff as pqTopK
           val lut = Array.tabulate(m, ksub) { (j, c) =>
             if (c < book(j).length)
               dotMicroJvm(qv, j * subDim, book(j)(c), subDim)
             else 0L
           }
-          val topS = new Array[Long](k)
-          val topI = new Array[Long](k)
-          var n = 0
+          val top = new TopK(k)
           var ci = 0
           while (ci < cids.length) {
             if (cids(ci) != qid) {
@@ -589,23 +521,11 @@ object Similarity {
               var s = 0L
               var j = 0
               while (j < m) { s += lut(j)(code(j) & 0xff); j += 1 }
-              if (n < k) { topS(n) = s; topI(n) = cids(ci); n += 1 }
-              else {
-                var worst = 0
-                var i = 1
-                while (i < k) {
-                  if (better(topS(worst), topI(worst), topS(i), topI(i)))
-                    worst = i
-                  i += 1
-                }
-                if (better(s, cids(ci), topS(worst), topI(worst))) {
-                  topS(worst) = s; topI(worst) = cids(ci)
-                }
-              }
+              top.offer(s, cids(ci))
             }
             ci += 1
           }
-          (0 until n).iterator.map(i => Row(qid, topI(i), topS(i)))
+          top.rows(qid)
         }
       }(Encoders.row(outSchema))
 
@@ -756,33 +676,16 @@ object Similarity {
             cids += r.getLong(1); cvecs += toFloatArray(r.getSeq[Float](2))
           }
           val ids = cids.result(); val vecs = cvecs.result()
-          def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
-            s1 > s2 || (s1 == s2 && i1 < i2)
           probeRows.flatMap { pr =>
             val qid = pr.getLong(1)
             val qv = toFloatArray(pr.getSeq[Float](2))
-            val topSim = new Array[Long](k); val topId = new Array[Long](k)
-            var n = 0
+            val top = new TopK(k)
             var c = 0
             while (c < ids.length) {
-              if (ids(c) != qid) {
-                val sim = cosineMicroJvm(qv, vecs(c))
-                if (n < k) { topSim(n) = sim; topId(n) = ids(c); n += 1 }
-                else {
-                  var worst = 0; var i = 1
-                  while (i < k) {
-                    if (better(topSim(worst), topId(worst),
-                        topSim(i), topId(i))) worst = i
-                    i += 1
-                  }
-                  if (better(sim, ids(c), topSim(worst), topId(worst))) {
-                    topSim(worst) = sim; topId(worst) = ids(c)
-                  }
-                }
-              }
+              if (ids(c) != qid) top.offer(cosineMicroJvm(qv, vecs(c)), ids(c))
               c += 1
             }
-            (0 until n).iterator.map(i => Row(qid, topId(i), topSim(i)))
+            top.rows(qid)
           }
       }(Encoders.row(simSchema))
     val w = Window.partitionBy(col("query_id"))
@@ -801,6 +704,49 @@ object Similarity {
       case w: scala.collection.mutable.ArraySeq.ofFloat => w.array
       case _                                            => s.toArray
     }
+
+  private[ops] def toDoubles(f: Array[Float]): Array[Double] = {
+    val v = new Array[Double](f.length)
+    var d = 0
+    while (d < f.length) { v(d) = f(d).toDouble; d += 1 }
+    v
+  }
+
+  /** The (score desc, id asc) candidate ordering every ANN rung ranks by
+    * — one definition so a tie-break change can never desynchronize the
+    * rungs from each other or from the shared window-merge tail.
+    */
+  private[ops] def betterHit(s1: Long, i1: Long, s2: Long, i2: Long)
+      : Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  /** Bounded top-k accumulator under `betterHit`: the per-(probe, block)
+    * selection shared by all ANN scan loops. One instance per probe;
+    * fixed arrays, no per-candidate allocation.
+    */
+  private[ops] final class TopK(k: Int) {
+    private val scores = new Array[Long](k)
+    private val ids = new Array[Long](k)
+    private var n = 0
+    def offer(s: Long, id: Long): Unit = {
+      if (n < k) { scores(n) = s; ids(n) = id; n += 1 }
+      else {
+        var worst = 0
+        var i = 1
+        while (i < k) {
+          if (betterHit(scores(worst), ids(worst), scores(i), ids(i)))
+            worst = i
+          i += 1
+        }
+        if (betterHit(s, id, scores(worst), ids(worst))) {
+          scores(worst) = s; ids(worst) = id
+        }
+      }
+    }
+    /** Consume before the next probe's accumulator is filled. */
+    def rows(qid: Long): Iterator[Row] =
+      (0 until n).iterator.map(i => Row(qid, ids(i), scores(i)))
+  }
 
   /** Exact JVM mirror of `cosineMicro`: double math with left-to-right
     * summation — bit-identical to the Column expression and to DuckDB's

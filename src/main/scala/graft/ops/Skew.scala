@@ -32,6 +32,7 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, usingKeys: Seq[String],
       saltOn: Column, buckets: Int = 8): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(saltOn), lit(buckets.toLong)))
     // the small side replicates `buckets`× — keep it the genuinely small
