@@ -1025,11 +1025,8 @@ object Queries {
     val train = docs.filter(col("doc_id") % 10 =!= 7)
       .filter(TextOps.qualityOk(col("text")))
       .select("doc_id", "text", "lang").cache()
-    val contam = Contamination.contaminationReport(train, bench,
-      "doc_id", "text", n = 5)
-    val clean = train.join(
-      contam.filter(!col("contaminated")).select("doc_id"), "doc_id")
-      .cache()
+    val clean = Contamination.decontaminate(train, bench,
+      "doc_id", "text", n = 5).cache()
     val dup = Contamination.dupPassageStats(clean, "doc_id", "text", n = 8)
     val kept = clean.join(
       dup.filter(col("dup_milli") < 500).select("doc_id"), "doc_id")

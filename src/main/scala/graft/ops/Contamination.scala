@@ -86,6 +86,24 @@ object Contamination {
       .withColumn("contaminated", col("n_hit") > 0)
   }
 
+  /** The decontamination *gate*: the subset of `train` sharing no n-gram
+    * span with the benchmark — a broadcast semi-join on span hashes
+    * followed by one anti-join, skipping the per-doc counting that
+    * `contaminationReport` does (use the report when you want the
+    * numbers; use this inside pipelines where only the keep-set
+    * matters). Row set identical to
+    * `contaminationReport.filter(!contaminated)`.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val trainIdx = DedupOps.shingleIndex(train, idCol, textCol, n)
+    val benchSet = DedupOps.shingleIndex(bench, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    val contaminatedIds = trainIdx.join(broadcast(benchSet), "sh")
+      .select(col(idCol)).distinct()
+    train.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** Per-doc duplicated-passage statistics: total span occurrences, span
     * occurrences whose n-gram appears in ≥ 2 distinct documents, and the
     * permille duplicated fraction.

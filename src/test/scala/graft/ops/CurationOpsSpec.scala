@@ -46,6 +46,24 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1L, 0L, 0L, false)))
   }
 
+  test("decontaminate keeps exactly the report's uncontaminated docs") {
+    val train = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7)
+    val bench = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7)
+    val viaGate = Contamination.decontaminate(train, bench,
+      "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaReport = Contamination.contaminationReport(train, bench,
+      "doc_id", "text", n = 5)
+      .filter(!org.apache.spark.sql.functions.col("contaminated"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaGate == viaReport)
+    spark.catalog.clearCache()
+  }
+
   test("dupPassageStats counts span occurrences shared across docs") {
     val df = docs(1L -> "a b c a b", 2L -> "a b x", 3L -> "z z")
     val out = Contamination.dupPassageStats(df, "doc_id", "text", n = 2)
