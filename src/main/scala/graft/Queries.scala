@@ -1053,14 +1053,14 @@ object Queries {
        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |  FROM documents WHERE doc_id % 10 <> 7),
        |m AS (
-       |  SELECT doc_id, text, lang, len(toks) AS n_tokens,
+       |  SELECT doc_id, text, lang, toks, len(toks) AS n_tokens,
        |    len(list_filter(toks, x -> list_contains($stops, lower(x)))) AS n_stop,
        |    list_sum(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(toks, x -> CAST(length(x) AS BIGINT)))) AS char_sum,
        |    length(text) - length(translate(text, '.,!?;:', '')) AS n_punct
        |  FROM t),
        |gated AS (
-       |  SELECT doc_id, text, lang FROM m
+       |  SELECT doc_id, text, lang, toks FROM m
        |  WHERE n_tokens > 0
        |    AND (CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens ELSE 0 END) > 0
        |    AND (CASE WHEN n_tokens > 0 THEN char_sum * 1000 // n_tokens ELSE 0 END) BETWEEN 2000 AND 12000
@@ -1076,31 +1076,25 @@ object Queries {
        |    ELSE [array_to_string(bt, ' ')] END)) AS shingle
        |  FROM btoks),
        |benchh AS (SELECT DISTINCT $shingleHash60Sql AS h FROM bshs),
-       |gtoks AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS gt
-       |  FROM gated),
        |gshs AS (
        |  SELECT doc_id, unnest(list_distinct(
-       |    CASE WHEN len(gt) >= 5 THEN
-       |      list_transform(generate_series(1, len(gt) - 4),
-       |        i -> array_to_string(gt[i:i+4], ' '))
-       |    ELSE [array_to_string(gt, ' ')] END)) AS shingle
-       |  FROM gtoks),
+       |    CASE WHEN len(toks) >= 5 THEN
+       |      list_transform(generate_series(1, len(toks) - 4),
+       |        i -> array_to_string(toks[i:i+4], ' '))
+       |    ELSE [array_to_string(toks, ' ')] END)) AS shingle
+       |  FROM gated),
        |gh AS (SELECT doc_id, $shingleHash60Sql AS h FROM gshs),
        |clean AS (
-       |  SELECT doc_id, text, lang FROM gated
+       |  SELECT doc_id, text, lang, toks FROM gated
        |  WHERE doc_id NOT IN (
        |    SELECT doc_id FROM gh WHERE h IN (SELECT h FROM benchh))),
-       |ctoks AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ct
-       |  FROM clean),
        |cspans AS (
        |  SELECT doc_id, unnest(
-       |    CASE WHEN len(ct) >= 8 THEN
-       |      list_transform(generate_series(1, len(ct) - 7),
-       |        i -> array_to_string(ct[i:i+7], ' '))
-       |    ELSE [array_to_string(ct, ' ')] END) AS shingle
-       |  FROM ctoks),
+       |    CASE WHEN len(toks) >= 8 THEN
+       |      list_transform(generate_series(1, len(toks) - 7),
+       |        i -> array_to_string(toks[i:i+7], ' '))
+       |    ELSE [array_to_string(toks, ' ')] END) AS shingle
+       |  FROM clean),
        |csh AS (SELECT doc_id, $shingleHash60Sql AS h FROM cspans),
        |cdf AS (
        |  SELECT h, count(*) AS nd

@@ -101,7 +101,11 @@ object Contamination {
       .select(col("sh")).distinct()
     val contaminatedIds = trainIdx.join(broadcast(benchSet), "sh")
       .select(col(idCol)).distinct()
-    train.join(contaminatedIds, Seq(idCol), "left_anti")
+    // null id/text rows never enter the index, so the anti-join alone
+    // would KEEP them — drop them explicitly to honor the row-set
+    // identity with the report path (which omits them entirely)
+    train.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
   /** Per-doc duplicated-passage statistics: total span occurrences, span
