@@ -174,6 +174,40 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "full-probe IVFPQ diverged from flat PQ scoring")
   }
 
+  test("ANN rung recall@5 floors vs exact cosine (regression guard)") {
+    // Absolute recall here is the WORST case by construction: the
+    // quantizers are deterministic first-ids devices (no k-means — the
+    // oracle-exactness constraint) over structureless uniform random
+    // vectors. Measured at sf0.001: SQ8 0.949, IVF 0.488, PQ 0.162,
+    // IVFPQ 0.146 — the pins guard against semantic regressions (a
+    // broken encoder or tie-break lands near random: 5/49 ≈ 0.10 for
+    // full scans with k=5).
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topSet(Similarity.knnBruteForce(
+      emb, emb, "vec_id", "embedding", k = 5))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = topSet(df)
+      exact.map { case (q, e) =>
+        approx.getOrElse(q, Set.empty[Long]).count(e.contains).toDouble /
+          e.size
+      }.sum / exact.size
+    }
+    assert(recall(Similarity.knnSq8TopK(
+      emb, emb, "vec_id", "embedding", k = 5, scale = 128)) >= 0.90)
+    assert(recall(Similarity.ivfTopK(
+      emb, emb, "vec_id", "embedding", k = 5, nlist = 16,
+      nprobe = 4)) >= 0.40)
+    assert(recall(Similarity.pqTopK(
+      emb, emb, "vec_id", "embedding", k = 5, m = 8, ksub = 16)) >= 0.12)
+    assert(recall(Similarity.ivfPqTopK(
+      emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+      m = 8, ksub = 16)) >= 0.10)
+  }
+
   test("column quantizer matches the JVM quantizer on real vectors") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
