@@ -134,6 +134,47 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 2L, 8128L, 1L), (3L, 1L, 0L, 2L)))
   }
 
+  test("null id/text/vector rows are excluded, never NPE, in the new ops") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1L), Some("a b c d e f g h i")),
+      (Some(2L), Some("a b c d e f g h i")),
+      (Some(3L), None),                        // null text
+      (None: Option[Long], Some("x y z w v"))) // null id
+      .toDF("doc_id", "text")
+    val rep = Contamination.contaminationReport(df, df, "doc_id", "text",
+      n = 3).collect().map(_.getLong(0)).toSet
+    assert(rep == Set(1L, 2L))
+    val gate = Contamination.decontaminate(df,
+      docs(9L -> "nothing shared here"), "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(gate == Set(1L, 2L))
+    val dup = Contamination.dupPassageStats(df, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(dup == Set(1L, 2L))
+    spark.catalog.clearCache()
+
+    val emb = Seq(
+      (Some(1L), Some(Seq(1.0f, 0.0f, 0.5f, -0.5f))),
+      (Some(2L), Some(Seq(0.9f, 0.1f, 0.4f, -0.4f))),
+      (Some(3L), None),                                  // null vector
+      (None: Option[Long], Some(Seq(0.0f, 1.0f, 0.0f, 1.0f)))) // null id
+      .toDF("vec_id", "embedding")
+    val sq8 = Similarity.knnSq8TopK(emb, emb, "vec_id", "embedding",
+      k = 2, chunks = 2)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sq8 == Set(1L, 2L))
+    val pq = Similarity.pqTopK(emb, emb, "vec_id", "embedding",
+      k = 2, m = 2, ksub = 2, chunks = 2)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(pq == Set(1L, 2L))
+    val ivfpq = Similarity.ivfPqTopK(emb, emb, "vec_id", "embedding",
+      k = 2, nlist = 2, nprobe = 2, m = 2, ksub = 2)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ivfpq == Set(1L, 2L))
+  }
+
   test("pqTopK: codebook encoding, ADC lookup sums, and tie-breaks") {
     val s = spark
     import s.implicits._
