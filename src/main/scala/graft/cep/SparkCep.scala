@@ -209,7 +209,7 @@ object SparkCep {
     * observable — no filter there.
     */
   def prefilter(query: CepQuery, spec: CepSpec): Option[Column] = {
-    query.patseq match {
+    unwrapGpat(query.patseq) match {
       case s: Pattern.Spat =>
         val typeCond = col(spec.typeCol) === s.event
         val varNames = s.vars.map(_.name).toSet
@@ -241,6 +241,15 @@ object SparkCep {
   private def skippable(c: Contiguity): Boolean =
     c == Contiguity.Relaxed || c == Contiguity.NdRelaxed
 
+  /** Plain `Gpat` compiles to its child's DST verbatim
+    * (`DstCompiler.compileNode`), so pushdown legality — and the filter
+    * itself — is exactly the child's. Group *loops* stay opaque.
+    */
+  private def unwrapGpat(p: Pattern): Pattern = p match {
+    case g: Pattern.Gpat => unwrapGpat(g.child)
+    case other           => other
+  }
+
   private def allSkippableNoGroupNoUntil(p: Pattern): Boolean = p match {
     case _: Pattern.Spat => true
     case l: Pattern.Lpat => skippable(l.contiguity)
@@ -249,7 +258,8 @@ object SparkCep {
       skippable(c.contiguity) &&
         allSkippableNoGroupNoUntil(c.left) &&
         allSkippableNoGroupNoUntil(c.right)
-    case _ => false // any group node: copy boundaries are implicitly strict
+    case g: Pattern.Gpat => allSkippableNoGroupNoUntil(g.child) // transparent
+    case _ => false // group loops: copy boundaries are implicitly strict
   }
 
   /** Declared pattern names in left-to-right order (the `Pi` set with the

@@ -81,6 +81,30 @@ class PushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(q)
   }
 
+  test("plain gpat is transparent to pushdown (compiles to child's DST)") {
+    // Gpat(spat): the spat condition pushes through the wrapper
+    val qs = CepQuery(
+      Pattern.Gpat(Pattern.spat("x", "a", "value < 10")), schema)
+    assert(SparkCep.prefilter(qs, spec).isDefined)
+    check(qs)
+    // Gpat over an all-relaxed body: alphabet filter pushes through
+    // (the combine's right side must stay event-headed — a group there
+    // is rejected by the compiler, mirroring the reference)
+    val qr = CepQuery(
+      Pattern.Gpat(Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"),
+        Pattern.lpat("y", "b", "True", Contiguity.Relaxed, 1, 2))),
+      schema)
+    assert(SparkCep.prefilter(qr, spec).isDefined)
+    check(qr)
+    // group LOOPS stay opaque even under a plain wrapper
+    val ql = CepQuery(
+      Pattern.Gpat(Pattern.GpatTimes(
+        Pattern.spat("x", "a", "True"), 1, 2)), schema)
+    assert(SparkCep.prefilter(ql, spec).isEmpty)
+    check(ql)
+  }
+
   test("global (un-keyed) operator reproduces the single-sequence run") {
     val s = spark
     import s.implicits._
