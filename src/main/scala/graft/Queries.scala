@@ -423,6 +423,36 @@ object Queries {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Exact per-group order statistics: discrete percentiles of the line
+    * price in integer cents. `percentile_disc` is Spark's exact sort-based
+    * aggregate (NOT `approx_percentile`) and picks the smallest value with
+    * cume_dist ≥ p — the value at 1-based index ⌈p·n⌉, which is precisely
+    * DuckDB's `quantile_disc`, so integer outputs hash identically. One
+    * shuffle on the group key; partial aggregation ships per-group value
+    * buffers.
+    */
+  def relPercentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), cents("l_extendedprice").as("price_c"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price_c)")
+          .cast(LongType).as("p50_c"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY price_c)")
+          .cast(LongType).as("p90_c"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY price_c)")
+          .cast(LongType).as("p99_c"))
+      .orderBy("l_returnflag")
+
+  val relPercentilesSql: String =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  CAST(quantile_disc(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5) AS BIGINT) AS p50_c,
+      |  CAST(quantile_disc(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.9) AS BIGINT) AS p90_c,
+      |  CAST(quantile_disc(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.99) AS BIGINT) AS p99_c
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q3-style: 3-way join, revenue top-10. The customer filter is a
     * broadcast-able dimension side.
     */
@@ -1398,6 +1428,43 @@ object Queries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** SemDeDup-style semantic dedup: IVF-cell clustering (same
+    * deterministic quantizer as `knn_ivf_top5`) bounds the quadratic
+    * similarity term; within a cell a vector is dropped when any
+    * smaller-id cell-mate has cosine ≥ 0.35. The oracle rebuilds cell
+    * assignment and the keep rule with a correlated EXISTS.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(table(spark, dir, "embeddings"), "vec_id",
+      "embedding", nlist = 16, simMicro = 350000L)
+      .orderBy("vec_id")
+
+  val semanticDedupSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      |cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+      |sims AS (
+      |  SELECT v.vec_id, v.e, c.cid,
+      |    CAST(floor(1000000 * list_inner_product(v.e, c.ce) /
+      |      (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.ce, c.ce))))
+      |      AS BIGINT) AS sim
+      |  FROM v CROSS JOIN cent c),
+      |ranked_cells AS (
+      |  SELECT vec_id, e, cid, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |  FROM sims),
+      |assign AS (
+      |  SELECT vec_id, e, cid AS cell FROM ranked_cells WHERE rn = 1)
+      |SELECT a.vec_id, a.cell,
+      |  CAST(CASE WHEN EXISTS (
+      |    SELECT 1 FROM assign b
+      |    WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+      |      AND CAST(floor(1000000 * list_inner_product(a.e, b.e) /
+      |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))))
+      |        AS BIGINT) >= 350000)
+      |  THEN 0 ELSE 1 END AS BIGINT) AS keep
+      |FROM assign a ORDER BY a.vec_id""".stripMargin
+
   /** Multimodal plumbing: binary payload → batched stub-decode features. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val assets = MultiModal.ingestFromText(
@@ -1795,6 +1862,7 @@ object Queries {
     "rel_q3_top_orders" -> relQ3TopOrders _,
     "rel_nation_stats" -> relNationStats _,
     "rel_window_top3" -> relWindowTop3 _,
+    "rel_percentiles" -> relPercentiles _,
     "rel_json_props" -> relJsonProps _,
     "rel_session_stats" -> relSessionStats _,
     "rel_asof_signup" -> relAsofSignup _,
@@ -1820,6 +1888,7 @@ object Queries {
     "dedup_simhash" -> dedupSimhash _,
     "knn_cosine_top10" -> knnCosineTop10 _,
     "emb_near_dup_lsh" -> embNearDupLsh _,
+    "semantic_dedup" -> semanticDedup _,
     "mm_features" -> mmFeatures _,
     "mm_frame_sample" -> mmFrameSample _,
     "sketch_distinct_tokens" -> sketchDistinctTokens _,
@@ -1847,12 +1916,14 @@ object Queries {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "emb_near_dup_lsh" -> embNearDupLshSql,
+    "semantic_dedup" -> semanticDedupSql,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairsSql,
     "cep_iter_budget" -> cepIterBudgetSql,
     "rel_q1_pricing" -> relQ1PricingSql,
     "rel_q3_top_orders" -> relQ3TopOrdersSql,
     "rel_nation_stats" -> relNationStatsSql,
     "rel_window_top3" -> relWindowTop3Sql,
+    "rel_percentiles" -> relPercentilesSql,
     "rel_json_props" -> relJsonPropsSql,
     "rel_session_stats" -> relSessionStatsSql,
     "rel_asof_signup" -> relAsofSignupSql,

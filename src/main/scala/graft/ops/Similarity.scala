@@ -694,6 +694,81 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the same deterministic
+    * coarse quantizer as `ivfTopK` (centroids = the `nlist` smallest-id
+    * vectors, floored-micro cosine, ties to the smaller centroid id), then
+    * within each cell drop every vector that has a *smaller-id* cell-mate
+    * with cosine ≥ `simMicro`/1e6. The keep rule is deliberately
+    * non-transitive (an item is judged against all earlier cell-mates,
+    * kept or not) — one deterministic pass, exactly reproducible in SQL
+    * via a correlated EXISTS, no iteration to converge.
+    *
+    * Output: (vec_id, cell, keep) for every non-null corpus row, `keep`
+    * a 0/1 long.
+    *
+    * Physical plan for scale: only `nlist` centroid rows ever reach the
+    * driver; assignment is a narrow per-partition pass; the single
+    * corpus-sized exchange shuffles (cell, id, vec) on cell — the cell is
+    * the partition unit, exactly IVF's layout — and the quadratic
+    * similarity term is bounded per task by the cell size, which `nlist`
+    * controls (at N vectors, expected |cell| = N/nlist; size nlist so a
+    * cell's vectors fit one executor). Each pair is scored at most once
+    * (earlier-id side only) with an early exit at the first dup hit.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, simMicro: Long = 350000L): DataFrame = {
+    val spark = corpus.sparkSession
+    val centRows = corpus.select(col(idCol).cast(LongType), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(nlist).collect()
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(r => toFloatArray(r.getSeq[Float](1)))
+    val bc = spark.sparkContext.broadcast((centIds, centVecs))
+
+    val assignSchema = StructType(Seq(
+      StructField("__cell", LongType, nullable = false),
+      StructField("__id", LongType, nullable = false),
+      StructField("__vec", corpus.schema(vecCol).dataType, nullable = true)))
+    val assigned = corpus.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        val (ids, cvs) = bc.value
+        rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
+          val v = toFloatArray(r.getSeq[Float](1))
+          // max sim; ties to the smaller centroid id (ids are sorted)
+          var best = 0
+          var bestSim = cosineMicroJvm(v, cvs(0))
+          var i = 1
+          while (i < cvs.length) {
+            val s = cosineMicroJvm(v, cvs(i))
+            if (s > bestSim) { best = i; bestSim = s }
+            i += 1
+          }
+          Row(ids(best), r.getLong(0), r.get(1))
+        }
+      }(Encoders.row(assignSchema))
+
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("cell", LongType, nullable = false),
+      StructField("keep", LongType, nullable = false)))
+    implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+    assigned.groupByKey(_.getLong(0)).flatMapGroups { (cell, rows) =>
+      val members = rows
+        .map(r => (r.getLong(1), toFloatArray(r.getSeq[Float](2))))
+        .toArray.sortBy(_._1)
+      members.iterator.zipWithIndex.map { case ((id, v), i) =>
+        var keep = 1L
+        var j = 0
+        while (j < i && keep == 1L) {
+          if (cosineMicroJvm(v, members(j)._2) >= simMicro) keep = 0L
+          j += 1
+        }
+        Row(id, cell, keep)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Unwrap a row's array<float> column to the primitive array without
     * copying when Spark hands back an `ArraySeq.ofFloat` wrapper — the
     * generic `Seq[Float].apply` boxes per element, which dominates

@@ -249,6 +249,46 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       m = 8, ksub = 16)) >= 0.10)
   }
 
+  test("semanticDedup: cell-bounded keep rule, ties, null exclusion") {
+    val s = spark
+    import s.implicits._
+    // centroids = two smallest ids: 1 → x-axis cell, 2 → y-axis cell
+    val emb = Seq(
+      (Some(1L), Some(Seq(1.0f, 0.0f, 0.0f, 0.0f))),
+      (Some(2L), Some(Seq(0.0f, 1.0f, 0.0f, 0.0f))),
+      (Some(3L), Some(Seq(0.99f, 0.01f, 0.0f, 0.0f))), // ≈ id 1 → dropped
+      (Some(4L), Some(Seq(0.0f, 0.9f, 0.1f, 0.0f))),   // ≈ id 2 → dropped
+      (Some(5L), Some(Seq(0.0f, 0.0f, 1.0f, 0.0f))),   // ⊥ both → kept
+      (Some(6L), None),                                 // null vector
+      (None: Option[Long], Some(Seq(1.0f, 0.0f, 0.0f, 0.0f)))) // null id
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 2, simMicro = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // id 5 is equidistant from both centroids (cos = 0): the tie goes to
+    // the smaller centroid id, cell 1, where nothing resembles it.
+    assert(out == Set(
+      (1L, 1L, 1L), (3L, 1L, 0L), (5L, 1L, 1L),
+      (2L, 2L, 1L), (4L, 2L, 0L)))
+  }
+
+  test("semanticDedup keep rule is non-transitive by design") {
+    val s = spark
+    import s.implicits._
+    // chain a—b—c with sim(a,b) ≥ τ, sim(b,c) ≥ τ, sim(a,c) < τ:
+    // b drops against a; c still drops against the DROPPED b (the rule
+    // judges against all earlier cell-mates, kept or not).
+    val a = Seq(1.0f, 0.0f)
+    val b = Seq(0.8f, 0.6f)   // cos(a,b) = 0.8
+    val c = Seq(0.28f, 0.96f) // cos(b,c) = 0.8, cos(a,c) = 0.28
+    val emb = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 1, simMicro = 750000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L), (2L, 0L), (3L, 0L)))
+  }
+
   test("column quantizer matches the JVM quantizer on real vectors") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
