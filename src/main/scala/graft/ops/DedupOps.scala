@@ -351,14 +351,58 @@ object DedupOps {
     acc
   }
 
+  /** Per-bucket size cap for LSH band indexes — the hot-bucket valve of
+    * every band join here (MinHash, SimHash, RHP): a degenerate corpus
+    * that lands one bucket with B members makes the self-join emit B²/2
+    * candidate rows, so buckets larger than `maxBucketSize` are dropped
+    * from the index entirely before the join. Cap-is-part-of-semantics,
+    * exactly like `maxShingleFreq`: a saturated bucket carries ~zero
+    * discriminative signal (it pairs everything with everything), and the
+    * oracle mirrors the drop with a HAVING-count CTE. `dropCounter`
+    * (optional) tallies the dropped index rows — the observability hook
+    * for sizing the cap, same role as the CEP skew gauge.
+    *
+    * Expects a frame with `band`/`bucket` columns; emits it filtered,
+    * schema unchanged.
+    */
+  private[ops] def capBuckets(banded: DataFrame, maxBucketSize: Long,
+      dropCounter: Option[org.apache.spark.util.LongAccumulator])
+      : DataFrame = {
+    if (maxBucketSize == Long.MaxValue) return banded
+    import org.apache.spark.sql.expressions.Window
+    val counted = banded.withColumn("__bsz", count(lit(1)).over(
+      Window.partitionBy(col("band"), col("bucket"))))
+    dropCounter match {
+      case None =>
+        counted.filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+      case Some(acc) =>
+        // iterator-based filter so drops can tick the accumulator; sits
+        // right above the window exec node, which is not codegen-fused
+        // anyway, so nothing is lost from the fast path
+        val bszIdx = counted.schema.fieldIndex("__bsz")
+        val outSchema = StructType(counted.schema.filterNot(_.name == "__bsz"))
+        counted.mapPartitions { rows =>
+          rows.flatMap { r =>
+            if (r.getLong(bszIdx) <= maxBucketSize)
+              Iterator.single(Row.fromSeq(r.toSeq.patch(bszIdx, Nil, 1)))
+            else { acc.add(1L); Iterator.empty }
+          }
+        }(Encoders.row(outSchema))
+    }
+  }
+
   /** LSH candidate pairs: docs sharing any band bucket. Output
     * (id1, id2, est_milli) with est = fraction of equal signature
     * components × 1000. Band keys and the agreement estimate are computed
     * in tight JVM passes; only the (band, bucket) candidate join and the
     * two signature joins (AQE-broadcast while small) shuffle.
+    * `maxBucketSize`/`dropCounter`: see `capBuckets`.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      params: MinHashParams = MinHashParams(), n: Int = 3): DataFrame = {
+      params: MinHashParams = MinHashParams(), n: Int = 3,
+      maxBucketSize: Long = Long.MaxValue,
+      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val bands = params.bands
     val rows_ = params.rows
     val k = params.k
@@ -400,19 +444,9 @@ object DedupOps {
       }(Encoders.row(estSchema))
   }
 
-  /** Connected components over a near-dup pair graph by iterative
-    * min-label propagation: every node starts labeled with itself; each
-    * round takes the min of its own and its neighbors' labels; at
-    * fixpoint the label is the component's minimum node id — the
-    * canonical "keep" id of a duplicate cluster.
-    *
-    * Scale shape: one shuffle join (edges ⋈ labels) + one partial-agg
-    * `min` per round; rounds = graph diameter. Near-dup graphs are
-    * cliquish (diameter 2–3), so this converges in a handful of rounds;
-    * labels are `localCheckpoint`ed each round so lineage stays flat.
-    * (For general graphs with long chains, the large-star/small-star
-    * O(log n)-round variant is the published fix — not needed for dedup
-    * graphs, noted for honesty.)
+  /** Connected components over a near-dup pair graph: every node ends
+    * labeled with the minimum node id of its component — the canonical
+    * "keep" id of a duplicate cluster.
     *
     * Input: edge frame with two long id columns. Output:
     * `(node, cluster)` for every node appearing in an edge.
@@ -422,8 +456,12 @@ object DedupOps {
     * so when the edge count is at most `localEdgeThreshold` (default 1 M
     * edges ≈ 16 MB — the broadcast-small-side budget) the components are
     * solved with driver-side union-find in one pass instead of paying
-    * per-round job scheduling; above it, the distributed propagation
-    * loop runs. Both paths are property-tested equal.
+    * per-round job scheduling; above it, the distributed
+    * large-star/small-star alternation runs (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): O(log n) rounds on
+    * ANY graph shape — a 10k-node path collapses in ~10 rounds where
+    * min-label propagation needs diameter ≈ 10k (property-pinned by
+    * `OpsSpec`). Both paths are property-tested equal.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50, localEdgeThreshold: Long = 1000000L): DataFrame = {
@@ -459,43 +497,98 @@ object DedupOps {
       import spark.implicits._
       return rows.toSeq.toDF("node", "cluster")
     }
-    val und = e2
-      .union(e2.select(col("b").as("a"), col("a").as("b")))
-      .distinct().cache()
+    connectedComponentsDistributed(e2, maxIter)._1
+  }
+
+  /** The distributed overflow path of `connectedComponents`: alternating
+    * large-star/small-star rounds until the edge set reaches its star
+    * fixpoint (every surviving edge connects a node to its component's
+    * minimum id). Per round, large-star hangs every node's
+    * larger-than-itself neighbors off `min(N(u) ∪ {u})`, then small-star
+    * rewires each node and its smaller neighbors to that minimum —
+    * component trees halve in height every alternation, giving O(log n)
+    * rounds independent of diameter. Each round is two shuffles
+    * (adjacency group-min + emit) plus a dedup; the edge frame is
+    * `localCheckpoint`ed per round (flat lineage, previous round's blocks
+    * released deterministically). Fixpoint detection compares a
+    * (count, xxhash-sum) signature of successive edge sets — one cheap
+    * aggregate, no driver-side edge materialization.
+    *
+    * Returns (labels, rounds) — rounds is exposed for the O(log n)
+    * convergence property test.
+    */
+  private[ops] def connectedComponentsDistributed(e2: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
-    var checkpointed = und.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    // canonicalize ONCE off the upstream pair pipeline (self loops still
+    // present — their nodes belong in the output universe), then derive
+    // the node set and the working edge set from the checkpoint
+    val edges0 = e2
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint(true)
+    val nodes = edges0.select(col("a").as("node"))
+      .union(edges0.select(col("b").as("node"))).distinct()
+    var edges = edges0.filter(col("a") =!= col("b"))
       .localCheckpoint(true)
-    var labels: DataFrame = checkpointed
+    def signature(df: DataFrame): (Long, Long) = {
+      // per-edge hash reduced mod 1e9+7 before the sum: ANSI mode
+      // hard-errors on long overflow, and raw xxhash sums overflow fast
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("a"), col("b")),
+          lit(1000000007L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevSig = signature(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = und.join(labels, und("b") === labels("node"))
-        .groupBy(und("a").as("n2")).agg(min(col("lbl")).as("nbrLbl"))
-      // materialize old + new labels once, then read change-count and the
-      // next label frame off the checkpoint (no recomputation)
-      val step = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-        .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbrLbl"), col("lbl")))
-            .as("newLbl"))
-        .localCheckpoint(true)
-      converged = step.filter(col("newLbl") < col("lbl")).isEmpty
-      // release the previous round's checkpointed blocks deterministically
-      // (they would otherwise linger until the ContextCleaner GCs them)
-      GraftColumnBridge.unpersistLocalCheckpoint(checkpointed)
-      checkpointed = step
-      labels = step.select(col("node"), col("newLbl").as("lbl"))
+      // large-star: u's neighbors v > u attach to m(u) = min(N(u) ∪ {u})
+      val nbrs = edges
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = nbrs.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val large = nbrs.filter(col("b") > col("a"))
+        .join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      // small-star: u and its neighbors v < u rewire to their minimum
+      val nbrs2 = large
+        .union(large.select(col("b").as("a"), col("a").as("b")))
+      val smalls = nbrs2.filter(col("b") < col("a"))
+      val mins2 = smalls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = smalls.join(mins2, "a")
+        .select(col("b").as("n"), col("m"))
+        .union(mins2.select(col("a").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("m").as("a"), col("n").as("b"))
+        .distinct().localCheckpoint(true)
+      val sig = signature(next)
+      // the round map is deterministic, so an unchanged signature is a
+      // fixpoint (xxhash collisions across a full edge multiset aside)
+      converged = sig == prevSig
+      prevSig = sig
+      GraftColumnBridge.unpersistLocalCheckpoint(edges)
+      edges = next
       iter += 1
     }
-    und.unpersist()
     // silent non-convergence would return labels that are not component
     // minima (and not even idempotent) — under-deduping downstream with
     // no signal. Loud beats wrong, same stance as maxRunsPerKey.
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — the " +
-        "graph has a component with diameter beyond maxIter; raise " +
-        "maxIter (rounds are cheap relative to wrong dedup decisions)")
-    labels.select(col("node"), col("lbl").as("cluster"))
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "large-star/small-star needs O(log n) rounds, so this graph is " +
+        "far beyond the configured budget; raise maxIter")
+    // fixpoint edges are (componentMin, node) stars; everything else
+    // (roots, self-loop nodes) labels itself
+    val stars = edges.select(col("b").as("node"), col("a").as("cluster"))
+    val labels = nodes.join(stars, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node"))
+        .as("cluster"))
+    (labels, iter)
   }
 
   /** Duplicate-cluster keep map for a whole corpus: every doc's

@@ -249,6 +249,75 @@ object Similarity {
     math.floor(1000000.0 * dot).toLong
   }
 
+  /** Floored-micro squared L2 distance of a subvector against a codeword,
+    * decomposed as `⟨x,x⟩ − 2⟨x,w⟩ + ⟨w,w⟩` with each inner product summed
+    * left-to-right in double — the exact FP ops DuckDB performs for
+    * `ip(s,s) - 2*ip(s,w) + ip(w,w)` on the same slices, so encodings are
+    * engine-portable. `sxx` (the subvector's self-dot) is hoisted by the
+    * caller — it is constant across the codeword scan.
+    */
+  private[ops] def l2MicroJvm(sxx: Double, a: Array[Double], aFrom: Int,
+      w: Array[Double], len: Int): Long = {
+    var sxw = 0.0
+    var d = 0
+    while (d < len) { sxw += a(aFrom + d) * w(d); d += 1 }
+    var sww = 0.0
+    d = 0
+    while (d < len) { sww += w(d) * w(d); d += 1 }
+    math.floor(1000000.0 * (sxx - 2.0 * sxw + sww)).toLong
+  }
+
+  /** PQ encoding: per subspace the codeword minimizing floored-micro
+    * squared L2 (reconstruction error — the metric that bounds ADC's
+    * scoring error |q·x − q·c| ≤ ‖q‖·‖x−c‖; ranking codewords by dot
+    * instead is what made untrained-codebook recall collapse), ties to
+    * the smaller codeword index. Mirrored exactly by the oracle's
+    * `distm ASC, cw` ranking.
+    */
+  private[ops] def encodePq(v: Array[Double],
+      book: Array[Array[Array[Double]]], subDim: Int): Array[Byte] = {
+    val m = book.length
+    val code = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val words = book(j)
+      var sxx = 0.0
+      var d = 0
+      while (d < subDim) {
+        val x = v(j * subDim + d); sxx += x * x; d += 1
+      }
+      var best = 0
+      var bestDist = l2MicroJvm(sxx, v, j * subDim, words(0), subDim)
+      var c = 1
+      while (c < words.length) {
+        val dist = l2MicroJvm(sxx, v, j * subDim, words(c), subDim)
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      code(j) = best.toByte
+      j += 1
+    }
+    code
+  }
+
+  /** Cell assignment: max floored-micro cosine against the centroids,
+    * ties to the smaller centroid index — the one assignment rule shared
+    * by IVF/IVFPQ corpus assignment, probe-list selection, residual
+    * training, and the SQL oracle.
+    */
+  private[ops] def assignCosine(v: Array[Float],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestSim = cosineMicroJvmD(v, cents(0))
+    var i = 1
+    while (i < cents.length) {
+      val s = cosineMicroJvmD(v, cents(i))
+      if (s > bestSim) { bestSim = s; best = i }
+      i += 1
+    }
+    best
+  }
+
   /** Product-quantized top-k with asymmetric-distance computation (ADC) —
     * the deep-compression rung of the ANN ladder: each vector is encoded
     * as `m` codebook indices (one byte per subspace: 8 bytes for a 64-dim
@@ -277,7 +346,8 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int = 5, m: Int = 8, ksub: Int = 16,
-      chunks: Int = 0): DataFrame = {
+      chunks: Int = 0,
+      codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ksub <= 256, "codes must fit in one byte")
     val spark = corpus.sparkSession
@@ -285,18 +355,27 @@ object Similarity {
       if (chunks > 0) chunks
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    val cbRows = corpus.select(col(idCol).cast(LongType), col(vecCol))
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .orderBy(col(idCol)).limit(ksub).collect()
-    val dim = toFloatArray(cbRows.head.getSeq[Float](1)).length
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
-    // cb(j)(c) = subvector j of the c-th smallest-id corpus vector
-    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      cbRows.map { r =>
-        val f = toFloatArray(r.getSeq[Float](1))
-        Array.tabulate(subDim)(d => f(j * subDim + d).toDouble)
-      }
+    // codebook: trained (Codebooks.trainPq — the shipped path) or the
+    // untrained first-ids fallback (unit tests with hand-checkable
+    // geometry); either way cb(j)(c) is codeword c of subspace j
+    val (cb, subDim) = codebook match {
+      case Some(book) =>
+        require(book.length == m, s"codebook has ${book.length} subspaces")
+        require(book.forall(_.length <= 256), "codes must fit in one byte")
+        (book, book.head.head.length)
+      case None =>
+        val cbRows = corpus.select(col(idCol).cast(LongType), col(vecCol))
+          .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+          .orderBy(col(idCol)).limit(ksub).collect()
+        val dim = toFloatArray(cbRows.head.getSeq[Float](1)).length
+        require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+        val sd = dim / m
+        (Array.tabulate(m) { j =>
+          cbRows.map { r =>
+            val f = toFloatArray(r.getSeq[Float](1))
+            Array.tabulate(sd)(d => f(j * sd + d).toDouble)
+          }
+        }, sd)
     }
     val bc = spark.sparkContext.broadcast(cb)
 
@@ -310,21 +389,7 @@ object Similarity {
         rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
           val id = r.getLong(0)
           val v = toDoubles(toFloatArray(r.getSeq[Float](1)))
-          val code = new Array[Byte](m)
-          var j = 0
-          while (j < m) {
-            val words = book(j)
-            var best = 0
-            var bestDot = dotMicroJvm(v, j * subDim, words(0), subDim)
-            var c = 1
-            while (c < words.length) {
-              val dot = dotMicroJvm(v, j * subDim, words(c), subDim)
-              if (dot > bestDot) { bestDot = dot; best = c }
-              c += 1
-            }
-            code(j) = best.toByte
-            j += 1
-          }
+          val code = encodePq(v, book, subDim)
           val chunk = ((id.## % nChunks) + nChunks) % nChunks
           Row(chunk, id, code)
         }
@@ -367,10 +432,10 @@ object Similarity {
           // shipping it would grow the probe shuffle, while rebuilding is
           // O(m·ksub·subDim) — amortized to noise over a corpus-sized
           // block scan.
-          val lut = Array.tabulate(m, ksub) { (j, c) =>
-            if (c < book(j).length)
+          val lut = Array.tabulate(m) { j =>
+            Array.tabulate(book(j).length) { c =>
               dotMicroJvm(qv, j * subDim, book(j)(c), subDim)
-            else 0L
+            }
           }
           val top = new TopK(k)
           var ci = 0
@@ -411,28 +476,53 @@ object Similarity {
     * cell id; per (probe, cell) the LUT builds once and codes scan with
     * integer adds.
     */
+  /** @param centroids trained coarse centroids (index = cell id); None ⇒
+    *                   first-ids fallback (unit tests)
+    * @param codebook   trained PQ codebook; None ⇒ first-ids fallback
+    * @param byResidual encode `x − centroid(cell(x))` instead of `x`
+    *                   (faiss `by_residual`) and score as
+    *                   `⌊1e6·q·c⌋ + Σⱼ lut[j][code j]` — requires trained
+    *                   centroids AND a residual-trained codebook
+    */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
+      m: Int = 8, ksub: Int = 16,
+      centroids: Option[Array[Array[Double]]] = None,
+      codebook: Option[Array[Array[Array[Double]]]] = None,
+      byResidual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ksub <= 256, "codes must fit in one byte")
+    require(!byResidual || (centroids.isDefined && codebook.isDefined),
+      "byResidual needs trained centroids and a residual-trained codebook")
     val spark = corpus.sparkSession
-    val base = corpus.select(col(idCol).cast(LongType), col(vecCol))
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-    val centRows = base.orderBy(col(idCol)).limit(math.max(nlist, ksub))
-      .collect()
-    val dim = toFloatArray(centRows.head.getSeq[Float](1)).length
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
-    val centIds = centRows.take(nlist).map(_.getLong(0))
-    val centVecs = centRows.take(nlist).map(r =>
-      toFloatArray(r.getSeq[Float](1)))
-    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      centRows.take(ksub).map { r =>
-        val f = toFloatArray(r.getSeq[Float](1))
-        Array.tabulate(subDim)(d => f(j * subDim + d).toDouble)
-      }
+
+    val (centIds, centVecs, cb) = (centroids, codebook) match {
+      case (Some(cs), Some(book)) =>
+        (Array.tabulate(cs.length)(_.toLong), cs, book)
+      case _ =>
+        val base = corpus.select(col(idCol).cast(LongType), col(vecCol))
+          .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        val centRows = base.orderBy(col(idCol))
+          .limit(math.max(nlist, ksub)).collect()
+        val dim0 = toFloatArray(centRows.head.getSeq[Float](1)).length
+        require(dim0 % m == 0, s"dim $dim0 not divisible into $m subspaces")
+        val sd = dim0 / m
+        val cvs = centroids.getOrElse(centRows.take(nlist).map(r =>
+          toDoubles(toFloatArray(r.getSeq[Float](1)))))
+        // trained centroids key cells by index; first-ids key by vec_id
+        val ids =
+          if (centroids.isDefined) Array.tabulate(cvs.length)(_.toLong)
+          else centRows.take(nlist).map(_.getLong(0))
+        val book = codebook.getOrElse(Array.tabulate(m) { j =>
+          centRows.take(ksub).map { r =>
+            val f = toFloatArray(r.getSeq[Float](1))
+            Array.tabulate(sd)(d => f(j * sd + d).toDouble)
+          }
+        })
+        (ids, cvs, book)
     }
+    val subDim = cb.head.head.length
+    val dim = m * subDim
     val bc = spark.sparkContext.broadcast((centIds, centVecs, cb))
 
     val codeSchema = StructType(Seq(
@@ -444,32 +534,17 @@ object Similarity {
         val (ids, cvs, book) = bc.value
         rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
           val f = toFloatArray(r.getSeq[Float](1))
-          // coarse assignment: max cosine, ties to the smaller centroid id
-          var best = 0
-          var bestSim = cosineMicroJvm(f, cvs(0))
-          var i = 1
-          while (i < cvs.length) {
-            val sim = cosineMicroJvm(f, cvs(i))
-            if (sim > bestSim) { bestSim = sim; best = i }
-            i += 1
-          }
-          val v = toDoubles(f)
-          val code = new Array[Byte](m)
-          var j = 0
-          while (j < m) {
-            val words = book(j)
-            var bc2 = 0
-            var bd = dotMicroJvm(v, j * subDim, words(0), subDim)
-            var c = 1
-            while (c < words.length) {
-              val dot = dotMicroJvm(v, j * subDim, words(c), subDim)
-              if (dot > bd) { bd = dot; bc2 = c }
-              c += 1
+          val best = assignCosine(f, cvs)
+          val x = toDoubles(f)
+          val v =
+            if (!byResidual) x
+            else {
+              val c = cvs(best)
+              var d = 0
+              while (d < x.length) { x(d) -= c(d); d += 1 }
+              x
             }
-            code(j) = bc2.toByte
-            j += 1
-          }
-          Row(ids(best), r.getLong(0), code)
+          Row(ids(best), r.getLong(0), encodePq(v, book, subDim))
         }
       }(Encoders.row(codeSchema))
 
@@ -482,7 +557,7 @@ object Similarity {
         val (ids, cvs, _) = bc.value
         rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { r =>
           val f = toFloatArray(r.getSeq[Float](1))
-          val sims = cvs.map(cv => cosineMicroJvm(f, cv))
+          val sims = cvs.map(cv => cosineMicroJvmD(f, cv))
           val order = ids.indices.sortBy(i => (-sims(i), ids(i)))
           order.take(nprobe).iterator
             .map(i => Row(ids(i), r.getLong(0), r.get(1)))
@@ -495,7 +570,7 @@ object Similarity {
       StructField("score_q", LongType, nullable = false)))
     implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
     val scored = assignedCodes.groupByKey(_.getLong(0))
-      .cogroup(probed.groupByKey(_.getLong(0))) { (_, cRows, pRows) =>
+      .cogroup(probed.groupByKey(_.getLong(0))) { (cellKey, cRows, pRows) =>
         val cidB = Array.newBuilder[Long]
         val ccB = Array.newBuilder[Array[Byte]]
         cRows.foreach { r =>
@@ -503,22 +578,27 @@ object Similarity {
         }
         val cids = cidB.result()
         val ccodes = ccB.result()
-        val (_, _, book) = bc.value
+        val (ids, cvs, book) = bc.value
+        // residual scoring adds the probe·centroid term of this cell;
+        // trained cell keys ARE centroid indices
+        val cellIdx = if (byResidual) cellKey.toInt else -1
         pRows.flatMap { pr =>
           val qid = pr.getLong(1)
           val qv = toDoubles(toFloatArray(pr.getSeq[Float](2)))
+          val base =
+            if (byResidual) dotMicroJvm(qv, 0, cvs(cellIdx), dim) else 0L
           // per-(probe, cell) LUT: same rebuild-vs-ship tradeoff as pqTopK
-          val lut = Array.tabulate(m, ksub) { (j, c) =>
-            if (c < book(j).length)
+          val lut = Array.tabulate(m) { j =>
+            Array.tabulate(book(j).length) { c =>
               dotMicroJvm(qv, j * subDim, book(j)(c), subDim)
-            else 0L
+            }
           }
           val top = new TopK(k)
           var ci = 0
           while (ci < cids.length) {
             if (cids(ci) != qid) {
               val code = ccodes(ci)
-              var s = 0L
+              var s = base
               var j = 0
               while (j < m) { s += lut(j)(code(j) & 0xff); j += 1 }
               top.offer(s, cids(ci))
@@ -603,20 +683,24 @@ object Similarity {
     * per-query top-k is a window over ≤ |cell|·nprobe candidates.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4)
-      : DataFrame = {
+      vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
-    val centRows = corpus.select(col(idCol).cast(LongType), col(vecCol))
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .orderBy(col(idCol)).limit(nlist).collect()
-    val centIds = centRows.map(_.getLong(0))
-    val centVecs = centRows.map(_.getSeq[Float](1).toArray)
+    val (centIds, centVecs) = centroids match {
+      case Some(cs) => (Array.tabulate(cs.length)(_.toLong), cs)
+      case None =>
+        val centRows = corpus.select(col(idCol).cast(LongType), col(vecCol))
+          .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+          .orderBy(col(idCol)).limit(nlist).collect()
+        (centRows.map(_.getLong(0)),
+          centRows.map(r => toDoubles(toFloatArray(r.getSeq[Float](1)))))
+    }
     val bc = spark.sparkContext.broadcast((centIds, centVecs))
 
     def simToCentroids(v: Array[Float]): Array[Long] = {
       val (_, cvs) = bc.value
-      cvs.map(cv => cosineMicroJvm(v, cv))
+      cvs.map(cv => cosineMicroJvmD(v, cv))
     }
 
     val assignSchema = StructType(Seq(
@@ -715,13 +799,24 @@ object Similarity {
     * controls (at N vectors, expected |cell| = N/nlist; size nlist so a
     * cell's vectors fit one executor). Each pair is scored at most once
     * (earlier-id side only) with an early exit at the first dup hit.
+    *
+    * Guard rails at corpus scale: `nlist ≤ 0` derives `max(16, ⌈N/20k⌉)`
+    * from a corpus count, keeping the expected cell near 20k vectors as N
+    * grows; and any single cell larger than `maxCellSize` fails LOUDLY
+    * (like the CEP `maxRunsPerKey` valve) instead of letting one hot
+    * near-duplicate cluster OOM its task or run O(|cell|²) for hours —
+    * the fix is a larger `nlist` or deduping the degenerate mass first.
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, simMicro: Long = 350000L): DataFrame = {
+      nlist: Int = 16, simMicro: Long = 350000L,
+      maxCellSize: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
-    val centRows = corpus.select(col(idCol).cast(LongType), col(vecCol))
+    val nonNull = corpus.select(col(idCol).cast(LongType), col(vecCol))
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .orderBy(col(idCol)).limit(nlist).collect()
+    val effNlist =
+      if (nlist > 0) nlist
+      else math.max(16L, (nonNull.count() + 19999L) / 20000L).toInt
+    val centRows = nonNull.orderBy(col(idCol)).limit(effNlist).collect()
     val centIds = centRows.map(_.getLong(0))
     val centVecs = centRows.map(r => toFloatArray(r.getSeq[Float](1)))
     val bc = spark.sparkContext.broadcast((centIds, centVecs))
@@ -757,6 +852,12 @@ object Similarity {
       val members = rows
         .map(r => (r.getLong(1), toFloatArray(r.getSeq[Float](2))))
         .toArray.sortBy(_._1)
+      if (members.length > maxCellSize)
+        throw new IllegalStateException(
+          s"semanticDedup cell $cell has ${members.length} members " +
+            s"(maxCellSize=$maxCellSize): a hot near-duplicate cluster " +
+            "would go quadratic here — raise nlist (or pre-dedup the " +
+            "degenerate mass), or raise maxCellSize deliberately")
       members.iterator.zipWithIndex.map { case ((id, v), i) =>
         var keep = 1L
         var j = 0
@@ -842,6 +943,23 @@ object Similarity {
   private[ops] def cosineMicroJvm(a: scala.collection.Seq[Float],
       b: scala.collection.Seq[Float]): Long =
     cosineMicroJvm(toFloatArray(a), toFloatArray(b))
+
+  /** `cosineMicroJvm` against a double-valued centroid (trained codebooks
+    * store doubles). For float centroids cast to double this is
+    * bit-identical to the float/float overload — float→double is exact.
+    */
+  private[ops] def cosineMicroJvmD(a: Array[Float], b: Array[Double])
+      : Long = {
+    val n = a.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var d = 0
+    while (d < n) {
+      val x = a(d).toDouble; val y = b(d)
+      dot += x * y; na += x * x; nb += y * y
+      d += 1
+    }
+    math.floor(1000000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+  }
 
   /** LSH-bucketed near-neighbor pairs: signature band join (4×16 bits) then
     * exact cosine re-rank, keeping pairs with cosine ≥ simMicro/1e6. The

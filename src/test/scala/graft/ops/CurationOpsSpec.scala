@@ -175,31 +175,31 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfpq == Set(1L, 2L))
   }
 
-  test("pqTopK: codebook encoding, ADC lookup sums, and tie-breaks") {
+  test("pqTopK: L2 codeword encoding, ADC lookup sums, and tie-breaks") {
     val s = spark
     import s.implicits._
-    // dim=4, m=2 subspaces, codebook = all 4 vectors (ksub=4). One-hot
-    // vectors make the hand computation exact: v1 encodes to (cw0, cw0)
-    // — subspace-1 ties resolve to codeword 0, which REPRESENTS v1's
-    // subvector (1,0), so ADC scores carry visible quantization error:
-    // probe v1 scores v3 and v4 at 1e6 (their subspace-0 code is cw0 =
-    // (1,0)) and v2 at 0.
+    // dim=2, m=1, codebook = first 2 ids: w0=(2,0), w1=(0.5,0.5). All
+    // coordinates dyadic ⇒ micro floors are exact. The discriminating
+    // vector is v3=(0.5,0.75): argmin-L2 encodes it to w1 (‖v3−w1‖²
+    // = 0.0625 vs 2.8125), while argmax-DOT would pick the large-norm
+    // w0 (dot 1.0 vs 0.625) — probe v4 then scores v3 at 500000 via
+    // w1's lut entry (a dot-encoder would score it 0 and flip ranks).
     val emb = Seq(
-      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
-      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
-      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
-      (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f)))
+      (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0.5f, 0.75f)),
+      (4L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
     val out = Similarity.pqTopK(emb, emb, "vec_id", "embedding",
-      k = 3, m = 2, ksub = 4, chunks = 2)
+      k = 3, m = 1, ksub = 2, chunks = 2)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(out == Set(
-      (1L, 3L, 1000000L, 1L), (1L, 4L, 1000000L, 2L), (1L, 2L, 0L, 3L),
-      (2L, 1L, 0L, 1L), (2L, 3L, 0L, 2L), (2L, 4L, 0L, 3L),
-      (3L, 1L, 0L, 1L), (3L, 2L, 0L, 2L), (3L, 4L, 0L, 3L),
-      (4L, 1L, 0L, 1L), (4L, 2L, 0L, 2L), (4L, 3L, 0L, 3L)))
+      (1L, 2L, 1000000L, 1L), (1L, 3L, 1000000L, 2L), (1L, 4L, 1000000L, 3L),
+      (2L, 1L, 1000000L, 1L), (2L, 3L, 500000L, 2L), (2L, 4L, 500000L, 3L),
+      (3L, 1L, 1000000L, 1L), (3L, 2L, 625000L, 2L), (3L, 4L, 625000L, 3L),
+      (4L, 2L, 500000L, 1L), (4L, 3L, 500000L, 2L), (4L, 1L, 0L, 3L)))
   }
 
   test("ivfPqTopK with full probing equals pqTopK (pruning is a no-op)") {
@@ -215,14 +215,14 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "full-probe IVFPQ diverged from flat PQ scoring")
   }
 
-  test("ANN rung recall@5 floors vs exact cosine (regression guard)") {
-    // Absolute recall here is the WORST case by construction: the
-    // quantizers are deterministic first-ids devices (no k-means — the
-    // oracle-exactness constraint) over structureless uniform random
-    // vectors. Measured at sf0.001: SQ8 0.949, IVF 0.488, PQ 0.162,
-    // IVFPQ 0.146 — the pins guard against semantic regressions (a
-    // broken encoder or tie-break lands near random: 5/49 ≈ 0.10 for
-    // full scans with k=5).
+  test("ANN rung recall@5 floors vs exact cosine (trained codebooks)") {
+    // The shipped configuration: deterministic fixed-seed k-means
+    // codebooks (Codebooks.train*) at the registry parameters (nlist=16
+    // nprobe=8, m=32 ksub=256), trained here on the sf0.001 corpus the
+    // rungs then search — the same train-on-the-corpus regime as the
+    // committed sf0.01 artifacts. Floors are the round-4 verdict's
+    // targets (PQ ≥ 0.8, IVF ≥ 0.7); a broken encoder, tie-break, or
+    // k-means regression lands far below them.
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
     def topSet(df: org.apache.spark.sql.DataFrame) =
@@ -237,16 +237,28 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           e.size
       }.sum / exact.size
     }
+    val coarse = Codebooks.trainCoarse(emb, "vec_id", "embedding",
+      nlist = 16)
+    val pq = Codebooks.trainPq(emb, "vec_id", "embedding", m = 32,
+      ksub = 256)
+    val pqRes = Codebooks.trainPq(emb, "vec_id", "embedding", m = 32,
+      ksub = 256, residualOf = Some(coarse))
     assert(recall(Similarity.knnSq8TopK(
       emb, emb, "vec_id", "embedding", k = 5, scale = 128)) >= 0.90)
     assert(recall(Similarity.ivfTopK(
-      emb, emb, "vec_id", "embedding", k = 5, nlist = 16,
-      nprobe = 4)) >= 0.40)
+      emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+      centroids = Some(coarse))) >= 0.70)
     assert(recall(Similarity.pqTopK(
-      emb, emb, "vec_id", "embedding", k = 5, m = 8, ksub = 16)) >= 0.12)
+      emb, emb, "vec_id", "embedding", k = 5, m = 32, ksub = 256,
+      codebook = Some(pq))) >= 0.80)
     assert(recall(Similarity.ivfPqTopK(
-      emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
-      m = 8, ksub = 16)) >= 0.10)
+      emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+      m = 32, ksub = 256, centroids = Some(coarse),
+      codebook = Some(pq))) >= 0.65)
+    assert(recall(Similarity.ivfPqTopK(
+      emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+      m = 32, ksub = 256, centroids = Some(coarse), codebook = Some(pqRes),
+      byResidual = true)) >= 0.65)
   }
 
   test("semanticDedup: cell-bounded keep rule, ties, null exclusion") {
@@ -287,6 +299,36 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nlist = 1, simMicro = 750000L)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(out == Set((1L, 1L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("semanticDedup: hot-cell valve fails loudly; auto-nlist works") {
+    val s = spark
+    import s.implicits._
+    // one giant near-duplicate cluster, nlist=1 ⇒ a single cell of 6 >
+    // maxCellSize=4 — the valve must throw (loud beats OOM), naming the
+    // knob, instead of running the quadratic pass
+    val hot = Seq.tabulate(6)(i =>
+      (i.toLong + 1, Seq(1.0f, 0.001f * i, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[org.apache.spark.SparkException] {
+      Similarity.semanticDedup(hot, "vec_id", "embedding", nlist = 1,
+        simMicro = 900000L, maxCellSize = 4).collect()
+    }
+    assert(err.getMessage.contains("semanticDedup cell"),
+      s"valve error not surfaced: ${err.getMessage}")
+    assert(err.getMessage.contains("maxCellSize"))
+
+    // nlist ≤ 0 derives max(16, ⌈N/20k⌉) — at sf0.001 that is 16, so the
+    // auto path must equal the explicit nlist=16 result exactly
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val auto = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 0, simMicro = 350000L)
+      .collect().map(_.toString).sorted
+    val explicit = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 16, simMicro = 350000L)
+      .collect().map(_.toString).sorted
+    assert(auto.sameElements(explicit))
   }
 
   test("column quantizer matches the JVM quantizer on real vectors") {

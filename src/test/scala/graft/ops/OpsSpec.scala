@@ -153,6 +153,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("connected components: 10k-node path converges in O(log n) rounds") {
+    val s = spark
+    import s.implicits._
+    // the adversarial shape for min-label propagation (diameter = n): a
+    // 10k-node path must collapse in ~log2(n) large/small-star rounds,
+    // not ~n — and the labels must equal the union-find ground truth
+    // (every node reaches the path minimum)
+    import org.apache.spark.sql.functions.col
+    val n = 10000
+    val rnd = new scala.util.Random(7)
+    val edges = rnd.shuffle((0 until n - 1).map(i =>
+      (i.toLong, i.toLong + 1))).toDF("id1", "id2")
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val (labels, rounds) =
+      DedupOps.connectedComponentsDistributed(edges, maxIter = 50)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "a node missed the component minimum")
+    // log2(10000) ≈ 13.3; the alternation halves tree height per round
+    // (+1 fixpoint-confirmation round). 25 is a loose sublinear pin —
+    // regressing to diameter-bound behavior would need ~10,000.
+    assert(rounds <= 25, s"path graph took $rounds rounds")
+  }
+
   test("deterministic sampling is partitioning-invariant and rate-bounded") {
     val s = spark
     import s.implicits._

@@ -1,6 +1,11 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Recall@k of the quantized/pruned ANN rungs vs exact cosine top-k. */
+import graft.ops.{Codebooks, Similarity}
+
+/** Recall@k of the quantized/pruned ANN rungs vs exact cosine top-k —
+  * both the shipped trained-codebook configs (committed artifacts in
+  * `data/codebooks/`) and the untrained first-ids fallback for contrast.
+  */
 object DriveRecall {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -9,10 +14,13 @@ object DriveRecall {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val coarse = Codebooks.loadCoarse(spark, Codebooks.coarsePath)
+    val pq = Codebooks.loadPq(spark, Codebooks.pqPath)
+    val pqRes = Codebooks.loadPq(spark, Codebooks.pqResPath)
     def topSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
-    val exact = topSet(graft.ops.Similarity.knnBruteForce(
+    val exact = topSet(Similarity.knnBruteForce(
       emb, emb, "vec_id", "embedding", k = 5))
     def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val approx = topSet(df)
@@ -21,15 +29,25 @@ object DriveRecall {
       }.sum / exact.size
       println(f"RECALL_$name=$r%.4f")
     }
-    recall("SQ8", graft.ops.Similarity.knnSq8TopK(
+    recall("SQ8", Similarity.knnSq8TopK(
       emb, emb, "vec_id", "embedding", k = 5, scale = 128))
-    recall("PQ", graft.ops.Similarity.pqTopK(
+    recall("PQ", Similarity.pqTopK(
+      emb, emb, "vec_id", "embedding", k = 5, m = 32, ksub = 256,
+      codebook = Some(pq)))
+    recall("IVF", Similarity.ivfTopK(
+      emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+      centroids = Some(coarse)))
+    recall("IVFPQ", Similarity.ivfPqTopK(
+      emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+      m = 32, ksub = 256, centroids = Some(coarse), codebook = Some(pq)))
+    recall("IVFPQ_RES", Similarity.ivfPqTopK(
+      emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+      m = 32, ksub = 256, centroids = Some(coarse), codebook = Some(pqRes),
+      byResidual = true))
+    recall("PQ_untrained_k16", Similarity.pqTopK(
       emb, emb, "vec_id", "embedding", k = 5, m = 8, ksub = 16))
-    recall("IVF", graft.ops.Similarity.ivfTopK(
+    recall("IVF_untrained", Similarity.ivfTopK(
       emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4))
-    recall("IVFPQ", graft.ops.Similarity.ivfPqTopK(
-      emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
-      m = 8, ksub = 16))
     spark.stop()
   }
 }
