@@ -1198,11 +1198,14 @@ object Queries {
   /** MinHash + LSH candidate pairs. The oracle regenerates the *entire*
     * pipeline in SQL — shingles, double-base polynomial hashes, all 64
     * permutations (coefficients embedded from `MinHashParams`),
-    * deterministic band buckets, candidate join, signature-agreement
-    * estimate — proving the LSH machinery is engine-portable.
+    * deterministic band buckets, hot-bucket cap (`maxBucketSize=64`, the
+    * quadratic-blowup valve — mirrored by the oracle's HAVING-count CTE),
+    * candidate join, signature-agreement estimate — proving the LSH
+    * machinery is engine-portable.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.minHashLshPairs(table(spark, dir, "documents"), "doc_id", "text")
+    DedupOps.minHashLshPairs(table(spark, dir, "documents"), "doc_id",
+      "text", maxBucketSize = 64L)
       .orderBy("id1", "id2")
 
   val dedupMinhashLshSql: String = {
@@ -1242,8 +1245,13 @@ object Queries {
        |  SELECT doc_id,
        |    $mins
        |  FROM h GROUP BY doc_id),
-       |bands AS (
+       |bands0 AS (
        |  $bandSelects),
+       |bcnt AS (
+       |  SELECT band, bucket FROM bands0
+       |  GROUP BY band, bucket HAVING count(*) <= 64),
+       |bands AS (
+       |  SELECT b.* FROM bands0 b JOIN bcnt USING (band, bucket)),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
        |  FROM bands l JOIN bands r
@@ -1264,7 +1272,7 @@ object Queries {
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simHashPairs(table(spark, dir, "documents"), "doc_id", "text",
-      maxHamming = 3)
+      maxHamming = 3, maxBucketSize = 64L)
       .orderBy("id1", "id2")
 
   val dedupSimhashSql: String = {
@@ -1281,6 +1289,13 @@ object Queries {
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 16}) & 65535 AS bucket FROM sh"
     ).mkString("\n  UNION ALL\n  ")
+    // the hot-bucket cap (maxBucketSize=64) mirrors DedupOps.capBuckets
+    val capped = """bcnt AS (
+       |  SELECT band, bucket FROM bands0
+       |  GROUP BY band, bucket HAVING count(*) <= 64),
+       |bands AS (
+       |  SELECT b.* FROM bands0 b JOIN bcnt USING (band, bucket))"""
+      .stripMargin
     s"""WITH tok AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
@@ -1295,8 +1310,9 @@ object Queries {
        |  FROM th GROUP BY doc_id),
        |sh AS (
        |  SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums),
-       |bands AS (
+       |bands0 AS (
        |  $bands),
+       |$capped,
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
        |    l.simhash AS h1, r.simhash AS h2
@@ -1392,8 +1408,10 @@ object Queries {
   def embNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     // 8-bit bands + τ=0.4: this corpus has no true near-dups (max pairwise
     // cosine ≈ 0.51), so the demo threshold is set where candidates exist.
+    // maxBucketSize=64 is the hot-bucket valve, mirrored by the oracle.
     Similarity.lshNearNeighbors(table(spark, dir, "embeddings"), "vec_id",
-      "embedding", dim = 64, simMicro = 400000L, bandBits = 8)
+      "embedding", dim = 64, simMicro = 400000L, bandBits = 8,
+      maxBucketSize = 64L)
       .orderBy("id1", "id2")
 
   val embNearDupLshSql: String = {
@@ -1416,8 +1434,13 @@ object Queries {
        |      THEN pl.bit ELSE 0 END) AS BIGINT) AS sig
        |  FROM v CROSS JOIN planes pl
        |  GROUP BY v.vec_id, v.e),
-       |bands AS (
+       |bands0 AS (
        |  $bands),
+       |bcnt AS (
+       |  SELECT band, bucket FROM bands0
+       |  GROUP BY band, bucket HAVING count(*) <= 64),
+       |bands AS (
+       |  SELECT b.* FROM bands0 b JOIN bcnt USING (band, bucket)),
        |cand AS (
        |  SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2,
        |    l.e AS e1, r.e AS e2

@@ -378,7 +378,10 @@ object DedupOps {
       case Some(acc) =>
         // iterator-based filter so drops can tick the accumulator; sits
         // right above the window exec node, which is not codegen-fused
-        // anyway, so nothing is lost from the fast path
+        // anyway, so nothing is lost from the fast path. Cached so the
+        // band self-join's two consumers don't re-run the filter and
+        // double-count every drop (released by the caller's CacheScope /
+        // clearCache like the other op-level caches).
         val bszIdx = counted.schema.fieldIndex("__bsz")
         val outSchema = StructType(counted.schema.filterNot(_.name == "__bsz"))
         counted.mapPartitions { rows =>
@@ -387,7 +390,7 @@ object DedupOps {
               Iterator.single(Row.fromSeq(r.toSeq.patch(bszIdx, Nil, 1)))
             else { acc.add(1L); Iterator.empty }
           }
-        }(Encoders.row(outSchema))
+        }(Encoders.row(outSchema)).cache()
     }
   }
 
@@ -413,7 +416,7 @@ object DedupOps {
       StructField("bucket", LongType, nullable = false)))
     // per doc the band keys are distinct by construction (the band index is
     // part of the key) — no dedup shuffle needed on the banded index
-    val banded = sigs.mapPartitions { rs =>
+    val banded0 = sigs.mapPartitions { rs =>
       rs.flatMap { r =>
         val id = r.getLong(0)
         val mhs = r.getSeq[Long](1)
@@ -421,6 +424,7 @@ object DedupOps {
           Row(id, b, bucketKeyJvm(mhs, b * rows_, (b + 1) * rows_)))
       }
     }(Encoders.row(bandSchema))
+    val banded = capBuckets(banded0, maxBucketSize, dropCounter)
     val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2")),
         Seq("band", "bucket"))
@@ -628,18 +632,21 @@ object DedupOps {
     * divisor-of-64 count above maxHamming.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Long = Long.MaxValue,
+      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     require(maxHamming < 32, s"maxHamming=$maxHamming needs >32 bands")
     val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = simHash(df, idCol, textCol).cache()
-    val banded = sh.select(col(idCol), col("simhash"),
+    val banded = capBuckets(sh.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * width).bitwiseAND(mask)
             .as("bucket"))): _*)).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bucket"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bucket")),
+      maxBucketSize, dropCounter)
     banded.select(col("band"), col("bucket"), col(idCol).as("id1"),
         col("simhash").as("h1"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2"),

@@ -974,20 +974,25 @@ object Similarity {
     */
   def lshNearNeighbors(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, simMicro: Long = 950000L, seed: Long = 42L,
-      bandBits: Int = 16): DataFrame = {
+      bandBits: Int = 16, maxBucketSize: Long = Long.MaxValue,
+      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val nBands = 64 / bandBits
     val mask = (1L << bandBits) - 1
     val sigs = rhpSignatures(df, idCol, vecCol, dim, 64, seed)
       .select(col("__id").as(idCol), col("__vec").as(vecCol), col("sig"))
       .cache()
     // per doc the nBands (band, bucket) keys are distinct by construction
-    // (band is part of the key) — no dedup needed on the exploded index
-    val banded = sigs.select(col(idCol),
+    // (band is part of the key) — no dedup needed on the exploded index.
+    // maxBucketSize/dropCounter: the hot-bucket valve, see
+    // DedupOps.capBuckets
+    val banded = DedupOps.capBuckets(sigs.select(col(idCol),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
             .as("bucket"))): _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bucket"))
+      .select(col(idCol), col("bk.band"), col("bk.bucket")),
+      maxBucketSize, dropCounter)
     val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2")),
         Seq("band", "bucket"))

@@ -177,6 +177,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rounds <= 25, s"path graph took $rounds rounds")
   }
 
+  test("LSH hot-bucket cap drops saturated buckets and counts the drops") {
+    val s = spark
+    import s.implicits._
+    // adversarial corpus: 10 byte-identical docs land every band in one
+    // bucket of size 10 — uncapped, the band join would emit 45 pairs
+    // from pure degeneracy; capped at 4 the bucket is dropped whole and
+    // only the independent 2-doc near-dup pair survives
+    val docs = ((1L to 10L).map(i => (i, "the same degenerate text " * 3))
+      ++ Seq((11L, "a genuinely distinct pair doc"),
+        (12L, "a genuinely distinct pair doc")))
+      .toDF("doc_id", "text")
+
+    val acc = spark.sparkContext.longAccumulator("mhDrops")
+    val mh = DedupOps.minHashLshPairs(docs, "doc_id", "text",
+      maxBucketSize = 4L, dropCounter = Some(acc))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((11L, 12L)), s"capped minhash pairs: $mh")
+    val bands = DedupOps.MinHashParams().bands
+    assert(acc.value == 10L * bands,
+      s"drop counter ${acc.value} != 10 docs x $bands bands")
+    // uncapped control: the degenerate clique is all there
+    val un = DedupOps.minHashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(un.size == 45 + 1)
+    spark.catalog.clearCache()
+
+    val acc2 = spark.sparkContext.longAccumulator("shDrops")
+    val sh = DedupOps.simHashPairs(docs, "doc_id", "text", maxHamming = 3,
+      maxBucketSize = 4L, dropCounter = Some(acc2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh == Set((11L, 12L)), s"capped simhash pairs: $sh")
+    assert(acc2.value == 10L * 4, "simhash: 10 docs x 4 bands dropped")
+    spark.catalog.clearCache()
+
+    // RHP LSH over identical vectors: same valve, same outcome
+    val vecs = ((1L to 10L).map(i => (i, Seq.fill(8)(1.0f)))
+      ++ Seq((11L, Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)),
+        (12L, Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f))))
+      .toDF("vec_id", "embedding")
+    val rhp = Similarity.lshNearNeighbors(vecs, "vec_id", "embedding",
+      dim = 8, simMicro = 900000L, bandBits = 8, maxBucketSize = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rhp == Set((11L, 12L)), s"capped rhp pairs: $rhp")
+    spark.catalog.clearCache()
+  }
+
   test("deterministic sampling is partitioning-invariant and rate-bounded") {
     val s = spark
     import s.implicits._
