@@ -36,6 +36,7 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (spark != null) {
       spark.sql("DROP TABLE IF EXISTS graft_b1")
       spark.sql("DROP TABLE IF EXISTS graft_b2")
+      spark.sql("DROP TABLE IF EXISTS graft_bev")
       spark.stop()
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warehouse))
@@ -65,6 +66,39 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "control check: the plain parquet join should need an exchange")
     // and the results agree
     assert(bucketed.count() == plain.count())
+  }
+
+  test("bucketed events make the Catalyst CEP operator exchange-free") {
+    // CepMatchExec DECLARES ClusteredDistribution(key) +
+    // requiredChildOrdering(key, ord): a copy of events bucketed on
+    // user_id and sorted by (user_id, event_id) must therefore plan with
+    // ZERO Exchange end-to-end — the bucketed scan's HashPartitioning
+    // satisfies the declared need (prepare's key cast folds away on the
+    // already-long user_id). The plain parquet run of the identical
+    // query is the control: it must shuffle, and both runs must match.
+    val ev = Queries.table(spark, dir, "events")
+      .select("user_id", "event_id", "event_type", "value")
+    ev.write.bucketBy(4, "user_id").sortBy("user_id", "event_id")
+      .mode("overwrite").saveAsTable("graft_bev")
+
+    val query = Queries.cepRegistryQueries("cep_lpat_strict_clicks")
+    val bucketed = graft.cep.SparkCep.matchPatternExec(
+      spark.table("graft_bev"), query, Queries.eventSpec)
+    val pb = bucketed.queryExecution.executedPlan.toString
+    assert(pb.contains("CepMatch"), s"exec operator not planned:\n$pb")
+    assert(!pb.contains("Exchange"),
+      s"bucketed CEP input still shuffles:\n$pb")
+
+    val plain = graft.cep.SparkCep.matchPatternExec(ev, query,
+      Queries.eventSpec)
+    val pp = plain.queryExecution.executedPlan.toString
+    assert(pp.contains("Exchange"),
+      "control check: plain parquet CEP input should need an exchange")
+
+    val a = bucketed.collect().map(_.toString).sorted.toVector
+    val b = plain.collect().map(_.toString).sorted.toVector
+    assert(a.nonEmpty && a == b,
+      "bucketed and plain CEP runs diverged")
   }
 
   test("partitioned layout prunes partitions at the scan") {

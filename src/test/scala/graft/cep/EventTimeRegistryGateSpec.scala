@@ -1,0 +1,122 @@
+package graft.cep
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The event-time half of the streaming correctness gate: registry CEP
+  * patterns replayed through `StreamingCep.matchPatternEventTime` on
+  * OUT-OF-ORDER input must still equal the batch operator exactly.
+  *
+  * Construction: event time = `event_id` seconds (so event-time order IS
+  * the batch semantic order), the stream is four event_id slices plus
+  * bounded disorder — a deterministic ~20% of events are displaced one
+  * slice later, i.e. arrive up to one slice-width late — and the
+  * watermark delay exceeds the displacement, so the reorder buffer must
+  * restore exact event-time order before feeding the NFA. Any divergence
+  * (dropped-late event, buffer ordering bug, premature release) changes
+  * the match multiset and fails the gate.
+  *
+  * Two `__flush` sentinel events with far-future timestamps drive the
+  * final watermark past every real event (the second triggers the
+  * timeout batch that drains buffers); their own timestamps stay at or
+  * above the final watermark, so they are never released into the NFA —
+  * strict-contiguity patterns never see a foreign event the batch input
+  * does not have.
+  */
+class EventTimeRegistryGateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var sliceDir: String = _
+  private var sliceSchema: org.apache.spark.sql.types.StructType = _
+  private val sfDir = "/root/testdata/sf0.001"
+  private var delayStr: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("event_id").cast("timestamp").as("ts"))
+    val mm = ev.selectExpr("min(event_id)", "max(event_id)").head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = (hi - lo) / 4 + 1
+    val delaySec = width + 10
+    delayStr = s"$delaySec seconds"
+    sliceDir = java.nio.file.Files
+      .createTempDirectory("cep-eventtime-gate").toString
+
+    // slice by event_id quartile, then displace a deterministic ~20% of
+    // events one slice later (bounded disorder within the watermark);
+    // row order inside each file is hash-shuffled for good measure
+    val sliced = ev
+      .withColumn("slice",
+        least(lit(3L), floor((col("event_id") - lo) / width) +
+          when(pmod(xxhash64(col("event_id")), lit(5L)) === 0L, 1L)
+            .otherwise(0L)))
+    for (s <- 0L until 4L) {
+      sliced.filter(col("slice") === s).drop("slice")
+        .orderBy(xxhash64(col("event_id")))
+        .coalesce(1).write.mode("append").parquet(sliceDir)
+    }
+    // flush sentinels: ts₁ = hi + 2·delay, ts₂ = hi + 3·delay. Final
+    // watermark = ts₂ − delay = ts₁ ≥ every real ts + delay, so all real
+    // events drain; neither sentinel's ts is strictly below it, so the
+    // sentinels themselves never reach the NFA.
+    val s = spark
+    import s.implicits._
+    val realSchema = ev.schema
+    for (k <- 2L to 3L) {
+      Seq((-1L, hi + k, "__flush", 0.0, hi + k * delaySec))
+        .toDF("user_id", "event_id", "event_type", "value", "tsec")
+        .select(col("user_id").cast(realSchema("user_id").dataType),
+          col("event_id").cast(realSchema("event_id").dataType),
+          col("event_type"),
+          col("value").cast(realSchema("value").dataType),
+          col("tsec").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(sliceDir)
+    }
+    sliceSchema = spark.read.parquet(sliceDir).schema
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val gated = Seq("cep_lpat_strict_clicks",
+    "cep_lpat_relaxed_purchase_pairs", "cep_skip_past_click_pairs",
+    "cep_until_error_runs")
+
+  for (name <- gated)
+    test(s"event-time stream == batch on registry query $name") {
+      val query = graft.Queries.cepRegistryQueries(name)
+      val batch = SparkCep.matchPattern(
+        spark.read.parquet(s"$sfDir/events.parquet"), query,
+        graft.Queries.eventSpec)
+        .collect().map(_.toString).sorted.toVector
+
+      val streamDf = spark.readStream.schema(sliceSchema)
+        .option("maxFilesPerTrigger", "1").parquet(sliceDir)
+      val out = StreamingCep.matchPatternEventTime(streamDf, query,
+        graft.Queries.eventSpec, tsCol = "ts", delay = delayStr)
+      val qn = s"etgate_$name"
+      val sq = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      val streamed =
+        try {
+          sq.processAllAvailable()
+          spark.sql(s"SELECT * FROM $qn").collect()
+            .map(_.toString).sorted.toVector
+        } finally sq.stop()
+
+      assert(batch.nonEmpty, s"$name produced no matches at sf0.001")
+      assert(streamed == batch,
+        s"$name diverged on out-of-order input: stream " +
+          s"${streamed.length} rows vs batch ${batch.length}")
+    }
+}
