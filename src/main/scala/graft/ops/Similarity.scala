@@ -424,32 +424,7 @@ object Similarity {
         pRows.flatMap { pr =>
           val qid = pr.getLong(1)
           val qv = toDoubles(toFloatArray(pr.getSeq[Float](2)))
-          // ADC lookup table: per (subspace, codeword) the micro dot of
-          // the probe's subvector against the codeword — built once per
-          // (probe, block), then the code scan is integer adds only.
-          // Deliberately NOT precomputed before replication: the LUT is
-          // m·ksub longs (4× the float vector at the registry config), so
-          // shipping it would grow the probe shuffle, while rebuilding is
-          // O(m·ksub·subDim) — amortized to noise over a corpus-sized
-          // block scan.
-          val lut = Array.tabulate(m) { j =>
-            Array.tabulate(book(j).length) { c =>
-              dotMicroJvm(qv, j * subDim, book(j)(c), subDim)
-            }
-          }
-          val top = new TopK(k)
-          var ci = 0
-          while (ci < cids.length) {
-            if (cids(ci) != qid) {
-              val code = ccodes(ci)
-              var s = 0L
-              var j = 0
-              while (j < m) { s += lut(j)(code(j) & 0xff); j += 1 }
-              top.offer(s, cids(ci))
-            }
-            ci += 1
-          }
-          top.rows(qid)
+          adcScan(qid, qv, cids, ccodes, book, subDim, k, 0L)
         }
       }(Encoders.row(outSchema))
 
@@ -457,6 +432,58 @@ object Similarity {
       .orderBy(col("score_q").desc, col("neighbor_id"))
     local.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
+  }
+
+  /** ADC top-k scan of one probe against one block of PQ codes, with
+    * `base` added to every score (the residual-IVFPQ centroid term; 0
+    * otherwise).
+    *
+    * Adaptive lookup: the classic per-(probe, block) lookup table costs
+    * `Σⱼ|bookⱼ|·subDim` multiplies to build, while scoring the block by
+    * direct per-code dots costs `|block|·m·subDim` — so the LUT only
+    * pays for itself once the block has at least as many codes as the
+    * books have words. Below that (fine 256-codeword books over small
+    * blocks/cells) each code's subspace dots are computed directly; both
+    * paths call the same `dotMicroJvm`, so scores are bit-identical and
+    * the oracle is unaffected. The LUT is deliberately NOT precomputed
+    * before probe replication either way: m·ksub longs is 256× the
+    * float vector at m=32/ksub=256, so shipping it would swell the
+    * probe shuffle.
+    */
+  private def adcScan(qid: Long, qv: Array[Double], cids: Array[Long],
+      ccodes: Array[Array[Byte]], book: Array[Array[Array[Double]]],
+      subDim: Int, k: Int, base: Long): Iterator[Row] = {
+    val m = book.length
+    var bookWords = 0L
+    var j0 = 0
+    while (j0 < m) { bookWords += book(j0).length; j0 += 1 }
+    val useLut = cids.length.toLong * m >= bookWords
+    val lut: Array[Array[Long]] =
+      if (!useLut) null
+      else Array.tabulate(m) { j =>
+        Array.tabulate(book(j).length) { c =>
+          dotMicroJvm(qv, j * subDim, book(j)(c), subDim)
+        }
+      }
+    val top = new TopK(k)
+    var ci = 0
+    while (ci < cids.length) {
+      if (cids(ci) != qid) {
+        val code = ccodes(ci)
+        var s = base
+        var j = 0
+        if (useLut)
+          while (j < m) { s += lut(j)(code(j) & 0xff); j += 1 }
+        else
+          while (j < m) {
+            s += dotMicroJvm(qv, j * subDim, book(j)(code(j) & 0xff), subDim)
+            j += 1
+          }
+        top.offer(s, cids(ci))
+      }
+      ci += 1
+    }
+    top.rows(qid)
   }
 
   /** IVF + PQ composition (faiss-style IVFPQ with `by_residual=false`):
@@ -587,25 +614,8 @@ object Similarity {
           val qv = toDoubles(toFloatArray(pr.getSeq[Float](2)))
           val base =
             if (byResidual) dotMicroJvm(qv, 0, cvs(cellIdx), dim) else 0L
-          // per-(probe, cell) LUT: same rebuild-vs-ship tradeoff as pqTopK
-          val lut = Array.tabulate(m) { j =>
-            Array.tabulate(book(j).length) { c =>
-              dotMicroJvm(qv, j * subDim, book(j)(c), subDim)
-            }
-          }
-          val top = new TopK(k)
-          var ci = 0
-          while (ci < cids.length) {
-            if (cids(ci) != qid) {
-              val code = ccodes(ci)
-              var s = base
-              var j = 0
-              while (j < m) { s += lut(j)(code(j) & 0xff); j += 1 }
-              top.offer(s, cids(ci))
-            }
-            ci += 1
-          }
-          top.rows(qid)
+          // adaptive LUT-vs-direct scoring, see adcScan
+          adcScan(qid, qv, cids, ccodes, book, subDim, k, base)
         }
       }(Encoders.row(outSchema))
 
