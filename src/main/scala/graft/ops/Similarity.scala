@@ -625,6 +625,53 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Exact re-rank refinement (faiss `IndexRefineFlat` pattern): take a
+    * candidate list `(query_id, neighbor_id)` from any approximate rung
+    * (typically IVFPQ top-`kc` with `kc` ≈ 4–5× the final `k`), join the
+    * true vectors back, score each pair by exact floored-micro cosine,
+    * and keep the top `k`. Recovers the recall the compressed scan lost
+    * to quantization — the composed recall ceiling becomes the coarse
+    * pruning stage's — while the corpus-sized scan still read codes, not
+    * floats: only `|probes|·kc` true vectors are ever fetched.
+    *
+    * Physical plan: two id-equi-joins pull the probe and neighbor
+    * vectors onto the candidate rows (AQE broadcasts the candidate side
+    * while it fits; at scale they are shuffle joins on 8-byte ids), then
+    * a narrow primitive-loop pass scores and a window keeps `k` — no
+    * stage ever holds more than one candidate row's two vectors.
+    * Output: (query_id, neighbor_id, sim_micro, rnk).
+    */
+  def refineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cvecs = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(vecCol).as("__nvec"))
+      .filter(col("neighbor_id").isNotNull && col("__nvec").isNotNull)
+    val qvecs = probes.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qvec"))
+      .filter(col("query_id").isNotNull && col("__qvec").isNotNull)
+    val joined = candidates.select(col("query_id"), col("neighbor_id"))
+      .join(qvecs, "query_id")
+      .join(cvecs, "neighbor_id")
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("sim_micro", LongType, nullable = false)))
+    val scored = joined
+      .select(col("query_id"), col("neighbor_id"), col("__qvec"),
+        col("__nvec"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), r.getLong(1),
+            cosineMicroJvm(r.getSeq[Float](2), r.getSeq[Float](3)))
+        }
+      }(Encoders.row(outSchema))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_micro").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes(i)(d)` in {-1, +1}
     * via splitmix64 on (seed, i, d). Sign-random projections preserve
     * cosine locality; ±1 planes avoid float nondeterminism entirely.

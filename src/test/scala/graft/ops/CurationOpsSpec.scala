@@ -259,6 +259,12 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
       m = 32, ksub = 256, centroids = Some(coarse), codebook = Some(pqRes),
       byResidual = true)) >= 0.65)
+    // exact re-rank of IVFPQ top-25 recovers the coarse-pruning ceiling
+    assert(recall(Similarity.refineTopK(
+      emb, emb, "vec_id", "embedding",
+      Similarity.ivfPqTopK(emb, emb, "vec_id", "embedding", k = 25,
+        nlist = 16, nprobe = 8, m = 32, ksub = 256,
+        centroids = Some(coarse), codebook = Some(pq)), k = 5)) >= 0.70)
   }
 
   test("semanticDedup: cell-bounded keep rule, ties, null exclusion") {

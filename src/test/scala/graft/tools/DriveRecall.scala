@@ -44,6 +44,11 @@ object DriveRecall {
       emb, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
       m = 32, ksub = 256, centroids = Some(coarse), codebook = Some(pqRes),
       byResidual = true))
+    recall("IVFPQ_REFINE", Similarity.refineTopK(
+      emb, emb, "vec_id", "embedding",
+      Similarity.ivfPqTopK(emb, emb, "vec_id", "embedding", k = 25,
+        nlist = 16, nprobe = 8, m = 32, ksub = 256,
+        centroids = Some(coarse), codebook = Some(pq)), k = 5))
     recall("PQ_untrained_k16", Similarity.pqTopK(
       emb, emb, "vec_id", "embedding", k = 5, m = 8, ksub = 16))
     recall("IVF_untrained", Similarity.ivfTopK(
