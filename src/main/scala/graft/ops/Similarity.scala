@@ -517,13 +517,27 @@ object Similarity {
       centroids: Option[Array[Array[Double]]] = None,
       codebook: Option[Array[Array[Array[Double]]]] = None,
       byResidual: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(ksub <= 256, "codes must fit in one byte")
     require(!byResidual || (centroids.isDefined && codebook.isDefined),
       "byResidual needs trained centroids and a residual-trained codebook")
-    val spark = corpus.sparkSession
+    val (centIds, centVecs, cb) = ivfPqResolve(corpus, idCol, vecCol,
+      nlist, m, ksub, centroids, codebook)
+    val subDim = cb.head.head.length
+    val assignedCodes = ivfPqEncode(corpus, idCol, vecCol, centIds,
+      centVecs, cb, subDim, byResidual)
+    ivfPqScore(assignedCodes, probes, idCol, vecCol, k, nprobe, centIds,
+      centVecs, cb, subDim, byResidual)
+  }
 
-    val (centIds, centVecs, cb) = (centroids, codebook) match {
+  /** Quantizer resolution shared by the IVFPQ entry points: trained
+    * (centroids + codebook given) or the first-ids fallback.
+    */
+  private def ivfPqResolve(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, m: Int, ksub: Int,
+      centroids: Option[Array[Array[Double]]],
+      codebook: Option[Array[Array[Array[Double]]]])
+      : (Array[Long], Array[Array[Double]], Array[Array[Array[Double]]]) =
+    (centroids, codebook) match {
       case (Some(cs), Some(book)) =>
         (Array.tabulate(cs.length)(_.toLong), cs, book)
       case _ =>
@@ -548,15 +562,23 @@ object Similarity {
         })
         (ids, cvs, book)
     }
-    val subDim = cb.head.head.length
-    val dim = m * subDim
-    val bc = spark.sparkContext.broadcast((centIds, centVecs, cb))
 
+  /** The IVFPQ index-build pass: one narrow scan assigning every corpus
+    * vector to its cell and PQ-encoding it (the residual when
+    * `byResidual`). Output columns `(__cell, __id, __code)` — the only
+    * corpus-sized frame any IVFPQ path ever shuffles or persists.
+    */
+  private[ops] def ivfPqEncode(corpus: DataFrame, idCol: String,
+      vecCol: String, centIds: Array[Long], centVecs: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]], subDim: Int, byResidual: Boolean)
+      : DataFrame = {
+    val bc = corpus.sparkSession.sparkContext
+      .broadcast((centIds, centVecs, cb))
     val codeSchema = StructType(Seq(
       StructField("__cell", LongType, nullable = false),
       StructField("__id", LongType, nullable = false),
       StructField("__code", BinaryType, nullable = false)))
-    val assignedCodes = corpus.select(col(idCol).cast(LongType), col(vecCol))
+    corpus.select(col(idCol).cast(LongType), col(vecCol))
       .mapPartitions { rows =>
         val (ids, cvs, book) = bc.value
         rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
@@ -574,6 +596,23 @@ object Similarity {
           Row(ids(best), r.getLong(0), encodePq(v, book, subDim))
         }
       }(Encoders.row(codeSchema))
+  }
+
+  /** The IVFPQ probe/score tail: probes fan out to their `nprobe` top
+    * cells, the cogroup shuffles codes and probes on cell id, and each
+    * (probe, cell) pair runs the adaptive ADC scan. `assignedCodes` may
+    * come from `ivfPqEncode` (inline) or from a persisted index scan.
+    */
+  private def ivfPqScore(assignedCodes: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      centIds: Array[Long], centVecs: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]], subDim: Int, byResidual: Boolean)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = cb.length
+    val dim = m * subDim
+    val bc = probes.sparkSession.sparkContext
+      .broadcast((centIds, centVecs, cb))
 
     val probeSchema = StructType(Seq(
       StructField("__cell", LongType, nullable = false),
@@ -596,7 +635,9 @@ object Similarity {
       StructField("neighbor_id", LongType, nullable = false),
       StructField("score_q", LongType, nullable = false)))
     implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
-    val scored = assignedCodes.groupByKey(_.getLong(0))
+    val scored = assignedCodes
+      .select(col("__cell"), col("__id"), col("__code"))
+      .groupByKey(_.getLong(0))
       .cogroup(probed.groupByKey(_.getLong(0))) { (cellKey, cRows, pRows) =>
         val cidB = Array.newBuilder[Long]
         val ccB = Array.newBuilder[Array[Byte]]
@@ -605,7 +646,7 @@ object Similarity {
         }
         val cids = cidB.result()
         val ccodes = ccB.result()
-        val (ids, cvs, book) = bc.value
+        val (_, cvs, book) = bc.value
         // residual scoring adds the probe·centroid term of this cell;
         // trained cell keys ARE centroid indices
         val cellIdx = if (byResidual) cellKey.toInt else -1
@@ -623,6 +664,68 @@ object Similarity {
       .orderBy(col("score_q").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
+  }
+
+  /** Build-once/query-many IVFPQ: persist the encoded corpus as parquet
+    * PARTITIONED BY cell. At 100 TB the encoding scan (read every float
+    * vector, assign, encode) is the expensive half of every ad-hoc IVFPQ
+    * query — a persisted index pays it once, and the cell-partitioned
+    * layout means a query's file scan is pruned to its probes' cells
+    * before any row is read (see `ivfPqTopKFromIndex`).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]], byResidual: Boolean = false)
+      : Unit = {
+    val centIds = Array.tabulate(centroids.length)(_.toLong)
+    val subDim = codebook.head.head.length
+    ivfPqEncode(corpus, idCol, vecCol, centIds, centroids, codebook,
+      subDim, byResidual)
+      .write.partitionBy("__cell").mode("overwrite").parquet(path)
+  }
+
+  /** IVFPQ top-k against a persisted index (`writeIvfPqIndex`): the
+    * probe batch's distinct cells (≤ nlist values — a bounded collect
+    * regardless of probe count) become a static partition filter, so
+    * the index scan reads only `nprobe`-worth of cell directories —
+    * partition pruning does the IVF prune at the FILE level, before any
+    * byte of the non-probed corpus is read. Scores are identical to the
+    * inline `ivfPqTopK` with the same quantizers (pinned by spec).
+    */
+  def ivfPqTopKFromIndex(indexPath: String, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]], byResidual: Boolean = false)
+      : DataFrame = {
+    val spark = probes.sparkSession
+    val centIds = Array.tabulate(centroids.length)(_.toLong)
+    val subDim = codebook.head.head.length
+    val bc = spark.sparkContext.broadcast(centroids)
+    // distinct probe cells: ≤ nlist longs after the distinct, so the
+    // collect is bounded by the quantizer size, never the probe count
+    val cellSchema = StructType(Seq(
+      StructField("__cell", LongType, nullable = false)))
+    val probeCells = probes.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        val cvs = bc.value
+        rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { r =>
+          val f = toFloatArray(r.getSeq[Float](1))
+          val sims = cvs.map(cv => cosineMicroJvmD(f, cv))
+          cvs.indices.sortBy(i => (-sims(i), i)).take(nprobe).iterator
+            .map(i => Row(i.toLong))
+        }
+      }(Encoders.row(cellSchema))
+      .distinct().collect().map(_.getLong(0))
+    // partition-column values read back with inferred (int) type — cast
+    // to the long cell key the scoring cogroup expects. The isin filter
+    // sits on the partition column, so it prunes directories at planning
+    // time (PartitionFilters in the scan), not rows at runtime.
+    val index = spark.read.parquet(indexPath)
+      .filter(col("__cell").isin(probeCells: _*))
+      .select(col("__cell").cast(LongType).as("__cell"), col("__id"),
+        col("__code"))
+    ivfPqScore(index, probes, idCol, vecCol, k, nprobe, centIds,
+      centroids, codebook, subDim, byResidual)
   }
 
   /** Exact re-rank refinement (faiss `IndexRefineFlat` pattern): take a

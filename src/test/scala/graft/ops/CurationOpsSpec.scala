@@ -307,6 +307,38 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((1L, 1L), (2L, 0L), (3L, 0L)))
   }
 
+  test("persisted IVFPQ index: partition-pruned scan, identical results") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = Codebooks.trainCoarse(emb, "vec_id", "embedding",
+      nlist = 8)
+    val pq = Codebooks.trainPq(emb, "vec_id", "embedding", m = 8,
+      ksub = 16)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("ivfpq-index").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idxPath,
+      coarse, pq)
+
+    // a small probe batch touching a strict subset of cells
+    val probes = emb.orderBy("vec_id").limit(3)
+    val fromIndex = Similarity.ivfPqTopKFromIndex(idxPath, probes,
+      "vec_id", "embedding", k = 3, nprobe = 2, coarse, pq)
+    // the isin on the partition column must prune at the scan: the plan
+    // carries PartitionFilters on __cell and selects < 8 of 8 partitions
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [__cell"),
+      s"no partition filter on the index scan:\n$plan")
+
+    val inline = Similarity.ivfPqTopK(emb, probes, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2, m = 8, ksub = 16,
+      centroids = Some(coarse), codebook = Some(pq))
+    val a = fromIndex.collect().map(_.toString).sorted.toVector
+    val b = inline.collect().map(_.toString).sorted.toVector
+    assert(a.nonEmpty && a == b, "index-backed IVFPQ diverged from inline")
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(idxPath))
+  }
+
   test("semanticDedup: hot-cell valve fails loudly; auto-nlist works") {
     val s = spark
     import s.implicits._
