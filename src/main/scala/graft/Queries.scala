@@ -1458,21 +1458,25 @@ object Queries {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  /** SemDeDup-style semantic dedup: IVF-cell clustering (same
-    * deterministic quantizer as `knn_ivf_top5`) bounds the quadratic
-    * similarity term; within a cell a vector is dropped when any
-    * smaller-id cell-mate has cosine ≥ 0.35. The oracle rebuilds cell
-    * assignment and the keep rule with a correlated EXISTS.
+  /** SemDeDup-style semantic dedup on TRAINED k-means cells (the paper
+    * clusters before the within-cell pass; same committed coarse16
+    * artifact as `knn_ivf_top5`), bounding the quadratic similarity
+    * term; within a cell a vector is dropped when any smaller-id
+    * cell-mate has cosine ≥ 0.35. The oracle reads the same centroid
+    * parquet and rebuilds cell assignment and the keep rule with a
+    * correlated EXISTS.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(table(spark, dir, "embeddings"), "vec_id",
-      "embedding", nlist = 16, simMicro = 350000L)
+      "embedding", nlist = 16, simMicro = 350000L,
+      centroids = Some(Codebooks.loadCoarse(spark, Codebooks.coarsePath)))
       .orderBy("vec_id")
 
   val semanticDedupSql: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-      |cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+      |cent AS (SELECT cw AS cid, w AS ce
+      |  FROM read_parquet('${Codebooks.coarsePath}/*.parquet')),
       |sims AS (
       |  SELECT v.vec_id, v.e, c.cid,
       |    CAST(floor(1000000 * list_inner_product(v.e, c.ce) /

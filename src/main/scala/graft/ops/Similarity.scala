@@ -969,16 +969,23 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, simMicro: Long = 350000L,
-      maxCellSize: Int = 100000): DataFrame = {
+      maxCellSize: Int = 100000,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val nonNull = corpus.select(col(idCol).cast(LongType), col(vecCol))
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-    val effNlist =
-      if (nlist > 0) nlist
-      else math.max(16L, (nonNull.count() + 19999L) / 20000L).toInt
-    val centRows = nonNull.orderBy(col(idCol)).limit(effNlist).collect()
-    val centIds = centRows.map(_.getLong(0))
-    val centVecs = centRows.map(r => toFloatArray(r.getSeq[Float](1)))
+    // trained k-means cells (SemDeDup proper — the paper clusters before
+    // the within-cell pass) when given; first-ids fallback otherwise
+    val (centIds, centVecs) = centroids match {
+      case Some(cs) => (Array.tabulate(cs.length)(_.toLong), cs)
+      case None =>
+        val nonNull = corpus.select(col(idCol).cast(LongType), col(vecCol))
+          .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        val effNlist =
+          if (nlist > 0) nlist
+          else math.max(16L, (nonNull.count() + 19999L) / 20000L).toInt
+        val centRows = nonNull.orderBy(col(idCol)).limit(effNlist).collect()
+        (centRows.map(_.getLong(0)),
+          centRows.map(r => toDoubles(toFloatArray(r.getSeq[Float](1)))))
+    }
     val bc = spark.sparkContext.broadcast((centIds, centVecs))
 
     val assignSchema = StructType(Seq(
@@ -990,15 +997,8 @@ object Similarity {
         val (ids, cvs) = bc.value
         rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
           val v = toFloatArray(r.getSeq[Float](1))
-          // max sim; ties to the smaller centroid id (ids are sorted)
-          var best = 0
-          var bestSim = cosineMicroJvm(v, cvs(0))
-          var i = 1
-          while (i < cvs.length) {
-            val s = cosineMicroJvm(v, cvs(i))
-            if (s > bestSim) { best = i; bestSim = s }
-            i += 1
-          }
+          // max sim; ties to the smaller centroid id/index (ids sorted)
+          val best = assignCosine(v, cvs)
           Row(ids(best), r.getLong(0), r.get(1))
         }
       }(Encoders.row(assignSchema))

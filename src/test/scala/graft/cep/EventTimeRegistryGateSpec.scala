@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-/** The event-time half of the streaming correctness gate: registry CEP
-  * patterns replayed through `StreamingCep.matchPatternEventTime` on
-  * OUT-OF-ORDER input must still equal the batch operator exactly.
+/** The event-time half of the streaming correctness gate: EVERY registry
+  * CEP pattern replayed through `StreamingCep.matchPatternEventTime` on
+  * OUT-OF-ORDER input must equal the batch operator exactly.
   *
   * Construction: event time = `event_id` seconds (so event-time order IS
   * the batch semantic order), the stream is four event_id slices plus
@@ -88,11 +88,7 @@ class EventTimeRegistryGateSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private val gated = Seq("cep_lpat_strict_clicks",
-    "cep_lpat_relaxed_purchase_pairs", "cep_skip_past_click_pairs",
-    "cep_until_error_runs")
-
-  for (name <- gated)
+  for (name <- graft.Queries.cepRegistryQueries.keys.toSeq.sorted)
     test(s"event-time stream == batch on registry query $name") {
       val query = graft.Queries.cepRegistryQueries(name)
       val batch = SparkCep.matchPattern(
