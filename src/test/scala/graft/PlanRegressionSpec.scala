@@ -120,6 +120,31 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("CoGroup"), "block cogroup missing from SQ8 KNN plan")
   }
 
+  test("refineTopK plan is lazy joins + narrow score (no collect)") {
+    val emb = Queries.table(spark, dir, "embeddings")
+    emb.schema
+    val s = spark
+    import s.implicits._
+    val cand = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "neighbor_id")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = graft.ops.Similarity.refineTopK(emb, emb, "vec_id",
+      "embedding", cand, k = 1)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      "building the refine plan ran Spark jobs — a driver collect crept in")
+    // two id-equi-joins, never a cartesian product of candidates × corpus
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in refine plan:\n$p")
+  }
+
+  test("registry knn_pq plan: encoding is one narrow pass over the scan") {
+    val p = plan("knn_pq_adc_top5")
+    // exactly one corpus-sized exchange pair feeds the cogroup (codes +
+    // replicated probes); the float vectors themselves are never joined
+    assert(p.contains("CoGroup"), "block cogroup missing from PQ plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dst transition map prints every reachable state block") {
     import graft.cep._
     val q = CepQuery(
