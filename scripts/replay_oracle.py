@@ -23,10 +23,13 @@ def h(df):
     for col in df.columns:
         s = df[col]
         for v in s:
+            # per-value delimiter keeps the encoding injective: without
+            # it [1, 112] and [11, 12] would concatenate identically
             if isinstance(v, float):
                 md.update(repr(round(v, 9)).encode())
             else:
                 md.update(repr(v).encode())
+            md.update(b";")
         md.update(b"|")
     return md.hexdigest()
 

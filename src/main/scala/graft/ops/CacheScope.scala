@@ -10,11 +10,20 @@ import org.apache.spark.sql.SparkSession
   * must outlive plan construction because the returned frame is lazy, so
   * the ops cannot unpersist them themselves. `withCaches` makes the
   * caller's obligation structural instead of documentary: materialize the
-  * result inside the block, and every block persisted *during* the block
-  * — `cache()`d datasets AND `localCheckpoint` RDDs, which
-  * `spark.catalog.clearCache()` does NOT touch — is released on exit,
-  * success or failure. Blocks persisted before entry are left alone, so
-  * scopes nest and long-lived session caches survive.
+  * result inside the block, and on exit (success or failure) every
+  * Dataset cache is dropped through the CacheManager AND every
+  * `localCheckpoint` RDD persisted during the block (which
+  * `catalog.clearCache()` does not touch) is swept.
+  *
+  * This is a HARNESS-BOUNDARY scope, not a nesting-preserving one:
+  * releasing a `cache()`d plan must go through the CacheManager so the
+  * entry and its buffers go together — unpersisting the underlying RDD
+  * alone leaves a dead entry that later identical plans latch onto and
+  * recompute through on every consumer (measured: a post-release re-run
+  * re-persists nothing and pays recompute amplification). The
+  * CacheManager has no public per-entry enumeration, so the scope clears
+  * ALL Dataset caches at exit — including ones created before entry.
+  * Manually persisted RDDs and pre-existing `localCheckpoint`s survive.
   *
   * {{{
   * val pairs = CacheScope.withCaches(spark) {
@@ -23,17 +32,15 @@ import org.apache.spark.sql.SparkSession
   * }}}
   */
 object CacheScope {
-  /** Release is block-level (`RDD.unpersist`): the executor/driver memory
-    * is freed synchronously. A `cache()`d plan keeps its CacheManager
-    * *metadata* entry, so re-running the same query lazily rebuilds its
-    * cache (inside that run's own scope — the rebuilt blocks are released
-    * again at its exit); metadata is a few plan trees, not storage.
-    */
   def withCaches[T](spark: SparkSession)(body: => T): T = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     try body
     finally {
+      // Dataset caches: entry + buffers together, via the CacheManager
+      spark.catalog.clearCache()
+      // localCheckpoint blocks are plain persisted RDDs, not CacheManager
+      // entries — sweep the ones this scope created
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!before.contains(id)) rdd.unpersist(blocking = true)
       }

@@ -28,9 +28,13 @@ object Codebooks {
 
   /** Repo-committed codebook artifacts (trained by
     * `graft.tools.TrainCodebooks` on the sf0.01 corpus — reproducible,
-    * see that tool). Queries load them; oracle SQL `read_parquet`s them.
+    * see that tool). Queries load them; oracle SQL `read_parquet`s them,
+    * so the location is resolved ONCE at class init and baked into both
+    * sides consistently. `GRAFT_CODEBOOK_DIR` relocates a checkout that
+    * is not rooted at /root/repo.
     */
-  val defaultDir = "/root/repo/data/codebooks"
+  val defaultDir: String =
+    sys.env.getOrElse("GRAFT_CODEBOOK_DIR", "/root/repo/data/codebooks")
   val coarsePath = s"$defaultDir/coarse16.parquet"
   val pqPath = s"$defaultDir/pq_m32_k256.parquet"
   val pqResPath = s"$defaultDir/pqres_m32_k256.parquet"

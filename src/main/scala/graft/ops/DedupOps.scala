@@ -360,7 +360,11 @@ object DedupOps {
     * discriminative signal (it pairs everything with everything), and the
     * oracle mirrors the drop with a HAVING-count CTE. `dropCounter`
     * (optional) tallies the dropped index rows — the observability hook
-    * for sizing the cap, same role as the CEP skew gauge.
+    * for sizing the cap, same role as the CEP skew gauge. Accumulator
+    * semantics are AT-LEAST-ONCE: task retries/speculation, or the two
+    * self-join consumers racing a cold cache, can tick a drop more than
+    * once — treat it as a gauge, not an exact count (the FILTERING
+    * itself is exact either way; only the telemetry is approximate).
     *
     * Expects a frame with `band`/`bucket` columns; emits it filtered,
     * schema unchanged.
@@ -571,9 +575,14 @@ object DedupOps {
         .select(col("m").as("a"), col("n").as("b"))
         .distinct().localCheckpoint(true)
       val sig = signature(next)
-      // the round map is deterministic, so an unchanged signature is a
-      // fixpoint (xxhash collisions across a full edge multiset aside)
-      converged = sig == prevSig
+      // the round map is deterministic, so an unchanged edge set is a
+      // fixpoint. The signature is only a cheap screen: on a match, the
+      // equality is CONFIRMED exactly with a symmetric set difference —
+      // a hash collision declaring false convergence would silently
+      // return non-star labels (under-deduping with no signal), and the
+      // exact check costs one extra job at the single convergence point
+      converged = sig == prevSig &&
+        next.except(edges).union(edges.except(next)).isEmpty
       prevSig = sig
       GraftColumnBridge.unpersistLocalCheckpoint(edges)
       edges = next

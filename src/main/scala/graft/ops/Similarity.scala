@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   * releases them — call `spark.catalog.clearCache()` after materializing
   * the result in a long-lived session (the graft bench does, per query).
   */
-object Similarity {
+// Serializable: stateless, but per-row helpers (checkDim) called from
+// nested local defs make scalac capture the module in executor closures
+object Similarity extends Serializable {
 
   /** Cosine similarity of two array<float/double> columns, in double. */
   def cosine(a: Column, b: Column): Column = {
@@ -300,6 +302,19 @@ object Similarity {
     code
   }
 
+  /** Dimension guard for the trained-quantizer paths: a codebook or
+    * centroid set whose dimensionality disagrees with the data would
+    * otherwise silently encode a PREFIX of each vector (when the vectors
+    * are longer) or die deep in an executor loop (when shorter) — one
+    * integer compare per row buys a named error instead.
+    */
+  // private[ops], not private: fully-private members make executor
+  // closures capture the (non-serializable) enclosing object to reach them
+  private[ops] def checkDim(actual: Int, expected: Int, what: String): Unit =
+    if (actual != expected)
+      throw new IllegalArgumentException(
+        s"$what: vector dim $actual != quantizer dim $expected")
+
   /** Cell assignment: max floored-micro cosine against the centroids,
     * ties to the smaller centroid index — the one assignment rule shared
     * by IVF/IVFPQ corpus assignment, probe-list selection, residual
@@ -389,6 +404,7 @@ object Similarity {
         rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
           val id = r.getLong(0)
           val v = toDoubles(toFloatArray(r.getSeq[Float](1)))
+          checkDim(v.length, m * subDim, "pq encode")
           val code = encodePq(v, book, subDim)
           val chunk = ((id.## % nChunks) + nChunks) % nChunks
           Row(chunk, id, code)
@@ -424,6 +440,7 @@ object Similarity {
         pRows.flatMap { pr =>
           val qid = pr.getLong(1)
           val qv = toDoubles(toFloatArray(pr.getSeq[Float](2)))
+          checkDim(qv.length, m * subDim, "pq probe")
           adcScan(qid, qv, cids, ccodes, book, subDim, k, 0L)
         }
       }(Encoders.row(outSchema))
@@ -578,11 +595,15 @@ object Similarity {
       StructField("__cell", LongType, nullable = false),
       StructField("__id", LongType, nullable = false),
       StructField("__code", BinaryType, nullable = false)))
+    val expDim = cb.length * subDim
+    require(centVecs.head.length == expDim,
+      s"centroid dim ${centVecs.head.length} != codebook m*subDim $expDim")
     corpus.select(col(idCol).cast(LongType), col(vecCol))
       .mapPartitions { rows =>
         val (ids, cvs, book) = bc.value
         rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
           val f = toFloatArray(r.getSeq[Float](1))
+          checkDim(f.length, expDim, "ivfPqEncode")
           val best = assignCosine(f, cvs)
           val x = toDoubles(f)
           val v =
@@ -611,6 +632,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val m = cb.length
     val dim = m * subDim
+    require(centVecs.head.length == dim,
+      s"centroid dim ${centVecs.head.length} != codebook m*subDim $dim")
     val bc = probes.sparkSession.sparkContext
       .broadcast((centIds, centVecs, cb))
 
@@ -623,6 +646,7 @@ object Similarity {
         val (ids, cvs, _) = bc.value
         rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { r =>
           val f = toFloatArray(r.getSeq[Float](1))
+          checkDim(f.length, dim, "ivfPq probe")
           val sims = cvs.map(cv => cosineMicroJvmD(f, cv))
           val order = ids.indices.sortBy(i => (-sims(i), ids(i)))
           order.take(nprobe).iterator
@@ -860,6 +884,7 @@ object Similarity {
 
     def simToCentroids(v: Array[Float]): Array[Long] = {
       val (_, cvs) = bc.value
+      checkDim(v.length, cvs.head.length, "ivf assignment")
       cvs.map(cv => cosineMicroJvmD(v, cv))
     }
 
@@ -981,7 +1006,21 @@ object Similarity {
           .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
         val effNlist =
           if (nlist > 0) nlist
-          else math.max(16L, (nonNull.count() + 19999L) / 20000L).toInt
+          else {
+            val computed =
+              math.max(16L, (nonNull.count() + 19999L) / 20000L)
+            // the first-ids fallback collects effNlist full vectors and
+            // scans all of them per corpus row — fine while the quantizer
+            // is broadcast-sized, absurd at the corpus sizes auto-nlist
+            // would reach. Fail loudly instead of melting the driver:
+            // corpora past ~1.3 B rows must pass TRAINED centroids
+            // (Codebooks.trainCoarse trains on a bounded sample).
+            require(computed <= 65536L,
+              s"auto-nlist $computed exceeds the first-ids fallback bound" +
+                " (65536): pass trained centroids " +
+                "(Codebooks.trainCoarse) for a corpus this large")
+            computed.toInt
+          }
         val centRows = nonNull.orderBy(col(idCol)).limit(effNlist).collect()
         (centRows.map(_.getLong(0)),
           centRows.map(r => toDoubles(toFloatArray(r.getSeq[Float](1)))))
@@ -997,6 +1036,7 @@ object Similarity {
         val (ids, cvs) = bc.value
         rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
           val v = toFloatArray(r.getSeq[Float](1))
+          checkDim(v.length, cvs.head.length, "semanticDedup assignment")
           // max sim; ties to the smaller centroid id/index (ids sorted)
           val best = assignCosine(v, cvs)
           Row(ids(best), r.getLong(0), r.get(1))

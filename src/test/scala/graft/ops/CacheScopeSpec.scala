@@ -41,10 +41,11 @@ class CacheScopeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("pre-existing caches survive a scope; failures still release") {
+  test("failures still release; re-runs re-cache through a live entry") {
     val s = spark
     import s.implicits._
-    val outer = Seq(1, 2, 3).toDF("x").cache()
+    // pre-existing manually-checkpointed frame survives the scope
+    val outer = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
     outer.count()
     val before = spark.sparkContext.getPersistentRDDs.keySet
     assert(before.nonEmpty)
@@ -56,7 +57,24 @@ class CacheScopeSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(spark.sparkContext.getPersistentRDDs.keySet == before,
-      "failure path leaked the inner checkpoint or dropped the outer cache")
-    outer.unpersist(true)
+      "failure path leaked the inner checkpoint or swept the outer one")
+    // a localCheckpoint isn't a CacheManager entry: Dataset.unpersist is
+    // a no-op on it — release through the bridge, as the CC loop does
+    org.apache.spark.sql.graftbridge.GraftColumnBridge
+      .unpersistLocalCheckpoint(outer)
+
+    // the dead-entry hazard the CacheManager-level release exists for: a
+    // cache()d plan re-run after a scope must RE-PERSIST (a raw
+    // rdd.unpersist would leave a dead entry that re-runs latch onto
+    // without ever re-caching)
+    def cachedRun(): Unit = CacheScope.withCaches(spark) {
+      val df = spark.range(1000).toDF("id").cache()
+      df.count()
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+        "cache() did not persist inside the scope — dead-entry regression")
+    }
+    cachedRun()
+    cachedRun()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 }

@@ -17,18 +17,10 @@ object DriveRecall {
     val coarse = Codebooks.loadCoarse(spark, Codebooks.coarsePath)
     val pq = Codebooks.loadPq(spark, Codebooks.pqPath)
     val pqRes = Codebooks.loadPq(spark, Codebooks.pqResPath)
-    def topSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
-    val exact = topSet(Similarity.knnBruteForce(
+    val exact = RecallHarness.topSet(Similarity.knnBruteForce(
       emb, emb, "vec_id", "embedding", k = 5))
-    def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val approx = topSet(df)
-      val r = exact.map { case (q, e) =>
-        approx.getOrElse(q, Set.empty[Long]).count(e.contains).toDouble / e.size
-      }.sum / exact.size
-      println(f"RECALL_$name=$r%.4f")
-    }
+    def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      println(f"RECALL_$name=${RecallHarness.recallAgainst(exact, df)}%.4f")
     recall("SQ8", Similarity.knnSq8TopK(
       emb, emb, "vec_id", "embedding", k = 5, scale = 128))
     recall("PQ", Similarity.pqTopK(

@@ -11,18 +11,10 @@ object DriveRecallSweep {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    def topSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
-    val exact = topSet(Similarity.knnBruteForce(
+    val exact = RecallHarness.topSet(Similarity.knnBruteForce(
       emb, emb, "vec_id", "embedding", k = 5))
-    def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val approx = topSet(df)
-      val r = exact.map { case (q, e) =>
-        approx.getOrElse(q, Set.empty[Long]).count(e.contains).toDouble / e.size
-      }.sum / exact.size
-      println(f"RECALL_$name=$r%.4f")
-    }
+    def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      println(f"RECALL_$name=${RecallHarness.recallAgainst(exact, df)}%.4f")
     for (m <- Seq(8, 16, 32)) {
       val pq = Codebooks.trainPq(emb, "vec_id", "embedding", m = m,
         ksub = 256)
