@@ -1651,6 +1651,188 @@ object Queries {
        |FROM sh JOIN docfreq USING (h)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Exact substring-dedup removal (Lee et al. boilerplate-scrub form):
+    * every token covered by an 8-gram span occurring in ≥ 2 distinct
+    * documents is deleted; per doc the original/removed token counts and
+    * the scrubbed text. The oracle replays span hashing, coverage, and
+    * reassembly with the identical 60-bit hash.
+    */
+  def dedupPassageScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Contamination.scrubDupPassages(
+      table(spark, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc_id")
+
+  val dedupPassageScrubSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |sp0 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+       |      list_transform(generate_series(1, len(t) - 7),
+       |        i -> struct_pack(pos := i, slen := CAST(8 AS BIGINT),
+       |                         shingle := array_to_string(t[i:i+7], ' ')))
+       |    ELSE [struct_pack(pos := CAST(1 AS BIGINT), slen := len(t),
+       |                      shingle := array_to_string(t, ' '))] END) AS s
+       |  FROM toks),
+       |sp AS (SELECT doc_id, s.pos AS pos, s.slen AS slen,
+       |         s.shingle AS shingle FROM sp0),
+       |sph AS (SELECT doc_id, pos, slen, $shingleHash60Sql AS h FROM sp),
+       |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sph)
+       |        GROUP BY h HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, tidx FROM (
+       |  SELECT doc_id, unnest(generate_series(pos, pos + slen - 1)) AS tidx
+       |  FROM sph WHERE h IN (SELECT h FROM dup)) c0),
+       |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+       |           i -> struct_pack(tidx := i, tok := t[i]))) AS s FROM toks),
+       |tok AS (SELECT doc_id, s.tidx AS tidx, s.tok AS tok FROM tok0),
+       |kept AS (
+       |  SELECT t.doc_id, t.tidx, t.tok FROM tok t
+       |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tidx = t.tidx
+       |  WHERE c.tidx IS NULL),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |          string_agg(tok, ' ' ORDER BY tidx) AS clean_text
+       |        FROM kept GROUP BY doc_id),
+       |base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+       |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(b.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(a.clean_text, '') AS clean_text
+       |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** Passage-level cross-source leakage matrix: distinct 8-gram spans
+    * shared between every pair of sources (exact-normalized doc overlap
+    * is zero on this corpus; span overlap is the finer signal).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Contamination.groupOverlapMatrix(
+      table(spark, dir, "documents"), "text", "source", n = 8)
+      .orderBy("g1", "g2")
+
+  val sourceOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents
+       |  WHERE source IS NOT NULL AND text IS NOT NULL),
+       |shs AS (
+       |  SELECT source, unnest(list_distinct(CASE WHEN len(t) >= 8 THEN
+       |      list_transform(generate_series(1, len(t) - 7),
+       |        i -> array_to_string(t[i:i+7], ' '))
+       |    ELSE [array_to_string(t, ' ')] END)) AS shingle
+       |  FROM toks),
+       |gh AS (SELECT DISTINCT source, $shingleHash60Sql AS h FROM shs)
+       |SELECT a.source AS g1, b.source AS g2,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM gh a JOIN gh b ON a.h = b.h AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Context packing: concatenate docs in id order within each
+    * (lang, source) stratum and cut 512-token shards; every doc gets a
+    * deterministic (shard, offset) address.
+    */
+  def packShards(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packByBudget(table(spark, dir, "documents"),
+      "doc_id", "text", Seq("lang", "source"), budgetTokens = 512L)
+      .orderBy("lang", "source", "doc_id")
+
+  private val packShardsBaseSql: String =
+    """WITH t AS (
+      |  SELECT lang, source, doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents),
+      |w AS (
+      |  SELECT lang, source, doc_id, n_tok,
+      |    CAST(sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |      AS BIGINT) AS start_off
+      |  FROM t)""".stripMargin
+
+  val packShardsSql: String =
+    s"""$packShardsBaseSql
+       |SELECT lang, source, doc_id, n_tok, start_off,
+       |  start_off // 512 AS shard_id
+       |FROM w ORDER BY lang, source, doc_id""".stripMargin
+
+  /** Shard-level packing summary: docs/tokens per shard plus the
+    * boundary-doc overflow past the shard's budget.
+    */
+  def packShardStats(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.ops.Packing.packByBudget(
+      table(spark, dir, "documents"), "doc_id", "text",
+      Seq("lang", "source"), budgetTokens = 512L)
+    graft.ops.Packing.shardStats(packed, Seq("lang", "source"), 512L)
+      .orderBy("lang", "source", "shard_id")
+  }
+
+  val packShardStatsSql: String =
+    s"""$packShardsBaseSql
+       |SELECT lang, source, shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       |  CAST(greatest(0, max(start_off + n_tok)
+       |    - (shard_id + 1) * 512) AS BIGINT) AS overflow
+       |FROM (SELECT lang, source, n_tok, start_off,
+       |        CAST(start_off // 512 AS BIGINT) AS shard_id FROM w) s
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Mixture rebalancing: at most 80 `en` docs and 60 per other
+    * language, selected in deterministic hash order — the absolute-
+    * budget counterpart of `sample_stratified`'s rate cut.
+    */
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.quotaSample(table(spark, dir, "documents"),
+      "doc_id", "lang", Map("en" -> 80L), defaultQuota = 60L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val mixRebalanceSql: String = {
+    val idStr = "CAST(doc_id AS VARCHAR)"
+    val poly =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($idStr)), " +
+        s"i -> CAST(ascii($idStr[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $poly, doc_id)
+       |      AS rk
+       |  FROM documents)
+       |SELECT doc_id, lang FROM r
+       |WHERE rk <= CASE WHEN lang = 'en' THEN 80 ELSE 60 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Embedding outlier gate: cosine affinity to the nearest TRAINED
+    * coarse centroid (same committed artifact as `knn_ivf_top5`);
+    * vectors below 0.25 cosine are flagged. Narrow broadcast pass.
+    */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = Codebooks.loadCoarse(spark, Codebooks.coarsePath)
+    Similarity.centroidOutliers(table(spark, dir, "embeddings"),
+      "vec_id", "embedding", coarse, minSimMicro = 250000L)
+      .orderBy("vec_id")
+  }
+
+  val embOutliersSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |cent AS (SELECT cw AS cid, w AS ce
+       |  FROM read_parquet('${Codebooks.coarsePath}/*.parquet')),
+       |sims AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(floor(1000000 * list_inner_product(v.e, c.ce) /
+       |      (sqrt(list_inner_product(v.e, v.e)) *
+       |       sqrt(list_inner_product(c.ce, c.ce)))) AS BIGINT) AS sim
+       |  FROM v CROSS JOIN cent c),
+       |ranked AS (
+       |  SELECT vec_id, cid, sim, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |  FROM sims)
+       |SELECT vec_id, cid AS cell, sim AS sim_micro,
+       |  sim < 250000 AS is_outlier
+       |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** Per-doc TF-IDF top-3 terms (integer-exact linear-idf scoring). */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Relevance.tfIdfTopTerms(
@@ -2076,7 +2258,13 @@ object Queries {
     "knn_ivfpq_top5" -> knnIvfPqTop5 _,
     "knn_ivfpq_res_top5" -> knnIvfPqResTop5 _,
     "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5 _,
-    "rel_salted_join" -> relSaltedJoin _
+    "rel_salted_join" -> relSaltedJoin _,
+    "dedup_passage_scrub" -> dedupPassageScrub _,
+    "source_overlap" -> sourceOverlap _,
+    "pack_shards" -> packShards _,
+    "pack_shard_stats" -> packShardStats _,
+    "mix_rebalance" -> mixRebalance _,
+    "emb_outliers" -> embOutliers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2135,6 +2323,12 @@ object Queries {
     "knn_ivfpq_top5" -> knnIvfPqTop5Sql,
     "knn_ivfpq_res_top5" -> knnIvfPqResTop5Sql,
     "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5Sql,
-    "rel_salted_join" -> relSaltedJoinSql
+    "rel_salted_join" -> relSaltedJoinSql,
+    "dedup_passage_scrub" -> dedupPassageScrubSql,
+    "source_overlap" -> sourceOverlapSql,
+    "pack_shards" -> packShardsSql,
+    "pack_shard_stats" -> packShardStatsSql,
+    "mix_rebalance" -> mixRebalanceSql,
+    "emb_outliers" -> embOutliersSql
   )
 }

@@ -108,6 +108,129 @@ object Contamination {
       .join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
+  /** Exploded (id, pos, slen, span-hash) index — `spanIndex` plus the
+    * 1-based start token position and token length of every span
+    * occurrence, for operators that must map spans back onto token
+    * indices (the substring scrub).
+    */
+  def spanIndexPos(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("slen", LongType, nullable = false),
+      StructField("sh", LongType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
+          else {
+            val id = row.getLong(0)
+            DedupOps.spansPosJvm(row.getString(1), n).iterator
+              .map { case (pos, slen, s) =>
+                Row(id, pos.toLong, slen.toLong, DedupOps.tokenHash60Jvm(s))
+              }
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Exact substring-dedup removal (the Lee et al. "Deduplicating
+    * Training Data" move, in its boilerplate-scrub form): delete every
+    * token covered by an n-gram span that occurs in ≥ `minDocs` distinct
+    * documents. Per doc: original token count, removed token count, and
+    * the scrubbed text (surviving tokens re-joined on single spaces).
+    *
+    * Semantics notes:
+    *   - ALL occurrences of a cross-document span are scrubbed (no
+    *     canonical keeper) — this is the boilerplate-removal semantics
+    *     (headers, license blocks, templated spam vanish everywhere);
+    *     whole-document dedup keeps one copy of legitimate content and
+    *     runs as its own pipeline stage.
+    *   - Docs shorter than n tokens are their own single span, so a
+    *     short doc duplicated elsewhere scrubs to empty.
+    *
+    * Scale: span strings never shuffle — the index carries 8-byte
+    * hashes + two small ints. Shuffles: span doc-frequency (on `sh`),
+    * frequency join back (on `sh`), covered-index dedup + anti-join
+    * (on (id, token-index)), final per-doc re-assembly (on id). All keys
+    * are ≤ 16 bytes; the rebuilt text is the only wide payload and it
+    * moves exactly once, partitioned by doc id.
+    */
+  def scrubDupPassages(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType), col(textCol))
+    val spans = spanIndexPos(base, idCol, textCol, n).cache()
+    val dupSh = spans.select(col(idCol), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs).select(col("sh"))
+    // token indices covered by some duplicated span occurrence; slen = 0
+    // (empty doc) covers nothing — guarded because Spark's sequence()
+    // would COUNT DOWN for start > stop instead of yielding empty
+    val covered = spans.join(dupSh, "sh")
+      .filter(col("slen") > 0L)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + col("slen") - 1L))
+          .as("tidx"))
+      .distinct()
+    val toks = base
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
+      .select(col(idCol), (col("pos") + 1L).as("tidx"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq(idCol, "tidx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("tidx"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"))
+    base
+      .select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast(LongType).as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Cross-slice leakage matrix: for every pair of `groupCol` values
+    * (sources, dumps, train/eval splits), the number of distinct token
+    * n-grams present in both slices. The audit a pipeline runs before
+    * mixing crawls: two sources sharing much of their passage mass
+    * should not both be upweighted, and any span overlap between a
+    * training source and an eval slice is contamination. Passage-level
+    * (n-gram spans, not whole docs), so partially-copied content counts.
+    *
+    * Scale: spans reduce to 8-byte hashes in the scan (no text
+    * shuffles); (group, hash) deduplicates with one shuffle; the pair
+    * join runs on the hash with fan-out bounded by the number of groups
+    * sharing it (dozens of sources, not data-sized), then aggregates to
+    * one row per group pair.
+    */
+  def groupOverlapMatrix(df: DataFrame, textCol: String,
+      groupCol: String, n: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("sh", LongType, nullable = false)))
+    val idx = df.select(col(groupCol).cast(StringType), col(textCol))
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
+          else {
+            val g = row.getString(0)
+            DedupOps.shinglesJvm(row.getString(1), n).iterator
+              .map(s => Row(g, DedupOps.tokenHash60Jvm(s)))
+          }
+        }
+      }(Encoders.row(outSchema))
+      .distinct()
+    idx.select(col("g").as("g1"), col("sh"))
+      .join(idx.select(col("g").as("g2"), col("sh")), "sh")
+      .filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Per-doc duplicated-passage statistics: total span occurrences, span
     * occurrences whose n-gram appears in ≥ 2 distinct documents, and the
     * permille duplicated fraction.

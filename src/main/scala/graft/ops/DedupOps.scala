@@ -300,6 +300,21 @@ object DedupOps {
   private[ops] def shinglesJvm(text: String, n: Int): Array[String] =
     spansJvm(text, n).distinct
 
+  /** `spansJvm` with 1-based token positions and span token lengths —
+    * (pos, slen, span) per occurrence. The positional variant feeds the
+    * substring-scrub operator, which must know which token indices each
+    * duplicated span covers.
+    */
+  private[ops] def spansPosJvm(text: String, n: Int)
+      : Array[(Int, Int, String)] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length >= n)
+      Array.tabulate(toks.length - n + 1) { i =>
+        (i + 1, n, toks.slice(i, i + n).mkString(" "))
+      }
+    else Array((1, toks.length, toks.mkString(" ")))
+  }
+
   /** Per-doc MinHash signature as one `array<long>` column of length k,
     * computed in one tight per-partition pass (tokenize → shingle → hash →
     * k running minima per doc) — a narrow transformation with no shuffle

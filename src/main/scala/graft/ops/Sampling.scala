@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -43,5 +44,35 @@ object Sampling {
         when(col(strataCol) === stratum, lit(r)).otherwise(acc)
     }
     df.filter(sampleKey(col(idCol)) < rate)
+  }
+
+  /** Mixture rebalancing by ABSOLUTE per-stratum quota: keep at most
+    * `quota(stratum)` rows per stratum, chosen by hash order (the
+    * deterministic permutation `(polyhash(id), id)`), so the selection
+    * is a uniform sample that is stable under re-runs, re-partitioning,
+    * and corpus growth-at-the-tail. This is the "hit the target data
+    * mix" counterpart of `stratifiedSample`'s rate cut: rates preserve
+    * proportions, quotas enforce a budget (e.g. equal tokens per
+    * language regardless of raw crawl skew).
+    *
+    * Scale: one shuffle on the stratum key for the ranking window; each
+    * stratum ranks independently. A stratum is one task — fine for the
+    * (source × lang × ...) strata real corpora use; for a single giant
+    * stratum prefer the rate cut, which is shuffle-free.
+    */
+  def quotaSample(df: DataFrame, idCol: String, strataCol: String,
+      quotas: Map[String, Long], defaultQuota: Long): DataFrame = {
+    require((defaultQuota +: quotas.values.toSeq).forall(_ >= 0),
+      "quotas must be >= 0")
+    val quota = quotas.toSeq.sortBy(_._1).foldLeft(lit(defaultQuota)) {
+      case (acc, (stratum, q)) =>
+        when(col(strataCol) === stratum, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol)).orderBy(
+      graft.functions.PolyHash.polyHash(col(idCol).cast("string"), 131L),
+      col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
   }
 }

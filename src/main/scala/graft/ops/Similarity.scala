@@ -963,6 +963,46 @@ object Similarity extends Serializable {
       .filter(col("rnk") <= k)
   }
 
+  /** Embedding quality gate: every vector's floored-micro cosine to its
+    * nearest coarse centroid (same assignment rule as `ivfTopK`: max
+    * sim, ties to the smaller cell id), with vectors whose best-cell
+    * affinity falls below `minSimMicro` flagged as outliers — the
+    * distance-to-centroid filter curation pipelines run to drop
+    * mis-embedded / out-of-distribution vectors before they poison
+    * nearest-neighbor dedup and retrieval.
+    *
+    * Physical plan: centroids ride a broadcast; the whole operator is
+    * one narrow per-partition pass over the corpus (no shuffle), so it
+    * composes into the scan like the text-quality gates.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], minSimMicro: Long): DataFrame = {
+    require(centroids.nonEmpty, "centroidOutliers: empty centroid set")
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("cell", LongType, nullable = false),
+      StructField("sim_micro", LongType, nullable = false),
+      StructField("is_outlier", BooleanType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(vecCol))
+      .mapPartitions { rows =>
+        val cvs = bc.value
+        rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map { r =>
+          val v = toFloatArray(r.getSeq[Float](1))
+          checkDim(v.length, cvs.head.length, "centroid outlier gate")
+          var best = 0
+          var bestSim = cosineMicroJvmD(v, cvs(0))
+          var i = 1
+          while (i < cvs.length) {
+            val s = cosineMicroJvmD(v, cvs(i))
+            if (s > bestSim) { bestSim = s; best = i }
+            i += 1
+          }
+          Row(r.getLong(0), best.toLong, bestSim, bestSim < minSimMicro)
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the same deterministic
     * coarse quantizer as `ivfTopK` (centroids = the `nlist` smallest-id

@@ -145,6 +145,30 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("centroid outlier gate is one narrow pass: zero exchanges") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Array(Array.fill(64)(0.1), Array.fill(64)(-0.1))
+    val p = graft.ops.Similarity
+      .centroidOutliers(emb, "vec_id", "embedding", cents, 250000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"outlier gate shuffles:\n$p")
+  }
+
+  test("pack window partitions by the strata, never a single partition") {
+    val p = plan("pack_shards")
+    assert(p.contains("hashpartitioning"), "no hash partitioning in plan")
+    assert(!p.contains("SinglePartition"),
+      s"pack collapsed to one task:\n$p")
+  }
+
+  test("substring scrub reuses the cached span index for both consumers") {
+    val p = plan("dedup_passage_scrub")
+    val hits = "InMemoryTableScan".r.findAllIn(p).size
+    assert(hits >= 2, s"span index not cached across consumers ($hits):\n$p")
+    assert(!p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
   test("dst transition map prints every reachable state block") {
     import graft.cep._
     val q = CepQuery(

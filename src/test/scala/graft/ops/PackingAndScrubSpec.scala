@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Hand-computed pins for the round-4 pipeline additions: substring
+  * scrub, cross-group span overlap, context packing, quota rebalancing,
+  * and the centroid-distance embedding outlier gate.
+  */
+class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("scrubDupPassages deletes exactly the cross-doc span tokens") {
+    val df = docs(
+      1L -> "a b c d",  // "a b" occurs in docs 1 and 2 → scrub both
+      2L -> "x a b y",
+      3L -> "z z",      // intra-doc only: "z z" occurs in ONE doc
+      4L -> "q",        // short docs are whole-doc spans: 4 and 5 are
+      5L -> "q")        // duplicates → both scrub to empty
+    val out = Contamination.scrubDupPassages(df, "doc_id", "text",
+      n = 2, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 4L, 2L, "c d"),
+      (2L, 4L, 2L, "x y"),
+      (3L, 2L, 0L, "z z"),
+      (4L, 1L, 1L, ""),
+      (5L, 1L, 1L, "")))
+  }
+
+  test("scrubDupPassages is partitioning-invariant") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Contamination.scrubDupPassages(df, "doc_id", "text", n = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    assert(run(base) == run(base.repartition(7)))
+    spark.catalog.clearCache()
+  }
+
+  test("groupOverlapMatrix counts distinct shared spans per group pair") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("A", "a b c"), ("A", "d e"),
+      ("B", "a b"), ("B", "d e"),
+      ("C", "b c d")).toDF("source", "text")
+    val out = Contamination.groupOverlapMatrix(df, "text", "source", n = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // A spans {ab, bc, de}; B {ab(whole-doc of "a b"? no: len==n → sliding
+    // gives "a b"), de}; C {bc, cd} → A∩B = {ab, de}, A∩C = {bc}, B∩C = ∅
+    assert(out == Set(("A", "B", 2L), ("A", "C", 1L)))
+  }
+
+  test("packByBudget assigns shard by start offset; stats track overflow") {
+    val s = spark
+    import s.implicits._
+    // one stratum, token counts 3, 4, 2, 6 → starts 0, 3, 7, 9 with
+    // budget 5 → shards 0, 0, 1, 1
+    val df = Seq(
+      ("g1", 1L, "t t t"), ("g1", 2L, "t t t t"),
+      ("g1", 3L, "t t"), ("g1", 4L, "t t t t t t"))
+      .toDF("src", "doc_id", "text")
+    val packed = Packing.packByBudget(df, "doc_id", "text", Seq("src"), 5L)
+    val rows = packed.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(rows == Set(
+      (1L, 3L, 0L, 0L), (2L, 4L, 3L, 0L),
+      (3L, 2L, 7L, 1L), (4L, 6L, 9L, 1L)))
+    val stats = Packing.shardStats(packed, Seq("src"), 5L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // shard 0: ends at 7 → overflow 2; shard 1: ends at 15 → overflow 5
+    assert(stats == Set((0L, 2L, 7L, 2L), (1L, 2L, 8L, 5L)))
+  }
+
+  test("packByBudget refuses an unstratified (single-task) pack") {
+    val df = docs(1L -> "a")
+    intercept[IllegalArgumentException] {
+      Packing.packByBudget(df, "doc_id", "text", Seq.empty, 512L)
+    }
+  }
+
+  test("quotaSample keeps the hash-order prefix, stable under quota growth") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 10L).map(i => (i, "s")).toDF("doc_id", "lang")
+    def picked(quota: Long): Set[Long] =
+      Sampling.quotaSample(df, "doc_id", "lang", Map.empty, quota)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // expected = top-quota ids by (polyhash(id), id) — the op's contract,
+    // recomputed here from the JVM mirror of the hash
+    val expect3 = (1L to 10L)
+      .sortBy(i => (DedupOps.polyHashJvm(i.toString, 131L), i))
+      .take(3).toSet
+    assert(picked(3) == expect3)
+    assert(picked(3).subsetOf(picked(7)))
+    assert(picked(20) == (1L to 10L).toSet)
+    // partitioning-invariant
+    val re = Sampling.quotaSample(df.repartition(5), "doc_id", "lang",
+      Map.empty, 3L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(re == expect3)
+  }
+
+  test("centroidOutliers: nearest cell, floored-micro sim, tie to low cell") {
+    val s = spark
+    import s.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(1f, 0f)),      // cell 0, sim 1.0
+      (2L, Seq(3f, 4f)),      // cell 1, sim 4/5 exactly (|v| = 5)
+      (3L, Seq(-1f, 0f)),     // best is cell 1 at sim 0 → outlier
+      (4L, Seq(1f, 1f)))      // tie 707106/707106 → cell 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding",
+      cents, minSimMicro = 100000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 0L, 1000000L, false),
+      (2L, 1L, 800000L, false),
+      (3L, 1L, 0L, true),
+      (4L, 0L, 707106L, false)))
+  }
+}
