@@ -1754,6 +1754,32 @@ object Queries {
        |  start_off // 512 AS shard_id
        |FROM w ORDER BY lang, source, doc_id""".stripMargin
 
+  /** GLOBAL context packing (no strata): the distributed prefix-sum
+    * formulation — range-partition + per-partition sums + broadcast
+    * prefixes — whose result is bit-identical to the naive global
+    * running-sum window the oracle computes.
+    */
+  def packShardsGlobal(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packGlobalByBudget(table(spark, dir, "documents"),
+      "doc_id", "text", budgetTokens = 512L)
+      .orderBy("doc_id")
+
+  val packShardsGlobalSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |      AS BIGINT) AS start_off
+      |  FROM t)
+      |SELECT doc_id, n_tok, start_off, start_off // 512 AS shard_id
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** Shard-level packing summary: docs/tokens per shard plus the
     * boundary-doc overflow past the shard's budget.
     */
@@ -2262,6 +2288,7 @@ object Queries {
     "dedup_passage_scrub" -> dedupPassageScrub _,
     "source_overlap" -> sourceOverlap _,
     "pack_shards" -> packShards _,
+    "pack_shards_global" -> packShardsGlobal _,
     "pack_shard_stats" -> packShardStats _,
     "mix_rebalance" -> mixRebalance _,
     "emb_outliers" -> embOutliers _
@@ -2327,6 +2354,7 @@ object Queries {
     "dedup_passage_scrub" -> dedupPassageScrubSql,
     "source_overlap" -> sourceOverlapSql,
     "pack_shards" -> packShardsSql,
+    "pack_shards_global" -> packShardsGlobalSql,
     "pack_shard_stats" -> packShardStatsSql,
     "mix_rebalance" -> mixRebalanceSql,
     "emb_outliers" -> embOutliersSql

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -58,6 +58,61 @@ object Packing {
     * overflow — `max_overflow = max(0, tokens - budget)` per shard is
     * the padding-vs-truncation cost the loader pays.
     */
+  /** GLOBAL packing without the single-task window: the classic
+    * distributed prefix-sum. Documents are range-partitioned and sorted
+    * by id, pass 1 collects one token-sum per partition (bounded: one
+    * long per partition, never data-sized), and pass 2 adds the
+    * broadcast partition-prefix to each doc's local running sum. The
+    * result is bit-identical to the naive global running-sum window —
+    * a doc's `start_off` is a pure function of the data, independent of
+    * partition boundaries — so the same DuckDB window oracle applies,
+    * but every stage runs wide: the only driver traffic is the
+    * per-partition sum array.
+    *
+    * The range exchange is recomputed by both passes unless persisted —
+    * boundaries are deterministic either way (RangePartitioner's sample
+    * is seeded per partition), but the intermediate is cached so the
+    * corpus is scanned once; caller releases via `CacheScope` like the
+    * other multi-consumer ops.
+    */
+  def packGlobalByBudget(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget $budgetTokens")
+    val counted = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as(idCol),
+        size(TextOps.tokens(col(textCol))).cast(LongType).as("n_tok"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .cache()
+    // pass 1: one (partition, tokenSum) row per partition
+    val partSums = counted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(1))
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val prefixes = partSums.scanLeft(0L)(_ + _) // prefixes(p) = tokens before partition p
+    val bc = counted.sparkSession.sparkContext.broadcast(prefixes)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tok", LongType, nullable = false),
+      StructField("start_off", LongType, nullable = false),
+      StructField("shard_id", LongType, nullable = false)))
+    // pass 2: local running sum + the partition's global prefix
+    val packedRdd = counted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var off = bc.value(pid)
+      it.map { r =>
+        val n = r.getLong(1)
+        val start = off
+        off += n
+        Row(r.getLong(0), n, start, start / budgetTokens)
+      }
+    }
+    counted.sparkSession.createDataFrame(packedRdd, outSchema)
+  }
+
   def shardStats(packed: DataFrame, strataCols: Seq[String],
       budgetTokens: Long): DataFrame =
     packed.groupBy((strataCols :+ "shard_id").map(col): _*)

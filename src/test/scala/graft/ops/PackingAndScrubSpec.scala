@@ -101,6 +101,28 @@ class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats == Set((0L, 2L, 7L, 2L), (1L, 2L, 8L, 5L)))
   }
 
+  test("packGlobalByBudget == single-stratum window pack, any partitioning") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // reference: the naive window formulation over one constant stratum
+    val viaWindow = Packing.packByBudget(
+      base.withColumn("one", org.apache.spark.sql.functions.lit("c")),
+      "doc_id", "text", Seq("one"), 512L)
+      .select("doc_id", "n_tok", "start_off", "shard_id")
+      .collect().map(key).toSet
+    val viaPrefix = Packing.packGlobalByBudget(base, "doc_id", "text", 512L)
+      .collect().map(key).toSet
+    val viaPrefixRepart = Packing.packGlobalByBudget(
+      base.repartition(13), "doc_id", "text", 512L)
+      .collect().map(key).toSet
+    assert(viaPrefix == viaWindow)
+    assert(viaPrefixRepart == viaWindow)
+    spark.catalog.clearCache()
+  }
+
   test("packByBudget refuses an unstratified (single-task) pack") {
     val df = docs(1L -> "a")
     intercept[IllegalArgumentException] {
