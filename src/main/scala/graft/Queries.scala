@@ -1156,6 +1156,132 @@ object Queries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** The full prep-for-training composition, ending at the loader
+    * contract: quality gate → benchmark decontamination → substring
+    * scrub (cross-doc 8-gram passages deleted, fully-scrubbed docs
+    * drop) → per-language quota rebalance → GLOBAL context packing of
+    * the scrubbed text (distributed prefix-sum) → per-doc
+    * (shard, offset) address. Every stage is a registry operator; the
+    * oracle replays the identical composition in SQL.
+    */
+  def pipelinePrepShards(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Contamination, Packing, Sampling}
+    val docs = table(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 10 === 7)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+      .filter(TextOps.qualityOk(col("text")))
+    val kept = Contamination.decontaminate(train, bench, "doc_id", "text",
+      n = 5)
+    val scrubbed = Contamination
+      .scrubDupPassages(kept, "doc_id", "text", n = 8, minDocs = 2)
+      .filter(col("n_tokens") - col("n_removed") > 0L)
+    val withLang = scrubbed.join(
+      docs.select(col("doc_id").cast(LongType).as("doc_id"), col("lang")),
+      "doc_id")
+    val balanced = Sampling.quotaSample(withLang, "doc_id", "lang",
+      Map("en" -> 60L), defaultQuota = 40L)
+    Packing.packGlobalByBudget(balanced, "doc_id", "clean_text",
+      budgetTokens = 256L)
+      .join(balanced.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("start_off"),
+        col("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  val pipelinePrepShardsSql: String = {
+    val stops = TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val idStr = "CAST(doc_id AS VARCHAR)"
+    val poly =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($idStr)), " +
+        s"i -> CAST(ascii($idStr[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id % 10 <> 7),
+       |m AS (
+       |  SELECT doc_id, text, lang, toks, len(toks) AS n_tokens,
+       |    len(list_filter(toks, x -> list_contains($stops, lower(x)))) AS n_stop,
+       |    list_sum(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, x -> CAST(length(x) AS BIGINT)))) AS char_sum,
+       |    length(text) - length(translate(text, '.,!?;:', '')) AS n_punct
+       |  FROM t),
+       |gated AS (
+       |  SELECT doc_id, text, lang, toks FROM m
+       |  WHERE n_tokens > 0
+       |    AND (CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens ELSE 0 END) > 0
+       |    AND (CASE WHEN n_tokens > 0 THEN char_sum * 1000 // n_tokens ELSE 0 END) BETWEEN 2000 AND 12000
+       |    AND (CASE WHEN length(text) > 0 THEN n_punct * 1000 // length(text) ELSE 0 END) < 200),
+       |btoks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS bt
+       |  FROM documents WHERE doc_id % 10 = 7),
+       |bshs AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(bt) >= 5 THEN
+       |      list_transform(generate_series(1, len(bt) - 4),
+       |        i -> array_to_string(bt[i:i+4], ' '))
+       |    ELSE [array_to_string(bt, ' ')] END)) AS shingle
+       |  FROM btoks),
+       |benchh AS (SELECT DISTINCT $shingleHash60Sql AS h FROM bshs),
+       |gshs AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(toks) >= 5 THEN
+       |      list_transform(generate_series(1, len(toks) - 4),
+       |        i -> array_to_string(toks[i:i+4], ' '))
+       |    ELSE [array_to_string(toks, ' ')] END)) AS shingle
+       |  FROM gated),
+       |gh AS (SELECT doc_id, $shingleHash60Sql AS h FROM gshs),
+       |clean AS (
+       |  SELECT doc_id, lang, toks FROM gated
+       |  WHERE doc_id NOT IN (
+       |    SELECT doc_id FROM gh WHERE h IN (SELECT h FROM benchh))),
+       |sp0 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+       |      list_transform(generate_series(1, len(toks) - 7),
+       |        i -> struct_pack(pos := i, slen := CAST(8 AS BIGINT),
+       |                         shingle := array_to_string(toks[i:i+7], ' ')))
+       |    ELSE [struct_pack(pos := CAST(1 AS BIGINT), slen := len(toks),
+       |                      shingle := array_to_string(toks, ' '))] END) AS s
+       |  FROM clean),
+       |sp AS (SELECT doc_id, s.pos AS pos, s.slen AS slen,
+       |         s.shingle AS shingle FROM sp0),
+       |sph AS (SELECT doc_id, pos, slen, $shingleHash60Sql AS h FROM sp),
+       |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sph)
+       |        GROUP BY h HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, tidx FROM (
+       |  SELECT doc_id, unnest(generate_series(pos, pos + slen - 1)) AS tidx
+       |  FROM sph WHERE h IN (SELECT h FROM dup)) c0),
+       |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+       |           i -> struct_pack(tidx := i, tok := toks[i]))) AS s FROM clean),
+       |tok AS (SELECT doc_id, s.tidx AS tidx, s.tok AS tok FROM tok0),
+       |keptt AS (
+       |  SELECT t2.doc_id, t2.tidx, t2.tok FROM tok t2
+       |  LEFT JOIN cov c ON c.doc_id = t2.doc_id AND c.tidx = t2.tidx
+       |  WHERE c.tidx IS NULL),
+       |scrub AS (SELECT doc_id, count(*) AS n_kept,
+       |            string_agg(tok, ' ' ORDER BY tidx) AS clean_text
+       |          FROM keptt GROUP BY doc_id),
+       |surv AS (SELECT c.doc_id, c.lang, s.clean_text
+       |         FROM clean c JOIN scrub s USING (doc_id)),
+       |bal AS (SELECT doc_id, lang, clean_text FROM (
+       |    SELECT doc_id, lang, clean_text,
+       |      row_number() OVER (PARTITION BY lang ORDER BY $poly, doc_id)
+       |        AS rk
+       |    FROM surv) r
+       |  WHERE rk <= CASE WHEN lang = 'en' THEN 60 ELSE 40 END),
+       |pt AS (SELECT doc_id, lang,
+       |         CAST(len(list_filter(string_split(clean_text, ' '),
+       |           x -> x <> '')) AS BIGINT) AS n_tok FROM bal),
+       |pw AS (SELECT doc_id, lang, n_tok,
+       |         CAST(sum(n_tok) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |           AS BIGINT) AS start_off
+       |       FROM pt)
+       |SELECT doc_id, lang, n_tok, start_off, start_off // 256 AS shard_id
+       |FROM pw ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-language embedding centroids in exact integer micro space:
     * every vector element is floored to micros *before* aggregation, so
     * the sum is order-free exact integer math (a float mean would depend
@@ -2266,6 +2392,7 @@ object Queries {
     "sample_stratified" -> sampleStratified _,
     "pipeline_curate" -> pipelineCurate _,
     "pipeline_curate_full" -> pipelineCurateFull _,
+    "pipeline_prep_shards" -> pipelinePrepShards _,
     "emb_lang_centroids" -> embLangCentroids _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
@@ -2336,6 +2463,7 @@ object Queries {
     "sample_stratified" -> sampleStratifiedSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
+    "pipeline_prep_shards" -> pipelinePrepShardsSql,
     "emb_lang_centroids" -> embLangCentroidsSql,
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql,
