@@ -1178,8 +1178,11 @@ object Queries {
     val withLang = scrubbed.join(
       docs.select(col("doc_id").cast(LongType).as("doc_id"), col("lang")),
       "doc_id")
+    // both the pack and the final lang join read `balanced` — cache it
+    // so the gate→decontaminate→scrub chain runs once (CacheScope
+    // releases, same contract as the op-level caches)
     val balanced = Sampling.quotaSample(withLang, "doc_id", "lang",
-      Map("en" -> 60L), defaultQuota = 40L)
+      Map("en" -> 60L), defaultQuota = 40L).cache()
     Packing.packGlobalByBudget(balanced, "doc_id", "clean_text",
       budgetTokens = 256L)
       .join(balanced.select(col("doc_id"), col("lang")), "doc_id")
@@ -1866,7 +1869,8 @@ object Queries {
       |  SELECT lang, source, doc_id,
       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
       |      AS BIGINT) AS n_tok
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
       |w AS (
       |  SELECT lang, source, doc_id, n_tok,
       |    CAST(sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
@@ -1949,7 +1953,7 @@ object Queries {
        |  SELECT doc_id, lang,
        |    row_number() OVER (PARTITION BY lang ORDER BY $poly, doc_id)
        |      AS rk
-       |  FROM documents)
+       |  FROM documents WHERE doc_id IS NOT NULL)
        |SELECT doc_id, lang FROM r
        |WHERE rk <= CASE WHEN lang = 'en' THEN 80 ELSE 60 END
        |ORDER BY doc_id""".stripMargin

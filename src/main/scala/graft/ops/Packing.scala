@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -25,9 +25,9 @@ import org.apache.spark.sql.types._
   * stratify by (source, language, dump-date, ...), giving thousands of
   * independent strata; packing is embarrassingly parallel across them.
   * An UNSTRATIFIED call would funnel the corpus into one task (Spark's
-  * empty-partition window) — require at least one stratum column and
-  * leave global packing to a per-partition pack + offset merge, which
-  * loses the stable doc→shard address this operator exists to provide.
+  * empty-partition window) — `packByBudget` requires at least one
+  * stratum column; `packGlobalByBudget` handles the global case with a
+  * distributed prefix-sum instead, same result as the naive window.
   */
 object Packing {
 
@@ -47,17 +47,17 @@ object Packing {
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nTok = size(TextOps.tokens(col(textCol))).cast(LongType)
-    df.select(strataCols.map(col) :+ col(idCol) :+ nTok.as("n_tok"): _*)
+    // null id/text rows drop, matching packGlobalByBudget and the SQL
+    // oracles (a null doc has no place in a token stream)
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(strataCols.map(col) :+ col(idCol) :+ nTok.as("n_tok"): _*)
       .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
-      .withColumn("shard_id", floor(col("start_off") / budgetTokens)
-        .cast(LongType))
+      // integral division (exact at any magnitude, same as the global
+      // variant's `start / budget` and DuckDB's `//`)
+      .withColumn("shard_id",
+        expr(s"start_off DIV $budgetTokens").cast(LongType))
   }
 
-  /** Shard-level summary of a packing: docs and tokens per shard. A
-    * shard's token count exceeds the budget only by its boundary doc's
-    * overflow — `max_overflow = max(0, tokens - budget)` per shard is
-    * the padding-vs-truncation cost the loader pays.
-    */
   /** GLOBAL packing without the single-task window: the classic
     * distributed prefix-sum. Documents are range-partitioned and sorted
     * by id, pass 1 collects one token-sum per partition (bounded: one
@@ -113,6 +113,11 @@ object Packing {
     counted.sparkSession.createDataFrame(packedRdd, outSchema)
   }
 
+  /** Shard-level summary of a packing: docs and tokens per shard, plus
+    * `overflow = max(0, stream end − shard budget boundary)` — the
+    * boundary doc's spill past the shard, i.e. the padding-vs-truncation
+    * cost the loader pays.
+    */
   def shardStats(packed: DataFrame, strataCols: Seq[String],
       budgetTokens: Long): DataFrame =
     packed.groupBy((strataCols :+ "shard_id").map(col): _*)

@@ -71,7 +71,12 @@ object Sampling {
     val w = Window.partitionBy(col(strataCol)).orderBy(
       graft.functions.PolyHash.polyHash(col(idCol).cast("string"), 131L),
       col(idCol))
-    df.withColumn("__rk", row_number().over(w))
+    // null ids drop: polyhash(NULL) is NULL, and Spark's NULLS FIRST
+    // window order would let a null row consume a quota slot while a SQL
+    // engine's NULLS LAST would not — excluding them keeps the selection
+    // engine-portable (mirrored by the oracle's WHERE)
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= quota)
       .drop("__rk")
   }

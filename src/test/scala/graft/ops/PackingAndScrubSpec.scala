@@ -85,7 +85,8 @@ class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
     // budget 5 → shards 0, 0, 1, 1
     val df = Seq(
       ("g1", 1L, "t t t"), ("g1", 2L, "t t t t"),
-      ("g1", 3L, "t t"), ("g1", 4L, "t t t t t t"))
+      ("g1", 3L, "t t"), ("g1", 4L, "t t t t t t"),
+      ("g1", 5L, null)) // null text never enters the token stream
       .toDF("src", "doc_id", "text")
     val packed = Packing.packByBudget(df, "doc_id", "text", Seq("src"), 5L)
     val rows = packed.collect()
