@@ -1170,8 +1170,12 @@ object Queries {
     val bench = docs.filter(col("doc_id") % 10 === 7)
     val train = docs.filter(col("doc_id") % 10 =!= 7)
       .filter(TextOps.qualityOk(col("text")))
+    // the scrub reads its input three times (span index, token explode,
+    // per-doc counts) — cache the decontaminated set so the quality gate
+    // and the decontamination semi-join run once, not three times
+    // (measured 6.2 s -> ~2 s median at sf0.1; CacheScope releases)
     val kept = Contamination.decontaminate(train, bench, "doc_id", "text",
-      n = 5)
+      n = 5).cache()
     val scrubbed = Contamination
       .scrubDupPassages(kept, "doc_id", "text", n = 8, minDocs = 2)
       .filter(col("n_tokens") - col("n_removed") > 0L)

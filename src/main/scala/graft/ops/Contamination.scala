@@ -167,13 +167,15 @@ object Contamination {
       .filter(col("__nd") >= minDocs).select(col("sh"))
     // token indices covered by some duplicated span occurrence; slen = 0
     // (empty doc) covers nothing — guarded because Spark's sequence()
-    // would COUNT DOWN for start > stop instead of yielding empty
+    // would COUNT DOWN for start > stop instead of yielding empty.
+    // NOT deduplicated: the anti-join below is existence-only, so a
+    // distinct here would move the same rows through one extra shuffle
+    // for nothing (overlap multiplicity is bounded by n anyway)
     val covered = spans.join(dupSh, "sh")
       .filter(col("slen") > 0L)
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + col("slen") - 1L))
           .as("tidx"))
-      .distinct()
     val toks = base
       .select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
       .select(col(idCol), (col("pos") + 1L).as("tidx"), col("col").as("tok"))
