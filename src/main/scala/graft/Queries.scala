@@ -1833,6 +1833,58 @@ object Queries {
        |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** The keep-first scrub (Lee et al. dedup form): each duplicated
+    * 8-gram span survives in its canonical keeper (min doc id) and is
+    * deleted everywhere else — exactly one copy of every duplicated
+    * passage remains in the corpus.
+    */
+  def dedupPassageScrubKeep(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Contamination.scrubDupPassages(
+      table(spark, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2,
+      keepFirst = true)
+      .orderBy("doc_id")
+
+  val dedupPassageScrubKeepSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |sp0 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+       |      list_transform(generate_series(1, len(t) - 7),
+       |        i -> struct_pack(pos := i, slen := CAST(8 AS BIGINT),
+       |                         shingle := array_to_string(t[i:i+7], ' ')))
+       |    ELSE [struct_pack(pos := CAST(1 AS BIGINT), slen := len(t),
+       |                      shingle := array_to_string(t, ' '))] END) AS s
+       |  FROM toks),
+       |sp AS (SELECT doc_id, s.pos AS pos, s.slen AS slen,
+       |         s.shingle AS shingle FROM sp0),
+       |sph AS (SELECT doc_id, pos, slen, $shingleHash60Sql AS h FROM sp),
+       |dup AS (SELECT h, min(doc_id) AS keep_doc
+       |        FROM (SELECT DISTINCT doc_id, h FROM sph)
+       |        GROUP BY h HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, tidx FROM (
+       |  SELECT sph.doc_id,
+       |    unnest(generate_series(pos, pos + slen - 1)) AS tidx
+       |  FROM sph JOIN dup USING (h)
+       |  WHERE sph.doc_id <> dup.keep_doc) c0),
+       |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+       |           i -> struct_pack(tidx := i, tok := t[i]))) AS s FROM toks),
+       |tok AS (SELECT doc_id, s.tidx AS tidx, s.tok AS tok FROM tok0),
+       |kept AS (
+       |  SELECT t2.doc_id, t2.tidx, t2.tok FROM tok t2
+       |  LEFT JOIN cov c ON c.doc_id = t2.doc_id AND c.tidx = t2.tidx
+       |  WHERE c.tidx IS NULL),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |          string_agg(tok, ' ' ORDER BY tidx) AS clean_text
+       |        FROM kept GROUP BY doc_id),
+       |base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+       |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(b.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(a.clean_text, '') AS clean_text
+       |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   /** Passage-level cross-source leakage matrix: distinct 8-gram spans
     * shared between every pair of sources (exact-normalized doc overlap
     * is zero on this corpus; span overlap is the finer signal).
@@ -2421,6 +2473,7 @@ object Queries {
     "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5 _,
     "rel_salted_join" -> relSaltedJoin _,
     "dedup_passage_scrub" -> dedupPassageScrub _,
+    "dedup_passage_scrub_keep" -> dedupPassageScrubKeep _,
     "source_overlap" -> sourceOverlap _,
     "pack_shards" -> packShards _,
     "pack_shards_global" -> packShardsGlobal _,
@@ -2488,6 +2541,7 @@ object Queries {
     "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5Sql,
     "rel_salted_join" -> relSaltedJoinSql,
     "dedup_passage_scrub" -> dedupPassageScrubSql,
+    "dedup_passage_scrub_keep" -> dedupPassageScrubKeepSql,
     "source_overlap" -> sourceOverlapSql,
     "pack_shards" -> packShardsSql,
     "pack_shards_global" -> packShardsGlobalSql,

@@ -142,11 +142,12 @@ object Contamination {
     * the scrubbed text (surviving tokens re-joined on single spaces).
     *
     * Semantics notes:
-    *   - ALL occurrences of a cross-document span are scrubbed (no
-    *     canonical keeper) — this is the boilerplate-removal semantics
-    *     (headers, license blocks, templated spam vanish everywhere);
-    *     whole-document dedup keeps one copy of legitimate content and
-    *     runs as its own pipeline stage.
+    *   - Default (`keepFirst = false`): ALL occurrences of a
+    *     cross-document span are scrubbed — the boilerplate-removal
+    *     semantics (headers, license blocks, templated spam vanish
+    *     everywhere). `keepFirst = true` is the dedup semantics: the
+    *     span's canonical keeper (min doc id) retains it, so exactly
+    *     one copy of each duplicated passage survives.
     *   - Docs shorter than n tokens are their own single span, so a
     *     short doc duplicated elsewhere scrubs to empty.
     *
@@ -158,13 +159,22 @@ object Contamination {
     * moves exactly once, partitioned by doc id.
     */
   def scrubDupPassages(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Int = 2): DataFrame = {
+      n: Int = 8, minDocs: Int = 2, keepFirst: Boolean = false)
+      : DataFrame = {
     val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast(LongType), col(textCol))
     val spans = spanIndexPos(base, idCol, textCol, n).cache()
+    // keepFirst=true is the Lee et al. dedup form: the span's canonical
+    // keeper (min doc id holding it) retains its occurrences, every
+    // other doc scrubs them — one copy of the passage survives the
+    // corpus. keepFirst=false (default) is the boilerplate form: ALL
+    // occurrences go. Same plan either way; the keeper column rides the
+    // existing doc-frequency aggregate for free.
     val dupSh = spans.select(col(idCol), col("sh")).distinct()
-      .groupBy(col("sh")).agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs).select(col("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("__nd"),
+        min(col(idCol)).as("__keep"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("sh"), col("__keep"))
     // token indices covered by some duplicated span occurrence; slen = 0
     // (empty doc) covers nothing — guarded because Spark's sequence()
     // would COUNT DOWN for start > stop instead of yielding empty.
@@ -172,7 +182,8 @@ object Contamination {
     // distinct here would move the same rows through one extra shuffle
     // for nothing (overlap multiplicity is bounded by n anyway)
     val covered = spans.join(dupSh, "sh")
-      .filter(col("slen") > 0L)
+      .filter(col("slen") > 0L &&
+        (if (keepFirst) col(idCol) =!= col("__keep") else lit(true)))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + col("slen") - 1L))
           .as("tidx"))

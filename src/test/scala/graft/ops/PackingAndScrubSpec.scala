@@ -50,6 +50,27 @@ class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 1L, 1L, "")))
   }
 
+  test("scrubDupPassages keepFirst retains one copy per duplicated span") {
+    val df = docs(
+      1L -> "a b c d",  // keeper of "a b" (min doc id) → untouched
+      2L -> "x a b y",  // loses "a b"
+      3L -> "a b",      // whole-doc span "a b"? no — len==n? n=2: sliding
+                        //  gives exactly "a b"; not the keeper → scrubbed
+      4L -> "q",        // keeper of whole-doc span "q"
+      5L -> "q")        // scrubbed
+    val out = Contamination.scrubDupPassages(df, "doc_id", "text",
+      n = 2, minDocs = 2, keepFirst = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 4L, 0L, "a b c d"),
+      (2L, 4L, 2L, "x y"),
+      (3L, 2L, 2L, ""),
+      (4L, 1L, 0L, "q"),
+      (5L, 1L, 1L, "")))
+  }
+
   test("scrubDupPassages is partitioning-invariant") {
     val base = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
