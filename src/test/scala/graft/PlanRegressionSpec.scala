@@ -169,6 +169,20 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("quota rebalance window partitions by stratum, never one task") {
+    val p = plan("mix_rebalance")
+    assert(p.contains("hashpartitioning"), "no hash partitioning in plan")
+    assert(!p.contains("SinglePartition"),
+      s"quota window collapsed to one task:\n$p")
+  }
+
+  test("source overlap joins on span hashes, never a cartesian") {
+    val p = plan("source_overlap")
+    assert(!p.contains("CartesianProduct"), s"cartesian in overlap:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in overlap:\n$p")
+  }
+
   test("dst transition map prints every reachable state block") {
     import graft.cep._
     val q = CepQuery(

@@ -84,6 +84,40 @@ class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("scrub invariants on real docs: subsequence, keeper dominance") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val orig = base.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+    def run(keepFirst: Boolean) =
+      Contamination.scrubDupPassages(base, "doc_id", "text", n = 8,
+        minDocs = 2, keepFirst = keepFirst)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+    val boiler = run(keepFirst = false)
+    val keepF = run(keepFirst = true)
+    def isSubseq(sub: Array[String], sup: Array[String]): Boolean = {
+      var i = 0
+      sup.foreach { t => if (i < sub.length && sub(i) == t) i += 1 }
+      i == sub.length
+    }
+    orig.foreach { case (id, toks) =>
+      val (nb, rb, cb) = boiler(id)
+      val (nk, rk, ck) = keepF(id)
+      assert(nb == toks.length && nk == toks.length)
+      assert(rb >= 0 && rb <= nb && rk >= 0 && rk <= nk)
+      // clean text is always an order-preserving subsequence of the doc
+      assert(isSubseq(cb.split(" ").filter(_.nonEmpty), toks))
+      assert(isSubseq(ck.split(" ").filter(_.nonEmpty), toks))
+      // the keeper form never removes more than the boilerplate form
+      assert(rk <= rb, s"doc $id: keepFirst removed $rk > default $rb")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("groupOverlapMatrix counts distinct shared spans per group pair") {
     val s = spark
     import s.implicits._
