@@ -1795,56 +1795,13 @@ object Queries {
       table(spark, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
       .orderBy("doc_id")
 
-  val dedupPassageScrubSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
-       |  FROM documents
-       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-       |sp0 AS (
-       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
-       |      list_transform(generate_series(1, len(t) - 7),
-       |        i -> struct_pack(pos := i, slen := CAST(8 AS BIGINT),
-       |                         shingle := array_to_string(t[i:i+7], ' ')))
-       |    ELSE [struct_pack(pos := CAST(1 AS BIGINT), slen := len(t),
-       |                      shingle := array_to_string(t, ' '))] END) AS s
-       |  FROM toks),
-       |sp AS (SELECT doc_id, s.pos AS pos, s.slen AS slen,
-       |         s.shingle AS shingle FROM sp0),
-       |sph AS (SELECT doc_id, pos, slen, $shingleHash60Sql AS h FROM sp),
-       |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sph)
-       |        GROUP BY h HAVING count(*) >= 2),
-       |cov AS (SELECT DISTINCT doc_id, tidx FROM (
-       |  SELECT doc_id, unnest(generate_series(pos, pos + slen - 1)) AS tidx
-       |  FROM sph WHERE h IN (SELECT h FROM dup)) c0),
-       |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
-       |           i -> struct_pack(tidx := i, tok := t[i]))) AS s FROM toks),
-       |tok AS (SELECT doc_id, s.tidx AS tidx, s.tok AS tok FROM tok0),
-       |kept AS (
-       |  SELECT t.doc_id, t.tidx, t.tok FROM tok t
-       |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tidx = t.tidx
-       |  WHERE c.tidx IS NULL),
-       |agg AS (SELECT doc_id, count(*) AS n_kept,
-       |          string_agg(tok, ' ' ORDER BY tidx) AS clean_text
-       |        FROM kept GROUP BY doc_id),
-       |base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
-       |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
-       |  CAST(b.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
-       |  coalesce(a.clean_text, '') AS clean_text
-       |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
-       |ORDER BY b.doc_id""".stripMargin
-
-  /** The keep-first scrub (Lee et al. dedup form): each duplicated
-    * 8-gram span survives in its canonical keeper (min doc id) and is
-    * deleted everywhere else — exactly one copy of every duplicated
-    * passage remains in the corpus.
+  /** Shared scrub-oracle body: tokenize → positional 8-gram spans →
+    * 60-bit hash → [the variant's dup/cov CTEs] → covered-token
+    * anti-join → reassembly. Both scrub forms differ ONLY in how the
+    * `cov` CTE selects covered occurrences, so the variant supplies
+    * `dup`+`cov` and everything else is written once.
     */
-  def dedupPassageScrubKeep(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Contamination.scrubDupPassages(
-      table(spark, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2,
-      keepFirst = true)
-      .orderBy("doc_id")
-
-  val dedupPassageScrubKeepSql: String =
+  private def scrubOracleSql(dupCovCtes: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
        |  FROM documents
@@ -1860,14 +1817,7 @@ object Queries {
        |sp AS (SELECT doc_id, s.pos AS pos, s.slen AS slen,
        |         s.shingle AS shingle FROM sp0),
        |sph AS (SELECT doc_id, pos, slen, $shingleHash60Sql AS h FROM sp),
-       |dup AS (SELECT h, min(doc_id) AS keep_doc
-       |        FROM (SELECT DISTINCT doc_id, h FROM sph)
-       |        GROUP BY h HAVING count(*) >= 2),
-       |cov AS (SELECT DISTINCT doc_id, tidx FROM (
-       |  SELECT sph.doc_id,
-       |    unnest(generate_series(pos, pos + slen - 1)) AS tidx
-       |  FROM sph JOIN dup USING (h)
-       |  WHERE sph.doc_id <> dup.keep_doc) c0),
+       |$dupCovCtes,
        |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
        |           i -> struct_pack(tidx := i, tok := t[i]))) AS s FROM toks),
        |tok AS (SELECT doc_id, s.tidx AS tidx, s.tok AS tok FROM tok0),
@@ -1884,6 +1834,35 @@ object Queries {
        |  coalesce(a.clean_text, '') AS clean_text
        |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
+
+  val dedupPassageScrubSql: String = scrubOracleSql(
+    """dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sph)
+      |        GROUP BY h HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, tidx FROM (
+      |  SELECT doc_id, unnest(generate_series(pos, pos + slen - 1)) AS tidx
+      |  FROM sph WHERE h IN (SELECT h FROM dup)) c0)""".stripMargin)
+
+  /** The keep-first scrub (Lee et al. dedup form): each duplicated
+    * 8-gram span survives in its canonical keeper (min doc id) and is
+    * deleted everywhere else. Per-span, not per-passage: overlapping
+    * spans with different keepers can still erode a long duplicated
+    * passage in every doc (see `scrubDupPassages` scaladoc).
+    */
+  def dedupPassageScrubKeep(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Contamination.scrubDupPassages(
+      table(spark, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2,
+      keepFirst = true)
+      .orderBy("doc_id")
+
+  val dedupPassageScrubKeepSql: String = scrubOracleSql(
+    """dup AS (SELECT h, min(doc_id) AS keep_doc
+      |        FROM (SELECT DISTINCT doc_id, h FROM sph)
+      |        GROUP BY h HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, tidx FROM (
+      |  SELECT sph.doc_id,
+      |    unnest(generate_series(pos, pos + slen - 1)) AS tidx
+      |  FROM sph JOIN dup USING (h)
+      |  WHERE sph.doc_id <> dup.keep_doc) c0)""".stripMargin)
 
   /** Passage-level cross-source leakage matrix: distinct 8-gram spans
     * shared between every pair of sources (exact-normalized doc overlap

@@ -145,9 +145,13 @@ object Contamination {
     *   - Default (`keepFirst = false`): ALL occurrences of a
     *     cross-document span are scrubbed — the boilerplate-removal
     *     semantics (headers, license blocks, templated spam vanish
-    *     everywhere). `keepFirst = true` is the dedup semantics: the
-    *     span's canonical keeper (min doc id) retains it, so exactly
-    *     one copy of each duplicated passage survives.
+    *     everywhere). `keepFirst = true` is the dedup semantics: each
+    *     span's canonical keeper (min doc id) retains its occurrences.
+    *     Note the per-SPAN guarantee does not compose to per-passage:
+    *     when overlapping spans have different keepers, a doc can lose
+    *     tokens inside a span it keeps, so a long duplicated passage
+    *     may survive nowhere intact (deletion is never weaker than
+    *     documented, only stronger).
     *   - Docs shorter than n tokens are their own single span, so a
     *     short doc duplicated elsewhere scrubs to empty.
     *
@@ -166,10 +170,10 @@ object Contamination {
     val spans = spanIndexPos(base, idCol, textCol, n).cache()
     // keepFirst=true is the Lee et al. dedup form: the span's canonical
     // keeper (min doc id holding it) retains its occurrences, every
-    // other doc scrubs them — one copy of the passage survives the
-    // corpus. keepFirst=false (default) is the boilerplate form: ALL
-    // occurrences go. Same plan either way; the keeper column rides the
-    // existing doc-frequency aggregate for free.
+    // other doc scrubs them (per span — see scaladoc for the
+    // overlapping-span caveat). keepFirst=false (default) is the
+    // boilerplate form: ALL occurrences go. Same plan either way; the
+    // keeper column rides the existing doc-frequency aggregate for free.
     val dupSh = spans.select(col(idCol), col("sh")).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("__nd"),
         min(col(idCol)).as("__keep"))
