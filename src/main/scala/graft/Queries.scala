@@ -92,6 +92,42 @@ object Queries {
       |WHERE event_type = 'signup' AND next_type = 'purchase'
       |ORDER BY user_id, a_id""".stripMargin
 
+  /** Beyond-parity `within` window: relaxed signup→purchase, but only
+    * when the pair sits fewer than 5 stream positions apart (FlinkCEP
+    * `.within` over order position). The executor prunes expired runs,
+    * so per-key state is bounded by the window — the oracle reproduces
+    * the step arithmetic with a row_number window.
+    */
+  val cepWithinSignupPurchaseQuery: CepQuery =
+    CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("a", "signup", "True"),
+        Pattern.spat("b", "purchase", "True")),
+      eventSchema, within = Some(5))
+
+  def cepWithinSignupPurchase(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepWithinSignupPurchaseQuery)
+      .select(col("user_id"), element_at(col("a"), 1).as("a_id"),
+        element_at(col("b"), 1).as("b_id"))
+      .orderBy("user_id", "a_id")
+
+  val cepWithinSignupPurchaseSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS step
+      |  FROM events),
+      |s AS (SELECT user_id, event_id AS a_id, step AS astep
+      |      FROM r WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, step FROM r WHERE event_type = 'purchase'),
+      |fp AS (
+      |  SELECT s.user_id, s.a_id, s.astep, min(p.step) AS bstep
+      |  FROM s JOIN p ON p.user_id = s.user_id AND p.step > s.astep
+      |  GROUP BY 1, 2, 3)
+      |SELECT f.user_id, f.a_id, r.event_id AS b_id
+      |FROM fp f JOIN r ON r.user_id = f.user_id AND r.step = f.bstep
+      |WHERE f.bstep - f.astep < 5
+      |ORDER BY f.user_id, f.a_id""".stripMargin
+
   /** CEP composed with a downstream relational aggregation: matches per
     * user of the strict signup→purchase pattern. Exercises the
     * Catalyst-planned operator's `outputPartitioning` contract end-to-end:
@@ -2382,6 +2418,7 @@ object Queries {
   val cepRegistryQueries: Map[String, CepQuery] = Map(
     "cep_spat_purchase" -> cepSpatPurchaseQuery,
     "cep_next_signup_purchase" -> cepNextSignupPurchaseQuery,
+    "cep_within_signup_purchase" -> cepWithinSignupPurchaseQuery,
     "cep_lpat_strict_clicks" -> cepLpatStrictClicksQuery,
     "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairsQuery,
     "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairsQuery,
@@ -2396,6 +2433,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cep_spat_purchase" -> cepSpatPurchase _,
     "cep_next_signup_purchase" -> cepNextSignupPurchase _,
+    "cep_within_signup_purchase" -> cepWithinSignupPurchase _,
     "cep_lpat_strict_clicks" -> cepLpatStrictClicks _,
     "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairs _,
     "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairs _,
@@ -2464,6 +2502,7 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "cep_spat_purchase" -> cepSpatPurchaseSql,
     "cep_next_signup_purchase" -> cepNextSignupPurchaseSql,
+    "cep_within_signup_purchase" -> cepWithinSignupPurchaseSql,
     "cep_lpat_strict_clicks" -> cepLpatStrictClicksSql,
     "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairsSql,
     "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairsSql,

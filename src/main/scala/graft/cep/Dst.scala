@@ -45,7 +45,13 @@ final case class Configuration(
     eta: Map[String, Long],
     ctx: Map[String, Vector[Event]],
     lastTake: Boolean,
-    revEpsClosure: Set[String]
+    revEpsClosure: Set[String],
+    /** Step index of this run's first take (0 = none yet) — carried for
+      * the `within` window extension; the reference has no time notion
+      * (SURVEY §1.1), so 0 is the only value reference semantics ever
+      * sees. Set by the executor (transitions don't know the step).
+      */
+    firstTake: Int = 0
 )
 
 object Configuration {
@@ -57,9 +63,10 @@ object Configuration {
       eta: Map[String, Long],
       ctx: Map[String, Vector[Event]],
       lastTake: Boolean = false,
-      revEps: Set[String] = Set.empty
+      revEps: Set[String] = Set.empty,
+      firstTake: Int = 0
   ): Configuration =
-    Configuration(q, eta, ctx, lastTake, revEps + q.name)
+    Configuration(q, eta, ctx, lastTake, revEps + q.name, firstTake)
 }
 
 /** Transition predicate: event-type gate + condition expression
@@ -172,7 +179,8 @@ final class Transition(
       alpha.update(conf.eta, event),
       beta.update(conf.ctx, event),
       lastTake,
-      revEps
+      revEps,
+      conf.firstTake
     )
   }
 }

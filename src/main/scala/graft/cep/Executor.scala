@@ -16,8 +16,20 @@ import scala.collection.mutable.ArrayBuffer
   * cheaply for use inside Spark stateful operators.
   */
 final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
-    val maxRuns: Option[Int] = None)
+    val maxRuns: Option[Int] = None,
+    /** Beyond-parity window extension (FlinkCEP `.within`, with "time" =
+      * position in the key's ordered stream): a match is emitted only if
+      * its last take is fewer than `w` steps after its first take
+      * (`lastTakeStep - firstTakeStep < w`). Runs whose window has
+      * closed are pruned after every step, so live state per key is
+      * bounded by the runs spawned in the last `w` steps — the state
+      * bound that makes long-running streaming patterns safe. `None`
+      * (default) is exact reference semantics.
+      */
+    val within: Option[Int] = None)
     extends Serializable {
+
+  require(within.forall(_ >= 1), s"within must be >= 1, got $within")
 
   private var S: ArrayBuffer[(Int, Configuration)] = ArrayBuffer.empty
   private var i: Int = 0
@@ -64,7 +76,13 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
       while (e < edges.length) {
         val edge = edges(e)
         if (edge.predict(conf, ev)) {
-          val nc = edge.advance(conf, ev)
+          val nc0 = edge.advance(conf, ev)
+          // first take stamps the run's window start (the transition
+          // cannot: it does not know the step counter)
+          val nc =
+            if (!edge.isEpsilon && edge.isTake && nc0.firstTake == 0)
+              nc0.copy(firstTake = i)
+            else nc0
           if (edge.isEpsilon) {
             // process ε-successors before the remaining queue entries
             t.insert(idx, (k, nc))
@@ -88,7 +106,10 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     while (j < S.length && !done) {
       val (k, conf) = S(j)
       j += 1
-      if (!lazyDelete.contains(k) && dst.accept(conf)) {
+      // window check: an accepting config's last take is always the
+      // current step, so the match span is i - firstTake
+      if (!lazyDelete.contains(k) && dst.accept(conf) &&
+          within.forall(w => i - conf.firstTake < w)) {
         out += dst.output(conf)
         strategy match {
           case AfterMatchStrategy.NoSkip => ()
@@ -101,6 +122,18 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     }
     if (lazyDelete.nonEmpty)
       S = S.filterNot { case (k, _) => lazyDelete.contains(k) }
+
+    // window pruning: a run whose first take is already w-1 steps old can
+    // never emit again (any future accept has span >= i+1 - firstTake >=
+    // w), so its state is dead — this is what bounds live runs per key
+    // for within-patterns on unbounded streams. Untaken runs (firstTake
+    // 0) are kept: their window has not started.
+    within.foreach { w =>
+      if (S.exists { case (_, c) => c.firstTake != 0 && i - c.firstTake >= w - 1 })
+        S = S.filter { case (_, c) =>
+          c.firstTake == 0 || i - c.firstTake < w - 1
+        }
+    }
 
     // state-explosion safety valve: nd-relaxed + NoSkip can grow the run
     // set combinatorially (inherent to the semantics, SURVEY.md §4); at
@@ -132,7 +165,7 @@ final class CepOperator(val executor: Executor) {
 
 object CepOperator {
   def fromQuery(query: CepQuery): CepOperator =
-    new CepOperator(new Executor(DstCompiler.compile(query), query.strategy))
+    new CepOperator(new Executor(DstCompiler.compile(query), query.strategy, within = query.within))
 
   /** One-shot convenience: run `query` over an ordered event sequence. */
   def run(query: CepQuery, input: IterableOnce[Event]): Vector[Match] =

@@ -183,7 +183,13 @@ object AfterMatchStrategy {
 final case class CepQuery(
     patseq: Pattern,
     schema: Vector[(String, Vector[String])],
-    strategy: AfterMatchStrategy = AfterMatchStrategy.NoSkip
+    strategy: AfterMatchStrategy = AfterMatchStrategy.NoSkip,
+    /** Beyond-parity window (FlinkCEP `.within` over stream position):
+      * keep matches whose first and last taken events are fewer than
+      * `w` steps apart, and prune dead runs — bounding per-key state on
+      * unbounded streams. `None` = exact reference semantics.
+      */
+    within: Option[Int] = None
 ) extends Serializable {
   def eventTypes: Vector[String] = schema.map(_._1)
 

@@ -103,7 +103,7 @@ object SparkCep {
 
     val out = parted.mapPartitions { rows =>
       val executor =
-        new Executor(DstCompiler.compile(query), query.strategy, maxRunsPerKey)
+        new Executor(DstCompiler.compile(query), query.strategy, maxRunsPerKey, query.within)
       // resolve the optional gauge once per task: the per-event cost when
       // disabled is a single null check, not an Option dispatch + closure
       val acc = skewAcc.orNull
@@ -209,6 +209,14 @@ object SparkCep {
     * observable — no filter there.
     */
   def prefilter(query: CepQuery, spec: CepSpec): Option[Column] = {
+    // `within` counts STREAM POSITIONS, so dropping ignorable events
+    // before the NFA would shrink every span and admit matches the
+    // window should reject — the one observer that makes skipped
+    // events semantically visible even under relaxed contiguity. A
+    // lone spat is the exception (its span is always 0).
+    if (query.within.isDefined &&
+        !unwrapGpat(query.patseq).isInstanceOf[Pattern.Spat])
+      return None
     unwrapGpat(query.patseq) match {
       case s: Pattern.Spat =>
         val typeCond = col(spec.typeCol) === s.event

@@ -34,7 +34,8 @@ object StreamingCep {
   /** One live NFA run, state referenced by name. */
   final case class SerRun(start: Int, q: String, lastTake: Boolean,
       revEps: Seq[String], etaKeys: Seq[String], etaVals: Seq[Long],
-      ctxKeys: Seq[String], ctxVals: Seq[Seq[SerEvent]])
+      ctxKeys: Seq[String], ctxVals: Seq[Seq[SerEvent]],
+      firstTake: Int = 0)
 
   /** Whole per-key executor state. */
   final case class CepState(step: Int, runs: Seq[SerRun])
@@ -72,7 +73,8 @@ object StreamingCep {
     CepState(step, runs.map { case (k, c) =>
       SerRun(k, c.q.name, c.lastTake, c.revEpsClosure.toSeq,
         c.eta.keys.toSeq, c.eta.values.toSeq,
-        c.ctx.keys.toSeq, c.ctx.values.toSeq.map(_.map(toSer)))
+        c.ctx.keys.toSeq, c.ctx.values.toSeq.map(_.map(toSer)),
+        c.firstTake)
     })
   }
 
@@ -83,7 +85,8 @@ object StreamingCep {
         r.etaKeys.zip(r.etaVals).toMap,
         r.ctxKeys.zip(r.ctxVals.map(_.map(fromSer).toVector)).toMap,
         r.lastTake,
-        r.revEps.toSet))
+        r.revEps.toSet,
+        r.firstTake))
     })
 
   /** Apply a CEP query to a *streaming* DataFrame. Input columns are mapped
@@ -124,7 +127,7 @@ object StreamingCep {
       .flatMapGroupsWithState[CepState, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Row], state: GroupState[CepState]) =>
-          val executor = new Executor(dst, query.strategy, maxRunsPerKey)
+          val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within)
           if (state.exists) restoreState(executor, state.get)
           // arrival-order semantics within the micro-batch: sort by order
           // column (monotone ingestion ids), as the reference's processing
@@ -196,7 +199,7 @@ object StreamingCep {
       .flatMapGroupsWithState[CepStateEt, Row](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[Row], state: GroupState[CepStateEt]) =>
-          val executor = new Executor(dst, query.strategy, maxRunsPerKey)
+          val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within)
           val prev = if (state.exists) state.get else CepStateEt(0, Nil, Nil)
           restoreState(executor,
             CepState(prev.step, prev.runs))

@@ -1,0 +1,117 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The beyond-parity `within` window (FlinkCEP `.within` over stream
+  * position): hand pins, a differential gate against the post-filter
+  * reference semantics on real event data, and the state-bound property
+  * that motivates the feature.
+  */
+class WithinSpec extends AnyFunSuite {
+
+  private def ev(tpe: String, id: Long): Event =
+    Event(tpe, Vector("event_id" -> id))
+
+  private val schema: Vector[(String, Vector[String])] =
+    Vector("a" -> Vector("event_id"), "b" -> Vector("event_id"),
+      "c" -> Vector("event_id"))
+
+  test("within gates the relaxed pair by step span") {
+    // a at step1; b at steps 4 and 6 (relaxed combine takes the FIRST b)
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+      schema)
+    val input = Vector(ev("a", 1), ev("c", 2), ev("c", 3), ev("b", 4),
+      ev("c", 5), ev("b", 6))
+    def ids(ms: Vector[Match]) =
+      ms.map { m =>
+        val byName = m.toMap
+        byName("x").head("event_id") -> byName("y").head("event_id")
+      }
+    // span = 4 - 1 = 3 steps
+    assert(ids(CepOperator.run(q, input)) == Vector(1L -> 4L))
+    assert(ids(CepOperator.run(q.copy(within = Some(4)), input)) ==
+      Vector(1L -> 4L))
+    assert(ids(CepOperator.run(q.copy(within = Some(3)), input)) ==
+      Vector.empty)
+  }
+
+  test("within=1 admits only single-event matches") {
+    val q = CepQuery(Pattern.spat("x", "a", "True"), schema,
+      within = Some(1))
+    val input = Vector(ev("a", 1), ev("b", 2), ev("a", 3))
+    assert(CepOperator.run(q, input).size == 2)
+  }
+
+  test("differential: within == reference post-filter on registry patterns") {
+    // reference semantics: run WITHOUT within, then keep matches whose
+    // bound events' step span < w (non-group patterns bind every take,
+    // so output span == take span)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rows = spark.read
+        .parquet("/root/testdata/sf0.001/events.parquet")
+        .selectExpr("user_id", "event_id", "event_type",
+          "cast(value as long) as value")
+        .collect()
+      val byKey = rows.groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).toVector.map(r =>
+          Event(r.getString(2), Vector("event_id" -> r.getLong(1),
+            "value" -> (if (r.isNullAt(3)) 0L else r.getLong(3)))))
+      }
+      val patterns = graft.Queries.cepRegistryQueries
+        .filter { case (name, _) => !name.contains("gpat") }
+      for (w <- Seq(3, 8); (name, q) <- patterns) {
+        byKey.foreach { case (k, events) =>
+          val stepOf = events.iterator.zipWithIndex
+            .map { case (e, ix) => e("event_id") -> (ix + 1) }.toMap
+          val got = CepOperator.run(q.copy(within = Some(w)), events)
+          val expect = CepOperator.run(q.copy(within = None), events)
+            .filter { m =>
+            val steps = m.flatMap(_._2).map(e => stepOf(e("event_id")))
+            steps.max - steps.min < w
+          }
+          assert(got == expect,
+            s"$name within=$w key=$k: ${got.size} vs ${expect.size}")
+        }
+      }
+    } finally spark.stop()
+  }
+
+  test("within disables the alphabet prefilter for multi-step patterns") {
+    // dropping ignorable events shrinks step spans — the window is the
+    // one observer that makes skipped events visible under relaxed
+    // contiguity (caught live by the oracle: 1746 vs 1139 rows)
+    val q = graft.Queries.cepWithinSignupPurchaseQuery
+    assert(SparkCep.prefilter(q, graft.Queries.eventSpec).isEmpty)
+    assert(SparkCep.prefilter(q.copy(within = None),
+      graft.Queries.eventSpec).isDefined)
+    // a lone spat keeps its pushdown: its span is always 0
+    val spat = CepQuery(Pattern.spat("a", "purchase", "value < 40"),
+      graft.Queries.cepWithinSignupPurchaseQuery.schema, within = Some(1))
+    assert(SparkCep.prefilter(spat, graft.Queries.eventSpec).isDefined)
+  }
+
+  test("within bounds live runs on a match-starved stream") {
+    // a-then-b relaxed where b never arrives: without a window every
+    // taken run stays alive forever; with one, state is bounded
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+      schema)
+    val unbounded = new Executor(DstCompiler.compile(q), q.strategy)
+    val windowed = new Executor(DstCompiler.compile(q), q.strategy,
+      within = Some(10))
+    (1L to 5000L).foreach { id =>
+      val e = ev("a", id)
+      unbounded.feed(e); windowed.feed(e)
+    }
+    assert(unbounded.runCount > 4000, s"got ${unbounded.runCount}")
+    assert(windowed.runCount <= 10, s"got ${windowed.runCount}")
+  }
+}
