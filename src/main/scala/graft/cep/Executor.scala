@@ -20,10 +20,15 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     /** Beyond-parity window extension (FlinkCEP `.within`, with "time" =
       * position in the key's ordered stream): a match is emitted only if
       * its last take is fewer than `w` steps after its first take
-      * (`lastTakeStep - firstTakeStep < w`). Runs whose window has
-      * closed are pruned after every step, so live state per key is
-      * bounded by the runs spawned in the last `w` steps — the state
-      * bound that makes long-running streaming patterns safe. `None`
+      * (`lastTakeStep - firstTakeStep < w`). An out-of-window accept
+      * neither emits NOR triggers the after-match skip strategy (the
+      * FlinkCEP behavior: timed-out partials die silently). Runs whose
+      * window has closed are pruned after every step, bounding live
+      * TAKEN-run state per key by the runs spawned in the last `w`
+      * steps. Caveat: runs that have not taken yet (possible for
+      * optional-prefix patterns, whose ε-skip lands in an ignore state)
+      * have no window to expire and are NOT pruned — patterns with such
+      * prefixes still need `maxRuns` as the state valve. `None`
       * (default) is exact reference semantics.
       */
     val within: Option[Int] = None)
@@ -61,6 +66,13 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
   /** Feed one event; return the matches completed by it, in order. */
   def feed(event: Event): Vector[Match] = {
     i += 1
+    // the step counter is an Int (it rides the streaming state codec);
+    // wrapping would silently corrupt `within` spans and the firstTake
+    // sentinel, so a key that outlives 2^31 events fails loudly instead
+    if (i == Int.MinValue)
+      throw new IllegalStateException(
+        "CEP step counter overflow: this key has consumed 2^31 events " +
+          "in one logical stream; shard the key or restart the pattern")
     val ev = Some(event)
 
     val t = ArrayBuffer.from(S)

@@ -191,6 +191,10 @@ final case class CepQuery(
       */
     within: Option[Int] = None
 ) extends Serializable {
+  // validate at query construction (driver side) — the Executor's own
+  // require would otherwise surface as repeated task failures
+  require(within.forall(_ >= 1), s"within must be >= 1, got $within")
+
   def eventTypes: Vector[String] = schema.map(_._1)
 
   /** `Strategy(pattern-repr)`, as the reference's `Query.__repr__`. */

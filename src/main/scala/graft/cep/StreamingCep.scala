@@ -31,7 +31,14 @@ object StreamingCep {
   final case class CepStateEt(step: Int, runs: Seq[SerRun],
       buffer: Seq[BufEvent])
 
-  /** One live NFA run, state referenced by name. */
+  /** One live NFA run, state referenced by name.
+    *
+    * STATE SCHEMA NOTE: `firstTake` (the `within` window start) was
+    * added to this struct, which changes the flatMapGroupsWithState
+    * encoder schema — checkpoints written by earlier builds cannot be
+    * restored and must be discarded (start the query from a fresh
+    * checkpoint directory after upgrading).
+    */
   final case class SerRun(start: Int, q: String, lastTake: Boolean,
       revEps: Seq[String], etaKeys: Seq[String], etaVals: Seq[Long],
       ctxKeys: Seq[String], ctxVals: Seq[Seq[SerEvent]],

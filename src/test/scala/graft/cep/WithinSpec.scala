@@ -64,8 +64,15 @@ class WithinSpec extends AnyFunSuite {
           Event(r.getString(2), Vector("event_id" -> r.getLong(1),
             "value" -> (if (r.isNullAt(3)) 0L else r.getLong(3)))))
       }
+      // non-group (output = every take, so output span == take span) and
+      // NoSkip only: under skip strategies the post-filter reference is
+      // not equivalent — a live out-of-window accept does NOT trigger
+      // the skip (pinned separately below), while the reference's
+      // unwindowed run lets it prune sibling runs before the filter
       val patterns = graft.Queries.cepRegistryQueries
-        .filter { case (name, _) => !name.contains("gpat") }
+        .filter { case (name, q) =>
+          !name.contains("gpat") && q.strategy == AfterMatchStrategy.NoSkip
+        }
       for (w <- Seq(3, 8); (name, q) <- patterns) {
         byKey.foreach { case (k, events) =>
           val stepOf = events.iterator.zipWithIndex
@@ -81,6 +88,26 @@ class WithinSpec extends AnyFunSuite {
         }
       }
     } finally spark.stop()
+  }
+
+  test("out-of-window accept neither emits nor triggers the skip strategy") {
+    // a@1, a@4, b@5 with SkipPastLastEvent, w=3: run 1's would-be match
+    // (a1,b5) spans 4 steps — expired, so it is pruned at step 3 and can
+    // NOT clear the run set; run 2's (a4,b5) spans 1 and emits. (The
+    // unwindowed run emits (a1,b5) first and skip-past kills run 2.)
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+      schema, AfterMatchStrategy.SkipPastLastEvent)
+    val input = Vector(ev("a", 1), ev("c", 2), ev("c", 3), ev("a", 4),
+      ev("b", 5))
+    def ids(ms: Vector[Match]) = ms.map { m =>
+      val byName = m.toMap
+      byName("x").head("event_id") -> byName("y").head("event_id")
+    }
+    assert(ids(CepOperator.run(q, input)) == Vector(1L -> 5L))
+    assert(ids(CepOperator.run(q.copy(within = Some(3)), input)) ==
+      Vector(4L -> 5L))
   }
 
   test("within disables the alphabet prefilter for multi-step patterns") {
