@@ -9,7 +9,8 @@ import scala.jdk.CollectionConverters._
   * {{{
   * type: query
   * patseq: { type: spat|lpat|lpat-inf|combine|gpat|gpat-times|gpat-inf, ... }
-  * context: { schema: {evType: [attrs...]}, [strategy: NoSkip|...] }
+  * context: { schema: {evType: [attrs...]}, [strategy: NoSkip|...],
+  * [within: w] }
   * }}}
   *
   * snakeyaml preserves mapping insertion order (LinkedHashMap), which we rely
@@ -68,7 +69,11 @@ object YamlQuery {
     val strategy = Option(context.get("strategy"))
       .map(s => AfterMatchStrategy.fromName(s.toString))
       .getOrElse(AfterMatchStrategy.NoSkip)
-    CepQuery(patseq, schema, strategy)
+    // beyond-parity: an optional `within: <w>` context key exposes the
+    // step-window extension through the YAML surface (absent in every
+    // reference query — reference files parse exactly as before)
+    val within = Option(context.get("within")).map(_.toString.toInt)
+    CepQuery(patseq, schema, strategy, within)
   }
 
   private def str(m: JMap[String, Object], k: String): String =

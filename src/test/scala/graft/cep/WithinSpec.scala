@@ -124,6 +124,45 @@ class WithinSpec extends AnyFunSuite {
     assert(SparkCep.prefilter(spat, graft.Queries.eventSpec).isDefined)
   }
 
+  test("snapshot/restore mid-stream preserves window starts") {
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+      schema, within = Some(4))
+    val input = Vector(ev("a", 1), ev("c", 2), ev("a", 3), ev("c", 4),
+      ev("b", 5), ev("a", 6), ev("b", 7))
+    val straight = CepOperator.run(q, input)
+    // cut at every point; resume on a FRESH executor from the snapshot
+    for (cut <- 1 until input.length) {
+      val ex1 = new Executor(DstCompiler.compile(q), q.strategy,
+        within = q.within)
+      val out = Vector.newBuilder[Match]
+      input.take(cut).foreach(e => out ++= ex1.feed(e))
+      val (step, runs) = ex1.snapshot
+      val ex2 = new Executor(DstCompiler.compile(q), q.strategy,
+        within = q.within)
+      ex2.restore(step, runs)
+      input.drop(cut).foreach(e => out ++= ex2.feed(e))
+      assert(out.result() == straight, s"cut at $cut diverged")
+    }
+  }
+
+  test("yaml context carries the within window") {
+    val yml =
+      """patseq: {type: spat, name: a, event: e, cndt: {expr: "True"}}
+        |context:
+        |  schema: {e: [event_id]}
+        |  within: 7
+        |""".stripMargin
+    assert(YamlQuery.fromYaml(yml).within == Some(7))
+    val noW =
+      """patseq: {type: spat, name: a, event: e, cndt: {expr: "True"}}
+        |context:
+        |  schema: {e: [event_id]}
+        |""".stripMargin
+    assert(YamlQuery.fromYaml(noW).within.isEmpty)
+  }
+
   test("within bounds live runs on a match-starved stream") {
     // a-then-b relaxed where b never arrives: without a window every
     // taken run stays alive forever; with one, state is bounded
