@@ -2085,6 +2085,35 @@ object Queries {
       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tf, dfreq, score
       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** Corpus-frequency fluency score (the integer-exact perplexity-filter
+    * stand-in): per doc, the mean corpus occurrence count of its bigram
+    * occurrences in permille.
+    */
+  def textLmFluency(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Relevance.lmFluencyScore(
+      table(spark, dir, "documents"), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
+  val textLmFluencySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |spans AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) >= 2 THEN
+       |      list_transform(generate_series(1, len(t) - 1),
+       |        i -> array_to_string(t[i:i+1], ' '))
+       |    ELSE [array_to_string(t, ' ')] END) AS shingle
+       |  FROM toks),
+       |sh AS (SELECT doc_id, $shingleHash60Sql AS h FROM spans),
+       |freq AS (SELECT h, count(*) AS f FROM sh GROUP BY h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST((CAST(sum(f) AS BIGINT) * 1000) // count(*) AS BIGINT)
+       |    AS lm_milli
+       |FROM sh JOIN freq USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Global vocabulary heavy hitters: top-20 tokens by occurrence count. */
   def vocabTop20(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Relevance.vocabTopK(table(spark, dir, "documents"), "text",
@@ -2482,6 +2511,7 @@ object Queries {
     "decontam_overlap" -> decontamOverlap _,
     "text_dup_passages" -> textDupPassages _,
     "tfidf_top_terms" -> tfidfTopTerms _,
+    "text_lm_fluency" -> textLmFluency _,
     "vocab_top20" -> vocabTop20 _,
     "knn_sq8_top5" -> knnSq8Top5 _,
     "knn_pq_adc_top5" -> knnPqAdcTop5 _,
@@ -2551,6 +2581,7 @@ object Queries {
     "decontam_overlap" -> decontamOverlapSql,
     "text_dup_passages" -> textDupPassagesSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
+    "text_lm_fluency" -> textLmFluencySql,
     "vocab_top20" -> vocabTop20Sql,
     "knn_sq8_top5" -> knnSq8Top5Sql,
     "knn_pq_adc_top5" -> knnPqAdcTop5Sql,

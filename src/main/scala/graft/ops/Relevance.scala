@@ -90,4 +90,40 @@ object Relevance {
     counts.withColumn("rnk", row_number().over(w).cast(LongType))
       .select(col("rnk"), col("token"), col("cnt"))
   }
+
+  /** Corpus-frequency fluency score — the integer-exact stand-in for the
+    * perplexity filter curation pipelines run against a reference LM:
+    * per document, the mean corpus occurrence count of its n-gram
+    * occurrences (`lm_milli = floor(1000 * Σ freq(gram) / n_grams)`).
+    * Prose built from common constructions scores high; gibberish,
+    * rare-token spam, and boundary-heavy junk score low. The "model" is
+    * the corpus's own n-gram table, so the score is fully deterministic
+    * and the oracle can replay it exactly — no log probabilities, no
+    * libm rounding, no external model artifact.
+    *
+    * Scale: spans hash to 8 bytes in the scan (`Contamination
+    * .spanIndexPos` positions are unused here; the occurrence hashes
+    * ride the same narrow pass via `spanIndex`); the frequency table is
+    * one map-side-combined count on the hash, the join back has one row
+    * per gram (no explosion, AQE handles the "of the" skew), and the
+    * per-doc mean is a partial-aggregated groupBy on the doc id. Docs
+    * shorter than n tokens (including empty ones) contribute their
+    * whole text as one span — standard span semantics, so every
+    * non-null doc gets a row.
+    */
+  def lmFluencyScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val spans = Contamination.spanIndex(
+      df.filter(col(idCol).isNotNull && col(textCol).isNotNull),
+      idCol, textCol, n).cache()
+    val freq = spans.groupBy(col("sh")).agg(count(lit(1)).as("__freq"))
+    spans.join(freq, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__freq")).as("__sum"))
+      // integral division: exact at any magnitude (a double quotient
+      // would lose ulps once Σfreq·1000 crosses 2^53 at corpus scale)
+      .withColumn("lm_milli",
+        expr("__sum * 1000 DIV n_grams").cast(LongType))
+      .drop("__sum")
+  }
 }

@@ -118,6 +118,19 @@ class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("lmFluencyScore: mean corpus bigram frequency, integer-exact") {
+    val df = docs(1L -> "a b a b", 2L -> "a b", 3L -> "z")
+    // corpus occurrences: "a b" x3 (two in doc1, one in doc2), "b a" x1,
+    // whole-doc span "z" x1
+    val out = Relevance.lmFluencyScore(df, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 3L, 2333L), // (3 + 1 + 3) * 1000 div 3
+      (2L, 1L, 3000L),
+      (3L, 1L, 1000L)))
+    spark.catalog.clearCache()
+  }
+
   test("groupOverlapMatrix counts distinct shared spans per group pair") {
     val s = spark
     import s.implicits._
