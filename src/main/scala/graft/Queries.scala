@@ -1668,27 +1668,55 @@ object Queries {
       |  THEN 0 ELSE 1 END AS BIGINT) AS keep
       |FROM assign a ORDER BY a.vec_id""".stripMargin
 
-  /** Multimodal plumbing: binary payload → batched stub-decode features. */
-  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val assets = MultiModal.ingestFromText(
-      table(spark, dir, "documents"), "doc_id", "text", "source")
-    val featCols = (0 until 8).map(j =>
-      element_at(col("features"), j + 1).as(s"f$j"))
-    MultiModal.extractFeatures(assets)
-      .select(col("asset_id") +: col("modality") +: col("n_bytes") +:
-        featCols: _*)
+  /** REAL image decode: the committed PNG fixtures
+    * (`data/images/images.parquet`, 500 synthetic 64×48 images written
+    * by `graft.tools.GenImageFixtures`) are decoded via the JDK's
+    * `javax.imageio` in a batched per-partition pass — exact pixel
+    * statistics (integer-micro channel means) plus the 64-bit dHash.
+    * The oracle joins the committed expected-feature parquet, which the
+    * generation tool computed from the raw pixel arrays BEFORE PNG
+    * encoding — so a hash match certifies the whole encode→decode→
+    * feature chain, with DuckDB (which has no image codec) checking the
+    * committed pre-encode truth.
+    */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.imageFeatures(spark.read.parquet(MultiModal.imagesPath))
       .orderBy("asset_id")
-  }
 
-  val mmFeaturesSql: String = {
-    val feats = (0 until 8).map(j =>
-      s"CAST(list_sum(list_transform(generate_series(${j + 1}, length(text), 8), i -> ascii(text[i]))) AS BIGINT) AS f$j"
-    ).mkString(",\n      |  ")
-    s"""SELECT doc_id AS asset_id, 'blob' AS modality,
-       |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-       |  $feats
-       |FROM documents ORDER BY asset_id""".stripMargin
-  }
+  val mmFeaturesSql: String =
+    s"""SELECT asset_id, width, height, mean_r_micro, mean_g_micro,
+       |  mean_b_micro, dhash
+       |FROM read_parquet('${MultiModal.expectedFeaturesPath}/*.parquet')
+       |ORDER BY asset_id""".stripMargin
+
+  /** Image near-duplicate pairs over the real decoded dHashes: the
+    * shared pigeonhole Hamming band join (`DedupOps.hammingPairs`, 8
+    * bands of 8 bits for maxHamming=6). Finds the fixture set's exact
+    * duplicates and brightness twins at distance 0 and its patch-edited
+    * twins at small distances. The oracle mirrors the banding over the
+    * committed pre-encode dHashes — band extraction, bucket join,
+    * distinct, threshold — in SQL.
+    */
+  def mmImageDedup(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.imageNearDupPairs(
+        spark.read.parquet(MultiModal.imagesPath), maxHamming = 6)
+      .orderBy("id1", "id2")
+
+  val mmImageDedupSql: String =
+    s"""WITH f AS (
+       |  SELECT asset_id, dhash
+       |  FROM read_parquet('${MultiModal.expectedFeaturesPath}/*.parquet')),
+       |b AS (
+       |  SELECT asset_id, dhash, band, (dhash >> (band * 8)) & 255 AS bucket
+       |  FROM f, (SELECT unnest(generate_series(0, 7)) AS band) bands),
+       |p AS (
+       |  SELECT DISTINCT x.asset_id AS id1, y.asset_id AS id2,
+       |    CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+       |  FROM b x JOIN b y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |      AND x.asset_id < y.asset_id)
+       |SELECT id1, id2, hamming FROM p WHERE hamming <= 6
+       |ORDER BY id1, id2""".stripMargin
 
   /** KMV distinct-token sketch over the corpus vocabulary — an
     * engine-portable alternative to HLL: pure order statistics over the
@@ -2506,6 +2534,7 @@ object Queries {
     "emb_near_dup_lsh" -> embNearDupLsh _,
     "semantic_dedup" -> semanticDedup _,
     "mm_features" -> mmFeatures _,
+    "mm_image_dedup" -> mmImageDedup _,
     "mm_frame_sample" -> mmFrameSample _,
     "sketch_distinct_tokens" -> sketchDistinctTokens _,
     "decontam_overlap" -> decontamOverlap _,
@@ -2576,6 +2605,7 @@ object Queries {
     "emb_lang_centroids" -> embLangCentroidsSql,
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql,
+    "mm_image_dedup" -> mmImageDedupSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "sketch_distinct_tokens" -> sketchDistinctTokensSql,
     "decontam_overlap" -> decontamOverlapSql,

@@ -658,23 +658,41 @@ object DedupOps {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Long = Long.MaxValue,
       dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    hammingPairs(simHash(df, idCol, textCol), idCol, "simhash",
+      maxHamming, maxBucketSize, dropCounter)
+
+  /** Hamming-band pair join over ANY 64-bit hash column (SimHash text
+    * signatures, image dHashes, …): pairs at hamming distance ≤
+    * `maxHamming`, found via the pigeonhole band join — with
+    * `bands > maxHamming`, the differing bits cannot touch every band,
+    * so every qualifying pair shares at least one exact band. Bands are
+    * the smallest divisor-of-64 count above `maxHamming`; hot buckets
+    * are capped by the shared `capBuckets` valve.
+    */
+  def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, maxBucketSize: Long = Long.MaxValue,
+      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     require(maxHamming < 32, s"maxHamming=$maxHamming needs >32 bands")
     val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = simHash(df, idCol, textCol).cache()
-    val banded = capBuckets(sh.select(col(idCol), col("simhash"),
+    // the band self-join consumes the hashed frame twice; cache it so the
+    // (possibly expensive — SimHash scan, image decode) hash computation
+    // runs once (released by the caller's CacheScope)
+    val hashedC = hashed.cache()
+    val banded = capBuckets(hashedC.select(col(idCol), col(hashCol),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * width).bitwiseAND(mask)
+          shiftright(col(hashCol), b * width).bitwiseAND(mask)
             .as("bucket"))): _*)).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bucket")),
+      .select(col(idCol), col(hashCol), col("bk.band"), col("bk.bucket")),
       maxBucketSize, dropCounter)
     banded.select(col("band"), col("bucket"), col(idCol).as("id1"),
-        col("simhash").as("h1"))
+        col(hashCol).as("h1"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2"),
-        col("simhash").as("h2")), Seq("band", "bucket"))
+        col(hashCol).as("h2")), Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast(LongType)
