@@ -2009,6 +2009,46 @@ object Queries {
       |SELECT doc_id, n_tok, start_off, start_off // 512 AS shard_id
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** Seeded shard shuffle/interleave (seed 7): the deterministic
+    * pseudo-random order training loaders consume — shards visited by
+    * `shard_key` (hash of seed:strata:shard), docs within a shard by
+    * `shuffled_pos` (rank under hash(seed:doc_id)). Pure hash
+    * permutation, so the oracle replays it with the same polynomial and
+    * a window rank.
+    */
+  def packShuffled(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packShuffled(table(spark, dir, "documents"),
+      "doc_id", "text", Seq("lang", "source"), budgetTokens = 512L,
+      seed = 7L)
+      .orderBy("lang", "source", "doc_id")
+
+  val packShuffledSql: String = {
+    val polyB = (s: String, base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($s)), " +
+        s"i -> CAST(ascii(($s)[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * $base + c) % 1000000007)"
+    // two-base product mix — see Packing.packShuffled: a single-base
+    // polynomial is affine in the seed prefix and would not reshuffle
+    val poly = (s: String) =>
+      s"((${polyB(s, 131)}) * (${polyB(s, 257)})) % 1000000007"
+    val docStr = "'7:' || CAST(doc_id AS VARCHAR)"
+    val shardStr =
+      "'7:' || lang || ':' || source || ':' || CAST(shard_id AS VARCHAR)"
+    s"""$packShardsBaseSql,
+       |s AS (
+       |  SELECT lang, source, doc_id, n_tok, start_off,
+       |    CAST(start_off // 512 AS BIGINT) AS shard_id
+       |  FROM w),
+       |k AS (
+       |  SELECT *, ${poly(docStr)} AS doc_key, ${poly(shardStr)} AS shard_key
+       |  FROM s)
+       |SELECT lang, source, doc_id, n_tok, start_off, shard_id, shard_key,
+       |  CAST(row_number() OVER (PARTITION BY lang, source, shard_id
+       |    ORDER BY doc_key, doc_id) AS BIGINT) AS shuffled_pos
+       |FROM k ORDER BY lang, source, doc_id""".stripMargin
+  }
+
   /** Shard-level packing summary: docs/tokens per shard plus the
     * boundary-doc overflow past the shard's budget.
     */
@@ -2552,6 +2592,7 @@ object Queries {
     "dedup_passage_scrub_keep" -> dedupPassageScrubKeep _,
     "source_overlap" -> sourceOverlap _,
     "pack_shards" -> packShards _,
+    "pack_shuffled" -> packShuffled _,
     "pack_shards_global" -> packShardsGlobal _,
     "pack_shard_stats" -> packShardStats _,
     "mix_rebalance" -> mixRebalance _,
@@ -2623,6 +2664,7 @@ object Queries {
     "dedup_passage_scrub_keep" -> dedupPassageScrubKeepSql,
     "source_overlap" -> sourceOverlapSql,
     "pack_shards" -> packShardsSql,
+    "pack_shuffled" -> packShuffledSql,
     "pack_shards_global" -> packShardsGlobalSql,
     "pack_shard_stats" -> packShardStatsSql,
     "mix_rebalance" -> mixRebalanceSql,

@@ -113,6 +113,51 @@ object Packing {
     counted.sparkSession.createDataFrame(packedRdd, outSchema)
   }
 
+  /** Seeded deterministic shuffle/interleave of a packing — the
+    * "shuffle the shards" step every pretraining pipeline runs between
+    * shard assignment and the training loader. Two permutation keys,
+    * both pure functions of (seed, data) via the engine-portable
+    * polynomial hash, so the order is reproducible across runs, engines
+    * and partitionings and re-seedable per epoch:
+    *
+    *  - `shard_key`: hash(seed : strata : shard_id) — the order in which
+    *    the loader visits shards (the global interleave);
+    *  - `shuffled_pos`: the doc's rank within its shard under
+    *    hash(seed : doc_id) order (id tie-break) — the within-shard
+    *    shuffle.
+    *
+    * Reading shards by `shard_key` and docs by `shuffled_pos` yields the
+    * full deterministic shuffled stream. Scale: the ranking window is
+    * partitioned by (strata, shard) — thousands of independent
+    * shard-sized tasks, no global sort, no single-task window; the
+    * global visit order is carried by the key column, not by an
+    * exchange.
+    */
+  def packShuffled(df: DataFrame, idCol: String, textCol: String,
+      strataCols: Seq[String], budgetTokens: Long, seed: Long): DataFrame = {
+    val packed = packByBudget(df, idCol, textCol, strataCols, budgetTokens)
+    // the single-base polynomial is AFFINE in a prefix: for same-length
+    // ids, changing the seed shifts every key by the same constant mod p
+    // and the order never moves. The two-base product (same mix as the
+    // KMV sketch hash) makes the seed enter the coefficients of a
+    // quadratic form — orderings genuinely re-randomize per seed.
+    def mixed(s: org.apache.spark.sql.Column) =
+      (graft.functions.PolyHash.polyHash(s, 131L) *
+        graft.functions.PolyHash.polyHash(s, 257L)) % 1000000007L
+    val docKey = mixed(
+      concat_ws(":", lit(seed.toString), col(idCol).cast(StringType)))
+    val shardKey = mixed(
+      concat_ws(":", lit(seed.toString) +:
+        strataCols.map(c => col(c).cast(StringType)) :+
+        col("shard_id").cast(StringType): _*))
+    val w = Window
+      .partitionBy((strataCols :+ "shard_id").map(col): _*)
+      .orderBy(docKey, col(idCol))
+    packed
+      .withColumn("shard_key", shardKey)
+      .withColumn("shuffled_pos", row_number().over(w).cast(LongType))
+  }
+
   /** Shard-level summary of a packing: docs and tokens per shard, plus
     * `overflow = max(0, stream end − shard budget boundary)` — the
     * boundary doc's spill past the shard, i.e. the padding-vs-truncation

@@ -199,6 +199,38 @@ class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("packShuffled: per-shard permutation, partitioning-invariant, " +
+    "seed-sensitive") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Packing.packShuffled(df, "doc_id", "text", Seq("lang", "source"),
+        2048L, seed)
+        .select("lang", "source", "doc_id", "shard_id", "shard_key",
+          "shuffled_pos")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    val a = run(base, 7L)
+    // pure function of (seed, data): identical under any partitioning
+    assert(run(base.repartition(13), 7L).toSet == a.toSet)
+    // within every (stratum, shard), shuffled_pos is a 1..n permutation
+    a.groupBy(t => (t._1, t._2, t._4)).foreach { case (k, rows) =>
+      assert(rows.map(_._6).sorted.toSeq == (1L to rows.length).toSeq,
+        s"not a permutation in $k")
+    }
+    // all docs of a shard agree on the shard's visit key
+    a.groupBy(t => (t._1, t._2, t._4))
+      .foreach { case (k, rows) =>
+        assert(rows.map(_._5).distinct.length == 1, s"shard_key split in $k") }
+    // a different seed reorders at least one shard's docs
+    val b = run(base, 8L)
+    val posA = a.map(t => (t._1, t._2, t._3) -> t._6).toMap
+    assert(b.exists(t => posA((t._1, t._2, t._3)) != t._6),
+      "seed change did not move any document")
+  }
+
   test("quotaSample keeps the hash-order prefix, stable under quota growth") {
     val s = spark
     import s.implicits._
