@@ -1928,6 +1928,41 @@ object Queries {
       |  FROM sph JOIN dup USING (h)
       |  WHERE sph.doc_id <> dup.keep_doc) c0)""".stripMargin)
 
+  /** Maximal-repeat scrub (published Lee et al. semantics): duplicated
+    * 8-gram occurrences merge into maximal duplicated regions per doc
+    * (gaps-and-islands over span intervals) and only regions of ≥ 16
+    * tokens are deleted — long genuine repeats go, isolated boilerplate
+    * n-grams survive. (minRepeatLen 16 rather than the paper's 50
+    * because these fixture docs are 10–99 tokens.)
+    */
+  def dedupPassageScrubMaximal(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Contamination.scrubDupPassagesMaximal(
+      table(spark, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2,
+      minRepeatLen = 16)
+      .orderBy("doc_id")
+
+  val dedupPassageScrubMaximalSql: String = scrubOracleSql(
+    """dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sph)
+      |        GROUP BY h HAVING count(*) >= 2),
+      |occ AS (SELECT doc_id, pos, pos + slen - 1 AS endp
+      |        FROM sph WHERE h IN (SELECT h FROM dup) AND slen > 0),
+      |mx AS (SELECT doc_id, pos, endp,
+      |         max(endp) OVER (PARTITION BY doc_id ORDER BY pos, endp
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS prev_end
+      |       FROM occ),
+      |isl AS (SELECT doc_id, pos, endp,
+      |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |                THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY doc_id ORDER BY pos, endp
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      |        FROM mx),
+      |reg AS (SELECT doc_id, min(pos) AS rstart, max(endp) AS rend
+      |        FROM isl GROUP BY doc_id, g
+      |        HAVING max(endp) - min(pos) + 1 >= 16),
+      |cov AS (SELECT doc_id, unnest(generate_series(rstart, rend)) AS tidx
+      |        FROM reg)""".stripMargin)
+
   /** Passage-level cross-source leakage matrix: distinct 8-gram spans
     * shared between every pair of sources (exact-normalized doc overlap
     * is zero on this corpus; span overlap is the finer signal).
@@ -2590,6 +2625,7 @@ object Queries {
     "rel_salted_join" -> relSaltedJoin _,
     "dedup_passage_scrub" -> dedupPassageScrub _,
     "dedup_passage_scrub_keep" -> dedupPassageScrubKeep _,
+    "dedup_passage_scrub_maximal" -> dedupPassageScrubMaximal _,
     "source_overlap" -> sourceOverlap _,
     "pack_shards" -> packShards _,
     "pack_shuffled" -> packShuffled _,
@@ -2662,6 +2698,7 @@ object Queries {
     "rel_salted_join" -> relSaltedJoinSql,
     "dedup_passage_scrub" -> dedupPassageScrubSql,
     "dedup_passage_scrub_keep" -> dedupPassageScrubKeepSql,
+    "dedup_passage_scrub_maximal" -> dedupPassageScrubMaximalSql,
     "source_overlap" -> sourceOverlapSql,
     "pack_shards" -> packShardsSql,
     "pack_shuffled" -> packShuffledSql,

@@ -191,6 +191,16 @@ object Contamination {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + col("slen") - 1L))
           .as("tidx"))
+    reassembleScrubbed(base, covered, idCol, textCol)
+  }
+
+  /** Shared scrub tail: drop the `(id, tidx)` covered tokens from each
+    * doc and re-join the survivors on single spaces, reporting original
+    * and removed token counts. `covered` need not be distinct — the
+    * anti-join is existence-only.
+    */
+  private def reassembleScrubbed(base: DataFrame, covered: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val toks = base
       .select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
       .select(col(idCol), (col("pos") + 1L).as("tidx"), col("col").as("tok"))
@@ -208,6 +218,61 @@ object Contamination {
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
           .as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Maximal-repeat substring scrub — the published Lee et al.
+    * semantics: duplicated n-gram span occurrences are first merged into
+    * MAXIMAL duplicated regions per document (maximal runs of covered
+    * token indices — gaps-and-islands over the span intervals), and only
+    * regions of at least `minRepeatLen` tokens are deleted. With a
+    * suffix array, Lee et al. find maximal repeats ≥ 50 tokens directly;
+    * the n-gram cover of a repeated passage is exactly the union of its
+    * overlapping duplicated n-grams, so merging the cover reconstructs
+    * the maximal region (to n-gram resolution: region boundaries land on
+    * span ends, and repeats shorter than n are only seen when a short
+    * doc's whole-text span duplicates). Relative to the plain cover
+    * scrub, the region filter stops the scrub from nibbling isolated
+    * boilerplate n-grams and deletes only genuine long repeats — at
+    * `minRepeatLen <= n` every region passes and the output equals
+    * `scrubDupPassages` (property-tested).
+    *
+    * Scale: same shuffles as `scrubDupPassages` plus one per-doc window
+    * (partitioned by id, ordered by position — islands merge in a single
+    * ordered pass per doc; a doc's duplicated occurrences are bounded by
+    * its token count, so no task-sized skew beyond the longest doc).
+    */
+  def scrubDupPassagesMaximal(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2, minRepeatLen: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRepeatLen >= 1, s"minRepeatLen $minRepeatLen")
+    val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType), col(textCol))
+    val spans = spanIndexPos(base, idCol, textCol, n).cache()
+    val dupSh = spans.select(col(idCol), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("sh"))
+    val occ = spans.join(dupSh, "sh")
+      .filter(col("slen") > 0L)
+      .select(col(idCol), col("pos"),
+        (col("pos") + col("slen") - 1L).as("endp"))
+    // gaps-and-islands: a new region starts where this span's first token
+    // is beyond every previous span's end + 1 (touching runs merge — a
+    // region is a maximal run of covered token indices)
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"), col("endp"))
+    val prevEnd = max(col("endp"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = occ
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1L, 1L).otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val covered = islands.groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("rstart"), max(col("endp")).as("rend"))
+      .filter(col("rend") - col("rstart") + 1L >= minRepeatLen)
+      .select(col(idCol),
+        explode(sequence(col("rstart"), col("rend"))).as("tidx"))
+    reassembleScrubbed(base, covered, idCol, textCol)
   }
 
   /** Cross-slice leakage matrix: for every pair of `groupCol` values

@@ -84,6 +84,65 @@ class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("scrubDupPassagesMaximal merges islands and applies min length") {
+    // docs 1,2 share the 9-token passage "p1..p9": its 2-gram cover is
+    // positions 1..9 in doc 1 (one island, len 9) and 3..11 in doc 2.
+    // docs 3,4 share only the isolated 2-gram "b1 b2" (island len 2).
+    val df = docs(
+      1L -> "p1 p2 p3 p4 p5 p6 p7 p8 p9 u1 u2",
+      2L -> "v1 v2 p1 p2 p3 p4 p5 p6 p7 p8 p9",
+      3L -> "b1 b2 w1 w2 w3",
+      4L -> "x1 b1 b2 x2 x3")
+    def run(minLen: Int) = Contamination.scrubDupPassagesMaximal(
+      df, "doc_id", "text", n = 2, minDocs = 2, minRepeatLen = minLen)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    // minLen 5: only the 9-token passage islands qualify
+    val atFive = run(5)
+    assert(atFive(1L) == (9L, "u1 u2"))
+    assert(atFive(2L) == (9L, "v1 v2"))
+    assert(atFive(3L) == (0L, "b1 b2 w1 w2 w3"))
+    assert(atFive(4L) == (0L, "x1 b1 b2 x2 x3"))
+    // minLen 2 (= n): every island qualifies — equals the cover scrub
+    val atTwo = run(2)
+    assert(atTwo(3L) == (2L, "w1 w2 w3"))
+    assert(atTwo(4L) == (2L, "x1 x2 x3"))
+    // minLen 10: even the long passage survives
+    val atTen = run(10)
+    assert(atTen(1L) == (0L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 u1 u2"))
+  }
+
+  test("property: 8-gram cover scrub removes a superset of the maximal " +
+    "scrub at any minRepeatLen; equal at minRepeatLen <= n") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def removedMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3)))
+        .toMap
+    val cover = removedMap(Contamination.scrubDupPassages(
+      base, "doc_id", "text", n = 8, minDocs = 2))
+    val maxAt8 = removedMap(Contamination.scrubDupPassagesMaximal(
+      base, "doc_id", "text", n = 8, minDocs = 2, minRepeatLen = 8))
+    val maxAt16 = removedMap(Contamination.scrubDupPassagesMaximal(
+      base, "doc_id", "text", n = 8, minDocs = 2, minRepeatLen = 16))
+    assert(cover.keySet == maxAt8.keySet && cover.keySet == maxAt16.keySet)
+    cover.foreach { case (id, (nRemCover, _)) =>
+      // cover ⊇ maximal: the region filter can only retain MORE tokens
+      assert(maxAt8(id)._1 <= nRemCover, s"doc $id at minLen 8")
+      assert(maxAt16(id)._1 <= maxAt8(id)._1, s"doc $id monotone in minLen")
+      // at minLen <= n, every island (min length >= the shortest dup
+      // span) passes except sub-n whole-doc spans — those docs differ
+      // only when a short doc's whole-text span is under 8 tokens
+      if (maxAt8(id) != cover(id))
+        assert(cover(id)._2.isEmpty || cover(id)._1 < 8L,
+          s"doc $id: minLen-8 maximal differs from cover on a long doc")
+    }
+    assert(cover.exists { case (id, (nRem, _)) => nRem > maxAt16(id)._1 },
+      "corpus has no island shorter than 16 — property vacuous")
+    spark.catalog.clearCache()
+  }
+
   test("scrub invariants on real docs: subsequence, keeper dominance") {
     val base = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
