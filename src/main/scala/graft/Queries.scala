@@ -814,6 +814,51 @@ object Queries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** TRAINED quality classifier (fastText-style hashed-token linear
+    * model, committed integer weights `data/codebooks/quality_lr.parquet`
+    * trained by `graft.tools.TrainQualityModel` on the heuristic gate's
+    * labels): score = bias + Σ_token w[poly131(token) % 4096], label =
+    * score > 0. Inference is one narrow broadcast pass; the oracle
+    * buckets tokens with the same hash, joins the committed weights, and
+    * replays the integer dot product.
+    */
+  def textQualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.ops.QualityModel.loadWeights(spark,
+      graft.ops.QualityModel.weightsPath)
+    graft.ops.QualityModel.scoreDocs(table(spark, dir, "documents"),
+      "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
+  val textQualityModelSql: String = {
+    val polyTok =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(tok)), " +
+        "i -> CAST(ascii(tok[i]) AS BIGINT))), " +
+        "(acc, c) -> (acc * 131 + c) % 1000000007)"
+    s"""WITH w AS (
+       |  SELECT bucket, weight
+       |  FROM read_parquet('${graft.ops.QualityModel.weightsPath}/*.parquet')),
+       |bias AS (SELECT weight AS b FROM w WHERE bucket = -1),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |bk AS (SELECT doc_id, ($polyTok) % 4096 AS bucket FROM toks),
+       |s AS (
+       |  SELECT bk.doc_id, sum(coalesce(w.weight, 0)) AS sw
+       |  FROM bk LEFT JOIN w ON w.bucket = bk.bucket
+       |  GROUP BY bk.doc_id),
+       |d AS (SELECT doc_id FROM documents
+       |      WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       |SELECT d.doc_id,
+       |  CAST((SELECT b FROM bias) + coalesce(s.sw, 0) AS BIGINT)
+       |    AS model_score,
+       |  ((SELECT b FROM bias) + coalesce(s.sw, 0)) > 0 AS model_ok
+       |FROM d LEFT JOIN s ON s.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Whitespace vs BPE-ish token counts (LLM budget accounting). */
   def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(table(spark, dir, "documents"), "doc_id", "text")
@@ -2589,6 +2634,7 @@ object Queries {
     "rel_cust_no_orders" -> relCustNoOrders _,
     "text_token_counts" -> textTokenCounts _,
     "text_quality" -> textQuality _,
+    "text_quality_model" -> textQualityModel _,
     "text_repetition" -> textRepetition _,
     "knn_ivf_top5" -> knnIvfTop5 _,
     "text_stats" -> textStats _,
@@ -2666,6 +2712,7 @@ object Queries {
     "rel_cust_no_orders" -> relCustNoOrdersSql,
     "text_token_counts" -> textTokenCountsSql,
     "text_quality" -> textQualitySql,
+    "text_quality_model" -> textQualityModelSql,
     "text_repetition" -> textRepetitionSql,
     "knn_ivf_top5" -> knnIvfTop5Sql,
     "text_stats" -> textStatsSql,
