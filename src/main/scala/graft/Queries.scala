@@ -128,6 +128,58 @@ object Queries {
       |WHERE f.bstep - f.astep < 5
       |ORDER BY f.user_id, f.a_id""".stripMargin
 
+  /** EVENT-TIME `within` (FlinkCEP `.within(Time)` proper): relaxed
+    * signup→purchase kept only when the purchase's event time is fewer
+    * than 24 h after the signup's. The clock is the `ts_sec` attribute
+    * (epoch seconds of the `ts` column); spans are measured on
+    * timestamps, not positions, so — unlike the position window — the
+    * pre-NFA type pushdown stays ON (`SparkCep.prefilter`): dropping
+    * ignorable events can't change any timestamp. Feeding stays ordered
+    * by `event_id`, which is time-monotone in this stream (the
+    * documented `withinTime` requirement).
+    */
+  val cepWithinTimeSignupPurchaseQuery: CepQuery =
+    CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("a", "signup", "True"),
+        Pattern.spat("b", "purchase", "True")),
+      eventSchema.map { case (t, attrs) => (t, attrs :+ "ts_sec") },
+      withinTime = Some(WithinTime("ts_sec", 86400L)))
+
+  private[graft] val eventSpecTs =
+    CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value", "ts_sec"))
+
+  def cepWithinTimeSignupPurchase(spark: SparkSession, dir: String)
+      : DataFrame =
+    SparkCep.matchPatternExec(
+      // ts reads as LONG NANOS (nanosAsLong, see `table`) — reduce to
+      // epoch seconds with exact integer division
+      table(spark, dir, "events")
+        .withColumn("ts_sec", expr("ts DIV 1000000000")),
+      cepWithinTimeSignupPurchaseQuery, eventSpecTs)
+      .select(col("user_id"), element_at(col("a"), 1).as("a_id"),
+        element_at(col("b"), 1).as("b_id"))
+      .orderBy("user_id", "a_id")
+
+  val cepWithinTimeSignupPurchaseSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tss
+      |  FROM events),
+      |s AS (SELECT user_id, event_id AS a_id, tss AS ats
+      |      FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, event_id, tss FROM e
+      |      WHERE event_type = 'purchase'),
+      |fp AS (
+      |  SELECT s.user_id, s.a_id, s.ats, min(p.event_id) AS b_id
+      |  FROM s JOIN p ON p.user_id = s.user_id AND p.event_id > s.a_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT f.user_id, f.a_id, f.b_id
+      |FROM fp f JOIN p ON p.user_id = f.user_id AND p.event_id = f.b_id
+      |WHERE p.tss - f.ats < 86400
+      |ORDER BY f.user_id, f.a_id""".stripMargin
+
   /** CEP composed with a downstream relational aggregation: matches per
     * user of the strict signup→purchase pattern. Exercises the
     * Catalyst-planned operator's `outputPartitioning` contract end-to-end:
@@ -2611,6 +2663,7 @@ object Queries {
     "cep_spat_purchase" -> cepSpatPurchase _,
     "cep_next_signup_purchase" -> cepNextSignupPurchase _,
     "cep_within_signup_purchase" -> cepWithinSignupPurchase _,
+    "cep_within_time_signup_purchase" -> cepWithinTimeSignupPurchase _,
     "cep_lpat_strict_clicks" -> cepLpatStrictClicks _,
     "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairs _,
     "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairs _,
@@ -2685,6 +2738,7 @@ object Queries {
     "cep_spat_purchase" -> cepSpatPurchaseSql,
     "cep_next_signup_purchase" -> cepNextSignupPurchaseSql,
     "cep_within_signup_purchase" -> cepWithinSignupPurchaseSql,
+    "cep_within_time_signup_purchase" -> cepWithinTimeSignupPurchaseSql,
     "cep_lpat_strict_clicks" -> cepLpatStrictClicksSql,
     "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairsSql,
     "cep_ndrelaxed_click_pairs" -> cepNdRelaxedClickPairsSql,

@@ -1,0 +1,119 @@
+package graft.cep
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+  DataInputStream, DataOutputStream}
+
+import StreamingCep.{BufEvent, CepStateEt, SerEvent, SerRun}
+
+/** Versioned binary codec for the streaming CEP per-key state.
+  *
+  * WHY BYTES: `flatMapGroupsWithState` derives its state-store schema
+  * from the state class; adding a field (as `firstTake` did in round 4,
+  * and `firstTakeTs` does now) changes that schema and invalidates
+  * every existing checkpoint with an opaque Spark state-schema error.
+  * Storing `(version: Int, payload: Array[Byte])` fixes the store
+  * schema FOREVER: future field additions bump `Version` and extend the
+  * payload format, old-version payloads either migrate explicitly here
+  * or fail with an actionable message naming the version mismatch —
+  * never a Spark internals error.
+  *
+  * The payload layout is a plain `DataOutputStream` walk of the state
+  * (counts + UTF strings + longs; reverse-ε sets written sorted so the
+  * bytes are deterministic for a given state). Version history:
+  *   - 2: first binary version — step, runs (incl. `firstTake` and
+  *        `firstTakeTs`), reorder buffer. (Version 1 was the
+  *        product-encoded `CepState` of rounds 3–4; it lived in the
+  *        Spark state schema, not in this codec, so it cannot be read
+  *        here — restoring such a checkpoint fails in Spark's schema
+  *        check before this code runs. Discard and restart.)
+  */
+object CepStateCodec {
+
+  val Version = 2
+
+  /** The stored shape — this case class must NEVER change. */
+  final case class VersionedState(ver: Int, payload: Array[Byte])
+
+  def encode(s: CepStateEt): VersionedState = {
+    val bos = new ByteArrayOutputStream(256)
+    val out = new DataOutputStream(bos)
+    out.writeInt(s.step)
+    out.writeInt(s.runs.size)
+    s.runs.foreach { r =>
+      out.writeInt(r.start)
+      out.writeUTF(r.q)
+      out.writeBoolean(r.lastTake)
+      val eps = r.revEps.sorted
+      out.writeInt(eps.size); eps.foreach(out.writeUTF)
+      out.writeInt(r.etaKeys.size)
+      r.etaKeys.zip(r.etaVals).foreach { case (k, v) =>
+        out.writeUTF(k); out.writeLong(v)
+      }
+      out.writeInt(r.ctxKeys.size)
+      r.ctxKeys.zip(r.ctxVals).foreach { case (k, evs) =>
+        out.writeUTF(k)
+        out.writeInt(evs.size)
+        evs.foreach(writeEvent(out, _))
+      }
+      out.writeInt(r.firstTake)
+      out.writeLong(r.firstTakeTs)
+    }
+    out.writeInt(s.buffer.size)
+    s.buffer.foreach { b =>
+      out.writeLong(b.ts); out.writeLong(b.ord); out.writeUTF(b.tpe)
+      out.writeInt(b.names.size)
+      b.names.zip(b.vals).foreach { case (n, v) =>
+        out.writeUTF(n); out.writeLong(v)
+      }
+    }
+    out.flush()
+    VersionedState(Version, bos.toByteArray)
+  }
+
+  def decode(v: VersionedState): CepStateEt = {
+    if (v.ver != Version)
+      throw new IllegalStateException(
+        s"CEP streaming state version ${v.ver} is not supported by this " +
+          s"build (supports $Version). The checkpoint was written by a " +
+          "different engine version: either run that version, or discard " +
+          "the checkpoint directory and restart the query from fresh " +
+          "input (matches already emitted are not replayed).")
+    val in = new DataInputStream(new ByteArrayInputStream(v.payload))
+    val step = in.readInt()
+    val runs = Vector.fill(in.readInt()) {
+      val start = in.readInt()
+      val q = in.readUTF()
+      val lastTake = in.readBoolean()
+      val revEps = Vector.fill(in.readInt())(in.readUTF())
+      val eta = Vector.fill(in.readInt())((in.readUTF(), in.readLong()))
+      val ctx = Vector.fill(in.readInt()) {
+        val k = in.readUTF()
+        (k, Vector.fill(in.readInt())(readEvent(in)))
+      }
+      val firstTake = in.readInt()
+      val firstTakeTs = in.readLong()
+      SerRun(start, q, lastTake, revEps, eta.map(_._1), eta.map(_._2),
+        ctx.map(_._1), ctx.map(_._2), firstTake, firstTakeTs)
+    }
+    val buffer = Vector.fill(in.readInt()) {
+      val ts = in.readLong(); val ord = in.readLong(); val tpe = in.readUTF()
+      val attrs = Vector.fill(in.readInt())((in.readUTF(), in.readLong()))
+      BufEvent(ts, ord, tpe, attrs.map(_._1), attrs.map(_._2))
+    }
+    CepStateEt(step, runs, buffer)
+  }
+
+  private def writeEvent(out: DataOutputStream, e: SerEvent): Unit = {
+    out.writeUTF(e.tpe)
+    out.writeInt(e.names.size)
+    e.names.zip(e.vals).foreach { case (n, v) =>
+      out.writeUTF(n); out.writeLong(v)
+    }
+  }
+
+  private def readEvent(in: DataInputStream): SerEvent = {
+    val tpe = in.readUTF()
+    val attrs = Vector.fill(in.readInt())((in.readUTF(), in.readLong()))
+    SerEvent(tpe, attrs.map(_._1), attrs.map(_._2))
+  }
+}

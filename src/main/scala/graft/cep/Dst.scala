@@ -51,7 +51,12 @@ final case class Configuration(
       * (SURVEY §1.1), so 0 is the only value reference semantics ever
       * sees. Set by the executor (transitions don't know the step).
       */
-    firstTake: Int = 0
+    firstTake: Int = 0,
+    /** Event-time of this run's first take (meaningful only when
+      * `firstTake != 0` — the two stamps are set together) — carried for
+      * the `withinTime` event-time window extension.
+      */
+    firstTakeTs: Long = 0L
 )
 
 object Configuration {
@@ -64,9 +69,11 @@ object Configuration {
       ctx: Map[String, Vector[Event]],
       lastTake: Boolean = false,
       revEps: Set[String] = Set.empty,
-      firstTake: Int = 0
+      firstTake: Int = 0,
+      firstTakeTs: Long = 0L
   ): Configuration =
-    Configuration(q, eta, ctx, lastTake, revEps + q.name, firstTake)
+    Configuration(q, eta, ctx, lastTake, revEps + q.name, firstTake,
+      firstTakeTs)
 }
 
 /** Transition predicate: event-type gate + condition expression
@@ -180,7 +187,8 @@ final class Transition(
       beta.update(conf.ctx, event),
       lastTake,
       revEps,
-      conf.firstTake
+      conf.firstTake,
+      conf.firstTakeTs
     )
   }
 }

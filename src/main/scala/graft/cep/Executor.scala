@@ -31,7 +31,19 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
       * prefixes still need `maxRuns` as the state valve. `None`
       * (default) is exact reference semantics.
       */
-    val within: Option[Int] = None)
+    val within: Option[Int] = None,
+    /** EVENT-TIME window (FlinkCEP `.within(Time)` proper): the clock is
+      * the event's `tsAttr` attribute; a match is kept iff
+      * `ts(lastTake) - ts(firstTake) < span`, and runs whose window the
+      * clock has passed are pruned. REQUIRES non-decreasing `tsAttr`
+      * across `feed` calls (the pruning argument — "this run can never
+      * emit again" — is only sound when time never rewinds; the batch
+      * operator documents the order-column/time monotonicity requirement
+      * and the event-time streaming path releases events in watermark
+      * order by construction). Same untaken-run caveat as `within`.
+      * Composes with `within`: both gates must pass.
+      */
+    val withinTime: Option[WithinTime] = None)
     extends Serializable {
 
   require(within.forall(_ >= 1), s"within must be >= 1, got $within")
@@ -74,6 +86,12 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
         "CEP step counter overflow: this key has consumed 2^31 events " +
           "in one logical stream; shard the key or restart the pattern")
     val ev = Some(event)
+    // event-time clock for the withinTime window: the event's tsAttr
+    // attribute (throws the standard attr-undefined error when missing)
+    val ts = withinTime match {
+      case Some(wt) => event(wt.tsAttr)
+      case None     => 0L
+    }
 
     val t = ArrayBuffer.from(S)
     S = ArrayBuffer.empty
@@ -90,10 +108,10 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
         if (edge.predict(conf, ev)) {
           val nc0 = edge.advance(conf, ev)
           // first take stamps the run's window start (the transition
-          // cannot: it does not know the step counter)
+          // cannot: it does not know the step counter / clock)
           val nc =
             if (!edge.isEpsilon && edge.isTake && nc0.firstTake == 0)
-              nc0.copy(firstTake = i)
+              nc0.copy(firstTake = i, firstTakeTs = ts)
             else nc0
           if (edge.isEpsilon) {
             // process ε-successors before the remaining queue entries
@@ -119,9 +137,11 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
       val (k, conf) = S(j)
       j += 1
       // window check: an accepting config's last take is always the
-      // current step, so the match span is i - firstTake
+      // current step/event, so the position span is i - firstTake and the
+      // event-time span is ts - firstTakeTs
       if (!lazyDelete.contains(k) && dst.accept(conf) &&
-          within.forall(w => i - conf.firstTake < w)) {
+          within.forall(w => i - conf.firstTake < w) &&
+          withinTime.forall(wt => ts - conf.firstTakeTs < wt.span)) {
         out += dst.output(conf)
         strategy match {
           case AfterMatchStrategy.NoSkip => ()
@@ -144,6 +164,18 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
       if (S.exists { case (_, c) => c.firstTake != 0 && i - c.firstTake >= w - 1 })
         S = S.filter { case (_, c) =>
           c.firstTake == 0 || i - c.firstTake < w - 1
+        }
+    }
+    // event-time pruning: future feeds carry ts' >= ts (the documented
+    // monotonicity requirement), so a run with ts - firstTakeTs >= span
+    // can never satisfy the emit gate again — dead. Unlike the position
+    // clock (which advances by exactly 1 per step, allowing >= w-1), the
+    // time clock may stand still (ties), so only >= span is safely dead.
+    withinTime.foreach { wt =>
+      if (S.exists { case (_, c) =>
+            c.firstTake != 0 && ts - c.firstTakeTs >= wt.span })
+        S = S.filter { case (_, c) =>
+          c.firstTake == 0 || ts - c.firstTakeTs < wt.span
         }
     }
 
@@ -177,7 +209,8 @@ final class CepOperator(val executor: Executor) {
 
 object CepOperator {
   def fromQuery(query: CepQuery): CepOperator =
-    new CepOperator(new Executor(DstCompiler.compile(query), query.strategy, within = query.within))
+    new CepOperator(new Executor(DstCompiler.compile(query), query.strategy,
+      within = query.within, withinTime = query.withinTime))
 
   /** One-shot convenience: run `query` over an ordered event sequence. */
   def run(query: CepQuery, input: IterableOnce[Event]): Vector[Match] =

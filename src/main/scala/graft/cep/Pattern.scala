@@ -189,7 +189,19 @@ final case class CepQuery(
       * `w` steps apart, and prune dead runs — bounding per-key state on
       * unbounded streams. `None` = exact reference semantics.
       */
-    within: Option[Int] = None
+    within: Option[Int] = None,
+    /** EVENT-TIME window (FlinkCEP `.within(Time)` proper): keep matches
+      * whose first and last taken events carry timestamps fewer than
+      * `span` apart, the timestamp being the event's `tsAttr` attribute.
+      * Requires events to be fed in non-decreasing `tsAttr` order (the
+      * batch operator's order column must be time-monotone; the
+      * event-time streaming path feeds in watermark order by
+      * construction) — the executor prunes runs whose window the clock
+      * has passed, which is what bounds state, and that is only sound
+      * when time never goes backwards. Composable with `within` (both
+      * gates then apply). `None` = no time window.
+      */
+    withinTime: Option[WithinTime] = None
 ) extends Serializable {
   // validate at query construction (driver side) — the Executor's own
   // require would otherwise surface as repeated task failures
@@ -200,4 +212,16 @@ final case class CepQuery(
   /** `Strategy(pattern-repr)`, as the reference's `Query.__repr__`. */
   override def toString: String =
     s"${strategy.name}(${Pattern.repr(patseq)})"
+}
+
+/** Event-time window parameters for `CepQuery.withinTime`: `tsAttr`
+  * names the integer event attribute carrying event time (any unit —
+  * epoch seconds, millis, a logical clock); a match is kept iff
+  * `ts(lastTake) - ts(firstTake) < span`. An event lacking `tsAttr`
+  * fails the run loudly ("event attr" error), matching how conditions
+  * treat undefined names.
+  */
+final case class WithinTime(tsAttr: String, span: Long)
+    extends Serializable {
+  require(span >= 1, s"withinTime span must be >= 1, got $span")
 }

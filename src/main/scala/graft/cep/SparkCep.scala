@@ -103,7 +103,7 @@ object SparkCep {
 
     val out = parted.mapPartitions { rows =>
       val executor =
-        new Executor(DstCompiler.compile(query), query.strategy, maxRunsPerKey, query.within)
+        new Executor(DstCompiler.compile(query), query.strategy, maxRunsPerKey, query.within, query.withinTime)
       // resolve the optional gauge once per task: the per-event cost when
       // disabled is a single null check, not an Option dispatch + closure
       val acc = skewAcc.orNull
@@ -214,6 +214,11 @@ object SparkCep {
     // window should reject — the one observer that makes skipped
     // events semantically visible even under relaxed contiguity. A
     // lone spat is the exception (its span is always 0).
+    // `withinTime` is immune: its span is measured on event TIMESTAMPS,
+    // which dropping non-binding events does not change (pruning then
+    // merely happens at different feed moments, and pruned runs are
+    // dead by definition) — so the event-time window keeps the pushdown
+    // that the position window must give up.
     if (query.within.isDefined &&
         !unwrapGpat(query.patseq).isInstanceOf[Pattern.Spat])
       return None

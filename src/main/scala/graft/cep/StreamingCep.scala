@@ -31,20 +31,17 @@ object StreamingCep {
   final case class CepStateEt(step: Int, runs: Seq[SerRun],
       buffer: Seq[BufEvent])
 
-  /** One live NFA run, state referenced by name.
-    *
-    * STATE SCHEMA NOTE: `firstTake` (the `within` window start) was
-    * added to this struct, which changes the flatMapGroupsWithState
-    * encoder schema — checkpoints written by earlier builds cannot be
-    * restored and must be discarded (start the query from a fresh
-    * checkpoint directory after upgrading).
+  /** One live NFA run, state referenced by name. Carried in the
+    * VERSIONED BINARY state payload (`CepStateCodec`), so adding fields
+    * here means bumping `CepStateCodec.Version` and extending the
+    * payload walk — the Spark state-store schema itself never changes.
     */
   final case class SerRun(start: Int, q: String, lastTake: Boolean,
       revEps: Seq[String], etaKeys: Seq[String], etaVals: Seq[Long],
       ctxKeys: Seq[String], ctxVals: Seq[Seq[SerEvent]],
-      firstTake: Int = 0)
+      firstTake: Int = 0, firstTakeTs: Long = 0L)
 
-  /** Whole per-key executor state. */
+  /** Whole per-key executor state (position-order variant). */
   final case class CepState(step: Int, runs: Seq[SerRun])
 
   /** Decode an event from a projected row: `ordIdx`/`typeIdx` locate the
@@ -81,7 +78,7 @@ object StreamingCep {
       SerRun(k, c.q.name, c.lastTake, c.revEpsClosure.toSeq,
         c.eta.keys.toSeq, c.eta.values.toSeq,
         c.ctx.keys.toSeq, c.ctx.values.toSeq.map(_.map(toSer)),
-        c.firstTake)
+        c.firstTake, c.firstTakeTs)
     })
   }
 
@@ -93,7 +90,8 @@ object StreamingCep {
         r.ctxKeys.zip(r.ctxVals.map(_.map(fromSer).toVector)).toMap,
         r.lastTake,
         r.revEps.toSet,
-        r.firstTake))
+        r.firstTake,
+        r.firstTakeTs))
     })
 
   /** Apply a CEP query to a *streaming* DataFrame. Input columns are mapped
@@ -120,7 +118,8 @@ object StreamingCep {
           StructField(n, ArrayType(LongType, containsNull = false),
             nullable = false)))
     implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stateEnc: Encoder[CepState] = Encoders.product[CepState]
+    implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
+      Encoders.product[CepStateCodec.VersionedState]
 
     import prepared.sparkSession.implicits._
 
@@ -131,11 +130,15 @@ object StreamingCep {
 
     prepared
       .groupByKey(_.getLong(0))
-      .flatMapGroupsWithState[CepState, Row](
+      .flatMapGroupsWithState[CepStateCodec.VersionedState, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[Row], state: GroupState[CepState]) =>
-          val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within)
-          if (state.exists) restoreState(executor, state.get)
+        (key: Long, rows: Iterator[Row],
+            state: GroupState[CepStateCodec.VersionedState]) =>
+          val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within, query.withinTime)
+          if (state.exists) {
+            val st = CepStateCodec.decode(state.get)
+            restoreState(executor, CepState(st.step, st.runs))
+          }
           // arrival-order semantics within the micro-batch: sort by order
           // column (monotone ingestion ids), as the reference's processing
           // order is the stream order
@@ -144,7 +147,9 @@ object StreamingCep {
             executor.feed(rowToEvent(row, 1, 2, 3, attrNames, orderName))
               .map(matchToRow(key, _, piNames, orderName))
           }
-          state.update(snapshotState(executor))
+          val snap = snapshotState(executor)
+          state.update(CepStateCodec.encode(
+            CepStateEt(snap.step, snap.runs, Nil)))
           out.iterator
       }
       // align with the batch operator: the synthetic key column is an
@@ -195,7 +200,8 @@ object StreamingCep {
           StructField(n, ArrayType(LongType, containsNull = false),
             nullable = false)))
     implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stateEnc: Encoder[CepStateEt] = Encoders.product[CepStateEt]
+    implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
+      Encoders.product[CepStateCodec.VersionedState]
 
     import prepared.sparkSession.implicits._
 
@@ -203,11 +209,13 @@ object StreamingCep {
 
     prepared
       .groupByKey(_.getLong(0))
-      .flatMapGroupsWithState[CepStateEt, Row](
+      .flatMapGroupsWithState[CepStateCodec.VersionedState, Row](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: Long, rows: Iterator[Row], state: GroupState[CepStateEt]) =>
-          val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within)
-          val prev = if (state.exists) state.get else CepStateEt(0, Nil, Nil)
+        (key: Long, rows: Iterator[Row],
+            state: GroupState[CepStateCodec.VersionedState]) =>
+          val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within, query.withinTime)
+          val prev = if (state.exists) CepStateCodec.decode(state.get)
+            else CepStateEt(0, Nil, Nil)
           restoreState(executor,
             CepState(prev.step, prev.runs))
 
@@ -233,7 +241,8 @@ object StreamingCep {
           }
 
           val snap = snapshotState(executor)
-          state.update(CepStateEt(snap.step, snap.runs, still))
+          state.update(CepStateCodec.encode(
+            CepStateEt(snap.step, snap.runs, still)))
           if (still.nonEmpty)
             // wake when the watermark passes the earliest buffered event
             state.setTimeoutTimestamp(still.map(_.ts).min + 1)

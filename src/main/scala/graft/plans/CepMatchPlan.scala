@@ -115,7 +115,7 @@ final case class CepMatchExec(
     child.execute().mapPartitions({ iter =>
       val proj = UnsafeProjection.create(outTypes)
       val executor =
-        new Executor(DstCompiler.compile(q), q.strategy, maxRuns, q.within)
+        new Executor(DstCompiler.compile(q), q.strategy, maxRuns, q.within, q.withinTime)
       // gauge resolved once per task; disabled cost is one null check
       val acc = skew.orNull
       var curKey = 0L

@@ -44,6 +44,66 @@ class WithinSpec extends AnyFunSuite {
     assert(CepOperator.run(q, input).size == 2)
   }
 
+  /** Events with an explicit event-time attribute (decoupled from step
+    * position) for the `withinTime` pins.
+    */
+  private def tev(tpe: String, id: Long, ts: Long): Event =
+    Event(tpe, Vector("event_id" -> id, "ts" -> ts))
+
+  private val tschema: Vector[(String, Vector[String])] =
+    Vector("a" -> Vector("event_id", "ts"), "b" -> Vector("event_id", "ts"),
+      "c" -> Vector("event_id", "ts"))
+
+  test("withinTime gates by event-time span, not position") {
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+      tschema)
+    // a at ts 100; many steps later (but only 5 time units later) b; a
+    // second b far away in time but adjacent in position
+    val input = Vector(tev("a", 1, 100), tev("c", 2, 101), tev("c", 3, 102),
+      tev("c", 4, 103), tev("b", 5, 105), tev("b", 6, 9999))
+    def ids(ms: Vector[Match]) =
+      ms.map { m =>
+        val byName = m.toMap
+        byName("x").head("event_id") -> byName("y").head("event_id")
+      }
+    // position span 5-1=4 huge in steps, tiny in time: time window admits
+    assert(ids(CepOperator.run(
+      q.copy(withinTime = Some(WithinTime("ts", 6))), input)) ==
+      Vector(1L -> 5L))
+    // exact boundary: span 5 is NOT < 5
+    assert(ids(CepOperator.run(
+      q.copy(withinTime = Some(WithinTime("ts", 5))), input)) ==
+      Vector.empty)
+    // composition: time window admits but position window rejects
+    assert(ids(CepOperator.run(
+      q.copy(withinTime = Some(WithinTime("ts", 6)), within = Some(3)),
+      input)) == Vector.empty)
+  }
+
+  test("withinTime prunes time-expired runs (state bound) but keeps " +
+    "same-timestamp emitters") {
+    // match-starved: a's arrive, b never does — every a starts a run
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+      tschema, withinTime = Some(WithinTime("ts", 10)))
+    val ex = new Executor(DstCompiler.compile(q), q.strategy,
+      withinTime = q.withinTime)
+    (1 to 200).foreach { i =>
+      ex.feed(tev("a", i.toLong, i.toLong * 5)) // ts advances 5 per event
+    }
+    // only runs with ts - firstTakeTs < 10 survive: the last ~2 a's
+    assert(ex.runCount <= 4,
+      s"expired runs not pruned: ${ex.runCount} live runs")
+    // ties: two a's at the same ts, b at that ts + span-1 emits for both
+    val q2 = q.copy(withinTime = Some(WithinTime("ts", 5)))
+    val out = CepOperator.run(q2, Vector(
+      tev("a", 1, 50), tev("a", 2, 50), tev("b", 3, 54)))
+    assert(out.size == 2, s"same-ts runs lost: ${out.size}")
+  }
+
   test("differential: within == reference post-filter on registry patterns") {
     // reference semantics: run WITHOUT within, then keep matches whose
     // bound events' step span < w (non-group patterns bind every take,
