@@ -247,6 +247,42 @@ final class Dst(
   def initialConfiguration: Configuration =
     Configuration.make(q0, eta0, Map.empty)
 
+  /** Structural detection of the `within` state-bound caveat: is there a
+    * state in the ε-closure of q0 with an outgoing consuming non-take
+    * (ignore) edge? If so, a run can persist indefinitely WITHOUT taking
+    * (an "optional prefix" — e.g. `lpat{0,n}` skipped into an
+    * ignore-looping wait state), its window never starts, and
+    * `within`/`withinTime` pruning does not bound it — such patterns
+    * need `maxRuns` as the state valve.
+    *
+    * Why these runs cannot simply be pruned by start index
+    * (prove-REFUTED, round-5): an untaken run's configuration is
+    * bit-identical to the one the run freshly spawned at the current
+    * step reaches through the same ε/ignore path (same initial
+    * registers, deterministic ε updates, ignores don't bind) — they
+    * differ only in start index, which match output never sees. So
+    * every match an old untaken run will ever emit is also emitted by
+    * its younger duplicates — pruning would preserve the match SET but
+    * CHANGE THE MULTISET (the reference emits one match per live
+    * duplicate run, pinned by the differential gates). Structural and
+    * conservative: edge conditions are not solved, so this may report
+    * true for a pattern whose ignore predicate never holds.
+    */
+  lazy val hasUntakenIgnorePrefix: Boolean = {
+    val closure = scala.collection.mutable.Set(q0.name)
+    val stack = scala.collection.mutable.Stack(q0)
+    while (stack.nonEmpty) {
+      val s = stack.pop()
+      startFrom(s).foreach { e =>
+        if (e.isEpsilon && !closure.contains(e.q2.name)) {
+          closure += e.q2.name; stack.push(e.q2)
+        }
+      }
+    }
+    closure.exists(n => edgeMap.getOrElse(n, Vector.empty)
+      .exists(e => !e.isEpsilon && !e.isTake))
+  }
+
   /** Accepting iff the last consuming transition was a take and the state
     * has an output map (`DST.py:294-300`).
     */

@@ -83,6 +83,7 @@ object SparkCep {
       skewAcc: Option[CepSkewAccumulator] = None): DataFrame = {
     val piNames = patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
+    checkWithinStateBound(query, maxRunsPerKey, streaming = false)
     val (prepared, attrNames) = prepare(df, query, spec)
 
     val parted = spec.keyCol match {
@@ -154,6 +155,7 @@ object SparkCep {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val piNames = patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
+    checkWithinStateBound(query, maxRunsPerKey, streaming = false)
     val (prepared, attrNames) = prepare(df, query, spec)
     val spark = df.sparkSession
     GraftColumnBridge.addStrategy(spark, graft.plans.CepStrategy)
@@ -166,6 +168,31 @@ object SparkCep {
       prepared.queryExecution.analyzed)
     val out = GraftColumnBridge.ofRows(spark, plan)
     if (spec.keyCol.isEmpty) out.drop(keyName) else out
+  }
+
+  /** The `within`-caveat contract, enforced at operator construction
+    * (driver side, once): when a window is set on a pattern whose runs
+    * can persist without taking (`Dst.hasUntakenIgnorePrefix` — see the
+    * refutation there for why such runs cannot be pruned), the window
+    * does NOT bound state. Streaming runs unbounded input, so there the
+    * valve is REQUIRED; batch terminates, so it warns loudly instead.
+    */
+  private[cep] def checkWithinStateBound(query: CepQuery,
+      maxRuns: Option[Int], streaming: Boolean): Unit = {
+    if ((query.within.isDefined || query.withinTime.isDefined) &&
+        maxRuns.isEmpty &&
+        DstCompiler.compile(query).hasUntakenIgnorePrefix) {
+      val msg = "CEP window (within/withinTime) set on a pattern with an " +
+        "optional ignore prefix: runs that have not yet taken have no " +
+        "window to expire, so the window does not bound per-key state " +
+        "(see Dst.hasUntakenIgnorePrefix)."
+      if (streaming)
+        throw new IllegalArgumentException(
+          msg + " Set maxRunsPerKey to cap state on the unbounded stream.")
+      else
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(msg + " Consider setting maxRunsPerKey.")
+    }
   }
 
   /** Long key derivation shared by the batch and streaming operators:

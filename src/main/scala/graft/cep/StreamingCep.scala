@@ -105,6 +105,7 @@ object StreamingCep {
       spec: SparkCep.CepSpec, maxRunsPerKey: Option[Int] = None): DataFrame = {
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
+    SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     // same source policy as the batch operator (shared `prepare`):
     // semantics-preserving pre-NFA pushdown, null keys dropped,
     // non-numeric keys hashed, canonical projection — the returned
@@ -175,6 +176,7 @@ object StreamingCep {
       maxRunsPerKey: Option[Int] = None): DataFrame = {
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
+    SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val attrNames: Vector[String] =
       (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
     val orderName = attrNames.head

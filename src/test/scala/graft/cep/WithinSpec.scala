@@ -104,6 +104,76 @@ class WithinSpec extends AnyFunSuite {
     assert(out.size == 2, s"same-ts runs lost: ${out.size}")
   }
 
+  /** VERDICT r4 #9, prove-REFUTED: untaken runs under `within` cannot be
+    * pruned by start index. An untaken run's configuration equals the
+    * freshly-spawned run's (same ε/ignore path from the same initial
+    * registers), so the reference emits one match per live duplicate —
+    * pruning would keep the match SET but change the MULTISET. This test
+    * pins the multiplicity: with an optional prefix, k surviving
+    * duplicate runs emit k copies of the same match, and `within` equals
+    * the reference post-filter exactly (multiset compare).
+    */
+  test("optional-prefix: within preserves reference duplicate " +
+    "multiplicity (start-index pruning refuted)") {
+    val optPrefix = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.lpat("x", "a", "True", Contiguity.Relaxed, 0, 2),
+        Pattern.spat("y", "b", "True")),
+      schema)
+    // c c b: two untaken runs (spawned at each c, ε-skipping the a-loop)
+    // plus the fresh spawn at b — all three take b with empty x binding
+    val input = Vector(ev("c", 1), ev("c", 2), ev("b", 3))
+    def render(ms: Vector[Match]) = ms.map(_.toString).sorted
+    val plain = render(CepOperator.run(optPrefix, input))
+    assert(plain.count(_ == plain.head) == 3 ||
+      plain.distinct.length < plain.length,
+      s"expected duplicate empty-prefix matches, got $plain")
+    // within(w): every one of those duplicates has span 0 (single take)
+    // — the reference post-filter keeps them ALL, and so must the engine
+    val windowed = render(
+      CepOperator.run(optPrefix.copy(within = Some(1)), input))
+    assert(windowed == plain,
+      s"within changed duplicate multiplicity: $windowed vs $plain")
+    // detection: this is exactly the shape the state-bound caveat names
+    assert(DstCompiler.compile(optPrefix).hasUntakenIgnorePrefix)
+    // ...and the plain relaxed pair is NOT (untaken runs die at spawn)
+    val pair = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+      schema)
+    assert(!DstCompiler.compile(pair).hasUntakenIgnorePrefix)
+  }
+
+  test("streaming requires maxRunsPerKey when the window cannot bound " +
+    "state (enforced contract, ADVICE r4)") {
+    val optPrefix = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.lpat("x", "a", "True", Contiguity.Relaxed, 0, 2),
+        Pattern.spat("y", "b", "True")),
+      schema, within = Some(5))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      val df = Seq((1L, 1L, "a", 0L)).toDF("k", "event_id", "t", "value")
+      val spec = SparkCep.CepSpec(Some("k"), "event_id", "t", Seq("value"))
+      val e = intercept[IllegalArgumentException] {
+        StreamingCep.matchPattern(df, optPrefix, spec)
+      }
+      assert(e.getMessage.contains("maxRunsPerKey"))
+      // with the valve set, construction proceeds past the check
+      StreamingCep.matchPattern(df, optPrefix, spec,
+        maxRunsPerKey = Some(1000))
+      // a bounded pattern (no optional prefix) needs no valve
+      StreamingCep.matchPattern(df, optPrefix.copy(patseq =
+        Pattern.Combine(Contiguity.Relaxed,
+          Pattern.spat("x", "a", "True"),
+          Pattern.spat("y", "b", "True"))), spec)
+    } finally spark.stop()
+  }
+
   test("differential: within == reference post-filter on registry patterns") {
     // reference semantics: run WITHOUT within, then keep matches whose
     // bound events' step span < w (non-group patterns bind every take,
