@@ -2248,9 +2248,11 @@ object Queries {
        |  FROM read_parquet('${Codebooks.coarsePath}/*.parquet')),
        |sims AS (
        |  SELECT v.vec_id, c.cid,
-       |    CAST(floor(1000000 * list_inner_product(v.e, c.ce) /
+       |    CASE WHEN list_inner_product(v.e, v.e) = 0
+       |           OR list_inner_product(c.ce, c.ce) = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor(1000000 * list_inner_product(v.e, c.ce) /
        |      (sqrt(list_inner_product(v.e, v.e)) *
-       |       sqrt(list_inner_product(c.ce, c.ce)))) AS BIGINT) AS sim
+       |       sqrt(list_inner_product(c.ce, c.ce)))) AS BIGINT) END AS sim
        |  FROM v CROSS JOIN cent c),
        |ranked AS (
        |  SELECT vec_id, cid, sim, row_number() OVER (

@@ -1167,6 +1167,14 @@ object Similarity extends Serializable {
   /** Exact JVM mirror of `cosineMicro`: double math with left-to-right
     * summation — bit-identical to the Column expression and to DuckDB's
     * `list_inner_product`.
+    *
+    * DEGENERATE INPUT PIN: a zero-norm side makes the quotient 0/0 =
+    * NaN, which `NaN.toLong` would silently map to 0 while a SQL
+    * oracle's `CAST(floor(NaN) AS BIGINT)` ERRORS — the two sides would
+    * diverge on exactly the rows that need a defined answer. Cosine to
+    * the zero vector is defined here as 0 (no direction, no affinity),
+    * explicitly, in both JVM mirrors and in the oracle SQL of the one
+    * registry query whose input column could carry it (`emb_outliers`).
     */
   private[ops] def cosineMicroJvm(a: Array[Float], b: Array[Float]): Long = {
     val n = a.length
@@ -1177,7 +1185,9 @@ object Similarity extends Serializable {
       dot += x * y; na += x * x; nb += y * y
       d += 1
     }
-    math.floor(1000000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+    if (na == 0.0 || nb == 0.0) 0L
+    else math.floor(1000000.0 * (dot / (math.sqrt(na) * math.sqrt(nb))))
+      .toLong
   }
 
   private[ops] def cosineMicroJvm(a: scala.collection.Seq[Float],
@@ -1198,7 +1208,10 @@ object Similarity extends Serializable {
       dot += x * y; na += x * x; nb += y * y
       d += 1
     }
-    math.floor(1000000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+    // zero-norm pin: see cosineMicroJvm
+    if (na == 0.0 || nb == 0.0) 0L
+    else math.floor(1000000.0 * (dot / (math.sqrt(na) * math.sqrt(nb))))
+      .toLong
   }
 
   /** LSH-bucketed near-neighbor pairs: signature band join (4×16 bits) then

@@ -332,4 +332,25 @@ class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1L, 0L, true),
       (4L, 0L, 707106L, false)))
   }
+
+  test("centroidOutliers: zero-norm vector is pinned to sim 0 / outlier, " +
+    "not NaN (ADVICE r4)") {
+    val s = spark
+    import s.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(0f, 0f)),     // zero vector: 0/0 would be NaN → pinned 0
+      (2L, Seq(2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding",
+      cents, minSimMicro = 100000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out == Set((1L, 0L, true), (2L, 1000000L, false)))
+    // the all-zero-centroid edge pins the other operand's guard
+    val zc = Similarity.centroidOutliers(df, "vec_id", "embedding",
+      Array(Array(0.0, 0.0)), minSimMicro = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(zc == Set((1L, 0L), (2L, 0L)))
+  }
 }
