@@ -2262,6 +2262,51 @@ object Queries {
        |  sim < 250000 AS is_outlier
        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Image dedup DECISION: the dHash near-dup pairs fold into
+    * connected components and every image maps to its cluster's
+    * smallest asset id (`DedupOps.nearDupKeepMap` over
+    * `imageNearDupPairs`) — keeping `asset_id == cluster_id` prunes the
+    * image corpus to one representative per near-dup cluster, the same
+    * pairs→decision step the text pipeline ships. Oracle: the banded
+    * pair CTE over the committed pre-encode dHashes plus the recursive
+    * reachability min, exactly like `dedup_cluster_keep`.
+    */
+  def mmImageDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val assets = spark.read.parquet(MultiModal.imagesPath)
+    val pairs = MultiModal.imageNearDupPairs(assets, maxHamming = 6)
+      .select(col("id1"), col("id2"))
+    DedupOps.nearDupKeepMap(assets.select(col("asset_id")), "asset_id",
+        pairs)
+      .select(col("doc_id").as("asset_id"), col("cluster_id"))
+      .orderBy("asset_id")
+  }
+
+  val mmImageDedupKeepSql: String =
+    s"""WITH RECURSIVE f AS (
+       |  SELECT asset_id, dhash
+       |  FROM read_parquet('${MultiModal.expectedFeaturesPath}/*.parquet')),
+       |b AS (
+       |  SELECT asset_id, dhash, band, (dhash >> (band * 8)) & 255 AS bucket
+       |  FROM f, (SELECT unnest(generate_series(0, 7)) AS band) bands),
+       |p AS (
+       |  SELECT DISTINCT x.asset_id AS id1, y.asset_id AS id2
+       |  FROM b x JOIN b y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |      AND x.asset_id < y.asset_id
+       |  WHERE bit_count(xor(x.dhash, y.dhash)) <= 6),
+       |und AS (
+       |  SELECT id1 AS a, id2 AS b FROM p
+       |  UNION ALL SELECT id2, id1 FROM p),
+       |reach AS (
+       |  SELECT a AS node, b AS r FROM und
+       |  UNION
+       |  SELECT re.node, u.b FROM reach re JOIN und u ON u.a = re.r),
+       |mins AS (SELECT node, min(r) AS minr FROM reach GROUP BY node)
+       |SELECT f.asset_id,
+       |  COALESCE(LEAST(f.asset_id, m.minr), f.asset_id) AS cluster_id
+       |FROM f LEFT JOIN mins m ON m.node = f.asset_id
+       |ORDER BY f.asset_id""".stripMargin
+
   /** Per-doc TF-IDF top-3 terms (integer-exact linear-idf scoring). */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Relevance.tfIdfTopTerms(
@@ -2711,6 +2756,7 @@ object Queries {
     "semantic_dedup" -> semanticDedup _,
     "mm_features" -> mmFeatures _,
     "mm_image_dedup" -> mmImageDedup _,
+    "mm_image_dedup_keep" -> mmImageDedupKeep _,
     "mm_frame_sample" -> mmFrameSample _,
     "sketch_distinct_tokens" -> sketchDistinctTokens _,
     "decontam_overlap" -> decontamOverlap _,
@@ -2786,6 +2832,7 @@ object Queries {
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql,
     "mm_image_dedup" -> mmImageDedupSql,
+    "mm_image_dedup_keep" -> mmImageDedupKeepSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "sketch_distinct_tokens" -> sketchDistinctTokensSql,
     "decontam_overlap" -> decontamOverlapSql,

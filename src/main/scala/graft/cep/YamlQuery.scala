@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
   * type: query
   * patseq: { type: spat|lpat|lpat-inf|combine|gpat|gpat-times|gpat-inf, ... }
   * context: { schema: {evType: [attrs...]}, [strategy: NoSkip|...],
-  * [within: w] }
+  * [within: w], [within_time: {attr: ts, span: n}] }
   * }}}
   *
   * snakeyaml preserves mapping insertion order (LinkedHashMap), which we rely
@@ -70,10 +70,15 @@ object YamlQuery {
       .map(s => AfterMatchStrategy.fromName(s.toString))
       .getOrElse(AfterMatchStrategy.NoSkip)
     // beyond-parity: an optional `within: <w>` context key exposes the
-    // step-window extension through the YAML surface (absent in every
+    // step-window extension, and `within_time: {attr: <name>, span: <n>}`
+    // the event-time window, through the YAML surface (absent in every
     // reference query — reference files parse exactly as before)
     val within = Option(context.get("within")).map(_.toString.toInt)
-    CepQuery(patseq, schema, strategy, within)
+    val withinTime = Option(context.get("within_time")).map { o =>
+      val m = o.asInstanceOf[JMap[String, Object]]
+      WithinTime(m.get("attr").toString, m.get("span").toString.toLong)
+    }
+    CepQuery(patseq, schema, strategy, within, withinTime)
   }
 
   private def str(m: JMap[String, Object], k: String): String =

@@ -293,6 +293,28 @@ class WithinSpec extends AnyFunSuite {
     assert(YamlQuery.fromYaml(noW).within.isEmpty)
   }
 
+  test("yaml context carries the event-time window (within_time)") {
+    val yml =
+      """patseq: {type: spat, name: a, event: e, cndt: {expr: "True"}}
+        |context:
+        |  schema: {e: [event_id, ts]}
+        |  within_time: {attr: ts, span: 3600}
+        |""".stripMargin
+    val q = YamlQuery.fromYaml(yml)
+    assert(q.withinTime == Some(WithinTime("ts", 3600L)))
+    assert(q.within.isEmpty)
+    // both windows together
+    val both =
+      """patseq: {type: spat, name: a, event: e, cndt: {expr: "True"}}
+        |context:
+        |  schema: {e: [event_id, ts]}
+        |  within: 7
+        |  within_time: {attr: ts, span: 60}
+        |""".stripMargin
+    val qb = YamlQuery.fromYaml(both)
+    assert(qb.within == Some(7) && qb.withinTime == Some(WithinTime("ts", 60L)))
+  }
+
   test("within bounds live runs on a match-starved stream") {
     // a-then-b relaxed where b never arrives: without a window every
     // taken run stays alive forever; with one, state is bounded
