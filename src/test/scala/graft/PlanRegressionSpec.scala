@@ -154,6 +154,34 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), s"outlier gate shuffles:\n$p")
   }
 
+  test("image feature decode is one narrow pass: zero exchanges") {
+    val p = plan("mm_features")
+    // the registry query ends in a presentation orderBy whose global sort
+    // owns one range exchange; the decode pipeline BELOW it must be
+    // exchange-free
+    val below = p.split("Exchange rangepartitioning", 2).last
+    assert(!below.contains("Exchange"),
+      s"image decode shuffles:\n$below")
+  }
+
+  test("trained quality scoring is one narrow broadcast pass: zero " +
+    "exchanges below the presentation sort") {
+    val p = plan("text_quality_model")
+    val below = p.split("Exchange rangepartitioning", 2).last
+    assert(!below.contains("Exchange"),
+      s"quality scoring shuffles:\n$below")
+  }
+
+  test("cep event-time within keeps the alphabet pushdown (position " +
+    "within gives it up)") {
+    val p = plan("cep_within_time_signup_purchase")
+    assert(p.matches("(?s).*DataFilters: \\[[^\\]]*event_type[^\\]]*.*"),
+      "event-time within lost the scan-level alphabet filter")
+    val pos = plan("cep_within_signup_purchase")
+    assert(!pos.matches("(?s).*DataFilters: \\[[^\\]]*event_type[^\\]]*.*"),
+      "position within unexpectedly pushed a filter (spans would shrink)")
+  }
+
   test("pack window partitions by the strata, never a single partition") {
     val p = plan("pack_shards")
     assert(p.contains("hashpartitioning"), "no hash partitioning in plan")
