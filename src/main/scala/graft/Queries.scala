@@ -1422,6 +1422,172 @@ object Queries {
        |FROM pw ORDER BY doc_id""".stripMargin
   }
 
+  /** The round-5 prep pipeline: same shape as `pipeline_prep_shards`
+    * but every upgraded stage swapped in — TRAINED quality gate
+    * (committed perceptron weights instead of heuristics), benchmark
+    * decontamination, MAXIMAL-REGION substring scrub (published Lee et
+    * al. semantics instead of the cover approximation), per-language
+    * quota rebalance, and stratified packing with the SEEDED SHUFFLE
+    * order (shard visit keys + within-shard positions) — ending at the
+    * exact record a training loader consumes: (lang, doc, shard,
+    * offset, shard_key, shuffled_pos). One oracle replays the whole
+    * composition.
+    */
+  def pipelinePrepShardsV2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Contamination, Packing, QualityModel, Sampling}
+    val docs = table(spark, dir, "documents")
+    val model = QualityModel.loadWeights(spark, QualityModel.weightsPath)
+    val bench = docs.filter(col("doc_id") % 10 === 7)
+    val trainAll = docs.filter(col("doc_id") % 10 =!= 7)
+    // trained gate: one narrow broadcast pass; keep ids whose score > 0
+    val okIds = QualityModel.scoreDocs(trainAll, "doc_id", "text", model)
+      .filter(col("model_ok")).select(col("doc_id"))
+    val train = trainAll
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+      .join(okIds, "doc_id")
+    val kept = Contamination.decontaminate(train, bench, "doc_id", "text",
+      n = 5).cache()
+    val scrubbed = Contamination
+      .scrubDupPassagesMaximal(kept, "doc_id", "text", n = 8, minDocs = 2,
+        minRepeatLen = 16)
+      .filter(col("n_tokens") - col("n_removed") > 0L)
+    val withLang = scrubbed.join(
+      docs.select(col("doc_id").cast(LongType).as("doc_id"), col("lang")),
+      "doc_id")
+    val balanced = Sampling.quotaSample(withLang, "doc_id", "lang",
+      Map("en" -> 60L), defaultQuota = 40L).cache()
+    Packing.packShuffled(
+        balanced.select(col("doc_id"), col("clean_text"), col("lang")),
+        "doc_id", "clean_text", Seq("lang"), budgetTokens = 256L,
+        seed = 7L)
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("start_off"),
+        col("shard_id"), col("shard_key"), col("shuffled_pos"))
+      .orderBy("doc_id")
+  }
+
+  val pipelinePrepShardsV2Sql: String = {
+    val idStr = "CAST(doc_id AS VARCHAR)"
+    val polyOf = (s: String, base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($s)), " +
+        s"i -> CAST(ascii(($s)[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * $base + c) % 1000000007)"
+    val poly = polyOf(idStr, 131)
+    val mixed = (s: String) =>
+      s"((${polyOf(s, 131)}) * (${polyOf(s, 257)})) % 1000000007"
+    val polyTok = polyOf("tok", 131)
+    s"""WITH t AS (
+       |  SELECT doc_id, text, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |  WHERE doc_id % 10 <> 7 AND doc_id IS NOT NULL AND text IS NOT NULL),
+       |w AS (
+       |  SELECT bucket, weight
+       |  FROM read_parquet('${graft.ops.QualityModel.weightsPath}/*.parquet')),
+       |bias AS (SELECT weight AS b FROM w WHERE bucket = -1),
+       |btk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |bkt AS (SELECT doc_id, ($polyTok) % 4096 AS bucket FROM btk),
+       |sc AS (
+       |  SELECT bkt.doc_id, sum(coalesce(w.weight, 0)) AS sw
+       |  FROM bkt LEFT JOIN w ON w.bucket = bkt.bucket
+       |  GROUP BY bkt.doc_id),
+       |gated AS (
+       |  SELECT t.doc_id, t.text, t.lang, t.toks
+       |  FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id
+       |  WHERE (SELECT b FROM bias) + coalesce(sc.sw, 0) > 0),
+       |btoks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS bt
+       |  FROM documents WHERE doc_id % 10 = 7),
+       |bshs AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(bt) >= 5 THEN
+       |      list_transform(generate_series(1, len(bt) - 4),
+       |        i -> array_to_string(bt[i:i+4], ' '))
+       |    ELSE [array_to_string(bt, ' ')] END)) AS shingle
+       |  FROM btoks),
+       |benchh AS (SELECT DISTINCT $shingleHash60Sql AS h FROM bshs),
+       |gshs AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(toks) >= 5 THEN
+       |      list_transform(generate_series(1, len(toks) - 4),
+       |        i -> array_to_string(toks[i:i+4], ' '))
+       |    ELSE [array_to_string(toks, ' ')] END)) AS shingle
+       |  FROM gated),
+       |gh AS (SELECT doc_id, $shingleHash60Sql AS h FROM gshs),
+       |clean AS (
+       |  SELECT doc_id, lang, toks FROM gated
+       |  WHERE doc_id NOT IN (
+       |    SELECT doc_id FROM gh WHERE h IN (SELECT h FROM benchh))),
+       |sp0 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+       |      list_transform(generate_series(1, len(toks) - 7),
+       |        i -> struct_pack(pos := i, slen := CAST(8 AS BIGINT),
+       |                         shingle := array_to_string(toks[i:i+7], ' ')))
+       |    ELSE [struct_pack(pos := CAST(1 AS BIGINT), slen := len(toks),
+       |                      shingle := array_to_string(toks, ' '))] END) AS s
+       |  FROM clean),
+       |sp AS (SELECT doc_id, s.pos AS pos, s.slen AS slen,
+       |         s.shingle AS shingle FROM sp0),
+       |sph AS (SELECT doc_id, pos, slen, $shingleHash60Sql AS h FROM sp),
+       |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sph)
+       |        GROUP BY h HAVING count(*) >= 2),
+       |occ AS (SELECT doc_id, pos, pos + slen - 1 AS endp
+       |        FROM sph WHERE h IN (SELECT h FROM dup) AND slen > 0),
+       |mx AS (SELECT doc_id, pos, endp,
+       |         max(endp) OVER (PARTITION BY doc_id ORDER BY pos, endp
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS prev_end
+       |       FROM occ),
+       |isl AS (SELECT doc_id, pos, endp,
+       |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+       |                THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY pos, endp
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |        FROM mx),
+       |reg AS (SELECT doc_id, min(pos) AS rstart, max(endp) AS rend
+       |        FROM isl GROUP BY doc_id, g
+       |        HAVING max(endp) - min(pos) + 1 >= 16),
+       |cov AS (SELECT doc_id, unnest(generate_series(rstart, rend)) AS tidx
+       |        FROM reg),
+       |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+       |           i -> struct_pack(tidx := i, tok := toks[i]))) AS s FROM clean),
+       |tok AS (SELECT doc_id, s.tidx AS tidx, s.tok AS tok FROM tok0),
+       |keptt AS (
+       |  SELECT t2.doc_id, t2.tidx, t2.tok FROM tok t2
+       |  LEFT JOIN cov c ON c.doc_id = t2.doc_id AND c.tidx = t2.tidx
+       |  WHERE c.tidx IS NULL),
+       |scrub AS (SELECT doc_id, count(*) AS n_kept,
+       |            string_agg(tok, ' ' ORDER BY tidx) AS clean_text
+       |          FROM keptt GROUP BY doc_id),
+       |surv AS (SELECT c.doc_id, c.lang, s.clean_text
+       |         FROM clean c JOIN scrub s USING (doc_id)),
+       |bal AS (SELECT doc_id, lang, clean_text FROM (
+       |    SELECT doc_id, lang, clean_text,
+       |      row_number() OVER (PARTITION BY lang ORDER BY $poly, doc_id)
+       |        AS rk
+       |    FROM surv) r
+       |  WHERE rk <= CASE WHEN lang = 'en' THEN 60 ELSE 40 END),
+       |pt AS (SELECT doc_id, lang,
+       |         CAST(len(list_filter(string_split(clean_text, ' '),
+       |           x -> x <> '')) AS BIGINT) AS n_tok FROM bal),
+       |pw AS (SELECT doc_id, lang, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |           AS BIGINT) AS start_off
+       |       FROM pt),
+       |shd AS (SELECT doc_id, lang, n_tok, start_off,
+       |          CAST(start_off // 256 AS BIGINT) AS shard_id FROM pw),
+       |kk AS (SELECT *,
+       |         ${mixed("'7:' || CAST(doc_id AS VARCHAR)")} AS doc_key,
+       |         ${mixed("'7:' || lang || ':' || CAST(shard_id AS VARCHAR)")}
+       |           AS shard_key
+       |       FROM shd)
+       |SELECT lang, doc_id, n_tok, start_off, shard_id, shard_key,
+       |  CAST(row_number() OVER (PARTITION BY lang, shard_id
+       |    ORDER BY doc_key, doc_id) AS BIGINT) AS shuffled_pos
+       |FROM kk ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-language embedding centroids in exact integer micro space:
     * every vector element is floored to micros *before* aggregation, so
     * the sum is order-free exact integer math (a float mean would depend
@@ -2748,6 +2914,7 @@ object Queries {
     "pipeline_curate" -> pipelineCurate _,
     "pipeline_curate_full" -> pipelineCurateFull _,
     "pipeline_prep_shards" -> pipelinePrepShards _,
+    "pipeline_prep_shards_v2" -> pipelinePrepShardsV2 _,
     "emb_lang_centroids" -> embLangCentroids _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
@@ -2828,6 +2995,7 @@ object Queries {
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
     "pipeline_prep_shards" -> pipelinePrepShardsSql,
+    "pipeline_prep_shards_v2" -> pipelinePrepShardsV2Sql,
     "emb_lang_centroids" -> embLangCentroidsSql,
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql,
