@@ -240,6 +240,32 @@ class WithinSpec extends AnyFunSuite {
       Vector(4L -> 5L))
   }
 
+  test("out-of-TIME-window accept neither emits nor triggers the skip " +
+    "strategy") {
+    // same shape as the position pin, on the event-time clock: a@ts10,
+    // a@ts100, b@ts101 with SkipPastLastEvent, span=5: run 1's would-be
+    // match (a1,b) spans 91 time units — rejected, and it must NOT clear
+    // the run set; run 2's (a2,b) spans 1 and emits.
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+      tschema, AfterMatchStrategy.SkipPastLastEvent)
+    val input = Vector(tev("a", 1, 10), tev("c", 2, 50), tev("a", 3, 100),
+      tev("b", 4, 101))
+    def ids(ms: Vector[Match]) = ms.map { m =>
+      val byName = m.toMap
+      byName("x").head("event_id") -> byName("y").head("event_id")
+    }
+    assert(ids(CepOperator.run(q, input)) == Vector(1L -> 4L))
+    assert(ids(CepOperator.run(
+      q.copy(withinTime = Some(WithinTime("ts", 5))), input)) ==
+      Vector(3L -> 4L))
+    // SkipToNext: the expired run's accept must not lazy-delete its key
+    val q2 = q.copy(strategy = AfterMatchStrategy.SkipToNext,
+      withinTime = Some(WithinTime("ts", 5)))
+    assert(ids(CepOperator.run(q2, input)) == Vector(3L -> 4L))
+  }
+
   test("within disables the alphabet prefilter for multi-step patterns") {
     // dropping ignorable events shrinks step spans — the window is the
     // one observer that makes skipped events visible under relaxed
