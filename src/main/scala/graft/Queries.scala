@@ -1569,7 +1569,8 @@ object Queries {
        |  WHERE rk <= CASE WHEN lang = 'en' THEN 60 ELSE 40 END),
        |pt AS (SELECT doc_id, lang,
        |         CAST(len(list_filter(string_split(clean_text, ' '),
-       |           x -> x <> '')) AS BIGINT) AS n_tok FROM bal),
+       |           x -> x <> '')) AS BIGINT) AS n_tok FROM bal
+       |       WHERE lang IS NOT NULL),
        |pw AS (SELECT doc_id, lang, n_tok,
        |         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
@@ -2337,7 +2338,8 @@ object Queries {
        |s AS (
        |  SELECT lang, source, doc_id, n_tok, start_off,
        |    CAST(start_off // 512 AS BIGINT) AS shard_id
-       |  FROM w),
+       |  FROM w
+       |  WHERE lang IS NOT NULL AND source IS NOT NULL),
        |k AS (
        |  SELECT *, ${poly(docStr)} AS doc_key, ${poly(shardStr)} AS shard_key
        |  FROM s)

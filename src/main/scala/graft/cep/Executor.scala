@@ -50,8 +50,12 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
 
   private var S: ArrayBuffer[(Int, Configuration)] = ArrayBuffer.empty
   private var i: Int = 0
+  // highest event-time seen (withinTime only): time-expiry pruning is
+  // only sound on a non-decreasing clock, so a rewind fails loudly
+  // instead of silently dropping matches
+  private var lastTs: Long = Long.MinValue
 
-  def reset(): Unit = { S = ArrayBuffer.empty; i = 0 }
+  def reset(): Unit = { S = ArrayBuffer.empty; i = 0; lastTs = Long.MinValue }
 
   /** Live-run count (for state-size accounting in streaming). */
   def runCount: Int = S.size
@@ -66,6 +70,13 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
   def restore(step: Int, runs: Vector[(Int, Configuration)]): Unit = {
     i = step
     S = ArrayBuffer.from(runs)
+    // the monotonicity floor survives restore via the live runs' window
+    // starts (each was stamped from a previously-fed event's clock);
+    // events older than any stamp would already have violated the feed
+    // order that produced this state
+    lastTs = runs.iterator
+      .filter(_._2.firstTake != 0).map(_._2.firstTakeTs)
+      .foldLeft(Long.MinValue)(math.max)
   }
 
   /** Resolve a state name to the DST's state object (for state-store
@@ -87,10 +98,24 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
           "in one logical stream; shard the key or restart the pattern")
     val ev = Some(event)
     // event-time clock for the withinTime window: the event's tsAttr
-    // attribute (throws the standard attr-undefined error when missing)
+    // attribute (throws the standard attr-undefined error when missing).
+    // The documented non-decreasing requirement is ENFORCED: a rewound
+    // clock would make the expiry pruning drop runs that could still
+    // emit — silently wrong multisets; failing loudly beats that (same
+    // stance as the maxRuns valve below).
     val ts = withinTime match {
-      case Some(wt) => event(wt.tsAttr)
-      case None     => 0L
+      case Some(wt) =>
+        val t = event(wt.tsAttr)
+        if (t < lastTs)
+          throw new IllegalStateException(
+            s"withinTime requires non-decreasing ${wt.tsAttr} across the " +
+              s"fed stream, but $t arrived after $lastTs — sort the " +
+              "stream by event time (the batch operator's order column " +
+              "must be time-monotone; the event-time streaming path " +
+              "releases in watermark order already)")
+        lastTs = t
+        t
+      case None => 0L
     }
 
     val t = ArrayBuffer.from(S)

@@ -138,6 +138,18 @@ object StreamingCep {
           val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within, query.withinTime)
           if (state.exists) {
             val st = CepStateCodec.decode(state.get)
+            // a non-empty reorder buffer means this checkpoint was written
+            // by the EVENT-TIME variant — restoring it here would silently
+            // drop the buffered (not yet released) events; fail loudly
+            // instead (same contract as the codec's version check)
+            if (st.buffer.nonEmpty)
+              throw new IllegalStateException(
+                "CEP streaming state holds a non-empty event-time reorder " +
+                  "buffer: this checkpoint was written by " +
+                  "matchPatternEventTime and cannot be restored by the " +
+                  "arrival-order operator without losing buffered events. " +
+                  "Resume with matchPatternEventTime, or discard the " +
+                  "checkpoint directory.")
             restoreState(executor, CepState(st.step, st.runs))
           }
           // arrival-order semantics within the micro-batch: sort by order

@@ -135,7 +135,15 @@ object Packing {
     */
   def packShuffled(df: DataFrame, idCol: String, textCol: String,
       strataCols: Seq[String], budgetTokens: Long, seed: Long): DataFrame = {
-    val packed = packByBudget(df, idCol, textCol, strataCols, budgetTokens)
+    // null stratum values are excluded: the engine's concat_ws would skip
+    // a NULL component (keying the row as if the stratum didn't exist and
+    // aliasing it with other strata) while a SQL mirror's `||`
+    // null-propagates — engine-portability demands one pinned behavior,
+    // and "a null stratum has no place in a keyed interleave" follows the
+    // null-id convention of the other ops
+    val nonNull = strataCols.foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+    val packed = packByBudget(nonNull, idCol, textCol, strataCols,
+      budgetTokens)
     // the single-base polynomial is AFFINE in a prefix: for same-length
     // ids, changing the seed shifts every key by the same constant mod p
     // and the order never moves. The two-base product (same mix as the

@@ -266,6 +266,29 @@ class WithinSpec extends AnyFunSuite {
     assert(ids(CepOperator.run(q2, input)) == Vector(3L -> 4L))
   }
 
+  test("withinTime enforces the non-decreasing clock (review fix)") {
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+      tschema, withinTime = Some(WithinTime("ts", 100)))
+    val e = intercept[IllegalStateException] {
+      CepOperator.run(q, Vector(tev("a", 1, 50), tev("c", 2, 40)))
+    }
+    assert(e.getMessage.contains("non-decreasing"))
+    // equal timestamps are fine (ties are not a rewind)
+    assert(CepOperator.run(q,
+      Vector(tev("a", 1, 50), tev("b", 2, 50))).size == 1)
+    // the floor survives snapshot/restore via live runs' window stamps
+    val ex = new Executor(DstCompiler.compile(q), q.strategy,
+      withinTime = q.withinTime)
+    ex.feed(tev("a", 1, 80))
+    val (st, runs) = ex.snapshot
+    val ex2 = new Executor(DstCompiler.compile(q), q.strategy,
+      withinTime = q.withinTime)
+    ex2.restore(st, runs)
+    intercept[IllegalStateException] { ex2.feed(tev("b", 2, 70)) }
+  }
+
   test("within disables the alphabet prefilter for multi-step patterns") {
     // dropping ignorable events shrinks step spans — the window is the
     // one observer that makes skipped events visible under relaxed

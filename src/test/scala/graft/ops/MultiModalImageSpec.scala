@@ -86,6 +86,15 @@ class MultiModalImageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultiModal.decodeImage(null).isEmpty)
     assert(MultiModal.decodeImage(Array.emptyByteArray).isEmpty)
     assert(MultiModal.decodeImage("not a png".getBytes("UTF-8")).isEmpty)
+    // truncated/corrupt payloads that pass format sniffing: JDK readers
+    // throw RuntimeExceptions on these, which must also drop the row,
+    // not poison the job (review fix: NonFatal, not just IOException)
+    val realPng = png(16, 16, Array.fill(256)(gray(9)))
+    assert(MultiModal.decodeImage(realPng.take(30)).isEmpty)
+    val corruptGif = "GIF89a".getBytes("UTF-8") ++ Array.fill(20)(0xFF.toByte)
+    assert(MultiModal.decodeImage(corruptGif).isEmpty)
+    val corruptBmp = "BM".getBytes("UTF-8") ++ Array.fill(30)(0x7F.toByte)
+    assert(MultiModal.decodeImage(corruptBmp).isEmpty)
   }
 
   private def assets(rows: (Long, Array[Byte])*) = {

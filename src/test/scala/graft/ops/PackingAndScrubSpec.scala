@@ -290,6 +290,21 @@ class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
       "seed change did not move any document")
   }
 
+  test("packShuffled excludes null-stratum rows (review fix: concat_ws " +
+    "would silently alias them)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "t t", Option("l1"), Option("s1")),
+      (2L, "t t", None, Option("s1")),
+      (3L, "t t", Option("l1"), None))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Packing.packShuffled(df, "doc_id", "text",
+      Seq("lang", "source"), 8L, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L))
+  }
+
   test("quotaSample keeps the hash-order prefix, stable under quota growth") {
     val s = spark
     import s.implicits._
