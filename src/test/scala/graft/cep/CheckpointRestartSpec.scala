@@ -74,4 +74,74 @@ class CheckpointRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((1L, 1L, 2L)))
   }
+
+  /** Review fix e2e: a checkpoint written by the EVENT-TIME operator
+    * while events sit in its reorder buffer must be REFUSED by the
+    * arrival-order operator — restoring it would silently drop the
+    * buffered events. Measured behavior: Spark's state-store schema
+    * check fires FIRST (EventTimeTimeout adds a timeout-timestamp field
+    * to the state value schema that NoTimeout lacks), so the restore is
+    * already blocked at the store level; the operator's own
+    * reorder-buffer guard remains as defense-in-depth should the two
+    * variants ever share a timeout mode. This test pins that the
+    * cross-variant resume FAILS (either message) rather than silently
+    * dropping events.
+    */
+  test("arrival-order operator refuses an event-time checkpoint with a " +
+    "non-empty reorder buffer") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ckpt-cross").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/checkpoint"
+    val outDir = s"$dir/out"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", LongType),
+      StructField("ts", TimestampType)))
+
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Strict, Pattern.spat("a", "signup", "True"),
+        Pattern.spat("b", "purchase", "True")),
+      Vector("signup" -> Vector("event_id", "value"),
+        "purchase" -> Vector("event_id", "value")))
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+
+    // event-time run: every event stays behind the 1000s watermark delay
+    // at stop time, so the state carries a non-empty reorder buffer
+    Seq((1L, 1L, "signup", 0L, new java.sql.Timestamp(5000L)))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+      .write.mode("append").parquet(inDir)
+    val inEt = spark.readStream.schema(schema).parquet(inDir)
+    val q1 = StreamingCep.matchPatternEventTime(inEt, q, spec,
+      tsCol = "ts", delay = "1000 seconds")
+      .selectExpr("user_id", "a[0] as a_id")
+      .writeStream.format("json")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // resume the SAME checkpoint with the arrival-order operator: the
+    // guard must fail the batch with the actionable message
+    Seq((1L, 2L, "purchase", 10L, new java.sql.Timestamp(6000L)))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+      .write.mode("append").parquet(inDir)
+    val inPo = spark.readStream.schema(schema).parquet(inDir)
+    val q2 = StreamingCep.matchPattern(inPo, q, spec)
+      .selectExpr("user_id", "a[0] as a_id")
+      .writeStream.format("json")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("reorder buffer") ||
+        m.contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
 }
