@@ -911,6 +911,55 @@ object Queries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Gopher repetition rules: top 2/3/4-gram occurrence counts and the
+    * permille of token mass each covers, with the composite flag at the
+    * paper's thresholds (token-mass adaptation of Rae et al. 2021
+    * Appendix A) — the looping-generation/templated-spam filter.
+    */
+  def textGopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRepetition(table(spark, dir, "documents"), "doc_id",
+      "text")
+      .orderBy("doc_id")
+
+  val textGopherRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+      |g0 AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(1, len(toks) - n + 1)) AS i, toks
+      |  FROM base, (SELECT unnest([2, 3, 4]) AS n) ns
+      |  WHERE len(toks) >= n),
+      |g AS (SELECT doc_id, n,
+      |        array_to_string(toks[i:i+n-1], ' ') AS gm FROM g0),
+      |c AS (SELECT doc_id, n, gm, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      |tp AS (SELECT doc_id, n, max(c) AS top_cnt FROM c GROUP BY 1, 2),
+      |w AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN n = 2 THEN top_cnt END) AS t2,
+      |    max(CASE WHEN n = 3 THEN top_cnt END) AS t3,
+      |    max(CASE WHEN n = 4 THEN top_cnt END) AS t4
+      |  FROM tp GROUP BY doc_id),
+      |f AS (
+      |  SELECT b.doc_id, b.n_tokens,
+      |    CAST(coalesce(w.t2, 0) AS BIGINT) AS top2_cnt,
+      |    CAST(coalesce(w.t3, 0) AS BIGINT) AS top3_cnt,
+      |    CAST(coalesce(w.t4, 0) AS BIGINT) AS top4_cnt
+      |  FROM base b LEFT JOIN w ON w.doc_id = b.doc_id)
+      |SELECT doc_id, n_tokens,
+      |  top2_cnt,
+      |  CAST(CASE WHEN n_tokens > 0 THEN top2_cnt * 2000 // n_tokens ELSE 0 END AS BIGINT) AS top2_milli,
+      |  top3_cnt,
+      |  CAST(CASE WHEN n_tokens > 0 THEN top3_cnt * 3000 // n_tokens ELSE 0 END AS BIGINT) AS top3_milli,
+      |  top4_cnt,
+      |  CAST(CASE WHEN n_tokens > 0 THEN top4_cnt * 4000 // n_tokens ELSE 0 END AS BIGINT) AS top4_milli,
+      |  ((CASE WHEN n_tokens > 0 THEN top2_cnt * 2000 // n_tokens ELSE 0 END) > 200
+      |   OR (CASE WHEN n_tokens > 0 THEN top3_cnt * 3000 // n_tokens ELSE 0 END) > 180
+      |   OR (CASE WHEN n_tokens > 0 THEN top4_cnt * 4000 // n_tokens ELSE 0 END) > 160)
+      |    AS rep_flagged
+      |FROM f ORDER BY doc_id""".stripMargin
+
   /** Whitespace vs BPE-ish token counts (LLM budget accounting). */
   def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(table(spark, dir, "documents"), "doc_id", "text")
@@ -2904,6 +2953,7 @@ object Queries {
     "text_quality" -> textQuality _,
     "text_quality_model" -> textQualityModel _,
     "text_repetition" -> textRepetition _,
+    "text_gopher_repetition" -> textGopherRepetition _,
     "knn_ivf_top5" -> knnIvfTop5 _,
     "text_stats" -> textStats _,
     "lang_id" -> langIdQuery _,
@@ -2985,6 +3035,7 @@ object Queries {
     "text_quality" -> textQualitySql,
     "text_quality_model" -> textQualityModelSql,
     "text_repetition" -> textRepetitionSql,
+    "text_gopher_repetition" -> textGopherRepetitionSql,
     "knn_ivf_top5" -> knnIvfTop5Sql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

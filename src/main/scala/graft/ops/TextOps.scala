@@ -192,6 +192,68 @@ object TextOps {
         .otherwise(0L).cast(LongType).as("rep_milli"))
   }
 
+  /** Gopher-style repetition rules (Rae et al. 2021, Appendix A,
+    * adapted to token mass): per document, the occurrence count of the
+    * MOST FREQUENT 2/3/4-gram and the permille of token mass it covers
+    * (`top_cnt · n · 1000 / n_tokens`, exact integer), plus the
+    * composite flag at the paper's thresholds (top-2gram > 20%,
+    * top-3gram > 18%, top-4gram > 16%). This is the signal family that
+    * catches looping generations and templated spam that the
+    * distinct/total ratio (`repetitionScore`) under-weights: one
+    * dominant repeated phrase moves the top-gram mass far more than it
+    * moves the distinct count.
+    *
+    * Scale: per-doc top-gram counting is NOT done with per-doc
+    * quadratic HOFs (10k-token docs would pay O(n²) per row); the
+    * n-grams for all three n explode in one pass and reduce by
+    * (doc, n, gram) with map-side combine, then max per (doc, n) —
+    * two hash shuffles on 8-byte-ish keys, like the other span ops.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as(idCol), toks.as("__toks"),
+        size(toks).cast(LongType).as("n_tokens"))
+    def gramsOf(n: Int) = {
+      val t = col("__toks")
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(t, i + 1, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    }
+    val exploded = base.select(col(idCol),
+      explode(concat(gramsOf(2), gramsOf(3), gramsOf(4))).as("ng"))
+      .select(col(idCol), col("ng.n").as("n"), col("ng.g").as("g"))
+    val top = exploded
+      .groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n"))
+      .agg(max(col("c")).as("top_cnt"))
+    val wide = top.groupBy(col(idCol)).agg(
+      max(when(col("n") === 2, col("top_cnt"))).as("__t2"),
+      max(when(col("n") === 3, col("top_cnt"))).as("__t3"),
+      max(when(col("n") === 4, col("top_cnt"))).as("__t4"))
+    def milli(cnt: Column, n: Int) =
+      when(col("n_tokens") > 0,
+        cnt * lit(n.toLong * 1000L) / col("n_tokens")).otherwise(0L)
+        .cast(LongType) // integral operands: / then cast == floor DIV
+    val t2 = coalesce(col("__t2"), lit(0L))
+    val t3 = coalesce(col("__t3"), lit(0L))
+    val t4 = coalesce(col("__t4"), lit(0L))
+    base.select(col(idCol), col("n_tokens"))
+      .join(wide, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        t2.as("top2_cnt"), milli(t2, 2).as("top2_milli"),
+        t3.as("top3_cnt"), milli(t3, 3).as("top3_milli"),
+        t4.as("top4_cnt"), milli(t4, 4).as("top4_milli"))
+      .withColumn("rep_flagged",
+        col("top2_milli") > 200L || col("top3_milli") > 180L ||
+          col("top4_milli") > 160L)
+  }
+
   /** Polynomial rolling hash of the whole text (base 31, mod 1e9+7) — a
     * deterministic document fingerprint computable in both Spark and the
     * DuckDB oracle via the same char-code fold. Runs as a native

@@ -29,6 +29,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  test("gopherRepetition: hand-computed top-gram masses and flag") {
+    val df = docs(
+      1L -> "a b a b a b c", // top2 (a b)x3 857m, top3 x2 857m, top4 x2 1142m
+      2L -> "q",             // no 2-grams: all zero, unflagged
+      3L -> "u v w x y z u v w x y z") // top2 (u v)x2 = 333m -> flagged
+    val out = TextOps.gopherRepetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))
+      .toMap
+    assert(out(1L) == (7L, 3L, 857L, 2L, 857L, 2L, 1142L, true))
+    assert(out(2L) == (1L, 0L, 0L, 0L, 0L, 0L, 0L, false))
+    // doc 3: every 2-gram occurs twice -> top2 = 2, 2*2000/12 = 333
+    assert(out(3L)._2 == 2L && out(3L)._3 == 333L && out(3L)._8)
+  }
+
   test("exact dedup maps every doc to min id of its text group") {
     val df = docs(1L -> "a b c", 2L -> "x y", 3L -> "a b c", 4L -> "a b c")
     val out = DedupOps.exactDedup(df, "doc_id", "text")
