@@ -154,9 +154,13 @@ object Queries {
       : DataFrame =
     SparkCep.matchPatternExec(
       // ts reads as LONG NANOS (nanosAsLong, see `table`) — reduce to
-      // epoch seconds with exact integer division
+      // epoch seconds with FLOOR division (pmod keeps the remainder
+      // non-negative), mirroring the oracle's floor(epoch(ts)) for
+      // pre-1970 timestamps too; bare DIV truncates toward zero and
+      // would split the mirrors one second on negative nanos.
       table(spark, dir, "events")
-        .withColumn("ts_sec", expr("ts DIV 1000000000")),
+        .withColumn("ts_sec",
+          expr("(ts - pmod(ts, 1000000000)) DIV 1000000000")),
       cepWithinTimeSignupPurchaseQuery, eventSpecTs)
       .select(col("user_id"), element_at(col("a"), 1).as("a_id"),
         element_at(col("b"), 1).as("b_id"))
@@ -746,17 +750,27 @@ object Queries {
       |  SELECT n_name FROM custN EXCEPT SELECT n_name FROM suppN) b
       |ORDER BY tag, n_name""".stripMargin
 
-  /** Anti join: customers that never placed an order. */
+  /** Anti join: customers with no order before the cutoff date. The date
+    * predicate keeps the result non-empty at every fixture scale factor
+    * (every customer has *some* order, but not all have early orders), so a
+    * broken anti-join that returns empty for the wrong reason cannot pass
+    * vacuously. Session timezone is pinned UTC (Verify/Bench), so the
+    * timestamp literal mirrors DuckDB's naive-midnight comparison exactly.
+    */
   def relCustNoOrders(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "customer").select(col("c_custkey"))
-      .join(table(spark, dir, "orders").select(col("o_custkey")),
+      .join(
+        table(spark, dir, "orders")
+          .filter(col("o_orderdate") < to_timestamp(lit("1996-06-01")))
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .orderBy("c_custkey")
 
   val relCustNoOrdersSql: String =
     """SELECT c_custkey FROM customer
       |WHERE NOT EXISTS (
-      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00')
       |ORDER BY c_custkey""".stripMargin
 
   // =======================================================================

@@ -75,8 +75,26 @@ object YamlQuery {
     // reference query — reference files parse exactly as before)
     val within = Option(context.get("within")).map(_.toString.toInt)
     val withinTime = Option(context.get("within_time")).map { o =>
-      val m = o.asInstanceOf[JMap[String, Object]]
-      WithinTime(m.get("attr").toString, m.get("span").toString.toLong)
+      val m = o match {
+        case jm: JMap[_, _] => jm.asInstanceOf[JMap[String, Object]]
+        case other => throw new IllegalArgumentException(
+          s"within_time must be a mapping {attr: <name>, span: <n>}, " +
+            s"got scalar '$other'")
+      }
+      def req(k: String): String = m.get(k) match {
+        case null => throw new IllegalArgumentException(
+          s"within_time is missing required key '$k' " +
+            "(expected {attr: <name>, span: <n>})")
+        case v => v.toString
+      }
+      val span =
+        try req("span").toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"within_time span must be an integer, got '${req("span")}'")
+        }
+      WithinTime(req("attr"), span)
     }
     CepQuery(patseq, schema, strategy, within, withinTime)
   }

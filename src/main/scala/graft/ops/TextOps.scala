@@ -19,6 +19,16 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Exact long integral division (SQL `div` / Catalyst `IntegralDivide`):
+    * stays in 64-bit integer arithmetic where `Column./` would round-trip
+    * through double and lose exactness past 2^53.
+    */
+  private[graft] def longDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(b)))
+
   /** Canonical text normalization for dedup: strip punctuation, collapse
     * whitespace, trim, lowercase — the standard pre-dedup step so that
     * formatting variants of the same document collapse together.
@@ -237,9 +247,13 @@ object TextOps {
       max(when(col("n") === 3, col("top_cnt"))).as("__t3"),
       max(when(col("n") === 4, col("top_cnt"))).as("__t4"))
     def milli(cnt: Column, n: Int) =
+      // Exact integral division (SQL `div`, mirrors DuckDB `//` on the
+      // non-negative operands here): Column./ on longs is DOUBLE division,
+      // so truncate-after-divide would only match while cnt*n*1000 < 2^53.
+      // IntegralDivide keeps the whole computation in long arithmetic.
       when(col("n_tokens") > 0,
-        cnt * lit(n.toLong * 1000L) / col("n_tokens")).otherwise(0L)
-        .cast(LongType) // integral operands: / then cast == floor DIV
+        longDiv(cnt * lit(n.toLong * 1000L), col("n_tokens"))).otherwise(0L)
+        .cast(LongType)
     val t2 = coalesce(col("__t2"), lit(0L))
     val t3 = coalesce(col("__t3"), lit(0L))
     val t4 = coalesce(col("__t4"), lit(0L))
