@@ -20,16 +20,36 @@ import StreamingCep.{BufEvent, CepStateEt, SerEvent, SerRun}
   * The payload layout is a plain `DataOutputStream` walk of the state
   * (counts + UTF strings + longs; reverse-ε sets written sorted so the
   * bytes are deterministic for a given state). Version history:
+  *   - 3: prepends a header (operator-variant tag byte + withinTime
+  *        clock floor) before the v2 walk. The persisted floor closes
+  *        the zero-taken-runs gap where the derived floor silently
+  *        reset across a checkpoint boundary; the variant tag makes
+  *        cross-variant checkpoint refusal deterministic instead of
+  *        inferred from reorder-buffer contents.
   *   - 2: first binary version — step, runs (incl. `firstTake` and
-  *        `firstTakeTs`), reorder buffer. (Version 1 was the
-  *        product-encoded `CepState` of rounds 3–4; it lived in the
-  *        Spark state schema, not in this codec, so it cannot be read
-  *        here — restoring such a checkpoint fails in Spark's schema
-  *        check before this code runs. Discard and restart.)
+  *        `firstTakeTs`), reorder buffer. Migrated on read: clock floor
+  *        restores via the weaker derived fallback (documented in
+  *        `Executor.restore`), variant restores as `VariantUnknown`
+  *        (callers fall back to buffer-contents inference).
+  *        (Version 1 was the product-encoded `CepState` of rounds 3–4;
+  *        it lived in the Spark state schema, not in this codec, so it
+  *        cannot be read here — restoring such a checkpoint fails in
+  *        Spark's schema check before this code runs. Discard and
+  *        restart.)
   */
 object CepStateCodec {
 
-  val Version = 2
+  val Version = 3
+
+  /** Which streaming operator wrote the checkpoint. The two variants feed
+    * events in different orders (arrival vs watermark-released event
+    * time), so restoring one's state into the other changes match
+    * multisets — refusal must not depend on whether the reorder buffer
+    * happened to be empty at checkpoint time.
+    */
+  val VariantUnknown: Byte = 0   // migrated v2 state — writer unknown
+  val VariantArrival: Byte = 1   // matchPattern (arrival-order)
+  val VariantEventTime: Byte = 2 // matchPatternEventTime
 
   /** The stored shape — this case class must NEVER change. */
   final case class VersionedState(ver: Int, payload: Array[Byte])
@@ -37,6 +57,9 @@ object CepStateCodec {
   def encode(s: CepStateEt): VersionedState = {
     val bos = new ByteArrayOutputStream(256)
     val out = new DataOutputStream(bos)
+    // v3 header
+    out.writeByte(s.variant)
+    out.writeLong(s.clock)
     out.writeInt(s.step)
     out.writeInt(s.runs.size)
     s.runs.foreach { r =>
@@ -71,14 +94,19 @@ object CepStateCodec {
   }
 
   def decode(v: VersionedState): CepStateEt = {
-    if (v.ver != Version)
+    if (v.ver != Version && v.ver != 2)
       throw new IllegalStateException(
         s"CEP streaming state version ${v.ver} is not supported by this " +
-          s"build (supports $Version). The checkpoint was written by a " +
-          "different engine version: either run that version, or discard " +
-          "the checkpoint directory and restart the query from fresh " +
-          "input (matches already emitted are not replayed).")
+          s"build (supports $Version, migrates 2). The checkpoint was " +
+          "written by a different engine version: either run that " +
+          "version, or discard the checkpoint directory and restart the " +
+          "query from fresh input (matches already emitted are not " +
+          "replayed).")
     val in = new DataInputStream(new ByteArrayInputStream(v.payload))
+    // v2 migration: no header — derived clock floor, unknown variant
+    val (variant, clock) =
+      if (v.ver == 2) (VariantUnknown, Long.MinValue)
+      else (in.readByte(), in.readLong())
     val step = in.readInt()
     val runs = Vector.fill(in.readInt()) {
       val start = in.readInt()
@@ -100,7 +128,7 @@ object CepStateCodec {
       val attrs = Vector.fill(in.readInt())((in.readUTF(), in.readLong()))
       BufEvent(ts, ord, tpe, attrs.map(_._1), attrs.map(_._2))
     }
-    CepStateEt(step, runs, buffer)
+    CepStateEt(step, runs, buffer, clock, variant)
   }
 
   private def writeEvent(out: DataOutputStream, e: SerEvent): Unit = {

@@ -67,13 +67,34 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     */
   def snapshot: (Int, Vector[(Int, Configuration)]) = (i, S.toVector)
 
+  /** The withinTime monotone-clock floor (highest event time fed so far;
+    * `Long.MinValue` before any feed). Persist it alongside `snapshot` —
+    * see the 3-arg `restore`.
+    */
+  def clock: Long = lastTs
+
+  /** Restore with an explicitly persisted clock floor (the exact `clock`
+    * value taken at snapshot time). This is the streaming path: the codec
+    * (v3+) carries the floor, so the rewind guard survives checkpoint
+    * boundaries even when no live run has taken (all runs emitted/pruned,
+    * or only untaken runs) — the case where the derived fallback below
+    * silently resets to `Long.MinValue`.
+    */
+  def restore(step: Int, runs: Vector[(Int, Configuration)],
+      clockFloor: Long): Unit = {
+    restore(step, runs)
+    lastTs = math.max(lastTs, clockFloor)
+  }
+
   def restore(step: Int, runs: Vector[(Int, Configuration)]): Unit = {
     i = step
     S = ArrayBuffer.from(runs)
-    // the monotonicity floor survives restore via the live runs' window
-    // starts (each was stamped from a previously-fed event's clock);
-    // events older than any stamp would already have violated the feed
-    // order that produced this state
+    // legacy/derived floor (v2 checkpoints, which did not persist the
+    // clock): reconstruct from the live runs' window starts (each was
+    // stamped from a previously-fed event's clock). WEAKER than the
+    // persisted floor: with zero taken runs this resets to Long.MinValue,
+    // re-admitting a rewound clock until the first take — v3 checkpoints
+    // restore the exact floor via the 3-arg overload instead.
     lastTs = runs.iterator
       .filter(_._2.firstTake != 0).map(_._2.firstTakeTs)
       .foldLeft(Long.MinValue)(math.max)

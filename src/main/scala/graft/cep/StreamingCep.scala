@@ -27,9 +27,12 @@ object StreamingCep {
   final case class BufEvent(ts: Long, ord: Long, tpe: String,
       names: Seq[String], vals: Seq[Long])
 
-  /** Event-time state: NFA runs + the reorder buffer. */
+  /** Event-time state: NFA runs + the reorder buffer, plus (v3) the
+    * withinTime clock floor and the writing operator's variant tag.
+    */
   final case class CepStateEt(step: Int, runs: Seq[SerRun],
-      buffer: Seq[BufEvent])
+      buffer: Seq[BufEvent], clock: Long = Long.MinValue,
+      variant: Byte = CepStateCodec.VariantUnknown)
 
   /** One live NFA run, state referenced by name. Carried in the
     * VERSIONED BINARY state payload (`CepStateCodec`), so adding fields
@@ -82,7 +85,8 @@ object StreamingCep {
     })
   }
 
-  private def restoreState(ex: Executor, s: CepState): Unit =
+  private def restoreState(ex: Executor, s: CepState,
+      clockFloor: Long): Unit =
     ex.restore(s.step, s.runs.toVector.map { r =>
       (r.start, Configuration(
         ex.stateByName(r.q),
@@ -92,7 +96,7 @@ object StreamingCep {
         r.revEps.toSet,
         r.firstTake,
         r.firstTakeTs))
-    })
+    }, clockFloor)
 
   /** Apply a CEP query to a *streaming* DataFrame. Input columns are mapped
     * exactly as in the batch operator (`SparkCep.CepSpec`); output rows are
@@ -138,19 +142,22 @@ object StreamingCep {
           val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within, query.withinTime)
           if (state.exists) {
             val st = CepStateCodec.decode(state.get)
-            // a non-empty reorder buffer means this checkpoint was written
-            // by the EVENT-TIME variant — restoring it here would silently
-            // drop the buffered (not yet released) events; fail loudly
-            // instead (same contract as the codec's version check)
-            if (st.buffer.nonEmpty)
+            // cross-variant refusal is DETERMINISTIC via the v3 variant
+            // tag: the event-time operator feeds in watermark-released
+            // event-time order, this one in arrival order — restoring its
+            // state here changes match multisets even when its reorder
+            // buffer happens to be empty. Migrated v2 state (unknown
+            // writer) falls back to the old buffer-contents inference.
+            if (st.variant == CepStateCodec.VariantEventTime ||
+                (st.variant == CepStateCodec.VariantUnknown &&
+                  st.buffer.nonEmpty))
               throw new IllegalStateException(
-                "CEP streaming state holds a non-empty event-time reorder " +
-                  "buffer: this checkpoint was written by " +
-                  "matchPatternEventTime and cannot be restored by the " +
-                  "arrival-order operator without losing buffered events. " +
-                  "Resume with matchPatternEventTime, or discard the " +
-                  "checkpoint directory.")
-            restoreState(executor, CepState(st.step, st.runs))
+                "CEP streaming state was written by matchPatternEventTime " +
+                  "and cannot be restored by the arrival-order operator " +
+                  "(different feed-order semantics; buffered events would " +
+                  "be lost). Resume with matchPatternEventTime, or " +
+                  "discard the checkpoint directory.")
+            restoreState(executor, CepState(st.step, st.runs), st.clock)
           }
           // arrival-order semantics within the micro-batch: sort by order
           // column (monotone ingestion ids), as the reference's processing
@@ -162,7 +169,8 @@ object StreamingCep {
           }
           val snap = snapshotState(executor)
           state.update(CepStateCodec.encode(
-            CepStateEt(snap.step, snap.runs, Nil)))
+            CepStateEt(snap.step, snap.runs, Nil, executor.clock,
+              CepStateCodec.VariantArrival)))
           out.iterator
       }
       // align with the batch operator: the synthetic key column is an
@@ -230,8 +238,20 @@ object StreamingCep {
           val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within, query.withinTime)
           val prev = if (state.exists) CepStateCodec.decode(state.get)
             else CepStateEt(0, Nil, Nil)
+          // deterministic cross-variant refusal (see matchPattern): an
+          // arrival-order checkpoint restored here would re-feed future
+          // events in a different order than the state assumes. Unknown
+          // (migrated v2) state is accepted — the pre-v3 behavior,
+          // documented rather than inferred.
+          if (prev.variant == CepStateCodec.VariantArrival)
+            throw new IllegalStateException(
+              "CEP streaming state was written by the arrival-order " +
+                "matchPattern operator and cannot be restored by " +
+                "matchPatternEventTime (different feed-order semantics). " +
+                "Resume with matchPattern, or discard the checkpoint " +
+                "directory.")
           restoreState(executor,
-            CepState(prev.step, prev.runs))
+            CepState(prev.step, prev.runs), prev.clock)
 
           val wmMs = state.getCurrentWatermarkMs()
           val incoming = rows.map { row =>
@@ -256,7 +276,8 @@ object StreamingCep {
 
           val snap = snapshotState(executor)
           state.update(CepStateCodec.encode(
-            CepStateEt(snap.step, snap.runs, still)))
+            CepStateEt(snap.step, snap.runs, still, executor.clock,
+              CepStateCodec.VariantEventTime)))
           if (still.nonEmpty)
             // wake when the watermark passes the earliest buffered event
             state.setTimeoutTimestamp(still.map(_.ts).min + 1)

@@ -53,4 +53,26 @@ class CepStateCodecSpec extends AnyFunSuite {
     val b = CepStateCodec.encode(state).payload
     assert(java.util.Arrays.equals(a, b))
   }
+
+  test("v3 header round-trips the clock floor and variant tag") {
+    val tagged = state.copy(clock = 98765L,
+      variant = CepStateCodec.VariantEventTime)
+    val decoded = CepStateCodec.decode(CepStateCodec.encode(tagged))
+    assert(decoded.clock == 98765L)
+    assert(decoded.variant == CepStateCodec.VariantEventTime)
+  }
+
+  test("v2 payloads migrate: derived clock sentinel + unknown variant") {
+    // a v2 payload is exactly the v3 payload minus the 9-byte header
+    // (variant byte + clock long) — the walk after the header is the
+    // unchanged v2 layout
+    val v3 = CepStateCodec.encode(state.copy(clock = 42L,
+      variant = CepStateCodec.VariantArrival))
+    val v2 = CepStateCodec.VersionedState(2, v3.payload.drop(9))
+    val decoded = CepStateCodec.decode(v2)
+    assert(decoded.clock == Long.MinValue)
+    assert(decoded.variant == CepStateCodec.VariantUnknown)
+    assert(decoded.step == state.step)
+    assert(decoded.buffer == state.buffer)
+  }
 }

@@ -140,8 +140,129 @@ class CheckpointRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(m =>
-      m.contains("reorder buffer") ||
+      m.contains("matchPatternEventTime") ||
         m.contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE")),
       s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
+
+  private def messagesOf(t: Throwable): Seq[String] =
+    if (t == null) Nil
+    else Option(t.getMessage).toSeq ++ messagesOf(t.getCause)
+
+  /** withinTime across a checkpointed restart: the in-window pair (50 →
+    * 80, span 100) matches after the restart while the out-of-window pair
+    * (50 → 200 via user 2) does not — the run's firstTakeTs stamp and the
+    * executor clock both survived the state store round trip.
+    */
+  test("withinTime partial match completes across a checkpointed restart " +
+    "and the window still gates") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ckpt-wt").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/checkpoint"
+    val outDir = s"$dir/out"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", LongType)))
+
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed, Pattern.spat("a", "signup", "True"),
+        Pattern.spat("b", "purchase", "True")),
+      Vector("signup" -> Vector("event_id", "value"),
+        "purchase" -> Vector("event_id", "value")),
+      withinTime = Some(WithinTime("value", 100L)))
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+
+    def startQuery() = {
+      val in = graft.sources.EventSource.jsonStream(spark, inDir, schema)
+      StreamingCep.matchPattern(in, q, spec)
+        .selectExpr("user_id", "a[0] as a_id", "b[0] as b_id")
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    // batch 1: signups only ("value" is the event-time attr): both users
+    // leave a TAKEN partial run with firstTakeTs = 50
+    Seq((1L, 1L, "signup", 50L), (2L, 1L, "signup", 50L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart: user 1 purchases in-window (80 - 50 < 100), user 2 out of
+    // window (200 - 50 >= 100)
+    Seq((1L, 2L, "purchase", 80L), (2L, 2L, "purchase", 200L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.schema(StructType(Seq(
+      StructField("user_id", LongType), StructField("a_id", LongType),
+      StructField("b_id", LongType)))).json(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 2L)))
+  }
+
+  /** The zero-taken-runs floor gap (round-6 verdict #7 / advice item): a
+    * checkpoint written when NO live run has taken used to derive the
+    * monotone-clock floor as Long.MinValue on restore, silently
+    * re-admitting a rewound clock at exactly a batch boundary. The v3
+    * codec persists the floor, so the rewind now fails loudly across the
+    * restart — same behavior as within one run of the executor.
+    */
+  test("rewound clock after a zero-taken-runs checkpoint fails loudly") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ckpt-rewind").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/checkpoint"
+    val outDir = s"$dir/out"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", LongType)))
+
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed, Pattern.spat("a", "signup", "True"),
+        Pattern.spat("b", "purchase", "True")),
+      Vector("signup" -> Vector("event_id", "value"),
+        "purchase" -> Vector("event_id", "value")),
+      withinTime = Some(WithinTime("value", 100L)))
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+
+    def startQuery() = {
+      val in = graft.sources.EventSource.jsonStream(spark, inDir, schema)
+      StreamingCep.matchPattern(in, q, spec)
+        .selectExpr("user_id", "a[0] as a_id", "b[0] as b_id")
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    // batch 1: a purchase with no preceding signup is IN the pattern
+    // alphabet (so it passes the pre-NFA prefilter and advances the
+    // executor clock to 500) but starts no run — ZERO taken runs in the
+    // state, nothing for the legacy derived floor to reconstruct from
+    Seq((1L, 1L, "purchase", 500L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart; batch 2 rewinds the clock to 50 — must fail loudly, not
+    // silently re-admit the rewound event
+    Seq((1L, 2L, "signup", 50L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q2 = startQuery()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(messagesOf(e).exists(_.contains("non-decreasing")),
+      s"wrong failure: ${messagesOf(e).mkString(" | ")}")
   }
 }
