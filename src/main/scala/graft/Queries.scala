@@ -2045,6 +2045,54 @@ object Queries {
        |SELECT id1, id2, hamming FROM p WHERE hamming <= 6
        |ORDER BY id1, id2""".stripMargin
 
+  /** REAL audio decode: the committed PCM WAV fixtures
+    * (`data/audio/audio.parquet`, 500 synthetic 8 kHz clips written by
+    * `graft.tools.GenAudioFixtures`) are decoded via the JDK's
+    * `javax.sound.sampled` in a batched per-partition pass — exact
+    * sample statistics (integer-micro per-channel mean and RMS, frame
+    * count) plus the 64-bit windowed-energy sign hash (`ehash`). The
+    * oracle reads the committed expected-feature parquet, computed from
+    * the raw sample arrays BEFORE WAV encoding — a hash match certifies
+    * the whole encode→decode→feature chain, with DuckDB (which has no
+    * audio codec) checking the committed pre-encode truth.
+    */
+  def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.audioFeatures(spark.read.parquet(MultiModal.audioPath))
+      .orderBy("asset_id")
+
+  val mmAudioFeaturesSql: String =
+    s"""SELECT asset_id, channels, sample_rate, n_frames, mean_c0_micro,
+       |  mean_c1_micro, rms_c0_micro, rms_c1_micro, ehash
+       |FROM read_parquet('${MultiModal.expectedAudioFeaturesPath}/*.parquet')
+       |ORDER BY asset_id""".stripMargin
+
+  /** Audio near-duplicate pairs over the real decoded ehashes: the same
+    * pigeonhole Hamming band join as the image/text paths. Finds the
+    * fixture set's exact duplicates and half-gain twins at distance 0
+    * and its window-patched twins at small distances; the oracle mirrors
+    * the banding over the committed pre-encode ehashes in SQL.
+    */
+  def mmAudioDedup(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.audioNearDupPairs(
+        spark.read.parquet(MultiModal.audioPath), maxHamming = 6)
+      .orderBy("id1", "id2")
+
+  val mmAudioDedupSql: String =
+    s"""WITH f AS (
+       |  SELECT asset_id, ehash
+       |  FROM read_parquet('${MultiModal.expectedAudioFeaturesPath}/*.parquet')),
+       |b AS (
+       |  SELECT asset_id, ehash, band, (ehash >> (band * 8)) & 255 AS bucket
+       |  FROM f, (SELECT unnest(generate_series(0, 7)) AS band) bands),
+       |p AS (
+       |  SELECT DISTINCT x.asset_id AS id1, y.asset_id AS id2,
+       |    CAST(bit_count(xor(x.ehash, y.ehash)) AS BIGINT) AS hamming
+       |  FROM b x JOIN b y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |      AND x.asset_id < y.asset_id)
+       |SELECT id1, id2, hamming FROM p WHERE hamming <= 6
+       |ORDER BY id1, id2""".stripMargin
+
   /** KMV distinct-token sketch over the corpus vocabulary — an
     * engine-portable alternative to HLL: pure order statistics over the
     * deterministic 60-bit token hash, so the oracle checks the *estimate*
@@ -2990,6 +3038,8 @@ object Queries {
     "mm_features" -> mmFeatures _,
     "mm_image_dedup" -> mmImageDedup _,
     "mm_image_dedup_keep" -> mmImageDedupKeep _,
+    "mm_audio_features" -> mmAudioFeatures _,
+    "mm_audio_dedup" -> mmAudioDedup _,
     "mm_frame_sample" -> mmFrameSample _,
     "sketch_distinct_tokens" -> sketchDistinctTokens _,
     "decontam_overlap" -> decontamOverlap _,
@@ -3068,6 +3118,8 @@ object Queries {
     "mm_features" -> mmFeaturesSql,
     "mm_image_dedup" -> mmImageDedupSql,
     "mm_image_dedup_keep" -> mmImageDedupKeepSql,
+    "mm_audio_features" -> mmAudioFeaturesSql,
+    "mm_audio_dedup" -> mmAudioDedupSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "sketch_distinct_tokens" -> sketchDistinctTokensSql,
     "decontam_overlap" -> decontamOverlapSql,
