@@ -92,6 +92,83 @@ object Queries {
       |WHERE event_type = 'signup' AND next_type = 'purchase'
       |ORDER BY user_id, a_id""".stripMargin
 
+  /** Beyond-parity negative pattern (FlinkCEP `notFollowedBy`): signup
+    * followed by purchase with NO error event in between — an error
+    * between the signup and the first subsequent purchase kills the run
+    * (compiled to guarded junction edges, `DstCompiler.compileCombineNot`;
+    * golden semantics in `GoldenNegativeSpec`). The oracle mirrors the
+    * per-run scope: first purchase after each signup, kept iff no error
+    * sits between them.
+    */
+  val cepNotFollowedByPurchaseQuery: CepQuery =
+    CepQuery(
+      Pattern.CombineNot(Contiguity.Relaxed,
+        Pattern.spat("a", "signup", "True"),
+        Pattern.negSpec("n", "error", "True"),
+        Pattern.NegMode.NotFollowedBy,
+        Pattern.spat("b", "purchase", "True")),
+      eventSchema)
+
+  def cepNotFollowedByPurchase(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepNotFollowedByPurchaseQuery)
+      .select(col("user_id"), element_at(col("a"), 1).as("a_id"),
+        element_at(col("b"), 1).as("b_id"))
+      .orderBy("user_id", "a_id")
+
+  val cepNotFollowedByPurchaseSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id AS a_id FROM events
+      |  WHERE event_type = 'signup'),
+      |p AS (
+      |  SELECT user_id, event_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |fp AS (
+      |  SELECT s.user_id, s.a_id, min(p.event_id) AS b_id
+      |  FROM s JOIN p ON p.user_id = s.user_id AND p.event_id > s.a_id
+      |  GROUP BY 1, 2)
+      |SELECT f.user_id, f.a_id, f.b_id
+      |FROM fp f
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM events e
+      |  WHERE e.user_id = f.user_id AND e.event_type = 'error'
+      |    AND e.event_id > f.a_id AND e.event_id < f.b_id)
+      |ORDER BY f.user_id, f.a_id""".stripMargin
+
+  /** Beyond-parity negative pattern (FlinkCEP `notNext`): signup
+    * immediately followed by a purchase that is NOT cheap (`value < 50`
+    * negated) — a cheap purchase right after the signup is a stop, not a
+    * take, even though it matches the positive head's type. The "next"
+    * event is the next event of the user's FULL declared-type stream
+    * (the alphabet prefilter is disabled for notNext — position
+    * sensitivity, see `SparkCep.prefilter`), which the oracle mirrors
+    * with a lead window over all events.
+    */
+  val cepNotNextPurchaseQuery: CepQuery =
+    CepQuery(
+      Pattern.CombineNot(Contiguity.Strict,
+        Pattern.spat("a", "signup", "True"),
+        Pattern.negSpec("n", "purchase", "value < 50"),
+        Pattern.NegMode.NotNext,
+        Pattern.spat("b", "purchase", "True")),
+      eventSchema)
+
+  def cepNotNextPurchase(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepNotNextPurchaseQuery)
+      .select(col("user_id"), element_at(col("a"), 1).as("a_id"),
+        element_at(col("b"), 1).as("b_id"))
+      .orderBy("user_id", "a_id")
+
+  val cepNotNextPurchaseSql: String =
+    """SELECT user_id, event_id AS a_id, next_id AS b_id FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type,
+      |    LEAD(event_id)   OVER (PARTITION BY user_id ORDER BY event_id) AS next_id,
+      |    LEAD(value)      OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+      |  FROM events) t
+      |WHERE event_type = 'signup' AND next_type = 'purchase'
+      |  AND NOT (CAST(FLOOR(next_value) AS BIGINT) < 50)
+      |ORDER BY user_id, a_id""".stripMargin
+
   /** Beyond-parity `within` window: relaxed signup→purchase, but only
     * when the pair sits fewer than 5 stream positions apart (FlinkCEP
     * `.within` over order position). The executor prunes expired runs,
@@ -2973,6 +3050,8 @@ object Queries {
   val cepRegistryQueries: Map[String, CepQuery] = Map(
     "cep_spat_purchase" -> cepSpatPurchaseQuery,
     "cep_next_signup_purchase" -> cepNextSignupPurchaseQuery,
+    "cep_not_followed_by_purchase" -> cepNotFollowedByPurchaseQuery,
+    "cep_not_next_purchase" -> cepNotNextPurchaseQuery,
     "cep_within_signup_purchase" -> cepWithinSignupPurchaseQuery,
     "cep_lpat_strict_clicks" -> cepLpatStrictClicksQuery,
     "cep_lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairsQuery,
@@ -2988,6 +3067,8 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cep_spat_purchase" -> cepSpatPurchase _,
     "cep_next_signup_purchase" -> cepNextSignupPurchase _,
+    "cep_not_followed_by_purchase" -> cepNotFollowedByPurchase _,
+    "cep_not_next_purchase" -> cepNotNextPurchase _,
     "cep_within_signup_purchase" -> cepWithinSignupPurchase _,
     "cep_within_time_signup_purchase" -> cepWithinTimeSignupPurchase _,
     "cep_lpat_strict_clicks" -> cepLpatStrictClicks _,
@@ -3068,6 +3149,8 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "cep_spat_purchase" -> cepSpatPurchaseSql,
     "cep_next_signup_purchase" -> cepNextSignupPurchaseSql,
+    "cep_not_followed_by_purchase" -> cepNotFollowedByPurchaseSql,
+    "cep_not_next_purchase" -> cepNotNextPurchaseSql,
     "cep_within_signup_purchase" -> cepWithinSignupPurchaseSql,
     "cep_within_time_signup_purchase" -> cepWithinTimeSignupPurchaseSql,
     "cep_lpat_strict_clicks" -> cepLpatStrictClicksSql,

@@ -31,9 +31,10 @@ final class DstCompiler(query: CepQuery) {
     * would KeyError there, we reject explicitly.
     */
   private def headEventCndt(p: Pattern): (String, Expr) = p match {
-    case s: Pattern.Spat    => (s.event, s.cndt)
-    case l: Pattern.Lpat    => (l.event, l.cndt)
-    case l: Pattern.LpatInf => (l.event, l.cndt)
+    case s: Pattern.Spat       => (s.event, s.cndt)
+    case l: Pattern.Lpat       => (l.event, l.cndt)
+    case l: Pattern.LpatInf    => (l.event, l.cndt)
+    case c: Pattern.CombineNot => headEventCndt(c.left)
     case other =>
       throw new IllegalArgumentException(
         s"relaxed combine boundary needs an event-headed right pattern, got $other")
@@ -48,13 +49,14 @@ final class DstCompiler(query: CepQuery) {
   }
 
   private def compileNode(p: Pattern): Dst = p match {
-    case s: Pattern.Spat      => compileSpat(s)
-    case l: Pattern.Lpat      => compileLpat(l)
-    case l: Pattern.LpatInf   => compileLpatInf(l)
-    case c: Pattern.Combine   => compileCombine(c)
-    case g: Pattern.Gpat      => compileNode(g.child)
-    case g: Pattern.GpatTimes => compileGpatTimes(g)
-    case g: Pattern.GpatInf   => compileGpatInf(g)
+    case s: Pattern.Spat       => compileSpat(s)
+    case l: Pattern.Lpat       => compileLpat(l)
+    case l: Pattern.LpatInf    => compileLpatInf(l)
+    case c: Pattern.Combine    => compileCombine(c)
+    case c: Pattern.CombineNot => compileCombineNot(c)
+    case g: Pattern.Gpat       => compileNode(g.child)
+    case g: Pattern.GpatTimes  => compileGpatTimes(g)
+    case g: Pattern.GpatInf    => compileGpatInf(g)
   }
 
   /** `compile.py:52-70`. */
@@ -245,6 +247,182 @@ final class DstCompiler(query: CepQuery) {
 
     new Dst(
       left.sigma ++ right.sigma,
+      left.pi ++ right.pi,
+      left.x ++ right.x,
+      left.y ++ right.y,
+      states.toVector,
+      left.q0,
+      left.eta0 ++ right.eta0,
+      d.toVector)
+  }
+
+  /** Negative pattern at a combine boundary (beyond-parity — FlinkCEP
+    * `notNext`/`notFollowedBy`; no reference counterpart, dispatch set
+    * closed at `compile.py:41-49`). Semantics hand-derived from
+    * FlinkCEP's documented behavior; divergences from FlinkCEP:
+    *
+    *  - trailing negatives are rejected structurally (`right` required).
+    *    FlinkCEP allows a trailing `notNext` by delaying emission one
+    *    event; this engine emits on accept and does not look ahead.
+    *  - `NotNext`'s "next event" is the next event FED to the NFA. The
+    *    batch/streaming operators disable the alphabet prefilter for
+    *    `NotNext` (see `SparkCep.prefilter`), so this is the next event
+    *    of the key's full declared-type stream — the FlinkCEP reading.
+    *  - at guarded junction states, events of types NOT in the declared
+    *    schema kill the run (guard edges are enumerated per declared
+    *    type, like the reference's relaxed-ignore edges); the reference
+    *    semantics require the schema to declare the type universe.
+    *
+    * Compilation: negation is the ABSENCE of edges. The left→right ε
+    * junction is replaced by guard states whose consuming edges carry
+    * `∧ ¬cndtNeg` on `neg`-typed edges — an event matching `neg` (type +
+    * condition, evaluated with the run's live data registers, so
+    * iterative conditions compose) fires no edge and the run dies, the
+    * DST-native "stop state". `NotNext` guards only the first consuming
+    * event after the junction (guard state's every consuming edge moves
+    * elsewhere); `NotFollowedBy` guards the whole wait (guarded ignore
+    * loop replaces the plain combine ignore state, scope ending at
+    * `right`'s first take).
+    */
+  private def compileCombineNot(ast: Pattern.CombineNot): Dst = {
+    val left = compileNode(ast.left)
+    val right = compileNode(ast.right)
+    val negT = ast.neg.event
+    val negC = ast.neg.cndt
+
+    // FlinkCEP's own restriction: a NOT pattern cannot be preceded by an
+    // optional pattern (an ε-accepting left makes "the event after
+    // left's match" start-of-stream-ambiguous). Structural check: is a
+    // final state in the ε-closure of left.q0?
+    locally {
+      val closure = scala.collection.mutable.Set(left.q0.name)
+      val stack = scala.collection.mutable.Stack(left.q0)
+      while (stack.nonEmpty) {
+        val s = stack.pop()
+        left.startFrom(s).foreach { e =>
+          if (e.isEpsilon && !closure.contains(e.q2.name)) {
+            closure += e.q2.name; stack.push(e.q2)
+          }
+        }
+      }
+      if (left.finalStates.exists(f => closure.contains(f.name)))
+        throw new IllegalArgumentException(
+          "a negative pattern (notNext/notFollowedBy) cannot follow an " +
+            "optional pattern that can match empty — the junction event " +
+            "is ambiguous (FlinkCEP imposes the same restriction)")
+    }
+
+    val states = ArrayBuffer.from(left.states ++ right.states)
+    val d = ArrayBuffer.from(left.delta ++ right.delta)
+
+    val leftFinals = left.finalStates
+    val rightFinals = right.finalStates
+    for (q <- leftFinals; q2 <- rightFinals)
+      q2.extendOutput(q.out.get)
+
+    val q02 = right.q0
+    // an ε-accepting right would make the negative pattern effectively
+    // TRAILING whenever right matches empty — FlinkCEP rejects a
+    // sequence ending in a not-pattern, and the guarded junction cannot
+    // represent "accept with no event to check" either; reject loudly
+    locally {
+      val closure = scala.collection.mutable.Set(q02.name)
+      val stack = scala.collection.mutable.Stack(q02)
+      while (stack.nonEmpty) {
+        val s = stack.pop()
+        right.startFrom(s).foreach { e =>
+          if (e.isEpsilon && !closure.contains(e.q2.name)) {
+            closure += e.q2.name; stack.push(e.q2)
+          }
+        }
+      }
+      if (rightFinals.exists(f => closure.contains(f.name)))
+        throw new IllegalArgumentException(
+          "a negative pattern (notNext/notFollowedBy) cannot be followed " +
+            "by an optional pattern that can match empty — the negation " +
+            "would be trailing when it does (FlinkCEP rejects sequences " +
+            "ending in a not-pattern)")
+    }
+    // right must be event-headed (same combine-boundary requirement as
+    // relaxed Combine): its start takes are what the guards replicate
+    val (rEv, rCndt) = headEventCndt(ast.right)
+    val startTakes = right.startFrom(q02).filter(_.isTake)
+    require(startTakes.nonEmpty,
+      s"negative-pattern junction needs take edges at ${q02.name}")
+
+    /** `p ∧ ¬neg` on a `neg`-typed predicate, `p` otherwise. */
+    def guard(p: Pred): Pred = p.evType match {
+      case Some(t) if t == negT || t == Pred.AnyType =>
+        Pred(p.evType, Expr.And(p.expr, Expr.Not(negC)))
+      case _ => p
+    }
+
+    val qn = state(s"${q02.name}-not")
+    states += qn
+    for (q <- leftFinals) {
+      d += new Transition(q, Pred.epsilon, qn, DataUpdate.Id, StreamUpdate.Id)
+      q.clearOutput()
+    }
+    // guarded start takes (an event matching both `right`'s head and
+    // `neg` kills the run — the FlinkCEP stop-state behavior)
+    for (edge <- startTakes)
+      d += new Transition(qn, guard(edge.p), edge.q2, edge.alpha, edge.beta)
+
+    // boundary ignore machinery per contiguity. Guarded ignore edges are
+    // enumerated per declared event type so the `neg` type can carry its
+    // ¬cndt (the same per-type trick the reference uses for relaxed
+    // ignores); an event with no matching edge kills the run.
+    def ignorePred(e: String): Pred = {
+      val base = ast.contiguity match {
+        case Contiguity.Relaxed =>
+          if (e == rEv) Pred(Some(e), Expr.Not(rCndt))
+          else Pred(Some(e), Expr.True)
+        case _ => Pred(Some(e), Expr.True) // nd-relaxed: wildcard-equivalent
+      }
+      guard(base)
+    }
+
+    if (ast.contiguity != Contiguity.Strict) {
+      ast.mode match {
+        case Pattern.NegMode.NotNext =>
+          // after the first (guarded) event, the wait continues under
+          // plain combine rules: an UNguarded ignore state with
+          // replicated takes, reached only through qn's guarded ignores
+          val qIg = state(s"${q02.name}-ignore")
+          states += qIg
+          for (edge <- startTakes)
+            d += new Transition(qIg, edge.p, edge.q2, edge.alpha, edge.beta)
+          for (e <- eventTypes)
+            d += new Transition(qn, ignorePred(e), qIg, DataUpdate.Id,
+              StreamUpdate.Id)
+          for (e <- eventTypes) {
+            val p = ast.contiguity match {
+              case Contiguity.Relaxed =>
+                if (e == rEv) Pred(Some(e), Expr.Not(rCndt))
+                else Pred(Some(e), Expr.True)
+              case _ => Pred(Some(e), Expr.True)
+            }
+            d += new Transition(qIg, p, qIg, DataUpdate.Id, StreamUpdate.Id)
+          }
+        case Pattern.NegMode.NotFollowedBy =>
+          // the whole wait is guarded: any neg-matching event before
+          // right's first take fires no edge and kills the run
+          val qIg = state(s"${q02.name}-not-ignore")
+          states += qIg
+          for (edge <- startTakes)
+            d += new Transition(qIg, guard(edge.p), edge.q2, edge.alpha,
+              edge.beta)
+          for (e <- eventTypes)
+            d += new Transition(qn, ignorePred(e), qIg, DataUpdate.Id,
+              StreamUpdate.Id)
+          for (e <- eventTypes)
+            d += new Transition(qIg, ignorePred(e), qIg, DataUpdate.Id,
+              StreamUpdate.Id)
+      }
+    }
+
+    new Dst(
+      left.sigma ++ right.sigma + negT,
       left.pi ++ right.pi,
       left.x ++ right.x,
       left.y ++ right.y,

@@ -65,6 +65,62 @@ object Pattern {
       right: Pattern
   ) extends Pattern
 
+  /** Negative-pattern link mode (beyond-parity: FlinkCEP `notNext` /
+    * `notFollowedBy`; the reference's dispatch set is closed —
+    * `compile.py:41-49` — so neither exists there).
+    */
+  sealed abstract class NegMode(val yamlName: String) extends Serializable
+  object NegMode {
+    /** The event IMMEDIATELY after `left`'s match must not match. */
+    case object NotNext extends NegMode("not_next")
+    /** NO event between `left`'s match and `right`'s first event may
+      * match.
+      */
+    case object NotFollowedBy extends NegMode("not_followed_by")
+    def fromName(s: String): NegMode = s match {
+      case "not_next"        => NotNext
+      case "not_followed_by" => NotFollowedBy
+      case other => throw new IllegalArgumentException(s"bad neg mode: $other")
+    }
+  }
+
+  /** The negated component of a `CombineNot`: type + condition, no
+    * capture (a not-pattern matches nothing, so it binds no events and
+    * contributes no output column — FlinkCEP semantics). `name` is for
+    * display/YAML only.
+    */
+  final case class NegSpec(name: String, event: String, cndt: Expr)
+      extends Serializable
+
+  /** Sequence concatenation with a NEGATIVE pattern at the boundary:
+    * `left`, then NOT `neg` (per `mode`), then `right`, with `contiguity`
+    * governing the left→right boundary exactly as in `Combine`.
+    *
+    * Semantics (hand-derived from FlinkCEP's documented behavior, with
+    * divergences spelled out in `DstCompiler.compileCombineNot`):
+    *  - `NotNext`: a run that completes `left` is killed if the next
+    *    event fed to the NFA matches `neg` (type + condition, evaluated
+    *    with the run's data registers) — even if that event also matches
+    *    `right`'s head; otherwise matching proceeds unchanged.
+    *  - `NotFollowedBy`: every event from after `left`'s match up to (and
+    *    including) the one `right` first takes is checked; any that
+    *    matches `neg` kills the run. Events after `right`'s first take
+    *    are out of scope ("between two events", the FlinkCEP reading).
+    *
+    * A trailing negative pattern is structurally impossible (`right` is
+    * required) — FlinkCEP likewise rejects a sequence ending in
+    * `notFollowedBy`. An optional (ε-accepting) `left` is rejected at
+    * compile time, mirroring FlinkCEP's "NOT pattern cannot be preceded
+    * by an optional one".
+    */
+  final case class CombineNot(
+      contiguity: Contiguity,
+      left: Pattern,
+      neg: NegSpec,
+      mode: NegMode,
+      right: Pattern
+  ) extends Pattern
+
   /** Transparent grouping. */
   final case class Gpat(child: Pattern) extends Pattern
 
@@ -98,6 +154,15 @@ object Pattern {
         val u = l.until.map(e => s"U(${ExprRepr(e)})").getOrElse("")
         s"${l.name}:${l.event}:[${ExprRepr(l.cndt)}]_${glyph(l.contiguity)}{${l.from},inf}$u"
       case c: Combine => s"${repr(c.left)}${glyph(c.contiguity)}${repr(c.right)}"
+      // beyond-parity node — no reference repr exists; `!next[...]` /
+      // `!fby[...]` between the sides keeps the string re-readable
+      case c: CombineNot =>
+        val neg = s"${c.neg.name}:${c.neg.event}:[${ExprRepr(c.neg.cndt)}]"
+        val kind = c.mode match {
+          case NegMode.NotNext       => "!next"
+          case NegMode.NotFollowedBy => "!fby"
+        }
+        s"${repr(c.left)}${glyph(c.contiguity)}$kind($neg)${repr(c.right)}"
       case g: Gpat    => s"(${repr(g.child)})"
       case g: GpatTimes => s"(${repr(g.child)}){${g.from},${g.to}}"
       case g: GpatInf =>
@@ -156,6 +221,8 @@ object Pattern {
       until.map(Expr.parse), vars)
   def varDef(name: String, initial: Long, update: String): VarDef =
     VarDef(name, initial, Expr.parse(update))
+  def negSpec(name: String, event: String, cndt: String): NegSpec =
+    NegSpec(name, event, Expr.parse(cndt))
 }
 
 sealed abstract class AfterMatchStrategy(val name: String) extends Serializable

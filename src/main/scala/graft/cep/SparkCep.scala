@@ -273,6 +273,10 @@ object SparkCep {
     case l: Pattern.Lpat      => Set(l.event)
     case l: Pattern.LpatInf   => Set(l.event)
     case c: Pattern.Combine   => alphabet(c.left) ++ alphabet(c.right)
+    // the NEGATED type is part of the alphabet: its events kill runs, so
+    // the prefilter must never drop them
+    case c: Pattern.CombineNot =>
+      alphabet(c.left) ++ alphabet(c.right) + c.neg.event
     case g: Pattern.Gpat      => alphabet(g.child)
     case g: Pattern.GpatTimes => alphabet(g.child)
     case g: Pattern.GpatInf   => alphabet(g.child)
@@ -298,6 +302,16 @@ object SparkCep {
       skippable(c.contiguity) &&
         allSkippableNoGroupNoUntil(c.left) &&
         allSkippableNoGroupNoUntil(c.right)
+    // NotFollowedBy keeps the pushdown: the negated type is IN the
+    // alphabet (never dropped), and non-Σ events are pure ignores at the
+    // guarded junction too. NotNext does NOT: its guard binds to "the
+    // next event fed", so dropping an ignorable event would transfer the
+    // guard onto a later event — position-sensitive, like `within`.
+    case c: Pattern.CombineNot =>
+      c.mode == Pattern.NegMode.NotFollowedBy &&
+        skippable(c.contiguity) &&
+        allSkippableNoGroupNoUntil(c.left) &&
+        allSkippableNoGroupNoUntil(c.right)
     case g: Pattern.Gpat => allSkippableNoGroupNoUntil(g.child) // transparent
     case _ => false // group loops: copy boundaries are implicitly strict
   }
@@ -310,6 +324,9 @@ object SparkCep {
     case l: Pattern.Lpat      => Vector(l.name)
     case l: Pattern.LpatInf   => Vector(l.name)
     case c: Pattern.Combine   => patternNames(c.left) ++ patternNames(c.right)
+    // the negated component binds nothing — no output column
+    case c: Pattern.CombineNot =>
+      patternNames(c.left) ++ patternNames(c.right)
     case g: Pattern.Gpat      => patternNames(g.child)
     case g: Pattern.GpatTimes => patternNames(g.child)
     case g: Pattern.GpatInf   => patternNames(g.child)

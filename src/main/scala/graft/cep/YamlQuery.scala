@@ -146,6 +146,23 @@ object YamlQuery {
           Contiguity.fromName(str(m, "contiguity")),
           parsePattern(m.get("left").asInstanceOf[JMap[String, Object]]),
           parsePattern(m.get("right").asInstanceOf[JMap[String, Object]]))
+      // beyond-parity: negative pattern at a combine boundary (FlinkCEP
+      // notNext/notFollowedBy). `mode: not_next | not_followed_by`,
+      // `neg: {name, event, cndt: {expr}}`, plus combine's contiguity/
+      // left/right. Absent from every reference query file.
+      case "npat" =>
+        val negM = m.get("neg") match {
+          case jm: JMap[_, _] => jm.asInstanceOf[JMap[String, Object]]
+          case other => throw new IllegalArgumentException(
+            s"npat neg must be a mapping {name, event, cndt}, got '$other'")
+        }
+        Pattern.CombineNot(
+          Contiguity.fromName(str(m, "contiguity")),
+          parsePattern(m.get("left").asInstanceOf[JMap[String, Object]]),
+          Pattern.NegSpec(str(negM, "name"), str(negM, "event"),
+            expr(negM, "cndt")),
+          Pattern.NegMode.fromName(str(m, "mode")),
+          parsePattern(m.get("right").asInstanceOf[JMap[String, Object]]))
       case "gpat" =>
         Pattern.Gpat(
           parsePattern(m.get("child").asInstanceOf[JMap[String, Object]]))
