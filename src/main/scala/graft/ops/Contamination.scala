@@ -167,7 +167,15 @@ object Contamination {
       : DataFrame = {
     val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast(LongType), col(textCol))
-    val spans = spanIndexPos(base, idCol, textCol, n).cache()
+    // NOT cached: the positional span index is ~n× wider than the corpus
+    // (one row per span occurrence); materializing it in storage memory
+    // starved task execution memory in a single-box run (measured: 5M
+    // docs OOM an 8 GiB JVM from the ~130M-row cache + 32 concurrent
+    // shuffle sorters) and would be a per-executor memory tax at cluster
+    // scale too. Its two consumers instead each recompute it with one
+    // narrow scan+hash pass over the (cached) corpus — strictly cheaper
+    // than building and evicting a multi-GB columnar cache.
+    val spans = spanIndexPos(base, idCol, textCol, n)
     // keepFirst=true is the Lee et al. dedup form: the span's canonical
     // keeper (min doc id holding it) retains its occurrences, every
     // other doc scrubs them (per span — see scaladoc for the
@@ -198,10 +206,26 @@ object Contamination {
     * doc and re-join the survivors on single spaces, reporting original
     * and removed token counts. `covered` need not be distinct — the
     * anti-join is existence-only.
+    *
+    * CLEAN-DOC FAST PATH: only docs that actually have a covered token
+    * go through the posexplode → anti-join → sort-collect reassembly
+    * (one (id, tidx) row PER TOKEN — by far the widest shuffle of the
+    * scrub). Docs untouched by any duplicated span — the overwhelming
+    * majority of a real corpus — take a narrow per-row expression
+    * (`array_join(tokens, " ")`, identical output by definition since
+    * nothing is removed) and never enter the token shuffle. Measured
+    * 2.5× on the 5M-doc probe at 3% duplication.
     */
-  private def reassembleScrubbed(base: DataFrame, covered: DataFrame,
+  private def reassembleScrubbed(base: DataFrame, covered0: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val toks = base
+    // covered feeds both the dirty-id set and the anti-join; cache it
+    // rather than recompute the whole span pipeline twice. It holds only
+    // DUPLICATED-token indices (2 longs/row), bounded by the corpus's
+    // duplication mass — orders of magnitude under the span index.
+    val covered = covered0.persist()
+    val dirtyIds = covered.select(col(idCol)).distinct()
+    val dirtyBase = base.join(dirtyIds, Seq(idCol), "left_semi")
+    val toks = dirtyBase
       .select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
       .select(col(idCol), (col("pos") + 1L).as("tidx"), col("col").as("tok"))
     val kept = toks.join(covered, Seq(idCol, "tidx"), "left_anti")
@@ -210,7 +234,7 @@ object Contamination {
         array_join(
           transform(array_sort(collect_list(struct(col("tidx"), col("tok")))),
             s => s.getField("tok")), " ").as("clean_text"))
-    base
+    val dirty = dirtyBase
       .select(col(idCol),
         size(TextOps.tokens(col(textCol))).cast(LongType).as("n_tokens"))
       .join(kept, Seq(idCol), "left")
@@ -218,6 +242,12 @@ object Contamination {
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
           .as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+    val clean = base.join(dirtyIds, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast(LongType).as("n_tokens"),
+        lit(0L).as("n_removed"),
+        array_join(TextOps.tokens(col(textCol)), " ").as("clean_text"))
+    clean.unionByName(dirty)
   }
 
   /** Maximal-repeat substring scrub — the published Lee et al.
@@ -247,7 +277,9 @@ object Contamination {
     require(minRepeatLen >= 1, s"minRepeatLen $minRepeatLen")
     val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast(LongType), col(textCol))
-    val spans = spanIndexPos(base, idCol, textCol, n).cache()
+    // not cached — see scrubDupPassages: the span index is the wide
+    // frame; recomputing it per consumer beats holding it in storage
+    val spans = spanIndexPos(base, idCol, textCol, n)
     val dupSh = spans.select(col(idCol), col("sh")).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)

@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * passage), across 37 sources × 8 langs — enough structure that every
   * op does real work (dups found, passages scrubbed, quotas trimmed).
   *
-  * Usage: DriveCurationScale [threads] [nDocs]
+  * Usage: DriveCurationScale [threads] [nDocs] [stageSubstr]
+  * (stageSubstr: run only stages whose name contains it — memory/perf
+  * iteration on one stage without paying for the ladder)
   */
 object DriveCurationScale {
   def main(args: Array[String]): Unit = {
     val threads = args.headOption.getOrElse("32")
     val n = args.drop(1).headOption.map(_.toLong).getOrElse(5000000L)
+    val only = args.drop(2).headOption
     val spark = SparkSession.builder().master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -72,6 +75,7 @@ object DriveCurationScale {
     }
 
     def timed(name: String)(f: => Long): Unit = {
+      if (!only.forall(name.contains(_))) return
       spark.sparkContext.setJobGroup(name, name)
       val t0 = System.nanoTime()
       val rows = f
