@@ -102,6 +102,41 @@ object QualityModel {
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
       .toSeq
 
+  /** Deterministic train/held-out split of the bounded sample: ~20% of
+    * docs (id-hash mod 5 == 0 under base 257 — INDEPENDENT of the base-
+    * 131 hash that ordered the sample, so the held-out set is not a
+    * prefix/suffix of training order) are held out. The shipped weights
+    * are trained on the train side only, so the held-out metrics
+    * (`evaluate`) measure the COMMITTED artifact, not a shadow model —
+    * the codebooks' train/test discipline applied to the classifier.
+    */
+  def holdOut(id: Long): Boolean =
+    DedupOps.polyHashJvm(id.toString, 257L) % 5L == 0L
+
+  def splitSample(sample: Seq[(Long, String, Boolean)])
+      : (Seq[(Long, String, Boolean)], Seq[(Long, String, Boolean)]) =
+    sample.partition { case (id, _, _) => !holdOut(id) }
+
+  /** Accuracy/precision/recall (permille) of `model` against the
+    * heuristic labels of `docs` — exact integer metrics.
+    */
+  final case class Eval(n: Int, accMilli: Long, precMilli: Long,
+      recMilli: Long)
+
+  def evaluate(model: Model, docs: Seq[(Long, String, Boolean)]): Eval = {
+    var tp = 0L; var fp = 0L; var tn = 0L; var fn = 0L
+    docs.foreach { case (_, text, label) =>
+      val p = model.score(text) > 0L
+      if (p && label) tp += 1
+      else if (p && !label) fp += 1
+      else if (!p && !label) tn += 1
+      else fn += 1
+    }
+    val n = docs.size
+    def milli(num: Long, den: Long) = if (den == 0L) 0L else num * 1000L / den
+    Eval(n, milli(tp + tn, n.toLong), milli(tp, tp + fp), milli(tp, tp + fn))
+  }
+
   private val scoreSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("model_score", LongType, nullable = false),

@@ -75,14 +75,43 @@ class QualityModelSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("committed artifact reproduces from the sf0.01 corpus (the " +
-    "TrainQualityModel contract)") {
+    "TrainQualityModel contract: train split only)") {
     val committed = new java.io.File(QualityModel.weightsPath)
     assume(committed.exists, "no committed weights artifact")
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    val retrained = QualityModel.train(
-      QualityModel.sampleDocs(docs, "doc_id", "text"), epochs = 5)
+    val (trainSet, _) = QualityModel.splitSample(
+      QualityModel.sampleDocs(docs, "doc_id", "text"))
+    val retrained = QualityModel.train(trainSet, epochs = 5)
     val loaded = QualityModel.loadWeights(spark, QualityModel.weightsPath)
     assert(loaded.bias == retrained.bias)
     assert(loaded.weights.sameElements(retrained.weights))
+  }
+
+  /** The COMMITTED weights generalize to docs they never saw: the
+    * held-out side of the deterministic hash split (base-257, disjoint
+    * from training by construction — `QualityModel.holdOut`). Floors sit
+    * well under the recorded values (held-out acc 980 / prec 979 / rec
+    * 1000 permille at training time) so label-noise-level drift does not
+    * flake the suite, while a model that memorized instead of
+    * generalizing fails loudly.
+    */
+  test("committed artifact clears held-out accuracy/precision/recall " +
+    "floors (train accuracy alone overstates a perceptron)") {
+    val committed = new java.io.File(QualityModel.weightsPath)
+    assume(committed.exists, "no committed weights artifact")
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val (trainSet, heldOut) = QualityModel.splitSample(
+      QualityModel.sampleDocs(docs, "doc_id", "text"))
+    assert(heldOut.nonEmpty && trainSet.nonEmpty)
+    // both classes occur held-out — otherwise the floors are vacuous
+    assert(heldOut.exists(_._3) && heldOut.exists(!_._3))
+    // split is genuinely disjoint
+    val trainIds = trainSet.map(_._1).toSet
+    assert(heldOut.forall(d => !trainIds.contains(d._1)))
+    val m = QualityModel.loadWeights(spark, QualityModel.weightsPath)
+    val e = QualityModel.evaluate(m, heldOut)
+    assert(e.accMilli >= 900L, s"held-out accuracy ${e.accMilli} permille")
+    assert(e.precMilli >= 900L, s"held-out precision ${e.precMilli} permille")
+    assert(e.recMilli >= 900L, s"held-out recall ${e.recMilli} permille")
   }
 }

@@ -13,7 +13,12 @@ import graft.ops.QualityModel
   *
   * Labels come from the heuristic gate (`TextOps.qualityOk`) — the
   * bootstrap every real pipeline uses before human labels exist.
-  * Prints train-set accuracy so the artifact's fit is on record.
+  * The bounded sample is hash-split ~80/20 (`QualityModel.splitSample`,
+  * independent base-257 id hash); the COMMITTED weights are trained on
+  * the train side only, and both train and HELD-OUT accuracy/precision/
+  * recall are printed so the artifact's generalization is on record
+  * (train accuracy alone overstates a perceptron). The held-out floor
+  * is pinned by `QualityModelSpec`.
   */
 object TrainQualityModel {
   def main(args: Array[String]): Unit = {
@@ -24,15 +29,17 @@ object TrainQualityModel {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sample = QualityModel.sampleDocs(docs, "doc_id", "text")
-    val model = QualityModel.train(sample, epochs = 5)
+    val (trainSet, heldOut) = QualityModel.splitSample(sample)
+    val model = QualityModel.train(trainSet, epochs = 5)
     QualityModel.writeWeights(spark, QualityModel.weightsPath, model)
-    val correct = sample.count { case (_, text, label) =>
-      (model.score(text) > 0L) == label
-    }
+    val trainEval = QualityModel.evaluate(model, trainSet)
+    val testEval = QualityModel.evaluate(model, heldOut)
     val nz = model.weights.count(_ != 0L)
-    println(s"TRAINED quality model on ${sample.size} docs from $dir: " +
-      s"train accuracy ${correct}/${sample.size} " +
-      s"(${1000 * correct / sample.size} permille), " +
+    println(s"TRAINED quality model on ${trainSet.size} docs from $dir " +
+      s"(held out ${heldOut.size}): " +
+      s"train acc ${trainEval.accMilli} permille; " +
+      s"HELD-OUT acc ${testEval.accMilli} prec ${testEval.precMilli} " +
+      s"rec ${testEval.recMilli} permille; " +
       s"$nz nonzero weights, bias ${model.bias} " +
       s"-> ${QualityModel.weightsPath}")
     spark.stop()
