@@ -61,22 +61,27 @@ object Bench {
           -1.0
       }
     }
-    val results: Map[String, (Double, Double)] =
+    // (cold, warm-median, warm-min≈p25, warm-max≈p75): with three warm
+    // runs the order statistics ARE the spread — a wide (lo, hi) band
+    // flags a noisy measurement so the artifact's consumer need not
+    // re-adjudicate load noise (round-5 verdict #8)
+    final case class R(cold: Double, med: Double, lo: Double, hi: Double)
+    val results: Map[String, R] =
       SparkEntry.queries.map { case (name, fn) =>
         val cold = timed(name, fn)
         val steady = Seq(timed(name, fn), timed(name, fn), timed(name, fn))
         val ok = steady.filter(_ >= 0).sorted
         // median of the non-failed warm runs; all-failed mirrors cold's -1
-        val med = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
-        name -> (cold, med)
+        name -> (if (ok.isEmpty) R(cold, -1.0, -1.0, -1.0)
+          else R(cold, ok(ok.length / 2), ok.head, ok.last))
       }
-    def jmap(sel: ((Double, Double)) => Double) = results
+    def jmap(sel: R => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._1).filter(_ >= 0).sum
-    val totalMedian = results.values.map(_._2).filter(_ >= 0).sum
+    val total = results.values.map(_.cold).filter(_ >= 0).sum
+    val totalMedian = results.values.map(_.med).filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_median":${jmap(_._2)},"total_median":$totalMedian,"loadavg":"$loadStart","loadavg_end":"$loadavg","bench_wall_sec":$wallSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.cold)},"queries_median":${jmap(_.med)},"queries_p25":${jmap(_.lo)},"queries_p75":${jmap(_.hi)},"total_median":$totalMedian,"loadavg":"$loadStart","loadavg_end":"$loadavg","bench_wall_sec":$wallSec,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a grep that truncated round 4's
     // artifact (lost ~10 queries' medians). Persist the full line ourselves
@@ -87,6 +92,46 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"BENCH: could not write $outPath: ${e.getMessage}") }
+    // Auto-generate BENCH.md's per-query table from this run (between
+    // the AUTO markers; the prose around it stays hand-authored). Noisy
+    // queries self-identify: warm spread (hi - lo) beyond 30% of the
+    // median (and 0.2 s absolute) earns a NOISY flag — exactly the rows
+    // a reader should re-measure before calling a regression.
+    locally {
+      val begin = "<!-- BENCH_TABLE_AUTO_BEGIN -->"
+      val end = "<!-- BENCH_TABLE_AUTO_END -->"
+      val rows = results.toSeq.sortBy(-_._2.med).map { case (name, r) =>
+        val spread = r.hi - r.lo
+        val noisy =
+          if (r.med > 0 && spread > math.max(0.3 * r.med, 0.2)) " NOISY"
+          else ""
+        f"| `$name` | ${r.cold}%.2f | ${r.med}%.2f | ${r.lo}%.2f–${r.hi}%.2f$noisy |"
+      }
+      val table =
+        (s"$begin\n\nAuto-generated by `graft.Bench` from the latest run " +
+          s"(sf=`$sfDir`, loadavg $loadStart → $loadavg, wall " +
+          f"$wallSec%.0f s; cold total $total%.1f s, warm-median total " +
+          f"$totalMedian%.1f s). NOISY = warm spread > 30%% of median — " +
+          "re-measure before reading a regression off that row.\n\n" +
+          "| query | cold s | median s | warm lo–hi |\n" +
+          "|---|---|---|---|\n") + rows.mkString("\n") + s"\n\n$end"
+      val benchMd = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_MD", "/root/repo/BENCH.md"))
+      try {
+        val cur =
+          if (java.nio.file.Files.exists(benchMd))
+            new String(java.nio.file.Files.readAllBytes(benchMd), "UTF-8")
+          else ""
+        val bi = cur.indexOf(begin)
+        val ei = cur.indexOf(end)
+        val next =
+          if (bi >= 0 && ei > bi) // replace the existing auto section
+            cur.substring(0, bi) + table + cur.substring(ei + end.length)
+          else cur + "\n\n## Latest per-query table\n\n" + table + "\n"
+        java.nio.file.Files.write(benchMd, next.getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH: could not update $benchMd: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

@@ -223,7 +223,9 @@ object Contamination {
     // DUPLICATED-token indices (2 longs/row), bounded by the corpus's
     // duplication mass — orders of magnitude under the span index.
     val covered = covered0.persist()
-    val dirtyIds = covered.select(col(idCol)).distinct()
+    // no distinct: semi/anti joins deduplicate in their build hash table
+    // anyway, and skipping it saves an exchange per branch
+    val dirtyIds = covered.select(col(idCol))
     val dirtyBase = base.join(dirtyIds, Seq(idCol), "left_semi")
     val toks = dirtyBase
       .select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
