@@ -2170,6 +2170,48 @@ object Queries {
        |SELECT id1, id2, hamming FROM p WHERE hamming <= 6
        |ORDER BY id1, id2""".stripMargin
 
+  /** Audio near-dup pairs folded into the per-clip KEEP decision — the
+    * audio mirror of `mm_image_dedup_keep`: pairs → connected components
+    * (large-star/small-star) → min-id cluster label per clip; the oracle
+    * replays the banding and a recursive-CTE reachability closure over
+    * the committed pre-encode ehashes.
+    */
+  def mmAudioDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val assets = spark.read.parquet(MultiModal.audioPath)
+    val pairs = MultiModal.audioNearDupPairs(assets, maxHamming = 6)
+      .select(col("id1"), col("id2"))
+    DedupOps.nearDupKeepMap(assets.select(col("asset_id")), "asset_id",
+        pairs)
+      .select(col("doc_id").as("asset_id"), col("cluster_id"))
+      .orderBy("asset_id")
+  }
+
+  val mmAudioDedupKeepSql: String =
+    s"""WITH RECURSIVE f AS (
+       |  SELECT asset_id, ehash
+       |  FROM read_parquet('${MultiModal.expectedAudioFeaturesPath}/*.parquet')),
+       |b AS (
+       |  SELECT asset_id, ehash, band, (ehash >> (band * 8)) & 255 AS bucket
+       |  FROM f, (SELECT unnest(generate_series(0, 7)) AS band) bands),
+       |p AS (
+       |  SELECT DISTINCT x.asset_id AS id1, y.asset_id AS id2
+       |  FROM b x JOIN b y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |      AND x.asset_id < y.asset_id
+       |  WHERE bit_count(xor(x.ehash, y.ehash)) <= 6),
+       |und AS (
+       |  SELECT id1 AS a, id2 AS b FROM p
+       |  UNION ALL SELECT id2, id1 FROM p),
+       |reach AS (
+       |  SELECT a AS node, b AS r FROM und
+       |  UNION
+       |  SELECT re.node, u.b FROM reach re JOIN und u ON u.a = re.r),
+       |mins AS (SELECT node, min(r) AS minr FROM reach GROUP BY node)
+       |SELECT f.asset_id,
+       |  COALESCE(LEAST(f.asset_id, m.minr), f.asset_id) AS cluster_id
+       |FROM f LEFT JOIN mins m ON m.node = f.asset_id
+       |ORDER BY f.asset_id""".stripMargin
+
   /** KMV distinct-token sketch over the corpus vocabulary — an
     * engine-portable alternative to HLL: pure order statistics over the
     * deterministic 60-bit token hash, so the oracle checks the *estimate*
@@ -3121,6 +3163,7 @@ object Queries {
     "mm_image_dedup_keep" -> mmImageDedupKeep _,
     "mm_audio_features" -> mmAudioFeatures _,
     "mm_audio_dedup" -> mmAudioDedup _,
+    "mm_audio_dedup_keep" -> mmAudioDedupKeep _,
     "mm_frame_sample" -> mmFrameSample _,
     "sketch_distinct_tokens" -> sketchDistinctTokens _,
     "decontam_overlap" -> decontamOverlap _,
@@ -3203,6 +3246,7 @@ object Queries {
     "mm_image_dedup_keep" -> mmImageDedupKeepSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_audio_dedup" -> mmAudioDedupSql,
+    "mm_audio_dedup_keep" -> mmAudioDedupKeepSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "sketch_distinct_tokens" -> sketchDistinctTokensSql,
     "decontam_overlap" -> decontamOverlapSql,

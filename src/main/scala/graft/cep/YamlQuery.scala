@@ -151,18 +151,30 @@ object YamlQuery {
       // `neg: {name, event, cndt: {expr}}`, plus combine's contiguity/
       // left/right. Absent from every reference query file.
       case "npat" =>
-        val negM = m.get("neg") match {
+        def req(k: String): Object = m.get(k) match {
+          case null => throw new IllegalArgumentException(
+            s"npat is missing required key '$k' (expected mode, " +
+              "contiguity, neg: {name, event, cndt}, left, right)")
+          case v => v
+        }
+        val negM = req("neg") match {
           case jm: JMap[_, _] => jm.asInstanceOf[JMap[String, Object]]
           case other => throw new IllegalArgumentException(
             s"npat neg must be a mapping {name, event, cndt}, got '$other'")
         }
+        def negStr(k: String): String = negM.get(k) match {
+          case null => throw new IllegalArgumentException(
+            s"npat neg is missing required key '$k' " +
+              "(expected {name, event, cndt})")
+          case v => v.toString
+        }
         Pattern.CombineNot(
-          Contiguity.fromName(str(m, "contiguity")),
-          parsePattern(m.get("left").asInstanceOf[JMap[String, Object]]),
-          Pattern.NegSpec(str(negM, "name"), str(negM, "event"),
+          Contiguity.fromName(req("contiguity").toString),
+          parsePattern(req("left").asInstanceOf[JMap[String, Object]]),
+          Pattern.NegSpec(negStr("name"), negStr("event"),
             expr(negM, "cndt")),
-          Pattern.NegMode.fromName(str(m, "mode")),
-          parsePattern(m.get("right").asInstanceOf[JMap[String, Object]]))
+          Pattern.NegMode.fromName(req("mode").toString),
+          parsePattern(req("right").asInstanceOf[JMap[String, Object]]))
       case "gpat" =>
         Pattern.Gpat(
           parsePattern(m.get("child").asInstanceOf[JMap[String, Object]]))
