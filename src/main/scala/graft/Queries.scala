@@ -2212,6 +2212,115 @@ object Queries {
        |FROM f LEFT JOIN mins m ON m.node = f.asset_id
        |ORDER BY f.asset_id""".stripMargin
 
+  /** REAL video decode: the committed AVI fixtures
+    * (`data/video/video.parquet`, 500 synthetic 12×9 uncompressed-DIB
+    * clips written by `graft.tools.GenVideoFixtures`) are demuxed (RIFF
+    * container walk) and decoded in a batched per-partition pass —
+    * exact frame statistics (integer-micro channel means over all
+    * frames, frame count, fps micros) plus the 64-bit temporal
+    * luminance sign hash (`thash`). The oracle reads the committed
+    * expected-feature parquet, computed from the raw ARGB frames BEFORE
+    * AVI encoding — a hash match certifies the whole encode→demux→
+    * decode→feature chain, with DuckDB (which has no video codec)
+    * checking the committed pre-encode truth.
+    */
+  def mmVideoFeatures(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.videoFeatures(spark.read.parquet(MultiModal.videoPath))
+      .orderBy("asset_id")
+
+  val mmVideoFeaturesSql: String =
+    s"""SELECT asset_id, width, height, n_frames, fps_micro, mean_r_micro,
+       |  mean_g_micro, mean_b_micro, thash
+       |FROM read_parquet('${MultiModal.expectedVideoFeaturesPath}/*.parquet')
+       |ORDER BY asset_id""".stripMargin
+
+  /** Real video-to-frames explosion: one row per demuxed+decoded frame
+    * with the frame's image features (channel means + dHash via the
+    * shared `featuresFromArgb`) — the container-aware replacement for
+    * the byte-window `mm_frame_sample` shape. The oracle reads the
+    * committed per-frame pre-encode expectations.
+    */
+  def mmVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.videoFrameFeatures(spark.read.parquet(MultiModal.videoPath))
+      .orderBy("asset_id", "frame_no")
+
+  val mmVideoFramesSql: String =
+    s"""SELECT asset_id, frame_no, mean_r_micro, mean_g_micro, mean_b_micro,
+       |  dhash
+       |FROM read_parquet('${MultiModal.expectedVideoFramesPath}/*.parquet')
+       |ORDER BY asset_id, frame_no""".stripMargin
+
+  /** Video near-duplicate pairs over the real decoded temporal hashes:
+    * the same pigeonhole Hamming band join as the image/audio/text
+    * paths. Finds the fixture set's exact duplicates and
+    * half-brightness twins at distance 0 and its window-patched twins
+    * at small distances; the oracle mirrors the banding over the
+    * committed pre-encode thashes in SQL.
+    */
+  def mmVideoDedup(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.videoNearDupPairs(
+        spark.read.parquet(MultiModal.videoPath), maxHamming = 6)
+      .orderBy("id1", "id2")
+
+  val mmVideoDedupSql: String =
+    s"""WITH f AS (
+       |  SELECT asset_id, thash
+       |  FROM read_parquet('${MultiModal.expectedVideoFeaturesPath}/*.parquet')),
+       |b AS (
+       |  SELECT asset_id, thash, band, (thash >> (band * 8)) & 255 AS bucket
+       |  FROM f, (SELECT unnest(generate_series(0, 7)) AS band) bands),
+       |p AS (
+       |  SELECT DISTINCT x.asset_id AS id1, y.asset_id AS id2,
+       |    CAST(bit_count(xor(x.thash, y.thash)) AS BIGINT) AS hamming
+       |  FROM b x JOIN b y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |      AND x.asset_id < y.asset_id)
+       |SELECT id1, id2, hamming FROM p WHERE hamming <= 6
+       |ORDER BY id1, id2""".stripMargin
+
+  /** Video near-dup pairs folded into the per-clip KEEP decision — the
+    * video mirror of `mm_image_dedup_keep`/`mm_audio_dedup_keep`:
+    * pairs → connected components (large-star/small-star) → min-id
+    * cluster label per clip; the oracle replays the banding and a
+    * recursive-CTE reachability closure over the committed pre-encode
+    * thashes.
+    */
+  def mmVideoDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val assets = spark.read.parquet(MultiModal.videoPath)
+    val pairs = MultiModal.videoNearDupPairs(assets, maxHamming = 6)
+      .select(col("id1"), col("id2"))
+    DedupOps.nearDupKeepMap(assets.select(col("asset_id")), "asset_id",
+        pairs)
+      .select(col("doc_id").as("asset_id"), col("cluster_id"))
+      .orderBy("asset_id")
+  }
+
+  val mmVideoDedupKeepSql: String =
+    s"""WITH RECURSIVE f AS (
+       |  SELECT asset_id, thash
+       |  FROM read_parquet('${MultiModal.expectedVideoFeaturesPath}/*.parquet')),
+       |b AS (
+       |  SELECT asset_id, thash, band, (thash >> (band * 8)) & 255 AS bucket
+       |  FROM f, (SELECT unnest(generate_series(0, 7)) AS band) bands),
+       |p AS (
+       |  SELECT DISTINCT x.asset_id AS id1, y.asset_id AS id2
+       |  FROM b x JOIN b y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |      AND x.asset_id < y.asset_id
+       |  WHERE bit_count(xor(x.thash, y.thash)) <= 6),
+       |und AS (
+       |  SELECT id1 AS a, id2 AS b FROM p
+       |  UNION ALL SELECT id2, id1 FROM p),
+       |reach AS (
+       |  SELECT a AS node, b AS r FROM und
+       |  UNION
+       |  SELECT re.node, u.b FROM reach re JOIN und u ON u.a = re.r),
+       |mins AS (SELECT node, min(r) AS minr FROM reach GROUP BY node)
+       |SELECT f.asset_id,
+       |  COALESCE(LEAST(f.asset_id, m.minr), f.asset_id) AS cluster_id
+       |FROM f LEFT JOIN mins m ON m.node = f.asset_id
+       |ORDER BY f.asset_id""".stripMargin
+
   /** KMV distinct-token sketch over the corpus vocabulary — an
     * engine-portable alternative to HLL: pure order statistics over the
     * deterministic 60-bit token hash, so the oracle checks the *estimate*
@@ -3164,6 +3273,10 @@ object Queries {
     "mm_audio_features" -> mmAudioFeatures _,
     "mm_audio_dedup" -> mmAudioDedup _,
     "mm_audio_dedup_keep" -> mmAudioDedupKeep _,
+    "mm_video_features" -> mmVideoFeatures _,
+    "mm_video_frames" -> mmVideoFrames _,
+    "mm_video_dedup" -> mmVideoDedup _,
+    "mm_video_dedup_keep" -> mmVideoDedupKeep _,
     "mm_frame_sample" -> mmFrameSample _,
     "sketch_distinct_tokens" -> sketchDistinctTokens _,
     "decontam_overlap" -> decontamOverlap _,
@@ -3247,6 +3360,10 @@ object Queries {
     "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_audio_dedup" -> mmAudioDedupSql,
     "mm_audio_dedup_keep" -> mmAudioDedupKeepSql,
+    "mm_video_features" -> mmVideoFeaturesSql,
+    "mm_video_frames" -> mmVideoFramesSql,
+    "mm_video_dedup" -> mmVideoDedupSql,
+    "mm_video_dedup_keep" -> mmVideoDedupKeepSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "sketch_distinct_tokens" -> sketchDistinctTokensSql,
     "decontam_overlap" -> decontamOverlapSql,
