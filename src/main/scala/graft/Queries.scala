@@ -1051,6 +1051,57 @@ object Queries {
       |    AS rep_flagged
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** PII scrub over the corpus: emails/phones/IPv4s masked with typed
+    * placeholders plus per-category match counts. The fixture text
+    * contains no PII shapes, so the query injects deterministic PII
+    * derived from `doc_id` (an email, an international phone, a dotted
+    * quad) before scrubbing — non-vacuous by construction at every
+    * scale factor, and the oracle replays the identical injection and
+    * regex chain in DuckDB (patterns restricted to the Java-regex ∩ RE2
+    * common subset; see `TextOps.emailRe`).
+    */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" reach user"), col("doc_id").cast(StringType),
+        lit("@mail"), (col("doc_id") % 10).cast(StringType),
+        lit(".example.com or +1-555-"),
+        (col("doc_id") + 1000000L).cast(StringType),
+        lit(" at host 10."), (col("doc_id") % 256).cast(StringType),
+        lit("."), (TextOps.longDiv(col("doc_id"), lit(256L)) % 256)
+          .cast(StringType),
+        lit(".9")).as("text"))
+    TextOps.piiScrub(raw, "doc_id", "text").orderBy("doc_id")
+  }
+
+  val textPiiScrubSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+\\d{1,3}-\\d{3}-\\d{4,8}\\b"
+    val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+       |      CAST(doc_id % 10 AS VARCHAR) || '.example.com or +1-555-' ||
+       |      CAST(doc_id + 1000000 AS VARCHAR) || ' at host 10.' ||
+       |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+       |      CAST((doc_id // 256) % 256 AS VARCHAR) || '.9' AS t
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, t,
+       |    regexp_replace(t, '$email', '<EMAIL>', 'g') AS te
+       |  FROM raw),
+       |m2 AS (
+       |  SELECT doc_id, t, te,
+       |    regexp_replace(te, '$phone', '<PHONE>', 'g') AS tp
+       |  FROM m)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(te, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(tp, '$ip')) AS BIGINT) AS n_ips,
+       |  regexp_replace(tp, '$ip', '<IP>', 'g') AS masked
+       |FROM m2 ORDER BY doc_id""".stripMargin
+  }
+
   /** Whitespace vs BPE-ish token counts (LLM budget accounting). */
   def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(table(spark, dir, "documents"), "doc_id", "text")
@@ -3248,6 +3299,7 @@ object Queries {
     "text_quality_model" -> textQualityModel _,
     "text_repetition" -> textRepetition _,
     "text_gopher_repetition" -> textGopherRepetition _,
+    "text_pii_scrub" -> textPiiScrub _,
     "knn_ivf_top5" -> knnIvfTop5 _,
     "text_stats" -> textStats _,
     "lang_id" -> langIdQuery _,
@@ -3339,6 +3391,7 @@ object Queries {
     "text_quality_model" -> textQualityModelSql,
     "text_repetition" -> textRepetitionSql,
     "text_gopher_repetition" -> textGopherRepetitionSql,
+    "text_pii_scrub" -> textPiiScrubSql,
     "knn_ivf_top5" -> knnIvfTop5Sql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

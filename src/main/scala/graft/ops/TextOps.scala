@@ -280,4 +280,48 @@ object TextOps {
 
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+
+  // ========================= PII scrubbing ==========================
+
+  /** Conservative, engine-portable PII patterns. Only constructs with
+    * identical semantics in Java regex (Spark codegen path) and RE2
+    * (DuckDB oracle) are used: literal classes, bounded repetition,
+    * non-capturing groups, `\b`, `\d` — no backreferences or lookaround
+    * (RE2 has neither). Deliberately high-precision/lower-recall: a
+    * training-pipeline scrub must not mangle code or math, so these hit
+    * unambiguous shapes only (a standards-shaped email, a
+    * `+CC-NNN-NNNNNNN` international phone, a dotted-quad IPv4).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4,8}\\b"
+  val ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Masked text: emails → `<EMAIL>`, then phones → `<PHONE>`, then
+    * IPv4s → `<IP>`, in that fixed order (email domains may contain
+    * digit runs the later patterns could otherwise chew on; masking
+    * emails first makes the passes order-independent for real text).
+    * Pure `regexp_replace` chain — codegen'd, narrow, no UDFs.
+    */
+  def piiMask(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** Per-document PII scrub report: match counts per category (each
+    * counted on the text with the previous categories already masked,
+    * mirroring exactly what the mask pass replaces) plus the masked
+    * text. Narrow single-pass plan.
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val e = regexp_replace(t, emailRe, "<EMAIL>")
+    val p = regexp_replace(e, phoneRe, "<PHONE>")
+    df.select(col(idCol),
+      regexp_count(t, lit(emailRe)).cast(LongType).as("n_emails"),
+      regexp_count(e, lit(phoneRe)).cast(LongType).as("n_phones"),
+      regexp_count(p, lit(ipv4Re)).cast(LongType).as("n_ips"),
+      regexp_replace(p, ipv4Re, "<IP>").as("masked"))
+  }
 }

@@ -29,6 +29,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  test("piiScrub: masks emails/phones/IPs with exact counts; clean and " +
+    "tricky text untouched") {
+    val df = docs(
+      1L -> ("write a@b.io or bob.smith+tag@sub.example.org, " +
+        "call +44-123-4567890, ssh 192.168.0.1 and 10.0.0.255"),
+      2L -> "no pii here at all",
+      // near-misses the conservative patterns must NOT touch: version
+      // numbers (3 octets), a bare local number, an @ with no TLD
+      3L -> "v1.2.3 released, call 555-1234, ping user@localhost")
+    val out = TextOps.piiScrub(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(out(1L) == ((2L, 1L, 2L),
+      "write <EMAIL> or <EMAIL>, call <PHONE>, ssh <IP> and <IP>"))
+    assert(out(2L) == ((0L, 0L, 0L), "no pii here at all"))
+    assert(out(3L) == ((0L, 0L, 0L),
+      "v1.2.3 released, call 555-1234, ping user@localhost"))
+  }
+
   test("gopherRepetition: hand-computed top-gram masses and flag") {
     val df = docs(
       1L -> "a b a b a b c", // top2 (a b)x3 857m, top3 x2 857m, top4 x2 1142m
