@@ -246,4 +246,50 @@ class GoldenNegativeSpec extends AnyFunSuite {
     assert(CepOperator.run(parsed,
       Vector(ev("A", 1), ev("C", 2))).nonEmpty)
   }
+
+  // ------------------------------------------- composition with windows
+
+  test("notFollowedBy composes with the step window: negation kills, " +
+    "window prunes, both apply") {
+    // x:A ∘ ¬(n:B) y:C, within = 2 steps
+    val pat = Pattern.CombineNot(Contiguity.Relaxed,
+      Pattern.spat("x", "A", "True"),
+      Pattern.negSpec("n", "B", "True"),
+      Pattern.NegMode.NotFollowedBy,
+      Pattern.spat("y", "C", "True"))
+    val query = q(pat).copy(within = Some(2))
+    // takes 1 step apart: inside the window
+    assert(run(query, ev("A", 1), ev("C", 2)) ==
+      Vector(Map("x" -> Vector(1L), "y" -> Vector(2L))))
+    // run from A1 takes 2 steps apart (>= 2, window-pruned); the run
+    // from A2 takes 1 step apart and survives
+    assert(run(query, ev("A", 1), ev("A", 2), ev("C", 3)) ==
+      Vector(Map("x" -> Vector(2L), "y" -> Vector(3L))))
+    // negation still kills inside the window
+    assert(run(query, ev("A", 1), ev("B", 2), ev("C", 3)) == Vector())
+  }
+
+  test("notNext composes with the event-time window") {
+    val schemaTs: Vector[(String, Vector[String])] =
+      Vector("A" -> Vector("id", "v", "ts"), "C" -> Vector("id", "v", "ts"))
+    def evt(tpe: String, id: Long, ts: Long, v: Long = 0L): Event =
+      Event(tpe, Vector("id" -> id, "v" -> v, "ts" -> ts))
+    // x:A ⋅ !next(n:C[v < 0]) y:C, within 10 time units on ts
+    val pat = Pattern.CombineNot(Contiguity.Strict,
+      Pattern.spat("x", "A", "True"),
+      Pattern.negSpec("n", "C", "v < 0"),
+      Pattern.NegMode.NotNext,
+      Pattern.spat("y", "C", "True"))
+    val query = CepQuery(pat, schemaTs,
+      withinTime = Some(WithinTime("ts", 10L)))
+    // inside the time window: match
+    assert(run(query, evt("A", 1, ts = 0), evt("C", 2, ts = 5)) ==
+      Vector(Map("x" -> Vector(1L), "y" -> Vector(2L))))
+    // outside the time window: pruned despite matching the pattern
+    assert(run(query, evt("A", 1, ts = 0), evt("C", 2, ts = 20)) ==
+      Vector())
+    // negated event kills inside the window
+    assert(run(query,
+      evt("A", 1, ts = 0), evt("C", 2, ts = 5, v = -1)) == Vector())
+  }
 }

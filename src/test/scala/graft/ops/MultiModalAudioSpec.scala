@@ -86,6 +86,31 @@ class MultiModalAudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decodeAudio: AIFF round trip exercises the big-endian 16-bit " +
+    "branch and matches pre-encode features exactly") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    for (id <- Seq(1L, 2L)) { // mono and stereo
+      val (ch, samples) = GenAudioFixtures.renderBase(id)
+      val expected = MultiModal.featuresFromPcm(ch, GenAudioFixtures.Rate,
+        samples)
+      // AIFF carries big-endian signed PCM: pack high byte first
+      val fmt = new AudioFormat(GenAudioFixtures.Rate.toFloat, 16, ch,
+        true, true)
+      val pcm = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        pcm(2 * i) = ((samples(i) >> 8) & 0xFF).toByte
+        pcm(2 * i + 1) = (samples(i) & 0xFF).toByte
+      }
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length / ch)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.AIFF, bos)
+      val got = MultiModal.decodeAudio(bos.toByteArray)
+      assert(got.contains(expected), s"AIFF clip $id: $got != $expected")
+    }
+  }
+
   test("decodeAudio: null, empty, and undecodable payloads yield None") {
     assert(MultiModal.decodeAudio(null).isEmpty)
     assert(MultiModal.decodeAudio(Array.emptyByteArray).isEmpty)
