@@ -1102,6 +1102,131 @@ object Queries {
        |FROM m2 ORDER BY doc_id""".stripMargin
   }
 
+  /** Documents with deterministic doc_id-derived URLs appended (the
+    * fixture text contains none — same non-vacuity trick as the PII
+    * injection). Two URLs per doc, built to exercise every normalizer
+    * step: uppercase host, https default port, utm_* params, fragment;
+    * then a second bare http URL with its default port.
+    */
+  private def urlInjectedDocs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://WWW.Example-"),
+        (col("doc_id") % 50).cast(StringType),
+        lit(".COM:443/Data/"), col("doc_id").cast(StringType),
+        lit("?utm_source=feed&id="), col("doc_id").cast(StringType),
+        lit("&utm_campaign=x#Sec"), (col("doc_id") % 7).cast(StringType),
+        lit(" plus http://cdn"), (col("doc_id") % 20).cast(StringType),
+        lit(".assets-"), (col("doc_id") % 11).cast(StringType),
+        lit(".org:80/a/"), (col("doc_id") % 97).cast(StringType))
+        .as("text"))
+
+  /** SQL mirror of `urlInjectedDocs` (CTE named `raw`, text col `t`). */
+  private val urlInjectSql: String =
+    """raw AS (
+      |  SELECT doc_id,
+      |    text || ' see https://WWW.Example-' ||
+      |      CAST(doc_id % 50 AS VARCHAR) || '.COM:443/Data/' ||
+      |      CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' ||
+      |      CAST(doc_id AS VARCHAR) || '&utm_campaign=x#Sec' ||
+      |      CAST(doc_id % 7 AS VARCHAR) || ' plus http://cdn' ||
+      |      CAST(doc_id % 20 AS VARCHAR) || '.assets-' ||
+      |      CAST(doc_id % 11 AS VARCHAR) || '.org:80/a/' ||
+      |      CAST(doc_id % 97 AS VARCHAR) AS t
+      |  FROM documents)""".stripMargin
+
+  /** SQL mirror of `TextOps.urlNormalize` + host/domain as a CTE chain:
+    * reads CTE `in` columns (`$passCols`, `u`), ends with CTE `nu`
+    * exposing (`$passCols`, url, host, domain). DuckDB group-reference
+    * replacement syntax is `\1` where Java's is `$1` — the patterns
+    * themselves stay in the shared Java∩RE2 subset.
+    */
+  private def urlNormSqlChain(inCte: String, passCols: String): String =
+    s"""n1 AS (SELECT $passCols, regexp_replace(u, '#.*', '') AS nf
+       |  FROM $inCte),
+       |n2 AS (SELECT $passCols, nf,
+       |    regexp_extract(nf,
+       |      '^(https?://[A-Za-z0-9.-]+(?::\\d{1,5})?)', 1) AS pre
+       |  FROM n1),
+       |n3 AS (SELECT $passCols,
+       |    regexp_replace(regexp_replace(lower(pre),
+       |        '^(https://[a-z0-9.-]+):443$$', '\\1'),
+       |      '^(http://[a-z0-9.-]+):80$$', '\\1') ||
+       |      substr(nf, len(pre) + 1) AS j
+       |  FROM n2),
+       |n4 AS (SELECT $passCols, split_part(j, '?', 1) AS base,
+       |    split_part(j, '?', 2) AS q
+       |  FROM n3),
+       |n5 AS (SELECT $passCols, base, q,
+       |    array_to_string(list_filter(string_split(q, '&'),
+       |      p -> NOT starts_with(p, 'utm_')), '&') AS kept
+       |  FROM n4),
+       |n6 AS (SELECT $passCols,
+       |    CASE WHEN q = '' OR kept = '' THEN base
+       |         ELSE base || '?' || kept END AS url
+       |  FROM n5),
+       |nu AS (SELECT $passCols, url,
+       |    regexp_extract(url, '^https?://([a-z0-9.-]+)', 1) AS host,
+       |    regexp_extract(regexp_extract(url,
+       |        '^https?://([a-z0-9.-]+)', 1),
+       |      '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain
+       |  FROM n6)""".stripMargin
+
+  /** URL extraction + canonicalization — the crawl-curation staple
+    * (canonical URL is the dedup/provenance key). Every URL in every
+    * document, exploded with its match position, normalized per
+    * `TextOps.urlNormalize`, plus host and registered domain.
+    */
+  def textUrlNormalize(spark: SparkSession, dir: String): DataFrame =
+    TextOps.urlExtract(urlInjectedDocs(spark, dir), "doc_id", "text")
+      .orderBy("doc_id", "pos")
+
+  val textUrlNormalizeSql: String =
+    s"""WITH $urlInjectSql,
+       |e AS (SELECT doc_id, regexp_extract_all(t, '${TextOps.urlRe}')
+       |    AS l FROM raw),
+       |g0 AS (SELECT doc_id, l,
+       |    unnest(generate_series(1, len(l))) AS i FROM e),
+       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, l[i] AS u
+       |  FROM g0),
+       |${urlNormSqlChain("g", "doc_id, pos")}
+       |SELECT doc_id, pos, url, host, domain FROM nu
+       |ORDER BY doc_id, pos""".stripMargin
+
+  /** Per-domain quota sampling: at most 6 docs per registered domain of
+    * the document's primary (first) URL, selected in deterministic hash
+    * order — crawl rebalancing so no single site dominates the corpus.
+    * Composes the URL normalizer with `Sampling.quotaSample`; the only
+    * shuffle is the ranking window on the domain key.
+    */
+  def sampleDomainQuota(spark: SparkSession, dir: String): DataFrame = {
+    val withDomain = urlInjectedDocs(spark, dir).select(col("doc_id"),
+      TextOps.urlDomain(TextOps.urlHost(TextOps.urlNormalize(
+        regexp_extract(col("text"), TextOps.urlRe, 0)))).as("domain"))
+    Sampling.quotaSample(withDomain, "doc_id", "domain", Map.empty,
+      defaultQuota = 6L)
+      .orderBy("doc_id")
+  }
+
+  val sampleDomainQuotaSql: String = {
+    val idStr = "CAST(doc_id AS VARCHAR)"
+    val poly =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($idStr)), " +
+        s"i -> CAST(ascii($idStr[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+    s"""WITH $urlInjectSql,
+       |g AS (SELECT doc_id, regexp_extract(t, '${TextOps.urlRe}', 0)
+       |    AS u FROM raw),
+       |${urlNormSqlChain("g", "doc_id")},
+       |r AS (SELECT doc_id, domain,
+       |    row_number() OVER (PARTITION BY domain ORDER BY $poly, doc_id)
+       |      AS rk
+       |  FROM nu WHERE doc_id IS NOT NULL)
+       |SELECT doc_id, domain FROM r WHERE rk <= 6
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Whitespace vs BPE-ish token counts (LLM budget accounting). */
   def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(table(spark, dir, "documents"), "doc_id", "text")
@@ -3300,6 +3425,8 @@ object Queries {
     "text_repetition" -> textRepetition _,
     "text_gopher_repetition" -> textGopherRepetition _,
     "text_pii_scrub" -> textPiiScrub _,
+    "text_url_normalize" -> textUrlNormalize _,
+    "sample_domain_quota" -> sampleDomainQuota _,
     "knn_ivf_top5" -> knnIvfTop5 _,
     "text_stats" -> textStats _,
     "lang_id" -> langIdQuery _,
@@ -3392,6 +3519,8 @@ object Queries {
     "text_repetition" -> textRepetitionSql,
     "text_gopher_repetition" -> textGopherRepetitionSql,
     "text_pii_scrub" -> textPiiScrubSql,
+    "text_url_normalize" -> textUrlNormalizeSql,
+    "sample_domain_quota" -> sampleDomainQuotaSql,
     "knn_ivf_top5" -> knnIvfTop5Sql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

@@ -324,4 +324,79 @@ object TextOps {
       regexp_count(p, lit(ipv4Re)).cast(LongType).as("n_ips"),
       regexp_replace(p, ipv4Re, "<IP>").as("masked"))
   }
+
+  // ========================== URL operations ==========================
+
+  /** URL shape for extraction: `http(s)://host[:port][/path][?query]
+    * [#fragment]`, with every component a literal character class so the
+    * pattern means the same thing under Java regex (Spark) and RE2
+    * (DuckDB oracle) — same discipline as the PII patterns above. The
+    * query class excludes `?` and the fragment class excludes `#`, so a
+    * URL splits unambiguously at the FIRST `?` / `#` (which is also what
+    * the normalizer's `split_part` assumes).
+    */
+  val urlRe: String =
+    "https?://[A-Za-z0-9.-]+(?::\\d{1,5})?(?:/[A-Za-z0-9._~%/+-]*)?" +
+      "(?:\\?[A-Za-z0-9._~%&=+-]*)?(?:#[A-Za-z0-9._~%-]*)?"
+
+  /** Canonical URL form — the standard crawl-dedup key. Steps (each a
+    * codegen'd string expression, no UDFs, all engine-portable):
+    *  1. drop the fragment (`#...` never reaches the server);
+    *  2. lowercase scheme+host+port (authority is case-insensitive per
+    *     RFC 3986 §6.2.2.1) while PRESERVING path/query case (those are
+    *     case-sensitive);
+    *  3. strip the scheme's default port (`:443` on https, `:80` on
+    *     http);
+    *  4. remove `utm_*` tracking parameters, keeping the remaining
+    *     query-string parameter order (reordering would merge URLs that
+    *     real servers may treat differently).
+    * Null-safe: a null input yields null.
+    */
+  def urlNormalize(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    // authority prefix = scheme://host[:port]; everything after it keeps
+    // its case. regexp_extract returns "" on no match (malformed input),
+    // making the substr below the whole string — normalize degrades to
+    // the utm/fragment strip instead of corrupting.
+    val prefix = regexp_extract(noFrag,
+      "^(https?://[A-Za-z0-9.-]+(?::\\d{1,5})?)", 1)
+    val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val auth = regexp_replace(
+      regexp_replace(lower(prefix), "^(https://[a-z0-9.-]+):443$", "$1"),
+      "^(http://[a-z0-9.-]+):80$", "$1")
+    val joined = concat(auth, rest)
+    val base = split_part(joined, lit("?"), lit(1))
+    val q = split_part(joined, lit("?"), lit(2))
+    val kept = array_join(
+      filter(split(q, "&"), p => !startswith(p, lit("utm_"))), "&")
+    when(u.isNull, lit(null).cast(StringType))
+      .when(q === "" || kept === "", base)
+      .otherwise(concat(base, lit("?"), kept))
+  }
+
+  /** Host of a NORMALIZED (lowercased) URL; "" if malformed. */
+  def urlHost(normalized: Column): Column =
+    regexp_extract(normalized, "^https?://([a-z0-9.-]+)", 1)
+
+  /** Registered-domain heuristic: last two labels of the host. (A real
+    * deployment would consult the public-suffix list — a broadcast map
+    * lookup with identical plan shape; two labels keeps the oracle
+    * dependency-free and is exact for the common gTLDs.)
+    */
+  def urlDomain(host: Column): Column =
+    regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)
+
+  /** Per-document URL report: every URL in the text, exploded with its
+    * match position, normalized, plus host and registered domain.
+    * Narrow plan: extract + explode fuse into the scan; the only row
+    * growth is the per-URL explosion itself.
+    */
+  def urlExtract(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(regexp_extract_all(col(textCol), lit(urlRe), lit(0)))
+        .as(Seq("pos", "url")))
+      .select(col(idCol), col("pos").cast(LongType).as("pos"),
+        urlNormalize(col("url")).as("url"))
+      .withColumn("host", urlHost(col("url")))
+      .withColumn("domain", urlDomain(col("host")))
 }

@@ -48,6 +48,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "v1.2.3 released, call 555-1234, ping user@localhost"))
   }
 
+  test("urlNormalize: lowercases authority only, strips default port / " +
+    "fragment / utm params, preserves param order and path case") {
+    val df = docs(
+      1L -> ("read https://WWW.Example.COM:443/Data/X?utm_source=a&id=7" +
+        "&utm_b=c&z=2#Frag then http://Site.ORG:80/p"),
+      2L -> "bare https://a.b.co/path?utm_only=1 and https://c.d.io",
+      // non-default port survives; https on :80 is NOT a default port
+      3L -> "odd https://h.net:80/q?x=1 and http://h.net:8080/r")
+    val out = TextOps.urlExtract(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(out((1L, 0L)) == ("https://www.example.com/Data/X?id=7&z=2",
+      "www.example.com", "example.com"))
+    assert(out((1L, 1L)) == ("http://site.org/p", "site.org", "site.org"))
+    // all-utm query: the dangling '?' goes too
+    assert(out((2L, 0L)) == ("https://a.b.co/path", "a.b.co", "b.co"))
+    assert(out((2L, 1L)) == ("https://c.d.io", "c.d.io", "d.io"))
+    assert(out((3L, 0L)) == ("https://h.net:80/q?x=1", "h.net", "h.net"))
+    assert(out((3L, 1L)) == ("http://h.net:8080/r", "h.net", "h.net"))
+  }
+
   test("gopherRepetition: hand-computed top-gram masses and flag") {
     val df = docs(
       1L -> "a b a b a b c", // top2 (a b)x3 857m, top3 x2 857m, top4 x2 1142m
