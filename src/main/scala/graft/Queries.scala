@@ -2596,6 +2596,62 @@ object Queries {
        |FROM counts c LEFT JOIN hits h ON h.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Bloom-filter decontamination on the same train/bench split as
+    * `decontam_overlap`: the constant-memory scale path, reported next
+    * to the exact counts so the (deterministic, oracle-mirrored)
+    * false-positive behavior is audited by the gate itself. See
+    * `Contamination.bloomContaminationReport`.
+    */
+  def decontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    graft.ops.Contamination.bloomContaminationReport(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7),
+      "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  val decontamBloomSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |shs AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(t) >= 5 THEN
+       |      list_transform(generate_series(1, len(t) - 4),
+       |        i -> array_to_string(t[i:i+4], ' '))
+       |    ELSE [array_to_string(t, ' ')] END)) AS shingle
+       |  FROM toks),
+       |sh AS (SELECT doc_id, $shingleHash60Sql AS h FROM shs),
+       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 7),
+       |params AS (SELECT greatest(1024, 32 * count(*)) AS m FROM bench),
+       |bits AS (
+       |  SELECT DISTINCT (h % m + j * (1 + h % (m - 1))) % m AS p
+       |  FROM bench, params, (SELECT unnest([0, 1, 2]) AS j) js),
+       |train AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 <> 7),
+       |pj AS (
+       |  SELECT doc_id, h, j, (h % m + j * (1 + h % (m - 1))) % m AS p
+       |  FROM train, params, (SELECT unnest([0, 1, 2]) AS j) js),
+       |ph AS (
+       |  SELECT doc_id, h, count(*) AS nset
+       |  FROM pj JOIN bits ON bits.p = pj.p GROUP BY doc_id, h),
+       |blm AS (
+       |  SELECT doc_id, count(*) AS n_hit_bloom
+       |  FROM ph WHERE nset = 3 GROUP BY doc_id),
+       |counts AS (SELECT doc_id, count(*) AS n_spans FROM train GROUP BY doc_id),
+       |ex AS (
+       |  SELECT doc_id, count(*) AS n_hit_exact FROM train
+       |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_spans,
+       |  coalesce(ex.n_hit_exact, 0) AS n_hit_exact,
+       |  coalesce(b.n_hit_bloom, 0) AS n_hit_bloom,
+       |  coalesce(b.n_hit_bloom, 0) > 0 AS bloom_contaminated
+       |FROM counts c
+       |LEFT JOIN ex ON ex.doc_id = c.doc_id
+       |LEFT JOIN blm b ON b.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Passage-level duplication: per doc, the fraction of its 8-gram span
     * occurrences whose n-gram appears in at least one other document.
     */
@@ -3459,6 +3515,7 @@ object Queries {
     "mm_frame_sample" -> mmFrameSample _,
     "sketch_distinct_tokens" -> sketchDistinctTokens _,
     "decontam_overlap" -> decontamOverlap _,
+    "decontam_bloom" -> decontamBloom _,
     "text_dup_passages" -> textDupPassages _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "text_lm_fluency" -> textLmFluency _,
@@ -3549,6 +3606,7 @@ object Queries {
     "mm_frame_sample" -> mmFrameSampleSql,
     "sketch_distinct_tokens" -> sketchDistinctTokensSql,
     "decontam_overlap" -> decontamOverlapSql,
+    "decontam_bloom" -> decontamBloomSql,
     "text_dup_passages" -> textDupPassagesSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "text_lm_fluency" -> textLmFluencySql,

@@ -366,4 +366,80 @@ object Contamination {
         floor(col("n_dup").cast(DoubleType) * 1000d /
           col("n_spans").cast(DoubleType)).cast(LongType))
   }
+
+  /** Bloom-filter decontamination — the constant-memory scale path.
+    *
+    * The exact gate (`decontaminate`) broadcasts the benchmark's full
+    * distinct span-hash set; fine for one eval suite, but a combined
+    * benchmark battery can reach GBs of 8-byte hashes. A Bloom filter
+    * caps the broadcast at `bitsPerSpan` BITS per benchmark span
+    * (default 32 ⇒ 4 GB of hash set becomes 64 MB of filter) at the
+    * price of a deterministic, oracle-mirrored false-positive rate of
+    * ~`(1-e^(-k·n/m))^k` ≈ 8e-4 per probed span — conservative in the
+    * right direction for decontamination (a false positive DROPS a
+    * training doc, never leaks benchmark data in).
+    *
+    * Everything is integer arithmetic so a SQL oracle replays the
+    * filter bit-for-bit: `m = max(1024, bitsPerSpan·|bench spans|)`,
+    * probe positions by double hashing `p_j = (h mod m + j·(1 + h mod
+    * (m-1))) mod m` for `j < k` — no floating point, no
+    * engine-specific hash. The filter is built driver-side from the
+    * collected benchmark hashes (same boundedness argument as the
+    * exact broadcast: eval suites are MBs) and shipped as ONE
+    * broadcast read by a per-partition probe — the corpus-side plan is
+    * a narrow scan + the per-doc count aggregation, identical in shape
+    * to the exact path.
+    *
+    * Output (one row per train doc): `n_spans`, `n_hit_exact`,
+    * `n_hit_bloom`, `bloom_contaminated`. Invariant `n_hit_bloom ≥
+    * n_hit_exact` (no false negatives) is property-tested; keeping the
+    * exact column makes the report double as a measured-FP audit.
+    * Caches the train span index; caller releases (`clearCache`).
+    */
+  def bloomContaminationReport(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      bitsPerSpan: Int = 32, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k=$k"); require(bitsPerSpan >= 1, s"bits=$bitsPerSpan")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val hashes = DedupOps.shingleIndex(bench, idCol, textCol, n)
+      .select(col("sh")).distinct().collect().map(_.getLong(0))
+    val m = math.max(1024L, bitsPerSpan.toLong * hashes.length)
+    val words = new Array[Long](((m + 63) / 64).toInt)
+    for (h <- hashes; j <- 0 until k) {
+      val p = (h % m + j * (1L + h % (m - 1))) % m
+      words((p >> 6).toInt) |= 1L << (p & 63)
+    }
+    val bc = spark.sparkContext.broadcast(words)
+    val trainIdx = DedupOps.shingleIndex(train, idCol, textCol, n).cache()
+    val probeSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bhit", LongType, nullable = false)))
+    val (mm, kk) = (m, k)
+    val probed = trainIdx.select(col(idCol).cast(LongType), col("sh"))
+      .mapPartitions { rows =>
+        val w = bc.value
+        rows.map { r =>
+          val h = r.getLong(1)
+          var j = 0
+          var all = true
+          while (all && j < kk) {
+            val p = (h % mm + j * (1L + h % (mm - 1))) % mm
+            all = ((w((p >> 6).toInt) >>> (p & 63).toInt) & 1L) == 1L
+            j += 1
+          }
+          Row(r.getLong(0), if (all) 1L else 0L)
+        }
+      }(Encoders.row(probeSchema))
+    val bloomAgg = probed.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_spans"), sum(col("bhit")).as("n_hit_bloom"))
+    val exactHits = trainIdx
+      .join(broadcast(hashes.toSeq.toDF("sh")), "sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit_exact"))
+    bloomAgg.join(exactHits, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_hit_exact"), lit(0L)).as("n_hit_exact"),
+        col("n_hit_bloom"),
+        (col("n_hit_bloom") > 0).as("bloom_contaminated"))
+  }
 }

@@ -64,6 +64,39 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("bloomContaminationReport: no false negatives, exact counts " +
+    "agree with contaminationReport, tiny filter forces FPs") {
+    val train = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7)
+    val bench = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7)
+    val out = Contamination.bloomContaminationReport(train, bench,
+      "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = Contamination.contaminationReport(train, bench,
+      "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.keySet == exact.keySet)
+    out.foreach { case (id, (nSpans, nExact, nBloom)) =>
+      assert((nSpans, nExact) == exact(id), s"doc $id exact mismatch")
+      assert(nBloom >= nExact, s"doc $id: bloom false negative")
+    }
+    // a deliberately undersized filter (1 bit/span floor → m=1024 with
+    // hundreds of bench spans) must saturate into visible FPs while
+    // still never missing a true hit
+    val tiny = Contamination.bloomContaminationReport(train, bench,
+      "doc_id", "text", n = 5, bitsPerSpan = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(tiny.forall { case (e, b) => b >= e })
+    assert(tiny.map(_._2).sum > tiny.map(_._1).sum,
+      "undersized filter produced no false positives")
+    spark.catalog.clearCache()
+  }
+
   test("dupPassageStats counts span occurrences shared across docs") {
     val df = docs(1L -> "a b c a b", 2L -> "a b x", 3L -> "z z")
     val out = Contamination.dupPassageStats(df, "doc_id", "text", n = 2)
