@@ -2529,6 +2529,47 @@ object Queries {
        |FROM mins""".stripMargin
   }
 
+  /** Count-Min heavy hitters over the corpus vocabulary: top-20 tokens
+    * by sketch estimate with the exact count alongside (`n_est ≥
+    * n_exact` is CMS's one-sided guarantee — the report audits its own
+    * error, like `decontam_bloom`). The sketch itself is `depth×width`
+    * integer cells built map-side; see `Sketches.cmsSketch` for why
+    * this is the mergeable cross-shard frequency profile KMV can't be.
+    */
+  def sketchCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Sketches, TextOps}
+    val toks = table(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    Sketches.cmsTopK(toks, "tok", k = 20, width = 1024, depth = 4)
+  }
+
+  val sketchCmsTopkSql: String = {
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(tok)), " +
+        s"i -> CAST(ascii(tok[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |  FROM documents),
+       |h AS (SELECT tok, ${poly(131)} AS h1, ${poly(257)} AS h2 FROM toks),
+       |pp AS (
+       |  SELECT tok, r, (h1 + r * h2) % 1024 AS pos
+       |  FROM h, (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+       |sketch AS (SELECT r, pos, count(*) AS cnt FROM pp GROUP BY r, pos),
+       |cand AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok),
+       |cp AS (
+       |  SELECT tok, r, (h1 + r * h2) % 1024 AS pos
+       |  FROM (SELECT DISTINCT tok, h1, h2 FROM h) dh,
+       |    (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+       |est AS (
+       |  SELECT cp.tok, min(s.cnt) AS n_est
+       |  FROM cp JOIN sketch s ON s.r = cp.r AND s.pos = cp.pos
+       |  GROUP BY cp.tok)
+       |SELECT e.tok AS token, e.n_est, c.n_exact
+       |FROM est e JOIN cand c ON c.tok = e.tok
+       |ORDER BY n_est DESC, token ASC LIMIT 20""".stripMargin
+  }
+
   /** Multimodal frame sampling: payloads as 16-byte frames, every 2nd
     * frame emitted as its own row, fingerprinted (the video-to-frames
     * explosion shape with a deterministic stub in place of a codec).
@@ -3514,6 +3555,7 @@ object Queries {
     "mm_video_dedup_keep" -> mmVideoDedupKeep _,
     "mm_frame_sample" -> mmFrameSample _,
     "sketch_distinct_tokens" -> sketchDistinctTokens _,
+    "sketch_cms_topk" -> sketchCmsTopk _,
     "decontam_overlap" -> decontamOverlap _,
     "decontam_bloom" -> decontamBloom _,
     "text_dup_passages" -> textDupPassages _,
@@ -3605,6 +3647,7 @@ object Queries {
     "mm_video_dedup_keep" -> mmVideoDedupKeepSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "sketch_distinct_tokens" -> sketchDistinctTokensSql,
+    "sketch_cms_topk" -> sketchCmsTopkSql,
     "decontam_overlap" -> decontamOverlapSql,
     "decontam_bloom" -> decontamBloomSql,
     "text_dup_passages" -> textDupPassagesSql,

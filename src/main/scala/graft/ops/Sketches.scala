@@ -69,4 +69,68 @@ object Sketches {
             (lit(hashRange) / col("kth_min").cast("double"))).cast(LongType))
           .as("est_distinct"))
   }
+
+  // ===================== Count-Min sketch =====================
+
+  /** Row-`r` probe position of a Count-Min sketch of `width` buckets:
+    * double hashing over the two codegen'd polynomial hashes,
+    * `(h131 + r·h257) mod width` — pure integer math both engines
+    * reproduce exactly (each term < 2^32, the sum < 2^35).
+    */
+  def cmsPos(c: Column, r: Int, width: Int): Column =
+    (graft.functions.PolyHash.polyHash(c, 131L) +
+      lit(r.toLong) * graft.functions.PolyHash.polyHash(c, 257L)) % width
+
+  /** The Count-Min sketch of a value column as a DataFrame: one row per
+    * occupied `(r, pos)` cell with its occurrence count — `depth × width`
+    * integer counters estimating the frequency of ANY value with
+    * one-sided error (`est ≥ true`, overestimate ≤ 2N/width with
+    * probability 1 − 2^−depth).
+    *
+    * This representation is the point at 100 TB: the sketch is an
+    * aggregation (`explode(depth positions) → groupBy(r,pos) → count`),
+    * so partial aggregation runs map-side and the shuffle carries at
+    * most `depth·width` rows per partition regardless of corpus size;
+    * sketches of corpus shards MERGE by summing `cnt` cell-wise (union
+    * the frames, re-aggregate) — the cross-day/cross-shard profiling
+    * use KMV cannot serve (KMV only merges by re-ranking mins; CMS
+    * answers per-item frequency).
+    */
+  def cmsSketch(df: DataFrame, valueCol: String, width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    require(width >= 2 && depth >= 1, s"width=$width depth=$depth")
+    df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .select(posexplode(array(
+        (0 until depth).map(r => cmsPos(col("v"), r, width)): _*))
+        .as(Seq("r", "pos")))
+      .groupBy(col("r"), col("pos")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Top-`k` values by Count-Min estimate, with the exact count
+    * alongside (the `est ≥ exact` one-sided-error invariant is the
+    * audit column, mirroring `bloomContaminationReport`). The sketch
+    * (≤ `depth·width` rows) is broadcast; candidates probe it with a
+    * map-side join. Ordered `(n_est DESC, value ASC)` so the limit is
+    * deterministic under ties.
+    */
+  def cmsTopK(df: DataFrame, valueCol: String, k: Int = 20,
+      width: Int = 1024, depth: Int = 4): DataFrame = {
+    val vals = df.select(col(valueCol).as("token"))
+      .filter(col("token").isNotNull)
+    val sketch = cmsSketch(df, valueCol, width, depth)
+    val exact = vals.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_exact"))
+    // every probed cell exists (the candidate itself incremented it), so
+    // the inner join yields exactly `depth` rows per candidate
+    val probes = exact.select(col("token"), col("n_exact"),
+      posexplode(array(
+        (0 until depth).map(r => cmsPos(col("token"), r, width)): _*))
+        .as(Seq("r", "pos")))
+    probes.join(broadcast(sketch), Seq("r", "pos"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .select(col("token"), col("n_est"), col("n_exact"))
+      .orderBy(col("n_est").desc, col("token").asc)
+      .limit(k)
+  }
 }

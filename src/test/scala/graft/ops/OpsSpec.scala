@@ -69,6 +69,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((3L, 1L)) == ("http://h.net:8080/r", "h.net", "h.net"))
   }
 
+  test("cmsTopK: exact at ample width, one-sided error when squeezed, " +
+    "sketches merge cell-wise") {
+    val s = spark
+    import s.implicits._
+    val toks = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("tok")
+    val wide = Sketches.cmsTopK(toks, "tok", k = 4, width = 1024, depth = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    // no collisions at width 1024 on 4 distinct tokens: est == exact,
+    // ranking est desc then token asc
+    assert(wide.toSeq == Seq("a" -> (5L, 5L), "b" -> (3L, 3L),
+      "c" -> (1L, 1L), "d" -> (1L, 1L)))
+    // width 2 with 4 tokens: pigeonhole forces shared cells in every
+    // row -> some estimate strictly exceeds its exact count, none under
+    val tight = Sketches.cmsTopK(toks, "tok", k = 4, width = 2, depth = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(tight.forall { case (est, ex) => est >= ex })
+    assert(tight.exists { case (est, ex) => est > ex },
+      "width-2 sketch produced no overestimate")
+    // mergeability: sketch(parts unioned) == cell-wise sum of part
+    // sketches — the property that makes CMS the cross-shard profile
+    val p1 = Seq("a", "a", "b").toDF("tok")
+    val p2 = Seq("a", "c").toDF("tok")
+    val whole = Sketches.cmsSketch(p1.union(p2), "tok", 64, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val merged = Sketches.cmsSketch(p1, "tok", 64, 3)
+      .union(Sketches.cmsSketch(p2, "tok", 64, 3))
+      .groupBy("r", "pos")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(whole == merged)
+  }
+
   test("gopherRepetition: hand-computed top-gram masses and flag") {
     val df = docs(
       1L -> "a b a b a b c", // top2 (a b)x3 857m, top3 x2 857m, top4 x2 1142m
