@@ -3209,6 +3209,36 @@ object Queries {
       |FROM orders JOIN customer ON c_custkey = o_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Range (band) join: each event lands in every overlapping value band
+    * (bands derived from nation: [20k, 20k+30) — overlapping on purpose,
+    * so most values match two bands). The Spark side runs
+    * `Skew.rangeJoin`'s bucket-expansion equi-join — the scale path that
+    * never plans a nested loop (plan-pinned in ScaleTechniquesSpec) —
+    * while the oracle is the plain inequality join, so hash-exactness
+    * proves the expansion+residual-filter rewrite preserves the exact
+    * half-open semantics. `value` passes through untouched on both sides
+    * (no double arithmetic to mirror).
+    */
+  def relRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = table(spark, dir, "events")
+      .select(col("event_id"), col("value"))
+    val bands = table(spark, dir, "nation").select(
+      col("n_nationkey").as("band_id"),
+      (col("n_nationkey").cast("double") * 20d).as("lo"),
+      (col("n_nationkey").cast("double") * 20d + 30d).as("hi"))
+    graft.ops.Skew.rangeJoin(events, "value", bands, "lo", "hi",
+        bucketWidth = 32)
+      .select(col("event_id"), col("band_id"), col("value"))
+      .orderBy("event_id", "band_id")
+  }
+
+  val relRangeJoinSql: String =
+    """SELECT e.event_id, n.n_nationkey AS band_id, e.value
+      |FROM events e JOIN nation n
+      |  ON e.value >= n.n_nationkey * 20
+      | AND e.value <  n.n_nationkey * 20 + 30
+      |ORDER BY event_id, band_id""".stripMargin
+
   /** Product-quantized ADC top-5 on the TRAINED codebook (committed
     * artifact `data/codebooks/pq_m32_k256.parquet`: 32 subspaces × 256
     * codewords from deterministic per-subspace L2 k-means — 32 one-byte
@@ -3568,6 +3598,7 @@ object Queries {
     "knn_ivfpq_res_top5" -> knnIvfPqResTop5 _,
     "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5 _,
     "rel_salted_join" -> relSaltedJoin _,
+    "rel_range_join" -> relRangeJoin _,
     "dedup_passage_scrub" -> dedupPassageScrub _,
     "dedup_passage_scrub_keep" -> dedupPassageScrubKeep _,
     "dedup_passage_scrub_maximal" -> dedupPassageScrubMaximal _,
@@ -3660,6 +3691,7 @@ object Queries {
     "knn_ivfpq_res_top5" -> knnIvfPqResTop5Sql,
     "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5Sql,
     "rel_salted_join" -> relSaltedJoinSql,
+    "rel_range_join" -> relRangeJoinSql,
     "dedup_passage_scrub" -> dedupPassageScrubSql,
     "dedup_passage_scrub_keep" -> dedupPassageScrubKeepSql,
     "dedup_passage_scrub_maximal" -> dedupPassageScrubMaximalSql,

@@ -41,4 +41,48 @@ object Skew {
       explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
     bigS.join(smallS, usingKeys :+ "__salt").drop("__salt")
   }
+
+  /** Range (band) join via bucket expansion — the scalable plan for
+    * `v >= lo AND v < hi` joins.
+    *
+    * Spark's native physical choice for a pure inequality join is a
+    * nested-loop join: broadcast if one side is small enough, else a
+    * cartesian product — O(|probe|·|bands|) comparisons either way, and
+    * a cliff when the band table outgrows the broadcast threshold.
+    * Bucketizing the value domain turns it into an equi-join: every
+    * band replicates to each width-`bucketWidth` bucket it overlaps
+    * (a narrow, pipelined explode — bounded by `span/width + 1` rows
+    * per band), every probe row maps to exactly ONE bucket, a hash
+    * equi-join on the bucket id meets them, and a residual filter
+    * restores the exact half-open semantics. Comparisons drop to
+    * |probe| × (bands overlapping its bucket), and the join is a plain
+    * hash exchange that AQE and skew-split handle like any other —
+    * no nested loop at any size (plan-pinned in the spec).
+    *
+    * Pick `bucketWidth` near the typical band span: much smaller
+    * multiplies band replicas, much larger multiplies residual-filter
+    * misses per bucket.
+    */
+  def rangeJoin(probe: DataFrame, valueCol: String, bands: DataFrame,
+      loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val v = col(valueCol)
+    // empty bands match nothing; dropping them up front also keeps the
+    // bucket sequence ascending (Spark's sequence() runs DESCENDING when
+    // start > stop — an inverted band would otherwise replicate, not die)
+    // upper replica bucket is floor(hi/w), not floor((hi-1)/w): with a
+    // fractional domain a band like [19.0, 20.5) at width 20 has matches
+    // in bucket 1 that (hi-1)=19.5 would miss. The cost is one dead
+    // replica when hi lands exactly on a bucket boundary — the residual
+    // filter removes it; missing a bucket would be silent wrong answers.
+    val bandB = bands.filter(col(hiCol) > col(loCol))
+      .withColumn("__bkt", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    val probeB = probe.withColumn("__bkt",
+      floor(v / bucketWidth).cast("long"))
+    probeB.join(bandB, Seq("__bkt"))
+      .filter(v >= col(loCol) && v < col(hiCol))
+      .drop("__bkt")
+  }
 }

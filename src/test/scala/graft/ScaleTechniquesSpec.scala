@@ -118,6 +118,75 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == expected)
   }
 
+  test("range join plans a hash equi-join, never a nested loop") {
+    // broadcast is off and AQE is off (beforeAll), so a naive inequality
+    // join here would have to plan CartesianProduct — the control check
+    // proves that's what Spark does without the rewrite. The bucket
+    // expansion must instead produce a plain equi-join exchange.
+    val events = Queries.table(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value"))
+    val bands = Queries.table(spark, dir, "nation").select(
+      org.apache.spark.sql.functions.col("n_nationkey").as("band_id"),
+      (org.apache.spark.sql.functions.col("n_nationkey").cast("double")
+        * 20d).as("lo"),
+      (org.apache.spark.sql.functions.col("n_nationkey").cast("double")
+        * 20d + 30d).as("hi"))
+
+    val ranged = graft.ops.Skew.rangeJoin(events, "value", bands,
+      "lo", "hi", bucketWidth = 32)
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("Join"), s"no join planned:\n$plan")
+
+    val naive = events.join(bands,
+      org.apache.spark.sql.functions.col("value") >=
+        org.apache.spark.sql.functions.col("lo") &&
+      org.apache.spark.sql.functions.col("value") <
+        org.apache.spark.sql.functions.col("hi"))
+    val pn = naive.queryExecution.executedPlan.toString
+    assert(pn.contains("NestedLoop") || pn.contains("Cartesian"),
+      "control check: the naive inequality join should be a nested loop")
+
+    val a = ranged.select("event_id", "band_id", "value")
+      .collect().map(_.toString).sorted.toVector
+    val b = naive.select("event_id", "band_id", "value")
+      .collect().map(_.toString).sorted.toVector
+    assert(a.nonEmpty && a == b, "range join diverged from the naive join")
+  }
+
+  test("range join is exact on fractional bounds and boundary values") {
+    val s = spark
+    import s.implicits._
+    // hi=20.5 at width 20: matches in bucket 1 above hi-1 would be lost
+    // by a floor((hi-1)/w) upper replica bound — this pins floor(hi/w).
+    // Also: v exactly at lo (inclusive), at hi (exclusive), inverted and
+    // empty bands (match nothing), negative values.
+    val probe = Seq(20.3, 19.0, 20.5, 0.0, -5.0, 39.999, 40.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("event_id", "value")
+    val bands = Seq(
+      (0L, 19.0, 20.5),   // fractional hi crossing a bucket boundary
+      (1L, -10.0, 0.5),   // negative lo
+      (2L, 40.0, 40.0),   // empty band — matches nothing
+      (3L, 50.0, 30.0),   // inverted band — matches nothing
+      (4L, 20.5, 40.0)    // lo on a fraction; hi on a bucket boundary
+    ).toDF("band_id", "lo", "hi")
+    val got = graft.ops.Skew.rangeJoin(probe, "value", bands,
+        "lo", "hi", bucketWidth = 20)
+      .select("event_id", "band_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set(
+      (0L, 0L),  // 20.3 in [19.0, 20.5) — the (hi-1) trap
+      (1L, 0L),  // 19.0 at lo: inclusive
+      (2L, 4L),  // 20.5 at lo of band 4 (and NOT in band 0 — hi exclusive)
+      (3L, 1L),  // 0.0 in [-10, 0.5)
+      (4L, 1L),  // -5.0 negative value
+      (5L, 4L))  // 39.999 < 40.0; 40.0 itself matches nothing
+    assert(got == want, s"got $got")
+  }
+
   test("salted join is row-identical to the plain join") {
     val orders = Queries.table(spark, dir, "orders")
       .select(org.apache.spark.sql.functions.col("o_orderkey"),
