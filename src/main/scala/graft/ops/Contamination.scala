@@ -161,6 +161,11 @@ object Contamination {
     * (on (id, token-index)), final per-doc re-assembly (on id). All keys
     * are ≤ 16 bytes; the rebuilt text is the only wide payload and it
     * moves exactly once, partitioned by doc id.
+    *
+    * Persists the covered-token index (bounded by duplication mass, two
+    * longs per row) because the lazy result reads it twice; caller
+    * releases via `CacheScope.withCaches`, the same contract as
+    * `DedupOps.shingleIndex`.
     */
   def scrubDupPassages(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Int = 2, keepFirst: Boolean = false)
@@ -383,33 +388,52 @@ object Contamination {
     * filter bit-for-bit: `m = max(1024, bitsPerSpan·|bench spans|)`,
     * probe positions by double hashing `p_j = (h mod m + j·(1 + h mod
     * (m-1))) mod m` for `j < k` — no floating point, no
-    * engine-specific hash. The filter is built driver-side from the
-    * collected benchmark hashes (same boundedness argument as the
-    * exact broadcast: eval suites are MBs) and shipped as ONE
-    * broadcast read by a per-partition probe — the corpus-side plan is
-    * a narrow scan + the per-doc count aggregation, identical in shape
-    * to the exact path.
+    * engine-specific hash. The filter is built DISTRIBUTED: each
+    * partition of the distinct benchmark hashes ORs its bits into a
+    * local bitset and `treeAggregate` merges them, so the driver only
+    * ever holds filter-sized arrays (the thing being shipped anyway) —
+    * never the raw hash set. The filter ships as ONE broadcast read by
+    * a per-partition probe — the corpus-side plan is a narrow scan +
+    * the per-doc count aggregation, identical in shape to the exact
+    * path.
     *
     * Output (one row per train doc): `n_spans`, `n_hit_exact`,
     * `n_hit_bloom`, `bloom_contaminated`. Invariant `n_hit_bloom ≥
-    * n_hit_exact` (no false negatives) is property-tested; keeping the
-    * exact column makes the report double as a measured-FP audit.
+    * n_hit_exact` (no false negatives) is property-tested; the exact
+    * column makes the report double as a measured-FP audit, but it
+    * joins the full benchmark span index against the corpus — at the
+    * battery scale that motivates the Bloom path, pass
+    * `exactAudit = false` to skip it (the column reads null) and keep
+    * the constant-memory property the filter exists for.
     * Caches the train span index; caller releases (`clearCache`).
     */
   def bloomContaminationReport(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
-      bitsPerSpan: Int = 32, k: Int = 3): DataFrame = {
+      bitsPerSpan: Int = 32, k: Int = 3,
+      exactAudit: Boolean = true): DataFrame = {
     require(k >= 1, s"k=$k"); require(bitsPerSpan >= 1, s"bits=$bitsPerSpan")
     val spark = train.sparkSession
     import spark.implicits._
-    val hashes = DedupOps.shingleIndex(bench, idCol, textCol, n)
-      .select(col("sh")).distinct().collect().map(_.getLong(0))
-    val m = math.max(1024L, bitsPerSpan.toLong * hashes.length)
-    val words = new Array[Long](((m + 63) / 64).toInt)
-    for (h <- hashes; j <- 0 until k) {
-      val p = (h % m + j * (1L + h % (m - 1))) % m
-      words((p >> 6).toInt) |= 1L << (p & 63)
-    }
+    val benchSh = DedupOps.shingleIndex(bench, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    val nBench = benchSh.count()
+    val m = math.max(1024L, bitsPerSpan.toLong * nBench)
+    val nWords = ((m + 63) / 64).toInt
+    val words = benchSh.as[Long].rdd.treeAggregate(new Array[Long](nWords))(
+      seqOp = { (w, h) =>
+        var j = 0
+        while (j < k) {
+          val p = (h % m + j * (1L + h % (m - 1))) % m
+          w((p >> 6).toInt) |= 1L << (p & 63)
+          j += 1
+        }
+        w
+      },
+      combOp = { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      })
     val bc = spark.sparkContext.broadcast(words)
     val trainIdx = DedupOps.shingleIndex(train, idCol, textCol, n).cache()
     val probeSchema = StructType(Seq(
@@ -433,13 +457,17 @@ object Contamination {
       }(Encoders.row(probeSchema))
     val bloomAgg = probed.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_spans"), sum(col("bhit")).as("n_hit_bloom"))
-    val exactHits = trainIdx
-      .join(broadcast(hashes.toSeq.toDF("sh")), "sh")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit_exact"))
-    bloomAgg.join(exactHits, Seq(idCol), "left")
-      .select(col(idCol), col("n_spans"),
-        coalesce(col("n_hit_exact"), lit(0L)).as("n_hit_exact"),
-        col("n_hit_bloom"),
-        (col("n_hit_bloom") > 0).as("bloom_contaminated"))
+    val audited = if (exactAudit) {
+      // no broadcast hint: the optimizer broadcasts a small bench index
+      // on its own, and a battery-sized one must be allowed to shuffle
+      val exactHits = trainIdx.join(benchSh, "sh")
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit_exact"))
+      bloomAgg.join(exactHits, Seq(idCol), "left")
+        .withColumn("n_hit_exact",
+          coalesce(col("n_hit_exact"), lit(0L)))
+    } else bloomAgg.withColumn("n_hit_exact", lit(null).cast(LongType))
+    audited.select(col(idCol), col("n_spans"), col("n_hit_exact"),
+      col("n_hit_bloom"),
+      (col("n_hit_bloom") > 0).as("bloom_contaminated"))
   }
 }
