@@ -622,6 +622,56 @@ object Queries {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Mergeable log-bucket quantile sketch vs the exact order statistic —
+    * the scale path for `rel_percentiles`: the sketch shuffles ≤ ~2k
+    * cells per group (map-side combined) where `percentile_disc` ships
+    * the whole per-group value buffer. `est ≤ exact < est·33/32 + 1` is
+    * the one-sided bucket guarantee, audited row by row.
+    */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.quantileReport(
+      table(spark, dir, "lineitem")
+        .select(col("l_returnflag"), cents("l_extendedprice").as("price_c")),
+      "price_c", Seq("l_returnflag"), Seq(500, 900, 990))
+      .orderBy("l_returnflag", "q_permille")
+
+  val sketchQuantilesSql: String = {
+    val qb = graft.ops.Quantiles.bucketSql("v", graft.ops.Quantiles.duckDiv)
+    val rep = graft.ops.Quantiles.repSql("pb")
+    s"""WITH pos AS (
+       |  SELECT l_returnflag AS g,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL
+       |    AND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 0),
+       |qs AS (SELECT unnest([500, 900, 990]) AS q),
+       |sk AS (SELECT g, $qb AS qb, count(*) AS cnt FROM pos GROUP BY g, 2),
+       |skc AS (
+       |  SELECT g, qb, cnt,
+       |    sum(cnt) OVER (PARTITION BY g ORDER BY qb) AS cum,
+       |    sum(cnt) OVER (PARTITION BY g) AS n
+       |  FROM sk),
+       |est AS (
+       |  SELECT g, q, max(n) AS n,
+       |    min(CASE WHEN cum >= (n * q + 999) // 1000 THEN qb END) AS pb
+       |  FROM skc CROSS JOIN qs GROUP BY g, q),
+       |vh AS (SELECT g, v, count(*) AS cnt FROM pos GROUP BY g, v),
+       |vhc AS (
+       |  SELECT g, v, cnt,
+       |    sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+       |    sum(cnt) OVER (PARTITION BY g) AS n
+       |  FROM vh),
+       |ex AS (
+       |  SELECT g, q,
+       |    min(CASE WHEN cum >= (n * q + 999) // 1000 THEN v END) AS exact_v
+       |  FROM vhc CROSS JOIN qs GROUP BY g, q)
+       |SELECT est.g AS l_returnflag, CAST(est.q AS BIGINT) AS q_permille,
+       |  CAST(est.n AS BIGINT) AS n, CAST($rep AS BIGINT) AS est_v,
+       |  CAST(ex.exact_v AS BIGINT) AS exact_v
+       |FROM est JOIN ex ON est.g = ex.g AND est.q = ex.q
+       |ORDER BY l_returnflag, q_permille""".stripMargin
+  }
+
   /** TPC-H Q3-style: 3-way join, revenue top-10. The customer filter is a
     * broadcast-able dimension side.
     */
@@ -1001,6 +1051,76 @@ object Queries {
        |FROM d LEFT JOIN s ON s.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** DSIR importance scores: per-doc hashed-bigram log-likelihood ratio
+    * vs the committed λ artifact (Xie et al. 2023) — exact integer-micro
+    * sums, λ broadcast, zero shuffles.
+    */
+  def textDsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.ops.Dsir.loadWeights(spark, graft.ops.Dsir.weightsPath)
+    graft.ops.Dsir.scoreDocs(table(spark, dir, "documents"),
+      "doc_id", "text", w)
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle core: per-doc (n_grams, dsir_micro) from the committed
+    * λ parquet — the bigram CTEs are the `text_lm_fluency` mirror, the
+    * bucket is `shingleHash60 % 4096`.
+    */
+  private lazy val dsirScoredSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |spans AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) >= 2 THEN
+       |      list_transform(generate_series(1, len(t) - 1),
+       |        i -> array_to_string(t[i:i+1], ' '))
+       |    ELSE [array_to_string(t, ' ')] END) AS shingle
+       |  FROM toks),
+       |lam AS (SELECT bucket, lambda_micro
+       |        FROM read_parquet('${graft.ops.Dsir.weightsPath}/*.parquet')),
+       |bk AS (SELECT doc_id, ($shingleHash60Sql) % 4096 AS bucket FROM spans),
+       |sums AS (
+       |  SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(lam.lambda_micro) AS BIGINT) AS dsir_micro
+       |  FROM bk JOIN lam USING (bucket)
+       |  GROUP BY bk.doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_grams, dsir_micro,
+       |    -- FLOORED per-gram mean via pmod (dialect-proof on negatives)
+       |    CAST((dsir_micro - ((dsir_micro % n_grams) + n_grams) % n_grams)
+       |      // n_grams AS BIGINT) AS dsir_pg_micro
+       |  FROM sums)""".stripMargin
+
+  lazy val textDsirScoreSql: String =
+    s"""WITH $dsirScoredSql
+       |SELECT doc_id, n_grams, dsir_micro, dsir_pg_micro FROM scored
+       |ORDER BY doc_id""".stripMargin
+
+  /** DSIR selection: deterministic top-200 manifest by (per-gram score
+    * DESC, id) — the argmax variant of the paper's importance
+    * resampling, on the length-normalized signal.
+    */
+  def sampleDsirTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.ops.Dsir.loadWeights(spark, graft.ops.Dsir.weightsPath)
+    val scored = graft.ops.Dsir.scoreDocs(table(spark, dir, "documents"),
+      "doc_id", "text", w)
+    graft.ops.Dsir.selectTopK(scored, 200)
+      .select(col("rnk"), col("doc_id"), col("n_grams"),
+        col("dsir_pg_micro"))
+      .orderBy("rnk")
+  }
+
+  lazy val sampleDsirTopkSql: String =
+    s"""WITH $dsirScoredSql
+       |SELECT CAST(row_number() OVER (ORDER BY dsir_pg_micro DESC, doc_id)
+       |         AS INTEGER) AS rnk,
+       |       doc_id, n_grams, dsir_pg_micro
+       |FROM scored
+       |ORDER BY dsir_pg_micro DESC, doc_id
+       |LIMIT 200""".stripMargin
 
   /** Gopher repetition rules: top 2/3/4-gram occurrence counts and the
     * permille of token mass each covers, with the composite flag at the
@@ -2509,6 +2629,52 @@ object Queries {
     Sketches.kmvDistinct(toks, "tok", k = 256)
   }
 
+  /** HLL distinct-count profile next to the exact count — KMV's
+    * fixed-register sibling (merge = per-bucket max vs KMV's re-ranked
+    * mins), in pure fixed-point integer math the oracle replays
+    * bit-for-bit. Runs on the fact table's order key: a cardinality
+    * (~n/4 of the rows) that keeps the raw estimator in its accurate
+    * n ≳ 2.5·m regime at every shipped scale factor — the documents
+    * vocabulary (31 tokens) is KMV's exact-below-k territory, not
+    * HLL's.
+    */
+  def sketchHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val keys = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast(StringType).as("k"))
+    Sketches.hllReport(keys, "k")
+  }
+
+  val sketchHllDistinctSql: String = {
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(k)), " +
+        s"i -> CAST(ascii(k[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    val m = graft.ops.Sketches.hllM
+    val k2 = graft.ops.Sketches.hllK
+    val num = m.toLong * m * (1L << k2)
+    s"""WITH toks AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+       |h AS (
+       |  SELECT (${poly(131)}) % $m AS bucket,
+       |    ((${poly(131)}) * (${poly(257)})) % 1000000007 AS h2
+       |  FROM toks),
+       |regs AS (
+       |  SELECT bucket, max(${graft.ops.Sketches.hllRhoSql("h2")}) AS r
+       |  FROM h GROUP BY bucket),
+       |dense AS (
+       |  SELECT b.range AS bucket, coalesce(regs.r, 0) AS r
+       |  FROM range(0, $m) b LEFT JOIN regs ON regs.bucket = b.range),
+       |d AS (
+       |  SELECT CAST(sum(CAST(1 AS BIGINT) << ($k2 - r)) AS BIGINT) AS dd
+       |  FROM dense)
+       |SELECT CAST($m AS BIGINT) AS m,
+       |  CAST((($num // dd) * ${graft.ops.Sketches.hllAlphaMicro(m)})
+       |    // 1000000 AS BIGINT) AS hll_est,
+       |  (SELECT count(DISTINCT k) FROM toks) AS n_exact
+       |FROM d""".stripMargin
+  }
+
   val sketchDistinctTokensSql: String = {
     val poly = (base: Int) =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -3540,6 +3706,7 @@ object Queries {
     "rel_nation_stats" -> relNationStats _,
     "rel_window_top3" -> relWindowTop3 _,
     "rel_percentiles" -> relPercentiles _,
+    "sketch_quantiles" -> sketchQuantiles _,
     "rel_json_props" -> relJsonProps _,
     "rel_session_stats" -> relSessionStats _,
     "rel_asof_signup" -> relAsofSignup _,
@@ -3551,6 +3718,8 @@ object Queries {
     "text_quality_model" -> textQualityModel _,
     "text_repetition" -> textRepetition _,
     "text_gopher_repetition" -> textGopherRepetition _,
+    "text_dsir_score" -> textDsirScore _,
+    "sample_dsir_topk" -> sampleDsirTopk _,
     "text_pii_scrub" -> textPiiScrub _,
     "text_url_normalize" -> textUrlNormalize _,
     "sample_domain_quota" -> sampleDomainQuota _,
@@ -3585,6 +3754,7 @@ object Queries {
     "mm_video_dedup_keep" -> mmVideoDedupKeep _,
     "mm_frame_sample" -> mmFrameSample _,
     "sketch_distinct_tokens" -> sketchDistinctTokens _,
+    "sketch_hll_distinct" -> sketchHllDistinct _,
     "sketch_cms_topk" -> sketchCmsTopk _,
     "decontam_overlap" -> decontamOverlap _,
     "decontam_bloom" -> decontamBloom _,
@@ -3637,6 +3807,7 @@ object Queries {
     "rel_nation_stats" -> relNationStatsSql,
     "rel_window_top3" -> relWindowTop3Sql,
     "rel_percentiles" -> relPercentilesSql,
+    "sketch_quantiles" -> sketchQuantilesSql,
     "rel_json_props" -> relJsonPropsSql,
     "rel_session_stats" -> relSessionStatsSql,
     "rel_asof_signup" -> relAsofSignupSql,
@@ -3678,12 +3849,15 @@ object Queries {
     "mm_video_dedup_keep" -> mmVideoDedupKeepSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "sketch_distinct_tokens" -> sketchDistinctTokensSql,
+    "sketch_hll_distinct" -> sketchHllDistinctSql,
     "sketch_cms_topk" -> sketchCmsTopkSql,
     "decontam_overlap" -> decontamOverlapSql,
     "decontam_bloom" -> decontamBloomSql,
     "text_dup_passages" -> textDupPassagesSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "text_lm_fluency" -> textLmFluencySql,
+    "text_dsir_score" -> textDsirScoreSql,
+    "sample_dsir_topk" -> sampleDsirTopkSql,
     "vocab_top20" -> vocabTop20Sql,
     "knn_sq8_top5" -> knnSq8Top5Sql,
     "knn_pq_adc_top5" -> knnPqAdcTop5Sql,

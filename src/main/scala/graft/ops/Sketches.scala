@@ -133,4 +133,105 @@ object Sketches {
       .orderBy(col("n_est").desc, col("token").asc)
       .limit(k)
   }
+
+  // ===================== HyperLogLog =====================
+
+  /** Default HLL register count. 256 keeps the raw estimator in its
+    * accurate regime (n ≳ 2.5·m) from sf0.01 up — the small-range
+    * linear-counting correction needs `ln`, which the fixed-point
+    * schedule deliberately excludes, so the register count must be
+    * sized to the cardinality floor rather than corrected at runtime.
+    */
+  val hllM = 256
+
+  /** ρ cap: trailing-zero runs longer than 23 all land in the top
+    * register value — identical clamping in both engines, negligible
+    * estimator effect (2^-23 of probes), and it bounds every term of
+    * the fixed-point denominator.
+    */
+  val hllRhoCap = 24
+
+  /** Fixed-point scale: the harmonic denominator is Σ 2^(K−ρ_j) — with
+    * K=30 and ρ ≤ 24 each term ≤ 2^30 and the m-term sum ≤ 2^40.
+    */
+  val hllK = 30
+
+  /** α_m (0.7213/(1+1.079/m)) in micros — the bias constant as a fixed
+    * rational so the estimate stays in integer arithmetic.
+    */
+  def hllAlphaMicro(m: Int): Long = m match {
+    case 256  => 718273L
+    case 1024 => 720541L
+    case _ => throw new IllegalArgumentException(
+      s"no α constant for m=$m (supported: 256, 1024)")
+  }
+
+  /** ρ(h) = (trailing zeros of h) + 1, capped — a CASE chain over
+    * constant power-of-two moduli (no shifts, no floats; dialect-free:
+    * Spark and DuckDB parse the identical text).
+    */
+  def hllRhoSql(h: String): String = {
+    val branches = (hllRhoCap - 1 to 1 by -1).map { k =>
+      s"WHEN $h % ${1L << k} = 0 THEN ${k + 1}"
+    }
+    s"(CASE ${branches.mkString(" ")} ELSE 1 END)"
+  }
+
+  /** Dense HLL registers of a value column: bucket = h131 mod m,
+    * ρ from the PRODUCT hash's trailing zeros, register = max ρ (0 for
+    * never-hit buckets — the left join against `range(m)` makes absence
+    * explicit so shard sketches MERGE by cell-wise max).
+    *
+    * ρ must come from `estimatorHash` (the product mod p), NOT from a
+    * single polynomial hash: 257 ≡ 1 (mod 2^8), so `poly257(s) mod 2^k`
+    * collapses to the character sum mod 2^k for strings too short to
+    * wrap the modulus — trailing zeros are structurally capped near 5
+    * and the estimator reads 20× low. The product wraps p for any key,
+    * so its low bits are uniform (same reasoning as the KMV hash).
+    *
+    * At scale this is the classic fixed-size distinct profile: the
+    * groupBy carries at most m rows per partition after map-side
+    * partial max, regardless of corpus size — where exact
+    * count(DISTINCT) shuffles every distinct value.
+    */
+  def hllSketch(df: DataFrame, valueCol: String,
+      m: Int = hllM): DataFrame = {
+    val spark = df.sparkSession
+    val regs = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .select(
+        (graft.functions.PolyHash.polyHash(col("v"), 131L) % m)
+          .as("bucket"),
+        estimatorHash(col("v")).as("__h2"))
+      .withColumn("rho", expr(hllRhoSql("__h2")))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+    spark.range(m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("r"), lit(0)).cast(LongType)
+        .as("r"))
+  }
+
+  /** One-row HLL report with the exact distinct count alongside (the
+    * self-audit column, as in `cmsTopK`/`bloomContaminationReport`).
+    * The estimate is the raw HLL harmonic estimator in pure fixed-point
+    * integer math — `((m²·2^K div Σ2^(K−ρ)) · α_micro) div 10^6` — a
+    * deterministic schedule both engines replay exactly (no `ln`, no
+    * doubles; the small-range linear-counting correction is deliberately
+    * omitted to keep the estimator transcendental-free, which is why the
+    * audit column matters).
+    */
+  def hllReport(df: DataFrame, valueCol: String,
+      m: Int = hllM): DataFrame = {
+    val denom = hllSketch(df, valueCol, m)
+      .select(expr(
+        s"shiftleft(CAST(1 AS BIGINT), $hllK - CAST(r AS INT))").as("t"))
+      .agg(sum(col("t")).cast(LongType).as("dd"))
+    val exact = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .agg(countDistinct(col("v")).as("n_exact"))
+    denom.crossJoin(exact)
+      .select(lit(m.toLong).as("m"),
+        expr(s"((${m.toLong * m * (1L << hllK)} DIV dd) * " +
+          s"${hllAlphaMicro(m)}) DIV 1000000").cast(LongType)
+          .as("hll_est"),
+        col("n_exact"))
+  }
 }

@@ -568,4 +568,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
+
+  test("hll registers match the trailing-zero reference; shards merge " +
+      "by max") {
+    val s2 = spark
+    import s2.implicits._
+    val vals = Seq.tabulate(400)(i => s"tok$i")
+    // independent reference: java trailing-zero intrinsic vs the SQL
+    // CASE chain
+    def rhoRef(h: Long): Long =
+      if (h == 0L) Sketches.hllRhoCap.toLong
+      else math.min(java.lang.Long.numberOfTrailingZeros(h) + 1,
+        Sketches.hllRhoCap).toLong
+    val expect = vals
+      .map(v => (DedupOps.polyHashJvm(v, 131L) % Sketches.hllM,
+        rhoRef(DedupOps.polyHashJvm(v, 131L) *
+          DedupOps.polyHashJvm(v, 257L) % 1000000007L)))
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).max }
+    val regs = Sketches.hllSketch(vals.toDF("tok"), "tok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(regs.size == Sketches.hllM)
+    regs.foreach { case (b, r) =>
+      assert(r == expect.getOrElse(b, 0L), s"bucket $b")
+    }
+    // shard merge: cell-wise max equals the whole-corpus registers
+    val (p1, p2) = vals.splitAt(150)
+    val merged = Sketches.hllSketch(p1.toDF("tok"), "tok")
+      .union(Sketches.hllSketch(p2.toDF("tok"), "tok"))
+      .groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.max("r").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == regs)
+  }
+
+  test("hll estimate lands near the exact count and is " +
+      "partitioning-invariant") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq.tabulate(20000)(i => s"w${i % 5000}").toDF("tok")
+    val r = Sketches.hllReport(df, "tok").collect()(0)
+    val (est, exact) = (r.getLong(1), r.getLong(2))
+    assert(exact == 5000L)
+    // standard error 1.04/√1024 ≈ 3.3%; 10% is a loose deterministic pin
+    assert(math.abs(est - exact) <= exact / 10,
+      s"est $est vs exact $exact")
+    val rep = Sketches.hllReport(df.repartition(7), "tok").collect()(0)
+    assert(rep.getLong(1) == est)
+  }
 }
