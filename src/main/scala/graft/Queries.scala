@@ -3176,6 +3176,47 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature-based (τ = 1/2) mixture rebalancing: per-language
+    * quotas ∝ ⌊√n⌋ normalized to a 300-doc budget, rows kept by
+    * deterministic hash order — `mix_rebalance`'s data-derived sibling
+    * (quotas computed from the corpus, not hand-written).
+    */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureQuotaSample(
+      table(spark, dir, "documents").select("doc_id", "lang"),
+      "doc_id", "lang", budget = 300L)
+      .select(col("lang"), col("n_stratum"), col("quota"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+
+  val sampleTemperatureSql: String = {
+    val idStr = "CAST(doc_id AS VARCHAR)"
+    val poly =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($idStr)), " +
+        s"i -> CAST(ascii($idStr[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+    s"""WITH base AS (
+       |  SELECT doc_id, lang FROM documents
+       |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+       |counts AS (
+       |  SELECT lang, count(*) AS n_stratum,
+       |    CAST(FLOOR(SQRT(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s
+       |  FROM base GROUP BY lang),
+       |tot AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM counts),
+       |quotas AS (
+       |  SELECT lang, n_stratum, CAST((300 * s) // t AS BIGINT) AS quota
+       |  FROM counts CROSS JOIN tot),
+       |ranked AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $poly, doc_id)
+       |      AS rk
+       |  FROM base)
+       |SELECT q.lang, q.n_stratum, q.quota, r.doc_id
+       |FROM ranked r JOIN quotas q USING (lang)
+       |WHERE r.rk <= q.quota
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
   /** Embedding outlier gate: cosine affinity to the nearest TRAINED
     * coarse centroid (same committed artifact as `knn_ivf_top5`);
     * vectors below 0.25 cosine are flagged. Narrow broadcast pass.
@@ -3778,6 +3819,7 @@ object Queries {
     "pack_shards_global" -> packShardsGlobal _,
     "pack_shard_stats" -> packShardStats _,
     "mix_rebalance" -> mixRebalance _,
+    "sample_temperature" -> sampleTemperature _,
     "emb_outliers" -> embOutliers _
   )
 
@@ -3875,6 +3917,7 @@ object Queries {
     "pack_shards_global" -> packShardsGlobalSql,
     "pack_shard_stats" -> packShardStatsSql,
     "mix_rebalance" -> mixRebalanceSql,
+    "sample_temperature" -> sampleTemperatureSql,
     "emb_outliers" -> embOutliersSql
   )
 }

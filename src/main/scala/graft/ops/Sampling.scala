@@ -80,4 +80,47 @@ object Sampling {
       .filter(col("__rk") <= quota)
       .drop("__rk")
   }
+
+  /** Temperature-based mixture rebalancing at τ = 1/2: per-stratum
+    * quotas ∝ √n_stratum, normalized to an absolute `budget` — the
+    * multilingual-corpus resampling move (upweight tail languages,
+    * damp the head) with the quotas DERIVED FROM THE DATA rather than
+    * hand-written like `quotaSample`'s map.
+    *
+    * τ = 1/2 specifically because it is the one non-trivial temperature
+    * that stays engine-exact: IEEE-754 `sqrt` is correctly rounded (a
+    * basic operation, unlike `pow`/`ln`), so `floor(sqrt(n))` on a
+    * BIGINT-exact double is the same integer in every engine, and the
+    * rest is integer multiply/divide. quota_s = (budget·⌊√n_s⌋) div
+    * Σ⌊√n_s⌋; rows are then kept by the same deterministic hash-order
+    * ranking as `quotaSample` (stable under re-runs, re-partitioning,
+    * and tail growth).
+    *
+    * Scale: the counts aggregate is map-side combined and yields one
+    * row per stratum; the quota frame is broadcast; the only wide op is
+    * the per-stratum ranking window — identical shape to `quotaSample`.
+    * Null ids and null strata are excluded (oracle-mirrored WHERE).
+    */
+  def temperatureQuotaSample(df: DataFrame, idCol: String,
+      strataCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget $budget")
+    val base = df.filter(col(idCol).isNotNull && col(strataCol).isNotNull)
+    // one row per stratum; the shuffle under it is reused by both sides
+    // of the crossJoin (Spark's ReusedExchange)
+    val counts = base.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("__s",
+        expr("CAST(FLOOR(SQRT(CAST(n_stratum AS DOUBLE))) AS BIGINT)"))
+    val tot = counts.agg(sum(col("__s")).cast("long").as("__tot"))
+    val quotas = counts.crossJoin(tot)
+      .withColumn("quota", expr(s"(${budget}L * __s) DIV __tot"))
+      .select(col(strataCol), col("n_stratum"), col("quota"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(
+      graft.functions.PolyHash.polyHash(col(idCol).cast("string"), 131L),
+      col(idCol))
+    base.join(broadcast(quotas), strataCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("quota"))
+      .drop("__rk")
+  }
 }

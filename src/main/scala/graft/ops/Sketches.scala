@@ -194,16 +194,27 @@ object Sketches {
     * partial max, regardless of corpus size — where exact
     * count(DISTINCT) shuffles every distinct value.
     */
-  def hllSketch(df: DataFrame, valueCol: String,
-      m: Int = hllM): DataFrame = {
-    val spark = df.sparkSession
-    val regs = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+  /** The sparse register aggregation alone — a plain groupBy/max, so it
+    * also runs UNCHANGED as a Structured Streaming aggregation (complete
+    * mode): the stream's running registers equal the batch sketch of
+    * everything seen (`StreamingSketchSpec`). `hllSketch` densifies it;
+    * streams skip the densify join (stream-agg → static join is not a
+    * supported streaming shape) and densify at read time.
+    */
+  def hllRegistersSparse(df: DataFrame, valueCol: String,
+      m: Int = hllM): DataFrame =
+    df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
       .select(
         (graft.functions.PolyHash.polyHash(col("v"), 131L) % m)
           .as("bucket"),
         estimatorHash(col("v")).as("__h2"))
-      .withColumn("rho", expr(hllRhoSql("__h2")))
+      .withColumn("rho", expr(hllRhoSql("__h2")).cast(LongType))
       .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+
+  def hllSketch(df: DataFrame, valueCol: String,
+      m: Int = hllM): DataFrame = {
+    val spark = df.sparkSession
+    val regs = hllRegistersSparse(df, valueCol, m)
     spark.range(m).select(col("id").as("bucket"))
       .join(regs, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("r"), lit(0)).cast(LongType)

@@ -569,6 +569,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("temperature quota: ⌊√n⌋-proportional budgets, hash-order keep, " +
+      "partitioning-invariant") {
+    val s2 = spark
+    import s2.implicits._
+    // strata sized 100/25/4 → √ = 10/5/2, Σ = 17
+    val rows = (1L to 100L).map(i => (i, "a")) ++
+      (101L to 125L).map(i => (i, "b")) ++ (126L to 129L).map(i => (i, "c"))
+    val df = rows.toDF("doc_id", "lang")
+    val out = Sampling.temperatureQuotaSample(df, "doc_id", "lang", 170L)
+    // join output order: (lang, doc_id, n_stratum, quota)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(1)))
+    val quotas = got.map(t => t._1 -> t._3).toMap
+    assert(quotas == Map("a" -> 100L, "b" -> 50L, "c" -> 20L))
+    // kept = min(n, quota): the op selects, it does not repeat rows
+    val kept = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(kept == Map("a" -> 100, "b" -> 25, "c" -> 4))
+    // smaller budget exercises the integer floor: 17·s/17 = s
+    val q2 = Sampling.temperatureQuotaSample(df, "doc_id", "lang", 17L)
+      .select("lang", "quota").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q2 == Map("a" -> 10L, "b" -> 5L, "c" -> 2L))
+    val a = out.collect().map(_.toSeq).toSet
+    val b = Sampling.temperatureQuotaSample(df.repartition(7), "doc_id",
+      "lang", 170L).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("hll registers match the trailing-zero reference; shards merge " +
       "by max") {
     val s2 = spark
