@@ -211,6 +211,40 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"nested-loop join in overlap:\n$p")
   }
 
+  test("dsir scoring is one narrow broadcast pass below the " +
+    "presentation sort") {
+    val p = plan("text_dsir_score")
+    val below = p.split("Exchange rangepartitioning", 2).last
+    assert(!below.contains("Exchange"), s"dsir scoring shuffles:\n$below")
+  }
+
+  test("dsir selection is TakeOrdered, never a global sort") {
+    val p = plan("sample_dsir_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"dsir top-k is not TakeOrdered:\n$p")
+  }
+
+  test("quantile sketch aggregates map-side before the exchange") {
+    val p = plan("sketch_quantiles")
+    assert(p.contains("partial_count"),
+      s"sketch cells not partially aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hll registers combine map-side before the exchange") {
+    val p = plan("sketch_hll_distinct")
+    assert(p.contains("partial_max"),
+      s"registers not partially aggregated:\n$p")
+  }
+
+  test("temperature quota broadcasts the quota frame; ranking window " +
+    "partitions by stratum") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"quota frame not broadcast:\n$p")
+    assert(p.contains("hashpartitioning"), "no hash partitioning in plan")
+  }
+
   test("dst transition map prints every reachable state block") {
     import graft.cep._
     val q = CepQuery(
