@@ -1122,6 +1122,77 @@ object Queries {
        |ORDER BY dsir_pg_micro DESC, doc_id
        |LIMIT 200""".stripMargin
 
+  /** Distinct corpus words (text-not-null docs) for the BPE oracle
+    * chain — the tokenize-then-merge loop runs per distinct word, never
+    * per occurrence, on both sides.
+    */
+  private val bpeWordsCte: String =
+    "SELECT DISTINCT tok AS word FROM (SELECT unnest(" +
+      "list_filter(string_split(text, ' '), t -> t <> '')) AS tok " +
+      "FROM documents WHERE text IS NOT NULL)"
+
+  /** Trained-BPE tokenization stats: per-doc word/token counts and
+    * fertility against the committed merges artifact — the tokenizer
+    * leg of the curation ladder (token budgeting, fertility QA).
+    */
+  def textBpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val merges = graft.ops.Bpe.loadMerges(spark, graft.ops.Bpe.mergesPath)
+    graft.ops.Bpe.tokenStats(table(spark, dir, "documents"),
+      "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
+  val textBpeTokensSql: String =
+    s"""WITH ${graft.ops.Bpe.tokenizeSql(16, bpeWordsCte)},
+       |base AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |dw AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(string_split(text, ' '), t -> t <> '')) AS word
+       |  FROM base),
+       |agg AS (
+       |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS nw,
+       |    CAST(sum(len(b.toks)) AS BIGINT) AS nt
+       |  FROM dw JOIN bpe b USING (word)
+       |  GROUP BY dw.doc_id)
+       |SELECT base.doc_id,
+       |  coalesce(agg.nw, 0) AS n_words,
+       |  coalesce(agg.nt, 0) AS n_bpe_tokens,
+       |  CASE WHEN coalesce(agg.nw, 0) = 0 THEN 0
+       |    ELSE CAST((agg.nt * 1000) // agg.nw AS BIGINT) END
+       |    AS fertility_milli
+       |FROM base LEFT JOIN agg USING (doc_id)
+       |ORDER BY base.doc_id""".stripMargin
+
+  /** The learned subword vocabulary's top-20 by corpus occurrence —
+    * real merges (`er</w>`, `st`, …) surface above raw characters iff
+    * training worked; rank/count are exact.
+    */
+  def bpeVocabTop(spark: SparkSession, dir: String): DataFrame = {
+    val merges = graft.ops.Bpe.loadMerges(spark, graft.ops.Bpe.mergesPath)
+    graft.ops.Bpe.vocabTopK(table(spark, dir, "documents"), "text",
+      merges, k = 20)
+      .orderBy("rnk")
+  }
+
+  val bpeVocabTopSql: String =
+    s"""WITH ${graft.ops.Bpe.tokenizeSql(16, bpeWordsCte)},
+       |occ AS (
+       |  SELECT unnest(
+       |    list_filter(string_split(text, ' '), t -> t <> '')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |tk AS (
+       |  SELECT unnest(b.toks) AS token
+       |  FROM occ JOIN bpe b USING (word)),
+       |cnt AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token)
+       |         AS INTEGER) AS rnk,
+       |       token, CAST(cnt AS BIGINT) AS cnt
+       |FROM cnt
+       |ORDER BY cnt DESC, token
+       |LIMIT 20""".stripMargin
+
   /** Gopher repetition rules: top 2/3/4-gram occurrence counts and the
     * permille of token mass each covers, with the composite flag at the
     * paper's thresholds (token-mass adaptation of Rae et al. 2021
@@ -3760,6 +3831,8 @@ object Queries {
     "text_repetition" -> textRepetition _,
     "text_gopher_repetition" -> textGopherRepetition _,
     "text_dsir_score" -> textDsirScore _,
+    "text_bpe_tokens" -> textBpeTokens _,
+    "bpe_vocab_top" -> bpeVocabTop _,
     "sample_dsir_topk" -> sampleDsirTopk _,
     "text_pii_scrub" -> textPiiScrub _,
     "text_url_normalize" -> textUrlNormalize _,
@@ -3899,6 +3972,8 @@ object Queries {
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "text_lm_fluency" -> textLmFluencySql,
     "text_dsir_score" -> textDsirScoreSql,
+    "text_bpe_tokens" -> textBpeTokensSql,
+    "bpe_vocab_top" -> bpeVocabTopSql,
     "sample_dsir_topk" -> sampleDsirTopkSql,
     "vocab_top20" -> vocabTop20Sql,
     "knn_sq8_top5" -> knnSq8Top5Sql,
