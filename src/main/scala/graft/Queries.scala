@@ -1940,6 +1940,91 @@ object Queries {
     * offset, shard_key, shuffled_pos). One oracle replays the whole
     * composition.
     */
+  /** The round-6 rungs composed end-to-end: DSIR selection (top-400 by
+    * per-gram importance) → temperature (τ=1/2) language rebalance to a
+    * 300-doc budget → trained-BPE token counting → token-budget shard
+    * packing at 256 BPE tokens. Every stage is the committed-artifact
+    * scale path (λ broadcast, ⌊√n⌋ quota frame broadcast, merges
+    * broadcast, stratum-windowed pack) and the oracle replays the whole
+    * chain — importance sums, integer sqrt quotas, the BPE merge loop,
+    * and the running-sum shard addresses — in one SQL statement.
+    */
+  def pipelineDsirPack(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Bpe, Dsir, Packing, Sampling}
+    val docs = table(spark, dir, "documents")
+    val lam = Dsir.loadWeights(spark, Dsir.weightsPath)
+    val sel = Dsir.selectTopK(
+      Dsir.scoreDocs(docs, "doc_id", "text", lam), 400)
+      .select("doc_id")
+    val seld = docs.select(col("doc_id").cast(LongType).as("doc_id"),
+        col("lang"), col("text"))
+      .join(sel, "doc_id")
+    val bal = Sampling.temperatureQuotaSample(seld, "doc_id", "lang", 300L)
+    val merges = Bpe.loadMerges(spark, Bpe.mergesPath)
+    val stats = Bpe.tokenStats(bal, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val withTok = bal.select("lang", "doc_id").join(stats, "doc_id")
+    Packing.packByWeight(withTok, "doc_id", "n_bpe_tokens", Seq("lang"),
+      budget = 256L)
+      .select(col("lang"), col("doc_id"), col("n_bpe_tokens"),
+        col("start_off"), col("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  lazy val pipelineDsirPackSql: String = {
+    val idStr = "CAST(doc_id AS VARCHAR)"
+    val poly =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($idStr)), " +
+        s"i -> CAST(ascii($idStr[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+    s"""WITH $dsirScoredSql,
+       |sel AS (
+       |  SELECT doc_id FROM scored
+       |  ORDER BY dsir_pg_micro DESC, doc_id LIMIT 400),
+       |seld AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM documents d JOIN sel USING (doc_id)
+       |  WHERE d.lang IS NOT NULL),
+       |tc AS (
+       |  SELECT lang, count(*) AS n_stratum,
+       |    CAST(FLOOR(SQRT(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s
+       |  FROM seld GROUP BY lang),
+       |tt AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM tc),
+       |tq AS (
+       |  SELECT lang, CAST((300 * s) // t AS BIGINT) AS quota
+       |  FROM tc CROSS JOIN tt),
+       |trk AS (
+       |  SELECT doc_id, lang, text,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $poly, doc_id)
+       |      AS rk
+       |  FROM seld),
+       |bal AS (
+       |  SELECT trk.doc_id, trk.lang, trk.text
+       |  FROM trk JOIN tq USING (lang) WHERE trk.rk <= tq.quota),
+       |${graft.ops.Bpe.tokenizeSql(16, bpeWordsCte)},
+       |dw AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(string_split(text, ' '), t -> t <> '')) AS word
+       |  FROM bal),
+       |ntk AS (
+       |  SELECT bal.doc_id, bal.lang,
+       |    coalesce(agg.nt, 0) AS n_bpe_tokens
+       |  FROM bal LEFT JOIN (
+       |    SELECT dw.doc_id, CAST(sum(len(b.toks)) AS BIGINT) AS nt
+       |    FROM dw JOIN bpe b USING (word) GROUP BY dw.doc_id) agg
+       |    USING (doc_id)),
+       |packed AS (
+       |  SELECT lang, doc_id, n_bpe_tokens,
+       |    CAST(sum(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+       |      - n_bpe_tokens AS BIGINT) AS start_off
+       |  FROM ntk)
+       |SELECT lang, doc_id, n_bpe_tokens, start_off,
+       |  CAST(start_off // 256 AS BIGINT) AS shard_id
+       |FROM packed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def pipelinePrepShardsV2(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.{Contamination, Packing, QualityModel, Sampling}
     val docs = table(spark, dir, "documents")
@@ -3850,6 +3935,7 @@ object Queries {
     "pipeline_curate_full" -> pipelineCurateFull _,
     "pipeline_prep_shards" -> pipelinePrepShards _,
     "pipeline_prep_shards_v2" -> pipelinePrepShardsV2 _,
+    "pipeline_dsir_pack" -> pipelineDsirPack _,
     "emb_lang_centroids" -> embLangCentroids _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
@@ -3950,6 +4036,7 @@ object Queries {
     "pipeline_curate_full" -> pipelineCurateFullSql,
     "pipeline_prep_shards" -> pipelinePrepShardsSql,
     "pipeline_prep_shards_v2" -> pipelinePrepShardsV2Sql,
+    "pipeline_dsir_pack" -> pipelineDsirPackSql,
     "emb_lang_centroids" -> embLangCentroidsSql,
     "knn_cosine_top10" -> knnCosineTop10Sql,
     "mm_features" -> mmFeaturesSql,

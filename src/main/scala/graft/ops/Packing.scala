@@ -42,20 +42,35 @@ object Packing {
       "packByBudget needs >= 1 stratum column: an unstratified running " +
         "sum is a single-task window (see scaladoc); stratify or " +
         "pre-chunk the corpus")
-    require(budgetTokens > 0, s"budget $budgetTokens")
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nTok = size(TextOps.tokens(col(textCol))).cast(LongType)
     // null id/text rows drop, matching packGlobalByBudget and the SQL
     // oracles (a null doc has no place in a token stream)
-    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(strataCols.map(col) :+ col(idCol) :+ nTok.as("n_tok"): _*)
-      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+    packByWeight(
+      df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(strataCols.map(col) :+ col(idCol) :+ nTok.as("n_tok"): _*),
+      idCol, "n_tok", strataCols, budgetTokens)
+  }
+
+  /** The packing core on an ARBITRARY precomputed weight column —
+    * whitespace tokens (`packByBudget`), trained-BPE token counts
+    * (`pipeline_dsir_pack`), byte sizes, anything additive. Same
+    * stratum-partitioned running-sum window, same concatenate-then-
+    * chunk shard rule.
+    */
+  def packByWeight(df: DataFrame, idCol: String, weightCol: String,
+      strataCols: Seq[String], budget: Long): DataFrame = {
+    require(strataCols.nonEmpty,
+      "packByWeight needs >= 1 stratum column (see packByBudget)")
+    require(budget > 0, s"budget $budget")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(idCol).isNotNull)
+      .withColumn("start_off",
+        sum(col(weightCol)).over(w) - col(weightCol))
       // integral division (exact at any magnitude, same as the global
       // variant's `start / budget` and DuckDB's `//`)
-      .withColumn("shard_id",
-        expr(s"start_off DIV $budgetTokens").cast(LongType))
+      .withColumn("shard_id", expr(s"start_off DIV $budget").cast(LongType))
   }
 
   /** GLOBAL packing without the single-task window: the classic
