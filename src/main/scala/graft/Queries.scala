@@ -622,6 +622,35 @@ object Queries {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** PIVOT: quantity cents cross-tabbed returnflag × linestatus —
+    * Spark's `pivot` with EXPLICIT values (never the value-discovery
+    * scan) lowers to one conditional aggregate, partial map-side; the
+    * oracle is the equivalent SUM(CASE) spelling.
+    */
+  def relPivotReturns(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(cents("l_quantity")))
+      .select(col("l_linestatus"),
+        coalesce(col("A"), lit(0L)).as("qty_a_c"),
+        coalesce(col("N"), lit(0L)).as("qty_n_c"),
+        coalesce(col("R"), lit(0L)).as("qty_r_c"))
+      .orderBy("l_linestatus")
+
+  val relPivotReturnsSql: String = {
+    val q = (f: String) =>
+      s"coalesce(CAST(sum(CASE WHEN l_returnflag = '$f' THEN " +
+        s"CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) END) " +
+        s"AS BIGINT), 0)"
+    s"""SELECT l_linestatus,
+       |  ${q("A")} AS qty_a_c,
+       |  ${q("N")} AS qty_n_c,
+       |  ${q("R")} AS qty_r_c
+       |FROM lineitem GROUP BY l_linestatus
+       |ORDER BY l_linestatus""".stripMargin
+  }
+
   /** Mergeable log-bucket quantile sketch vs the exact order statistic —
     * the scale path for `rel_percentiles`: the sketch shuffles ≤ ~2k
     * cells per group (map-side combined) where `percentile_disc` ships
@@ -3903,6 +3932,7 @@ object Queries {
     "rel_nation_stats" -> relNationStats _,
     "rel_window_top3" -> relWindowTop3 _,
     "rel_percentiles" -> relPercentiles _,
+    "rel_pivot_returns" -> relPivotReturns _,
     "sketch_quantiles" -> sketchQuantiles _,
     "rel_json_props" -> relJsonProps _,
     "rel_session_stats" -> relSessionStats _,
@@ -4008,6 +4038,7 @@ object Queries {
     "rel_nation_stats" -> relNationStatsSql,
     "rel_window_top3" -> relWindowTop3Sql,
     "rel_percentiles" -> relPercentilesSql,
+    "rel_pivot_returns" -> relPivotReturnsSql,
     "sketch_quantiles" -> sketchQuantilesSql,
     "rel_json_props" -> relJsonPropsSql,
     "rel_session_stats" -> relSessionStatsSql,
