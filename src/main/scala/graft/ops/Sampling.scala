@@ -105,14 +105,17 @@ object Sampling {
       strataCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget $budget")
     val base = df.filter(col(idCol).isNotNull && col(strataCol).isNotNull)
-    // one row per stratum; the shuffle under it is reused by both sides
-    // of the crossJoin (Spark's ReusedExchange)
+    // one row per stratum; Σ⌊√n⌋ as an unpartitioned window over that
+    // TINY frame (one row per stratum — never the corpus), which keeps
+    // the plan free of the scalar cross join a separate agg would need
     val counts = base.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_stratum"))
       .withColumn("__s",
         expr("CAST(FLOOR(SQRT(CAST(n_stratum AS DOUBLE))) AS BIGINT)"))
-    val tot = counts.agg(sum(col("__s")).cast("long").as("__tot"))
-    val quotas = counts.crossJoin(tot)
+    val quotas = counts
+      .withColumn("__tot", sum(col("__s")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("quota", expr(s"(${budget}L * __s) DIV __tot"))
       .select(col(strataCol), col("n_stratum"), col("quota"))
     val w = Window.partitionBy(col(strataCol)).orderBy(

@@ -36,4 +36,26 @@ object StreamingSessions {
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("w.start").as("window_start"), col("n_events"))
   }
+
+  /** Event-time windowed QUANTILE SKETCH: the log-bucket histogram
+    * (`ops.Quantiles`) per tumbling window — per-window latency/size
+    * percentiles on an unbounded stream, which the exact forms cannot
+    * do at all (a percentile needs the window's whole value set; the
+    * sketch's per-window state is ≤ ~2k counters, evicted by the
+    * watermark once the window closes). Cells emit on window close
+    * (append mode); quantiles read off them with `Quantiles.rankPick`
+    * exactly as in batch — `StreamingSketchSpec` pins batch ==
+    * stream per window.
+    */
+  def windowedQuantileSketch(df: DataFrame, tsCol: String,
+      valueCol: String, width: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val v = col(valueCol).cast("long")
+    wm.filter(v.isNotNull && v >= 0L)
+      .select(col(tsCol), graft.ops.Quantiles.bucketCol(valueCol).as("qb"))
+      .groupBy(window(col(tsCol), width).as("w"), col("qb"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("qb"), col("cnt"))
+  }
 }

@@ -245,6 +245,23 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning"), "no hash partitioning in plan")
   }
 
+  test("pivot lowers to one partial-aggregated conditional aggregate") {
+    val p = plan("rel_pivot_returns")
+    assert(p.contains("partial_sum"), s"pivot not partially aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("composed dsir pipeline: keyed joins only, pack window " +
+    "partitions by stratum") {
+    // joins are id/lang equi-joins (AQE picks broadcast at runtime from
+    // the tiny built sides — the static plan can't show that choice)
+    val p = plan("pipeline_dsir_pack")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unbounded join:\n$p")
+    assert(p.contains("windowspecdefinition(lang#"),
+      s"pack window not stratum-partitioned:\n$p")
+  }
+
   test("dst transition map prints every reachable state block") {
     import graft.cep._
     val q = CepQuery(

@@ -91,6 +91,63 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est == batch)
   }
 
+  test("windowed quantile sketch: watermark-closed windows equal the " +
+      "batch sketch per window; quantiles read off the cells") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rnd = new scala.util.Random(29)
+    def ts(minute: Int) = new java.sql.Timestamp(minute * 60000L)
+    // two event-time hours; batch 2's hour-0 stragglers arrive before
+    // the watermark passes, the hour-0 window closes only after batch 3
+    val b1 = Seq.tabulate(300)(i =>
+      (ts(rnd.nextInt(50)), math.abs(rnd.nextLong()) % 70000L))
+    val b2 = Seq.tabulate(300)(i =>
+      (ts(55 + rnd.nextInt(60)), math.abs(rnd.nextLong()) % 70000L))
+    val b3 = Seq((ts(240), 17L)) // advances the watermark past hour 0/1
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = StreamingSessions.windowedQuantileSketch(
+      mem.toDF().toDF("ts", "v"), "ts", "v",
+      width = "1 hour", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("wq_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      mem.addData(b3: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.sql(
+      "SELECT window_start, qb, cnt FROM wq_stream").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // batch reference over everything in the CLOSED windows (hours 0-1)
+    val batch = StreamingSessions.windowedQuantileSketch(
+      (b1 ++ b2).toDF("ts", "v"), "ts", "v", width = "1 hour")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch)
+    // per-window p50 off the streamed cells matches the batch report
+    val cells = s.sql("SELECT CAST(window_start AS STRING) AS g, qb, cnt " +
+      "FROM wq_stream")
+    val p50 = Quantiles.rankPick(cells, Seq("g"), "qb", Seq(500))
+      .withColumn("est_v", Quantiles.repCol("__picked"))
+      .select("g", "est_v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p50.size == 2)
+    val batchRep = Quantiles.quantileReport(
+      (b1 ++ b2).toDF("ts", "v")
+        .withColumn("g", org.apache.spark.sql.functions.expr(
+          "CAST(window(ts, '1 hour').start AS STRING)")),
+      "v", Seq("g"), Seq(500))
+      .select("g", "est_v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p50 == batchRep)
+  }
+
   test("hll sparse registers stream; estimate off the final state " +
       "matches the batch report") {
     val s = spark
