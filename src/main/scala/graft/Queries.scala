@@ -664,16 +664,15 @@ object Queries {
       "price_c", Seq("l_returnflag"), Seq(500, 900, 990))
       .orderBy("l_returnflag", "q_permille")
 
-  val sketchQuantilesSql: String = {
+  /** Shared DuckDB mirror of `Quantiles.quantileReport`: `posCte` must
+    * yield (g, v) with the null/negative filter already applied.
+    */
+  private def quantileReportOracle(posCte: String, outCol: String,
+      qs: Seq[Int]): String = {
     val qb = graft.ops.Quantiles.bucketSql("v", graft.ops.Quantiles.duckDiv)
     val rep = graft.ops.Quantiles.repSql("pb")
-    s"""WITH pos AS (
-       |  SELECT l_returnflag AS g,
-       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-       |  FROM lineitem
-       |  WHERE l_extendedprice IS NOT NULL
-       |    AND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 0),
-       |qs AS (SELECT unnest([500, 900, 990]) AS q),
+    s"""WITH pos AS ($posCte),
+       |qs AS (SELECT unnest([${qs.mkString(", ")}]) AS q),
        |sk AS (SELECT g, $qb AS qb, count(*) AS cnt FROM pos GROUP BY g, 2),
        |skc AS (
        |  SELECT g, qb, cnt,
@@ -694,12 +693,44 @@ object Queries {
        |  SELECT g, q,
        |    min(CASE WHEN cum >= (n * q + 999) // 1000 THEN v END) AS exact_v
        |  FROM vhc CROSS JOIN qs GROUP BY g, q)
-       |SELECT est.g AS l_returnflag, CAST(est.q AS BIGINT) AS q_permille,
+       |SELECT est.g AS $outCol, CAST(est.q AS BIGINT) AS q_permille,
        |  CAST(est.n AS BIGINT) AS n, CAST($rep AS BIGINT) AS est_v,
        |  CAST(ex.exact_v AS BIGINT) AS exact_v
        |FROM est JOIN ex ON est.g = ex.g AND est.q = ex.q
-       |ORDER BY l_returnflag, q_permille""".stripMargin
+       |ORDER BY $outCol, q_permille""".stripMargin
   }
+
+  val sketchQuantilesSql: String = quantileReportOracle(
+    """
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL
+      |    AND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 0""".stripMargin,
+    "l_returnflag", Seq(500, 900, 990))
+
+  /** Per-DAY event-value percentiles via the same sketch — the batch
+    * form of `StreamingSessions.windowedQuantileSketch`'s per-window
+    * profile, oracle-gated. The day bucket is pure integer nanos
+    * division (`epoch_ns` in the oracle — exact int64, where `epoch`'s
+    * double seconds loses sub-second precision past 2^53).
+    */
+  def sketchQuantilesDaily(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.quantileReport(
+      table(spark, dir, "events").select(
+        // ts is non-negative long nanos (TESTDATA): DIV == floor here
+        expr("ts DIV 86400000000000").as("day"),
+        expr("CAST(FLOOR(value) AS BIGINT)").as("v")),
+      "v", Seq("day"), Seq(500, 990))
+      .orderBy("day", "q_permille")
+
+  val sketchQuantilesDailySql: String = quantileReportOracle(
+    """
+      |  SELECT CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS g,
+      |    CAST(FLOOR(value) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE value IS NOT NULL AND CAST(FLOOR(value) AS BIGINT) >= 0""".stripMargin,
+    "day", Seq(500, 990))
 
   /** TPC-H Q3-style: 3-way join, revenue top-10. The customer filter is a
     * broadcast-able dimension side.
@@ -3934,6 +3965,7 @@ object Queries {
     "rel_percentiles" -> relPercentiles _,
     "rel_pivot_returns" -> relPivotReturns _,
     "sketch_quantiles" -> sketchQuantiles _,
+    "sketch_quantiles_daily" -> sketchQuantilesDaily _,
     "rel_json_props" -> relJsonProps _,
     "rel_session_stats" -> relSessionStats _,
     "rel_asof_signup" -> relAsofSignup _,
@@ -4040,6 +4072,7 @@ object Queries {
     "rel_percentiles" -> relPercentilesSql,
     "rel_pivot_returns" -> relPivotReturnsSql,
     "sketch_quantiles" -> sketchQuantilesSql,
+    "sketch_quantiles_daily" -> sketchQuantilesDailySql,
     "rel_json_props" -> relJsonPropsSql,
     "rel_session_stats" -> relSessionStatsSql,
     "rel_asof_signup" -> relAsofSignupSql,
