@@ -2861,6 +2861,48 @@ object Queries {
     Sketches.hllReport(keys, "k")
   }
 
+  /** Grouped HLL: distinct parts per return flag from sparse registers
+    * (missing-register mass added arithmetically — no densify join),
+    * exact count audited per group.
+    */
+  def sketchHllGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.hllReportBy(
+      table(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_partkey").cast(StringType).as("k")),
+      "k", Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+
+  val sketchHllGroupsSql: String = {
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(k)), " +
+        s"i -> CAST(ascii(k[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    val m = graft.ops.Sketches.hllM
+    val k2 = graft.ops.Sketches.hllK
+    val num = m.toLong * m * (1L << k2)
+    s"""WITH vals AS (
+       |  SELECT l_returnflag AS g, CAST(l_partkey AS VARCHAR) AS k
+       |  FROM lineitem WHERE l_partkey IS NOT NULL),
+       |h AS (
+       |  SELECT g, (${poly(131)}) % $m AS bucket,
+       |    ${graft.ops.Sketches.hllRhoSql(
+      s"(((${poly(131)}) * (${poly(257)})) % 1000000007)")} AS rho
+       |  FROM vals),
+       |regs AS (SELECT g, bucket, max(rho) AS r FROM h GROUP BY g, bucket),
+       |d AS (
+       |  SELECT g, CAST(($m - count(*)) * ${1L << k2} +
+       |    sum(CAST(1 AS BIGINT) << ($k2 - r)) AS BIGINT) AS dd
+       |  FROM regs GROUP BY g),
+       |ex AS (SELECT g, count(DISTINCT k) AS n_exact FROM vals GROUP BY g)
+       |SELECT d.g AS l_returnflag,
+       |  CAST((($num // dd) * ${graft.ops.Sketches.hllAlphaMicro(m)})
+       |    // 1000000 AS BIGINT) AS hll_est,
+       |  ex.n_exact
+       |FROM d JOIN ex USING (g)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val sketchHllDistinctSql: String = {
     val poly = (base: Int) =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -4017,6 +4059,7 @@ object Queries {
     "mm_frame_sample" -> mmFrameSample _,
     "sketch_distinct_tokens" -> sketchDistinctTokens _,
     "sketch_hll_distinct" -> sketchHllDistinct _,
+    "sketch_hll_groups" -> sketchHllGroups _,
     "sketch_cms_topk" -> sketchCmsTopk _,
     "decontam_overlap" -> decontamOverlap _,
     "decontam_bloom" -> decontamBloom _,
@@ -4116,6 +4159,7 @@ object Queries {
     "mm_frame_sample" -> mmFrameSampleSql,
     "sketch_distinct_tokens" -> sketchDistinctTokensSql,
     "sketch_hll_distinct" -> sketchHllDistinctSql,
+    "sketch_hll_groups" -> sketchHllGroupsSql,
     "sketch_cms_topk" -> sketchCmsTopkSql,
     "decontam_overlap" -> decontamOverlapSql,
     "decontam_bloom" -> decontamBloomSql,

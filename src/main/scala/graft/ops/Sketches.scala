@@ -221,6 +221,49 @@ object Sketches {
         .as("r"))
   }
 
+  /** GROUPED HLL: distinct-count profile per group key, from SPARSE
+    * registers only — the never-hit registers' denominator mass is
+    * `(m − occupied)·2^K`, added arithmetically instead of densifying
+    * with a per-group range join (which would cost groups × m rows and
+    * a join; this is one aggregation tree end to end). Same fixed-point
+    * estimator as `hllReport`, exact distinct as the audit column.
+    *
+    * At scale this is the per-slice cardinality profile (distinct
+    * users per type/day/source): state is ≤ m registers per group
+    * after map-side partial max, vs `count(DISTINCT)`'s full
+    * per-group value shuffle.
+    */
+  def hllReportBy(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      m: Int = hllM): DataFrame = {
+    require(groupCols.nonEmpty, "hllReportBy needs group columns")
+    val gs = groupCols.map(col)
+    val regs = df.filter(col(valueCol).isNotNull)
+      .select((gs :+ col(valueCol).as("v")): _*)
+      .select((gs :+
+        (graft.functions.PolyHash.polyHash(col("v"), 131L) % m)
+          .as("bucket") :+
+        estimatorHash(col("v")).as("__h2")): _*)
+      .withColumn("rho", expr(hllRhoSql("__h2")).cast(LongType))
+      .groupBy((gs :+ col("bucket")): _*).agg(max(col("rho")).as("r"))
+    val denom = regs
+      .select((gs :+ expr(
+        s"shiftleft(CAST(1 AS BIGINT), $hllK - CAST(r AS INT))")
+        .as("t")): _*)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("__occ"), sum(col("t")).cast(LongType)
+        .as("__st"))
+      .withColumn("__dd", expr(
+        s"(${m}L - __occ) * ${1L << hllK}L + __st"))
+    val exact = df.filter(col(valueCol).isNotNull)
+      .groupBy(gs: _*).agg(countDistinct(col(valueCol)).as("n_exact"))
+    denom.join(exact, groupCols)
+      .select((gs :+
+        expr(s"((${m.toLong * m * (1L << hllK)} DIV __dd) * " +
+          s"${hllAlphaMicro(m)}) DIV 1000000").cast(LongType)
+          .as("hll_est") :+
+        col("n_exact")): _*)
+  }
+
   /** One-row HLL report with the exact distinct count alongside (the
     * self-audit column, as in `cmsTopK`/`bloomContaminationReport`).
     * The estimate is the raw HLL harmonic estimator in pure fixed-point

@@ -629,6 +629,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == regs)
   }
 
+  test("grouped hll equals the ungrouped report run per group") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = Seq.tabulate(6000)(i =>
+      (s"g${i % 3}", s"v${i % (700 + 300 * (i % 3))}"))
+    val df = rows.toDF("g", "k")
+    val grouped = Sketches.hllReportBy(df, "k", Seq("g")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq("g0", "g1", "g2").foreach { g =>
+      val r = Sketches.hllReport(df.filter($"g" === g), "k").collect()(0)
+      assert(grouped(g) == ((r.getLong(1), r.getLong(2))), s"group $g")
+    }
+  }
+
   test("hll estimate lands near the exact count and is " +
       "partitioning-invariant") {
     val s2 = spark
