@@ -2861,6 +2861,54 @@ object Queries {
     Sketches.hllReport(keys, "k")
   }
 
+  /** Robust doc-length profile per language: median, MAD, and
+    * 1.5×MAD outlier counts — the anomaly gauge a corrupt ingest batch
+    * cannot drag the way it drags mean/stddev. Exact integer order
+    * statistics. The registry threshold is 1.5×MAD (not the classic
+    * 3×, which this well-behaved synthetic corpus never exceeds — the
+    * count column must be non-vacuous at every shipped scale factor).
+    */
+  def profileMadOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.madOutliers(
+      table(spark, dir, "documents")
+        .select(col("lang"), length(col("text")).cast(LongType).as("len")),
+      "len", Seq("lang"), kMilli = 1500L)
+      .orderBy("lang")
+
+  val profileMadOutliersSql: String =
+    """WITH base AS (
+      |  SELECT lang AS g, CAST(length(text) AS BIGINT) AS v
+      |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      |vh AS (SELECT g, v, count(*) AS cnt FROM base GROUP BY g, v),
+      |vhc AS (
+      |  SELECT g, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |    sum(cnt) OVER (PARTITION BY g) AS n
+      |  FROM vh),
+      |med AS (
+      |  SELECT g, max(n) AS n,
+      |    min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN v END) AS med
+      |  FROM vhc GROUP BY g),
+      |dev AS (
+      |  SELECT b.g, abs(b.v - m.med) AS d FROM base b JOIN med m USING (g)),
+      |dh AS (SELECT g, d, count(*) AS cnt FROM dev GROUP BY g, d),
+      |dhc AS (
+      |  SELECT g, d, cnt,
+      |    sum(cnt) OVER (PARTITION BY g ORDER BY d) AS cum,
+      |    sum(cnt) OVER (PARTITION BY g) AS n2
+      |  FROM dh),
+      |mad AS (
+      |  SELECT g, min(CASE WHEN cum >= (n2 * 500 + 999) // 1000 THEN d END)
+      |    AS mad
+      |  FROM dhc GROUP BY g)
+      |SELECT med.g AS lang, CAST(med.n AS BIGINT) AS n,
+      |  CAST(med.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+      |  CAST(sum(CASE WHEN dev.d * 1000 > 1500 * mad.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev JOIN med USING (g) JOIN mad USING (g)
+      |GROUP BY med.g, med.n, med.med, mad.mad
+      |ORDER BY lang""".stripMargin
+
   /** Grouped HLL: distinct parts per return flag from sparse registers
     * (missing-register mass added arithmetically — no densify join),
     * exact count audited per group.
@@ -4008,6 +4056,7 @@ object Queries {
     "rel_pivot_returns" -> relPivotReturns _,
     "sketch_quantiles" -> sketchQuantiles _,
     "sketch_quantiles_daily" -> sketchQuantilesDaily _,
+    "profile_mad_outliers" -> profileMadOutliers _,
     "rel_json_props" -> relJsonProps _,
     "rel_session_stats" -> relSessionStats _,
     "rel_asof_signup" -> relAsofSignup _,
@@ -4116,6 +4165,7 @@ object Queries {
     "rel_pivot_returns" -> relPivotReturnsSql,
     "sketch_quantiles" -> sketchQuantilesSql,
     "sketch_quantiles_daily" -> sketchQuantilesDailySql,
+    "profile_mad_outliers" -> profileMadOutliersSql,
     "rel_json_props" -> relJsonPropsSql,
     "rel_session_stats" -> relSessionStatsSql,
     "rel_asof_signup" -> relAsofSignupSql,

@@ -120,6 +120,52 @@ object Quantiles {
           .as("__picked"))
   }
 
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation), and the count of rows with |v − med| > k·MAD — the
+    * data-quality anomaly gauge that, unlike mean/stddev, one corrupt
+    * batch cannot drag. Exact integer order statistics end to end
+    * (both medians via `rankPick` on value histograms —
+    * `percentile_disc` semantics, no doubles anywhere), so the oracle
+    * replays it bit-for-bit.
+    *
+    * `kMilli` is the threshold in permille (3000 = the classic 3×MAD).
+    * A zero MAD (over half the group at the median) flags any nonzero
+    * deviation — the standard degenerate-case reading.
+    *
+    * Scale: two shuffles on (group, value) histograms — state is
+    * distinct values per group, not rows (doc lengths, latencies and
+    * other bounded-domain metrics collapse hard); the median frames
+    * are one row per group and broadcast back. For unbounded heavy
+    * domains, run the same shape over `bucketCol` lower bounds
+    * (≤ 1/32 error) instead of raw values.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      kMilli: Long = 3000L): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs group columns")
+    val gs = groupCols.map(col)
+    val v = col(valueCol).cast(LongType)
+    val base = df
+      .filter(v.isNotNull && groupCols.map(col(_).isNotNull)
+        .reduce(_ && _))
+      .select((gs :+ v.as("__v")): _*)
+    val vh = base.groupBy((gs :+ col("__v")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val med = rankPick(vh, groupCols, "__v", Seq(500))
+      .select((gs :+ col("n") :+ col("__picked").as("med")): _*)
+    val withMed = base.join(broadcast(med), groupCols)
+      .withColumn("__d", abs(col("__v") - col("med")))
+    val dh = withMed.groupBy((gs :+ col("__d")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val mad = rankPick(dh, groupCols, "__d", Seq(500))
+      .select((gs :+ col("__picked").as("mad")): _*)
+    withMed.join(broadcast(mad), groupCols)
+      .groupBy((gs :+ col("n") :+ col("med") :+ col("mad")): _*)
+      .agg(sum(when(col("__d") * 1000L > lit(kMilli) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select((gs ++ Seq(col("n"), col("med"), col("mad"),
+        col("n_outliers"))): _*)
+  }
+
   /** Sketch quantiles with the exact order statistic alongside — the
     * self-audit pattern (CMS/Bloom): `est_` is the scale path (bucket
     * lower bound), `exact_` replays the identical rank machinery on the

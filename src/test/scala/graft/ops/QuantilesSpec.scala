@@ -117,6 +117,23 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("madOutliers: hand-computed median/MAD/outliers, zero-MAD " +
+      "degenerate flags any deviation") {
+    val s = spark
+    import s.implicits._
+    // g=a: 1..9 + 100 → med 5 (rank ⌈5⌉), devs sorted 0,1,1,2,2,3,3,4,
+    // 4,95 → MAD 2, 3×MAD outliers: d > 6 → only the 95
+    // g=b: 7,7,7,9 → med 7, MAD 0 → any nonzero deviation flags
+    val df = ((1L to 9L) :+ 100L).map(("a", _)) ++
+      Seq(("b", 7L), ("b", 7L), ("b", 7L), ("b", 9L))
+    val out = Quantiles.madOutliers(df.toDF("g", "v"), "v", Seq("g"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((10L, 5L, 2L, 1L)))
+    assert(out("b") == ((4L, 7L, 0L, 1L)))
+  }
+
   test("sketch quantiles are partitioning-invariant") {
     val s = spark
     import s.implicits._
