@@ -418,43 +418,9 @@ object Contamination {
       .select(col("sh")).distinct()
     val nBench = benchSh.count()
     val m = math.max(1024L, bitsPerSpan.toLong * nBench)
-    val nWords = ((m + 63) / 64).toInt
-    val words = benchSh.as[Long].rdd.treeAggregate(new Array[Long](nWords))(
-      seqOp = { (w, h) =>
-        var j = 0
-        while (j < k) {
-          val p = (h % m + j * (1L + h % (m - 1))) % m
-          w((p >> 6).toInt) |= 1L << (p & 63)
-          j += 1
-        }
-        w
-      },
-      combOp = { (a, b) =>
-        var i = 0
-        while (i < a.length) { a(i) |= b(i); i += 1 }
-        a
-      })
-    val bc = spark.sparkContext.broadcast(words)
+    val bloom = buildBloomBits(benchSh, m, k)
     val trainIdx = DedupOps.shingleIndex(train, idCol, textCol, n).cache()
-    val probeSchema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("bhit", LongType, nullable = false)))
-    val (mm, kk) = (m, k)
-    val probed = trainIdx.select(col(idCol).cast(LongType), col("sh"))
-      .mapPartitions { rows =>
-        val w = bc.value
-        rows.map { r =>
-          val h = r.getLong(1)
-          var j = 0
-          var all = true
-          while (all && j < kk) {
-            val p = (h % mm + j * (1L + h % (mm - 1))) % mm
-            all = ((w((p >> 6).toInt) >>> (p & 63).toInt) & 1L) == 1L
-            j += 1
-          }
-          Row(r.getLong(0), if (all) 1L else 0L)
-        }
-      }(Encoders.row(probeSchema))
+    val probed = probeBloom(trainIdx, idCol, bloom)
     val bloomAgg = probed.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_spans"), sum(col("bhit")).as("n_hit_bloom"))
     val audited = if (exactAudit) {
@@ -469,5 +435,65 @@ object Contamination {
     audited.select(col(idCol), col("n_spans"), col("n_hit_exact"),
       col("n_hit_bloom"),
       (col("n_hit_bloom") > 0).as("bloom_contaminated"))
+  }
+
+  /** The broadcast-able Bloom bitset (k-fold double-hashed over 60-bit
+    * span hashes). Building runs a `treeAggregate` over the DISTINCT
+    * bench spans; probing is STATELESS, which is what makes the filter
+    * usable unchanged on a stream (`StreamingDecontamSpec`): the bitset
+    * is built once from the static benchmark and broadcast, each
+    * micro-batch probes narrowly.
+    */
+  final case class BloomBits(words: Array[Long], m: Long, k: Int)
+
+  def buildBloomBits(spanHashes: DataFrame, m: Long, k: Int): BloomBits = {
+    val spark = spanHashes.sparkSession
+    import spark.implicits._
+    val nWords = ((m + 63) / 64).toInt
+    val words = spanHashes.as[Long].rdd
+      .treeAggregate(new Array[Long](nWords))(
+        seqOp = { (w, h) =>
+          var j = 0
+          while (j < k) {
+            val p = (h % m + j * (1L + h % (m - 1))) % m
+            w((p >> 6).toInt) |= 1L << (p & 63)
+            j += 1
+          }
+          w
+        },
+        combOp = { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
+    BloomBits(words, m, k)
+  }
+
+  /** Probe a span index (`idCol`, `sh`) against the broadcast bitset:
+    * one `bhit` row per span occurrence. Stateless narrow pass.
+    */
+  def probeBloom(spanIdx: DataFrame, idCol: String,
+      bloom: BloomBits): DataFrame = {
+    val spark = spanIdx.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom.words)
+    val probeSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bhit", LongType, nullable = false)))
+    val (mm, kk) = (bloom.m, bloom.k)
+    spanIdx.select(col(idCol).cast(LongType), col("sh"))
+      .mapPartitions { rows =>
+        val w = bc.value
+        rows.map { r =>
+          val h = r.getLong(1)
+          var j = 0
+          var all = true
+          while (all && j < kk) {
+            val p = (h % mm + j * (1L + h % (mm - 1))) % mm
+            all = ((w((p >> 6).toInt) >>> (p & 63).toInt) & 1L) == 1L
+            j += 1
+          }
+          Row(r.getLong(0), if (all) 1L else 0L)
+        }
+      }(Encoders.row(probeSchema))
   }
 }

@@ -171,6 +171,13 @@ object Quantiles {
     * lower bound), `exact_` replays the identical rank machinery on the
     * per-VALUE histogram, and `est ≤ exact < est·(1+1/32) + 1` is the
     * sketch's one-sided guarantee (spec-pinned).
+    *
+    * The two consumers deliberately re-scan the source rather than
+    * share a cached projection: measured at sf0.1, caching was a small
+    * net LOSS (the scan is cheaper than the materialization) and would
+    * add a caller-releases obligation. At 100 TB the audit path is the
+    * optional half — production profiles run `quantileSketch` +
+    * `rankPick` alone.
     */
   def quantileReport(df: DataFrame, valueCol: String,
       groupCols: Seq[String], qsPermille: Seq[Int]): DataFrame = {
