@@ -906,6 +906,69 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): all four grouping-set levels
+    * with the grouping id disambiguating the coalesced ALLs — rollup's
+    * full-lattice sibling.
+    */
+  def relCubePricing(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("cnt"), sum(cents("l_quantity")).as("sum_qty_c"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("cnt"), col("sum_qty_c"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  val relCubePricingSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** 7-day moving revenue via a RANGE window frame (value-based, the
+    * frame kind `rowsBetween` windows don't cover): daily totals first,
+    * then `RANGE BETWEEN 6 PRECEDING` over the integer epoch-day — a
+    * gap-aware trailing week (missing days shrink the frame, which a
+    * ROWS frame would silently misread). The window runs over the
+    * POST-AGGREGATE daily frame — rows are calendar days, structurally
+    * bounded, so the unpartitioned ordering is not a data-sized
+    * single-task sort. The day bucket is calendar date arithmetic
+    * (`datediff` from the epoch date) — the timestamp is NTZ, and an
+    * epoch-millis conversion would interpret it in the session
+    * timezone; date subtraction is tz-free in both engines.
+    */
+  def relMovingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, dir, "orders")
+      .select(expr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') " +
+          "AS BIGINT)").as("day"),
+        cents("o_totalprice").as("p"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("rev_c"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    daily.withColumn("rev_7d_c", sum(col("rev_c")).over(w))
+      .orderBy("day")
+  }
+
+  val relMovingRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |    AS BIGINT) AS day,
+      |    count(*) AS n_orders,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1)
+      |SELECT day, n_orders, rev_c,
+      |  CAST(sum(rev_c) OVER (ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_7d_c
+      |FROM daily
+      |ORDER BY day""".stripMargin
+
   /** Set operations: nations with customers, intersected with / minus
     * nations with suppliers (INTERSECT and EXCEPT legs, tagged).
     */
@@ -4061,6 +4124,8 @@ object Queries {
     "rel_session_stats" -> relSessionStats _,
     "rel_asof_signup" -> relAsofSignup _,
     "rel_rollup_pricing" -> relRollupPricing _,
+    "rel_cube_pricing" -> relCubePricing _,
+    "rel_moving_revenue" -> relMovingRevenue _,
     "rel_nations_set" -> relNationsSet _,
     "rel_cust_no_orders" -> relCustNoOrders _,
     "text_token_counts" -> textTokenCounts _,
@@ -4170,6 +4235,8 @@ object Queries {
     "rel_session_stats" -> relSessionStatsSql,
     "rel_asof_signup" -> relAsofSignupSql,
     "rel_rollup_pricing" -> relRollupPricingSql,
+    "rel_cube_pricing" -> relCubePricingSql,
+    "rel_moving_revenue" -> relMovingRevenueSql,
     "rel_nations_set" -> relNationsSetSql,
     "rel_cust_no_orders" -> relCustNoOrdersSql,
     "text_token_counts" -> textTokenCountsSql,
