@@ -113,6 +113,18 @@ object DriveCurationScale {
         graft.ops.QualityModel.weightsPath)
       force(graft.ops.QualityModel.scoreDocs(docs, "doc_id", "text", m))
     }
+    timed("DSIR_SCORE") {
+      val w = graft.ops.Dsir.loadWeights(spark, graft.ops.Dsir.weightsPath)
+      force(graft.ops.Dsir.scoreDocs(docs, "doc_id", "text", w))
+    }
+    timed("BPE_TOKENS") {
+      val m = graft.ops.Bpe.loadMerges(spark, graft.ops.Bpe.mergesPath)
+      force(graft.ops.Bpe.tokenStats(docs, "doc_id", "text", m))
+    }
+    timed("TEMPERATURE_QUOTA") {
+      force(graft.ops.Sampling.temperatureQuotaSample(
+        docs.select("doc_id", "lang"), "doc_id", "lang", n / 16))
+    }
     timed("QUOTA_REBALANCE") {
       force(graft.ops.Sampling.quotaSample(
         docs.select("doc_id", "lang"), "doc_id", "lang",
