@@ -718,8 +718,12 @@ object Queries {
   def sketchQuantilesDaily(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Quantiles.quantileReport(
       table(spark, dir, "events").select(
-        // ts is non-negative long nanos (TESTDATA): DIV == floor here
-        expr("ts DIV 86400000000000").as("day"),
+        // FLOORED day division via pmod: Spark DIV truncates toward
+        // zero while DuckDB // floors, so a pre-1970 timestamp would
+        // split the mirrors under plain DIV (fixture data is
+        // post-epoch, but the mirror should be exact by construction)
+        expr("(ts - ((ts % 86400000000000) + 86400000000000) % " +
+          "86400000000000) DIV 86400000000000").as("day"),
         expr("CAST(FLOOR(value) AS BIGINT)").as("v")),
       "v", Seq("day"), Seq(500, 990))
       .orderBy("day", "q_permille")
