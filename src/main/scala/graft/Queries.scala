@@ -1249,6 +1249,103 @@ object Queries {
        |ORDER BY dsir_pg_micro DESC, doc_id
        |LIMIT 200""".stripMargin
 
+  /** Trained-LM perplexity scoring (CCNet-style): per-doc token count,
+    * OOV count, total and per-token NLL in micros against the committed
+    * stupid-backoff bigram LM. One broadcast narrow pass, no shuffle.
+    */
+  def textLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.ops.NgramLm.loadModel(spark, graft.ops.NgramLm.modelPath)
+    graft.ops.NgramLm.scoreDocs(table(spark, dir, "documents"),
+      "doc_id", "text", m)
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle core for the LM queries: per-position stupid-backoff
+    * costs from the committed artifact — first token scores on the
+    * unigram (OOV floor when absent), later tokens on the bigram when
+    * the capped table has it, else α + unigram. All integers; the
+    * scalar meta lookups are the committed α/OOV constants.
+    */
+  private lazy val lmScoredSql: String =
+    s"""lm AS (SELECT kind, h, cost_micro
+       |       FROM read_parquet('${graft.ops.NgramLm.modelPath}/*.parquet')),
+       |lmtoks AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |lmpos AS (
+       |  SELECT doc_id, lang, t,
+       |    unnest(generate_series(1, len(t))) AS i
+       |  FROM lmtoks),
+       |lmstr AS (
+       |  SELECT doc_id, lang, i, t[i] AS tok,
+       |    CASE WHEN i > 1 THEN t[i-1] || ' ' || t[i] END AS big
+       |  FROM lmpos),
+       |lmuh AS (SELECT doc_id, i, ($shingleHash60Sql) AS h
+       |         FROM (SELECT doc_id, i, tok AS shingle FROM lmstr)),
+       |lmbh AS (SELECT doc_id, i, ($shingleHash60Sql) AS h
+       |         FROM (SELECT doc_id, i, big AS shingle FROM lmstr
+       |               WHERE big IS NOT NULL)),
+       |lmcosts AS (
+       |  SELECT s.doc_id, s.lang,
+       |    CASE WHEN u.cost_micro IS NULL THEN 1 ELSE 0 END AS oov,
+       |    CASE
+       |      WHEN s.i = 1 THEN coalesce(u.cost_micro,
+       |        (SELECT cost_micro FROM lm WHERE kind = 'meta' AND h = 1))
+       |      WHEN b.cost_micro IS NOT NULL THEN b.cost_micro
+       |      ELSE (SELECT cost_micro FROM lm WHERE kind = 'meta' AND h = 0)
+       |        + coalesce(u.cost_micro,
+       |            (SELECT cost_micro FROM lm WHERE kind = 'meta' AND h = 1))
+       |    END AS c
+       |  FROM lmstr s
+       |  JOIN lmuh ON lmuh.doc_id = s.doc_id AND lmuh.i = s.i
+       |  LEFT JOIN lm u ON u.kind = 'uni' AND u.h = lmuh.h
+       |  LEFT JOIN lmbh ON lmbh.doc_id = s.doc_id AND lmbh.i = s.i
+       |  LEFT JOIN lm b ON b.kind = 'bi' AND b.h = lmbh.h),
+       |lmscored AS (
+       |  SELECT doc_id, any_value(lang) AS lang,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(oov) AS BIGINT) AS n_oov,
+       |    CAST(sum(c) AS BIGINT) AS nll_micro,
+       |    -- nll ≥ 0 (every cost is −ln p, p ≤ 1): plain floor division
+       |    CAST(sum(c) // count(*) AS BIGINT) AS nll_pt_micro
+       |  FROM lmcosts GROUP BY doc_id)""".stripMargin
+
+  lazy val textLmPerplexitySql: String =
+    s"""WITH $lmScoredSql
+       |SELECT doc_id, n_tokens, n_oov, nll_micro, nll_pt_micro
+       |FROM lmscored ORDER BY doc_id""".stripMargin
+
+  /** The CCNet perplexity gate: bucket per-token NLL by the committed
+    * tercile cuts (head/middle/tail) and keep head+middle, with `lang`
+    * carried through the narrow pass (no join-back).
+    */
+  def samplePerplexityGate(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.ops.NgramLm.loadModel(spark, graft.ops.NgramLm.modelPath)
+    val scored = graft.ops.NgramLm.scoreDocs(table(spark, dir, "documents"),
+      "doc_id", "text", m, passthrough = Seq("lang"))
+    graft.ops.NgramLm.perplexityGate(scored, m)
+      .select(col("doc_id"), col("lang"), col("nll_pt_micro"),
+        col("ppl_bucket"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  lazy val samplePerplexityGateSql: String =
+    s"""WITH $lmScoredSql
+       |SELECT doc_id, lang, nll_pt_micro,
+       |  CASE
+       |    WHEN nll_pt_micro <=
+       |      (SELECT cost_micro FROM lm WHERE kind = 'meta' AND h = 2)
+       |      THEN 'head'
+       |    WHEN nll_pt_micro <=
+       |      (SELECT cost_micro FROM lm WHERE kind = 'meta' AND h = 3)
+       |      THEN 'middle'
+       |    ELSE 'tail' END AS ppl_bucket,
+       |  nll_pt_micro <=
+       |    (SELECT cost_micro FROM lm WHERE kind = 'meta' AND h = 3) AS keep
+       |FROM lmscored ORDER BY doc_id""".stripMargin
+
   /** Distinct corpus words (text-not-null docs) for the BPE oracle
     * chain — the tokenize-then-merge loop runs per distinct word, never
     * per occurrence, on both sides.
@@ -4138,6 +4235,8 @@ object Queries {
     "text_repetition" -> textRepetition _,
     "text_gopher_repetition" -> textGopherRepetition _,
     "text_dsir_score" -> textDsirScore _,
+    "text_lm_perplexity" -> textLmPerplexity _,
+    "sample_perplexity_gate" -> samplePerplexityGate _,
     "text_bpe_tokens" -> textBpeTokens _,
     "bpe_vocab_top" -> bpeVocabTop _,
     "sample_dsir_topk" -> sampleDsirTopk _,
@@ -4288,6 +4387,8 @@ object Queries {
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "text_lm_fluency" -> textLmFluencySql,
     "text_dsir_score" -> textDsirScoreSql,
+    "text_lm_perplexity" -> textLmPerplexitySql,
+    "sample_perplexity_gate" -> samplePerplexityGateSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "bpe_vocab_top" -> bpeVocabTopSql,
     "sample_dsir_topk" -> sampleDsirTopkSql,
