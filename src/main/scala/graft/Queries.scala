@@ -1346,6 +1346,63 @@ object Queries {
        |    (SELECT cost_micro FROM lm WHERE kind = 'meta' AND h = 3) AS keep
        |FROM lmscored ORDER BY doc_id""".stripMargin
 
+  /** Trained language-ID (char-trigram Naive Bayes) over the
+    * deterministically marker-enriched text — the fixture text itself
+    * is language-uniform, so the enrichment injects the signal the way
+    * `text_pii_scrub` injects PII (non-vacuous by construction); the
+    * oracle certifies the trained artifact, the integer scoring, and
+    * the argmax tie discipline. One broadcast narrow pass.
+    */
+  def textLangidModel(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.ops.LangIdModel.loadModel(
+      spark, graft.ops.LangIdModel.modelPath)
+    val docs = table(spark, dir, "documents")
+      .withColumn("__etext", graft.ops.LangIdModel.enrichedCol(
+        col("text"), col("lang"), col("doc_id")))
+    graft.ops.LangIdModel.predictDocs(docs, "doc_id", "lang", "__etext", m)
+      .orderBy("doc_id")
+  }
+
+  lazy val textLangidModelSql: String =
+    s"""WITH nb AS (
+       |  SELECT lang AS mlang, bucket, theta_micro
+       |  FROM read_parquet('${graft.ops.LangIdModel.modelPath}/*.parquet')),
+       |lidocs AS (
+       |  SELECT doc_id, lang, ${graft.ops.LangIdModel.enrichedSql} AS etext
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |litri AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, length(etext) - 2)) AS i, etext
+       |  FROM lidocs),
+       |libk AS (
+       |  SELECT doc_id, ($shingleHash60Sql) % 1024 AS bucket
+       |  FROM (SELECT doc_id, substr(etext, CAST(i AS INTEGER), 3)
+       |          AS shingle FROM litri)),
+       |licnt AS (
+       |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+       |  FROM libk GROUP BY doc_id, bucket),
+       |lisum AS (
+       |  SELECT licnt.doc_id, nb.mlang,
+       |    CAST(sum(licnt.c * nb.theta_micro) AS BIGINT) AS tsum
+       |  FROM licnt JOIN nb USING (bucket)
+       |  GROUP BY licnt.doc_id, nb.mlang),
+       |liscore AS (
+       |  SELECT d.doc_id, p.mlang,
+       |    p.theta_micro + coalesce(s.tsum, 0) AS score
+       |  FROM lidocs d
+       |  CROSS JOIN (SELECT mlang, theta_micro FROM nb WHERE bucket = -1) p
+       |  LEFT JOIN lisum s
+       |    ON s.doc_id = d.doc_id AND s.mlang = p.mlang),
+       |lipred AS (
+       |  SELECT doc_id, mlang, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, mlang ASC) AS rn
+       |  FROM liscore)
+       |SELECT d.doc_id, d.lang AS lang_true, p.mlang AS lang_pred,
+       |  d.lang = p.mlang AS correct
+       |FROM lidocs d JOIN lipred p ON p.doc_id = d.doc_id AND p.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Distinct corpus words (text-not-null docs) for the BPE oracle
     * chain — the tokenize-then-merge loop runs per distinct word, never
     * per occurrence, on both sides.
@@ -4237,6 +4294,7 @@ object Queries {
     "text_dsir_score" -> textDsirScore _,
     "text_lm_perplexity" -> textLmPerplexity _,
     "sample_perplexity_gate" -> samplePerplexityGate _,
+    "text_langid_model" -> textLangidModel _,
     "text_bpe_tokens" -> textBpeTokens _,
     "bpe_vocab_top" -> bpeVocabTop _,
     "sample_dsir_topk" -> sampleDsirTopk _,
@@ -4389,6 +4447,7 @@ object Queries {
     "text_dsir_score" -> textDsirScoreSql,
     "text_lm_perplexity" -> textLmPerplexitySql,
     "sample_perplexity_gate" -> samplePerplexityGateSql,
+    "text_langid_model" -> textLangidModelSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "bpe_vocab_top" -> bpeVocabTopSql,
     "sample_dsir_topk" -> sampleDsirTopkSql,
