@@ -3776,6 +3776,45 @@ object Queries {
        |  sim < 250000 AS is_outlier
        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Cluster-prototype pruning (SSL-prototypes): within each trained
+    * IVF cell, rank by cosine to the centroid and drop the most
+    * prototypical 30% — the abundant-data pruning rule. One broadcast
+    * assignment pass + one exchange on the cell id.
+    */
+  def sampleClusterPrune(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = Codebooks.loadCoarse(spark, Codebooks.coarsePath)
+    Similarity.clusterPrune(table(spark, dir, "embeddings"),
+      "vec_id", "embedding", coarse, prunePermille = 300L)
+      .orderBy("vec_id")
+  }
+
+  val sampleClusterPruneSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |cent AS (SELECT cw AS cid, w AS ce
+       |  FROM read_parquet('${Codebooks.coarsePath}/*.parquet')),
+       |sims AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CASE WHEN list_inner_product(v.e, v.e) = 0
+       |           OR list_inner_product(c.ce, c.ce) = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor(1000000 * list_inner_product(v.e, c.ce) /
+       |      (sqrt(list_inner_product(v.e, v.e)) *
+       |       sqrt(list_inner_product(c.ce, c.ce)))) AS BIGINT) END AS sim
+       |  FROM v CROSS JOIN cent c),
+       |asg AS (
+       |  SELECT vec_id, cid, sim, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |  FROM sims),
+       |rk AS (
+       |  SELECT vec_id, cid AS cell, sim AS sim_micro,
+       |    row_number() OVER (
+       |      PARTITION BY cid ORDER BY sim DESC, vec_id) AS rnk,
+       |    count(*) OVER (PARTITION BY cid) AS cell_n
+       |  FROM asg WHERE rn = 1)
+       |SELECT vec_id, cell, sim_micro, CAST(rnk AS BIGINT) AS rnk,
+       |  rnk > (cell_n * 300) // 1000 AS keep
+       |FROM rk ORDER BY vec_id""".stripMargin
+
   /** Image dedup DECISION: the dHash near-dup pairs fold into
     * connected components and every image maps to its cluster's
     * smallest asset id (`DedupOps.nearDupKeepMap` over
@@ -4359,7 +4398,8 @@ object Queries {
     "pack_shard_stats" -> packShardStats _,
     "mix_rebalance" -> mixRebalance _,
     "sample_temperature" -> sampleTemperature _,
-    "emb_outliers" -> embOutliers _
+    "emb_outliers" -> embOutliers _,
+    "sample_cluster_prune" -> sampleClusterPrune _
   )
 
   val oracles: Map[String, String] = Map(
@@ -4469,6 +4509,7 @@ object Queries {
     "pack_shard_stats" -> packShardStatsSql,
     "mix_rebalance" -> mixRebalanceSql,
     "sample_temperature" -> sampleTemperatureSql,
-    "emb_outliers" -> embOutliersSql
+    "emb_outliers" -> embOutliersSql,
+    "sample_cluster_prune" -> sampleClusterPruneSql
   )
 }

@@ -1003,6 +1003,44 @@ object Similarity extends Serializable {
       }(Encoders.row(outSchema))
   }
 
+  /** Cluster-prototype pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486): in the abundant-data regime the
+    * best pruning metric KEEPS the hard examples — rank every vector
+    * within its (trained) cluster by cosine to the centroid and drop
+    * the most PROTOTYPICAL `prunePermille`/1000 of each cluster. The
+    * SSL-prototypes metric is exactly this distance-to-own-centroid
+    * rank, computed here on the same trained coarse quantizer the IVF
+    * ladder ships (floored-micro cosine, ties to the smaller cell,
+    * then to the smaller id — fully deterministic).
+    *
+    * Output: (id, cell, sim_micro, rnk, keep) — `rnk` 1 = most
+    * prototypical; `keep` = rnk past the pruned prefix,
+    * `rnk > ⌊cell_n · permille / 1000⌋`.
+    *
+    * Physical plan for scale: assignment is the `centroidOutliers`
+    * narrow broadcast pass (no shuffle); the rank needs ONE exchange on
+    * the cell id — the IVF cell is the partition unit, per-task work is
+    * bounded by the cell size, and both window functions (rank + cell
+    * count) share the single partitioning. No driver materialization
+    * anywhere.
+    */
+  def clusterPrune(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], prunePermille: Long): DataFrame = {
+    require(prunePermille >= 0L && prunePermille <= 1000L,
+      s"prunePermille $prunePermille outside [0, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = centroidOutliers(df, idCol, vecCol, centroids,
+      minSimMicro = Long.MinValue).drop("is_outlier")
+    val byCell = Window.partitionBy("cell")
+    val rankW = byCell.orderBy(col("sim_micro").desc, col(idCol))
+    assigned
+      .withColumn("rnk", row_number().over(rankW).cast(LongType))
+      .withColumn("__cell_n", count(lit(1)).over(byCell))
+      .withColumn("keep",
+        col("rnk") > expr(s"__cell_n * $prunePermille DIV 1000"))
+      .drop("__cell_n")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the same deterministic
     * coarse quantizer as `ivfTopK` (centroids = the `nlist` smallest-id

@@ -368,4 +368,39 @@ class PackingAndScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(zc == Set((1L, 0L), (2L, 0L)))
   }
+
+  test("clusterPrune: drops the most-prototypical permille of each cell, " +
+    "rank deterministic under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cell 0: ids 1-4 at descending sim; cell 1: ids 5-6
+    val df = Seq(
+      (1L, Seq(1f, 0f)),        // sim 1000000 — most prototypical
+      (2L, Seq(5f, 1f)),        // sim ~980580
+      (3L, Seq(2f, 1f)),        // sim ~894427
+      (4L, Seq(1f, 1f)),        // sim 707106 (tie → cell 0)
+      (5L, Seq(0f, 2f)),        // cell 1, sim 1000000
+      (6L, Seq(1f, 3f)))        // cell 1, sim ~948683
+      .toDF("vec_id", "embedding")
+    // 300‰ of 4 = ⌊1.2⌋ = 1 dropped in cell 0; ⌊0.6⌋ = 0 in cell 1
+    val out = Similarity.clusterPrune(df.repartition(3), "vec_id",
+      "embedding", cents, prunePermille = 300L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out(1L) == ((0L, 1L, false)))   // pruned: rank 1 of cell 0
+    assert(out(2L) == ((0L, 2L, true)))
+    assert(out(3L) == ((0L, 3L, true)))
+    assert(out(4L) == ((0L, 4L, true)))
+    assert(out(5L) == ((1L, 1L, true)))    // cell 1 prunes nobody
+    assert(out(6L) == ((1L, 2L, true)))
+    // permille edges: 0 keeps everything, 1000 drops everything
+    val all = Similarity.clusterPrune(df, "vec_id", "embedding", cents, 0L)
+      .collect().map(_.getBoolean(4))
+    assert(all.forall(identity))
+    val none = Similarity.clusterPrune(df, "vec_id", "embedding", cents,
+      1000L).collect().map(_.getBoolean(4))
+    assert(none.forall(!_))
+  }
 }
