@@ -134,6 +134,67 @@ object Queries {
       |    AND e.event_id > f.a_id AND e.event_id < f.b_id)
       |ORDER BY f.user_id, f.a_id""".stripMargin
 
+  /** Multi-query shared-scan CEP (`SparkCep.matchPatternsShared`): three
+    * registry patterns over ONE events scan, ONE union pushdown filter,
+    * and ONE key shuffle — the at-scale deployment shape, where the
+    * 100 TB read and the exchange amortize across the whole query set.
+    * Output is the canonical `(qname, user_id, binding)` reporting form;
+    * the oracle is the UNION ALL of the constituent oracles rendered to
+    * the same binding string, so a hash match proves the shared pass
+    * produces exactly the union of the per-query match sets.
+    */
+  def cepMultiShared(spark: SparkSession, dir: String): DataFrame =
+    SparkCep.matchPatternsShared(table(spark, dir, "events"),
+      Seq(
+        "spat_purchase" -> cepSpatPurchaseQuery,
+        "next_signup_purchase" -> cepNextSignupPurchaseQuery,
+        "not_followed_by_purchase" -> cepNotFollowedByPurchaseQuery),
+      eventSpec)
+      .orderBy("qname", "user_id", "binding")
+
+  val cepMultiSharedSql: String =
+    """WITH spat AS (
+      |  SELECT 'spat_purchase' AS qname, user_id,
+      |    CAST(event_id AS VARCHAR) AS binding
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND CAST(FLOOR(value) AS BIGINT) < 40),
+      |nxt AS (
+      |  SELECT 'next_signup_purchase' AS qname, user_id,
+      |    CAST(event_id AS VARCHAR) || ';' || CAST(next_id AS VARCHAR)
+      |      AS binding
+      |  FROM (
+      |    SELECT user_id, event_id, event_type,
+      |      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |        AS next_type,
+      |      LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+      |        AS next_id
+      |    FROM events) t
+      |  WHERE event_type = 'signup' AND next_type = 'purchase'),
+      |s AS (
+      |  SELECT user_id, event_id AS a_id FROM events
+      |  WHERE event_type = 'signup'),
+      |p AS (
+      |  SELECT user_id, event_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |fp AS (
+      |  SELECT s.user_id, s.a_id, min(p.event_id) AS b_id
+      |  FROM s JOIN p ON p.user_id = s.user_id AND p.event_id > s.a_id
+      |  GROUP BY 1, 2),
+      |nfb AS (
+      |  SELECT 'not_followed_by_purchase' AS qname, f.user_id,
+      |    CAST(f.a_id AS VARCHAR) || ';' || CAST(f.b_id AS VARCHAR)
+      |      AS binding
+      |  FROM fp f
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM events e
+      |    WHERE e.user_id = f.user_id AND e.event_type = 'error'
+      |      AND e.event_id > f.a_id AND e.event_id < f.b_id))
+      |SELECT qname, user_id, binding FROM (
+      |  SELECT * FROM spat
+      |  UNION ALL SELECT * FROM nxt
+      |  UNION ALL SELECT * FROM nfb)
+      |ORDER BY qname, user_id, binding""".stripMargin
+
   /** Beyond-parity negative pattern (FlinkCEP `notNext`): signup
     * immediately followed by a purchase that is NOT cheap (`value < 50`
     * negated) — a cheap purchase right after the signup is a stop, not a
@@ -4308,6 +4369,7 @@ object Queries {
     "cep_iter_budget" -> cepIterBudget _,
     "cep_until_error_runs" -> cepUntilErrorRuns _,
     "cep_agg_match_counts" -> cepAggMatchCounts _,
+    "cep_multi_shared" -> cepMultiShared _,
     "rel_q1_pricing" -> relQ1Pricing _,
     "rel_q3_top_orders" -> relQ3TopOrders _,
     "rel_nation_stats" -> relNationStats _,
@@ -4417,6 +4479,7 @@ object Queries {
     "cep_gpat_inf_sp" -> cepGpatInfSpSql,
     "cep_until_error_runs" -> cepUntilErrorRunsSql,
     "cep_agg_match_counts" -> cepAggMatchCountsSql,
+    "cep_multi_shared" -> cepMultiSharedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "emb_near_dup_lsh" -> embNearDupLshSql,

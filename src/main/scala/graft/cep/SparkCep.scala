@@ -170,6 +170,115 @@ object SparkCep {
     if (spec.keyCol.isEmpty) out.drop(keyName) else out
   }
 
+  /** Multi-query shared-scan CEP: run `queries` (name → pattern) over ONE
+    * scan, ONE pre-NFA filter, ONE key shuffle and ONE in-partition sort,
+    * feeding every event through all compiled DSTs side by side. At corpus
+    * scale this amortizes the dominant costs — the 100 TB read and the
+    * key exchange — across the whole query set instead of paying them per
+    * pattern (k patterns ≈ 1× scan + k× NFA cost, vs k× everything when
+    * run separately).
+    *
+    * Pushdown: the shared stream keeps every event that ANY query's
+    * individual prefilter would keep (the OR of the per-query filters; no
+    * filter at all if any query declines one). Correctness: the events the
+    * union filter drops are dropped by EVERY per-query filter, and each
+    * per-query filter only ever drops events that are semantically
+    * invisible to its own pattern (`prefilter`'s proof) — so each DST sees
+    * a stream between its own filtered stream and the full stream, and
+    * both ends of that sandwich have identical match sets for it.
+    *
+    * Output (a terminal/reporting shape — compose per-query operators when
+    * downstream needs typed bindings): `(qname, <key>, binding)` with
+    * `binding` = the bound order-ids, `','`-joined within a pattern
+    * component and `';'`-joined across components in declared order.
+    */
+  def matchPatternsShared(df: DataFrame, queries: Seq[(String, CepQuery)],
+      spec: CepSpec, maxRunsPerKey: Option[Int] = None,
+      skewAcc: Option[CepSkewAccumulator] = None): DataFrame = {
+    require(queries.nonEmpty, "matchPatternsShared needs >= 1 query")
+    val keyName = spec.keyCol.getOrElse("__global")
+    queries.foreach { case (_, q) =>
+      checkWithinStateBound(q, maxRunsPerKey, streaming = false)
+    }
+    // union pushdown: OR of the individual filters, or nothing if any
+    // query needs the full stream
+    val filters = queries.map { case (_, q) => prefilter(q, spec) }
+    val unionFilter: Option[Column] =
+      if (filters.forall(_.isDefined)) Some(filters.flatten.reduce(_ || _))
+      else None
+    val attrNames: Vector[String] =
+      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
+    val keyExprC = keyExpr(df, spec)
+    val source0 = unionFilter match {
+      case Some(cond) => df.filter(cond)
+      case None       => df
+    }
+    val source = spec.keyCol match {
+      case Some(k) => source0.filter(col(k).isNotNull)
+      case None    => source0
+    }
+    val prepared = source.select(
+      keyExprC.as("__key") +:
+        col(spec.orderCol).cast(LongType).as("__ord") +:
+        col(spec.typeCol).cast(StringType).as("__type") +:
+        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*
+    )
+    val parted = spec.keyCol match {
+      case Some(_) =>
+        prepared.repartition(col("__key"))
+          .sortWithinPartitions(col("__key"), col("__ord"))
+      case None =>
+        prepared.repartition(1).sortWithinPartitions(col("__ord"))
+    }
+    val outSchema = StructType(Seq(
+      StructField("qname", StringType, nullable = false),
+      StructField(keyName, LongType, nullable = false),
+      StructField("binding", StringType, nullable = false)))
+    val orderName = attrNames.head
+    val qSeq = queries.toVector
+
+    val out = parted.mapPartitions { rows =>
+      val names = qSeq.map(_._1)
+      val piNamesByQ = qSeq.map { case (_, q) => patternNames(q.patseq) }
+      val executors = qSeq.map { case (_, q) =>
+        new Executor(DstCompiler.compile(q), q.strategy, maxRunsPerKey,
+          q.within, q.withinTime)
+      }
+      val acc = skewAcc.orNull
+      var curKey = 0L
+      var started = false
+      rows.flatMap { row =>
+        val key = row.getLong(0)
+        if (!started || key != curKey) {
+          executors.foreach(_.reset()); curKey = key; started = true
+        }
+        val attrs = Vector.newBuilder[(String, Long)]
+        attrs += orderName -> row.getLong(1)
+        var i = 3
+        while (i < row.length) {
+          if (!row.isNullAt(i))
+            attrs += attrNames(i - 2) -> row.getLong(i)
+          i += 1
+        }
+        val ev = Event(row.getString(2), attrs.result())
+        executors.indices.flatMap { qi =>
+          val matches = executors(qi).feed(ev)
+          if (acc != null) acc.add((key, executors(qi).runCount.toLong))
+          matches.map { m =>
+            val byName = m.toMap
+            val binding = piNamesByQ(qi).map { n =>
+              byName.getOrElse(n, Vector.empty)
+                .map(_(orderName)).mkString(",")
+            }.mkString(";")
+            Row(names(qi), key, binding)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+
+    if (spec.keyCol.isEmpty) out.drop(keyName) else out
+  }
+
   /** The `within`-caveat contract, enforced at operator construction
     * (driver side, once): when a window is set on a pattern whose runs
     * can persist without taking (`Dst.hasUntakenIgnorePrefix` — see the
