@@ -18,11 +18,49 @@ import graft.cep.SparkCep.CepSpec
 object Queries {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries timestamp[ns] (TESTDATA schema), which Spark 4
-    // rejects by default; read it as long (we never consume ts directly).
+    // Tolerate a timestamp[ns] fixture revert: with this flag set, ns
+    // columns read as long and land in the LongType branch below instead
+    // of failing the scan outright.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"), s"$dir/$name.parquet")
   }
+
+  /** Canonical event-time: `ts` is always LONG EPOCH MICROS after this —
+    * every downstream consumer (session gap, day bucket, within-time
+    * window) does integer micros arithmetic, and the DuckDB oracles
+    * mirror it with `epoch_us(ts)`.
+    *
+    * The fixture's physical type has drifted across driver rounds
+    * (timestamp[ns] through r5, timestamp[us]/TIMESTAMP_NTZ since r6 —
+    * the r6/r7 silent breakage), so the normalization is by *type*, not
+    * by assumption, and an unrecognized type fails LOUDLY naming the
+    * drift instead of letting queries die one by one downstream.
+    *
+    * TIMESTAMP_NTZ → micros uses `timestampdiff` from the epoch NTZ
+    * literal: pure wall-clock arithmetic, independent of
+    * `spark.sql.session.timeZone` (a `cast(ts as timestamp)` detour
+    * would shift by the session zone — verified off-by-5h under
+    * America/New_York). This matches DuckDB's `epoch_us` on naive
+    * timestamps exactly.
+    */
+  private[graft] def normalizeTs(df: DataFrame, where: String): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case None => df
+      case Some(f) => f.dataType match {
+        case TimestampNTZType =>
+          df.withColumn("ts", expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+        case TimestampType =>
+          df.withColumn("ts", unix_micros(col("ts")))
+        case LongType => // legacy nanosAsLong read of timestamp[ns]
+          df.withColumn("ts", expr("(ts - pmod(ts, 1000)) DIV 1000"))
+        case other => throw new IllegalStateException(
+          s"FIXTURE SCHEMA DRIFT: $where carries ts: ${other.sql}; this " +
+            "engine knows TIMESTAMP_NTZ (us), TIMESTAMP, and LONG (legacy " +
+            "nanosAsLong). Teach Queries.normalizeTs the new type and " +
+            "re-check every ts consumer + oracle (epoch_us arithmetic).")
+      }
+    }
 
   /** events → CEP event model mapping (FIXTURES.md §3): keyed by user,
     * ordered by the monotone event_id, `value` visible to conditions as a
@@ -291,14 +329,14 @@ object Queries {
   def cepWithinTimeSignupPurchase(spark: SparkSession, dir: String)
       : DataFrame =
     SparkCep.matchPatternExec(
-      // ts reads as LONG NANOS (nanosAsLong, see `table`) — reduce to
-      // epoch seconds with FLOOR division (pmod keeps the remainder
-      // non-negative), mirroring the oracle's floor(epoch(ts)) for
-      // pre-1970 timestamps too; bare DIV truncates toward zero and
-      // would split the mirrors one second on negative nanos.
+      // ts is LONG EPOCH MICROS (normalizeTs) — reduce to epoch seconds
+      // with FLOOR division (pmod keeps the remainder non-negative),
+      // mirroring the oracle's floor(epoch(ts)) for pre-1970 timestamps
+      // too; bare DIV truncates toward zero and would split the mirrors
+      // one second on negative micros.
       table(spark, dir, "events")
         .withColumn("ts_sec",
-          expr("(ts - pmod(ts, 1000000000)) DIV 1000000000")),
+          expr("(ts - pmod(ts, 1000000)) DIV 1000000")),
       cepWithinTimeSignupPurchaseQuery, eventSpecTs)
       .select(col("user_id"), element_at(col("a"), 1).as("a_id"),
         element_at(col("b"), 1).as("b_id"))
@@ -772,8 +810,8 @@ object Queries {
 
   /** Per-DAY event-value percentiles via the same sketch — the batch
     * form of `StreamingSessions.windowedQuantileSketch`'s per-window
-    * profile, oracle-gated. The day bucket is pure integer nanos
-    * division (`epoch_ns` in the oracle — exact int64, where `epoch`'s
+    * profile, oracle-gated. The day bucket is pure integer micros
+    * division (`epoch_us` in the oracle — exact int64, where `epoch`'s
     * double seconds loses sub-second precision past 2^53).
     */
   def sketchQuantilesDaily(spark: SparkSession, dir: String): DataFrame =
@@ -783,15 +821,15 @@ object Queries {
         // zero while DuckDB // floors, so a pre-1970 timestamp would
         // split the mirrors under plain DIV (fixture data is
         // post-epoch, but the mirror should be exact by construction)
-        expr("(ts - ((ts % 86400000000000) + 86400000000000) % " +
-          "86400000000000) DIV 86400000000000").as("day"),
+        expr("(ts - ((ts % 86400000000) + 86400000000) % " +
+          "86400000000) DIV 86400000000").as("day"),
         expr("CAST(FLOOR(value) AS BIGINT)").as("v")),
       "v", Seq("day"), Seq(500, 990))
       .orderBy("day", "q_permille")
 
   val sketchQuantilesDailySql: String = quantileReportOracle(
     """
-      |  SELECT CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS g,
+      |  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS g,
       |    CAST(FLOOR(value) AS BIGINT) AS v
       |  FROM events
       |  WHERE value IS NOT NULL AND CAST(FLOOR(value) AS BIGINT) >= 0""".stripMargin,
@@ -888,15 +926,14 @@ object Queries {
   /** Gap-based sessionization (4h inactivity splits a session) — the
     * batch formulation of a streaming session window: lag + cumulative
     * split-count per user, then per-session aggregates. The event
-    * timestamp is read as nanos (long) and reduced to exact micros.
+    * timestamp is canonical long micros (`normalizeTs`), used directly.
     */
   def relSessionStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     val gapUs = 14400000000L // 4 hours
-    val us = expr("ts div 1000")
     table(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), us.as("us"))
+      .select(col("user_id"), col("event_id"), col("ts").as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
       .withColumn("session_id",
         sum(when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs,

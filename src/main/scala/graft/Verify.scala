@@ -18,9 +18,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A crashed query must leave a COUNTABLE artifact, not a vanished key:
+    // in rounds 6-7 three queries crashed at plan time and the
+    // catch-and-continue here silently dropped them from the correctness
+    // report for two rounds. Now every failure writes a _FAILED_<name>
+    // sentinel (exception class + message), all failures are summarized in
+    // errors.json, and the run ends with an n_ok/n_total line.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val ran = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    ran.foreach { case (name, fn) =>
       // ops cache/checkpoint intermediates (shingle index, signatures, CC
       // rounds) for their own self-joins; the scope releases every block
       // persisted by the query once its result is written
@@ -29,7 +36,10 @@ object Verify {
           .parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        failed(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        Files.writeString(Paths.get(s"$outDir/_FAILED_$name"), msg + "\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +57,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    println(s"[verify] n_ok=${ran.size - failed.size} n_failed=${failed.size}" +
+      s" n_total=${ran.size}" +
+      (if (failed.isEmpty) "" else s" failed=${failed.keys.mkString(",")}"))
+    // Exit 0 even with failures: the driver must still consume the good
+    // parquet dumps; the _FAILED_ sentinels + errors.json carry the bad.
     spark.stop()
   }
 }

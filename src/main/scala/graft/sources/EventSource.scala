@@ -21,11 +21,13 @@ object EventSource {
 
   /** Parquet scan. NOTE the deliberate session-wide side effect: this sets
     * `spark.sql.legacy.parquet.nanosAsLong=true` on the session (there is
-    * no per-reader option for it), so timestamp[ns] columns read as long in
-    * *every* subsequent parquet read of the session. That is the engine's
-    * one supported interpretation of nanos — events.parquet carries
-    * timestamp[ns], which Spark 4 otherwise rejects at read — and keeping
-    * it uniform session-wide means mixed-source plans agree on the type.
+    * no per-reader option for it), so a timestamp[ns] column reads as long
+    * in *every* subsequent parquet read of the session rather than failing
+    * the scan. The current fixtures carry timestamp[us] (TIMESTAMP_NTZ) —
+    * for those the flag is a no-op; it exists to keep a ns-typed fixture
+    * readable (the physical type has drifted between driver rounds).
+    * Consumers that do event-time arithmetic should normalize through
+    * `graft.Queries.normalizeTs` (canonical long epoch micros).
     */
   def parquet(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
