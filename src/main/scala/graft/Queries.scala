@@ -173,13 +173,19 @@ object Queries {
       |ORDER BY f.user_id, f.a_id""".stripMargin
 
   /** Multi-query shared-scan CEP (`SparkCep.matchPatternsShared`): three
-    * registry patterns over ONE events scan, ONE union pushdown filter,
-    * and ONE key shuffle — the at-scale deployment shape, where the
-    * 100 TB read and the exchange amortize across the whole query set.
-    * Output is the canonical `(qname, user_id, binding)` reporting form;
-    * the oracle is the UNION ALL of the constituent oracles rendered to
-    * the same binding string, so a hash match proves the shared pass
-    * produces exactly the union of the per-query match sets.
+    * registry patterns over ONE events scan and ONE key shuffle — the
+    * at-scale deployment shape, where the 100 TB read and the exchange
+    * amortize across the whole query set. NOTE: this trio runs with NO
+    * union pushdown — the strict `next_signup_purchase` member declines a
+    * prefilter (strict contiguity observes every event), which disables
+    * the OR-filter for the whole set; what this query measures is the
+    * shared scan + shared exchange, full-stream. See
+    * `cep_multi_shared_pushdown` for the trio where the union filter
+    * engages. Output is the canonical `(qname, user_id, binding)`
+    * reporting form; the oracle is the UNION ALL of the constituent
+    * oracles rendered to the same binding string, so a hash match proves
+    * the shared pass produces exactly the union of the per-query match
+    * sets.
     */
   def cepMultiShared(spark: SparkSession, dir: String): DataFrame =
     SparkCep.matchPatternsShared(table(spark, dir, "events"),
@@ -230,6 +236,66 @@ object Queries {
       |SELECT qname, user_id, binding FROM (
       |  SELECT * FROM spat
       |  UNION ALL SELECT * FROM nxt
+      |  UNION ALL SELECT * FROM nfb)
+      |ORDER BY qname, user_id, binding""".stripMargin
+
+  /** Shared-scan CEP with the union pushdown ENGAGED: every member has a
+    * prefilter (spat, relaxed lpat, relaxed NotFollowedBy), so the shared
+    * stream is the OR of the three scan-level filters — at corpus scale
+    * the dominant win on top of the shared exchange, since only
+    * {signup, purchase, error} rows ever leave the scan. Plan-pinned by
+    * `PlanRegressionSpec` (DataFilters reaches the scan, exactly one
+    * exchange); semantics pinned by `CepMultiSharedSpec`'s differential
+    * against the per-query operators.
+    */
+  def cepMultiSharedPushdown(spark: SparkSession, dir: String): DataFrame =
+    SparkCep.matchPatternsShared(table(spark, dir, "events"),
+      Seq(
+        "spat_purchase" -> cepSpatPurchaseQuery,
+        "lpat_relaxed_purchase_pairs" -> cepLpatRelaxedPurchasePairsQuery,
+        "not_followed_by_purchase" -> cepNotFollowedByPurchaseQuery),
+      eventSpec)
+      .orderBy("qname", "user_id", "binding")
+
+  val cepMultiSharedPushdownSql: String =
+    """WITH spat AS (
+      |  SELECT 'spat_purchase' AS qname, user_id,
+      |    CAST(event_id AS VARCHAR) AS binding
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND CAST(FLOOR(value) AS BIGINT) < 40),
+      |lp AS (
+      |  SELECT 'lpat_relaxed_purchase_pairs' AS qname, user_id,
+      |    CAST(a1 AS VARCHAR) || ',' || CAST(a2 AS VARCHAR) AS binding
+      |  FROM (
+      |    SELECT user_id, event_id AS a1,
+      |      LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+      |        AS a2
+      |    FROM events
+      |    WHERE event_type = 'purchase'
+      |      AND CAST(FLOOR(value) AS BIGINT) < 40) t
+      |  WHERE a2 IS NOT NULL),
+      |s AS (
+      |  SELECT user_id, event_id AS a_id FROM events
+      |  WHERE event_type = 'signup'),
+      |p AS (
+      |  SELECT user_id, event_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |fp AS (
+      |  SELECT s.user_id, s.a_id, min(p.event_id) AS b_id
+      |  FROM s JOIN p ON p.user_id = s.user_id AND p.event_id > s.a_id
+      |  GROUP BY 1, 2),
+      |nfb AS (
+      |  SELECT 'not_followed_by_purchase' AS qname, f.user_id,
+      |    CAST(f.a_id AS VARCHAR) || ';' || CAST(f.b_id AS VARCHAR)
+      |      AS binding
+      |  FROM fp f
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM events e
+      |    WHERE e.user_id = f.user_id AND e.event_type = 'error'
+      |      AND e.event_id > f.a_id AND e.event_id < f.b_id))
+      |SELECT qname, user_id, binding FROM (
+      |  SELECT * FROM spat
+      |  UNION ALL SELECT * FROM lp
       |  UNION ALL SELECT * FROM nfb)
       |ORDER BY qname, user_id, binding""".stripMargin
 
@@ -4407,6 +4473,7 @@ object Queries {
     "cep_until_error_runs" -> cepUntilErrorRuns _,
     "cep_agg_match_counts" -> cepAggMatchCounts _,
     "cep_multi_shared" -> cepMultiShared _,
+    "cep_multi_shared_pushdown" -> cepMultiSharedPushdown _,
     "rel_q1_pricing" -> relQ1Pricing _,
     "rel_q3_top_orders" -> relQ3TopOrders _,
     "rel_nation_stats" -> relNationStats _,
@@ -4517,6 +4584,7 @@ object Queries {
     "cep_until_error_runs" -> cepUntilErrorRunsSql,
     "cep_agg_match_counts" -> cepAggMatchCountsSql,
     "cep_multi_shared" -> cepMultiSharedSql,
+    "cep_multi_shared_pushdown" -> cepMultiSharedPushdownSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "emb_near_dup_lsh" -> embNearDupLshSql,

@@ -39,16 +39,26 @@ object SparkCep {
       attrCols: Seq[String]
   )
 
-  /** Shared front half of both physical formulations: semantics-preserving
+  /** Shared front half of every physical formulation: semantics-preserving
     * pre-NFA pushdown, null-key drop, key derivation, and the canonical
     * `(__key, __ord, __type, attr…)` projection.
     */
   private[graft] def prepare(df: DataFrame, query: CepQuery, spec: CepSpec)
-      : (DataFrame, Vector[String]) = {
+      : (DataFrame, Vector[String]) =
+    prepareWithFilter(df, prefilter(query, spec), spec)
+
+  /** `prepare` with the pre-NFA filter supplied by the caller — the
+    * single-query path passes its own `prefilter`, the shared multi-query
+    * path passes the OR of its members' prefilters. One implementation so
+    * the projection/null-key/key-derivation logic cannot drift between
+    * formulations.
+    */
+  private[graft] def prepareWithFilter(df: DataFrame, filter: Option[Column],
+      spec: CepSpec): (DataFrame, Vector[String]) = {
     val attrNames: Vector[String] =
       (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
     val keyExprC = keyExpr(df, spec)
-    val source0 = prefilter(query, spec) match {
+    val source0 = filter match {
       case Some(cond) => df.filter(cond) // pushes down to the parquet scan
       case None       => df
     }
@@ -191,93 +201,72 @@ object SparkCep {
     * downstream needs typed bindings): `(qname, <key>, binding)` with
     * `binding` = the bound order-ids, `','`-joined within a pattern
     * component and `';'`-joined across components in declared order.
+    *
+    * Physical form: the same Catalyst-planned operator family as the
+    * single-pattern path (`CepMultiMatchPlan`/`CepStrategy`/
+    * `CepMultiMatchExec`) — InternalRow end-to-end with declared
+    * distribution/ordering, shedding the external-Row per-event cost the
+    * typed formulation paid (4-8× on the scale probes, BENCH.md r3).
+    * Skew gauge: `skewAcc.add` fires ONCE per event with the MAX live-run
+    * count across the member DSTs (the hottest pattern on that key), so
+    * `Stats.events` counts events fed — not (event × query) — and
+    * `maxRuns` still finds the pathological key.
     */
   def matchPatternsShared(df: DataFrame, queries: Seq[(String, CepQuery)],
       spec: CepSpec, maxRunsPerKey: Option[Int] = None,
       skewAcc: Option[CepSkewAccumulator] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
     require(queries.nonEmpty, "matchPatternsShared needs >= 1 query")
     val keyName = spec.keyCol.getOrElse("__global")
     queries.foreach { case (_, q) =>
       checkWithinStateBound(q, maxRunsPerKey, streaming = false)
     }
-    // union pushdown: OR of the individual filters, or nothing if any
-    // query needs the full stream
-    val filters = queries.map { case (_, q) => prefilter(q, spec) }
-    val unionFilter: Option[Column] =
-      if (filters.forall(_.isDefined)) Some(filters.flatten.reduce(_ || _))
-      else None
-    val attrNames: Vector[String] =
-      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
-    val keyExprC = keyExpr(df, spec)
-    val source0 = unionFilter match {
-      case Some(cond) => df.filter(cond)
-      case None       => df
-    }
-    val source = spec.keyCol match {
-      case Some(k) => source0.filter(col(k).isNotNull)
-      case None    => source0
-    }
-    val prepared = source.select(
-      keyExprC.as("__key") +:
-        col(spec.orderCol).cast(LongType).as("__ord") +:
-        col(spec.typeCol).cast(StringType).as("__type") +:
-        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*
-    )
-    val parted = spec.keyCol match {
-      case Some(_) =>
-        prepared.repartition(col("__key"))
-          .sortWithinPartitions(col("__key"), col("__ord"))
-      case None =>
-        prepared.repartition(1).sortWithinPartitions(col("__ord"))
-    }
-    val outSchema = StructType(Seq(
-      StructField("qname", StringType, nullable = false),
-      StructField(keyName, LongType, nullable = false),
-      StructField("binding", StringType, nullable = false)))
-    val orderName = attrNames.head
-    val qSeq = queries.toVector
-
-    val out = parted.mapPartitions { rows =>
-      val names = qSeq.map(_._1)
-      val piNamesByQ = qSeq.map { case (_, q) => patternNames(q.patseq) }
-      val executors = qSeq.map { case (_, q) =>
-        new Executor(DstCompiler.compile(q), q.strategy, maxRunsPerKey,
-          q.within, q.withinTime)
-      }
-      val acc = skewAcc.orNull
-      var curKey = 0L
-      var started = false
-      rows.flatMap { row =>
-        val key = row.getLong(0)
-        if (!started || key != curKey) {
-          executors.foreach(_.reset()); curKey = key; started = true
-        }
-        val attrs = Vector.newBuilder[(String, Long)]
-        attrs += orderName -> row.getLong(1)
-        var i = 3
-        while (i < row.length) {
-          if (!row.isNullAt(i))
-            attrs += attrNames(i - 2) -> row.getLong(i)
-          i += 1
-        }
-        val ev = Event(row.getString(2), attrs.result())
-        executors.indices.flatMap { qi =>
-          val matches = executors(qi).feed(ev)
-          if (acc != null) acc.add((key, executors(qi).runCount.toLong))
-          matches.map { m =>
-            val byName = m.toMap
-            val binding = piNamesByQ(qi).map { n =>
-              byName.getOrElse(n, Vector.empty)
-                .map(_(orderName)).mkString(",")
-            }.mkString(";")
-            Row(names(qi), key, binding)
-          }
-        }
-      }
-    }(Encoders.row(outSchema))
-
+    val (prepared, attrNames) =
+      prepareWithFilter(df, unionPrefilter(queries, spec), spec)
+    val spark = df.sparkSession
+    GraftColumnBridge.addStrategy(spark, graft.plans.CepStrategy)
+    val output = Seq(
+      AttributeReference("qname", StringType, nullable = false)(),
+      AttributeReference(keyName, LongType, nullable = false)(),
+      AttributeReference("binding", StringType, nullable = false)())
+    val plan = graft.plans.CepMultiMatchPlan(queries.toVector,
+      queries.map { case (_, q) => memberFeedTypes(q, spec) }.toVector,
+      spec.keyCol.isDefined, attrNames.head, attrNames, maxRunsPerKey,
+      skewAcc, output, prepared.queryExecution.analyzed)
+    val out = GraftColumnBridge.ofRows(spark, plan)
     if (spec.keyCol.isEmpty) out.drop(keyName) else out
   }
+
+  /** Union pushdown for the shared scan: the OR of the members'
+    * individual prefilters, or no filter at all if ANY member declines
+    * one (that member needs the full stream, and the shared stream is
+    * fed to every DST).
+    */
+  private[graft] def unionPrefilter(queries: Seq[(String, CepQuery)],
+      spec: CepSpec): Option[Column] = {
+    val filters = queries.map { case (_, q) => prefilter(q, spec) }
+    if (filters.forall(_.isDefined)) Some(filters.flatten.reduce(_ || _))
+    else None
+  }
+
+  /** Per-member feed gate for the shared scan: when a member's own
+    * `prefilter` exists, events outside the member's type alphabet are
+    * semantically invisible to it (the prefilter proof — they would have
+    * been dropped before the scan had the member run alone), so the
+    * shared operator can SKIP the feed instead of paying an ignore
+    * transition per event per member. Recovers the per-query NFA feed
+    * volume while keeping the single scan + single exchange: without it
+    * the shared pass does k × union-stream feeds and loses to separate
+    * runs whenever NFA cost rivals scan cost (probe: 0.34× on a free
+    * source). Type-level only — a spat's attribute condition stays in
+    * the NFA — which is a conservative superset of the member's own
+    * filter, so the sandwich argument applies unchanged. `None` (member
+    * declined a prefilter) = feed everything.
+    */
+  private[graft] def memberFeedTypes(query: CepQuery, spec: CepSpec)
+      : Option[Set[String]] =
+    prefilter(query, spec).map(_ => alphabet(unwrapGpat(query.patseq)))
 
   /** The `within`-caveat contract, enforced at operator construction
     * (driver side, once): when a window is set on a pattern whose runs

@@ -47,14 +47,38 @@ final case class CepMatchPlan(
       : CepMatchPlan = copy(child = newChild)
 }
 
-/** Planner rule: lower the logical CEP node to its physical operator. */
+/** Planner rule: lower the logical CEP nodes to their physical operators. */
 object CepStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: CepMatchPlan =>
       CepMatchExec(p.query, p.keyed, p.piNames, p.orderName, p.attrNames,
         p.maxRunsPerKey, p.skewAcc, p.output, planLater(p.child)) :: Nil
+    case p: CepMultiMatchPlan =>
+      CepMultiMatchExec(p.queries, p.feedTypes, p.keyed, p.orderName,
+        p.attrNames, p.maxRunsPerKey, p.skewAcc, p.output,
+        planLater(p.child)) :: Nil
     case _ => Nil
   }
+}
+
+/** Multi-query shared-scan CEP as a logical node: k patterns over one
+  * prepared child (one scan, one union filter upstream), lowered to
+  * `CepMultiMatchExec`. Same child contract as `CepMatchPlan`.
+  */
+final case class CepMultiMatchPlan(
+    queries: Vector[(String, CepQuery)],
+    feedTypes: Vector[Option[Set[String]]],
+    keyed: Boolean,
+    orderName: String,
+    attrNames: Seq[String],
+    maxRunsPerKey: Option[Int],
+    skewAcc: Option[CepSkewAccumulator],
+    output: Seq[Attribute],
+    child: LogicalPlan) extends UnaryNode {
+  override def references: AttributeSet = AttributeSet(child.output)
+  override def producedAttributes: AttributeSet = outputSet
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : CepMultiMatchPlan = copy(child = newChild)
 }
 
 final case class CepMatchExec(
@@ -172,4 +196,157 @@ final case class CepMatchExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan)
       : CepMatchExec = copy(child = newChild)
+}
+
+/** Physical shared-scan CEP: one event decode per row, every member DST
+  * fed side by side, matches rendered to the `(qname, key, binding)`
+  * reporting shape. The distribution/ordering contract is identical to
+  * `CepMatchExec` — ONE exchange serves all k patterns, which is the
+  * operator's entire reason to exist (the 100 TB scan and the key
+  * shuffle amortize across the query set).
+  *
+  * Skew gauge semantics (deliberate, documented at the API): `acc.add`
+  * once per EVENT with the MAX live-run count across member executors —
+  * `Stats.events` counts events fed, `maxRuns` the hottest pattern.
+  */
+final case class CepMultiMatchExec(
+    queries: Vector[(String, CepQuery)],
+    feedTypes: Vector[Option[Set[String]]],
+    keyed: Boolean,
+    orderName: String,
+    attrNames: Seq[String],
+    maxRunsPerKey: Option[Int],
+    skewAcc: Option[CepSkewAccumulator],
+    output: Seq[Attribute],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keyed) ClusteredDistribution(Seq(child.output.head)) :: Nil
+    else AllTuples :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (keyed)
+      Seq(Seq(SortOrder(child.output.head, Ascending),
+        SortOrder(child.output(1), Ascending)))
+    else Seq(Seq(SortOrder(child.output(1), Ascending)))
+
+  /** Key-partitioned in, key-partitioned out — but the output key is
+    * column 1 (qname leads), so the rewrite targets `output(1)`.
+    */
+  override def outputPartitioning: Partitioning =
+    child.outputPartitioning match {
+      case h: HashPartitioning
+          if keyed && h.expressions.length == 1 &&
+            h.expressions.head.semanticEquals(child.output.head) =>
+        HashPartitioning(Seq(output(1)), h.numPartitions)
+      case p if !keyed => p
+      case p => UnknownPartitioning(p.numPartitions)
+    }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val qSeq = queries
+    val fTypes = feedTypes
+    val aNames = attrNames.toVector
+    val oName = orderName
+    val maxRuns = maxRunsPerKey
+    val outTypes = output.map(_.dataType).toArray
+    val skew = skewAcc
+    child.execute().mapPartitions({ iter =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val proj = UnsafeProjection.create(outTypes)
+      // qname as UTF8String once per task, not per match
+      val names = qSeq.map { case (n, _) => UTF8String.fromString(n) }
+      val piNamesByQ = qSeq.map { case (_, q) =>
+        graft.cep.SparkCep.patternNames(q.patseq)
+      }
+      val executors = qSeq.map { case (_, q) =>
+        new Executor(DstCompiler.compile(q), q.strategy, maxRuns,
+          q.within, q.withinTime)
+      }
+      // null = feed everything (member declined a prefilter)
+      val gates: Array[Set[String]] = fTypes.map(_.orNull).toArray
+      // per-event scratch: this row's matches per member (reused — safe,
+      // the row's output iterator is drained before the next row starts)
+      val matchesByQ = new Array[Vector[graft.cep.Match]](executors.length)
+      val acc = skew.orNull
+      var curKey = 0L
+      var started = false
+      iter.flatMap { row =>
+        val key = row.getLong(0)
+        if (!started || key != curKey) {
+          executors.foreach(_.reset()); curKey = key; started = true
+        }
+        if (row.isNullAt(1)) throw new IllegalArgumentException(
+          s"CEP order column is null for key $key — order values must be " +
+            "non-null and unique per key")
+        val attrs = Vector.newBuilder[(String, Long)]
+        attrs += oName -> row.getLong(1)
+        var i = 3
+        while (i < row.numFields) {
+          if (!row.isNullAt(i)) attrs += aNames(i - 2) -> row.getLong(i)
+          i += 1
+        }
+        val tpe =
+          if (row.isNullAt(2)) null else row.getUTF8String(2).toString
+        val ev = Event(tpe, attrs.result())
+        var maxRunCount = 0L
+        // feed every member eagerly (the gauge samples POST-feed run
+        // counts); match vectors are collected per member without an
+        // intermediate builder — the common case is zero matches
+        var qi = 0
+        var any = false
+        while (qi < executors.length) {
+          // per-member feed gate: events outside a prefiltered member's
+          // alphabet are invisible to it (SparkCep.memberFeedTypes) —
+          // skipping the feed leaves its state, and hence runCount,
+          // exactly as feeding would
+          val gate = gates(qi)
+          matchesByQ(qi) =
+            if (gate == null || (tpe != null && gate.contains(tpe))) {
+              val ms = executors(qi).feed(ev)
+              if (ms.nonEmpty) any = true
+              ms
+            } else Vector.empty
+          val rc = executors(qi).runCount.toLong
+          if (rc > maxRunCount) maxRunCount = rc
+          qi += 1
+        }
+        if (acc != null) acc.add((key, maxRunCount))
+        if (!any) Iterator.empty
+        else executors.indices.iterator.flatMap { q =>
+          // PROJECTION stays lazy — proj reuses one UnsafeRow buffer
+          matchesByQ(q).iterator.map { m =>
+            val piN = piNamesByQ(q)
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < piN.length) {
+              if (j > 0) sb.append(';')
+              val n = piN(j)
+              // linear scan: a Match holds 1-3 tiny components — beats
+              // building a map per match
+              var i = 0
+              while (i < m.length) {
+                if (m(i)._1 == n) {
+                  val evs = m(i)._2
+                  var e = 0
+                  while (e < evs.length) {
+                    if (e > 0) sb.append(',')
+                    sb.append(evs(e)(oName))
+                    e += 1
+                  }
+                  i = m.length
+                } else i += 1
+              }
+              j += 1
+            }
+            proj(new GenericInternalRow(Array[Any](names(q), key,
+              UTF8String.fromString(sb.toString))))
+          }
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : CepMultiMatchExec = copy(child = newChild)
 }
