@@ -179,6 +179,120 @@ object StreamingCep {
         if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
   }
 
+  /** Per-key state of the multi-query shared stream: one codec-versioned
+    * member payload per query, in declared query order. A DIFFERENT
+    * state-store schema from the single-pattern operators (Seq of
+    * payloads vs one payload), so a checkpoint can never be restored
+    * across operator kinds by accident — Spark's state schema check
+    * refuses it before any payload is read.
+    */
+  final case class SharedMultiState(
+      members: Seq[CepStateCodec.VersionedState])
+
+  /** Streaming multi-query shared-scan CEP: the streaming form of
+    * `SparkCep.matchPatternsShared` — k patterns over ONE source read,
+    * ONE union pushdown filter, ONE key shuffle, and ONE state store
+    * (per-key state = k member run-sets). Running k separate streaming
+    * queries instead costs k× everything: each `writeStream` is its own
+    * source scan, exchange, and state store, and at corpus scale the
+    * source re-read alone dominates.
+    *
+    * Semantics: arrival-order per key within each micro-batch (the
+    * reference's processing-time order), identical to running
+    * `StreamingCep.matchPattern` per query — same union-filter sandwich
+    * and per-member alphabet feed gates as the batch shared operator
+    * (proof at `SparkCep.memberFeedTypes`). Output is the batch shared
+    * operator's reporting shape `(qname, <key>, binding)`.
+    *
+    * The member query SET (names and order) is part of the checkpoint
+    * contract: restoring with a different set fails loudly rather than
+    * silently misassigning member states.
+    */
+  def matchPatternsShared(df: DataFrame, queries: Seq[(String, CepQuery)],
+      spec: SparkCep.CepSpec, maxRunsPerKey: Option[Int] = None)
+      : DataFrame = {
+    require(queries.nonEmpty, "matchPatternsShared needs >= 1 query")
+    val keyName = spec.keyCol.getOrElse("__global")
+    queries.foreach { case (_, q) =>
+      SparkCep.checkWithinStateBound(q, maxRunsPerKey, streaming = true)
+    }
+    val (prepared, attrNames) = SparkCep.prepareWithFilter(
+      df, SparkCep.unionPrefilter(queries, spec), spec)
+    val orderName = attrNames.head
+
+    val outSchema = StructType(Seq(
+      StructField("qname", StringType, nullable = false),
+      StructField(keyName, LongType, nullable = false),
+      StructField("binding", StringType, nullable = false)))
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stateEnc: Encoder[SharedMultiState] =
+      Encoders.product[SharedMultiState]
+
+    import prepared.sparkSession.implicits._
+
+    val qVec = queries.toVector
+    val names = qVec.map(_._1)
+    val dsts = qVec.map { case (_, q) => DstCompiler.compile(q) }
+    val piNamesByQ = qVec.map { case (_, q) =>
+      SparkCep.patternNames(q.patseq)
+    }
+    // null = feed everything (member declined a prefilter)
+    val gates: Array[Set[String]] =
+      qVec.map { case (_, q) =>
+        SparkCep.memberFeedTypes(q, spec).orNull
+      }.toArray
+
+    prepared
+      .groupByKey(_.getLong(0))
+      .flatMapGroupsWithState[SharedMultiState, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Row], state: GroupState[SharedMultiState]) =>
+          val executors = qVec.zipWithIndex.map { case ((_, q), i) =>
+            new Executor(dsts(i), q.strategy, maxRunsPerKey,
+              q.within, q.withinTime)
+          }
+          if (state.exists) {
+            val members = state.get.members
+            if (members.length != executors.length)
+              throw new IllegalStateException(
+                s"shared CEP checkpoint holds ${members.length} member " +
+                  s"states but the operator was built with " +
+                  s"${executors.length} queries — the query set changed " +
+                  "across restart; discard the checkpoint or restore the " +
+                  "original set")
+            members.zip(executors).foreach { case (vs, ex) =>
+              val st = CepStateCodec.decode(vs)
+              restoreState(ex, CepState(st.step, st.runs), st.clock)
+            }
+          }
+          val events = rows.toVector.sortBy(_.getLong(1))
+          val out = events.flatMap { row =>
+            val ev = rowToEvent(row, 1, 2, 3, attrNames, orderName)
+            qVec.indices.flatMap { i =>
+              val gate = gates(i)
+              if (gate == null || (ev.tpe != null && gate.contains(ev.tpe)))
+                executors(i).feed(ev).map { m =>
+                  val byName = m.toMap
+                  val binding = piNamesByQ(i).map { n =>
+                    byName.getOrElse(n, Vector.empty)
+                      .map(_(orderName)).mkString(",")
+                  }.mkString(";")
+                  Row(names(i), key, binding)
+                }
+              else Vector.empty
+            }
+          }
+          state.update(SharedMultiState(executors.map { ex =>
+            val snap = snapshotState(ex)
+            CepStateCodec.encode(CepStateEt(snap.step, snap.runs, Nil,
+              ex.clock, CepStateCodec.VariantArrival))
+          }))
+          out.iterator
+      }
+      .transform(ds =>
+        if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
+  }
+
   /** Event-time CEP (beyond-parity extension — the reference is strictly
     * processing-time): out-of-order events are buffered per key and fed to
     * the NFA in `(ts, order)` order once the watermark passes them, so any
