@@ -244,8 +244,8 @@ object Queries {
     * stream is the OR of the three scan-level filters — at corpus scale
     * the dominant win on top of the shared exchange, since only
     * {signup, purchase, error} rows ever leave the scan. Plan-pinned by
-    * `PlanRegressionSpec` (DataFilters reaches the scan, exactly one
-    * exchange); semantics pinned by `CepMultiSharedSpec`'s differential
+    * `CepMultiSharedSpec` ("engaged union filter reaches the scan; one
+    * exchange total"); semantics pinned by the same spec's differential
     * against the per-query operators.
     */
   def cepMultiSharedPushdown(spark: SparkSession, dir: String): DataFrame =

@@ -28,6 +28,9 @@ object Verify {
     val ran = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     ran.foreach { case (name, fn) =>
+      // stale sentinel from an earlier run into the same outDir would
+      // mark a now-healthy query failed — clear it before running
+      Files.deleteIfExists(Paths.get(s"$outDir/_FAILED_$name"))
       // ops cache/checkpoint intermediates (shingle index, signatures, CC
       // rounds) for their own self-joins; the scope releases every block
       // persisted by the query once its result is written

@@ -180,13 +180,22 @@ object StreamingCep {
   }
 
   /** Per-key state of the multi-query shared stream: one codec-versioned
-    * member payload per query, in declared query order. A DIFFERENT
-    * state-store schema from the single-pattern operators (Seq of
-    * payloads vs one payload), so a checkpoint can never be restored
-    * across operator kinds by accident — Spark's state schema check
-    * refuses it before any payload is read.
+    * member payload per query, in declared query order, plus the member
+    * NAMES that wrote them — restore validates names and order exactly,
+    * so a reordered or swapped member set can never silently decode one
+    * pattern's runs into another executor (a count-only check would:
+    * DST state names are per-pattern counters like `a:1` that resolve
+    * against the wrong pattern without error). Editing a member's
+    * PATTERN under an unchanged name follows the single-pattern
+    * operator's semantics: stored run state resolves against the
+    * recompiled DST. A DIFFERENT state-store schema from the
+    * single-pattern operators (Seq of payloads vs one payload), so a
+    * checkpoint can never be restored across operator kinds by
+    * accident — Spark's state schema check refuses it before any
+    * payload is read.
     */
   final case class SharedMultiState(
+      names: Seq[String],
       members: Seq[CepStateCodec.VersionedState])
 
   /** Streaming multi-query shared-scan CEP: the streaming form of
@@ -252,15 +261,16 @@ object StreamingCep {
               q.within, q.withinTime)
           }
           if (state.exists) {
-            val members = state.get.members
-            if (members.length != executors.length)
+            val stored = state.get
+            if (stored.names != names)
               throw new IllegalStateException(
-                s"shared CEP checkpoint holds ${members.length} member " +
-                  s"states but the operator was built with " +
-                  s"${executors.length} queries — the query set changed " +
-                  "across restart; discard the checkpoint or restore the " +
-                  "original set")
-            members.zip(executors).foreach { case (vs, ex) =>
+                s"shared CEP checkpoint holds member states for " +
+                  s"[${stored.names.mkString(", ")}] but the operator was " +
+                  s"built with [${names.mkString(", ")}] — the query set " +
+                  "changed across restart (names and order are the " +
+                  "checkpoint contract); discard the checkpoint or " +
+                  "restore the original set")
+            stored.members.zip(executors).foreach { case (vs, ex) =>
               val st = CepStateCodec.decode(vs)
               restoreState(ex, CepState(st.step, st.runs), st.clock)
             }
@@ -282,7 +292,7 @@ object StreamingCep {
               else Vector.empty
             }
           }
-          state.update(SharedMultiState(executors.map { ex =>
+          state.update(SharedMultiState(names, executors.map { ex =>
             val snap = snapshotState(ex)
             CepStateCodec.encode(CepStateEt(snap.step, snap.runs, Nil,
               ex.clock, CepStateCodec.VariantArrival))

@@ -81,6 +81,34 @@ final case class CepMultiMatchPlan(
       : CepMultiMatchPlan = copy(child = newChild)
 }
 
+/** Shared per-row decode of the prepared child contract
+  * `(__key, __ord, __type, attr…)` — ONE implementation for both the
+  * single- and multi-query exec nodes so the decode semantics cannot
+  * drift between them:
+  *  - a null order value has no position in the sequence — fail loudly
+  *    (the typed path NPEs on them; silent getLong-as-0 would corrupt
+  *    match ids);
+  *  - a null type is a non-matching event type (matchPattern
+  *    semantics — it still advances strict contiguity), never an NPE.
+  */
+private[plans] object CepRowDecode {
+  def decode(row: InternalRow, key: Long, aNames: Vector[String],
+      oName: String): Event = {
+    if (row.isNullAt(1)) throw new IllegalArgumentException(
+      s"CEP order column is null for key $key — order values must be " +
+        "non-null and unique per key")
+    val attrs = Vector.newBuilder[(String, Long)]
+    attrs += oName -> row.getLong(1)
+    var i = 3
+    while (i < row.numFields) {
+      if (!row.isNullAt(i)) attrs += aNames(i - 2) -> row.getLong(i)
+      i += 1
+    }
+    val tpe = if (row.isNullAt(2)) null else row.getUTF8String(2).toString
+    Event(tpe, attrs.result())
+  }
+}
+
 final case class CepMatchExec(
     query: CepQuery,
     keyed: Boolean,
@@ -149,24 +177,7 @@ final case class CepMatchExec(
         if (!started || key != curKey) {
           executor.reset(); curKey = key; started = true
         }
-        // null order values have no position in the sequence — fail loudly
-        // (the typed path NPEs on them; silent getLong-as-0 would corrupt
-        // match ids)
-        if (row.isNullAt(1)) throw new IllegalArgumentException(
-          s"CEP order column is null for key $key — order values must be " +
-            "non-null and unique per key")
-        val attrs = Vector.newBuilder[(String, Long)]
-        attrs += oName -> row.getLong(1)
-        var i = 3
-        while (i < row.numFields) {
-          if (!row.isNullAt(i)) attrs += aNames(i - 2) -> row.getLong(i)
-          i += 1
-        }
-        // null type: a non-matching event type (matchPattern semantics —
-        // it still advances strict contiguity), never an NPE
-        val tpe =
-          if (row.isNullAt(2)) null else row.getUTF8String(2).toString
-        val ev = Event(tpe, attrs.result())
+        val ev = CepRowDecode.decode(row, key, aNames, oName)
         val matches = executor.feed(ev)
         if (acc != null) acc.add((key, executor.runCount.toLong))
         // LAZY map: proj reuses one UnsafeRow buffer, so each projected
@@ -276,19 +287,8 @@ final case class CepMultiMatchExec(
         if (!started || key != curKey) {
           executors.foreach(_.reset()); curKey = key; started = true
         }
-        if (row.isNullAt(1)) throw new IllegalArgumentException(
-          s"CEP order column is null for key $key — order values must be " +
-            "non-null and unique per key")
-        val attrs = Vector.newBuilder[(String, Long)]
-        attrs += oName -> row.getLong(1)
-        var i = 3
-        while (i < row.numFields) {
-          if (!row.isNullAt(i)) attrs += aNames(i - 2) -> row.getLong(i)
-          i += 1
-        }
-        val tpe =
-          if (row.isNullAt(2)) null else row.getUTF8String(2).toString
-        val ev = Event(tpe, attrs.result())
+        val ev = CepRowDecode.decode(row, key, aNames, oName)
+        val tpe = ev.tpe
         var maxRunCount = 0L
         // feed every member eagerly (the gauge samples POST-feed run
         // counts); match vectors are collected per member without an

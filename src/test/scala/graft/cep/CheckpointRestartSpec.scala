@@ -285,9 +285,12 @@ class CheckpointRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     val evSchema = Vector("signup" -> Vector("event_id", "value"),
       "purchase" -> Vector("event_id", "value"),
       "click" -> Vector("event_id", "value"))
+    // BOTH members relaxed so both hold a live partial at the stop (a
+    // strict pair here would be killed by the other member's event in
+    // batch 1 and the test would only ever exercise one stored run-set)
     val qs = Seq(
       "sp" -> CepQuery(
-        Pattern.Combine(Contiguity.Strict,
+        Pattern.Combine(Contiguity.Relaxed,
           Pattern.spat("a", "signup", "True"),
           Pattern.spat("b", "purchase", "True")), evSchema),
       "cc" -> CepQuery(
@@ -324,19 +327,23 @@ class CheckpointRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructField("binding", StringType)))).json(outDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       .toSet
-    // strict contiguity: signup@1 then purchase@3 — the click between
-    // kills the strict pair... use the actual semantics: the strict pair
-    // (1,3) must NOT match (click@2 intervenes); the relaxed click pair
-    // (2,4) must. Assert exactly the relaxed completion.
-    assert(out == Set(("cc", 1L, "2,4")),
+    // both partials complete after the restart: the relaxed signup→
+    // purchase pair (1;3, ignoring the click) and the relaxed click
+    // pair (2,4) — a codec bug dropping any member's stored runs loses
+    // one of these rows
+    assert(out == Set(("sp", 1L, "1;3"), ("cc", 1L, "2,4")),
       s"unexpected completions: $out")
   }
 
   /** Restarting the shared operator with a DIFFERENT member set must
-    * fail with the actionable member-count message, never silently
-    * misassign stored member states.
+    * fail with the actionable query-set message, never silently
+    * misassign stored member states. REORDERING with the same count is
+    * the dangerous case — a count-only check would pass it and decode
+    * each pattern's runs into the other executor — so that is what this
+    * test restarts with (the dropped-member case fails on the same
+    * names check a fortiori).
     */
-  test("shared operator refuses a restart with a changed member count") {
+  test("shared operator refuses a restart with a reordered member set") {
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("ckpt-multi-chg").toString
@@ -374,7 +381,7 @@ class CheckpointRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1L, 2L, "purchase", 10L))
       .toDF("user_id", "event_id", "event_type", "value")
       .write.mode("append").json(inDir)
-    val run2 = startQuery(Seq(q1def))
+    val run2 = startQuery(Seq(q2def, q1def)) // same members, reordered
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       try run2.processAllAvailable() finally run2.stop()
     }
