@@ -27,4 +27,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(n == Seq(2L, 1L))
     } finally s.stop()
   }
+
+  test("extension-installed strategy lowers the multi-query CEP node " +
+    "without the operator's self-registration") {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.graftbridge.GraftColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      import org.apache.spark.sql.types._
+      import graft.cep._
+      // build the logical node DIRECTLY (bypassing matchPatternsShared,
+      // whose idempotent addStrategy would mask a broken extension)
+      val spec = graft.Queries.eventSpec
+      val qs = Vector(
+        "spat_purchase" -> graft.Queries.cepSpatPurchaseQuery,
+        "pairs" -> graft.Queries.cepLpatRelaxedPurchasePairsQuery)
+      val df = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val (prepared, attrNames) = SparkCep.prepareWithFilter(
+        df, SparkCep.unionPrefilter(qs, spec), spec)
+      val output = Seq(
+        AttributeReference("qname", StringType, nullable = false)(),
+        AttributeReference("user_id", LongType, nullable = false)(),
+        AttributeReference("binding", StringType, nullable = false)())
+      val plan = graft.plans.CepMultiMatchPlan(qs,
+        qs.map { case (_, q) => SparkCep.memberFeedTypes(q, spec) },
+        keyed = true, attrNames.head, attrNames, None, None, output,
+        prepared.queryExecution.analyzed)
+      val n = GraftColumnBridge.ofRows(s, plan).count()
+      assert(n > 0, "extension-planned multi CEP produced no matches")
+    } finally s.stop()
+  }
 }
