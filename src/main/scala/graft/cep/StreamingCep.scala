@@ -410,4 +410,162 @@ object StreamingCep {
       .transform(ds =>
         if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
   }
+
+  /** Per-key state of the EVENT-TIME multi-query shared stream: the
+    * reorder buffer is stored ONCE (the buffered events are common to
+    * every member — that sharing is the point), member run-sets once per
+    * query in declared order, names validated on restore exactly as in
+    * the arrival-order shared operator. Yet another distinct state-store
+    * schema, so cross-operator restores are structurally refused.
+    */
+  final case class SharedMultiStateEt(
+      names: Seq[String],
+      buffer: Seq[BufEvent],
+      members: Seq[CepStateCodec.VersionedState])
+
+  /** Event-time multi-query shared-scan CEP: k patterns, ONE source
+    * read, ONE union pushdown filter, ONE key shuffle, ONE state store
+    * and — the part the per-query formulation cannot share — ONE reorder
+    * buffer: out-of-order events are buffered per key once and fed to
+    * every member DST in `(ts, order)` order as the watermark releases
+    * them. k separate event-time queries would each buffer the same
+    * events in their own state store (k× the state bytes, k× the
+    * watermark bookkeeping) on top of k source reads.
+    *
+    * Late-data policy, release rule, and timeout wake-up are exactly
+    * `matchPatternEventTime`'s; member feed gates and the union-filter
+    * sandwich are exactly the arrival-order shared operator's
+    * (`SparkCep.memberFeedTypes` — dropping a non-alphabet event from a
+    * prefiltered member's feed is what its own prefilter would have done
+    * before the scan). Output: `(qname, <key>, binding)`.
+    *
+    * WATERMARK CAVEAT: when the union filter engages, Catalyst pushes it
+    * below the `EventTimeWatermark` node, so the watermark advances on
+    * the FILTERED stream — events outside the union alphabet do not move
+    * it. A heartbeat/flush event meant to advance the watermark must
+    * therefore carry an alphabet type (it is still never fed to a member
+    * whose window has not released it). The per-query event-time
+    * operator has no prefilter, so it does not share this property.
+    */
+  def matchPatternsSharedEventTime(df: DataFrame,
+      queries: Seq[(String, CepQuery)], spec: SparkCep.CepSpec,
+      tsCol: String, delay: String, maxRunsPerKey: Option[Int] = None)
+      : DataFrame = {
+    require(queries.nonEmpty, "matchPatternsSharedEventTime needs >= 1 query")
+    val keyName = spec.keyCol.getOrElse("__global")
+    queries.foreach { case (_, q) =>
+      SparkCep.checkWithinStateBound(q, maxRunsPerKey, streaming = true)
+    }
+    val attrNames: Vector[String] =
+      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
+    val orderName = attrNames.head
+
+    val withWm = df.withWatermark(tsCol, delay)
+    val unionFiltered = SparkCep.unionPrefilter(queries, spec) match {
+      case Some(cond) => withWm.filter(cond)
+      case None       => withWm
+    }
+    val source = spec.keyCol match {
+      case Some(k) =>
+        unionFiltered.filter(col(k).isNotNull && col(tsCol).isNotNull)
+      case None => unionFiltered.filter(col(tsCol).isNotNull)
+    }
+    // keep tsCol as a TIMESTAMP — a cast would strip the watermark tag and
+    // EventTimeTimeout requires a watermarked column in the child plan
+    val prepared = source.select(
+      SparkCep.keyExpr(df, spec).as("__key") +:
+        col(tsCol).as("__ts") +:
+        col(spec.orderCol).cast(LongType).as("__ord") +:
+        col(spec.typeCol).cast(StringType).as("__type") +:
+        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*)
+
+    val outSchema = StructType(Seq(
+      StructField("qname", StringType, nullable = false),
+      StructField(keyName, LongType, nullable = false),
+      StructField("binding", StringType, nullable = false)))
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stateEnc: Encoder[SharedMultiStateEt] =
+      Encoders.product[SharedMultiStateEt]
+
+    import prepared.sparkSession.implicits._
+
+    val qVec = queries.toVector
+    val names = qVec.map(_._1)
+    val dsts = qVec.map { case (_, q) => DstCompiler.compile(q) }
+    val piNamesByQ = qVec.map { case (_, q) =>
+      SparkCep.patternNames(q.patseq)
+    }
+    val gates: Array[Set[String]] =
+      qVec.map { case (_, q) =>
+        SparkCep.memberFeedTypes(q, spec).orNull
+      }.toArray
+
+    prepared
+      .groupByKey(_.getLong(0))
+      .flatMapGroupsWithState[SharedMultiStateEt, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[Row], state: GroupState[SharedMultiStateEt]) =>
+          val executors = qVec.zipWithIndex.map { case ((_, q), i) =>
+            new Executor(dsts(i), q.strategy, maxRunsPerKey,
+              q.within, q.withinTime)
+          }
+          val prevBuffer: Vector[BufEvent] =
+            if (state.exists) {
+              val stored = state.get
+              if (stored.names != names)
+                throw new IllegalStateException(
+                  s"shared CEP checkpoint holds member states for " +
+                    s"[${stored.names.mkString(", ")}] but the operator " +
+                    s"was built with [${names.mkString(", ")}] — the " +
+                    "query set changed across restart (names and order " +
+                    "are the checkpoint contract); discard the " +
+                    "checkpoint or restore the original set")
+              stored.members.zip(executors).foreach { case (vs, ex) =>
+                val st = CepStateCodec.decode(vs)
+                restoreState(ex, CepState(st.step, st.runs), st.clock)
+              }
+              stored.buffer.toVector
+            } else Vector.empty
+
+          val wmMs = state.getCurrentWatermarkMs()
+          val incoming = rows.map { row =>
+            val ev = rowToEvent(row, 2, 3, 4, attrNames, orderName)
+            BufEvent(row.getTimestamp(1).getTime, row.getLong(2), ev.tpe,
+              ev.attrs.map(_._1), ev.attrs.map(_._2))
+          }.toVector
+          val buffered = prevBuffer ++
+            incoming.filter(e => wmMs <= 0 || e.ts >= wmMs)
+          val (ready, still) =
+            if (wmMs <= 0) (Vector.empty[BufEvent], buffered)
+            else buffered.partition(_.ts < wmMs)
+          val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
+            val ev = Event(e.tpe, e.names.zip(e.vals).toVector)
+            qVec.indices.flatMap { i =>
+              val gate = gates(i)
+              if (gate == null || (ev.tpe != null && gate.contains(ev.tpe)))
+                executors(i).feed(ev).map { m =>
+                  val byName = m.toMap
+                  val binding = piNamesByQ(i).map { n =>
+                    byName.getOrElse(n, Vector.empty)
+                      .map(_(orderName)).mkString(",")
+                  }.mkString(";")
+                  Row(names(i), key, binding)
+                }
+              else Vector.empty
+            }
+          }
+
+          state.update(SharedMultiStateEt(names, still,
+            executors.map { ex =>
+              val snap = snapshotState(ex)
+              CepStateCodec.encode(CepStateEt(snap.step, snap.runs, Nil,
+                ex.clock, CepStateCodec.VariantEventTime))
+            }))
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+          out.iterator
+      }
+      .transform(ds =>
+        if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
+  }
 }

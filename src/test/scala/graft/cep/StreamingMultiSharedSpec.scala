@@ -93,6 +93,78 @@ class StreamingMultiSharedSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"shared stream diverged: ${streamed.length} vs ${batch.length}")
     }
 
+  /** Event-time shared operator on OUT-OF-ORDER input: ts = event_id
+    * seconds (event-time order IS the batch order), four slices with a
+    * deterministic ~20% displaced one slice later, watermark delay
+    * exceeding the displacement, flush sentinels driving the final
+    * watermark past every real event — the `EventTimeRegistryGateSpec`
+    * construction, applied to the SHARED operator: one reorder buffer
+    * must feed every member identically.
+    */
+  test("event-time stream shared == batch shared on out-of-order input") {
+    val qs = registryTrios.last._2 // all-prefilter set: union filter on
+    val batch = batchShared(qs)
+    assert(batch.nonEmpty)
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("event_id").cast("timestamp").as("ts"))
+    val mm = ev.selectExpr("min(event_id)", "max(event_id)").head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = (hi - lo) / 4 + 1
+    val delaySec = width + 10
+    val dir = java.nio.file.Files
+      .createTempDirectory("cep-multi-et-gate").toString
+    val sliced = ev.withColumn("slice",
+      org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.lit(3L),
+        org.apache.spark.sql.functions.floor(
+          (col("event_id") - lo) / width) +
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.xxhash64(col("event_id")),
+              org.apache.spark.sql.functions.lit(5L)) === 0L, 1L)
+            .otherwise(0L)))
+    for (s <- 0L until 4L) {
+      sliced.filter(col("slice") === s).drop("slice")
+        .orderBy(org.apache.spark.sql.functions.xxhash64(col("event_id")))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val sess = spark
+    import sess.implicits._
+    // flush sentinels must carry a type INSIDE the union-filter alphabet:
+    // Catalyst pushes the shared operator's union prefilter below the
+    // watermark node, so a "__flush"-typed sentinel would be dropped
+    // before watermark stats and the buffered tail would never drain
+    // (found the hard way — the operator documents this contract). They
+    // are still never released into any NFA: their ts stays at or above
+    // the final watermark, and value=9999 fails every member condition
+    // besides.
+    for (k <- 2L to 3L) {
+      Seq((-1L, hi + k, "purchase", 9999.0, hi + k * delaySec))
+        .toDF("user_id", "event_id", "event_type", "value", "tsec")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("tsec").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val streamDf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = StreamingCep.matchPatternsSharedEventTime(streamDf, qs, spec,
+      tsCol = "ts", delay = s"$delaySec seconds")
+    val sq = out.writeStream.format("memory").queryName("multigate_et")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        sq.processAllAvailable()
+        spark.sql("SELECT * FROM multigate_et").collect()
+          .map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getString(2)}")
+          .toVector.sorted
+      } finally sq.stop()
+    assert(streamed == batch,
+      s"event-time shared diverged: ${streamed.length} vs ${batch.length}")
+  }
+
   test("randomized member sets: batch shared == union of per-query runs") {
     // deterministic seed — failures reproduce; draw from the full
     // registry pattern pool (strict, relaxed, nd-relaxed, negated,

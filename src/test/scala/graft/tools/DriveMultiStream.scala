@@ -47,6 +47,38 @@ object DriveMultiStream {
       spark.read.parquet(s"$sfDir/events.parquet"), qs, spec)
       .groupBy("qname").count().orderBy("qname")
       .collect().foreach(r => println(s"BATCH  ${r.getString(0)}=${r.getLong(1)}"))
+
+    // event-time variant: ts = event_id seconds, same slices plus two
+    // alphabet-typed flush sentinels (value fails every member condition)
+    // that drive the watermark past every real event
+    val mm2 = ev.selectExpr("max(event_id)").head().getLong(0)
+    val delaySec = width + 10
+    val etDir = java.nio.file.Files
+      .createTempDirectory("drive-multi-et").toString
+    for (s <- 0 until 4)
+      ev.withColumn("ts", col("event_id").cast("timestamp"))
+        .filter(col("event_id")
+          .between(lo + s * width, lo + (s + 1) * width - 1))
+        .coalesce(1).write.mode("append").parquet(etDir)
+    val s2 = spark
+    import s2.implicits._
+    for (k <- 2L to 3L)
+      Seq((-1L, mm2 + k, "purchase", 9999.0, mm2 + k * delaySec))
+        .toDF("user_id", "event_id", "event_type", "value", "tsec")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("tsec").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(etDir)
+    val etSchema = spark.read.parquet(etDir).schema
+    val etStream = spark.readStream.schema(etSchema)
+      .option("maxFilesPerTrigger", "1").parquet(etDir)
+    val etOut = StreamingCep.matchPatternsSharedEventTime(etStream, qs,
+      spec, tsCol = "ts", delay = s"$delaySec seconds")
+    val sq2 = etOut.writeStream.format("memory").queryName("dms_et")
+      .outputMode("append").start()
+    sq2.processAllAvailable()
+    spark.sql("SELECT qname, count(*) n FROM dms_et GROUP BY qname ORDER BY qname")
+      .collect().foreach(r => println(s"ETIME  ${r.getString(0)}=${r.getLong(1)}"))
+    sq2.stop()
     spark.stop()
   }
 }
