@@ -50,9 +50,15 @@ object StreamingCep {
   /** Decode an event from a projected row: `ordIdx`/`typeIdx` locate the
     * order and type columns, attrs start at `attrStart` (shared by both
     * streaming variants, whose projections differ only by the ts column).
+    * A null order value fails loudly, matching the batch exec path
+    * (`CepRowDecode`) — `getLong` on a null unboxes to 0, which would
+    * silently corrupt match ids and `(ts, ord)` release order.
     */
   private def rowToEvent(row: Row, ordIdx: Int, typeIdx: Int, attrStart: Int,
       attrNames: Vector[String], orderName: String): Event = {
+    if (row.isNullAt(ordIdx)) throw new IllegalArgumentException(
+      "CEP order column is null — order values must be non-null and " +
+        "unique per key")
     val attrs = Vector.newBuilder[(String, Long)]
     attrs += orderName -> row.getLong(ordIdx)
     var i = attrStart
@@ -97,6 +103,107 @@ object StreamingCep {
         r.firstTake,
         r.firstTakeTs))
     }, clockFloor)
+
+  /** Event-time source policy shared by the single- and multi-query
+    * event-time operators — ONE implementation so it cannot drift between
+    * formulations: watermark first, then the optional pre-NFA filter
+    * (NOTE Catalyst pushes it below the watermark node, so the watermark
+    * advances on the FILTERED stream), null key/ts drop, canonical
+    * `(__key, __ts, __ord, __type, attr…)` projection. `tsCol` stays a
+    * TIMESTAMP — a cast would strip the watermark tag and
+    * EventTimeTimeout requires a watermarked column in the child plan.
+    */
+  private def etPrepare(df: DataFrame,
+      filter: Option[org.apache.spark.sql.Column], spec: SparkCep.CepSpec,
+      tsCol: String, delay: String): (DataFrame, Vector[String]) = {
+    val attrNames: Vector[String] =
+      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
+    val withWm = df.withWatermark(tsCol, delay)
+    val filtered = filter match {
+      case Some(cond) => withWm.filter(cond)
+      case None       => withWm
+    }
+    val source = spec.keyCol match {
+      case Some(k) =>
+        filtered.filter(col(k).isNotNull && col(tsCol).isNotNull)
+      case None => filtered.filter(col(tsCol).isNotNull)
+    }
+    val prepared = source.select(
+      SparkCep.keyExpr(df, spec).as("__key") +:
+        col(tsCol).as("__ts") +:
+        col(spec.orderCol).cast(LongType).as("__ord") +:
+        col(spec.typeCol).cast(StringType).as("__type") +:
+        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*)
+    (prepared, attrNames)
+  }
+
+  /** Reorder-buffer step shared by both event-time operators: append
+    * non-late arrivals (events already behind the watermark are dropped —
+    * standard late-data policy), release the strict prefix below the
+    * watermark. Returns (ready, still-buffered).
+    */
+  private def releaseBuffer(prev: Seq[BufEvent], incoming: Vector[BufEvent],
+      wmMs: Long): (Vector[BufEvent], Vector[BufEvent]) = {
+    val buffered =
+      (prev ++ incoming.filter(e => wmMs <= 0 || e.ts >= wmMs)).toVector
+    if (wmMs <= 0) (Vector.empty, buffered)
+    else buffered.partition(_.ts < wmMs)
+  }
+
+  /** Member-set checkpoint contract shared by both shared operators:
+    * names AND order must match exactly — a count-only check would let a
+    * reordered set silently decode one pattern's runs into another
+    * executor (DST state names are per-pattern counters like `a:1` that
+    * resolve against the wrong pattern without error).
+    */
+  private def validateMemberNames(stored: Seq[String],
+      built: Seq[String]): Unit =
+    if (stored != built)
+      throw new IllegalStateException(
+        s"shared CEP checkpoint holds member states for " +
+          s"[${stored.mkString(", ")}] but the operator was built with " +
+          s"[${built.mkString(", ")}] — the query set changed across " +
+          "restart (names and order are the checkpoint contract); " +
+          "discard the checkpoint or restore the original set")
+
+  /** Gated feed + binding render shared by both shared streaming
+    * operators (gate semantics proven at `SparkCep.memberFeedTypes`).
+    */
+  private def feedShared(executors: Vector[Executor],
+      gates: Array[Set[String]], names: Vector[String],
+      piNamesByQ: Vector[Vector[String]], key: Long, orderName: String,
+      ev: Event): Seq[Row] =
+    executors.indices.flatMap { i =>
+      val gate = gates(i)
+      if (gate == null || (ev.tpe != null && gate.contains(ev.tpe)))
+        executors(i).feed(ev).map { m =>
+          val byName = m.toMap
+          val binding = piNamesByQ(i).map { n =>
+            byName.getOrElse(n, Vector.empty)
+              .map(_(orderName)).mkString(",")
+          }.mkString(";")
+          Row(names(i), key, binding)
+        }
+      else Vector.empty
+    }
+
+  /** Snapshot / restore of k member run-sets through the versioned
+    * binary codec (payloads tagged with the writing operator's variant).
+    */
+  private def encodeMembers(executors: Vector[Executor],
+      variant: Byte): Vector[CepStateCodec.VersionedState] =
+    executors.map { ex =>
+      val snap = snapshotState(ex)
+      CepStateCodec.encode(
+        CepStateEt(snap.step, snap.runs, Nil, ex.clock, variant))
+    }
+
+  private def restoreMembers(members: Seq[CepStateCodec.VersionedState],
+      executors: Vector[Executor]): Unit =
+    members.zip(executors).foreach { case (vs, ex) =>
+      val st = CepStateCodec.decode(vs)
+      restoreState(ex, CepState(st.step, st.runs), st.clock)
+    }
 
   /** Apply a CEP query to a *streaming* DataFrame. Input columns are mapped
     * exactly as in the batch operator (`SparkCep.CepSpec`); output rows are
@@ -262,41 +369,16 @@ object StreamingCep {
           }
           if (state.exists) {
             val stored = state.get
-            if (stored.names != names)
-              throw new IllegalStateException(
-                s"shared CEP checkpoint holds member states for " +
-                  s"[${stored.names.mkString(", ")}] but the operator was " +
-                  s"built with [${names.mkString(", ")}] — the query set " +
-                  "changed across restart (names and order are the " +
-                  "checkpoint contract); discard the checkpoint or " +
-                  "restore the original set")
-            stored.members.zip(executors).foreach { case (vs, ex) =>
-              val st = CepStateCodec.decode(vs)
-              restoreState(ex, CepState(st.step, st.runs), st.clock)
-            }
+            validateMemberNames(stored.names, names)
+            restoreMembers(stored.members, executors)
           }
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
-            val ev = rowToEvent(row, 1, 2, 3, attrNames, orderName)
-            qVec.indices.flatMap { i =>
-              val gate = gates(i)
-              if (gate == null || (ev.tpe != null && gate.contains(ev.tpe)))
-                executors(i).feed(ev).map { m =>
-                  val byName = m.toMap
-                  val binding = piNamesByQ(i).map { n =>
-                    byName.getOrElse(n, Vector.empty)
-                      .map(_(orderName)).mkString(",")
-                  }.mkString(";")
-                  Row(names(i), key, binding)
-                }
-              else Vector.empty
-            }
+            feedShared(executors, gates, names, piNamesByQ, key, orderName,
+              rowToEvent(row, 1, 2, 3, attrNames, orderName))
           }
-          state.update(SharedMultiState(names, executors.map { ex =>
-            val snap = snapshotState(ex)
-            CepStateCodec.encode(CepStateEt(snap.step, snap.runs, Nil,
-              ex.clock, CepStateCodec.VariantArrival))
-          }))
+          state.update(SharedMultiState(names,
+            encodeMembers(executors, CepStateCodec.VariantArrival)))
           out.iterator
       }
       .transform(ds =>
@@ -321,24 +403,8 @@ object StreamingCep {
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
-    val attrNames: Vector[String] =
-      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
+    val (prepared, attrNames) = etPrepare(df, None, spec, tsCol, delay)
     val orderName = attrNames.head
-
-    val withWm = df.withWatermark(tsCol, delay)
-    val source = spec.keyCol match {
-      case Some(k) =>
-        withWm.filter(col(k).isNotNull && col(tsCol).isNotNull)
-      case None => withWm.filter(col(tsCol).isNotNull)
-    }
-    // keep tsCol as a TIMESTAMP — a cast would strip the watermark tag and
-    // EventTimeTimeout requires a watermarked column in the child plan
-    val prepared = source.select(
-      SparkCep.keyExpr(df, spec).as("__key") +:
-        col(tsCol).as("__ts") +:
-        col(spec.orderCol).cast(LongType).as("__ord") +:
-        col(spec.typeCol).cast(StringType).as("__type") +:
-        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*)
 
     val outSchema = StructType(
       StructField(keyName, LongType, nullable = false) +:
@@ -385,14 +451,9 @@ object StreamingCep {
             BufEvent(row.getTimestamp(1).getTime, row.getLong(2), ev.tpe,
               ev.attrs.map(_._1), ev.attrs.map(_._2))
           }.toVector
-          // drop events already behind the watermark at arrival (late data)
-          val buffered = (prev.buffer ++
-            incoming.filter(e => wmMs <= 0 || e.ts >= wmMs)).toVector
           // the watermark guarantees nothing earlier can still arrive —
           // release the prefix up to it, in event-time order
-          val (ready, still) =
-            if (wmMs <= 0) (Vector.empty[BufEvent], buffered)
-            else buffered.partition(_.ts < wmMs)
+          val (ready, still) = releaseBuffer(prev.buffer, incoming, wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
             executor.feed(Event(e.tpe, e.names.zip(e.vals).toVector))
               .map(matchToRow(key, _, piNames, orderName))
@@ -417,10 +478,18 @@ object StreamingCep {
     * query in declared order, names validated on restore exactly as in
     * the arrival-order shared operator. Yet another distinct state-store
     * schema, so cross-operator restores are structurally refused.
+    *
+    * The buffer rides as a codec-versioned BINARY payload (an empty-run
+    * `CepStateEt` carrying only the buffer), NOT as a raw `Seq[BufEvent]`
+    * column: a raw product would freeze `BufEvent`'s shape into the
+    * Spark state-store schema, and the next field added to it would kill
+    * every checkpoint with an opaque schema error — the exact failure
+    * mode `CepStateCodec` exists to prevent (its version bump gives an
+    * actionable message instead).
     */
   final case class SharedMultiStateEt(
       names: Seq[String],
-      buffer: Seq[BufEvent],
+      bufferPayload: CepStateCodec.VersionedState,
       members: Seq[CepStateCodec.VersionedState])
 
   /** Event-time multi-query shared-scan CEP: k patterns, ONE source
@@ -456,28 +525,9 @@ object StreamingCep {
     queries.foreach { case (_, q) =>
       SparkCep.checkWithinStateBound(q, maxRunsPerKey, streaming = true)
     }
-    val attrNames: Vector[String] =
-      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
+    val (prepared, attrNames) = etPrepare(df,
+      SparkCep.unionPrefilter(queries, spec), spec, tsCol, delay)
     val orderName = attrNames.head
-
-    val withWm = df.withWatermark(tsCol, delay)
-    val unionFiltered = SparkCep.unionPrefilter(queries, spec) match {
-      case Some(cond) => withWm.filter(cond)
-      case None       => withWm
-    }
-    val source = spec.keyCol match {
-      case Some(k) =>
-        unionFiltered.filter(col(k).isNotNull && col(tsCol).isNotNull)
-      case None => unionFiltered.filter(col(tsCol).isNotNull)
-    }
-    // keep tsCol as a TIMESTAMP — a cast would strip the watermark tag and
-    // EventTimeTimeout requires a watermarked column in the child plan
-    val prepared = source.select(
-      SparkCep.keyExpr(df, spec).as("__key") +:
-        col(tsCol).as("__ts") +:
-        col(spec.orderCol).cast(LongType).as("__ord") +:
-        col(spec.typeCol).cast(StringType).as("__type") +:
-        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*)
 
     val outSchema = StructType(Seq(
       StructField("qname", StringType, nullable = false),
@@ -512,19 +562,9 @@ object StreamingCep {
           val prevBuffer: Vector[BufEvent] =
             if (state.exists) {
               val stored = state.get
-              if (stored.names != names)
-                throw new IllegalStateException(
-                  s"shared CEP checkpoint holds member states for " +
-                    s"[${stored.names.mkString(", ")}] but the operator " +
-                    s"was built with [${names.mkString(", ")}] — the " +
-                    "query set changed across restart (names and order " +
-                    "are the checkpoint contract); discard the " +
-                    "checkpoint or restore the original set")
-              stored.members.zip(executors).foreach { case (vs, ex) =>
-                val st = CepStateCodec.decode(vs)
-                restoreState(ex, CepState(st.step, st.runs), st.clock)
-              }
-              stored.buffer.toVector
+              validateMemberNames(stored.names, names)
+              restoreMembers(stored.members, executors)
+              CepStateCodec.decode(stored.bufferPayload).buffer.toVector
             } else Vector.empty
 
           val wmMs = state.getCurrentWatermarkMs()
@@ -533,34 +573,16 @@ object StreamingCep {
             BufEvent(row.getTimestamp(1).getTime, row.getLong(2), ev.tpe,
               ev.attrs.map(_._1), ev.attrs.map(_._2))
           }.toVector
-          val buffered = prevBuffer ++
-            incoming.filter(e => wmMs <= 0 || e.ts >= wmMs)
-          val (ready, still) =
-            if (wmMs <= 0) (Vector.empty[BufEvent], buffered)
-            else buffered.partition(_.ts < wmMs)
+          val (ready, still) = releaseBuffer(prevBuffer, incoming, wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
-            val ev = Event(e.tpe, e.names.zip(e.vals).toVector)
-            qVec.indices.flatMap { i =>
-              val gate = gates(i)
-              if (gate == null || (ev.tpe != null && gate.contains(ev.tpe)))
-                executors(i).feed(ev).map { m =>
-                  val byName = m.toMap
-                  val binding = piNamesByQ(i).map { n =>
-                    byName.getOrElse(n, Vector.empty)
-                      .map(_(orderName)).mkString(",")
-                  }.mkString(";")
-                  Row(names(i), key, binding)
-                }
-              else Vector.empty
-            }
+            feedShared(executors, gates, names, piNamesByQ, key, orderName,
+              Event(e.tpe, e.names.zip(e.vals).toVector))
           }
 
-          state.update(SharedMultiStateEt(names, still,
-            executors.map { ex =>
-              val snap = snapshotState(ex)
-              CepStateCodec.encode(CepStateEt(snap.step, snap.runs, Nil,
-                ex.clock, CepStateCodec.VariantEventTime))
-            }))
+          state.update(SharedMultiStateEt(names,
+            CepStateCodec.encode(CepStateEt(0, Nil, still,
+              variant = CepStateCodec.VariantEventTime)),
+            encodeMembers(executors, CepStateCodec.VariantEventTime)))
           if (still.nonEmpty)
             state.setTimeoutTimestamp(still.map(_.ts).min + 1)
           out.iterator

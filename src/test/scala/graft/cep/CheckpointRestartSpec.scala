@@ -388,4 +388,103 @@ class CheckpointRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messagesOf(e).exists(_.contains("query set changed")),
       s"wrong failure: ${messagesOf(e).mkString(" | ")}")
   }
+
+  /** EVENT-TIME shared operator restart: member partials AND the shared
+    * reorder buffer (stored as a codec payload) must round-trip the
+    * on-disk store. Batch 1 releases a signup into the sp-member's NFA
+    * (live partial) and leaves one event buffered behind the watermark;
+    * after the restart, later events release the buffered one and
+    * complete the pair — wrong buffer decode or a lost member run-set
+    * each lose the final match. A reordered member set on the SAME
+    * checkpoint must fail with the query-set message (count-equal, so
+    * only the names check catches it).
+    */
+  test("event-time shared operator: partials + buffer survive restart; " +
+    "reordered member set refused") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ckpt-multi-et").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/checkpoint"
+    val outDir = s"$dir/out"
+    val evSchema = Vector("signup" -> Vector("event_id", "value"),
+      "purchase" -> Vector("event_id", "value"),
+      "click" -> Vector("event_id", "value"))
+    val qs = Seq(
+      "sp" -> CepQuery(
+        Pattern.Combine(Contiguity.Relaxed,
+          Pattern.spat("a", "signup", "True"),
+          Pattern.spat("b", "purchase", "True")), evSchema),
+      "cc" -> CepQuery(
+        Pattern.lpat("a", "click", "True", Contiguity.Relaxed, 2, 2),
+        evSchema))
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", LongType),
+      StructField("ts", TimestampType)))
+
+    def startQuery(queries: Seq[(String, CepQuery)]) = {
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      StreamingCep.matchPatternsSharedEventTime(in, queries, spec,
+        tsCol = "ts", delay = "100 seconds")
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def file(rows: (Long, Long, String, Long, java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("user_id", "event_id", "event_type", "value", "ts")
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    // Watermark advancement is driven by DATA batches only (one file per
+    // trigger) — the test must not depend on no-data micro-batches racing
+    // processAllAvailable. Run 1, three files/batches:
+    //   f1: signup@10(k1,#1), click@20(k1,#2)          wm 0 → nothing out
+    //   f2: click@250(k9,#3), click@260(k9,#4)         wm 0 (from f1 max
+    //       20s − 100s) → k9 events buffered
+    //   f3: click@190(k9,#6 — arrives out of order)    wm now 160 (260−100)
+    //       → k1's event-time timeout (10s+1ms) fires: s@10, c@20 released
+    //       → sp and cc each hold a LIVE PARTIAL; k9 buffers [190, 250,
+    //       260] (all ≥ wm 160, so all stay buffered)
+    file((1L, 1L, "signup", 0L, ts(10)), (1L, 2L, "click", 0L, ts(20)))
+    file((9L, 3L, "click", 0L, ts(250)), (9L, 4L, "click", 0L, ts(260)))
+    file((9L, 6L, "click", 0L, ts(190)))
+    val q1 = startQuery(qs)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // Run 2 from the checkpoint, two files:
+    //   fA: purchase@180(k1,#5), click@900(k9,#7)      wm 160 → k1 buffers
+    //       the purchase; k9 buffers 900
+    //   fB: click@5000(k9,#8)                          wm 800 (900−100) →
+    //       k1 timeout releases p@180 → sp completes "1;5" (the partial
+    //       crossed the restart in the member run-set); k9 releases
+    //       190(#6), 250(#3), 260(#4) in ts order → cc pairs "6,3","3,4"
+    //       (#3/#4 crossed the restart in the SHARED BUFFER payload)
+    file((1L, 5L, "purchase", 10L, ts(180)), (9L, 7L, "click", 0L, ts(900)))
+    file((9L, 8L, "click", 0L, ts(5000)))
+    val q2 = startQuery(qs)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.schema(StructType(Seq(
+      StructField("qname", StringType), StructField("user_id", LongType),
+      StructField("binding", StringType)))).json(outDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(out.contains(("sp", 1L, "1;5")),
+      s"sp member partial lost across restart: $out")
+    assert(out.contains(("cc", 9L, "6,3")) && out.contains(("cc", 9L, "3,4")),
+      s"buffered events lost across restart or released out of order: $out")
+
+    // same checkpoint, reordered member set: names check must fire
+    file((9L, 9L, "click", 0L, ts(10000)))
+    val q3 = startQuery(qs.reverse)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(messagesOf(e).exists(_.contains("query set changed")),
+      s"wrong failure: ${messagesOf(e).mkString(" | ")}")
+  }
 }

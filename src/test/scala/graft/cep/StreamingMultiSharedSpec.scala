@@ -136,10 +136,14 @@ class StreamingMultiSharedSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Catalyst pushes the shared operator's union prefilter below the
     // watermark node, so a "__flush"-typed sentinel would be dropped
     // before watermark stats and the buffered tail would never drain
-    // (found the hard way — the operator documents this contract). They
-    // are still never released into any NFA: their ts stays at or above
-    // the final watermark, and value=9999 fails every member condition
-    // besides.
+    // (found the hard way — the operator documents this contract).
+    // Sentinel safety rests on TWO exact properties, not on its value
+    // (a purchase satisfies not_followed_by's "True"-condition b-spat):
+    // the first sentinel's ts EQUALS the final watermark (hi+2·delay =
+    // (hi+3·delay)−delay) and the strict `ts < wm` release check never
+    // frees it, and key −1 holds no signup so even a release could not
+    // complete a pair. Adding a k=4 sentinel would break the first
+    // property for k=2 — don't.
     for (k <- 2L to 3L) {
       Seq((-1L, hi + k, "purchase", 9999.0, hi + k * delaySec))
         .toDF("user_id", "event_id", "event_type", "value", "tsec")

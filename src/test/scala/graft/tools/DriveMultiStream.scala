@@ -49,9 +49,10 @@ object DriveMultiStream {
       .collect().foreach(r => println(s"BATCH  ${r.getString(0)}=${r.getLong(1)}"))
 
     // event-time variant: ts = event_id seconds, same slices plus two
-    // alphabet-typed flush sentinels (value fails every member condition)
-    // that drive the watermark past every real event
-    val mm2 = ev.selectExpr("max(event_id)").head().getLong(0)
+    // alphabet-typed flush sentinels driving the watermark past every
+    // real event (never released: first sentinel ts == final watermark,
+    // and key -1 holds no signup)
+    val mm2 = hi
     val delaySec = width + 10
     val etDir = java.nio.file.Files
       .createTempDirectory("drive-multi-et").toString
