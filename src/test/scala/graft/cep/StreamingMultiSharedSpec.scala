@@ -193,4 +193,33 @@ class StreamingMultiSharedSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"${got.length} vs ${exp.length}")
     }
   }
+
+  test("randomized member sets through the STREAMING shared operator") {
+    // two seeded random draws through the arrival-order streaming path
+    // (micro-batched, cross-batch state) — the batch-vs-stream gate over
+    // member sets the registry trios don't cover
+    val pool = graft.Queries.cepRegistryQueries.toSeq.sortBy(_._1).toVector
+    val rnd = new scala.util.Random(8132026L)
+    for (round <- 0 until 2) {
+      val k = 2 + rnd.nextInt(2) // 2-3 members
+      val qs = rnd.shuffle(pool).take(k)
+      val batch = batchShared(qs)
+      val streamDf = spark.readStream.schema(sliceSchema)
+        .option("maxFilesPerTrigger", "1").parquet(sliceDir)
+      val out = StreamingCep.matchPatternsShared(streamDf, qs, spec)
+      val qn = s"multigate_rnd$round"
+      val sq = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      val streamed =
+        try {
+          sq.processAllAvailable()
+          spark.sql(s"SELECT * FROM $qn").collect()
+            .map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getString(2)}")
+            .toVector.sorted
+        } finally sq.stop()
+      assert(streamed == batch,
+        s"round $round diverged on members ${qs.map(_._1)}: " +
+          s"stream ${streamed.length} vs batch ${batch.length}")
+    }
+  }
 }
