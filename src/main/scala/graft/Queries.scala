@@ -1510,20 +1510,21 @@ object Queries {
        |    (SELECT cost_micro FROM lm WHERE kind = 'meta' AND h = 3) AS keep
        |FROM lmscored ORDER BY doc_id""".stripMargin
 
-  /** Trained language-ID (char-trigram Naive Bayes) over the
-    * deterministically marker-enriched text — the fixture text itself
-    * is language-uniform, so the enrichment injects the signal the way
-    * `text_pii_scrub` injects PII (non-vacuous by construction); the
-    * oracle certifies the trained artifact, the integer scoring, and
-    * the argmax tie discipline. One broadcast narrow pass.
+  /** Trained language-ID (char-trigram Naive Bayes) over the held-out
+    * test split of the committed multilingual corpus
+    * (`GenLangCorpus` — real per-language character distributions;
+    * the driver fixture's text is language-uniform and cannot certify
+    * a classifier). θ trained on the train split only, so this green
+    * certifies genuine per-language model quality; the oracle replays
+    * hashing, integer scoring, and the argmax tie discipline in SQL.
+    * One broadcast narrow pass.
     */
   def textLangidModel(spark: SparkSession, dir: String): DataFrame = {
     val m = graft.ops.LangIdModel.loadModel(
       spark, graft.ops.LangIdModel.modelPath)
-    val docs = table(spark, dir, "documents")
-      .withColumn("__etext", graft.ops.LangIdModel.enrichedCol(
-        col("text"), col("lang"), col("doc_id")))
-    graft.ops.LangIdModel.predictDocs(docs, "doc_id", "lang", "__etext", m)
+    val docs = spark.read.parquet(graft.ops.LangIdModel.corpusPath)
+      .filter(col("split") === "test")
+    graft.ops.LangIdModel.predictDocs(docs, "doc_id", "lang", "text", m)
       .orderBy("doc_id")
   }
 
@@ -1532,9 +1533,9 @@ object Queries {
        |  SELECT lang AS mlang, bucket, theta_micro
        |  FROM read_parquet('${graft.ops.LangIdModel.modelPath}/*.parquet')),
        |lidocs AS (
-       |  SELECT doc_id, lang, ${graft.ops.LangIdModel.enrichedSql} AS etext
-       |  FROM documents
-       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |  SELECT doc_id, lang, text AS etext
+       |  FROM read_parquet('${graft.ops.LangIdModel.corpusPath}/*.parquet')
+       |  WHERE split = 'test'),
        |litri AS (
        |  SELECT doc_id,
        |    unnest(generate_series(1, length(etext) - 2)) AS i, etext

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,15 +18,15 @@ import org.apache.spark.sql.types._
   * the DuckDB oracle both consume the committed integers, so the
   * argmax (ties → language name order) is exact on both engines.
   *
-  * The synthetic fixture text is LANGUAGE-UNIFORM (the same vocabulary
-  * regardless of the `lang` label), so on the raw text there is nothing
-  * for any classifier to learn. The registry query therefore enriches
-  * each doc deterministically with per-language marker words scaled by
-  * `1 + doc_id % 3` — the `text_pii_scrub` pattern: inject the signal
-  * the fixture lacks so the green is non-vacuous by construction, and
-  * replay the identical enrichment in SQL. What the oracle certifies is
-  * the MACHINERY: training determinism, the committed artifact, the
-  * broadcast integer scoring, and the argmax tie discipline.
+  * Training and evaluation run on the committed multilingual corpus
+  * (`data/langid/corpus.parquet`, generated deterministically by
+  * `graft.tools.GenLangCorpus`): each language has a genuinely
+  * distinct character-level distribution (real function words +
+  * per-language syllable morphology), θ trains on the train split
+  * only, and the registry query `text_langid_model` predicts the
+  * held-out test split — so its green certifies real per-language
+  * model quality (per-language accuracy floors pinned in
+  * `LangIdModelSpec`), not injected markers.
   *
   * Scale: θ is a dense `|langs| × dim` long array (40 KB at the shipped
   * 5×1024) broadcast once; scoring is one narrow zero-exchange pass
@@ -41,6 +41,12 @@ object LangIdModel {
   val langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
 
   val modelPath = s"${Codebooks.defaultDir}/langid_nb.parquet"
+
+  /** The committed multilingual corpus (`GenLangCorpus`): columns
+    * (doc_id, lang, split, text); ASCII-only text so the DuckDB
+    * trigram-hash mirror is byte-exact.
+    */
+  val corpusPath = "data/langid/corpus.parquet"
 
   /** Char-trigram feature bucket: the engine-portable 60-bit hash of
     * the 3-char substring, mod `dim` (oracle: `shingleHash60 % 1024`).
@@ -170,38 +176,5 @@ object LangIdModel {
       if (b == -1L) prior(l) = t else theta(l)(b.toInt) = t
     }
     Model(theta, prior.toMap)
-  }
-
-  /** The deterministic marker enrichment (see the object doc): text
-    * plus `1 + doc_id % 3` copies of the language's marker phrase —
-    * identical `Column` and SQL forms.
-    */
-  val markerPhrase: Map[String, String] = Map(
-    "de" -> "und nicht aber",
-    "en" -> "thee thou hath",
-    "es" -> "pero como muy",
-    "fr" -> "avec pour dans",
-    "zh" -> "de5 shi4 zai4")
-
-  def enrichedCol(textCol: Column, langCol: Column, idCol: Column): Column = {
-    val phrase = langs.reverse.foldLeft(lit("")) { case (other, l) =>
-      when(langCol === lit(l), lit(" " + markerPhrase(l))).otherwise(other)
-    }
-    concat(textCol, repeat(phrase, (lit(1) + pmod(idCol, lit(3))).cast("int")))
-  }
-
-  /** JVM mirror of `enrichedCol`/`enrichedSql` for the trainer and
-    * specs (unknown langs pass through unenriched, like the SQL ELSE).
-    */
-  def enrichedJvm(text: String, lang: String, id: Long): String = {
-    val phrase = markerPhrase.get(lang).map(" " + _).getOrElse("")
-    text + phrase * (1 + (id % 3L)).toInt
-  }
-
-  val enrichedSql: String = {
-    val cases = langs.map { l =>
-      s"WHEN lang = '$l' THEN ' ${markerPhrase(l)}'"
-    }.mkString(" ")
-    s"text || repeat(CASE $cases ELSE '' END, CAST(1 + doc_id % 3 AS INTEGER))"
   }
 }

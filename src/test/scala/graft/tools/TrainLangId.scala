@@ -1,49 +1,42 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
-import graft.ops.{LangIdModel, QualityModel}
+import graft.ops.LangIdModel
 
 /** Trains the committed char-trigram Naive-Bayes language classifier
-  * (`data/codebooks/langid_nb.parquet`) on the deterministically
-  * marker-enriched fixture text (the fixture's `lang` labels carry no
-  * textual signal of their own — see `LangIdModel`'s doc). The bounded
-  * sample and the 80/20 hash split are the `QualityModel` discipline;
-  * the committed θ trains on the train side only and the held-out
-  * accuracy printed here is pinned by `LangIdModelSpec`.
+  * (`data/codebooks/langid_nb.parquet`) on the TRAIN split of the
+  * committed multilingual corpus (`GenLangCorpus` — regenerated here,
+  * which `LangIdCorpusSpec` pins equal to the committed parquet) and
+  * prints held-out per-language accuracy on the TEST split; the floors
+  * printed here are pinned by `LangIdModelSpec`.
   */
 object TrainLangId {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
-        col("lang").isNotNull)
-      .select(col("doc_id").cast(LongType), col("lang").cast(StringType),
-        col("text"))
-      .orderBy(graft.functions.PolyHash.polyHash(
-        col("doc_id").cast(StringType), 131L), col("doc_id"))
-      .limit(65536)
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1),
-        LangIdModel.enrichedJvm(r.getString(2), r.getString(1),
-          r.getLong(0))))
-      .toSeq
-    val (trainSet, heldOut) =
-      docs.partition { case (id, _, _) => !QualityModel.holdOut(id) }
+    val corpus = GenLangCorpus.corpus()
+    val trainSet = corpus.collect { case (id, lang, "train", text) =>
+      (id, lang, text)
+    }
+    val heldOut = corpus.collect { case (id, lang, "test", text) =>
+      (id, lang, text)
+    }
     val m = LangIdModel.train(trainSet)
     LangIdModel.writeModel(spark, LangIdModel.modelPath, m)
+    val byLang = heldOut.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (lang, docs) =>
+        val ok = docs.count { case (_, l, t) => LangIdModel.predict(t, m) == l }
+        s"$lang $ok/${docs.size}"
+    }
     val correct = heldOut.count { case (_, lang, text) =>
       LangIdModel.predict(text, m) == lang
     }
-    println(s"TRAINED langid on ${trainSet.size} docs from $dir: " +
-      s"HELD-OUT accuracy $correct/${heldOut.size} " +
-      s"(${correct * 1000 / math.max(1, heldOut.size)} permille) " +
-      s"-> ${LangIdModel.modelPath}")
+    println(s"TRAINED langid on ${trainSet.size} corpus docs: HELD-OUT " +
+      s"accuracy $correct/${heldOut.size} " +
+      s"(${correct * 1000 / math.max(1, heldOut.size)} permille; " +
+      s"per-lang ${byLang.mkString(", ")}) -> ${LangIdModel.modelPath}")
     spark.stop()
   }
 }
