@@ -20,6 +20,41 @@ import org.apache.spark.sql.types._
   */
 object StreamingCep {
 
+  /** State-store configuration for corpus-scale streaming CEP: the
+    * default HDFSBackedStateStoreProvider keeps EVERY key's state (k
+    * codec-versioned run-sets + the reorder buffer in the shared
+    * operators) as deserialized JVM objects in executor memory — at
+    * corpus-scale key cardinality that map is the first OOM. RocksDB
+    * keeps working state off-heap/on-disk with an in-memory block
+    * cache, so per-executor memory is bounded by the cache size, not
+    * the key count; changelog checkpointing uploads per-batch deltas
+    * instead of full snapshots, keeping commit latency flat as state
+    * grows.
+    *
+    * The provider is a per-QUERY setting read from the session conf at
+    * stream start — apply via `useRocksDbStateStore(spark)` (or merge
+    * `rocksDbStateStoreConfs` into the session/builder) BEFORE
+    * `.writeStream...start()`. The state PAYLOAD is provider-agnostic
+    * (the store holds the `CepStateCodec` versioned binary + Spark's
+    * row encoding of the state case classes), so checkpoints restart
+    * under RocksDB exactly as under the default provider — pinned by
+    * `RocksDbCepStateSpec`. The provider itself, however, must not be
+    * switched on an EXISTING checkpoint's state directory (Spark
+    * persists provider-specific files); pick it at first start.
+    */
+  val rocksDbStateStoreConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    // delta uploads per commit instead of full rocksdb snapshots
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
+  /** Apply `rocksDbStateStoreConfs` to the session (takes effect for
+    * queries started afterwards).
+    */
+  def useRocksDbStateStore(spark: org.apache.spark.sql.SparkSession): Unit =
+    rocksDbStateStoreConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+
   /** Serializable event binding (attr names/values in order). */
   final case class SerEvent(tpe: String, names: Seq[String], vals: Seq[Long])
 
