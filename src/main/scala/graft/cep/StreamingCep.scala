@@ -141,12 +141,31 @@ object StreamingCep {
 
   /** Event-time source policy shared by the single- and multi-query
     * event-time operators — ONE implementation so it cannot drift between
-    * formulations: watermark first, then the optional pre-NFA filter
-    * (NOTE Catalyst pushes it below the watermark node, so the watermark
-    * advances on the FILTERED stream), null key/ts drop, canonical
-    * `(__key, __ts, __ord, __type, attr…)` projection. `tsCol` stays a
-    * TIMESTAMP — a cast would strip the watermark tag and
-    * EventTimeTimeout requires a watermarked column in the child plan.
+    * formulations: watermark first, then the optional pre-NFA filter,
+    * null key/ts drop, canonical `(__key, __ts, __ord, __type, attr…)`
+    * projection. `tsCol` stays a TIMESTAMP — a cast would strip the
+    * watermark tag and EventTimeTimeout requires a watermarked column in
+    * the child plan.
+    *
+    * The pre-NFA filter must run ABOVE the watermark node: Catalyst
+    * pushes deterministic predicates that do not reference the
+    * watermark column below `EventTimeWatermark`, and a pushed-down
+    * union filter would compute the watermark on the FILTERED stream —
+    * a member set whose alphabet drops most events would then stall the
+    * reorder-buffer drain (events outside the alphabet never advance
+    * the watermark, so buffered in-alphabet events are never released).
+    * The filter is therefore applied as `cond OR tsCol IS NULL`: it
+    * references the watermark column, which blocks the pushdown (the
+    * optimizer's EventTimeWatermark pushdown rule keeps any
+    * ts-referencing predicate above the node), and it is semantically
+    * identical because ts-null rows are dropped by the source policy
+    * immediately after. Non-alphabet events still drop BEFORE the key
+    * shuffle and the state store — only the parquet-scan pushdown is
+    * traded away, for drain liveness (`EventTimeCepSpec` pins both the
+    * plan shape and the drain). A watermark heartbeat therefore needs
+    * no special type: ANY event with a non-null key and ts advances
+    * the watermark, and events outside the union alphabet are never
+    * fed to members.
     */
   private def etPrepare(df: DataFrame,
       filter: Option[org.apache.spark.sql.Column], spec: SparkCep.CepSpec,
@@ -155,7 +174,7 @@ object StreamingCep {
       (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
     val withWm = df.withWatermark(tsCol, delay)
     val filtered = filter match {
-      case Some(cond) => withWm.filter(cond)
+      case Some(cond) => withWm.filter(cond || col(tsCol).isNull)
       case None       => withWm
     }
     val source = spec.keyCol match {
@@ -543,13 +562,16 @@ object StreamingCep {
     * prefiltered member's feed is what its own prefilter would have done
     * before the scan). Output: `(qname, <key>, binding)`.
     *
-    * WATERMARK CAVEAT: when the union filter engages, Catalyst pushes it
-    * below the `EventTimeWatermark` node, so the watermark advances on
-    * the FILTERED stream — events outside the union alphabet do not move
-    * it. A heartbeat/flush event meant to advance the watermark must
-    * therefore carry an alphabet type (it is still never fed to a member
-    * whose window has not released it). The per-query event-time
-    * operator has no prefilter, so it does not share this property.
+    * The union filter runs ABOVE the watermark node in a
+    * pushdown-blocked form (see `etPrepare`), so the watermark advances
+    * on the RAW stream: a member set whose alphabet drops most events
+    * cannot stall the reorder-buffer drain, and a heartbeat/flush event
+    * needs no special type — any non-null-key, non-null-ts event moves
+    * the watermark and is dropped before the shuffle if outside the
+    * union alphabet (never fed to a member, so it can never bind or
+    * kill runs). The trade: the union filter no longer reaches the
+    * parquet scan in this variant — non-alphabet events are read, then
+    * dropped pre-shuffle.
     */
   def matchPatternsSharedEventTime(df: DataFrame,
       queries: Seq[(String, CepQuery)], spec: SparkCep.CepSpec,

@@ -132,20 +132,18 @@ class StreamingMultiSharedSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val sess = spark
     import sess.implicits._
-    // flush sentinels must carry a type INSIDE the union-filter alphabet:
-    // Catalyst pushes the shared operator's union prefilter below the
-    // watermark node, so a "__flush"-typed sentinel would be dropped
-    // before watermark stats and the buffered tail would never drain
-    // (found the hard way — the operator documents this contract).
-    // Sentinel safety rests on TWO exact properties, not on its value
-    // (a purchase satisfies not_followed_by's "True"-condition b-spat):
-    // the first sentinel's ts EQUALS the final watermark (hi+2·delay =
-    // (hi+3·delay)−delay) and the strict `ts < wm` release check never
-    // frees it, and key −1 holds no signup so even a release could not
-    // complete a pair. Adding a k=4 sentinel would break the first
-    // property for k=2 — don't.
+    // flush sentinels carry a NON-alphabet "__flush" type on purpose:
+    // the union filter runs ABOVE the watermark node in pushdown-blocked
+    // form (StreamingCep.etPrepare), so any typed event advances the
+    // watermark and a non-alphabet sentinel is dropped before the
+    // shuffle — it can never bind to or kill a member run. Under the
+    // pre-round-9 placement (filter pushed below the watermark) these
+    // sentinels would be dropped before watermark stats and the
+    // buffered tail would never drain — this gate would hang — so the
+    // sentinel type choice is itself the regression pin for the
+    // watermark placement.
     for (k <- 2L to 3L) {
-      Seq((-1L, hi + k, "purchase", 9999.0, hi + k * delaySec))
+      Seq((-1L, hi + k, "__flush", 9999.0, hi + k * delaySec))
         .toDF("user_id", "event_id", "event_type", "value", "tsec")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("tsec").cast("timestamp").as("ts"))
@@ -221,5 +219,94 @@ class StreamingMultiSharedSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"round $round diverged on members ${qs.map(_._1)}: " +
           s"stream ${streamed.length} vs batch ${batch.length}")
     }
+  }
+
+  /** The round-9 watermark-placement fix, pinned from both sides:
+    *
+    * (plan) the engaged union filter must sit ABOVE the
+    * `EventTimeWatermark` node — no event_type-referencing Filter may
+    * survive below it after optimization, else the watermark is
+    * computed on the filtered stream;
+    *
+    * (behavior) a DROP-HEAVY member set — union alphabet {signup,
+    * purchase} over a stream that is almost entirely clicks — must
+    * still drain its reorder buffer as the clicks close the window:
+    * the in-alphabet pair arrives in batch 1, only non-alphabet clicks
+    * arrive afterwards, and the match must still come out (and equal
+    * the batch operator). Under the pushed-down placement the clicks
+    * never advance the watermark and this hangs with an empty buffer
+    * release — the exact stall the fix removes.
+    */
+  test("drop-heavy member set: filter above watermark, buffer drains") {
+    val sess = spark
+    import sess.implicits._
+    val evSchema = Vector("signup" -> Vector("event_id", "value"),
+      "purchase" -> Vector("event_id", "value"),
+      "click" -> Vector("event_id", "value"))
+    val qs = Seq("sp" -> CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("a", "signup", "True"),
+        Pattern.spat("b", "purchase", "True")), evSchema))
+    val sp = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+    require(SparkCep.unionPrefilter(qs, sp).isDefined,
+      "test premise: the union filter must engage")
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("cep-drop-heavy").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def file(rows: (Long, Long, String, Long, java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("user_id", "event_id", "event_type", "value", "ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: the only in-alphabet events; batches 2-3: clicks only
+    file((1L, 1L, "signup", 0L, ts(10)), (1L, 2L, "purchase", 5L, ts(20)))
+    file((2L, 3L, "click", 0L, ts(200)), (2L, 4L, "click", 0L, ts(210)))
+    file((2L, 5L, "click", 0L, ts(500)))
+
+    val schema = spark.read.parquet(dir).schema
+    val streamDf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = StreamingCep.matchPatternsSharedEventTime(streamDf, qs, sp,
+      tsCol = "ts", delay = "100 seconds")
+
+    // (plan) optimized logical plan: no event_type filter below the
+    // watermark node; the union filter alive above it
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Filter}
+    // run the optimizer (incl. the filter-pushdown rules) directly —
+    // `optimizedPlan` on a streaming DF trips the batch-execution check
+    val lp = spark.sessionState.optimizer.execute(
+      out.queryExecution.analyzed)
+    val wms = lp.collect { case w: EventTimeWatermark => w }
+    assert(wms.nonEmpty, "no EventTimeWatermark node in the plan")
+    val pushedBelow = wms.head.collect {
+      case f: Filter if f.condition.references.exists(
+        _.name == "event_type") => f
+    }
+    assert(pushedBelow.isEmpty,
+      s"union filter pushed below the watermark node: $pushedBelow")
+    val above = lp.collect {
+      case f: Filter if f.condition.references.exists(
+        _.name == "event_type") => f
+    }
+    assert(above.nonEmpty, "union filter vanished from the plan entirely")
+
+    // (behavior) the clicks-only tail must close the window and release
+    // the pair; output equals the batch shared operator on the same data
+    val batch = SparkCep.matchPatternsShared(
+      spark.read.parquet(dir), qs, sp).collect()
+      .map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getString(2)}")
+      .toVector.sorted
+    assert(batch == Vector("sp|1|1;2"))
+    val sq = out.writeStream.format("memory").queryName("drop_heavy")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        sq.processAllAvailable()
+        spark.sql("SELECT * FROM drop_heavy").collect()
+          .map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getString(2)}")
+          .toVector.sorted
+      } finally sq.stop()
+    assert(streamed == batch,
+      s"drop-heavy drain failed: stream $streamed vs batch $batch")
   }
 }
