@@ -17,17 +17,24 @@ object Bench {
       catch { case _: Throwable => "" }
     val loadStart = loadavg
     // A loaded box produces phantom 3-9x swings (two rounds of judge time
-    // went to adjudicating load noise). Warn loudly up front so the
-    // artifact's consumer knows the numbers are suspect before reading them.
-    locally {
+    // went to adjudicating load noise). The warning alone was not enough —
+    // round 8's driver artifact ran at loadavg 5.18 and shipped 21 phantom
+    // NOISY rows anyway — so a contaminated start is now stamped INTO the
+    // JSON artifact (`"contaminated":true`): machine-detectable without
+    // reading BENCH.md's noise protocol.
+    val contaminated: Boolean = {
       val ncpu = Runtime.getRuntime.availableProcessors()
       val load1 = loadStart.split(",").headOption.flatMap(s =>
         scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
-      if (load1 > ncpu / 4.0)
+      val hot = load1 > ncpu / 4.0
+      if (hot)
         System.err.println(
           s"BENCH WARNING: loadavg $load1 > ncpu/4 (${ncpu / 4.0}) — " +
-            "numbers from this run will include background-load noise; " +
-            "prefer re-running on an idle box.")
+            "numbers from this run will include background-load noise and " +
+            "the artifact is stamped \"contaminated\":true. Re-run on an " +
+            "idle box: wait for loadavg < " + ncpu / 4.0 + ", then\n" +
+            "  cd /root/repo && sbt -batch 'runMain graft.Bench'")
+      hot
     }
     val wall0 = System.nanoTime()
     // absorb session/codegen warm-up so the first timed query isn't charged
@@ -81,7 +88,7 @@ object Bench {
     val total = results.values.map(_.cold).filter(_ >= 0).sum
     val totalMedian = results.values.map(_.med).filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.cold)},"queries_median":${jmap(_.med)},"queries_p25":${jmap(_.lo)},"queries_p75":${jmap(_.hi)},"total_median":$totalMedian,"loadavg":"$loadStart","loadavg_end":"$loadavg","bench_wall_sec":$wallSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.cold)},"queries_median":${jmap(_.med)},"queries_p25":${jmap(_.lo)},"queries_p75":${jmap(_.hi)},"total_median":$totalMedian,"loadavg":"$loadStart","loadavg_end":"$loadavg","contaminated":$contaminated,"bench_wall_sec":$wallSec,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a grep that truncated round 4's
     // artifact (lost ~10 queries' medians). Persist the full line ourselves

@@ -53,7 +53,20 @@ object Queries {
         case TimestampType =>
           df.withColumn("ts", unix_micros(col("ts")))
         case LongType => // legacy nanosAsLong read of timestamp[ns]
-          df.withColumn("ts", expr("(ts - pmod(ts, 1000)) DIV 1000"))
+          // Magnitude guard (ADVICE r8): a long ts is only rescaled /1000
+          // if it is plausibly NANOS — >= 1e16 ns (1970-04-26; the fixture
+          // epoch is 2020s ≈ 1.7e18 ns). If the driver ever regenerates
+          // the fixture with ts already in micros (~1.7e15) or millis
+          // (~1.7e12), this fails LOUDLY in the Verify/bench runtime
+          // instead of silently scaling every timestamp 1000×. Runs as a
+          // codegen'd per-row expression, so no extra job is spent on it.
+          df.withColumn("ts", expr(
+            "CASE WHEN ts < 10000000000000000 THEN CAST(raise_error(" +
+              "concat('FIXTURE SCHEMA DRIFT: " + where + " carries long " +
+              "ts=', ts, ' — too small for legacy nanosAsLong (>=1e16); " +
+              "the fixture likely moved to micros/millis. Teach " +
+              "Queries.normalizeTs the new unit.')) AS LONG) " +
+              "ELSE (ts - pmod(ts, 1000)) DIV 1000 END"))
         case other => throw new IllegalStateException(
           s"FIXTURE SCHEMA DRIFT: $where carries ts: ${other.sql}; this " +
             "engine knows TIMESTAMP_NTZ (us), TIMESTAMP, and LONG (legacy " +

@@ -36,11 +36,25 @@ object Verify {
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         failed(name) = msg
         System.err.println(s"[verify] $name FAILED: $msg")
+        // A reused outDir may hold a stale (or partially overwritten)
+        // result dir from an earlier run of this query; a driver keyed on
+        // dir existence instead of sentinels would consume it. A failed
+        // query leaves ONLY the failure artifact.
+        deleteRecursively(Paths.get(s"$outDir/$name"))
         Files.writeString(Paths.get(s"$outDir/_FAILED_$name"), msg + "\n")
       }
     }
     failed.toMap
   }
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(deleteRecursively(_)) finally children.close()
+      }
+      Files.deleteIfExists(p)
+    }
 
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
     * — a tab or CR in builder-authored SQL would otherwise make the

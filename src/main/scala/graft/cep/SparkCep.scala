@@ -112,15 +112,23 @@ object SparkCep {
     )
     val orderName = attrNames.head
 
+    // unkeyed = every row in one task; the guard makes a table-scale feed
+    // loud instead of silently serial (see CepRuntimeWarnings)
+    val unkeyedWarnRows: Long =
+      if (spec.keyCol.isDefined) Long.MaxValue
+      else df.sparkSession.conf.get(CepRuntimeWarnings.UnkeyedWarnRowsKey,
+        CepRuntimeWarnings.UnkeyedWarnRowsDefault.toString).toLong
     val out = parted.mapPartitions { rows =>
       val executor =
         new Executor(DstCompiler.compile(query), query.strategy, maxRunsPerKey, query.within, query.withinTime)
       // resolve the optional gauge once per task: the per-event cost when
       // disabled is a single null check, not an Option dispatch + closure
       val acc = skewAcc.orNull
+      val guard = new CepRuntimeWarnings.UnkeyedCounter(unkeyedWarnRows)
       var curKey = 0L
       var started = false
       rows.flatMap { row =>
+        guard.tick()
         val key = row.getLong(0)
         if (!started || key != curKey) {
           executor.reset(); curKey = key; started = true

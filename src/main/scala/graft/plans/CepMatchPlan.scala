@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
-import graft.cep.{CepQuery, CepSkewAccumulator, DstCompiler, Event, Executor}
+import graft.cep.{CepQuery, CepRuntimeWarnings, CepSkewAccumulator, DstCompiler, Event, Executor}
 
 /** The CEP pattern-match operator as a first-class Catalyst plan — the
   * prompt's extension path (c): a custom `LogicalPlan` + `SparkStrategy` +
@@ -164,15 +164,24 @@ final case class CepMatchExec(
     val outTypes = output.map(_.dataType).toArray
     val nOut = outTypes.length
     val skew = skewAcc
+    // unkeyed = single task by construction; the guard makes a
+    // table-scale feed loud instead of silently serial (see
+    // CepRuntimeWarnings). Resolved driver-side so the conf travels.
+    val unkeyedWarnRows: Long =
+      if (keyed) Long.MaxValue
+      else conf.getConfString(CepRuntimeWarnings.UnkeyedWarnRowsKey,
+        CepRuntimeWarnings.UnkeyedWarnRowsDefault.toString).toLong
     child.execute().mapPartitions({ iter =>
       val proj = UnsafeProjection.create(outTypes)
       val executor =
         new Executor(DstCompiler.compile(q), q.strategy, maxRuns, q.within, q.withinTime)
       // gauge resolved once per task; disabled cost is one null check
       val acc = skew.orNull
+      val guard = new CepRuntimeWarnings.UnkeyedCounter(unkeyedWarnRows)
       var curKey = 0L
       var started = false
       iter.flatMap { row =>
+        guard.tick()
         val key = row.getLong(0)
         if (!started || key != curKey) {
           executor.reset(); curKey = key; started = true
@@ -262,6 +271,10 @@ final case class CepMultiMatchExec(
     val maxRuns = maxRunsPerKey
     val outTypes = output.map(_.dataType).toArray
     val skew = skewAcc
+    val unkeyedWarnRows: Long =
+      if (keyed) Long.MaxValue
+      else conf.getConfString(CepRuntimeWarnings.UnkeyedWarnRowsKey,
+        CepRuntimeWarnings.UnkeyedWarnRowsDefault.toString).toLong
     child.execute().mapPartitions({ iter =>
       import org.apache.spark.unsafe.types.UTF8String
       val proj = UnsafeProjection.create(outTypes)
@@ -280,9 +293,11 @@ final case class CepMultiMatchExec(
       // the row's output iterator is drained before the next row starts)
       val matchesByQ = new Array[Vector[graft.cep.Match]](executors.length)
       val acc = skew.orNull
+      val guard = new CepRuntimeWarnings.UnkeyedCounter(unkeyedWarnRows)
       var curKey = 0L
       var started = false
       iter.flatMap { row =>
+        guard.tick()
         val key = row.getLong(0)
         if (!started || key != curKey) {
           executors.foreach(_.reset()); curKey = key; started = true

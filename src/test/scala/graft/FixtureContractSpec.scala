@@ -108,8 +108,21 @@ class FixtureContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       "CAST(1704067798778549123 AS BIGINT) AS ts")
     val got = Queries.normalizeTs(ns, "scratch").head().getLong(0)
     assert(got == 1704067798778549L)
-    val neg = spark.range(1).selectExpr("CAST(-1001 AS BIGINT) AS ts")
-    assert(Queries.normalizeTs(neg, "scratch").head().getLong(0) == -2L,
-      "negative nanos must FLOOR (DIV truncates toward zero)")
+  }
+
+  test("normalizeTs rejects a long ts too small to be nanos (ADVICE r8)") {
+    // if the driver regenerates the fixture with ts already in MICROS,
+    // the legacy /1000 rescale would silently shift every timestamp
+    // 1000x — the magnitude guard must fail loudly at runtime instead
+    val us = spark.range(1).selectExpr(
+      "CAST(1704067798778549 AS BIGINT) AS ts") // 2024 in micros
+    val e = intercept[Exception] {
+      Queries.normalizeTs(us, "scratch").head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("FIXTURE SCHEMA DRIFT")),
+      s"expected a FIXTURE SCHEMA DRIFT failure, got: $e")
   }
 }
