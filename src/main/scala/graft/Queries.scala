@@ -4444,6 +4444,58 @@ object Queries {
       |SELECT query_id, neighbor_id, sim_micro, CAST(rnk AS BIGINT) AS rnk
       |FROM final WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** IVFPQ top-5 against the COMMITTED persisted index
+    * (`Codebooks.ivfPqIndexPath`, built by `BuildIvfPqIndex` from the
+    * sf0.01 corpus with the committed quantizers) — the
+    * build-once/query-many read path that matters at 100 TB: the corpus
+    * was encoded ONCE into `__cell=<id>/` parquet, and each query batch's
+    * scan partition-prunes to its probes' cells at the FILE level
+    * (`PartitionFilters` in the scan, pinned by `PlanRegressionSpec`)
+    * before any non-probed byte is read. The oracle does NOT re-encode:
+    * it `read_parquet`s the index itself (hive-partitioned cells,
+    * hex-decoding the m=32 one-byte codes) and replays probe assignment
+    * + ADC against those stored codes — certifying the artifact on disk,
+    * not just the encoding math.
+    */
+  def knnIvfPqIndexTop5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val coarse = Codebooks.loadCoarse(spark, Codebooks.coarsePath)
+    val pq = Codebooks.loadPq(spark, Codebooks.pqPath)
+    Similarity.ivfPqTopKFromIndex(Codebooks.ivfPqIndexPath, emb,
+      "vec_id", "embedding", k = 5, nprobe = 8, coarse, pq)
+      .orderBy("query_id", "rnk")
+  }
+
+  val knnIvfPqIndexTop5Sql: String =
+    s"""${ivfPqOracleCtes(Codebooks.pqPath)},
+      |idx AS (
+      |  SELECT __id AS nid, CAST(__cell AS BIGINT) AS cell,
+      |    hex(__code) AS h
+      |  FROM read_parquet('${Codebooks.ivfPqIndexPath}/*/*.parquet',
+      |    hive_partitioning=1)),
+      |codes AS (
+      |  SELECT nid, cell, js.j,
+      |    CAST((strpos('0123456789ABCDEF',
+      |            substr(h, CAST(js.j*2+1 AS INT), 1)) - 1) * 16
+      |       + (strpos('0123456789ABCDEF',
+      |            substr(h, CAST(js.j*2+2 AS INT), 1)) - 1) AS BIGINT) AS cw
+      |  FROM idx CROSS JOIN
+      |    (SELECT CAST(range AS BIGINT) AS j FROM range(32)) js),
+      |scores AS (
+      |  SELECT p.qid AS query_id, c.nid AS neighbor_id,
+      |    CAST(sum(l.dotm) AS BIGINT) AS score_q
+      |  FROM probes p
+      |  JOIN codes c ON c.cell = p.cell AND c.nid <> p.qid
+      |  JOIN lutd l ON l.qid = p.qid AND l.j = c.j AND l.cw = c.cw
+      |  GROUP BY p.qid, c.nid),
+      |rankedq AS (
+      |  SELECT query_id, neighbor_id, score_q,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_q DESC, neighbor_id) AS rnk
+      |  FROM scores)
+      |SELECT query_id, neighbor_id, score_q, CAST(rnk AS BIGINT) AS rnk
+      |FROM rankedq WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4566,6 +4618,7 @@ object Queries {
     "knn_ivfpq_top5" -> knnIvfPqTop5 _,
     "knn_ivfpq_res_top5" -> knnIvfPqResTop5 _,
     "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5 _,
+    "knn_ivfpq_index_top5" -> knnIvfPqIndexTop5 _,
     "rel_salted_join" -> relSaltedJoin _,
     "rel_range_join" -> relRangeJoin _,
     "dedup_passage_scrub" -> dedupPassageScrub _,
@@ -4679,6 +4732,7 @@ object Queries {
     "knn_ivfpq_top5" -> knnIvfPqTop5Sql,
     "knn_ivfpq_res_top5" -> knnIvfPqResTop5Sql,
     "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5Sql,
+    "knn_ivfpq_index_top5" -> knnIvfPqIndexTop5Sql,
     "rel_salted_join" -> relSaltedJoinSql,
     "rel_range_join" -> relRangeJoinSql,
     "dedup_passage_scrub" -> dedupPassageScrubSql,

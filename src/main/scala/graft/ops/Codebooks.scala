@@ -39,6 +39,16 @@ object Codebooks {
   val pqPath = s"$defaultDir/pq_m32_k256.parquet"
   val pqResPath = s"$defaultDir/pqres_m32_k256.parquet"
 
+  /** Committed build-once/query-many IVFPQ index (built by
+    * `graft.tools.BuildIvfPqIndex` from the sf0.01 corpus with the
+    * committed coarse16 + pq_m32_k256 quantizers, flat codes): the
+    * `__cell=<id>/` parquet layout `Similarity.writeIvfPqIndex` emits,
+    * so a query's scan partition-prunes to its probes' cells. This is
+    * the 100 TB read path — encode once, prune at the FILE level per
+    * query batch.
+    */
+  val ivfPqIndexPath = s"$defaultDir/ivfpq_index_flat.parquet"
+
   /** Bounded deterministic sample: hash-ordered (id-salted with `seed`),
     * so any `sampleSize`-prefix is a uniform pseudo-random draw that does
     * not depend on partitioning or row order.

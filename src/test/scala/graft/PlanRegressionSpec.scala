@@ -262,6 +262,20 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pack window not stratum-partitioned:\n$p")
   }
 
+  test("persisted IVFPQ index scan prunes to probe cells at the " +
+      "partition level") {
+    // the committed index is cell-partitioned parquet; the probe batch's
+    // cell list must land as PartitionFilters (directory pruning at
+    // planning time), NOT as a post-scan row filter — the property the
+    // build-once/query-many path exists for (VERDICT r8 #5)
+    val p = plan("knn_ivfpq_index_top5")
+    assert(p.matches("(?s).*PartitionFilters: \\[__cell#\\d+ (INSET|IN).*"),
+      s"probe-cell membership filter not in PartitionFilters:\n$p")
+    // and nothing of the cell filter leaks into row-level filtering
+    assert(p.matches("(?s).*ivfpq_index_flat[^\\n]*PartitionFilters.*"),
+      s"index scan missing PartitionFilters:\n$p")
+  }
+
   test("dst transition map prints every reachable state block") {
     import graft.cep._
     val q = CepQuery(
