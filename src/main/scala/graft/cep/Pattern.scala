@@ -208,6 +208,22 @@ object Pattern {
     }
   }
 
+  /** Does the pattern contain an UNBOUNDED loop (`lpat-inf` /
+    * `gpat-inf`)? These are the shapes whose per-key live-run set can
+    * grow without limit on a pathological key (hot entity + permissive
+    * contiguity + NoSkip keeps every partial run alive forever), which
+    * is how a distributed CEP job OOMs at corpus scale. Used by
+    * `SparkCep.resolveMaxRuns` to apply the default state valve.
+    */
+  def hasUnboundedLoop(p: Pattern): Boolean = p match {
+    case _: LpatInf | _: GpatInf => true
+    case c: Combine    => hasUnboundedLoop(c.left) || hasUnboundedLoop(c.right)
+    case c: CombineNot => hasUnboundedLoop(c.left) || hasUnboundedLoop(c.right)
+    case g: Gpat       => hasUnboundedLoop(g.child)
+    case g: GpatTimes  => hasUnboundedLoop(g.child)
+    case _: Spat | _: Lpat => false
+  }
+
   // -- convenience constructors with string conditions ---------------------
   def spat(name: String, event: String, cndt: String): Spat =
     Spat(name, event, Expr.parse(cndt))

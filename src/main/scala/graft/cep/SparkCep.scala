@@ -94,6 +94,7 @@ object SparkCep {
     val piNames = patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     checkWithinStateBound(query, maxRunsPerKey, streaming = false)
+    val effMaxRuns = resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
     val (prepared, attrNames) = prepare(df, query, spec)
 
     val parted = spec.keyCol match {
@@ -120,7 +121,7 @@ object SparkCep {
         CepRuntimeWarnings.UnkeyedWarnRowsDefault.toString).toLong
     val out = parted.mapPartitions { rows =>
       val executor =
-        new Executor(DstCompiler.compile(query), query.strategy, maxRunsPerKey, query.within, query.withinTime)
+        new Executor(DstCompiler.compile(query), query.strategy, effMaxRuns, query.within, query.withinTime)
       // resolve the optional gauge once per task: the per-event cost when
       // disabled is a single null check, not an Option dispatch + closure
       val acc = skewAcc.orNull
@@ -174,6 +175,7 @@ object SparkCep {
     val piNames = patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     checkWithinStateBound(query, maxRunsPerKey, streaming = false)
+    val effMaxRuns = resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
     val (prepared, attrNames) = prepare(df, query, spec)
     val spark = df.sparkSession
     GraftColumnBridge.addStrategy(spark, graft.plans.CepStrategy)
@@ -182,7 +184,7 @@ object SparkCep {
         piNames.map(n => AttributeReference(n,
           ArrayType(LongType, containsNull = false), nullable = false)())
     val plan = graft.plans.CepMatchPlan(query, spec.keyCol.isDefined,
-      piNames, attrNames.head, attrNames, maxRunsPerKey, skewAcc, output,
+      piNames, attrNames.head, attrNames, effMaxRuns, skewAcc, output,
       prepared.queryExecution.analyzed)
     val out = GraftColumnBridge.ofRows(spark, plan)
     if (spec.keyCol.isEmpty) out.drop(keyName) else out
@@ -230,6 +232,11 @@ object SparkCep {
     queries.foreach { case (_, q) =>
       checkWithinStateBound(q, maxRunsPerKey, streaming = false)
     }
+    // one valve for the whole member set: explicit wins; otherwise the
+    // default engages if ANY member has an unbounded loop (capping a
+    // bounded member too is harmless — its run set never nears the cap)
+    val effMaxRuns =
+      resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
     val (prepared, attrNames) =
       prepareWithFilter(df, unionPrefilter(queries, spec), spec)
     val spark = df.sparkSession
@@ -240,7 +247,7 @@ object SparkCep {
       AttributeReference("binding", StringType, nullable = false)())
     val plan = graft.plans.CepMultiMatchPlan(queries.toVector,
       queries.map { case (_, q) => memberFeedTypes(q, spec) }.toVector,
-      spec.keyCol.isDefined, attrNames.head, attrNames, maxRunsPerKey,
+      spec.keyCol.isDefined, attrNames.head, attrNames, effMaxRuns,
       skewAcc, output, prepared.queryExecution.analyzed)
     val out = GraftColumnBridge.ofRows(spark, plan)
     if (spec.keyCol.isEmpty) out.drop(keyName) else out
@@ -283,6 +290,36 @@ object SparkCep {
     * does NOT bound state. Streaming runs unbounded input, so there the
     * valve is REQUIRED; batch terminates, so it warns loudly instead.
     */
+  /** Default per-key state valve for UNBOUNDED-loop patterns
+    * (`lpat-inf`/`gpat-inf`), the skew mitigation the gauge
+    * (`CepSkewAccumulator`) pointed at but nothing acted on: a hot key
+    * under a permissive unbounded pattern grows its live-run set without
+    * limit and OOMs an executor at corpus scale. When the caller passes
+    * no explicit `maxRunsPerKey`, every entry point now applies this
+    * default to queries containing an unbounded loop — the valve FAILS
+    * the query loudly at the cap (state explosion beats a silent OOM;
+    * semantics below the cap are untouched, and no legitimate workload
+    * holds 100k concurrent partial matches on one key). Tune with
+    * `spark.graft.cep.defaultUnboundedMaxRuns`; set it <= 0 to restore
+    * the uncapped reference semantics, or pass an explicit
+    * `maxRunsPerKey` (which always wins). Bounded patterns get no
+    * default — their run set is structurally bounded by pattern shape.
+    */
+  val DefaultUnboundedMaxRunsKey = "spark.graft.cep.defaultUnboundedMaxRuns"
+  val DefaultUnboundedMaxRuns = 100000
+
+  private[graft] def resolveMaxRuns(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[CepQuery], explicit: Option[Int]): Option[Int] =
+    explicit.orElse {
+      if (!queries.exists(q => Pattern.hasUnboundedLoop(q.patseq))) None
+      else {
+        val v = spark.conf.get(DefaultUnboundedMaxRunsKey,
+          DefaultUnboundedMaxRuns.toString).toInt
+        if (v <= 0) None else Some(v)
+      }
+    }
+
   private[cep] def checkWithinStateBound(query: CepQuery,
       maxRuns: Option[Int], streaming: Boolean): Unit = {
     if ((query.within.isDefined || query.withinTime.isDefined) &&

@@ -271,6 +271,8 @@ object StreamingCep {
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
+    val effMaxRuns =
+      SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
     // same source policy as the batch operator (shared `prepare`):
     // semantics-preserving pre-NFA pushdown, null keys dropped,
     // non-numeric keys hashed, canonical projection — the returned
@@ -300,7 +302,7 @@ object StreamingCep {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
-          val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within, query.withinTime)
+          val executor = new Executor(dst, query.strategy, effMaxRuns, query.within, query.withinTime)
           if (state.exists) {
             val st = CepStateCodec.decode(state.get)
             // cross-variant refusal is DETERMINISTIC via the v3 variant
@@ -386,6 +388,8 @@ object StreamingCep {
     queries.foreach { case (_, q) =>
       SparkCep.checkWithinStateBound(q, maxRunsPerKey, streaming = true)
     }
+    val effMaxRuns =
+      SparkCep.resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
     val (prepared, attrNames) = SparkCep.prepareWithFilter(
       df, SparkCep.unionPrefilter(queries, spec), spec)
     val orderName = attrNames.head
@@ -418,7 +422,7 @@ object StreamingCep {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Row], state: GroupState[SharedMultiState]) =>
           val executors = qVec.zipWithIndex.map { case ((_, q), i) =>
-            new Executor(dsts(i), q.strategy, maxRunsPerKey,
+            new Executor(dsts(i), q.strategy, effMaxRuns,
               q.within, q.withinTime)
           }
           if (state.exists) {
@@ -457,6 +461,8 @@ object StreamingCep {
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
+    val effMaxRuns =
+      SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
     val (prepared, attrNames) = etPrepare(df, None, spec, tsCol, delay)
     val orderName = attrNames.head
 
@@ -479,7 +485,7 @@ object StreamingCep {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
-          val executor = new Executor(dst, query.strategy, maxRunsPerKey, query.within, query.withinTime)
+          val executor = new Executor(dst, query.strategy, effMaxRuns, query.within, query.withinTime)
           val prev = if (state.exists) CepStateCodec.decode(state.get)
             else CepStateEt(0, Nil, Nil)
           // deterministic cross-variant refusal (see matchPattern): an
@@ -582,6 +588,8 @@ object StreamingCep {
     queries.foreach { case (_, q) =>
       SparkCep.checkWithinStateBound(q, maxRunsPerKey, streaming = true)
     }
+    val effMaxRuns =
+      SparkCep.resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
     val (prepared, attrNames) = etPrepare(df,
       SparkCep.unionPrefilter(queries, spec), spec, tsCol, delay)
     val orderName = attrNames.head
@@ -613,7 +621,7 @@ object StreamingCep {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[Row], state: GroupState[SharedMultiStateEt]) =>
           val executors = qVec.zipWithIndex.map { case ((_, q), i) =>
-            new Executor(dsts(i), q.strategy, maxRunsPerKey,
+            new Executor(dsts(i), q.strategy, effMaxRuns,
               q.within, q.withinTime)
           }
           val prevBuffer: Vector[BufEvent] =
