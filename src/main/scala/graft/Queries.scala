@@ -1208,7 +1208,7 @@ object Queries {
   // Training-data pipeline operators (graft.ops) over documents/embeddings
   // =======================================================================
 
-  import graft.ops.{Codebooks, DedupOps, MultiModal, Sampling, Similarity, TextOps}
+  import graft.ops.{Codebooks, DedupOps, IncrementalDedup, MultiModal, Sampling, Similarity, TextOps}
 
   /** Token/char/punct counting + lexical-diversity quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -2746,6 +2746,92 @@ object Queries {
        |JOIN sig l ON l.doc_id = c.id1
        |JOIN sig r ON r.doc_id = c.id2
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Incremental dedup against a persisted MinHash band index — the
+    * daily-batch-vs-corpus path (`ops.IncrementalDedup`): the corpus
+    * (doc_id % 10 != 0) is indexed ONCE (band keys + signatures on
+    * parquet, hot-bucket cap applied at write), then the new batch
+    * (doc_id % 10 == 0) is matched by shingling only the batch and
+    * joining its band keys against the index — corpus text is never
+    * re-read. The oracle regenerates the whole pipeline in SQL with the
+    * corpus/batch split: corpus-only bands feed the bucket cap, candidate
+    * pairs are batch×corpus (not a self-join), and the estimate is the
+    * usual signature-agreement fraction.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    // build-once index; written fresh per run so the query stays
+    // fixture-proof (the committed-artifact pattern needs stable inputs —
+    // see knn_ivfpq_index_top5 for that variant)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_incdedup").toString
+    IncrementalDedup.writeIndex(corpus, "doc_id", "text", idx,
+      maxBucketSize = 64L)
+    IncrementalDedup.matchBatch(batch, "doc_id", "text", idx)
+      .orderBy("new_id", "dup_of")
+  }
+
+  val dedupIncrementalSql: String = {
+    val params = DedupOps.MinHashParams()
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(s)), " +
+        s"i -> CAST(ascii(s[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    val mins = (0 until params.k).map { i =>
+      val (a, b) = params.coeffs(i)
+      s"MIN((hr * ${a % 2147483647L} + $b) % 2305843009213693951) AS mh_$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until params.bands).map { band =>
+      val bucket = (0 until params.rows).foldLeft("CAST(0 AS BIGINT)") {
+        (acc, r) =>
+          s"((($acc * 131) % 2147483647 + mh_${band * params.rows + r} % 2147483647) % 2147483647)"
+      }
+      s"SELECT doc_id, $band AS band, $bucket AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val eqSum = (0 until params.k).map(i =>
+      s"(CASE WHEN l.mh_$i = r.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(t) >= 3 THEN
+       |      list_transform(generate_series(1, len(t) - 2),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [array_to_string(t, ' ')] END)) AS s
+       |  FROM toks),
+       |h AS (
+       |  SELECT doc_id,
+       |    ((${poly(131)} + ${poly(257)} * 1073741824) % 2147483647) AS hr
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bands0 AS (
+       |  $bandSelects),
+       |cbands0 AS (
+       |  SELECT * FROM bands0 WHERE doc_id % 10 <> 0),
+       |bcnt AS (
+       |  SELECT band, bucket FROM cbands0
+       |  GROUP BY band, bucket HAVING count(*) <= 64),
+       |cbands AS (
+       |  SELECT b.* FROM cbands0 b JOIN bcnt USING (band, bucket)),
+       |nbands AS (
+       |  SELECT * FROM bands0 WHERE doc_id % 10 = 0),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
+       |  FROM nbands n JOIN cbands c
+       |    ON n.band = c.band AND n.bucket = c.bucket)
+       |SELECT cd.new_id, cd.dup_of,
+       |  CAST((($eqSum) * 1000) // ${params.k} AS BIGINT) AS est_milli
+       |FROM cand cd
+       |JOIN sig l ON l.doc_id = cd.new_id
+       |JOIN sig r ON r.doc_id = cd.dup_of
+       |ORDER BY new_id, dup_of""".stripMargin
   }
 
   /** SimHash near-dup pairs at the classic radius 3 (total recall via
@@ -4588,6 +4674,7 @@ object Queries {
     "pipeline_dsir_pack" -> pipelineDsirPack _,
     "emb_lang_centroids" -> embLangCentroids _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_simhash" -> dedupSimhash _,
     "knn_cosine_top10" -> knnCosineTop10 _,
     "emb_near_dup_lsh" -> embNearDupLsh _,
@@ -4653,6 +4740,7 @@ object Queries {
     "cep_multi_shared" -> cepMultiSharedSql,
     "cep_multi_shared_pushdown" -> cepMultiSharedPushdownSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "emb_near_dup_lsh" -> embNearDupLshSql,
     "semantic_dedup" -> semanticDedupSql,
