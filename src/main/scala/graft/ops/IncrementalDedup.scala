@@ -94,14 +94,24 @@ object IncrementalDedup {
     * from signature agreement. Output `(new_id, dup_of, est_milli)` —
     * every (batch doc, index doc) pair sharing a band bucket, with est =
     * fraction of equal signature components × 1000.
+    *
+    * Also works on a STREAMING `batch` frame (the ingestion-time gate —
+    * see `streaming.StreamingDedup.nearDupStream`): every stage is a
+    * narrow map or a stream-static join, and the pair dedup is
+    * `dropDuplicates` — in that mode its state is one row per emitted
+    * pair (the output set itself), the only state the operator keeps.
     */
   def matchBatch(batch: DataFrame, idCol: String, textCol: String,
       path: String, params: MinHashParams = MinHashParams(), n: Int = 3)
       : DataFrame = {
     val spark = batch.sparkSession
     val k = params.k
-    val newSigs = minHashSignatures(batch, idCol, textCol, params, n)
-      .withColumnRenamed(idCol, "new_id").cache()
+    // cache: the signature pass feeds both the band explode and the
+    // estimate join; persist is illegal on a streaming frame (each
+    // micro-batch is small — recompute is the right trade there)
+    val sigs0 = minHashSignatures(batch, idCol, textCol, params, n)
+      .withColumnRenamed(idCol, "new_id")
+    val newSigs = if (batch.isStreaming) sigs0 else sigs0.cache()
     val newBands = explodeBands(newSigs.withColumnRenamed("new_id", "id"),
       params)
     // partition-column `band` reads back as int; bucket is the join key
@@ -117,20 +127,13 @@ object IncrementalDedup {
       .parquet(s"$path/bands")
       .select(col("id").as("dup_of"), col("band").cast(IntegerType),
         col("bucket"))
-    val cand = newBands.select(col("band"), col("bucket"),
-        col("id").as("new_id"))
-      .join(idxBands, Seq("band", "bucket"))
-      .select("new_id", "dup_of").distinct()
     val idxSigs = spark.read.parquet(s"$path/sigs")
       .select(col("id").as("dup_of"), col("mhs").as("m2"))
     val estSchema = StructType(Seq(
       StructField("new_id", LongType, nullable = false),
       StructField("dup_of", LongType, nullable = false),
       StructField("est_milli", LongType, nullable = false)))
-    cand
-      .join(newSigs.select(col("new_id"), col("mhs").as("m1")), "new_id")
-      .join(idxSigs, "dup_of")
-      .select(col("new_id"), col("dup_of"), col("m1"), col("m2"))
+    def estRows(paired: DataFrame): DataFrame = paired
       .mapPartitions { rs =>
         rs.map { r =>
           val m1 = r.getSeq[Long](2); val m2 = r.getSeq[Long](3)
@@ -139,5 +142,45 @@ object IncrementalDedup {
           Row(r.getLong(0), r.getLong(1), eq.toLong * 1000L / k)
         }
       }(Encoders.row(estSchema))
+    if (batch.isStreaming) {
+      // STREAM plan: every join must be stream-static (a join back to
+      // `newSigs` would be a stream-stream self-join whose buffered
+      // candidate state re-emits old pairs when a duplicate doc id
+      // arrives), so the signature rides along the exploded band rows
+      // (k longs × bands per doc — fine per micro-batch) and ONE
+      // stateful dropDuplicates at the end is the only state.
+      val sigBandSchema = StructType(Seq(
+        StructField("new_id", LongType, nullable = false),
+        StructField("band", IntegerType, nullable = false),
+        StructField("bucket", LongType, nullable = false),
+        StructField("m1", ArrayType(LongType, containsNull = false),
+          nullable = false)))
+      val bands = params.bands
+      val rows_ = params.rows
+      val sigBands = newSigs.mapPartitions { rs =>
+        rs.flatMap { r =>
+          val id = r.getLong(0)
+          val mhs = r.getSeq[Long](1)
+          (0 until bands).iterator.map(b =>
+            Row(id, b, bucketKeyJvm(mhs, b * rows_, (b + 1) * rows_), mhs))
+        }
+      }(Encoders.row(sigBandSchema))
+      estRows(sigBands
+        .join(idxBands, Seq("band", "bucket"))
+        .join(idxSigs, "dup_of")
+        .select(col("new_id"), col("dup_of"), col("m1"), col("m2")))
+        .dropDuplicates(Seq("new_id", "dup_of"))
+    } else {
+      // BATCH plan: candidate-bounded signature fetch — band rows stay
+      // 20-ish bytes and signatures are only joined for surviving pairs.
+      val cand = newBands.select(col("band"), col("bucket"),
+          col("id").as("new_id"))
+        .join(idxBands, Seq("band", "bucket"))
+        .select("new_id", "dup_of").distinct()
+      estRows(cand
+        .join(newSigs.select(col("new_id"), col("mhs").as("m1")), "new_id")
+        .join(idxSigs, "dup_of")
+        .select(col("new_id"), col("dup_of"), col("m1"), col("m2")))
+    }
   }
 }

@@ -40,4 +40,20 @@ object StreamingDedup {
       .withColumn("__digest", sha2(col(textCol), 256))
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
+
+  /** Streaming NEAR-dup gate against a persisted MinHash band index
+    * (`ops.IncrementalDedup.writeIndex`): each arriving doc is shingled,
+    * its band keys stream-static-joined against the index, and every
+    * (new doc, corpus doc) bucket collision is emitted with the
+    * signature-agreement estimate — `(new_id, dup_of, est_milli)` in
+    * append mode. The corpus index is read-only here (file-sourced
+    * static side, refreshed by restarting the query after a batch
+    * `appendBatch`/`writeIndex` re-run); matches the batch
+    * `matchBatch` output exactly on the same inputs
+    * (`StreamingIncrementalDedupSpec`). State: the emitted-pair set
+    * only (see `IncrementalDedup.matchBatch`).
+    */
+  def nearDupStream(df: DataFrame, idCol: String, textCol: String,
+      indexPath: String): DataFrame =
+    graft.ops.IncrementalDedup.matchBatch(df, idCol, textCol, indexPath)
 }
