@@ -1888,6 +1888,34 @@ object Queries {
        |  len(regexp_extract_all(text, '${TextOps.bpeishPattern}')) AS n_bpeish
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Sliding-token-window chunking (`ops.Chunking`): 32-token windows
+    * every 24 tokens (8-token overlap) — the narrow, shuffle-free
+    * doc→chunk explode of retrieval/training prep. Oracle mirrors the
+    * window starts with `generate_series` and DuckDB list slicing.
+    */
+  def textChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.chunkByTokens(table(spark, dir, "documents"),
+      "doc_id", "text", chunkTokens = 32, overlapTokens = 8)
+      .orderBy("doc_id", "chunk_id")
+
+  val textChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      |s AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, n - 1, 24)) AS tok_off
+      |  FROM n)
+      |SELECT doc_id,
+      |  CAST(tok_off // 24 AS BIGINT) AS chunk_id,
+      |  CAST(tok_off AS BIGINT) AS tok_off,
+      |  CAST(len(toks[tok_off + 1 : tok_off + 32]) AS BIGINT) AS n_tok,
+      |  array_to_string(toks[tok_off + 1 : tok_off + 32], ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Polynomial rolling-hash document fingerprint. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(table(spark, dir, "documents"), "doc_id", "text")
@@ -4644,6 +4672,7 @@ object Queries {
     "rel_nations_set" -> relNationsSet _,
     "rel_cust_no_orders" -> relCustNoOrders _,
     "text_token_counts" -> textTokenCounts _,
+    "text_chunks" -> textChunks _,
     "text_quality" -> textQuality _,
     "text_quality_model" -> textQualityModel _,
     "text_repetition" -> textRepetition _,
@@ -4764,6 +4793,7 @@ object Queries {
     "rel_nations_set" -> relNationsSetSql,
     "rel_cust_no_orders" -> relCustNoOrdersSql,
     "text_token_counts" -> textTokenCountsSql,
+    "text_chunks" -> textChunksSql,
     "text_quality" -> textQualitySql,
     "text_quality_model" -> textQualityModelSql,
     "text_repetition" -> textRepetitionSql,
