@@ -2819,8 +2819,12 @@ object Queries {
       }
       s"SELECT doc_id, $band AS band, $bucket AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n  ")
+    // the index stores 32-bit signature residues; the estimate (and so
+    // the oracle) compares under the same mask — see
+    // IncrementalDedup's residue-semantics note
     val eqSum = (0 until params.k).map(i =>
-      s"(CASE WHEN l.mh_$i = r.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"(CASE WHEN (l.mh_$i & 4294967295) = (r.mh_$i & 4294967295) " +
+        "THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
        |  FROM documents),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,22 +8,36 @@ import org.apache.spark.sql.types._
   * index — the "daily batch vs 100 TB corpus" path.
   *
   * The ad-hoc LSH join (`DedupOps.minHashLshPairs`) re-reads and
-  * re-shingles the whole corpus on every run; at 100 TB the text scan is
-  * the entire cost. This operator pays it once: `writeIndex` persists the
-  * corpus's band keys (`bands/`, 20-ish bytes a row, partitioned by band)
-  * and signatures (`sigs/`, k longs a row) as parquet — together a
-  * low-single-digit percent of the text size — and each incoming batch is
-  * then matched by shingling ONLY the batch and joining its band keys
-  * against the index:
+  * re-shingles the whole corpus on every run; at 100 TB the text scan
+  * and signature CPU are the entire cost. This operator pays them once:
+  * `writeIndex` persists the corpus's band keys (`bands/`: 12 bytes a
+  * row — long id + int bucket, the band number is the partition
+  * directory) and 32-bit signature residues (`sigs/`: k ints a row) as
+  * parquet — a fixed ~0.45 KB per document regardless of document size
+  * (~10% of a typical 4 KB web document, and shrinking as docs grow) —
+  * and each incoming batch is then matched by shingling ONLY the batch
+  * and joining its band keys against the index:
   *
-  *   - the candidate join shuffles (band, bucket, id) triples, never text
-  *     or signatures;
+  *   - a Bloom filter over the BATCH's band keys (bounded by batch
+  *     size, built on the driver, serialized into the scan filter)
+  *     prunes the index scan BEFORE the candidate shuffle — the
+  *     corpus-sized band table contributes only rows whose (band,
+  *     bucket) the batch actually touches (plus the Bloom's false
+  *     positives, 1%), so the shuffle is batch-bounded, not
+  *     corpus-bounded;
   *   - signatures are fetched candidate-bounded (a join keyed by the
   *     candidates' ids, broadcast while small under AQE), so the
   *     agreement estimate never rescans the index's sig table;
   *   - the hot-bucket valve (`DedupOps.capBuckets`) is applied at WRITE
   *     time — the index never contains a degenerate bucket, so a batch
   *     bucket of size b joins at most `b * maxBucketSize` candidates.
+  *
+  * Signature storage is the low 32 bits of each MinHash component, and
+  * `est_milli` is the agreement fraction of those residues: two distinct
+  * components collide with probability 2^-32 per comparison (negligible
+  * at any batch size; on equal shingle sets the residues are exactly
+  * equal), and the DuckDB oracle applies the same mask, so the estimate
+  * is exact by definition, not approximation-by-accident.
   *
   * `appendBatch` grows the index with an accepted batch (parquet append,
   * no rewrite). The bucket cap is enforced per write in that case — a
@@ -38,10 +52,22 @@ object IncrementalDedup {
   private val bandSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("band", IntegerType, nullable = false),
-    StructField("bucket", LongType, nullable = false)))
+    StructField("bucket", IntegerType, nullable = false)))
+
+  private val idxBandsSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("band", IntegerType, nullable = false)))
+
+  private val idxSigsSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("mhs32", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
 
   /** (id, band, bucket) band keys of every doc — one tight JVM pass over
-    * the signatures; per doc the band keys are distinct by construction.
+    * the full-width signatures; per doc the band keys are distinct by
+    * construction. `bucketKeyJvm` folds mod 2^31-1, so the bucket fits
+    * an int exactly.
     */
   private def explodeBands(sigs: DataFrame, params: MinHashParams)
       : DataFrame = {
@@ -52,54 +78,64 @@ object IncrementalDedup {
         val id = r.getLong(0)
         val mhs = r.getSeq[Long](1)
         (0 until bands).iterator.map(b =>
-          Row(id, b, bucketKeyJvm(mhs, b * rows_, (b + 1) * rows_)))
+          Row(id, b, bucketKeyJvm(mhs, b * rows_, (b + 1) * rows_).toInt))
       }
     }(Encoders.row(bandSchema))
   }
 
-  /** Build the persisted index at `path`: `bands/` (id, band, bucket;
-    * disk-partitioned by band) and `sigs/` (id, mhs). Buckets larger than
-    * `maxBucketSize` are dropped from `bands/` (their docs keep their
-    * signatures — they are findable via their other bands).
+  /** Full-width signatures truncated to their stored 32-bit residues. */
+  private def truncSigs(sigs: DataFrame): DataFrame =
+    sigs.mapPartitions { rs =>
+      rs.map { r =>
+        Row(r.getLong(0), r.getSeq[Long](1).map(v => (v & 0xffffffffL).toInt))
+      }
+    }(Encoders.row(idxSigsSchema))
+
+  private def writeTo(docs: DataFrame, idCol: String, textCol: String,
+      path: String, params: MinHashParams, n: Int, maxBucketSize: Long,
+      mode: String): Unit = {
+    val sigs = minHashSignatures(docs, idCol, textCol, params, n)
+      .withColumnRenamed(idCol, "id").cache()
+    try {
+      truncSigs(sigs).write.mode(mode).parquet(s"$path/sigs")
+      capBuckets(explodeBands(sigs, params), maxBucketSize, None)
+        .write.partitionBy("band").mode(mode).parquet(s"$path/bands")
+    } finally sigs.unpersist()
+  }
+
+  /** Build the persisted index at `path`: `bands/` (id, bucket;
+    * disk-partitioned by band) and `sigs/` (id, mhs32). Buckets larger
+    * than `maxBucketSize` are dropped from `bands/` (their docs keep
+    * their signatures — they are findable via their other bands).
     */
   def writeIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, params: MinHashParams = MinHashParams(), n: Int = 3,
-      maxBucketSize: Long = Long.MaxValue): Unit = {
-    val sigs = minHashSignatures(corpus, idCol, textCol, params, n)
-      .withColumnRenamed(idCol, "id").cache()
-    try {
-      sigs.write.mode("overwrite").parquet(s"$path/sigs")
-      capBuckets(explodeBands(sigs, params), maxBucketSize, None)
-        .write.partitionBy("band").mode("overwrite").parquet(s"$path/bands")
-    } finally sigs.unpersist()
-  }
+      maxBucketSize: Long = Long.MaxValue): Unit =
+    writeTo(corpus, idCol, textCol, path, params, n, maxBucketSize,
+      "overwrite")
 
   /** Append an accepted batch to the index (no rewrite; see the cap
     * caveat in the object doc).
     */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
       path: String, params: MinHashParams = MinHashParams(), n: Int = 3,
-      maxBucketSize: Long = Long.MaxValue): Unit = {
-    val sigs = minHashSignatures(batch, idCol, textCol, params, n)
-      .withColumnRenamed(idCol, "id").cache()
-    try {
-      sigs.write.mode("append").parquet(s"$path/sigs")
-      capBuckets(explodeBands(sigs, params), maxBucketSize, None)
-        .write.partitionBy("band").mode("append").parquet(s"$path/bands")
-    } finally sigs.unpersist()
-  }
+      maxBucketSize: Long = Long.MaxValue): Unit =
+    writeTo(batch, idCol, textCol, path, params, n, maxBucketSize, "append")
 
   /** Match a new batch against the persisted index WITHOUT touching
     * corpus text: shingle the batch, join band keys, estimate similarity
-    * from signature agreement. Output `(new_id, dup_of, est_milli)` —
-    * every (batch doc, index doc) pair sharing a band bucket, with est =
-    * fraction of equal signature components × 1000.
+    * from signature-residue agreement. Output `(new_id, dup_of,
+    * est_milli)` — every (batch doc, index doc) pair sharing a band
+    * bucket, with est = fraction of equal 32-bit components × 1000 (see
+    * the object doc for the residue semantics).
     *
     * Also works on a STREAMING `batch` frame (the ingestion-time gate —
     * see `streaming.StreamingDedup.nearDupStream`): every stage is a
     * narrow map or a stream-static join, and the pair dedup is
     * `dropDuplicates` — in that mode its state is one row per emitted
     * pair (the output set itself), the only state the operator keeps.
+    * The Bloom prune is batch-only (it needs the batch's key set up
+    * front); a streaming micro-batch relies on the static-side join.
     */
   def matchBatch(batch: DataFrame, idCol: String, textCol: String,
       path: String, params: MinHashParams = MinHashParams(), n: Int = 3)
@@ -114,31 +150,29 @@ object IncrementalDedup {
     val newSigs = if (batch.isStreaming) sigs0 else sigs0.cache()
     val newBands = explodeBands(newSigs.withColumnRenamed("new_id", "id"),
       params)
-    // partition-column `band` reads back as int; bucket is the join key
-    // that matters. The index side projects 3 narrow columns — parquet
-    // reads no signature bytes here. Explicit schema: a fully-saturated
-    // cap can leave `bands/` with zero data files, which must read as an
-    // empty frame, not an inference error.
-    val idxBands = spark.read
-      .schema(StructType(Seq(
-        StructField("id", LongType, nullable = false),
-        StructField("bucket", LongType, nullable = false),
-        StructField("band", IntegerType, nullable = false))))
+    // Explicit schema: a fully-saturated cap can leave `bands/` with
+    // zero data files, which must read as an empty frame, not an
+    // inference error.
+    val idxBands0 = spark.read.schema(idxBandsSchema)
       .parquet(s"$path/bands")
       .select(col("id").as("dup_of"), col("band").cast(IntegerType),
         col("bucket"))
-    val idxSigs = spark.read.parquet(s"$path/sigs")
-      .select(col("id").as("dup_of"), col("mhs").as("m2"))
+    val idxSigs = spark.read.schema(idxSigsSchema).parquet(s"$path/sigs")
+      .select(col("id").as("dup_of"), col("mhs32").as("m2"))
     val estSchema = StructType(Seq(
       StructField("new_id", LongType, nullable = false),
       StructField("dup_of", LongType, nullable = false),
       StructField("est_milli", LongType, nullable = false)))
+    // m1 = full-width longs (recomputed batch side), m2 = stored ints
     def estRows(paired: DataFrame): DataFrame = paired
       .mapPartitions { rs =>
         rs.map { r =>
-          val m1 = r.getSeq[Long](2); val m2 = r.getSeq[Long](3)
+          val m1 = r.getSeq[Long](2); val m2 = r.getSeq[Int](3)
           var eq = 0; var i = 0
-          while (i < k) { if (m1(i) == m2(i)) eq += 1; i += 1 }
+          while (i < k) {
+            if ((m1(i) & 0xffffffffL).toInt == m2(i)) eq += 1
+            i += 1
+          }
           Row(r.getLong(0), r.getLong(1), eq.toLong * 1000L / k)
         }
       }(Encoders.row(estSchema))
@@ -152,7 +186,7 @@ object IncrementalDedup {
       val sigBandSchema = StructType(Seq(
         StructField("new_id", LongType, nullable = false),
         StructField("band", IntegerType, nullable = false),
-        StructField("bucket", LongType, nullable = false),
+        StructField("bucket", IntegerType, nullable = false),
         StructField("m1", ArrayType(LongType, containsNull = false),
           nullable = false)))
       val bands = params.bands
@@ -162,17 +196,42 @@ object IncrementalDedup {
           val id = r.getLong(0)
           val mhs = r.getSeq[Long](1)
           (0 until bands).iterator.map(b =>
-            Row(id, b, bucketKeyJvm(mhs, b * rows_, (b + 1) * rows_), mhs))
+            Row(id, b, bucketKeyJvm(mhs, b * rows_, (b + 1) * rows_).toInt,
+              mhs))
         }
       }(Encoders.row(sigBandSchema))
       estRows(sigBands
-        .join(idxBands, Seq("band", "bucket"))
+        .join(idxBands0, Seq("band", "bucket"))
         .join(idxSigs, "dup_of")
         .select(col("new_id"), col("dup_of"), col("m1"), col("m2")))
         .dropDuplicates(Seq("new_id", "dup_of"))
     } else {
-      // BATCH plan: candidate-bounded signature fetch — band rows stay
-      // 20-ish bytes and signatures are only joined for surviving pairs.
+      // BATCH plan. The Bloom semi-join reduction: the batch's distinct
+      // (band, bucket) key set is bounded by batch size, so build a
+      // driver-side Bloom over it and prune the corpus-sized band table
+      // at the scan — only touched buckets (plus ~1% false positives)
+      // reach the candidate shuffle. A Bloom false positive can only
+      // add a non-matching band row, which the equi-join then drops:
+      // no false negatives, bit-identical output.
+      val keyed = newBands
+        .select((col("band").cast(LongType) * 4294967296L +
+          col("bucket").cast(LongType)).as("__bk")).cache()
+      val nKeys = math.max(keyed.count(), 1L)
+      val bloom = keyed.stat.bloomFilter("__bk", nKeys, 0.01)
+      keyed.unpersist()
+      val bcBloom = spark.sparkContext.broadcast(bloom)
+      val idxBands = idxBands0.mapPartitions { rs =>
+        val bf = bcBloom.value
+        rs.filter { r =>
+          bf.mightContainLong(
+            r.getInt(1).toLong * 4294967296L + r.getInt(2).toLong)
+        }
+      }(Encoders.row(StructType(Seq(
+        StructField("dup_of", LongType, nullable = false),
+        StructField("band", IntegerType, nullable = false),
+        StructField("bucket", IntegerType, nullable = false)))))
+      // candidate-bounded signature fetch — band rows stay 12 bytes and
+      // signatures are only joined for surviving pairs.
       val cand = newBands.select(col("band"), col("bucket"),
           col("id").as("new_id"))
         .join(idxBands, Seq("band", "bucket"))
