@@ -142,4 +142,48 @@ class NegativeDifferentialSpec extends AnyFunSuite {
     info(s"$cases differential cases, all multiset-equal")
     assert(cases == 150 * 3 * 2 * 4)
   }
+
+  test("long-stream wave: 100-400-event streams (relaxed kill scopes and " +
+    "nd-relaxed forks crossing long noise gaps)") {
+    val rnd = new scala.util.Random(20260814L)
+    val types = Vector("A", "B", "C", "D")
+    val leftConds = Vector(Expr.True, Expr.parse("v > 2"))
+    val rightConds = Vector(Expr.True, Expr.parse("v < 7"))
+    val leftVarS = Vector(Pattern.varDef("s", 0L, "v"))
+    val negs = Vector(
+      (Pattern.NegSpec("n", "B", Expr.True), Vector.empty[VarDef]),
+      (Pattern.NegSpec("n", "B", Expr.parse("v > 5")), Vector.empty[VarDef]),
+      (Pattern.NegSpec("n", "C", Expr.parse("v < 3")), Vector.empty[VarDef]),
+      (Pattern.NegSpec("n", "B", Expr.parse("v == s")), leftVarS))
+    var cases = 0
+    for {
+      trial <- 0 until 25
+      contig <- Seq(Contiguity.Strict, Contiguity.Relaxed,
+        Contiguity.NdRelaxed)
+      mode <- Seq(Pattern.NegMode.NotNext, Pattern.NegMode.NotFollowedBy)
+      (neg, lv) <- negs
+    } {
+      // mostly-noise streams (type D dominant) so relaxed runs survive
+      // long gaps; A/B/C events are sparse, as in a real keyed stream
+      val n = 100 + rnd.nextInt(301)
+      val events = Vector.tabulate(n) { k =>
+        val t = if (rnd.nextInt(10) < 7) "D"
+          else types(rnd.nextInt(3))
+        Event(t, Vector("id" -> (k + 1).toLong,
+          "v" -> rnd.nextInt(10).toLong))
+      }
+      val lc = leftConds(rnd.nextInt(leftConds.length))
+      val rc = rightConds(rnd.nextInt(rightConds.length))
+      val expected = brute(contig, lc, lv, neg, mode, "C", rc, events)
+        .sorted
+      val got = nfa(contig, lc, lv, neg, mode, "C", rc, events).sorted
+      assert(got == expected,
+        s"long case $trial $contig $mode neg=${neg.event}:[${neg.cndt}] " +
+          s"lc=$lc rc=$rc n=$n\n  nfa=${got.take(30)}\n  " +
+          s"brute=${expected.take(30)}")
+      cases += 1
+    }
+    info(s"$cases long-stream differential cases, all multiset-equal")
+    assert(cases == 25 * 3 * 2 * 4)
+  }
 }
