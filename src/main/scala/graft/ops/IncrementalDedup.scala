@@ -115,7 +115,11 @@ object IncrementalDedup {
       "overwrite")
 
   /** Append an accepted batch to the index (no rewrite; see the cap
-    * caveat in the object doc).
+    * caveat in the object doc). Appended batches must be id-disjoint
+    * from the existing index (the accepted-batch contract): re-appending
+    * an id duplicates its sig/band rows, and `matchBatch` would then
+    * emit that neighbor's pairs once per copy (the streaming form's
+    * pair-dedup state hides this; the batch form does not).
     */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
       path: String, params: MinHashParams = MinHashParams(), n: Int = 3,
