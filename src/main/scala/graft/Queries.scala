@@ -1916,6 +1916,47 @@ object Queries {
       |  array_to_string(toks[tok_off + 1 : tok_off + 32], ' ') AS chunk_text
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Chunk-level sequence packing: chunk the corpus (32-token windows,
+    * 8 overlap), then pack the CHUNKS into 128-token training shards
+    * with the distributed global prefix-sum — the composed doc→chunk→
+    * (shard, offset) path a sequence-packing loader consumes. Chunk
+    * identity is `doc_id * 1000 + chunk_id` (chunk counts are ≤ ~42 per
+    * fixture doc, far under the stride).
+    */
+  def pipelineChunkPack(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.ops.Chunking.chunkByTokens(
+        table(spark, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+      .withColumn("chunk_key", col("doc_id") * 1000L + col("chunk_id"))
+    graft.ops.Packing.packGlobalByBudget(chunks, "chunk_key", "chunk_text",
+      budgetTokens = 128L)
+      .orderBy("chunk_key")
+  }
+
+  val pipelineChunkPackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      |s AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, n - 1, 24)) AS tok_off
+      |  FROM n),
+      |c AS (
+      |  SELECT doc_id * 1000 + (tok_off // 24) AS chunk_key,
+      |    CAST(len(toks[tok_off + 1 : tok_off + 32]) AS BIGINT) AS n_tok
+      |  FROM s),
+      |w AS (
+      |  SELECT chunk_key, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY chunk_key
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |      AS BIGINT) AS start_off
+      |  FROM c)
+      |SELECT chunk_key, n_tok, start_off, start_off // 128 AS shard_id
+      |FROM w ORDER BY chunk_key""".stripMargin
+
   /** Polynomial rolling-hash document fingerprint. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(table(spark, dir, "documents"), "doc_id", "text")
@@ -4677,6 +4718,7 @@ object Queries {
     "rel_cust_no_orders" -> relCustNoOrders _,
     "text_token_counts" -> textTokenCounts _,
     "text_chunks" -> textChunks _,
+    "pipeline_chunk_pack" -> pipelineChunkPack _,
     "text_quality" -> textQuality _,
     "text_quality_model" -> textQualityModel _,
     "text_repetition" -> textRepetition _,
@@ -4798,6 +4840,7 @@ object Queries {
     "rel_cust_no_orders" -> relCustNoOrdersSql,
     "text_token_counts" -> textTokenCountsSql,
     "text_chunks" -> textChunksSql,
+    "pipeline_chunk_pack" -> pipelineChunkPackSql,
     "text_quality" -> textQualitySql,
     "text_quality_model" -> textQualityModelSql,
     "text_repetition" -> textRepetitionSql,
