@@ -100,6 +100,34 @@ class CepMultiSharedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("a within member disables the union filter and matches its solo " +
+    "run (position windows make dropped events observable)") {
+    // non-spat within ⇒ the member declines a prefilter
+    // (SparkCep.prefilter returns None), which must veto the WHOLE
+    // union filter: dropping a non-alphabet event would shrink every
+    // span and admit pairs the 5-step window should reject.
+    val withinSet = Seq(
+      "spat_purchase" -> graft.Queries.cepSpatPurchaseQuery,
+      "within_signup_purchase" -> graft.Queries.cepWithinSignupPurchaseQuery)
+    assert(SparkCep.unionPrefilter(withinSet, spec).isEmpty,
+      "within member must veto the union pushdown")
+    assert(SparkCep.memberFeedTypes(
+      graft.Queries.cepWithinSignupPurchaseQuery, spec).isEmpty,
+      "within member must not get a feed gate either")
+    assert(shared(withinSet) == expected(withinSet))
+  }
+
+  test("a lone-spat within member keeps the union pushdown (span is " +
+    "always zero)") {
+    val spatWithin = graft.Queries.cepSpatPurchaseQuery.copy(
+      within = Some(3))
+    val set = Seq(
+      "spat_purchase" -> graft.Queries.cepSpatPurchaseQuery,
+      "spat_purchase_w3" -> spatWithin)
+    assert(SparkCep.unionPrefilter(set, spec).isDefined)
+    assert(shared(set) == expected(set))
+  }
+
   test("skew gauge counts events once, not once per member query") {
     val acc = new CepSkewAccumulator
     spark.sparkContext.register(acc, "cepSkewShared")
