@@ -708,6 +708,29 @@ object Similarity extends Serializable {
       .write.partitionBy("__cell").mode("overwrite").parquet(path)
   }
 
+  /** Incremental maintenance for the persisted IVFPQ index (the faiss
+    * `add`-after-train pattern): encode a new batch with the SAME frozen
+    * quantizers the index was built with and append its codes to the
+    * cell directories — no rewrite, no retraining, and
+    * `ivfPqTopKFromIndex` results are identical to a full rebuild over
+    * the union (spec-pinned) because scoring depends only on (cell,
+    * code), not on file layout. Appended ids must be disjoint from the
+    * index (same accepted-batch contract as
+    * `IncrementalDedup.appendBatch`). Quantizer drift is the operator's
+    * one hazard — pass the exact centroids/codebook of `writeIvfPqIndex`
+    * (they are committed artifacts here); retraining means rebuilding.
+    */
+  def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]], byResidual: Boolean = false)
+      : Unit = {
+    val centIds = Array.tabulate(centroids.length)(_.toLong)
+    val subDim = codebook.head.head.length
+    ivfPqEncode(batch, idCol, vecCol, centIds, centroids, codebook,
+      subDim, byResidual)
+      .write.partitionBy("__cell").mode("append").parquet(path)
+  }
+
   /** IVFPQ top-k against a persisted index (`writeIvfPqIndex`): the
     * probe batch's distinct cells (≤ nlist values — a bounded collect
     * regardless of probe count) become a static partition filter, so

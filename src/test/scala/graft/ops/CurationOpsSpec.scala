@@ -372,6 +372,44 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .deleteQuietly(new java.io.File(idxPath))
   }
 
+  test("IVFPQ index append (frozen quantizers) == full rebuild over the " +
+    "union") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = Codebooks.trainCoarse(emb, "vec_id", "embedding",
+      nlist = 8)
+    val pq = Codebooks.trainPq(emb, "vec_id", "embedding", m = 8,
+      ksub = 16)
+    // split: the first 40 ids are the initial corpus, the rest arrive
+    // as an appended batch (id-disjoint, quantizers frozen)
+    val corpus = emb.filter("vec_id < 40")
+    val batch = emb.filter("vec_id >= 40")
+    assert(batch.count() > 0 && corpus.count() > 0)
+    val incPath = java.nio.file.Files
+      .createTempDirectory("ivfpq-inc").toString
+    val fullPath = java.nio.file.Files
+      .createTempDirectory("ivfpq-full").toString
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", incPath,
+      coarse, pq)
+    Similarity.appendToIvfPqIndex(batch, "vec_id", "embedding", incPath,
+      coarse, pq)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", fullPath,
+      coarse, pq)
+    val probes = emb.orderBy("vec_id").limit(4)
+    val inc = Similarity.ivfPqTopKFromIndex(incPath, probes,
+      "vec_id", "embedding", k = 3, nprobe = 3, coarse, pq)
+      .collect().map(_.toString).sorted.toVector
+    val full = Similarity.ivfPqTopKFromIndex(fullPath, probes,
+      "vec_id", "embedding", k = 3, nprobe = 3, coarse, pq)
+      .collect().map(_.toString).sorted.toVector
+    assert(inc.nonEmpty && inc == full,
+      "appended index diverged from full rebuild")
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(incPath))
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(fullPath))
+  }
+
   test("semanticDedup: hot-cell valve fails loudly; auto-nlist works") {
     val s = spark
     import s.implicits._
