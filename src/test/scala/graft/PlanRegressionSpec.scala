@@ -276,6 +276,24 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"index scan missing PartitionFilters:\n$p")
   }
 
+  test("incremental-dedup index scans read only their narrow columns") {
+    // a fresh tiny index: the band scan must project (id, bucket) —
+    // never signature bytes — and the sig scan only (id, mhs32)
+    val docs = Queries.table(spark, dir, "documents")
+    val idx = java.nio.file.Files
+      .createTempDirectory("incdedup_plan").toString
+    graft.ops.IncrementalDedup.writeIndex(docs, "doc_id", "text", idx)
+    val p = graft.ops.IncrementalDedup
+      .matchBatch(docs.limit(5), "doc_id", "text", idx)
+      .queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*bands[^\\n]*ReadSchema: struct<id:bigint,bucket:int>.*"),
+      s"band scan not pruned to (id, bucket):\n$p")
+    assert(p.matches("(?s).*sigs[^\\n]*ReadSchema: struct<id:bigint,mhs32:array<int>>.*"),
+      s"sig scan not pruned to (id, mhs32):\n$p")
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(idx))
+  }
+
   test("dst transition map prints every reachable state block") {
     import graft.cep._
     val q = CepQuery(
