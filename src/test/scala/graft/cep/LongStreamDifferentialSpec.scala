@@ -2,7 +2,7 @@ package graft.cep
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Long-stream differential test: ~500 pattern shapes sampled from the
+/** Long-stream differential test: 1,000 pattern shapes sampled from the
   * same cross-product families as `DifferentialSpec`, driven by
   * 100-1,000-event seeded streams (sparse and burst-clustered relevant
   * events in noise) with expected outputs produced by the reference
@@ -21,7 +21,7 @@ class LongStreamDifferentialSpec extends AnyFunSuite {
       DifferentialCorpus.runAll("/differential/cases_long.jsonl.gz")
     assert(failures.isEmpty,
       s"${failures.length}+ of $n cases diverged:\n${failures.mkString("\n")}")
-    assert(n >= 400, s"long corpus unexpectedly small: $n cases")
+    assert(n >= 800, s"long corpus unexpectedly small: $n cases")
     info(s"$n long-stream cases matched")
   }
 }

@@ -45,7 +45,7 @@ OUT = Path(__file__).resolve().parent.parent / \
 SEED = 20260814
 TIMEOUT_S = 15
 MAX_REPR = 200_000
-TARGET = 500
+TARGET = 1000
 
 # relevant-event palette: spat trigger, loop bodies at prices that both
 # extend and exhaust the register conditions (z1+price<=10, z1+price<=12
