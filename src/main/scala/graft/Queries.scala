@@ -2907,6 +2907,120 @@ object Queries {
        |ORDER BY new_id, dup_of""".stripMargin
   }
 
+  /** The daily-ingest pipeline, composed from the round-9 operators:
+    * index the corpus once, match the incoming batch against it WITHOUT
+    * re-reading corpus text, drop batch docs whose best signature
+    * agreement ≥ 950‰ (near-dups of the corpus), chunk the survivors
+    * into 32-token overlapping windows, and pack the chunks into
+    * 128-token training shards with the global prefix-sum — batch in,
+    * (shard, offset) out, the whole path oracle-replayed in one
+    * statement.
+    */
+  def pipelineIngestDay(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ingest").toString
+    IncrementalDedup.writeIndex(corpus, "doc_id", "text", idx,
+      maxBucketSize = 64L)
+    val dupIds = IncrementalDedup.matchBatch(batch, "doc_id", "text", idx)
+      .filter(col("est_milli") >= 950L)
+      .select(col("new_id").as("doc_id")).distinct()
+    val kept = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    val chunks = graft.ops.Chunking.chunkByTokens(kept, "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+      .withColumn("chunk_key", col("doc_id") * 1000L + col("chunk_id"))
+    graft.ops.Packing.packGlobalByBudget(chunks, "chunk_key", "chunk_text",
+      budgetTokens = 128L)
+      .orderBy("chunk_key")
+  }
+
+  val pipelineIngestDaySql: String = {
+    val params = DedupOps.MinHashParams()
+    val poly = (base: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(s)), " +
+        s"i -> CAST(ascii(s[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
+    val mins = (0 until params.k).map { i =>
+      val (a, b) = params.coeffs(i)
+      s"MIN((hr * ${a % 2147483647L} + $b) % 2305843009213693951) AS mh_$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until params.bands).map { band =>
+      val bucket = (0 until params.rows).foldLeft("CAST(0 AS BIGINT)") {
+        (acc, r) =>
+          s"((($acc * 131) % 2147483647 + mh_${band * params.rows + r} % 2147483647) % 2147483647)"
+      }
+      s"SELECT doc_id, $band AS band, $bucket AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val eqSum = (0 until params.k).map(i =>
+      s"(CASE WHEN (l.mh_$i & 4294967295) = (r.mh_$i & 4294967295) " +
+        "THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(t) >= 3 THEN
+       |      list_transform(generate_series(1, len(t) - 2),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [array_to_string(t, ' ')] END)) AS s
+       |  FROM toks),
+       |h AS (
+       |  SELECT doc_id,
+       |    ((${poly(131)} + ${poly(257)} * 1073741824) % 2147483647) AS hr
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bands0 AS (
+       |  $bandSelects),
+       |cbands0 AS (
+       |  SELECT * FROM bands0 WHERE doc_id % 10 <> 0),
+       |bcnt AS (
+       |  SELECT band, bucket FROM cbands0
+       |  GROUP BY band, bucket HAVING count(*) <= 64),
+       |cbands AS (
+       |  SELECT b.* FROM cbands0 b JOIN bcnt USING (band, bucket)),
+       |nbands AS (
+       |  SELECT * FROM bands0 WHERE doc_id % 10 = 0),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
+       |  FROM nbands n JOIN cbands c
+       |    ON n.band = c.band AND n.bucket = c.bucket),
+       |dup AS (
+       |  SELECT DISTINCT cd.new_id AS doc_id
+       |  FROM cand cd
+       |  JOIN sig l ON l.doc_id = cd.new_id
+       |  JOIN sig r ON r.doc_id = cd.dup_of
+       |  WHERE CAST((($eqSum) * 1000) // ${params.k} AS BIGINT) >= 950),
+       |keptt AS (
+       |  SELECT d.doc_id,
+       |    list_filter(string_split(d.text, ' '), x -> x <> '') AS toks
+       |  FROM documents d
+       |  WHERE d.doc_id % 10 = 0
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM dup)),
+       |kn AS (
+       |  SELECT doc_id, toks, len(toks) AS n FROM keptt WHERE len(toks) > 0),
+       |st AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, n - 1, 24)) AS tok_off
+       |  FROM kn),
+       |chunks AS (
+       |  SELECT doc_id * 1000 + (tok_off // 24) AS chunk_key,
+       |    CAST(len(toks[tok_off + 1 : tok_off + 32]) AS BIGINT) AS n_tok
+       |  FROM st),
+       |w AS (
+       |  SELECT chunk_key, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY chunk_key
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |      AS BIGINT) AS start_off
+       |  FROM chunks)
+       |SELECT chunk_key, n_tok, start_off, start_off // 128 AS shard_id
+       |FROM w ORDER BY chunk_key""".stripMargin
+  }
+
   /** SimHash near-dup pairs at the classic radius 3 (total recall via
     * 4×16-bit bands; wider radii force narrower buckets and a much larger
     * candidate join). Oracle rebuilds the pipeline: per-token dual
@@ -4719,6 +4833,7 @@ object Queries {
     "text_token_counts" -> textTokenCounts _,
     "text_chunks" -> textChunks _,
     "pipeline_chunk_pack" -> pipelineChunkPack _,
+    "pipeline_ingest_day" -> pipelineIngestDay _,
     "text_quality" -> textQuality _,
     "text_quality_model" -> textQualityModel _,
     "text_repetition" -> textRepetition _,
@@ -4841,6 +4956,7 @@ object Queries {
     "text_token_counts" -> textTokenCountsSql,
     "text_chunks" -> textChunksSql,
     "pipeline_chunk_pack" -> pipelineChunkPackSql,
+    "pipeline_ingest_day" -> pipelineIngestDaySql,
     "text_quality" -> textQualitySql,
     "text_quality_model" -> textQualityModelSql,
     "text_repetition" -> textRepetitionSql,
