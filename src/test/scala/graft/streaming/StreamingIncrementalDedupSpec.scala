@@ -76,4 +76,55 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite
     assert(streamed.exists(t => t._1 == 10L && t._2 == 1L && t._3 == 1000L))
     assert(!streamed.exists(_._1 == 11L))
   }
+
+  test("checkpoint restart: emitted-pair state survives; re-sent docs " +
+    "stay suppressed, new dups still emit") {
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "completely different content about spark catalyst plans here"
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("incdedup_ckpt_idx").toString
+    graft.ops.IncrementalDedup.writeIndex(corpus, "doc_id", "text", idx)
+    val dir = java.nio.file.Files
+      .createTempDirectory("incdedup_ckpt").toString
+    val inDir = s"$dir/in"; val ckpt = s"$dir/ckpt"; val outDir = s"$dir/out"
+    val dupText =
+      "the quick brown fox jumps over the lazy dog again and again"
+    val inSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def startQuery() = {
+      val in = s.readStream.schema(inSchema).json(inDir)
+      StreamingDedup.nearDupStream(in, "doc_id", "text", idx)
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    Seq(10L -> dupText).toDF("doc_id", "text")
+      .write.mode("append").json(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart from the checkpoint: the pair (10, 1) sits in the
+    // dropDuplicates state — a re-sent doc 10 must emit nothing, while
+    // a new duplicate doc still matches
+    Seq(10L -> dupText, 20L -> dupText).toDF("doc_id", "text")
+      .write.mode("append").json(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val outSchema = StructType(Seq(
+      StructField("new_id", LongType), StructField("dup_of", LongType),
+      StructField("est_milli", LongType)))
+    val out = s.read.schema(outSchema).json(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(out.count(_._1 == 10L) == 1,
+      s"re-sent doc must not re-emit its pair across the restart: $out")
+    assert(out.toSet == Set((10L, 1L), (20L, 1L)), s"unexpected: $out")
+  }
 }
