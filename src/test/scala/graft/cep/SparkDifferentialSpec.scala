@@ -28,9 +28,10 @@ class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def loadSample(step: Int)
+  private def loadSample(step: Int,
+      resource: String = "/differential/cases.jsonl.gz")
       : Vector[(Int, String, Vector[(String, Int, Int)])] = {
-    val in = getClass.getResourceAsStream("/differential/cases.jsonl.gz")
+    val in = getClass.getResourceAsStream(resource)
     require(in != null, "differential corpus missing")
     val gz = new java.util.zip.GZIPInputStream(in)
     scala.io.Source.fromInputStream(gz, "UTF-8").getLines().zipWithIndex
@@ -56,10 +57,12 @@ class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   private def checkSampledGlobal(label: String,
       runner: (org.apache.spark.sql.DataFrame, CepQuery,
-        SparkCep.CepSpec) => org.apache.spark.sql.DataFrame): Unit = {
+        SparkCep.CepSpec) => org.apache.spark.sql.DataFrame,
+      step: Int = 500,
+      resource: String = "/differential/cases.jsonl.gz"): Unit = {
     val s = spark
     import s.implicits._
-    val sample = loadSample(500)
+    val sample = loadSample(step, resource)
     assert(sample.nonEmpty)
     var checked = 0
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -96,6 +99,16 @@ class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("sampled corpus cases match through the Catalyst-planned operator") {
     checkSampledGlobal("CepMatchExec",
       (df, q, spec) => SparkCep.matchPatternExec(df, q, spec))
+  }
+
+  test("sampled LONG-stream cases (100-1,000 events) match through the " +
+    "Catalyst-planned operator") {
+    // the InternalRow NFA loop + pushdown on inputs where runs cross
+    // hundreds of noise events — the regime the 9-event corpus never
+    // enters on the Spark layer
+    checkSampledGlobal("CepMatchExec/long",
+      (df, q, spec) => SparkCep.matchPatternExec(df, q, spec),
+      step = 25, resource = "/differential/cases_long.jsonl.gz")
   }
 
   test("keyed mode isolates interleaved key copies across sampled shapes") {
