@@ -154,11 +154,25 @@ class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("sampled corpus cases match through streaming CEP across batches") {
+    checkSampledStreaming(loadSample(2000), nBatches = 2)
+  }
+
+  test("sampled LONG-stream cases match through streaming CEP across " +
+    "four micro-batches") {
+    // live runs persisting across MANY micro-batch boundaries with long
+    // noise gaps between takes — the state-codec round-trip regime the
+    // 9-event inputs touch only once
+    checkSampledStreaming(
+      loadSample(100, "/differential/cases_long.jsonl.gz"), nBatches = 4)
+  }
+
+  private def checkSampledStreaming(
+      sample: Vector[(Int, String, Vector[(String, Int, Int)])],
+      nBatches: Int): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val sample = loadSample(2000)
     assert(sample.nonEmpty)
     var checked = 0
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -176,7 +190,8 @@ class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rows = input.zipWithIndex.map { case ((t, nm, pr), i) =>
         ((i + 1).toLong, t, nm.toLong, pr.toLong)
       }
-      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val batchSize = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      val batches = rows.grouped(batchSize).toVector
       val mem = MemoryStream[(Long, String, Long, Long)]
       val spec = SparkCep.CepSpec(None, "id", "type", Seq("name", "price"))
       val out = StreamingCep.matchPattern(
@@ -185,8 +200,9 @@ class SparkDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       val sq = out.writeStream.format("memory").queryName(qn)
         .outputMode("append").start()
       try {
-        if (b1.nonEmpty) { mem.addData(b1: _*); sq.processAllAvailable() }
-        if (b2.nonEmpty) { mem.addData(b2: _*); sq.processAllAvailable() }
+        for (b <- batches if b.nonEmpty) {
+          mem.addData(b: _*); sq.processAllAvailable()
+        }
       } finally sq.stop()
       val got = spark.table(qn).collect().toVector
         .map(r => names.indices.map(i => r.getSeq[Long](i)).toVector)
