@@ -2096,6 +2096,56 @@ object Queries {
        |FROM documents d LEFT JOIN mins m ON m.node = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Leakage-free train/validation/test split: near-dup CLUSTERS (not
+    * docs) are the split unit — a cluster's docs land in one split by
+    * the deterministic polynomial hash of its canonical id, so a
+    * near-duplicate of a training document can never leak into
+    * validation or test. 80/10/10 by hash permille; same clustering as
+    * `dedup_cluster_keep`, same engine-portable hash as the shuffled
+    * packer, so the oracle replays the whole thing.
+    */
+  def splitLeakageFree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      simMilli = 500, maxShingleFreq = 64L)
+    val clusters = DedupOps.nearDupKeepMap(docs, "doc_id", pairs)
+    val bucket = pmod(DedupOps.polyHash(
+      concat(lit("split:"), col("cluster_id").cast(StringType))), lit(1000L))
+    clusters.withColumn("split",
+        when(bucket < 800L, "train")
+          .when(bucket < 900L, "validation")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val splitLeakageFreeSql: String = {
+    val s = "'split:' || CAST(cluster_id AS VARCHAR)"
+    val poly =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($s)), " +
+        s"i -> CAST(ascii(($s)[i]) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+    s"""WITH RECURSIVE $jaccardCtes,
+       |und AS (
+       |  SELECT id1 AS a, id2 AS b FROM jpairs
+       |  UNION ALL SELECT id2, id1 FROM jpairs),
+       |reach AS (
+       |  SELECT a AS node, b AS r FROM und
+       |  UNION
+       |  SELECT re.node, u.b FROM reach re JOIN und u ON u.a = re.r),
+       |mins AS (SELECT node, min(r) AS minr FROM reach GROUP BY node),
+       |clusters AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(LEAST(d.doc_id, m.minr), d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN mins m ON m.node = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ($poly) % 1000 < 800 THEN 'train'
+       |       WHEN ($poly) % 1000 < 900 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM clusters ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic stratified sampling: permille rates per language
     * (downsample dominant `en`, keep tails) via the engine-portable
     * polynomial hash of the doc id — reproducible across engines, runs,
@@ -4856,6 +4906,7 @@ object Queries {
     "dedup_normalized" -> dedupNormalized _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_cluster_keep" -> dedupClusterKeep _,
+    "split_leakage_free" -> splitLeakageFree _,
     "sample_stratified" -> sampleStratified _,
     "pipeline_curate" -> pipelineCurate _,
     "pipeline_curate_full" -> pipelineCurateFull _,
@@ -4972,6 +5023,7 @@ object Queries {
     "dedup_normalized" -> dedupNormalizedSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_cluster_keep" -> dedupClusterKeepSql,
+    "split_leakage_free" -> splitLeakageFreeSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
