@@ -18,13 +18,12 @@ import org.apache.spark.sql.types._
   * and each incoming batch is then matched by shingling ONLY the batch
   * and joining its band keys against the index:
   *
-  *   - a Bloom filter over the BATCH's band keys (bounded by batch
-  *     size, built on the driver, serialized into the scan filter)
-  *     prunes the index scan BEFORE the candidate shuffle — the
-  *     corpus-sized band table contributes only rows whose (band,
-  *     bucket) the batch actually touches (plus the Bloom's false
-  *     positives, 1%), so the shuffle is batch-bounded, not
-  *     corpus-bounded;
+  *   - the candidate join BROADCASTS the batch's band keys (bounded by
+  *     batch size) and streams the corpus-sized band table through a
+  *     codegen'd hash join — the index is never shuffled; an oversized
+  *     batch falls back to a driver-built Bloom over its keys pruning
+  *     the index scan ahead of a shuffle join (1% false positives, all
+  *     dropped by the equi-join — bit-identical output either way);
   *   - signatures are fetched candidate-bounded (a join keyed by the
   *     candidates' ids, broadcast while small under AQE), so the
   *     agreement estimate never rescans the index's sig table;
@@ -210,36 +209,46 @@ object IncrementalDedup {
         .select(col("new_id"), col("dup_of"), col("m1"), col("m2")))
         .dropDuplicates(Seq("new_id", "dup_of"))
     } else {
-      // BATCH plan. The Bloom semi-join reduction: the batch's distinct
-      // (band, bucket) key set is bounded by batch size, so build a
-      // driver-side Bloom over it and prune the corpus-sized band table
-      // at the scan — only touched buckets (plus ~1% false positives)
-      // reach the candidate shuffle. A Bloom false positive can only
-      // add a non-matching band row, which the equi-join then drops:
-      // no false negatives, bit-identical output.
-      val keyed = newBands
-        .select((col("band").cast(LongType) * 4294967296L +
-          col("bucket").cast(LongType)).as("__bk")).cache()
-      val nKeys = math.max(keyed.count(), 1L)
-      val bloom = keyed.stat.bloomFilter("__bk", nKeys, 0.01)
-      keyed.unpersist()
-      val bcBloom = spark.sparkContext.broadcast(bloom)
-      val idxBands = idxBands0.mapPartitions { rs =>
-        val bf = bcBloom.value
-        rs.filter { r =>
-          bf.mightContainLong(
-            r.getInt(1).toLong * 4294967296L + r.getInt(2).toLong)
+      // BATCH plan. The batch side is small by the operator's premise
+      // (a daily increment vs the corpus), so the candidate join should
+      // stream the corpus-sized band table through a codegen'd
+      // broadcast hash join with ZERO index shuffle. Two regimes:
+      //  - batch band keys fit a broadcast (the normal case): broadcast
+      //    newBands to the index scan — exact pruning, no index
+      //    shuffle, whole-stage codegen end to end;
+      //  - oversized batch: fall back to a driver-built Bloom over the
+      //    batch's (band, bucket) keys pruning the index scan before a
+      //    shuffle join. A Bloom false positive only adds a
+      //    non-matching band row, which the equi-join drops: no false
+      //    negatives, bit-identical output either way.
+      val newB = newBands.select(col("band"), col("bucket"),
+        col("id").as("new_id")).cache()
+      val nBandRows = newB.count()
+      val cand0 =
+        if (nBandRows <= 4000000L) {
+          idxBands0.join(broadcast(newB), Seq("band", "bucket"))
+        } else {
+          val keyed = newB
+            .select((col("band").cast(LongType) * 4294967296L +
+              col("bucket").cast(LongType)).as("__bk"))
+          val bloom = keyed.stat.bloomFilter("__bk",
+            math.max(nBandRows, 1L), 0.01)
+          val bcBloom = spark.sparkContext.broadcast(bloom)
+          val idxBands = idxBands0.mapPartitions { rs =>
+            val bf = bcBloom.value
+            rs.filter { r =>
+              bf.mightContainLong(
+                r.getInt(1).toLong * 4294967296L + r.getInt(2).toLong)
+            }
+          }(Encoders.row(StructType(Seq(
+            StructField("dup_of", LongType, nullable = false),
+            StructField("band", IntegerType, nullable = false),
+            StructField("bucket", IntegerType, nullable = false)))))
+          newB.join(idxBands, Seq("band", "bucket"))
         }
-      }(Encoders.row(StructType(Seq(
-        StructField("dup_of", LongType, nullable = false),
-        StructField("band", IntegerType, nullable = false),
-        StructField("bucket", IntegerType, nullable = false)))))
       // candidate-bounded signature fetch — band rows stay 12 bytes and
       // signatures are only joined for surviving pairs.
-      val cand = newBands.select(col("band"), col("bucket"),
-          col("id").as("new_id"))
-        .join(idxBands, Seq("band", "bucket"))
-        .select("new_id", "dup_of").distinct()
+      val cand = cand0.select("new_id", "dup_of").distinct()
       estRows(cand
         .join(newSigs.select(col("new_id"), col("mhs").as("m1")), "new_id")
         .join(idxSigs, "dup_of")
