@@ -24,9 +24,13 @@ import org.apache.spark.sql.types._
   *     batch falls back to a driver-built Bloom over its keys pruning
   *     the index scan ahead of a shuffle join (1% false positives, all
   *     dropped by the equi-join — bit-identical output either way);
-  *   - signatures are fetched candidate-bounded (a join keyed by the
-  *     candidates' ids, broadcast while small under AQE), so the
-  *     agreement estimate never rescans the index's sig table;
+  *   - the agreement estimate joins candidate-bounded (the candidate
+  *     ids broadcast; only surviving pairs carry signature arrays into
+  *     the estimate), though the join STREAMS the sig table — a
+  *     columnar scan of k ints per corpus doc per batch. That scan is
+  *     the steady-state floor of the batch match, and it is still
+  *     ~100× less IO than re-reading corpus text, which is the
+  *     operator's point;
   *   - the hot-bucket valve (`DedupOps.capBuckets`) is applied at WRITE
   *     time — the index never contains a degenerate bucket, so a batch
   *     bucket of size b joins at most `b * maxBucketSize` candidates.
