@@ -290,6 +290,10 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"band scan not pruned to (id, bucket):\n$p")
     assert(p.matches("(?s).*sigs[^\\n]*ReadSchema: struct<id:bigint,mhs32:array<int>>.*"),
       s"sig scan not pruned to (id, mhs32):\n$p")
+    // the candidate join must BROADCAST the batch's band keys and
+    // stream the corpus-sized band table — never shuffle the index
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"candidate join does not broadcast the batch side:\n$p")
     org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(idx))
   }
