@@ -44,9 +44,14 @@ object LangIdModel {
 
   /** The committed multilingual corpus (`GenLangCorpus`): columns
     * (doc_id, lang, split, text); ASCII-only text so the DuckDB
-    * trigram-hash mirror is byte-exact.
+    * trigram-hash mirror is byte-exact. Rooted absolutely (the
+    * `Codebooks.defaultDir` pattern) because the oracle SQL bakes this
+    * path into `read_parquet(...)` and the gate's DuckDB process runs
+    * from an arbitrary cwd; `GRAFT_LANGID_DIR` relocates a checkout
+    * that is not at /root/repo.
     */
-  val corpusPath = "data/langid/corpus.parquet"
+  val corpusPath: String =
+    s"${sys.env.getOrElse("GRAFT_LANGID_DIR", "/root/repo/data/langid")}/corpus.parquet"
 
   /** Char-trigram feature bucket: the engine-portable 60-bit hash of
     * the 3-char substring, mod `dim` (oracle: `shingleHash60 % 1024`).
