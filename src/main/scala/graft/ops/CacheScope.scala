@@ -47,3 +47,23 @@ object CacheScope {
     }
   }
 }
+
+/** Explicit per-op cache lease, for long-lived drivers that cannot use
+  * the harness-boundary `CacheScope.withCaches` (which clears ALL
+  * Dataset caches in the session — too blunt for a shared driver
+  * matching daily batches next to unrelated cached work). Ops that
+  * persist plan-level intermediates accept an optional lease and
+  * register exactly those frames on it; `close()` (or use in a
+  * try-with-resources / `Using`) unpersists exactly them once the
+  * returned frame has been consumed.
+  */
+final class CacheLease extends AutoCloseable {
+  private val frames =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+  private[graft] def track(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = synchronized { frames += df; df }
+  override def close(): Unit = synchronized {
+    frames.foreach(_.unpersist())
+    frames.clear()
+  }
+}

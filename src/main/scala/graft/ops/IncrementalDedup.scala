@@ -44,9 +44,12 @@ import org.apache.spark.sql.types._
   *
   * `appendBatch` grows the index with an accepted batch (parquet append,
   * no rewrite). The bucket cap is enforced per write in that case — a
-  * bucket can exceed the cap ACROSS appends; re-run `writeIndex` to
-  * re-compact when the drop gauge says saturation is material, exactly
-  * like any LSM-ish index maintenance.
+  * bucket can exceed the cap ACROSS appends; `bucketSaturation` is the
+  * drop gauge (per-band over-cap bucket counts) and `compactIndex`
+  * rewrites `bands/` applying the cap globally — pinned identical to a
+  * fresh `writeIndex` over the same documents
+  * (`IncrementalDedupCompactSpec`) — exactly LSM-ish index maintenance,
+  * without re-reading any corpus text (signatures are never rewritten).
   */
 object IncrementalDedup {
 
@@ -143,18 +146,30 @@ object IncrementalDedup {
     * pair (the output set itself), the only state the operator keeps.
     * The Bloom prune is batch-only (it needs the batch's key set up
     * front); a streaming micro-batch relies on the static-side join.
+    *
+    * Cache lifetime: the batch plan persists two intermediates (batch
+    * signatures + band keys) that must outlive this call because the
+    * returned frame is lazy. Pass a `CacheLease` and `close()` it after
+    * consuming the result (the long-lived-driver form), or wrap
+    * consumption in `CacheScope.withCaches` (the harness form) —
+    * without either, the caches live until LRU eviction.
     */
   def matchBatch(batch: DataFrame, idCol: String, textCol: String,
-      path: String, params: MinHashParams = MinHashParams(), n: Int = 3)
-      : DataFrame = {
+      path: String, params: MinHashParams = MinHashParams(), n: Int = 3,
+      lease: Option[CacheLease] = None): DataFrame = {
     val spark = batch.sparkSession
     val k = params.k
+    def persisted(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      lease.foreach(_.track(c))
+      c
+    }
     // cache: the signature pass feeds both the band explode and the
     // estimate join; persist is illegal on a streaming frame (each
     // micro-batch is small — recompute is the right trade there)
     val sigs0 = minHashSignatures(batch, idCol, textCol, params, n)
       .withColumnRenamed(idCol, "new_id")
-    val newSigs = if (batch.isStreaming) sigs0 else sigs0.cache()
+    val newSigs = if (batch.isStreaming) sigs0 else persisted(sigs0)
     val newBands = explodeBands(newSigs.withColumnRenamed("new_id", "id"),
       params)
     // Explicit schema: a fully-saturated cap can leave `bands/` with
@@ -225,8 +240,8 @@ object IncrementalDedup {
       //    shuffle join. A Bloom false positive only adds a
       //    non-matching band row, which the equi-join drops: no false
       //    negatives, bit-identical output either way.
-      val newB = newBands.select(col("band"), col("bucket"),
-        col("id").as("new_id")).cache()
+      val newB = persisted(newBands.select(col("band"), col("bucket"),
+        col("id").as("new_id")))
       val nBandRows = newB.count()
       val cand0 =
         if (nBandRows <= 4000000L) {
@@ -258,5 +273,60 @@ object IncrementalDedup {
         .join(idxSigs, "dup_of")
         .select(col("new_id"), col("dup_of"), col("m1"), col("m2")))
     }
+  }
+
+  /** The drop gauge: per-band bucket saturation of a persisted index vs
+    * a cap — `over_cap > 0` anywhere means appends have pushed buckets
+    * past the cap a fresh build would have dropped, and `compactIndex`
+    * is due. One groupBy over the 12-byte `bands/` rows; never touches
+    * `sigs/` or corpus text. Output (band, n_buckets, max_bucket,
+    * n_rows, over_cap), one row per band, band-ordered.
+    */
+  def bucketSaturation(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxBucketSize: Long): DataFrame =
+    spark.read.schema(idxBandsSchema).parquet(s"$path/bands")
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band").cast(LongType).as("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(col("sz")).as("n_rows"),
+        sum(when(col("sz") > maxBucketSize, 1L).otherwise(0L))
+          .as("over_cap"))
+      .orderBy("band")
+
+  /** Re-compact a persisted index in place: rewrite `bands/` applying
+    * the whole-bucket cap GLOBALLY (the fresh-`writeIndex` rule —
+    * oversized buckets are dropped entirely; their docs stay findable
+    * via their other bands and keep their signatures). Because band keys
+    * are a pure function of the signatures and the cap drops whole
+    * buckets by size only, the compacted `bands/` is row-identical to a
+    * fresh `writeIndex` over the union of every written batch
+    * (spec-pinned). `sigs/` is untouched — compaction costs one shuffle
+    * of the 12-byte band rows, independent of corpus text size.
+    *
+    * The rewrite goes through a sibling temp dir + two renames, so a
+    * crash leaves either the old or the new `bands/` complete (plus at
+    * worst an orphaned temp dir that the next compact clears).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxBucketSize: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val bands = spark.read.schema(idxBandsSchema).parquet(s"$path/bands")
+      .select(col("id"), col("band"), col("bucket"))
+    val next = new Path(s"$path/bands__compacting")
+    val cur = new Path(s"$path/bands")
+    val old = new Path(s"$path/bands__old")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(next, true)
+    fs.delete(old, true)
+    capBuckets(bands, maxBucketSize, None)
+      .write.partitionBy("band").mode("overwrite")
+      .parquet(next.toString)
+    if (!fs.rename(cur, old) || !fs.rename(next, cur))
+      throw new java.io.IOException(
+        s"compactIndex: rename failed swapping $cur")
+    fs.delete(old, true)
   }
 }

@@ -39,6 +39,14 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("doc_id", "text")
   }
 
+  // NOTE on "est_milli identical": this is a 1 - ~2^-32-per-component
+  // identity, not a structural one — matchBatch compares the stored
+  // 32-bit signature RESIDUES while minHashLshPairs compares full
+  // 64-bit components, so a residue collision between two distinct
+  // components would make matchBatch count one extra agreement. On
+  // equal shingle sets the residues are exactly equal, so the identity
+  // is exact there; a divergence on a near-pair here would be a
+  // once-in-2^32 residue collision, not (necessarily) a regression.
   test("matchBatch equals the ad-hoc LSH join restricted to cross-split " +
     "pairs (est_milli identical)") {
     val s = spark

@@ -21,17 +21,19 @@ import org.apache.spark.sql.functions._
 object DriveIncrementalDedup {
 
   private def synthDocs(spark: SparkSession, n: Long, idOffset: Long,
-      copyEvery: Option[Int]) = {
+      copyEvery: Option[(Int, Long)]) = {
     val base0 = spark.range(n).toDF("i")
       .withColumn("doc_id", col("i") + idOffset)
     val withBase = copyEvery match {
-      case Some(k) =>
-        // every k-th batch doc copies corpus doc hash(i)%corpusSize —
-        // but for determinism just reuse (i % idOffset): batch ids start
-        // at idOffset so i < idOffset indexes a real corpus doc
+      case Some((k, corpusSize)) =>
+        // every k-th batch doc copies corpus doc hash(i) % corpusSize —
+        // modulus by the INDEXED corpus size, so every planted copy
+        // targets an indexed doc on every day (a modulus by idOffset
+        // would point most later-day copies at un-indexed prior batches
+        // and silently understate recall)
         base0.withColumn("base_id",
           when(pmod(col("i"), lit(k)) === 0L, pmod(col("i") * 2654435761L,
-            lit(idOffset))).otherwise(col("doc_id")))
+            lit(corpusSize))).otherwise(col("doc_id")))
       case None => base0.withColumn("base_id", col("doc_id"))
     }
     withBase
@@ -84,16 +86,22 @@ object DriveIncrementalDedup {
       f"ratio=${idxBytes.toDouble / corpusBytes}%.3f")
 
     for (day <- 1 to 3) {
-      val batch = synthDocs(spark, nBatch, nCorpus * day, Some(20))
+      val batch = synthDocs(spark, nBatch, nCorpus * day, Some((20, nCorpus)))
       t0 = System.nanoTime()
-      val matches = graft.ops.IncrementalDedup.matchBatch(
-        batch, "doc_id", "text", idxDir.toString)
-      val nPairs = matches.count()
-      val exact = matches.filter(col("est_milli") === 1000L).count()
-      val matchS = (System.nanoTime() - t0) / 1e9
-      println(f"BATCH_MATCH day=$day docs/s=${nBatch / matchS}%.0f " +
-        f"secs=$matchS%.1f pairs=$nPairs exact_pairs=$exact")
-      spark.catalog.clearCache()
+      // the per-op cache lease releases exactly matchBatch's two plan
+      // caches once this day's result is consumed — the long-lived
+      // driver pattern (a global clearCache here would clobber
+      // unrelated caches in a shared session)
+      val lease = new graft.ops.CacheLease
+      try {
+        val matches = graft.ops.IncrementalDedup.matchBatch(
+          batch, "doc_id", "text", idxDir.toString, lease = Some(lease))
+        val nPairs = matches.count()
+        val exact = matches.filter(col("est_milli") === 1000L).count()
+        val matchS = (System.nanoTime() - t0) / 1e9
+        println(f"BATCH_MATCH day=$day docs/s=${nBatch / matchS}%.0f " +
+          f"secs=$matchS%.1f pairs=$nPairs exact_pairs=$exact")
+      } finally lease.close()
     }
     spark.stop()
   }
