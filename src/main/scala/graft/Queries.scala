@@ -656,8 +656,15 @@ object Queries {
 
   /** §2 #7 gpat-inf {1,∞} of (signup · purchase): maximal-and-partial
     * alternating chains — every (start, repetition-count) combination, as
-    * NoSkip group loops emit. Oracle: recursive CTE extending consecutive
-    * signup→purchase pairs.
+    * NoSkip group loops emit. Oracle: gaps-and-islands, NOT a recursive
+    * CTE — consecutive signup→purchase pairs chain when their starts are
+    * 2 apart (`s0 - 2·row_number()` constant within a chain; gaps are
+    * ≥ 2 by construction since a pair's purchase position cannot start
+    * another pair), each maximal chain carries its id LISTS, and every
+    * contiguous (i ≤ j) slice is enumerated with `generate_series` +
+    * list slicing. Output-linear — the equivalent recursive CTE
+    * re-joined per extension and blew past the sf0.1 replay budget
+    * (round-9 exclusion); this one replays in under a second there.
     */
   val cepGpatInfSpQuery: CepQuery =
     CepQuery(
@@ -675,28 +682,36 @@ object Queries {
       .orderBy("user_id", "a_ids", "b_ids")
 
   val cepGpatInfSpSql: String =
-    """WITH RECURSIVE seqd AS (
+    """WITH seqd AS (
       |  SELECT user_id, event_id, event_type,
       |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
       |  FROM events),
       |pairs AS (
-      |  SELECT s.user_id, s.seq AS s0, s.seq + 1 AS s1,
+      |  SELECT s.user_id, s.seq AS s0,
       |    s.event_id AS a_id, p.event_id AS b_id
       |  FROM seqd s JOIN seqd p
       |    ON p.user_id = s.user_id AND p.seq = s.seq + 1
       |  WHERE s.event_type = 'signup' AND p.event_type = 'purchase'),
-      |rec AS (
-      |  SELECT user_id, s0, s1, CAST(a_id AS VARCHAR) AS a_ids,
-      |    CAST(b_id AS VARCHAR) AS b_ids
-      |  FROM pairs
-      |  UNION ALL
-      |  SELECT r.user_id, r.s0, p.s1,
-      |    r.a_ids || ',' || CAST(p.a_id AS VARCHAR),
-      |    r.b_ids || ',' || CAST(p.b_id AS VARCHAR)
-      |  FROM rec r JOIN pairs p
-      |    ON p.user_id = r.user_id AND p.s0 = r.s1 + 1)
-      |SELECT user_id, a_ids, b_ids FROM rec
-      |ORDER BY user_id, a_ids, b_ids""".stripMargin
+      |keyed AS (
+      |  SELECT user_id, s0, a_id, b_id,
+      |    s0 - 2 * row_number() OVER (PARTITION BY user_id ORDER BY s0) AS ck
+      |  FROM pairs),
+      |chains AS (
+      |  SELECT user_id, ck,
+      |    list(a_id ORDER BY s0) AS al, list(b_id ORDER BY s0) AS bl
+      |  FROM keyed GROUP BY user_id, ck),
+      |li AS (
+      |  SELECT user_id, al, bl,
+      |    unnest(generate_series(1, len(al))) AS i
+      |  FROM chains),
+      |sp AS (
+      |  SELECT user_id, al, bl, i,
+      |    unnest(generate_series(i, len(al))) AS j
+      |  FROM li)
+      |SELECT user_id,
+      |  array_to_string(list_transform(al[i:j], x -> CAST(x AS VARCHAR)), ',') AS a_ids,
+      |  array_to_string(list_transform(bl[i:j], x -> CAST(x AS VARCHAR)), ',') AS b_ids
+      |FROM sp ORDER BY user_id, a_ids, b_ids""".stripMargin
 
   /** §2 #3+#10+#15 lpat-inf{2,∞} + until + SkipToNext: per signup, the
     * first two cheap purchases after it — unless a value≥400 event lands
@@ -1920,14 +1935,17 @@ object Queries {
     * 8 overlap), then pack the CHUNKS into 128-token training shards
     * with the distributed global prefix-sum — the composed doc→chunk→
     * (shard, offset) path a sequence-packing loader consumes. Chunk
-    * identity is `doc_id * 1000 + chunk_id` (chunk counts are ≤ ~42 per
-    * fixture doc, far under the stride).
+    * identity is `doc_id * 1e6 + chunk_id`: collision-free while no doc
+    * has ≥ 1,000,000 chunks (~24 M tokens at stride 24 — far past any
+    * real document; a collision would only make pack order among the
+    * colliding rows nondeterministic). `pipelineIngestDay` reuses the
+    * same encoding and caveat.
     */
   def pipelineChunkPack(spark: SparkSession, dir: String): DataFrame = {
     val chunks = graft.ops.Chunking.chunkByTokens(
         table(spark, dir, "documents"), "doc_id", "text",
         chunkTokens = 32, overlapTokens = 8)
-      .withColumn("chunk_key", col("doc_id") * 1000L + col("chunk_id"))
+      .withColumn("chunk_key", col("doc_id") * 1000000L + col("chunk_id"))
     graft.ops.Packing.packGlobalByBudget(chunks, "chunk_key", "chunk_text",
       budgetTokens = 128L)
       .orderBy("chunk_key")
@@ -1945,7 +1963,7 @@ object Queries {
       |    unnest(generate_series(0, n - 1, 24)) AS tok_off
       |  FROM n),
       |c AS (
-      |  SELECT doc_id * 1000 + (tok_off // 24) AS chunk_key,
+      |  SELECT doc_id * 1000000 + (tok_off // 24) AS chunk_key,
       |    CAST(len(toks[tok_off + 1 : tok_off + 32]) AS BIGINT) AS n_tok
       |  FROM s),
       |w AS (
@@ -2867,33 +2885,32 @@ object Queries {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  /** Incremental dedup against a persisted MinHash band index — the
-    * daily-batch-vs-corpus path (`ops.IncrementalDedup`): the corpus
-    * (doc_id % 10 != 0) is indexed ONCE (band keys + signatures on
-    * parquet, hot-bucket cap applied at write), then the new batch
-    * (doc_id % 10 == 0) is matched by shingling only the batch and
-    * joining its band keys against the index — corpus text is never
-    * re-read. The oracle regenerates the whole pipeline in SQL with the
-    * corpus/batch split: corpus-only bands feed the bucket cap, candidate
-    * pairs are batch×corpus (not a self-join), and the estimate is the
-    * usual signature-agreement fraction.
+  /** Incremental dedup against the COMMITTED persisted MinHash band
+    * index (`Codebooks.dedupIndexPath`, built once by `BuildDedupIndex`
+    * from the sf0.01 corpus, doc_id % 10 != 0, cap 64 — the
+    * `knn_ivfpq_index_top5` build-once/match-many pattern): the batch
+    * (doc_id % 10 == 0) is matched by shingling ONLY the batch and
+    * joining its band keys against the index — no `writeIndex` in this
+    * plan, so the bench row prices the steady-state daily match, which
+    * is the operator's actual selling point. The oracle computes the
+    * batch's signatures/bands in SQL and `read_parquet`s the index
+    * itself (hive-partitioned bands + stored 32-bit residues) —
+    * certifying the committed bytes, not just the match math.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val batch = docs.filter(col("doc_id") % 10 === 0)
-    // build-once index; written fresh per run so the query stays
-    // fixture-proof (the committed-artifact pattern needs stable inputs —
-    // see knn_ivfpq_index_top5 for that variant)
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_incdedup").toString
-    IncrementalDedup.writeIndex(corpus, "doc_id", "text", idx,
-      maxBucketSize = 64L)
-    IncrementalDedup.matchBatch(batch, "doc_id", "text", idx)
+    val batch = table(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    IncrementalDedup.matchBatch(batch, "doc_id", "text",
+      Codebooks.dedupIndexPath)
       .orderBy("new_id", "dup_of")
   }
 
-  val dedupIncrementalSql: String = {
+  /** The batch half of the incremental-dedup oracle: CTEs `toks → sh →
+    * h → sig → nbands` computing the batch docs' (doc_id, mh_0..mh_63)
+    * signatures and band keys, plus `idxb`/`idxs` reading the committed
+    * index. Shared by `dedupIncrementalSql` and `pipelineIngestDaySql`.
+    */
+  private def incrementalOracleCtes: String = {
     val params = DedupOps.MinHashParams()
     val poly = (base: Int) =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -2910,15 +2927,9 @@ object Queries {
       }
       s"SELECT doc_id, $band AS band, $bucket AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    // the index stores 32-bit signature residues; the estimate (and so
-    // the oracle) compares under the same mask — see
-    // IncrementalDedup's residue-semantics note
-    val eqSum = (0 until params.k).map(i =>
-      s"(CASE WHEN (l.mh_$i & 4294967295) = (r.mh_$i & 4294967295) " +
-        "THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
-       |  FROM documents),
+       |  FROM documents WHERE doc_id % 10 = 0),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    CASE WHEN len(t) >= 3 THEN
@@ -2934,117 +2945,111 @@ object Queries {
        |  SELECT doc_id,
        |    $mins
        |  FROM h GROUP BY doc_id),
-       |bands0 AS (
-       |  $bandSelects),
-       |cbands0 AS (
-       |  SELECT * FROM bands0 WHERE doc_id % 10 <> 0),
-       |bcnt AS (
-       |  SELECT band, bucket FROM cbands0
-       |  GROUP BY band, bucket HAVING count(*) <= 64),
-       |cbands AS (
-       |  SELECT b.* FROM cbands0 b JOIN bcnt USING (band, bucket)),
        |nbands AS (
-       |  SELECT * FROM bands0 WHERE doc_id % 10 = 0),
+       |  $bandSelects),
+       |idxb AS (
+       |  SELECT id AS dup_of, bucket, CAST(band AS BIGINT) AS band
+       |  FROM read_parquet(
+       |    '${Codebooks.dedupIndexPath}/bands/*/*.parquet',
+       |    hive_partitioning=1)),
+       |idxs AS (
+       |  SELECT id AS dup_of, mhs32
+       |  FROM read_parquet('${Codebooks.dedupIndexPath}/sigs/*.parquet')),
        |cand AS (
-       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
-       |  FROM nbands n JOIN cbands c
-       |    ON n.band = c.band AND n.bucket = c.bucket)
-       |SELECT cd.new_id, cd.dup_of,
-       |  CAST((($eqSum) * 1000) // ${params.k} AS BIGINT) AS est_milli
-       |FROM cand cd
-       |JOIN sig l ON l.doc_id = cd.new_id
-       |JOIN sig r ON r.doc_id = cd.dup_of
-       |ORDER BY new_id, dup_of""".stripMargin
+       |  SELECT DISTINCT n.doc_id AS new_id, b.dup_of
+       |  FROM nbands n JOIN idxb b
+       |    ON n.band = b.band AND n.bucket = b.bucket)""".stripMargin
   }
 
-  /** The daily-ingest pipeline, composed from the round-9 operators:
-    * index the corpus once, match the incoming batch against it WITHOUT
-    * re-reading corpus text, drop batch docs whose best signature
-    * agreement ≥ 950‰ (near-dups of the corpus), chunk the survivors
-    * into 32-token overlapping windows, and pack the chunks into
-    * 128-token training shards with the global prefix-sum — batch in,
-    * (shard, offset) out, the whole path oracle-replayed in one
+  /** The per-pair estimate: batch side masked to its 32-bit residue,
+    * index side the stored signed int re-read as unsigned — the exact
+    * `matchBatch` residue semantics (see `IncrementalDedup`'s doc).
+    */
+  private def incrementalEqSum: String =
+    (0 until DedupOps.MinHashParams().k).map(i =>
+      s"(CASE WHEN (l.mh_$i & 4294967295) = " +
+        s"(CAST(r.mhs32[${i + 1}] AS BIGINT) & 4294967295) " +
+        "THEN 1 ELSE 0 END)").mkString(" + ")
+
+  val dedupIncrementalSql: String = {
+    val k = DedupOps.MinHashParams().k
+    s"""$incrementalOracleCtes
+       |SELECT cd.new_id, cd.dup_of,
+       |  CAST((($incrementalEqSum) * 1000) // $k AS BIGINT) AS est_milli
+       |FROM cand cd
+       |JOIN sig l ON l.doc_id = cd.new_id
+       |JOIN idxs r ON r.dup_of = cd.dup_of
+       |ORDER BY cd.new_id, cd.dup_of""".stripMargin
+  }
+
+  /** The drop gauge over the committed index
+    * (`IncrementalDedup.bucketSaturation`): per-band bucket population
+    * vs the build cap 64 — `over_cap > 0` anywhere says appends have
+    * saturated buckets past what a fresh build would keep and
+    * `compactIndex` is due. On the committed (freshly-built) index
+    * over_cap is 0 by construction, which is exactly what the oracle
+    * certifies. One groupBy over the 12-byte band rows; `dir` unused
+    * (the gauge is a pure index read).
+    */
+  def dedupIndexGauge(spark: SparkSession, dir: String): DataFrame =
+    IncrementalDedup.bucketSaturation(spark, Codebooks.dedupIndexPath, 64L)
+
+  val dedupIndexGaugeSql: String =
+    s"""WITH b AS (
+       |  SELECT id, bucket, CAST(band AS BIGINT) AS band
+       |  FROM read_parquet(
+       |    '${Codebooks.dedupIndexPath}/bands/*/*.parquet',
+       |    hive_partitioning=1)),
+       |sz AS (
+       |  SELECT band, bucket, count(*) AS sz FROM b GROUP BY band, bucket)
+       |SELECT band,
+       |  count(*) AS n_buckets,
+       |  CAST(max(sz) AS BIGINT) AS max_bucket,
+       |  CAST(sum(sz) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN sz > 64 THEN 1 ELSE 0 END) AS BIGINT) AS over_cap
+       |FROM sz GROUP BY band ORDER BY band""".stripMargin
+
+  /** The daily-ingest pipeline, composed steady-state: match the
+    * incoming batch against the COMMITTED corpus index
+    * (`Codebooks.dedupIndexPath` — no `writeIndex` in this plan, so the
+    * bench row prices the daily path), drop batch docs whose best
+    * signature agreement ≥ 950‰ (near-dups of the corpus), chunk the
+    * survivors into 32-token overlapping windows, and pack the chunks
+    * into 128-token training shards with the global prefix-sum — batch
+    * in, (shard, offset) out, the whole path oracle-replayed in one
     * statement.
+    *
+    * `chunk_key = doc_id * 1e6 + chunk_id` is collision-free while no
+    * doc has ≥ 1,000,000 chunks (= ~24 M tokens at stride 24 — far past
+    * any real document; a collision would only make pack order among
+    * the colliding rows nondeterministic). The same caveat and encoding
+    * appear at `pipelineChunkPack`.
     */
   def pipelineIngestDay(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val batch = docs.filter(col("doc_id") % 10 === 0)
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_ingest").toString
-    IncrementalDedup.writeIndex(corpus, "doc_id", "text", idx,
-      maxBucketSize = 64L)
-    val dupIds = IncrementalDedup.matchBatch(batch, "doc_id", "text", idx)
+    val batch = table(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    val dupIds = IncrementalDedup.matchBatch(batch, "doc_id", "text",
+        Codebooks.dedupIndexPath)
       .filter(col("est_milli") >= 950L)
       .select(col("new_id").as("doc_id")).distinct()
     val kept = batch.join(dupIds, Seq("doc_id"), "left_anti")
     val chunks = graft.ops.Chunking.chunkByTokens(kept, "doc_id", "text",
         chunkTokens = 32, overlapTokens = 8)
-      .withColumn("chunk_key", col("doc_id") * 1000L + col("chunk_id"))
+      .withColumn("chunk_key", col("doc_id") * 1000000L + col("chunk_id"))
     graft.ops.Packing.packGlobalByBudget(chunks, "chunk_key", "chunk_text",
       budgetTokens = 128L)
       .orderBy("chunk_key")
   }
 
   val pipelineIngestDaySql: String = {
-    val params = DedupOps.MinHashParams()
-    val poly = (base: Int) =>
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(generate_series(1, length(s)), " +
-        s"i -> CAST(ascii(s[i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
-    val mins = (0 until params.k).map { i =>
-      val (a, b) = params.coeffs(i)
-      s"MIN((hr * ${a % 2147483647L} + $b) % 2305843009213693951) AS mh_$i"
-    }.mkString(",\n    ")
-    val bandSelects = (0 until params.bands).map { band =>
-      val bucket = (0 until params.rows).foldLeft("CAST(0 AS BIGINT)") {
-        (acc, r) =>
-          s"((($acc * 131) % 2147483647 + mh_${band * params.rows + r} % 2147483647) % 2147483647)"
-      }
-      s"SELECT doc_id, $band AS band, $bucket AS bucket FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
-    val eqSum = (0 until params.k).map(i =>
-      s"(CASE WHEN (l.mh_$i & 4294967295) = (r.mh_$i & 4294967295) " +
-        "THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
-       |  FROM documents),
-       |sh AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    CASE WHEN len(t) >= 3 THEN
-       |      list_transform(generate_series(1, len(t) - 2),
-       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-       |    ELSE [array_to_string(t, ' ')] END)) AS s
-       |  FROM toks),
-       |h AS (
-       |  SELECT doc_id,
-       |    ((${poly(131)} + ${poly(257)} * 1073741824) % 2147483647) AS hr
-       |  FROM sh),
-       |sig AS (
-       |  SELECT doc_id,
-       |    $mins
-       |  FROM h GROUP BY doc_id),
-       |bands0 AS (
-       |  $bandSelects),
-       |cbands0 AS (
-       |  SELECT * FROM bands0 WHERE doc_id % 10 <> 0),
-       |bcnt AS (
-       |  SELECT band, bucket FROM cbands0
-       |  GROUP BY band, bucket HAVING count(*) <= 64),
-       |cbands AS (
-       |  SELECT b.* FROM cbands0 b JOIN bcnt USING (band, bucket)),
-       |nbands AS (
-       |  SELECT * FROM bands0 WHERE doc_id % 10 = 0),
-       |cand AS (
-       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
-       |  FROM nbands n JOIN cbands c
-       |    ON n.band = c.band AND n.bucket = c.bucket),
+    val k = DedupOps.MinHashParams().k
+    s"""$incrementalOracleCtes,
        |dup AS (
        |  SELECT DISTINCT cd.new_id AS doc_id
        |  FROM cand cd
        |  JOIN sig l ON l.doc_id = cd.new_id
-       |  JOIN sig r ON r.doc_id = cd.dup_of
-       |  WHERE CAST((($eqSum) * 1000) // ${params.k} AS BIGINT) >= 950),
+       |  JOIN idxs r ON r.dup_of = cd.dup_of
+       |  WHERE CAST((($incrementalEqSum) * 1000) // $k AS BIGINT) >= 950),
        |keptt AS (
        |  SELECT d.doc_id,
        |    list_filter(string_split(d.text, ' '), x -> x <> '') AS toks
@@ -3058,7 +3063,7 @@ object Queries {
        |    unnest(generate_series(0, n - 1, 24)) AS tok_off
        |  FROM kn),
        |chunks AS (
-       |  SELECT doc_id * 1000 + (tok_off // 24) AS chunk_key,
+       |  SELECT doc_id * 1000000 + (tok_off // 24) AS chunk_key,
        |    CAST(len(toks[tok_off + 1 : tok_off + 32]) AS BIGINT) AS n_tok
        |  FROM st),
        |w AS (
@@ -4916,6 +4921,7 @@ object Queries {
     "emb_lang_centroids" -> embLangCentroids _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_index_gauge" -> dedupIndexGauge _,
     "dedup_simhash" -> dedupSimhash _,
     "knn_cosine_top10" -> knnCosineTop10 _,
     "emb_near_dup_lsh" -> embNearDupLsh _,
@@ -4982,6 +4988,7 @@ object Queries {
     "cep_multi_shared_pushdown" -> cepMultiSharedPushdownSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_index_gauge" -> dedupIndexGaugeSql,
     "dedup_simhash" -> dedupSimhashSql,
     "emb_near_dup_lsh" -> embNearDupLshSql,
     "semantic_dedup" -> semanticDedupSql,

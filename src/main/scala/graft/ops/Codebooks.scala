@@ -49,6 +49,18 @@ object Codebooks {
     */
   val ivfPqIndexPath = s"$defaultDir/ivfpq_index_flat.parquet"
 
+  /** Committed build-once/match-many MinHash dedup index (built by
+    * `graft.tools.BuildDedupIndex` from the sf0.01 documents corpus,
+    * doc_id % 10 != 0, cap 64): `bands/` + `sigs/` in the
+    * `IncrementalDedup.writeIndex` layout. The steady-state registry
+    * rows (`dedup_incremental`, `pipeline_ingest_day`,
+    * `dedup_index_gauge`) match their batch against THIS index, so the
+    * bench prices the daily match — never an in-query `writeIndex` —
+    * and the oracle `read_parquet`s the index itself, certifying the
+    * bytes on disk.
+    */
+  val dedupIndexPath = s"$defaultDir/dedup_minhash_index"
+
   /** Bounded deterministic sample: hash-ordered (id-salted with `seed`),
     * so any `sampleSize`-prefix is a uniform pseudo-random draw that does
     * not depend on partitioning or row order.
