@@ -16,6 +16,24 @@ import scala.collection.mutable.ArrayBuffer
   * cheaply for use inside Spark stateful operators.
   */
 final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
+    /** Per-key live-run valve. Positive cap = FAIL-FAST: throw when the
+      * run set exceeds it (state explosion beats a silent OOM; the
+      * default for unbounded-loop patterns, `SparkCep.resolveMaxRuns`).
+      * NEGATIVE cap = SHED-OLDEST salvage at |cap|: instead of dying,
+      * drop the LONGEST-LIVED partial runs (front of the run list, which
+      * the feed loop keeps in run-creation order) until |cap| remain —
+      * the hot-key survival mode for jobs that must finish. Documented
+      * semantics of shedding (spec-pinned in `CepRunCapShedSpec`):
+      * deterministic; with NoSkip the output is a sub-multiset of the
+      * uncapped output (shedding only removes partial runs, never
+      * creates matches), and any key whose live-run set never exceeds
+      * |cap| is EXACT — in particular every key that feeds fewer than
+      * |cap| events. With skip strategies the subset claim does NOT
+      * hold: a shed run's suppressed match can no longer clear other
+      * runs, so later matches may appear that the uncapped run would
+      * have skipped. `shedCount` reports drops (telemetry only — not
+      * part of the streaming state snapshot).
+      */
     val maxRuns: Option[Int] = None,
     /** Beyond-parity window extension (FlinkCEP `.within`, with "time" =
       * position in the key's ordered stream): a match is emitted only if
@@ -54,8 +72,16 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
   // only sound on a non-decreasing clock, so a rewind fails loudly
   // instead of silently dropping matches
   private var lastTs: Long = Long.MinValue
+  // runs dropped by the shed-oldest valve (negative maxRuns); telemetry
+  // only, intentionally NOT in snapshot/restore
+  private var shed: Long = 0L
 
-  def reset(): Unit = { S = ArrayBuffer.empty; i = 0; lastTs = Long.MinValue }
+  /** Runs dropped by the shed-oldest valve since construction/reset. */
+  def shedCount: Long = shed
+
+  def reset(): Unit = {
+    S = ArrayBuffer.empty; i = 0; lastTs = Long.MinValue; shed = 0L
+  }
 
   /** Live-run count (for state-size accounting in streaming). */
   def runCount: Int = S.size
@@ -227,14 +253,26 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
 
     // state-explosion safety valve: nd-relaxed + NoSkip can grow the run
     // set combinatorially (inherent to the semantics, SURVEY.md §4); at
-    // corpus scale an unbounded key would OOM an executor. Failing loudly
-    // beats silently wrong results — callers opt in via maxRuns.
+    // corpus scale an unbounded key would OOM an executor. Positive cap:
+    // failing loudly beats silently wrong results. Negative cap: the
+    // documented shed-oldest salvage (see the constructor doc) — drop
+    // the front of S (oldest runs) down to |cap| so hot keys survive
+    // with deterministic, subset-of-uncapped (NoSkip) output.
     maxRuns.foreach { cap =>
-      if (S.length > cap)
+      if (cap < 0) {
+        val lim = -cap
+        if (S.length > lim) {
+          val drop = S.length - lim
+          shed += drop
+          S = S.drop(drop)
+        }
+      } else if (S.length > cap)
         throw new IllegalStateException(
           s"CEP run-set exceeded maxRuns=$cap at step $i (pattern keeps " +
             "too many partial matches alive; consider a stricter " +
-            "contiguity, an until condition, or a skip strategy)")
+            "contiguity, an until condition, a skip strategy, or the " +
+            s"shed-oldest salvage: maxRuns = ${-cap} sheds to $cap live " +
+            "runs instead of failing)")
     }
 
     out.result()

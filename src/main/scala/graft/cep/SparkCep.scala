@@ -308,6 +308,21 @@ object SparkCep {
   val DefaultUnboundedMaxRunsKey = "spark.graft.cep.defaultUnboundedMaxRuns"
   val DefaultUnboundedMaxRuns = 100000
 
+  /** What the default valve does when a hot key hits the cap:
+    * `"fail"` (default) throws — state explosion beats a silent OOM —
+    * while `"shedOldest"` switches the default cap to the documented
+    * salvage mode (negative cap to the `Executor`): the longest-lived
+    * partial runs are dropped until the cap holds, the job survives the
+    * hot key, and `Executor.shedCount`/the skew gauge say it happened.
+    * Shedding semantics (spec-pinned in `CepRunCapShedSpec`):
+    * deterministic; NoSkip output is a sub-multiset of the uncapped
+    * output; keys that never exceed the cap — in particular every key
+    * with fewer events than the cap — are exact. An EXPLICIT
+    * `maxRunsPerKey` always wins and carries its own policy in its
+    * sign (positive = fail, negative = shed at |cap|).
+    */
+  val RunCapPolicyKey = "spark.graft.cep.runCapPolicy"
+
   private[graft] def resolveMaxRuns(
       spark: org.apache.spark.sql.SparkSession,
       queries: Seq[CepQuery], explicit: Option[Int]): Option[Int] =
@@ -316,7 +331,13 @@ object SparkCep {
       else {
         val v = spark.conf.get(DefaultUnboundedMaxRunsKey,
           DefaultUnboundedMaxRuns.toString).toInt
-        if (v <= 0) None else Some(v)
+        val shed = spark.conf.get(RunCapPolicyKey, "fail") match {
+          case "fail" => false
+          case "shedOldest" => true
+          case other => throw new IllegalArgumentException(
+            s"$RunCapPolicyKey must be 'fail' or 'shedOldest', got '$other'")
+        }
+        if (v <= 0) None else Some(if (shed) -v else v)
       }
     }
 
