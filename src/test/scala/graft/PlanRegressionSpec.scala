@@ -298,6 +298,27 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .deleteQuietly(new java.io.File(idx))
   }
 
+  test("registry incremental rows scan the COMMITTED index — no " +
+    "in-query build — and broadcast the batch side") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("dedup_minhash_index"),
+      s"dedup_incremental does not read the committed index:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"candidate join does not broadcast the batch side:\n$p")
+    // pipeline_ingest_day shares the same matchBatch head but its global
+    // pack materializes the prefix sum (Scan ExistingRDD), so the index
+    // scan is not in ITS final plan string — the committed-index read is
+    // pinned here via dedup_incremental and via both rows' oracles,
+    // which read_parquet the committed index bytes.
+  }
+
+  test("index gauge aggregates map-side before its exchange") {
+    val p = plan("dedup_index_gauge")
+    assert(p.contains("dedup_minhash_index"))
+    assert(p.matches("(?s).*HashAggregate.*Exchange.*HashAggregate.*"),
+      s"no partial aggregation below the exchange:\n$p")
+  }
+
   test("dst transition map prints every reachable state block") {
     import graft.cep._
     val q = CepQuery(
