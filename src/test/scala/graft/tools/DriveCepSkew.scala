@@ -130,6 +130,30 @@ object DriveCepSkew {
       f"ratio=${zipfSec / uniSec}%.2fx " +
       f"default_cap=${SparkCep.DefaultUnboundedMaxRuns} " +
       f"max_runs_uniform=$uniRuns max_runs_zipf=$zipfRuns")
+
+    // Shed-salvage arm: force the default cap BELOW the zipf peak so the
+    // valve actually fires, prove fail-fast dies and shedOldest
+    // completes on the same data, and price the salvage (throughput +
+    // matches kept vs the uncapped run above).
+    val lowCap = math.max(8L, zipfRuns / 2)
+    spark.conf.set(SparkCep.DefaultUnboundedMaxRunsKey, lowCap.toString)
+    val failDied =
+      try {
+        SparkCep.matchPatternsShared(
+          spark.read.parquet(zipfPath), queries, spec).count()
+        false
+      } catch { case _: Throwable => true }
+    spark.conf.set(SparkCep.RunCapPolicyKey, "shedOldest")
+    val tShed = System.nanoTime()
+    val shedMatches = SparkCep.matchPatternsShared(
+      spark.read.parquet(zipfPath), queries, spec).count()
+    val shedSec = (System.nanoTime() - tShed) / 1e9
+    spark.conf.unset(SparkCep.DefaultUnboundedMaxRunsKey)
+    spark.conf.unset(SparkCep.RunCapPolicyKey)
+    println(f"CEP_SKEW SHED cap=$lowCap fail_mode_died=$failDied " +
+      f"matches=$shedMatches secs=$shedSec%.1f " +
+      f"events/s=${(n / shedSec).toLong} " +
+      f"vs_uncapped_secs=$zipfSec%.1f")
     spark.stop()
   }
 }

@@ -103,6 +103,37 @@ object DriveIncrementalDedup {
           f"secs=$matchS%.1f pairs=$nPairs exact_pairs=$exact")
       } finally lease.close()
     }
+
+    // LSM maintenance at scale: append each day's batch (accepted-batch
+    // contract: ids are disjoint by construction), gauge saturation,
+    // compact, re-gauge. Compaction touches ONLY the 12-byte band rows
+    // — one shuffle, independent of corpus text size — which is the
+    // point being measured.
+    t0 = System.nanoTime()
+    for (day <- 1 to 3) {
+      val batch = synthDocs(spark, nBatch, nCorpus * day, Some((20, nCorpus)))
+      graft.ops.IncrementalDedup.appendBatch(batch, "doc_id", "text",
+        idxDir.toString, maxBucketSize = 256L)
+    }
+    val appendS = (System.nanoTime() - t0) / 1e9
+    def gauge(): (Long, Long, Long) = {
+      val r = graft.ops.IncrementalDedup
+        .bucketSaturation(spark, idxDir.toString, 256L)
+        .agg(sum("over_cap"), sum("n_rows"), max("max_bucket"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (overB, rowsB, maxB) = gauge()
+    println(f"INDEX_APPEND days=3 docs=${3 * nBatch} secs=$appendS%.1f " +
+      f"docs/s=${3 * nBatch / appendS}%.0f band_rows=$rowsB " +
+      f"over_cap_buckets=$overB max_bucket=$maxB")
+    t0 = System.nanoTime()
+    graft.ops.IncrementalDedup.compactIndex(spark, idxDir.toString, 256L)
+    val compactS = (System.nanoTime() - t0) / 1e9
+    val (overA, rowsA, maxA) = gauge()
+    println(f"INDEX_COMPACT secs=$compactS%.1f " +
+      f"band_rows/s=${rowsB / compactS}%.0f rows=$rowsB->$rowsA " +
+      f"over_cap=$overB->$overA max_bucket=$maxB->$maxA")
     spark.stop()
   }
 }
