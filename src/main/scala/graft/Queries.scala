@@ -3041,6 +3041,101 @@ object Queries {
       .orderBy("chunk_key")
   }
 
+  /** The COMPLETE daily-ingest gate: `pipeline_ingest_day` drops only
+    * near-dups of the CORPUS, but a real ingest day also contains
+    * internal duplicates (the same document arriving twice in one
+    * batch), which the corpus index cannot see. This row adds the
+    * within-batch arm: the ad-hoc LSH self-join over the batch alone
+    * (its own write-cap semantics, full-width signature agreement),
+    * dropping any doc with a SMALLER-id near-dup in the same batch —
+    * the deterministic keep-first rule (greedy, not transitive-closure:
+    * if a~b and b~c but not a~c, both b and c drop — b to a, c to b —
+    * the standard streaming-ingest convention; `dedup_cluster_keep` is
+    * the transitive form when exact clusters matter). Survivors of
+    * BOTH arms chunk and pack exactly as `pipeline_ingest_day`.
+    * Non-vacuity: at sf0.01 the fixture batch happens to contain no
+    * internal near-dups (this row == `pipeline_ingest_day` there); at
+    * sf0.1 the inner arm drops real docs (1,331 chunks vs 1,343) and
+    * the replay stays hash-exact — both scales exercised.
+    */
+  def pipelineIngestDayFull(spark: SparkSession, dir: String): DataFrame = {
+    val batch = table(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    val corpusDups = IncrementalDedup.matchBatch(batch, "doc_id", "text",
+        Codebooks.dedupIndexPath)
+      .filter(col("est_milli") >= 950L)
+      .select(col("new_id").as("doc_id"))
+    val innerDups = DedupOps.minHashLshPairs(batch, "doc_id", "text",
+        maxBucketSize = 64L)
+      .filter(col("est_milli") >= 950L)
+      .select(col("id2").as("doc_id"))
+    val dupIds = corpusDups.union(innerDups).distinct()
+    val kept = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    val chunks = graft.ops.Chunking.chunkByTokens(kept, "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+      .withColumn("chunk_key", col("doc_id") * 1000000L + col("chunk_id"))
+    graft.ops.Packing.packGlobalByBudget(chunks, "chunk_key", "chunk_text",
+      budgetTokens = 128L)
+      .orderBy("chunk_key")
+  }
+
+  val pipelineIngestDayFullSql: String = {
+    val k = DedupOps.MinHashParams().k
+    // within-batch arm: full-width component agreement (the ad-hoc LSH
+    // semantics), batch-local bucket cap
+    val eqFull = (0 until k).map(i =>
+      s"(CASE WHEN l.mh_$i = r.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$incrementalOracleCtes,
+       |dup AS (
+       |  SELECT DISTINCT cd.new_id AS doc_id
+       |  FROM cand cd
+       |  JOIN sig l ON l.doc_id = cd.new_id
+       |  JOIN idxs r ON r.dup_of = cd.dup_of
+       |  WHERE CAST((($incrementalEqSum) * 1000) // $k AS BIGINT) >= 950),
+       |ibcnt AS (
+       |  SELECT band, bucket FROM nbands
+       |  GROUP BY band, bucket HAVING count(*) <= 64),
+       |inb AS (
+       |  SELECT n.* FROM nbands n JOIN ibcnt USING (band, bucket)),
+       |icand AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM inb l JOIN inb r
+       |    ON l.band = r.band AND l.bucket = r.bucket
+       |   AND l.doc_id < r.doc_id),
+       |idup AS (
+       |  SELECT DISTINCT c.id2 AS doc_id
+       |  FROM icand c
+       |  JOIN sig l ON l.doc_id = c.id1
+       |  JOIN sig r ON r.doc_id = c.id2
+       |  WHERE CAST((($eqFull) * 1000) // $k AS BIGINT) >= 950),
+       |dropset AS (
+       |  SELECT doc_id FROM dup UNION SELECT doc_id FROM idup),
+       |keptt AS (
+       |  SELECT d.doc_id,
+       |    list_filter(string_split(d.text, ' '), x -> x <> '') AS toks
+       |  FROM documents d
+       |  WHERE d.doc_id % 10 = 0
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM dropset)),
+       |kn AS (
+       |  SELECT doc_id, toks, len(toks) AS n FROM keptt WHERE len(toks) > 0),
+       |st AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, n - 1, 24)) AS tok_off
+       |  FROM kn),
+       |chunks AS (
+       |  SELECT doc_id * 1000000 + (tok_off // 24) AS chunk_key,
+       |    CAST(len(toks[tok_off + 1 : tok_off + 32]) AS BIGINT) AS n_tok
+       |  FROM st),
+       |w AS (
+       |  SELECT chunk_key, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY chunk_key
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |      AS BIGINT) AS start_off
+       |  FROM chunks)
+       |SELECT chunk_key, n_tok, start_off, start_off // 128 AS shard_id
+       |FROM w ORDER BY chunk_key""".stripMargin
+  }
+
   val pipelineIngestDaySql: String = {
     val k = DedupOps.MinHashParams().k
     s"""$incrementalOracleCtes,
@@ -4889,6 +4984,7 @@ object Queries {
     "text_chunks" -> textChunks _,
     "pipeline_chunk_pack" -> pipelineChunkPack _,
     "pipeline_ingest_day" -> pipelineIngestDay _,
+    "pipeline_ingest_day_full" -> pipelineIngestDayFull _,
     "text_quality" -> textQuality _,
     "text_quality_model" -> textQualityModel _,
     "text_repetition" -> textRepetition _,
@@ -5015,6 +5111,7 @@ object Queries {
     "text_chunks" -> textChunksSql,
     "pipeline_chunk_pack" -> pipelineChunkPackSql,
     "pipeline_ingest_day" -> pipelineIngestDaySql,
+    "pipeline_ingest_day_full" -> pipelineIngestDayFullSql,
     "text_quality" -> textQualitySql,
     "text_quality_model" -> textQualityModelSql,
     "text_repetition" -> textRepetitionSql,

@@ -296,6 +296,32 @@ object IncrementalDedup {
           .as("over_cap"))
       .orderBy("band")
 
+  /** Merge several persisted indexes into one at `out` — the sharded
+    * build path: at 100 TB the corpus is indexed per shard/team/source
+    * and the shards merge without ever touching corpus text. Inputs
+    * must be id-disjoint (the same accepted-batch contract as
+    * `appendBatch`). `sigs/` concatenates; `bands/` concatenates and
+    * re-applies the whole-bucket cap GLOBALLY, so the result is
+    * row-identical to a fresh `writeIndex` over the union of the
+    * inputs' documents (spec-pinned in `IncrementalDedupCompactSpec`).
+    * Cost: one shuffle of the combined 12-byte band rows plus a copy
+    * of the sig rows.
+    */
+  def mergeIndexes(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], out: String, maxBucketSize: Long): Unit = {
+    require(paths.nonEmpty, "mergeIndexes needs >= 1 input index")
+    val bands = paths.map(p =>
+        spark.read.schema(idxBandsSchema).parquet(s"$p/bands")
+          .select(col("id"), col("band"), col("bucket")))
+      .reduce(_ union _)
+    val sigs = paths.map(p =>
+        spark.read.schema(idxSigsSchema).parquet(s"$p/sigs"))
+      .reduce(_ union _)
+    sigs.write.mode("overwrite").parquet(s"$out/sigs")
+    capBuckets(bands, maxBucketSize, None)
+      .write.partitionBy("band").mode("overwrite").parquet(s"$out/bands")
+  }
+
   /** Re-compact a persisted index in place: rewrite `bands/` applying
     * the whole-bucket cap GLOBALLY (the fresh-`writeIndex` rule —
     * oversized buckets are dropped entirely; their docs stay findable

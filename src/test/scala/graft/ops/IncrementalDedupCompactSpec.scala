@@ -77,4 +77,37 @@ class IncrementalDedupCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._1 == 101L) == 2)
     spark.catalog.clearCache()
   }
+
+  test("mergeIndexes over sharded builds equals a fresh build over the " +
+    "union, including the global cap") {
+    val s = spark
+    import s.implicits._
+    val cap = 4L
+    // two id-disjoint shards; textA saturates only across them
+    val shard1 = ((1L to 3L).map(_ -> textA) :+ (4L -> textB))
+      .toDF("doc_id", "text")
+    val shard2 = Seq(5L -> textA, 6L -> textA, 7L -> textB)
+      .toDF("doc_id", "text")
+    val idx1 = tmp(); val idx2 = tmp(); val merged = tmp()
+    IncrementalDedup.writeIndex(shard1, "doc_id", "text", idx1,
+      maxBucketSize = cap)
+    IncrementalDedup.writeIndex(shard2, "doc_id", "text", idx2,
+      maxBucketSize = cap)
+    IncrementalDedup.mergeIndexes(spark, Seq(idx1, idx2), merged, cap)
+    val fresh = tmp()
+    IncrementalDedup.writeIndex(shard1.union(shard2), "doc_id", "text",
+      fresh, maxBucketSize = cap)
+    val batch = Seq(100L -> textA, 101L -> textB).toDF("doc_id", "text")
+    def matches(path: String): Set[(Long, Long, Long)] =
+      IncrementalDedup.matchBatch(batch, "doc_id", "text", path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val got = matches(merged)
+    assert(got == matches(fresh))
+    // the cross-shard textA saturation is enforced by the merge's
+    // global cap (each shard alone kept its textA bucket)
+    assert(got.count(_._1 == 100L) == 0)
+    assert(got.count(_._1 == 101L) == 2)
+    spark.catalog.clearCache()
+  }
 }
