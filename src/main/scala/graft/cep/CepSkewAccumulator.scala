@@ -26,16 +26,21 @@ final class CepSkewAccumulator
   private var maxRuns: Long = -1L
   private var hotKey: Long = 0L
   private var events: Long = 0L
+  // runs dropped by the shed-oldest salvage (negative cap) — a silent
+  // salvage is an operations hazard, so the gauge carries it
+  private var shed: Long = 0L
 
-  override def isZero: Boolean = maxRuns == -1L && events == 0L
+  override def isZero: Boolean = maxRuns == -1L && events == 0L && shed == 0L
 
   override def copy(): CepSkewAccumulator = {
     val c = new CepSkewAccumulator
-    c.maxRuns = maxRuns; c.hotKey = hotKey; c.events = events
+    c.maxRuns = maxRuns; c.hotKey = hotKey; c.events = events; c.shed = shed
     c
   }
 
-  override def reset(): Unit = { maxRuns = -1L; hotKey = 0L; events = 0L }
+  override def reset(): Unit = {
+    maxRuns = -1L; hotKey = 0L; events = 0L; shed = 0L
+  }
 
   /** `(key, current live-run count)` after feeding one event. */
   override def add(v: (Long, Long)): Unit = {
@@ -43,27 +48,36 @@ final class CepSkewAccumulator
     events += 1L
   }
 
+  /** Runs dropped by the shed-oldest valve since the last record. */
+  def addShed(n: Long): Unit = shed += n
+
   override def merge(
       other: AccumulatorV2[(Long, Long), CepSkewAccumulator.Stats]): Unit =
     other match {
       case o: CepSkewAccumulator =>
         if (o.maxRuns > maxRuns) { maxRuns = o.maxRuns; hotKey = o.hotKey }
         events += o.events
+        shed += o.shed
       case _ =>
         throw new UnsupportedOperationException(
           s"cannot merge ${other.getClass.getName}")
     }
 
   override def value: CepSkewAccumulator.Stats =
-    CepSkewAccumulator.Stats(math.max(maxRuns, 0L), hotKey, events)
+    CepSkewAccumulator.Stats(math.max(maxRuns, 0L), hotKey, events, shed)
 }
 
 object CepSkewAccumulator {
   /** `maxRuns`: largest live-run set any key ever held; `hottestKey`: the
     * key holding it (the `__key` value — for hashed keys, the hash);
-    * `events`: total events fed through NFAs.
+    * `events`: total events fed through NFAs; `shedRuns`: partial runs
+    * dropped by the shed-oldest salvage (0 unless a negative cap /
+    * `runCapPolicy=shedOldest` is active AND a key actually hit the
+    * cap — nonzero means some hot keys' output is the documented
+    * sub-multiset, not exact).
     */
-  final case class Stats(maxRuns: Long, hottestKey: Long, events: Long)
+  final case class Stats(maxRuns: Long, hottestKey: Long, events: Long,
+      shedRuns: Long = 0L)
 
   /** Create and register with the session's SparkContext. */
   def registered(spark: org.apache.spark.sql.SparkSession,

@@ -128,11 +128,12 @@ object SparkCep {
       val guard = new CepRuntimeWarnings.UnkeyedCounter(unkeyedWarnRows)
       var curKey = 0L
       var started = false
+      var prevShed = 0L
       rows.flatMap { row =>
         guard.tick()
         val key = row.getLong(0)
         if (!started || key != curKey) {
-          executor.reset(); curKey = key; started = true
+          executor.reset(); prevShed = 0L; curKey = key; started = true
         }
         val attrs = Vector.newBuilder[(String, Long)]
         attrs += orderName -> row.getLong(1)
@@ -144,7 +145,11 @@ object SparkCep {
         }
         val ev = Event(row.getString(2), attrs.result())
         val matches = executor.feed(ev)
-        if (acc != null) acc.add((key, executor.runCount.toLong))
+        if (acc != null) {
+          acc.add((key, executor.runCount.toLong))
+          val sc = executor.shedCount
+          if (sc != prevShed) { acc.addShed(sc - prevShed); prevShed = sc }
+        }
         matches.map { m =>
           val byName = m.toMap
           Row.fromSeq(

@@ -180,15 +180,22 @@ final case class CepMatchExec(
       val guard = new CepRuntimeWarnings.UnkeyedCounter(unkeyedWarnRows)
       var curKey = 0L
       var started = false
+      var prevShed = 0L
       iter.flatMap { row =>
         guard.tick()
         val key = row.getLong(0)
         if (!started || key != curKey) {
-          executor.reset(); curKey = key; started = true
+          executor.reset(); prevShed = 0L; curKey = key; started = true
         }
         val ev = CepRowDecode.decode(row, key, aNames, oName)
         val matches = executor.feed(ev)
-        if (acc != null) acc.add((key, executor.runCount.toLong))
+        if (acc != null) {
+          acc.add((key, executor.runCount.toLong))
+          // shed telemetry: delta since the last event (reset() zeroes
+          // the executor's counter at each key switch)
+          val sc = executor.shedCount
+          if (sc != prevShed) { acc.addShed(sc - prevShed); prevShed = sc }
+        }
         // LAZY map: proj reuses one UnsafeRow buffer, so each projected
         // row must be consumed downstream before the next match of the
         // same event is projected (a strict Vector.map would emit N
@@ -296,11 +303,13 @@ final case class CepMultiMatchExec(
       val guard = new CepRuntimeWarnings.UnkeyedCounter(unkeyedWarnRows)
       var curKey = 0L
       var started = false
+      var prevShed = 0L
       iter.flatMap { row =>
         guard.tick()
         val key = row.getLong(0)
         if (!started || key != curKey) {
-          executors.foreach(_.reset()); curKey = key; started = true
+          executors.foreach(_.reset()); prevShed = 0L
+          curKey = key; started = true
         }
         val ev = CepRowDecode.decode(row, key, aNames, oName)
         val tpe = ev.tpe
@@ -326,7 +335,13 @@ final case class CepMultiMatchExec(
           if (rc > maxRunCount) maxRunCount = rc
           qi += 1
         }
-        if (acc != null) acc.add((key, maxRunCount))
+        if (acc != null) {
+          acc.add((key, maxRunCount))
+          var sc = 0L
+          var si = 0
+          while (si < executors.length) { sc += executors(si).shedCount; si += 1 }
+          if (sc != prevShed) { acc.addShed(sc - prevShed); prevShed = sc }
+        }
         if (!any) Iterator.empty
         else executors.indices.iterator.flatMap { q =>
           // PROJECTION stays lazy — proj reuses one UnsafeRow buffer

@@ -111,10 +111,14 @@ class CepRunCapShedSparkSpec extends AnyFunSuite
       intercept[Exception] {
         SparkCep.matchPatternExec(events, unbounded, spec).count()
       }
-      // shedOldest: completes
+      // shedOldest: completes, and the gauge reports the sheds
       spark.conf.set(SparkCep.RunCapPolicyKey, "shedOldest")
-      val out = SparkCep.matchPatternExec(events, unbounded, spec)
+      val gauge = CepSkewAccumulator.registered(spark, "shed_gauge")
+      val out = SparkCep.matchPatternExec(events, unbounded, spec,
+        skewAcc = Some(gauge))
       val shedRows = rows(out)
+      assert(gauge.value.shedRuns > 0L,
+        "shed telemetry must report the dropped runs")
       assert(shedRows.forall { case (k, n) => uncapped.getOrElse(k, 0) >= n })
       assert(shedRows.values.sum < uncapped.values.sum)
       // cold keys (< cap events each) are untouched by the valve

@@ -144,15 +144,18 @@ object DriveCepSkew {
         false
       } catch { case _: Throwable => true }
     spark.conf.set(SparkCep.RunCapPolicyKey, "shedOldest")
+    val shedAcc = CepSkewAccumulator.registered(spark, "skew_shed")
     val tShed = System.nanoTime()
     val shedMatches = SparkCep.matchPatternsShared(
-      spark.read.parquet(zipfPath), queries, spec).count()
+      spark.read.parquet(zipfPath), queries, spec,
+      skewAcc = Some(shedAcc)).count()
     val shedSec = (System.nanoTime() - tShed) / 1e9
     spark.conf.unset(SparkCep.DefaultUnboundedMaxRunsKey)
     spark.conf.unset(SparkCep.RunCapPolicyKey)
     println(f"CEP_SKEW SHED cap=$lowCap fail_mode_died=$failDied " +
       f"matches=$shedMatches secs=$shedSec%.1f " +
       f"events/s=${(n / shedSec).toLong} " +
+      f"shed_runs=${shedAcc.value.shedRuns} " +
       f"vs_uncapped_secs=$zipfSec%.1f")
     spark.stop()
   }
