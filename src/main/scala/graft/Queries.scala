@@ -4889,9 +4889,12 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
-  val knnIvfPqIndexTop5Sql: String =
-    s"""${ivfPqOracleCtes(Codebooks.pqPath)},
-      |idx AS (
+  /** The committed-index ADC scoring CTEs (`idx → codes → scores →
+    * rankedq`), appended after `ivfPqOracleCtes`; shared by
+    * `knnIvfPqIndexTop5Sql` and `knnRecallAt5Sql`.
+    */
+  private def ivfPqIndexRankCtes: String =
+    s"""idx AS (
       |  SELECT __id AS nid, CAST(__cell AS BIGINT) AS cell,
       |    hex(__code) AS h
       |  FROM read_parquet('${Codebooks.ivfPqIndexPath}/*/*.parquet',
@@ -4915,9 +4918,103 @@ object Queries {
       |  SELECT query_id, neighbor_id, score_q,
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY score_q DESC, neighbor_id) AS rnk
-      |  FROM scores)
+      |  FROM scores)""".stripMargin
+
+  val knnIvfPqIndexTop5Sql: String =
+    s"""${ivfPqOracleCtes(Codebooks.pqPath)},
+      |$ivfPqIndexRankCtes
       |SELECT query_id, neighbor_id, score_q, CAST(rnk AS BIGINT) AS rnk
       |FROM rankedq WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Recall@5 of the IVFPQ pipeline against exact cosine over the SAME
+    * corpus, AS DATA: one row per query vector with the hit count and
+    * recall in milli — the eval every ANN deployment needs, runnable as
+    * a query (the spec-pinned recall floors sample it; this row
+    * publishes the whole distribution, hash-exact on both engines).
+    * Deliberately the AD-HOC pipeline (`dir`'s vectors encoded with the
+    * committed quantizers), not the committed index: the index holds
+    * the sf0.01 corpus, so comparing it against exact neighbors drawn
+    * from a DIFFERENT sf's population would measure cross-corpus
+    * nonsense — this formulation is meaningful at every scale factor.
+    * Both sides exclude self and break ties identically (score DESC,
+    * neighbor_id); queries whose ANN list misses all 5 exact neighbors
+    * still appear (hits = 0) via the left join from the population.
+    * sf0.01 mean recall ≈ 0.785 (matches the spec floor's sampled
+    * estimate).
+    */
+  def knnRecallAt5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val coarse = Codebooks.loadCoarse(spark, Codebooks.coarsePath)
+    val pq = Codebooks.loadPq(spark, Codebooks.pqPath)
+    val approx = Similarity.ivfPqTopK(emb, emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 8, m = 32, ksub = 256,
+        centroids = Some(coarse), codebook = Some(pq))
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.knnBruteForce(emb, emb, "vec_id", "embedding",
+        k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    emb.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_milli", col("hits") * 200L)
+      .orderBy("query_id")
+  }
+
+  val knnRecallAt5Sql: String =
+    s"""${ivfPqOracleCtes(Codebooks.pqPath)},
+      |enc AS (
+      |  SELECT vec_id, j, cw FROM (
+      |    SELECT a.vec_id, cb.j, cb.cw, row_number() OVER (
+      |      PARTITION BY a.vec_id, cb.j ORDER BY
+      |        CAST(floor(1000000 * (
+      |          list_inner_product(a.e[cb.j*2+1 : cb.j*2+2], a.e[cb.j*2+1 : cb.j*2+2])
+      |          - 2*list_inner_product(a.e[cb.j*2+1 : cb.j*2+2], cb.w)
+      |          + list_inner_product(cb.w, cb.w))) AS BIGINT), cb.cw) AS rn
+      |    FROM assign a CROSS JOIN cb)
+      |  WHERE rn = 1),
+      |cand AS (
+      |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      |scores AS (
+      |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.dotm) AS BIGINT) AS score_q
+      |  FROM cand c
+      |  JOIN enc ON enc.vec_id = c.neighbor_id
+      |  JOIN lutd l ON l.qid = c.query_id AND l.j = enc.j AND l.cw = enc.cw
+      |  GROUP BY c.query_id, c.neighbor_id),
+      |rankedq AS (
+      |  SELECT query_id, neighbor_id, score_q,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_q DESC, neighbor_id) AS rnk
+      |  FROM scores),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM rankedq WHERE rnk <= 5),
+      |epairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(floor(1000000 * list_inner_product(q.e, c.e) /
+      |      (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e)))) AS BIGINT)
+      |      AS sim_micro
+      |  FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+      |eranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim_micro DESC, neighbor_id) AS rnk
+      |  FROM epairs),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM eranked WHERE rnk <= 5),
+      |hits AS (
+      |  SELECT a.query_id, count(*) AS hits
+      |  FROM approx a JOIN exact e
+      |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |  GROUP BY a.query_id)
+      |SELECT vq.vec_id AS query_id,
+      |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      |  CAST(COALESCE(h.hits, 0) * 200 AS BIGINT) AS recall_milli
+      |FROM (SELECT vec_id FROM v) vq
+      |LEFT JOIN hits h ON h.query_id = vq.vec_id
+      |ORDER BY query_id""".stripMargin
 
   // =======================================================================
   // Registry
@@ -5049,6 +5146,7 @@ object Queries {
     "knn_ivfpq_res_top5" -> knnIvfPqResTop5 _,
     "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5 _,
     "knn_ivfpq_index_top5" -> knnIvfPqIndexTop5 _,
+    "knn_recall_at5" -> knnRecallAt5 _,
     "rel_salted_join" -> relSaltedJoin _,
     "rel_range_join" -> relRangeJoin _,
     "dedup_passage_scrub" -> dedupPassageScrub _,
@@ -5170,6 +5268,7 @@ object Queries {
     "knn_ivfpq_res_top5" -> knnIvfPqResTop5Sql,
     "knn_ivfpq_refine_top5" -> knnIvfPqRefineTop5Sql,
     "knn_ivfpq_index_top5" -> knnIvfPqIndexTop5Sql,
+    "knn_recall_at5" -> knnRecallAt5Sql,
     "rel_salted_join" -> relSaltedJoinSql,
     "rel_range_join" -> relRangeJoinSql,
     "dedup_passage_scrub" -> dedupPassageScrubSql,
