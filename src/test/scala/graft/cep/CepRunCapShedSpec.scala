@@ -57,6 +57,68 @@ class CepRunCapShedSpec extends AnyFunSuite {
   }
 }
 
+/** Shed mode must hold batch == stream: the shed decision interacts
+  * with the state codec (live runs persist across micro-batches; the
+  * shed counter deliberately does not), so a stream whose hot key sheds
+  * across a batch boundary must still emit exactly the batch operator's
+  * multiset under the same negative cap.
+  */
+class CepRunCapShedStreamSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming shed == batch shed across a micro-batch boundary") {
+    val s = spark
+    import s.implicits._
+    val schema = Vector("click" -> Vector("event_id", "value"))
+    // relaxed a+ with all-taking clicks: one run per start, so 40 events
+    // on key 1 hold ~40 live runs — cap 10 sheds continuously, including
+    // across the boundary at event 20
+    val query = CepQuery(
+      Pattern.lpatInf("a", "click", "True", Contiguity.Relaxed, 1), schema)
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+    val evs = (1L to 40L).map(i => Ev(1, i, "click", i % 7))
+    val (b1, b2) = evs.splitAt(20)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingCep.matchPattern(mem.toDF(), query, spec,
+      maxRunsPerKey = Some(-10))
+    val q = out.writeStream.format("memory").queryName("cep_shed_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def multiset(rows: Array[org.apache.spark.sql.Row]): Map[String, Int] =
+      rows.map(r => (r.getLong(0), r.getSeq[Long](1).toVector).toString())
+        .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val streamed = multiset(s.sql("SELECT * FROM cep_shed_stream").collect())
+    val batch = multiset(SparkCep.matchPattern(evs.toDF(), query, spec,
+      maxRunsPerKey = Some(-10)).collect())
+    assert(streamed == batch)
+    // sanity: shedding really happened (uncapped would emit 40*41/2 rows)
+    assert(streamed.values.sum < 820)
+  }
+}
+
 /** End-to-end salvage through the Catalyst exec path on a skew-keyed
   * frame: with `spark.graft.cep.runCapPolicy=shedOldest` the job that the
   * fail-fast default dies on completes, its output is a sub-multiset of
