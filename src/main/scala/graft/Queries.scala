@@ -3683,6 +3683,57 @@ object Queries {
     Sketches.hllReport(keys, "k")
   }
 
+  /** The per-source data card — the release-note table every corpus
+    * drop ships: doc/lang counts, token totals and exact order-statistic
+    * quantiles, exact-duplicate counts, char volume, one row per
+    * source. One groupBy; the discrete percentiles are sort-based (not
+    * partial-aggregable), which is fine for a reporting query — the
+    * streaming/huge-scale path for the same numbers is the mergeable
+    * log-bucket sketch (`sketch_quantiles`).
+    */
+  def profileCorpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("n_tok",
+        size(filter(split(col("text"), " "), t => t =!= lit("")))
+          .cast(LongType))
+    // dup_docs counts docs whose text appears MORE THAN ONCE in the
+    // WHOLE corpus, attributed to each copy's source — a per-source
+    // "count(*) - count(distinct text)" would be vacuously 0 whenever
+    // the planted duplicates land in different sources (they do, in
+    // this fixture), while cross-source duplication is exactly what a
+    // data card must surface
+    val byText = docs.groupBy("text").agg(count(lit(1)).as("tc"))
+    docs.join(byText, "text")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tok")).as("total_tokens"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok)")
+          .cast(LongType).as("p50_tokens"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_tok)")
+          .cast(LongType).as("p90_tokens"),
+        sum(when(col("tc") > 1L, 1L).otherwise(0L)).as("dup_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  val profileCorpusCardSql: String =
+    """SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(quantile_disc(n_tok, 0.5) AS BIGINT) AS p50_tokens,
+      |  CAST(quantile_disc(n_tok, 0.9) AS BIGINT) AS p90_tokens,
+      |  CAST(sum(CASE WHEN tc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM (SELECT source, lang, text, n_chars,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS n_tok,
+      |    count(*) OVER (PARTITION BY text) AS tc
+      |  FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Robust doc-length profile per language: median, MAD, and
     * 1.5×MAD outlier counts — the anomaly gauge a corrupt ingest batch
     * cannot drag the way it drags mean/stddev. Exact integer order
@@ -5068,6 +5119,7 @@ object Queries {
     "rel_pivot_returns" -> relPivotReturns _,
     "sketch_quantiles" -> sketchQuantiles _,
     "sketch_quantiles_daily" -> sketchQuantilesDaily _,
+    "profile_corpus_card" -> profileCorpusCard _,
     "profile_mad_outliers" -> profileMadOutliers _,
     "rel_json_props" -> relJsonProps _,
     "rel_session_stats" -> relSessionStats _,
@@ -5196,6 +5248,7 @@ object Queries {
     "rel_pivot_returns" -> relPivotReturnsSql,
     "sketch_quantiles" -> sketchQuantilesSql,
     "sketch_quantiles_daily" -> sketchQuantilesDailySql,
+    "profile_corpus_card" -> profileCorpusCardSql,
     "profile_mad_outliers" -> profileMadOutliersSql,
     "rel_json_props" -> relJsonPropsSql,
     "rel_session_stats" -> relSessionStatsSql,
