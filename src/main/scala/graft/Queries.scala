@@ -2829,7 +2829,11 @@ object Queries {
       "text", maxBucketSize = 64L)
       .orderBy("id1", "id2")
 
-  val dedupMinhashLshSql: String = {
+  /** The full ad-hoc MinHash pipeline as CTEs ending in
+    * `pairs (id1, id2, est_milli)` — shared by `dedupMinhashLshSql` and
+    * `dedupSourceMatrixSql`.
+    */
+  private def minhashPairsOracleCtes: String = {
     val params = DedupOps.MinHashParams()
     val poly = (base: Int) =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -2876,14 +2880,56 @@ object Queries {
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
        |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
-       |SELECT c.id1, c.id2,
-       |  CAST((($eqSum) * 1000) // ${params.k} AS BIGINT) AS est_milli
-       |FROM cand c
-       |JOIN sig l ON l.doc_id = c.id1
-       |JOIN sig r ON r.doc_id = c.id2
-       |ORDER BY id1, id2""".stripMargin
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |pairs AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST((($eqSum) * 1000) // ${params.k} AS BIGINT) AS est_milli
+       |  FROM cand c
+       |  JOIN sig l ON l.doc_id = c.id1
+       |  JOIN sig r ON r.doc_id = c.id2)""".stripMargin
   }
+
+  val dedupMinhashLshSql: String =
+    s"""$minhashPairsOracleCtes
+       |SELECT id1, id2, est_milli FROM pairs
+       |ORDER BY id1, id2""".stripMargin
+
+  /** The cross-source duplication matrix: MinHash near-dup pairs rolled
+    * up to (source, source) cells — which sources copy from each other,
+    * the provenance question a data card raises and `source_overlap`
+    * (span-level) answers for substrings; this row answers it at
+    * document level. Undirected cells via least/greatest; `n_pairs`
+    * counts pairs, `max_est` the closest pair's agreement. Non-vacuous
+    * at both shipped scale factors (the fixture's near-dup pairs exist
+    * at sf0.01 even though its EXACT dups do not).
+    */
+  def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    DedupOps.minHashLshPairs(docs, "doc_id", "text", maxBucketSize = 64L)
+      .join(src.select(col("doc_id").as("id1"), col("source").as("s1")),
+        "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("s2")),
+        "id2")
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"), col("est_milli"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("est_milli")).as("max_est"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val dedupSourceMatrixSql: String =
+    s"""$minhashPairsOracleCtes,
+       |j AS (
+       |  SELECT least(da.source, db.source) AS src_a,
+       |    greatest(da.source, db.source) AS src_b, p.est_milli
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.id1
+       |  JOIN documents db ON db.doc_id = p.id2)
+       |SELECT src_a, src_b, count(*) AS n_pairs,
+       |  CAST(max(est_milli) AS BIGINT) AS max_est
+       |FROM j GROUP BY src_a, src_b
+       |ORDER BY src_a, src_b""".stripMargin
 
   /** Incremental dedup against the COMMITTED persisted MinHash band
     * index (`Codebooks.dedupIndexPath`, built once by `BuildDedupIndex`
@@ -5168,6 +5214,7 @@ object Queries {
     "dedup_incremental" -> dedupIncremental _,
     "dedup_index_gauge" -> dedupIndexGauge _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_source_matrix" -> dedupSourceMatrix _,
     "knn_cosine_top10" -> knnCosineTop10 _,
     "emb_near_dup_lsh" -> embNearDupLsh _,
     "semantic_dedup" -> semanticDedup _,
@@ -5236,6 +5283,7 @@ object Queries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_index_gauge" -> dedupIndexGaugeSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_source_matrix" -> dedupSourceMatrixSql,
     "emb_near_dup_lsh" -> embNearDupLshSql,
     "semantic_dedup" -> semanticDedupSql,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairsSql,
