@@ -621,6 +621,60 @@ object Queries {
       |WHERE prn % 2 = 1 AND a2 IS NOT NULL
       |ORDER BY user_id, a1""".stripMargin
 
+  /** Beyond-§2 `SkipToFirst(a)` (FlinkCEP's `skipToFirst`; the reference
+    * strategy set stops at SkipPastLastEvent — `executor.py:13-19`), on
+    * the same nd-relaxed click-pair pattern as `cep_ndrelaxed_click_pairs`
+    * so the three rows demonstrate three distinct strategy semantics on
+    * one pattern: each accept prunes runs first-taken before the match's
+    * FIRST bound click, leaving the last two clicks live — the output is
+    * exactly the ordered click pairs at click-rank distance 1 or 2
+    * (derivation + differential in `SkipToAnchorSpec`).
+    */
+  val cepSkipToFirstClickPairsQuery: CepQuery =
+    CepQuery(
+      Pattern.lpat("a", "click", "True", Contiguity.NdRelaxed, 2, 2),
+      eventSchema, AfterMatchStrategy.SkipToFirst("a"))
+
+  def cepSkipToFirstClickPairs(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepSkipToFirstClickPairsQuery)
+      .select(col("user_id"), element_at(col("a"), 1).as("a1"),
+        element_at(col("a"), 2).as("a2"))
+      .orderBy("user_id", "a1", "a2")
+
+  val cepSkipToFirstClickPairsSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events WHERE event_type = 'click')
+      |SELECT a.user_id AS user_id, a.event_id AS a1, b.event_id AS a2
+      |FROM clicks a JOIN clicks b
+      |  ON a.user_id = b.user_id AND b.rn - a.rn BETWEEN 1 AND 2
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Beyond-§2 `SkipToLast(a)`: the match's LAST bound click prunes every
+    * older taken run, so only consecutive click pairs survive — the
+    * non-overlapping-ish middle ground between NoSkip (all pairs) and
+    * SkipPastLastEvent (disjoint pairs).
+    */
+  val cepSkipToLastClickPairsQuery: CepQuery =
+    CepQuery(
+      Pattern.lpat("a", "click", "True", Contiguity.NdRelaxed, 2, 2),
+      eventSchema, AfterMatchStrategy.SkipToLast("a"))
+
+  def cepSkipToLastClickPairs(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepSkipToLastClickPairsQuery)
+      .select(col("user_id"), element_at(col("a"), 1).as("a1"),
+        element_at(col("a"), 2).as("a2"))
+      .orderBy("user_id", "a1")
+
+  val cepSkipToLastClickPairsSql: String =
+    """SELECT user_id, a1, a2 FROM (
+      |  SELECT user_id, event_id AS a1,
+      |    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS a2
+      |  FROM events WHERE event_type = 'click') t
+      |WHERE a2 IS NOT NULL
+      |ORDER BY user_id, a1""".stripMargin
+
   /** §2 #9 iterative condition: 2–3 consecutive purchases whose running
     * value-sum stays ≤ 100 (per-take register fold).
     */
@@ -5134,6 +5188,8 @@ object Queries {
     "cep_gpat_times_sp2" -> cepGpatTimesSp2Query,
     "cep_gpat_inf_sp" -> cepGpatInfSpQuery,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairsQuery,
+    "cep_skip_to_first_click_pairs" -> cepSkipToFirstClickPairsQuery,
+    "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairsQuery,
     "cep_iter_budget" -> cepIterBudgetQuery,
     "cep_until_error_runs" -> cepUntilErrorRunsQuery
   )
@@ -5152,6 +5208,8 @@ object Queries {
     "cep_gpat_times_sp2" -> cepGpatTimesSp2 _,
     "cep_gpat_inf_sp" -> cepGpatInfSp _,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairs _,
+    "cep_skip_to_first_click_pairs" -> cepSkipToFirstClickPairs _,
+    "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairs _,
     "cep_iter_budget" -> cepIterBudget _,
     "cep_until_error_runs" -> cepUntilErrorRuns _,
     "cep_agg_match_counts" -> cepAggMatchCounts _,
@@ -5287,6 +5345,8 @@ object Queries {
     "emb_near_dup_lsh" -> embNearDupLshSql,
     "semantic_dedup" -> semanticDedupSql,
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairsSql,
+    "cep_skip_to_first_click_pairs" -> cepSkipToFirstClickPairsSql,
+    "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairsSql,
     "cep_iter_budget" -> cepIterBudgetSql,
     "rel_q1_pricing" -> relQ1PricingSql,
     "rel_q3_top_orders" -> relQ3TopOrdersSql,

@@ -36,10 +36,15 @@ import StreamingCep.{BufEvent, CepStateEt, SerEvent, SerRun}
   *        cannot be read here — restoring such a checkpoint fails in
   *        Spark's schema check before this code runs. Discard and
   *        restart.)
+  *   - 4: appends per-run `anchorFirst`/`anchorLast` (the
+  *        SkipToFirst/SkipToLast prune stamps) after `firstTakeTs`.
+  *        v3/v2 migrate with both = 0 — EXACT, because no v3 build
+  *        could run an anchor strategy (the strategies did not exist)
+  *        and the three reference strategies never read the stamps.
   */
 object CepStateCodec {
 
-  val Version = 3
+  val Version = 4
 
   /** Which streaming operator wrote the checkpoint. The two variants feed
     * events in different orders (arrival vs watermark-released event
@@ -80,6 +85,8 @@ object CepStateCodec {
       }
       out.writeInt(r.firstTake)
       out.writeLong(r.firstTakeTs)
+      out.writeInt(r.anchorFirst)
+      out.writeInt(r.anchorLast)
     }
     out.writeInt(s.buffer.size)
     s.buffer.foreach { b =>
@@ -94,10 +101,10 @@ object CepStateCodec {
   }
 
   def decode(v: VersionedState): CepStateEt = {
-    if (v.ver != Version && v.ver != 2)
+    if (v.ver != Version && v.ver != 3 && v.ver != 2)
       throw new IllegalStateException(
         s"CEP streaming state version ${v.ver} is not supported by this " +
-          s"build (supports $Version, migrates 2). The checkpoint was " +
+          s"build (supports $Version, migrates 3 and 2). The checkpoint was " +
           "written by a different engine version: either run that " +
           "version, or discard the checkpoint directory and restart the " +
           "query from fresh input (matches already emitted are not " +
@@ -120,8 +127,12 @@ object CepStateCodec {
       }
       val firstTake = in.readInt()
       val firstTakeTs = in.readLong()
+      // v3/v2 migration: anchor stamps = 0 (exact — see version history)
+      val (anchorFirst, anchorLast) =
+        if (v.ver >= 4) (in.readInt(), in.readInt()) else (0, 0)
       SerRun(start, q, lastTake, revEps, eta.map(_._1), eta.map(_._2),
-        ctx.map(_._1), ctx.map(_._2), firstTake, firstTakeTs)
+        ctx.map(_._1), ctx.map(_._2), firstTake, firstTakeTs,
+        anchorFirst, anchorLast)
     }
     val buffer = Vector.fill(in.readInt()) {
       val ts = in.readLong(); val ord = in.readLong(); val tpe = in.readUTF()

@@ -56,7 +56,15 @@ final case class Configuration(
       * `firstTake != 0` — the two stamps are set together) — carried for
       * the `withinTime` event-time window extension.
       */
-    firstTakeTs: Long = 0L
+    firstTakeTs: Long = 0L,
+    /** Step index of this run's first/last take into the after-match-skip
+      * anchor sink (0 = none) — carried for the `SkipToFirst(name)` /
+      * `SkipToLast(name)` strategies (beyond-parity, FlinkCEP analogues).
+      * Stamped by the executor only when an anchor strategy is active;
+      * always 0 otherwise, so reference semantics never see them.
+      */
+    anchorFirst: Int = 0,
+    anchorLast: Int = 0
 )
 
 object Configuration {
@@ -70,10 +78,12 @@ object Configuration {
       lastTake: Boolean = false,
       revEps: Set[String] = Set.empty,
       firstTake: Int = 0,
-      firstTakeTs: Long = 0L
+      firstTakeTs: Long = 0L,
+      anchorFirst: Int = 0,
+      anchorLast: Int = 0
   ): Configuration =
     Configuration(q, eta, ctx, lastTake, revEps + q.name, firstTake,
-      firstTakeTs)
+      firstTakeTs, anchorFirst, anchorLast)
 }
 
 /** Transition predicate: event-type gate + condition expression
@@ -188,7 +198,9 @@ final class Transition(
       lastTake,
       revEps,
       conf.firstTake,
-      conf.firstTakeTs
+      conf.firstTakeTs,
+      conf.anchorFirst,
+      conf.anchorLast
     )
   }
 }

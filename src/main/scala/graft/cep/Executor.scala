@@ -65,6 +65,23 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     extends Serializable {
 
   require(within.forall(_ >= 1), s"within must be >= 1, got $within")
+  // Int.MinValue has no positive negation: `-cap` in the shed branch would
+  // overflow back to a negative limit and silently empty the run set on
+  // every event (total output loss). Rejected loudly at construction.
+  require(maxRuns.forall(_ != Int.MinValue),
+    "maxRuns must not be Int.MinValue (its negation overflows; use a " +
+      "smaller shed cap)")
+
+  /** Anchor sink of the `SkipToFirst`/`SkipToLast` strategies (None for
+    * the reference's three strategies). When set, takes into this sink
+    * stamp `anchorFirst`/`anchorLast` on the run — the emit phase reads
+    * the matched run's stamps as the prune threshold.
+    */
+  private val anchorName: Option[String] = strategy match {
+    case AfterMatchStrategy.SkipToFirst(a) => Some(a)
+    case AfterMatchStrategy.SkipToLast(a)  => Some(a)
+    case _                                 => None
+  }
 
   private var S: ArrayBuffer[(Int, Configuration)] = ArrayBuffer.empty
   private var i: Int = 0
@@ -181,10 +198,20 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
           val nc0 = edge.advance(conf, ev)
           // first take stamps the run's window start (the transition
           // cannot: it does not know the step counter / clock)
-          val nc =
+          val nc1 =
             if (!edge.isEpsilon && edge.isTake && nc0.firstTake == 0)
               nc0.copy(firstTake = i, firstTakeTs = ts)
             else nc0
+          // anchor-strategy stamp: a take into the anchor sink records
+          // its step (first and last) for the emit-phase prune threshold
+          val nc =
+            if (anchorName.isDefined && !edge.isEpsilon && edge.isTake &&
+                edge.beta.sink == anchorName)
+              nc1.copy(
+                anchorFirst =
+                  if (nc1.anchorFirst == 0) i else nc1.anchorFirst,
+                anchorLast = i)
+            else nc1
           if (edge.isEpsilon) {
             // process ε-successors before the remaining queue entries
             t.insert(idx, (k, nc))
@@ -203,6 +230,13 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     // emit phase
     val out = Vector.newBuilder[Match]
     val lazyDelete = scala.collection.mutable.HashSet.empty[Int]
+    // anchor-strategy prune threshold: runs whose first take precedes it
+    // are dead (suppressed in this loop, filtered from S below). Monotone
+    // within the step by construction (a later match's anchor is >= its
+    // own firstTake >= any earlier threshold it survived), and needs no
+    // carry across steps: the post-loop filter physically removes pruned
+    // runs, and future runs first-take at steps >= the current one.
+    var pruneBelow = 0
     var j = 0
     var done = false
     while (j < S.length && !done) {
@@ -211,7 +245,8 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
       // window check: an accepting config's last take is always the
       // current step/event, so the position span is i - firstTake and the
       // event-time span is ts - firstTakeTs
-      if (!lazyDelete.contains(k) && dst.accept(conf) &&
+      if (!lazyDelete.contains(k) && conf.firstTake >= pruneBelow &&
+          dst.accept(conf) &&
           within.forall(w => i - conf.firstTake < w) &&
           withinTime.forall(wt => ts - conf.firstTakeTs < wt.span)) {
         out += dst.output(conf)
@@ -221,11 +256,24 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
             lazyDelete += k
           case AfterMatchStrategy.SkipPastLastEvent =>
             S.clear(); done = true
+          // anchor miss (stamp 0) raises nothing — documented NoSkip
+          // fallback for matches that bound no event to the anchor
+          case AfterMatchStrategy.SkipToFirst(_) =>
+            if (conf.anchorFirst > pruneBelow) pruneBelow = conf.anchorFirst
+          case AfterMatchStrategy.SkipToLast(_) =>
+            if (conf.anchorLast > pruneBelow) pruneBelow = conf.anchorLast
         }
       }
     }
     if (lazyDelete.nonEmpty)
       S = S.filterNot { case (k, _) => lazyDelete.contains(k) }
+    // anchor-strategy prune: untaken runs (firstTake 0) survive — they
+    // are duplicates of fresh current-step spawns, which no threshold
+    // can precede (see the strategy's doc on `AfterMatchStrategy`)
+    if (pruneBelow > 0)
+      S = S.filter { case (_, c) =>
+        c.firstTake == 0 || c.firstTake >= pruneBelow
+      }
 
     // window pruning: a run whose first take is already w-1 steps old can
     // never emit again (any future accept has span >= i+1 - firstTake >=

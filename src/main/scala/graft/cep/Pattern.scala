@@ -249,10 +249,32 @@ object AfterMatchStrategy {
   case object SkipToNext extends AfterMatchStrategy("SkipToNext")
   /** On first accept in a step, emit it and drop all partial runs. */
   case object SkipPastLastEvent extends AfterMatchStrategy("SkipPastLastEvent")
+  /** Beyond-parity (FlinkCEP `skipToFirst(name)`; the reference's strategy
+    * set is the closed NoSkip/SkipToNext/SkipPastLastEvent of
+    * `executor.py:13-19`): on accept, prune every partial run whose FIRST
+    * taken event precedes the first event the match bound to pattern name
+    * `anchor`. A match that bound nothing to `anchor` (e.g. an optional
+    * loop that matched zero times) prunes nothing — FlinkCEP's default
+    * no-throw behavior on an anchor miss. Untaken runs are never pruned:
+    * they are bit-identical to runs freshly spawned at the current step
+    * (the duplicate-equivalence argument on `Dst.hasUntakenIgnorePrefix`),
+    * which no threshold can precede.
+    */
+  final case class SkipToFirst(anchor: String)
+      extends AfterMatchStrategy(s"SkipToFirst[$anchor]")
+  /** As `SkipToFirst`, but the threshold is the LAST event the match bound
+    * to `anchor`.
+    */
+  final case class SkipToLast(anchor: String)
+      extends AfterMatchStrategy(s"SkipToLast[$anchor]")
+  private val ToFirstRe = """SkipToFirst[\[(]([A-Za-z_]\w*)[\])]""".r
+  private val ToLastRe = """SkipToLast[\[(]([A-Za-z_]\w*)[\])]""".r
   def fromName(s: String): AfterMatchStrategy = s match {
     case "NoSkip"            => NoSkip
     case "SkipToNext"        => SkipToNext
     case "SkipPastLastEvent" => SkipPastLastEvent
+    case ToFirstRe(a)        => SkipToFirst(a)
+    case ToLastRe(a)         => SkipToLast(a)
     case other => throw new IllegalArgumentException(s"bad strategy: $other")
   }
 }

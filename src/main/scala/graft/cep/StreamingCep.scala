@@ -77,7 +77,8 @@ object StreamingCep {
   final case class SerRun(start: Int, q: String, lastTake: Boolean,
       revEps: Seq[String], etaKeys: Seq[String], etaVals: Seq[Long],
       ctxKeys: Seq[String], ctxVals: Seq[Seq[SerEvent]],
-      firstTake: Int = 0, firstTakeTs: Long = 0L)
+      firstTake: Int = 0, firstTakeTs: Long = 0L,
+      anchorFirst: Int = 0, anchorLast: Int = 0)
 
   /** Whole per-key executor state (position-order variant). */
   final case class CepState(step: Int, runs: Seq[SerRun])
@@ -122,7 +123,7 @@ object StreamingCep {
       SerRun(k, c.q.name, c.lastTake, c.revEpsClosure.toSeq,
         c.eta.keys.toSeq, c.eta.values.toSeq,
         c.ctx.keys.toSeq, c.ctx.values.toSeq.map(_.map(toSer)),
-        c.firstTake, c.firstTakeTs)
+        c.firstTake, c.firstTakeTs, c.anchorFirst, c.anchorLast)
     })
   }
 
@@ -136,7 +137,9 @@ object StreamingCep {
         r.lastTake,
         r.revEps.toSet,
         r.firstTake,
-        r.firstTakeTs))
+        r.firstTakeTs,
+        r.anchorFirst,
+        r.anchorLast))
     }, clockFloor)
 
   /** Event-time source policy shared by the single- and multi-query

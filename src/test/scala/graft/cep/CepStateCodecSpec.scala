@@ -62,13 +62,73 @@ class CepStateCodecSpec extends AnyFunSuite {
     assert(decoded.variant == CepStateCodec.VariantEventTime)
   }
 
+  test("v4 round-trips the anchor stamps") {
+    val anchored = state.copy(runs = Seq(
+      run.copy(anchorFirst = 2, anchorLast = 6)))
+    val decoded = CepStateCodec.decode(CepStateCodec.encode(anchored))
+    assert(decoded.runs.head.anchorFirst == 2)
+    assert(decoded.runs.head.anchorLast == 6)
+  }
+
+  /** Hand-rolled old-version payload (the documented v2 run/buffer walk,
+    * optionally prefixed with the v3 header) — the synthesized bytes an
+    * old build would have written, independent of the current encoder.
+    */
+  private def oldPayload(s: CepStateEt, withV3Header: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    if (withV3Header) { out.writeByte(s.variant); out.writeLong(s.clock) }
+    out.writeInt(s.step)
+    out.writeInt(s.runs.size)
+    s.runs.foreach { r =>
+      out.writeInt(r.start); out.writeUTF(r.q); out.writeBoolean(r.lastTake)
+      val eps = r.revEps.sorted
+      out.writeInt(eps.size); eps.foreach(out.writeUTF)
+      out.writeInt(r.etaKeys.size)
+      r.etaKeys.zip(r.etaVals).foreach { case (k, v) =>
+        out.writeUTF(k); out.writeLong(v)
+      }
+      out.writeInt(r.ctxKeys.size)
+      r.ctxKeys.zip(r.ctxVals).foreach { case (k, evs) =>
+        out.writeUTF(k); out.writeInt(evs.size)
+        evs.foreach { e =>
+          out.writeUTF(e.tpe); out.writeInt(e.names.size)
+          e.names.zip(e.vals).foreach { case (n, v) =>
+            out.writeUTF(n); out.writeLong(v)
+          }
+        }
+      }
+      out.writeInt(r.firstTake); out.writeLong(r.firstTakeTs)
+      // v2/v3 end the run record here — no anchor stamps
+    }
+    out.writeInt(s.buffer.size)
+    s.buffer.foreach { b =>
+      out.writeLong(b.ts); out.writeLong(b.ord); out.writeUTF(b.tpe)
+      out.writeInt(b.names.size)
+      b.names.zip(b.vals).foreach { case (n, v) =>
+        out.writeUTF(n); out.writeLong(v)
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  test("v3 payloads migrate: header kept, anchor stamps default to 0") {
+    val tagged = state.copy(clock = 42L,
+      variant = CepStateCodec.VariantArrival)
+    val v3 = CepStateCodec.VersionedState(3, oldPayload(tagged,
+      withV3Header = true))
+    val decoded = CepStateCodec.decode(v3)
+    assert(decoded.clock == 42L)
+    assert(decoded.variant == CepStateCodec.VariantArrival)
+    assert(decoded.step == state.step)
+    assert(decoded.buffer == state.buffer)
+    assert(decoded.runs.forall(r => r.anchorFirst == 0 && r.anchorLast == 0))
+  }
+
   test("v2 payloads migrate: derived clock sentinel + unknown variant") {
-    // a v2 payload is exactly the v3 payload minus the 9-byte header
-    // (variant byte + clock long) — the walk after the header is the
-    // unchanged v2 layout
-    val v3 = CepStateCodec.encode(state.copy(clock = 42L,
-      variant = CepStateCodec.VariantArrival))
-    val v2 = CepStateCodec.VersionedState(2, v3.payload.drop(9))
+    val v2 = CepStateCodec.VersionedState(2, oldPayload(state,
+      withV3Header = false))
     val decoded = CepStateCodec.decode(v2)
     assert(decoded.clock == Long.MinValue)
     assert(decoded.variant == CepStateCodec.VariantUnknown)

@@ -80,4 +80,50 @@ class StreamingCepSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, Vector(4L), Vector(6L)), // partial run crossed the boundary
       (2L, Vector(5L), Vector(7L))))
   }
+
+  test("SkipToLast anchor stamps survive the micro-batch boundary " +
+    "(streaming == batch)") {
+    val s = spark
+    import s.implicits._
+
+    // nd-relaxed click pairs with SkipToLast("a") = consecutive click
+    // pairs only. The run holding click@2 carries its anchor stamp into
+    // batch 2 (state codec v4), where its accept at click@4 prunes the
+    // pre-boundary fork — a wrong/missing stamp would emit extra pairs.
+    val batch1 = Seq(
+      Ev(1, 1, "click", 0), Ev(1, 2, "click", 0), Ev(1, 3, "purchase", 0))
+    val batch2 = Seq(
+      Ev(1, 4, "click", 0), Ev(1, 5, "click", 0))
+
+    val query = CepQuery(
+      Pattern.lpat("a", "click", "True", Contiguity.NdRelaxed, 2, 2),
+      Vector("click" -> Vector("event_id", "value"),
+        "purchase" -> Vector("event_id", "value")),
+      AfterMatchStrategy.SkipToLast("a"))
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingCep.matchPattern(mem.toDF(), query, spec)
+    val q = out.writeStream.format("memory").queryName("cep_anchor_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = s.sql("SELECT * FROM cep_anchor_stream").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    val batch = SparkCep.matchPattern((batch1 ++ batch2).toDF(), query, spec)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, Vector(1L, 2L)),
+      (1L, Vector(2L, 4L)), // anchor + partial run crossed the boundary
+      (1L, Vector(4L, 5L))))
+  }
 }
