@@ -11,6 +11,8 @@ between rounds.
 import sys, json, math
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit("usage: bench_compare.py <a.json> <b.json> [label_a] [label_b]")
     pa, pb = sys.argv[1], sys.argv[2]
     la = sys.argv[3] if len(sys.argv) > 3 else pa
     lb = sys.argv[4] if len(sys.argv) > 4 else pb
@@ -19,6 +21,8 @@ def main():
     qa, qb = a["queries_median"], b["queries_median"]
     common = sorted(set(qa) & set(qb))
     common = [q for q in common if qa[q] > 0 and qb[q] > 0]
+    if not common:
+        sys.exit("no common queries with positive medians — nothing to compare")
     sa = sum(qa[q] for q in common)
     sb = sum(qb[q] for q in common)
     gm = math.exp(sum(math.log(qb[q] / qa[q]) for q in common) / len(common))

@@ -3801,9 +3801,18 @@ object Queries {
     // "count(*) - count(distinct text)" would be vacuously 0 whenever
     // the planted duplicates land in different sources (they do, in
     // this fixture), while cross-source duplication is exactly what a
-    // data card must surface
-    val byText = docs.groupBy("text").agg(count(lit(1)).as("tc"))
-    docs.join(byText, "text")
+    // data card must surface. The duplicate grouping keys on the 60-bit
+    // engine-portable fingerprint (`DedupOps.tokenHash60`, mirrored in
+    // the oracle), NOT the document body: the exchange then carries 8
+    // bytes per doc instead of the full text, and one window shuffle
+    // replaces the former groupBy-text + join-back-on-text double text
+    // movement.
+    docs
+      .withColumn("text_fp", graft.ops.DedupOps.tokenHash60(col("text")))
+      .select(col("source"), col("lang"), col("n_tok"), col("n_chars"),
+        col("text_fp"))
+      .withColumn("tc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text_fp")))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -3827,11 +3836,23 @@ object Queries {
       |  CAST(quantile_disc(n_tok, 0.9) AS BIGINT) AS p90_tokens,
       |  CAST(sum(CASE WHEN tc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-      |FROM (SELECT source, lang, text, n_chars,
-      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
-      |      AS BIGINT) AS n_tok,
-      |    count(*) OVER (PARTITION BY text) AS tc
-      |  FROM documents)
+      |FROM (SELECT source, lang, n_chars, n_tok,
+      |    count(*) OVER (PARTITION BY text_fp) AS tc
+      |  FROM (SELECT source, lang, n_chars,
+      |      CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |        AS BIGINT) AS n_tok,
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(generate_series(1, length(text)),
+      |            i -> CAST(ascii(text[i]) AS BIGINT))),
+      |        (acc, c) -> (acc * 131 + c) % 1000000007)
+      |      + list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(generate_series(1, length(text)),
+      |            i -> CAST(ascii(text[i]) AS BIGINT))),
+      |        (acc, c) -> (acc * 257 + c) % 1000000007) * 1073741824
+      |        AS text_fp
+      |    FROM documents))
       |GROUP BY source ORDER BY source""".stripMargin
 
   /** Robust doc-length profile per language: median, MAD, and

@@ -332,21 +332,31 @@ object IncrementalDedup {
     * (spec-pinned). `sigs/` is untouched — compaction costs one shuffle
     * of the 12-byte band rows, independent of corpus text size.
     *
-    * The rewrite goes through a sibling temp dir + two renames, so a
-    * crash leaves either the old or the new `bands/` complete (plus at
-    * worst an orphaned temp dir that the next compact clears).
+    * The rewrite goes through a sibling temp dir + two renames. The
+    * REAL crash window is between `rename(cur, old)` and
+    * `rename(next, cur)`: there `bands/` exists under NEITHER name —
+    * the old copy sits at `bands__old`, the complete new copy at
+    * `bands__compacting`. Entry therefore starts with
+    * `recoverBandsSwap`, which detects that half-swapped state and rolls
+    * FORWARD to the new copy when it finished (`_SUCCESS` present) or
+    * BACK to the old one otherwise — only after `bands/` again exists
+    * are the leftover temp dirs deleted. Every other crash point leaves
+    * `bands/` itself complete (a partial `bands__compacting` with no
+    * `_SUCCESS` is just garbage for the next entry to clear).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       maxBucketSize: Long): Unit = {
     import org.apache.hadoop.fs.Path
-    val bands = spark.read.schema(idxBandsSchema).parquet(s"$path/bands")
-      .select(col("id"), col("band"), col("bucket"))
     val next = new Path(s"$path/bands__compacting")
     val cur = new Path(s"$path/bands")
     val old = new Path(s"$path/bands__old")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverBandsSwap(fs, cur, old, next)
+    // bands/ is now guaranteed present; leftovers are safe to clear
     fs.delete(next, true)
     fs.delete(old, true)
+    val bands = spark.read.schema(idxBandsSchema).parquet(cur.toString)
+      .select(col("id"), col("band"), col("bucket"))
     capBuckets(bands, maxBucketSize, None)
       .write.partitionBy("band").mode("overwrite")
       .parquet(next.toString)
@@ -354,5 +364,30 @@ object IncrementalDedup {
       throw new java.io.IOException(
         s"compactIndex: rename failed swapping $cur")
     fs.delete(old, true)
+  }
+
+  /** Crash recovery for the compact swap (see `compactIndex` doc): if
+    * `bands/` is missing, re-establish it from the surviving copy —
+    * the completed new one (`_SUCCESS` in `bands__compacting`) rolls
+    * forward, else `bands__old` rolls back; neither present with
+    * `bands/` missing is an unrecoverable (or never-built) index and
+    * fails loudly instead of letting the caller's deletes destroy
+    * evidence.
+    */
+  private[ops] def recoverBandsSwap(fs: org.apache.hadoop.fs.FileSystem,
+      cur: org.apache.hadoop.fs.Path, old: org.apache.hadoop.fs.Path,
+      next: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(cur)) return
+    val nextComplete = fs.exists(
+      new org.apache.hadoop.fs.Path(next, "_SUCCESS"))
+    if (nextComplete) {
+      if (!fs.rename(next, cur)) throw new java.io.IOException(
+        s"compactIndex recovery: roll-forward rename $next -> $cur failed")
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, cur)) throw new java.io.IOException(
+        s"compactIndex recovery: roll-back rename $old -> $cur failed")
+    } else throw new java.io.IOException(
+      s"compactIndex: $cur missing and no complete copy to recover from " +
+        s"(checked $next/_SUCCESS and $old) — is this an index directory?")
   }
 }

@@ -73,6 +73,20 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("CoGroup"), "block cogroup missing from KNN plan")
   }
 
+  test("corpus card shuffles the 8-byte fingerprint, never the text") {
+    // the dup-count exchange must key on text_fp (tokenHash60) with the
+    // text column projected away before any Exchange — at 100 TB the
+    // old groupBy(text)+join(text) moved the full corpus body twice
+    val p = plan("profile_corpus_card")
+    assert(p.contains("text_fp"), "fingerprint key missing from plan")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("text#") || l.contains("[text")),
+      s"document text in an exchange key: ${exchanges.mkString("; ")}")
+    // no join remains — one window shuffle carries the dup counts
+    assert(!p.contains("Join"), "dup-count join is back")
+  }
+
   test("registry jaccard plan carries the posting-list frequency cap") {
     val p = plan("dedup_ngram_jaccard")
     // the maxShingleFreq window filter materializes as a count window +

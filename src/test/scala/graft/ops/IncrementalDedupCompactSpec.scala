@@ -110,4 +110,61 @@ class IncrementalDedupCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._1 == 101L) == 2)
     spark.catalog.clearCache()
   }
+
+  test("compact swap crash windows recover: half-swapped state rolls " +
+    "forward (complete next) or back (incomplete next)") {
+    val s = spark
+    import s.implicits._
+    val cap = 4L
+    val corpus = ((1L to 3L).map(_ -> textA) :+ (4L -> textB))
+      .toDF("doc_id", "text")
+    val batch = Seq(100L -> textA, 101L -> textB).toDF("doc_id", "text")
+    def matches(path: String): Set[(Long, Long, Long)] =
+      IncrementalDedup.matchBatch(batch, "doc_id", "text", path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+
+    // ---- roll FORWARD: crash happened between the two renames, with
+    // the new bands complete — bands/ missing, old at bands__old, the
+    // _SUCCESS-complete rewrite at bands__compacting
+    val idx = tmp()
+    IncrementalDedup.writeIndex(corpus, "doc_id", "text", idx,
+      maxBucketSize = cap)
+    val expected = matches(idx)
+    val f = java.nio.file.Paths.get(idx)
+    java.nio.file.Files.move(f.resolve("bands"),
+      f.resolve("bands__old"))
+    // the "new" copy: a real complete rewrite (same content — corpus
+    // was never over cap, so compaction is the identity here)
+    val idx2 = tmp()
+    IncrementalDedup.writeIndex(corpus, "doc_id", "text", idx2,
+      maxBucketSize = cap)
+    java.nio.file.Files.move(java.nio.file.Paths.get(idx2, "bands"),
+      f.resolve("bands__compacting"))
+    IncrementalDedup.compactIndex(spark, idx, cap)
+    assert(matches(idx) == expected)
+    assert(!java.nio.file.Files.exists(f.resolve("bands__old")))
+    assert(!java.nio.file.Files.exists(f.resolve("bands__compacting")))
+
+    // ---- roll BACK: bands/ missing, old present, next has no _SUCCESS
+    // (crash mid-write after an earlier crash mid-swap)
+    val idx3 = tmp()
+    IncrementalDedup.writeIndex(corpus, "doc_id", "text", idx3,
+      maxBucketSize = cap)
+    val f3 = java.nio.file.Paths.get(idx3)
+    java.nio.file.Files.move(f3.resolve("bands"), f3.resolve("bands__old"))
+    java.nio.file.Files.createDirectory(f3.resolve("bands__compacting"))
+    java.nio.file.Files.writeString(
+      f3.resolve("bands__compacting").resolve("part-garbage"), "junk")
+    IncrementalDedup.compactIndex(spark, idx3, cap)
+    assert(matches(idx3) == expected)
+
+    // ---- nothing to recover from fails loudly, destroying nothing
+    val idx4 = tmp()
+    val e = intercept[java.io.IOException] {
+      IncrementalDedup.compactIndex(spark, idx4, cap)
+    }
+    assert(e.getMessage.contains("no complete copy"))
+    spark.catalog.clearCache()
+  }
 }
