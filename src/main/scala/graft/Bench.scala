@@ -21,10 +21,48 @@ object Bench {
   private[graft] def stampContaminated(load1: Double,
       threshold: Double): Boolean = load1 > threshold
 
+  /** Bounded wait-for-idle: poll `load1` until it drops below
+    * `threshold` or `boundSec` elapses, returning the seconds waited.
+    * The driver benches immediately after its own verify/test work, so
+    * every driver-session artifact used to start at load1 > 4 and stamp
+    * `contaminated: true` by construction (round-10 verdict note #3);
+    * a 1-min loadavg needs a few idle minutes to decay below 2.0, and
+    * waiting for that is cheaper than shipping a contaminated official
+    * artifact. Bounded so a genuinely busy box cannot stall the round:
+    * on timeout the run proceeds and the stamp tells the truth.
+    * Default ON; `SPARK_GRAFT_WAIT_IDLE_SEC=0` disables (set it for
+    * back-to-back A/B bisect runs, which compare same-load pairs).
+    */
+  private[graft] def waitForIdle(threshold: Double, boundSec: Int,
+      load1: () => Double, sleepMs: Long = 10000L,
+      log: String => Unit = System.err.println): Double = {
+    val t0 = System.nanoTime()
+    var l = load1()
+    var waited = 0.0
+    while (l > threshold && waited < boundSec) {
+      log(f"BENCH: waiting for idle box (load1 $l%.2f > $threshold; " +
+        f"${boundSec - waited.toInt}%d s left in bound)")
+      Thread.sleep(sleepMs)
+      waited = (System.nanoTime() - t0) / 1e9
+      l = load1()
+    }
+    waited
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    def procLoad1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").head.toDouble
+      catch { case _: Throwable => 0.0 }
+    val idleBound = sys.env.get("SPARK_GRAFT_WAIT_IDLE_SEC")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(600)
+    val waitedSec =
+      if (idleBound > 0)
+        waitForIdle(resolveLoadThreshold(), idleBound, () => procLoad1())
+      else 0.0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -111,7 +149,7 @@ object Bench {
     val total = results.values.map(_.cold).filter(_ >= 0).sum
     val totalMedian = results.values.map(_.med).filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.cold)},"queries_median":${jmap(_.med)},"queries_p25":${jmap(_.lo)},"queries_p75":${jmap(_.hi)},"total_median":$totalMedian,"loadavg":"$loadStart","loadavg_end":"$loadavg","load1_start":$load1Start,"contamination_threshold":$loadThreshold,"contaminated":$contaminated,"bench_wall_sec":$wallSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.cold)},"queries_median":${jmap(_.med)},"queries_p25":${jmap(_.lo)},"queries_p75":${jmap(_.hi)},"total_median":$totalMedian,"loadavg":"$loadStart","loadavg_end":"$loadavg","load1_start":$load1Start,"contamination_threshold":$loadThreshold,"contaminated":$contaminated,"idle_wait_sec":$waitedSec,"bench_wall_sec":$wallSec,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a grep that truncated round 4's
     // artifact (lost ~10 queries' medians). Persist the full line ourselves

@@ -2986,22 +2986,25 @@ object Queries {
        |ORDER BY src_a, src_b""".stripMargin
 
   /** Incremental dedup against the COMMITTED persisted MinHash band
-    * index (`Codebooks.dedupIndexPath`, built once by `BuildDedupIndex`
-    * from the sf0.01 corpus, doc_id % 10 != 0, cap 64 — the
-    * `knn_ivfpq_index_top5` build-once/match-many pattern): the batch
-    * (doc_id % 10 == 0) is matched by shingling ONLY the batch and
-    * joining its band keys against the index — no `writeIndex` in this
-    * plan, so the bench row prices the steady-state daily match, which
-    * is the operator's actual selling point. The oracle computes the
-    * batch's signatures/bands in SQL and `read_parquet`s the index
-    * itself (hive-partitioned bands + stored 32-bit residues) —
+    * index (`Codebooks.dedupIndexPathFor(dir)`, built once per scale
+    * factor by `BuildDedupIndex` from that sf's corpus, doc_id % 10
+    * != 0, cap 64 — the `knn_ivfpq_index_top5` build-once/match-many
+    * pattern): the batch (doc_id % 10 == 0) is matched by shingling
+    * ONLY the batch and joining its band keys against the index — no
+    * `writeIndex` in this plan, so the bench row prices the
+    * steady-state daily match, which is the operator's actual selling
+    * point. The index is the SAME-CORPUS one at every replay scale
+    * (a single sf0.01 index made the sf0.1 row near-vacuous — 1
+    * candidate pair). The oracle computes the batch's
+    * signatures/bands in SQL and `read_parquet`s the per-sf index
+    * root, dispatching on corpus size to the same `sf=` partition —
     * certifying the committed bytes, not just the match math.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val batch = table(spark, dir, "documents")
       .filter(col("doc_id") % 10 === 0)
     IncrementalDedup.matchBatch(batch, "doc_id", "text",
-      Codebooks.dedupIndexPath)
+      Codebooks.dedupIndexPathFor(dir))
       .orderBy("new_id", "dup_of")
   }
 
@@ -3047,14 +3050,20 @@ object Queries {
        |  FROM h GROUP BY doc_id),
        |nbands AS (
        |  $bandSelects),
+       |sftag AS (
+       |  SELECT CASE WHEN count(*) >= 3000 THEN 'sf0.1' ELSE 'sf0.01' END
+       |    AS tag FROM documents),
        |idxb AS (
        |  SELECT id AS dup_of, bucket, CAST(band AS BIGINT) AS band
        |  FROM read_parquet(
-       |    '${Codebooks.dedupIndexPath}/bands/*/*.parquet',
-       |    hive_partitioning=1)),
+       |    '${Codebooks.dedupIndexRoot}/*/bands/*/*.parquet',
+       |    hive_partitioning=1)
+       |  WHERE sf = (SELECT tag FROM sftag)),
        |idxs AS (
        |  SELECT id AS dup_of, mhs32
-       |  FROM read_parquet('${Codebooks.dedupIndexPath}/sigs/*.parquet')),
+       |  FROM read_parquet('${Codebooks.dedupIndexRoot}/*/sigs/*.parquet',
+       |    hive_partitioning=1)
+       |  WHERE sf = (SELECT tag FROM sftag)),
        |cand AS (
        |  SELECT DISTINCT n.doc_id AS new_id, b.dup_of
        |  FROM nbands n JOIN idxb b
@@ -3088,18 +3097,21 @@ object Queries {
     * saturated buckets past what a fresh build would keep and
     * `compactIndex` is due. On the committed (freshly-built) index
     * over_cap is 0 by construction, which is exactly what the oracle
-    * certifies. One groupBy over the 12-byte band rows; `dir` unused
-    * (the gauge is a pure index read).
+    * certifies. One groupBy over the 12-byte band rows; `dir` selects
+    * the scale factor's index (the gauge reads no corpus data).
     */
   def dedupIndexGauge(spark: SparkSession, dir: String): DataFrame =
-    IncrementalDedup.bucketSaturation(spark, Codebooks.dedupIndexPath, 64L)
+    IncrementalDedup.bucketSaturation(spark,
+      Codebooks.dedupIndexPathFor(dir), 64L)
 
   val dedupIndexGaugeSql: String =
     s"""WITH b AS (
        |  SELECT id, bucket, CAST(band AS BIGINT) AS band
        |  FROM read_parquet(
-       |    '${Codebooks.dedupIndexPath}/bands/*/*.parquet',
-       |    hive_partitioning=1)),
+       |    '${Codebooks.dedupIndexRoot}/*/bands/*/*.parquet',
+       |    hive_partitioning=1)
+       |  WHERE sf = (SELECT CASE WHEN count(*) >= 3000 THEN 'sf0.1'
+       |    ELSE 'sf0.01' END FROM documents)),
        |sz AS (
        |  SELECT band, bucket, count(*) AS sz FROM b GROUP BY band, bucket)
        |SELECT band,
@@ -3110,8 +3122,8 @@ object Queries {
        |FROM sz GROUP BY band ORDER BY band""".stripMargin
 
   /** The daily-ingest pipeline, composed steady-state: match the
-    * incoming batch against the COMMITTED corpus index
-    * (`Codebooks.dedupIndexPath` — no `writeIndex` in this plan, so the
+    * incoming batch against the COMMITTED per-sf corpus index
+    * (`Codebooks.dedupIndexPathFor` — no `writeIndex` in this plan, so the
     * bench row prices the daily path), drop batch docs whose best
     * signature agreement ≥ 950‰ (near-dups of the corpus), chunk the
     * survivors into 32-token overlapping windows, and pack the chunks
@@ -3129,7 +3141,7 @@ object Queries {
     val batch = table(spark, dir, "documents")
       .filter(col("doc_id") % 10 === 0)
     val dupIds = IncrementalDedup.matchBatch(batch, "doc_id", "text",
-        Codebooks.dedupIndexPath)
+        Codebooks.dedupIndexPathFor(dir))
       .filter(col("est_milli") >= 950L)
       .select(col("new_id").as("doc_id")).distinct()
     val kept = batch.join(dupIds, Seq("doc_id"), "left_anti")
@@ -3162,7 +3174,7 @@ object Queries {
     val batch = table(spark, dir, "documents")
       .filter(col("doc_id") % 10 === 0)
     val corpusDups = IncrementalDedup.matchBatch(batch, "doc_id", "text",
-        Codebooks.dedupIndexPath)
+        Codebooks.dedupIndexPathFor(dir))
       .filter(col("est_milli") >= 950L)
       .select(col("new_id").as("doc_id"))
     val innerDups = DedupOps.minHashLshPairs(batch, "doc_id", "text",

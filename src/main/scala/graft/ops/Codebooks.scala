@@ -49,17 +49,35 @@ object Codebooks {
     */
   val ivfPqIndexPath = s"$defaultDir/ivfpq_index_flat.parquet"
 
-  /** Committed build-once/match-many MinHash dedup index (built by
-    * `graft.tools.BuildDedupIndex` from the sf0.01 documents corpus,
-    * doc_id % 10 != 0, cap 64): `bands/` + `sigs/` in the
+  /** Committed build-once/match-many MinHash dedup indexes, ONE PER
+    * SCALE FACTOR (built by `graft.tools.BuildDedupIndex` from each
+    * sf's documents corpus, doc_id % 10 != 0, cap 64): under
+    * `sf=<tag>/` lives a `bands/` + `sigs/` pair in the
     * `IncrementalDedup.writeIndex` layout. The steady-state registry
-    * rows (`dedup_incremental`, `pipeline_ingest_day`,
-    * `dedup_index_gauge`) match their batch against THIS index, so the
-    * bench prices the daily match — never an in-query `writeIndex` —
-    * and the oracle `read_parquet`s the index itself, certifying the
-    * bytes on disk.
+    * rows (`dedup_incremental`, `pipeline_ingest_day*`,
+    * `dedup_index_gauge`) match their batch against the index of THE
+    * SAME corpus they draw the batch from — a single sf0.01 index made
+    * the sf0.1 rows near-vacuous (1 candidate pair instead of a
+    * realistic same-corpus match, round-10 advice) — so the bench
+    * prices the daily match at every replay scale; never an in-query
+    * `writeIndex`. The oracle `read_parquet`s the whole root with
+    * hive partitioning and selects the `sf=` partition by corpus size
+    * (`Queries.incrementalOracleCtes`), certifying the bytes on disk.
     */
-  val dedupIndexPath = s"$defaultDir/dedup_minhash_index"
+  val dedupIndexRoot = s"$defaultDir/dedup_minhash_index_sf"
+
+  /** The index for the corpus at `dataDir`, selected by the dir's sf
+    * tag. sf0.001 maps to the sf0.01 index: the two dirs ship the SAME
+    * 500-document table, so they share one index (and the oracle's
+    * corpus-size dispatch agrees). Unknown dirs fall back to sf0.01.
+    */
+  def dedupIndexPathFor(dataDir: String): String = {
+    val tag = new java.io.File(dataDir).getName match {
+      case "sf0.1" => "sf0.1"
+      case _       => "sf0.01"
+    }
+    s"$dedupIndexRoot/sf=$tag"
+  }
 
   /** Bounded deterministic sample: hash-ordered (id-salted with `seed`),
     * so any `sampleSize`-prefix is a uniform pseudo-random draw that does

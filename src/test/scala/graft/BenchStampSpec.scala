@@ -25,4 +25,23 @@ class BenchStampSpec extends AnyFunSuite {
       Map("SPARK_GRAFT_LOAD_THRESHOLD" -> "nope"))
       == Bench.DefaultLoadThreshold)
   }
+
+  test("waitForIdle polls until the load drops below the bar") {
+    val samples = Iterator(6.4, 3.1, 1.2, 0.5)
+    var polls = 0
+    Bench.waitForIdle(2.0, boundSec = 60,
+      load1 = () => { polls += 1; samples.next() },
+      sleepMs = 1L, log = _ => ())
+    assert(polls == 3) // stops at the first sample below the bar
+  }
+
+  test("waitForIdle is bounded: a busy box proceeds after the bound") {
+    var polls = 0
+    val waited = Bench.waitForIdle(2.0, boundSec = 0,
+      load1 = () => { polls += 1; 9.9 }, sleepMs = 1L, log = _ => ())
+    assert(polls == 1 && waited == 0.0) // bound 0 = no waiting at all
+    val waited2 = Bench.waitForIdle(2.0, boundSec = 1,
+      load1 = () => 9.9, sleepMs = 200L, log = _ => ())
+    assert(waited2 >= 1.0 && waited2 < 30.0)
+  }
 }
