@@ -675,6 +675,65 @@ object Queries {
       |WHERE a2 IS NOT NULL
       |ORDER BY user_id, a1""".stripMargin
 
+  /** Beyond-§2 greedy quantifier (`loop.greedy` — FlinkCEP `.greedy()`;
+    * the reference's loops are all reluctant): up-to-3 consecutive
+    * clicks that refuse to stop while another click follows, then the
+    * first subsequent purchase. Per click start p the loop length is
+    * exactly `min(3, remaining length of p's consecutive click run)` —
+    * the reluctant variant would emit every shorter prefix too (1,080-
+    * case differential in `GreedyLoopSpec`). Oracle: gaps-and-islands
+    * over clicks (run segment id = seq - rank), capped run length, ids
+    * assembled from LEADs within the segment, then the first purchase
+    * past the run.
+    */
+  val cepGreedyClickRunsQuery: CepQuery =
+    CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.lpat("a", "click", "True", Contiguity.Strict, 1, 3,
+          greedy = true),
+        Pattern.spat("b", "purchase", "True")),
+      eventSchema)
+
+  def cepGreedyClickRuns(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepGreedyClickRunsQuery)
+      .select(col("user_id"), idsCol("a").as("ids"),
+        element_at(col("b"), 1).as("b_id"))
+      .orderBy("user_id", "ids", "b_id")
+
+  val cepGreedyClickRunsSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |clicks AS (
+      |  SELECT user_id, event_id, seq,
+      |    seq - row_number() OVER (PARTITION BY user_id ORDER BY seq) AS seg
+      |  FROM seqd WHERE event_type = 'click'),
+      |runs AS (
+      |  SELECT user_id, event_id, seq, seg,
+      |    max(seq) OVER (PARTITION BY user_id, seg) AS segend,
+      |    LEAD(event_id, 1) OVER w AS n1,
+      |    LEAD(event_id, 2) OVER w AS n2
+      |  FROM clicks WINDOW w AS (PARTITION BY user_id, seg ORDER BY seq)),
+      |g AS (
+      |  SELECT user_id, seq,
+      |    LEAST(3, segend - seq + 1) AS k,
+      |    CASE LEAST(3, segend - seq + 1)
+      |      WHEN 1 THEN CAST(event_id AS VARCHAR)
+      |      WHEN 2 THEN CAST(event_id AS VARCHAR) || ',' || CAST(n1 AS VARCHAR)
+      |      ELSE CAST(event_id AS VARCHAR) || ',' || CAST(n1 AS VARCHAR)
+      |        || ',' || CAST(n2 AS VARCHAR) END AS ids
+      |  FROM runs),
+      |m AS (
+      |  SELECT g.user_id, g.ids, p.event_id AS b_id,
+      |    row_number() OVER (PARTITION BY g.user_id, g.seq
+      |      ORDER BY p.seq) AS prn
+      |  FROM g JOIN seqd p
+      |    ON p.user_id = g.user_id AND p.seq > g.seq + g.k - 1
+      |   AND p.event_type = 'purchase')
+      |SELECT user_id, ids, b_id FROM m WHERE prn = 1
+      |ORDER BY user_id, ids, b_id""".stripMargin
+
   /** §2 #9 iterative condition: 2–3 consecutive purchases whose running
     * value-sum stays ≤ 100 (per-take register fold).
     */
@@ -5223,6 +5282,7 @@ object Queries {
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairsQuery,
     "cep_skip_to_first_click_pairs" -> cepSkipToFirstClickPairsQuery,
     "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairsQuery,
+    "cep_greedy_click_runs" -> cepGreedyClickRunsQuery,
     "cep_iter_budget" -> cepIterBudgetQuery,
     "cep_until_error_runs" -> cepUntilErrorRunsQuery
   )
@@ -5243,6 +5303,7 @@ object Queries {
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairs _,
     "cep_skip_to_first_click_pairs" -> cepSkipToFirstClickPairs _,
     "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairs _,
+    "cep_greedy_click_runs" -> cepGreedyClickRuns _,
     "cep_iter_budget" -> cepIterBudget _,
     "cep_until_error_runs" -> cepUntilErrorRuns _,
     "cep_agg_match_counts" -> cepAggMatchCounts _,
@@ -5380,6 +5441,7 @@ object Queries {
     "cep_skip_past_click_pairs" -> cepSkipPastClickPairsSql,
     "cep_skip_to_first_click_pairs" -> cepSkipToFirstClickPairsSql,
     "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairsSql,
+    "cep_greedy_click_runs" -> cepGreedyClickRunsSql,
     "cep_iter_budget" -> cepIterBudgetSql,
     "rel_q1_pricing" -> relQ1PricingSql,
     "rel_q3_top_orders" -> relQ3TopOrdersSql,

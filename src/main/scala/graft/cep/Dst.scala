@@ -166,13 +166,25 @@ object StreamUpdate {
 
 /** NFA transition. `p` is mutable because the compiler rewrites predicates in
   * place for `until` (`compile.py:354-359,574-578`).
+  *
+  * `cutBy` (greedy loops only, else empty): competing take edges whose
+  * firing suppresses THIS edge for the same (configuration, event) — the
+  * FlinkCEP branch-priority encoding of `.greedy()`: the loop's proceed-ε
+  * carries its own take edges as cuts, so a run may only stop the loop at
+  * an event the loop could not consume. The references are to the very
+  * `Transition` objects in Δ, so an `until` predicate rewrite is seen by
+  * the guard too (an until-stopped take no longer cuts). Evaluated only
+  * for real events — `findAccepted`'s ε digs (event = None) ignore cuts,
+  * which is exact because a greedy proceed is compile-time-rejected from
+  * reaching an accepting state through ε alone (no trailing greedy).
   */
 final class Transition(
     val q1: State,
     var p: Pred,
     val q2: State,
     val alpha: DataUpdate,
-    val beta: StreamUpdate
+    val beta: StreamUpdate,
+    val cutBy: Vector[Transition] = Vector.empty
 ) extends Serializable {
   def isEpsilon: Boolean = p.isEpsilon
   def isTake: Boolean = !beta.isId

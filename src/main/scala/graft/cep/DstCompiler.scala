@@ -23,7 +23,43 @@ final class DstCompiler(query: CepQuery) {
 
   private def eventTypes: Vector[String] = query.eventTypes
 
-  def compile(): Dst = compileNode(query.patseq)
+  def compile(): Dst = {
+    val dst = compileNode(query.patseq)
+    rejectTrailingGreedy(dst)
+    dst
+  }
+
+  /** FlinkCEP parity restriction: a greedy loop cannot be the LAST
+    * (or followed only by patterns that can match empty) — its cut
+    * guard needs a real event to evaluate against, and an ε-only path
+    * from a greedy proceed to an accepting state would let
+    * `findAccepted` (event = None) bypass the cut. Structural check on
+    * the COMPILED automaton, so it covers loops nested in groups and
+    * combines uniformly: from every cut edge's target, walk ε edges; an
+    * accepting state reachable means the greedy stop decision can be an
+    * accept — rejected.
+    */
+  private def rejectTrailingGreedy(dst: Dst): Unit = {
+    val cutTargets = dst.delta.filter(_.cutBy.nonEmpty).map(_.q2)
+    for (start <- cutTargets) {
+      val seen = scala.collection.mutable.Set(start.name)
+      val stack = scala.collection.mutable.Stack(start)
+      while (stack.nonEmpty) {
+        val s = stack.pop()
+        if (s.out.isDefined)
+          throw new IllegalArgumentException(
+            "a greedy loop cannot be the last pattern of the sequence " +
+              "(nor be followed only by optional patterns) — the greedy " +
+              "stop needs a following event to compare against; FlinkCEP " +
+              "imposes the same restriction")
+        dst.startFrom(s).foreach { e =>
+          if (e.isEpsilon && !seen.contains(e.q2.name)) {
+            seen += e.q2.name; stack.push(e.q2)
+          }
+        }
+      }
+    }
+  }
 
   /** First (event, condition) of a pattern — used by combine's relaxed
     * boundary ignore edges, which read `right_ast["event"]/["cndt"]`
@@ -89,14 +125,17 @@ final class DstCompiler(query: CepQuery) {
 
     val d = ArrayBuffer.empty[Transition]
     // take transitions
-    for (i <- 0 until m)
-      d += new Transition(q(i), takePred, q(i + 1), tdu, esu)
+    val takes = Vector.tabulate(m)(i =>
+      new Transition(q(i), takePred, q(i + 1), tdu, esu))
+    d ++= takes
     for (i <- 0 until m - 1)
       d += new Transition(qIgnore(i), takePred, q(i + 2), tdu, esu)
-    // proceed transitions
+    // proceed transitions; a greedy loop's proceed is cut by the same
+    // state's take (none exists at i = m — a full loop always proceeds)
     for (i <- n to m)
       d += new Transition(q(i), Pred.epsilon, qf, DataUpdate.Id,
-        StreamUpdate.Id)
+        StreamUpdate.Id,
+        cutBy = if (ast.greedy && i < m) Vector(takes(i)) else Vector.empty)
     // ignore transitions
     ast.contiguity match {
       case Contiguity.Strict => ()
@@ -148,12 +187,17 @@ final class DstCompiler(query: CepQuery) {
 
     val d = ArrayBuffer.empty[Transition]
     // take transitions
-    for (i <- 0 until n)
-      d += new Transition(q(i), takePred, q(i + 1), tdu, esu)
-    d += new Transition(q(n), takePred, q(n), tdu, esu)
+    val chainTakes = Vector.tabulate(n)(i =>
+      new Transition(q(i), takePred, q(i + 1), tdu, esu))
+    d ++= chainTakes
+    val selfTake = new Transition(q(n), takePred, q(n), tdu, esu)
+    d += selfTake
     d += new Transition(qnp, takePred, q(n), tdu, esu)
-    // proceed transition
-    d += new Transition(q(n), Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
+    // proceed transition; greedy cuts it by the self-loop take (whose
+    // predicate the `until` rewrite below may narrow — the cut sees the
+    // rewritten object, so an until-stopped loop proceeds)
+    d += new Transition(q(n), Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id,
+      cutBy = if (ast.greedy) Vector(selfTake) else Vector.empty)
     // ignore transitions
     ast.contiguity match {
       case Contiguity.Strict => ()
@@ -188,7 +232,11 @@ final class DstCompiler(query: CepQuery) {
     }
 
     if (optional)
-      d += new Transition(q0, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
+      // the zero-iteration stop; greedy forbids it when the first event
+      // could enter the loop
+      d += new Transition(q0, Pred.epsilon, qf, DataUpdate.Id,
+        StreamUpdate.Id,
+        cutBy = if (ast.greedy) Vector(chainTakes(0)) else Vector.empty)
 
     new Dst(Set(ast.event), Set(ast.name), x, Set(ast.name),
       (q :+ qnp) :+ qf, q0, eta0, d.toVector)

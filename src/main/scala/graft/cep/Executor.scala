@@ -194,7 +194,10 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
       var e = 0
       while (e < edges.length) {
         val edge = edges(e)
-        if (edge.predict(conf, ev)) {
+        // greedy cut: a proceed-ε whose competing loop take fires for
+        // this same (conf, event) is suppressed (see `Transition.cutBy`)
+        if (edge.predict(conf, ev) &&
+            (edge.cutBy.isEmpty || !edge.cutBy.exists(_.predict(conf, ev)))) {
           val nc0 = edge.advance(conf, ev)
           // first take stamps the run's window start (the transition
           // cannot: it does not know the step counter / clock)

@@ -36,7 +36,18 @@ object Pattern {
       vars: Vector[VarDef] = Vector.empty
   ) extends Pattern
 
-  /** Bounded loop: `from..to` events, per-iteration contiguity. */
+  /** Bounded loop: `from..to` events, per-iteration contiguity.
+    *
+    * `greedy` (beyond-parity — FlinkCEP's `.greedy()` quantifier; the
+    * reference's loops are reluctant by NFA construction): the loop
+    * refuses to stop at an event it could consume — the proceed-ε into
+    * the following pattern is suppressed whenever the loop's take edge
+    * fires on the same event (lookahead-1 branch priority, exactly
+    * FlinkCEP's NFA semantics; internal relaxed/nd-relaxed ignore forks
+    * are untouched). A greedy loop must be followed by a non-optional
+    * pattern — greedy-in-trailing-position is rejected at compile time,
+    * as in FlinkCEP ("greedy not supported for the last pattern").
+    */
   final case class Lpat(
       name: String,
       event: String,
@@ -44,10 +55,14 @@ object Pattern {
       contiguity: Contiguity,
       from: Int,
       to: Int,
-      vars: Vector[VarDef] = Vector.empty
+      vars: Vector[VarDef] = Vector.empty,
+      greedy: Boolean = false
   ) extends Pattern
 
-  /** Unbounded loop: `>= from` events; optional `until` stop-condition. */
+  /** Unbounded loop: `>= from` events; optional `until` stop-condition.
+    * `greedy` as on [[Lpat]] (the cut guard is the post-`until` take
+    * predicate, so an until-stopped loop may proceed).
+    */
   final case class LpatInf(
       name: String,
       event: String,
@@ -55,7 +70,8 @@ object Pattern {
       contiguity: Contiguity,
       from: Int,
       until: Option[Expr] = None,
-      vars: Vector[VarDef] = Vector.empty
+      vars: Vector[VarDef] = Vector.empty,
+      greedy: Boolean = false
   ) extends Pattern
 
   /** Sequence concatenation with boundary contiguity. */
@@ -148,11 +164,15 @@ object Pattern {
     }
     p match {
       case s: Spat => s"${s.name}:${s.event}:[${ExprRepr(s.cndt)}]"
+      // `!` after the braces marks a greedy loop (no reference repr
+      // exists for greedy — the reference's loops are all reluctant)
       case l: Lpat =>
-        s"${l.name}:${l.event}:[${ExprRepr(l.cndt)}]_${glyph(l.contiguity)}{${l.from},${l.to}}"
+        val g = if (l.greedy) "!" else ""
+        s"${l.name}:${l.event}:[${ExprRepr(l.cndt)}]_${glyph(l.contiguity)}{${l.from},${l.to}}$g"
       case l: LpatInf =>
         val u = l.until.map(e => s"U(${ExprRepr(e)})").getOrElse("")
-        s"${l.name}:${l.event}:[${ExprRepr(l.cndt)}]_${glyph(l.contiguity)}{${l.from},inf}$u"
+        val g = if (l.greedy) "!" else ""
+        s"${l.name}:${l.event}:[${ExprRepr(l.cndt)}]_${glyph(l.contiguity)}{${l.from},inf}$g$u"
       case c: Combine => s"${repr(c.left)}${glyph(c.contiguity)}${repr(c.right)}"
       // beyond-parity node — no reference repr exists; `!next[...]` /
       // `!fby[...]` between the sides keeps the string re-readable
@@ -228,13 +248,14 @@ object Pattern {
   def spat(name: String, event: String, cndt: String): Spat =
     Spat(name, event, Expr.parse(cndt))
   def lpat(name: String, event: String, cndt: String, contiguity: Contiguity,
-      from: Int, to: Int, vars: Vector[VarDef] = Vector.empty): Lpat =
-    Lpat(name, event, Expr.parse(cndt), contiguity, from, to, vars)
+      from: Int, to: Int, vars: Vector[VarDef] = Vector.empty,
+      greedy: Boolean = false): Lpat =
+    Lpat(name, event, Expr.parse(cndt), contiguity, from, to, vars, greedy)
   def lpatInf(name: String, event: String, cndt: String,
       contiguity: Contiguity, from: Int, until: Option[String] = None,
-      vars: Vector[VarDef] = Vector.empty): LpatInf =
+      vars: Vector[VarDef] = Vector.empty, greedy: Boolean = false): LpatInf =
     LpatInf(name, event, Expr.parse(cndt), contiguity, from,
-      until.map(Expr.parse), vars)
+      until.map(Expr.parse), vars, greedy)
   def varDef(name: String, initial: Long, update: String): VarDef =
     VarDef(name, initial, Expr.parse(update))
   def negSpec(name: String, event: String, cndt: String): NegSpec =

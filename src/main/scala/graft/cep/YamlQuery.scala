@@ -123,6 +123,9 @@ object YamlQuery {
   private def loop(m: JMap[String, Object]): JMap[String, Object] =
     m.get("loop").asInstanceOf[JMap[String, Object]]
 
+  private def greedy(l: JMap[String, Object]): Boolean =
+    Option(l.get("greedy")).exists(_.toString.toBoolean)
+
   private def untilOpt(m: JMap[String, Object]): Option[Expr] =
     Option(m.get("until")).map(u =>
       Expr.parse(str(u.asInstanceOf[JMap[String, Object]], "expr")))
@@ -131,16 +134,18 @@ object YamlQuery {
     str(m, "type") match {
       case "spat" =>
         Pattern.Spat(str(m, "name"), str(m, "event"), expr(m, "cndt"), vars(m))
+      // beyond-parity loop flag `greedy: true` (FlinkCEP `.greedy()`):
+      // absent from every reference query file, defaults false
       case "lpat" =>
         val l = loop(m)
         Pattern.Lpat(str(m, "name"), str(m, "event"), expr(m, "cndt"),
           Contiguity.fromName(str(l, "contiguity")), int(l, "from"),
-          int(l, "to"), vars(m))
+          int(l, "to"), vars(m), greedy(l))
       case "lpat-inf" =>
         val l = loop(m)
         Pattern.LpatInf(str(m, "name"), str(m, "event"), expr(m, "cndt"),
           Contiguity.fromName(str(l, "contiguity")), int(l, "from"),
-          untilOpt(m), vars(m))
+          untilOpt(m), vars(m), greedy(l))
       case "combine" =>
         Pattern.Combine(
           Contiguity.fromName(str(m, "contiguity")),
