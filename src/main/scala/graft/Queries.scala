@@ -734,6 +734,66 @@ object Queries {
       |SELECT user_id, ids, b_id FROM m WHERE prn = 1
       |ORDER BY user_id, ids, b_id""".stripMargin
 
+  /** The SQL-surface registry row: a signup → 1-2 clicks → purchase
+    * funnel within an 8-step window, DECLARED through `CepSql.parse`
+    * (the MATCH_RECOGNIZE-shaped text form) instead of the Pattern
+    * builders — certifying the SQL front-end end-to-end against a
+    * DuckDB oracle, not just by AST round-trip (`CepSqlSpec`).
+    * Semantics under the compiled NFA: per signup s, c1 is the FIRST
+    * click after s (relaxed boundary — a click cannot be ignored while
+    * waiting for one); the strict {1,2} loop extends exactly when the
+    * event immediately after c1 is a click; p is the first purchase
+    * after the loop's last click; emit iff p's position is fewer than 8
+    * steps after s's.
+    */
+  val cepSqlFunnelQuery: CepQuery = CepSql.parse(
+    "PATTERN (s -> c{1,2} -> p) DEFINE s AS signup; c AS click; " +
+      "p AS purchase WITHIN 8",
+    eventSchema)
+
+  def cepSqlFunnel(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepSqlFunnelQuery)
+      .select(col("user_id"), element_at(col("s"), 1).as("s_id"),
+        idsCol("c").as("c_ids"), element_at(col("p"), 1).as("p_id"))
+      .orderBy("user_id", "s_id", "c_ids", "p_id")
+
+  val cepSqlFunnelSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT m.user_id, m.s_id,
+      |  CAST(e1.event_id AS VARCHAR)
+      |    || COALESCE(',' || CAST(e2.event_id AS VARCHAR), '') AS c_ids,
+      |  ep.event_id AS p_id
+      |FROM m
+      |JOIN seqd e1 ON e1.user_id = m.user_id AND e1.seq = m.c1_seq
+      |LEFT JOIN seqd e2 ON e2.user_id = m.user_id AND e2.seq = m.c2_seq
+      |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
+      |ORDER BY m.user_id, m.s_id, c_ids, p_id""".stripMargin
+
   /** §2 #9 iterative condition: 2–3 consecutive purchases whose running
     * value-sum stays ≤ 100 (per-take register fold).
     */
@@ -5283,6 +5343,7 @@ object Queries {
     "cep_skip_to_first_click_pairs" -> cepSkipToFirstClickPairsQuery,
     "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairsQuery,
     "cep_greedy_click_runs" -> cepGreedyClickRunsQuery,
+    "cep_sql_funnel" -> cepSqlFunnelQuery,
     "cep_iter_budget" -> cepIterBudgetQuery,
     "cep_until_error_runs" -> cepUntilErrorRunsQuery
   )
@@ -5304,6 +5365,7 @@ object Queries {
     "cep_skip_to_first_click_pairs" -> cepSkipToFirstClickPairs _,
     "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairs _,
     "cep_greedy_click_runs" -> cepGreedyClickRuns _,
+    "cep_sql_funnel" -> cepSqlFunnel _,
     "cep_iter_budget" -> cepIterBudget _,
     "cep_until_error_runs" -> cepUntilErrorRuns _,
     "cep_agg_match_counts" -> cepAggMatchCounts _,
@@ -5442,6 +5504,7 @@ object Queries {
     "cep_skip_to_first_click_pairs" -> cepSkipToFirstClickPairsSql,
     "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairsSql,
     "cep_greedy_click_runs" -> cepGreedyClickRunsSql,
+    "cep_sql_funnel" -> cepSqlFunnelSql,
     "cep_iter_budget" -> cepIterBudgetSql,
     "rel_q1_pricing" -> relQ1PricingSql,
     "rel_q3_top_orders" -> relQ3TopOrdersSql,

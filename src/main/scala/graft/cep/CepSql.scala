@@ -1,0 +1,434 @@
+package graft.cep
+
+/** SQL-native CEP entry point — a MATCH_RECOGNIZE-shaped text form that
+  * lowers to the existing [[Pattern]] AST (parser-only: execution is the
+  * same compiled DST every other surface uses). Relational users reach
+  * CEP without leaving SQL-ish text:
+  *
+  * {{{
+  * CepSql.parse("""
+  *   PATTERN (a -> b{1,3}~!)
+  *   DEFINE a AS signup;
+  *          b AS click WHERE value < 50 LET X = 0 THEN X + value
+  *   WITHIN 5
+  *   AFTER MATCH SKIP TO NEXT
+  * """, schema)
+  * }}}
+  *
+  * Grammar (keywords UPPERCASE; `n`/`m` integers; `expr` the engine's
+  * condition language, handed verbatim to `Expr.parse`):
+  *
+  * {{{
+  * query  := PATTERN '(' seq ')' DEFINE def (';' def)*
+  *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
+  * seq    := unit (sep [neg] unit)*
+  * sep    :=            (juxtaposition = strict contiguity)
+  *         | '->'       (relaxed)
+  *         | '~>'       (nd-relaxed)
+  * neg    := '!next(' name ')' | '!fby(' name ')'      (negative pattern
+  *           at the boundary; the name's DEFINE gives its type/condition)
+  * unit   := name [quant] | '(' seq ')' [gquant]
+  * quant  := ('+' | '*' | '{' n ',' [m] '}') ['~' | '~~'] ['!']
+  *           ('+' = {1,}, '*' = {0,}; open upper bound = unbounded loop;
+  *            '~' relaxed / '~~' nd-relaxed ITERATION contiguity, strict
+  *            by default; trailing '!' = greedy)
+  * gquant := '+' | '*' | '{' n ',' [m] '}'             (group repeat)
+  * def    := name AS event [WHERE expr]
+  *           [LET x '=' init THEN update (',' x '=' init THEN update)*]
+  *           [UNTIL expr]                              (unbounded loops)
+  * skip   := TO NEXT | PAST LAST EVENT | TO FIRST name | TO LAST name
+  * }}}
+  *
+  * `WITHIN n` is the step window; `WITHIN n ON attr` the event-time
+  * window over integer attribute `attr`. Sequences of 3+ units fold
+  * LEFT: `a b c` = `Combine(Combine(a, b), c)`. A name used in the
+  * pattern must have exactly one DEFINE; a defined name may appear once
+  * (the DST binds sinks by name). Conditions/updates must not contain
+  * the UPPERCASE section keywords — use lowercase attribute names (the
+  * engine's attribute convention throughout).
+  */
+object CepSql {
+
+  // ---------------------------------------------------------------- lexer
+  private sealed trait Tok
+  private case class TName(s: String) extends Tok
+  private case class TNum(n: Int) extends Tok
+  private case object TLPar extends Tok
+  private case object TRPar extends Tok
+  private case object TArrow extends Tok     // ->
+  private case object TNdArrow extends Tok   // ~>
+  private case object TPlus extends Tok
+  private case object TStar extends Tok
+  private case object TLBrace extends Tok
+  private case object TRBrace extends Tok
+  private case object TComma extends Tok
+  private case object TTilde extends Tok     // ~
+  private case object TTilde2 extends Tok    // ~~
+  private case object TBang extends Tok      // !
+  private case class TNeg(mode: Pattern.NegMode) extends Tok // !next( / !fby(
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    def err(msg: String) = throw new IllegalArgumentException(
+      s"CEP SQL pattern: $msg at '${s.drop(i).take(20)}'")
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += TLPar; i += 1 }
+      else if (c == ')') { out += TRPar; i += 1 }
+      else if (c == '{') { out += TLBrace; i += 1 }
+      else if (c == '}') { out += TRBrace; i += 1 }
+      else if (c == ',') { out += TComma; i += 1 }
+      else if (c == '+') { out += TPlus; i += 1 }
+      else if (c == '*') { out += TStar; i += 1 }
+      else if (c == '-') {
+        if (i + 1 < s.length && s(i + 1) == '>') { out += TArrow; i += 2 }
+        else err("expected '->'")
+      } else if (c == '~') {
+        if (i + 1 < s.length && s(i + 1) == '>') { out += TNdArrow; i += 2 }
+        else if (i + 1 < s.length && s(i + 1) == '~') { out += TTilde2; i += 2 }
+        else { out += TTilde; i += 1 }
+      } else if (c == '!') {
+        if (s.startsWith("!next(", i)) {
+          out += TNeg(Pattern.NegMode.NotNext); out += TLPar; i += 6
+        } else if (s.startsWith("!fby(", i)) {
+          out += TNeg(Pattern.NegMode.NotFollowedBy); out += TLPar; i += 5
+        } else { out += TBang; i += 1 }
+      } else if (c.isDigit) {
+        val j = s.indexWhere(!_.isDigit, i)
+        val end = if (j < 0) s.length else j
+        out += TNum(s.substring(i, end).toInt); i = end
+      } else if (c.isLetter || c == '_') {
+        val j = s.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
+        val end = if (j < 0) s.length else j
+        out += TName(s.substring(i, end)); i = end
+      } else err(s"unexpected character '$c'")
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------- pattern-section parse
+  /** Quantifier: (from, to — None = unbounded), iteration contiguity,
+    * greedy.
+    */
+  private case class Quant(from: Int, to: Option[Int],
+      contig: Contiguity, greedy: Boolean)
+
+  private sealed trait PU
+  private case class PName(name: String, quant: Option[Quant]) extends PU
+  private case class PGroup(seq: PSeq,
+      gquant: Option[(Int, Option[Int])]) extends PU
+  /** head unit + (separator contiguity, optional neg name+mode, unit)* */
+  private case class PSeq(head: PU,
+      tail: Vector[(Contiguity, Option[(Pattern.NegMode, String)], PU)])
+
+  private final class PParser(toks: Vector[Tok]) {
+    private var i = 0
+    private def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    private def next(): Tok = { val t = toks(i); i += 1; t }
+    private def expect(t: Tok, what: String): Unit =
+      if (peek.contains(t)) { i += 1 }
+      else throw new IllegalArgumentException(
+        s"CEP SQL pattern: expected $what, got ${peek.getOrElse("end")}")
+
+    def parseSeq(): PSeq = {
+      val head = parseUnit()
+      val tail = Vector.newBuilder[
+        (Contiguity, Option[(Pattern.NegMode, String)], PU)]
+      var done = false
+      while (!done) {
+        val contig = peek match {
+          case Some(TArrow)   => next(); Contiguity.Relaxed
+          case Some(TNdArrow) => next(); Contiguity.NdRelaxed
+          case Some(TName(_)) | Some(TLPar) | Some(TNeg(_)) =>
+            Contiguity.Strict
+          case _ => done = true; Contiguity.Strict
+        }
+        if (!done) {
+          val neg = peek match {
+            case Some(TNeg(mode)) =>
+              next(); expect(TLPar, "'('")
+              val n = next() match {
+                case TName(s) => s
+                case other => throw new IllegalArgumentException(
+                  s"CEP SQL pattern: expected negation name, got $other")
+              }
+              expect(TRPar, "')'")
+              Some((mode, n))
+            case _ => None
+          }
+          tail += ((contig, neg, parseUnit()))
+        }
+      }
+      PSeq(head, tail.result())
+    }
+
+    private def parseUnit(): PU = next() match {
+      case TName(n) => PName(n, parseQuant())
+      case TLPar =>
+        val s = parseSeq()
+        expect(TRPar, "')'")
+        PGroup(s, parseGQuant())
+      case other => throw new IllegalArgumentException(
+        s"CEP SQL pattern: expected a name or '(', got $other")
+    }
+
+    private def parseBounds(): Option[(Int, Option[Int])] = peek match {
+      case Some(TPlus) => next(); Some((1, None))
+      case Some(TStar) => next(); Some((0, None))
+      case Some(TLBrace) =>
+        next()
+        val from = next() match {
+          case TNum(n) => n
+          case other => throw new IllegalArgumentException(
+            s"CEP SQL pattern: expected loop lower bound, got $other")
+        }
+        expect(TComma, "','")
+        val to = peek match {
+          case Some(TNum(m)) => next(); Some(m)
+          case _             => None
+        }
+        expect(TRBrace, "'}'")
+        Some((from, to))
+      case _ => None
+    }
+
+    private def parseQuant(): Option[Quant] = parseBounds().map {
+      case (from, to) =>
+        val contig = peek match {
+          case Some(TTilde)  => next(); Contiguity.Relaxed
+          case Some(TTilde2) => next(); Contiguity.NdRelaxed
+          case _             => Contiguity.Strict
+        }
+        val greedy = peek match {
+          case Some(TBang) => next(); true
+          case _           => false
+        }
+        Quant(from, to, contig, greedy)
+    }
+
+    private def parseGQuant(): Option[(Int, Option[Int])] = parseBounds()
+
+    def assertDone(): Unit =
+      if (i < toks.length) throw new IllegalArgumentException(
+        s"CEP SQL pattern: trailing tokens from ${toks(i)}")
+  }
+
+  // -------------------------------------------------- DEFINE-section parse
+  private case class Def(event: String, cndt: Expr,
+      vars: Vector[VarDef], until: Option[Expr])
+
+  /** Scan `text` for the first top-level occurrence of any keyword in
+    * `kws` (word-bounded, outside parentheses); return (before, kw,
+    * after) or None.
+    */
+  private def splitAtKeyword(text: String,
+      kws: Seq[String]): Option[(String, String, String)] = {
+    var depth = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && c.isUpper) {
+        for (kw <- kws) {
+          val ok = text.startsWith(kw, i) &&
+            (i == 0 || !text(i - 1).isLetterOrDigit) &&
+            (i + kw.length >= text.length ||
+              !text(i + kw.length).isLetterOrDigit)
+          if (ok)
+            return Some((text.substring(0, i), kw,
+              text.substring(i + kw.length)))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def parseDef(text: String): (String, Def) = {
+    val t = text.trim
+    val (name, rest0) = splitAtKeyword(t, Seq("AS")) match {
+      case Some((n, _, r)) => (n.trim, r.trim)
+      case None => throw new IllegalArgumentException(
+        s"CEP SQL DEFINE: missing AS in '$t'")
+    }
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"CEP SQL DEFINE: bad name '$name'")
+    // event word, then optional WHERE / LET / UNTIL in order
+    val (event, rest1) = splitAtKeyword(rest0, Seq("WHERE", "LET", "UNTIL"))
+      .map { case (e, kw, r) => (e.trim, Some((kw, r))) }
+      .getOrElse((rest0.trim, None))
+    require(event.nonEmpty && !event.contains(' '),
+      s"CEP SQL DEFINE: bad event type '$event' for '$name'")
+    var cndt: Expr = Expr.True
+    var vars = Vector.empty[VarDef]
+    var until: Option[Expr] = None
+    var cursor: Option[(String, String)] = rest1
+    while (cursor.isDefined) {
+      val (kw, body) = cursor.get
+      val (section, nextCur) =
+        splitAtKeyword(body, Seq("WHERE", "LET", "UNTIL")) match {
+          case Some((b, k2, r2)) => (b.trim, Some((k2, r2)))
+          case None              => (body.trim, None)
+        }
+      kw match {
+        case "WHERE" => cndt = Expr.parse(section)
+        case "UNTIL" => until = Some(Expr.parse(section))
+        case "LET" =>
+          vars = section.split(',').toVector.map { item =>
+            val eq = item.indexOf('=')
+            require(eq > 0, s"CEP SQL LET: expected 'x = init THEN " +
+              s"update', got '$item'")
+            val vname = item.substring(0, eq).trim
+            splitAtKeyword(item.substring(eq + 1), Seq("THEN")) match {
+              case Some((init, _, upd)) =>
+                VarDef(vname, init.trim.toLong, Expr.parse(upd.trim))
+              case None => throw new IllegalArgumentException(
+                s"CEP SQL LET: missing THEN in '$item'")
+            }
+          }
+      }
+      cursor = nextCur
+    }
+    name -> Def(event, cndt, vars, until)
+  }
+
+  // ------------------------------------------------------------- lowering
+  private def lower(seq: PSeq, defs: Map[String, Def]): Pattern = {
+    def defOf(n: String): Def = defs.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"CEP SQL: pattern name '$n' has no DEFINE"))
+    def lowerUnit(u: PU): Pattern = u match {
+      case PName(n, None) =>
+        val d = defOf(n)
+        require(d.until.isEmpty,
+          s"CEP SQL: UNTIL on '$n' needs an unbounded loop quantifier")
+        Pattern.Spat(n, d.event, d.cndt, d.vars)
+      case PName(n, Some(q)) =>
+        val d = defOf(n)
+        q.to match {
+          case Some(m) =>
+            require(d.until.isEmpty,
+              s"CEP SQL: UNTIL on '$n' needs an unbounded loop " +
+                "quantifier ('+', '*' or '{n,}')")
+            Pattern.Lpat(n, d.event, d.cndt, q.contig, q.from, m, d.vars,
+              q.greedy)
+          case None =>
+            Pattern.LpatInf(n, d.event, d.cndt, q.contig, q.from, d.until,
+              d.vars, q.greedy)
+        }
+      case PGroup(s, gq) =>
+        val child = lower(s, defs)
+        gq match {
+          case None               => Pattern.Gpat(child)
+          case Some((f, Some(m))) => Pattern.GpatTimes(child, f, m)
+          case Some((f, None))    => Pattern.GpatInf(child, f)
+        }
+    }
+    seq.tail.foldLeft(lowerUnit(seq.head)) {
+      case (acc, (contig, None, u)) =>
+        Pattern.Combine(contig, acc, lowerUnit(u))
+      case (acc, (contig, Some((mode, negName)), u)) =>
+        val d = defOf(negName)
+        require(d.vars.isEmpty && d.until.isEmpty,
+          s"CEP SQL: negation '$negName' takes only AS/WHERE")
+        Pattern.CombineNot(contig, acc,
+          Pattern.NegSpec(negName, d.event, d.cndt), mode, lowerUnit(u))
+    }
+  }
+
+  // ------------------------------------------------------------ top level
+  /** Parse the MATCH_RECOGNIZE-shaped text into a [[CepQuery]] over
+    * `schema` (the event-type universe, insertion-ordered — the same
+    * schema every other query surface takes; it describes the data, not
+    * the pattern).
+    */
+  def parse(sql: String,
+      schema: Vector[(String, Vector[String])]): CepQuery = {
+    val text = sql.trim
+    val (_, _, afterPattern) = splitAtKeyword(text, Seq("PATTERN"))
+      .getOrElse(throw new IllegalArgumentException(
+        "CEP SQL: missing PATTERN section"))
+    // the pattern body is the first balanced (...) group
+    val open = afterPattern.indexOf('(')
+    require(open >= 0, "CEP SQL: PATTERN needs a parenthesised body")
+    var depth = 0
+    var close = -1
+    var i = open
+    while (i < afterPattern.length && close < 0) {
+      val c = afterPattern(i)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+      i += 1
+    }
+    require(close > open, "CEP SQL: unbalanced PATTERN parentheses")
+    val patBody = afterPattern.substring(open + 1, close)
+    val afterPat = afterPattern.substring(close + 1)
+
+    val (_, _, afterDefineKw) = splitAtKeyword(afterPat, Seq("DEFINE"))
+      .getOrElse(throw new IllegalArgumentException(
+        "CEP SQL: missing DEFINE section"))
+    val (defsText, tailOpt) =
+      splitAtKeyword(afterDefineKw, Seq("WITHIN", "AFTER")) match {
+        case Some((d, kw, r)) => (d, Some((kw, r)))
+        case None             => (afterDefineKw, None)
+      }
+    val defs = defsText.split(';').filter(_.trim.nonEmpty)
+      .map(parseDef).toVector
+    defs.groupBy(_._1).foreach { case (n, ds) =>
+      require(ds.length == 1, s"CEP SQL: duplicate DEFINE for '$n'") }
+    val defMap = defs.toMap
+
+    var within: Option[Int] = None
+    var withinTime: Option[WithinTime] = None
+    var strategy: AfterMatchStrategy = AfterMatchStrategy.NoSkip
+    var cursor = tailOpt
+    while (cursor.isDefined) {
+      val (kw, body) = cursor.get
+      val (section, nextCur) =
+        splitAtKeyword(body, Seq("WITHIN", "AFTER")) match {
+          case Some((b, k2, r2)) => (b.trim, Some((k2, r2)))
+          case None              => (body.trim, None)
+        }
+      kw match {
+        case "WITHIN" =>
+          def num(s: String): Long =
+            try s.toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"CEP SQL: WITHIN expects an integer, got '$s'") }
+          section.split("\\s+").toVector match {
+            case Vector(n) => within = Some(num(n).toInt)
+            case Vector(n, "ON", attr) =>
+              withinTime = Some(WithinTime(attr, num(n)))
+            case _ => throw new IllegalArgumentException(
+              s"CEP SQL: WITHIN expects 'n' or 'n ON attr', got '$section'")
+          }
+        case "AFTER" =>
+          val norm = section.replaceAll("\\s+", " ").trim
+          strategy = norm match {
+            case "MATCH SKIP TO NEXT"        => AfterMatchStrategy.SkipToNext
+            case "MATCH SKIP PAST LAST EVENT" =>
+              AfterMatchStrategy.SkipPastLastEvent
+            case s if s.startsWith("MATCH SKIP TO FIRST ") =>
+              AfterMatchStrategy.SkipToFirst(
+                s.stripPrefix("MATCH SKIP TO FIRST ").trim)
+            case s if s.startsWith("MATCH SKIP TO LAST ") =>
+              AfterMatchStrategy.SkipToLast(
+                s.stripPrefix("MATCH SKIP TO LAST ").trim)
+            case other => throw new IllegalArgumentException(
+              "CEP SQL: AFTER MATCH SKIP expects TO NEXT | PAST LAST " +
+                s"EVENT | TO FIRST <name> | TO LAST <name>, got '$other'")
+          }
+      }
+      cursor = nextCur
+    }
+
+    val parser = new PParser(lex(patBody))
+    val seq = parser.parseSeq()
+    parser.assertDone()
+    CepQuery(lower(seq, defMap), schema, strategy, within, withinTime)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MATCH_RECOGNIZE-shaped SQL surface (`CepSql.parse`) must lower to
+  * EXACTLY the Pattern AST the Scala/YAML surfaces build — pinned by
+  * round-tripping every registry CepQuery through its SQL form and
+  * comparing whole `CepQuery` values (pattern tree, strategy, windows).
+  */
+class CepSqlSpec extends AnyFunSuite {
+
+  /** SQL form of every `Queries.cepRegistryQueries` entry. */
+  private val sqlForms: Map[String, String] = Map(
+    "cep_spat_purchase" ->
+      "PATTERN (a) DEFINE a AS purchase WHERE value < 40",
+    "cep_next_signup_purchase" ->
+      "PATTERN (a b) DEFINE a AS signup; b AS purchase",
+    "cep_not_followed_by_purchase" ->
+      "PATTERN (a ->!fby(n) b) DEFINE a AS signup; n AS error; b AS purchase",
+    "cep_not_next_purchase" ->
+      ("PATTERN (a !next(n) b) DEFINE a AS signup; " +
+        "n AS purchase WHERE value < 50; b AS purchase"),
+    "cep_within_signup_purchase" ->
+      "PATTERN (a -> b) DEFINE a AS signup; b AS purchase WITHIN 5",
+    "cep_lpat_strict_clicks" ->
+      "PATTERN (a{3,3}) DEFINE a AS click",
+    "cep_lpat_relaxed_purchase_pairs" ->
+      "PATTERN (a{2,2}~) DEFINE a AS purchase WHERE value < 40",
+    "cep_ndrelaxed_click_pairs" ->
+      "PATTERN (a{2,2}~~) DEFINE a AS click",
+    "cep_gpat_plain_error_click" ->
+      "PATTERN ((a b)) DEFINE a AS error; b AS click WHERE value < 50",
+    "cep_gpat_times_sp2" ->
+      "PATTERN ((a b){2,2}) DEFINE a AS signup; b AS purchase",
+    "cep_gpat_inf_sp" ->
+      "PATTERN ((a b)+) DEFINE a AS signup; b AS purchase",
+    "cep_skip_past_click_pairs" ->
+      "PATTERN (a{2,2}) DEFINE a AS click AFTER MATCH SKIP PAST LAST EVENT",
+    "cep_skip_to_first_click_pairs" ->
+      "PATTERN (a{2,2}~~) DEFINE a AS click AFTER MATCH SKIP TO FIRST a",
+    "cep_skip_to_last_click_pairs" ->
+      "PATTERN (a{2,2}~~) DEFINE a AS click AFTER MATCH SKIP TO LAST a",
+    "cep_greedy_click_runs" ->
+      "PATTERN (a{1,3}! -> b) DEFINE a AS click; b AS purchase",
+    "cep_iter_budget" ->
+      ("PATTERN (a{2,3}) DEFINE a AS purchase WHERE X + value <= 100 " +
+        "LET X = 0 THEN X + value"),
+    "cep_until_error_runs" ->
+      ("PATTERN (s -> p{2,}~) DEFINE s AS signup; " +
+        "p AS purchase WHERE value < 40 UNTIL value >= 400 " +
+        "AFTER MATCH SKIP TO NEXT")
+  )
+
+  test("every registry CepQuery round-trips through its SQL form") {
+    val registry = graft.Queries.cepRegistryQueries
+    val missing = registry.keySet -- sqlForms.keySet
+    assert(missing.isEmpty,
+      s"registry rows without a SQL form: $missing — extend sqlForms")
+    registry.foreach { case (name, q) =>
+      val got = CepSql.parse(sqlForms(name), q.schema)
+      assert(got == q, s"$name: SQL form lowered to\n  $got\nexpected\n  $q")
+    }
+    info(s"${registry.size} registry patterns round-tripped")
+  }
+
+  private val schema: Vector[(String, Vector[String])] =
+    Vector("A" -> Vector("id", "v"), "B" -> Vector("id", "v"),
+      "C" -> Vector("id", "v"))
+
+  test("event-time window: WITHIN n ON attr") {
+    val q = CepSql.parse(
+      "PATTERN (a -> b) DEFINE a AS A; b AS B WITHIN 86400 ON ts", schema)
+    assert(q.withinTime.contains(WithinTime("ts", 86400L)))
+    assert(q.within.isEmpty)
+  }
+
+  test("star and open bounds lower to unbounded loops") {
+    val q = CepSql.parse(
+      "PATTERN (a* -> b) DEFINE a AS A; b AS B", schema)
+    assert(q.patseq == Pattern.Combine(Contiguity.Relaxed,
+      Pattern.LpatInf("a", "A", Expr.True, Contiguity.Strict, 0),
+      Pattern.Spat("b", "B", Expr.True)))
+    val q2 = CepSql.parse(
+      "PATTERN (a{3,}~~ -> b) DEFINE a AS A; b AS B", schema)
+    assert(q2.patseq == Pattern.Combine(Contiguity.Relaxed,
+      Pattern.LpatInf("a", "A", Expr.True, Contiguity.NdRelaxed, 3),
+      Pattern.Spat("b", "B", Expr.True)))
+  }
+
+  test("left fold for 3+ units; nd-relaxed separator") {
+    val q = CepSql.parse(
+      "PATTERN (a ~> b c) DEFINE a AS A; b AS B; c AS C", schema)
+    assert(q.patseq == Pattern.Combine(Contiguity.Strict,
+      Pattern.Combine(Contiguity.NdRelaxed,
+        Pattern.Spat("a", "A", Expr.True),
+        Pattern.Spat("b", "B", Expr.True)),
+      Pattern.Spat("c", "C", Expr.True)))
+  }
+
+  test("parse errors are actionable") {
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.parse(sql, schema)
+      }
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    bad("DEFINE a AS A", "missing PATTERN")
+    bad("PATTERN (a)", "missing DEFINE")
+    bad("PATTERN (a b) DEFINE a AS A", "no DEFINE")
+    bad("PATTERN (a) DEFINE a AS A; a AS B", "duplicate DEFINE")
+    bad("PATTERN (a) DEFINE a AS A UNTIL v > 3", "unbounded loop")
+    bad("PATTERN (a{2,3}) DEFINE a AS A UNTIL v > 3", "unbounded loop")
+    bad("PATTERN (a) DEFINE a AS A WITHIN nope", "WITHIN")
+    bad("PATTERN (a) DEFINE a AS A AFTER MATCH SKIP SIDEWAYS", "AFTER MATCH")
+    bad("PATTERN (a}", "unbalanced")
+    bad("PATTERN (a %) DEFINE a AS A", "unexpected")
+  }
+
+  test("parsed queries execute identically to their Scala-built twins") {
+    // not just AST equality — run both through the engine on a stream
+    val q = CepSql.parse(
+      "PATTERN (a{1,2}! -> y) DEFINE a AS A WHERE v < 5; y AS C", schema)
+    val twin = CepQuery(Pattern.Combine(Contiguity.Relaxed,
+      Pattern.lpat("a", "A", "v < 5", Contiguity.Strict, 1, 2,
+        greedy = true),
+      Pattern.spat("y", "C", "True")), schema)
+    assert(q == twin)
+    val evs = Vector("A", "A", "B", "C").zipWithIndex.map { case (t, k) =>
+      Event(t, Vector("id" -> (k + 1).toLong, "v" -> 1L))
+    }
+    assert(CepOperator.run(q, evs) == CepOperator.run(twin, evs))
+    assert(CepOperator.run(q, evs).nonEmpty)
+  }
+}
