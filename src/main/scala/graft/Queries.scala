@@ -794,6 +794,39 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY m.user_id, m.s_id, c_ids, p_id""".stripMargin
 
+  /** The shed valve's registry gauge (`SparkCep.shedGauge`): nd-relaxed
+    * click pairs under the shed-oldest salvage at cap 1, one row per
+    * user with the surviving-match and shed-run counts as DATA. With
+    * cap 1 the semantics close over the fixture exactly: after every
+    * click only the newest waiting run survives, so the salvage keeps
+    * precisely the CONSECUTIVE click pairs — `n_matches = clicks - 1` —
+    * and each click beyond a user's first sheds 3 configurations (the
+    * post-take, its accepted projection, and the elder waiting fork;
+    * the transients count because they occupy the run set until the
+    * next event sweeps them) — `shed_runs = 3 * (clicks - 1)`. The
+    * oracle certifies both closed forms per user, pinning the shed
+    * semantics (deterministic, sub-multiset under NoSkip) in the
+    * correctness gate, not just in specs.
+    */
+  def cepShedGauge(spark: SparkSession, dir: String): DataFrame =
+    SparkCep.shedGauge(table(spark, dir, "events"),
+      CepQuery(Pattern.lpat("a", "click", "True", Contiguity.NdRelaxed,
+        2, 2), eventSchema),
+      eventSpec, cap = 1)
+      .orderBy("user_id")
+
+  val cepShedGaugeSql: String =
+    """SELECT user_id,
+      |  GREATEST(n_clicks - 1, 0) AS n_matches,
+      |  3 * GREATEST(n_clicks - 1, 0) AS shed_runs,
+      |  CAST(1 AS BIGINT) AS cap
+      |FROM (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_clicks
+      |  FROM events GROUP BY user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** §2 #9 iterative condition: 2–3 consecutive purchases whose running
     * value-sum stays ≤ 100 (per-take register fold).
     */
@@ -5366,6 +5399,7 @@ object Queries {
     "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairs _,
     "cep_greedy_click_runs" -> cepGreedyClickRuns _,
     "cep_sql_funnel" -> cepSqlFunnel _,
+    "cep_shed_gauge" -> cepShedGauge _,
     "cep_iter_budget" -> cepIterBudget _,
     "cep_until_error_runs" -> cepUntilErrorRuns _,
     "cep_agg_match_counts" -> cepAggMatchCounts _,
@@ -5505,6 +5539,7 @@ object Queries {
     "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairsSql,
     "cep_greedy_click_runs" -> cepGreedyClickRunsSql,
     "cep_sql_funnel" -> cepSqlFunnelSql,
+    "cep_shed_gauge" -> cepShedGaugeSql,
     "cep_iter_budget" -> cepIterBudgetSql,
     "rel_q1_pricing" -> relQ1PricingSql,
     "rel_q3_top_orders" -> relQ3TopOrdersSql,

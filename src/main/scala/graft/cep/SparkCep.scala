@@ -77,6 +77,73 @@ object SparkCep {
     (prepared, attrNames)
   }
 
+  /** The shed valve's telemetry AS DATA: run `query` per key with the
+    * shed-oldest salvage at `cap` live runs and emit ONE ROW PER KEY —
+    * `(key, n_matches, shed_runs, cap)` — instead of the matches. This
+    * is the registry-row face of the salvage mode (`cep_shed_gauge`):
+    * `Executor.shedCount` is driver-accumulator telemetry on the match
+    * operators, which a data pipeline cannot join or alert on; the gauge
+    * makes the mode's cost a first-class, oracle-checkable table, the
+    * way `dedup_index_gauge` does for index bucket drops.
+    *
+    * Shedding is deterministic (spec-pinned in `CepRunCapShedSpec`), so
+    * both columns are exact per key: `n_matches` counts the salvage
+    * mode's surviving matches and `shed_runs` the partial runs dropped
+    * — including the transient post-accept configurations that sit in
+    * the run set until the next event sweeps them, which is precisely
+    * why the gauge (not intuition about "live" runs) is the thing to
+    * monitor. Same distribution contract as `matchPattern` (one shuffle
+    * by key, in-partition sort by order).
+    */
+  def shedGauge(df: DataFrame, query: CepQuery, spec: CepSpec,
+      cap: Int): DataFrame = {
+    require(cap > 0 && cap != Int.MaxValue,
+      s"shedGauge cap must be a positive live-run bound, got $cap")
+    val keyName = spec.keyCol.getOrElse("__global")
+    checkWithinStateBound(query, Some(-cap), streaming = false)
+    val (prepared, attrNames) = prepare(df, query, spec)
+    val parted = spec.keyCol match {
+      case Some(_) =>
+        prepared.repartition(col("__key"))
+          .sortWithinPartitions(col("__key"), col("__ord"))
+      case None =>
+        prepared.repartition(1).sortWithinPartitions(col("__ord"))
+    }
+    val outSchema = StructType(Seq(
+      StructField(keyName, LongType, nullable = false),
+      StructField("n_matches", LongType, nullable = false),
+      StructField("shed_runs", LongType, nullable = false),
+      StructField("cap", LongType, nullable = false)))
+    val orderName = attrNames.head
+    val out = parted.mapPartitions { rows =>
+      val executor = new Executor(DstCompiler.compile(query),
+        query.strategy, Some(-cap), query.within, query.withinTime)
+      val br = rows.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = br.hasNext
+        def next(): Row = {
+          val key = br.head.getLong(0)
+          executor.reset()
+          var n = 0L
+          while (br.hasNext && br.head.getLong(0) == key) {
+            val row = br.next()
+            val attrs = Vector.newBuilder[(String, Long)]
+            attrs += orderName -> row.getLong(1)
+            var i = 3
+            while (i < row.length) {
+              if (!row.isNullAt(i))
+                attrs += attrNames(i - 2) -> row.getLong(i)
+              i += 1
+            }
+            n += executor.feed(Event(row.getString(2), attrs.result())).size
+          }
+          Row(key, n, executor.shedCount, cap.toLong)
+        }
+      }
+    }(Encoders.row(outSchema))
+    if (spec.keyCol.isEmpty) out.drop(keyName) else out
+  }
+
   /** Typed-operator formulation of the CEP match — the Catalyst-planned
     * `matchPatternExec` is the faster default (both carry the skew
     * gauge); this one backs the streaming state codec and serves as the

@@ -45,6 +45,9 @@ class CepSqlSpec extends AnyFunSuite {
     "cep_iter_budget" ->
       ("PATTERN (a{2,3}) DEFINE a AS purchase WHERE X + value <= 100 " +
         "LET X = 0 THEN X + value"),
+    "cep_sql_funnel" ->
+      ("PATTERN (s -> c{1,2} -> p) DEFINE s AS signup; c AS click; " +
+        "p AS purchase WITHIN 8"),
     "cep_until_error_runs" ->
       ("PATTERN (s -> p{2,}~) DEFINE s AS signup; " +
         "p AS purchase WHERE value < 40 UNTIL value >= 400 " +
