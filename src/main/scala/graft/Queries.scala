@@ -827,6 +827,49 @@ object Queries {
       |  FROM events GROUP BY user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** The timeout side output as a registry row (beyond-§2 — FlinkCEP's
+    * `TimedOutPartialMatchHandler`): signups whose 6-step window closed
+    * WITHOUT a purchase — the funnel-drop-off table. Exact semantics
+    * (`SparkCep.timedOutPartials`, spec-pinned in
+    * `TimeoutPartialSpec`): the run matches iff the first purchase
+    * after the signup arrives fewer than 6 steps later; otherwise it is
+    * reported timed out exactly when the stream reaches the window's
+    * close step (a signup too close to end-of-input is neither — its
+    * window never provably closed). The oracle replays that rule in
+    * closed form from per-user sequence numbers.
+    */
+  def cepTimeoutAbandonedSignups(spark: SparkSession, dir: String)
+      : DataFrame =
+    SparkCep.timedOutPartials(table(spark, dir, "events"),
+      CepQuery(
+        Pattern.Combine(Contiguity.Relaxed,
+          Pattern.spat("s", "signup", "True"),
+          Pattern.spat("p", "purchase", "True")),
+        eventSchema, within = Some(6)),
+      eventSpec)
+      .select(col("user_id"), element_at(col("s"), 1).as("s_id"))
+      .orderBy("user_id", "s_id")
+
+  val cepTimeoutAbandonedSignupsSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |mx AS (SELECT user_id, max(seq) AS max_seq FROM seqd GROUP BY user_id),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |fp AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(p.seq) AS p_seq
+      |  FROM sig g LEFT JOIN seqd p ON p.user_id = g.user_id
+      |    AND p.seq > g.s_seq AND p.event_type = 'purchase'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq)
+      |SELECT f.user_id, f.s_id
+      |FROM fp f JOIN mx ON mx.user_id = f.user_id
+      |WHERE (f.p_seq IS NULL OR f.p_seq - f.s_seq >= 6)
+      |  AND f.s_seq + 5 <= mx.max_seq
+      |ORDER BY f.user_id, f.s_id""".stripMargin
+
   /** §2 #9 iterative condition: 2–3 consecutive purchases whose running
     * value-sum stays ≤ 100 (per-take register fold).
     */
@@ -5400,6 +5443,7 @@ object Queries {
     "cep_greedy_click_runs" -> cepGreedyClickRuns _,
     "cep_sql_funnel" -> cepSqlFunnel _,
     "cep_shed_gauge" -> cepShedGauge _,
+    "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignups _,
     "cep_iter_budget" -> cepIterBudget _,
     "cep_until_error_runs" -> cepUntilErrorRuns _,
     "cep_agg_match_counts" -> cepAggMatchCounts _,
@@ -5540,6 +5584,7 @@ object Queries {
     "cep_greedy_click_runs" -> cepGreedyClickRunsSql,
     "cep_sql_funnel" -> cepSqlFunnelSql,
     "cep_shed_gauge" -> cepShedGaugeSql,
+    "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignupsSql,
     "cep_iter_budget" -> cepIterBudgetSql,
     "rel_q1_pricing" -> relQ1PricingSql,
     "rel_q3_top_orders" -> relQ3TopOrdersSql,

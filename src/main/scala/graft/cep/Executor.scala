@@ -92,12 +92,44 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
   // runs dropped by the shed-oldest valve (negative maxRuns); telemetry
   // only, intentionally NOT in snapshot/restore
   private var shed: Long = 0L
+  // window-expired partial runs captured by the last feed (see
+  // `drainTimedOut`); an operator that wants the timeout side output
+  // drains after every feed — intentionally NOT in snapshot/restore
+  // (the streaming codec question is the drain cadence, and an operator
+  // that drains per feed never checkpoints a non-empty buffer)
+  private var timedOut: Vector[Configuration] = Vector.empty
 
   /** Runs dropped by the shed-oldest valve since construction/reset. */
   def shedCount: Long = shed
 
+  /** The timeout side output (beyond-parity — FlinkCEP's
+    * `TimedOutPartialMatchHandler`): partial runs whose
+    * `within`/`withinTime` window has provably closed without an accept
+    * — pruned by the window sweep — accumulated since the last drain.
+    * Only NON-accepting configurations are captured: an accepting
+    * configuration swept at window close belongs to a match that was
+    * already emitted this step, and untaken runs have no window to
+    * expire. Project a configuration's bound events via
+    * `partialOutput`. Drain after every `feed` — the buffer is cleared
+    * here and never rides snapshot/restore.
+    */
+  def drainTimedOut(): Vector[Configuration] = {
+    val t = timedOut; timedOut = Vector.empty; t
+  }
+
+  /** Project a (typically timed-out partial) configuration's stream
+    * registers in the given name order — names with no bound events map
+    * to empty (the same convention as match rows). Partial runs never
+    * reached an accepting state, so there is no output map to project
+    * through; the raw sink contents ARE the partial match.
+    */
+  def partialOutput(conf: Configuration,
+      names: Vector[String]): Match =
+    names.map(n => n -> conf.ctx.getOrElse(n, Vector.empty))
+
   def reset(): Unit = {
     S = ArrayBuffer.empty; i = 0; lastTs = Long.MinValue; shed = 0L
+    timedOut = Vector.empty
   }
 
   /** Live-run count (for state-size accounting in streaming). */
@@ -284,10 +316,18 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     // for within-patterns on unbounded streams. Untaken runs (firstTake
     // 0) are kept: their window has not started.
     within.foreach { w =>
-      if (S.exists { case (_, c) => c.firstTake != 0 && i - c.firstTake >= w - 1 })
+      if (S.exists { case (_, c) => c.firstTake != 0 && i - c.firstTake >= w - 1 }) {
+        // capture swept non-accepting partials for the timeout side
+        // output before removing them (see `drainTimedOut`)
+        S.foreach { case (_, c) =>
+          if (c.firstTake != 0 && i - c.firstTake >= w - 1 &&
+              !dst.accept(c))
+            timedOut :+= c
+        }
         S = S.filter { case (_, c) =>
           c.firstTake == 0 || i - c.firstTake < w - 1
         }
+      }
     }
     // event-time pruning: future feeds carry ts' >= ts (the documented
     // monotonicity requirement), so a run with ts - firstTakeTs >= span
@@ -296,10 +336,16 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     // time clock may stand still (ties), so only >= span is safely dead.
     withinTime.foreach { wt =>
       if (S.exists { case (_, c) =>
-            c.firstTake != 0 && ts - c.firstTakeTs >= wt.span })
+            c.firstTake != 0 && ts - c.firstTakeTs >= wt.span }) {
+        S.foreach { case (_, c) =>
+          if (c.firstTake != 0 && ts - c.firstTakeTs >= wt.span &&
+              !dst.accept(c))
+            timedOut :+= c
+        }
         S = S.filter { case (_, c) =>
           c.firstTake == 0 || ts - c.firstTakeTs < wt.span
         }
+      }
     }
 
     // state-explosion safety valve: nd-relaxed + NoSkip can grow the run

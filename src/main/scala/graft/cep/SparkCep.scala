@@ -144,6 +144,76 @@ object SparkCep {
     if (spec.keyCol.isEmpty) out.drop(keyName) else out
   }
 
+  /** The TIMEOUT side output (beyond-parity — FlinkCEP's
+    * `TimedOutPartialMatchHandler`): instead of the matches, emit the
+    * partial runs whose `within`/`withinTime` window provably closed
+    * without completing — the funnel-drop-off question ("signups that
+    * never purchased inside the window") as a first-class relational
+    * result. Same output shape as `matchPattern` (key + one
+    * `array<bigint>` of order-ids per pattern name; names the partial
+    * never bound are empty arrays), so downstream joins/aggregations
+    * compose identically.
+    *
+    * Exact semantics (spec-pinned in `TimeoutPartialSpec`): one row per
+    * pruned non-accepting partial run-configuration — a run whose
+    * window closes on the very event that completes it is a MATCH, not
+    * a timeout; a run still live at end-of-input is NEITHER (its window
+    * never provably closed — FlinkCEP's unbounded-stream reading); and
+    * untaken runs never time out (their window never started). Requires
+    * a windowed query (`within`/`withinTime`) — there is nothing to
+    * time out otherwise.
+    */
+  def timedOutPartials(df: DataFrame, query: CepQuery,
+      spec: CepSpec, maxRunsPerKey: Option[Int] = None): DataFrame = {
+    require(query.within.isDefined || query.withinTime.isDefined,
+      "timedOutPartials needs a windowed query (within/withinTime) — " +
+        "an unwindowed run never times out")
+    val piNames = patternNames(query.patseq)
+    val keyName = spec.keyCol.getOrElse("__global")
+    checkWithinStateBound(query, maxRunsPerKey, streaming = false)
+    val effMaxRuns = resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
+    val (prepared, attrNames) = prepare(df, query, spec)
+    val parted = spec.keyCol match {
+      case Some(_) =>
+        prepared.repartition(col("__key"))
+          .sortWithinPartitions(col("__key"), col("__ord"))
+      case None =>
+        prepared.repartition(1).sortWithinPartitions(col("__ord"))
+    }
+    val outSchema = StructType(
+      StructField(keyName, LongType, nullable = false) +:
+        piNames.map(n =>
+          StructField(n, ArrayType(LongType, containsNull = false),
+            nullable = false)))
+    val orderName = attrNames.head
+    val out = parted.mapPartitions { rows =>
+      val executor = new Executor(DstCompiler.compile(query),
+        query.strategy, effMaxRuns, query.within, query.withinTime)
+      var curKey = 0L
+      var started = false
+      rows.flatMap { row =>
+        val key = row.getLong(0)
+        if (!started || key != curKey) {
+          executor.reset(); curKey = key; started = true
+        }
+        val attrs = Vector.newBuilder[(String, Long)]
+        attrs += orderName -> row.getLong(1)
+        var i = 3
+        while (i < row.length) {
+          if (!row.isNullAt(i))
+            attrs += attrNames(i - 2) -> row.getLong(i)
+          i += 1
+        }
+        executor.feed(Event(row.getString(2), attrs.result()))
+        executor.drainTimedOut().map { conf =>
+          Row.fromSeq(key +: executor.partialOutput(conf, piNames)
+            .map(_._2.map(_(orderName))))
+        }
+      }
+    }(Encoders.row(outSchema))
+    if (spec.keyCol.isEmpty) out.drop(keyName) else out
+  }
+
   /** Typed-operator formulation of the CEP match — the Catalyst-planned
     * `matchPatternExec` is the faster default (both carry the skew
     * gauge); this one backs the streaming state codec and serves as the

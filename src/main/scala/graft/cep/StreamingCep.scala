@@ -345,6 +345,80 @@ object StreamingCep {
         if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
   }
 
+  /** Streaming form of the TIMEOUT side output
+    * (`SparkCep.timedOutPartials` — FlinkCEP's
+    * `TimedOutPartialMatchHandler`): emits the partial runs whose
+    * `within`/`withinTime` window provably closed without completing,
+    * with run state carried across micro-batches exactly like
+    * `matchPattern` (same codec, same `VariantArrival` tag — the state
+    * EVOLUTION is identical to the match operator's, only the
+    * projection differs, so a checkpoint written by either restores
+    * into the other without semantic drift; runs whose window closes
+    * after a restart still report). The drain happens after every fed
+    * event, so a snapshot never holds an undrained timeout — the
+    * buffer needs no codec representation.
+    */
+  def timedOutPartials(df: DataFrame, query: CepQuery,
+      spec: SparkCep.CepSpec, maxRunsPerKey: Option[Int] = None)
+      : DataFrame = {
+    require(query.within.isDefined || query.withinTime.isDefined,
+      "timedOutPartials needs a windowed query (within/withinTime) — " +
+        "an unwindowed run never times out")
+    val piNames = SparkCep.patternNames(query.patseq)
+    val keyName = spec.keyCol.getOrElse("__global")
+    SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
+    val effMaxRuns =
+      SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
+    val (prepared, attrNames) = SparkCep.prepare(df, query, spec)
+    val orderName = attrNames.head
+    val outSchema = StructType(
+      StructField(keyName, LongType, nullable = false) +:
+        piNames.map(n =>
+          StructField(n, ArrayType(LongType, containsNull = false),
+            nullable = false)))
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
+      Encoders.product[CepStateCodec.VersionedState]
+    import prepared.sparkSession.implicits._
+    val dst = DstCompiler.compile(query)
+    prepared
+      .groupByKey(_.getLong(0))
+      .flatMapGroupsWithState[CepStateCodec.VersionedState, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Row],
+            state: GroupState[CepStateCodec.VersionedState]) =>
+          val executor = new Executor(dst, query.strategy, effMaxRuns,
+            query.within, query.withinTime)
+          if (state.exists) {
+            val st = CepStateCodec.decode(state.get)
+            if (st.variant == CepStateCodec.VariantEventTime ||
+                (st.variant == CepStateCodec.VariantUnknown &&
+                  st.buffer.nonEmpty))
+              throw new IllegalStateException(
+                "CEP streaming state was written by matchPatternEventTime " +
+                  "and cannot be restored by the arrival-order operator " +
+                  "(different feed-order semantics; buffered events would " +
+                  "be lost). Resume with matchPatternEventTime, or " +
+                  "discard the checkpoint directory.")
+            restoreState(executor, CepState(st.step, st.runs), st.clock)
+          }
+          val events = rows.toVector.sortBy(_.getLong(1))
+          val out = events.flatMap { row =>
+            executor.feed(rowToEvent(row, 1, 2, 3, attrNames, orderName))
+            executor.drainTimedOut().map(c =>
+              matchToRow(key, executor.partialOutput(c, piNames),
+                piNames, orderName))
+          }
+          val snap = snapshotState(executor)
+          state.update(CepStateCodec.encode(
+            CepStateEt(snap.step, snap.runs, Nil, executor.clock,
+              CepStateCodec.VariantArrival)))
+          out.iterator
+      }
+      .transform(ds =>
+        if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
+  }
+
   /** Per-key state of the multi-query shared stream: one codec-versioned
     * member payload per query, in declared query order, plus the member
     * NAMES that wrote them — restore validates names and order exactly,

@@ -1,0 +1,238 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The timeout side output (`Executor.drainTimedOut` /
+  * `SparkCep.timedOutPartials` — FlinkCEP's
+  * `TimedOutPartialMatchHandler` analogue).
+  *
+  * Pinned semantics: a partial run-configuration is reported exactly
+  * when the window sweep prunes it in a NON-accepting state —
+  * completing on the window's last admissible event is a match, not a
+  * timeout; surviving to end-of-input unreported (the window never
+  * provably closed); untaken runs never time out. One row per pruned
+  * configuration (a forked run can contribute several partials, each
+  * with its own bindings).
+  */
+class TimeoutPartialSpec extends AnyFunSuite {
+
+  private val schema: Vector[(String, Vector[String])] =
+    Vector("A" -> Vector("id", "v"), "B" -> Vector("id", "v"),
+      "C" -> Vector("id", "v"), "D" -> Vector("id", "v"))
+
+  private def stream(types: String*): Vector[Event] =
+    types.toVector.zipWithIndex.map { case (t, k) =>
+      Event(t, Vector("id" -> (k + 1).toLong, "v" -> 0L))
+    }
+
+  /** Run with the timeout drain: returns (matches, timeout partials as
+    * name-ordered id vectors).
+    */
+  private def runWithTimeouts(q: CepQuery, events: Vector[Event])
+      : (Vector[Match], Vector[Vector[Vector[Long]]]) = {
+    val ex = new Executor(DstCompiler.compile(q), q.strategy,
+      within = q.within, withinTime = q.withinTime)
+    val names = SparkCep.patternNames(q.patseq)
+    val ms = Vector.newBuilder[Match]
+    val ts = Vector.newBuilder[Vector[Vector[Long]]]
+    events.foreach { ev =>
+      ms ++= ex.feed(ev)
+      ts ++= ex.drainTimedOut().map(c =>
+        ex.partialOutput(c, names).map(_._2.map(_("id"))))
+    }
+    (ms.result(), ts.result())
+  }
+
+  private val xThenY = CepQuery(
+    Pattern.Combine(Contiguity.Relaxed,
+      Pattern.spat("x", "A", "True"), Pattern.spat("y", "C", "True")),
+    schema, within = Some(3))
+
+  test("a run completing on the window's last admissible event is a " +
+    "match, never a timeout") {
+    // A at 1, C at 3: span 3 - 1 = 2 < 3 — match; no timeout
+    val (ms, ts) = runWithTimeouts(xThenY, stream("A", "D", "C", "D"))
+    assert(ms.map(_.toMap.apply("x").map(_("id"))) == Vector(Vector(1L)))
+    assert(ts.isEmpty)
+  }
+
+  test("a run whose window closes without completing times out with its " +
+    "partial bindings; end-of-input leaves late runs unreported") {
+    // A at 1: window closes at step 3 (i - firstTake >= 2) with no C ->
+    // timeout carrying x=[1], y=[]; A at 4: stream ends at 5 before its
+    // window closes -> unreported
+    val (ms, ts) = runWithTimeouts(xThenY, stream("A", "D", "D", "A", "D"))
+    assert(ms.isEmpty)
+    assert(ts == Vector(Vector(Vector(1L), Vector())))
+  }
+
+  test("a forked loop run reports one partial per pruned configuration") {
+    // a:A{1,2} strict iterations, then y:C, window 4. A at 1, A at 2, no
+    // C: at window close both live forks of the run started at 1 are
+    // pruned — [a=[1]] (proceeded to the y-wait after one take) and
+    // [a=[1,2]] — and the run started at 2 prunes as [a=[2]] one step
+    // later
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.lpat("a", "A", "True", Contiguity.Strict, 1, 2),
+        Pattern.spat("y", "C", "True")),
+      schema, within = Some(4))
+    val (ms, ts) = runWithTimeouts(q, stream("A", "A", "D", "D", "D", "D"))
+    assert(ms.isEmpty)
+    assert(ts.toSet == Set(
+      Vector(Vector(1L), Vector()),
+      Vector(Vector(1L, 2L), Vector()),
+      Vector(Vector(2L), Vector())))
+    assert(ts.size == 3)
+  }
+
+  test("event-time windows time out on the clock, not the step count") {
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "A", "True"), Pattern.spat("y", "C", "True")),
+      schema, withinTime = Some(WithinTime("ts", 10L)))
+    def ev(t: String, id: Long, ts: Long) =
+      Event(t, Vector("id" -> id, "ts" -> ts))
+    val events = Vector(ev("A", 1, 100), ev("D", 2, 105),
+      ev("D", 3, 112), ev("C", 4, 115))
+    val ex = new Executor(DstCompiler.compile(q), q.strategy,
+      withinTime = q.withinTime)
+    val names = SparkCep.patternNames(q.patseq)
+    val out = Vector.newBuilder[(Vector[Match], Vector[Match])]
+    events.foreach { e =>
+      val ms = ex.feed(e)
+      out += ((ms, ex.drainTimedOut().map(c => ex.partialOutput(c, names))))
+    }
+    val steps = out.result()
+    // the A@ts=100 run expires when ts=112 arrives (span >= 10); the
+    // later C never matches it
+    assert(steps(2)._2.map(_.toMap.apply("x").map(_("id"))) ==
+      Vector(Vector(1L)))
+    assert(steps.flatMap(_._1).isEmpty)
+  }
+
+  test("differential: timeouts == brute-force window bookkeeping over " +
+    "seeded random streams (x -> y relaxed)") {
+    val rnd = new scala.util.Random(20260817L)
+    val types = Vector("A", "B", "C", "D")
+    val conds = Vector("True", "v > 2", "v < 8")
+    var cases = 0
+    for (trial <- 0 until 400) {
+      val w = 2 + rnd.nextInt(5)
+      val cx = conds(rnd.nextInt(conds.length))
+      val cy = conds(rnd.nextInt(conds.length))
+      val q = CepQuery(
+        Pattern.Combine(Contiguity.Relaxed,
+          Pattern.spat("x", "A", cx), Pattern.spat("y", "C", cy)),
+        schema, within = Some(w))
+      val n = 6 + rnd.nextInt(20)
+      val events = Vector.tabulate(n)(k =>
+        Event(types(rnd.nextInt(types.length)),
+          Vector("id" -> (k + 1).toLong, "v" -> rnd.nextInt(10).toLong)))
+      // brute: per A-fire at position s (1-based), the run takes the
+      // FIRST cy-satisfying C after s (relaxed — it cannot be ignored);
+      // match iff that take is at t <= s + w - 1; else timeout iff the
+      // stream reaches the close step s + w - 1
+      def fires(e: Event, c: String) =
+        Expr.evalBoolIn(Expr.parse(c), Expr.env(e.attrMap, Map.empty))
+      val expected = Vector.newBuilder[Long]
+      for (s <- 1 to n if events(s - 1).tpe == "A" &&
+          fires(events(s - 1), cx)) {
+        val firstC = ((s + 1) to n).find(t =>
+          events(t - 1).tpe == "C" && fires(events(t - 1), cy))
+        val matched = firstC.exists(_ <= s + w - 1)
+        if (!matched && n >= s + w - 1) expected += s.toLong
+      }
+      val (_, ts) = runWithTimeouts(q, events)
+      val got = ts.map(_.head.head) // x binding's single id
+      assert(got.sorted == expected.result().sorted,
+        s"trial $trial w=$w cx=$cx cy=$cy events=" +
+          events.map(e => s"${e.tpe}${e("id")}(v=${e("v")})").mkString(",") +
+          s"\n got=$got")
+      cases += 1
+    }
+    info(s"$cases timeout differential cases")
+  }
+
+  test("streaming timedOutPartials == batch across a micro-batch " +
+    "boundary (window closes in batch 2 for a run from batch 1)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val q = CepQuery(
+        Pattern.Combine(Contiguity.Relaxed,
+          Pattern.spat("s", "signup", "True"),
+          Pattern.spat("p", "purchase", "True")),
+        Vector("signup" -> Vector("event_id", "value"),
+          "click" -> Vector("event_id", "value"),
+          "purchase" -> Vector("event_id", "value")),
+        within = Some(4))
+      val spec = SparkCep.CepSpec(Some("user_id"), "event_id",
+        "event_type", Seq("value"))
+      // user 2's signup@5 window (4 steps) closes at its 4th event,
+      // which arrives in batch 2 — the timeout must fire post-restore
+      val batch1 = Seq(
+        Ev(1, 1, "signup", 0), Ev(1, 2, "click", 0),
+        Ev(2, 5, "signup", 0), Ev(2, 6, "click", 0))
+      val batch2 = Seq(
+        Ev(1, 3, "purchase", 0), // user 1 matches (span 3 - 1 = 2 < 4)
+        Ev(2, 7, "click", 0), Ev(2, 8, "click", 0)) // user 2 closes
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Ev]
+      val out = StreamingCep.timedOutPartials(mem.toDF(), q, spec)
+      val sq = out.writeStream.format("memory").queryName("cep_timeouts")
+        .outputMode("append").start()
+      try {
+        mem.addData(batch1: _*); sq.processAllAvailable()
+        mem.addData(batch2: _*); sq.processAllAvailable()
+      } finally sq.stop()
+      val streamed = spark.sql("SELECT * FROM cep_timeouts").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+          r.getSeq[Long](2).toVector)).toSet
+      val batch = SparkCep.timedOutPartials(
+        (batch1 ++ batch2).toDF(), q, spec)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+          r.getSeq[Long](2).toVector)).toSet
+      assert(streamed == batch)
+      assert(streamed == Set((2L, Vector(5L), Vector())))
+    } finally spark.stop()
+  }
+
+  test("SparkCep.timedOutPartials: batch operator equals the executor " +
+    "drain, shaped like match rows") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val events = Seq(
+        Ev(1, 1, "signup", 0), Ev(1, 2, "click", 0), Ev(1, 3, "click", 0),
+        Ev(1, 4, "purchase", 0), // signup@1 matches within 4? 4-1=3 < 4 yes
+        Ev(2, 5, "signup", 0), Ev(2, 6, "click", 0), Ev(2, 7, "click", 0),
+        Ev(2, 8, "click", 0), Ev(2, 9, "purchase", 0)) // closes at 8, late purchase
+      val q = CepQuery(
+        Pattern.Combine(Contiguity.Relaxed,
+          Pattern.spat("s", "signup", "True"),
+          Pattern.spat("p", "purchase", "True")),
+        Vector("signup" -> Vector("event_id", "value"),
+          "click" -> Vector("event_id", "value"),
+          "purchase" -> Vector("event_id", "value")),
+        within = Some(4))
+      val spec = SparkCep.CepSpec(Some("user_id"), "event_id",
+        "event_type", Seq("value"))
+      val got = SparkCep.timedOutPartials(events.toDF(), q, spec)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+          r.getSeq[Long](2).toVector)).toSet
+      assert(got == Set((2L, Vector(5L), Vector())))
+      // unwindowed query is rejected loudly
+      val e = intercept[IllegalArgumentException] {
+        SparkCep.timedOutPartials(events.toDF(),
+          q.copy(within = None), spec)
+      }
+      assert(e.getMessage.contains("windowed"))
+    } finally spark.stop()
+  }
+}
