@@ -27,15 +27,19 @@ package graft.cep
   *         | '~>'       (nd-relaxed)
   * neg    := '!next(' name ')' | '!fby(' name ')'      (negative pattern
   *           at the boundary; the name's DEFINE gives its type/condition)
-  * unit   := name [quant] | '(' seq ')' [gquant]
+  * unit   := name [quant] | '(' seq ')' [gquant] [':' name]
   * quant  := ('+' | '*' | '{' n ',' [m] '}') ['~' | '~~'] ['!']
   *           ('+' = {1,}, '*' = {0,}; open upper bound = unbounded loop;
   *            '~' relaxed / '~~' nd-relaxed ITERATION contiguity, strict
   *            by default; trailing '!' = greedy)
   * gquant := '+' | '*' | '{' n ',' [m] '}'             (group repeat)
+  *           (':' name labels an unbounded group so a DEFINE of the
+  *            form `name AS GROUP UNTIL expr` can attach its stop
+  *            condition — groups bind no events of their own)
   * def    := name AS event [WHERE expr]
   *           [LET x '=' init THEN update (',' x '=' init THEN update)*]
   *           [UNTIL expr]                              (unbounded loops)
+  *         | name AS GROUP [UNTIL expr]                (group labels)
   * skip   := TO NEXT | PAST LAST EVENT | TO FIRST name | TO LAST name
   * }}}
   *
@@ -62,6 +66,7 @@ object CepSql {
   private case object TLBrace extends Tok
   private case object TRBrace extends Tok
   private case object TComma extends Tok
+  private case object TColon extends Tok
   private case object TTilde extends Tok     // ~
   private case object TTilde2 extends Tok    // ~~
   private case object TBang extends Tok      // !
@@ -80,6 +85,7 @@ object CepSql {
       else if (c == '{') { out += TLBrace; i += 1 }
       else if (c == '}') { out += TRBrace; i += 1 }
       else if (c == ',') { out += TComma; i += 1 }
+      else if (c == ':') { out += TColon; i += 1 }
       else if (c == '+') { out += TPlus; i += 1 }
       else if (c == '*') { out += TStar; i += 1 }
       else if (c == '-') {
@@ -118,7 +124,8 @@ object CepSql {
   private sealed trait PU
   private case class PName(name: String, quant: Option[Quant]) extends PU
   private case class PGroup(seq: PSeq,
-      gquant: Option[(Int, Option[Int])]) extends PU
+      gquant: Option[(Int, Option[Int])],
+      label: Option[String]) extends PU
   /** head unit + (separator contiguity, optional neg name+mode, unit)* */
   private case class PSeq(head: PU,
       tail: Vector[(Contiguity, Option[(Pattern.NegMode, String)], PU)])
@@ -169,7 +176,19 @@ object CepSql {
       case TLPar =>
         val s = parseSeq()
         expect(TRPar, "')'")
-        PGroup(s, parseGQuant())
+        val gq = parseGQuant()
+        val label = peek match {
+          case Some(TColon) =>
+            next()
+            next() match {
+              case TName(l) => Some(l)
+              case other => throw new IllegalArgumentException(
+                s"CEP SQL pattern: expected a group label after ':', " +
+                  s"got $other")
+            }
+          case _ => None
+        }
+        PGroup(s, gq, label)
       case other => throw new IllegalArgumentException(
         s"CEP SQL pattern: expected a name or '(', got $other")
     }
@@ -216,6 +235,11 @@ object CepSql {
   }
 
   // -------------------------------------------------- DEFINE-section parse
+  /** Reserved `AS`-word marking a group-label DEFINE (carries only an
+    * UNTIL; groups bind no events).
+    */
+  private val GroupEvent = "GROUP"
+
   private case class Def(event: String, cndt: Expr,
       vars: Vector[VarDef], until: Option[Expr])
 
@@ -303,11 +327,17 @@ object CepSql {
     def lowerUnit(u: PU): Pattern = u match {
       case PName(n, None) =>
         val d = defOf(n)
+        require(d.event != GroupEvent,
+          s"CEP SQL: '$n' is DEFINEd AS GROUP — group labels attach to " +
+            "'(...)' units, not names")
         require(d.until.isEmpty,
           s"CEP SQL: UNTIL on '$n' needs an unbounded loop quantifier")
         Pattern.Spat(n, d.event, d.cndt, d.vars)
       case PName(n, Some(q)) =>
         val d = defOf(n)
+        require(d.event != GroupEvent,
+          s"CEP SQL: '$n' is DEFINEd AS GROUP — group labels attach to " +
+            "'(...)' units, not names")
         q.to match {
           case Some(m) =>
             require(d.until.isEmpty,
@@ -319,12 +349,24 @@ object CepSql {
             Pattern.LpatInf(n, d.event, d.cndt, q.contig, q.from, d.until,
               d.vars, q.greedy)
         }
-      case PGroup(s, gq) =>
+      case PGroup(s, gq, label) =>
         val child = lower(s, defs)
+        val until = label.map { l =>
+          val d = defOf(l)
+          require(d.event == GroupEvent && d.vars.isEmpty &&
+            d.cndt == Expr.True,
+            s"CEP SQL: group label '$l' needs 'DEFINE $l AS GROUP " +
+              "[UNTIL expr]'")
+          require(gq.exists(_._2.isEmpty),
+            s"CEP SQL: group label '$l' is only meaningful on an " +
+              "UNBOUNDED group ('(...)+' / '(...)*' / '(...){n,}')")
+          d.until
+        }
         gq match {
           case None               => Pattern.Gpat(child)
           case Some((f, Some(m))) => Pattern.GpatTimes(child, f, m)
-          case Some((f, None))    => Pattern.GpatInf(child, f)
+          case Some((f, None)) =>
+            Pattern.GpatInf(child, f, until.flatten)
         }
     }
     seq.tail.foldLeft(lowerUnit(seq.head)) {
@@ -430,5 +472,118 @@ object CepSql {
     val seq = parser.parseSeq()
     parser.assertDone()
     CepQuery(lower(seq, defMap), schema, strategy, within, withinTime)
+  }
+
+  // --------------------------------------------------------------- render
+  /** Render a [[CepQuery]] back to its SQL form —
+    * `parse(render(q), q.schema) == q` for every query the grammar can
+    * express (property-pinned in `CepSqlSpec` over random ASTs).
+    * Combines must be LEFT-nested, the parser's fold normal form: a
+    * `Combine`/`CombineNot` as the RIGHT child of a combine has no
+    * textual form (parenthesising it would introduce a `Gpat`) and is
+    * rejected loudly. A group-nested `gpat-inf` `until` renders through
+    * a synthesized group label (`:__g<k>` + `__g<k> AS GROUP UNTIL`).
+    * Conditions render via the engine's precedence-parenthesised
+    * expression printer, which re-parses to the same AST.
+    */
+  def render(q: CepQuery): String = {
+    val defs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var groupN = 0
+    def exprS(e: Expr): String = Pattern.ExprRepr(e)
+    def addDef(name: String, event: String, cndt: Expr,
+        vars: Vector[VarDef], until: Option[Expr]): Unit = {
+      require(!defs.contains(name),
+        s"CEP SQL render: pattern name '$name' is used twice")
+      val sb = new StringBuilder(s"$name AS $event")
+      if (cndt != Expr.True) sb ++= s" WHERE ${exprS(cndt)}"
+      if (vars.nonEmpty)
+        sb ++= " LET " + vars.map(v =>
+          s"${v.name} = ${v.initial} THEN ${exprS(v.update)}")
+          .mkString(", ")
+      until.foreach(u => sb ++= s" UNTIL ${exprS(u)}")
+      defs(name) = sb.toString
+    }
+    def mark(c: Contiguity): String = c match {
+      case Contiguity.Strict    => ""
+      case Contiguity.Relaxed   => "~"
+      case Contiguity.NdRelaxed => "~~"
+    }
+    def sep(c: Contiguity): String = c match {
+      case Contiguity.Strict    => " "
+      case Contiguity.Relaxed   => " -> "
+      case Contiguity.NdRelaxed => " ~> "
+    }
+    def unit(p: Pattern): String = p match {
+      case s: Pattern.Spat =>
+        addDef(s.name, s.event, s.cndt, s.vars, None)
+        s.name
+      case l: Pattern.Lpat =>
+        addDef(l.name, l.event, l.cndt, l.vars, None)
+        s"${l.name}{${l.from},${l.to}}${mark(l.contiguity)}" +
+          (if (l.greedy) "!" else "")
+      case l: Pattern.LpatInf =>
+        addDef(l.name, l.event, l.cndt, l.vars, l.until)
+        s"${l.name}{${l.from},}${mark(l.contiguity)}" +
+          (if (l.greedy) "!" else "")
+      case g: Pattern.Gpat      => s"(${seqS(g.child)})"
+      case g: Pattern.GpatTimes =>
+        s"(${seqS(g.child)}){${g.from},${g.to}}"
+      case g: Pattern.GpatInf =>
+        val label = g.until.map { u =>
+          groupN += 1
+          val n = s"__g$groupN"
+          addDef(n, GroupEvent, Expr.True, Vector.empty, Some(u))
+          s":$n"
+        }.getOrElse("")
+        s"(${seqS(g.child)}){${g.from},}$label"
+      // combines never reach `unit` (seqS flattens the left spine and
+      // rightUnit rejects them); parenthesising one here would silently
+      // introduce a Gpat on re-parse, so fail instead
+      case _: Pattern.Combine | _: Pattern.CombineNot =>
+        throw new IllegalStateException(
+          "CEP SQL render: combine reached unit position")
+    }
+    def rightUnit(p: Pattern): String = p match {
+      case _: Pattern.Combine | _: Pattern.CombineNot =>
+        throw new IllegalArgumentException(
+          "CEP SQL render: combines must be LEFT-nested (the parser's " +
+            "fold normal form) — a combine as the right child of a " +
+            "combine has no textual form; restructure the pattern or " +
+            "wrap the right side in an explicit Gpat group")
+      case other => unit(other)
+    }
+    def seqS(p: Pattern): String = p match {
+      case c: Pattern.Combine =>
+        s"${seqS(c.left)}${sep(c.contiguity)}${rightUnit(c.right)}"
+      case c: Pattern.CombineNot =>
+        addDef(c.neg.name, c.neg.event, c.neg.cndt, Vector.empty, None)
+        val tok = c.mode match {
+          case Pattern.NegMode.NotNext       => "!next"
+          case Pattern.NegMode.NotFollowedBy => "!fby"
+        }
+        val s = sep(c.contiguity)
+        // the strict separator is juxtaposition; keep one space before
+        // the negation marker
+        val sepTok = if (s == " ") " " else s
+        s"${seqS(c.left)}$sepTok$tok(${c.neg.name}) ${rightUnit(c.right)}"
+      case other => unit(other)
+    }
+    val body = seqS(q.patseq)
+    val sb = new StringBuilder(s"PATTERN ($body) DEFINE ")
+    sb ++= defs.values.mkString(";\n       ")
+    q.within.foreach(w => sb ++= s"\nWITHIN $w")
+    q.withinTime.foreach(wt => sb ++= s"\nWITHIN ${wt.span} ON ${wt.tsAttr}")
+    q.strategy match {
+      case AfterMatchStrategy.NoSkip => ()
+      case AfterMatchStrategy.SkipToNext =>
+        sb ++= "\nAFTER MATCH SKIP TO NEXT"
+      case AfterMatchStrategy.SkipPastLastEvent =>
+        sb ++= "\nAFTER MATCH SKIP PAST LAST EVENT"
+      case AfterMatchStrategy.SkipToFirst(a) =>
+        sb ++= s"\nAFTER MATCH SKIP TO FIRST $a"
+      case AfterMatchStrategy.SkipToLast(a) =>
+        sb ++= s"\nAFTER MATCH SKIP TO LAST $a"
+    }
+    sb.toString
   }
 }

@@ -119,6 +119,110 @@ class CepSqlSpec extends AnyFunSuite {
     bad("PATTERN (a %) DEFINE a AS A", "unexpected")
   }
 
+  test("group label attaches an UNTIL to an unbounded group") {
+    val q = CepSql.parse(
+      "PATTERN ((a b){1,}:g) DEFINE a AS A; b AS B; " +
+        "g AS GROUP UNTIL v > 5", schema)
+    assert(q.patseq == Pattern.GpatInf(
+      Pattern.Combine(Contiguity.Strict,
+        Pattern.Spat("a", "A", Expr.True),
+        Pattern.Spat("b", "B", Expr.True)),
+      1, Some(Expr.parse("v > 5"))))
+    val e = intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN ((a b){1,2}:g) DEFINE a AS A; b AS B; " +
+        "g AS GROUP UNTIL v > 5", schema)
+    }
+    assert(e.getMessage.contains("UNBOUNDED group"))
+  }
+
+  test("property: parse(render(q)) == q over random ASTs (300 trials)") {
+    val rnd = new scala.util.Random(20260820L)
+    val types = Vector("A", "B", "C", "D")
+    val conds = Vector("True", "v > 2", "v < 8", "v == 3 or v > 6",
+      "not (v < 2)")
+    var nameN = 0
+    def freshName(): String = { nameN += 1; s"p$nameN" }
+    def rndCond(): Expr = Expr.parse(conds(rnd.nextInt(conds.length)))
+    def rndVars(): Vector[VarDef] =
+      if (rnd.nextInt(3) == 0)
+        Vector(VarDef(freshName().toUpperCase, rnd.nextInt(5).toLong,
+          Expr.parse("v + 1")))
+      else Vector.empty
+    def leaf(): Pattern = rnd.nextInt(3) match {
+      case 0 => Pattern.Spat(freshName(), types(rnd.nextInt(4)),
+        rndCond(), rndVars())
+      case 1 =>
+        val from = rnd.nextInt(3)
+        Pattern.Lpat(freshName(), types(rnd.nextInt(4)), rndCond(),
+          Contiguity.fromName(Vector("strict", "relaxed",
+            "nd-relaxed")(rnd.nextInt(3))),
+          from, from + 1 + rnd.nextInt(3), rndVars(),
+          greedy = rnd.nextInt(4) == 0)
+      case _ =>
+        Pattern.LpatInf(freshName(), types(rnd.nextInt(4)), rndCond(),
+          Contiguity.fromName(Vector("strict", "relaxed",
+            "nd-relaxed")(rnd.nextInt(3))),
+          rnd.nextInt(3),
+          if (rnd.nextBoolean()) Some(rndCond()) else None,
+          rndVars(), greedy = rnd.nextInt(4) == 0)
+    }
+    def contig(): Contiguity = Contiguity.fromName(
+      Vector("strict", "relaxed", "nd-relaxed")(rnd.nextInt(3)))
+    // a unit = anything the parser accepts in unit position (leaf/group)
+    def unit(depth: Int): Pattern =
+      if (depth <= 0 || rnd.nextInt(3) > 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => Pattern.Gpat(gen(depth - 1))
+        case 1 =>
+          val f = rnd.nextInt(3)
+          Pattern.GpatTimes(gen(depth - 1), f, f + 1 + rnd.nextInt(2))
+        case _ =>
+          Pattern.GpatInf(gen(depth - 1), rnd.nextInt(3),
+            if (rnd.nextBoolean()) Some(rndCond()) else None)
+      }
+    // a seq = left-nested combine spine (the render normal form)
+    def gen(depth: Int): Pattern = {
+      var acc = unit(depth)
+      val n = rnd.nextInt(3)
+      for (_ <- 0 until n) {
+        if (rnd.nextInt(4) == 0)
+          acc = Pattern.CombineNot(contig(), acc,
+            Pattern.NegSpec(freshName(), types(rnd.nextInt(4)),
+              rndCond()),
+            if (rnd.nextBoolean()) Pattern.NegMode.NotNext
+            else Pattern.NegMode.NotFollowedBy,
+            unit(depth))
+        else acc = Pattern.Combine(contig(), acc, unit(depth))
+      }
+      acc
+    }
+    var trials = 0
+    for (t <- 0 until 300) {
+      nameN = 0
+      val pat = gen(2)
+      val names = SparkCep.patternNames(pat)
+      val strategy = rnd.nextInt(5) match {
+        case 0 => AfterMatchStrategy.NoSkip
+        case 1 => AfterMatchStrategy.SkipToNext
+        case 2 => AfterMatchStrategy.SkipPastLastEvent
+        case 3 => AfterMatchStrategy.SkipToFirst(
+          names(rnd.nextInt(names.length)))
+        case _ => AfterMatchStrategy.SkipToLast(
+          names(rnd.nextInt(names.length)))
+      }
+      val q = CepQuery(pat, schema, strategy,
+        within = if (rnd.nextInt(3) == 0) Some(2 + rnd.nextInt(9))
+          else None,
+        withinTime = if (rnd.nextInt(4) == 0)
+          Some(WithinTime("ts", 1L + rnd.nextInt(100))) else None)
+      val sql = CepSql.render(q)
+      val back = CepSql.parse(sql, schema)
+      assert(back == q, s"trial $t\nSQL:\n$sql\n got=$back\n exp=$q")
+      trials += 1
+    }
+    info(s"$trials random ASTs render->parse round-tripped")
+  }
+
   test("parsed queries execute identically to their Scala-built twins") {
     // not just AST equality — run both through the engine on a stream
     val q = CepSql.parse(

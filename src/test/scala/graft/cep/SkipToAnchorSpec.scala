@@ -222,6 +222,79 @@ class SkipToAnchorSpec extends AnyFunSuite {
     assert(cases == 80)
   }
 
+  test("interaction wave: anchor strategies x within window (filter " +
+    "model over the WINDOWED NoSkip base)") {
+    // the online-filter argument only needs run-independence of the
+    // base, which holds for NoSkip-with-window too (window prunes are
+    // per-run-local) — so anchor output under within must equal the
+    // windowed NoSkip output filtered by the same monotone threshold
+    val rnd = new scala.util.Random(20260818L)
+    val types = Vector("A", "B", "C", "D")
+    var cases = 0
+    for {
+      trial <- 0 until 80
+      useLast <- Seq(false, true)
+      w <- Seq(3, 5)
+    } {
+      val pat = Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "A", "True"),
+        Pattern.lpat("b", "B", "v < 8", Contiguity.Relaxed, 1, 2))
+      val anchor = if (rnd.nextBoolean()) "x" else "b"
+      val n = 10 + rnd.nextInt(25)
+      val evs = Vector.tabulate(n)(k =>
+        Event(types(rnd.nextInt(types.length)),
+          Vector("id" -> (k + 1).toLong, "v" -> rnd.nextInt(10).toLong)))
+      val strat =
+        if (useLast) AfterMatchStrategy.SkipToLast(anchor)
+        else AfterMatchStrategy.SkipToFirst(anchor)
+      val noSkip = CepOperator.run(
+        CepQuery(pat, schema, within = Some(w)), evs)
+      val expected = filterModel(noSkip, anchor, useLast)
+      val got = CepOperator.run(
+        CepQuery(pat, schema, strat, within = Some(w)), evs)
+      assert(got == expected,
+        s"trial $trial ${strat.name} w=$w n=$n\n got=$got\n exp=$expected")
+      cases += 1
+    }
+    info(s"$cases anchor-x-within interaction cases")
+    assert(cases == 320)
+  }
+
+  test("interaction wave: anchor strategies over GREEDY loops (both " +
+    "prune mechanisms composed)") {
+    // base = greedy NoSkip output (its own differential pins it); the
+    // anchor filter composes on top because greedy only changes which
+    // runs exist, not their independence
+    val rnd = new scala.util.Random(20260819L)
+    val types = Vector("A", "B", "C", "D")
+    var cases = 0
+    for {
+      trial <- 0 until 80
+      useLast <- Seq(false, true)
+    } {
+      val pat = Pattern.Combine(Contiguity.Relaxed,
+        Pattern.lpat("a", "A", "v < 8", Contiguity.Strict, 1, 3,
+          greedy = true),
+        Pattern.spat("y", "C", "True"))
+      val anchor = if (rnd.nextBoolean()) "a" else "y"
+      val n = 10 + rnd.nextInt(25)
+      val evs = Vector.tabulate(n)(k =>
+        Event(types(rnd.nextInt(types.length)),
+          Vector("id" -> (k + 1).toLong, "v" -> rnd.nextInt(10).toLong)))
+      val strat =
+        if (useLast) AfterMatchStrategy.SkipToLast(anchor)
+        else AfterMatchStrategy.SkipToFirst(anchor)
+      val greedyNoSkip = CepOperator.run(CepQuery(pat, schema), evs)
+      val expected = filterModel(greedyNoSkip, anchor, useLast)
+      val got = CepOperator.run(CepQuery(pat, schema, strat), evs)
+      assert(got == expected,
+        s"trial $trial ${strat.name} n=$n\n got=$got\n exp=$expected")
+      cases += 1
+    }
+    info(s"$cases anchor-x-greedy interaction cases")
+    assert(cases == 160)
+  }
+
   test("strategy name round-trips through fromName") {
     for (s <- Seq(AfterMatchStrategy.SkipToFirst("a"),
         AfterMatchStrategy.SkipToLast("b1"))) {
