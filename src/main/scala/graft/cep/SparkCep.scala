@@ -172,7 +172,13 @@ object SparkCep {
     val keyName = spec.keyCol.getOrElse("__global")
     checkWithinStateBound(query, maxRunsPerKey, streaming = false)
     val effMaxRuns = resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
-    val (prepared, attrNames) = prepare(df, query, spec)
+    // NO pre-NFA filter here, ever: the timeout OUTPUT observes sweep
+    // moments, and a dropped ignorable event can be the only one whose
+    // arrival closes a window (clearest with `withinTime` at the tail
+    // of a stream: the filtered stream ends before any event advances
+    // the clock past the deadline, and the timeout is silently lost —
+    // the match operators are immune because pruned runs emit nothing).
+    val (prepared, attrNames) = prepareWithFilter(df, None, spec)
     val parted = spec.keyCol match {
       case Some(_) =>
         prepared.repartition(col("__key"))
@@ -555,6 +561,17 @@ object SparkCep {
     if (query.within.isDefined &&
         !unwrapGpat(query.patseq).isInstanceOf[Pattern.Spat])
       return None
+    // GREEDY loops make dropped events semantically observable even
+    // under all-relaxed contiguity: the proceed-ε is allowed exactly at
+    // an event the loop CANNOT take, and an ignorable (droppable) event
+    // at the loop boundary is precisely such an event — dropping it
+    // removes the stop decision it licensed, losing the shorter-loop
+    // matches (e.g. a{1,2}~! -> y on [A view A C]: unfiltered emits both
+    // ([a1],C) — proceed at the view — and ([a1,a3],C); the filtered
+    // stream cuts the proceed at the second A and emits only the long
+    // one). A lone greedy loop cannot occur (trailing greedy is
+    // rejected), so this is never vacuous.
+    if (hasGreedy(query.patseq)) return None
     unwrapGpat(query.patseq) match {
       case s: Pattern.Spat =>
         val typeCond = col(spec.typeCol) === s.event
@@ -590,6 +607,17 @@ object SparkCep {
 
   private def skippable(c: Contiguity): Boolean =
     c == Contiguity.Relaxed || c == Contiguity.NdRelaxed
+
+  private def hasGreedy(p: Pattern): Boolean = p match {
+    case l: Pattern.Lpat       => l.greedy
+    case l: Pattern.LpatInf    => l.greedy
+    case _: Pattern.Spat       => false
+    case c: Pattern.Combine    => hasGreedy(c.left) || hasGreedy(c.right)
+    case c: Pattern.CombineNot => hasGreedy(c.left) || hasGreedy(c.right)
+    case g: Pattern.Gpat       => hasGreedy(g.child)
+    case g: Pattern.GpatTimes  => hasGreedy(g.child)
+    case g: Pattern.GpatInf    => hasGreedy(g.child)
+  }
 
   /** Plain `Gpat` compiles to its child's DST verbatim
     * (`DstCompiler.compileNode`), so pushdown legality — and the filter

@@ -369,7 +369,10 @@ object StreamingCep {
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
-    val (prepared, attrNames) = SparkCep.prepare(df, query, spec)
+    // no pre-NFA filter: the timeout output observes sweep moments (see
+    // the batch operator's doc) — a dropped event can be the only one
+    // that closes a window
+    val (prepared, attrNames) = SparkCep.prepareWithFilter(df, None, spec)
     val orderName = attrNames.head
     val outSchema = StructType(
       StructField(keyName, LongType, nullable = false) +:

@@ -212,4 +212,62 @@ class PushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the unpushed ones still match ground truth end-to-end
     Seq(strict, untilQ, grp).foreach(check)
   }
+
+  test("greedy loops do not push down — a dropped ignorable event is " +
+    "exactly where a greedy proceed is licensed") {
+    // the counterexample from the prefilter doc: a{1,2}~ greedy -> y:c
+    // on [a, OTHER, a, c]. Unfiltered: the non-alphabet event at the
+    // loop boundary cannot be taken, so the proceed fires there and the
+    // short match ([a1], c) exists next to ([a1,a3], c). The filtered
+    // stream puts the second 'a' right after the first, the greedy cut
+    // forbids the stop, and the short match vanishes — so the alphabet
+    // filter must be refused.
+    val greedyQ = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.lpat("x", "a", "True", Contiguity.Relaxed, 1, 2,
+          greedy = true),
+        Pattern.spat("y", "c", "True")),
+      schema)
+    assert(SparkCep.prefilter(greedyQ, spec).isEmpty,
+      "greedy pattern must refuse the pre-NFA filter")
+    // demonstrate the divergence the refusal prevents (pure NFA)
+    def ev(t: String, id: Long) = Event(t, "event_id" -> id, "value" -> 0L)
+    val full = Vector(ev("a", 1), ev("b", 2), ev("a", 3), ev("c", 4))
+    val filtered = full.filter(e => e.tpe == "a" || e.tpe == "c")
+    def ids(ms: Vector[Match]) = ms.map(_.toMap.apply("x").map(_("event_id")))
+    val onFull = ids(CepOperator.run(greedyQ, full))
+    val onFiltered = ids(CepOperator.run(greedyQ, filtered))
+    assert(onFull.toSet == Set(Vector(1L), Vector(1L, 3L), Vector(3L)))
+    assert(onFiltered.toSet == Set(Vector(1L, 3L), Vector(3L)),
+      "if these become equal the refusal may be droppable — re-derive")
+    // the reluctant twin keeps its pushdown
+    val reluctant = greedyQ.copy(patseq = Pattern.Combine(
+      Contiguity.Relaxed,
+      Pattern.lpat("x", "a", "True", Contiguity.Relaxed, 1, 2),
+      Pattern.spat("y", "c", "True")))
+    assert(SparkCep.prefilter(reluctant, spec).isDefined)
+    check(greedyQ)
+    check(reluctant)
+  }
+
+  test("timedOutPartials never prefilters: a dropped event can be the " +
+    "only one that closes an event-time window") {
+    val s = spark
+    import s.implicits._
+    // x:a then y:b, event-time window 10 on value-as-ts. The only event
+    // after the deadline is type 'c' (not in the pattern alphabet): an
+    // alphabet prefilter would drop it, the clock would never pass
+    // ts=100+10, and the timeout would be lost.
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "a", "True"), Pattern.spat("y", "b", "True")),
+      schema, withinTime = Some(WithinTime("value", 10L)))
+    val df = Seq(
+      (1L, 1L, "a", 100L), (1L, 2L, "c", 150L))
+      .toDF("user_id", "event_id", "event_type", "value")
+    val got = SparkCep.timedOutPartials(df, q, spec).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    assert(got == Set((1L, Vector(1L))),
+      "the c-typed clock event must reach the NFA and fire the timeout")
+  }
 }
