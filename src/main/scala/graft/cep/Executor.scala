@@ -396,4 +396,41 @@ object CepOperator {
   /** One-shot convenience: run `query` over an ordered event sequence. */
   def run(query: CepQuery, input: IterableOnce[Event]): Vector[Match] =
     fromQuery(query).apply(input)
+
+  /** As `run`, also collecting the TIMEOUT side output (partial runs
+    * whose window provably closed — `Executor.drainTimedOut`), each
+    * projected in pattern-name order like a match. The in-memory face
+    * of `SparkCep.timedOutPartials`; requires a windowed query.
+    */
+  def runWithTimeouts(query: CepQuery, input: IterableOnce[Event])
+      : (Vector[Match], Vector[Match]) = {
+    require(query.within.isDefined || query.withinTime.isDefined,
+      "runWithTimeouts needs a windowed query (within/withinTime) — " +
+        "an unwindowed run never times out")
+    val op = fromQuery(query)
+    val names = {
+      // pattern-name order, derived from the AST (the projection order
+      // match rows use)
+      def go(p: Pattern): Vector[String] = p match {
+        case s: Pattern.Spat       => Vector(s.name)
+        case l: Pattern.Lpat       => Vector(l.name)
+        case l: Pattern.LpatInf    => Vector(l.name)
+        case c: Pattern.Combine    => go(c.left) ++ go(c.right)
+        case c: Pattern.CombineNot => go(c.left) ++ go(c.right)
+        case g: Pattern.Gpat       => go(g.child)
+        case g: Pattern.GpatTimes  => go(g.child)
+        case g: Pattern.GpatInf    => go(g.child)
+      }
+      go(query.patseq)
+    }
+    op.executor.reset()
+    val ms = Vector.newBuilder[Match]
+    val ts = Vector.newBuilder[Match]
+    input.iterator.foreach { ev =>
+      ms ++= op.executor.feed(ev)
+      ts ++= op.executor.drainTimedOut()
+        .map(op.executor.partialOutput(_, names))
+    }
+    (ms.result(), ts.result())
+  }
 }

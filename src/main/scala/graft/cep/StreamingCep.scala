@@ -612,6 +612,84 @@ object StreamingCep {
         if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
   }
 
+  /** Event-time form of the TIMEOUT side output: out-of-order events
+    * reorder under the watermark exactly as in `matchPatternEventTime`
+    * (same buffer, same release order, same `VariantEventTime` state —
+    * the run-state evolution is identical to the event-time match
+    * operator's, only the projection differs, so checkpoints
+    * interchange between the two), but the emitted rows are the partial
+    * runs whose `within`/`withinTime` window provably closed. With
+    * `withinTime` this is the natural pairing: the window clock IS
+    * event time, and the watermark's ordering guarantee is what makes
+    * "provably closed" sound on an out-of-order stream. No pre-NFA
+    * filter, per the timeout rule (`SparkCep.timedOutPartials`).
+    */
+  def timedOutPartialsEventTime(df: DataFrame, query: CepQuery,
+      spec: SparkCep.CepSpec, tsCol: String, delay: String,
+      maxRunsPerKey: Option[Int] = None): DataFrame = {
+    require(query.within.isDefined || query.withinTime.isDefined,
+      "timedOutPartialsEventTime needs a windowed query " +
+        "(within/withinTime) — an unwindowed run never times out")
+    val piNames = SparkCep.patternNames(query.patseq)
+    val keyName = spec.keyCol.getOrElse("__global")
+    SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
+    val effMaxRuns =
+      SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
+    val (prepared, attrNames) = etPrepare(df, None, spec, tsCol, delay)
+    val orderName = attrNames.head
+    val outSchema = StructType(
+      StructField(keyName, LongType, nullable = false) +:
+        piNames.map(n =>
+          StructField(n, ArrayType(LongType, containsNull = false),
+            nullable = false)))
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
+      Encoders.product[CepStateCodec.VersionedState]
+    import prepared.sparkSession.implicits._
+    val dst = DstCompiler.compile(query)
+    prepared
+      .groupByKey(_.getLong(0))
+      .flatMapGroupsWithState[CepStateCodec.VersionedState, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[Row],
+            state: GroupState[CepStateCodec.VersionedState]) =>
+          val executor = new Executor(dst, query.strategy, effMaxRuns,
+            query.within, query.withinTime)
+          val prev = if (state.exists) CepStateCodec.decode(state.get)
+            else CepStateEt(0, Nil, Nil)
+          if (prev.variant == CepStateCodec.VariantArrival)
+            throw new IllegalStateException(
+              "CEP streaming state was written by the arrival-order " +
+                "matchPattern operator and cannot be restored by " +
+                "timedOutPartialsEventTime (different feed-order " +
+                "semantics). Resume with the arrival-order operator, or " +
+                "discard the checkpoint directory.")
+          restoreState(executor, CepState(prev.step, prev.runs), prev.clock)
+          val wmMs = state.getCurrentWatermarkMs()
+          val incoming = rows.map { row =>
+            val ev = rowToEvent(row, 2, 3, 4, attrNames, orderName)
+            BufEvent(row.getTimestamp(1).getTime, row.getLong(2), ev.tpe,
+              ev.attrs.map(_._1), ev.attrs.map(_._2))
+          }.toVector
+          val (ready, still) = releaseBuffer(prev.buffer, incoming, wmMs)
+          val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
+            executor.feed(Event(e.tpe, e.names.zip(e.vals).toVector))
+            executor.drainTimedOut().map(c =>
+              matchToRow(key, executor.partialOutput(c, piNames),
+                piNames, orderName))
+          }
+          val snap = snapshotState(executor)
+          state.update(CepStateCodec.encode(
+            CepStateEt(snap.step, snap.runs, still, executor.clock,
+              CepStateCodec.VariantEventTime)))
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+          out.iterator
+      }
+      .transform(ds =>
+        if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
+  }
+
   /** Per-key state of the EVENT-TIME multi-query shared stream: the
     * reorder buffer is stored ONCE (the buffered events are common to
     * every member — that sharing is the point), member run-sets once per

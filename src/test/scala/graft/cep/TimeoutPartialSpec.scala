@@ -201,6 +201,54 @@ class TimeoutPartialSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("event-time streaming timeouts: an out-of-order stream reports " +
+    "the closed window after watermark release") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      // signup@evt-time 10 with a 10-tick event-time window; the only
+      // event past the deadline is a click@25 — which ARRIVES FIRST.
+      // The watermark must release them in event-time order (10, 25)
+      // for the sweep at 25 to time the signup out.
+      val q = CepQuery(
+        Pattern.Combine(Contiguity.Relaxed,
+          Pattern.spat("s", "signup", "True"),
+          Pattern.spat("p", "purchase", "True")),
+        Vector("signup" -> Vector("event_id", "value"),
+          "click" -> Vector("event_id", "value"),
+          "purchase" -> Vector("event_id", "value")),
+        withinTime = Some(WithinTime("value", 10L)))
+      val spec = SparkCep.CepSpec(Some("user_id"), "event_id",
+        "event_type", Seq("value"))
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[TsEv]
+      val out = StreamingCep.timedOutPartialsEventTime(
+        mem.toDF(), q, spec, "ts", "30 seconds")
+      val sq = out.writeStream.format("memory").queryName("cep_et_timeouts")
+        .outputMode("append").start()
+      try {
+        mem.addData(TsEv(1, 2, "click", 25, ts(25))) // arrives first
+        sq.processAllAvailable()
+        mem.addData(TsEv(1, 1, "signup", 10, ts(10)))
+        sq.processAllAvailable()
+        // push the watermark past both so they release in (10, 25) order
+        mem.addData(TsEv(9, 99, "click", 60, ts(60)))
+        sq.processAllAvailable()
+        mem.addData(TsEv(9, 100, "click", 80, ts(80)))
+        sq.processAllAvailable()
+      } finally sq.stop()
+      val got = spark.sql("SELECT * FROM cep_et_timeouts").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+          r.getSeq[Long](2).toVector)).toSet
+      assert(got == Set((1L, Vector(1L), Vector())))
+    } finally spark.stop()
+  }
+
   test("SparkCep.timedOutPartials: batch operator equals the executor " +
     "drain, shaped like match rows") {
     val spark = org.apache.spark.sql.SparkSession.builder()
