@@ -307,6 +307,31 @@ final class Dst(
       .exists(e => !e.isEpsilon && !e.isTake))
   }
 
+  /** States from whose ε-closure at least one CONSUMING edge departs.
+    * A configuration anywhere else is TERMINALLY DEAD: it can never
+    * fire a consuming edge again, hence never take, hence never accept
+    * (acceptance is checked in the emit phase of the step that created
+    * the configuration; re-entry into S requires a consuming edge) —
+    * at the next feed it silently drops out of the run set. Used by
+    * the streaming idle-key state GC (`Executor.liveRunCount`): a key
+    * whose every run is dead is semantically a fresh key.
+    */
+  lazy val canConsumeFrom: Set[String] = states.iterator.filter { s0 =>
+    val closure = scala.collection.mutable.Set(s0.name)
+    val stack = scala.collection.mutable.Stack(s0)
+    var found = false
+    while (stack.nonEmpty && !found) {
+      val s = stack.pop()
+      startFrom(s).foreach { e =>
+        if (!e.isEpsilon) found = true
+        else if (!closure.contains(e.q2.name)) {
+          closure += e.q2.name; stack.push(e.q2)
+        }
+      }
+    }
+    found
+  }.map(_.name).toSet
+
   /** Accepting iff the last consuming transition was a take and the state
     * has an output map (`DST.py:294-300`).
     */

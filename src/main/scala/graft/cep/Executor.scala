@@ -135,6 +135,15 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
   /** Live-run count (for state-size accounting in streaming). */
   def runCount: Int = S.size
 
+  /** Runs that can still FIRE — excludes terminally-dead configurations
+    * (post-accept states with no ε-reachable consuming edge), which
+    * linger in the run set until the next feed sweeps them. The
+    * streaming idle-key GC keys on this: `liveRunCount == 0` means the
+    * key's state restores indistinguishably from fresh.
+    */
+  def liveRunCount: Int =
+    S.count { case (_, c) => dst.canConsumeFrom.contains(c.q.name) }
+
   /** Snapshot the executor's entire mutable state — `(step counter, live
     * runs)` — for externalization into a streaming state store. States are
     * referenced by name; `restore` resolves them against this executor's

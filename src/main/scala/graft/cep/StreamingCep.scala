@@ -334,7 +334,18 @@ object StreamingCep {
               .map(matchToRow(key, _, piNames, orderName))
           }
           val snap = snapshotState(executor)
-          state.update(CepStateCodec.encode(
+          // idle-key state GC: a key with NO live runs is semantically
+          // a fresh key (every semantic quantity is a step/clock
+          // DIFFERENCE within a live run, so resetting the counters is
+          // invisible) — remove the entry instead of storing it, so the
+          // state store scales with keys that have LIVE RUNS, not with
+          // every key ever seen. EXCEPTION: withinTime queries keep
+          // their entries — the persisted clock floor on a run-free key
+          // is itself semantics (the loud rewound-clock refusal pinned
+          // by CheckpointRestartSpec), so those keys forgo the GC.
+          if (executor.liveRunCount == 0 && query.withinTime.isEmpty)
+            state.remove()
+          else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
               CepStateCodec.VariantArrival)))
           out.iterator
@@ -413,7 +424,10 @@ object StreamingCep {
                 piNames, orderName))
           }
           val snap = snapshotState(executor)
-          state.update(CepStateCodec.encode(
+          // idle-key state GC (see matchPattern)
+          if (executor.liveRunCount == 0 && query.withinTime.isEmpty)
+            state.remove()
+          else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
               CepStateCodec.VariantArrival)))
           out.iterator
@@ -515,7 +529,11 @@ object StreamingCep {
             feedShared(executors, gates, names, piNamesByQ, key, orderName,
               rowToEvent(row, 1, 2, 3, attrNames, orderName))
           }
-          state.update(SharedMultiState(names,
+          // idle-key state GC: all members run-free, no member query
+          // carrying a withinTime floor
+          if (executors.forall(_.liveRunCount == 0) &&
+              qVec.forall(_._2.withinTime.isEmpty)) state.remove()
+          else state.update(SharedMultiState(names,
             encodeMembers(executors, CepStateCodec.VariantArrival)))
           out.iterator
       }
@@ -600,12 +618,18 @@ object StreamingCep {
           }
 
           val snap = snapshotState(executor)
-          state.update(CepStateCodec.encode(
-            CepStateEt(snap.step, snap.runs, still, executor.clock,
-              CepStateCodec.VariantEventTime)))
-          if (still.nonEmpty)
-            // wake when the watermark passes the earliest buffered event
-            state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+          // idle-key state GC: no live runs AND nothing buffered ==
+          // fresh key (see matchPattern)
+          if (executor.liveRunCount == 0 && still.isEmpty &&
+              query.withinTime.isEmpty) state.remove()
+          else {
+            state.update(CepStateCodec.encode(
+              CepStateEt(snap.step, snap.runs, still, executor.clock,
+                CepStateCodec.VariantEventTime)))
+            if (still.nonEmpty)
+              // wake when the watermark passes the earliest buffered event
+              state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+          }
           out.iterator
       }
       .transform(ds =>
@@ -679,11 +703,16 @@ object StreamingCep {
                 piNames, orderName))
           }
           val snap = snapshotState(executor)
-          state.update(CepStateCodec.encode(
-            CepStateEt(snap.step, snap.runs, still, executor.clock,
-              CepStateCodec.VariantEventTime)))
-          if (still.nonEmpty)
-            state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+          // idle-key state GC (see matchPattern)
+          if (executor.liveRunCount == 0 && still.isEmpty &&
+              query.withinTime.isEmpty) state.remove()
+          else {
+            state.update(CepStateCodec.encode(
+              CepStateEt(snap.step, snap.runs, still, executor.clock,
+                CepStateCodec.VariantEventTime)))
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+          }
           out.iterator
       }
       .transform(ds =>
@@ -802,12 +831,18 @@ object StreamingCep {
               Event(e.tpe, e.names.zip(e.vals).toVector))
           }
 
-          state.update(SharedMultiStateEt(names,
-            CepStateCodec.encode(CepStateEt(0, Nil, still,
-              variant = CepStateCodec.VariantEventTime)),
-            encodeMembers(executors, CepStateCodec.VariantEventTime)))
-          if (still.nonEmpty)
-            state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+          // idle-key state GC: all members empty AND nothing buffered
+          if (executors.forall(_.liveRunCount == 0) && still.isEmpty &&
+              qVec.forall(_._2.withinTime.isEmpty))
+            state.remove()
+          else {
+            state.update(SharedMultiStateEt(names,
+              CepStateCodec.encode(CepStateEt(0, Nil, still,
+                variant = CepStateCodec.VariantEventTime)),
+              encodeMembers(executors, CepStateCodec.VariantEventTime)))
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+          }
           out.iterator
       }
       .transform(ds =>
