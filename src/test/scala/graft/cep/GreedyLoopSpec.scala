@@ -186,6 +186,40 @@ class GreedyLoopSpec extends AnyFunSuite {
     !takeFires
   }
 
+  test("long-stream wave: 100-400-event mostly-noise streams (stop " +
+    "decisions crossing long ignorable gaps)") {
+    val rnd = new scala.util.Random(20260821L)
+    val types = Vector("A", "B", "C", "D")
+    var cases = 0
+    for {
+      trial <- 0 until 30
+      lctg <- Seq(Contiguity.Strict, Contiguity.Relaxed)
+    } {
+      val from = 1 + rnd.nextInt(2)
+      val to = from + 1 + rnd.nextInt(2)
+      val cndt = "v < 8"
+      def pat(g: Boolean) = Pattern.Combine(Contiguity.Relaxed,
+        Pattern.lpat("a", "A", cndt, lctg, from, to, greedy = g),
+        Pattern.spat("y", "C", "True"))
+      val n = 100 + rnd.nextInt(301)
+      val events = Vector.tabulate(n) { k =>
+        val t = if (rnd.nextInt(10) < 7) "D" else types(rnd.nextInt(3))
+        Event(t, Vector("id" -> (k + 1).toLong,
+          "v" -> rnd.nextInt(10).toLong))
+      }
+      val reluctant = run(pat(false), events)
+      val expected = reluctant.filter { m =>
+        stopAllowed(events, ids(m, "a"), "A", Expr.parse(cndt), None,
+          Vector.empty, to)
+      }
+      val got = run(pat(true), events)
+      assert(got == expected, s"long trial $trial lctg=$lctg n=$n")
+      cases += 1
+    }
+    info(s"$cases long-stream greedy cases, all sequence-equal")
+    assert(cases == 60)
+  }
+
   test("differential wave: greedy == reluctant + stop-rule filter " +
     "(>1000 cases)") {
     val rnd = new scala.util.Random(20260816L)

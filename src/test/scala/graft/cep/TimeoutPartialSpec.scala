@@ -154,6 +154,41 @@ class TimeoutPartialSpec extends AnyFunSuite {
     info(s"$cases timeout differential cases")
   }
 
+  test("skip strategies compose: a run killed by an after-match skip " +
+    "never reports a timeout") {
+    // two A-runs pending when the first match fires; SkipToNext kills
+    // only the matched run's start cohort, SkipPastLastEvent kills all —
+    // the killed runs must not later surface as timeouts (they were
+    // skipped, not timed out)
+    def q(strat: AfterMatchStrategy) = CepQuery(
+      Pattern.Combine(Contiguity.Relaxed,
+        Pattern.spat("x", "A", "True"), Pattern.spat("y", "C", "True")),
+      schema, strat, within = Some(4))
+    // A@1, A@2, C@3 (matches both under NoSkip), then noise to close
+    // any surviving window
+    val evs = stream("A", "A", "C", "D", "D", "D", "D")
+    val (msNo, tsNo) = {
+      val (m, t) = runVT(q(AfterMatchStrategy.NoSkip), evs); (m.size, t.size)
+    }
+    assert(msNo == 2 && tsNo == 0) // both match within the window
+    val (msPast, tsPast) = {
+      val (m, t) = runVT(q(AfterMatchStrategy.SkipPastLastEvent), evs)
+      (m.size, t.size)
+    }
+    // first match clears the run set — the second A-run is SKIPPED, and
+    // must not re-surface as a timeout when step 5 passes its window
+    assert(msPast == 1 && tsPast == 0)
+    // and a run that times out BEFORE any match still reports under a
+    // skip strategy
+    val evs2 = stream("A", "D", "D", "D", "A", "C")
+    val (ms2, ts2) = runVT(q(AfterMatchStrategy.SkipPastLastEvent), evs2)
+    assert(ms2.size == 1 && ts2.size == 1) // A@1 times out; A@5 matches
+  }
+
+  private def runVT(q: CepQuery, events: Vector[Event])
+      : (Vector[Match], Vector[Match]) =
+    CepOperator.runWithTimeouts(q, events)
+
   test("streaming timedOutPartials == batch across a micro-batch " +
     "boundary (window closes in batch 2 for a run from batch 1)") {
     val spark = org.apache.spark.sql.SparkSession.builder()
