@@ -2333,6 +2333,47 @@ object Queries {
        |SELECT id1, id2, inter, uni FROM jpairs
        |ORDER BY id1, id2""".stripMargin
 
+  /** LSH-vs-exact CALIBRATION as data (the `knn_recall_at5` pattern for
+    * the dedup ladder): how much of the exact capped-Jaccard ≥ 500‰
+    * near-dup mass does the banded MinHash index find at the shipped
+    * config, and how much of what it reports is real? One row:
+    * pair counts of the exact arm, the LSH arm (signature agreement
+    * ≥ 500‰), their intersection, and integer-milli recall/precision.
+    * The number a data platform needs before trusting the scalable arm
+    * at 100 TB, published where the gate checks it rather than claimed
+    * in prose. Both arms are the registry's own operators
+    * (`dedup_ngram_jaccard`, `dedup_minhash_lsh`), so this row also
+    * pins their relationship. On the shipped fixture both arms agree
+    * perfectly (25/25 at sf0.01, 256/256 at sf0.1) — MEASURED, not
+    * assumed: the corpus's pair-similarity distribution is bimodal
+    * (everything is either ≥ 500‰ or < 200‰, where 4-row banding at
+    * sim s fires with probability 1-(1-s⁴)¹⁶ ≈ 0 — no boundary mass
+    * exists for the arms to disagree on). On a real corpus with
+    * borderline pairs the recall column is where LSH misses surface.
+    */
+  def dedupLshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, simMilli = 500, maxShingleFreq = 64L)
+      .select(col("id1"), col("id2"), lit(1L).as("he"), lit(0L).as("hl"))
+    val lsh = DedupOps.minHashLshPairs(docs, "doc_id", "text",
+        maxBucketSize = 64L)
+      .filter(col("est_milli") >= 500L)
+      .select(col("id1"), col("id2"), lit(0L).as("he"), lit(1L).as("hl"))
+    exact.union(lsh)
+      .groupBy("id1", "id2")
+      .agg(max(col("he")).as("he"), max(col("hl")).as("hl"))
+      .agg(
+        sum(col("he")).as("n_exact"),
+        sum(col("hl")).as("n_lsh"),
+        sum(col("he") * col("hl")).as("n_hit"))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        coalesce(expr("n_hit * 1000 DIV nullif(n_exact, 0)"), lit(0L))
+          .as("recall_milli"),
+        coalesce(expr("n_hit * 1000 DIV nullif(n_lsh, 0)"), lit(0L))
+          .as("precision_milli"))
+  }
+
   /** Near-dup clustering: connected components over the capped-Jaccard
     * pair graph (iterative min-label propagation); every doc maps to the
     * smallest doc id in its component (`cluster_id` — keeping
@@ -3179,6 +3220,41 @@ object Queries {
        |  CAST(max(est_milli) AS BIGINT) AS max_est
        |FROM j GROUP BY src_a, src_b
        |ORDER BY src_a, src_b""".stripMargin
+
+  /** Oracle for `dedup_lsh_calibration`: the minhash pair CTEs and the
+    * capped-Jaccard CTEs composed in one statement. The two blocks share
+    * an IDENTICAL `toks` (kept once from the minhash side) but both
+    * define a CTE named `sh` with different content, so the Jaccard
+    * block's is renamed `jsh` by targeted string surgery on the shared
+    * `jaccardCtes` body — a broken rename yields invalid SQL and a loud
+    * red row, never a silent drift.
+    */
+  val dedupLshCalibrationSql: String = {
+    val jac = jaccardCtes.substring(jaccardCtes.indexOf("shs AS ("))
+      .replace("sh AS (", "jsh AS (")
+      .replace("FROM sh a JOIN sh b", "FROM jsh a JOIN jsh b")
+      .replace("FROM sh GROUP BY doc_id", "FROM jsh GROUP BY doc_id")
+    s"""$minhashPairsOracleCtes,
+       |$jac,
+       |m AS (
+       |  SELECT e.id1 AS e1, l.id1 AS l1
+       |  FROM (SELECT id1, id2 FROM jpairs) e
+       |  FULL OUTER JOIN
+       |    (SELECT id1, id2 FROM pairs WHERE est_milli >= 500) l
+       |    ON e.id1 = l.id1 AND e.id2 = l.id2),
+       |agg AS (
+       |  SELECT CAST(count(e1) AS BIGINT) AS n_exact,
+       |    CAST(count(l1) AS BIGINT) AS n_lsh,
+       |    CAST(count(CASE WHEN e1 IS NOT NULL AND l1 IS NOT NULL
+       |      THEN 1 END) AS BIGINT) AS n_hit
+       |  FROM m)
+       |SELECT n_exact, n_lsh, n_hit,
+       |  CAST(COALESCE(n_hit * 1000 // NULLIF(n_exact, 0), 0) AS BIGINT)
+       |    AS recall_milli,
+       |  CAST(COALESCE(n_hit * 1000 // NULLIF(n_lsh, 0), 0) AS BIGINT)
+       |    AS precision_milli
+       |FROM agg""".stripMargin
+  }
 
   /** Incremental dedup against the COMMITTED persisted MinHash band
     * index (`Codebooks.dedupIndexPathFor(dir)`, built once per scale
@@ -5493,6 +5569,7 @@ object Queries {
     "dedup_exact" -> dedupExact _,
     "dedup_normalized" -> dedupNormalized _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_lsh_calibration" -> dedupLshCalibration _,
     "dedup_cluster_keep" -> dedupClusterKeep _,
     "split_leakage_free" -> splitLeakageFree _,
     "sample_stratified" -> sampleStratified _,
@@ -5572,6 +5649,7 @@ object Queries {
     "cep_multi_shared" -> cepMultiSharedSql,
     "cep_multi_shared_pushdown" -> cepMultiSharedPushdownSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_lsh_calibration" -> dedupLshCalibrationSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_index_gauge" -> dedupIndexGaugeSql,
     "dedup_simhash" -> dedupSimhashSql,
