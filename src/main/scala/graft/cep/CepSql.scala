@@ -32,7 +32,8 @@ package graft.cep
   *           ('+' = {1,}, '*' = {0,}; open upper bound = unbounded loop;
   *            '~' relaxed / '~~' nd-relaxed ITERATION contiguity, strict
   *            by default; trailing '!' = greedy)
-  * gquant := '+' | '*' | '{' n ',' [m] '}'             (group repeat)
+  * gquant := ('+' | '*' | '{' n ',' [m] '}') ['!']    (group repeat;
+  *           trailing '!' = greedy iterations, as on name quantifiers)
   *           (':' name labels an unbounded group so a DEFINE of the
   *            form `name AS GROUP UNTIL expr` can attach its stop
   *            condition — groups bind no events of their own)
@@ -124,7 +125,7 @@ object CepSql {
   private sealed trait PU
   private case class PName(name: String, quant: Option[Quant]) extends PU
   private case class PGroup(seq: PSeq,
-      gquant: Option[(Int, Option[Int])],
+      gquant: Option[(Int, Option[Int], Boolean)],
       label: Option[String]) extends PU
   /** head unit + (separator contiguity, optional neg name+mode, unit)* */
   private case class PSeq(head: PU,
@@ -227,7 +228,14 @@ object CepSql {
         Quant(from, to, contig, greedy)
     }
 
-    private def parseGQuant(): Option[(Int, Option[Int])] = parseBounds()
+    private def parseGQuant(): Option[(Int, Option[Int], Boolean)] =
+      parseBounds().map { case (f, t) =>
+        val g = peek match {
+          case Some(TBang) => next(); true
+          case _           => false
+        }
+        (f, t, g)
+      }
 
     def assertDone(): Unit =
       if (i < toks.length) throw new IllegalArgumentException(
@@ -363,10 +371,10 @@ object CepSql {
           d.until
         }
         gq match {
-          case None               => Pattern.Gpat(child)
-          case Some((f, Some(m))) => Pattern.GpatTimes(child, f, m)
-          case Some((f, None)) =>
-            Pattern.GpatInf(child, f, until.flatten)
+          case None => Pattern.Gpat(child)
+          case Some((f, Some(m), g)) => Pattern.GpatTimes(child, f, m, g)
+          case Some((f, None, g)) =>
+            Pattern.GpatInf(child, f, until.flatten, g)
         }
     }
     seq.tail.foldLeft(lowerUnit(seq.head)) {
@@ -527,15 +535,17 @@ object CepSql {
           (if (l.greedy) "!" else "")
       case g: Pattern.Gpat      => s"(${seqS(g.child)})"
       case g: Pattern.GpatTimes =>
-        s"(${seqS(g.child)}){${g.from},${g.to}}"
+        val gr = if (g.greedy) "!" else ""
+        s"(${seqS(g.child)}){${g.from},${g.to}}$gr"
       case g: Pattern.GpatInf =>
+        val gr = if (g.greedy) "!" else ""
         val label = g.until.map { u =>
           groupN += 1
           val n = s"__g$groupN"
           addDef(n, GroupEvent, Expr.True, Vector.empty, Some(u))
           s":$n"
         }.getOrElse("")
-        s"(${seqS(g.child)}){${g.from},}$label"
+        s"(${seqS(g.child)}){${g.from},}$gr$label"
       // combines never reach `unit` (seqS flattens the left spine and
       // rightUnit rejects them); parenthesising one here would silently
       // introduce a Gpat on re-parse, so fail instead

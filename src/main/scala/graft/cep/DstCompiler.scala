@@ -84,6 +84,29 @@ final class DstCompiler(query: CepQuery) {
     (x, du, eta0)
   }
 
+  /** The consuming edges a run entering `start` could fire FIRST — every
+    * non-ε edge departing the ε-closure of `start` within `dst`. These
+    * are the greedy cut guards for GROUP loops: the group's proceed-ε is
+    * suppressed exactly when the next iteration could consume the same
+    * event (ε edges carry identity register updates, so evaluating the
+    * guards at the boundary state is faithful).
+    */
+  private def headTakes(dst: Dst, start: State): Vector[Transition] = {
+    val closure = scala.collection.mutable.Set(start.name)
+    val stack = scala.collection.mutable.Stack(start)
+    val out = Vector.newBuilder[Transition]
+    while (stack.nonEmpty) {
+      val s = stack.pop()
+      dst.startFrom(s).foreach { e =>
+        if (!e.isEpsilon) out += e
+        else if (!closure.contains(e.q2.name)) {
+          closure += e.q2.name; stack.push(e.q2)
+        }
+      }
+    }
+    out.result()
+  }
+
   private def compileNode(p: Pattern): Dst = p match {
     case s: Pattern.Spat       => compileSpat(s)
     case l: Pattern.Lpat       => compileLpat(l)
@@ -504,8 +527,13 @@ final class DstCompiler(query: CepQuery) {
     // output — note `from = 0` gives range(-1, m), and the reference's
     // Python list indexing wraps dst[-1] to the LAST copy (and then also
     // appends its ε-edge again at i = m-1); replicate both, order included.
+    // Greedy cuts the emit-ε of every copy that has a NEXT iteration by
+    // that iteration's head takes (the wrapped i < 0 quirk edge and the
+    // full copy i = m-1 stay uncut — no next iteration exists).
     for (i <- (n - 1) until m; q <- copies(if (i < 0) m + i else i).finalStates)
-      d += new Transition(q, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
+      d += new Transition(q, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id,
+        cutBy = if (ast.greedy && i >= 0 && i < m - 1)
+          headTakes(copies(i + 1), copies(i + 1).q0) else Vector.empty)
     for (i <- 0 until m; q <- copies(i).finalStates)
       q.clearOutput()
     for (q <- dst0.finalStates)
@@ -539,9 +567,16 @@ final class DstCompiler(query: CepQuery) {
     for (q <- copies(n - 1).finalStates)
       d += new Transition(q, Pred.epsilon, copies(n - 1).q0, DataUpdate.Id,
         StreamUpdate.Id)
-    // output
+    // output; greedy cuts the emit-ε by the loop-back iteration's head
+    // takes (whose predicates the `until` rewrite below narrows — the
+    // cut sees the rewritten objects, so an until-stopped group
+    // proceeds, exactly as lpat-inf)
+    val loopHeadTakes =
+      if (ast.greedy) headTakes(copies(n - 1), copies(n - 1).q0)
+      else Vector.empty
     for (q <- copies(n - 1).finalStates)
-      d += new Transition(q, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
+      d += new Transition(q, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id,
+        cutBy = loopHeadTakes)
     for (i <- 0 until n; q <- copies(i).finalStates)
       q.clearOutput()
     for (q <- dst0.finalStates)
@@ -552,7 +587,12 @@ final class DstCompiler(query: CepQuery) {
     }
 
     if (optional)
-      d += new Transition(q0, Pred.epsilon, qf, DataUpdate.Id, StreamUpdate.Id)
+      // the zero-iteration stop; greedy forbids it when the first
+      // event could enter the group
+      d += new Transition(q0, Pred.epsilon, qf, DataUpdate.Id,
+        StreamUpdate.Id,
+        cutBy = if (ast.greedy) headTakes(copies(0), copies(0).q0)
+          else Vector.empty)
 
     new Dst(dst0.sigma, dst0.pi, dst0.x, dst0.y, states.toVector, q0,
       dst0.eta0, d.toVector)

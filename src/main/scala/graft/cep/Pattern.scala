@@ -140,15 +140,23 @@ object Pattern {
   /** Transparent grouping. */
   final case class Gpat(child: Pattern) extends Pattern
 
-  /** Repeat child group `from..to` times. */
-  final case class GpatTimes(child: Pattern, from: Int, to: Int)
+  /** Repeat child group `from..to` times. `greedy` as on [[Lpat]],
+    * lifted to group iterations: the group's proceed-ε is suppressed
+    * whenever the NEXT iteration's head take (any consuming edge in the
+    * ε-closure of the next copy's start) fires on the same event.
+    */
+  final case class GpatTimes(child: Pattern, from: Int, to: Int,
+      greedy: Boolean = false)
       extends Pattern
 
-  /** Repeat child group `>= from` times; optional `until`. */
+  /** Repeat child group `>= from` times; optional `until`; `greedy` as
+    * on [[GpatTimes]] (the cut guards are the post-`until` head takes).
+    */
   final case class GpatInf(
       child: Pattern,
       from: Int,
-      until: Option[Expr] = None
+      until: Option[Expr] = None,
+      greedy: Boolean = false
   ) extends Pattern
 
   /** Pretty-printer mirroring the reference's `ast_repr`
@@ -184,10 +192,13 @@ object Pattern {
         }
         s"${repr(c.left)}${glyph(c.contiguity)}$kind($neg)${repr(c.right)}"
       case g: Gpat    => s"(${repr(g.child)})"
-      case g: GpatTimes => s"(${repr(g.child)}){${g.from},${g.to}}"
+      case g: GpatTimes =>
+        val gr = if (g.greedy) "!" else ""
+        s"(${repr(g.child)}){${g.from},${g.to}}$gr"
       case g: GpatInf =>
         val u = g.until.map(e => s"U(${ExprRepr(e)})").getOrElse("")
-        s"(${repr(g.child)}){${g.from},inf}$u"
+        val gr = if (g.greedy) "!" else ""
+        s"(${repr(g.child)}){${g.from},inf}$gr$u"
     }
   }
 

@@ -615,8 +615,8 @@ object SparkCep {
     case c: Pattern.Combine    => hasGreedy(c.left) || hasGreedy(c.right)
     case c: Pattern.CombineNot => hasGreedy(c.left) || hasGreedy(c.right)
     case g: Pattern.Gpat       => hasGreedy(g.child)
-    case g: Pattern.GpatTimes  => hasGreedy(g.child)
-    case g: Pattern.GpatInf    => hasGreedy(g.child)
+    case g: Pattern.GpatTimes  => g.greedy || hasGreedy(g.child)
+    case g: Pattern.GpatInf    => g.greedy || hasGreedy(g.child)
   }
 
   /** Plain `Gpat` compiles to its child's DST verbatim

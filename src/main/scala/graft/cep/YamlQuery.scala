@@ -187,12 +187,12 @@ object YamlQuery {
         val l = loop(m)
         Pattern.GpatTimes(
           parsePattern(m.get("child").asInstanceOf[JMap[String, Object]]),
-          int(l, "from"), int(l, "to"))
+          int(l, "from"), int(l, "to"), greedy(l))
       case "gpat-inf" =>
         val l = loop(m)
         Pattern.GpatInf(
           parsePattern(m.get("child").asInstanceOf[JMap[String, Object]]),
-          int(l, "from"), untilOpt(m))
+          int(l, "from"), untilOpt(m), greedy(l))
       case other =>
         throw new IllegalArgumentException(s"unsupported AST node: $other")
     }

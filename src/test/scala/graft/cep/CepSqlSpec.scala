@@ -175,10 +175,12 @@ class CepSqlSpec extends AnyFunSuite {
         case 0 => Pattern.Gpat(gen(depth - 1))
         case 1 =>
           val f = rnd.nextInt(3)
-          Pattern.GpatTimes(gen(depth - 1), f, f + 1 + rnd.nextInt(2))
+          Pattern.GpatTimes(gen(depth - 1), f, f + 1 + rnd.nextInt(2),
+            greedy = rnd.nextInt(4) == 0)
         case _ =>
           Pattern.GpatInf(gen(depth - 1), rnd.nextInt(3),
-            if (rnd.nextBoolean()) Some(rndCond()) else None)
+            if (rnd.nextBoolean()) Some(rndCond()) else None,
+            greedy = rnd.nextInt(4) == 0)
       }
     // a seq = left-nested combine spine (the render normal form)
     def gen(depth: Int): Pattern = {

@@ -102,6 +102,134 @@ class GreedyLoopSpec extends AnyFunSuite {
     assert(greedy == Vector(("", "2"), ("1", "2")))
   }
 
+  test("GROUP greedy: times{1,2} keeps only the maximal iteration count " +
+    "per start") {
+    def pat(g: Boolean) = Pattern.Combine(Contiguity.Relaxed,
+      Pattern.GpatTimes(
+        Pattern.Combine(Contiguity.Strict,
+          Pattern.spat("a", "A", "True"), Pattern.spat("b", "B", "True")),
+        1, 2, greedy = g),
+      Pattern.spat("y", "C", "True"))
+    val evs = stream("A", "B", "A", "B", "C")
+    def pairs(ms: Vector[Match]) =
+      ms.map(m => (ids(m, "a"), ids(m, "b"), ids(m, "y")))
+    // reluctant: start@1 emits k=1 and k=2; start@3 emits k=1
+    assert(pairs(run(pat(false), evs)).toSet == Set(
+      (Vector(1L), Vector(2L), Vector(5L)),
+      (Vector(1L, 3L), Vector(2L, 4L), Vector(5L)),
+      (Vector(3L), Vector(4L), Vector(5L))))
+    // greedy: start@1's k=1 stop is forbidden (event 3 is an A the next
+    // iteration could take); start@3's k=1 survives (event 5 is the C)
+    assert(pairs(run(pat(true), evs)).toSet == Set(
+      (Vector(1L, 3L), Vector(2L, 4L), Vector(5L)),
+      (Vector(3L), Vector(4L), Vector(5L))))
+  }
+
+  test("GROUP greedy differential: gpat-inf/times == reluctant + head-" +
+    "take stop rule (seeded random streams)") {
+    val rnd = new scala.util.Random(20260822L)
+    val types = Vector("A", "B", "C", "D")
+    val conds = Vector("True", "v > 2", "v < 8")
+    var cases = 0
+    for {
+      trial <- 0 until 120
+      (inf, until) <- Seq((false, None), (true, None),
+        (true, Some("v > 7")))
+    } {
+      val ca = conds(rnd.nextInt(conds.length))
+      val from = 1 + rnd.nextInt(2)
+      val to = from + rnd.nextInt(2)
+      def group(g: Boolean): Pattern =
+        if (inf) Pattern.GpatInf(
+          Pattern.Combine(Contiguity.Strict,
+            Pattern.spat("a", "A", ca), Pattern.spat("b", "B", "True")),
+          from, until.map(Expr.parse), greedy = g)
+        else Pattern.GpatTimes(
+          Pattern.Combine(Contiguity.Strict,
+            Pattern.spat("a", "A", ca), Pattern.spat("b", "B", "True")),
+          from, to, greedy = g)
+      def pat(g: Boolean) = Pattern.Combine(Contiguity.Relaxed,
+        group(g), Pattern.spat("y", "C", "True"))
+      val n = 8 + rnd.nextInt(20)
+      val events = Vector.tabulate(n)(k =>
+        Event(types(rnd.nextInt(types.length)),
+          Vector("id" -> (k + 1).toLong, "v" -> rnd.nextInt(10).toLong)))
+      val reluctant = run(pat(false), events)
+      // stop rule: forbidden iff another iteration is allowed (k < to
+      // for times; always for inf) AND the head take — A matching ca,
+      // with until's narrowing — fires on the event right after the
+      // last iteration's b
+      val expected = reluctant.filter { m =>
+        val bIds = ids(m, "b")
+        val k = bIds.length
+        val allowedMore = if (inf) true else k < to
+        if (!allowedMore) true
+        else {
+          val stopPos = bIds.last.toInt // id == 1-based position
+          if (stopPos >= events.length) true
+          else {
+            val nx = events(stopPos)
+            val fires = nx.tpe == "A" &&
+              Expr.evalBoolIn(Expr.parse(ca),
+                Expr.env(nx.attrMap, Map.empty)) &&
+              until.forall(u => !Expr.evalBoolIn(Expr.parse(u),
+                Expr.env(nx.attrMap, Map.empty)))
+            !fires
+          }
+        }
+      }
+      val got = run(pat(true), events)
+      assert(got == expected,
+        s"trial $trial inf=$inf until=$until from=$from to=$to ca=$ca " +
+          s"events=" +
+          events.map(e => s"${e.tpe}${e("id")}(v=${e("v")})").mkString(",") +
+          s"\n got=${got.map(_.toString)}" +
+          s"\n exp=${expected.map(_.toString)}")
+      cases += 1
+    }
+    info(s"$cases group-greedy differential cases, all sequence-equal")
+    assert(cases == 360)
+  }
+
+  test("trailing GROUP greedy is rejected; YAML and SQL forms round-trip") {
+    val g = Pattern.GpatTimes(Pattern.Combine(Contiguity.Strict,
+      Pattern.spat("a", "A", "True"), Pattern.spat("b", "B", "True")),
+      1, 2, greedy = true)
+    val e = intercept[IllegalArgumentException] {
+      DstCompiler.compile(CepQuery(g, schema))
+    }
+    assert(e.getMessage.contains("greedy loop cannot be the last"))
+    // YAML flag on the group loop map
+    val y =
+      """type: query
+        |patseq:
+        |  type: combine
+        |  contiguity: relaxed
+        |  left:
+        |    type: gpat-times
+        |    child:
+        |      type: combine
+        |      contiguity: strict
+        |      left: {type: spat, name: a, event: A, cndt: {expr: "True"}}
+        |      right: {type: spat, name: b, event: B, cndt: {expr: "True"}}
+        |    loop: {from: 1, to: 2, greedy: true}
+        |  right: {type: spat, name: y, event: C, cndt: {expr: "True"}}
+        |context:
+        |  schema: {A: [id, v], B: [id, v], C: [id, v], D: [id, v]}
+        |""".stripMargin
+    val expected = Pattern.Combine(Contiguity.Relaxed, g,
+      Pattern.spat("y", "C", "True"))
+    assert(YamlQuery.fromYaml(y).patseq == expected)
+    // SQL form with group-greedy mark
+    val q = CepSql.parse(
+      "PATTERN ((a b){1,2}! -> y) DEFINE a AS A; b AS B; y AS C", schema)
+    assert(q.patseq == expected)
+    assert(CepSql.parse(CepSql.render(q), q.schema) == q)
+    // greedy group patterns refuse the pre-NFA pushdown like loop greedy
+    val spec = SparkCep.CepSpec(Some("k"), "id", "t", Seq("v"))
+    assert(SparkCep.prefilter(CepQuery(expected, schema), spec).isEmpty)
+  }
+
   test("trailing greedy is rejected at compile time, wherever it trails") {
     def bad(p: Pattern): Unit = {
       val e = intercept[IllegalArgumentException] {
