@@ -5323,8 +5323,10 @@ object Queries {
       |FROM final WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** IVFPQ top-5 against the COMMITTED persisted index
-    * (`Codebooks.ivfPqIndexPath`, built by `BuildIvfPqIndex` from the
-    * sf0.01 corpus with the committed quantizers) — the
+    * (`Codebooks.ivfPqIndexPathFor(dir)`, built per scale factor by
+    * `BuildIvfPqIndex` with the frozen sf0.01-trained quantizers —
+    * train once, encode any corpus; each replay sf queries an index of
+    * its OWN population, the same fix the dedup index got) — the
     * build-once/query-many read path that matters at 100 TB: the corpus
     * was encoded ONCE into `__cell=<id>/` parquet, and each query batch's
     * scan partition-prunes to its probes' cells at the FILE level
@@ -5339,7 +5341,7 @@ object Queries {
     val emb = table(spark, dir, "embeddings")
     val coarse = Codebooks.loadCoarse(spark, Codebooks.coarsePath)
     val pq = Codebooks.loadPq(spark, Codebooks.pqPath)
-    Similarity.ivfPqTopKFromIndex(Codebooks.ivfPqIndexPath, emb,
+    Similarity.ivfPqTopKFromIndex(Codebooks.ivfPqIndexPathFor(dir), emb,
       "vec_id", "embedding", k = 5, nprobe = 8, coarse, pq)
       .orderBy("query_id", "rnk")
   }
@@ -5352,8 +5354,10 @@ object Queries {
     s"""idx AS (
       |  SELECT __id AS nid, CAST(__cell AS BIGINT) AS cell,
       |    hex(__code) AS h
-      |  FROM read_parquet('${Codebooks.ivfPqIndexPath}/*/*.parquet',
-      |    hive_partitioning=1)),
+      |  FROM read_parquet('${Codebooks.ivfPqIndexRoot}/*/*/*.parquet',
+      |    hive_partitioning=1)
+      |  WHERE sf = (SELECT CASE WHEN count(*) >= 1500 THEN 'sf0.1'
+      |    ELSE 'sf0.01' END FROM embeddings)),
       |codes AS (
       |  SELECT nid, cell, js.j,
       |    CAST((strpos('0123456789ABCDEF',

@@ -47,7 +47,23 @@ object Codebooks {
     * the 100 TB read path — encode once, prune at the FILE level per
     * query batch.
     */
-  val ivfPqIndexPath = s"$defaultDir/ivfpq_index_flat.parquet"
+  val ivfPqIndexRoot = s"$defaultDir/ivfpq_index_sf"
+
+  /** The index for the corpus at `dataDir` — per-scale-factor like the
+    * dedup index (`dedupIndexPathFor`): the quantizers stay the frozen
+    * sf0.01-trained artifacts (train once, encode any corpus — the
+    * realistic deployment shape), but the ENCODED CORPUS matches the
+    * replay scale, so `knn_ivfpq_index_top5` queries each sf's vectors
+    * against an index of the same population. sf0.001 shares sf0.01's
+    * (identical embeddings table); unknown dirs fall back to sf0.01.
+    */
+  def ivfPqIndexPathFor(dataDir: String): String = {
+    val tag = new java.io.File(dataDir).getName match {
+      case "sf0.1" => "sf0.1"
+      case _       => "sf0.01"
+    }
+    s"$ivfPqIndexRoot/sf=$tag"
+  }
 
   /** Committed build-once/match-many MinHash dedup indexes, ONE PER
     * SCALE FACTOR (built by `graft.tools.BuildDedupIndex` from each

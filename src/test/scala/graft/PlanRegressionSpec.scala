@@ -286,7 +286,7 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.matches("(?s).*PartitionFilters: \\[__cell#\\d+ (INSET|IN).*"),
       s"probe-cell membership filter not in PartitionFilters:\n$p")
     // and nothing of the cell filter leaks into row-level filtering
-    assert(p.matches("(?s).*ivfpq_index_flat[^\\n]*PartitionFilters.*"),
+    assert(p.matches("(?s).*ivfpq_index_sf[^\\n]*PartitionFilters.*"),
       s"index scan missing PartitionFilters:\n$p")
   }
 
