@@ -1,0 +1,156 @@
+package graft.cep
+
+/** Slot-compiled form of [[Expr]] for the NFA hot loop.
+  *
+  * The interpreter in `Expr.evalNumIn` resolves every `Ref` through a
+  * layered map env (`event.attrMap` shadowing the data registers) and
+  * string-matches the operator of every `Arith`/`Cmp` node on every
+  * evaluation. Both costs sit on the innermost per-(run, edge, event)
+  * loop. BENCH.md's round-11 negative result showed that compiling the
+  * tree to CLOSURES loses (megamorphic call sites), and named the
+  * retry precondition: make `Ref` lookups positional. This is that
+  * retry, keeping the shape that won — a sealed-trait tree walked by a
+  * pattern match (JITs to a tableswitch) — and changing only what the
+  * nodes carry:
+  *
+  *   - `CAttr(slot, name)`: a ref whose edge's declared event layout
+  *     (from `CepQuery.schema`) puts `name` at `slot` — evaluated as a
+  *     guarded array read on `event.attrs` (no per-event `attrMap`
+  *     construction, no hash lookup). The guard re-checks the name at
+  *     the slot, so a binding is an OPTIMIZATION HINT, never a
+  *     soundness assumption: an event that does not match the declared
+  *     layout (hand-built events, shared `Pred` objects bound for a
+  *     different edge) falls back to the generic path below.
+  *   - `CRef(name)`: generic resolution — scan `event.attrs`
+  *     LAST-occurrence-first (parity with `attrMap = attrs.toMap`,
+  *     where a duplicated name resolves to its last occurrence), then
+  *     the data registers, then the reference's NameError.
+  *   - `CArith`/`CCmp` carry integer opcodes resolved at compile time.
+  *
+  * Known (documented) divergence: an event that declares the SAME attr
+  * name twice AND matches a bound layout at the slot resolves to that
+  * slot's occurrence, where `attrMap` resolves to the last. Duplicate
+  * attr names in one event are unconstructible through the Spark
+  * operators (schema-driven) and ambiguous already (`Event.apply` is
+  * first-wins vs `attrMap` last-wins); schema layouts with duplicate
+  * names are never bound (see `DstCompiler.bindSlots`).
+  *
+  * Differentially verified against both `Expr` evaluators over the
+  * 5,000-case Python-eval corpus under matched, absent, WRONG, and
+  * split attr/register layouts (`ExprDifferentialSpec`,
+  * `CompiledExprSpec`).
+  */
+object CompiledExpr {
+  sealed trait CExpr extends Serializable
+  final case class CLit(v: Long) extends CExpr
+  final case class CAttr(slot: Int, name: String) extends CExpr
+  final case class CRef(name: String) extends CExpr
+  final case class CArith(op: Int, l: CExpr, r: CExpr) extends CExpr
+  final case class CCmp(op: Int, l: CExpr, r: CExpr) extends CExpr
+  final case class CAnd(l: CExpr, r: CExpr) extends CExpr
+  final case class COr(l: CExpr, r: CExpr) extends CExpr
+  final case class CNot(e: CExpr) extends CExpr
+  final case class CNeg(e: CExpr) extends CExpr
+
+  // opcodes (compile-time resolved; the parser only emits these)
+  private final val ADD = 0; private final val SUB = 1
+  private final val MUL = 2; private final val MOD = 3
+  private final val FDIV = 4
+  private final val EQ = 0; private final val NE = 1
+  private final val LT = 2; private final val LE = 3
+  private final val GT = 4; private final val GE = 5
+
+  /** Compile against a declared attr layout (`null` = no layout: ε
+    * edges, wildcard-type edges, unknown types — every ref generic).
+    */
+  def compile(e: Expr, layout: Vector[String]): CExpr = e match {
+    case Expr.Lit(v)     => CLit(v)
+    case Expr.BoolLit(b) => CLit(if (b) 1L else 0L)
+    case Expr.Ref(n) =>
+      val slot = if (layout == null) -1 else layout.indexOf(n)
+      if (slot >= 0) CAttr(slot, n) else CRef(n)
+    case Expr.Arith(op, l, r) =>
+      val code = op match {
+        case "+" => ADD; case "-" => SUB; case "*" => MUL
+        case "%" => MOD; case "//" => FDIV
+        case other => throw new Expr.EvalException(s"bad arith op $other")
+      }
+      CArith(code, compile(l, layout), compile(r, layout))
+    case Expr.Cmp(op, l, r) =>
+      val code = op match {
+        case "==" => EQ; case "!=" => NE; case "<" => LT
+        case "<=" => LE; case ">" => GT; case ">=" => GE
+        case other => throw new Expr.EvalException(s"bad cmp op $other")
+      }
+      CCmp(code, compile(l, layout), compile(r, layout))
+    case Expr.And(l, r) => CAnd(compile(l, layout), compile(r, layout))
+    case Expr.Or(l, r)  => COr(compile(l, layout), compile(r, layout))
+    case Expr.Not(x)    => CNot(compile(x, layout))
+    case Expr.Neg(x)    => CNeg(compile(x, layout))
+  }
+
+  /** Generic name resolution, exact parity with `Expr.Env`:
+    * event attrs (last occurrence wins, as `attrs.toMap`) shadow the
+    * data registers; an unbound name raises the reference's NameError.
+    */
+  private def lookup(name: String, ev: Event, eta: Map[String, Long]): Long = {
+    if (ev != null) {
+      val a = ev.attrs
+      var i = a.length - 1
+      while (i >= 0) {
+        val kv = a(i)
+        if ((kv._1 eq name) || kv._1 == name) return kv._2
+        i -= 1
+      }
+    }
+    eta.getOrElse(name,
+      throw new Expr.EvalException(s"name '$name' is not defined"))
+  }
+
+  /** Evaluate to a primitive long (same folding as `Expr.evalNumIn`:
+    * truthiness == nonzero, Python operand-returning `and`/`or`,
+    * floor division/modulo). `ev` is nullable (ε evaluations).
+    */
+  def eval(e: CExpr, ev: Event, eta: Map[String, Long]): Long = e match {
+    case CLit(v) => v
+    case CAttr(slot, name) =>
+      if (ev != null) {
+        val a = ev.attrs
+        if (slot < a.length) {
+          val kv = a(slot)
+          if ((kv._1 eq name) || kv._1 == name) return kv._2
+        }
+      }
+      lookup(name, ev, eta)
+    case CRef(name) => lookup(name, ev, eta)
+    case CArith(op, l, r) =>
+      val a = eval(l, ev, eta); val b = eval(r, ev, eta)
+      op match {
+        case ADD => a + b
+        case SUB => a - b
+        case MUL => a * b
+        case MOD => Math.floorMod(a, b)
+        case _   => Math.floorDiv(a, b) // FDIV
+      }
+    case CCmp(op, l, r) =>
+      val a = eval(l, ev, eta); val b = eval(r, ev, eta)
+      val res = op match {
+        case EQ => a == b
+        case NE => a != b
+        case LT => a < b
+        case LE => a <= b
+        case GT => a > b
+        case _  => a >= b // GE
+      }
+      if (res) 1L else 0L
+    case CAnd(l, r) =>
+      val a = eval(l, ev, eta); if (a == 0L) a else eval(r, ev, eta)
+    case COr(l, r) =>
+      val a = eval(l, ev, eta); if (a != 0L) a else eval(r, ev, eta)
+    case CNot(x) => if (eval(x, ev, eta) == 0L) 1L else 0L
+    case CNeg(x) => -eval(x, ev, eta)
+  }
+
+  def evalBool(e: CExpr, ev: Event, eta: Map[String, Long]): Boolean =
+    eval(e, ev, eta) != 0L
+}

@@ -93,6 +93,15 @@ object Configuration {
 final case class Pred(evType: Option[String], expr: Expr) {
   val isEpsilon: Boolean = evType.isEmpty
 
+  /** Slot-compiled form of `expr` (see [[CompiledExpr]]), bound by
+    * `DstCompiler.bindSlots` after all `until` rewrites. Null until
+    * bound — `evaluate` then takes the original interpreter path, so a
+    * `Pred` constructed outside the compiler (specs, ad-hoc use) is
+    * unchanged. A body var: case-class equality/copy ignore it (a
+    * `copy` drops the binding and falls back, which is correct).
+    */
+  private[cep] var compiled: CompiledExpr.CExpr = null
+
   def neg: Pred = Pred(evType, Expr.Not(expr))
 
   /** `p → p ∧ ¬until` (`DST.py:110-114`). */
@@ -108,6 +117,9 @@ final case class Pred(evType: Option[String], expr: Expr) {
         }
       case None => ()
     }
+    val c = compiled
+    if (c != null)
+      return CompiledExpr.evalBool(c, event.orNull, eta)
     val attrs = event match {
       case Some(ev) => ev.attrMap
       case None     => Pred.emptyAttrs
@@ -126,13 +138,33 @@ object Pred {
   * (`DST.py:139-144` evaluates all updates against the original `eta`).
   */
 final case class DataUpdate(alpha: Vector[(String, Expr)]) {
+  /** Slot-compiled updates (see [[Pred.compiled]]); same binding and
+    * fallback contract. Every expression reads the PRE-update η in both
+    * paths (the compiled loop passes the original `eta` to each eval
+    * and accumulates into a separate map).
+    */
+  private[cep] var compiled: Array[(String, CompiledExpr.CExpr)] = null
+
   def update(eta: Map[String, Long], event: Option[Event]): Map[String, Long] =
     if (alpha.isEmpty) eta
     else {
-      val env =
-        Expr.env(event.map(_.attrMap).getOrElse(Pred.emptyAttrs), eta)
-      eta ++ alpha.map { case (k, e) =>
-        k -> Expr.evalNumIn(e, env)
+      val c = compiled
+      if (c != null) {
+        val ev = event.orNull
+        var m = eta
+        var i = 0
+        while (i < c.length) {
+          val kv = c(i)
+          m = m.updated(kv._1, CompiledExpr.eval(kv._2, ev, eta))
+          i += 1
+        }
+        m
+      } else {
+        val env =
+          Expr.env(event.map(_.attrMap).getOrElse(Pred.emptyAttrs), eta)
+        eta ++ alpha.map { case (k, e) =>
+          k -> Expr.evalNumIn(e, env)
+        }
       }
     }
   def isId: Boolean = alpha.isEmpty

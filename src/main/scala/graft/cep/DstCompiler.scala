@@ -26,7 +26,39 @@ final class DstCompiler(query: CepQuery) {
   def compile(): Dst = {
     val dst = compileNode(query.patseq)
     rejectTrailingGreedy(dst)
+    bindSlots(dst)
     dst
+  }
+
+  /** Bind every transition's predicate and α-update to its
+    * slot-compiled form (see [[CompiledExpr]]). Runs LAST: all `until`
+    * predicate rewrites have happened, so the bound object is the one
+    * the executor (and the greedy `cutBy` guards) will evaluate. The
+    * layout is the edge's declared event type's schema attrs — ε edges,
+    * wildcard edges, undeclared types, and layouts with duplicate names
+    * bind with no layout (every ref generic). A `Pred`/`DataUpdate`
+    * object shared by edges of different types gets one of the layouts;
+    * sound either way — the slot guard falls back on any event that
+    * does not match (see the CompiledExpr doc).
+    */
+  private def bindSlots(dst: Dst): Unit = {
+    val layouts: Map[String, Vector[String]] = query.schema.toMap
+    def layoutFor(evType: Option[String]): Vector[String] = evType match {
+      case Some(t) if t != Pred.AnyType =>
+        layouts.get(t) match {
+          case Some(l) if l.distinct.length == l.length => l
+          case _                                        => null
+        }
+      case _ => null
+    }
+    dst.delta.foreach { t =>
+      val layout = layoutFor(t.p.evType)
+      t.p.compiled = CompiledExpr.compile(t.p.expr, layout)
+      if (!t.alpha.isId)
+        t.alpha.compiled = t.alpha.alpha.iterator.map { case (k, e) =>
+          (k, CompiledExpr.compile(e, layout))
+        }.toArray
+    }
   }
 
   /** FlinkCEP parity restriction: a greedy loop cannot be the LAST
