@@ -300,7 +300,11 @@ final class Dst(
 
   def finalStates: Vector[State] = states.filter(_.out.isDefined)
 
-  def initialConfiguration: Configuration =
+  /** Cached: deterministic, and `Configuration` is deeply immutable
+    * (every taken transition copies), so one shared instance serves
+    * every run spawn — the executor spawns one per fed event.
+    */
+  val initialConfiguration: Configuration =
     Configuration.make(q0, eta0, Map.empty)
 
   /** Structural detection of the `within` state-bound caveat: is there a

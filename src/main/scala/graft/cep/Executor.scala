@@ -223,7 +223,9 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
       case None => 0L
     }
 
-    val t = ArrayBuffer.from(S)
+    // swap, not copy: the old S becomes this step's work queue (consumed
+    // only here) and a fresh S accumulates the survivors
+    val t = S
     S = ArrayBuffer.empty
     t += ((i, dst.initialConfiguration))
 
