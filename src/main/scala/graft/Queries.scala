@@ -794,6 +794,75 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY m.user_id, m.s_id, c_ids, p_id""".stripMargin
 
+  /** The MEASURES clause end-to-end (`CepMeasures` — MATCH_RECOGNIZE's
+    * per-match aggregate projection): the funnel pattern emitting ONE
+    * FLAT ROW PER MATCH of scalar measures instead of binding arrays.
+    * Exercises both evaluation tiers — positional (`FIRST(s)`,
+    * `COUNT(c)`, `LAST(p)`: pure codegen over the id arrays, no join)
+    * and attribute (`SUM/MIN/LAST(c.value)`, `FIRST(p.value)`: explode
+    * the bindings, join events on (key, order), re-aggregate per match
+    * with `sum`/`min`/`min_by`/`max_by`). The oracle recomputes every
+    * measure from the funnel CTEs' bound positions, certifying the
+    * join-back path value-exactly (`value` truncates to long on both
+    * engines: CAST(FLOOR(...)), the conditions' convention).
+    */
+  val cepSqlMeasuresStatement: CepSql.CepSqlStatement = CepSql.parseStatement(
+    "PATTERN (s -> c{1,2} -> p) " +
+      "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_clicks, " +
+      "SUM(c.value) AS c_value, MIN(c.value) AS min_c_value, " +
+      "LAST(c.value) AS last_c_value, LAST(p) AS p_id, " +
+      "FIRST(p.value) AS p_value " +
+      "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+    eventSchema)
+
+  def cepSqlMeasuresFunnel(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlMeasuresStatement,
+      eventSpec)
+      .orderBy("user_id", "s_id", "n_clicks", "c_value", "min_c_value",
+        "last_c_value", "p_id", "p_value")
+
+  val cepSqlMeasuresFunnelSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT m.user_id, m.s_id,
+      |  CAST(CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END AS BIGINT)
+      |    AS n_clicks,
+      |  e1.v + COALESCE(e2.v, 0) AS c_value,
+      |  LEAST(e1.v, COALESCE(e2.v, e1.v)) AS min_c_value,
+      |  COALESCE(e2.v, e1.v) AS last_c_value,
+      |  ep.event_id AS p_id,
+      |  ep.v AS p_value
+      |FROM m
+      |JOIN seqd e1 ON e1.user_id = m.user_id AND e1.seq = m.c1_seq
+      |LEFT JOIN seqd e2 ON e2.user_id = m.user_id AND e2.seq = m.c2_seq
+      |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
+      |ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+
   /** The shed valve's registry gauge (`SparkCep.shedGauge`): nd-relaxed
     * click pairs under the shed-oldest salvage at cap 1, one row per
     * user with the surviving-match and shed-run counts as DATA. With
@@ -5522,6 +5591,7 @@ object Queries {
     "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairs _,
     "cep_greedy_click_runs" -> cepGreedyClickRuns _,
     "cep_sql_funnel" -> cepSqlFunnel _,
+    "cep_sql_measures_funnel" -> cepSqlMeasuresFunnel _,
     "cep_shed_gauge" -> cepShedGauge _,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignups _,
     "cep_iter_budget" -> cepIterBudget _,
@@ -5665,6 +5735,7 @@ object Queries {
     "cep_skip_to_last_click_pairs" -> cepSkipToLastClickPairsSql,
     "cep_greedy_click_runs" -> cepGreedyClickRunsSql,
     "cep_sql_funnel" -> cepSqlFunnelSql,
+    "cep_sql_measures_funnel" -> cepSqlMeasuresFunnelSql,
     "cep_shed_gauge" -> cepShedGaugeSql,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignupsSql,
     "cep_iter_budget" -> cepIterBudgetSql,

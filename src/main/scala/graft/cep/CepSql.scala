@@ -19,8 +19,13 @@ package graft.cep
   * condition language, handed verbatim to `Expr.parse`):
   *
   * {{{
-  * query  := PATTERN '(' seq ')' DEFINE def (';' def)*
+  * query  := PATTERN '(' seq ')' [MEASURES meas (',' meas)*]
+  *           DEFINE def (';' def)*
   *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
+  * meas   := FN '(' name ['.' attr] ')' AS alias
+  *           (FN := COUNT|FIRST|LAST|SUM|MIN|MAX — one flat row per
+  *            match; see [[CepMeasures]]. `parse` rejects MEASURES —
+  *            use `parseStatement`, whose result carries them)
   * seq    := unit (sep [neg] unit)*
   * sep    :=            (juxtaposition = strict contiguity)
   *         | '->'       (relaxed)
@@ -28,8 +33,9 @@ package graft.cep
   * neg    := '!next(' name ')' | '!fby(' name ')'      (negative pattern
   *           at the boundary; the name's DEFINE gives its type/condition)
   * unit   := name [quant] | '(' seq ')' [gquant] [':' name]
-  * quant  := ('+' | '*' | '{' n ',' [m] '}') ['~' | '~~'] ['!']
-  *           ('+' = {1,}, '*' = {0,}; open upper bound = unbounded loop;
+  * quant  := ('+' | '*' | '?' | '{' n ',' [m] '}') ['~' | '~~'] ['!']
+  *           ('+' = {1,}, '*' = {0,}, '?' = {0,1} (optional);
+  *            open upper bound = unbounded loop;
   *            '~' relaxed / '~~' nd-relaxed ITERATION contiguity, strict
   *            by default; trailing '!' = greedy)
   * gquant := ('+' | '*' | '{' n ',' [m] '}') ['!']    (group repeat;
@@ -64,6 +70,7 @@ object CepSql {
   private case object TNdArrow extends Tok   // ~>
   private case object TPlus extends Tok
   private case object TStar extends Tok
+  private case object TQmark extends Tok    // ? = {0,1}
   private case object TLBrace extends Tok
   private case object TRBrace extends Tok
   private case object TComma extends Tok
@@ -89,6 +96,7 @@ object CepSql {
       else if (c == ':') { out += TColon; i += 1 }
       else if (c == '+') { out += TPlus; i += 1 }
       else if (c == '*') { out += TStar; i += 1 }
+      else if (c == '?') { out += TQmark; i += 1 }
       else if (c == '-') {
         if (i + 1 < s.length && s(i + 1) == '>') { out += TArrow; i += 2 }
         else err("expected '->'")
@@ -195,8 +203,9 @@ object CepSql {
     }
 
     private def parseBounds(): Option[(Int, Option[Int])] = peek match {
-      case Some(TPlus) => next(); Some((1, None))
-      case Some(TStar) => next(); Some((0, None))
+      case Some(TPlus)  => next(); Some((1, None))
+      case Some(TStar)  => next(); Some((0, None))
+      case Some(TQmark) => next(); Some((0, Some(1)))
       case Some(TLBrace) =>
         next()
         val from = next() match {
@@ -395,8 +404,40 @@ object CepSql {
     * schema every other query surface takes; it describes the data, not
     * the pattern).
     */
+  /** A parsed CEP SQL statement: the lowered query plus any MEASURES
+    * (empty when the statement has no MEASURES clause). Execute with
+    * [[CepMeasures.run]], or match `query` yourself and project via
+    * [[CepMeasures.project]].
+    */
+  final case class CepSqlStatement(query: CepQuery,
+      measures: Vector[CepMeasures.Measure])
+
+  /** As [[parseStatement]], for statements without MEASURES (rejects a
+    * MEASURES clause loudly — a `CepQuery` cannot carry it).
+    */
   def parse(sql: String,
       schema: Vector[(String, Vector[String])]): CepQuery = {
+    val st = parseStatement(sql, schema)
+    require(st.measures.isEmpty,
+      "CEP SQL: statement has a MEASURES clause — use parseStatement " +
+        "(and CepMeasures.run) instead of parse")
+    st.query
+  }
+
+  private val MeasureRe =
+    """^([A-Z]+)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+
+  private def parseMeasure(text: String): CepMeasures.Measure =
+    text.trim match {
+      case MeasureRe(fn, name, attr, alias) =>
+        CepMeasures.Measure(CepMeasures.Fn.fromName(fn), name,
+          Option(attr), alias)
+      case t => throw new IllegalArgumentException(
+        s"CEP SQL MEASURES: expected 'FN(name[.attr]) AS alias', got '$t'")
+    }
+
+  def parseStatement(sql: String,
+      schema: Vector[(String, Vector[String])]): CepSqlStatement = {
     val text = sql.trim
     val (_, _, afterPattern) = splitAtKeyword(text, Seq("PATTERN"))
       .getOrElse(throw new IllegalArgumentException(
@@ -417,9 +458,19 @@ object CepSql {
     val patBody = afterPattern.substring(open + 1, close)
     val afterPat = afterPattern.substring(close + 1)
 
-    val (_, _, afterDefineKw) = splitAtKeyword(afterPat, Seq("DEFINE"))
+    val (preDefine, _, afterDefineKw) = splitAtKeyword(afterPat,
+      Seq("DEFINE"))
       .getOrElse(throw new IllegalArgumentException(
         "CEP SQL: missing DEFINE section"))
+    val measures: Vector[CepMeasures.Measure] =
+      splitAtKeyword(preDefine, Seq("MEASURES")) match {
+        case Some((before, _, mtext)) =>
+          require(before.trim.isEmpty,
+            s"CEP SQL: unexpected text before MEASURES: '${before.trim}'")
+          // measure items carry no nested commas (FN(name[.attr]))
+          mtext.split(',').toVector.map(parseMeasure)
+        case None => Vector.empty
+      }
     val (defsText, tailOpt) =
       splitAtKeyword(afterDefineKw, Seq("WITHIN", "AFTER")) match {
         case Some((d, kw, r)) => (d, Some((kw, r)))
@@ -449,8 +500,17 @@ object CepSql {
             catch { case _: NumberFormatException =>
               throw new IllegalArgumentException(
                 s"CEP SQL: WITHIN expects an integer, got '$s'") }
+          // the step window is an Int downstream — reject overflow here
+          // rather than let `.toInt` truncate (WITHIN 4294967301 must
+          // not silently become within=5)
+          def stepWindow(n: String): Int = {
+            val v = num(n)
+            if (v > Int.MaxValue) throw new IllegalArgumentException(
+              s"CEP SQL: WITHIN step window $v exceeds ${Int.MaxValue}")
+            v.toInt
+          }
           section.split("\\s+").toVector match {
-            case Vector(n) => within = Some(num(n).toInt)
+            case Vector(n) => within = Some(stepWindow(n))
             case Vector(n, "ON", attr) =>
               withinTime = Some(WithinTime(attr, num(n)))
             case _ => throw new IllegalArgumentException(
@@ -479,7 +539,43 @@ object CepSql {
     val parser = new PParser(lex(patBody))
     val seq = parser.parseSeq()
     parser.assertDone()
-    CepQuery(lower(seq, defMap), schema, strategy, within, withinTime)
+    // a DEFINEd name may appear at most once in the pattern: sinks bind
+    // by name, so PATTERN (a -> a) would silently merge both positions'
+    // bindings into one stream register instead of failing
+    def namesOf(s: PSeq): Vector[String] = {
+      def unit(u: PU): Vector[String] = u match {
+        case PName(n, _)         => Vector(n)
+        case PGroup(g, _, label) => namesOf(g) ++ label.toVector
+      }
+      unit(s.head) ++ s.tail.flatMap { case (_, neg, u) =>
+        neg.map(_._2).toVector ++ unit(u) }
+    }
+    namesOf(seq).groupBy(identity).foreach { case (n, uses) =>
+      require(uses.length == 1,
+        s"CEP SQL: pattern name '$n' appears ${uses.length} times — " +
+          "each DEFINEd name may appear at most once in PATTERN")
+    }
+    // measure targets must be event-binding DEFINEs with known attrs
+    measures.foreach { m =>
+      val d = defMap.getOrElse(m.name, throw new IllegalArgumentException(
+        s"CEP SQL MEASURES: '${m.name}' has no DEFINE"))
+      require(d.event != GroupEvent,
+        s"CEP SQL MEASURES: '${m.name}' is a GROUP label — groups bind " +
+          "no events to measure")
+      m.attr.foreach { a =>
+        val attrs = schema.collectFirst { case (e, as) if e == d.event => as }
+          .getOrElse(Vector.empty)
+        require(attrs.contains(a),
+          s"CEP SQL MEASURES: '${m.name}.$a' — event '${d.event}' has " +
+            s"no attribute '$a' in the schema")
+      }
+    }
+    measures.groupBy(_.alias).foreach { case (a, ms) =>
+      require(ms.length == 1,
+        s"CEP SQL MEASURES: duplicate alias '$a'") }
+    CepSqlStatement(
+      CepQuery(lower(seq, defMap), schema, strategy, within, withinTime),
+      measures)
   }
 
   // --------------------------------------------------------------- render
@@ -494,7 +590,11 @@ object CepSql {
     * Conditions render via the engine's precedence-parenthesised
     * expression printer, which re-parses to the same AST.
     */
-  def render(q: CepQuery): String = {
+  def render(st: CepSqlStatement): String =
+    render(st.query, st.measures)
+
+  def render(q: CepQuery,
+      measures: Vector[CepMeasures.Measure] = Vector.empty): String = {
     val defs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var groupN = 0
     def exprS(e: Expr): String = Pattern.ExprRepr(e)
@@ -579,7 +679,12 @@ object CepSql {
       case other => unit(other)
     }
     val body = seqS(q.patseq)
-    val sb = new StringBuilder(s"PATTERN ($body) DEFINE ")
+    val measS =
+      if (measures.isEmpty) ""
+      else "\nMEASURES " + measures.map(m =>
+        s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}) " +
+          s"AS ${m.alias}").mkString(", ") + "\n"
+    val sb = new StringBuilder(s"PATTERN ($body)$measS DEFINE ")
     sb ++= defs.values.mkString(";\n       ")
     q.within.foreach(w => sb ++= s"\nWITHIN $w")
     q.withinTime.foreach(wt => sb ++= s"\nWITHIN ${wt.span} ON ${wt.tsAttr}")

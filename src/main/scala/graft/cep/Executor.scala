@@ -61,7 +61,17 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
       * order by construction). Same untaken-run caveat as `within`.
       * Composes with `within`: both gates must pass.
       */
-    val withinTime: Option[WithinTime] = None)
+    val withinTime: Option[WithinTime] = None,
+    /** Opt-in for the timeout side output: only when true do the window
+      * sweeps append swept non-accepting partials (with their full ctx
+      * event vectors) to the `drainTimedOut` buffer. The normal match
+      * operators never drain, so capturing unconditionally would retain
+      * every dead partial until the next reset — re-unbounding per-key
+      * memory on exactly the path window pruning bounds. Set only by
+      * the timedOutPartials operators / `runWithTimeouts`, which drain
+      * after every feed.
+      */
+    val captureTimeouts: Boolean = false)
     extends Serializable {
 
   require(within.forall(_ >= 1), s"within must be >= 1, got $within")
@@ -111,7 +121,9 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     * already emitted this step, and untaken runs have no window to
     * expire. Project a configuration's bound events via
     * `partialOutput`. Drain after every `feed` — the buffer is cleared
-    * here and never rides snapshot/restore.
+    * here and never rides snapshot/restore. Empty unless the executor
+    * was constructed with `captureTimeouts = true` (capture is opt-in
+    * so non-draining operators never retain dead partials).
     */
   def drainTimedOut(): Vector[Configuration] = {
     val t = timedOut; timedOut = Vector.empty; t
@@ -329,8 +341,9 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     within.foreach { w =>
       if (S.exists { case (_, c) => c.firstTake != 0 && i - c.firstTake >= w - 1 }) {
         // capture swept non-accepting partials for the timeout side
-        // output before removing them (see `drainTimedOut`)
-        S.foreach { case (_, c) =>
+        // output before removing them (see `drainTimedOut`) — opt-in
+        // only: non-draining operators must not retain dead partials
+        if (captureTimeouts) S.foreach { case (_, c) =>
           if (c.firstTake != 0 && i - c.firstTake >= w - 1 &&
               !dst.accept(c))
             timedOut :+= c
@@ -348,7 +361,7 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     withinTime.foreach { wt =>
       if (S.exists { case (_, c) =>
             c.firstTake != 0 && ts - c.firstTakeTs >= wt.span }) {
-        S.foreach { case (_, c) =>
+        if (captureTimeouts) S.foreach { case (_, c) =>
           if (c.firstTake != 0 && ts - c.firstTakeTs >= wt.span &&
               !dst.accept(c))
             timedOut :+= c
@@ -400,9 +413,11 @@ final class CepOperator(val executor: Executor) {
 }
 
 object CepOperator {
-  def fromQuery(query: CepQuery): CepOperator =
+  def fromQuery(query: CepQuery,
+      captureTimeouts: Boolean = false): CepOperator =
     new CepOperator(new Executor(DstCompiler.compile(query), query.strategy,
-      within = query.within, withinTime = query.withinTime))
+      within = query.within, withinTime = query.withinTime,
+      captureTimeouts = captureTimeouts))
 
   /** One-shot convenience: run `query` over an ordered event sequence. */
   def run(query: CepQuery, input: IterableOnce[Event]): Vector[Match] =
@@ -418,7 +433,7 @@ object CepOperator {
     require(query.within.isDefined || query.withinTime.isDefined,
       "runWithTimeouts needs a windowed query (within/withinTime) — " +
         "an unwindowed run never times out")
-    val op = fromQuery(query)
+    val op = fromQuery(query, captureTimeouts = true)
     val names = {
       // pattern-name order, derived from the AST (the projection order
       // match rows use)

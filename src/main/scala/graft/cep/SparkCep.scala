@@ -194,7 +194,8 @@ object SparkCep {
     val orderName = attrNames.head
     val out = parted.mapPartitions { rows =>
       val executor = new Executor(DstCompiler.compile(query),
-        query.strategy, effMaxRuns, query.within, query.withinTime)
+        query.strategy, effMaxRuns, query.within, query.withinTime,
+        captureTimeouts = true)
       var curKey = 0L
       var started = false
       rows.flatMap { row =>

@@ -402,7 +402,7 @@ object StreamingCep {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
-            query.within, query.withinTime)
+            query.within, query.withinTime, captureTimeouts = true)
           if (state.exists) {
             val st = CepStateCodec.decode(state.get)
             if (st.variant == CepStateCodec.VariantEventTime ||
@@ -678,7 +678,7 @@ object StreamingCep {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
-            query.within, query.withinTime)
+            query.within, query.withinTime, captureTimeouts = true)
           val prev = if (state.exists) CepStateCodec.decode(state.get)
             else CepStateEt(0, Nil, Nil)
           if (prev.variant == CepStateCodec.VariantArrival)

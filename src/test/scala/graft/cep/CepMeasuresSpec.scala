@@ -1,0 +1,177 @@
+package graft.cep
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import SparkCep.CepSpec
+
+/** The MEASURES projection (`CepMeasures`): per-match scalar aggregates
+  * over a match frame — positional tier (size/get over the binding
+  * arrays) and attribute tier (explode → join events on (key, order) →
+  * re-aggregate per match). Pinned against hand-computed values on a
+  * crafted stream and against an independent in-memory model over the
+  * executor's own matches.
+  */
+class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val schema: Vector[(String, Vector[String])] = Vector(
+    "S" -> Vector("id", "v"), "C" -> Vector("id", "v"),
+    "P" -> Vector("id", "v"))
+  private val spec = CepSpec(Some("k"), "id", "t", Seq("v"))
+
+  /** (key, id, type, v) rows — id globally unique and monotone per key. */
+  private def eventsDf(rows: (Long, Long, String, Long)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("k", "id", "t", "v")
+  }
+
+  test("positional + attribute measures against hand-computed values") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_c, SUM(c.v) AS sum_c, " +
+        "MIN(c.v) AS min_c, MAX(c.v) AS max_c, FIRST(c.v) AS first_c, " +
+        "LAST(c.v) AS last_c, LAST(p) AS p_id, FIRST(p.v) AS p_v " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    // key 1: S(1), C(2,v=7), C(3,v=4), P(4,v=9) — two matches (c{1} fork
+    // at strict loop boundary takes c=[2] and c=[2,3])
+    // key 2: S(10), C(11,v=5), P(12,v=2) — one match
+    val df = eventsDf(
+      (1L, 1L, "S", 0L), (1L, 2L, "C", 7L), (1L, 3L, "C", 4L),
+      (1L, 4L, "P", 9L),
+      (2L, 10L, "S", 0L), (2L, 11L, "C", 5L), (2L, 12L, "P", 2L))
+    val out = CepMeasures.run(df, st, spec)
+      .orderBy("k", "s_id", "n_c", "sum_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9))).toVector
+    assert(out == Vector(
+      (1L, 1L, 1L, 7L, 7L, 7L, 7L, 7L, 4L, 9L),
+      (1L, 1L, 2L, 11L, 4L, 7L, 7L, 4L, 4L, 9L),
+      (2L, 10L, 1L, 5L, 5L, 5L, 5L, 5L, 12L, 2L)))
+  }
+
+  test("empty optional binding: COUNT 0, NULL for every other measure") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s c? -> p) " +
+        "MEASURES COUNT(c) AS n_c, FIRST(c) AS c_id, SUM(c.v) AS sum_c, " +
+        "LAST(p.v) AS p_v " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    // S(1), P(2): the optional c takes nothing — one match with c empty
+    val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "P", 3L))
+    val rows = CepMeasures.run(df, st, spec).collect().toVector
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("n_c")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("c_id")))
+    assert(r.isNullAt(r.fieldIndex("sum_c")))
+    assert(r.getLong(r.fieldIndex("p_v")) == 3L)
+  }
+
+  test("unkeyed spec: joins on order alone; no key column in output") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> p) MEASURES FIRST(s) AS s_id, SUM(p.v) AS p_v " +
+        "DEFINE s AS S; p AS P", schema)
+    val df = eventsDf((9L, 1L, "S", 0L), (9L, 2L, "C", 1L),
+      (9L, 3L, "P", 6L))
+    val unkeyed = CepSpec(None, "id", "t", Seq("v"))
+    val out = CepMeasures.run(df, st, unkeyed)
+    assert(out.columns.toVector == Vector("s_id", "p_v"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toVector ==
+      Vector((1L, 6L)))
+  }
+
+  test("differential: measures == an independent model over the " +
+    "executor's own matches (seeded random streams)") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2}~ -> p) " +
+        "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_c, SUM(c.v) AS sum_c, " +
+        "LAST(c.v) AS last_c, LAST(p) AS p_id " +
+        "DEFINE s AS S; c AS C; p AS P WITHIN 6", schema)
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 20) {
+      val types = Vector("S", "C", "P")
+      val n = 12 + rnd.nextInt(12)
+      val evs = (1 to n).map { i =>
+        (1L + rnd.nextInt(2), i.toLong, types(rnd.nextInt(3)),
+          rnd.nextInt(10).toLong)
+      }
+      val df = eventsDf(evs: _*)
+      val got = CepMeasures.run(df, st, spec)
+        .collect().map(r => (r.getLong(0),
+          r.getLong(r.fieldIndex("s_id")), r.getLong(r.fieldIndex("n_c")),
+          r.getLong(r.fieldIndex("sum_c")),
+          r.getLong(r.fieldIndex("last_c")),
+          r.getLong(r.fieldIndex("p_id"))))
+        .toVector.sorted
+      // independent model: run the pure executor per key, compute the
+      // measures from the bound events directly
+      val byKey = evs.groupBy(_._1)
+      val want = byKey.toVector.flatMap { case (k, kevs) =>
+        val stream = kevs.sortBy(_._2).map(e =>
+          Event(e._3, Vector("id" -> e._2, "v" -> e._4)))
+        CepOperator.run(st.query, stream).map { m =>
+          val mm = m.toMap
+          val cs = mm("c")
+          val vOf = kevs.map(e => e._2 -> e._4).toMap
+          (k, mm("s").head("id"), cs.length.toLong,
+            cs.map(e => vOf(e("id"))).sum, vOf(cs.last("id")),
+            mm("p").head("id"))
+        }
+      }.sorted
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
+  test("validation: bad measures fail loudly at parse time") {
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.parseStatement(sql, schema)
+      }
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    bad("PATTERN (a) MEASURES MEDIAN(a) AS x DEFINE a AS S",
+      "unknown function")
+    bad("PATTERN (a) MEASURES COUNT(a.v) AS x DEFINE a AS S",
+      "takes no attribute")
+    bad("PATTERN (a) MEASURES SUM(a) AS x DEFINE a AS S",
+      "needs an attribute")
+    bad("PATTERN (a) MEASURES COUNT(z) AS x DEFINE a AS S", "no DEFINE")
+    bad("PATTERN (a) MEASURES SUM(a.nope) AS x DEFINE a AS S",
+      "no attribute 'nope'")
+    bad("PATTERN (a) MEASURES COUNT(a) AS x, FIRST(a) AS x DEFINE a AS S",
+      "duplicate alias")
+    bad("PATTERN ((a)+:g) MEASURES COUNT(g) AS x " +
+      "DEFINE a AS S; g AS GROUP", "GROUP label")
+    bad("PATTERN (a) MEASURES COUNT(a) x DEFINE a AS S", "expected")
+    // parse (the CepQuery-only surface) rejects MEASURES loudly
+    val e = intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (a) MEASURES COUNT(a) AS n DEFINE a AS S",
+        schema)
+    }
+    assert(e.getMessage.contains("parseStatement"))
+  }
+
+  test("statement render round-trips measures") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES FIRST(s) AS s_id, SUM(c.v) AS sum_c, COUNT(c) AS n_c " +
+        "DEFINE s AS S; c AS C; p AS P WITHIN 8", schema)
+    val again = CepSql.parseStatement(CepSql.render(st), schema)
+    assert(again == st)
+  }
+}

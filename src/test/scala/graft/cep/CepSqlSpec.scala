@@ -100,6 +100,16 @@ class CepSqlSpec extends AnyFunSuite {
       Pattern.Spat("c", "C", Expr.True)))
   }
 
+  test("'?' is the optional quantifier: {0,1}") {
+    val q = CepSql.parse("PATTERN (a b? c) DEFINE a AS A; b AS B; c AS C",
+      schema)
+    assert(q.patseq == Pattern.Combine(Contiguity.Strict,
+      Pattern.Combine(Contiguity.Strict,
+        Pattern.Spat("a", "A", Expr.True),
+        Pattern.Lpat("b", "B", Expr.True, Contiguity.Strict, 0, 1)),
+      Pattern.Spat("c", "C", Expr.True)))
+  }
+
   test("parse errors are actionable") {
     def bad(sql: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException] {
@@ -114,6 +124,12 @@ class CepSqlSpec extends AnyFunSuite {
     bad("PATTERN (a) DEFINE a AS A UNTIL v > 3", "unbounded loop")
     bad("PATTERN (a{2,3}) DEFINE a AS A UNTIL v > 3", "unbounded loop")
     bad("PATTERN (a) DEFINE a AS A WITHIN nope", "WITHIN")
+    // a name may appear once: sinks bind by name, so 'a -> a' would
+    // silently merge both positions into one stream register
+    bad("PATTERN (a -> a) DEFINE a AS A", "appears 2 times")
+    bad("PATTERN (a (a)+) DEFINE a AS A", "appears 2 times")
+    // step window is Int downstream; Long values must fail, not truncate
+    bad("PATTERN (a) DEFINE a AS A WITHIN 4294967301", "exceeds")
     bad("PATTERN (a) DEFINE a AS A AFTER MATCH SKIP SIDEWAYS", "AFTER MATCH")
     bad("PATTERN (a}", "unbalanced")
     bad("PATTERN (a %) DEFINE a AS A", "unexpected")

@@ -31,7 +31,8 @@ class TimeoutPartialSpec extends AnyFunSuite {
   private def runWithTimeouts(q: CepQuery, events: Vector[Event])
       : (Vector[Match], Vector[Vector[Vector[Long]]]) = {
     val ex = new Executor(DstCompiler.compile(q), q.strategy,
-      within = q.within, withinTime = q.withinTime)
+      within = q.within, withinTime = q.withinTime,
+      captureTimeouts = true)
     val names = SparkCep.patternNames(q.patseq)
     val ms = Vector.newBuilder[Match]
     val ts = Vector.newBuilder[Vector[Vector[Long]]]
@@ -47,6 +48,19 @@ class TimeoutPartialSpec extends AnyFunSuite {
     Pattern.Combine(Contiguity.Relaxed,
       Pattern.spat("x", "A", "True"), Pattern.spat("y", "C", "True")),
     schema, within = Some(3))
+
+  test("capture is opt-in: a default executor never buffers swept " +
+    "partials (non-draining operators must not retain dead runs)") {
+    // same stream as the timeout test below — with the default flag the
+    // sweep prunes without capturing, so the buffer stays empty even
+    // though matches/pruning behave identically
+    val ex = new Executor(DstCompiler.compile(xThenY), xThenY.strategy,
+      within = xThenY.within)
+    val ms = Vector.newBuilder[Match]
+    stream("A", "D", "D", "A", "D").foreach(ev => ms ++= ex.feed(ev))
+    assert(ms.result().isEmpty)
+    assert(ex.drainTimedOut().isEmpty)
+  }
 
   test("a run completing on the window's last admissible event is a " +
     "match, never a timeout") {
@@ -96,7 +110,7 @@ class TimeoutPartialSpec extends AnyFunSuite {
     val events = Vector(ev("A", 1, 100), ev("D", 2, 105),
       ev("D", 3, 112), ev("C", 4, 115))
     val ex = new Executor(DstCompiler.compile(q), q.strategy,
-      withinTime = q.withinTime)
+      withinTime = q.withinTime, captureTimeouts = true)
     val names = SparkCep.patternNames(q.patseq)
     val out = Vector.newBuilder[(Vector[Match], Vector[Match])]
     events.foreach { e =>
