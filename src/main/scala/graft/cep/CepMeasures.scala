@@ -1,6 +1,7 @@
 package graft.cep
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -9,25 +10,42 @@ import SparkCep.CepSpec
 /** Per-match MEASURES projection — the MATCH_RECOGNIZE `MEASURES` clause
   * for the CEP SQL surface (`CepSql`): turn a match frame (key + one
   * `array<long>` of bound order ids per pattern name) into ONE FLAT ROW
-  * PER MATCH of scalar aggregates, the relational-facing output shape.
+  * PER MATCH of scalar aggregates (`project`), or into ONE ROW PER BOUND
+  * EVENT with running measures (`allRows` — the `ALL ROWS PER MATCH`
+  * output mode).
   *
   * Two evaluation tiers, chosen per measure:
   *
   *  - POSITIONAL (`COUNT(a)`, `FIRST(a)`, `LAST(a)`): pure column
   *    expressions over the binding arrays (`size`/`get`) — no join, no
   *    shuffle, whole-stage codegen.
-  *  - ATTRIBUTE (`SUM(a.v)`, `MIN/MAX(a.v)`, `FIRST/LAST(a.v)`): the
-  *    match operator only retains order ids (keeping match state
-  *    O(pattern) instead of O(events)), so attribute measures join the
-  *    exploded bindings back to the event table on (key, order) and
-  *    re-aggregate per match. One shuffle join + one aggregation per
-  *    DISTINCT PATTERN NAME used (measures on the same name share the
-  *    join); the match side is a fraction of the event side, so AQE
-  *    picks a broadcast at typical selectivities.
+  *  - ATTRIBUTE (`SUM/MIN/MAX/AVG(a.v)`, `FIRST/LAST(a.v)`): the match
+  *    operator only retains order ids, so attribute measures explode the
+  *    bindings of every measured name into `(name, order)` pairs, join
+  *    the event table ONCE on (key, order), and re-aggregate per match
+  *    with name-guarded conditional aggregates. One join + one
+  *    aggregation TOTAL, regardless of how many names are measured; the
+  *    match side is a fraction of the event side, so AQE picks a
+  *    broadcast at typical selectivities.
+  *
+  * The per-match identity (`__mid`) is `monotonically_increasing_id`,
+  * which is nondeterministic per Spark's contract — safe here because
+  * the id is generated once and consumed by a SINGLE downstream pipeline
+  * (explode → join → aggregate). Positional measures and the key are
+  * computed BEFORE the explode and carried through the aggregation as
+  * grouping columns (each is functionally dependent on the match id), so
+  * the frame is never self-joined: there is no second evaluation whose
+  * ids must agree. (The previous formulation joined two independent
+  * evaluations of the frame on `__mid`; under a non-total input sort or
+  * a stage retry the sides could disagree and attach measures to the
+  * wrong match — `CepMeasuresDeterminismSpec` pins the hazard and this
+  * fix.)
   *
   * Empty bindings (a `{0,n}` loop that took zero events) yield COUNT 0
-  * and NULL for every other measure — `get` out-of-bounds is NULL and
-  * the attribute path left-joins — mirroring SQL aggregate-over-empty.
+  * and NULL for every other measure — `get` out-of-bounds is NULL, the
+  * explode keeps all-empty matches via one `explode_outer` sentinel row,
+  * and the name-guarded aggregates see no rows for the name — mirroring
+  * SQL aggregate-over-empty.
   */
 object CepMeasures {
 
@@ -39,7 +57,8 @@ object CepMeasures {
     case object Sum extends Fn { val sqlName = "SUM" }
     case object Min extends Fn { val sqlName = "MIN" }
     case object Max extends Fn { val sqlName = "MAX" }
-    val all: Vector[Fn] = Vector(Count, First, Last, Sum, Min, Max)
+    case object Avg extends Fn { val sqlName = "AVG" }
+    val all: Vector[Fn] = Vector(Count, First, Last, Sum, Min, Max, Avg)
     def fromName(s: String): Fn = all.find(_.sqlName == s).getOrElse(
       throw new IllegalArgumentException(
         s"MEASURES: unknown function '$s' (expected one of " +
@@ -48,29 +67,38 @@ object CepMeasures {
 
   /** One measure: `fn(name)` (positional — `attr` empty) or
     * `fn(name.attr)` (attribute). `COUNT` is positional-only;
-    * `SUM`/`MIN`/`MAX` need an attribute; `FIRST`/`LAST` allow both
-    * (`FIRST(a)` = order id of the first bound event, `FIRST(a.v)` =
-    * attribute `v` of that event).
+    * `SUM`/`MIN`/`MAX`/`AVG` need an attribute; `FIRST`/`LAST` allow
+    * both (`FIRST(a)` = order id of the first bound event, `FIRST(a.v)`
+    * = attribute `v` of that event). `AVG` is exact integer mean:
+    * FLOORED quotient of sum by count (DuckDB's `//`), computed without
+    * a double detour.
     */
   final case class Measure(fn: Fn, name: String, attr: Option[String],
       alias: String) {
     fn match {
       case Fn.Count => require(attr.isEmpty,
         s"MEASURES: COUNT($name) takes no attribute")
-      case Fn.Sum | Fn.Min | Fn.Max => require(attr.isDefined,
+      case Fn.Sum | Fn.Min | Fn.Max | Fn.Avg => require(attr.isDefined,
         s"MEASURES: ${fn.sqlName}($name) needs an attribute " +
           s"(${fn.sqlName}($name.attr))")
       case _ => ()
     }
   }
 
-  /** Project `measures` over a match frame produced by the `SparkCep`
-    * operators from `events` under `spec`. Output: the key column (when
-    * keyed) followed by one column per measure, in declared order.
+  /** Exact integer floor-division `sum // cnt` (DuckDB `//` floors where
+    * Spark `DIV` truncates toward zero): `pmod` is non-negative, so
+    * subtracting it before the division makes the quotient exact and
+    * floored with pure long arithmetic. `cnt = 0` → `pmod` NULL → NULL,
+    * which is exactly AVG-over-empty.
     */
-  def project(matches: DataFrame, events: DataFrame, query: CepQuery,
-      spec: CepSpec, measures: Vector[Measure]): DataFrame = {
-    require(measures.nonEmpty, "MEASURES: empty measure list")
+  private def floorDiv(sumC: Column, cntC: Column): Column =
+    ((sumC - pmod(sumC, cntC)) / cntC).cast(LongType)
+
+  /** Shared validation for both output modes. `reserved` = output-shape
+    * column names the mode itself emits.
+    */
+  private def validate(matches: DataFrame, query: CepQuery, spec: CepSpec,
+      measures: Vector[Measure], reserved: Set[String]): Vector[String] = {
     val names = SparkCep.patternNames(query.patseq)
     measures.foreach { m =>
       require(names.contains(m.name),
@@ -80,73 +108,220 @@ object CepMeasures {
         a == spec.orderCol || spec.attrCols.contains(a),
         s"MEASURES: attribute '$a' is not in the CEP spec " +
           s"(order '${spec.orderCol}', attrs ${spec.attrCols.mkString(", ")})"))
+      // an alias that shadows a frame column (a pattern name, the key,
+      // an internal __ name, or a mode output column) would survive to a
+      // deep ambiguous-reference AnalysisException — reject loudly here
+      require(!names.contains(m.alias),
+        s"MEASURES: alias '${m.alias}' collides with a pattern name")
+      spec.keyCol.foreach(k => require(m.alias != k,
+        s"MEASURES: alias '${m.alias}' collides with the key column"))
+      require(!m.alias.startsWith("__"),
+        s"MEASURES: alias '${m.alias}' uses the reserved '__' prefix")
+      require(!reserved.contains(m.alias),
+        s"MEASURES: alias '${m.alias}' collides with an output column " +
+          s"of this mode (${reserved.toVector.sorted.mkString(", ")})")
     }
     measures.groupBy(_.alias).foreach { case (a, ms) =>
       require(ms.length == 1, s"MEASURES: duplicate alias '$a'") }
-
-    def positional(m: Measure): Column = m.fn match {
-      case Fn.Count => size(col(m.name)).cast(LongType)
-      case Fn.First => get(col(m.name), lit(0))
-      case Fn.Last  => get(col(m.name), size(col(m.name)) - 1)
-      case other => throw new IllegalStateException(
-        s"${other.sqlName} is attribute-only") // unreachable (ctor check)
-    }
-
-    val attrMeasures = measures.filter(_.attr.isDefined)
-    val base =
-      if (attrMeasures.isEmpty) matches
-      else {
-        // __mid identifies a match row across the explode/aggregate
-        // round trip; its values never reach the output, only equality
-        val withMid = matches.withColumn("__mid",
-          monotonically_increasing_id())
-        val keyed = spec.keyCol.isDefined
-        val attrsNeeded = attrMeasures.flatMap(_.attr).distinct
-        val evProj = events.select(
-          SparkCep.keyExpr(events, spec).as("__k") +:
-            col(spec.orderCol).cast(LongType).as("__ord") +:
-            attrsNeeded.map(a =>
-              col(a).cast(LongType).as(s"__a_$a")): _*)
-        attrMeasures.groupBy(_.name).toVector.sortBy(_._1)
-          .foldLeft(withMid) { case (acc, (nm, ms)) =>
-            val keyCols =
-              if (keyed) Seq(col(spec.keyCol.get).as("__k")) else Seq.empty
-            val exploded = withMid.select(
-              col("__mid") +: keyCols :+ explode(col(nm)).as("__ord"): _*)
-            val joinKeys = if (keyed) Seq("__k", "__ord") else Seq("__ord")
-            val joined = exploded.join(evProj, joinKeys)
-            val aggs = ms.map { m =>
-              val a = col(s"__a_${m.attr.get}")
-              (m.fn match {
-                case Fn.Sum   => sum(a)
-                case Fn.Min   => min(a)
-                case Fn.Max   => max(a)
-                case Fn.First => min_by(a, col("__ord"))
-                case Fn.Last  => max_by(a, col("__ord"))
-                case Fn.Count => throw new IllegalStateException(
-                  "COUNT is positional-only") // unreachable (ctor check)
-              }).as(m.alias)
-            }
-            val perMatch = joined.groupBy(col("__mid"))
-              .agg(aggs.head, aggs.tail: _*)
-            // left: a measure over an empty binding stays NULL
-            acc.join(perMatch, Seq("__mid"), "left")
-          }
-      }
-
-    val keyOut = spec.keyCol.filter(matches.columns.contains)
-      .map(col).toSeq
-    val outCols = keyOut ++ measures.map { m =>
-      if (m.attr.isEmpty) positional(m).as(m.alias) else col(m.alias)
-    }
-    base.select(outCols: _*)
+    names
   }
 
+  private def positional(m: Measure): Column = m.fn match {
+    case Fn.Count => size(col(m.name)).cast(LongType)
+    case Fn.First => get(col(m.name), lit(0))
+    case Fn.Last  => get(col(m.name), size(col(m.name)) - 1)
+    case other => throw new IllegalStateException(
+      s"${other.sqlName} is attribute-only") // unreachable (ctor check)
+  }
+
+  /** `(name, order)` pairs over the given binding-array columns, ready to
+    * explode — one struct per bound event across all listed names.
+    */
+  private def bindingPairs(names: Seq[String]): Column =
+    flatten(array(names.map(nm =>
+      transform(col(nm), o => struct(lit(nm).as("nm"), o.as("ord")))): _*))
+
+  /** Events projected to the join shape: hashed key, long order, long
+    * attrs under collision-free internal names.
+    */
+  private def eventSide(events: DataFrame, spec: CepSpec,
+      attrs: Seq[String]): DataFrame =
+    events.select(
+      SparkCep.keyExpr(events, spec).as("__k") +:
+        col(spec.orderCol).cast(LongType).as("__eord") +:
+        attrs.map(a => col(a).cast(LongType).as(s"__a_$a")): _*)
+
+  /** Project `measures` over a match frame produced by the `SparkCep`
+    * operators from `events` under `spec`. Output: the key column (when
+    * keyed) followed by one column per measure, in declared order — ONE
+    * ROW PER MATCH.
+    */
+  def project(matches: DataFrame, events: DataFrame, query: CepQuery,
+      spec: CepSpec, measures: Vector[Measure]): DataFrame = {
+    require(measures.nonEmpty, "MEASURES: empty measure list")
+    validate(matches, query, spec, measures, Set.empty)
+
+    val keyName = spec.keyCol.filter(matches.columns.contains)
+    val keyOut = keyName.map(col).toSeq
+    val attrMeasures = measures.filter(_.attr.isDefined)
+    if (attrMeasures.isEmpty) {
+      // pure positional: no identity, no join, no shuffle
+      matches.select(
+        keyOut ++ measures.map(m => positional(m).as(m.alias)): _*)
+    } else {
+      val posMeasures = measures.filter(_.attr.isEmpty)
+      val measuredNames = attrMeasures.map(_.name).distinct.sorted
+      val attrsNeeded = attrMeasures.flatMap(_.attr).distinct
+      val withMid = matches.withColumn("__mid",
+        monotonically_increasing_id())
+      val exploded = withMid.select(
+        ((Seq(col("__mid")) ++ keyOut ++
+          posMeasures.map(m => positional(m).as(s"__p_${m.alias}"))) :+
+          explode_outer(bindingPairs(measuredNames)).as("__pr")): _*)
+        .withColumn("__nm", col("__pr.nm"))
+        .withColumn("__ord", col("__pr.ord"))
+        .drop("__pr")
+      val ev = eventSide(events, spec, attrsNeeded)
+      val cond = keyName match {
+        case Some(k) =>
+          exploded(k) === ev("__k") && exploded("__ord") === ev("__eord")
+        case None => exploded("__ord") === ev("__eord")
+      }
+      // left: the explode_outer sentinel of an all-empty match has a
+      // NULL __ord and must survive to the aggregation
+      val joined = exploded.join(ev, cond, "left")
+      val grp = col("__mid") +: (keyOut ++
+        posMeasures.map(m => col(s"__p_${m.alias}")))
+      val aggs = attrMeasures.map { m =>
+        val isNm = col("__nm") === m.name
+        val v = when(isNm, col(s"__a_${m.attr.get}"))
+        (m.fn match {
+          case Fn.Sum   => sum(v)
+          case Fn.Min   => min(v)
+          case Fn.Max   => max(v)
+          case Fn.Avg   => floorDiv(sum(v), count(v))
+          // rows whose ordering expression is NULL (other names, the
+          // sentinel) are ignored by min_by/max_by
+          case Fn.First => min_by(v, when(isNm, col("__ord")))
+          case Fn.Last  => max_by(v, when(isNm, col("__ord")))
+          case Fn.Count => throw new IllegalStateException(
+            "COUNT is positional-only") // unreachable (ctor check)
+        }).as(m.alias)
+      }
+      val perMatch = joined.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+      perMatch.select(keyOut ++ measures.map { m =>
+        if (m.attr.isEmpty) col(s"__p_${m.alias}").as(m.alias)
+        else col(m.alias)
+      }: _*)
+    }
+  }
+
+  /** `ALL ROWS PER MATCH`: ONE ROW PER BOUND EVENT — `(key?, match_no,
+    * classifier, <orderCol>, measures…)` with RUNNING measure semantics
+    * (each row sees the aggregate over the match's rows up to and
+    * including itself, the MATCH_RECOGNIZE default in this mode).
+    *
+    * `match_no` is a DETERMINISTIC per-key sequence: `row_number` over
+    * the binding arrays themselves (lexicographic array ordering — match
+    * frames within a key differ in at least one bound set, and arrays
+    * ascend in stream order, so the sequence follows temporal order).
+    * Never `monotonically_increasing_id`, whose values change across
+    * evaluations. Unkeyed mode numbers matches over a single global
+    * window — same serialization the unkeyed match feed already has.
+    *
+    * Running attribute measures join events once on (key, order) like
+    * `project`, then aggregate over `(key, match_no) ROWS UNBOUNDED
+    * PRECEDING` windows — per-match frames, so window state is O(match),
+    * not O(partition).
+    */
+  def allRows(matches: DataFrame, events: DataFrame, query: CepQuery,
+      spec: CepSpec, measures: Vector[Measure]): DataFrame = {
+    val keyName = spec.keyCol.filter(matches.columns.contains)
+    val reserved = Set("match_no", "classifier", spec.orderCol)
+    val names = validate(matches, query, spec, measures, reserved)
+
+    val keyOut = keyName.map(col).toSeq
+    val seqW = keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
+      .orderBy(names.map(col): _*)
+    val withNo = matches
+      .withColumn("match_no", row_number().over(seqW).cast(LongType))
+    val exploded = withNo.select(
+      (keyOut :+ col("match_no")) :+
+        explode(bindingPairs(names)).as("__pr"): _*)
+      .withColumn("classifier", col("__pr.nm"))
+      .withColumn("__ord", col("__pr.ord"))
+      .drop("__pr")
+
+    val attrMeasures = measures.filter(_.attr.isDefined)
+    val joined =
+      if (attrMeasures.isEmpty) exploded
+      else {
+        val ev = eventSide(events, spec, attrMeasures.flatMap(_.attr).distinct)
+        val cond = keyName match {
+          case Some(k) =>
+            exploded(k) === ev("__k") && exploded("__ord") === ev("__eord")
+          case None => exploded("__ord") === ev("__eord")
+        }
+        joinedDrop(exploded.join(ev, cond, "left"))
+      }
+
+    // running window: this match's rows up to the current one
+    val runW = keyName.fold(Window.partitionBy(col("match_no")))(k =>
+      Window.partitionBy(col(k), col("match_no")))
+      .orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val measureCols = measures.map { m =>
+      val isNm = col("classifier") === m.name
+      (m.attr match {
+        case None => m.fn match {
+          case Fn.Count => count(when(isNm, lit(1))).over(runW)
+          case Fn.First => min(when(isNm, col("__ord"))).over(runW)
+          case Fn.Last  => max(when(isNm, col("__ord"))).over(runW)
+          case other => throw new IllegalStateException(
+            s"${other.sqlName} is attribute-only") // unreachable
+        }
+        case Some(a) =>
+          val v = when(isNm, col(s"__a_$a"))
+          m.fn match {
+            case Fn.Sum   => sum(v).over(runW)
+            case Fn.Min   => min(v).over(runW)
+            case Fn.Max   => max(v).over(runW)
+            case Fn.Avg   => floorDiv(sum(v).over(runW), count(v).over(runW))
+            case Fn.First => first(v, ignoreNulls = true).over(runW)
+            case Fn.Last  => last(v, ignoreNulls = true).over(runW)
+            case Fn.Count => throw new IllegalStateException(
+              "COUNT is positional-only") // unreachable
+          }
+      }).as(m.alias)
+    }
+    joined.select((keyOut :+ col("match_no") :+ col("classifier") :+
+      col("__ord").as(spec.orderCol)) ++ measureCols: _*)
+  }
+
+  private def joinedDrop(df: DataFrame): DataFrame =
+    df.drop("__k", "__eord")
+
   /** One-call convenience: match `st.query` over `df` on the
-    * Catalyst-planned operator and project `st.measures`.
+    * Catalyst-planned operator and project `st.measures` — one row per
+    * match.
     */
   def run(df: DataFrame, st: CepSql.CepSqlStatement,
       spec: CepSpec): DataFrame =
     project(SparkCep.matchPatternExec(df, st.query, spec), df, st.query,
       spec, st.measures)
+
+  /** Self-contained form: the statement carries its own `PARTITION BY` /
+    * `ORDER BY` / `TYPE` spec sections.
+    */
+  def run(df: DataFrame, st: CepSql.CepSqlStatement): DataFrame =
+    run(df, st, st.spec)
+
+  /** One-call `ALL ROWS PER MATCH` over the Catalyst-planned operator. */
+  def runAllRows(df: DataFrame, st: CepSql.CepSqlStatement,
+      spec: CepSpec): DataFrame =
+    allRows(SparkCep.matchPatternExec(df, st.query, spec), df, st.query,
+      spec, st.measures)
+
+  def runAllRows(df: DataFrame, st: CepSql.CepSqlStatement): DataFrame =
+    runAllRows(df, st, st.spec)
 }

@@ -20,12 +20,18 @@ package graft.cep
   *
   * {{{
   * query  := PATTERN '(' seq ')' [MEASURES meas (',' meas)*]
+  *           [PARTITION BY col] [ORDER BY col] [TYPE col]
   *           DEFINE def (';' def)*
   *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
   * meas   := FN '(' name ['.' attr] ')' AS alias
-  *           (FN := COUNT|FIRST|LAST|SUM|MIN|MAX — one flat row per
-  *            match; see [[CepMeasures]]. `parse` rejects MEASURES —
-  *            use `parseStatement`, whose result carries them)
+  *           (FN := COUNT|FIRST|LAST|SUM|MIN|MAX|AVG — one flat row per
+  *            match; see [[CepMeasures]]. AVG is exact integer mean:
+  *            floored quotient, DuckDB's `//`. `parse` rejects MEASURES —
+  *            use `parseStatement`, whose result carries them.
+  *            PARTITION BY / ORDER BY / TYPE make the statement
+  *            self-contained: `CepSqlStatement.spec` derives the full
+  *            CepSpec, with attrCols = the attributes the statement
+  *            references)
   * seq    := unit (sep [neg] unit)*
   * sep    :=            (juxtaposition = strict contiguity)
   *         | '->'       (relaxed)
@@ -54,7 +60,10 @@ package graft.cep
   * window over integer attribute `attr`. Sequences of 3+ units fold
   * LEFT: `a b c` = `Combine(Combine(a, b), c)`. A name used in the
   * pattern must have exactly one DEFINE; a defined name may appear once
-  * (the DST binds sinks by name). Conditions/updates must not contain
+  * in BINDING position — a unit or group label — because the DST binds
+  * sinks by name. Negation guards (`!next`/`!fby`) bind nothing and are
+  * exempt: the same DEFINE may guard several boundaries, or guard one
+  * while also binding a unit. Conditions/updates must not contain
   * the UPPERCASE section keywords — use lowercase attribute names (the
   * engine's attribute convention throughout).
   */
@@ -405,12 +414,73 @@ object CepSql {
     * the pattern).
     */
   /** A parsed CEP SQL statement: the lowered query plus any MEASURES
-    * (empty when the statement has no MEASURES clause). Execute with
-    * [[CepMeasures.run]], or match `query` yourself and project via
-    * [[CepMeasures.project]].
+    * (empty when the statement has no MEASURES clause) and the optional
+    * in-statement spec sections (`PARTITION BY key`, `ORDER BY ord`,
+    * `TYPE typecol`) that make the statement self-contained the way real
+    * MATCH_RECOGNIZE is. Execute with [[CepMeasures.run]], or match
+    * `query` yourself and project via [[CepMeasures.project]].
     */
   final case class CepSqlStatement(query: CepQuery,
-      measures: Vector[CepMeasures.Measure])
+      measures: Vector[CepMeasures.Measure],
+      partitionBy: Option[String] = None,
+      orderBy: Option[String] = None,
+      typeCol: Option[String] = None) {
+
+    /** The statement's own [[SparkCep.CepSpec]] — requires the `ORDER
+      * BY` and `TYPE` sections (a CEP feed needs an order and a type
+      * column; `PARTITION BY` is optional = unkeyed). Attribute columns
+      * are derived from the statement itself: every name a condition /
+      * LET update / UNTIL references (minus the declared registers),
+      * plus measure attributes and the event-time window attribute.
+      */
+    def spec: SparkCep.CepSpec = {
+      val ord = orderBy.getOrElse(throw new IllegalArgumentException(
+        "CEP SQL: statement has no ORDER BY section — supply one (or " +
+          "pass an explicit CepSpec)"))
+      val tc = typeCol.getOrElse(throw new IllegalArgumentException(
+        "CEP SQL: statement has no TYPE section — supply one (or pass " +
+          "an explicit CepSpec)"))
+      val free = patternRefs(query.patseq) -- patternVars(query.patseq)
+      val attrs = free ++ measures.flatMap(_.attr) ++
+        query.withinTime.map(_.tsAttr)
+      SparkCep.CepSpec(partitionBy, ord, tc, (attrs - ord).toVector.sorted)
+    }
+  }
+
+  /** Names referenced by the pattern's conditions, LET updates and UNTIL
+    * stops (attributes and registers alike).
+    */
+  private def patternRefs(p: Pattern): Set[String] = {
+    def ofVars(vs: Vector[VarDef]): Set[String] =
+      vs.iterator.flatMap(v => Expr.refs(v.update)).toSet
+    p match {
+      case s: Pattern.Spat => Expr.refs(s.cndt) ++ ofVars(s.vars)
+      case l: Pattern.Lpat => Expr.refs(l.cndt) ++ ofVars(l.vars)
+      case l: Pattern.LpatInf =>
+        Expr.refs(l.cndt) ++ ofVars(l.vars) ++
+          l.until.map(Expr.refs).getOrElse(Set.empty)
+      case c: Pattern.Combine => patternRefs(c.left) ++ patternRefs(c.right)
+      case c: Pattern.CombineNot =>
+        patternRefs(c.left) ++ Expr.refs(c.neg.cndt) ++ patternRefs(c.right)
+      case g: Pattern.Gpat      => patternRefs(g.child)
+      case g: Pattern.GpatTimes => patternRefs(g.child)
+      case g: Pattern.GpatInf =>
+        patternRefs(g.child) ++ g.until.map(Expr.refs).getOrElse(Set.empty)
+    }
+  }
+
+  /** Declared LET register names across the whole pattern. */
+  private def patternVars(p: Pattern): Set[String] = p match {
+    case s: Pattern.Spat    => s.vars.iterator.map(_.name).toSet
+    case l: Pattern.Lpat    => l.vars.iterator.map(_.name).toSet
+    case l: Pattern.LpatInf => l.vars.iterator.map(_.name).toSet
+    case c: Pattern.Combine => patternVars(c.left) ++ patternVars(c.right)
+    case c: Pattern.CombineNot =>
+      patternVars(c.left) ++ patternVars(c.right)
+    case g: Pattern.Gpat      => patternVars(g.child)
+    case g: Pattern.GpatTimes => patternVars(g.child)
+    case g: Pattern.GpatInf   => patternVars(g.child)
+  }
 
   /** As [[parseStatement]], for statements without MEASURES (rejects a
     * MEASURES clause loudly — a `CepQuery` cannot carry it).
@@ -462,15 +532,61 @@ object CepSql {
       Seq("DEFINE"))
       .getOrElse(throw new IllegalArgumentException(
         "CEP SQL: missing DEFINE section"))
-    val measures: Vector[CepMeasures.Measure] =
-      splitAtKeyword(preDefine, Seq("MEASURES")) match {
-        case Some((before, _, mtext)) =>
-          require(before.trim.isEmpty,
-            s"CEP SQL: unexpected text before MEASURES: '${before.trim}'")
-          // measure items carry no nested commas (FN(name[.attr]))
-          mtext.split(',').toVector.map(parseMeasure)
-        case None => Vector.empty
-      }
+    // pre-DEFINE sections: MEASURES, and the in-statement spec
+    // (PARTITION BY / ORDER BY / TYPE) that lets a statement carry its
+    // own key/order/type mapping instead of requiring an external CepSpec
+    var measures = Vector.empty[CepMeasures.Measure]
+    var partitionBy: Option[String] = None
+    var orderByCol: Option[String] = None
+    var typeColOpt: Option[String] = None
+    val specKws = Seq("MEASURES", "PARTITION", "ORDER", "TYPE")
+    def specIdent(kw: String, s: String): String = {
+      val t = s.trim
+      require(t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_'),
+        s"CEP SQL: $kw expects a single column name, got '$t'")
+      t
+    }
+    def byIdent(kw: String, s: String): String = {
+      val t = s.trim
+      require(t.startsWith("BY") &&
+        (t.length > 2 && t(2).isWhitespace),
+        s"CEP SQL: expected '$kw BY <column>', got '$kw ${t}'")
+      specIdent(s"$kw BY", t.drop(2))
+    }
+    splitAtKeyword(preDefine, specKws) match {
+      case None => require(preDefine.trim.isEmpty,
+        s"CEP SQL: unexpected text before DEFINE: '${preDefine.trim}'")
+      case Some((before, kw0, rest0)) =>
+        require(before.trim.isEmpty,
+          s"CEP SQL: unexpected text before $kw0: '${before.trim}'")
+        var cursor: Option[(String, String)] = Some((kw0, rest0))
+        while (cursor.isDefined) {
+          val (kw, body) = cursor.get
+          val (section, nextCur) = splitAtKeyword(body, specKws) match {
+            case Some((b, k2, r2)) => (b, Some((k2, r2)))
+            case None              => (body, None)
+          }
+          def once(prev: Option[String]): Unit = require(prev.isEmpty,
+            s"CEP SQL: duplicate $kw section")
+          kw match {
+            case "MEASURES" =>
+              require(measures.isEmpty, "CEP SQL: duplicate MEASURES section")
+              // measure items carry no nested commas (FN(name[.attr]))
+              measures = section.split(',').toVector.map(parseMeasure)
+              require(measures.nonEmpty, "CEP SQL: empty MEASURES section")
+            case "PARTITION" =>
+              once(partitionBy)
+              partitionBy = Some(byIdent("PARTITION", section))
+            case "ORDER" =>
+              once(orderByCol)
+              orderByCol = Some(byIdent("ORDER", section))
+            case "TYPE" =>
+              once(typeColOpt)
+              typeColOpt = Some(specIdent("TYPE", section))
+          }
+          cursor = nextCur
+        }
+    }
     val (defsText, tailOpt) =
       splitAtKeyword(afterDefineKw, Seq("WITHIN", "AFTER")) match {
         case Some((d, kw, r)) => (d, Some((kw, r)))
@@ -500,13 +616,17 @@ object CepSql {
             catch { case _: NumberFormatException =>
               throw new IllegalArgumentException(
                 s"CEP SQL: WITHIN expects an integer, got '$s'") }
-          // the step window is an Int downstream — reject overflow here
-          // rather than let `.toInt` truncate (WITHIN 4294967301 must
-          // not silently become within=5)
+          // the step window is an Int downstream — reject out-of-range
+          // values in BOTH directions here rather than let `.toInt`
+          // truncate (WITHIN 4294967301 must not silently become
+          // within=5, and WITHIN -4294967291 must not wrap POSITIVE
+          // past the Executor's within >= 1 check)
           def stepWindow(n: String): Int = {
             val v = num(n)
-            if (v > Int.MaxValue) throw new IllegalArgumentException(
-              s"CEP SQL: WITHIN step window $v exceeds ${Int.MaxValue}")
+            if (v > Int.MaxValue || v < 1)
+              throw new IllegalArgumentException(
+                s"CEP SQL: WITHIN step window must be in [1, " +
+                  s"${Int.MaxValue}], got $v")
             v.toInt
           }
           section.split("\\s+").toVector match {
@@ -539,21 +659,24 @@ object CepSql {
     val parser = new PParser(lex(patBody))
     val seq = parser.parseSeq()
     parser.assertDone()
-    // a DEFINEd name may appear at most once in the pattern: sinks bind
-    // by name, so PATTERN (a -> a) would silently merge both positions'
-    // bindings into one stream register instead of failing
-    def namesOf(s: PSeq): Vector[String] = {
+    // a DEFINEd name may appear at most once in BINDING position (units
+    // and group labels): sinks bind by name, so PATTERN (a -> a) would
+    // silently merge both positions' bindings into one stream register
+    // instead of failing. Negation names (!next/!fby) are EXEMPT — a
+    // negation is a non-binding boundary guard, so reusing one DEFINE
+    // across several negations (a !fby(x) b !fby(x) c) is well-defined.
+    def bindingNamesOf(s: PSeq): Vector[String] = {
       def unit(u: PU): Vector[String] = u match {
         case PName(n, _)         => Vector(n)
-        case PGroup(g, _, label) => namesOf(g) ++ label.toVector
+        case PGroup(g, _, label) => bindingNamesOf(g) ++ label.toVector
       }
-      unit(s.head) ++ s.tail.flatMap { case (_, neg, u) =>
-        neg.map(_._2).toVector ++ unit(u) }
+      unit(s.head) ++ s.tail.flatMap { case (_, _, u) => unit(u) }
     }
-    namesOf(seq).groupBy(identity).foreach { case (n, uses) =>
+    bindingNamesOf(seq).groupBy(identity).foreach { case (n, uses) =>
       require(uses.length == 1,
         s"CEP SQL: pattern name '$n' appears ${uses.length} times — " +
-          "each DEFINEd name may appear at most once in PATTERN")
+          "each DEFINEd name may appear at most once in binding " +
+          "position in PATTERN (negation guards are exempt)")
     }
     // measure targets must be event-binding DEFINEs with known attrs
     measures.foreach { m =>
@@ -573,9 +696,24 @@ object CepSql {
     measures.groupBy(_.alias).foreach { case (a, ms) =>
       require(ms.length == 1,
         s"CEP SQL MEASURES: duplicate alias '$a'") }
+    // an alias that shadows a match-frame column would survive to a deep
+    // ambiguous-reference AnalysisException at execution — reject here
+    // (CepMeasures revalidates against the actual runtime spec)
+    val bindingNames = bindingNamesOf(seq).toSet
+    measures.foreach { m =>
+      require(!bindingNames.contains(m.alias),
+        s"CEP SQL MEASURES: alias '${m.alias}' collides with a pattern " +
+          "name")
+      partitionBy.foreach(k => require(m.alias != k,
+        s"CEP SQL MEASURES: alias '${m.alias}' collides with the " +
+          "PARTITION BY column"))
+      require(!m.alias.startsWith("__"),
+        s"CEP SQL MEASURES: alias '${m.alias}' uses the reserved '__' " +
+          "prefix")
+    }
     CepSqlStatement(
       CepQuery(lower(seq, defMap), schema, strategy, within, withinTime),
-      measures)
+      measures, partitionBy, orderByCol, typeColOpt)
   }
 
   // --------------------------------------------------------------- render
@@ -591,17 +729,24 @@ object CepSql {
     * expression printer, which re-parses to the same AST.
     */
   def render(st: CepSqlStatement): String =
-    render(st.query, st.measures)
+    render(st.query, st.measures, st.partitionBy, st.orderBy, st.typeCol)
 
   def render(q: CepQuery,
-      measures: Vector[CepMeasures.Measure] = Vector.empty): String = {
+      measures: Vector[CepMeasures.Measure] = Vector.empty,
+      partitionBy: Option[String] = None,
+      orderBy: Option[String] = None,
+      typeCol: Option[String] = None): String = {
     val defs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val bindingSeen = scala.collection.mutable.Set.empty[String]
+    def bindOnce(name: String): Unit = {
+      require(bindingSeen.add(name),
+        s"CEP SQL render: pattern name '$name' binds twice")
+    }
     var groupN = 0
     def exprS(e: Expr): String = Pattern.ExprRepr(e)
     def addDef(name: String, event: String, cndt: Expr,
-        vars: Vector[VarDef], until: Option[Expr]): Unit = {
-      require(!defs.contains(name),
-        s"CEP SQL render: pattern name '$name' is used twice")
+        vars: Vector[VarDef], until: Option[Expr],
+        allowDupIdentical: Boolean = false): Unit = {
       val sb = new StringBuilder(s"$name AS $event")
       if (cndt != Expr.True) sb ++= s" WHERE ${exprS(cndt)}"
       if (vars.nonEmpty)
@@ -609,7 +754,15 @@ object CepSql {
           s"${v.name} = ${v.initial} THEN ${exprS(v.update)}")
           .mkString(", ")
       until.foreach(u => sb ++= s" UNTIL ${exprS(u)}")
-      defs(name) = sb.toString
+      val text = sb.toString
+      if (defs.contains(name)) {
+        // a negation guard may reuse a DEFINE (several !fby(x) sites, or
+        // a name that both binds and guards) — but only with IDENTICAL
+        // content, since the text form has one DEFINE per name
+        require(allowDupIdentical && defs(name) == text,
+          s"CEP SQL render: pattern name '$name' is used twice with " +
+            "differing definitions")
+      } else defs(name) = text
     }
     def mark(c: Contiguity): String = c match {
       case Contiguity.Strict    => ""
@@ -623,14 +776,20 @@ object CepSql {
     }
     def unit(p: Pattern): String = p match {
       case s: Pattern.Spat =>
-        addDef(s.name, s.event, s.cndt, s.vars, None)
+        bindOnce(s.name)
+        addDef(s.name, s.event, s.cndt, s.vars, None,
+          allowDupIdentical = true)
         s.name
       case l: Pattern.Lpat =>
-        addDef(l.name, l.event, l.cndt, l.vars, None)
+        bindOnce(l.name)
+        addDef(l.name, l.event, l.cndt, l.vars, None,
+          allowDupIdentical = true)
         s"${l.name}{${l.from},${l.to}}${mark(l.contiguity)}" +
           (if (l.greedy) "!" else "")
       case l: Pattern.LpatInf =>
-        addDef(l.name, l.event, l.cndt, l.vars, l.until)
+        bindOnce(l.name)
+        addDef(l.name, l.event, l.cndt, l.vars, l.until,
+          allowDupIdentical = true)
         s"${l.name}{${l.from},}${mark(l.contiguity)}" +
           (if (l.greedy) "!" else "")
       case g: Pattern.Gpat      => s"(${seqS(g.child)})"
@@ -666,7 +825,8 @@ object CepSql {
       case c: Pattern.Combine =>
         s"${seqS(c.left)}${sep(c.contiguity)}${rightUnit(c.right)}"
       case c: Pattern.CombineNot =>
-        addDef(c.neg.name, c.neg.event, c.neg.cndt, Vector.empty, None)
+        addDef(c.neg.name, c.neg.event, c.neg.cndt, Vector.empty, None,
+          allowDupIdentical = true)
         val tok = c.mode match {
           case Pattern.NegMode.NotNext       => "!next"
           case Pattern.NegMode.NotFollowedBy => "!fby"
@@ -684,7 +844,13 @@ object CepSql {
       else "\nMEASURES " + measures.map(m =>
         s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}) " +
           s"AS ${m.alias}").mkString(", ") + "\n"
-    val sb = new StringBuilder(s"PATTERN ($body)$measS DEFINE ")
+    val specS = (partitionBy.map(k => s"PARTITION BY $k").toSeq ++
+      orderBy.map(o => s"ORDER BY $o").toSeq ++
+      typeCol.map(t => s"TYPE $t").toSeq) match {
+      case Seq() => ""
+      case parts => "\n" + parts.mkString(" ") + "\n"
+    }
+    val sb = new StringBuilder(s"PATTERN ($body)$measS$specS DEFINE ")
     sb ++= defs.values.mkString(";\n       ")
     q.within.foreach(w => sb ++= s"\nWITHIN $w")
     q.withinTime.foreach(wt => sb ++= s"\nWITHIN ${wt.span} ON ${wt.tsAttr}")

@@ -146,6 +146,21 @@ object Expr {
 
   val True: Expr = BoolLit(true)
 
+  /** Every name the expression references — event attributes and stream
+    * registers alike (the grammar does not distinguish them; callers
+    * subtract the declared register names to get the free attributes).
+    */
+  def refs(e: Expr): Set[String] = e match {
+    case Lit(_) | BoolLit(_) => Set.empty
+    case Ref(n)              => Set(n)
+    case Arith(_, l, r)      => refs(l) ++ refs(r)
+    case Cmp(_, l, r)        => refs(l) ++ refs(r)
+    case And(l, r)           => refs(l) ++ refs(r)
+    case Or(l, r)            => refs(l) ++ refs(r)
+    case Not(x)              => refs(x)
+    case Neg(x)              => refs(x)
+  }
+
   /** Parse the Python-expression subset. */
   def parse(s: String): Expr = new ExprParser(s).parseAll()
 }

@@ -124,15 +124,94 @@ class CepSqlSpec extends AnyFunSuite {
     bad("PATTERN (a) DEFINE a AS A UNTIL v > 3", "unbounded loop")
     bad("PATTERN (a{2,3}) DEFINE a AS A UNTIL v > 3", "unbounded loop")
     bad("PATTERN (a) DEFINE a AS A WITHIN nope", "WITHIN")
-    // a name may appear once: sinks bind by name, so 'a -> a' would
+    // a name may bind once: sinks bind by name, so 'a -> a' would
     // silently merge both positions into one stream register
     bad("PATTERN (a -> a) DEFINE a AS A", "appears 2 times")
     bad("PATTERN (a (a)+) DEFINE a AS A", "appears 2 times")
-    // step window is Int downstream; Long values must fail, not truncate
-    bad("PATTERN (a) DEFINE a AS A WITHIN 4294967301", "exceeds")
+    // step window is Int downstream; out-of-range values in EITHER
+    // direction must fail, not truncate/wrap (-4294967291 wraps to +5
+    // through .toInt and would pass the Executor's within >= 1 check)
+    bad("PATTERN (a) DEFINE a AS A WITHIN 4294967301", "step window")
+    bad("PATTERN (a) DEFINE a AS A WITHIN 0", "step window")
+    bad("PATTERN (a b) DEFINE a AS A; b AS B WITHIN -4294967291",
+      "step window")
     bad("PATTERN (a) DEFINE a AS A AFTER MATCH SKIP SIDEWAYS", "AFTER MATCH")
     bad("PATTERN (a}", "unbalanced")
     bad("PATTERN (a %) DEFINE a AS A", "unexpected")
+  }
+
+  test("negation guards are exempt from the at-most-once rule") {
+    // one DEFINE guarding two boundaries: well-defined (negations bind
+    // nothing), previously rejected by the r12 uniqueness check
+    val q = CepSql.parse(
+      "PATTERN (a ->!fby(x) b ->!fby(x) c) " +
+        "DEFINE a AS A; x AS B WHERE v > 3; b AS C; c AS D", schema)
+    assert(q.patseq == Pattern.CombineNot(Contiguity.Relaxed,
+      Pattern.CombineNot(Contiguity.Relaxed,
+        Pattern.Spat("a", "A", Expr.True),
+        Pattern.NegSpec("x", "B", Expr.parse("v > 3")),
+        Pattern.NegMode.NotFollowedBy,
+        Pattern.Spat("b", "C", Expr.True)),
+      Pattern.NegSpec("x", "B", Expr.parse("v > 3")),
+      Pattern.NegMode.NotFollowedBy,
+      Pattern.Spat("c", "D", Expr.True)))
+    // and it renders back to ONE DEFINE for the shared guard
+    assert(CepSql.parse(CepSql.render(q), schema) == q)
+    // a name may guard a boundary AND bind a unit
+    val q2 = CepSql.parse(
+      "PATTERN (a !next(b) c -> b) DEFINE a AS A; b AS B; c AS C", schema)
+    assert(CepSql.parse(CepSql.render(q2), schema) == q2)
+    // binding twice is still rejected
+    intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (a -> a) DEFINE a AS A", schema)
+    }
+  }
+
+  test("in-statement PARTITION BY / ORDER BY / TYPE derive a full spec") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES SUM(c.v) AS c_sum, AVG(p.v) AS p_avg " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE s AS A WHERE v > 1; c AS B; p AS C WITHIN 8", schema)
+    assert(st.partitionBy.contains("k"))
+    assert(st.orderBy.contains("id"))
+    assert(st.typeCol.contains("t"))
+    val spec = st.spec
+    assert(spec == SparkCep.CepSpec(Some("k"), "id", "t", Vector("v")))
+    // render round-trips the sections
+    assert(CepSql.parseStatement(CepSql.render(st), schema) == st)
+    // unkeyed: PARTITION BY absent
+    val st2 = CepSql.parseStatement(
+      "PATTERN (a) ORDER BY id TYPE t DEFINE a AS A", schema)
+    assert(st2.spec == SparkCep.CepSpec(None, "id", "t", Vector.empty))
+    assert(CepSql.parseStatement(CepSql.render(st2), schema) == st2)
+    // spec without ORDER BY / TYPE fails loudly
+    val noOrd = CepSql.parseStatement(
+      "PATTERN (a) TYPE t DEFINE a AS A", schema)
+    assert(intercept[IllegalArgumentException](noOrd.spec)
+      .getMessage.contains("ORDER BY"))
+    val noType = CepSql.parseStatement(
+      "PATTERN (a) ORDER BY id DEFINE a AS A", schema)
+    assert(intercept[IllegalArgumentException](noType.spec)
+      .getMessage.contains("TYPE"))
+    // attrCols collects condition + LET + UNTIL + measure + within-time
+    // attrs, minus registers and the order column
+    val st3 = CepSql.parseStatement(
+      "PATTERN (a{1,}~ -> b) MEASURES MAX(b.w) AS mw " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE a AS A WHERE v > 1 LET R = 0 THEN R + u UNTIL z > 5; " +
+        "b AS B WITHIN 100 ON ts",
+      Vector("A" -> Vector("id", "v", "u", "z", "w", "ts"),
+        "B" -> Vector("id", "v", "u", "z", "w", "ts")))
+    assert(st3.spec.attrCols == Vector("ts", "u", "v", "w", "z"))
+    // duplicate / malformed sections fail loudly
+    intercept[IllegalArgumentException] {
+      CepSql.parseStatement(
+        "PATTERN (a) ORDER BY id ORDER BY id2 DEFINE a AS A", schema)
+    }
+    intercept[IllegalArgumentException] {
+      CepSql.parseStatement("PATTERN (a) PARTITION k DEFINE a AS A", schema)
+    }
   }
 
   test("group label attaches an UNTIL to an unbounded group") {
