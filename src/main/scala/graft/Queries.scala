@@ -863,6 +863,155 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
 
+  /** AVG measures + the SELF-CONTAINED statement form: the funnel again,
+    * but the statement carries its own `PARTITION BY user_id ORDER BY
+    * event_id TYPE event_type` sections, so `CepMeasures.run(df, st)`
+    * derives the full `CepSpec` (key, order, type, referenced attrs)
+    * from the text — no external spec object, the way real
+    * MATCH_RECOGNIZE is self-contained. `AVG` is the exact integer mean
+    * — FLOORED quotient computed in pure long arithmetic
+    * (`sum - pmod(sum, n)) / n`), matching DuckDB's `//` where Spark's
+    * `DIV` would truncate toward zero.
+    */
+  val cepSqlMeasuresAvgStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_clicks, " +
+        "AVG(c.value) AS avg_c_value, AVG(p.value) AS p_value " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlMeasuresAvg(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlMeasuresAvgStatement)
+      .orderBy("user_id", "s_id", "n_clicks", "avg_c_value", "p_value")
+
+  val cepSqlMeasuresAvgSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT m.user_id, m.s_id,
+      |  CAST(CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END AS BIGINT)
+      |    AS n_clicks,
+      |  CAST((e1.v + COALESCE(e2.v, 0)) //
+      |    (CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END) AS BIGINT)
+      |    AS avg_c_value,
+      |  ep.v AS p_value
+      |FROM m
+      |JOIN seqd e1 ON e1.user_id = m.user_id AND e1.seq = m.c1_seq
+      |LEFT JOIN seqd e2 ON e2.user_id = m.user_id AND e2.seq = m.c2_seq
+      |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
+  /** `ALL ROWS PER MATCH` (`CepMeasures.allRows`): the other
+    * MATCH_RECOGNIZE output shape — ONE ROW PER BOUND EVENT with the
+    * per-key `match_no` sequence, the `classifier` (which pattern name
+    * bound the event), the event's order id, and RUNNING measures (each
+    * row aggregates the match's rows up to itself). `match_no` is
+    * DETERMINISTIC: `row_number` per key ordered by the binding arrays
+    * themselves (never `monotonically_increasing_id` — see
+    * `CepMeasuresDeterminismSpec`); the oracle reproduces the sequence
+    * by ordering the funnel's bound positions with the same
+    * shorter-prefix-first array comparison (`c2 NULLS FIRST`).
+    */
+  val cepSqlAllRowsStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.value) AS c_sum, " +
+        "FIRST(s) AS s_ord " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlAllRows(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.runAllRows(table(spark, dir, "events"),
+      cepSqlAllRowsStatement)
+      .orderBy("user_id", "match_no", "event_id")
+
+  val cepSqlAllRowsSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m0 AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8),
+      |m AS (
+      |  SELECT m0.user_id, m0.s_id,
+      |    e1.event_id AS c1_id, e1.v AS c1_v,
+      |    e2.event_id AS c2_id, e2.v AS c2_v,
+      |    ep.event_id AS p_id,
+      |    row_number() OVER (PARTITION BY m0.user_id
+      |      ORDER BY m0.s_id, e1.event_id, e2.event_id ASC NULLS FIRST,
+      |        ep.event_id) AS mno
+      |  FROM m0
+      |  JOIN seqd e1 ON e1.user_id = m0.user_id AND e1.seq = m0.c1_seq
+      |  LEFT JOIN seqd e2 ON e2.user_id = m0.user_id AND e2.seq = m0.c2_seq
+      |  JOIN seqd ep ON ep.user_id = m0.user_id AND ep.seq = m0.p_seq)
+      |SELECT user_id, CAST(mno AS BIGINT) AS match_no, classifier,
+      |  event_id, n_c, c_sum, s_ord FROM (
+      |  SELECT user_id, mno, 's' AS classifier, s_id AS event_id,
+      |    CAST(0 AS BIGINT) AS n_c, CAST(NULL AS BIGINT) AS c_sum,
+      |    s_id AS s_ord
+      |  FROM m
+      |  UNION ALL
+      |  SELECT user_id, mno, 'c', c1_id, CAST(1 AS BIGINT), c1_v, s_id
+      |  FROM m
+      |  UNION ALL
+      |  SELECT user_id, mno, 'c', c2_id, CAST(2 AS BIGINT), c1_v + c2_v,
+      |    s_id
+      |  FROM m WHERE c2_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, mno, 'p', p_id,
+      |    CAST(CASE WHEN c2_id IS NULL THEN 1 ELSE 2 END AS BIGINT),
+      |    c1_v + COALESCE(c2_v, 0), s_id
+      |  FROM m)
+      |ORDER BY user_id, match_no, event_id""".stripMargin
+
   /** The shed valve's registry gauge (`SparkCep.shedGauge`): nd-relaxed
     * click pairs under the shed-oldest salvage at cap 1, one row per
     * user with the surviving-match and shed-run counts as DATA. With
@@ -5592,6 +5741,8 @@ object Queries {
     "cep_greedy_click_runs" -> cepGreedyClickRuns _,
     "cep_sql_funnel" -> cepSqlFunnel _,
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnel _,
+    "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
+    "cep_sql_all_rows" -> cepSqlAllRows _,
     "cep_shed_gauge" -> cepShedGauge _,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignups _,
     "cep_iter_budget" -> cepIterBudget _,
@@ -5736,6 +5887,8 @@ object Queries {
     "cep_greedy_click_runs" -> cepGreedyClickRunsSql,
     "cep_sql_funnel" -> cepSqlFunnelSql,
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnelSql,
+    "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
+    "cep_sql_all_rows" -> cepSqlAllRowsSql,
     "cep_shed_gauge" -> cepShedGaugeSql,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignupsSql,
     "cep_iter_budget" -> cepIterBudgetSql,
