@@ -97,7 +97,7 @@ object CepMeasures {
   /** Shared validation for both output modes. `reserved` = output-shape
     * column names the mode itself emits.
     */
-  private def validate(matches: DataFrame, query: CepQuery, spec: CepSpec,
+  private[cep] def validate(query: CepQuery, spec: CepSpec,
       measures: Vector[Measure], reserved: Set[String]): Vector[String] = {
     val names = SparkCep.patternNames(query.patseq)
     measures.foreach { m =>
@@ -159,7 +159,7 @@ object CepMeasures {
   def project(matches: DataFrame, events: DataFrame, query: CepQuery,
       spec: CepSpec, measures: Vector[Measure]): DataFrame = {
     require(measures.nonEmpty, "MEASURES: empty measure list")
-    validate(matches, query, spec, measures, Set.empty)
+    validate(query, spec, measures, Set.empty)
 
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val keyOut = keyName.map(col).toSeq
@@ -238,7 +238,7 @@ object CepMeasures {
       spec: CepSpec, measures: Vector[Measure]): DataFrame = {
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val reserved = Set("match_no", "classifier", spec.orderCol)
-    val names = validate(matches, query, spec, measures, reserved)
+    val names = validate(query, spec, measures, reserved)
 
     val keyOut = keyName.map(col).toSeq
     val seqW = keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
@@ -300,6 +300,46 @@ object CepMeasures {
 
   private def joinedDrop(df: DataFrame): DataFrame =
     df.drop("__k", "__eord")
+
+  /** Emission-time evaluation of one measure over a completed match —
+    * the STREAMING tier: at emission the match still carries its bound
+    * events with ALL their attributes, so every measure folds in
+    * O(match) pure Scala with no join, no aggregation and no extra
+    * state (the join-back exists in batch only because the relational
+    * match frame keeps order ids alone). Semantics mirror the batch
+    * tier exactly (pinned by `StreamingCepMeasuresSpec`'s batch==stream
+    * gate): aggregates skip events missing the attribute, FIRST/LAST
+    * take the first/last bound event's value (NULL if that event lacks
+    * it), AVG is the floored integer quotient, and every measure over
+    * an empty binding is NULL except COUNT = 0.
+    */
+  def evalMeasure(m: Measure, byName: Map[String, Vector[Event]],
+      orderName: String): Option[Long] = {
+    val binding = byName.getOrElse(m.name, Vector.empty)
+    m.attr match {
+      case None => m.fn match {
+        case Fn.Count => Some(binding.length.toLong)
+        case Fn.First => binding.headOption.map(_(orderName))
+        case Fn.Last  => binding.lastOption.map(_(orderName))
+        case other => throw new IllegalStateException(
+          s"${other.sqlName} is attribute-only") // unreachable (ctor)
+      }
+      case Some(a) => m.fn match {
+        case Fn.First => binding.headOption.flatMap(_.get(a))
+        case Fn.Last  => binding.lastOption.flatMap(_.get(a))
+        case _ =>
+          val vals = binding.flatMap(_.get(a))
+          if (vals.isEmpty) None
+          else m.fn match {
+            case Fn.Sum => Some(vals.sum)
+            case Fn.Min => Some(vals.min)
+            case Fn.Max => Some(vals.max)
+            case Fn.Avg => Some(Math.floorDiv(vals.sum, vals.length.toLong))
+            case _ => throw new IllegalStateException("unreachable")
+          }
+      }
+    }
+  }
 
   /** One-call convenience: match `st.query` over `df` on the
     * Catalyst-planned operator and project `st.measures` — one row per

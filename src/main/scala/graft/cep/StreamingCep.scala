@@ -356,6 +356,96 @@ object StreamingCep {
         if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
   }
 
+  /** Streaming MEASURES: `matchPattern` + the MATCH_RECOGNIZE `MEASURES`
+    * projection in ONE stateful operator — output is one flat row of
+    * scalar measures per match, emitted the micro-batch the match
+    * completes.
+    *
+    * Unlike the batch tier (`CepMeasures.project`, which joins the match
+    * frame back to the event table because the relational frame keeps
+    * order ids alone), the streaming operator folds every measure AT
+    * EMISSION over the match's own bound events, which still carry all
+    * their attributes inside the executor (`CepMeasures.evalMeasure`).
+    * That sidesteps both streaming hazards of the relational
+    * formulation: no stream-stream join-back (the event table IS the
+    * stream) and no cross-batch streaming aggregation whose `__mid`
+    * grouping state would grow without a watermark. Cost is O(match) per
+    * match, state is exactly `matchPattern`'s (same codec, same
+    * `VariantArrival` tag — a checkpoint written by either operator
+    * restores into the other; only the projection differs).
+    *
+    * Semantics gate: `StreamingCepMeasuresSpec` pins batch==stream
+    * across micro-batch boundaries — the fold here must equal the batch
+    * join-back tier row-for-row — plus a checkpoint restart.
+    */
+  def matchPatternMeasures(df: DataFrame, st: CepSql.CepSqlStatement,
+      spec: SparkCep.CepSpec, maxRunsPerKey: Option[Int] = None): DataFrame = {
+    val query = st.query
+    require(st.measures.nonEmpty, "matchPatternMeasures: empty MEASURES")
+    CepMeasures.validate(query, spec, st.measures, Set.empty)
+    val keyName = spec.keyCol.getOrElse("__global")
+    SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
+    val effMaxRuns =
+      SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
+    val (prepared, attrNames) = SparkCep.prepare(df, query, spec)
+    val orderName = attrNames.head
+
+    val outSchema = StructType(
+      StructField(keyName, LongType, nullable = false) +:
+        st.measures.map(m =>
+          StructField(m.alias, LongType, nullable = true)))
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
+      Encoders.product[CepStateCodec.VersionedState]
+
+    import prepared.sparkSession.implicits._
+
+    val dst = DstCompiler.compile(query)
+    val measures = st.measures
+
+    prepared
+      .groupByKey(_.getLong(0))
+      .flatMapGroupsWithState[CepStateCodec.VersionedState, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Row],
+            state: GroupState[CepStateCodec.VersionedState]) =>
+          val executor = new Executor(dst, query.strategy, effMaxRuns,
+            query.within, query.withinTime)
+          if (state.exists) {
+            val stt = CepStateCodec.decode(state.get)
+            if (stt.variant == CepStateCodec.VariantEventTime ||
+                (stt.variant == CepStateCodec.VariantUnknown &&
+                  stt.buffer.nonEmpty))
+              throw new IllegalStateException(
+                "CEP streaming state was written by matchPatternEventTime " +
+                  "and cannot be restored by the arrival-order operator " +
+                  "(different feed-order semantics; buffered events would " +
+                  "be lost). Resume with matchPatternEventTime, or " +
+                  "discard the checkpoint directory.")
+            restoreState(executor, CepState(stt.step, stt.runs), stt.clock)
+          }
+          val events = rows.toVector.sortBy(_.getLong(1))
+          val out = events.flatMap { row =>
+            executor.feed(rowToEvent(row, 1, 2, 3, attrNames, orderName))
+              .map { m =>
+                val byName = m.toMap
+                Row.fromSeq(key +: measures.map(ms =>
+                  CepMeasures.evalMeasure(ms, byName, orderName)
+                    .map(Long.box).orNull))
+              }
+          }
+          val snap = snapshotState(executor)
+          if (executor.liveRunCount == 0 && query.withinTime.isEmpty)
+            state.remove()
+          else state.update(CepStateCodec.encode(
+            CepStateEt(snap.step, snap.runs, Nil, executor.clock,
+              CepStateCodec.VariantArrival)))
+          out.iterator
+      }
+      .transform(ds =>
+        if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
+  }
+
   /** Streaming form of the TIMEOUT side output
     * (`SparkCep.timedOutPartials` — FlinkCEP's
     * `TimedOutPartialMatchHandler`): emits the partial runs whose

@@ -1,0 +1,159 @@
+package graft.cep
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming MEASURES (`StreamingCep.matchPatternMeasures`): the
+  * emission-time fold must equal the BATCH measures tier
+  * (`CepMeasures.run` — the explode/join/aggregate formulation)
+  * row-for-row when the same events arrive across micro-batch
+  * boundaries, and a partial match must complete across a checkpointed
+  * restart with its measures intact. The two tiers compute the same
+  * semantics through entirely different machinery (pure fold over bound
+  * events vs relational join-back), so the gate is also a
+  * cross-validation of both.
+  */
+class StreamingCepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val schema: Vector[(String, Vector[String])] = Vector(
+    "signup" -> Vector("event_id", "value"),
+    "click" -> Vector("event_id", "value"),
+    "purchase" -> Vector("event_id", "value"))
+  private val spec = SparkCep.CepSpec(Some("user_id"), "event_id",
+    "event_type", Seq("value"))
+
+  private val st = CepSql.parseStatement(
+    "PATTERN (s -> c{1,2} -> p) " +
+      "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_c, SUM(c.value) AS c_sum, " +
+      "MIN(c.value) AS c_min, AVG(c.value) AS c_avg, " +
+      "LAST(c.value) AS c_last, LAST(p) AS p_id " +
+      "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8", schema)
+
+  private def rowKey(r: Row): Vector[Option[Long]] =
+    (0 until r.length).map(i =>
+      if (r.isNullAt(i)) None else Some(r.getLong(i))).toVector
+
+  test("streaming measures == batch measures across micro-batch " +
+    "boundaries (seeded stream)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val types = Vector("signup", "click", "purchase", "view")
+    val evs = (1 to 120).map { i =>
+      Ev(1L + rnd.nextInt(3), i.toLong, types(rnd.nextInt(4)),
+        rnd.nextInt(50).toLong)
+    }
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingCep.matchPatternMeasures(mem.toDF(), st, spec)
+    assert(out.columns.toVector ==
+      "user_id" +: st.measures.map(_.alias))
+    val q = out.writeStream.format("memory").queryName("cep_meas_stream")
+      .outputMode("append").start()
+    try {
+      // 4 micro-batches of 30 — plenty of partial matches span boundaries
+      evs.grouped(30).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = s.sql("SELECT * FROM cep_meas_stream").collect()
+      .map(rowKey).toVector.sortBy(_.toString)
+    val batch = CepMeasures.run(evs.toDF(), st, spec).collect()
+      .map(rowKey).toVector.sortBy(_.toString)
+    assert(streamed.nonEmpty, "fixture produced no matches")
+    assert(streamed == batch)
+  }
+
+  test("empty optional binding streams as COUNT 0 / NULLs, like batch") {
+    val s = spark
+    import s.implicits._
+    val stOpt = CepSql.parseStatement(
+      "PATTERN (s c? -> p) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.value) AS c_sum, " +
+        "FIRST(p.value) AS p_v " +
+        "DEFINE s AS signup; c AS click; p AS purchase", schema)
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingCep.matchPatternMeasures(mem.toDF(), stOpt, spec)
+      .writeStream.format("memory").queryName("cep_meas_opt")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(7, 1, "signup", 0), Ev(7, 2, "purchase", 9))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.sql("SELECT * FROM cep_meas_opt").collect().toVector
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("n_c")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("c_sum")))
+    assert(r.getLong(r.fieldIndex("p_v")) == 9L)
+  }
+
+  test("measures survive a checkpointed restart (partial match " +
+    "completes after restart)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ckpt-meas").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/checkpoint"
+    val outDir = s"$dir/out"
+    val inSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", LongType)))
+
+    def startQuery() = {
+      val in = graft.sources.EventSource.jsonStream(spark, inDir, inSchema)
+      StreamingCep.matchPatternMeasures(in, st, spec)
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    // batch 1: signup + first click — partial run held in the store
+    Seq((1L, 1L, "signup", 0L), (1L, 2L, "click", 7L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart: second click + purchase complete two funnel matches
+    // (c=[2] and c=[2,3] — the strict {1,2} loop forks)
+    Seq((1L, 3L, "click", 4L), (1L, 4L, "purchase", 9L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val outSchema = StructType(
+      StructField("user_id", LongType) +:
+        st.measures.map(m => StructField(m.alias, LongType)))
+    val out = spark.read.schema(outSchema).json(outDir)
+      .collect().map(rowKey).toSet
+    def v(xs: Long*): Vector[Option[Long]] = xs.map(Some(_)).toVector
+    assert(out == Set(
+      // (user, s_id, n_c, c_sum, c_min, c_avg, c_last, p_id)
+      v(1, 1, 1, 7, 7, 7, 7, 4),
+      v(1, 1, 2, 11, 4, 5, 4, 4)))
+  }
+}
