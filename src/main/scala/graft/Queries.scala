@@ -312,6 +312,35 @@ object Queries {
       |  UNION ALL SELECT * FROM nfb)
       |ORDER BY qname, user_id, binding""".stripMargin
 
+  /** The shared multi-pattern scan DECLARED AS SQL TEXT
+    * (`CepSql.parseQueries` → `SparkCep.matchPatternsShared`): the
+    * pushdown trio again, but every member arrives as a
+    * MATCH_RECOGNIZE-shaped statement instead of Pattern builders —
+    * certifying that SQL-declared members lower onto the
+    * one-scan/one-filter/one-exchange operator with the same union
+    * pushdown (all three members keep their prefilters after lowering,
+    * so the OR-filter engages; plan + shared-vs-solo differential in
+    * `CepMultiSharedSpec`). Oracle: identical to the builder-declared
+    * trio's, so a hash match proves text and builder declarations are
+    * the same operator.
+    */
+  val cepSqlMultiSharedStatements: Seq[(String, String)] = Seq(
+    "spat_purchase" ->
+      "PATTERN (a) DEFINE a AS purchase WHERE value < 40",
+    "lpat_relaxed_purchase_pairs" ->
+      "PATTERN (a{2,2}~) DEFINE a AS purchase WHERE value < 40",
+    "not_followed_by_purchase" ->
+      ("PATTERN (a ->!fby(n) b) DEFINE a AS signup; n AS error; " +
+        "b AS purchase"))
+
+  def cepSqlMultiShared(spark: SparkSession, dir: String): DataFrame =
+    SparkCep.matchPatternsShared(table(spark, dir, "events"),
+      CepSql.parseQueries(cepSqlMultiSharedStatements, eventSchema),
+      eventSpec)
+      .orderBy("qname", "user_id", "binding")
+
+  val cepSqlMultiSharedSql: String = cepMultiSharedPushdownSql
+
   /** Beyond-parity negative pattern (FlinkCEP `notNext`): signup
     * immediately followed by a purchase that is NOT cheap (`value < 50`
     * negated) — a cheap purchase right after the signup is a stop, not a
@@ -5750,6 +5779,7 @@ object Queries {
     "cep_agg_match_counts" -> cepAggMatchCounts _,
     "cep_multi_shared" -> cepMultiShared _,
     "cep_multi_shared_pushdown" -> cepMultiSharedPushdown _,
+    "cep_sql_multi_shared" -> cepSqlMultiShared _,
     "rel_q1_pricing" -> relQ1Pricing _,
     "rel_q3_top_orders" -> relQ3TopOrders _,
     "rel_nation_stats" -> relNationStats _,
@@ -5873,6 +5903,7 @@ object Queries {
     "cep_agg_match_counts" -> cepAggMatchCountsSql,
     "cep_multi_shared" -> cepMultiSharedSql,
     "cep_multi_shared_pushdown" -> cepMultiSharedPushdownSql,
+    "cep_sql_multi_shared" -> cepSqlMultiSharedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_lsh_calibration" -> dedupLshCalibrationSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -482,6 +482,33 @@ object CepSql {
     case g: Pattern.GpatInf   => patternVars(g.child)
   }
 
+  /** Parse a named set of CEP SQL statements into the `(name, query)`
+    * member list [[SparkCep.matchPatternsShared]] takes — the TEXT form
+    * of the shared multi-pattern scan (k statements, ONE scan, ONE
+    * pre-NFA union filter, ONE key exchange). Statements must be
+    * measure-free (the shared operator's output is the
+    * `(qname, key, binding)` reporting shape) and carry no spec
+    * sections of their own (the member set shares one spec; per-member
+    * PARTITION BY would be contradictory). The per-member pushdown
+    * legality audit (`SparkCep.prefilter` / `memberFeedTypes`) applies
+    * to the lowered queries exactly as to builder-declared members.
+    */
+  def parseQueries(stmts: Seq[(String, String)],
+      schema: Vector[(String, Vector[String])]): Seq[(String, CepQuery)] =
+    stmts.map { case (name, sql) =>
+      val st = parseStatement(sql, schema)
+      require(st.measures.isEmpty,
+        s"CEP SQL shared scan: member '$name' declares MEASURES — the " +
+          "shared operator emits the (qname, key, binding) reporting " +
+          "shape; run the statement alone with CepMeasures.run instead")
+      require(st.partitionBy.isEmpty && st.orderBy.isEmpty &&
+        st.typeCol.isEmpty,
+        s"CEP SQL shared scan: member '$name' carries its own " +
+          "PARTITION BY/ORDER BY/TYPE — the member set shares ONE spec, " +
+          "passed to matchPatternsShared")
+      name -> st.query
+    }
+
   /** As [[parseStatement]], for statements without MEASURES (rejects a
     * MEASURES clause loudly — a `CepQuery` cannot carry it).
     */

@@ -100,6 +100,35 @@ class CepMultiSharedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("SQL-declared members: parseQueries lowers onto the same shared " +
+    "operator — equal to builder members, union filter still engaged") {
+    val sqlMembers = CepSql.parseQueries(
+      graft.Queries.cepSqlMultiSharedStatements,
+      Vector("click" -> Vector("event_id", "value"),
+        "purchase" -> Vector("event_id", "value"),
+        "error" -> Vector("event_id", "value"),
+        "signup" -> Vector("event_id", "value"),
+        "view" -> Vector("event_id", "value")))
+    // text and builder declarations are the SAME queries
+    assert(sqlMembers.map(_._2) == pushdownSet.map(_._2))
+    // shared-vs-solo differential on the SQL-declared set
+    assert(shared(sqlMembers) == expected(sqlMembers))
+    // pushdown legality audit applies to lowered members: all three keep
+    // their prefilters, so the union filter engages
+    assert(SparkCep.unionPrefilter(sqlMembers, spec).isDefined)
+    // guard: members with MEASURES or their own spec sections refuse
+    intercept[IllegalArgumentException] {
+      CepSql.parseQueries(Seq("m" ->
+        ("PATTERN (a) MEASURES COUNT(a) AS n DEFINE a AS purchase")),
+        Vector("purchase" -> Vector("event_id", "value")))
+    }
+    intercept[IllegalArgumentException] {
+      CepSql.parseQueries(Seq("m" ->
+        ("PATTERN (a) ORDER BY event_id DEFINE a AS purchase")),
+        Vector("purchase" -> Vector("event_id", "value")))
+    }
+  }
+
   test("a within member disables the union filter and matches its solo " +
     "run (position windows make dropped events observable)") {
     // non-spat within ⇒ the member declines a prefilter
