@@ -24,9 +24,12 @@ import SparkCep.CepSpec
   *    bindings of every measured name into `(name, order)` pairs, join
   *    the event table ONCE on (key, order), and re-aggregate per match
   *    with name-guarded conditional aggregates. One join + one
-  *    aggregation TOTAL, regardless of how many names are measured; the
-  *    match side is a fraction of the event side, so AQE picks a
-  *    broadcast at typical selectivities.
+  *    aggregation TOTAL, regardless of how many names are measured.
+  *    When no measured name can bind empty the join is INNER, and AQE
+  *    broadcasts the small match side at runtime at typical
+  *    selectivities (measured in `DriveMeasuresScale`; see
+  *    `possiblyEmptyNames` for why the sentinel LEFT join cannot
+  *    broadcast and what it costs).
   *
   * The per-match identity (`__mid`) is `monotonically_increasing_id`,
   * which is nondeterministic per Spark's contract — safe here because
@@ -141,6 +144,40 @@ object CepMeasures {
     flatten(array(names.map(nm =>
       transform(col(nm), o => struct(lit(nm).as("nm"), o.as("ord")))): _*))
 
+  /** Names whose binding can be EMPTY in some match: a `{0,n}`/optional
+    * quantifier, or any ancestor group repeated `{0,…}`. Statically
+    * decidable from the pattern, and it decides the join shape below:
+    * only a possibly-empty measured name needs the `explode_outer`
+    * sentinel + LEFT join (so all-empty matches survive to the
+    * aggregation). When every measured name binds at least one event,
+    * the tier uses a plain explode + INNER join — semantically identical
+    * there, and AT SCALE the difference is decisive: an inner join lets
+    * AQE broadcast the small match side at runtime, while a left-outer
+    * join PRESERVES the left (match) side, which is therefore not
+    * broadcastable, and the plan is stuck shuffling the full event table
+    * by (key, order) (`DriveMeasuresScale` measures both shapes).
+    */
+  private[cep] def possiblyEmptyNames(p: Pattern,
+      underZero: Boolean = false): Set[String] = p match {
+    case s: Pattern.Spat =>
+      if (underZero) Set(s.name) else Set.empty
+    case l: Pattern.Lpat =>
+      if (underZero || l.from == 0) Set(l.name) else Set.empty
+    case l: Pattern.LpatInf =>
+      if (underZero || l.from == 0) Set(l.name) else Set.empty
+    case c: Pattern.Combine =>
+      possiblyEmptyNames(c.left, underZero) ++
+        possiblyEmptyNames(c.right, underZero)
+    case c: Pattern.CombineNot =>
+      possiblyEmptyNames(c.left, underZero) ++
+        possiblyEmptyNames(c.right, underZero)
+    case g: Pattern.Gpat => possiblyEmptyNames(g.child, underZero)
+    case g: Pattern.GpatTimes =>
+      possiblyEmptyNames(g.child, underZero || g.from == 0)
+    case g: Pattern.GpatInf =>
+      possiblyEmptyNames(g.child, underZero || g.from == 0)
+  }
+
   /** Events projected to the join shape: hashed key, long order, long
     * attrs under collision-free internal names.
     */
@@ -172,12 +209,23 @@ object CepMeasures {
       val posMeasures = measures.filter(_.attr.isEmpty)
       val measuredNames = attrMeasures.map(_.name).distinct.sorted
       val attrsNeeded = attrMeasures.flatMap(_.attr).distinct
+      // sentinel + LEFT join only when a measured binding can actually
+      // be empty; otherwise plain explode + INNER join, which AQE can
+      // flip to a broadcast of the (small) match side at runtime — a
+      // left-outer join preserves its left side and can never broadcast
+      // it, pinning the plan to a full event-table shuffle
+      val mayBeEmpty = {
+        val pe = possiblyEmptyNames(query.patseq)
+        measuredNames.exists(pe.contains)
+      }
       val withMid = matches.withColumn("__mid",
         monotonically_increasing_id())
+      val pairs = bindingPairs(measuredNames)
       val exploded = withMid.select(
         ((Seq(col("__mid")) ++ keyOut ++
           posMeasures.map(m => positional(m).as(s"__p_${m.alias}"))) :+
-          explode_outer(bindingPairs(measuredNames)).as("__pr")): _*)
+          (if (mayBeEmpty) explode_outer(pairs)
+           else explode(pairs)).as("__pr")): _*)
         .withColumn("__nm", col("__pr.nm"))
         .withColumn("__ord", col("__pr.ord"))
         .drop("__pr")
@@ -187,9 +235,8 @@ object CepMeasures {
           exploded(k) === ev("__k") && exploded("__ord") === ev("__eord")
         case None => exploded("__ord") === ev("__eord")
       }
-      // left: the explode_outer sentinel of an all-empty match has a
-      // NULL __ord and must survive to the aggregation
-      val joined = exploded.join(ev, cond, "left")
+      val joined =
+        exploded.join(ev, cond, if (mayBeEmpty) "left" else "inner")
       val grp = col("__mid") +: (keyOut ++
         posMeasures.map(m => col(s"__p_${m.alias}")))
       val aggs = attrMeasures.map { m =>
@@ -262,7 +309,10 @@ object CepMeasures {
             exploded(k) === ev("__k") && exploded("__ord") === ev("__eord")
           case None => exploded("__ord") === ev("__eord")
         }
-        joinedDrop(exploded.join(ev, cond, "left"))
+        // inner: every exploded row's (key, order) is a bound event of
+        // THIS event table, so inner ≡ left here — and inner lets AQE
+        // broadcast the small match side (see possiblyEmptyNames)
+        joinedDrop(exploded.join(ev, cond, "inner"))
       }
 
     // running window: this match's rows up to the current one

@@ -166,6 +166,31 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("parseStatement"))
   }
 
+  test("join shape is static: inner (broadcast-eligible) unless a " +
+    "measured name can bind empty") {
+    def planOf(sql: String): String = {
+      val st = CepSql.parseStatement(sql, schema)
+      val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "C", 1L),
+        (1L, 3L, "P", 2L))
+      CepMeasures.run(df, st, spec).queryExecution.optimizedPlan.toString
+    }
+    // c{1,2} always binds — inner join, AQE may broadcast the match side
+    val inner = planOf("PATTERN (s -> c{1,2} -> p) " +
+      "MEASURES SUM(c.v) AS c_sum DEFINE s AS S; c AS C; p AS P")
+    assert(inner.contains("Join Inner") && !inner.contains("LeftOuter"),
+      s"expected inner join:\n$inner")
+    // c? can bind empty — sentinel explode_outer + left join required
+    val outer = planOf("PATTERN (s c? -> p) " +
+      "MEASURES SUM(c.v) AS c_sum DEFINE s AS S; c AS C; p AS P")
+    assert(outer.contains("Join LeftOuter"),
+      s"expected left-outer join:\n$outer")
+    // a never-empty name under a {0,n} group counts as possibly empty
+    val pe = CepMeasures.possiblyEmptyNames(CepSql.parse(
+      "PATTERN (a (b c){0,2}) DEFINE a AS S; b AS C; c AS P",
+      schema).patseq)
+    assert(pe == Set("b", "c"))
+  }
+
   test("statement render round-trips measures") {
     val st = CepSql.parseStatement(
       "PATTERN (s -> c{1,2} -> p) " +
