@@ -972,13 +972,13 @@ object Queries {
       "PATTERN (s -> c{1,2} -> p) " +
         "MEASURES COUNT(c) AS n_c, SUM(c.value) AS c_sum, " +
         "FIRST(s) AS s_ord " +
+        "ALL ROWS PER MATCH " +
         "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
         "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
       eventSchema)
 
   def cepSqlAllRows(spark: SparkSession, dir: String): DataFrame =
-    CepMeasures.runAllRows(table(spark, dir, "events"),
-      cepSqlAllRowsStatement)
+    CepMeasures.run(table(spark, dir, "events"), cepSqlAllRowsStatement)
       .orderBy("user_id", "match_no", "event_id")
 
   val cepSqlAllRowsSql: String =

@@ -392,13 +392,20 @@ object CepMeasures {
   }
 
   /** One-call convenience: match `st.query` over `df` on the
-    * Catalyst-planned operator and project `st.measures` — one row per
-    * match.
+    * Catalyst-planned operator and project `st.measures`, dispatching on
+    * the statement's output mode (`ONE ROW PER MATCH` → [[project]],
+    * `ALL ROWS PER MATCH` → [[allRows]]).
     */
   def run(df: DataFrame, st: CepSql.CepSqlStatement,
-      spec: CepSpec): DataFrame =
-    project(SparkCep.matchPatternExec(df, st.query, spec), df, st.query,
-      spec, st.measures)
+      spec: CepSpec): DataFrame = {
+    val frames = SparkCep.matchPatternExec(df, st.query, spec)
+    st.rowsPerMatch match {
+      case CepSql.RowsPerMatch.OneRow =>
+        project(frames, df, st.query, spec, st.measures)
+      case CepSql.RowsPerMatch.AllRows =>
+        allRows(frames, df, st.query, spec, st.measures)
+    }
+  }
 
   /** Self-contained form: the statement carries its own `PARTITION BY` /
     * `ORDER BY` / `TYPE` spec sections.

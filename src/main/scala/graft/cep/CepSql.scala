@@ -20,6 +20,7 @@ package graft.cep
   *
   * {{{
   * query  := PATTERN '(' seq ')' [MEASURES meas (',' meas)*]
+  *           [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *           [PARTITION BY col] [ORDER BY col] [TYPE col]
   *           DEFINE def (';' def)*
   *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
@@ -413,18 +414,31 @@ object CepSql {
     * schema every other query surface takes; it describes the data, not
     * the pattern).
     */
+  /** MATCH_RECOGNIZE output mode: one flat row of measures per match
+    * (the default), or one row per bound event with running measures
+    * (`ALL ROWS PER MATCH` — [[CepMeasures.allRows]]).
+    */
+  sealed trait RowsPerMatch extends Serializable
+  object RowsPerMatch {
+    case object OneRow extends RowsPerMatch
+    case object AllRows extends RowsPerMatch
+  }
+
   /** A parsed CEP SQL statement: the lowered query plus any MEASURES
-    * (empty when the statement has no MEASURES clause) and the optional
+    * (empty when the statement has no MEASURES clause), the output mode
+    * (`ONE ROW PER MATCH` / `ALL ROWS PER MATCH`), and the optional
     * in-statement spec sections (`PARTITION BY key`, `ORDER BY ord`,
     * `TYPE typecol`) that make the statement self-contained the way real
-    * MATCH_RECOGNIZE is. Execute with [[CepMeasures.run]], or match
-    * `query` yourself and project via [[CepMeasures.project]].
+    * MATCH_RECOGNIZE is. Execute with [[CepMeasures.run]] (which
+    * dispatches on the output mode), or match `query` yourself and
+    * project via [[CepMeasures.project]]/[[CepMeasures.allRows]].
     */
   final case class CepSqlStatement(query: CepQuery,
       measures: Vector[CepMeasures.Measure],
       partitionBy: Option[String] = None,
       orderBy: Option[String] = None,
-      typeCol: Option[String] = None) {
+      typeCol: Option[String] = None,
+      rowsPerMatch: RowsPerMatch = RowsPerMatch.OneRow) {
 
     /** The statement's own [[SparkCep.CepSpec]] — requires the `ORDER
       * BY` and `TYPE` sections (a CEP feed needs an order and a type
@@ -506,6 +520,9 @@ object CepSql {
         s"CEP SQL shared scan: member '$name' carries its own " +
           "PARTITION BY/ORDER BY/TYPE — the member set shares ONE spec, " +
           "passed to matchPatternsShared")
+      require(st.rowsPerMatch == RowsPerMatch.OneRow,
+        s"CEP SQL shared scan: member '$name' declares ALL ROWS PER " +
+          "MATCH — the shared operator emits one binding row per match")
       name -> st.query
     }
 
@@ -566,7 +583,9 @@ object CepSql {
     var partitionBy: Option[String] = None
     var orderByCol: Option[String] = None
     var typeColOpt: Option[String] = None
-    val specKws = Seq("MEASURES", "PARTITION", "ORDER", "TYPE")
+    var rowsPerMatch: Option[RowsPerMatch] = None
+    val specKws = Seq("MEASURES", "PARTITION", "ORDER", "TYPE", "ONE",
+      "ALL")
     def specIdent(kw: String, s: String): String = {
       val t = s.trim
       require(t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_'),
@@ -610,6 +629,16 @@ object CepSql {
             case "TYPE" =>
               once(typeColOpt)
               typeColOpt = Some(specIdent("TYPE", section))
+            case "ONE" | "ALL" =>
+              require(rowsPerMatch.isEmpty,
+                "CEP SQL: duplicate rows-per-match clause")
+              val want = if (kw == "ONE") "ROW PER MATCH"
+                         else "ROWS PER MATCH"
+              require(section.trim.replaceAll("\\s+", " ") == want,
+                s"CEP SQL: expected '$kw $want', got '$kw ${section.trim}'")
+              rowsPerMatch = Some(
+                if (kw == "ONE") RowsPerMatch.OneRow
+                else RowsPerMatch.AllRows)
           }
           cursor = nextCur
         }
@@ -740,7 +769,8 @@ object CepSql {
     }
     CepSqlStatement(
       CepQuery(lower(seq, defMap), schema, strategy, within, withinTime),
-      measures, partitionBy, orderByCol, typeColOpt)
+      measures, partitionBy, orderByCol, typeColOpt,
+      rowsPerMatch.getOrElse(RowsPerMatch.OneRow))
   }
 
   // --------------------------------------------------------------- render
@@ -756,13 +786,15 @@ object CepSql {
     * expression printer, which re-parses to the same AST.
     */
   def render(st: CepSqlStatement): String =
-    render(st.query, st.measures, st.partitionBy, st.orderBy, st.typeCol)
+    render(st.query, st.measures, st.partitionBy, st.orderBy, st.typeCol,
+      st.rowsPerMatch)
 
   def render(q: CepQuery,
       measures: Vector[CepMeasures.Measure] = Vector.empty,
       partitionBy: Option[String] = None,
       orderBy: Option[String] = None,
-      typeCol: Option[String] = None): String = {
+      typeCol: Option[String] = None,
+      rowsPerMatch: RowsPerMatch = RowsPerMatch.OneRow): String = {
     val defs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val bindingSeen = scala.collection.mutable.Set.empty[String]
     def bindOnce(name: String): Unit = {
@@ -871,7 +903,12 @@ object CepSql {
       else "\nMEASURES " + measures.map(m =>
         s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}) " +
           s"AS ${m.alias}").mkString(", ") + "\n"
-    val specS = (partitionBy.map(k => s"PARTITION BY $k").toSeq ++
+    val rpmS = rowsPerMatch match {
+      case RowsPerMatch.OneRow  => Seq.empty[String] // the default
+      case RowsPerMatch.AllRows => Seq("ALL ROWS PER MATCH")
+    }
+    val specS = (rpmS ++
+      partitionBy.map(k => s"PARTITION BY $k").toSeq ++
       orderBy.map(o => s"ORDER BY $o").toSeq ++
       typeCol.map(t => s"TYPE $t").toSeq) match {
       case Seq() => ""

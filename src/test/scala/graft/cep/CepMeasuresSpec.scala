@@ -199,4 +199,36 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = CepSql.parseStatement(CepSql.render(st), schema)
     assert(again == st)
   }
+
+  test("ALL ROWS PER MATCH clause: parsed, rendered, dispatched by run") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> p) MEASURES COUNT(s) AS n_s " +
+        "ALL ROWS PER MATCH " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE s AS S; p AS P", schema)
+    assert(st.rowsPerMatch == CepSql.RowsPerMatch.AllRows)
+    assert(CepSql.parseStatement(CepSql.render(st), schema) == st)
+    // explicit ONE ROW PER MATCH == the default
+    val one = CepSql.parseStatement(
+      "PATTERN (s -> p) MEASURES COUNT(s) AS n_s ONE ROW PER MATCH " +
+        "DEFINE s AS S; p AS P", schema)
+    assert(one.rowsPerMatch == CepSql.RowsPerMatch.OneRow)
+    // run() dispatches: AllRows emits shape columns + one row per event
+    val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "P", 3L))
+    val out = CepMeasures.run(df, st)
+    assert(out.columns.toVector ==
+      Vector("k", "match_no", "classifier", "id", "n_s"))
+    assert(out.collect().map(r => (r.getString(2), r.getLong(3),
+      r.getLong(4))).toSet == Set(("s", 1L, 1L), ("p", 2L, 1L)))
+    // malformed / duplicate clauses fail loudly
+    intercept[IllegalArgumentException] {
+      CepSql.parseStatement(
+        "PATTERN (s) ALL ROW PER MATCH DEFINE s AS S", schema)
+    }
+    intercept[IllegalArgumentException] {
+      CepSql.parseStatement(
+        "PATTERN (s) ONE ROW PER MATCH ALL ROWS PER MATCH " +
+          "DEFINE s AS S", schema)
+    }
+  }
 }
