@@ -75,9 +75,15 @@ object CepMeasures {
     * = attribute `v` of that event). `AVG` is exact integer mean:
     * FLOORED quotient of sum by count (DuckDB's `//`), computed without
     * a double detour.
+    *
+    * `isFinal` is the SQL:2016 `FINAL` modifier and only matters in
+    * `ALL ROWS PER MATCH`: a FINAL measure shows the aggregate over the
+    * WHOLE match on every row, where the default (`RUNNING`) shows the
+    * aggregate up to the current row. In `ONE ROW PER MATCH` every
+    * measure is final by definition and the modifier is a no-op.
     */
   final case class Measure(fn: Fn, name: String, attr: Option[String],
-      alias: String) {
+      alias: String, isFinal: Boolean = false) {
     fn match {
       case Fn.Count => require(attr.isEmpty,
         s"MEASURES: COUNT($name) takes no attribute")
@@ -315,12 +321,17 @@ object CepMeasures {
         joinedDrop(exploded.join(ev, cond, "inner"))
       }
 
-    // running window: this match's rows up to the current one
-    val runW = keyName.fold(Window.partitionBy(col("match_no")))(k =>
+    // per-match windows: RUNNING sees this match's rows up to the
+    // current one; FINAL sees the whole match on every row
+    val matchW = keyName.fold(Window.partitionBy(col("match_no")))(k =>
       Window.partitionBy(col(k), col("match_no")))
       .orderBy(col("__ord"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runWdefault =
+      matchW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val finalW = matchW.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val measureCols = measures.map { m =>
+      val runW = if (m.isFinal) finalW else runWdefault
       val isNm = col("classifier") === m.name
       (m.attr match {
         case None => m.fn match {

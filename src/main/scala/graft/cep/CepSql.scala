@@ -24,10 +24,13 @@ package graft.cep
   *           [PARTITION BY col] [ORDER BY col] [TYPE col]
   *           DEFINE def (';' def)*
   *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
-  * meas   := FN '(' name ['.' attr] ')' AS alias
-  *           (FN := COUNT|FIRST|LAST|SUM|MIN|MAX|AVG — one flat row per
-  *            match; see [[CepMeasures]]. AVG is exact integer mean:
-  *            floored quotient, DuckDB's `//`. `parse` rejects MEASURES —
+  * meas   := [RUNNING | FINAL] FN '(' name ['.' attr] ')' AS alias
+  *           (FN := COUNT|FIRST|LAST|SUM|MIN|MAX|AVG; see
+  *            [[CepMeasures]]. AVG is exact integer mean: floored
+  *            quotient, DuckDB's `//`. RUNNING/FINAL only differ in
+  *            ALL ROWS PER MATCH (running = up to the current row,
+  *            the default; final = the whole match on every row).
+  *            `parse` rejects MEASURES —
   *            use `parseStatement`, whose result carries them.
   *            PARTITION BY / ORDER BY / TYPE make the statement
   *            self-contained: `CepSqlStatement.spec` derives the full
@@ -539,15 +542,16 @@ object CepSql {
   }
 
   private val MeasureRe =
-    """^([A-Z]+)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    """^(?:(RUNNING|FINAL)\s+)?([A-Z]+)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
 
   private def parseMeasure(text: String): CepMeasures.Measure =
     text.trim match {
-      case MeasureRe(fn, name, attr, alias) =>
+      case MeasureRe(sem, fn, name, attr, alias) =>
         CepMeasures.Measure(CepMeasures.Fn.fromName(fn), name,
-          Option(attr), alias)
+          Option(attr), alias, isFinal = sem == "FINAL")
       case t => throw new IllegalArgumentException(
-        s"CEP SQL MEASURES: expected 'FN(name[.attr]) AS alias', got '$t'")
+        "CEP SQL MEASURES: expected '[RUNNING|FINAL] FN(name[.attr]) " +
+          s"AS alias', got '$t'")
     }
 
   def parseStatement(sql: String,
@@ -901,7 +905,8 @@ object CepSql {
     val measS =
       if (measures.isEmpty) ""
       else "\nMEASURES " + measures.map(m =>
-        s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}) " +
+        (if (m.isFinal) "FINAL " else "") +
+          s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}) " +
           s"AS ${m.alias}").mkString(", ") + "\n"
     val rpmS = rowsPerMatch match {
       case RowsPerMatch.OneRow  => Seq.empty[String] // the default

@@ -200,6 +200,34 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == st)
   }
 
+  test("FINAL vs RUNNING measure semantics in ALL ROWS PER MATCH") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{2,2}~ -> p) " +
+        "MEASURES SUM(c.v) AS run_sum, FINAL SUM(c.v) AS fin_sum, " +
+        "RUNNING COUNT(c) AS run_n, FINAL LAST(c.v) AS fin_last " +
+        "ALL ROWS PER MATCH PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    assert(st.measures.map(_.isFinal) ==
+      Vector(false, true, false, true))
+    assert(CepSql.parseStatement(CepSql.render(st), schema) == st)
+    // one match: s(1) c(2,v=5) c(3,v=9) p(4)
+    val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "C", 5L),
+      (1L, 3L, "C", 9L), (1L, 4L, "P", 2L))
+    val out = CepMeasures.run(df, st).orderBy("id").collect().map { r =>
+      (r.getString(r.fieldIndex("classifier")),
+        if (r.isNullAt(r.fieldIndex("run_sum"))) -1L
+        else r.getLong(r.fieldIndex("run_sum")),
+        r.getLong(r.fieldIndex("fin_sum")),
+        r.getLong(r.fieldIndex("run_n")),
+        r.getLong(r.fieldIndex("fin_last")))
+    }.toVector
+    assert(out == Vector(
+      ("s", -1L, 14L, 0L, 9L),   // running sum NULL before any c
+      ("c", 5L, 14L, 1L, 9L),
+      ("c", 14L, 14L, 2L, 9L),
+      ("p", 14L, 14L, 2L, 9L)))
+  }
+
   test("ALL ROWS PER MATCH clause: parsed, rendered, dispatched by run") {
     val st = CepSql.parseStatement(
       "PATTERN (s -> p) MEASURES COUNT(s) AS n_s " +
