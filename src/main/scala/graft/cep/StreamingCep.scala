@@ -382,6 +382,12 @@ object StreamingCep {
       spec: SparkCep.CepSpec, maxRunsPerKey: Option[Int] = None): DataFrame = {
     val query = st.query
     require(st.measures.nonEmpty, "matchPatternMeasures: empty MEASURES")
+    require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
+      "matchPatternMeasures: ALL ROWS PER MATCH is batch-only — its " +
+        "deterministic per-key match_no sequence needs a total order " +
+        "over a key's matches, which an unbounded stream cannot close; " +
+        "emit ONE ROW PER MATCH and explode downstream, or run the " +
+        "ALL ROWS projection per micro-batch via foreachBatch")
     CepMeasures.validate(query, spec, st.measures, Set.empty)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
