@@ -126,7 +126,12 @@ object CepSql {
       } else if (c.isDigit) {
         val j = s.indexWhere(!_.isDigit, i)
         val end = if (j < 0) s.length else j
-        out += TNum(s.substring(i, end).toInt); i = end
+        val digits = s.substring(i, end)
+        val n =
+          try digits.toInt
+          catch { case _: NumberFormatException =>
+            err(s"integer '$digits' out of range") }
+        out += TNum(n); i = end
       } else if (c.isLetter || c == '_') {
         val j = s.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
         val end = if (j < 0) s.length else j
@@ -155,7 +160,10 @@ object CepSql {
   private final class PParser(toks: Vector[Tok]) {
     private var i = 0
     private def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
-    private def next(): Tok = { val t = toks(i); i += 1; t }
+    private def next(): Tok =
+      if (i < toks.length) { val t = toks(i); i += 1; t }
+      else throw new IllegalArgumentException(
+        "CEP SQL pattern: unexpected end of pattern")
     private def expect(t: Tok, what: String): Unit =
       if (peek.contains(t)) { i += 1 }
       else throw new IllegalArgumentException(

@@ -1,0 +1,124 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parser robustness: `CepSql.parseStatement` on adversarial input must
+  * either parse or throw `IllegalArgumentException` with a message — no
+  * NPEs, no StackOverflow, no StringIndexOutOfBounds, no hangs. Two
+  * generators: (1) pure garbage (random bytes over the token alphabet),
+  * (2) mutations of VALID statements (drop/duplicate/swap a token),
+  * which land much closer to the error paths users actually hit.
+  *
+  * Plus a statement-level render round-trip property: random measures ×
+  * spec sections × output mode × the full random query AST generator —
+  * `parseStatement(render(st)) == st` (the query-level property in
+  * `CepSqlSpec` covers the AST; this covers the statement envelope).
+  */
+class CepSqlFuzzSpec extends AnyFunSuite {
+
+  private val schema: Vector[(String, Vector[String])] = Vector(
+    "A" -> Vector("id", "v", "w"), "B" -> Vector("id", "v", "w"),
+    "C" -> Vector("id", "v", "w"))
+
+  private def mustNotCrash(sql: String): Unit =
+    try { CepSql.parseStatement(sql, schema); () }
+    catch {
+      case e: IllegalArgumentException =>
+        assert(e.getMessage != null && e.getMessage.nonEmpty,
+          s"empty error message for input: $sql")
+      case e: Throwable =>
+        fail(s"non-IAE ${e.getClass.getName}: ${e.getMessage}\n" +
+          s"  for input: $sql")
+    }
+
+  test("pure-garbage fuzz: 2000 random strings parse or fail loudly") {
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet =
+      "PATTERN DEFINE MEASURES WITHIN AFTER MATCH SKIP ALL ONE ROWS " +
+        "ROW PER BY ORDER TYPE AS GROUP UNTIL LET THEN WHERE FINAL " +
+        "RUNNING abc v {}()->~>!?*+,.;:0123456789 \n\t"
+    for (_ <- 0 until 2000) {
+      val n = 1 + rnd.nextInt(80)
+      val s = new StringBuilder
+      for (_ <- 0 until n) s += alphabet(rnd.nextInt(alphabet.length))
+      mustNotCrash(s.toString)
+    }
+  }
+
+  test("mutation fuzz: 2000 single-token mutations of valid statements") {
+    val rnd = new scala.util.Random(20260816L)
+    val valid = Vector(
+      "PATTERN (a -> b{1,2}~! ~> c) MEASURES COUNT(b) AS n, " +
+        "FINAL SUM(b.v) AS s ALL ROWS PER MATCH PARTITION BY k " +
+        "ORDER BY id TYPE t DEFINE a AS A; b AS B WHERE v > 2; c AS C " +
+        "WITHIN 9 AFTER MATCH SKIP TO NEXT",
+      "PATTERN ((a b){1,}:g) DEFINE a AS A; b AS B; " +
+        "g AS GROUP UNTIL v > 5",
+      "PATTERN (a ->!fby(x) b) MEASURES AVG(b.w) AS aw " +
+        "DEFINE a AS A LET R = 0 THEN R + v; x AS B; b AS C " +
+        "WITHIN 100 ON w AFTER MATCH SKIP PAST LAST EVENT")
+    for (_ <- 0 until 2000) {
+      val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
+      rnd.nextInt(4) match {
+        case 0 => base.remove(rnd.nextInt(base.length))
+        case 1 =>
+          val t = base(rnd.nextInt(base.length))
+          base.insert(rnd.nextInt(base.length + 1), t)
+        case 2 =>
+          val i = rnd.nextInt(base.length)
+          val j = rnd.nextInt(base.length)
+          val t = base(i); base(i) = base(j); base(j) = t
+        case 3 =>
+          val i = rnd.nextInt(base.length)
+          base(i) = base(i).drop(1 + rnd.nextInt(2))
+      }
+      mustNotCrash(base.mkString(" "))
+    }
+  }
+
+  test("property: parseStatement(render(st)) == st over random " +
+    "statement envelopes (200 trials)") {
+    val rnd = new scala.util.Random(20260817L)
+    val fns = CepMeasures.Fn.all
+    for (trial <- 0 until 200) {
+      // a small random query with known binding names
+      val names = Vector("a", "b", "c").take(1 + rnd.nextInt(3))
+      val units: Vector[Pattern] = names.map { n =>
+        rnd.nextInt(3) match {
+          case 0 => Pattern.spat(n, "A", "True")
+          case 1 => Pattern.lpat(n, "B", "v > 1",
+            Contiguity.Relaxed, 1, 1 + rnd.nextInt(3))
+          case 2 => Pattern.lpat(n, "C", "True",
+            Contiguity.Strict, if (rnd.nextBoolean()) 0 else 1, 2)
+        }
+      }
+      val pat = units.reduceLeft[Pattern]((l, r) =>
+        Pattern.Combine(Contiguity.Relaxed, l, r))
+      val query = CepQuery(pat, schema,
+        if (rnd.nextBoolean()) AfterMatchStrategy.NoSkip
+        else AfterMatchStrategy.SkipToNext,
+        if (rnd.nextBoolean()) Some(1 + rnd.nextInt(50)) else None,
+        None)
+      val measures = (0 until rnd.nextInt(4)).toVector.map { i =>
+        val nm = names(rnd.nextInt(names.length))
+        val fn = fns(rnd.nextInt(fns.length))
+        val attr = fn match {
+          case CepMeasures.Fn.Count => None
+          case CepMeasures.Fn.Sum | CepMeasures.Fn.Min |
+               CepMeasures.Fn.Max | CepMeasures.Fn.Avg => Some("v")
+          case _ => if (rnd.nextBoolean()) Some("w") else None
+        }
+        CepMeasures.Measure(fn, nm, attr, s"m$i", rnd.nextBoolean())
+      }
+      val st = CepSql.CepSqlStatement(query, measures,
+        partitionBy = if (rnd.nextBoolean()) Some("k") else None,
+        orderBy = if (rnd.nextBoolean()) Some("id") else None,
+        typeCol = if (rnd.nextBoolean()) Some("t") else None,
+        rowsPerMatch =
+          if (rnd.nextBoolean()) CepSql.RowsPerMatch.AllRows
+          else CepSql.RowsPerMatch.OneRow)
+      val again = CepSql.parseStatement(CepSql.render(st), schema)
+      assert(again == st, s"trial $trial:\n${CepSql.render(st)}")
+    }
+  }
+}
