@@ -1041,6 +1041,84 @@ object Queries {
       |  FROM m)
       |ORDER BY user_id, match_no, event_id""".stripMargin
 
+  /** SQL:2016 row navigation in DEFINE conditions ([[graft.cep.Nav]]):
+    * `PREV(value)` is attribute `value` of the previous PHYSICAL row of
+    * the user's partition in `event_id` order — not the previous bound
+    * event — so with strict juxtaposition `x y` the pattern is exactly
+    * "two adjacent rows, both clicks, value strictly rising". The lag
+    * column is materialized once per key partition before the NFA (the
+    * window's key exchange is the one the NFA needs anyway); at a
+    * partition's first row `PREV` is NULL and the guarded atom is
+    * not-true, so runs simply cannot start there. `SUM(y.value)`
+    * exercises the measures join-back over a navigation query.
+    */
+  val cepSqlPrevAscendingStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (x y) " +
+        "MEASURES FIRST(x) AS x_id, LAST(y) AS y_id, " +
+        "SUM(y.value) AS y_value " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE x AS click; y AS click WHERE value > PREV(value)",
+      eventSchema)
+
+  def cepSqlPrevAscending(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlPrevAscendingStatement)
+      .orderBy("user_id", "x_id", "y_id", "y_value")
+
+  val cepSqlPrevAscendingSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events)
+      |SELECT a.user_id, a.event_id AS x_id, b.event_id AS y_id,
+      |  b.v AS y_value
+      |FROM seqd a JOIN seqd b
+      |  ON b.user_id = a.user_id AND b.seq = a.seq + 1
+      |WHERE a.event_type = 'click' AND b.event_type = 'click'
+      |  AND b.v > a.v
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** `PREV` + `NEXT` in one atom-guarded condition: local value peaks —
+    * clicks strictly above BOTH physical neighbors (of any type). A
+    * single-spat navigation pattern: the pre-NFA pushdown falls back to
+    * the type-only filter (the nav condition is not column-translatable
+    * and, in the navigation path, the filter runs above the lag/lead
+    * window — rows it drops still contribute their values to their
+    * neighbors' PREV/NEXT). First/last rows of a partition can never
+    * match (their guard indicator is 0).
+    */
+  val cepSqlNavPeaksStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (p) " +
+        "MEASURES FIRST(p) AS p_id, FIRST(p.value) AS p_value " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE p AS click WHERE value > PREV(value) and " +
+        "value > NEXT(value)",
+      eventSchema)
+
+  def cepSqlNavPeaks(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlNavPeaksStatement)
+      .orderBy("user_id", "p_id", "p_value")
+
+  val cepSqlNavPeaksSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |nav AS (
+      |  SELECT *,
+      |    lag(v) OVER (PARTITION BY user_id ORDER BY seq) AS pv,
+      |    lead(v) OVER (PARTITION BY user_id ORDER BY seq) AS nv
+      |  FROM seqd)
+      |SELECT user_id, event_id AS p_id, v AS p_value
+      |FROM nav
+      |WHERE event_type = 'click'
+      |  AND pv IS NOT NULL AND nv IS NOT NULL
+      |  AND v > pv AND v > nv
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** The shed valve's registry gauge (`SparkCep.shedGauge`): nd-relaxed
     * click pairs under the shed-oldest salvage at cap 1, one row per
     * user with the surviving-match and shed-run counts as DATA. With
@@ -5772,6 +5850,8 @@ object Queries {
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnel _,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
     "cep_sql_all_rows" -> cepSqlAllRows _,
+    "cep_sql_prev_ascending" -> cepSqlPrevAscending _,
+    "cep_sql_nav_peaks" -> cepSqlNavPeaks _,
     "cep_shed_gauge" -> cepShedGauge _,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignups _,
     "cep_iter_budget" -> cepIterBudget _,
@@ -5920,6 +6000,8 @@ object Queries {
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnelSql,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
+    "cep_sql_prev_ascending" -> cepSqlPrevAscendingSql,
+    "cep_sql_nav_peaks" -> cepSqlNavPeaksSql,
     "cep_shed_gauge" -> cepShedGaugeSql,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignupsSql,
     "cep_iter_budget" -> cepIterBudgetSql,

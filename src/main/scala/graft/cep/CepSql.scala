@@ -16,7 +16,13 @@ package graft.cep
   * }}}
   *
   * Grammar (keywords UPPERCASE; `n`/`m` integers; `expr` the engine's
-  * condition language, handed verbatim to `Expr.parse`):
+  * condition language, handed to `Expr.parse` after the row-navigation
+  * rewrite: in WHERE/UNTIL conditions, `PREV(attr)` / `PREV(attr, k)` /
+  * `NEXT(attr[, k])` reference attribute `attr` of the k-th
+  * previous/following PHYSICAL row of the key's partition in input
+  * order — SQL:2016 MATCH_RECOGNIZE navigation; at a partition edge the
+  * navigated value is NULL and the containing boolean atom is not-true,
+  * see [[Nav]]):
   *
   * {{{
   * query  := PATTERN '(' seq ')' [MEASURES meas (',' meas)*]
@@ -336,8 +342,12 @@ object CepSql {
           case None              => (body.trim, None)
         }
       kw match {
-        case "WHERE" => cndt = Expr.parse(section)
-        case "UNTIL" => until = Some(Expr.parse(section))
+        // conditions get the PREV/NEXT navigation rewrite + NULL guards
+        // (Nav): navigation is only meaningful where a row is being
+        // judged, i.e. in boolean contexts
+        case "WHERE" => cndt = Nav.guard(Expr.parse(Nav.rewriteText(section)))
+        case "UNTIL" =>
+          until = Some(Nav.guard(Expr.parse(Nav.rewriteText(section))))
         case "LET" =>
           vars = section.split(',').toVector.map { item =>
             val eq = item.indexOf('=')
@@ -346,7 +356,16 @@ object CepSql {
             val vname = item.substring(0, eq).trim
             splitAtKeyword(item.substring(eq + 1), Seq("THEN")) match {
               case Some((init, _, upd)) =>
-                VarDef(vname, init.trim.toLong, Expr.parse(upd.trim))
+                val initV = try init.trim.toLong catch {
+                  case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"CEP SQL LET: bad initial value '${init.trim}'")
+                }
+                require(Nav.rewriteText(upd) == upd,
+                  s"CEP SQL LET: navigation (PREV/NEXT) is only " +
+                    s"allowed in WHERE/UNTIL conditions, not register " +
+                    s"updates ('${upd.trim}')")
+                VarDef(vname, initV, Expr.parse(upd.trim))
               case None => throw new IllegalArgumentException(
                 s"CEP SQL LET: missing THEN in '$item'")
             }
@@ -475,7 +494,7 @@ object CepSql {
   /** Names referenced by the pattern's conditions, LET updates and UNTIL
     * stops (attributes and registers alike).
     */
-  private def patternRefs(p: Pattern): Set[String] = {
+  private[cep] def patternRefs(p: Pattern): Set[String] = {
     def ofVars(vs: Vector[VarDef]): Set[String] =
       vs.iterator.flatMap(v => Expr.refs(v.update)).toSet
     p match {
@@ -814,7 +833,10 @@ object CepSql {
         s"CEP SQL render: pattern name '$name' binds twice")
     }
     var groupN = 0
-    def exprS(e: Expr): String = Pattern.ExprRepr(e)
+    // inverse of the parse side's navigation handling: drop the NULL
+    // guards Nav.guard added, print nav value refs as PREV(...)/NEXT(...)
+    def exprS(e: Expr): String =
+      Pattern.ExprRepr(Nav.display(Nav.stripGuards(e)))
     def addDef(name: String, event: String, cndt: Expr,
         vars: Vector[VarDef], until: Option[Expr],
         allowDupIdentical: Boolean = false): Unit = {

@@ -45,7 +45,7 @@ object SparkCep {
     */
   private[graft] def prepare(df: DataFrame, query: CepQuery, spec: CepSpec)
       : (DataFrame, Vector[String]) =
-    prepareWithFilter(df, prefilter(query, spec), spec)
+    prepareWithFilter(df, prefilter(query, spec), spec, Nav.ofQuery(query))
 
   /** `prepare` with the pre-NFA filter supplied by the caller — the
     * single-query path passes its own `prefilter`, the shared multi-query
@@ -54,27 +54,65 @@ object SparkCep {
     * formulations.
     */
   private[graft] def prepareWithFilter(df: DataFrame, filter: Option[Column],
-      spec: CepSpec): (DataFrame, Vector[String]) = {
+      spec: CepSpec, navs: Seq[Nav] = Nil): (DataFrame, Vector[String]) = {
+    if (navs.nonEmpty && df.isStreaming)
+      throw new IllegalArgumentException(
+        "CEP navigation (PREV/NEXT) is not supported on streaming " +
+          "input: lag/lead need the whole key partition. Run the " +
+          "navigation query in batch, or express the dependency with " +
+          "LET registers (previous BOUND event) instead.")
+    val navNames = navs.flatMap(n => Seq(n.valueName, n.hasName))
     val attrNames: Vector[String] =
-      (spec.orderCol +: spec.attrCols.filterNot(_ == spec.orderCol)).toVector
+      (spec.orderCol +: (spec.attrCols ++ navNames).distinct
+        .filterNot(_ == spec.orderCol)).toVector
     val keyExprC = keyExpr(df, spec)
-    val source0 = filter match {
-      case Some(cond) => df.filter(cond) // pushes down to the parquet scan
-      case None       => df
+    if (navs.isEmpty) {
+      val source0 = filter match {
+        case Some(cond) => df.filter(cond) // pushes down to the parquet scan
+        case None       => df
+      }
+      // null keys carry no entity identity and cannot join a sequence —
+      // drop them explicitly rather than silently collapsing onto key 0
+      val source = spec.keyCol match {
+        case Some(k) => source0.filter(col(k).isNotNull)
+        case None    => source0
+      }
+      val prepared = source.select(
+        keyExprC.as("__key") +:
+          col(spec.orderCol).cast(LongType).as("__ord") +:
+          col(spec.typeCol).cast(StringType).as("__type") +:
+          attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*
+      )
+      (prepared, attrNames)
+    } else {
+      // navigation path: lag/lead columns must be computed over the
+      // engine's input BEFORE the pre-NFA pushdown (PREV observes rows
+      // the filter drops) and after the null-key drop. The filter then
+      // prunes NFA input but no longer reaches the parquet scan — the
+      // window blocks it. `__key` is projected FIRST and the window
+      // partitions by that attribute (not the raw key expression), so
+      // the window's hash exchange IS the one the NFA requires —
+      // EnsureRequirements matches them and the plan keeps a single
+      // shuffle (pinned in `CepNavSpec`/`DriveNavPlan`).
+      val source0 = spec.keyCol match {
+        case Some(k) => df.filter(col(k).isNotNull)
+        case None    => df
+      }
+      val keyed = source0.withColumn("__key", keyExprC)
+      val withNav = Nav.addColumns(keyed,
+        spec.keyCol.map(_ => col("__key")), spec.orderCol, navs)
+      val source = filter match {
+        case Some(cond) => withNav.filter(cond)
+        case None       => withNav
+      }
+      val prepared = source.select(
+        col("__key") +:
+          col(spec.orderCol).cast(LongType).as("__ord") +:
+          col(spec.typeCol).cast(StringType).as("__type") +:
+          attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*
+      )
+      (prepared, attrNames)
     }
-    // null keys carry no entity identity and cannot join a sequence — drop
-    // them explicitly rather than silently collapsing onto key 0
-    val source = spec.keyCol match {
-      case Some(k) => source0.filter(col(k).isNotNull)
-      case None    => source0
-    }
-    val prepared = source.select(
-      keyExprC.as("__key") +:
-        col(spec.orderCol).cast(LongType).as("__ord") +:
-        col(spec.typeCol).cast(StringType).as("__type") +:
-        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*
-    )
-    (prepared, attrNames)
   }
 
   /** The shed valve's telemetry AS DATA: run `query` per key with the
@@ -178,7 +216,8 @@ object SparkCep {
     // of a stream: the filtered stream ends before any event advances
     // the clock past the deadline, and the timeout is silently lost —
     // the match operators are immune because pruned runs emit nothing).
-    val (prepared, attrNames) = prepareWithFilter(df, None, spec)
+    val (prepared, attrNames) =
+      prepareWithFilter(df, None, spec, Nav.ofQuery(query))
     val parted = spec.keyCol match {
       case Some(_) =>
         prepared.repartition(col("__key"))
@@ -387,7 +426,9 @@ object SparkCep {
     val effMaxRuns =
       resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
     val (prepared, attrNames) =
-      prepareWithFilter(df, unionPrefilter(queries, spec), spec)
+      prepareWithFilter(df, unionPrefilter(queries, spec), spec,
+        queries.flatMap { case (_, q) => Nav.ofQuery(q) }
+          .distinct.sortBy(_.valueName))
     val spark = df.sparkSession
     GraftColumnBridge.addStrategy(spark, graft.plans.CepStrategy)
     val output = Seq(

@@ -170,6 +170,18 @@ object StreamingCep {
     * the watermark, and events outside the union alphabet are never
     * fed to members.
     */
+  /** Row navigation needs the whole key partition (lag/lead) — no
+    * streaming formulation yet; same contract as the processing-time
+    * paths' reject in `SparkCep.prepareWithFilter`.
+    */
+  private def rejectNav(queries: Seq[CepQuery]): Unit =
+    if (queries.exists(q => Nav.ofQuery(q).nonEmpty))
+      throw new IllegalArgumentException(
+        "CEP navigation (PREV/NEXT) is not supported on streaming " +
+          "input: lag/lead need the whole key partition. Run the " +
+          "navigation query in batch, or express the dependency with " +
+          "LET registers (previous BOUND event) instead.")
+
   private def etPrepare(df: DataFrame,
       filter: Option[org.apache.spark.sql.Column], spec: SparkCep.CepSpec,
       tsCol: String, delay: String): (DataFrame, Vector[String]) = {
@@ -479,7 +491,8 @@ object StreamingCep {
     // no pre-NFA filter: the timeout output observes sweep moments (see
     // the batch operator's doc) — a dropped event can be the only one
     // that closes a window
-    val (prepared, attrNames) = SparkCep.prepareWithFilter(df, None, spec)
+    val (prepared, attrNames) =
+      SparkCep.prepareWithFilter(df, None, spec, Nav.ofQuery(query))
     val orderName = attrNames.head
     val outSchema = StructType(
       StructField(keyName, LongType, nullable = false) +:
@@ -581,7 +594,9 @@ object StreamingCep {
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
     val (prepared, attrNames) = SparkCep.prepareWithFilter(
-      df, SparkCep.unionPrefilter(queries, spec), spec)
+      df, SparkCep.unionPrefilter(queries, spec), spec,
+      queries.flatMap { case (_, q) => Nav.ofQuery(q) }
+        .distinct.sortBy(_.valueName))
     val orderName = attrNames.head
 
     val outSchema = StructType(Seq(
@@ -652,6 +667,7 @@ object StreamingCep {
   def matchPatternEventTime(df: DataFrame, query: CepQuery,
       spec: SparkCep.CepSpec, tsCol: String, delay: String,
       maxRunsPerKey: Option[Int] = None): DataFrame = {
+    rejectNav(Seq(query))
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
@@ -750,6 +766,7 @@ object StreamingCep {
     require(query.within.isDefined || query.withinTime.isDefined,
       "timedOutPartialsEventTime needs a windowed query " +
         "(within/withinTime) — an unwindowed run never times out")
+    rejectNav(Seq(query))
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
@@ -867,6 +884,7 @@ object StreamingCep {
       tsCol: String, delay: String, maxRunsPerKey: Option[Int] = None)
       : DataFrame = {
     require(queries.nonEmpty, "matchPatternsSharedEventTime needs >= 1 query")
+    rejectNav(queries.map(_._2))
     val keyName = spec.keyCol.getOrElse("__global")
     queries.foreach { case (_, q) =>
       SparkCep.checkWithinStateBound(q, maxRunsPerKey, streaming = true)

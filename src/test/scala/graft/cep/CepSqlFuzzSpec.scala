@@ -36,7 +36,7 @@ class CepSqlFuzzSpec extends AnyFunSuite {
     val alphabet =
       "PATTERN DEFINE MEASURES WITHIN AFTER MATCH SKIP ALL ONE ROWS " +
         "ROW PER BY ORDER TYPE AS GROUP UNTIL LET THEN WHERE FINAL " +
-        "RUNNING abc v {}()->~>!?*+,.;:0123456789 \n\t"
+        "RUNNING PREV NEXT abc v {}()->~>!?*+,.;:0123456789 \n\t"
     for (_ <- 0 until 2000) {
       val n = 1 + rnd.nextInt(80)
       val s = new StringBuilder
@@ -56,7 +56,10 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         "g AS GROUP UNTIL v > 5",
       "PATTERN (a ->!fby(x) b) MEASURES AVG(b.w) AS aw " +
         "DEFINE a AS A LET R = 0 THEN R + v; x AS B; b AS C " +
-        "WITHIN 100 ON w AFTER MATCH SKIP PAST LAST EVENT")
+        "WITHIN 100 ON w AFTER MATCH SKIP PAST LAST EVENT",
+      "PATTERN (x y) MEASURES FIRST(x) AS i PARTITION BY k ORDER BY " +
+        "id TYPE t DEFINE x AS A; y AS A WHERE v > PREV(v, 2) and " +
+        "v > NEXT(w) or PREV(v) == 0")
     for (_ <- 0 until 2000) {
       val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
       rnd.nextInt(4) match {
