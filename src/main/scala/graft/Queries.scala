@@ -1119,6 +1119,76 @@ object Queries {
       |  AND v > pv AND v > nv
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** SQL:2016 `SUBSET` union variables: `u = (c, p)` merges the click
+    * and purchase bindings in stream order, and every measure tier
+    * handles the union — positional COUNT/FIRST/LAST as size-sums and
+    * min/max over the concatenated binding arrays (still pure codegen,
+    * no join), attribute SUM/MIN/AVG through the one events join with
+    * an `IN (members)` name guard. `u` provably binds ≥ 1 event (c has
+    * `{1,2}`), so the join stays INNER/broadcast-eligible. The oracle
+    * recomputes every union measure from the funnel CTEs' bound
+    * positions.
+    */
+  val cepSqlSubsetFunnelStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES COUNT(u) AS n_u, FIRST(u) AS u_first, " +
+        "LAST(u) AS u_last, SUM(u.value) AS u_sum, " +
+        "MIN(u.value) AS u_min, AVG(u.value) AS u_avg " +
+        "SUBSET u = (c, p) " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlSubsetFunnel(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlSubsetFunnelStatement)
+      .orderBy("user_id", "u_first", "n_u", "u_last", "u_sum", "u_min",
+        "u_avg")
+
+  val cepSqlSubsetFunnelSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT m.user_id,
+      |  CAST(CASE WHEN m.c2_seq IS NULL THEN 2 ELSE 3 END AS BIGINT)
+      |    AS n_u,
+      |  e1.event_id AS u_first,
+      |  ep.event_id AS u_last,
+      |  e1.v + COALESCE(e2.v, 0) + ep.v AS u_sum,
+      |  LEAST(e1.v, COALESCE(e2.v, e1.v), ep.v) AS u_min,
+      |  CAST((e1.v + COALESCE(e2.v, 0) + ep.v) //
+      |    (CASE WHEN m.c2_seq IS NULL THEN 2 ELSE 3 END) AS BIGINT)
+      |    AS u_avg
+      |FROM m
+      |JOIN seqd e1 ON e1.user_id = m.user_id AND e1.seq = m.c1_seq
+      |LEFT JOIN seqd e2 ON e2.user_id = m.user_id AND e2.seq = m.c2_seq
+      |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
+      |ORDER BY 1, 3, 2, 4, 5, 6, 7""".stripMargin
+
   /** The shed valve's registry gauge (`SparkCep.shedGauge`): nd-relaxed
     * click pairs under the shed-oldest salvage at cap 1, one row per
     * user with the surviving-match and shed-run counts as DATA. With
@@ -5852,6 +5922,7 @@ object Queries {
     "cep_sql_all_rows" -> cepSqlAllRows _,
     "cep_sql_prev_ascending" -> cepSqlPrevAscending _,
     "cep_sql_nav_peaks" -> cepSqlNavPeaks _,
+    "cep_sql_subset_funnel" -> cepSqlSubsetFunnel _,
     "cep_shed_gauge" -> cepShedGauge _,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignups _,
     "cep_iter_budget" -> cepIterBudget _,
@@ -6002,6 +6073,7 @@ object Queries {
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
     "cep_sql_prev_ascending" -> cepSqlPrevAscendingSql,
     "cep_sql_nav_peaks" -> cepSqlNavPeaksSql,
+    "cep_sql_subset_funnel" -> cepSqlSubsetFunnelSql,
     "cep_shed_gauge" -> cepShedGaugeSql,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignupsSql,
     "cep_iter_budget" -> cepIterBudgetSql,

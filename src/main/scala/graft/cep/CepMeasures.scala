@@ -104,15 +104,28 @@ object CepMeasures {
     ((sumC - pmod(sumC, cntC)) / cntC).cast(LongType)
 
   /** Shared validation for both output modes. `reserved` = output-shape
-    * column names the mode itself emits.
+    * column names the mode itself emits. `subsets` = SQL:2016 SUBSET
+    * union variables (subset name → member pattern names).
     */
   private[cep] def validate(query: CepQuery, spec: CepSpec,
-      measures: Vector[Measure], reserved: Set[String]): Vector[String] = {
+      measures: Vector[Measure], reserved: Set[String],
+      subsets: Map[String, Vector[String]] = Map.empty): Vector[String] = {
     val names = SparkCep.patternNames(query.patseq)
+    subsets.foreach { case (u, ms) =>
+      require(!names.contains(u),
+        s"SUBSET: '$u' collides with a pattern name")
+      require(!u.startsWith("__"),
+        s"SUBSET: '$u' uses the reserved '__' prefix")
+      require(ms.nonEmpty, s"SUBSET: '$u' has no members")
+      require(ms.distinct == ms, s"SUBSET: '$u' repeats a member")
+      ms.foreach(n => require(names.contains(n),
+        s"SUBSET: '$u' member '$n' is not a pattern name " +
+          s"(have ${names.mkString(", ")})"))
+    }
     measures.foreach { m =>
-      require(names.contains(m.name),
-        s"MEASURES: '${m.name}' is not a pattern name " +
-          s"(have ${names.mkString(", ")})")
+      require(names.contains(m.name) || subsets.contains(m.name),
+        s"MEASURES: '${m.name}' is not a pattern or SUBSET name " +
+          s"(have ${(names ++ subsets.keys).mkString(", ")})")
       m.attr.foreach(a => require(
         a == spec.orderCol || spec.attrCols.contains(a),
         s"MEASURES: attribute '$a' is not in the CEP spec " +
@@ -122,6 +135,8 @@ object CepMeasures {
       // deep ambiguous-reference AnalysisException — reject loudly here
       require(!names.contains(m.alias),
         s"MEASURES: alias '${m.alias}' collides with a pattern name")
+      require(!subsets.contains(m.alias),
+        s"MEASURES: alias '${m.alias}' collides with a SUBSET name")
       spec.keyCol.foreach(k => require(m.alias != k,
         s"MEASURES: alias '${m.alias}' collides with the key column"))
       require(!m.alias.startsWith("__"),
@@ -135,13 +150,30 @@ object CepMeasures {
     names
   }
 
-  private def positional(m: Measure): Column = m.fn match {
-    case Fn.Count => size(col(m.name)).cast(LongType)
-    case Fn.First => get(col(m.name), lit(0))
-    case Fn.Last  => get(col(m.name), size(col(m.name)) - 1)
-    case other => throw new IllegalStateException(
-      s"${other.sqlName} is attribute-only") // unreachable (ctor check)
-  }
+  /** Positional measure over the binding arrays. A multi-member SUBSET
+    * target is the UNION binding: order ids ascend in stream order
+    * within every array, so FIRST/LAST of the union are the min/max
+    * over the concatenation and COUNT is the size sum — still pure
+    * column expressions, no join.
+    */
+  private def positional(m: Measure, members: Vector[String]): Column =
+    if (members.length == 1) {
+      val c = col(members.head)
+      m.fn match {
+        case Fn.Count => size(c).cast(LongType)
+        case Fn.First => get(c, lit(0))
+        case Fn.Last  => get(c, size(c) - 1)
+        case other => throw new IllegalStateException(
+          s"${other.sqlName} is attribute-only") // unreachable (ctor check)
+      }
+    } else m.fn match {
+      case Fn.Count =>
+        members.map(n => size(col(n)).cast(LongType)).reduce(_ + _)
+      case Fn.First => array_min(concat(members.map(col): _*))
+      case Fn.Last  => array_max(concat(members.map(col): _*))
+      case other => throw new IllegalStateException(
+        s"${other.sqlName} is attribute-only") // unreachable (ctor check)
+    }
 
   /** `(name, order)` pairs over the given binding-array columns, ready to
     * explode — one struct per bound event across all listed names.
@@ -200,9 +232,12 @@ object CepMeasures {
     * ROW PER MATCH.
     */
   def project(matches: DataFrame, events: DataFrame, query: CepQuery,
-      spec: CepSpec, measures: Vector[Measure]): DataFrame = {
+      spec: CepSpec, measures: Vector[Measure],
+      subsets: Map[String, Vector[String]] = Map.empty): DataFrame = {
     require(measures.nonEmpty, "MEASURES: empty measure list")
-    validate(query, spec, measures, Set.empty)
+    validate(query, spec, measures, Set.empty, subsets)
+    def membersOf(n: String): Vector[String] =
+      subsets.getOrElse(n, Vector(n))
 
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val keyOut = keyName.map(col).toSeq
@@ -210,26 +245,30 @@ object CepMeasures {
     if (attrMeasures.isEmpty) {
       // pure positional: no identity, no join, no shuffle
       matches.select(
-        keyOut ++ measures.map(m => positional(m).as(m.alias)): _*)
+        keyOut ++ measures.map(m =>
+          positional(m, membersOf(m.name)).as(m.alias)): _*)
     } else {
       val posMeasures = measures.filter(_.attr.isEmpty)
-      val measuredNames = attrMeasures.map(_.name).distinct.sorted
+      val measuredNames =
+        attrMeasures.flatMap(m => membersOf(m.name)).distinct.sorted
       val attrsNeeded = attrMeasures.flatMap(_.attr).distinct
       // sentinel + LEFT join only when a measured binding can actually
       // be empty; otherwise plain explode + INNER join, which AQE can
       // flip to a broadcast of the (small) match side at runtime — a
       // left-outer join preserves its left side and can never broadcast
-      // it, pinning the plan to a full event-table shuffle
+      // it, pinning the plan to a full event-table shuffle. A SUBSET
+      // target is empty only when EVERY member is.
       val mayBeEmpty = {
         val pe = possiblyEmptyNames(query.patseq)
-        measuredNames.exists(pe.contains)
+        attrMeasures.exists(m => membersOf(m.name).forall(pe.contains))
       }
       val withMid = matches.withColumn("__mid",
         monotonically_increasing_id())
       val pairs = bindingPairs(measuredNames)
       val exploded = withMid.select(
         ((Seq(col("__mid")) ++ keyOut ++
-          posMeasures.map(m => positional(m).as(s"__p_${m.alias}"))) :+
+          posMeasures.map(m =>
+            positional(m, membersOf(m.name)).as(s"__p_${m.alias}"))) :+
           (if (mayBeEmpty) explode_outer(pairs)
            else explode(pairs)).as("__pr")): _*)
         .withColumn("__nm", col("__pr.nm"))
@@ -246,7 +285,7 @@ object CepMeasures {
       val grp = col("__mid") +: (keyOut ++
         posMeasures.map(m => col(s"__p_${m.alias}")))
       val aggs = attrMeasures.map { m =>
-        val isNm = col("__nm") === m.name
+        val isNm = col("__nm").isin(membersOf(m.name): _*)
         val v = when(isNm, col(s"__a_${m.attr.get}"))
         (m.fn match {
           case Fn.Sum   => sum(v)
@@ -288,10 +327,13 @@ object CepMeasures {
     * not O(partition).
     */
   def allRows(matches: DataFrame, events: DataFrame, query: CepQuery,
-      spec: CepSpec, measures: Vector[Measure]): DataFrame = {
+      spec: CepSpec, measures: Vector[Measure],
+      subsets: Map[String, Vector[String]] = Map.empty): DataFrame = {
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val reserved = Set("match_no", "classifier", spec.orderCol)
-    val names = validate(query, spec, measures, reserved)
+    val names = validate(query, spec, measures, reserved, subsets)
+    def membersOf(n: String): Vector[String] =
+      subsets.getOrElse(n, Vector(n))
 
     val keyOut = keyName.map(col).toSeq
     val seqW = keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
@@ -332,7 +374,7 @@ object CepMeasures {
       Window.unboundedFollowing)
     val measureCols = measures.map { m =>
       val runW = if (m.isFinal) finalW else runWdefault
-      val isNm = col("classifier") === m.name
+      val isNm = col("classifier").isin(membersOf(m.name): _*)
       (m.attr match {
         case None => m.fn match {
           case Fn.Count => count(when(isNm, lit(1))).over(runW)
@@ -375,8 +417,15 @@ object CepMeasures {
     * an empty binding is NULL except COUNT = 0.
     */
   def evalMeasure(m: Measure, byName: Map[String, Vector[Event]],
-      orderName: String): Option[Long] = {
-    val binding = byName.getOrElse(m.name, Vector.empty)
+      orderName: String,
+      subsets: Map[String, Vector[String]] = Map.empty): Option[Long] = {
+    val binding = subsets.get(m.name) match {
+      case None => byName.getOrElse(m.name, Vector.empty)
+      case Some(members) =>
+        // union binding in stream order (each member's vector already is)
+        members.flatMap(n => byName.getOrElse(n, Vector.empty))
+          .sortBy(_(orderName))
+    }
     m.attr match {
       case None => m.fn match {
         case Fn.Count => Some(binding.length.toLong)
@@ -412,9 +461,9 @@ object CepMeasures {
     val frames = SparkCep.matchPatternExec(df, st.query, spec)
     st.rowsPerMatch match {
       case CepSql.RowsPerMatch.OneRow =>
-        project(frames, df, st.query, spec, st.measures)
+        project(frames, df, st.query, spec, st.measures, st.subsetMap)
       case CepSql.RowsPerMatch.AllRows =>
-        allRows(frames, df, st.query, spec, st.measures)
+        allRows(frames, df, st.query, spec, st.measures, st.subsetMap)
     }
   }
 

@@ -26,6 +26,10 @@ package graft.cep
   *
   * {{{
   * query  := PATTERN '(' seq ')' [MEASURES meas (',' meas)*]
+  *           [SUBSET u '=' '(' name (',' name)* ')'
+  *                   (',' u '=' '(' … ')')*]     (union variables:
+  *            a measure over `u` sees the members' bindings merged in
+  *            stream order — COUNT(u), FIRST(u), SUM(u.attr), …)
   *           [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *           [PARTITION BY col] [ORDER BY col] [TYPE col]
   *           DEFINE def (';' def)*
@@ -468,7 +472,11 @@ object CepSql {
       partitionBy: Option[String] = None,
       orderBy: Option[String] = None,
       typeCol: Option[String] = None,
-      rowsPerMatch: RowsPerMatch = RowsPerMatch.OneRow) {
+      rowsPerMatch: RowsPerMatch = RowsPerMatch.OneRow,
+      subsets: Vector[(String, Vector[String])] = Vector.empty) {
+
+    /** SUBSET union variables as the lookup the measures tiers take. */
+    def subsetMap: Map[String, Vector[String]] = subsets.toMap
 
     /** The statement's own [[SparkCep.CepSpec]] — requires the `ORDER
       * BY` and `TYPE` sections (a CEP feed needs an order and a type
@@ -571,6 +579,50 @@ object CepSql {
   private val MeasureRe =
     """^(?:(RUNNING|FINAL)\s+)?([A-Z]+)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
 
+  /** SQL:2016 `SUBSET u = (a, b), u2 = (c, d)` — union pattern
+    * variables for MEASURES. Items split at top-level commas (commas
+    * inside the member parentheses separate members).
+    */
+  private def parseSubsets(text: String): Vector[(String, Vector[String])] = {
+    def ident(s: String, what: String): String = {
+      val t = s.trim
+      require(t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_') &&
+        !t.head.isDigit,
+        s"CEP SQL SUBSET: bad $what '${t}'")
+      t
+    }
+    val items = Vector.newBuilder[String]
+    var depth = 0
+    var start = 0
+    for (i <- 0 until text.length) text(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 =>
+        items += text.substring(start, i); start = i + 1
+      case _ => ()
+    }
+    items += text.substring(start)
+    val out = items.result().map { item =>
+      val eq = item.indexOf('=')
+      require(eq > 0,
+        s"CEP SQL SUBSET: expected 'u = (a, b)', got '${item.trim}'")
+      val name = ident(item.substring(0, eq), "name")
+      val rhs = item.substring(eq + 1).trim
+      require(rhs.startsWith("(") && rhs.endsWith(")") && rhs.length > 2,
+        s"CEP SQL SUBSET: '$name' needs a parenthesised member list, " +
+          s"got '$rhs'")
+      val members = rhs.substring(1, rhs.length - 1).split(',').toVector
+        .map(m => ident(m, s"member of '$name'"))
+      require(members.distinct == members,
+        s"CEP SQL SUBSET: '$name' repeats a member")
+      name -> members
+    }
+    require(out.nonEmpty, "CEP SQL: empty SUBSET section")
+    out.groupBy(_._1).foreach { case (n, us) =>
+      require(us.length == 1, s"CEP SQL SUBSET: duplicate name '$n'") }
+    out
+  }
+
   private def parseMeasure(text: String): CepMeasures.Measure =
     text.trim match {
       case MeasureRe(sem, fn, name, attr, alias) =>
@@ -615,8 +667,9 @@ object CepSql {
     var orderByCol: Option[String] = None
     var typeColOpt: Option[String] = None
     var rowsPerMatch: Option[RowsPerMatch] = None
-    val specKws = Seq("MEASURES", "PARTITION", "ORDER", "TYPE", "ONE",
-      "ALL")
+    val specKws = Seq("MEASURES", "SUBSET", "PARTITION", "ORDER", "TYPE",
+      "ONE", "ALL")
+    var subsets = Vector.empty[(String, Vector[String])]
     def specIdent(kw: String, s: String): String = {
       val t = s.trim
       require(t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_'),
@@ -651,6 +704,9 @@ object CepSql {
               // measure items carry no nested commas (FN(name[.attr]))
               measures = section.split(',').toVector.map(parseMeasure)
               require(measures.nonEmpty, "CEP SQL: empty MEASURES section")
+            case "SUBSET" =>
+              require(subsets.isEmpty, "CEP SQL: duplicate SUBSET section")
+              subsets = parseSubsets(section)
             case "PARTITION" =>
               once(partitionBy)
               partitionBy = Some(byIdent("PARTITION", section))
@@ -765,19 +821,42 @@ object CepSql {
           "each DEFINEd name may appear at most once in binding " +
           "position in PATTERN (negation guards are exempt)")
     }
-    // measure targets must be event-binding DEFINEs with known attrs
+    // SUBSET members must be event-binding DEFINEs that actually bind
+    val subsetMap = subsets.toMap
+    subsets.foreach { case (u, ms) =>
+      require(!defMap.contains(u),
+        s"CEP SQL SUBSET: '$u' collides with a DEFINEd name")
+      ms.foreach { n =>
+        val d = defMap.getOrElse(n, throw new IllegalArgumentException(
+          s"CEP SQL SUBSET: '$u' member '$n' has no DEFINE"))
+        require(d.event != GroupEvent,
+          s"CEP SQL SUBSET: '$u' member '$n' is a GROUP label — groups " +
+            "bind no events")
+      }
+    }
+    // measure targets must be event-binding DEFINEs (or SUBSETs of
+    // them) with known attrs — a SUBSET attribute must exist on EVERY
+    // member's event type
     measures.foreach { m =>
-      val d = defMap.getOrElse(m.name, throw new IllegalArgumentException(
-        s"CEP SQL MEASURES: '${m.name}' has no DEFINE"))
-      require(d.event != GroupEvent,
-        s"CEP SQL MEASURES: '${m.name}' is a GROUP label — groups bind " +
-          "no events to measure")
+      val events: Vector[String] = subsetMap.get(m.name) match {
+        case Some(ms) => ms.map(defMap(_).event)
+        case None =>
+          val d = defMap.getOrElse(m.name,
+            throw new IllegalArgumentException(
+              s"CEP SQL MEASURES: '${m.name}' has no DEFINE or SUBSET"))
+          require(d.event != GroupEvent,
+            s"CEP SQL MEASURES: '${m.name}' is a GROUP label — groups " +
+              "bind no events to measure")
+          Vector(d.event)
+      }
       m.attr.foreach { a =>
-        val attrs = schema.collectFirst { case (e, as) if e == d.event => as }
-          .getOrElse(Vector.empty)
-        require(attrs.contains(a),
-          s"CEP SQL MEASURES: '${m.name}.$a' — event '${d.event}' has " +
-            s"no attribute '$a' in the schema")
+        events.foreach { ev =>
+          val attrs = schema.collectFirst { case (e, as) if e == ev => as }
+            .getOrElse(Vector.empty)
+          require(attrs.contains(a),
+            s"CEP SQL MEASURES: '${m.name}.$a' — event '$ev' has " +
+              s"no attribute '$a' in the schema")
+        }
       }
     }
     measures.groupBy(_.alias).foreach { case (a, ms) =>
@@ -791,6 +870,9 @@ object CepSql {
       require(!bindingNames.contains(m.alias),
         s"CEP SQL MEASURES: alias '${m.alias}' collides with a pattern " +
           "name")
+      require(!subsetMap.contains(m.alias),
+        s"CEP SQL MEASURES: alias '${m.alias}' collides with a SUBSET " +
+          "name")
       partitionBy.foreach(k => require(m.alias != k,
         s"CEP SQL MEASURES: alias '${m.alias}' collides with the " +
           "PARTITION BY column"))
@@ -798,10 +880,15 @@ object CepSql {
         s"CEP SQL MEASURES: alias '${m.alias}' uses the reserved '__' " +
           "prefix")
     }
+    subsets.foreach { case (u, ms) =>
+      ms.foreach(n => require(bindingNames.contains(n),
+        s"CEP SQL SUBSET: '$u' member '$n' never binds (it appears " +
+          "only as a negation guard)"))
+    }
     CepSqlStatement(
       CepQuery(lower(seq, defMap), schema, strategy, within, withinTime),
       measures, partitionBy, orderByCol, typeColOpt,
-      rowsPerMatch.getOrElse(RowsPerMatch.OneRow))
+      rowsPerMatch.getOrElse(RowsPerMatch.OneRow), subsets)
   }
 
   // --------------------------------------------------------------- render
@@ -818,14 +905,15 @@ object CepSql {
     */
   def render(st: CepSqlStatement): String =
     render(st.query, st.measures, st.partitionBy, st.orderBy, st.typeCol,
-      st.rowsPerMatch)
+      st.rowsPerMatch, st.subsets)
 
   def render(q: CepQuery,
       measures: Vector[CepMeasures.Measure] = Vector.empty,
       partitionBy: Option[String] = None,
       orderBy: Option[String] = None,
       typeCol: Option[String] = None,
-      rowsPerMatch: RowsPerMatch = RowsPerMatch.OneRow): String = {
+      rowsPerMatch: RowsPerMatch = RowsPerMatch.OneRow,
+      subsets: Vector[(String, Vector[String])] = Vector.empty): String = {
     val defs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val bindingSeen = scala.collection.mutable.Set.empty[String]
     def bindOnce(name: String): Unit = {
@@ -938,6 +1026,11 @@ object CepSql {
         (if (m.isFinal) "FINAL " else "") +
           s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}) " +
           s"AS ${m.alias}").mkString(", ") + "\n"
+    val subS =
+      if (subsets.isEmpty) ""
+      else "\nSUBSET " + subsets.map { case (u, ms) =>
+        s"$u = (${ms.mkString(", ")})"
+      }.mkString(", ") + "\n"
     val rpmS = rowsPerMatch match {
       case RowsPerMatch.OneRow  => Seq.empty[String] // the default
       case RowsPerMatch.AllRows => Seq("ALL ROWS PER MATCH")
@@ -949,7 +1042,7 @@ object CepSql {
       case Seq() => ""
       case parts => "\n" + parts.mkString(" ") + "\n"
     }
-    val sb = new StringBuilder(s"PATTERN ($body)$measS$specS DEFINE ")
+    val sb = new StringBuilder(s"PATTERN ($body)$measS$subS$specS DEFINE ")
     sb ++= defs.values.mkString(";\n       ")
     q.within.foreach(w => sb ++= s"\nWITHIN $w")
     q.withinTime.foreach(wt => sb ++= s"\nWITHIN ${wt.span} ON ${wt.tsAttr}")

@@ -400,7 +400,7 @@ object StreamingCep {
         "over a key's matches, which an unbounded stream cannot close; " +
         "emit ONE ROW PER MATCH and explode downstream, or run the " +
         "ALL ROWS projection per micro-batch via foreachBatch")
-    CepMeasures.validate(query, spec, st.measures, Set.empty)
+    CepMeasures.validate(query, spec, st.measures, Set.empty, st.subsetMap)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val effMaxRuns =
@@ -448,8 +448,8 @@ object StreamingCep {
               .map { m =>
                 val byName = m.toMap
                 Row.fromSeq(key +: measures.map(ms =>
-                  CepMeasures.evalMeasure(ms, byName, orderName)
-                    .map(Long.box).orNull))
+                  CepMeasures.evalMeasure(ms, byName, orderName,
+                    st.subsetMap).map(Long.box).orNull))
               }
           }
           val snap = snapshotState(executor)
