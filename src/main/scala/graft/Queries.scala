@@ -5896,7 +5896,12 @@ object Queries {
     "cep_greedy_click_runs" -> cepGreedyClickRunsQuery,
     "cep_sql_funnel" -> cepSqlFunnelQuery,
     "cep_iter_budget" -> cepIterBudgetQuery,
-    "cep_until_error_runs" -> cepUntilErrorRunsQuery
+    "cep_until_error_runs" -> cepUntilErrorRunsQuery,
+    // PREV navigation: streaming feeds it from the per-key history in
+    // state (codec v5) where batch uses the lag window — the gate pins
+    // the two formulations equal on real data across micro-batch
+    // boundaries. (cep_sql_nav_peaks uses NEXT and cannot stream.)
+    "cep_sql_prev_ascending" -> cepSqlPrevAscendingStatement.query
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

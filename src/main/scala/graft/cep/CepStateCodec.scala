@@ -41,10 +41,20 @@ import StreamingCep.{BufEvent, CepStateEt, SerEvent, SerRun}
   *        v3/v2 migrate with both = 0 — EXACT, because no v3 build
   *        could run an anchor strategy (the strategies did not exist)
   *        and the three reference strategies never read the stamps.
+  *   - 5: appends the navigation signature (the sorted `__nav_*` value
+  *        names the writer maintained history for) and the per-key
+  *        physical-row history (streaming `PREV` — the last maxK fed
+  *        rows, projected to the navigated base attributes). v4 and
+  *        below migrate with both empty — EXACT, because no earlier
+  *        build accepted a navigation query on streaming input (they
+  *        were rejected at prepare), so no old checkpoint can belong to
+  *        a nav query; a nav query restoring a sig-less checkpoint is
+  *        refused loudly by the operator (`StreamingCep.checkNavSig`),
+  *        never silently treated as a partition start.
   */
 object CepStateCodec {
 
-  val Version = 4
+  val Version = 5
 
   /** Which streaming operator wrote the checkpoint. The two variants feed
     * events in different orders (arrival vs watermark-released event
@@ -96,15 +106,18 @@ object CepStateCodec {
         out.writeUTF(n); out.writeLong(v)
       }
     }
+    // v5 navigation section
+    out.writeInt(s.navSig.size); s.navSig.foreach(out.writeUTF)
+    out.writeInt(s.navHist.size); s.navHist.foreach(writeEvent(out, _))
     out.flush()
     VersionedState(Version, bos.toByteArray)
   }
 
   def decode(v: VersionedState): CepStateEt = {
-    if (v.ver != Version && v.ver != 3 && v.ver != 2)
+    if (v.ver != Version && v.ver != 4 && v.ver != 3 && v.ver != 2)
       throw new IllegalStateException(
         s"CEP streaming state version ${v.ver} is not supported by this " +
-          s"build (supports $Version, migrates 3 and 2). The checkpoint was " +
+          s"build (supports $Version, migrates 4, 3 and 2). The checkpoint was " +
           "written by a different engine version: either run that " +
           "version, or discard the checkpoint directory and restart the " +
           "query from fresh input (matches already emitted are not " +
@@ -139,7 +152,14 @@ object CepStateCodec {
       val attrs = Vector.fill(in.readInt())((in.readUTF(), in.readLong()))
       BufEvent(ts, ord, tpe, attrs.map(_._1), attrs.map(_._2))
     }
-    CepStateEt(step, runs, buffer, clock, variant)
+    // v4/v3/v2 migration: no navigation section (exact — see version
+    // history; the operator refuses a nav query over a sig-less payload)
+    val (navSig, navHist) =
+      if (v.ver >= 5)
+        (Vector.fill(in.readInt())(in.readUTF()),
+          Vector.fill(in.readInt())(readEvent(in)))
+      else (Vector.empty[String], Vector.empty[SerEvent])
+    CepStateEt(step, runs, buffer, clock, variant, navSig, navHist)
   }
 
   private def writeEvent(out: DataOutputStream, e: SerEvent): Unit = {

@@ -187,6 +187,44 @@ object Nav {
     }
   }
 
+  /** Streaming-side navigation: augment ONE event from its key's
+    * history of previously-fed PHYSICAL rows (newest last, already
+    * trimmed to the maximum offset). `PREV` only — `NEXT` references
+    * rows the unbounded stream has not produced (the operators reject it
+    * up front). Absent/NULL base at the offset row leaves the value
+    * attribute absent and the indicator 0, byte-for-byte
+    * [[augmentEvents]]' look-back semantics, so the streaming feed
+    * equals the batch window path row-for-row.
+    */
+  def augmentFromHistory(ev: Event, hist: Vector[Event],
+      navs: Seq[Nav]): Event = {
+    val extra = Vector.newBuilder[(String, Long)]
+    navs.foreach { nv =>
+      require(nv.prev, s"augmentFromHistory: ${nv.sqlForm} is not PREV")
+      val j = hist.length - nv.k
+      val v: Option[Long] =
+        if (j < 0) None
+        else hist(j).attrs.collectFirst {
+          case (n, x) if n == nv.base => x
+        }
+      v match {
+        case Some(x) =>
+          extra += nv.valueName -> x
+          extra += nv.hasName -> 1L
+        case None =>
+          extra += nv.hasName -> 0L
+      }
+    }
+    Event(ev.tpe, ev.attrs ++ extra.result())
+  }
+
+  /** Project an event to the attributes the navigation history needs —
+    * the stored history is O(maxK × |bases|) per key, not O(row width).
+    * The type is dropped too (navigation reads attributes only).
+    */
+  def historyEntry(ev: Event, bases: Set[String]): Event =
+    Event("", ev.attrs.filter(a => bases.contains(a._1)))
+
   /** Pure-Scala twin of [[addColumns]] for the executor-level
     * differentials: augment an ordered event vector (ONE key's
     * partition) with the navigation attributes. An absent/NULL base at

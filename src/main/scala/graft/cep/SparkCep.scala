@@ -57,10 +57,12 @@ object SparkCep {
       spec: CepSpec, navs: Seq[Nav] = Nil): (DataFrame, Vector[String]) = {
     if (navs.nonEmpty && df.isStreaming)
       throw new IllegalArgumentException(
-        "CEP navigation (PREV/NEXT) is not supported on streaming " +
-          "input: lag/lead need the whole key partition. Run the " +
-          "navigation query in batch, or express the dependency with " +
-          "LET registers (previous BOUND event) instead.")
+        "CEP navigation (PREV/NEXT) has no lag/lead formulation on " +
+          "streaming input (the window needs the whole key partition). " +
+          "PREV is supported by the arrival-order StreamingCep" +
+          ".matchPattern/matchPatternMeasures operators via per-key " +
+          "history in state; run NEXT queries in batch, or express the " +
+          "dependency with LET registers (previous BOUND event).")
     val navNames = navs.flatMap(n => Seq(n.valueName, n.hasName))
     val attrNames: Vector[String] =
       (spec.orderCol +: (spec.attrCols ++ navNames).distinct

@@ -63,11 +63,14 @@ object StreamingCep {
       names: Seq[String], vals: Seq[Long])
 
   /** Event-time state: NFA runs + the reorder buffer, plus (v3) the
-    * withinTime clock floor and the writing operator's variant tag.
+    * withinTime clock floor and the writing operator's variant tag, plus
+    * (v5) the navigation signature and per-key physical-row history
+    * (streaming `PREV` — see `checkNavSig`).
     */
   final case class CepStateEt(step: Int, runs: Seq[SerRun],
       buffer: Seq[BufEvent], clock: Long = Long.MinValue,
-      variant: Byte = CepStateCodec.VariantUnknown)
+      variant: Byte = CepStateCodec.VariantUnknown,
+      navSig: Seq[String] = Nil, navHist: Seq[SerEvent] = Nil)
 
   /** One live NFA run, state referenced by name. Carried in the
     * VERSIONED BINARY state payload (`CepStateCodec`), so adding fields
@@ -170,17 +173,71 @@ object StreamingCep {
     * the watermark, and events outside the union alphabet are never
     * fed to members.
     */
-  /** Row navigation needs the whole key partition (lag/lead) — no
-    * streaming formulation yet; same contract as the processing-time
-    * paths' reject in `SparkCep.prepareWithFilter`.
+  /** Row navigation on the event-time and shared operators — not
+    * formulated yet (the arrival-order `matchPattern` /
+    * `matchPatternMeasures` support `PREV` via per-key history in
+    * state; these variants still refuse).
     */
   private def rejectNav(queries: Seq[CepQuery]): Unit =
     if (queries.exists(q => Nav.ofQuery(q).nonEmpty))
       throw new IllegalArgumentException(
-        "CEP navigation (PREV/NEXT) is not supported on streaming " +
-          "input: lag/lead need the whole key partition. Run the " +
-          "navigation query in batch, or express the dependency with " +
-          "LET registers (previous BOUND event) instead.")
+        "CEP navigation (PREV/NEXT) is not supported by this streaming " +
+          "operator. PREV is supported on the arrival-order " +
+          "matchPattern/matchPatternMeasures operators (per-key history " +
+          "in state); run NEXT queries in batch, or express the " +
+          "dependency with LET registers (previous BOUND event).")
+
+  /** Navigation contract for the ARRIVAL-ORDER streaming operators:
+    * `PREV` is supported via a per-key history of the last maxK
+    * physical rows carried in state (codec v5); `NEXT` is rejected — it
+    * references FOLLOWING rows the unbounded stream has not produced.
+    * The navigated base attribute must be in the operator's projection
+    * (`attrCols` or the order column): unlike batch, where any input
+    * column can be navigated (the lag/lead window reads the raw frame),
+    * the history is built from the projected event, so a base outside
+    * the projection would silently read as absent. Nav queries take no
+    * pre-NFA filter (`PREV` observes rows the filter would drop —
+    * exactly the batch navigation path's rule) and forgo the idle-key
+    * state GC (the history on a run-free key is itself semantics), so
+    * per-key state is O(maxK × bases) for every key ever seen.
+    */
+  private def streamingNavs(query: CepQuery,
+      spec: SparkCep.CepSpec): Vector[Nav] = {
+    val navs = Nav.ofQuery(query)
+    val nexts = navs.filterNot(_.prev)
+    if (nexts.nonEmpty)
+      throw new IllegalArgumentException(
+        "CEP navigation NEXT is not supported on streaming input (" +
+          nexts.map(_.sqlForm).mkString(", ") + "): it references " +
+          "FOLLOWING physical rows the unbounded stream has not " +
+          "produced yet. PREV is supported; run NEXT queries in batch.")
+    navs.foreach { nv =>
+      require(nv.base == spec.orderCol || spec.attrCols.contains(nv.base),
+        s"CEP streaming navigation ${nv.sqlForm}: base attribute " +
+          s"'${nv.base}' is not in the operator's attrCols — streaming " +
+          "navigation reads history from the projected event, so add " +
+          s"'${nv.base}' to CepSpec.attrCols")
+    }
+    navs
+  }
+
+  /** Checkpoint contract for streaming navigation: the stored signature
+    * (the nav value names the writer maintained history for) must equal
+    * the query's — a nav query restoring a sig-less or different-sig
+    * checkpoint would compute wrong PREV values across the restart
+    * boundary with no error (missing or misaligned history). The
+    * converse — a non-nav query restoring a nav checkpoint — is allowed:
+    * the run state is independent of the history, which is simply
+    * dropped at the next state write.
+    */
+  private def checkNavSig(stored: Seq[String], current: Seq[String]): Unit =
+    if (current.nonEmpty && stored != current)
+      throw new IllegalStateException(
+        "CEP streaming checkpoint holds navigation history for [" +
+          stored.mkString(", ") + "] but the query navigates [" +
+          current.mkString(", ") + "] — PREV values across the restart " +
+          "boundary would be wrong. Resume with the original " +
+          "navigation set, or discard the checkpoint directory.")
 
   private def etPrepare(df: DataFrame,
       filter: Option[org.apache.spark.sql.Column], spec: SparkCep.CepSpec,
@@ -288,11 +345,17 @@ object StreamingCep {
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
+    val navs = streamingNavs(query, spec)
     // same source policy as the batch operator (shared `prepare`):
     // semantics-preserving pre-NFA pushdown, null keys dropped,
     // non-numeric keys hashed, canonical projection — the returned
-    // attrNames ARE the projection's attr order the row decode relies on
-    val (prepared, attrNames) = SparkCep.prepare(df, query, spec)
+    // attrNames ARE the projection's attr order the row decode relies on.
+    // Navigation queries take no pre-NFA filter (PREV observes rows the
+    // filter would drop) and no lag/lead window (batch-only) — the
+    // per-key history in state supplies the nav attributes instead.
+    val (prepared, attrNames) =
+      if (navs.isEmpty) SparkCep.prepare(df, query, spec)
+      else SparkCep.prepareWithFilter(df, None, spec)
     val orderName = attrNames.head
 
     val outSchema = StructType(
@@ -310,6 +373,9 @@ object StreamingCep {
     // and is shared by every key in the task (state names resolve against
     // it stably across batches/restarts since compilation is deterministic)
     val dst = DstCompiler.compile(query)
+    val navSig = navs.map(_.valueName)
+    val navBases = navs.map(_.base).toSet
+    val maxK = navs.map(_.k).maxOption.getOrElse(0)
 
     prepared
       .groupByKey(_.getLong(0))
@@ -318,6 +384,7 @@ object StreamingCep {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns, query.within, query.withinTime)
+          var navHist: Vector[Event] = Vector.empty
           if (state.exists) {
             val st = CepStateCodec.decode(state.get)
             // cross-variant refusal is DETERMINISTIC via the v3 variant
@@ -335,6 +402,8 @@ object StreamingCep {
                   "(different feed-order semantics; buffered events would " +
                   "be lost). Resume with matchPatternEventTime, or " +
                   "discard the checkpoint directory.")
+            checkNavSig(st.navSig, navSig)
+            navHist = st.navHist.map(fromSer).toVector
             restoreState(executor, CepState(st.step, st.runs), st.clock)
           }
           // arrival-order semantics within the micro-batch: sort by order
@@ -342,8 +411,16 @@ object StreamingCep {
           // order is the stream order
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
-            executor.feed(rowToEvent(row, 1, 2, 3, attrNames, orderName))
-              .map(matchToRow(key, _, piNames, orderName))
+            val ev0 = rowToEvent(row, 1, 2, 3, attrNames, orderName)
+            val ev =
+              if (navs.isEmpty) ev0
+              else {
+                val a = Nav.augmentFromHistory(ev0, navHist, navs)
+                navHist = (navHist :+ Nav.historyEntry(ev0, navBases))
+                  .takeRight(maxK)
+                a
+              }
+            executor.feed(ev).map(matchToRow(key, _, piNames, orderName))
           }
           val snap = snapshotState(executor)
           // idle-key state GC: a key with NO live runs is semantically
@@ -354,12 +431,15 @@ object StreamingCep {
           // every key ever seen. EXCEPTION: withinTime queries keep
           // their entries — the persisted clock floor on a run-free key
           // is itself semantics (the loud rewound-clock refusal pinned
-          // by CheckpointRestartSpec), so those keys forgo the GC.
-          if (executor.liveRunCount == 0 && query.withinTime.isEmpty)
+          // by CheckpointRestartSpec) — and navigation queries keep
+          // theirs (the physical-row history on a run-free key feeds the
+          // NEXT event's PREV), so both forgo the GC.
+          if (executor.liveRunCount == 0 && query.withinTime.isEmpty &&
+              navs.isEmpty)
             state.remove()
           else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
-              CepStateCodec.VariantArrival)))
+              CepStateCodec.VariantArrival, navSig, navHist.map(toSer))))
           out.iterator
       }
       // align with the batch operator: the synthetic key column is an
@@ -405,7 +485,12 @@ object StreamingCep {
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
-    val (prepared, attrNames) = SparkCep.prepare(df, query, spec)
+    val navs = streamingNavs(query, spec)
+    // nav queries: no pre-NFA filter, history-fed nav attrs (see
+    // matchPattern)
+    val (prepared, attrNames) =
+      if (navs.isEmpty) SparkCep.prepare(df, query, spec)
+      else SparkCep.prepareWithFilter(df, None, spec)
     val orderName = attrNames.head
 
     val outSchema = StructType(
@@ -420,6 +505,9 @@ object StreamingCep {
 
     val dst = DstCompiler.compile(query)
     val measures = st.measures
+    val navSig = navs.map(_.valueName)
+    val navBases = navs.map(_.base).toSet
+    val maxK = navs.map(_.k).maxOption.getOrElse(0)
 
     prepared
       .groupByKey(_.getLong(0))
@@ -429,6 +517,7 @@ object StreamingCep {
             state: GroupState[CepStateCodec.VersionedState]) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
             query.within, query.withinTime)
+          var navHist: Vector[Event] = Vector.empty
           if (state.exists) {
             val stt = CepStateCodec.decode(state.get)
             if (stt.variant == CepStateCodec.VariantEventTime ||
@@ -440,24 +529,35 @@ object StreamingCep {
                   "(different feed-order semantics; buffered events would " +
                   "be lost). Resume with matchPatternEventTime, or " +
                   "discard the checkpoint directory.")
+            checkNavSig(stt.navSig, navSig)
+            navHist = stt.navHist.map(fromSer).toVector
             restoreState(executor, CepState(stt.step, stt.runs), stt.clock)
           }
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
-            executor.feed(rowToEvent(row, 1, 2, 3, attrNames, orderName))
-              .map { m =>
-                val byName = m.toMap
-                Row.fromSeq(key +: measures.map(ms =>
-                  CepMeasures.evalMeasure(ms, byName, orderName,
-                    st.subsetMap).map(Long.box).orNull))
+            val ev0 = rowToEvent(row, 1, 2, 3, attrNames, orderName)
+            val ev =
+              if (navs.isEmpty) ev0
+              else {
+                val a = Nav.augmentFromHistory(ev0, navHist, navs)
+                navHist = (navHist :+ Nav.historyEntry(ev0, navBases))
+                  .takeRight(maxK)
+                a
               }
+            executor.feed(ev).map { m =>
+              val byName = m.toMap
+              Row.fromSeq(key +: measures.map(ms =>
+                CepMeasures.evalMeasure(ms, byName, orderName,
+                  st.subsetMap).map(Long.box).orNull))
+            }
           }
           val snap = snapshotState(executor)
-          if (executor.liveRunCount == 0 && query.withinTime.isEmpty)
+          if (executor.liveRunCount == 0 && query.withinTime.isEmpty &&
+              navs.isEmpty)
             state.remove()
           else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
-              CepStateCodec.VariantArrival)))
+              CepStateCodec.VariantArrival, navSig, navHist.map(toSer))))
           out.iterator
       }
       .transform(ds =>
@@ -491,8 +591,8 @@ object StreamingCep {
     // no pre-NFA filter: the timeout output observes sweep moments (see
     // the batch operator's doc) — a dropped event can be the only one
     // that closes a window
-    val (prepared, attrNames) =
-      SparkCep.prepareWithFilter(df, None, spec, Nav.ofQuery(query))
+    rejectNav(Seq(query))
+    val (prepared, attrNames) = SparkCep.prepareWithFilter(df, None, spec)
     val orderName = attrNames.head
     val outSchema = StructType(
       StructField(keyName, LongType, nullable = false) +:

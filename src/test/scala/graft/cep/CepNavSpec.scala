@@ -108,12 +108,26 @@ class CepNavSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val mem = MemoryStream[Ev]
+    // PREV is streaming-supported (per-key history in state —
+    // StreamingCepNavSpec); NEXT references rows the unbounded stream
+    // has not produced and stays rejected
     val q = CepSql.parse(
       "PATTERN (x y) DEFINE x AS click; y AS click " +
-        "WHERE value > PREV(value)", schema)
+        "WHERE value > NEXT(value)", schema)
     val e = intercept[IllegalArgumentException](
       StreamingCep.matchPattern(mem.toDF(), q, spec))
-    assert(e.getMessage.contains("not supported on streaming"))
+    assert(e.getMessage.contains("NEXT is not supported on streaming"))
+    // the event-time operator has no history formulation yet — PREV
+    // still refuses there
+    val qp = CepSql.parse(
+      "PATTERN (x y) DEFINE x AS click; y AS click " +
+        "WHERE value > PREV(value)", schema)
+    val e2 = intercept[IllegalArgumentException](
+      StreamingCep.matchPatternEventTime(
+        mem.toDF().withColumn("ts",
+          org.apache.spark.sql.functions.current_timestamp()),
+        qp, spec, "ts", "1 second"))
+    assert(e2.getMessage.contains("not supported by this streaming"))
   }
 
   // ------------------------------------------------------- pure semantics

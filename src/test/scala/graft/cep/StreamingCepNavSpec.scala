@@ -1,0 +1,280 @@
+package graft.cep
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming row navigation (`PREV` in DEFINE conditions): the
+  * arrival-order operators carry a per-key history of the last maxK
+  * PHYSICAL rows in state (codec v5) and augment each event before the
+  * feed, so streaming matches equal the batch lag/lead window path
+  * row-for-row — including a PREV offset that reaches ACROSS a
+  * micro-batch boundary and across a checkpointed restart. Also pins
+  * the contract surface: the pre-NFA filter is disabled (PREV observes
+  * rows the pushdown would drop), the navigation signature refuses a
+  * sig-less checkpoint, and history survives run-free batches (the nav
+  * exemption from idle-key GC).
+  */
+class StreamingCepNavSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val schema: Vector[(String, Vector[String])] = Vector(
+    "click" -> Vector("event_id", "value"),
+    "view" -> Vector("event_id", "value"))
+  private val spec =
+    SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+
+  /** (key, one Vector of bound order-ids per pattern name). */
+  private type Matches = Set[(Long, Vector[Vector[Long]])]
+
+  private def streamMatches(q: CepQuery, name: String,
+      batches: Seq[Seq[Ev]]): Matches = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingCep.matchPattern(mem.toDF(), q, spec)
+    val sq = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try batches.foreach { b =>
+      mem.addData(b: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    s.sql(s"SELECT * FROM $name").collect()
+      .map(r => (r.getLong(0),
+        (1 until r.length).map(i => r.getSeq[Long](i).toVector).toVector))
+      .toSet
+  }
+
+  private def batchMatches(q: CepQuery, evs: Seq[Ev]): Matches = {
+    val s = spark
+    import s.implicits._
+    SparkCep.matchPattern(evs.toDF(), q, spec).collect()
+      .map(r => (r.getLong(0),
+        (1 until r.length).map(i => r.getSeq[Long](i).toVector).toVector))
+      .toSet
+  }
+
+  test("streaming PREV == batch across micro-batch boundaries " +
+    "(offset 2 spans the split)") {
+    val q = CepSql.parse(
+      "PATTERN (x y) DEFINE x AS click; y AS click " +
+        "WHERE value > PREV(value, 2)", schema)
+    // the boundary falls so that y@5's PREV(value, 2) reads value 3
+    // (click@2) from batch-1 history
+    val batch1 = Seq(
+      Ev(1, 1, "click", 5), Ev(1, 2, "click", 3), Ev(1, 3, "click", 4),
+      Ev(2, 4, "click", 9))
+    val batch2 = Seq(
+      Ev(1, 5, "click", 8),  // PREV2 = 3 (history) → rises
+      Ev(1, 6, "click", 2),  // PREV2 = 4 → falls
+      Ev(2, 7, "click", 1), Ev(2, 8, "click", 10)) // PREV2 = 9 → rises
+    val streamed = streamMatches(q, "nav_stream_p2", Seq(batch1, batch2))
+    val batch = batchMatches(q, batch1 ++ batch2)
+    assert(streamed == batch)
+    // hand-computed (strict x-y adjacency): y@5 (8 > PREV2=3, crossing
+    // the boundary) and y@8 (10 > PREV2=9); y@3 fails (4 > 5 is false),
+    // y@2/y@7 have no 2-back row, y@6 falls
+    assert(streamed == Set(
+      (1L, Vector(Vector(3L), Vector(5L))),
+      (2L, Vector(Vector(7L), Vector(8L)))))
+  }
+
+  test("PREV history includes rows of OTHER types (physical navigation, " +
+    "no pre-NFA filter) across the boundary") {
+    // PREV is physical: the click's PREV is a VIEW's value. The pre-NFA
+    // pushdown would drop views at the scan (no unit matches them) —
+    // the nav path disables it so views still enter the history.
+    val q = CepSql.parse(
+      "PATTERN (p) DEFINE p AS click WHERE value > PREV(value)", schema)
+    val batch1 = Seq(Ev(1, 1, "view", 7))
+    val batch2 = Seq(Ev(1, 2, "click", 6)) // PREV = view's 7 → false
+    val batch3 = Seq(Ev(1, 3, "click", 9)) // PREV = click's 6 → rises
+    val streamed =
+      streamMatches(q, "nav_stream_view", Seq(batch1, batch2, batch3))
+    val batch = batchMatches(q, batch1 ++ batch2 ++ batch3)
+    assert(streamed == batch)
+    assert(streamed == Set((1L, Vector(Vector(3L)))))
+  }
+
+  test("history survives run-free micro-batches (nav exempts idle-key GC)") {
+    val q = CepSql.parse(
+      "PATTERN (x y) DEFINE x AS click WHERE value > PREV(value); " +
+        "y AS click WHERE value > PREV(value)", schema)
+    // batch 1 ends with NO live run (the first click's PREV-guard is
+    // not-true, so x never binds); without the GC exemption the key's
+    // state — including the history holding value=1 — would be removed
+    // and batch 2's click@2 would see no PREV
+    val batch1 = Seq(Ev(1, 1, "click", 1))
+    val batch2 = Seq(Ev(1, 2, "click", 3), Ev(1, 3, "click", 7))
+    val streamed = streamMatches(q, "nav_stream_gc", Seq(batch1, batch2))
+    val batch = batchMatches(q, batch1 ++ batch2)
+    assert(streamed == batch)
+    assert(streamed == Set((1L, Vector(Vector(2L), Vector(3L)))))
+  }
+
+  test("streaming MEASURES over a navigation query == batch tier") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val stmt = CepSql.parseStatement(
+      "PATTERN (a b{1,2}) MEASURES COUNT(b) AS n_b, SUM(b.value) AS " +
+        "sum_b, LAST(b.value) AS last_b DEFINE a AS click; " +
+        "b AS click WHERE value > PREV(value)", schema)
+    val batch1 = Seq(Ev(1, 1, "click", 4), Ev(1, 2, "click", 6))
+    val batch2 = Seq(Ev(1, 3, "click", 9), Ev(1, 4, "click", 2))
+    val mem = MemoryStream[Ev]
+    val out = StreamingCep.matchPatternMeasures(mem.toDF(), stmt, spec)
+    val sq = out.writeStream.format("memory").queryName("nav_measures")
+      .outputMode("append").start()
+    try Seq(batch1, batch2).foreach { b =>
+      mem.addData(b: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = s.sql("SELECT * FROM nav_measures").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batchRows = CepMeasures.run(
+      (batch1 ++ batch2).toDF(), stmt, spec).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batchRows)
+    assert(streamed.nonEmpty) // the b-run crosses the boundary
+  }
+
+  test("PREV crosses a checkpointed restart (history in the state store)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ckpt-nav").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/checkpoint"
+    val outDir = s"$dir/out"
+    val jsonSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", LongType)))
+    val q = CepSql.parse(
+      "PATTERN (x y) DEFINE x AS click; y AS click " +
+        "WHERE value > PREV(value)", schema)
+
+    def startQuery() = {
+      val in = graft.sources.EventSource.jsonStream(spark, inDir, jsonSchema)
+      StreamingCep.matchPattern(in, q, spec)
+        .selectExpr("user_id", "x[0] as x_id", "y[0] as y_id")
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    // pre-restart: click value 5 — no match possible yet, but the
+    // history holding 5 must survive the stop
+    Seq((1L, 1L, "click", 5L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // post-restart: 8 > PREV(=5, from the restored history) → (1,2) pair
+    Seq((1L, 2L, "click", 8L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.schema(StructType(Seq(
+      StructField("user_id", LongType), StructField("x_id", LongType),
+      StructField("y_id", LongType)))).json(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 2L)))
+  }
+
+  test("nav query refuses a checkpoint written WITHOUT navigation " +
+    "history (signature contract)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ckpt-nav-sig").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/checkpoint"
+    val outDir = s"$dir/out"
+    val jsonSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", LongType)))
+    // same PATTERN shape so run state restores structurally; the
+    // original query has no navigation
+    val qPlain = CepSql.parse(
+      "PATTERN (x y) DEFINE x AS click; y AS click WHERE value > 0",
+      schema)
+    val qNav = CepSql.parse(
+      "PATTERN (x y) DEFINE x AS click; y AS click " +
+        "WHERE value > PREV(value)", schema)
+
+    def startQuery(q: CepQuery) = {
+      val in = graft.sources.EventSource.jsonStream(spark, inDir, jsonSchema)
+      StreamingCep.matchPattern(in, q, spec)
+        .selectExpr("user_id", "x[0] as x_id", "y[0] as y_id")
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    // leave a live partial run (click binds x, y pending) so the key's
+    // state persists — withinTime/nav exemptions aside, a live run is
+    // what keeps the entry
+    Seq((1L, 1L, "click", 5L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q1 = startQuery(qPlain)
+    try q1.processAllAvailable() finally q1.stop()
+
+    Seq((1L, 2L, "click", 8L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q2 = startQuery(qNav)
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("navigation history")),
+      s"expected the navigation-signature refusal, got: $e")
+  }
+
+  test("codec v5 round-trips the navigation section; v4 payloads " +
+    "migrate with an empty one") {
+    import StreamingCep.{CepStateEt, SerEvent}
+    val hist = Vector(
+      SerEvent("", Seq("value"), Seq(7L)),
+      SerEvent("", Seq("value", "event_id"), Seq(9L, 4L)))
+    val st = CepStateEt(3, Nil, Nil, 42L, CepStateCodec.VariantArrival,
+      Seq("__nav_p1_value", "__nav_p2_value"), hist)
+    val rt = CepStateCodec.decode(CepStateCodec.encode(st))
+    assert(rt.navSig == st.navSig)
+    assert(rt.navHist == st.navHist)
+    assert(rt.step == 3 && rt.clock == 42L &&
+      rt.variant == CepStateCodec.VariantArrival)
+    // a v4 payload is the v5 bytes minus the nav section — decoding it
+    // as v4 must yield empty sig/history, not a read past the end
+    val v5 = CepStateCodec.encode(st.copy(navSig = Nil, navHist = Nil))
+    val v4 = CepStateCodec.VersionedState(4,
+      v5.payload.dropRight(8)) // the two empty-count ints
+    val mig = CepStateCodec.decode(v4)
+    assert(mig.navSig.isEmpty && mig.navHist.isEmpty && mig.step == 3)
+  }
+}
