@@ -173,19 +173,20 @@ object StreamingCep {
     * the watermark, and events outside the union alphabet are never
     * fed to members.
     */
-  /** Row navigation on the event-time and shared operators — not
-    * formulated yet (the arrival-order `matchPattern` /
-    * `matchPatternMeasures` support `PREV` via per-key history in
-    * state; these variants still refuse).
+  /** Navigation for the SHARED operators: ONE history per key over the
+    * UNION of the members' navigations (the physical rows are common to
+    * every member — that sharing is the point), augmenting each event
+    * once BEFORE the member feed gates. The union prefilter is disabled
+    * when any member navigates (`PREV` observes rows the filter would
+    * drop); the per-member feed gates stay — a gate only skips rows the
+    * member's own prefilter proves invisible, and such rows still enter
+    * the shared history first. Each member is validated individually so
+    * the error names the member's own navigation.
     */
-  private def rejectNav(queries: Seq[CepQuery]): Unit =
-    if (queries.exists(q => Nav.ofQuery(q).nonEmpty))
-      throw new IllegalArgumentException(
-        "CEP navigation (PREV/NEXT) is not supported by this streaming " +
-          "operator. PREV is supported on the arrival-order " +
-          "matchPattern/matchPatternMeasures operators (per-key history " +
-          "in state); run NEXT queries in batch, or express the " +
-          "dependency with LET registers (previous BOUND event).")
+  private def sharedNavs(queries: Seq[(String, CepQuery)],
+      spec: SparkCep.CepSpec): Vector[Nav] =
+    queries.flatMap { case (_, q) => streamingNavs(q, spec) }
+      .distinct.sortBy(_.valueName).toVector
 
   /** Navigation contract for the ARRIVAL-ORDER streaming operators:
     * `PREV` is supported via a per-key history of the last maxK
@@ -219,6 +220,36 @@ object StreamingCep {
           s"'${nv.base}' to CepSpec.attrCols")
     }
     navs
+  }
+
+  /** Per-key navigation feed state, ONE implementation for every
+    * streaming operator that supports `PREV` so the history semantics
+    * cannot drift between them: instantiate per key invocation, restore
+    * from the decoded state (validates the signature), `augment` each
+    * event IN FEED ORDER (arrival order for the processing-time
+    * operators, watermark-release `(ts, ord)` order for the event-time
+    * ones — whatever order the NFA consumes is the order PREV sees),
+    * and persist `sig`/`serHist` back into the codec payload. A key
+    * with an ACTIVE nav feed must skip the idle-key state GC.
+    */
+  private final class NavFeed(navs: Vector[Nav]) {
+    val sig: Seq[String] = navs.map(_.valueName)
+    private val bases = navs.map(_.base).toSet
+    private val maxK = navs.map(_.k).maxOption.getOrElse(0)
+    private var hist: Vector[Event] = Vector.empty
+    def active: Boolean = navs.nonEmpty
+    def restore(st: CepStateEt): Unit = {
+      checkNavSig(st.navSig, sig)
+      hist = st.navHist.map(fromSer).toVector
+    }
+    def augment(ev: Event): Event =
+      if (navs.isEmpty) ev
+      else {
+        val a = Nav.augmentFromHistory(ev, hist, navs)
+        hist = (hist :+ Nav.historyEntry(ev, bases)).takeRight(maxK)
+        a
+      }
+    def serHist: Seq[SerEvent] = hist.map(toSer)
   }
 
   /** Checkpoint contract for streaming navigation: the stored signature
@@ -373,9 +404,6 @@ object StreamingCep {
     // and is shared by every key in the task (state names resolve against
     // it stably across batches/restarts since compilation is deterministic)
     val dst = DstCompiler.compile(query)
-    val navSig = navs.map(_.valueName)
-    val navBases = navs.map(_.base).toSet
-    val maxK = navs.map(_.k).maxOption.getOrElse(0)
 
     prepared
       .groupByKey(_.getLong(0))
@@ -384,7 +412,7 @@ object StreamingCep {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns, query.within, query.withinTime)
-          var navHist: Vector[Event] = Vector.empty
+          val nf = new NavFeed(navs)
           if (state.exists) {
             val st = CepStateCodec.decode(state.get)
             // cross-variant refusal is DETERMINISTIC via the v3 variant
@@ -402,8 +430,7 @@ object StreamingCep {
                   "(different feed-order semantics; buffered events would " +
                   "be lost). Resume with matchPatternEventTime, or " +
                   "discard the checkpoint directory.")
-            checkNavSig(st.navSig, navSig)
-            navHist = st.navHist.map(fromSer).toVector
+            nf.restore(st)
             restoreState(executor, CepState(st.step, st.runs), st.clock)
           }
           // arrival-order semantics within the micro-batch: sort by order
@@ -411,16 +438,9 @@ object StreamingCep {
           // order is the stream order
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
-            val ev0 = rowToEvent(row, 1, 2, 3, attrNames, orderName)
-            val ev =
-              if (navs.isEmpty) ev0
-              else {
-                val a = Nav.augmentFromHistory(ev0, navHist, navs)
-                navHist = (navHist :+ Nav.historyEntry(ev0, navBases))
-                  .takeRight(maxK)
-                a
-              }
-            executor.feed(ev).map(matchToRow(key, _, piNames, orderName))
+            executor.feed(nf.augment(
+              rowToEvent(row, 1, 2, 3, attrNames, orderName)))
+              .map(matchToRow(key, _, piNames, orderName))
           }
           val snap = snapshotState(executor)
           // idle-key state GC: a key with NO live runs is semantically
@@ -435,11 +455,11 @@ object StreamingCep {
           // theirs (the physical-row history on a run-free key feeds the
           // NEXT event's PREV), so both forgo the GC.
           if (executor.liveRunCount == 0 && query.withinTime.isEmpty &&
-              navs.isEmpty)
+              !nf.active)
             state.remove()
           else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
-              CepStateCodec.VariantArrival, navSig, navHist.map(toSer))))
+              CepStateCodec.VariantArrival, nf.sig, nf.serHist)))
           out.iterator
       }
       // align with the batch operator: the synthetic key column is an
@@ -505,9 +525,6 @@ object StreamingCep {
 
     val dst = DstCompiler.compile(query)
     val measures = st.measures
-    val navSig = navs.map(_.valueName)
-    val navBases = navs.map(_.base).toSet
-    val maxK = navs.map(_.k).maxOption.getOrElse(0)
 
     prepared
       .groupByKey(_.getLong(0))
@@ -517,7 +534,7 @@ object StreamingCep {
             state: GroupState[CepStateCodec.VersionedState]) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
             query.within, query.withinTime)
-          var navHist: Vector[Event] = Vector.empty
+          val nf = new NavFeed(navs)
           if (state.exists) {
             val stt = CepStateCodec.decode(state.get)
             if (stt.variant == CepStateCodec.VariantEventTime ||
@@ -529,35 +546,27 @@ object StreamingCep {
                   "(different feed-order semantics; buffered events would " +
                   "be lost). Resume with matchPatternEventTime, or " +
                   "discard the checkpoint directory.")
-            checkNavSig(stt.navSig, navSig)
-            navHist = stt.navHist.map(fromSer).toVector
+            nf.restore(stt)
             restoreState(executor, CepState(stt.step, stt.runs), stt.clock)
           }
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
-            val ev0 = rowToEvent(row, 1, 2, 3, attrNames, orderName)
-            val ev =
-              if (navs.isEmpty) ev0
-              else {
-                val a = Nav.augmentFromHistory(ev0, navHist, navs)
-                navHist = (navHist :+ Nav.historyEntry(ev0, navBases))
-                  .takeRight(maxK)
-                a
+            executor.feed(nf.augment(
+              rowToEvent(row, 1, 2, 3, attrNames, orderName)))
+              .map { m =>
+                val byName = m.toMap
+                Row.fromSeq(key +: measures.map(ms =>
+                  CepMeasures.evalMeasure(ms, byName, orderName,
+                    st.subsetMap).map(Long.box).orNull))
               }
-            executor.feed(ev).map { m =>
-              val byName = m.toMap
-              Row.fromSeq(key +: measures.map(ms =>
-                CepMeasures.evalMeasure(ms, byName, orderName,
-                  st.subsetMap).map(Long.box).orNull))
-            }
           }
           val snap = snapshotState(executor)
           if (executor.liveRunCount == 0 && query.withinTime.isEmpty &&
-              navs.isEmpty)
+              !nf.active)
             state.remove()
           else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
-              CepStateCodec.VariantArrival, navSig, navHist.map(toSer))))
+              CepStateCodec.VariantArrival, nf.sig, nf.serHist)))
           out.iterator
       }
       .transform(ds =>
@@ -590,8 +599,8 @@ object StreamingCep {
       SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
     // no pre-NFA filter: the timeout output observes sweep moments (see
     // the batch operator's doc) — a dropped event can be the only one
-    // that closes a window
-    rejectNav(Seq(query))
+    // that closes a window. PREV is history-fed as in matchPattern.
+    val navs = streamingNavs(query, spec)
     val (prepared, attrNames) = SparkCep.prepareWithFilter(df, None, spec)
     val orderName = attrNames.head
     val outSchema = StructType(
@@ -612,6 +621,7 @@ object StreamingCep {
             state: GroupState[CepStateCodec.VersionedState]) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
             query.within, query.withinTime, captureTimeouts = true)
+          val nf = new NavFeed(navs)
           if (state.exists) {
             val st = CepStateCodec.decode(state.get)
             if (st.variant == CepStateCodec.VariantEventTime ||
@@ -623,22 +633,25 @@ object StreamingCep {
                   "(different feed-order semantics; buffered events would " +
                   "be lost). Resume with matchPatternEventTime, or " +
                   "discard the checkpoint directory.")
+            nf.restore(st)
             restoreState(executor, CepState(st.step, st.runs), st.clock)
           }
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
-            executor.feed(rowToEvent(row, 1, 2, 3, attrNames, orderName))
+            executor.feed(nf.augment(
+              rowToEvent(row, 1, 2, 3, attrNames, orderName)))
             executor.drainTimedOut().map(c =>
               matchToRow(key, executor.partialOutput(c, piNames),
                 piNames, orderName))
           }
           val snap = snapshotState(executor)
           // idle-key state GC (see matchPattern)
-          if (executor.liveRunCount == 0 && query.withinTime.isEmpty)
+          if (executor.liveRunCount == 0 && query.withinTime.isEmpty &&
+              !nf.active)
             state.remove()
           else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
-              CepStateCodec.VariantArrival)))
+              CepStateCodec.VariantArrival, nf.sig, nf.serHist)))
           out.iterator
       }
       .transform(ds =>
@@ -659,6 +672,13 @@ object StreamingCep {
     * checkpoint can never be restored across operator kinds by
     * accident — Spark's state schema check refuses it before any
     * payload is read.
+    *
+    * When any member NAVIGATES, `members` carries ONE EXTRA trailing
+    * payload — an empty-run `CepStateEt` holding only the shared
+    * navigation signature + history. A Seq length is data, not schema,
+    * so old checkpoints still decode (k payloads → no nav section, and
+    * the signature check then refuses a nav query over them loudly);
+    * anything other than k or k+1 payloads is corrupt and refused.
     */
   final case class SharedMultiState(
       names: Seq[String],
@@ -693,10 +713,11 @@ object StreamingCep {
     }
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
+    val navs = sharedNavs(queries, spec)
     val (prepared, attrNames) = SparkCep.prepareWithFilter(
-      df, SparkCep.unionPrefilter(queries, spec), spec,
-      queries.flatMap { case (_, q) => Nav.ofQuery(q) }
-        .distinct.sortBy(_.valueName))
+      df,
+      if (navs.isEmpty) SparkCep.unionPrefilter(queries, spec) else None,
+      spec)
     val orderName = attrNames.head
 
     val outSchema = StructType(Seq(
@@ -730,22 +751,44 @@ object StreamingCep {
             new Executor(dsts(i), q.strategy, effMaxRuns,
               q.within, q.withinTime)
           }
+          val nf = new NavFeed(navs)
           if (state.exists) {
             val stored = state.get
             validateMemberNames(stored.names, names)
-            restoreMembers(stored.members, executors)
+            // k payloads = written without navigation; k+1 = trailing
+            // shared nav section (see SharedMultiState)
+            val (memberPayloads, navPayload) =
+              if (stored.members.size == names.size)
+                (stored.members, None)
+              else if (stored.members.size == names.size + 1)
+                (stored.members.init, Some(stored.members.last))
+              else throw new IllegalStateException(
+                s"shared CEP checkpoint holds ${stored.members.size} " +
+                  s"payloads for ${names.size} members — corrupt state")
+            restoreMembers(memberPayloads, executors)
+            // a missing section restores as an empty signature, which
+            // checkNavSig refuses when this query set navigates
+            nf.restore(navPayload.map(CepStateCodec.decode)
+              .getOrElse(CepStateEt(0, Nil, Nil)))
           }
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
             feedShared(executors, gates, names, piNamesByQ, key, orderName,
-              rowToEvent(row, 1, 2, 3, attrNames, orderName))
+              nf.augment(rowToEvent(row, 1, 2, 3, attrNames, orderName)))
           }
           // idle-key state GC: all members run-free, no member query
-          // carrying a withinTime floor
+          // carrying a withinTime floor, no navigation history to keep
           if (executors.forall(_.liveRunCount == 0) &&
-              qVec.forall(_._2.withinTime.isEmpty)) state.remove()
-          else state.update(SharedMultiState(names,
-            encodeMembers(executors, CepStateCodec.VariantArrival)))
+              qVec.forall(_._2.withinTime.isEmpty) && !nf.active)
+            state.remove()
+          else {
+            val base = encodeMembers(executors, CepStateCodec.VariantArrival)
+            state.update(SharedMultiState(names,
+              if (nf.active) base :+ CepStateCodec.encode(CepStateEt(
+                0, Nil, Nil, Long.MinValue, CepStateCodec.VariantArrival,
+                nf.sig, nf.serHist))
+              else base))
+          }
           out.iterator
       }
       .transform(ds =>
@@ -767,7 +810,12 @@ object StreamingCep {
   def matchPatternEventTime(df: DataFrame, query: CepQuery,
       spec: SparkCep.CepSpec, tsCol: String, delay: String,
       maxRunsPerKey: Option[Int] = None): DataFrame = {
-    rejectNav(Seq(query))
+    // PREV is history-fed AT RELEASE TIME: the NFA consumes events in
+    // watermark-released (ts, ord) order, so that is the physical-row
+    // order PREV navigates — consistent with the operator's own feed
+    // semantics (late arrivals dropped before the buffer never enter
+    // the history, exactly as they never reach the NFA)
+    val navs = streamingNavs(query, spec)
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
@@ -810,6 +858,8 @@ object StreamingCep {
                 "matchPatternEventTime (different feed-order semantics). " +
                 "Resume with matchPattern, or discard the checkpoint " +
                 "directory.")
+          val nf = new NavFeed(navs)
+          if (state.exists) nf.restore(prev)
           restoreState(executor,
             CepState(prev.step, prev.runs), prev.clock)
 
@@ -825,7 +875,7 @@ object StreamingCep {
           // release the prefix up to it, in event-time order
           val (ready, still) = releaseBuffer(prev.buffer, incoming, wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
-            executor.feed(Event(e.tpe, e.names.zip(e.vals).toVector))
+            executor.feed(nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector)))
               .map(matchToRow(key, _, piNames, orderName))
           }
 
@@ -833,11 +883,11 @@ object StreamingCep {
           // idle-key state GC: no live runs AND nothing buffered ==
           // fresh key (see matchPattern)
           if (executor.liveRunCount == 0 && still.isEmpty &&
-              query.withinTime.isEmpty) state.remove()
+              query.withinTime.isEmpty && !nf.active) state.remove()
           else {
             state.update(CepStateCodec.encode(
               CepStateEt(snap.step, snap.runs, still, executor.clock,
-                CepStateCodec.VariantEventTime)))
+                CepStateCodec.VariantEventTime, nf.sig, nf.serHist)))
             if (still.nonEmpty)
               // wake when the watermark passes the earliest buffered event
               state.setTimeoutTimestamp(still.map(_.ts).min + 1)
@@ -866,7 +916,9 @@ object StreamingCep {
     require(query.within.isDefined || query.withinTime.isDefined,
       "timedOutPartialsEventTime needs a windowed query " +
         "(within/withinTime) — an unwindowed run never times out")
-    rejectNav(Seq(query))
+    // PREV is history-fed at watermark-release time (see
+    // matchPatternEventTime)
+    val navs = streamingNavs(query, spec)
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
@@ -901,6 +953,8 @@ object StreamingCep {
                 "timedOutPartialsEventTime (different feed-order " +
                 "semantics). Resume with the arrival-order operator, or " +
                 "discard the checkpoint directory.")
+          val nf = new NavFeed(navs)
+          if (state.exists) nf.restore(prev)
           restoreState(executor, CepState(prev.step, prev.runs), prev.clock)
           val wmMs = state.getCurrentWatermarkMs()
           val incoming = rows.map { row =>
@@ -910,7 +964,7 @@ object StreamingCep {
           }.toVector
           val (ready, still) = releaseBuffer(prev.buffer, incoming, wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
-            executor.feed(Event(e.tpe, e.names.zip(e.vals).toVector))
+            executor.feed(nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector)))
             executor.drainTimedOut().map(c =>
               matchToRow(key, executor.partialOutput(c, piNames),
                 piNames, orderName))
@@ -918,11 +972,11 @@ object StreamingCep {
           val snap = snapshotState(executor)
           // idle-key state GC (see matchPattern)
           if (executor.liveRunCount == 0 && still.isEmpty &&
-              query.withinTime.isEmpty) state.remove()
+              query.withinTime.isEmpty && !nf.active) state.remove()
           else {
             state.update(CepStateCodec.encode(
               CepStateEt(snap.step, snap.runs, still, executor.clock,
-                CepStateCodec.VariantEventTime)))
+                CepStateCodec.VariantEventTime, nf.sig, nf.serHist)))
             if (still.nonEmpty)
               state.setTimeoutTimestamp(still.map(_.ts).min + 1)
           }
@@ -984,15 +1038,20 @@ object StreamingCep {
       tsCol: String, delay: String, maxRunsPerKey: Option[Int] = None)
       : DataFrame = {
     require(queries.nonEmpty, "matchPatternsSharedEventTime needs >= 1 query")
-    rejectNav(queries.map(_._2))
     val keyName = spec.keyCol.getOrElse("__global")
     queries.foreach { case (_, q) =>
       SparkCep.checkWithinStateBound(q, maxRunsPerKey, streaming = true)
     }
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
+    // shared navigation rides in the buffer payload (a CepStateEt
+    // already carries the nav fields), so this operator's state schema
+    // is untouched; the union filter is disabled under nav as in the
+    // arrival-order shared operator
+    val navs = sharedNavs(queries, spec)
     val (prepared, attrNames) = etPrepare(df,
-      SparkCep.unionPrefilter(queries, spec), spec, tsCol, delay)
+      if (navs.isEmpty) SparkCep.unionPrefilter(queries, spec) else None,
+      spec, tsCol, delay)
     val orderName = attrNames.head
 
     val outSchema = StructType(Seq(
@@ -1025,12 +1084,15 @@ object StreamingCep {
             new Executor(dsts(i), q.strategy, effMaxRuns,
               q.within, q.withinTime)
           }
+          val nf = new NavFeed(navs)
           val prevBuffer: Vector[BufEvent] =
             if (state.exists) {
               val stored = state.get
               validateMemberNames(stored.names, names)
               restoreMembers(stored.members, executors)
-              CepStateCodec.decode(stored.bufferPayload).buffer.toVector
+              val bufEt = CepStateCodec.decode(stored.bufferPayload)
+              nf.restore(bufEt)
+              bufEt.buffer.toVector
             } else Vector.empty
 
           val wmMs = state.getCurrentWatermarkMs()
@@ -1042,17 +1104,18 @@ object StreamingCep {
           val (ready, still) = releaseBuffer(prevBuffer, incoming, wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
             feedShared(executors, gates, names, piNamesByQ, key, orderName,
-              Event(e.tpe, e.names.zip(e.vals).toVector))
+              nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector)))
           }
 
           // idle-key state GC: all members empty AND nothing buffered
           if (executors.forall(_.liveRunCount == 0) && still.isEmpty &&
-              qVec.forall(_._2.withinTime.isEmpty))
+              qVec.forall(_._2.withinTime.isEmpty) && !nf.active)
             state.remove()
           else {
             state.update(SharedMultiStateEt(names,
               CepStateCodec.encode(CepStateEt(0, Nil, still,
-                variant = CepStateCodec.VariantEventTime)),
+                variant = CepStateCodec.VariantEventTime,
+                navSig = nf.sig, navHist = nf.serHist)),
               encodeMembers(executors, CepStateCodec.VariantEventTime)))
             if (still.nonEmpty)
               state.setTimeoutTimestamp(still.map(_.ts).min + 1)

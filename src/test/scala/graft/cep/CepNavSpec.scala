@@ -117,17 +117,13 @@ class CepNavSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException](
       StreamingCep.matchPattern(mem.toDF(), q, spec))
     assert(e.getMessage.contains("NEXT is not supported on streaming"))
-    // the event-time operator has no history formulation yet — PREV
-    // still refuses there
-    val qp = CepSql.parse(
-      "PATTERN (x y) DEFINE x AS click; y AS click " +
-        "WHERE value > PREV(value)", schema)
+    // NEXT refuses on every streaming operator, shared included
     val e2 = intercept[IllegalArgumentException](
-      StreamingCep.matchPatternEventTime(
+      StreamingCep.matchPatternsSharedEventTime(
         mem.toDF().withColumn("ts",
           org.apache.spark.sql.functions.current_timestamp()),
-        qp, spec, "ts", "1 second"))
-    assert(e2.getMessage.contains("not supported by this streaming"))
+        Seq("nav" -> q), spec, "ts", "1 second"))
+    assert(e2.getMessage.contains("NEXT is not supported on streaming"))
   }
 
   // ------------------------------------------------------- pure semantics

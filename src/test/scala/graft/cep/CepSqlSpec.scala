@@ -51,7 +51,10 @@ class CepSqlSpec extends AnyFunSuite {
     "cep_until_error_runs" ->
       ("PATTERN (s -> p{2,}~) DEFINE s AS signup; " +
         "p AS purchase WHERE value < 40 UNTIL value >= 400 " +
-        "AFTER MATCH SKIP TO NEXT")
+        "AFTER MATCH SKIP TO NEXT"),
+    "cep_sql_prev_ascending" ->
+      ("PATTERN (x y) DEFINE x AS click; y AS click " +
+        "WHERE value > PREV(value)")
   )
 
   test("every registry CepQuery round-trips through its SQL form") {

@@ -256,6 +256,201 @@ class StreamingCepNavSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the navigation-signature refusal, got: $e")
   }
 
+  test("event-time PREV navigates EVENT-TIME order: out-of-order " +
+    "arrivals and history across separate watermark releases") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val q = CepSql.parse(
+      "PATTERN (p) DEFINE p AS click WHERE value > PREV(value)", schema)
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val mem = MemoryStream[TsEv]
+    val out = StreamingCep.matchPatternEventTime(
+      mem.toDF(), q, spec, "ts", "5 seconds")
+    val sq = out.writeStream.format("memory").queryName("nav_et")
+      .outputMode("append").start()
+    try {
+      // click@11 (v=8) ARRIVES before click@10 (v=5); in event-time
+      // order PREV at event 2 is 5 → 8 > 5 matches. Arrival-order
+      // history would navigate the reverse and miss it.
+      mem.addData(TsEv(1, 2, "click", 8, t(11)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(1, 1, "click", 5, t(10)))
+      sq.processAllAvailable()
+      // advance the watermark past both → released in (ts, ord) order
+      mem.addData(TsEv(9, 99, "click", 0, t(30)))
+      sq.processAllAvailable()
+      // a later event in its own release: its PREV (v=8 at ts 11) comes
+      // from the HISTORY persisted across the previous release
+      mem.addData(TsEv(1, 3, "click", 9, t(31)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(9, 100, "click", 0, t(50)))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val matches = s.sql("SELECT * FROM nav_et").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    assert(matches == Set((1L, Vector(2L)), (1L, Vector(3L))),
+      s"got $matches")
+  }
+
+  test("timedOutPartials over a navigation query == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // x binds on a PREV-rise, then needs a purchase WITHIN 2 events —
+    // values 1,5,4,3: only click@2 rises, and no purchase ever comes,
+    // so its window provably closes mid-stream → one timed-out partial
+    val q = CepSql.parse(
+      "PATTERN (x -> y) DEFINE x AS click WHERE value > PREV(value); " +
+        "y AS purchase WITHIN 3", schema)
+    val batch1 = Seq(Ev(1, 1, "click", 1), Ev(1, 2, "click", 5))
+    val batch2 = Seq(Ev(1, 3, "click", 4), Ev(1, 4, "click", 3),
+      Ev(1, 5, "click", 2))
+    val mem = MemoryStream[Ev]
+    val out = StreamingCep.timedOutPartials(mem.toDF(), q, spec)
+    val sq = out.writeStream.format("memory").queryName("nav_timeout")
+      .outputMode("append").start()
+    try Seq(batch1, batch2).foreach { b =>
+      mem.addData(b: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = s.sql("SELECT * FROM nav_timeout").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+        r.getSeq[Long](2).toVector)).toSet
+    val batch = SparkCep.timedOutPartials(
+      (batch1 ++ batch2).toDF(), q, spec).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+        r.getSeq[Long](2).toVector)).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, Vector(2L), Vector())),
+      s"expected the x@2 partial to time out, got $streamed")
+  }
+
+  test("seeded differential: random events, random micro-batch splits, " +
+    "random PREV offsets — streaming == batch on every trial") {
+    val rnd = new scala.util.Random(20260815L)
+    val queries = Vector(
+      "PATTERN (p) DEFINE p AS click WHERE value > PREV(value)",
+      "PATTERN (p) DEFINE p AS click WHERE value > PREV(value, 2)",
+      "PATTERN (p) DEFINE p AS click WHERE value >= PREV(value, 3) " +
+        "and value > 2",
+      "PATTERN (x y) DEFINE x AS click; y AS click " +
+        "WHERE value > PREV(value)",
+      "PATTERN (x y) DEFINE x AS click WHERE value > PREV(value, 2); " +
+        "y AS click WHERE value > PREV(value) or value == 0")
+    for (trial <- 0 until 10) {
+      val q = CepSql.parse(queries(trial % queries.length), schema)
+      val nEv = 30 + rnd.nextInt(31)
+      val evs = (1 to nEv).map { i =>
+        Ev(1 + rnd.nextInt(3), i.toLong,
+          if (rnd.nextInt(4) == 0) "view" else "click",
+          rnd.nextInt(10).toLong)
+      }
+      // 2-4 random, possibly empty micro-batches
+      val cuts = Vector.fill(1 + rnd.nextInt(3))(rnd.nextInt(nEv + 1))
+        .sorted.distinct
+      val bounds = (0 +: cuts :+ nEv).distinct.sorted
+      val batches = bounds.zip(bounds.tail).map { case (a, b) =>
+        evs.slice(a, b)
+      }
+      val streamed = streamMatches(q, s"nav_diff_$trial", batches)
+      val batch = batchMatches(q, evs)
+      assert(streamed == batch,
+        s"trial $trial (${queries(trial % queries.length)}) diverged: " +
+          s"stream ${streamed.size} vs batch ${batch.size}")
+    }
+  }
+
+  test("shared operator: PREV crosses a checkpointed restart (trailing " +
+    "nav payload in SharedMultiState) and a non-nav shared checkpoint " +
+    "is refused") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ckpt-nav-shared").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/checkpoint"
+    val outDir = s"$dir/out"
+    val jsonSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", LongType)))
+    // relaxed x -> y so the plain member's views can interleave; PREV
+    // is PHYSICAL, so click@3's PREV is view@2's value
+    val qNav = CepSql.parse(
+      "PATTERN (x -> y) DEFINE x AS click; y AS click " +
+        "WHERE value > PREV(value)", schema)
+    val qPlain = CepSql.parse(
+      "PATTERN (a -> b) DEFINE a AS view; b AS view", schema)
+
+    def startQuery(members: Seq[(String, CepQuery)]) = {
+      val in = graft.sources.EventSource.jsonStream(spark, inDir, jsonSchema)
+      StreamingCep.matchPatternsShared(in, members, spec)
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    // pre-restart: click v=5 for the nav member's history, a view to
+    // leave the plain member a live partial (so its state persists too)
+    Seq((1L, 1L, "click", 5L), (1L, 2L, "view", 0L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val members = Seq("nav" -> qNav, "plain" -> qPlain)
+    val q1 = startQuery(members)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // post-restart: click@3's PREV is view@2's value 0 — it must come
+    // from the RESTORED shared history (lost history → indicator 0 →
+    // no nav match) → nav pair (1,3); the second view completes the
+    // plain pair (2,4)
+    Seq((1L, 3L, "click", 8L), (1L, 4L, "view", 0L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q2 = startQuery(members)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.schema(StructType(Seq(
+      StructField("qname", StringType), StructField("user_id", LongType),
+      StructField("binding", StringType)))).json(outDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(out == Set(("nav", 1L, "1;3"), ("plain", 1L, "2;4")),
+      s"got $out")
+
+    // a nav member set refuses a checkpoint written WITHOUT navigation:
+    // same member names, the nav member previously defined without PREV
+    val dir2 = Files.createTempDirectory("ckpt-nav-shared-sig").toString
+    val inDir2 = s"$dir2/in"
+    def start2(members: Seq[(String, CepQuery)]) = {
+      val in = graft.sources.EventSource.jsonStream(spark, inDir2,
+        jsonSchema)
+      StreamingCep.matchPatternsShared(in, members, spec)
+        .writeStream.format("json")
+        .option("path", s"$dir2/out")
+        .option("checkpointLocation", s"$dir2/checkpoint")
+        .outputMode("append").start()
+    }
+    val qNoNav = CepSql.parse(
+      "PATTERN (x y) DEFINE x AS click; y AS click WHERE value > 0",
+      schema)
+    Seq((1L, 1L, "click", 5L), (1L, 2L, "view", 0L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir2)
+    val p1 = start2(Seq("nav" -> qNoNav, "plain" -> qPlain))
+    try p1.processAllAvailable() finally p1.stop()
+    Seq((1L, 3L, "click", 8L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir2)
+    val p2 = start2(Seq("nav" -> qNav, "plain" -> qPlain))
+    val e = intercept[Exception] {
+      try p2.processAllAvailable() finally p2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("navigation history")),
+      s"expected the navigation-signature refusal, got: $e")
+  }
+
   test("codec v5 round-trips the navigation section; v4 payloads " +
     "migrate with an empty one") {
     import StreamingCep.{CepStateEt, SerEvent}

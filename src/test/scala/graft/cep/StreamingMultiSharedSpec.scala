@@ -70,7 +70,15 @@ class StreamingMultiSharedSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lpat_relaxed_purchase_pairs" ->
         graft.Queries.cepLpatRelaxedPurchasePairsQuery,
       "not_followed_by_purchase" ->
-        graft.Queries.cepNotFollowedByPurchaseQuery))
+        graft.Queries.cepNotFollowedByPurchaseQuery),
+    // a NAVIGATING member: the shared history (one per key, union of
+    // member navs) must reproduce the batch lag-window values, the
+    // union filter is disabled, and the non-nav members must be
+    // unaffected by the extra trailing state payload
+    "registry nav member (shared history)" -> Seq(
+      "prev_ascending" -> graft.Queries.cepSqlPrevAscendingStatement.query,
+      "spat_purchase" -> graft.Queries.cepSpatPurchaseQuery,
+      "next_signup_purchase" -> graft.Queries.cepNextSignupPurchaseQuery))
 
   for ((label, qs) <- registryTrios)
     test(s"stream shared == batch shared: $label") {

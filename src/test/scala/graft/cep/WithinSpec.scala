@@ -204,7 +204,10 @@ class WithinSpec extends AnyFunSuite {
           !name.contains("gpat") && q.strategy == AfterMatchStrategy.NoSkip
         }
       for (w <- Seq(3, 8); (name, q) <- patterns) {
-        byKey.foreach { case (k, events) =>
+        byKey.foreach { case (k, events0) =>
+          // navigation queries read PREV/NEXT attributes — augment the
+          // raw events exactly as the engine's prepare step does
+          val events = Nav.augmentEvents(events0, Nav.ofQuery(q))
           val stepOf = events.iterator.zipWithIndex
             .map { case (e, ix) => e("event_id") -> (ix + 1) }.toMap
           val got = CepOperator.run(q.copy(within = Some(w)), events)
