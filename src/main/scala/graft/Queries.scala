@@ -1189,6 +1189,87 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY 1, 3, 2, 4, 5, 6, 7""".stripMargin
 
+  /** PATTERN ALTERNATION (SQL:2016 `a | b`, beyond-parity —
+    * `Pattern.Alt` / `DstCompiler.compileCombineAltRight`): a signup
+    * strictly followed by EITHER a sub-50 purchase or an error. The
+    * match binds only the branch it went through — the other branch's
+    * column is an empty binding, projected as NULL by `get(col, 0)` —
+    * and under NoSkip the match multiset is the union of the two branch
+    * rewrites (the union law, differential-pinned in `AltSpec`), which
+    * is exactly what the oracle computes: one LEAD pass classified by
+    * the next event's type.
+    */
+  val cepSqlAltOutcomeQuery: CepQuery =
+    CepSql.parse(
+      "PATTERN (s (p | x)) DEFINE s AS signup; " +
+        "p AS purchase WHERE value < 50; x AS error",
+      eventSchema)
+
+  def cepSqlAltOutcome(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepSqlAltOutcomeQuery)
+      .select(col("user_id"), element_at(col("s"), 1).as("s_id"),
+        get(col("p"), lit(0)).as("p_id"),
+        get(col("x"), lit(0)).as("x_id"))
+      .orderBy("user_id", "s_id")
+
+  val cepSqlAltOutcomeSql: String =
+    """SELECT user_id, event_id AS s_id,
+      |  CASE WHEN next_type = 'purchase' AND next_val < 50
+      |       THEN next_id END AS p_id,
+      |  CASE WHEN next_type = 'error' THEN next_id END AS x_id
+      |FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type) OVER w AS next_type,
+      |    LEAD(event_id) OVER w AS next_id,
+      |    LEAD(CAST(FLOOR(value) AS BIGINT)) OVER w AS next_val
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t
+      |WHERE event_type = 'signup'
+      |  AND (next_type = 'error'
+      |       OR (next_type = 'purchase' AND next_val < 50))
+      |ORDER BY user_id, s_id""".stripMargin
+
+  /** MEASURES over an alternation: `SUBSET u = (p, x)` unions the two
+    * branches, so `SUM(u.value)` reads whichever branch bound — the
+    * MATCH_RECOGNIZE way to project "the outcome's value" without
+    * knowing the branch — and the per-branch COUNTs classify the match.
+    * Every alternation name is possibly-empty by construction
+    * (`CepMeasures.possiblyEmptyNames`), so this row exercises the
+    * sentinel explode_outer + LEFT-join measures path end-to-end.
+    * Self-contained statement (PARTITION BY / ORDER BY / TYPE in-text).
+    */
+  val cepSqlAltSubsetValueStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s (p | x)) " +
+        "MEASURES FIRST(s) AS s_id, SUM(u.value) AS branch_value, " +
+        "COUNT(p) AS n_p, COUNT(x) AS n_x " +
+        "SUBSET u = (p, x) " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; p AS purchase WHERE value < 50; x AS error",
+      eventSchema)
+
+  def cepSqlAltSubsetValue(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlAltSubsetValueStatement)
+      .orderBy("user_id", "s_id")
+
+  val cepSqlAltSubsetValueSql: String =
+    """SELECT user_id, event_id AS s_id, next_val AS branch_value,
+      |  CAST(CASE WHEN next_type = 'purchase' THEN 1 ELSE 0 END
+      |    AS BIGINT) AS n_p,
+      |  CAST(CASE WHEN next_type = 'error' THEN 1 ELSE 0 END
+      |    AS BIGINT) AS n_x
+      |FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type) OVER w AS next_type,
+      |    LEAD(CAST(FLOOR(value) AS BIGINT)) OVER w AS next_val
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t
+      |WHERE event_type = 'signup'
+      |  AND (next_type = 'error'
+      |       OR (next_type = 'purchase' AND next_val < 50))
+      |ORDER BY user_id, s_id""".stripMargin
+
   /** The shed valve's registry gauge (`SparkCep.shedGauge`): nd-relaxed
     * click pairs under the shed-oldest salvage at cap 1, one row per
     * user with the surviving-match and shed-run counts as DATA. With
@@ -5901,7 +5982,10 @@ object Queries {
     // state (codec v5) where batch uses the lag window — the gate pins
     // the two formulations equal on real data across micro-batch
     // boundaries. (cep_sql_nav_peaks uses NEXT and cannot stream.)
-    "cep_sql_prev_ascending" -> cepSqlPrevAscendingStatement.query
+    "cep_sql_prev_ascending" -> cepSqlPrevAscendingStatement.query,
+    // alternation: riding every registry gate (typed==Catalyst,
+    // batch==stream, event-time) pins the Alt NFA on real data
+    "cep_sql_alt_outcome" -> cepSqlAltOutcomeQuery
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5928,6 +6012,8 @@ object Queries {
     "cep_sql_prev_ascending" -> cepSqlPrevAscending _,
     "cep_sql_nav_peaks" -> cepSqlNavPeaks _,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnel _,
+    "cep_sql_alt_outcome" -> cepSqlAltOutcome _,
+    "cep_sql_alt_subset_value" -> cepSqlAltSubsetValue _,
     "cep_shed_gauge" -> cepShedGauge _,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignups _,
     "cep_iter_budget" -> cepIterBudget _,
@@ -6079,6 +6165,8 @@ object Queries {
     "cep_sql_prev_ascending" -> cepSqlPrevAscendingSql,
     "cep_sql_nav_peaks" -> cepSqlNavPeaksSql,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnelSql,
+    "cep_sql_alt_outcome" -> cepSqlAltOutcomeSql,
+    "cep_sql_alt_subset_value" -> cepSqlAltSubsetValueSql,
     "cep_shed_gauge" -> cepShedGaugeSql,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignupsSql,
     "cep_iter_budget" -> cepIterBudgetSql,

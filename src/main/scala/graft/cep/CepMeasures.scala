@@ -209,6 +209,11 @@ object CepMeasures {
     case c: Pattern.CombineNot =>
       possiblyEmptyNames(c.left, underZero) ++
         possiblyEmptyNames(c.right, underZero)
+    // EVERY name of an alternation can be unbound: a match through one
+    // branch binds nothing of the other
+    case a: Pattern.Alt =>
+      SparkCep.patternNames(a.left).toSet ++
+        SparkCep.patternNames(a.right).toSet
     case g: Pattern.Gpat => possiblyEmptyNames(g.child, underZero)
     case g: Pattern.GpatTimes =>
       possiblyEmptyNames(g.child, underZero || g.from == 0)

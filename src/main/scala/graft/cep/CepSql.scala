@@ -46,13 +46,19 @@ package graft.cep
   *            self-contained: `CepSqlStatement.spec` derives the full
   *            CepSpec, with attrCols = the attributes the statement
   *            references)
+  * alt    := seq ('|' seq)*     (alternation, SQL:2016 `a | b`: match
+  *           either branch; binds LOOSER than concatenation, so
+  *           `a b | c` = `(a b) | c`. A match binds only the names of
+  *           the branch it went through — the other branch's columns
+  *           are empty. Branch names must be disjoint. The PATTERN
+  *           body and every '(...)' group hold an `alt`.)
   * seq    := unit (sep [neg] unit)*
   * sep    :=            (juxtaposition = strict contiguity)
   *         | '->'       (relaxed)
   *         | '~>'       (nd-relaxed)
   * neg    := '!next(' name ')' | '!fby(' name ')'      (negative pattern
   *           at the boundary; the name's DEFINE gives its type/condition)
-  * unit   := name [quant] | '(' seq ')' [gquant] [':' name]
+  * unit   := name [quant] | '(' alt ')' [gquant] [':' name]
   * quant  := ('+' | '*' | '?' | '{' n ',' [m] '}') ['~' | '~~'] ['!']
   *           ('+' = {1,}, '*' = {0,}, '?' = {0,1} (optional);
   *            open upper bound = unbounded loop;
@@ -101,6 +107,7 @@ object CepSql {
   private case object TTilde extends Tok     // ~
   private case object TTilde2 extends Tok    // ~~
   private case object TBang extends Tok      // !
+  private case object TPipe extends Tok      // | (alternation)
   private case class TNeg(mode: Pattern.NegMode) extends Tok // !next( / !fby(
 
   private def lex(s: String): Vector[Tok] = {
@@ -120,6 +127,7 @@ object CepSql {
       else if (c == '+') { out += TPlus; i += 1 }
       else if (c == '*') { out += TStar; i += 1 }
       else if (c == '?') { out += TQmark; i += 1 }
+      else if (c == '|') { out += TPipe; i += 1 }
       else if (c == '-') {
         if (i + 1 < s.length && s(i + 1) == '>') { out += TArrow; i += 2 }
         else err("expected '->'")
@@ -160,12 +168,16 @@ object CepSql {
 
   private sealed trait PU
   private case class PName(name: String, quant: Option[Quant]) extends PU
-  private case class PGroup(seq: PSeq,
+  private case class PGroup(alt: PAlt,
       gquant: Option[(Int, Option[Int], Boolean)],
       label: Option[String]) extends PU
   /** head unit + (separator contiguity, optional neg name+mode, unit)* */
   private case class PSeq(head: PU,
       tail: Vector[(Contiguity, Option[(Pattern.NegMode, String)], PU)])
+  /** `seq ('|' seq)*` — alternation binds LOOSER than concatenation
+    * (`a b | c` = `(a b) | c`), the SQL:2016 precedence.
+    */
+  private case class PAlt(branches: Vector[PSeq])
 
   private final class PParser(toks: Vector[Tok]) {
     private var i = 0
@@ -178,6 +190,16 @@ object CepSql {
       if (peek.contains(t)) { i += 1 }
       else throw new IllegalArgumentException(
         s"CEP SQL pattern: expected $what, got ${peek.getOrElse("end")}")
+
+    def parseAlt(): PAlt = {
+      val branches = Vector.newBuilder[PSeq]
+      branches += parseSeq()
+      while (peek.contains(TPipe)) {
+        next()
+        branches += parseSeq()
+      }
+      PAlt(branches.result())
+    }
 
     def parseSeq(): PSeq = {
       val head = parseUnit()
@@ -214,7 +236,7 @@ object CepSql {
     private def parseUnit(): PU = next() match {
       case TName(n) => PName(n, parseQuant())
       case TLPar =>
-        val s = parseSeq()
+        val s = parseAlt()
         expect(TRPar, "')'")
         val gq = parseGQuant()
         val label = peek match {
@@ -381,6 +403,13 @@ object CepSql {
   }
 
   // ------------------------------------------------------------- lowering
+  /** Branches fold LEFT (`a | b | c` = `Alt(Alt(a, b), c)`), the same
+    * normal form combines use; a single branch lowers to itself (no Alt
+    * node), so `(a b)` still means a plain group.
+    */
+  private def lowerAlt(alt: PAlt, defs: Map[String, Def]): Pattern =
+    alt.branches.map(lower(_, defs)).reduceLeft(Pattern.Alt(_, _))
+
   private def lower(seq: PSeq, defs: Map[String, Def]): Pattern = {
     def defOf(n: String): Def = defs.getOrElse(n,
       throw new IllegalArgumentException(
@@ -411,7 +440,7 @@ object CepSql {
               d.vars, q.greedy)
         }
       case PGroup(s, gq, label) =>
-        val child = lower(s, defs)
+        val child = lowerAlt(s, defs)
         val until = label.map { l =>
           val d = defOf(l)
           require(d.event == GroupEvent && d.vars.isEmpty &&
@@ -514,6 +543,7 @@ object CepSql {
       case c: Pattern.Combine => patternRefs(c.left) ++ patternRefs(c.right)
       case c: Pattern.CombineNot =>
         patternRefs(c.left) ++ Expr.refs(c.neg.cndt) ++ patternRefs(c.right)
+      case a: Pattern.Alt => patternRefs(a.left) ++ patternRefs(a.right)
       case g: Pattern.Gpat      => patternRefs(g.child)
       case g: Pattern.GpatTimes => patternRefs(g.child)
       case g: Pattern.GpatInf =>
@@ -529,6 +559,7 @@ object CepSql {
     case c: Pattern.Combine => patternVars(c.left) ++ patternVars(c.right)
     case c: Pattern.CombineNot =>
       patternVars(c.left) ++ patternVars(c.right)
+    case a: Pattern.Alt => patternVars(a.left) ++ patternVars(a.right)
     case g: Pattern.Gpat      => patternVars(g.child)
     case g: Pattern.GpatTimes => patternVars(g.child)
     case g: Pattern.GpatInf   => patternVars(g.child)
@@ -800,7 +831,7 @@ object CepSql {
     }
 
     val parser = new PParser(lex(patBody))
-    val seq = parser.parseSeq()
+    val alt = parser.parseAlt()
     parser.assertDone()
     // a DEFINEd name may appear at most once in BINDING position (units
     // and group labels): sinks bind by name, so PATTERN (a -> a) would
@@ -808,14 +839,19 @@ object CepSql {
     // instead of failing. Negation names (!next/!fby) are EXEMPT — a
     // negation is a non-binding boundary guard, so reusing one DEFINE
     // across several negations (a !fby(x) b !fby(x) c) is well-defined.
+    def bindingNamesOfAlt(a: PAlt): Vector[String] =
+      a.branches.flatMap(bindingNamesOf)
     def bindingNamesOf(s: PSeq): Vector[String] = {
       def unit(u: PU): Vector[String] = u match {
         case PName(n, _)         => Vector(n)
-        case PGroup(g, _, label) => bindingNamesOf(g) ++ label.toVector
+        case PGroup(g, _, label) => bindingNamesOfAlt(g) ++ label.toVector
       }
       unit(s.head) ++ s.tail.flatMap { case (_, _, u) => unit(u) }
     }
-    bindingNamesOf(seq).groupBy(identity).foreach { case (n, uses) =>
+    // ALSO rejects the same name binding in two alternation BRANCHES —
+    // a shared sink would merge the branches' bindings (the compiler
+    // enforces branch disjointness too; this is the earlier, named error)
+    bindingNamesOfAlt(alt).groupBy(identity).foreach { case (n, uses) =>
       require(uses.length == 1,
         s"CEP SQL: pattern name '$n' appears ${uses.length} times — " +
           "each DEFINEd name may appear at most once in binding " +
@@ -865,7 +901,7 @@ object CepSql {
     // an alias that shadows a match-frame column would survive to a deep
     // ambiguous-reference AnalysisException at execution — reject here
     // (CepMeasures revalidates against the actual runtime spec)
-    val bindingNames = bindingNamesOf(seq).toSet
+    val bindingNames = bindingNamesOfAlt(alt).toSet
     measures.foreach { m =>
       require(!bindingNames.contains(m.alias),
         s"CEP SQL MEASURES: alias '${m.alias}' collides with a pattern " +
@@ -886,7 +922,7 @@ object CepSql {
           "only as a negation guard)"))
     }
     CepSqlStatement(
-      CepQuery(lower(seq, defMap), schema, strategy, within, withinTime),
+      CepQuery(lowerAlt(alt, defMap), schema, strategy, within, withinTime),
       measures, partitionBy, orderByCol, typeColOpt,
       rowsPerMatch.getOrElse(RowsPerMatch.OneRow), subsets)
   }
@@ -973,10 +1009,10 @@ object CepSql {
           allowDupIdentical = true)
         s"${l.name}{${l.from},}${mark(l.contiguity)}" +
           (if (l.greedy) "!" else "")
-      case g: Pattern.Gpat      => s"(${seqS(g.child)})"
+      case g: Pattern.Gpat      => s"(${topS(g.child)})"
       case g: Pattern.GpatTimes =>
         val gr = if (g.greedy) "!" else ""
-        s"(${seqS(g.child)}){${g.from},${g.to}}$gr"
+        s"(${topS(g.child)}){${g.from},${g.to}}$gr"
       case g: Pattern.GpatInf =>
         val gr = if (g.greedy) "!" else ""
         val label = g.until.map { u =>
@@ -985,13 +1021,22 @@ object CepSql {
           addDef(n, GroupEvent, Expr.True, Vector.empty, Some(u))
           s":$n"
         }.getOrElse("")
-        s"(${seqS(g.child)}){${g.from},}$gr$label"
+        s"(${topS(g.child)}){${g.from},}$gr$label"
       // combines never reach `unit` (seqS flattens the left spine and
       // rightUnit rejects them); parenthesising one here would silently
       // introduce a Gpat on re-parse, so fail instead
       case _: Pattern.Combine | _: Pattern.CombineNot =>
         throw new IllegalStateException(
           "CEP SQL render: combine reached unit position")
+      // a BARE alternation in unit position (a combine child) has no
+      // textual form: alternation binds looser than concatenation, so
+      // printing it inline would re-parse with the wrong shape, and
+      // parenthesising it would introduce a Gpat — reject loudly
+      case _: Pattern.Alt =>
+        throw new IllegalArgumentException(
+          "CEP SQL render: a bare alternation cannot be a combine " +
+            "child — wrap it in an explicit Gpat group (the parser's " +
+            "'(a | b)' form)")
     }
     def rightUnit(p: Pattern): String = p match {
       case _: Pattern.Combine | _: Pattern.CombineNot =>
@@ -1001,6 +1046,23 @@ object CepSql {
             "combine has no textual form; restructure the pattern or " +
             "wrap the right side in an explicit Gpat group")
       case other => unit(other)
+    }
+    // alternation level — binds looser than concatenation; branches fold
+    // LEFT like combines, so only the left spine flattens (an Alt as the
+    // RIGHT child of an Alt has no textual form; Gpat-wrap it)
+    def topS(p: Pattern): String = p match {
+      case a: Pattern.Alt =>
+        val r = a.right match {
+          case _: Pattern.Alt =>
+            throw new IllegalArgumentException(
+              "CEP SQL render: alternations must be LEFT-nested (the " +
+                "parser's fold normal form) — an Alt as the right child " +
+                "of an Alt has no textual form; wrap the right side in " +
+                "an explicit Gpat group")
+          case other => seqS(other)
+        }
+        s"${topS(a.left)} | $r"
+      case other => seqS(other)
     }
     def seqS(p: Pattern): String = p match {
       case c: Pattern.Combine =>
@@ -1019,7 +1081,7 @@ object CepSql {
         s"${seqS(c.left)}$sepTok$tok(${c.neg.name}) ${rightUnit(c.right)}"
       case other => unit(other)
     }
-    val body = seqS(q.patseq)
+    val body = topS(q.patseq)
     val measS =
       if (measures.isEmpty) ""
       else "\nMEASURES " + measures.map(m =>

@@ -108,6 +108,17 @@ final class DstCompiler(query: CepQuery) {
         s"relaxed combine boundary needs an event-headed right pattern, got $other")
   }
 
+  /** Leaf branches of an alternation spine, left to right
+    * (`Alt(Alt(a, b), c)` → `[a, b, c]`). Transparent groups unwrap —
+    * a `Gpat` compiles to its child verbatim, so `(a | b)` in combine
+    * position is the alternation itself.
+    */
+  private def altBranches(p: Pattern): Vector[Pattern] = p match {
+    case a: Pattern.Alt  => altBranches(a.left) ++ altBranches(a.right)
+    case g: Pattern.Gpat => altBranches(g.child)
+    case other           => Vector(other)
+  }
+
   private def takeDataUpdate(
       vars: Vector[VarDef]): (Set[String], DataUpdate, Map[String, Long]) = {
     val x = vars.map(_.name).toSet
@@ -145,9 +156,65 @@ final class DstCompiler(query: CepQuery) {
     case l: Pattern.LpatInf    => compileLpatInf(l)
     case c: Pattern.Combine    => compileCombine(c)
     case c: Pattern.CombineNot => compileCombineNot(c)
+    case a: Pattern.Alt        => compileAlt(a)
     case g: Pattern.Gpat       => compileNode(g.child)
     case g: Pattern.GpatTimes  => compileGpatTimes(g)
     case g: Pattern.GpatInf    => compileGpatInf(g)
+  }
+
+  /** Alternation (beyond-parity — SQL:2016 `a | b`; see [[Pattern.Alt]]):
+    * NFA union. A fresh start state forks one ε edge per branch — LEFT
+    * FIRST, which is what makes textual order the branch priority: the
+    * executor inserts ε-successors at the current scan position in edge
+    * order, so left-branch runs precede right-branch runs in the run
+    * list and hence in match output. Branch sub-automata are untouched;
+    * their final states keep their own output maps, so a match projects
+    * only the branch it went through (`Dst.output` drops unbound names,
+    * and the operators' row builders fill them as empty bindings).
+    *
+    * No merged final state is needed — `Dst` supports multiple accepting
+    * states (`finalStates` is a filter), and every downstream composer
+    * (`compileCombine`'s left-finals loop, the group builders'
+    * output-merge loops) already iterates final-state SETS.
+    */
+  private def compileAlt(ast: Pattern.Alt): Dst = {
+    val left = compileNode(ast.left)
+    val right = compileNode(ast.right)
+    // a shared sink would silently merge the branches' bindings into one
+    // stream register; a shared LET register would merge eta0 (right's
+    // initial overwriting left's). Both are almost certainly authoring
+    // mistakes — reject loudly at compile.
+    val dupNames = left.pi.intersect(right.pi)
+    require(dupNames.isEmpty,
+      s"alternation branches must bind disjoint pattern names; " +
+        s"${dupNames.toVector.sorted.mkString(", ")} appear(s) in both")
+    val dupVars = left.x.intersect(right.x)
+    require(dupVars.isEmpty,
+      s"alternation branches must declare disjoint LET registers; " +
+        s"${dupVars.toVector.sorted.mkString(", ")} appear(s) in both")
+    val q0 = state("alt-0")
+    val d = ArrayBuffer.empty[Transition]
+    // ε-successors are INSERTED at the feed loop's scan position
+    // (`Executor.feed`'s `t.insert(idx, …)`), so two ε edges from one
+    // state are processed LIFO — the edge appended LAST is walked FIRST.
+    // Right-then-left here is what makes the LEFT branch the priority
+    // branch (its runs precede right's in the run list, hence in match
+    // output), matching the documented textual-order priority.
+    d += new Transition(q0, Pred.epsilon, right.q0, DataUpdate.Id,
+      StreamUpdate.Id)
+    d += new Transition(q0, Pred.epsilon, left.q0, DataUpdate.Id,
+      StreamUpdate.Id)
+    d ++= left.delta
+    d ++= right.delta
+    new Dst(
+      left.sigma ++ right.sigma,
+      left.pi ++ right.pi,
+      left.x ++ right.x,
+      left.y ++ right.y,
+      q0 +: (left.states ++ right.states),
+      q0,
+      left.eta0 ++ right.eta0,
+      d.toVector)
   }
 
   /** `compile.py:52-70`. */
@@ -298,9 +365,20 @@ final class DstCompiler(query: CepQuery) {
   }
 
   /** `compile.py:375-474`: DST union + ε from left finals to right start +
-    * boundary ignore-state for non-strict contiguity.
+    * boundary ignore-state for non-strict contiguity. An alternation
+    * right (bare or Gpat-wrapped) takes the dedicated
+    * [[compileCombineAltRight]] path, which builds PER-BRANCH boundary
+    * machinery so the union law holds under every contiguity.
     */
-  private def compileCombine(ast: Pattern.Combine): Dst = {
+  private def compileCombine(ast: Pattern.Combine): Dst =
+    altBranches(ast.right) match {
+      case branches if branches.length > 1 =>
+        compileCombineAltRight(ast.contiguity, compileNode(ast.left),
+          branches)
+      case _ => compileCombinePlain(ast)
+    }
+
+  private def compileCombinePlain(ast: Pattern.Combine): Dst = {
     val left = compileNode(ast.left)
     val right = compileNode(ast.right)
 
@@ -309,7 +387,11 @@ final class DstCompiler(query: CepQuery) {
 
     val leftFinals = left.finalStates
     val rightFinals = right.finalStates
-    for (q <- leftFinals; q2 <- rightFinals)
+    // extendOutput PREPENDS its argument's novel keys (funcMerge puts f1
+    // first), so merging multiple left finals (an alternation left) in
+    // REVERSE final order yields declaration order. Parity shapes have
+    // exactly one left final — the reverse is a no-op there.
+    for (q <- leftFinals.reverse; q2 <- rightFinals)
       q2.extendOutput(q.out.get)
 
     val q02 = right.q0
@@ -356,6 +438,113 @@ final class DstCompiler(query: CepQuery) {
       states.toVector,
       left.q0,
       left.eta0 ++ right.eta0,
+      d.toVector)
+  }
+
+  /** Combine whose RIGHT is an alternation (beyond-parity; bare `Alt` or
+    * `Gpat`-wrapped — the SQL surface's `l -> (a | b)` shape). Built so
+    * the UNION LAW holds under every boundary contiguity: the match
+    * multiset of `l <c> (a | b)` equals the union of `l <c> a` and
+    * `l <c> b` (differential-pinned in `AltSpec`).
+    *
+    *  - Strict: the fork alone — ε from the junction into every branch
+    *    start; the next event must take into some branch.
+    *  - Relaxed: PER-BRANCH wait states. A single shared "starts no
+    *    branch" ignore would be WRONG: an event that starts only branch
+    *    `b` would kill the wait for branch `a` (the shared state fires
+    *    no ignore edge), losing the `l <c> a` match the union law
+    *    promises. Each branch instead gets its own ignore state carrying
+    *    the reference's exact single-right machinery (¬head ignores +
+    *    replicated head takes), so each branch's wait is independent —
+    *    the same run set the union of the single-right machines has.
+    *  - Nd-relaxed: ONE shared wildcard wait state with every branch's
+    *    head takes replicated. Equivalent to per-branch waits here
+    *    (the wildcard ignore fires for every event, so the waits never
+    *    diverge — one config with k take sets ≡ k configs with one
+    *    each), and cheaper: one live run instead of k per junction.
+    *
+    * The junction state `alt-0` is shared across the output fork and the
+    * boundary machinery (ignore edges depart it alongside the branch
+    * ε's), exactly as `q02` is in the plain path.
+    */
+  private def compileCombineAltRight(contiguity: Contiguity, left: Dst,
+      branches: Vector[Pattern]): Dst = {
+    val rs = branches.map(compileNode)
+    // same disjointness contract as compileAlt, across ALL branches
+    for (i <- rs.indices; j <- i + 1 until rs.length) {
+      val dupNames = rs(i).pi.intersect(rs(j).pi)
+      require(dupNames.isEmpty,
+        s"alternation branches must bind disjoint pattern names; " +
+          s"${dupNames.toVector.sorted.mkString(", ")} appear(s) in both")
+      val dupVars = rs(i).x.intersect(rs(j).x)
+      require(dupVars.isEmpty,
+        s"alternation branches must declare disjoint LET registers; " +
+          s"${dupVars.toVector.sorted.mkString(", ")} appear(s) in both")
+    }
+
+    val q02 = state("alt-0")
+    val states = ArrayBuffer.from(left.states)
+    states += q02
+    rs.foreach(states ++= _.states)
+    val d = ArrayBuffer.from(left.delta)
+    // the fork — reversed so the LEFTMOST branch is walked first (the
+    // executor processes ε-successors LIFO; see compileAlt)
+    for (r <- rs.reverse)
+      d += new Transition(q02, Pred.epsilon, r.q0, DataUpdate.Id,
+        StreamUpdate.Id)
+    rs.foreach(r => d ++= r.delta)
+
+    val leftFinals = left.finalStates
+    // reverse: extendOutput prepends (see compileCombinePlain)
+    for (q <- leftFinals.reverse; r <- rs; q2 <- r.finalStates)
+      q2.extendOutput(q.out.get)
+    for (q <- leftFinals) {
+      d += new Transition(q, Pred.epsilon, q02, DataUpdate.Id,
+        StreamUpdate.Id)
+      q.clearOutput()
+    }
+
+    contiguity match {
+      case Contiguity.Strict => ()
+      case Contiguity.Relaxed =>
+        for ((r, b) <- rs.zip(branches)) {
+          val (rEv, rCndt) = headEventCndt(b)
+          val qIg = state(s"${r.q0.name}-ignore")
+          states += qIg
+          for (edge <- r.startFrom(r.q0) if edge.isTake)
+            d += new Transition(qIg, edge.p, edge.q2, edge.alpha, edge.beta)
+          val negPred = Pred(Some(rEv), rCndt).neg
+          d += new Transition(q02, negPred, qIg, DataUpdate.Id,
+            StreamUpdate.Id)
+          d += new Transition(qIg, negPred, qIg, DataUpdate.Id,
+            StreamUpdate.Id)
+          for (e <- eventTypes if e != rEv) {
+            d += new Transition(q02, Pred(Some(e), Expr.True), qIg,
+              DataUpdate.Id, StreamUpdate.Id)
+            d += new Transition(qIg, Pred(Some(e), Expr.True), qIg,
+              DataUpdate.Id, StreamUpdate.Id)
+          }
+        }
+      case Contiguity.NdRelaxed =>
+        val qIg = state(s"${q02.name}-ignore")
+        states += qIg
+        for (r <- rs; edge <- r.startFrom(r.q0) if edge.isTake)
+          d += new Transition(qIg, edge.p, edge.q2, edge.alpha, edge.beta)
+        val anyPred = Pred(Some(Pred.AnyType), Expr.True)
+        d += new Transition(q02, anyPred, qIg, DataUpdate.Id,
+          StreamUpdate.Id)
+        d += new Transition(qIg, anyPred, qIg, DataUpdate.Id,
+          StreamUpdate.Id)
+    }
+
+    new Dst(
+      rs.foldLeft(left.sigma)(_ ++ _.sigma),
+      rs.foldLeft(left.pi)(_ ++ _.pi),
+      rs.foldLeft(left.x)(_ ++ _.x),
+      rs.foldLeft(left.y)(_ ++ _.y),
+      states.toVector,
+      left.q0,
+      rs.foldLeft(left.eta0)(_ ++ _.eta0),
       d.toVector)
   }
 
@@ -420,7 +609,8 @@ final class DstCompiler(query: CepQuery) {
 
     val leftFinals = left.finalStates
     val rightFinals = right.finalStates
-    for (q <- leftFinals; q2 <- rightFinals)
+    // reverse: extendOutput prepends (see compileCombinePlain)
+    for (q <- leftFinals.reverse; q2 <- rightFinals)
       q2.extendOutput(q.out.get)
 
     val q02 = right.q0
@@ -568,7 +758,10 @@ final class DstCompiler(query: CepQuery) {
           headTakes(copies(i + 1), copies(i + 1).q0) else Vector.empty)
     for (i <- 0 until m; q <- copies(i).finalStates)
       q.clearOutput()
-    for (q <- dst0.finalStates)
+    // reverse: extendOutput prepends, so merging an alternation child's
+    // multiple finals in reverse yields declaration order (single-final
+    // children — every parity shape — are unaffected)
+    for (q <- dst0.finalStates.reverse)
       qf.extendOutput(q.out.get)
 
     new Dst(dst0.sigma, dst0.pi, dst0.x, dst0.y, states.toVector, q0,
@@ -611,7 +804,8 @@ final class DstCompiler(query: CepQuery) {
         cutBy = loopHeadTakes)
     for (i <- 0 until n; q <- copies(i).finalStates)
       q.clearOutput()
-    for (q <- dst0.finalStates)
+    // reverse: extendOutput prepends (see compileGpatTimes)
+    for (q <- dst0.finalStates.reverse)
       qf.extendOutput(q.out.get)
 
     ast.until.foreach { u =>

@@ -443,6 +443,7 @@ object CepOperator {
         case l: Pattern.LpatInf    => Vector(l.name)
         case c: Pattern.Combine    => go(c.left) ++ go(c.right)
         case c: Pattern.CombineNot => go(c.left) ++ go(c.right)
+        case a: Pattern.Alt        => go(a.left) ++ go(a.right)
         case g: Pattern.Gpat       => go(g.child)
         case g: Pattern.GpatTimes  => go(g.child)
         case g: Pattern.GpatInf    => go(g.child)

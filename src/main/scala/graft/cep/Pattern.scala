@@ -137,6 +137,31 @@ object Pattern {
       right: Pattern
   ) extends Pattern
 
+  /** Alternation — match `left` OR `right` (beyond-parity: SQL:2016
+    * MATCH_RECOGNIZE `a | b`; neither the reference's dispatch set —
+    * `compile.py:41-49` — nor FlinkCEP has pattern-level alternation).
+    *
+    * Semantics: the compiled NFA forks at the alternation point (one ε
+    * edge per branch, LEFT FIRST — branch priority follows textual
+    * order, so under NoSkip a left-branch match precedes a right-branch
+    * match completed by the same event). Branches are independent
+    * sub-automata with their own output maps: a match binds ONLY the
+    * names of the branch it went through; the other branch's names
+    * project as empty bindings (empty arrays in the match frame, the
+    * same convention as a `{0,n}` loop that took zero events). Under
+    * `NoSkip` the match multiset equals the union of the multisets of
+    * the two branch rewrites (pattern with `left` substituted for the
+    * alternation, plus pattern with `right`) — the differential spec
+    * pins this. Skip strategies act on the single fused run set, so
+    * they CAN interact across branches (a left-branch match may prune
+    * right-branch partials) — that is the defined semantics, as in SQL.
+    *
+    * Branch pattern names and LET register names must be disjoint
+    * (checked at compile): a shared sink would silently merge the
+    * branches' bindings, and a shared register would merge `eta0`.
+    */
+  final case class Alt(left: Pattern, right: Pattern) extends Pattern
+
   /** Transparent grouping. */
   final case class Gpat(child: Pattern) extends Pattern
 
@@ -182,6 +207,9 @@ object Pattern {
         val g = if (l.greedy) "!" else ""
         s"${l.name}:${l.event}:[${ExprRepr(l.cndt)}]_${glyph(l.contiguity)}{${l.from},inf}$g$u"
       case c: Combine => s"${repr(c.left)}${glyph(c.contiguity)}${repr(c.right)}"
+      // beyond-parity node — no reference repr exists; SQL's `|`,
+      // parenthesised so nesting stays re-readable
+      case a: Alt => s"(${repr(a.left)} | ${repr(a.right)})"
       // beyond-parity node — no reference repr exists; `!next[...]` /
       // `!fby[...]` between the sides keeps the string re-readable
       case c: CombineNot =>
@@ -250,6 +278,7 @@ object Pattern {
     case _: LpatInf | _: GpatInf => true
     case c: Combine    => hasUnboundedLoop(c.left) || hasUnboundedLoop(c.right)
     case c: CombineNot => hasUnboundedLoop(c.left) || hasUnboundedLoop(c.right)
+    case a: Alt        => hasUnboundedLoop(a.left) || hasUnboundedLoop(a.right)
     case g: Gpat       => hasUnboundedLoop(g.child)
     case g: GpatTimes  => hasUnboundedLoop(g.child)
     case _: Spat | _: Lpat => false

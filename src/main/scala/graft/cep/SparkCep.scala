@@ -644,6 +644,7 @@ object SparkCep {
     // the prefilter must never drop them
     case c: Pattern.CombineNot =>
       alphabet(c.left) ++ alphabet(c.right) + c.neg.event
+    case a: Pattern.Alt       => alphabet(a.left) ++ alphabet(a.right)
     case g: Pattern.Gpat      => alphabet(g.child)
     case g: Pattern.GpatTimes => alphabet(g.child)
     case g: Pattern.GpatInf   => alphabet(g.child)
@@ -658,6 +659,7 @@ object SparkCep {
     case _: Pattern.Spat       => false
     case c: Pattern.Combine    => hasGreedy(c.left) || hasGreedy(c.right)
     case c: Pattern.CombineNot => hasGreedy(c.left) || hasGreedy(c.right)
+    case a: Pattern.Alt        => hasGreedy(a.left) || hasGreedy(a.right)
     case g: Pattern.Gpat       => hasGreedy(g.child)
     case g: Pattern.GpatTimes  => g.greedy || hasGreedy(g.child)
     case g: Pattern.GpatInf    => g.greedy || hasGreedy(g.child)
@@ -690,6 +692,15 @@ object SparkCep {
         skippable(c.contiguity) &&
         allSkippableNoGroupNoUntil(c.left) &&
         allSkippableNoGroupNoUntil(c.right)
+    // alternation keeps the pushdown when BOTH branches do: the filter
+    // keeps the UNION alphabet, so an event a branch run sees that is
+    // only in the OTHER branch's alphabet is a declared-type relaxed
+    // ignore (ignore edges enumerate the schema's types), identical to
+    // the unfiltered stream; dropped events are non-Σ for both branches
+    // — pure ignores for both. The ε fork itself has no contiguity.
+    case a: Pattern.Alt =>
+      allSkippableNoGroupNoUntil(a.left) &&
+        allSkippableNoGroupNoUntil(a.right)
     case g: Pattern.Gpat => allSkippableNoGroupNoUntil(g.child) // transparent
     case _ => false // group loops: copy boundaries are implicitly strict
   }
@@ -705,6 +716,8 @@ object SparkCep {
     // the negated component binds nothing — no output column
     case c: Pattern.CombineNot =>
       patternNames(c.left) ++ patternNames(c.right)
+    // both branches project (the unmatched branch's columns are empty)
+    case a: Pattern.Alt       => patternNames(a.left) ++ patternNames(a.right)
     case g: Pattern.Gpat      => patternNames(g.child)
     case g: Pattern.GpatTimes => patternNames(g.child)
     case g: Pattern.GpatInf   => patternNames(g.child)

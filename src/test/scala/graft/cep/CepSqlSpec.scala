@@ -54,7 +54,10 @@ class CepSqlSpec extends AnyFunSuite {
         "AFTER MATCH SKIP TO NEXT"),
     "cep_sql_prev_ascending" ->
       ("PATTERN (x y) DEFINE x AS click; y AS click " +
-        "WHERE value > PREV(value)")
+        "WHERE value > PREV(value)"),
+    "cep_sql_alt_outcome" ->
+      ("PATTERN (s (p | x)) DEFINE s AS signup; " +
+        "p AS purchase WHERE value < 50; x AS error")
   )
 
   test("every registry CepQuery round-trips through its SQL form") {

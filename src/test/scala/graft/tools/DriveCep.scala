@@ -44,5 +44,21 @@ context:
     val op = CepOperator.fromQuery(q)
     val r1 = op(evs); val r2 = op(evs)
     println("RESET_OK=" + (r1 == r2))
+
+    // alternation: SQL `|` in, per-branch bindings out; the rejection
+    // path for same-name branches must be loud
+    val altQ = CepSql.parse(
+      "PATTERN (s (p | x)) DEFINE s AS signup; " +
+        "p AS purchase WHERE value < 40; x AS error",
+      Vector("signup" -> Vector("id", "value"),
+        "purchase" -> Vector("id", "value"),
+        "error" -> Vector("id", "value")))
+    println("ALT_MATCHES=" + CepOperator.run(altQ, evs))
+    println("ALT_RENDER_RT=" + (CepSql.parse(CepSql.render(altQ),
+      altQ.schema) == altQ))
+    println("ALT_DUP_ERR=" + scala.util.Try(DstCompiler.compile(CepQuery(
+      Pattern.Alt(Pattern.spat("a", "e", "True"),
+        Pattern.spat("a", "e", "True")),
+      Vector("e" -> Vector("id"))))).failed.map(_.getMessage))
   }
 }
