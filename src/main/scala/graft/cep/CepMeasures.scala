@@ -61,7 +61,29 @@ object CepMeasures {
     case object Min extends Fn { val sqlName = "MIN" }
     case object Max extends Fn { val sqlName = "MAX" }
     case object Avg extends Fn { val sqlName = "AVG" }
-    val all: Vector[Fn] = Vector(Count, First, Last, Sum, Min, Max, Avg)
+    /** SQL:2016 `CLASSIFIER()` — NULLARY (no pattern-name target). In
+      * `ONE ROW PER MATCH` it is the pattern name of the match's LAST
+      * bound event (the standard's final-classifier reading) — with an
+      * alternation this is the "which branch matched" projection. In
+      * `ALL ROWS PER MATCH` it is the current row's classifier
+      * (RUNNING, the column the mode already emits) or the last row's
+      * under `FINAL`. STRING-typed; batch-only in the streaming
+      * measures operator (its state schema is integer measures).
+      */
+    case object Classifier extends Fn { val sqlName = "CLASSIFIER" }
+    /** SQL:2016 `MATCH_NUMBER()` — NULLARY. The deterministic per-key
+      * match sequence number (`row_number` over the binding arrays in
+      * pattern-name order — the same never-`monotonically_increasing_id`
+      * sequence `ALL ROWS PER MATCH` emits as `match_no`). Adds one
+      * window pass over the (small) match frame in `ONE ROW PER MATCH`.
+      * Batch-only: an unbounded stream cannot close a key's total match
+      * order (same reason ALL ROWS is batch-only).
+      */
+    case object MatchNo extends Fn { val sqlName = "MATCH_NUMBER" }
+    val all: Vector[Fn] =
+      Vector(Count, First, Last, Sum, Min, Max, Avg, Classifier, MatchNo)
+    /** The nullary, match-level functions (no `name` target). */
+    def isNullary(fn: Fn): Boolean = fn == Classifier || fn == MatchNo
     def fromName(s: String): Fn = all.find(_.sqlName == s).getOrElse(
       throw new IllegalArgumentException(
         s"MEASURES: unknown function '$s' (expected one of " +
@@ -90,9 +112,21 @@ object CepMeasures {
       case Fn.Sum | Fn.Min | Fn.Max | Fn.Avg => require(attr.isDefined,
         s"MEASURES: ${fn.sqlName}($name) needs an attribute " +
           s"(${fn.sqlName}($name.attr))")
+      case Fn.Classifier | Fn.MatchNo =>
+        require(name.isEmpty && attr.isEmpty,
+          s"MEASURES: ${fn.sqlName}() is nullary — no pattern name or " +
+            "attribute")
       case _ => ()
     }
+    if (!Fn.isNullary(fn)) require(name.nonEmpty,
+      s"MEASURES: ${fn.sqlName} needs a pattern (or SUBSET) name")
   }
+
+  /** Nullary measure constructors. */
+  def classifier(alias: String, isFinal: Boolean = false): Measure =
+    Measure(Fn.Classifier, "", None, alias, isFinal)
+  def matchNumber(alias: String): Measure =
+    Measure(Fn.MatchNo, "", None, alias)
 
   /** Exact integer floor-division `sum // cnt` (DuckDB `//` floors where
     * Spark `DIV` truncates toward zero): `pmod` is non-negative, so
@@ -123,9 +157,10 @@ object CepMeasures {
           s"(have ${names.mkString(", ")})"))
     }
     measures.foreach { m =>
-      require(names.contains(m.name) || subsets.contains(m.name),
-        s"MEASURES: '${m.name}' is not a pattern or SUBSET name " +
-          s"(have ${(names ++ subsets.keys).mkString(", ")})")
+      if (!Fn.isNullary(m.fn))
+        require(names.contains(m.name) || subsets.contains(m.name),
+          s"MEASURES: '${m.name}' is not a pattern or SUBSET name " +
+            s"(have ${(names ++ subsets.keys).mkString(", ")})")
       m.attr.foreach(a => require(
         a == spec.orderCol || spec.attrCols.contains(a),
         s"MEASURES: attribute '$a' is not in the CEP spec " +
@@ -181,6 +216,31 @@ object CepMeasures {
   private def bindingPairs(names: Seq[String]): Column =
     flatten(array(names.map(nm =>
       transform(col(nm), o => struct(lit(nm).as("nm"), o.as("ord")))): _*))
+
+  /** The deterministic per-key match-sequence window shared by
+    * `MATCH_NUMBER()` and `ALL ROWS PER MATCH`'s `match_no`: row_number
+    * over the binding arrays themselves (lexicographic array ordering —
+    * match frames within a key differ in at least one bound set, and
+    * arrays ascend in stream order, so the sequence follows temporal
+    * order). Never `monotonically_increasing_id`.
+    */
+  private def matchSeqWindow(keyName: Option[String],
+      names: Vector[String]) =
+    keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
+      .orderBy(names.map(col): _*)
+
+  /** `CLASSIFIER()` in ONE ROW PER MATCH: the pattern name of the
+    * match's LAST bound event — the name whose binding array ends at
+    * the greatest order id (names with empty bindings are NULL
+    * candidates, which `greatest` skips). Pure column expressions over
+    * the binding arrays; no join.
+    */
+  private def classifierCol(names: Vector[String]): Column = {
+    val cands = names.map(n => when(size(col(n)) > 0,
+      struct(get(col(n), size(col(n)) - 1).as("o"), lit(n).as("n"))))
+    val best = if (cands.length == 1) cands.head else greatest(cands: _*)
+    best.getField("n")
+  }
 
   /** Names whose binding can be EMPTY in some match: a `{0,n}`/optional
     * quantifier, or any ancestor group repeated `{0,…}`. Statically
@@ -240,18 +300,34 @@ object CepMeasures {
       spec: CepSpec, measures: Vector[Measure],
       subsets: Map[String, Vector[String]] = Map.empty): DataFrame = {
     require(measures.nonEmpty, "MEASURES: empty measure list")
-    validate(query, spec, measures, Set.empty, subsets)
+    val names = validate(query, spec, measures, Set.empty, subsets)
     def membersOf(n: String): Vector[String] =
       subsets.getOrElse(n, Vector(n))
 
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val keyOut = keyName.map(col).toSeq
+    // MATCH_NUMBER() stamps the frame once, BEFORE any branch below —
+    // a deterministic per-key window over the binding arrays (one pass
+    // over the small match frame), carried through explode/aggregate
+    // like any positional measure
+    val withSeq =
+      if (measures.exists(_.fn == Fn.MatchNo))
+        matches.withColumn("__match_no",
+          row_number().over(matchSeqWindow(keyName, names)).cast(LongType))
+      else matches
+    // positional-tier column for one measure (nullary measures are
+    // match-level: classifier reads the binding arrays, match_no the
+    // stamped sequence)
+    def posCol(m: Measure): Column = m.fn match {
+      case Fn.Classifier => classifierCol(names)
+      case Fn.MatchNo    => col("__match_no")
+      case _             => positional(m, membersOf(m.name))
+    }
     val attrMeasures = measures.filter(_.attr.isDefined)
     if (attrMeasures.isEmpty) {
       // pure positional: no identity, no join, no shuffle
-      matches.select(
-        keyOut ++ measures.map(m =>
-          positional(m, membersOf(m.name)).as(m.alias)): _*)
+      withSeq.select(
+        keyOut ++ measures.map(m => posCol(m).as(m.alias)): _*)
     } else {
       val posMeasures = measures.filter(_.attr.isEmpty)
       val measuredNames =
@@ -267,13 +343,12 @@ object CepMeasures {
         val pe = possiblyEmptyNames(query.patseq)
         attrMeasures.exists(m => membersOf(m.name).forall(pe.contains))
       }
-      val withMid = matches.withColumn("__mid",
+      val withMid = withSeq.withColumn("__mid",
         monotonically_increasing_id())
       val pairs = bindingPairs(measuredNames)
       val exploded = withMid.select(
         ((Seq(col("__mid")) ++ keyOut ++
-          posMeasures.map(m =>
-            positional(m, membersOf(m.name)).as(s"__p_${m.alias}"))) :+
+          posMeasures.map(m => posCol(m).as(s"__p_${m.alias}"))) :+
           (if (mayBeEmpty) explode_outer(pairs)
            else explode(pairs)).as("__pr")): _*)
         .withColumn("__nm", col("__pr.nm"))
@@ -378,6 +453,14 @@ object CepMeasures {
     val finalW = matchW.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val measureCols = measures.map { m =>
+      if (m.fn == Fn.Classifier) {
+        // RUNNING = the current row's classifier (the mode's own
+        // column); FINAL = the match's last row's
+        (if (m.isFinal) last(col("classifier")).over(finalW)
+         else col("classifier")).as(m.alias)
+      } else if (m.fn == Fn.MatchNo) {
+        col("match_no").as(m.alias) // constant per match; FINAL ≡ RUNNING
+      } else {
       val runW = if (m.isFinal) finalW else runWdefault
       val isNm = col("classifier").isin(membersOf(m.name): _*)
       (m.attr match {
@@ -399,8 +482,11 @@ object CepMeasures {
             case Fn.Last  => last(v, ignoreNulls = true).over(runW)
             case Fn.Count => throw new IllegalStateException(
               "COUNT is positional-only") // unreachable
+            case other => throw new IllegalStateException(
+              s"${other.sqlName} is nullary") // unreachable (dispatch above)
           }
       }).as(m.alias)
+      }
     }
     joined.select((keyOut :+ col("match_no") :+ col("classifier") :+
       col("__ord").as(spec.orderCol)) ++ measureCols: _*)
@@ -424,6 +510,9 @@ object CepMeasures {
   def evalMeasure(m: Measure, byName: Map[String, Vector[Event]],
       orderName: String,
       subsets: Map[String, Vector[String]] = Map.empty): Option[Long] = {
+    require(!Fn.isNullary(m.fn),
+      s"${m.fn.sqlName}() has no emission-time fold (batch-only; the " +
+        "streaming operator rejects it at construction)")
     val binding = subsets.get(m.name) match {
       case None => byName.getOrElse(m.name, Vector.empty)
       case Some(members) =>

@@ -35,6 +35,12 @@ package graft.cep
   *           DEFINE def (';' def)*
   *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
   * meas   := [RUNNING | FINAL] FN '(' name ['.' attr] ')' AS alias
+  *         | [RUNNING | FINAL] 'CLASSIFIER()' AS alias   (the last bound
+  *           event's pattern name — under an alternation, which branch
+  *           matched; STRING-typed; FINAL in ALL ROWS = last row's)
+  *         | 'MATCH_NUMBER()' AS alias   (deterministic per-key match
+  *           sequence — row_number over the binding arrays, never
+  *           monotonically_increasing_id; batch-only in streaming)
   *           (FN := COUNT|FIRST|LAST|SUM|MIN|MAX|AVG; see
   *            [[CepMeasures]]. AVG is exact integer mean: floored
   *            quotient, DuckDB's `//`. RUNNING/FINAL only differ in
@@ -610,6 +616,14 @@ object CepSql {
   private val MeasureRe =
     """^(?:(RUNNING|FINAL)\s+)?([A-Z]+)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
 
+  /** SQL:2016 nullary match-level measures: `CLASSIFIER()` (the last
+    * bound event's pattern name — "which branch matched" under an
+    * alternation) and `MATCH_NUMBER()` (the deterministic per-key match
+    * sequence). Batch-only in the streaming measures operator.
+    */
+  private val NullaryMeasureRe =
+    """^(?:(RUNNING|FINAL)\s+)?(CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+
   /** SQL:2016 `SUBSET u = (a, b), u2 = (c, d)` — union pattern
     * variables for MEASURES. Items split at top-level commas (commas
     * inside the member parentheses separate members).
@@ -656,12 +670,16 @@ object CepSql {
 
   private def parseMeasure(text: String): CepMeasures.Measure =
     text.trim match {
+      case NullaryMeasureRe(sem, fn, alias) =>
+        CepMeasures.Measure(CepMeasures.Fn.fromName(fn), "", None, alias,
+          isFinal = sem == "FINAL")
       case MeasureRe(sem, fn, name, attr, alias) =>
         CepMeasures.Measure(CepMeasures.Fn.fromName(fn), name,
           Option(attr), alias, isFinal = sem == "FINAL")
       case t => throw new IllegalArgumentException(
         "CEP SQL MEASURES: expected '[RUNNING|FINAL] FN(name[.attr]) " +
-          s"AS alias', got '$t'")
+          "AS alias' (or 'CLASSIFIER() / MATCH_NUMBER() AS alias'), " +
+          s"got '$t'")
     }
 
   def parseStatement(sql: String,
@@ -874,6 +892,9 @@ object CepSql {
     // them) with known attrs — a SUBSET attribute must exist on EVERY
     // member's event type
     measures.foreach { m =>
+      if (CepMeasures.Fn.isNullary(m.fn)) {
+        // nullary match-level measures have no name/attr to validate
+      } else {
       val events: Vector[String] = subsetMap.get(m.name) match {
         case Some(ms) => ms.map(defMap(_).event)
         case None =>
@@ -893,6 +914,7 @@ object CepSql {
             s"CEP SQL MEASURES: '${m.name}.$a' — event '$ev' has " +
               s"no attribute '$a' in the schema")
         }
+      }
       }
     }
     measures.groupBy(_.alias).foreach { case (a, ms) =>
