@@ -961,10 +961,12 @@ object Queries {
     * per-key `match_no` sequence, the `classifier` (which pattern name
     * bound the event), the event's order id, and RUNNING measures (each
     * row aggregates the match's rows up to itself). `match_no` is
-    * DETERMINISTIC: `row_number` per key ordered by the binding arrays
-    * themselves (never `monotonically_increasing_id` — see
+    * DETERMINISTIC and temporal: `row_number` per key ordered by the
+    * match's earliest bound ordinal, binding arrays as tiebreaker
+    * (never `monotonically_increasing_id` — see
     * `CepMeasuresDeterminismSpec`); the oracle reproduces the sequence
-    * by ordering the funnel's bound positions with the same
+    * by ordering the funnel's bound positions the same way — `s_id`
+    * (the start ordinal, since `s` always binds) first, then the
     * shorter-prefix-first array comparison (`c2 NULLS FIRST`).
     */
   val cepSqlAllRowsStatement: CepSql.CepSqlStatement =

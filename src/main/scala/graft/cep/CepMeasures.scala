@@ -72,9 +72,11 @@ object CepMeasures {
       */
     case object Classifier extends Fn { val sqlName = "CLASSIFIER" }
     /** SQL:2016 `MATCH_NUMBER()` — NULLARY. The deterministic per-key
-      * match sequence number (`row_number` over the binding arrays in
-      * pattern-name order — the same never-`monotonically_increasing_id`
-      * sequence `ALL ROWS PER MATCH` emits as `match_no`). Adds one
+      * match sequence number in temporal (order-found) order:
+      * `row_number` by the match's earliest bound ordinal, binding
+      * arrays as tiebreaker — the same
+      * never-`monotonically_increasing_id` sequence `ALL ROWS PER
+      * MATCH` emits as `match_no` (see `matchSeqWindow`). Adds one
       * window pass over the (small) match frame in `ONE ROW PER MATCH`.
       * Batch-only: an unbounded stream cannot close a key's total match
       * order (same reason ALL ROWS is batch-only).
@@ -219,15 +221,22 @@ object CepMeasures {
 
   /** The deterministic per-key match-sequence window shared by
     * `MATCH_NUMBER()` and `ALL ROWS PER MATCH`'s `match_no`: row_number
-    * over the binding arrays themselves (lexicographic array ordering —
-    * match frames within a key differ in at least one bound set, and
-    * arrays ascend in stream order, so the sequence follows temporal
-    * order). Never `monotonically_increasing_id`.
+    * ordered by the match's EARLIEST bound ordinal (`array_min` over the
+    * concatenation of every name's binding array — the match's starting
+    * row, SQL:2016's order-found numbering), with the binding-array
+    * tuple itself as a deterministic tiebreaker for matches sharing a
+    * start (frames within a key differ in at least one bound set).
+    * Ordering by the arrays ALONE is not temporal once a name can bind
+    * empty — an alternation-headed pattern `(p | x) s` sorts `p = []`
+    * (the x-branch match) before `p = [1]` regardless of when each match
+    * occurred — so the start ordinal must lead the sort. (An all-empty
+    * match has a NULL start and sorts first; no pattern yields one.)
+    * Never `monotonically_increasing_id`.
     */
   private def matchSeqWindow(keyName: Option[String],
       names: Vector[String]) =
     keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
-      .orderBy(names.map(col): _*)
+      .orderBy(array_min(concat(names.map(col): _*)) +: names.map(col): _*)
 
   /** `CLASSIFIER()` in ONE ROW PER MATCH: the pattern name of the
     * match's LAST bound event — the name whose binding array ends at
@@ -393,11 +402,11 @@ object CepMeasures {
     * (each row sees the aggregate over the match's rows up to and
     * including itself, the MATCH_RECOGNIZE default in this mode).
     *
-    * `match_no` is a DETERMINISTIC per-key sequence: `row_number` over
-    * the binding arrays themselves (lexicographic array ordering — match
-    * frames within a key differ in at least one bound set, and arrays
-    * ascend in stream order, so the sequence follows temporal order).
-    * Never `monotonically_increasing_id`, whose values change across
+    * `match_no` is a DETERMINISTIC per-key sequence in temporal order:
+    * `row_number` ordered by the match's earliest bound ordinal with the
+    * binding arrays as tiebreaker (see [[matchSeqWindow]] for why the
+    * start ordinal must lead once names can bind empty). Never
+    * `monotonically_increasing_id`, whose values change across
     * evaluations. Unkeyed mode numbers matches over a single global
     * window — same serialization the unkeyed match feed already has.
     *
@@ -416,10 +425,8 @@ object CepMeasures {
       subsets.getOrElse(n, Vector(n))
 
     val keyOut = keyName.map(col).toSeq
-    val seqW = keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
-      .orderBy(names.map(col): _*)
-    val withNo = matches
-      .withColumn("match_no", row_number().over(seqW).cast(LongType))
+    val withNo = matches.withColumn("match_no",
+      row_number().over(matchSeqWindow(keyName, names)).cast(LongType))
     val exploded = withNo.select(
       (keyOut :+ col("match_no")) :+
         explode(bindingPairs(names)).as("__pr"): _*)

@@ -39,8 +39,10 @@ package graft.cep
   *           event's pattern name — under an alternation, which branch
   *           matched; STRING-typed; FINAL in ALL ROWS = last row's)
   *         | 'MATCH_NUMBER()' AS alias   (deterministic per-key match
-  *           sequence — row_number over the binding arrays, never
-  *           monotonically_increasing_id; batch-only in streaming)
+  *           sequence in temporal order-found order — row_number by the
+  *           match's earliest bound ordinal, binding arrays as
+  *           tiebreaker, never monotonically_increasing_id; batch-only
+  *           in streaming)
   *           (FN := COUNT|FIRST|LAST|SUM|MIN|MAX|AVG; see
   *            [[CepMeasures]]. AVG is exact integer mean: floored
   *            quotient, DuckDB's `//`. RUNNING/FINAL only differ in
@@ -56,7 +58,11 @@ package graft.cep
   *           either branch; binds LOOSER than concatenation, so
   *           `a b | c` = `(a b) | c`. A match binds only the names of
   *           the branch it went through — the other branch's columns
-  *           are empty. Branch names must be disjoint. The PATTERN
+  *           are empty. Branch names must be DISJOINT — a deviation
+  *           from SQL:2016, which permits the same pattern variable in
+  *           both branches; here the DST binds sinks by name, so reuse
+  *           a DEFINE across branches under two names and merge with a
+  *           SUBSET (what PERMUTE's desugaring does). The PATTERN
   *           body and every '(...)' group hold an `alt`.)
   * seq    := unit (sep [neg] unit)*
   * sep    :=            (juxtaposition = strict contiguity)

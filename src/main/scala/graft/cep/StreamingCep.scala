@@ -501,15 +501,18 @@ object StreamingCep {
         "emit ONE ROW PER MATCH and explode downstream, or run the " +
         "ALL ROWS projection per micro-batch via foreachBatch")
     st.measures.find(m => CepMeasures.Fn.isNullary(m.fn)).foreach { m =>
-      require(m.fn != CepMeasures.Fn.MatchNo,
-        "matchPatternMeasures: MATCH_NUMBER() is batch-only — the " +
-          "deterministic per-key sequence needs a total order over a " +
-          "key's matches, which an unbounded stream cannot close")
-      throw new IllegalArgumentException(
-        "matchPatternMeasures: CLASSIFIER() is batch-only here — the " +
-          "streaming measures state/output schema is integer-typed; " +
-          "project COUNT(name) per branch instead, or classify " +
-          "downstream from the batch operator")
+      val why = m.fn match {
+        case CepMeasures.Fn.MatchNo =>
+          "MATCH_NUMBER() is batch-only — the deterministic per-key " +
+            "sequence needs a total order over a key's matches, which " +
+            "an unbounded stream cannot close"
+        case _ =>
+          "CLASSIFIER() is batch-only here — the streaming measures " +
+            "state/output schema is integer-typed; project COUNT(name) " +
+            "per branch instead, or classify downstream from the batch " +
+            "operator"
+      }
+      throw new IllegalArgumentException(s"matchPatternMeasures: $why")
     }
     CepMeasures.validate(query, spec, st.measures, Set.empty, st.subsetMap)
     val keyName = spec.keyCol.getOrElse("__global")

@@ -228,6 +228,39 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("p", 14L, 14L, 2L, 9L)))
   }
 
+  test("MATCH_NUMBER()/match_no follow temporal order under an " +
+    "alternation-headed pattern (empty arrays must not sort first)") {
+    // (p | x) s: match 1 goes through the p-branch (ids 1,2), match 2 —
+    // temporally LATER — through the x-branch (ids 3,4). Ordering the
+    // sequence window by the binding arrays alone numbers match 2 first
+    // (its p-array is EMPTY and [] < [1] lexicographically); the
+    // temporal window orders by the earliest bound ordinal.
+    val df = eventsDf(
+      (1L, 1L, "S", 0L), (1L, 2L, "P", 5L),
+      (1L, 3L, "C", 0L), (1L, 4L, "P", 7L))
+    val one = CepSql.parseStatement(
+      "PATTERN ((p | x) s) " +
+        "MEASURES MATCH_NUMBER() AS mno, FIRST(p) AS p_id, " +
+        "FIRST(x) AS x_id " +
+        "DEFINE p AS S; x AS C; s AS P", schema)
+    val got = CepMeasures.run(df, one, spec).orderBy("mno").collect()
+      .map(r => (r.getLong(r.fieldIndex("mno")),
+        if (r.isNullAt(r.fieldIndex("p_id"))) -1L
+        else r.getLong(r.fieldIndex("p_id")),
+        if (r.isNullAt(r.fieldIndex("x_id"))) -1L
+        else r.getLong(r.fieldIndex("x_id")))).toVector
+    assert(got == Vector((1L, 1L, -1L), (2L, -1L, 3L)))
+    // same sequence in ALL ROWS PER MATCH's match_no
+    val all = CepSql.parseStatement(
+      "PATTERN ((p | x) s) MEASURES COUNT(p) AS n_p " +
+        "ALL ROWS PER MATCH PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE p AS S; x AS C; s AS P", schema)
+    val rows = CepMeasures.run(df, all).orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("match_no")),
+        r.getLong(r.fieldIndex("id")))).toVector
+    assert(rows == Vector((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L)))
+  }
+
   test("ALL ROWS PER MATCH clause: parsed, rendered, dispatched by run") {
     val st = CepSql.parseStatement(
       "PATTERN (s -> p) MEASURES COUNT(s) AS n_s " +
