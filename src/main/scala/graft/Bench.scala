@@ -148,8 +148,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.map(_.cold).filter(_ >= 0).sum
     val totalMedian = results.values.map(_.med).filter(_ >= 0).sum
+    // sum of warm MINIMA: the load-robust total. A run that starts idle
+    // but gets contaminated mid-way (round 13's end-of-round artifact:
+    // load1 1.87 at start, 4.06 at end) inflates medians and maxima but
+    // rarely all three warm runs of one query — total_lo barely moves,
+    // so total_median >> total_lo is the machine-readable signature of
+    // mid-run contamination that the start-load stamp cannot see.
+    val totalLo = results.values.map(_.lo).filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.cold)},"queries_median":${jmap(_.med)},"queries_p25":${jmap(_.lo)},"queries_p75":${jmap(_.hi)},"total_median":$totalMedian,"loadavg":"$loadStart","loadavg_end":"$loadavg","load1_start":$load1Start,"contamination_threshold":$loadThreshold,"contaminated":$contaminated,"idle_wait_sec":$waitedSec,"bench_wall_sec":$wallSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.cold)},"queries_median":${jmap(_.med)},"queries_p25":${jmap(_.lo)},"queries_p75":${jmap(_.hi)},"total_median":$totalMedian,"total_lo":$totalLo,"loadavg":"$loadStart","loadavg_end":"$loadavg","load1_start":$load1Start,"contamination_threshold":$loadThreshold,"contaminated":$contaminated,"idle_wait_sec":$waitedSec,"bench_wall_sec":$wallSec,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a grep that truncated round 4's
     // artifact (lost ~10 queries' medians). Persist the full line ourselves
