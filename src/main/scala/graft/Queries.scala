@@ -1043,6 +1043,82 @@ object Queries {
       |  FROM m)
       |ORDER BY user_id, match_no, event_id""".stripMargin
 
+  /** SQL:2016 `{- x -}` output exclusion over the same `ALL ROWS`
+    * funnel (`CepSql` exclusion unit + `CepMeasures.allRows`): the
+    * clicks are excluded from the OUTPUT but still match and still feed
+    * the running measures — the surviving `p` row carries the full
+    * click count/sum, which is exactly what distinguishes exclusion
+    * from a downstream filter on a click-less pattern. Oracle: the
+    * `cep_sql_all_rows` closed form with the two click arms dropped
+    * (match numbering is unchanged — exclusion is output-only).
+    */
+  val cepSqlExclFunnelStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> {- c{1,2} -} -> p) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.value) AS c_sum, " +
+        "FIRST(s) AS s_ord " +
+        "ALL ROWS PER MATCH " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlExclFunnel(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlExclFunnelStatement)
+      .orderBy("user_id", "match_no", "event_id")
+
+  val cepSqlExclFunnelSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m0 AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8),
+      |m AS (
+      |  SELECT m0.user_id, m0.s_id,
+      |    e1.event_id AS c1_id, e1.v AS c1_v,
+      |    e2.event_id AS c2_id, e2.v AS c2_v,
+      |    ep.event_id AS p_id,
+      |    row_number() OVER (PARTITION BY m0.user_id
+      |      ORDER BY m0.s_id, e1.event_id, e2.event_id ASC NULLS FIRST,
+      |        ep.event_id) AS mno
+      |  FROM m0
+      |  JOIN seqd e1 ON e1.user_id = m0.user_id AND e1.seq = m0.c1_seq
+      |  LEFT JOIN seqd e2 ON e2.user_id = m0.user_id AND e2.seq = m0.c2_seq
+      |  JOIN seqd ep ON ep.user_id = m0.user_id AND ep.seq = m0.p_seq)
+      |SELECT user_id, CAST(mno AS BIGINT) AS match_no, classifier,
+      |  event_id, n_c, c_sum, s_ord FROM (
+      |  SELECT user_id, mno, 's' AS classifier, s_id AS event_id,
+      |    CAST(0 AS BIGINT) AS n_c, CAST(NULL AS BIGINT) AS c_sum,
+      |    s_id AS s_ord
+      |  FROM m
+      |  UNION ALL
+      |  SELECT user_id, mno, 'p', p_id,
+      |    CAST(CASE WHEN c2_id IS NULL THEN 1 ELSE 2 END AS BIGINT),
+      |    c1_v + COALESCE(c2_v, 0), s_id
+      |  FROM m)
+      |ORDER BY user_id, match_no, event_id""".stripMargin
+
   /** SQL:2016 row navigation in DEFINE conditions ([[graft.cep.Nav]]):
     * `PREV(value)` is attribute `value` of the previous PHYSICAL row of
     * the user's partition in `event_id` order — not the previous bound
@@ -1271,6 +1347,74 @@ object Queries {
       |  AND (next_type = 'error'
       |       OR (next_type = 'purchase' AND next_val < 50))
       |ORDER BY user_id, s_id""".stripMargin
+
+  /** SQL:2016 `PERMUTE` ([[graft.cep.Pattern.Permute]] /
+    * `DstCompiler.compilePermute`): a signup relaxed-followed by a click
+    * and a purchase in EITHER order, adjacent to each other (PERMUTE
+    * sequences its units strictly). Exercises the per-branch relaxed
+    * wait machinery over permute-expanded branches: after `s`, the
+    * `c p` branch waits for the first click (ignoring everything else)
+    * and then requires an adjacent purchase; the `p c` branch waits for
+    * the first purchase and requires an adjacent click — the NoSkip
+    * match set is the union (the expansion law, differential-pinned in
+    * `PermuteSpec`). Every name binds in every match, so the MEASURES
+    * join stays inner/broadcast-eligible; `CLASSIFIER()` reports which
+    * unit ended the match (= which order bound). The oracle replays
+    * both branches in closed form from per-user sequence numbers.
+    */
+  val cepSqlPermuteStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> PERMUTE(c, p)) " +
+        "MEASURES FIRST(s) AS s_id, FIRST(c) AS c_id, FIRST(p) AS p_id, " +
+        "CLASSIFIER() AS ended_with " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlPermute(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlPermuteStatement)
+      .orderBy("user_id", "s_id", "c_id")
+
+  val cepSqlPermuteSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |cp AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |cpm AS (
+      |  SELECT b.user_id, b.s_id, cc.event_id AS c_id, pp.event_id AS p_id,
+      |    'p' AS ended_with
+      |  FROM cp b
+      |  JOIN seqd cc ON cc.user_id = b.user_id AND cc.seq = b.c_seq
+      |  JOIN seqd pp ON pp.user_id = b.user_id AND pp.seq = b.c_seq + 1
+      |    AND pp.event_type = 'purchase'
+      |  WHERE b.c_seq + 1 - b.s_seq < 8),
+      |pc AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(p.seq) AS p_seq
+      |  FROM sig g JOIN seqd p ON p.user_id = g.user_id
+      |    AND p.seq > g.s_seq AND p.event_type = 'purchase'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |pcm AS (
+      |  SELECT b.user_id, b.s_id, pp.event_id AS p_id, cc.event_id AS c_id,
+      |    'c' AS ended_with
+      |  FROM pc b
+      |  JOIN seqd pp ON pp.user_id = b.user_id AND pp.seq = b.p_seq
+      |  JOIN seqd cc ON cc.user_id = b.user_id AND cc.seq = b.p_seq + 1
+      |    AND cc.event_type = 'click'
+      |  WHERE b.p_seq + 1 - b.s_seq < 8)
+      |SELECT user_id, s_id, c_id, p_id, ended_with FROM (
+      |  SELECT user_id, s_id, c_id, p_id, ended_with FROM cpm
+      |  UNION ALL
+      |  SELECT user_id, s_id, c_id, p_id, ended_with FROM pcm)
+      |ORDER BY user_id, s_id, c_id""".stripMargin
 
   /** The shed valve's registry gauge (`SparkCep.shedGauge`): nd-relaxed
     * click pairs under the shed-oldest salvage at cap 1, one row per
@@ -6011,11 +6155,13 @@ object Queries {
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnel _,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
     "cep_sql_all_rows" -> cepSqlAllRows _,
+    "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
     "cep_sql_prev_ascending" -> cepSqlPrevAscending _,
     "cep_sql_nav_peaks" -> cepSqlNavPeaks _,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnel _,
     "cep_sql_alt_outcome" -> cepSqlAltOutcome _,
     "cep_sql_alt_subset_value" -> cepSqlAltSubsetValue _,
+    "cep_sql_permute" -> cepSqlPermute _,
     "cep_shed_gauge" -> cepShedGauge _,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignups _,
     "cep_iter_budget" -> cepIterBudget _,
@@ -6164,11 +6310,13 @@ object Queries {
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnelSql,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
+    "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
     "cep_sql_prev_ascending" -> cepSqlPrevAscendingSql,
     "cep_sql_nav_peaks" -> cepSqlNavPeaksSql,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnelSql,
     "cep_sql_alt_outcome" -> cepSqlAltOutcomeSql,
     "cep_sql_alt_subset_value" -> cepSqlAltSubsetValueSql,
+    "cep_sql_permute" -> cepSqlPermuteSql,
     "cep_shed_gauge" -> cepShedGaugeSql,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignupsSql,
     "cep_iter_budget" -> cepIterBudgetSql,

@@ -283,6 +283,11 @@ object CepMeasures {
     case a: Pattern.Alt =>
       SparkCep.patternNames(a.left).toSet ++
         SparkCep.patternNames(a.right).toSet
+    // UNLIKE an alternation, a PERMUTE binds EVERY unit in every match
+    // (the branches are orderings of the same units) — emptiness is
+    // each unit's own quantifier's affair
+    case pm: Pattern.Permute =>
+      pm.units.map(u => possiblyEmptyNames(u, underZero)).reduce(_ ++ _)
     case g: Pattern.Gpat => possiblyEmptyNames(g.child, underZero)
     case g: Pattern.GpatTimes =>
       possiblyEmptyNames(g.child, underZero || g.from == 0)
@@ -417,10 +422,14 @@ object CepMeasures {
     */
   def allRows(matches: DataFrame, events: DataFrame, query: CepQuery,
       spec: CepSpec, measures: Vector[Measure],
-      subsets: Map[String, Vector[String]] = Map.empty): DataFrame = {
+      subsets: Map[String, Vector[String]] = Map.empty,
+      excluded: Set[String] = Set.empty): DataFrame = {
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val reserved = Set("match_no", "classifier", spec.orderCol)
     val names = validate(query, spec, measures, reserved, subsets)
+    excluded.foreach(n => require(names.contains(n),
+      s"exclusion: '$n' is not a pattern name " +
+        s"(have ${names.mkString(", ")})"))
     def membersOf(n: String): Vector[String] =
       subsets.getOrElse(n, Vector(n))
 
@@ -495,8 +504,17 @@ object CepMeasures {
       }).as(m.alias)
       }
     }
-    joined.select((keyOut :+ col("match_no") :+ col("classifier") :+
-      col("__ord").as(spec.orderCol)) ++ measureCols: _*)
+    val out = joined.select((keyOut :+ col("match_no") :+
+      col("classifier") :+ col("__ord").as(spec.orderCol)) ++
+      measureCols: _*)
+    // SQL:2016 `{- x -}` exclusion: excluded rows are omitted from the
+    // OUTPUT only — they already fed the running/final window measures
+    // above, and Catalyst cannot push a classifier predicate below the
+    // window (it only pushes predicates on the window's PARTITION
+    // columns: key + match_no), so the filter stays above the measure
+    // computation by construction (spec-pinned in `CepExclusionSpec`)
+    if (excluded.isEmpty) out
+    else out.where(!col("classifier").isin(excluded.toSeq: _*))
   }
 
   private def joinedDrop(df: DataFrame): DataFrame =
@@ -564,7 +582,8 @@ object CepMeasures {
       case CepSql.RowsPerMatch.OneRow =>
         project(frames, df, st.query, spec, st.measures, st.subsetMap)
       case CepSql.RowsPerMatch.AllRows =>
-        allRows(frames, df, st.query, spec, st.measures, st.subsetMap)
+        allRows(frames, df, st.query, spec, st.measures, st.subsetMap,
+          st.excluded.toSet)
     }
   }
 
@@ -578,7 +597,7 @@ object CepMeasures {
   def runAllRows(df: DataFrame, st: CepSql.CepSqlStatement,
       spec: CepSpec): DataFrame =
     allRows(SparkCep.matchPatternExec(df, st.query, spec), df, st.query,
-      spec, st.measures)
+      spec, st.measures, st.subsetMap, st.excluded.toSet)
 
   def runAllRows(df: DataFrame, st: CepSql.CepSqlStatement): DataFrame =
     runAllRows(df, st, st.spec)

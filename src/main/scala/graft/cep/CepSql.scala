@@ -70,7 +70,20 @@ package graft.cep
   *         | '~>'       (nd-relaxed)
   * neg    := '!next(' name ')' | '!fby(' name ')'      (negative pattern
   *           at the boundary; the name's DEFINE gives its type/condition)
-  * unit   := name [quant] | '(' alt ')' [gquant] [':' name]
+  * unit   := name [quant]
+  *         | '(' alt ')' [gquant] [':' name]
+  *         | 'PERMUTE' '(' name [quant] (',' name [quant])* ')'
+  *           (SQL:2016 permutation: match the members in ANY order,
+  *            sequenced strictly within an ordering; expands to the
+  *            k! orderings in lexicographic (= priority) order. The
+  *            members share one DEFINE each and bind in EVERY match —
+  *            2..5 members, pairwise-distinct names; see
+  *            [[Pattern.Permute]])
+  *         | '{-' name [quant] '-}'
+  *           (SQL:2016 output exclusion: the unit matches, binds and
+  *            feeds MEASURES normally, but its rows are OMITTED from
+  *            `ALL ROWS PER MATCH` output — and it requires that mode,
+  *            rejected under ONE ROW PER MATCH)
   * quant  := ('+' | '*' | '?' | '{' n ',' [m] '}') ['~' | '~~'] ['!']
   *           ('+' = {1,}, '*' = {0,}, '?' = {0,1} (optional);
   *            open upper bound = unbounded loop;
@@ -120,6 +133,8 @@ object CepSql {
   private case object TTilde2 extends Tok    // ~~
   private case object TBang extends Tok      // !
   private case object TPipe extends Tok      // | (alternation)
+  private case object TExclOpen extends Tok  // {- (output exclusion)
+  private case object TExclClose extends Tok // -}
   private case class TNeg(mode: Pattern.NegMode) extends Tok // !next( / !fby(
 
   private def lex(s: String): Vector[Tok] = {
@@ -132,7 +147,10 @@ object CepSql {
       if (c.isWhitespace) i += 1
       else if (c == '(') { out += TLPar; i += 1 }
       else if (c == ')') { out += TRPar; i += 1 }
-      else if (c == '{') { out += TLBrace; i += 1 }
+      else if (c == '{') {
+        if (i + 1 < s.length && s(i + 1) == '-') { out += TExclOpen; i += 2 }
+        else { out += TLBrace; i += 1 }
+      }
       else if (c == '}') { out += TRBrace; i += 1 }
       else if (c == ',') { out += TComma; i += 1 }
       else if (c == ':') { out += TColon; i += 1 }
@@ -142,7 +160,9 @@ object CepSql {
       else if (c == '|') { out += TPipe; i += 1 }
       else if (c == '-') {
         if (i + 1 < s.length && s(i + 1) == '>') { out += TArrow; i += 2 }
-        else err("expected '->'")
+        else if (i + 1 < s.length && s(i + 1) == '}') {
+          out += TExclClose; i += 2
+        } else err("expected '->' or '-}'")
       } else if (c == '~') {
         if (i + 1 < s.length && s(i + 1) == '>') { out += TNdArrow; i += 2 }
         else if (i + 1 < s.length && s(i + 1) == '~') { out += TTilde2; i += 2 }
@@ -183,6 +203,13 @@ object CepSql {
   private case class PGroup(alt: PAlt,
       gquant: Option[(Int, Option[Int], Boolean)],
       label: Option[String]) extends PU
+  /** `PERMUTE(a, b{1,2}~, …)` — members are name units only. */
+  private case class PPermute(members: Vector[PName]) extends PU
+  /** `{- b{1,2} -}` — SQL:2016 output exclusion: the unit matches and
+    * measures normally but its rows are omitted from `ALL ROWS PER
+    * MATCH` output. Name units only.
+    */
+  private case class PExcl(member: PName) extends PU
   /** head unit + (separator contiguity, optional neg name+mode, unit)* */
   private case class PSeq(head: PU,
       tail: Vector[(Contiguity, Option[(Pattern.NegMode, String)], PU)])
@@ -222,7 +249,8 @@ object CepSql {
         val contig = peek match {
           case Some(TArrow)   => next(); Contiguity.Relaxed
           case Some(TNdArrow) => next(); Contiguity.NdRelaxed
-          case Some(TName(_)) | Some(TLPar) | Some(TNeg(_)) =>
+          case Some(TName(_)) | Some(TLPar) | Some(TNeg(_)) |
+               Some(TExclOpen) =>
             Contiguity.Strict
           case _ => done = true; Contiguity.Strict
         }
@@ -246,6 +274,27 @@ object CepSql {
     }
 
     private def parseUnit(): PU = next() match {
+      case TExclOpen =>
+        val inner = next() match {
+          case TName(n) => PName(n, parseQuant())
+          case other => throw new IllegalArgumentException(
+            "CEP SQL pattern: '{- ... -}' exclusion wraps a name unit, " +
+              s"got $other")
+        }
+        expect(TExclClose, "'-}'")
+        PExcl(inner)
+      case TName("PERMUTE") if peek.contains(TLPar) =>
+        next() // consume '('
+        val members = Vector.newBuilder[PName]
+        def member(): PName = next() match {
+          case TName(n) => PName(n, parseQuant())
+          case other => throw new IllegalArgumentException(
+            s"CEP SQL pattern: PERMUTE members are name units, got $other")
+        }
+        members += member()
+        while (peek.contains(TComma)) { next(); members += member() }
+        expect(TRPar, "')'")
+        PPermute(members.result())
       case TName(n) => PName(n, parseQuant())
       case TLPar =>
         val s = parseAlt()
@@ -419,10 +468,12 @@ object CepSql {
     * normal form combines use; a single branch lowers to itself (no Alt
     * node), so `(a b)` still means a plain group.
     */
-  private def lowerAlt(alt: PAlt, defs: Map[String, Def]): Pattern =
-    alt.branches.map(lower(_, defs)).reduceLeft(Pattern.Alt(_, _))
+  private def lowerAlt(alt: PAlt, defs: Map[String, Def],
+      excl: scala.collection.mutable.Set[String]): Pattern =
+    alt.branches.map(lower(_, defs, excl)).reduceLeft(Pattern.Alt(_, _))
 
-  private def lower(seq: PSeq, defs: Map[String, Def]): Pattern = {
+  private def lower(seq: PSeq, defs: Map[String, Def],
+      excl: scala.collection.mutable.Set[String]): Pattern = {
     def defOf(n: String): Def = defs.getOrElse(n,
       throw new IllegalArgumentException(
         s"CEP SQL: pattern name '$n' has no DEFINE"))
@@ -451,8 +502,13 @@ object CepSql {
             Pattern.LpatInf(n, d.event, d.cndt, q.contig, q.from, d.until,
               d.vars, q.greedy)
         }
+      case PPermute(members) =>
+        Pattern.Permute(members.map(lowerUnit))
+      case PExcl(member) =>
+        excl += member.name
+        lowerUnit(member)
       case PGroup(s, gq, label) =>
-        val child = lowerAlt(s, defs)
+        val child = lowerAlt(s, defs, excl)
         val until = label.map { l =>
           val d = defOf(l)
           require(d.event == GroupEvent && d.vars.isEmpty &&
@@ -514,7 +570,8 @@ object CepSql {
       orderBy: Option[String] = None,
       typeCol: Option[String] = None,
       rowsPerMatch: RowsPerMatch = RowsPerMatch.OneRow,
-      subsets: Vector[(String, Vector[String])] = Vector.empty) {
+      subsets: Vector[(String, Vector[String])] = Vector.empty,
+      excluded: Vector[String] = Vector.empty) {
 
     /** SUBSET union variables as the lookup the measures tiers take. */
     def subsetMap: Map[String, Vector[String]] = subsets.toMap
@@ -556,6 +613,8 @@ object CepSql {
       case c: Pattern.CombineNot =>
         patternRefs(c.left) ++ Expr.refs(c.neg.cndt) ++ patternRefs(c.right)
       case a: Pattern.Alt => patternRefs(a.left) ++ patternRefs(a.right)
+      case pm: Pattern.Permute =>
+        pm.units.map(patternRefs).reduce(_ ++ _)
       case g: Pattern.Gpat      => patternRefs(g.child)
       case g: Pattern.GpatTimes => patternRefs(g.child)
       case g: Pattern.GpatInf =>
@@ -572,6 +631,7 @@ object CepSql {
     case c: Pattern.CombineNot =>
       patternVars(c.left) ++ patternVars(c.right)
     case a: Pattern.Alt => patternVars(a.left) ++ patternVars(a.right)
+    case pm: Pattern.Permute => pm.units.map(patternVars).reduce(_ ++ _)
     case g: Pattern.Gpat      => patternVars(g.child)
     case g: Pattern.GpatTimes => patternVars(g.child)
     case g: Pattern.GpatInf   => patternVars(g.child)
@@ -869,6 +929,10 @@ object CepSql {
       def unit(u: PU): Vector[String] = u match {
         case PName(n, _)         => Vector(n)
         case PGroup(g, _, label) => bindingNamesOfAlt(g) ++ label.toVector
+        // each member binds ONE sink shared across the k! branches
+        case PPermute(ms)        => ms.map(_.name)
+        // exclusion is output-only: the member binds normally
+        case PExcl(m)            => Vector(m.name)
       }
       unit(s.head) ++ s.tail.flatMap { case (_, _, u) => unit(u) }
     }
@@ -949,10 +1013,22 @@ object CepSql {
         s"CEP SQL SUBSET: '$u' member '$n' never binds (it appears " +
           "only as a negation guard)"))
     }
+    val excl = scala.collection.mutable.Set.empty[String]
+    val lowered = lowerAlt(alt, defMap, excl)
+    val excluded = excl.toVector.sorted
+    // SQL:2016 ties the exclusion syntax to ALL ROWS PER MATCH — with
+    // one row per match there are no per-event rows to omit, so a
+    // silent no-op would hide an authoring mistake (Trino/Flink reject
+    // it the same way)
+    require(excluded.isEmpty ||
+      rowsPerMatch.contains(RowsPerMatch.AllRows),
+      "CEP SQL: '{- ... -}' exclusion requires ALL ROWS PER MATCH " +
+        "(with ONE ROW PER MATCH there are no per-event output rows " +
+        "to exclude)")
     CepSqlStatement(
-      CepQuery(lowerAlt(alt, defMap), schema, strategy, within, withinTime),
+      CepQuery(lowered, schema, strategy, within, withinTime),
       measures, partitionBy, orderByCol, typeColOpt,
-      rowsPerMatch.getOrElse(RowsPerMatch.OneRow), subsets)
+      rowsPerMatch.getOrElse(RowsPerMatch.OneRow), subsets, excluded)
   }
 
   // --------------------------------------------------------------- render
@@ -969,7 +1045,7 @@ object CepSql {
     */
   def render(st: CepSqlStatement): String =
     render(st.query, st.measures, st.partitionBy, st.orderBy, st.typeCol,
-      st.rowsPerMatch, st.subsets)
+      st.rowsPerMatch, st.subsets, st.excluded)
 
   def render(q: CepQuery,
       measures: Vector[CepMeasures.Measure] = Vector.empty,
@@ -977,7 +1053,8 @@ object CepSql {
       orderBy: Option[String] = None,
       typeCol: Option[String] = None,
       rowsPerMatch: RowsPerMatch = RowsPerMatch.OneRow,
-      subsets: Vector[(String, Vector[String])] = Vector.empty): String = {
+      subsets: Vector[(String, Vector[String])] = Vector.empty,
+      excluded: Vector[String] = Vector.empty): String = {
     val defs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val bindingSeen = scala.collection.mutable.Set.empty[String]
     def bindOnce(name: String): Unit = {
@@ -1019,24 +1096,31 @@ object CepSql {
       case Contiguity.Relaxed   => " -> "
       case Contiguity.NdRelaxed => " ~> "
     }
+    // re-emit the `{- ... -}` exclusion around an excluded name unit
+    def exclWrap(name: String, s: String): String =
+      if (excluded.contains(name)) s"{- $s -}" else s
     def unit(p: Pattern): String = p match {
       case s: Pattern.Spat =>
         bindOnce(s.name)
         addDef(s.name, s.event, s.cndt, s.vars, None,
           allowDupIdentical = true)
-        s.name
+        exclWrap(s.name, s.name)
       case l: Pattern.Lpat =>
         bindOnce(l.name)
         addDef(l.name, l.event, l.cndt, l.vars, None,
           allowDupIdentical = true)
-        s"${l.name}{${l.from},${l.to}}${mark(l.contiguity)}" +
-          (if (l.greedy) "!" else "")
+        exclWrap(l.name,
+          s"${l.name}{${l.from},${l.to}}${mark(l.contiguity)}" +
+            (if (l.greedy) "!" else ""))
       case l: Pattern.LpatInf =>
         bindOnce(l.name)
         addDef(l.name, l.event, l.cndt, l.vars, l.until,
           allowDupIdentical = true)
-        s"${l.name}{${l.from},}${mark(l.contiguity)}" +
-          (if (l.greedy) "!" else "")
+        exclWrap(l.name,
+          s"${l.name}{${l.from},}${mark(l.contiguity)}" +
+            (if (l.greedy) "!" else ""))
+      case pm: Pattern.Permute =>
+        s"PERMUTE(${pm.units.map(unit).mkString(", ")})"
       case g: Pattern.Gpat      => s"(${topS(g.child)})"
       case g: Pattern.GpatTimes =>
         val gr = if (g.greedy) "!" else ""

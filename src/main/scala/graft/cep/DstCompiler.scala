@@ -103,9 +103,35 @@ final class DstCompiler(query: CepQuery) {
     case l: Pattern.Lpat       => (l.event, l.cndt)
     case l: Pattern.LpatInf    => (l.event, l.cndt)
     case c: Pattern.CombineNot => headEventCndt(c.left)
+    // a chain's head is its first unit's — sound only when that unit
+    // cannot match EMPTY (else the chain's first consumed event could be
+    // a later unit's). Permutation branches take this path: their units
+    // are chained strictly and never empty-headed in practice.
+    case c: Pattern.Combine if !canMatchEmpty(c.left) =>
+      headEventCndt(c.left)
     case other =>
       throw new IllegalArgumentException(
         s"relaxed combine boundary needs an event-headed right pattern, got $other")
+  }
+
+  /** Can the pattern match ZERO events? (`{0,n}` quantifiers and their
+    * compositions.) Decides whether a chain's head unit is its first
+    * CONSUMED unit — see [[headEventCndt]].
+    */
+  private def canMatchEmpty(p: Pattern): Boolean = p match {
+    case _: Pattern.Spat       => false
+    case l: Pattern.Lpat       => l.from == 0
+    case l: Pattern.LpatInf    => l.from == 0
+    case c: Pattern.Combine    =>
+      canMatchEmpty(c.left) && canMatchEmpty(c.right)
+    case c: Pattern.CombineNot =>
+      canMatchEmpty(c.left) && canMatchEmpty(c.right)
+    case a: Pattern.Alt        =>
+      canMatchEmpty(a.left) || canMatchEmpty(a.right)
+    case pm: Pattern.Permute   => pm.units.forall(canMatchEmpty)
+    case g: Pattern.Gpat       => canMatchEmpty(g.child)
+    case g: Pattern.GpatTimes  => g.from == 0 || canMatchEmpty(g.child)
+    case g: Pattern.GpatInf    => g.from == 0 || canMatchEmpty(g.child)
   }
 
   /** Leaf branches of an alternation spine, left to right
@@ -118,6 +144,20 @@ final class DstCompiler(query: CepQuery) {
     case g: Pattern.Gpat => altBranches(g.child)
     case other           => Vector(other)
   }
+
+  /** Union branches with their user-level branch index: `altBranches`
+    * order, with each PERMUTE member further expanded into its
+    * permutation sequences UNDER THE SAME INDEX — branches sharing an
+    * index legitimately share names (they are orderings of the same
+    * units) and are exempt from the disjoint-branch check, which
+    * applies pairwise across indices.
+    */
+  private def expandedBranches(p: Pattern): Vector[(Pattern, Int)] =
+    altBranches(p).zipWithIndex.flatMap {
+      case (pm: Pattern.Permute, i) =>
+        Pattern.permuteBranches(pm).map(_ -> i)
+      case (other, i) => Vector(other -> i)
+    }
 
   private def takeDataUpdate(
       vars: Vector[VarDef]): (Set[String], DataUpdate, Map[String, Long]) = {
@@ -157,6 +197,7 @@ final class DstCompiler(query: CepQuery) {
     case c: Pattern.Combine    => compileCombine(c)
     case c: Pattern.CombineNot => compileCombineNot(c)
     case a: Pattern.Alt        => compileAlt(a)
+    case p: Pattern.Permute    => compilePermute(p)
     case g: Pattern.Gpat       => compileNode(g.child)
     case g: Pattern.GpatTimes  => compileGpatTimes(g)
     case g: Pattern.GpatInf    => compileGpatInf(g)
@@ -192,30 +233,48 @@ final class DstCompiler(query: CepQuery) {
     require(dupVars.isEmpty,
       s"alternation branches must declare disjoint LET registers; " +
         s"${dupVars.toVector.sorted.mkString(", ")} appear(s) in both")
+    unionDsts(Vector(left, right))
+  }
+
+  /** NFA union of compiled branches: a fresh fork state with one ε edge
+    * per branch. ε-successors are INSERTED at the feed loop's scan
+    * position (`Executor.feed`'s `t.insert(idx, …)`), so sibling ε
+    * edges are processed LIFO — the edge appended LAST is walked FIRST;
+    * appending in REVERSE branch order makes the FIRST branch the
+    * priority branch (its runs precede later branches' in the run list,
+    * hence in match output), matching the documented textual-order
+    * priority of both `Alt` and `PERMUTE`. Callers own the branch
+    * name-sharing contract (`compileAlt` requires disjointness,
+    * `compilePermute` legitimately shares — see [[Pattern.Permute]]).
+    */
+  private def unionDsts(rs: Vector[Dst]): Dst = {
     val q0 = state("alt-0")
     val d = ArrayBuffer.empty[Transition]
-    // ε-successors are INSERTED at the feed loop's scan position
-    // (`Executor.feed`'s `t.insert(idx, …)`), so two ε edges from one
-    // state are processed LIFO — the edge appended LAST is walked FIRST.
-    // Right-then-left here is what makes the LEFT branch the priority
-    // branch (its runs precede right's in the run list, hence in match
-    // output), matching the documented textual-order priority.
-    d += new Transition(q0, Pred.epsilon, right.q0, DataUpdate.Id,
-      StreamUpdate.Id)
-    d += new Transition(q0, Pred.epsilon, left.q0, DataUpdate.Id,
-      StreamUpdate.Id)
-    d ++= left.delta
-    d ++= right.delta
+    for (r <- rs.reverse)
+      d += new Transition(q0, Pred.epsilon, r.q0, DataUpdate.Id,
+        StreamUpdate.Id)
+    rs.foreach(r => d ++= r.delta)
     new Dst(
-      left.sigma ++ right.sigma,
-      left.pi ++ right.pi,
-      left.x ++ right.x,
-      left.y ++ right.y,
-      q0 +: (left.states ++ right.states),
+      rs.map(_.sigma).reduce(_ ++ _),
+      rs.map(_.pi).reduce(_ ++ _),
+      rs.map(_.x).reduce(_ ++ _),
+      rs.map(_.y).reduce(_ ++ _),
+      q0 +: rs.flatMap(_.states),
       q0,
-      left.eta0 ++ right.eta0,
+      rs.map(_.eta0).reduce(_ ++ _),
       d.toVector)
   }
+
+  /** SQL:2016 `PERMUTE(a, b, c)` ([[Pattern.Permute]]): the union of
+    * every ordering of the units, each a STRICT chain, in lexicographic
+    * order (first ordering = priority branch). The branches share every
+    * name and register BY CONSTRUCTION (same units, one branch per
+    * run, identical `eta0` initials), so no disjointness check — the
+    * unit-level disjointness the node's constructor enforces is the
+    * real authoring contract.
+    */
+  private def compilePermute(ast: Pattern.Permute): Dst =
+    unionDsts(Pattern.permuteBranches(ast).map(compileNode))
 
   /** `compile.py:52-70`. */
   private def compileSpat(ast: Pattern.Spat): Dst = {
@@ -371,7 +430,7 @@ final class DstCompiler(query: CepQuery) {
     * machinery so the union law holds under every contiguity.
     */
   private def compileCombine(ast: Pattern.Combine): Dst =
-    altBranches(ast.right) match {
+    expandedBranches(ast.right) match {
       case branches if branches.length > 1 =>
         compileCombineAltRight(ast.contiguity, compileNode(ast.left),
           branches)
@@ -468,10 +527,14 @@ final class DstCompiler(query: CepQuery) {
     * ε's), exactly as `q02` is in the plain path.
     */
   private def compileCombineAltRight(contiguity: Contiguity, left: Dst,
-      branches: Vector[Pattern]): Dst = {
+      branchesWithOrigin: Vector[(Pattern, Int)]): Dst = {
+    val branches = branchesWithOrigin.map(_._1)
     val rs = branches.map(compileNode)
-    // same disjointness contract as compileAlt, across ALL branches
-    for (i <- rs.indices; j <- i + 1 until rs.length) {
+    // same disjointness contract as compileAlt, across ALL branches —
+    // except pairs expanded from the SAME PERMUTE (equal origin index),
+    // which share their names by construction (see expandedBranches)
+    for (i <- rs.indices; j <- i + 1 until rs.length
+         if branchesWithOrigin(i)._2 != branchesWithOrigin(j)._2) {
       val dupNames = rs(i).pi.intersect(rs(j).pi)
       require(dupNames.isEmpty,
         s"alternation branches must bind disjoint pattern names; " +

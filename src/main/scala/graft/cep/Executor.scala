@@ -434,22 +434,9 @@ object CepOperator {
       "runWithTimeouts needs a windowed query (within/withinTime) — " +
         "an unwindowed run never times out")
     val op = fromQuery(query, captureTimeouts = true)
-    val names = {
-      // pattern-name order, derived from the AST (the projection order
-      // match rows use)
-      def go(p: Pattern): Vector[String] = p match {
-        case s: Pattern.Spat       => Vector(s.name)
-        case l: Pattern.Lpat       => Vector(l.name)
-        case l: Pattern.LpatInf    => Vector(l.name)
-        case c: Pattern.Combine    => go(c.left) ++ go(c.right)
-        case c: Pattern.CombineNot => go(c.left) ++ go(c.right)
-        case a: Pattern.Alt        => go(a.left) ++ go(a.right)
-        case g: Pattern.Gpat       => go(g.child)
-        case g: Pattern.GpatTimes  => go(g.child)
-        case g: Pattern.GpatInf    => go(g.child)
-      }
-      go(query.patseq)
-    }
+    // pattern-name order, derived from the AST (the projection order
+    // match rows use)
+    val names = Pattern.names(query.patseq)
     op.executor.reset()
     val ms = Vector.newBuilder[Match]
     val ts = Vector.newBuilder[Match]

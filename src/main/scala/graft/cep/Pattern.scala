@@ -162,6 +162,91 @@ object Pattern {
     */
   final case class Alt(left: Pattern, right: Pattern) extends Pattern
 
+  /** Permutation — match the units in ANY order (beyond-parity:
+    * SQL:2016 MATCH_RECOGNIZE `PERMUTE(a, b, c)`; neither the
+    * reference's dispatch set — `compile.py:41-49` — nor FlinkCEP has
+    * it). Semantically sugar for the alternation of every ordering of
+    * the units, in LEXICOGRAPHIC order of the unit list (the SQL:2016
+    * expansion — `PERMUTE(a, b)` ≡ `a b | b a`, so the textual-order
+    * branch is the priority branch), with units sequenced STRICTLY
+    * within a branch (juxtaposition, as in the standard's expansion).
+    *
+    * UNLIKE a hand-written alternation, the branches legitimately share
+    * every pattern name and LET register: each branch binds the SAME
+    * units (same DEFINEs, same initials), a run walks exactly one
+    * branch, and every name binds in every match — so the compiler
+    * skips the disjoint-branch check it imposes on `Alt` (where shared
+    * names would be an authoring mistake), and MEASURES over the names
+    * keep the inner, broadcast-eligible join shape (no possibly-empty
+    * sentinel — see `CepMeasures.possiblyEmptyNames`).
+    *
+    * The UNITS must bind pairwise-disjoint names and registers (the
+    * same unit set is shared across branches, but within one branch
+    * each name still binds one sink). 2–5 units: the expansion is k!
+    * branches (120 at k = 5), and every further unit multiplies the
+    * per-event ε-fork work by another factor of k.
+    */
+  final case class Permute(units: Vector[Pattern]) extends Pattern {
+    require(units.length >= 2, "PERMUTE needs at least 2 units")
+    require(units.length <= 5,
+      s"PERMUTE of ${units.length} units expands to ${units.length}! " +
+        "branches — capped at 5 (120 branches); restructure the pattern")
+    for (i <- units.indices; j <- i + 1 until units.length) {
+      val dupN = Pattern.names(units(i)).toSet
+        .intersect(Pattern.names(units(j)).toSet)
+      require(dupN.isEmpty,
+        s"PERMUTE units must bind disjoint pattern names; " +
+          s"${dupN.toVector.sorted.mkString(", ")} appear(s) in both")
+      val dupX = Pattern.registers(units(i))
+        .intersect(Pattern.registers(units(j)))
+      require(dupX.isEmpty,
+        s"PERMUTE units must declare disjoint LET registers; " +
+          s"${dupX.toVector.sorted.mkString(", ")} appear(s) in both")
+    }
+  }
+
+  /** The SQL:2016 expansion of a [[Permute]]: one strict-contiguity
+    * sequence per ordering of the units, in lexicographic order of the
+    * original unit list (branch priority = textual order, so
+    * `PERMUTE(a, b)` prefers `a b`).
+    */
+  def permuteBranches(p: Permute): Vector[Pattern] =
+    p.units.indices.toVector.permutations.map { ix =>
+      ix.map(p.units).reduceLeft[Pattern](Combine(Contiguity.Strict, _, _))
+    }.toVector
+
+  /** Declared pattern names in left-to-right order (negation guards and
+    * group labels bind nothing). The Spark layer's
+    * `SparkCep.patternNames` delegates here.
+    */
+  def names(p: Pattern): Vector[String] = p match {
+    case s: Spat       => Vector(s.name)
+    case l: Lpat       => Vector(l.name)
+    case l: LpatInf    => Vector(l.name)
+    case c: Combine    => names(c.left) ++ names(c.right)
+    case c: CombineNot => names(c.left) ++ names(c.right)
+    case a: Alt        => names(a.left) ++ names(a.right)
+    // every unit binds in every match; declaration order is unit order
+    case p: Permute    => p.units.flatMap(names)
+    case g: Gpat       => names(g.child)
+    case g: GpatTimes  => names(g.child)
+    case g: GpatInf    => names(g.child)
+  }
+
+  /** Declared LET register names. */
+  def registers(p: Pattern): Set[String] = p match {
+    case s: Spat       => s.vars.map(_.name).toSet
+    case l: Lpat       => l.vars.map(_.name).toSet
+    case l: LpatInf    => l.vars.map(_.name).toSet
+    case c: Combine    => registers(c.left) ++ registers(c.right)
+    case c: CombineNot => registers(c.left) ++ registers(c.right)
+    case a: Alt        => registers(a.left) ++ registers(a.right)
+    case p: Permute    => p.units.map(registers).reduce(_ ++ _)
+    case g: Gpat       => registers(g.child)
+    case g: GpatTimes  => registers(g.child)
+    case g: GpatInf    => registers(g.child)
+  }
+
   /** Transparent grouping. */
   final case class Gpat(child: Pattern) extends Pattern
 
@@ -210,6 +295,8 @@ object Pattern {
       // beyond-parity node — no reference repr exists; SQL's `|`,
       // parenthesised so nesting stays re-readable
       case a: Alt => s"(${repr(a.left)} | ${repr(a.right)})"
+      // beyond-parity node — SQL's PERMUTE, units comma-separated
+      case p: Permute => s"PERMUTE(${p.units.map(repr).mkString(", ")})"
       // beyond-parity node — no reference repr exists; `!next[...]` /
       // `!fby[...]` between the sides keeps the string re-readable
       case c: CombineNot =>
@@ -279,6 +366,7 @@ object Pattern {
     case c: Combine    => hasUnboundedLoop(c.left) || hasUnboundedLoop(c.right)
     case c: CombineNot => hasUnboundedLoop(c.left) || hasUnboundedLoop(c.right)
     case a: Alt        => hasUnboundedLoop(a.left) || hasUnboundedLoop(a.right)
+    case p: Permute    => p.units.exists(hasUnboundedLoop)
     case g: Gpat       => hasUnboundedLoop(g.child)
     case g: GpatTimes  => hasUnboundedLoop(g.child)
     case _: Spat | _: Lpat => false

@@ -645,6 +645,7 @@ object SparkCep {
     case c: Pattern.CombineNot =>
       alphabet(c.left) ++ alphabet(c.right) + c.neg.event
     case a: Pattern.Alt       => alphabet(a.left) ++ alphabet(a.right)
+    case p: Pattern.Permute   => p.units.map(alphabet).reduce(_ ++ _)
     case g: Pattern.Gpat      => alphabet(g.child)
     case g: Pattern.GpatTimes => alphabet(g.child)
     case g: Pattern.GpatInf   => alphabet(g.child)
@@ -660,6 +661,7 @@ object SparkCep {
     case c: Pattern.Combine    => hasGreedy(c.left) || hasGreedy(c.right)
     case c: Pattern.CombineNot => hasGreedy(c.left) || hasGreedy(c.right)
     case a: Pattern.Alt        => hasGreedy(a.left) || hasGreedy(a.right)
+    case p: Pattern.Permute    => p.units.exists(hasGreedy)
     case g: Pattern.Gpat       => hasGreedy(g.child)
     case g: Pattern.GpatTimes  => g.greedy || hasGreedy(g.child)
     case g: Pattern.GpatInf    => g.greedy || hasGreedy(g.child)
@@ -702,24 +704,14 @@ object SparkCep {
       allSkippableNoGroupNoUntil(a.left) &&
         allSkippableNoGroupNoUntil(a.right)
     case g: Pattern.Gpat => allSkippableNoGroupNoUntil(g.child) // transparent
+    // PERMUTE sequences its units STRICTLY within each branch — a
+    // dropped event could sit between two units and fake adjacency, so
+    // the alphabet prefilter is never sound here
     case _ => false // group loops: copy boundaries are implicitly strict
   }
 
   /** Declared pattern names in left-to-right order (the `Pi` set with the
     * deterministic order match columns should appear in).
     */
-  def patternNames(p: Pattern): Vector[String] = p match {
-    case s: Pattern.Spat      => Vector(s.name)
-    case l: Pattern.Lpat      => Vector(l.name)
-    case l: Pattern.LpatInf   => Vector(l.name)
-    case c: Pattern.Combine   => patternNames(c.left) ++ patternNames(c.right)
-    // the negated component binds nothing — no output column
-    case c: Pattern.CombineNot =>
-      patternNames(c.left) ++ patternNames(c.right)
-    // both branches project (the unmatched branch's columns are empty)
-    case a: Pattern.Alt       => patternNames(a.left) ++ patternNames(a.right)
-    case g: Pattern.Gpat      => patternNames(g.child)
-    case g: Pattern.GpatTimes => patternNames(g.child)
-    case g: Pattern.GpatInf   => patternNames(g.child)
-  }
+  def patternNames(p: Pattern): Vector[String] = Pattern.names(p)
 }

@@ -180,6 +180,16 @@ object YamlQuery {
             expr(negM, "cndt")),
           Pattern.NegMode.fromName(req("mode").toString),
           parsePattern(req("right").asInstanceOf[JMap[String, Object]]))
+      // beyond-parity: SQL:2016 PERMUTE — `units: [<pattern>, …]`.
+      // Absent from every reference query file.
+      case "permute" =>
+        m.get("units") match {
+          case l: java.util.List[_] =>
+            Pattern.Permute(l.asScala.toVector.map(u =>
+              parsePattern(u.asInstanceOf[JMap[String, Object]])))
+          case other => throw new IllegalArgumentException(
+            s"permute needs a 'units' list of patterns, got '$other'")
+        }
       case "gpat" =>
         Pattern.Gpat(
           parsePattern(m.get("child").asInstanceOf[JMap[String, Object]]))

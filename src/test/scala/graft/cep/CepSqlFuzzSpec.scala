@@ -105,13 +105,18 @@ class CepSqlFuzzSpec extends AnyFunSuite {
       val measures = (0 until rnd.nextInt(4)).toVector.map { i =>
         val nm = names(rnd.nextInt(names.length))
         val fn = fns(rnd.nextInt(fns.length))
-        val attr = fn match {
-          case CepMeasures.Fn.Count => None
-          case CepMeasures.Fn.Sum | CepMeasures.Fn.Min |
-               CepMeasures.Fn.Max | CepMeasures.Fn.Avg => Some("v")
-          case _ => if (rnd.nextBoolean()) Some("w") else None
+        // CLASSIFIER()/MATCH_NUMBER() are nullary — no name, no attr
+        if (CepMeasures.Fn.isNullary(fn))
+          CepMeasures.Measure(fn, "", None, s"m$i", rnd.nextBoolean())
+        else {
+          val attr = fn match {
+            case CepMeasures.Fn.Count => None
+            case CepMeasures.Fn.Sum | CepMeasures.Fn.Min |
+                 CepMeasures.Fn.Max | CepMeasures.Fn.Avg => Some("v")
+            case _ => if (rnd.nextBoolean()) Some("w") else None
+          }
+          CepMeasures.Measure(fn, nm, attr, s"m$i", rnd.nextBoolean())
         }
-        CepMeasures.Measure(fn, nm, attr, s"m$i", rnd.nextBoolean())
       }
       val st = CepSql.CepSqlStatement(query, measures,
         partitionBy = if (rnd.nextBoolean()) Some("k") else None,
