@@ -6131,7 +6131,9 @@ object Queries {
     "cep_sql_prev_ascending" -> cepSqlPrevAscendingStatement.query,
     // alternation: riding every registry gate (typed==Catalyst,
     // batch==stream, event-time) pins the Alt NFA on real data
-    "cep_sql_alt_outcome" -> cepSqlAltOutcomeQuery
+    "cep_sql_alt_outcome" -> cepSqlAltOutcomeQuery,
+    // permute: the shared-name union NFA through the same gates
+    "cep_sql_permute" -> cepSqlPermuteStatement.query
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
