@@ -57,7 +57,10 @@ class CepSqlSpec extends AnyFunSuite {
         "WHERE value > PREV(value)"),
     "cep_sql_alt_outcome" ->
       ("PATTERN (s (p | x)) DEFINE s AS signup; " +
-        "p AS purchase WHERE value < 50; x AS error")
+        "p AS purchase WHERE value < 50; x AS error"),
+    "cep_sql_permute" ->
+      ("PATTERN (s -> PERMUTE(c, p)) DEFINE s AS signup; c AS click; " +
+        "p AS purchase WITHIN 8")
   )
 
   test("every registry CepQuery round-trips through its SQL form") {
@@ -269,19 +272,23 @@ class CepSqlSpec extends AnyFunSuite {
     }
     def contig(): Contiguity = Contiguity.fromName(
       Vector("strict", "relaxed", "nd-relaxed")(rnd.nextInt(3)))
-    // a unit = anything the parser accepts in unit position (leaf/group)
+    // a unit = anything the parser accepts in unit position
+    // (leaf/group/permute)
     def unit(depth: Int): Pattern =
       if (depth <= 0 || rnd.nextInt(3) > 0) leaf()
-      else rnd.nextInt(3) match {
+      else rnd.nextInt(4) match {
         case 0 => Pattern.Gpat(gen(depth - 1))
         case 1 =>
           val f = rnd.nextInt(3)
           Pattern.GpatTimes(gen(depth - 1), f, f + 1 + rnd.nextInt(2),
             greedy = rnd.nextInt(4) == 0)
-        case _ =>
+        case 2 =>
           Pattern.GpatInf(gen(depth - 1), rnd.nextInt(3),
             if (rnd.nextBoolean()) Some(rndCond()) else None,
             greedy = rnd.nextInt(4) == 0)
+        // PERMUTE members are name units (leaves) with fresh names
+        case _ =>
+          Pattern.Permute(Vector.fill(2 + rnd.nextInt(2))(leaf()))
       }
     // a seq = left-nested combine spine (the render normal form)
     def gen(depth: Int): Pattern = {
