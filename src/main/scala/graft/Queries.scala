@@ -1119,6 +1119,101 @@ object Queries {
       |  FROM m)
       |ORDER BY user_id, match_no, event_id""".stripMargin
 
+  /** SQL:2016 `WITH UNMATCHED ROWS` over the `ALL ROWS` funnel
+    * (`CepMeasures.allRows(withUnmatched = true)`): every input row
+    * bound by NO match joins the output with NULL
+    * match_no/classifier/measures — the MATCH_RECOGNIZE way to keep the
+    * full partition in view (lineage/debugging: which events never
+    * participated). The anti-join's bound side is the small one
+    * (distinct bound (key, order) pairs), so AQE broadcasts it. Oracle:
+    * the `cep_sql_all_rows` closed form plus a NOT-IN-bound arm.
+    */
+  val cepSqlUnmatchedStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.value) AS c_sum, " +
+        "FIRST(s) AS s_ord " +
+        "ALL ROWS PER MATCH WITH UNMATCHED ROWS " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlUnmatched(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlUnmatchedStatement)
+      .orderBy("user_id", "match_no", "event_id")
+
+  val cepSqlUnmatchedSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m0 AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8),
+      |m AS (
+      |  SELECT m0.user_id, m0.s_id,
+      |    e1.event_id AS c1_id, e1.v AS c1_v,
+      |    e2.event_id AS c2_id, e2.v AS c2_v,
+      |    ep.event_id AS p_id,
+      |    row_number() OVER (PARTITION BY m0.user_id
+      |      ORDER BY m0.s_id, e1.event_id, e2.event_id ASC NULLS FIRST,
+      |        ep.event_id) AS mno
+      |  FROM m0
+      |  JOIN seqd e1 ON e1.user_id = m0.user_id AND e1.seq = m0.c1_seq
+      |  LEFT JOIN seqd e2 ON e2.user_id = m0.user_id AND e2.seq = m0.c2_seq
+      |  JOIN seqd ep ON ep.user_id = m0.user_id AND ep.seq = m0.p_seq),
+      |bound AS (
+      |  SELECT user_id, s_id AS event_id FROM m
+      |  UNION SELECT user_id, c1_id FROM m
+      |  UNION SELECT user_id, c2_id FROM m WHERE c2_id IS NOT NULL
+      |  UNION SELECT user_id, p_id FROM m)
+      |SELECT user_id, CAST(mno AS BIGINT) AS match_no, classifier,
+      |  event_id, n_c, c_sum, s_ord FROM (
+      |  SELECT user_id, mno, 's' AS classifier, s_id AS event_id,
+      |    CAST(0 AS BIGINT) AS n_c, CAST(NULL AS BIGINT) AS c_sum,
+      |    s_id AS s_ord
+      |  FROM m
+      |  UNION ALL
+      |  SELECT user_id, mno, 'c', c1_id, CAST(1 AS BIGINT), c1_v, s_id
+      |  FROM m
+      |  UNION ALL
+      |  SELECT user_id, mno, 'c', c2_id, CAST(2 AS BIGINT), c1_v + c2_v,
+      |    s_id
+      |  FROM m WHERE c2_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, mno, 'p', p_id,
+      |    CAST(CASE WHEN c2_id IS NULL THEN 1 ELSE 2 END AS BIGINT),
+      |    c1_v + COALESCE(c2_v, 0), s_id
+      |  FROM m
+      |  UNION ALL
+      |  SELECT e.user_id, CAST(NULL AS BIGINT),
+      |    CAST(NULL AS VARCHAR), e.event_id, CAST(NULL AS BIGINT),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM seqd e LEFT JOIN bound b
+      |    ON b.user_id = e.user_id AND b.event_id = e.event_id
+      |  WHERE b.event_id IS NULL)
+      |ORDER BY user_id, match_no, event_id""".stripMargin
+
   /** SQL:2016 row navigation in DEFINE conditions ([[graft.cep.Nav]]):
     * `PREV(value)` is attribute `value` of the previous PHYSICAL row of
     * the user's partition in `event_id` order — not the previous bound
@@ -6158,6 +6253,7 @@ object Queries {
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
     "cep_sql_all_rows" -> cepSqlAllRows _,
     "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
+    "cep_sql_unmatched" -> cepSqlUnmatched _,
     "cep_sql_prev_ascending" -> cepSqlPrevAscending _,
     "cep_sql_nav_peaks" -> cepSqlNavPeaks _,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnel _,
@@ -6313,6 +6409,7 @@ object Queries {
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
     "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
+    "cep_sql_unmatched" -> cepSqlUnmatchedSql,
     "cep_sql_prev_ascending" -> cepSqlPrevAscendingSql,
     "cep_sql_nav_peaks" -> cepSqlNavPeaksSql,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnelSql,

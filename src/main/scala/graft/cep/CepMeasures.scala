@@ -3,7 +3,7 @@ package graft.cep
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
 import SparkCep.CepSpec
 
@@ -423,7 +423,8 @@ object CepMeasures {
   def allRows(matches: DataFrame, events: DataFrame, query: CepQuery,
       spec: CepSpec, measures: Vector[Measure],
       subsets: Map[String, Vector[String]] = Map.empty,
-      excluded: Set[String] = Set.empty): DataFrame = {
+      excluded: Set[String] = Set.empty,
+      withUnmatched: Boolean = false): DataFrame = {
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val reserved = Set("match_no", "classifier", spec.orderCol)
     val names = validate(query, spec, measures, reserved, subsets)
@@ -513,8 +514,35 @@ object CepMeasures {
     // window (it only pushes predicates on the window's PARTITION
     // columns: key + match_no), so the filter stays above the measure
     // computation by construction (spec-pinned in `CepExclusionSpec`)
-    if (excluded.isEmpty) out
-    else out.where(!col("classifier").isin(excluded.toSeq: _*))
+    val matched =
+      if (excluded.isEmpty) out
+      else out.where(!col("classifier").isin(excluded.toSeq: _*))
+    if (!withUnmatched) matched
+    else {
+      // `WITH UNMATCHED ROWS` (SQL:2016): every input row bound by NO
+      // match joins the output with NULL match_no/classifier/measures.
+      // "Unmatched" is judged against ALL bound rows (pre-exclusion:
+      // an excluded row is matched, never unmatched). Anti-join events
+      // against the distinct bound (key, order) pairs — the bound side
+      // is the small one, so AQE broadcasts it.
+      val bound = exploded.select(
+        (keyOut :+ col("__ord").as(spec.orderCol)): _*).distinct()
+      val evProj = events.select(
+        (keyName.map(k => SparkCep.keyExpr(events, spec).as(k)).toSeq :+
+          col(spec.orderCol).cast(LongType).as(spec.orderCol)): _*)
+      val unmatchedRows = evProj.join(bound,
+        keyName.toSeq :+ spec.orderCol, "left_anti")
+      val nullMeasures = measures.map { m =>
+        val tpe: DataType =
+          if (m.fn == Fn.Classifier) StringType else LongType
+        lit(null).cast(tpe).as(m.alias)
+      }
+      val unmatchedOut = unmatchedRows.select(
+        (keyOut :+ lit(null).cast(LongType).as("match_no") :+
+          lit(null).cast(StringType).as("classifier") :+
+          col(spec.orderCol)) ++ nullMeasures: _*)
+      matched.unionByName(unmatchedOut)
+    }
   }
 
   private def joinedDrop(df: DataFrame): DataFrame =
@@ -584,6 +612,9 @@ object CepMeasures {
       case CepSql.RowsPerMatch.AllRows =>
         allRows(frames, df, st.query, spec, st.measures, st.subsetMap,
           st.excluded.toSet)
+      case CepSql.RowsPerMatch.AllRowsUnmatched =>
+        allRows(frames, df, st.query, spec, st.measures, st.subsetMap,
+          st.excluded.toSet, withUnmatched = true)
     }
   }
 
@@ -597,7 +628,9 @@ object CepMeasures {
   def runAllRows(df: DataFrame, st: CepSql.CepSqlStatement,
       spec: CepSpec): DataFrame =
     allRows(SparkCep.matchPatternExec(df, st.query, spec), df, st.query,
-      spec, st.measures, st.subsetMap, st.excluded.toSet)
+      spec, st.measures, st.subsetMap, st.excluded.toSet,
+      withUnmatched =
+        st.rowsPerMatch == CepSql.RowsPerMatch.AllRowsUnmatched)
 
   def runAllRows(df: DataFrame, st: CepSql.CepSqlStatement): DataFrame =
     runAllRows(df, st, st.spec)

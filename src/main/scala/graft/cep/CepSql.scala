@@ -30,7 +30,10 @@ package graft.cep
   *                   (',' u '=' '(' … ')')*]     (union variables:
   *            a measure over `u` sees the members' bindings merged in
   *            stream order — COUNT(u), FIRST(u), SUM(u.attr), …)
-  *           [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+  *           [ONE ROW PER MATCH | ALL ROWS PER MATCH
+  *            [WITH UNMATCHED ROWS]]   (unmatched rows join the ALL
+  *            ROWS output with NULL match_no/classifier/measures;
+  *            excluded `{- -}` rows are matched, never "unmatched")
   *           [PARTITION BY col] [ORDER BY col] [TYPE col]
   *           DEFINE def (';' def)*
   *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
@@ -546,13 +549,17 @@ object CepSql {
     * the pattern).
     */
   /** MATCH_RECOGNIZE output mode: one flat row of measures per match
-    * (the default), or one row per bound event with running measures
-    * (`ALL ROWS PER MATCH` — [[CepMeasures.allRows]]).
+    * (the default), one row per bound event with running measures
+    * (`ALL ROWS PER MATCH` — [[CepMeasures.allRows]]), or the latter
+    * plus every input row bound by NO match with NULL
+    * match_no/classifier/measures (`... WITH UNMATCHED ROWS`).
     */
   sealed trait RowsPerMatch extends Serializable
   object RowsPerMatch {
     case object OneRow extends RowsPerMatch
     case object AllRows extends RowsPerMatch
+    /** `ALL ROWS PER MATCH WITH UNMATCHED ROWS` (SQL:2016). */
+    case object AllRowsUnmatched extends RowsPerMatch
   }
 
   /** A parsed CEP SQL statement: the lowered query plus any MEASURES
@@ -834,13 +841,18 @@ object CepSql {
             case "ONE" | "ALL" =>
               require(rowsPerMatch.isEmpty,
                 "CEP SQL: duplicate rows-per-match clause")
-              val want = if (kw == "ONE") "ROW PER MATCH"
-                         else "ROWS PER MATCH"
-              require(section.trim.replaceAll("\\s+", " ") == want,
-                s"CEP SQL: expected '$kw $want', got '$kw ${section.trim}'")
-              rowsPerMatch = Some(
-                if (kw == "ONE") RowsPerMatch.OneRow
-                else RowsPerMatch.AllRows)
+              val got = section.trim.replaceAll("\\s+", " ")
+              rowsPerMatch = (kw, got) match {
+                case ("ONE", "ROW PER MATCH") => Some(RowsPerMatch.OneRow)
+                case ("ALL", "ROWS PER MATCH") => Some(RowsPerMatch.AllRows)
+                case ("ALL", "ROWS PER MATCH WITH UNMATCHED ROWS") =>
+                  Some(RowsPerMatch.AllRowsUnmatched)
+                case _ => throw new IllegalArgumentException(
+                  s"CEP SQL: expected '${
+                    if (kw == "ONE") "ONE ROW PER MATCH"
+                    else "ALL ROWS PER MATCH [WITH UNMATCHED ROWS]"
+                  }', got '$kw $got'")
+              }
           }
           cursor = nextCur
         }
@@ -1021,7 +1033,8 @@ object CepSql {
     // silent no-op would hide an authoring mistake (Trino/Flink reject
     // it the same way)
     require(excluded.isEmpty ||
-      rowsPerMatch.contains(RowsPerMatch.AllRows),
+      rowsPerMatch.contains(RowsPerMatch.AllRows) ||
+      rowsPerMatch.contains(RowsPerMatch.AllRowsUnmatched),
       "CEP SQL: '{- ... -}' exclusion requires ALL ROWS PER MATCH " +
         "(with ONE ROW PER MATCH there are no per-event output rows " +
         "to exclude)")
@@ -1208,6 +1221,8 @@ object CepSql {
     val rpmS = rowsPerMatch match {
       case RowsPerMatch.OneRow  => Seq.empty[String] // the default
       case RowsPerMatch.AllRows => Seq("ALL ROWS PER MATCH")
+      case RowsPerMatch.AllRowsUnmatched =>
+        Seq("ALL ROWS PER MATCH WITH UNMATCHED ROWS")
     }
     val specS = (rpmS ++
       partitionBy.map(k => s"PARTITION BY $k").toSeq ++

@@ -109,6 +109,58 @@ class CepExclusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not a pattern name"))
   }
 
+  test("WITH UNMATCHED ROWS: unmatched input rows join the output " +
+    "with NULL match_no/classifier/measures") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,1} -> p) " +
+        "MEASURES COUNT(c) AS n_c " +
+        "ALL ROWS PER MATCH WITH UNMATCHED ROWS " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    assert(st.rowsPerMatch == CepSql.RowsPerMatch.AllRowsUnmatched)
+    assert(CepSql.parseStatement(CepSql.render(st), schema) == st)
+    // key 1: S(1) C(2) P(3) match; C(4) bound by nothing; key 2: S(10)
+    // alone — unmatched
+    val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "C", 5L),
+      (1L, 3L, "P", 2L), (1L, 4L, "C", 7L), (2L, 10L, "S", 0L))
+    val out = CepMeasures.run(df, st).orderBy("k", "id").collect().map { r =>
+      (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(r.fieldIndex("match_no"))) -1L
+        else r.getLong(r.fieldIndex("match_no")),
+        if (r.isNullAt(r.fieldIndex("classifier"))) "-"
+        else r.getString(r.fieldIndex("classifier")),
+        if (r.isNullAt(r.fieldIndex("n_c"))) -1L
+        else r.getLong(r.fieldIndex("n_c")))
+    }.toVector
+    assert(out == Vector(
+      (1L, 1L, 1L, "s", 0L), (1L, 2L, 1L, "c", 1L),
+      (1L, 3L, 1L, "p", 1L), (1L, 4L, -1L, "-", -1L),
+      (2L, 10L, -1L, "-", -1L)))
+  }
+
+  test("WITH UNMATCHED ROWS x exclusion: an excluded row is matched, " +
+    "never unmatched") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> {- c{1,1} -} -> p) " +
+        "MEASURES SUM(c.v) AS c_sum " +
+        "ALL ROWS PER MATCH WITH UNMATCHED ROWS " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "C", 5L),
+      (1L, 3L, "P", 2L), (1L, 4L, "C", 7L))
+    val out = CepMeasures.run(df, st).orderBy("id").collect().map { r =>
+      (r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(r.fieldIndex("classifier"))) "-"
+        else r.getString(r.fieldIndex("classifier")),
+        if (r.isNullAt(r.fieldIndex("c_sum"))) -1L
+        else r.getLong(r.fieldIndex("c_sum")))
+    }.toVector
+    // C(2) is excluded from output AND absent from the unmatched set;
+    // C(4) genuinely unmatched; the p row still carries the c sum
+    assert(out == Vector(
+      (1L, "s", -1L), (3L, "p", 5L), (4L, "-", -1L)))
+  }
+
   test("lexer: '{-' / '-}' do not collide with quantifier braces or '->'") {
     // a quantifier brace immediately after an excluded unit, and an
     // arrow right before '-}' would be the confusable neighborhoods
