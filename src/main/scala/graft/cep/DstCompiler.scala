@@ -265,16 +265,84 @@ final class DstCompiler(query: CepQuery) {
       d.toVector)
   }
 
-  /** SQL:2016 `PERMUTE(a, b, c)` ([[Pattern.Permute]]): the union of
-    * every ordering of the units, each a STRICT chain, in lexicographic
-    * order (first ordering = priority branch). The branches share every
-    * name and register BY CONSTRUCTION (same units, one branch per
-    * run, identical `eta0` initials), so no disjointness check — the
-    * unit-level disjointness the node's constructor enforces is the
-    * real authoring contract.
+  /** SQL:2016 `PERMUTE(a, b, c)` ([[Pattern.Permute]]): semantically
+    * the union of every ordering of the units (each a STRICT chain, in
+    * lexicographic priority order) — but compiled as a SUBSET LATTICE,
+    * not the k! branch union. One junction state per subset of
+    * already-matched units (2^k), with a fresh copy of unit `i`'s
+    * automaton embedded between `junction(S)` and `junction(S ∪ {i})`
+    * for every `i ∉ S` (k·2^(k-1) copies). Equivalent because a run's
+    * REGISTERS carry its bindings — sharing the junction after
+    * different prefixes loses nothing — and decisive at scale: under
+    * NoSkip every event opens a fresh initial configuration whose
+    * ε-closure sweeps the start state's branch heads, and the lattice
+    * has k heads where the union has k! (measured in
+    * `DrivePermuteScale`: the union's feed rate falls ∝ 1/k! — 4.4M→93K
+    * ev/s from k=2 to k=5 — where the lattice stays ~flat).
+    *
+    * ε-edge priority: from each junction, units in declaration order
+    * (appended reversed — the executor walks sibling ε edges LIFO), so
+    * matches emit in the lexicographic-expansion branch order.
+    *
+    * Output map: the single accepting junction carries ALL units' out
+    * entries in DECLARATION order — a match projects its columns in
+    * unit order regardless of which ordering bound (the relational
+    * contract; `Dst.output` drops nothing here since every unit binds).
+    * Returns the lattice plus the unit entry states at the empty mask
+    * (for the combine boundary's per-unit waits).
     */
+  private[cep] def compilePermuteLattice(
+      ast: Pattern.Permute): (Dst, Vector[State]) = {
+    val units = ast.units
+    val k = units.length
+    val full = (1 << k) - 1
+    val junctions = Array.tabulate(full + 1)(m => state(s"perm-$m"))
+    val d = ArrayBuffer.empty[Transition]
+    val states = ArrayBuffer.empty[State]
+    states ++= junctions
+    var sigma = Set.empty[String]
+    var pi = Set.empty[String]
+    var x = Set.empty[String]
+    var y = Set.empty[String]
+    var eta0 = Map.empty[String, Long]
+    // per-unit out entries (first-occurrence order across finals),
+    // recorded from the first copy of each unit
+    val unitOut = scala.collection.mutable.Map.empty[Int, Dst.OutMap]
+    val entries0 = scala.collection.mutable.Map.empty[Int, State]
+    for (mask <- 0 until full) {
+      val avail = (0 until k).filter(i => (mask & (1 << i)) == 0)
+      val copies = avail.map(i => (i, compileNode(units(i))))
+      // LIFO: append the fork ε edges in REVERSE declaration order so
+      // the lowest-index unit is walked first
+      for ((_, c) <- copies.reverse)
+        d += new Transition(junctions(mask), Pred.epsilon, c.q0,
+          DataUpdate.Id, StreamUpdate.Id)
+      for ((i, c) <- copies) {
+        states ++= c.states
+        d ++= c.delta
+        sigma ++= c.sigma; pi ++= c.pi; x ++= c.x; y ++= c.y
+        eta0 ++= c.eta0
+        if (!unitOut.contains(i)) {
+          val seen = scala.collection.mutable.Set.empty[String]
+          unitOut(i) = c.finalStates.flatMap(_.out.getOrElse(Vector.empty))
+            .filter { case (n, _) => seen.add(n) }
+        }
+        if (mask == 0) entries0(i) = c.q0
+        for (f <- c.finalStates) {
+          f.clearOutput()
+          d += new Transition(f, Pred.epsilon, junctions(mask | (1 << i)),
+            DataUpdate.Id, StreamUpdate.Id)
+        }
+      }
+    }
+    junctions(full).out = Some((0 until k).toVector.flatMap(unitOut))
+    val dst = new Dst(sigma, pi, x, y, states.toVector, junctions(0),
+      eta0, d.toVector)
+    (dst, (0 until k).toVector.map(entries0))
+  }
+
   private def compilePermute(ast: Pattern.Permute): Dst =
-    unionDsts(Pattern.permuteBranches(ast).map(compileNode))
+    compilePermuteLattice(ast)._1
 
   /** `compile.py:52-70`. */
   private def compileSpat(ast: Pattern.Spat): Dst = {
@@ -430,12 +498,96 @@ final class DstCompiler(query: CepQuery) {
     * machinery so the union law holds under every contiguity.
     */
   private def compileCombine(ast: Pattern.Combine): Dst =
-    expandedBranches(ast.right) match {
-      case branches if branches.length > 1 =>
+    altBranches(ast.right) match {
+      // a lone PERMUTE right: the subset lattice with per-UNIT boundary
+      // waits (k wait states, not k! — see compileCombinePermuteRight)
+      case Vector(pm: Pattern.Permute) =>
+        compileCombinePermuteRight(ast.contiguity, compileNode(ast.left),
+          pm)
+      case bs if expandedBranches(ast.right).length > 1 =>
         compileCombineAltRight(ast.contiguity, compileNode(ast.left),
-          branches)
+          expandedBranches(ast.right))
       case _ => compileCombinePlain(ast)
     }
+
+  /** Combine whose RIGHT is a lone PERMUTE: embed the subset lattice
+    * and build the boundary machinery PER UNIT instead of per expanded
+    * ordering. Sound because every ordering starting with unit `i`
+    * shares unit `i`'s head — the k! per-branch waits of the expansion
+    * collapse into k distinct ones (same ¬head ignore edges, same
+    * replicated head takes), so the union law is preserved with k-sized
+    * machinery (differential-pinned in `PermuteSpec`).
+    */
+  private def compileCombinePermuteRight(contiguity: Contiguity,
+      left: Dst, pm: Pattern.Permute): Dst = {
+    val (r, entries) = compilePermuteLattice(pm)
+    val states = ArrayBuffer.from(left.states)
+    states ++= r.states
+    val d = ArrayBuffer.from(left.delta)
+    d ++= r.delta
+    val q02 = r.q0
+
+    val leftFinals = left.finalStates
+    for (q <- leftFinals.reverse; q2 <- r.finalStates)
+      q2.extendOutput(q.out.get)
+    for (q <- leftFinals) {
+      d += new Transition(q, Pred.epsilon, q02, DataUpdate.Id,
+        StreamUpdate.Id)
+      q.clearOutput()
+    }
+
+    // non-strict boundaries key the per-unit waits on each unit's head
+    // event — ambiguous if a unit can bind ZERO events (the ordering's
+    // real head would be the next unit); reject loudly, as the chain
+    // path does via headEventCndt's canMatchEmpty guard
+    if (contiguity != Contiguity.Strict)
+      pm.units.foreach(u => require(!canMatchEmpty(u),
+        "relaxed combine into PERMUTE needs units that cannot match " +
+          "empty (a {0,n} unit makes the ordering's head ambiguous)"))
+    contiguity match {
+      case Contiguity.Strict => ()
+      case Contiguity.Relaxed =>
+        for ((u, entry) <- pm.units.zip(entries)) {
+          val (rEv, rCndt) = headEventCndt(u)
+          val qIg = state(s"${entry.name}-ignore")
+          states += qIg
+          for (edge <- headTakes(r, entry))
+            d += new Transition(qIg, edge.p, edge.q2, edge.alpha,
+              edge.beta)
+          val negPred = Pred(Some(rEv), rCndt).neg
+          d += new Transition(q02, negPred, qIg, DataUpdate.Id,
+            StreamUpdate.Id)
+          d += new Transition(qIg, negPred, qIg, DataUpdate.Id,
+            StreamUpdate.Id)
+          for (e <- eventTypes if e != rEv) {
+            d += new Transition(q02, Pred(Some(e), Expr.True), qIg,
+              DataUpdate.Id, StreamUpdate.Id)
+            d += new Transition(qIg, Pred(Some(e), Expr.True), qIg,
+              DataUpdate.Id, StreamUpdate.Id)
+          }
+        }
+      case Contiguity.NdRelaxed =>
+        val qIg = state(s"${q02.name}-ignore")
+        states += qIg
+        for (entry <- entries; edge <- headTakes(r, entry))
+          d += new Transition(qIg, edge.p, edge.q2, edge.alpha, edge.beta)
+        val anyPred = Pred(Some(Pred.AnyType), Expr.True)
+        d += new Transition(q02, anyPred, qIg, DataUpdate.Id,
+          StreamUpdate.Id)
+        d += new Transition(qIg, anyPred, qIg, DataUpdate.Id,
+          StreamUpdate.Id)
+    }
+
+    new Dst(
+      left.sigma ++ r.sigma,
+      left.pi ++ r.pi,
+      left.x ++ r.x,
+      left.y ++ r.y,
+      states.toVector,
+      left.q0,
+      left.eta0 ++ r.eta0,
+      d.toVector)
+  }
 
   private def compileCombinePlain(ast: Pattern.Combine): Dst = {
     val left = compileNode(ast.left)

@@ -180,11 +180,21 @@ object Pattern {
     * keep the inner, broadcast-eligible join shape (no possibly-empty
     * sentinel — see `CepMeasures.possiblyEmptyNames`).
     *
+    * COMPILED as a subset lattice, not the k! union: one junction per
+    * set of already-matched units, a copy of each remaining unit's
+    * automaton between adjacent junctions — so the per-event start
+    * sweep is k head predicates, not k! (`DstCompiler
+    * .compilePermuteLattice`; 20× at k = 5 on the sparse-stream probe,
+    * `DrivePermuteScale`). One observable consequence: a match's
+    * OUTPUT MAP lists the units in DECLARATION order regardless of
+    * which ordering bound (the shared accepting junction's out map) —
+    * the relational column contract, pinned in `PermuteSpec`.
+    *
     * The UNITS must bind pairwise-disjoint names and registers (the
     * same unit set is shared across branches, but within one branch
-    * each name still binds one sink). 2–5 units: the expansion is k!
-    * branches (120 at k = 5), and every further unit multiplies the
-    * per-event ε-fork work by another factor of k.
+    * each name still binds one sink). 2–5 units: the match/run
+    * semantics are still the k! expansion's (120 orderings at k = 5 —
+    * a unit-dense stream can keep that many live runs per start).
     */
   final case class Permute(units: Vector[Pattern]) extends Pattern {
     require(units.length >= 2, "PERMUTE needs at least 2 units")

@@ -30,11 +30,13 @@ class PermuteSpec extends AnyFunSuite {
       Permute(Vector(spat("a", "e", "name == 1"),
         spat("b", "e", "name == 2"))),
       schemaINP)
-    // e1 e2 = a then b; e3 e4 = b then a
+    // e1 e2 = a then b; e3 e4 = b then a — output columns in unit
+    // DECLARATION order regardless of which ordering bound (the shared
+    // accepting junction's out map; the relational contract)
     val out = runQuery(q, eventsOf((1, 0), (2, 0), (2, 0), (1, 0)))
     assert(streamRepr(out) ==
       "[{'a': [e(1,1,0)], 'b': [e(2,2,0)]}, " +
-        "{'b': [e(3,2,0)], 'a': [e(4,1,0)]}]")
+        "{'a': [e(4,1,0)], 'b': [e(3,2,0)]}]")
   }
 
   test("PERMUTE units are STRICT within a branch: a gap kills the match") {
@@ -59,7 +61,7 @@ class PermuteSpec extends AnyFunSuite {
     val out = runQuery(q, eventsOf((1, 0), (2, 0)))
     assert(streamRepr(out) ==
       "[{'a': [e(1,1,0)], 'b': [e(2,2,0)]}, " +
-        "{'b': [e(1,1,0)], 'a': [e(2,2,0)]}]")
+        "{'a': [e(2,2,0)], 'b': [e(1,1,0)]}]")
   }
 
   test("PERMUTE of three units: all 6 orderings reachable") {
@@ -101,10 +103,10 @@ class PermuteSpec extends AnyFunSuite {
           Vector(varDef("X", 0, "X + price"))),
         spat("b", "e", "name == 2"))),
       schemaINP)
-    // b first, then the accumulating loop
+    // b first, then the accumulating loop (columns in declaration order)
     val out = runQuery(q, eventsOf((2, 9), (1, 2), (1, 3)))
     assert(streamRepr(out) ==
-      "[{'b': [e(1,2,9)], 'a': [e(2,1,2), e(3,1,3)]}]")
+      "[{'a': [e(2,1,2), e(3,1,3)], 'b': [e(1,2,9)]}]")
   }
 
   test("relaxed combine into PERMUTE: per-branch waits (union law)") {
@@ -120,14 +122,21 @@ class PermuteSpec extends AnyFunSuite {
     // s, then y x (y-first branch), later x y would need adjacency
     val out = runQuery(q, eventsOf((3, 0), (2, 0), (1, 0), (2, 0)))
     assert(streamRepr(out) ==
-      "[{'s': [e(1,3,0)], 'y': [e(2,2,0)], 'x': [e(3,1,0)]}, " +
+      "[{'s': [e(1,3,0)], 'x': [e(3,1,0)], 'y': [e(2,2,0)]}, " +
         "{'s': [e(1,3,0)], 'x': [e(3,1,0)], 'y': [e(4,2,0)]}]")
   }
 
   // ------------------------------------------- expansion-law differential
 
+  /** Canonical match repr with SORTED keys: the lattice projects in unit
+    * declaration order while the hand-built expansion's chains project
+    * in binding order — the BINDINGS must agree, the key order is each
+    * compilation's own output contract.
+    */
   private def multiset(ms: Seq[Match]): Vector[String] =
-    ms.map(dictRepr).toVector.sorted
+    ms.map(m => m.toMap.toVector.sortBy(_._1)
+      .map { case (n, evs) => s"$n=${evs.map(_.toString).mkString(",")}" }
+      .mkString("{", "; ", "}")).toVector.sorted
 
   private def randomStreams(seed: Long, n: Int,
       len: Int): Vector[Vector[Event]] = {
