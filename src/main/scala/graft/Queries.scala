@@ -341,6 +341,54 @@ object Queries {
 
   val cepSqlMultiSharedSql: String = cepMultiSharedPushdownSql
 
+  /** MEASURED statements on the shared scan (`CepMeasures.runShared` /
+    * `CepSql.parseStatements`): three adjacent-pair statements with a
+    * COMMON measure schema, matched in ONE operator pass (one scan, one
+    * union pushdown, one key exchange, one state sweep) and projected
+    * per member downstream — the text form of "k funnels, one pass,
+    * flat measure rows out". Members are union'd under `qname` for the
+    * gate; the oracle is one LEAD pass classified three ways.
+    * Solo-vs-shared equality is differential-pinned in
+    * `CepMeasuresSpec`.
+    */
+  val cepSqlMultiMeasuresStatements: Seq[(String, String)] = Seq(
+    "pair_sp" ->
+      ("PATTERN (s p) MEASURES FIRST(s) AS s_id, SUM(p.value) AS val " +
+        "DEFINE s AS signup; p AS purchase"),
+    "pair_se" ->
+      ("PATTERN (s x) MEASURES FIRST(s) AS s_id, SUM(x.value) AS val " +
+        "DEFINE s AS signup; x AS error"),
+    "pair_cp" ->
+      ("PATTERN (c p) MEASURES FIRST(c) AS s_id, SUM(p.value) AS val " +
+        "DEFINE c AS click; p AS purchase"))
+
+  def cepSqlMultiMeasures(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.runShared(table(spark, dir, "events"),
+      CepSql.parseStatements(cepSqlMultiMeasuresStatements, eventSchema),
+      eventSpec)
+      .map { case (n, df) => df.select(lit(n).as("qname"),
+        col("user_id"), col("s_id"), col("val")) }
+      .reduce(_ unionByName _)
+      .orderBy("qname", "user_id", "s_id")
+
+  val cepSqlMultiMeasuresSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type) OVER win AS nt,
+      |    LEAD(CAST(FLOOR(value) AS BIGINT)) OVER win AS nv
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT qname, user_id, s_id, val FROM (
+      |  SELECT 'pair_sp' AS qname, user_id, event_id AS s_id, nv AS val
+      |  FROM w WHERE event_type = 'signup' AND nt = 'purchase'
+      |  UNION ALL
+      |  SELECT 'pair_se', user_id, event_id, nv
+      |  FROM w WHERE event_type = 'signup' AND nt = 'error'
+      |  UNION ALL
+      |  SELECT 'pair_cp', user_id, event_id, nv
+      |  FROM w WHERE event_type = 'click' AND nt = 'purchase')
+      |ORDER BY qname, user_id, s_id""".stripMargin
+
   /** Beyond-parity negative pattern (FlinkCEP `notNext`): signup
     * immediately followed by a purchase that is NOT cheap (`value < 50`
     * negated) — a cheap purchase right after the signup is a stop, not a
@@ -6268,6 +6316,7 @@ object Queries {
     "cep_multi_shared" -> cepMultiShared _,
     "cep_multi_shared_pushdown" -> cepMultiSharedPushdown _,
     "cep_sql_multi_shared" -> cepSqlMultiShared _,
+    "cep_sql_multi_measures" -> cepSqlMultiMeasures _,
     "rel_q1_pricing" -> relQ1Pricing _,
     "rel_q3_top_orders" -> relQ3TopOrders _,
     "rel_nation_stats" -> relNationStats _,
@@ -6392,6 +6441,7 @@ object Queries {
     "cep_multi_shared" -> cepMultiSharedSql,
     "cep_multi_shared_pushdown" -> cepMultiSharedPushdownSql,
     "cep_sql_multi_shared" -> cepSqlMultiSharedSql,
+    "cep_sql_multi_measures" -> cepSqlMultiMeasuresSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_lsh_calibration" -> dedupLshCalibrationSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -624,6 +624,50 @@ object CepMeasures {
   def run(df: DataFrame, st: CepSql.CepSqlStatement): DataFrame =
     run(df, st, st.spec)
 
+  /** k MEASURED statements on ONE shared scan: match every member with
+    * `SparkCep.matchPatternsShared` (one scan, one union pushdown
+    * filter, one key exchange, one state pass) and project each
+    * member's MEASURES from its slice of the shared output. The shared
+    * operator's reporting shape serializes each match's bound order ids
+    * (`','` within a component, `';'` across components in declared
+    * order); this reconstructs the per-name binding arrays with pure
+    * column functions — `split` keeps trailing empty components, and an
+    * empty component parses to an empty array, exactly the
+    * possibly-empty convention [[project]] consumes. ONE ROW PER MATCH
+    * members only (the frame carries order ids; `ALL ROWS` members run
+    * solo), each with a non-empty MEASURES list. Solo-vs-shared
+    * equality is differential-pinned in `CepMeasuresSpec`.
+    */
+  def runShared(df: DataFrame,
+      stmts: Seq[(String, CepSql.CepSqlStatement)], spec: CepSpec,
+      maxRunsPerKey: Option[Int] = None): Seq[(String, DataFrame)] = {
+    require(stmts.nonEmpty, "runShared: empty member set")
+    stmts.foreach { case (n, st) =>
+      require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
+        s"runShared: member '$n' declares ALL ROWS PER MATCH — the " +
+          "shared frame carries order ids only; run that member solo")
+      require(st.measures.nonEmpty,
+        s"runShared: member '$n' has no MEASURES — use " +
+          "SparkCep.matchPatternsShared for the plain binding shape")
+    }
+    val shared = SparkCep.matchPatternsShared(df,
+      stmts.map { case (n, st) => n -> st.query }, spec, maxRunsPerKey)
+    val keyOut = spec.keyCol.map(col).toSeq
+    stmts.map { case (n, st) =>
+      val names = SparkCep.patternNames(st.query.patseq)
+      val parts = split(col("binding"), ";", -1)
+      val arrays = names.zipWithIndex.map { case (nm, i) =>
+        transform(
+          filter(split(element_at(parts, i + 1), ",", -1),
+            s => s =!= lit("")),
+          s => s.cast(LongType)).as(nm)
+      }
+      val frames = shared.where(col("qname") === n)
+        .select(keyOut ++ arrays: _*)
+      n -> project(frames, df, st.query, spec, st.measures, st.subsetMap)
+    }
+  }
+
   /** One-call `ALL ROWS PER MATCH` over the Catalyst-planned operator. */
   def runAllRows(df: DataFrame, st: CepSql.CepSqlStatement,
       spec: CepSpec): DataFrame =

@@ -674,6 +674,27 @@ object CepSql {
       name -> st.query
     }
 
+  /** The MEASURED shared-scan parse: k statements WITH MEASURES onto
+    * one shared operator pass (`CepMeasures.runShared`). Spec sections
+    * are still per-SET (one spec, passed to runShared), and members are
+    * ONE ROW PER MATCH by construction of the shared frame.
+    */
+  def parseStatements(stmts: Seq[(String, String)],
+      schema: Vector[(String, Vector[String])])
+      : Seq[(String, CepSqlStatement)] =
+    stmts.map { case (name, sql) =>
+      val st = parseStatement(sql, schema)
+      require(st.partitionBy.isEmpty && st.orderBy.isEmpty &&
+        st.typeCol.isEmpty,
+        s"CEP SQL shared scan: member '$name' carries its own " +
+          "PARTITION BY/ORDER BY/TYPE — the member set shares ONE spec, " +
+          "passed to CepMeasures.runShared")
+      require(st.rowsPerMatch == RowsPerMatch.OneRow,
+        s"CEP SQL shared scan: member '$name' declares ALL ROWS PER " +
+          "MATCH — the shared frame carries order ids only; run it solo")
+      name -> st
+    }
+
   /** As [[parseStatement]], for statements without MEASURES (rejects a
     * MEASURES clause loudly — a `CepQuery` cannot carry it).
     */

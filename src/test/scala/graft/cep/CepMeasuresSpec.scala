@@ -137,6 +137,43 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runShared: shared-scan measures == each statement run solo") {
+    val stmts = CepSql.parseStatements(Seq(
+      "m1" -> ("PATTERN (s -> c{1,2} -> p) MEASURES FIRST(s) AS a, " +
+        "COUNT(c) AS b, SUM(c.v) AS d DEFINE s AS S; c AS C; p AS P"),
+      "m2" -> ("PATTERN (s c? -> p) MEASURES FIRST(s) AS a, " +
+        "COUNT(c) AS b, SUM(c.v) AS d DEFINE s AS S; c AS C; p AS P")),
+      schema)
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 0 until 5) {
+      val types = Vector("S", "C", "P")
+      val evs = (1 to (10 + rnd.nextInt(10))).map { i =>
+        (1L + rnd.nextInt(2), i.toLong, types(rnd.nextInt(3)),
+          rnd.nextInt(9).toLong)
+      }
+      val df = eventsDf(evs: _*)
+      val shared = CepMeasures.runShared(df, stmts, spec)
+      for (((name, got), (_, st)) <- shared.zip(stmts)) {
+        def canon(d: DataFrame): Vector[String] =
+          d.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+            .toVector.sorted
+        assert(canon(got) == canon(CepMeasures.run(df, st, spec)),
+          s"trial $trial member $name diverged")
+      }
+    }
+    // rejections: ALL ROWS member, measure-free member
+    intercept[IllegalArgumentException] {
+      CepSql.parseStatements(Seq("m" ->
+        ("PATTERN (s) MEASURES COUNT(s) AS n ALL ROWS PER MATCH " +
+          "DEFINE s AS S")), schema)
+    }
+    intercept[IllegalArgumentException] {
+      CepMeasures.runShared(eventsDf((1L, 1L, "S", 0L)),
+        CepSql.parseStatements(Seq("m" -> "PATTERN (s) DEFINE s AS S"),
+          schema), spec)
+    }
+  }
+
   test("validation: bad measures fail loudly at parse time") {
     def bad(sql: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException] {
