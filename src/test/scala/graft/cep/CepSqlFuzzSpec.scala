@@ -36,7 +36,8 @@ class CepSqlFuzzSpec extends AnyFunSuite {
     val alphabet =
       "PATTERN DEFINE MEASURES WITHIN AFTER MATCH SKIP ALL ONE ROWS " +
         "ROW PER BY ORDER TYPE AS GROUP UNTIL LET THEN WHERE FINAL " +
-        "RUNNING PREV NEXT abc v {}()->~>!?*+,.;:0123456789 \n\t"
+        "RUNNING PREV NEXT PERMUTE UNMATCHED WITH " +
+        "abc v {}()->~>!?*+,.;:0123456789-{- -} \n\t"
     for (_ <- 0 until 2000) {
       val n = 1 + rnd.nextInt(80)
       val s = new StringBuilder
@@ -59,7 +60,12 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         "WITHIN 100 ON w AFTER MATCH SKIP PAST LAST EVENT",
       "PATTERN (x y) MEASURES FIRST(x) AS i PARTITION BY k ORDER BY " +
         "id TYPE t DEFINE x AS A; y AS A WHERE v > PREV(v, 2) and " +
-        "v > NEXT(w) or PREV(v) == 0")
+        "v > NEXT(w) or PREV(v) == 0",
+      "PATTERN (a -> PERMUTE(b, c{1,2})) MEASURES CLASSIFIER() AS w, " +
+        "MATCH_NUMBER() AS mn DEFINE a AS A; b AS B; c AS C WITHIN 9",
+      "PATTERN (a {- b -} c) MEASURES COUNT(b) AS n " +
+        "ALL ROWS PER MATCH WITH UNMATCHED ROWS PARTITION BY k " +
+        "ORDER BY id TYPE t DEFINE a AS A; b AS B; c AS C")
     for (_ <- 0 until 2000) {
       val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
       rnd.nextInt(4) match {
