@@ -1004,6 +1004,76 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** SQL:2016 FIRST/LAST logical offsets (`FIRST(x, k)` = the (k+1)-th
+    * bound event from the start, `LAST(x, k)` from the end; NULL when
+    * the binding is shorter) over the funnel, on BOTH evaluation tiers
+    * and a SUBSET union target: `FIRST(c.value, 1)` (attribute tier —
+    * the target ordinal is computed positionally BEFORE the explode and
+    * matched in the aggregation, so the offset costs no extra join),
+    * `LAST(c, 1)` (positional tier — `get` from the end), and
+    * `FIRST(u, 1)` / `LAST(u.value, 1)` over `SUBSET u = (s, p)` (the
+    * union binding merged in stream order). The 1-click arm is shorter
+    * than the offset → NULL, the oracle's LEFT-join arm.
+    */
+  val cepSqlMeasuresOffsetStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_clicks, " +
+        "FIRST(c.value, 1) AS c2_value, LAST(c, 1) AS c_pen_id, " +
+        "FIRST(u, 1) AS u2_id, LAST(u.value, 1) AS u_pen_value " +
+        "SUBSET u = (s, p) " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlMeasuresOffset(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlMeasuresOffsetStatement)
+      .orderBy("user_id", "s_id", "n_clicks")
+
+  val cepSqlMeasuresOffsetSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT m.user_id, m.s_id,
+      |  CAST(CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END AS BIGINT)
+      |    AS n_clicks,
+      |  e2.v AS c2_value,
+      |  CASE WHEN m.c2_seq IS NULL THEN NULL ELSE e1.event_id END
+      |    AS c_pen_id,
+      |  ep.event_id AS u2_id,
+      |  es.v AS u_pen_value
+      |FROM m
+      |JOIN seqd es ON es.user_id = m.user_id AND es.seq = m.s_seq
+      |JOIN seqd e1 ON e1.user_id = m.user_id AND e1.seq = m.c1_seq
+      |LEFT JOIN seqd e2 ON e2.user_id = m.user_id AND e2.seq = m.c2_seq
+      |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** `ALL ROWS PER MATCH` (`CepMeasures.allRows`): the other
     * MATCH_RECOGNIZE output shape — ONE ROW PER BOUND EVENT with the
     * per-key `match_no` sequence, the `classifier` (which pattern name
@@ -6299,6 +6369,7 @@ object Queries {
     "cep_sql_funnel" -> cepSqlFunnel _,
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnel _,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
+    "cep_sql_measures_offset" -> cepSqlMeasuresOffset _,
     "cep_sql_all_rows" -> cepSqlAllRows _,
     "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
     "cep_sql_unmatched" -> cepSqlUnmatched _,
@@ -6457,6 +6528,7 @@ object Queries {
     "cep_sql_funnel" -> cepSqlFunnelSql,
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnelSql,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
+    "cep_sql_measures_offset" -> cepSqlMeasuresOffsetSql,
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
     "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,

@@ -100,6 +100,14 @@ object CepMeasures {
     * FLOORED quotient of sum by count (DuckDB's `//`), computed without
     * a double detour.
     *
+    * `offset` is SQL:2016's optional second argument to FIRST/LAST:
+    * `FIRST(a.v, k)` reads the (k+1)-th bound event from the start,
+    * `LAST(a.v, k)` the (k+1)-th from the end — NULL when the binding
+    * is shorter (aggregate-over-missing). ONE ROW PER MATCH and the
+    * streaming fold only; `ALL ROWS PER MATCH` rejects a non-zero
+    * offset (its RUNNING `k-th from the end so far` has no
+    * window-function form — a documented deviation).
+    *
     * `isFinal` is the SQL:2016 `FINAL` modifier and only matters in
     * `ALL ROWS PER MATCH`: a FINAL measure shows the aggregate over the
     * WHOLE match on every row, where the default (`RUNNING`) shows the
@@ -107,7 +115,7 @@ object CepMeasures {
     * measure is final by definition and the modifier is a no-op.
     */
   final case class Measure(fn: Fn, name: String, attr: Option[String],
-      alias: String, isFinal: Boolean = false) {
+      alias: String, isFinal: Boolean = false, offset: Int = 0) {
     fn match {
       case Fn.Count => require(attr.isEmpty,
         s"MEASURES: COUNT($name) takes no attribute")
@@ -122,6 +130,9 @@ object CepMeasures {
     }
     if (!Fn.isNullary(fn)) require(name.nonEmpty,
       s"MEASURES: ${fn.sqlName} needs a pattern (or SUBSET) name")
+    require(offset >= 0, s"MEASURES: negative offset $offset")
+    if (offset != 0) require(fn == Fn.First || fn == Fn.Last,
+      s"MEASURES: only FIRST/LAST take an offset (${fn.sqlName})")
   }
 
   /** Nullary measure constructors. */
@@ -198,16 +209,22 @@ object CepMeasures {
       val c = col(members.head)
       m.fn match {
         case Fn.Count => size(c).cast(LongType)
-        case Fn.First => get(c, lit(0))
-        case Fn.Last  => get(c, size(c) - 1)
+        // arrays ascend in stream order; `get` is NULL out of bounds
+        // (incl. the negative index a too-large LAST offset produces) —
+        // exactly measure-over-missing
+        case Fn.First => get(c, lit(m.offset))
+        case Fn.Last  => get(c, size(c) - 1 - m.offset)
         case other => throw new IllegalStateException(
           s"${other.sqlName} is attribute-only") // unreachable (ctor check)
       }
     } else m.fn match {
       case Fn.Count =>
         members.map(n => size(col(n)).cast(LongType)).reduce(_ + _)
-      case Fn.First => array_min(concat(members.map(col): _*))
-      case Fn.Last  => array_max(concat(members.map(col): _*))
+      case Fn.First | Fn.Last =>
+        // union binding in stream order = the members' arrays merged
+        val u = sort_array(concat(members.map(col): _*))
+        if (m.fn == Fn.First) get(u, lit(m.offset))
+        else get(u, size(u) - 1 - m.offset)
       case other => throw new IllegalStateException(
         s"${other.sqlName} is attribute-only") // unreachable (ctor check)
     }
@@ -347,6 +364,12 @@ object CepMeasures {
       val measuredNames =
         attrMeasures.flatMap(m => membersOf(m.name)).distinct.sorted
       val attrsNeeded = attrMeasures.flatMap(_.attr).distinct
+      // FIRST/LAST(name.attr, k): the TARGET ordinal is positionally
+      // computable from the binding arrays BEFORE the explode (the k-th
+      // order id from the relevant end, NULL when the binding is
+      // shorter) — carried through the aggregation like a positional
+      // measure, so the offset costs no extra join or shuffle
+      val offsetMeasures = attrMeasures.filter(_.offset != 0)
       // sentinel + LEFT join only when a measured binding can actually
       // be empty; otherwise plain explode + INNER join, which AQE can
       // flip to a broadcast of the (small) match side at runtime — a
@@ -362,7 +385,10 @@ object CepMeasures {
       val pairs = bindingPairs(measuredNames)
       val exploded = withMid.select(
         ((Seq(col("__mid")) ++ keyOut ++
-          posMeasures.map(m => posCol(m).as(s"__p_${m.alias}"))) :+
+          posMeasures.map(m => posCol(m).as(s"__p_${m.alias}")) ++
+          offsetMeasures.map(m =>
+            positional(m.copy(attr = None), membersOf(m.name))
+              .as(s"__t_${m.alias}"))) :+
           (if (mayBeEmpty) explode_outer(pairs)
            else explode(pairs)).as("__pr")): _*)
         .withColumn("__nm", col("__pr.nm"))
@@ -377,7 +403,8 @@ object CepMeasures {
       val joined =
         exploded.join(ev, cond, if (mayBeEmpty) "left" else "inner")
       val grp = col("__mid") +: (keyOut ++
-        posMeasures.map(m => col(s"__p_${m.alias}")))
+        posMeasures.map(m => col(s"__p_${m.alias}")) ++
+        offsetMeasures.map(m => col(s"__t_${m.alias}")))
       val aggs = attrMeasures.map { m =>
         val isNm = col("__nm").isin(membersOf(m.name): _*)
         val v = when(isNm, col(s"__a_${m.attr.get}"))
@@ -386,6 +413,12 @@ object CepMeasures {
           case Fn.Min   => min(v)
           case Fn.Max   => max(v)
           case Fn.Avg   => floorDiv(sum(v), count(v))
+          // an offset FIRST/LAST reads exactly the row whose order id is
+          // the pre-computed target (order ids are unique within a
+          // key+match, so at most one row matches; a NULL target — the
+          // binding was shorter than the offset — matches none → NULL)
+          case Fn.First | Fn.Last if m.offset != 0 =>
+            min(when(col("__ord") === col(s"__t_${m.alias}"), v))
           // rows whose ordering expression is NULL (other names, the
           // sentinel) are ignored by min_by/max_by
           case Fn.First => min_by(v, when(isNm, col("__ord")))
@@ -427,6 +460,12 @@ object CepMeasures {
       withUnmatched: Boolean = false): DataFrame = {
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val reserved = Set("match_no", "classifier", spec.orderCol)
+    // RUNNING `LAST(x, k)` is "k-th from the end OF THE ROWS SO FAR" — a
+    // per-row re-read with no window-function form; documented deviation
+    measures.foreach(m => require(m.offset == 0,
+      s"ALL ROWS PER MATCH: ${m.fn.sqlName}(${m.name}" +
+        s"${m.attr.fold("")("." + _)}, ${m.offset}) — FIRST/LAST " +
+        "offsets are ONE ROW PER MATCH only"))
     val names = validate(query, spec, measures, reserved, subsets)
     excluded.foreach(n => require(names.contains(n),
       s"exclusion: '$n' is not a pattern name " +
@@ -573,17 +612,21 @@ object CepMeasures {
         members.flatMap(n => byName.getOrElse(n, Vector.empty))
           .sortBy(_(orderName))
     }
+    // FIRST(_, k) reads index k, LAST(_, k) index len-1-k; `lift` is
+    // None out of range — measure-over-missing, matching the batch tier
+    def firstAt: Option[Event] = binding.lift(m.offset)
+    def lastAt: Option[Event] = binding.lift(binding.length - 1 - m.offset)
     m.attr match {
       case None => m.fn match {
         case Fn.Count => Some(binding.length.toLong)
-        case Fn.First => binding.headOption.map(_(orderName))
-        case Fn.Last  => binding.lastOption.map(_(orderName))
+        case Fn.First => firstAt.map(_(orderName))
+        case Fn.Last  => lastAt.map(_(orderName))
         case other => throw new IllegalStateException(
           s"${other.sqlName} is attribute-only") // unreachable (ctor)
       }
       case Some(a) => m.fn match {
-        case Fn.First => binding.headOption.flatMap(_.get(a))
-        case Fn.Last  => binding.lastOption.flatMap(_.get(a))
+        case Fn.First => firstAt.flatMap(_.get(a))
+        case Fn.Last  => lastAt.flatMap(_.get(a))
         case _ =>
           val vals = binding.flatMap(_.get(a))
           if (vals.isEmpty) None

@@ -37,7 +37,13 @@ package graft.cep
   *           [PARTITION BY col] [ORDER BY col] [TYPE col]
   *           DEFINE def (';' def)*
   *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
-  * meas   := [RUNNING | FINAL] FN '(' name ['.' attr] ')' AS alias
+  * meas   := [RUNNING | FINAL] FN '(' name ['.' attr] [',' k] ')'
+  *           AS alias   (the `,k` logical offset is SQL:2016's optional
+  *           second argument to FIRST/LAST: FIRST(a.v, k) reads the
+  *           (k+1)-th bound event from the start, LAST(a.v, k) from the
+  *           end; NULL when the binding is shorter. ONE ROW PER MATCH
+  *           and streaming only — ALL ROWS PER MATCH rejects a non-zero
+  *           offset, a documented deviation)
   *         | [RUNNING | FINAL] 'CLASSIFIER()' AS alias   (the last bound
   *           event's pattern name — under an alternation, which branch
   *           matched; STRING-typed; FINAL in ALL ROWS = last row's)
@@ -708,7 +714,7 @@ object CepSql {
   }
 
   private val MeasureRe =
-    """^(?:(RUNNING|FINAL)\s+)?([A-Z]+)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    """^(?:(RUNNING|FINAL)\s+)?([A-Z]+)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(?:,\s*(\d+)\s*)?\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
 
   /** SQL:2016 nullary match-level measures: `CLASSIFIER()` (the last
     * bound event's pattern name — "which branch matched" under an
@@ -717,6 +723,25 @@ object CepSql {
     */
   private val NullaryMeasureRe =
     """^(?:(RUNNING|FINAL)\s+)?(CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+
+  /** Split at commas OUTSIDE parentheses — the item separator of the
+    * MEASURES and SUBSET sections, whose items carry nested commas
+    * (`FIRST(a.v, 2)`, `u = (a, b)`).
+    */
+  private def splitTopLevelCommas(text: String): Vector[String] = {
+    val items = Vector.newBuilder[String]
+    var depth = 0
+    var start = 0
+    for (i <- 0 until text.length) text(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 =>
+        items += text.substring(start, i); start = i + 1
+      case _ => ()
+    }
+    items += text.substring(start)
+    items.result()
+  }
 
   /** SQL:2016 `SUBSET u = (a, b), u2 = (c, d)` — union pattern
     * variables for MEASURES. Items split at top-level commas (commas
@@ -730,18 +755,7 @@ object CepSql {
         s"CEP SQL SUBSET: bad $what '${t}'")
       t
     }
-    val items = Vector.newBuilder[String]
-    var depth = 0
-    var start = 0
-    for (i <- 0 until text.length) text(i) match {
-      case '(' => depth += 1
-      case ')' => depth -= 1
-      case ',' if depth == 0 =>
-        items += text.substring(start, i); start = i + 1
-      case _ => ()
-    }
-    items += text.substring(start)
-    val out = items.result().map { item =>
+    val out = splitTopLevelCommas(text).map { item =>
       val eq = item.indexOf('=')
       require(eq > 0,
         s"CEP SQL SUBSET: expected 'u = (a, b)', got '${item.trim}'")
@@ -767,13 +781,18 @@ object CepSql {
       case NullaryMeasureRe(sem, fn, alias) =>
         CepMeasures.Measure(CepMeasures.Fn.fromName(fn), "", None, alias,
           isFinal = sem == "FINAL")
-      case MeasureRe(sem, fn, name, attr, alias) =>
+      case MeasureRe(sem, fn, name, attr, off, alias) =>
+        // \d+ can still overflow Int — fail with the parser's voice
+        val offset = Option(off).fold(0)(o =>
+          try o.toInt catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"CEP SQL MEASURES: offset '$o' out of range") })
         CepMeasures.Measure(CepMeasures.Fn.fromName(fn), name,
-          Option(attr), alias, isFinal = sem == "FINAL")
+          Option(attr), alias, isFinal = sem == "FINAL", offset = offset)
       case t => throw new IllegalArgumentException(
-        "CEP SQL MEASURES: expected '[RUNNING|FINAL] FN(name[.attr]) " +
-          "AS alias' (or 'CLASSIFIER() / MATCH_NUMBER() AS alias'), " +
-          s"got '$t'")
+        "CEP SQL MEASURES: expected '[RUNNING|FINAL] FN(name[.attr]" +
+          "[, offset]) AS alias' (or 'CLASSIFIER() / MATCH_NUMBER() AS " +
+          s"alias'), got '$t'")
     }
 
   def parseStatement(sql: String,
@@ -844,8 +863,8 @@ object CepSql {
           kw match {
             case "MEASURES" =>
               require(measures.isEmpty, "CEP SQL: duplicate MEASURES section")
-              // measure items carry no nested commas (FN(name[.attr]))
-              measures = section.split(',').toVector.map(parseMeasure)
+              // top-level commas only: FIRST(a.v, 2) nests one
+              measures = splitTopLevelCommas(section).map(parseMeasure)
               require(measures.nonEmpty, "CEP SQL: empty MEASURES section")
             case "SUBSET" =>
               require(subsets.isEmpty, "CEP SQL: duplicate SUBSET section")
@@ -1232,7 +1251,8 @@ object CepSql {
       if (measures.isEmpty) ""
       else "\nMEASURES " + measures.map(m =>
         (if (m.isFinal) "FINAL " else "") +
-          s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}) " +
+          s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}" +
+          (if (m.offset != 0) s", ${m.offset}" else "") + ") " +
           s"AS ${m.alias}").mkString(", ") + "\n"
     val subS =
       if (subsets.isEmpty) ""

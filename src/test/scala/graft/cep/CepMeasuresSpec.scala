@@ -100,7 +100,8 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = CepSql.parseStatement(
       "PATTERN (s -> c{1,2}~ -> p) " +
         "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_c, SUM(c.v) AS sum_c, " +
-        "LAST(c.v) AS last_c, LAST(p) AS p_id " +
+        "LAST(c.v) AS last_c, LAST(p) AS p_id, FIRST(c.v, 1) AS c2_v, " +
+        "LAST(c, 1) AS c_pen " +
         "DEFINE s AS S; c AS C; p AS P WITHIN 6", schema)
     val rnd = new scala.util.Random(20260814L)
     for (trial <- 0 until 20) {
@@ -111,13 +112,18 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
           rnd.nextInt(10).toLong)
       }
       val df = eventsDf(evs: _*)
+      def opt(r: Row, f: String): Option[Long] = {
+        val i = r.fieldIndex(f)
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      }
       val got = CepMeasures.run(df, st, spec)
         .collect().map(r => (r.getLong(0),
           r.getLong(r.fieldIndex("s_id")), r.getLong(r.fieldIndex("n_c")),
           r.getLong(r.fieldIndex("sum_c")),
           r.getLong(r.fieldIndex("last_c")),
-          r.getLong(r.fieldIndex("p_id"))))
-        .toVector.sorted
+          r.getLong(r.fieldIndex("p_id")),
+          opt(r, "c2_v"), opt(r, "c_pen")))
+        .toVector.sortBy(_.toString)
       // independent model: run the pure executor per key, compute the
       // measures from the bound events directly
       val byKey = evs.groupBy(_._1)
@@ -130,9 +136,11 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
           val vOf = kevs.map(e => e._2 -> e._4).toMap
           (k, mm("s").head("id"), cs.length.toLong,
             cs.map(e => vOf(e("id"))).sum, vOf(cs.last("id")),
-            mm("p").head("id"))
+            mm("p").head("id"),
+            cs.lift(1).map(e => vOf(e("id"))),          // FIRST(c.v, 1)
+            cs.lift(cs.length - 2).map(_("id")))        // LAST(c, 1)
         }
-      }.sorted
+      }.sortBy(_.toString)
       assert(got == want, s"trial $trial diverged")
     }
   }
@@ -195,6 +203,9 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     bad("PATTERN ((a)+:g) MEASURES COUNT(g) AS x " +
       "DEFINE a AS S; g AS GROUP", "GROUP label")
     bad("PATTERN (a) MEASURES COUNT(a) x DEFINE a AS S", "expected")
+    bad("PATTERN (a) MEASURES SUM(a.v, 1) AS x DEFINE a AS S",
+      "only FIRST/LAST take an offset")
+    bad("PATTERN (a) MEASURES FIRST(a, -1) AS x DEFINE a AS S", "expected")
     // parse (the CepQuery-only surface) rejects MEASURES loudly
     val e = intercept[IllegalArgumentException] {
       CepSql.parse("PATTERN (a) MEASURES COUNT(a) AS n DEFINE a AS S",
@@ -231,10 +242,59 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("statement render round-trips measures") {
     val st = CepSql.parseStatement(
       "PATTERN (s -> c{1,2} -> p) " +
-        "MEASURES FIRST(s) AS s_id, SUM(c.v) AS sum_c, COUNT(c) AS n_c " +
+        "MEASURES FIRST(s) AS s_id, SUM(c.v) AS sum_c, COUNT(c) AS n_c, " +
+        "FIRST(c.v, 2) AS c3_v, LAST(c, 1) AS c_pen " +
         "DEFINE s AS S; c AS C; p AS P WITHIN 8", schema)
+    assert(st.measures.map(_.offset) == Vector(0, 0, 0, 2, 1))
     val again = CepSql.parseStatement(CepSql.render(st), schema)
     assert(again == st)
+  }
+
+  test("FIRST/LAST offsets: (k+1)-th bound event from either end, NULL " +
+    "when the binding is shorter — positional, attribute, and SUBSET") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{3,3} -> p) " +
+        "MEASURES FIRST(c.v, 1) AS c2_v, LAST(c.v, 2) AS c_last3_v, " +
+        "FIRST(c, 2) AS c3_id, LAST(c.v, 5) AS c_over, " +
+        "FIRST(u, 1) AS u2_id, LAST(u.v, 1) AS u_pen_v " +
+        "SUBSET u = (s, p) " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    // one match: s=[1], c=[2,3,4] (v 7,4,6), p=[5] (v 9); u = [1,5]
+    val df = eventsDf(
+      (1L, 1L, "S", 0L), (1L, 2L, "C", 7L), (1L, 3L, "C", 4L),
+      (1L, 4L, "C", 6L), (1L, 5L, "P", 9L))
+    val rows = CepMeasures.run(df, st, spec).collect().toVector
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("c2_v")) == 4L)      // 2nd click's v
+    assert(r.getLong(r.fieldIndex("c_last3_v")) == 7L) // 3rd-from-end = 1st
+    assert(r.getLong(r.fieldIndex("c3_id")) == 4L)     // 3rd click's ordinal
+    assert(r.isNullAt(r.fieldIndex("c_over")))         // offset 5 > |c|-1
+    assert(r.getLong(r.fieldIndex("u2_id")) == 5L)     // union [1,5], 2nd
+    assert(r.getLong(r.fieldIndex("u_pen_v")) == 0L)   // 2nd-from-end = s's v
+    // the streaming fold agrees measure-for-measure
+    val byName = Map(
+      "s" -> Vector(Event("S", Vector("id" -> 1L, "v" -> 0L))),
+      "c" -> Vector(
+        Event("C", Vector("id" -> 2L, "v" -> 7L)),
+        Event("C", Vector("id" -> 3L, "v" -> 4L)),
+        Event("C", Vector("id" -> 4L, "v" -> 6L))),
+      "p" -> Vector(Event("P", Vector("id" -> 5L, "v" -> 9L))))
+    val folded = st.measures.map(m =>
+      CepMeasures.evalMeasure(m, byName, "id", st.subsetMap))
+    assert(folded == Vector(Some(4L), Some(7L), Some(4L), None,
+      Some(5L), Some(0L)))
+  }
+
+  test("ALL ROWS PER MATCH rejects a non-zero FIRST/LAST offset") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> p) MEASURES FIRST(s.v, 1) AS x " +
+        "ALL ROWS PER MATCH DEFINE s AS S; p AS P", schema)
+    val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "P", 1L))
+    val e = intercept[IllegalArgumentException] {
+      CepMeasures.run(df, st, spec)
+    }
+    assert(e.getMessage.contains("ONE ROW PER MATCH only"))
   }
 
   test("FINAL vs RUNNING measure semantics in ALL ROWS PER MATCH") {

@@ -121,7 +121,14 @@ class CepSqlFuzzSpec extends AnyFunSuite {
                  CepMeasures.Fn.Max | CepMeasures.Fn.Avg => Some("v")
             case _ => if (rnd.nextBoolean()) Some("w") else None
           }
-          CepMeasures.Measure(fn, nm, attr, s"m$i", rnd.nextBoolean())
+          // FIRST/LAST may carry a logical offset (SQL:2016 second arg)
+          val off = fn match {
+            case CepMeasures.Fn.First | CepMeasures.Fn.Last =>
+              rnd.nextInt(3)
+            case _ => 0
+          }
+          CepMeasures.Measure(fn, nm, attr, s"m$i", rnd.nextBoolean(),
+            offset = off)
         }
       }
       val st = CepSql.CepSqlStatement(query, measures,

@@ -126,6 +126,19 @@ class PermuteSpec extends AnyFunSuite {
         "{'s': [e(1,3,0)], 'x': [e(3,1,0)], 'y': [e(4,2,0)]}]")
   }
 
+  test("PERMUTE under a group quantifier: each iteration independently " +
+    "picks an ordering") {
+    // (PERMUTE(x, y)){2,2}: two back-to-back pairs, each in either order
+    val q = CepQuery(
+      GpatTimes(Permute(Vector(spat("x", "e", "name == 1"),
+        spat("y", "e", "name == 2"))), 2, 2),
+      schemaINP)
+    // x y | y x — first iteration forward, second reversed
+    val out = runQuery(q, eventsOf((1, 0), (2, 0), (2, 0), (1, 0)))
+    assert(streamRepr(out) ==
+      "[{'x': [e(1,1,0), e(4,1,0)], 'y': [e(2,2,0), e(3,2,0)]}]")
+  }
+
   // ------------------------------------------- expansion-law differential
 
   /** Canonical match repr with SORTED keys: the lattice projects in unit

@@ -44,7 +44,10 @@ class StreamingCepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     "PATTERN (s -> c{1,2} -> p) " +
       "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_c, SUM(c.value) AS c_sum, " +
       "MIN(c.value) AS c_min, AVG(c.value) AS c_avg, " +
-      "LAST(c.value) AS c_last, LAST(p) AS p_id " +
+      "LAST(c.value) AS c_last, LAST(p) AS p_id, " +
+      // offset FIRST/LAST: NULL on the c{1} fork (binding shorter than
+      // the offset), the 2nd/2nd-last click on the c{1,2} one
+      "FIRST(c.value, 1) AS c_2nd, LAST(c, 1) AS c_pen " +
       "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8", schema)
 
   private def rowKey(r: Row): Vector[Option[Long]] =
@@ -150,10 +153,14 @@ class StreamingCepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
         st.measures.map(m => StructField(m.alias, LongType)))
     val out = spark.read.schema(outSchema).json(outDir)
       .collect().map(rowKey).toSet
-    def v(xs: Long*): Vector[Option[Long]] = xs.map(Some(_)).toVector
+    def v(xs: Option[Long]*): Vector[Option[Long]] = xs.toVector
+    def l(x: Long): Option[Long] = Some(x)
+    val no = Option.empty[Long]
     assert(out == Set(
-      // (user, s_id, n_c, c_sum, c_min, c_avg, c_last, p_id)
-      v(1, 1, 1, 7, 7, 7, 7, 4),
-      v(1, 1, 2, 11, 4, 5, 4, 4)))
+      // (user, s_id, n_c, c_sum, c_min, c_avg, c_last, p_id, c_2nd, c_pen)
+      // c=[2]: the offset measures fall off the 1-click binding
+      v(l(1), l(1), l(1), l(7), l(7), l(7), l(7), l(4), no, no),
+      // c=[2,3] (v 7,4): 2nd click's value 4; 2nd-from-last ordinal 2
+      v(l(1), l(1), l(2), l(11), l(4), l(5), l(4), l(4), l(4), l(2))))
   }
 }
