@@ -1074,6 +1074,74 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Measure EXPRESSIONS (SQL:2016 <measure expression>, integer
+    * fragment — `CepMeasures.ExprMeasure`): long arithmetic over measure
+    * atoms, e.g. `LAST(c.value) - FIRST(c.value)`. Each expression
+    * lowers to hidden atoms computed in the SAME single
+    * explode→join→aggregate pass as plain measures (no extra join, no
+    * extra shuffle) and re-combines in one final narrow projection; a
+    * NULL atom poisons its expression, exactly SQL arithmetic. The
+    * oracle recomputes every expression from the funnel CTEs' bound
+    * positions in closed form.
+    */
+  val cepSqlMeasuresExprStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES FIRST(s) AS s_id, " +
+        "LAST(c.value) - FIRST(c.value) AS c_spread, " +
+        "100 * COUNT(c) + COUNT(p) AS n_code, " +
+        "SUM(c.value) - MIN(c.value) AS above_min, " +
+        "FIRST(p.value) * (COUNT(c) + 1) AS p_scaled " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlMeasuresExpr(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlMeasuresExprStatement)
+      .orderBy("user_id", "s_id", "n_code")
+
+  val cepSqlMeasuresExprSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT m.user_id, m.s_id,
+      |  COALESCE(e2.v, e1.v) - e1.v AS c_spread,
+      |  CAST(100 * (CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END) + 1
+      |    AS BIGINT) AS n_code,
+      |  (e1.v + COALESCE(e2.v, 0))
+      |    - LEAST(e1.v, COALESCE(e2.v, e1.v)) AS above_min,
+      |  ep.v * (CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END + 1)
+      |    AS p_scaled
+      |FROM m
+      |JOIN seqd e1 ON e1.user_id = m.user_id AND e1.seq = m.c1_seq
+      |LEFT JOIN seqd e2 ON e2.user_id = m.user_id AND e2.seq = m.c2_seq
+      |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
+      |ORDER BY 1, 2, 4""".stripMargin
+
   /** `ALL ROWS PER MATCH` (`CepMeasures.allRows`): the other
     * MATCH_RECOGNIZE output shape — ONE ROW PER BOUND EVENT with the
     * per-key `match_no` sequence, the `classifier` (which pattern name
@@ -6370,6 +6438,7 @@ object Queries {
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnel _,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffset _,
+    "cep_sql_measures_expr" -> cepSqlMeasuresExpr _,
     "cep_sql_all_rows" -> cepSqlAllRows _,
     "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
     "cep_sql_unmatched" -> cepSqlUnmatched _,
@@ -6529,6 +6598,7 @@ object Queries {
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnelSql,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffsetSql,
+    "cep_sql_measures_expr" -> cepSqlMeasuresExprSql,
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
     "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,

@@ -92,6 +92,23 @@ object CepMeasures {
           all.map(_.sqlName).mkString(", ") + ")"))
   }
 
+  /** One MEASURES item: a plain [[Measure]] atom (`SUM(a.v) AS x`) or an
+    * [[ExprMeasure]] value expression combining atoms with integer
+    * arithmetic (`LAST(a.v) - FIRST(a.v) AS spread` — SQL:2016's
+    * <measure expression>, integer fragment).
+    */
+  sealed trait MeasureItem extends Serializable {
+    def alias: String
+    def isFinal: Boolean
+  }
+  object MeasureItem {
+    /** Every atom the item evaluates — itself for a plain measure. */
+    def atomsOf(i: MeasureItem): Vector[Measure] = i match {
+      case m: Measure     => Vector(m)
+      case e: ExprMeasure => MExpr.atoms(e.expr)
+    }
+  }
+
   /** One measure: `fn(name)` (positional — `attr` empty) or
     * `fn(name.attr)` (attribute). `COUNT` is positional-only;
     * `SUM`/`MIN`/`MAX`/`AVG` need an attribute; `FIRST`/`LAST` allow
@@ -115,7 +132,8 @@ object CepMeasures {
     * measure is final by definition and the modifier is a no-op.
     */
   final case class Measure(fn: Fn, name: String, attr: Option[String],
-      alias: String, isFinal: Boolean = false, offset: Int = 0) {
+      alias: String, isFinal: Boolean = false, offset: Int = 0)
+      extends MeasureItem {
     fn match {
       case Fn.Count => require(attr.isEmpty,
         s"MEASURES: COUNT($name) takes no attribute")
@@ -141,6 +159,66 @@ object CepMeasures {
   def matchNumber(alias: String): Measure =
     Measure(Fn.MatchNo, "", None, alias)
 
+  /** A measure VALUE EXPRESSION tree — SQL:2016's <measure expression>,
+    * integer fragment: `+`/`-`/`*` over measure atoms and non-negative
+    * integer literals, e.g. `LAST(a.v) - FIRST(a.v)` or
+    * `100 * COUNT(c) + COUNT(p)`. All-long arithmetic; a NULL atom
+    * (measure-over-missing) propagates NULL through the whole
+    * expression, exactly SQL. Division is deliberately absent: the two
+    * engines the oracle gate spans disagree on integer `/` (DuckDB
+    * promotes to DOUBLE, Spark `DIV` truncates) — `AVG` covers the
+    * mean, the one division real measures need.
+    */
+  sealed trait MExpr extends Serializable
+  object MExpr {
+    /** A leaf `fn(name[.attr][, k])`. The wrapped [[Measure]] carries no
+      * alias (the enclosing [[ExprMeasure]] names the column) and no
+      * FINAL flag (the item's applies to every atom). `CLASSIFIER()` is
+      * STRING-typed and cannot enter arithmetic; `MATCH_NUMBER()` can
+      * (it is a long).
+      */
+    final case class Atom(m: Measure) extends MExpr {
+      require(m.alias.isEmpty,
+        "measure-expression atoms carry no alias (the item names the " +
+          "output column)")
+      require(!m.isFinal,
+        "measure-expression atoms carry no FINAL flag (the item's " +
+          "RUNNING/FINAL applies to every atom)")
+      require(m.fn != Fn.Classifier,
+        "MEASURES: CLASSIFIER() is STRING-typed — not usable in " +
+          "measure arithmetic")
+    }
+    final case class Lit(v: Long) extends MExpr
+    final case class Add(l: MExpr, r: MExpr) extends MExpr
+    final case class Sub(l: MExpr, r: MExpr) extends MExpr
+    final case class Mul(l: MExpr, r: MExpr) extends MExpr
+
+    /** The distinct atoms of an expression, in first-occurrence order. */
+    def atoms(e: MExpr): Vector[Measure] = {
+      def walk(e: MExpr): Vector[Measure] = e match {
+        case Atom(m)   => Vector(m)
+        case Lit(_)    => Vector.empty
+        case Add(l, r) => walk(l) ++ walk(r)
+        case Sub(l, r) => walk(l) ++ walk(r)
+        case Mul(l, r) => walk(l) ++ walk(r)
+      }
+      walk(e).distinct
+    }
+  }
+
+  /** A compound measure: `expr AS alias` where `expr` combines ≥1 atom
+    * with long arithmetic. Evaluates by computing each distinct atom
+    * exactly as a plain [[Measure]] would (same tiers, same join shape —
+    * the lowering is shared) and combining the resulting columns, so an
+    * expression costs no extra pass over the match frame.
+    */
+  final case class ExprMeasure(expr: MExpr, alias: String,
+      isFinal: Boolean = false) extends MeasureItem {
+    require(MExpr.atoms(expr).nonEmpty,
+      s"MEASURES: expression '$alias' references no measure atom — a " +
+        "constant column is a SELECT concern, not a measure")
+  }
+
   /** Exact integer floor-division `sum // cnt` (DuckDB `//` floors where
     * Spark `DIV` truncates toward zero): `pmod` is non-negative, so
     * subtracting it before the division makes the quotient exact and
@@ -152,10 +230,12 @@ object CepMeasures {
 
   /** Shared validation for both output modes. `reserved` = output-shape
     * column names the mode itself emits. `subsets` = SQL:2016 SUBSET
-    * union variables (subset name → member pattern names).
+    * union variables (subset name → member pattern names). Expression
+    * items validate every atom like a plain measure; alias rules apply
+    * at the item level.
     */
   private[cep] def validate(query: CepQuery, spec: CepSpec,
-      measures: Vector[Measure], reserved: Set[String],
+      measures: Vector[MeasureItem], reserved: Set[String],
       subsets: Map[String, Vector[String]] = Map.empty): Vector[String] = {
     val names = SparkCep.patternNames(query.patseq)
     subsets.foreach { case (u, ms) =>
@@ -169,33 +249,75 @@ object CepMeasures {
         s"SUBSET: '$u' member '$n' is not a pattern name " +
           s"(have ${names.mkString(", ")})"))
     }
-    measures.foreach { m =>
-      if (!Fn.isNullary(m.fn))
-        require(names.contains(m.name) || subsets.contains(m.name),
-          s"MEASURES: '${m.name}' is not a pattern or SUBSET name " +
-            s"(have ${(names ++ subsets.keys).mkString(", ")})")
-      m.attr.foreach(a => require(
-        a == spec.orderCol || spec.attrCols.contains(a),
-        s"MEASURES: attribute '$a' is not in the CEP spec " +
-          s"(order '${spec.orderCol}', attrs ${spec.attrCols.mkString(", ")})"))
+    measures.foreach { item =>
+      MeasureItem.atomsOf(item).foreach { m =>
+        if (!Fn.isNullary(m.fn))
+          require(names.contains(m.name) || subsets.contains(m.name),
+            s"MEASURES: '${m.name}' is not a pattern or SUBSET name " +
+              s"(have ${(names ++ subsets.keys).mkString(", ")})")
+        m.attr.foreach(a => require(
+          a == spec.orderCol || spec.attrCols.contains(a),
+          s"MEASURES: attribute '$a' is not in the CEP spec " +
+            s"(order '${spec.orderCol}', attrs " +
+            s"${spec.attrCols.mkString(", ")})"))
+      }
       // an alias that shadows a frame column (a pattern name, the key,
       // an internal __ name, or a mode output column) would survive to a
       // deep ambiguous-reference AnalysisException — reject loudly here
-      require(!names.contains(m.alias),
-        s"MEASURES: alias '${m.alias}' collides with a pattern name")
-      require(!subsets.contains(m.alias),
-        s"MEASURES: alias '${m.alias}' collides with a SUBSET name")
-      spec.keyCol.foreach(k => require(m.alias != k,
-        s"MEASURES: alias '${m.alias}' collides with the key column"))
-      require(!m.alias.startsWith("__"),
-        s"MEASURES: alias '${m.alias}' uses the reserved '__' prefix")
-      require(!reserved.contains(m.alias),
-        s"MEASURES: alias '${m.alias}' collides with an output column " +
+      require(!names.contains(item.alias),
+        s"MEASURES: alias '${item.alias}' collides with a pattern name")
+      require(!subsets.contains(item.alias),
+        s"MEASURES: alias '${item.alias}' collides with a SUBSET name")
+      spec.keyCol.foreach(k => require(item.alias != k,
+        s"MEASURES: alias '${item.alias}' collides with the key column"))
+      require(!item.alias.startsWith("__"),
+        s"MEASURES: alias '${item.alias}' uses the reserved '__' prefix")
+      require(!reserved.contains(item.alias),
+        s"MEASURES: alias '${item.alias}' collides with an output column " +
           s"of this mode (${reserved.toVector.sorted.mkString(", ")})")
     }
     measures.groupBy(_.alias).foreach { case (a, ms) =>
       require(ms.length == 1, s"MEASURES: duplicate alias '$a'") }
     names
+  }
+
+  /** Lower measure items to a flat ATOM list plus one output column per
+    * item: a plain [[Measure]] passes through under its own alias; an
+    * [[ExprMeasure]]'s distinct atoms get hidden `__x<i>` aliases
+    * (deduplicated ACROSS items, keyed by (atom, isFinal) since the
+    * item's RUNNING/FINAL applies to each of its atoms) and the output
+    * column re-combines them with long arithmetic — NULL propagates
+    * through the whole expression like SQL. The atom pipeline below
+    * (`project`'s single join / `allRows`' windows) computes the lowered
+    * list exactly as if the user had declared each atom, so an
+    * expression costs no extra pass.
+    */
+  private def lowerItems(items: Vector[MeasureItem])
+      : (Vector[Measure], Vector[Column]) = {
+    val hidden = scala.collection.mutable.LinkedHashMap
+      .empty[Measure, String]
+    items.foreach {
+      case e: ExprMeasure =>
+        MExpr.atoms(e.expr).foreach { a =>
+          val k = a.copy(isFinal = e.isFinal)
+          if (!hidden.contains(k)) hidden(k) = s"__x${hidden.size}"
+        }
+      case _ => ()
+    }
+    def exprCol(e: MExpr, isFinal: Boolean): Column = e match {
+      case MExpr.Atom(m)   => col(hidden(m.copy(isFinal = isFinal)))
+      case MExpr.Lit(v)    => lit(v)
+      case MExpr.Add(l, r) => exprCol(l, isFinal) + exprCol(r, isFinal)
+      case MExpr.Sub(l, r) => exprCol(l, isFinal) - exprCol(r, isFinal)
+      case MExpr.Mul(l, r) => exprCol(l, isFinal) * exprCol(r, isFinal)
+    }
+    val atoms = items.collect { case m: Measure => m } ++
+      hidden.map { case (m, al) => m.copy(alias = al) }
+    val outCols = items.map {
+      case m: Measure     => col(m.alias)
+      case e: ExprMeasure => exprCol(e.expr, e.isFinal).as(e.alias)
+    }
+    (atoms, outCols)
   }
 
   /** Positional measure over the binding arrays. A multi-member SUBSET
@@ -324,19 +446,35 @@ object CepMeasures {
 
   /** Project `measures` over a match frame produced by the `SparkCep`
     * operators from `events` under `spec`. Output: the key column (when
-    * keyed) followed by one column per measure, in declared order — ONE
-    * ROW PER MATCH.
+    * keyed) followed by one column per measure item, in declared order —
+    * ONE ROW PER MATCH. Expression items ([[ExprMeasure]]) lower to
+    * hidden atoms computed in the SAME single pass, then re-combine in
+    * one final narrow projection.
     */
   def project(matches: DataFrame, events: DataFrame, query: CepQuery,
-      spec: CepSpec, measures: Vector[Measure],
+      spec: CepSpec, measures: Vector[MeasureItem],
       subsets: Map[String, Vector[String]] = Map.empty): DataFrame = {
     require(measures.nonEmpty, "MEASURES: empty measure list")
     val names = validate(query, spec, measures, Set.empty, subsets)
+    val keyName = spec.keyCol.filter(matches.columns.contains)
+    val keyOut = keyName.map(col).toSeq
+    val (atoms, outCols) = lowerItems(measures)
+    projectAtoms(matches, events, query, spec, atoms, subsets, names,
+      keyName, keyOut)
+      .select(keyOut ++ outCols: _*)
+  }
+
+  /** The atom pipeline behind [[project]]: every measure here is a plain
+    * [[Measure]] (user-declared or a lowered expression atom under a
+    * hidden `__x` alias), already validated.
+    */
+  private def projectAtoms(matches: DataFrame, events: DataFrame,
+      query: CepQuery, spec: CepSpec, measures: Vector[Measure],
+      subsets: Map[String, Vector[String]], names: Vector[String],
+      keyName: Option[String], keyOut: Seq[Column]): DataFrame = {
     def membersOf(n: String): Vector[String] =
       subsets.getOrElse(n, Vector(n))
 
-    val keyName = spec.keyCol.filter(matches.columns.contains)
-    val keyOut = keyName.map(col).toSeq
     // MATCH_NUMBER() stamps the frame once, BEFORE any branch below —
     // a deterministic per-key window over the binding arrays (one pass
     // over the small match frame), carried through explode/aggregate
@@ -454,7 +592,7 @@ object CepMeasures {
     * not O(partition).
     */
   def allRows(matches: DataFrame, events: DataFrame, query: CepQuery,
-      spec: CepSpec, measures: Vector[Measure],
+      spec: CepSpec, measures: Vector[MeasureItem],
       subsets: Map[String, Vector[String]] = Map.empty,
       excluded: Set[String] = Set.empty,
       withUnmatched: Boolean = false): DataFrame = {
@@ -462,7 +600,8 @@ object CepMeasures {
     val reserved = Set("match_no", "classifier", spec.orderCol)
     // RUNNING `LAST(x, k)` is "k-th from the end OF THE ROWS SO FAR" — a
     // per-row re-read with no window-function form; documented deviation
-    measures.foreach(m => require(m.offset == 0,
+    measures.flatMap(MeasureItem.atomsOf).foreach(m => require(
+      m.offset == 0,
       s"ALL ROWS PER MATCH: ${m.fn.sqlName}(${m.name}" +
         s"${m.attr.fold("")("." + _)}, ${m.offset}) — FIRST/LAST " +
         "offsets are ONE ROW PER MATCH only"))
@@ -472,6 +611,10 @@ object CepMeasures {
         s"(have ${names.mkString(", ")})"))
     def membersOf(n: String): Vector[String] =
       subsets.getOrElse(n, Vector(n))
+    // expression items lower to hidden atoms evaluated over the SAME
+    // windows (RUNNING exprs combine running atoms per row), re-combined
+    // in the final projection
+    val (atoms, outCols) = lowerItems(measures)
 
     val keyOut = keyName.map(col).toSeq
     val withNo = matches.withColumn("match_no",
@@ -483,7 +626,7 @@ object CepMeasures {
       .withColumn("__ord", col("__pr.ord"))
       .drop("__pr")
 
-    val attrMeasures = measures.filter(_.attr.isDefined)
+    val attrMeasures = atoms.filter(_.attr.isDefined)
     val joined =
       if (attrMeasures.isEmpty) exploded
       else {
@@ -508,7 +651,7 @@ object CepMeasures {
       matchW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val finalW = matchW.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val measureCols = measures.map { m =>
+    val measureCols = atoms.map { m =>
       if (m.fn == Fn.Classifier) {
         // RUNNING = the current row's classifier (the mode's own
         // column); FINAL = the match's last row's
@@ -547,6 +690,8 @@ object CepMeasures {
     val out = joined.select((keyOut :+ col("match_no") :+
       col("classifier") :+ col("__ord").as(spec.orderCol)) ++
       measureCols: _*)
+      .select((keyOut :+ col("match_no") :+ col("classifier") :+
+        col(spec.orderCol)) ++ outCols: _*)
     // SQL:2016 `{- x -}` exclusion: excluded rows are omitted from the
     // OUTPUT only — they already fed the running/final window measures
     // above, and Catalyst cannot push a classifier predicate below the
@@ -571,10 +716,12 @@ object CepMeasures {
           col(spec.orderCol).cast(LongType).as(spec.orderCol)): _*)
       val unmatchedRows = evProj.join(bound,
         keyName.toSeq :+ spec.orderCol, "left_anti")
-      val nullMeasures = measures.map { m =>
-        val tpe: DataType =
-          if (m.fn == Fn.Classifier) StringType else LongType
-        lit(null).cast(tpe).as(m.alias)
+      val nullMeasures = measures.map { item =>
+        val tpe: DataType = item match {
+          case m: Measure if m.fn == Fn.Classifier => StringType
+          case _                                   => LongType
+        }
+        lit(null).cast(tpe).as(item.alias)
       }
       val unmatchedOut = unmatchedRows.select(
         (keyOut :+ lit(null).cast(LongType).as("match_no") :+
@@ -638,6 +785,27 @@ object CepMeasures {
             case _ => throw new IllegalStateException("unreachable")
           }
       }
+    }
+  }
+
+  /** Emission-time evaluation of a measure ITEM: a plain measure folds
+    * via [[evalMeasure]]; an expression folds its atoms and combines
+    * with long arithmetic (a NULL atom poisons the whole expression,
+    * matching the batch tier's column arithmetic).
+    */
+  def evalItem(item: MeasureItem, byName: Map[String, Vector[Event]],
+      orderName: String,
+      subsets: Map[String, Vector[String]] = Map.empty): Option[Long] = {
+    def eval(e: MExpr): Option[Long] = e match {
+      case MExpr.Atom(m)   => evalMeasure(m, byName, orderName, subsets)
+      case MExpr.Lit(v)    => Some(v)
+      case MExpr.Add(l, r) => for (a <- eval(l); b <- eval(r)) yield a + b
+      case MExpr.Sub(l, r) => for (a <- eval(l); b <- eval(r)) yield a - b
+      case MExpr.Mul(l, r) => for (a <- eval(l); b <- eval(r)) yield a * b
+    }
+    item match {
+      case m: Measure     => evalMeasure(m, byName, orderName, subsets)
+      case e: ExprMeasure => eval(e.expr)
     }
   }
 

@@ -37,8 +37,20 @@ package graft.cep
   *           [PARTITION BY col] [ORDER BY col] [TYPE col]
   *           DEFINE def (';' def)*
   *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
-  * meas   := [RUNNING | FINAL] FN '(' name ['.' attr] [',' k] ')'
-  *           AS alias   (the `,k` logical offset is SQL:2016's optional
+  * meas   := [RUNNING | FINAL] mexpr AS alias
+  * mexpr  := mterm (('+' | '-') mterm)*      (SQL:2016 <measure
+  *           expression>, integer fragment: long arithmetic over
+  *           measure atoms and non-negative integer literals —
+  *           `LAST(c.v) - FIRST(c.v) AS spread`. A NULL atom
+  *           (measure-over-missing) propagates NULL through the whole
+  *           expression. No division: DuckDB promotes integer '/' to
+  *           DOUBLE where Spark DIV truncates; AVG covers the mean.
+  *           CLASSIFIER() is STRING-typed and rejected in arithmetic;
+  *           MATCH_NUMBER() participates, batch-only.)
+  * mterm  := mfact ('*' mfact)*
+  * mfact  := INT | '(' mexpr ')'
+  *         | FN '(' name ['.' attr] [',' k] ')'
+  *           (the `,k` logical offset is SQL:2016's optional
   *           second argument to FIRST/LAST: FIRST(a.v, k) reads the
   *           (k+1)-th bound event from the start, LAST(a.v, k) from the
   *           end; NULL when the binding is shorter. ONE ROW PER MATCH
@@ -578,7 +590,7 @@ object CepSql {
     * project via [[CepMeasures.project]]/[[CepMeasures.allRows]].
     */
   final case class CepSqlStatement(query: CepQuery,
-      measures: Vector[CepMeasures.Measure],
+      measures: Vector[CepMeasures.MeasureItem],
       partitionBy: Option[String] = None,
       orderBy: Option[String] = None,
       typeCol: Option[String] = None,
@@ -604,7 +616,8 @@ object CepSql {
         "CEP SQL: statement has no TYPE section — supply one (or pass " +
           "an explicit CepSpec)"))
       val free = patternRefs(query.patseq) -- patternVars(query.patseq)
-      val attrs = free ++ measures.flatMap(_.attr) ++
+      val attrs = free ++
+        measures.flatMap(CepMeasures.MeasureItem.atomsOf).flatMap(_.attr) ++
         query.withinTime.map(_.tsAttr)
       SparkCep.CepSpec(partitionBy, ord, tc, (attrs - ord).toVector.sorted)
     }
@@ -776,7 +789,7 @@ object CepSql {
     out
   }
 
-  private def parseMeasure(text: String): CepMeasures.Measure =
+  private def parseMeasure(text: String): CepMeasures.MeasureItem =
     text.trim match {
       case NullaryMeasureRe(sem, fn, alias) =>
         CepMeasures.Measure(CepMeasures.Fn.fromName(fn), "", None, alias,
@@ -789,11 +802,115 @@ object CepSql {
               s"CEP SQL MEASURES: offset '$o' out of range") })
         CepMeasures.Measure(CepMeasures.Fn.fromName(fn), name,
           Option(attr), alias, isFinal = sem == "FINAL", offset = offset)
-      case t => throw new IllegalArgumentException(
-        "CEP SQL MEASURES: expected '[RUNNING|FINAL] FN(name[.attr]" +
-          "[, offset]) AS alias' (or 'CLASSIFIER() / MATCH_NUMBER() AS " +
-          s"alias'), got '$t'")
+      case t => parseMeasureExpr(t)
     }
+
+  private val MeasureExprRe =
+    """(?s)^(?:(RUNNING|FINAL)\s+)?(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+
+  /** The general measure-item form: `[RUNNING|FINAL] expr AS alias`
+    * where `expr` is integer arithmetic over measure atoms —
+    * SQL:2016's <measure expression> (integer fragment):
+    *
+    *   expr   := term (('+' | '-') term)*      (left-associative)
+    *   term   := factor ('*' factor)*
+    *   factor := INT | '(' expr ')' | FN '(' name ['.' attr] [',' k] ')'
+    *           | 'MATCH_NUMBER()'              (CLASSIFIER() is STRING —
+    *                                            rejected in arithmetic)
+    *
+    * A bare single atom parses through the fast-path regexes above and
+    * yields a plain [[CepMeasures.Measure]]; this path produces an
+    * [[CepMeasures.ExprMeasure]] unless the expression collapses to one
+    * atom (`(FIRST(a)) AS x`), which is canonicalized back to the plain
+    * form so parse∘render is identity.
+    */
+  private def parseMeasureExpr(text: String): CepMeasures.MeasureItem = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      "CEP SQL MEASURES: expected '[RUNNING|FINAL] FN(name[.attr]" +
+        "[, offset]) AS alias', 'CLASSIFIER() / MATCH_NUMBER() AS " +
+        s"alias', or arithmetic over them — $why in '$text'")
+    val (sem, body, alias) = text match {
+      case MeasureExprRe(s, b, a) => (s, b, a)
+      case _ => fail("no 'AS alias' suffix")
+    }
+    var i = 0
+    def ws(): Unit = while (i < body.length && body(i).isWhitespace) i += 1
+    def peek: Char = if (i < body.length) body(i) else ' '
+    def eat(c: Char): Unit =
+      if (peek == c) i += 1 else fail(s"expected '$c' at offset $i")
+    def ident(): String = {
+      ws()
+      val start = i
+      while (i < body.length &&
+        (body(i).isLetterOrDigit || body(i) == '_')) i += 1
+      if (i == start || body(start).isDigit)
+        fail(s"expected an identifier at offset $start")
+      body.substring(start, i)
+    }
+    def number(): Long = {
+      ws()
+      val start = i
+      while (i < body.length && body(i).isDigit) i += 1
+      try body.substring(start, i).toLong
+      catch { case _: NumberFormatException =>
+        fail(s"integer literal out of range at offset $start") }
+    }
+    def atom(fnName: String): CepMeasures.MExpr = {
+      val fn = CepMeasures.Fn.fromName(fnName)
+      ws(); eat('(')
+      if (CepMeasures.Fn.isNullary(fn)) { ws(); eat(')')
+        CepMeasures.MExpr.Atom(CepMeasures.Measure(fn, "", None, ""))
+      } else {
+        val name = ident()
+        ws()
+        val attr = if (peek == '.') { i += 1; Some(ident()) } else None
+        ws()
+        val off = if (peek == ',') { i += 1
+          val n = number()
+          if (n > Int.MaxValue) fail("offset out of range")
+          n.toInt
+        } else 0
+        ws(); eat(')')
+        CepMeasures.MExpr.Atom(
+          CepMeasures.Measure(fn, name, attr, "", offset = off))
+      }
+    }
+    def factor(): CepMeasures.MExpr = {
+      ws()
+      if (peek == '(') { i += 1
+        val e = expr(); ws(); eat(')'); e
+      } else if (peek.isDigit) CepMeasures.MExpr.Lit(number())
+      else atom(ident())
+    }
+    def term(): CepMeasures.MExpr = {
+      var e = factor()
+      ws()
+      while (peek == '*') { i += 1; e = CepMeasures.MExpr.Mul(e, factor())
+        ws() }
+      e
+    }
+    def expr(): CepMeasures.MExpr = {
+      var e = term()
+      ws()
+      while (peek == '+' || peek == '-') {
+        val op = peek; i += 1
+        e = if (op == '+') CepMeasures.MExpr.Add(e, term())
+            else CepMeasures.MExpr.Sub(e, term())
+        ws()
+      }
+      e
+    }
+    val e = expr()
+    ws()
+    if (i != body.length) fail(s"trailing input at offset $i")
+    val isFinal = sem == "FINAL"
+    e match {
+      // a parenthesized single atom collapses to the plain measure form
+      case CepMeasures.MExpr.Atom(m) =>
+        m.copy(alias = alias, isFinal = isFinal)
+      case other => CepMeasures.ExprMeasure(other, alias, isFinal)
+    }
+  }
 
   def parseStatement(sql: String,
       schema: Vector[(String, Vector[String])]): CepSqlStatement = {
@@ -824,7 +941,7 @@ object CepSql {
     // pre-DEFINE sections: MEASURES, and the in-statement spec
     // (PARTITION BY / ORDER BY / TYPE) that lets a statement carry its
     // own key/order/type mapping instead of requiring an external CepSpec
-    var measures = Vector.empty[CepMeasures.Measure]
+    var measures = Vector.empty[CepMeasures.MeasureItem]
     var partitionBy: Option[String] = None
     var orderByCol: Option[String] = None
     var typeColOpt: Option[String] = None
@@ -1012,8 +1129,8 @@ object CepSql {
     }
     // measure targets must be event-binding DEFINEs (or SUBSETs of
     // them) with known attrs — a SUBSET attribute must exist on EVERY
-    // member's event type
-    measures.foreach { m =>
+    // member's event type. An expression item validates every atom.
+    measures.flatMap(CepMeasures.MeasureItem.atomsOf).foreach { m =>
       if (CepMeasures.Fn.isNullary(m.fn)) {
         // nullary match-level measures have no name/attr to validate
       } else {
@@ -1101,7 +1218,7 @@ object CepSql {
       st.rowsPerMatch, st.subsets, st.excluded)
 
   def render(q: CepQuery,
-      measures: Vector[CepMeasures.Measure] = Vector.empty,
+      measures: Vector[CepMeasures.MeasureItem] = Vector.empty,
       partitionBy: Option[String] = None,
       orderBy: Option[String] = None,
       typeCol: Option[String] = None,
@@ -1247,13 +1364,38 @@ object CepSql {
       case other => unit(other)
     }
     val body = topS(q.patseq)
+    def atomS(m: CepMeasures.Measure): String =
+      s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}" +
+        (if (m.offset != 0) s", ${m.offset}" else "") + ")"
+    // precedence-aware expression render: + and - at level 1, * at 2,
+    // leaves at 3. The parser is left-associative, so a LEFT child at
+    // the same level needs no parentheses but a RIGHT one does (it could
+    // not have been produced unparenthesized) — this makes parse∘render
+    // the identity on parser-producible trees.
+    def lvl(e: CepMeasures.MExpr): Int = e match {
+      case _: CepMeasures.MExpr.Add | _: CepMeasures.MExpr.Sub => 1
+      case _: CepMeasures.MExpr.Mul                            => 2
+      case _                                                   => 3
+    }
+    def measExprS(e: CepMeasures.MExpr): String = {
+      def sub(c: CepMeasures.MExpr, minLvl: Int): String =
+        if (lvl(c) < minLvl) s"(${measExprS(c)})" else measExprS(c)
+      e match {
+        case CepMeasures.MExpr.Atom(m)   => atomS(m)
+        case CepMeasures.MExpr.Lit(v)    => v.toString
+        case CepMeasures.MExpr.Add(l, r) => s"${sub(l, 1)} + ${sub(r, 2)}"
+        case CepMeasures.MExpr.Sub(l, r) => s"${sub(l, 1)} - ${sub(r, 2)}"
+        case CepMeasures.MExpr.Mul(l, r) => s"${sub(l, 2)} * ${sub(r, 3)}"
+      }
+    }
     val measS =
       if (measures.isEmpty) ""
-      else "\nMEASURES " + measures.map(m =>
-        (if (m.isFinal) "FINAL " else "") +
-          s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}" +
-          (if (m.offset != 0) s", ${m.offset}" else "") + ") " +
-          s"AS ${m.alias}").mkString(", ") + "\n"
+      else "\nMEASURES " + measures.map { item =>
+        (if (item.isFinal) "FINAL " else "") + (item match {
+          case m: CepMeasures.Measure     => atomS(m)
+          case e: CepMeasures.ExprMeasure => measExprS(e.expr)
+        }) + s" AS ${item.alias}"
+      }.mkString(", ") + "\n"
     val subS =
       if (subsets.isEmpty) ""
       else "\nSUBSET " + subsets.map { case (u, ms) =>

@@ -323,26 +323,56 @@ object StreamingCep {
           "restart (names and order are the checkpoint contract); " +
           "discard the checkpoint or restore the original set")
 
-  /** Gated feed + binding render shared by both shared streaming
-    * operators (gate semantics proven at `SparkCep.memberFeedTypes`).
+  /** A per-match output renderer for the shared operators:
+    * `(member index, key, bound events by pattern name, order attr)` →
+    * one output Row.
+    */
+  private type SharedRender =
+    (Int, Long, Map[String, Vector[Event]], String) => Row
+
+  /** Gated feed shared by the shared streaming operators (gate semantics
+    * proven at `SparkCep.memberFeedTypes`); the output shape is the
+    * renderer's affair.
     */
   private def feedShared(executors: Vector[Executor],
-      gates: Array[Set[String]], names: Vector[String],
-      piNamesByQ: Vector[Vector[String]], key: Long, orderName: String,
-      ev: Event): Seq[Row] =
+      gates: Array[Set[String]], key: Long, orderName: String,
+      ev: Event)(render: SharedRender): Seq[Row] =
     executors.indices.flatMap { i =>
       val gate = gates(i)
       if (gate == null || (ev.tpe != null && gate.contains(ev.tpe)))
-        executors(i).feed(ev).map { m =>
-          val byName = m.toMap
-          val binding = piNamesByQ(i).map { n =>
-            byName.getOrElse(n, Vector.empty)
-              .map(_(orderName)).mkString(",")
-          }.mkString(";")
-          Row(names(i), key, binding)
-        }
+        executors(i).feed(ev).map(m => render(i, key, m.toMap, orderName))
       else Vector.empty
     }
+
+  /** The classic shared reporting shape `(qname, key, binding)`: order
+    * ids comma-joined per pattern name, ';'-joined across names in
+    * declared order.
+    */
+  private def bindingRender(queries: Seq[(String, CepQuery)])
+      : SharedRender = {
+    val names = queries.toVector.map(_._1)
+    val piNamesByQ = queries.toVector.map { case (_, q) =>
+      SparkCep.patternNames(q.patseq) }
+    (i, key, byName, orderName) =>
+      Row(names(i), key, piNamesByQ(i).map { n =>
+        byName.getOrElse(n, Vector.empty)
+          .map(_(orderName)).mkString(",")
+      }.mkString(";"))
+  }
+
+  /** The measured shared shape `(qname, key, measures)` — alias →
+    * emission-time folded value (`CepMeasures.evalItem`), NULL kept for
+    * measure-over-missing.
+    */
+  private def measuresRender(stmts: Seq[(String, CepSql.CepSqlStatement)])
+      : SharedRender = {
+    val names = stmts.toVector.map(_._1)
+    val sVec = stmts.toVector.map(_._2)
+    (i, key, byName, orderName) =>
+      Row(names(i), key, sVec(i).measures.map(it =>
+        it.alias -> CepMeasures.evalItem(it, byName, orderName,
+          sVec(i).subsetMap).map(Long.box).orNull).toMap)
+  }
 
   /** Snapshot / restore of k member run-sets through the versioned
     * binary codec (payloads tagged with the writing operator's variant).
@@ -500,7 +530,12 @@ object StreamingCep {
         "over a key's matches, which an unbounded stream cannot close; " +
         "emit ONE ROW PER MATCH and explode downstream, or run the " +
         "ALL ROWS projection per micro-batch via foreachBatch")
-    st.measures.find(m => CepMeasures.Fn.isNullary(m.fn)).foreach { m =>
+    // nullary atoms are rejected wherever they appear — standalone or
+    // inside a measure expression (MATCH_NUMBER() is legal in batch
+    // arithmetic but needs the key's total match order; CLASSIFIER()
+    // never reaches here, the Atom constructor rejects it in arithmetic)
+    st.measures.flatMap(CepMeasures.MeasureItem.atomsOf)
+      .find(m => CepMeasures.Fn.isNullary(m.fn)).foreach { m =>
       val why = m.fn match {
         case CepMeasures.Fn.MatchNo =>
           "MATCH_NUMBER() is batch-only — the deterministic per-key " +
@@ -570,7 +605,7 @@ object StreamingCep {
               .map { m =>
                 val byName = m.toMap
                 Row.fromSeq(key +: measures.map(ms =>
-                  CepMeasures.evalMeasure(ms, byName, orderName,
+                  CepMeasures.evalItem(ms, byName, orderName,
                     st.subsetMap).map(Long.box).orNull))
               }
           }
@@ -720,6 +755,77 @@ object StreamingCep {
   def matchPatternsShared(df: DataFrame, queries: Seq[(String, CepQuery)],
       spec: SparkCep.CepSpec, maxRunsPerKey: Option[Int] = None)
       : DataFrame = {
+    val keyName = spec.keyCol.getOrElse("__global")
+    val outSchema = StructType(Seq(
+      StructField("qname", StringType, nullable = false),
+      StructField(keyName, LongType, nullable = false),
+      StructField("binding", StringType, nullable = false)))
+    sharedArrival(df, queries, spec, maxRunsPerKey, outSchema)(
+      bindingRender(queries))
+  }
+
+  /** Streaming MEASURES over the SHARED multi-pattern scan — the
+    * streaming form of `CepMeasures.runShared`: k measured statements,
+    * ONE source read, ONE union pushdown filter, ONE key exchange, ONE
+    * state store. Because the members declare DIFFERENT measure lists,
+    * the uniform output shape is `(qname, <key>, measures)` with
+    * `measures: map<string, bigint>` — alias → emission-time folded
+    * value (NULL kept: measure-over-missing) — a consumer filters by
+    * `qname` and reads `measures['alias']`. A k-sink split would cost
+    * k× source scans and state stores (each writeStream is its own
+    * query), which is exactly what the shared operator exists to avoid.
+    *
+    * Members are `ONE ROW PER MATCH` with non-empty, non-nullary
+    * MEASURES (same rules as `matchPatternMeasures`; expressions fold
+    * per atom and combine). State is IDENTICAL to `matchPatternsShared`
+    * (same `SharedMultiState` layout, same member codec, same nav
+    * section) — a checkpoint written by either operator restores into
+    * the other; only the emission projection differs. Batch==stream is
+    * gated member-for-member against `CepMeasures.runShared` in
+    * `StreamingCepSharedMeasuresSpec`.
+    */
+  def matchPatternsSharedMeasures(df: DataFrame,
+      stmts: Seq[(String, CepSql.CepSqlStatement)], spec: SparkCep.CepSpec,
+      maxRunsPerKey: Option[Int] = None): DataFrame = {
+    require(stmts.nonEmpty, "matchPatternsSharedMeasures needs >= 1 member")
+    stmts.foreach { case (n, st) =>
+      require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
+        s"matchPatternsSharedMeasures: member '$n' declares ALL ROWS " +
+          "PER MATCH — batch-only (see matchPatternMeasures); run it " +
+          "per micro-batch via foreachBatch")
+      require(st.measures.nonEmpty,
+        s"matchPatternsSharedMeasures: member '$n' has no MEASURES — " +
+          "use matchPatternsShared for the plain binding shape")
+      st.measures.flatMap(CepMeasures.MeasureItem.atomsOf)
+        .find(m => CepMeasures.Fn.isNullary(m.fn)).foreach { m =>
+          throw new IllegalArgumentException(
+            s"matchPatternsSharedMeasures: member '$n' measures " +
+              s"${m.fn.sqlName}() — nullary measures are batch-only " +
+              "here (same reasons as matchPatternMeasures)")
+        }
+      CepMeasures.validate(st.query, spec, st.measures, Set.empty,
+        st.subsetMap)
+    }
+    val keyName = spec.keyCol.getOrElse("__global")
+    val outSchema = StructType(Seq(
+      StructField("qname", StringType, nullable = false),
+      StructField(keyName, LongType, nullable = false),
+      StructField("measures",
+        MapType(StringType, LongType, valueContainsNull = true),
+        nullable = false)))
+    sharedArrival(df, stmts.map { case (n, st) => n -> st.query }, spec,
+      maxRunsPerKey, outSchema)(measuresRender(stmts))
+  }
+
+  /** The arrival-order shared-scan core behind [[matchPatternsShared]]
+    * and [[matchPatternsSharedMeasures]]: one `flatMapGroupsWithState`
+    * over k member executors with the `SharedMultiState` checkpoint
+    * layout; the output row shape is the renderer's.
+    */
+  private def sharedArrival(df: DataFrame,
+      queries: Seq[(String, CepQuery)], spec: SparkCep.CepSpec,
+      maxRunsPerKey: Option[Int], outSchema: StructType)(
+      render: SharedRender): DataFrame = {
     require(queries.nonEmpty, "matchPatternsShared needs >= 1 query")
     val keyName = spec.keyCol.getOrElse("__global")
     queries.foreach { case (_, q) =>
@@ -734,10 +840,6 @@ object StreamingCep {
       spec)
     val orderName = attrNames.head
 
-    val outSchema = StructType(Seq(
-      StructField("qname", StringType, nullable = false),
-      StructField(keyName, LongType, nullable = false),
-      StructField("binding", StringType, nullable = false)))
     implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val stateEnc: Encoder[SharedMultiState] =
       Encoders.product[SharedMultiState]
@@ -747,9 +849,6 @@ object StreamingCep {
     val qVec = queries.toVector
     val names = qVec.map(_._1)
     val dsts = qVec.map { case (_, q) => DstCompiler.compile(q) }
-    val piNamesByQ = qVec.map { case (_, q) =>
-      SparkCep.patternNames(q.patseq)
-    }
     // null = feed everything (member declined a prefilter)
     val gates: Array[Set[String]] =
       qVec.map { case (_, q) =>
@@ -787,8 +886,9 @@ object StreamingCep {
           }
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
-            feedShared(executors, gates, names, piNamesByQ, key, orderName,
-              nf.augment(rowToEvent(row, 1, 2, 3, attrNames, orderName)))
+            feedShared(executors, gates, key, orderName,
+              nf.augment(rowToEvent(row, 1, 2, 3, attrNames, orderName)))(
+              render)
           }
           // idle-key state GC: all members run-free, no member query
           // carrying a withinTime floor, no navigation history to keep
@@ -1081,9 +1181,7 @@ object StreamingCep {
     val qVec = queries.toVector
     val names = qVec.map(_._1)
     val dsts = qVec.map { case (_, q) => DstCompiler.compile(q) }
-    val piNamesByQ = qVec.map { case (_, q) =>
-      SparkCep.patternNames(q.patseq)
-    }
+    val render = bindingRender(queries)
     val gates: Array[Set[String]] =
       qVec.map { case (_, q) =>
         SparkCep.memberFeedTypes(q, spec).orNull
@@ -1117,8 +1215,8 @@ object StreamingCep {
           }.toVector
           val (ready, still) = releaseBuffer(prevBuffer, incoming, wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
-            feedShared(executors, gates, names, piNamesByQ, key, orderName,
-              nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector)))
+            feedShared(executors, gates, key, orderName,
+              nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector)))(render)
           }
 
           // idle-key state GC: all members empty AND nothing buffered

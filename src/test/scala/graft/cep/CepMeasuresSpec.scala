@@ -245,7 +245,8 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
         "MEASURES FIRST(s) AS s_id, SUM(c.v) AS sum_c, COUNT(c) AS n_c, " +
         "FIRST(c.v, 2) AS c3_v, LAST(c, 1) AS c_pen " +
         "DEFINE s AS S; c AS C; p AS P WITHIN 8", schema)
-    assert(st.measures.map(_.offset) == Vector(0, 0, 0, 2, 1))
+    assert(st.measures.collect { case m: CepMeasures.Measure => m.offset }
+      == Vector(0, 0, 0, 2, 1))
     val again = CepSql.parseStatement(CepSql.render(st), schema)
     assert(again == st)
   }
@@ -281,9 +282,122 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
         Event("C", Vector("id" -> 4L, "v" -> 6L))),
       "p" -> Vector(Event("P", Vector("id" -> 5L, "v" -> 9L))))
     val folded = st.measures.map(m =>
-      CepMeasures.evalMeasure(m, byName, "id", st.subsetMap))
+      CepMeasures.evalItem(m, byName, "id", st.subsetMap))
     assert(folded == Vector(Some(4L), Some(7L), Some(4L), None,
       Some(5L), Some(0L)))
+  }
+
+  test("measure expressions: long arithmetic over atoms, hand-computed; " +
+    "NULL atoms poison the expression") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES LAST(c.v) - FIRST(c.v) AS spread, " +
+        "10 * COUNT(c) + 1 AS scaled, " +
+        "SUM(c.v) - MIN(c.v) AS above_min, " +
+        "(FIRST(s)) AS s_id, " +
+        "FIRST(p.v) * (COUNT(c) + COUNT(p)) AS pv_n " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    // the parenthesized single atom collapses to a plain Measure
+    assert(st.measures(3).isInstanceOf[CepMeasures.Measure])
+    assert(st.measures(0).isInstanceOf[CepMeasures.ExprMeasure])
+    // S(1), C(2,v=7), C(3,v=4), P(4,v=9): matches c=[2] and c=[2,3]
+    val df = eventsDf(
+      (1L, 1L, "S", 0L), (1L, 2L, "C", 7L), (1L, 3L, "C", 4L),
+      (1L, 4L, "P", 9L))
+    val out = CepMeasures.run(df, st, spec)
+      .orderBy("scaled")
+      .collect().map(r => (r.getLong(r.fieldIndex("spread")),
+        r.getLong(r.fieldIndex("scaled")),
+        r.getLong(r.fieldIndex("above_min")),
+        r.getLong(r.fieldIndex("s_id")),
+        r.getLong(r.fieldIndex("pv_n")))).toVector
+    assert(out == Vector(
+      (0L, 11L, 0L, 1L, 18L),   // c=[2]:   7-7, 10*1+1, 7-7, 1, 9*(1+1)
+      (-3L, 21L, 7L, 1L, 27L))) // c=[2,3]: 4-7, 10*2+1, 11-4, 1, 9*(2+1)
+    // NULL atom (empty optional binding) → NULL expression
+    val stOpt = CepSql.parseStatement(
+      "PATTERN (s c? -> p) " +
+        "MEASURES SUM(c.v) + COUNT(c) AS s_plus_n, " +
+        "COUNT(c) * 2 AS n2 " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    val rows = CepMeasures.run(eventsDf((1L, 1L, "S", 0L),
+      (1L, 2L, "P", 3L)), stOpt, spec).collect().toVector
+    assert(rows.length == 1)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("s_plus_n")))
+    assert(rows.head.getLong(rows.head.fieldIndex("n2")) == 0L)
+    // streaming fold agrees
+    val byName = Map(
+      "s" -> Vector(Event("S", Vector("id" -> 1L, "v" -> 0L))),
+      "c" -> Vector(Event("C", Vector("id" -> 2L, "v" -> 7L)),
+        Event("C", Vector("id" -> 3L, "v" -> 4L))),
+      "p" -> Vector(Event("P", Vector("id" -> 4L, "v" -> 9L))))
+    assert(st.measures.map(m => CepMeasures.evalItem(m, byName, "id")) ==
+      Vector(Some(-3L), Some(21L), Some(7L), Some(1L), Some(27L)))
+    assert(CepMeasures.evalItem(stOpt.measures(0),
+      byName - "c", "id") == None)
+  }
+
+  test("measure expressions render round-trip with minimal parentheses") {
+    val sqls = Vector(
+      "PATTERN (a -> b) MEASURES SUM(a.v) + SUM(b.v) * 2 AS x " +
+        "DEFINE a AS S; b AS C",
+      "PATTERN (a -> b) MEASURES (SUM(a.v) + SUM(b.v)) * 2 AS x " +
+        "DEFINE a AS S; b AS C",
+      "PATTERN (a -> b) MEASURES SUM(a.v) - (COUNT(a) - COUNT(b)) AS x, " +
+        "FINAL LAST(b.v, 1) - FIRST(a.v) AS y " +
+        "DEFINE a AS S; b AS C",
+      "PATTERN (a -> b) MEASURES MATCH_NUMBER() * 1000 + COUNT(a) AS x " +
+        "DEFINE a AS S; b AS C")
+    for (sql <- sqls) {
+      val st = CepSql.parseStatement(sql, schema)
+      val again = CepSql.parseStatement(CepSql.render(st), schema)
+      assert(again == st, s"round-trip diverged for: $sql\n" +
+        s"rendered: ${CepSql.render(st)}")
+    }
+  }
+
+  test("measure expressions: bad forms fail loudly") {
+    def bad(measures: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.parseStatement(
+          s"PATTERN (a -> b) MEASURES $measures DEFINE a AS S; b AS C",
+          schema)
+      }
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    bad("CLASSIFIER() + 1 AS x", "not usable in measure arithmetic")
+    bad("1 + 2 AS x", "references no measure atom")
+    bad("COUNT(a) + AS x", "expected")
+    bad("COUNT(a) COUNT(b) AS x", "trailing input")
+    bad("SUM(a.v, 1) + 1 AS x", "only FIRST/LAST take an offset")
+    bad("COUNT(z) + 1 AS x", "no DEFINE")
+    bad("SUM(a.nope) + 1 AS x", "no attribute 'nope'")
+  }
+
+  test("ALL ROWS PER MATCH: running expression measures combine running " +
+    "atoms per row") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{2,2}~ -> p) " +
+        "MEASURES SUM(c.v) - COUNT(c) AS sum_less_n, " +
+        "FINAL SUM(c.v) + 100 AS fin_plus " +
+        "ALL ROWS PER MATCH PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    // one match: s=1, c=[2(v7),3(v4)], p=4(v9)
+    val df = eventsDf(
+      (1L, 1L, "S", 0L), (1L, 2L, "C", 7L), (1L, 3L, "C", 4L),
+      (1L, 4L, "P", 9L))
+    val out = CepMeasures.run(df, st, spec).orderBy("id")
+      .collect().map { r =>
+        (r.getLong(r.fieldIndex("id")),
+          if (r.isNullAt(r.fieldIndex("sum_less_n"))) None
+          else Some(r.getLong(r.fieldIndex("sum_less_n"))),
+          r.getLong(r.fieldIndex("fin_plus")))
+      }.toVector
+    assert(out == Vector(
+      (1L, None, 111L),      // s row: running SUM NULL - COUNT 0 → NULL
+      (2L, Some(6L), 111L),  // 7 - 1
+      (3L, Some(9L), 111L),  // 11 - 2
+      (4L, Some(9L), 111L))) // p row: unchanged running c aggregates
   }
 
   test("ALL ROWS PER MATCH rejects a non-zero FIRST/LAST offset") {

@@ -65,7 +65,10 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         "MATCH_NUMBER() AS mn DEFINE a AS A; b AS B; c AS C WITHIN 9",
       "PATTERN (a {- b -} c) MEASURES COUNT(b) AS n " +
         "ALL ROWS PER MATCH WITH UNMATCHED ROWS PARTITION BY k " +
-        "ORDER BY id TYPE t DEFINE a AS A; b AS B; c AS C")
+        "ORDER BY id TYPE t DEFINE a AS A; b AS B; c AS C",
+      "PATTERN (a -> b) MEASURES LAST(b.v) - FIRST(a.v, 1) AS spread, " +
+        "10 * (COUNT(a) + COUNT(b)) AS n10 " +
+        "DEFINE a AS A; b AS B WHERE v > 1")
     for (_ <- 0 until 2000) {
       val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
       rnd.nextInt(4) match {
@@ -108,12 +111,18 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         else AfterMatchStrategy.SkipToNext,
         if (rnd.nextBoolean()) Some(1 + rnd.nextInt(50)) else None,
         None)
-      val measures = (0 until rnd.nextInt(4)).toVector.map { i =>
+      // an alias-less atom for expression trees (alias "" by the Atom
+      // convention), or an aliased plain measure
+      def rndMeasure(alias: String, allowNullary: Boolean)
+          : CepMeasures.Measure = {
         val nm = names(rnd.nextInt(names.length))
         val fn = fns(rnd.nextInt(fns.length))
-        // CLASSIFIER()/MATCH_NUMBER() are nullary — no name, no attr
         if (CepMeasures.Fn.isNullary(fn))
-          CepMeasures.Measure(fn, "", None, s"m$i", rnd.nextBoolean())
+          if (allowNullary)
+            CepMeasures.Measure(fn, "", None, alias,
+              alias.nonEmpty && rnd.nextBoolean())
+          else // arithmetic: MATCH_NUMBER only (CLASSIFIER is a string)
+            CepMeasures.Measure(CepMeasures.Fn.MatchNo, "", None, alias)
         else {
           val attr = fn match {
             case CepMeasures.Fn.Count => None
@@ -127,10 +136,42 @@ class CepSqlFuzzSpec extends AnyFunSuite {
               rnd.nextInt(3)
             case _ => 0
           }
-          CepMeasures.Measure(fn, nm, attr, s"m$i", rnd.nextBoolean(),
-            offset = off)
+          CepMeasures.Measure(fn, nm, attr, alias,
+            alias.nonEmpty && rnd.nextBoolean(), offset = off)
         }
       }
+      // random expression tree; any shape round-trips (the renderer
+      // parenthesizes exactly where the left-assoc parser needs it)
+      def rndExpr(depth: Int): CepMeasures.MExpr =
+        if (depth == 0) {
+          if (rnd.nextInt(4) == 0)
+            CepMeasures.MExpr.Lit(rnd.nextInt(100).toLong)
+          else CepMeasures.MExpr.Atom(rndMeasure("", allowNullary = false))
+        } else rnd.nextInt(3) match {
+          case 0 => CepMeasures.MExpr.Add(rndExpr(depth - 1),
+            rndExpr(rnd.nextInt(depth)))
+          case 1 => CepMeasures.MExpr.Sub(rndExpr(depth - 1),
+            rndExpr(rnd.nextInt(depth)))
+          case 2 => CepMeasures.MExpr.Mul(rndExpr(depth - 1),
+            rndExpr(rnd.nextInt(depth)))
+        }
+      val measures: Vector[CepMeasures.MeasureItem] =
+        (0 until rnd.nextInt(4)).toVector.map { i =>
+          if (rnd.nextInt(3) == 0) {
+            // top is an operator with an atom forced on the left, so the
+            // tree never collapses to a bare (plain-measure) atom and
+            // always references ≥1 atom
+            val l = CepMeasures.MExpr.Atom(
+              rndMeasure("", allowNullary = false))
+            val r = rndExpr(rnd.nextInt(3))
+            val top = rnd.nextInt(3) match {
+              case 0 => CepMeasures.MExpr.Add(l, r)
+              case 1 => CepMeasures.MExpr.Sub(l, r)
+              case 2 => CepMeasures.MExpr.Mul(l, r)
+            }
+            CepMeasures.ExprMeasure(top, s"m$i", rnd.nextBoolean())
+          } else rndMeasure(s"m$i", allowNullary = true)
+        }
       val st = CepSql.CepSqlStatement(query, measures,
         partitionBy = if (rnd.nextBoolean()) Some("k") else None,
         orderBy = if (rnd.nextBoolean()) Some("id") else None,

@@ -47,7 +47,10 @@ class StreamingCepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LAST(c.value) AS c_last, LAST(p) AS p_id, " +
       // offset FIRST/LAST: NULL on the c{1} fork (binding shorter than
       // the offset), the 2nd/2nd-last click on the c{1,2} one
-      "FIRST(c.value, 1) AS c_2nd, LAST(c, 1) AS c_pen " +
+      "FIRST(c.value, 1) AS c_2nd, LAST(c, 1) AS c_pen, " +
+      // a measure expression: folds per atom at emission, combined in
+      // long arithmetic — batch==stream covers the expression tier too
+      "LAST(c.value) - FIRST(c.value) AS c_spread " +
       "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8", schema)
 
   private def rowKey(r: Row): Vector[Option[Long]] =
@@ -157,10 +160,12 @@ class StreamingCepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     def l(x: Long): Option[Long] = Some(x)
     val no = Option.empty[Long]
     assert(out == Set(
-      // (user, s_id, n_c, c_sum, c_min, c_avg, c_last, p_id, c_2nd, c_pen)
+      // (user, s_id, n_c, c_sum, c_min, c_avg, c_last, p_id, c_2nd,
+      //  c_pen, c_spread)
       // c=[2]: the offset measures fall off the 1-click binding
-      v(l(1), l(1), l(1), l(7), l(7), l(7), l(7), l(4), no, no),
+      v(l(1), l(1), l(1), l(7), l(7), l(7), l(7), l(4), no, no, l(0)),
       // c=[2,3] (v 7,4): 2nd click's value 4; 2nd-from-last ordinal 2
-      v(l(1), l(1), l(2), l(11), l(4), l(5), l(4), l(4), l(4), l(2))))
+      v(l(1), l(1), l(2), l(11), l(4), l(5), l(4), l(4), l(4), l(2),
+        l(-3))))
   }
 }

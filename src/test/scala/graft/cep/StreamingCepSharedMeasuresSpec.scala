@@ -1,0 +1,187 @@
+package graft.cep
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** batch == stream gate for the MEASURED shared-scan operator
+  * (`StreamingCep.matchPatternsSharedMeasures`): the sf0.001 events
+  * table replayed as four ordered micro-batches must reproduce
+  * `CepMeasures.runShared` member-for-member — the emission-time
+  * measure folds (plain atoms, offsets, SUBSET unions, expressions)
+  * over cross-batch state must equal the batch explode→join→aggregate
+  * tier value-exactly, through the map-typed uniform output shape.
+  *
+  * Plus the state-compat pin (the scaladoc's "a checkpoint written by
+  * either operator restores into the other"): a checkpoint written by
+  * the BINDING-shape shared operator is restored by the MEASURES one
+  * mid-match, and the spanning match comes out measured.
+  */
+class StreamingCepSharedMeasuresSpec extends AnyFunSuite
+    with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var sliceDir: String = _
+  private var sliceSchema: org.apache.spark.sql.types.StructType = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id", "event_id", "event_type", "value")
+    sliceSchema = ev.schema
+    val mm = ev.selectExpr("min(event_id)", "max(event_id)").head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    sliceDir = java.nio.file.Files
+      .createTempDirectory("cep-shared-meas-gate").toString
+    val width = (hi - lo) / 4 + 1
+    for (s <- 0 until 4) {
+      ev.filter(col("event_id")
+        .between(lo + s * width, lo + (s + 1) * width - 1))
+        .coalesce(1).write.mode("append").parquet(sliceDir)
+    }
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def events = spark.read.parquet(s"$sfDir/events.parquet")
+  private val spec = graft.Queries.eventSpec
+
+  // three members on ONE scan, covering every measure tier: plain
+  // positional+attribute atoms, FIRST/LAST offsets + SUBSET union, and
+  // measure expressions
+  private val members: Seq[(String, CepSql.CepSqlStatement)] = Seq(
+    "funnel" -> graft.Queries.cepSqlMeasuresStatement,
+    "offset" -> graft.Queries.cepSqlMeasuresOffsetStatement,
+    "expr" -> graft.Queries.cepSqlMeasuresExprStatement)
+
+  /** Canonical row repr `qname|key|a1=v1,a2=v2,…` (aliases sorted; NULL
+    * prints as `a=∅`) for both sides of the gate.
+    */
+  private def reprOf(qname: String, key: Long,
+      vals: Map[String, Option[Long]]): String =
+    s"$qname|$key|" + vals.toVector.sortBy(_._1)
+      .map { case (a, v) => s"$a=${v.fold("∅")(_.toString)}" }
+      .mkString(",")
+
+  private def batchReprs: Vector[String] =
+    CepMeasures.runShared(events, members, spec).flatMap {
+      case (name, df) =>
+        val aliases = members.toMap.apply(name).measures.map(_.alias)
+        df.collect().map { r =>
+          val vals = aliases.map(a => a ->
+            (if (r.isNullAt(r.fieldIndex(a))) None
+             else Some(r.getLong(r.fieldIndex(a))))).toMap
+          reprOf(name, r.getLong(r.fieldIndex("user_id")), vals)
+        }
+    }.toVector.sorted
+
+  test("stream shared measures == batch runShared, member for member " +
+    "(cross-batch state, all measure tiers)") {
+    val batch = batchReprs
+    assert(batch.nonEmpty, "fixture produced no matches")
+    val streamDf = spark.readStream.schema(sliceSchema)
+      .option("maxFilesPerTrigger", "1").parquet(sliceDir)
+    val out = StreamingCep.matchPatternsSharedMeasures(streamDf, members,
+      spec)
+    assert(out.columns.toVector ==
+      Vector("user_id", "qname", "measures") ||
+      out.columns.toVector == Vector("qname", "user_id", "measures"))
+    val sq = out.writeStream.format("memory").queryName("shared_meas")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        sq.processAllAvailable()
+        spark.sql("SELECT * FROM shared_meas").collect().map { r =>
+          val m = r.getAs[Map[String, Any]]("measures")
+          reprOf(r.getString(r.fieldIndex("qname")),
+            r.getLong(r.fieldIndex("user_id")),
+            m.map { case (k, v) => k ->
+              Option(v).map(_.asInstanceOf[Long]) })
+        }.toVector.sorted
+      } finally sq.stop()
+    assert(streamed == batch,
+      s"shared measures stream diverged: ${streamed.length} rows vs " +
+        s"batch ${batch.length}")
+  }
+
+  test("a binding-shape checkpoint restores into the measures operator " +
+    "mid-match (shared state compat)") {
+    val s = spark
+    import s.implicits._
+    val schema = Vector("signup" -> Vector("event_id", "value"),
+      "click" -> Vector("event_id", "value"),
+      "purchase" -> Vector("event_id", "value"))
+    val st = CepSql.parseStatement(
+      "PATTERN (a -> c -> p) " +
+        "MEASURES FIRST(a) AS a_id, SUM(c.value) + COUNT(c) AS c_code " +
+        "DEFINE a AS signup; c AS click; p AS purchase WITHIN 8", schema)
+    val stmts = Seq("m" -> st)
+    val queries = stmts.map { case (n, x) => n -> x.query }
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("shared-meas-compat").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/ckpt"
+    def feed(rows: (Long, Long, String, Long)*): Unit =
+      rows.toSeq.toDF("user_id", "event_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    val outDir = s"$dir/out"
+    // batch 1 through the BINDING operator: signup + click held in state
+    // (a file sink — the memory sink refuses checkpoint recovery)
+    feed((7L, 1L, "signup", 0L), (7L, 2L, "click", 5L))
+    val inSchema = spark.read.parquet(inDir).schema
+    def streamIn = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q1 = StreamingCep.matchPatternsShared(streamIn, queries, spec)
+      .writeStream.format("json").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart the SAME checkpoint through the MEASURES operator; the
+    // purchase completes the spanning run and emits folded measures
+    feed((7L, 3L, "purchase", 9L))
+    val q2 = StreamingCep.matchPatternsSharedMeasures(streamIn, stmts, spec)
+      .writeStream.format("json").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("qname", StringType), StructField("user_id", LongType),
+      StructField("measures", MapType(StringType, LongType))))
+    val rows = spark.read.schema(outSchema).json(outDir)
+      .where(col("qname").isNotNull).collect().toVector
+    assert(rows.length == 1)
+    val m = rows.head.getAs[Map[String, Any]]("measures")
+    assert(rows.head.getString(rows.head.fieldIndex("qname")) == "m")
+    assert(m("a_id") == 1L)
+    assert(m("c_code") == 6L) // SUM(c.value)=5 + COUNT(c)=1
+  }
+
+  test("rejections: ALL ROWS member, empty MEASURES, nullary measure") {
+    val schema = Vector("signup" -> Vector("event_id", "value"),
+      "purchase" -> Vector("event_id", "value"))
+    val df = spark.readStream.schema(sliceSchema)
+      .option("maxFilesPerTrigger", "1").parquet(sliceDir)
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        StreamingCep.matchPatternsSharedMeasures(df,
+          Seq("x" -> CepSql.parseStatement(sql, schema)), spec)
+      }
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    bad("PATTERN (a -> b) MEASURES COUNT(a) AS n ALL ROWS PER MATCH " +
+      "DEFINE a AS signup; b AS purchase", "batch-only")
+    bad("PATTERN (a -> b) DEFINE a AS signup; b AS purchase",
+      "has no MEASURES")
+    bad("PATTERN (a -> b) MEASURES MATCH_NUMBER() * 10 + COUNT(a) AS x " +
+      "DEFINE a AS signup; b AS purchase", "nullary measures are batch-only")
+  }
+}
