@@ -523,33 +523,11 @@ object StreamingCep {
   def matchPatternMeasures(df: DataFrame, st: CepSql.CepSqlStatement,
       spec: SparkCep.CepSpec, maxRunsPerKey: Option[Int] = None): DataFrame = {
     val query = st.query
-    require(st.measures.nonEmpty, "matchPatternMeasures: empty MEASURES")
-    require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
-      "matchPatternMeasures: ALL ROWS PER MATCH is batch-only — its " +
-        "deterministic per-key match_no sequence needs a total order " +
-        "over a key's matches, which an unbounded stream cannot close; " +
-        "emit ONE ROW PER MATCH and explode downstream, or run the " +
-        "ALL ROWS projection per micro-batch via foreachBatch")
     // nullary atoms are rejected wherever they appear — standalone or
     // inside a measure expression (MATCH_NUMBER() is legal in batch
     // arithmetic but needs the key's total match order; CLASSIFIER()
     // never reaches here, the Atom constructor rejects it in arithmetic)
-    st.measures.flatMap(CepMeasures.MeasureItem.atomsOf)
-      .find(m => CepMeasures.Fn.isNullary(m.fn)).foreach { m =>
-      val why = m.fn match {
-        case CepMeasures.Fn.MatchNo =>
-          "MATCH_NUMBER() is batch-only — the deterministic per-key " +
-            "sequence needs a total order over a key's matches, which " +
-            "an unbounded stream cannot close"
-        case _ =>
-          "CLASSIFIER() is batch-only here — the streaming measures " +
-            "state/output schema is integer-typed; project COUNT(name) " +
-            "per branch instead, or classify downstream from the batch " +
-            "operator"
-      }
-      throw new IllegalArgumentException(s"matchPatternMeasures: $why")
-    }
-    CepMeasures.validate(query, spec, st.measures, Set.empty, st.subsetMap)
+    validateStreamingMeasures(st, spec, "matchPatternMeasures")
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val effMaxRuns =
@@ -789,22 +767,11 @@ object StreamingCep {
       maxRunsPerKey: Option[Int] = None): DataFrame = {
     require(stmts.nonEmpty, "matchPatternsSharedMeasures needs >= 1 member")
     stmts.foreach { case (n, st) =>
-      require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
-        s"matchPatternsSharedMeasures: member '$n' declares ALL ROWS " +
-          "PER MATCH — batch-only (see matchPatternMeasures); run it " +
-          "per micro-batch via foreachBatch")
       require(st.measures.nonEmpty,
         s"matchPatternsSharedMeasures: member '$n' has no MEASURES — " +
           "use matchPatternsShared for the plain binding shape")
-      st.measures.flatMap(CepMeasures.MeasureItem.atomsOf)
-        .find(m => CepMeasures.Fn.isNullary(m.fn)).foreach { m =>
-          throw new IllegalArgumentException(
-            s"matchPatternsSharedMeasures: member '$n' measures " +
-              s"${m.fn.sqlName}() — nullary measures are batch-only " +
-              "here (same reasons as matchPatternMeasures)")
-        }
-      CepMeasures.validate(st.query, spec, st.measures, Set.empty,
-        st.subsetMap)
+      validateStreamingMeasures(st, spec,
+        s"matchPatternsSharedMeasures: member '$n'")
     }
     val keyName = spec.keyCol.getOrElse("__global")
     val outSchema = StructType(Seq(
@@ -924,13 +891,90 @@ object StreamingCep {
   def matchPatternEventTime(df: DataFrame, query: CepQuery,
       spec: SparkCep.CepSpec, tsCol: String, delay: String,
       maxRunsPerKey: Option[Int] = None): DataFrame = {
+    val piNames = SparkCep.patternNames(query.patseq)
+    val keyName = spec.keyCol.getOrElse("__global")
+    val outSchema = StructType(
+      StructField(keyName, LongType, nullable = false) +:
+        piNames.map(n =>
+          StructField(n, ArrayType(LongType, containsNull = false),
+            nullable = false)))
+    etSingle(df, query, spec, tsCol, delay, maxRunsPerKey, outSchema)(
+      (key, m, orderName) => matchToRow(key, m.toVector, piNames, orderName))
+  }
+
+  /** Event-time MEASURES: `matchPatternEventTime`'s reorder buffer +
+    * `matchPatternMeasures`' emission-time fold in one operator — the
+    * event-time member of the measures family. Output `(key?,
+    * <aliases…>)`, one flat row per match, emitted once the watermark
+    * releases the match's last event. Same validation as the
+    * arrival-order measures operator (ONE ROW PER MATCH, no nullary
+    * measures); state is `matchPatternEventTime`'s
+    * (`VariantEventTime` — checkpoints interchange with it, and the
+    * arrival-order refusal applies unchanged).
+    */
+  def matchPatternMeasuresEventTime(df: DataFrame,
+      st: CepSql.CepSqlStatement, spec: SparkCep.CepSpec, tsCol: String,
+      delay: String, maxRunsPerKey: Option[Int] = None): DataFrame = {
+    validateStreamingMeasures(st, spec, "matchPatternMeasuresEventTime")
+    val keyName = spec.keyCol.getOrElse("__global")
+    val outSchema = StructType(
+      StructField(keyName, LongType, nullable = false) +:
+        st.measures.map(m =>
+          StructField(m.alias, LongType, nullable = true)))
+    etSingle(df, st.query, spec, tsCol, delay, maxRunsPerKey, outSchema)(
+      (key, byName, orderName) => Row.fromSeq(key +: st.measures.map(ms =>
+        CepMeasures.evalItem(ms, byName, orderName, st.subsetMap)
+          .map(Long.box).orNull)))
+  }
+
+  /** The `ONE ROW PER MATCH` + non-nullary-measures contract shared by
+    * every streaming measures operator.
+    */
+  private def validateStreamingMeasures(st: CepSql.CepSqlStatement,
+      spec: SparkCep.CepSpec, opName: String): Unit = {
+    require(st.measures.nonEmpty, s"$opName: empty MEASURES")
+    require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
+      s"$opName: ALL ROWS PER MATCH is batch-only — its " +
+        "deterministic per-key match_no sequence needs a total order " +
+        "over a key's matches, which an unbounded stream cannot close; " +
+        "emit ONE ROW PER MATCH and explode downstream, or run the " +
+        "ALL ROWS projection per micro-batch via foreachBatch")
+    st.measures.flatMap(CepMeasures.MeasureItem.atomsOf)
+      .find(m => CepMeasures.Fn.isNullary(m.fn)).foreach { m =>
+      val why = m.fn match {
+        case CepMeasures.Fn.MatchNo =>
+          "MATCH_NUMBER() is batch-only — the deterministic per-key " +
+            "sequence needs a total order over a key's matches, which " +
+            "an unbounded stream cannot close"
+        case _ =>
+          "CLASSIFIER() is batch-only here — the streaming measures " +
+            "state/output schema is integer measures; project " +
+            "COUNT(name) per branch instead, or classify downstream " +
+            "from the batch operator"
+      }
+      throw new IllegalArgumentException(s"$opName: $why")
+    }
+    CepMeasures.validate(st.query, spec, st.measures, Set.empty,
+      st.subsetMap)
+    ()
+  }
+
+  /** The event-time single-query core behind [[matchPatternEventTime]]
+    * and [[matchPatternMeasuresEventTime]]: per-key reorder buffer under
+    * the watermark, `VariantEventTime` state, event-time timeout wakeup;
+    * the output row shape is the renderer's.
+    */
+  private def etSingle(df: DataFrame, query: CepQuery,
+      spec: SparkCep.CepSpec, tsCol: String, delay: String,
+      maxRunsPerKey: Option[Int], outSchema: StructType)(
+      render: (Long, Map[String, Vector[Event]], String) => Row)
+      : DataFrame = {
     // PREV is history-fed AT RELEASE TIME: the NFA consumes events in
     // watermark-released (ts, ord) order, so that is the physical-row
     // order PREV navigates — consistent with the operator's own feed
     // semantics (late arrivals dropped before the buffer never enter
     // the history, exactly as they never reach the NFA)
     val navs = streamingNavs(query, spec)
-    val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val effMaxRuns =
@@ -938,11 +982,6 @@ object StreamingCep {
     val (prepared, attrNames) = etPrepare(df, None, spec, tsCol, delay)
     val orderName = attrNames.head
 
-    val outSchema = StructType(
-      StructField(keyName, LongType, nullable = false) +:
-        piNames.map(n =>
-          StructField(n, ArrayType(LongType, containsNull = false),
-            nullable = false)))
     implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
       Encoders.product[CepStateCodec.VersionedState]
@@ -990,7 +1029,7 @@ object StreamingCep {
           val (ready, still) = releaseBuffer(prev.buffer, incoming, wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
             executor.feed(nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector)))
-              .map(matchToRow(key, _, piNames, orderName))
+              .map(m => render(key, m.toMap, orderName))
           }
 
           val snap = snapshotState(executor)
@@ -1151,6 +1190,56 @@ object StreamingCep {
       queries: Seq[(String, CepQuery)], spec: SparkCep.CepSpec,
       tsCol: String, delay: String, maxRunsPerKey: Option[Int] = None)
       : DataFrame = {
+    val keyName = spec.keyCol.getOrElse("__global")
+    val outSchema = StructType(Seq(
+      StructField("qname", StringType, nullable = false),
+      StructField(keyName, LongType, nullable = false),
+      StructField("binding", StringType, nullable = false)))
+    sharedEventTime(df, queries, spec, tsCol, delay, maxRunsPerKey,
+      outSchema)(bindingRender(queries))
+  }
+
+  /** Event-time MEASURED shared scan: k measured statements, ONE source
+    * read / union filter / key exchange / state store / reorder buffer —
+    * [[matchPatternsSharedMeasures]]' semantics on the watermark-ordered
+    * feed. Output `(qname, <key>, measures map<alias, value>)`; same
+    * member rules (ONE ROW PER MATCH, no nullary measures); state is
+    * `matchPatternsSharedEventTime`'s (`SharedMultiStateEt`) — the two
+    * event-time shared shapes interchange checkpoints.
+    */
+  def matchPatternsSharedMeasuresEventTime(df: DataFrame,
+      stmts: Seq[(String, CepSql.CepSqlStatement)], spec: SparkCep.CepSpec,
+      tsCol: String, delay: String, maxRunsPerKey: Option[Int] = None)
+      : DataFrame = {
+    require(stmts.nonEmpty,
+      "matchPatternsSharedMeasuresEventTime needs >= 1 member")
+    stmts.foreach { case (n, st) =>
+      require(st.measures.nonEmpty,
+        s"matchPatternsSharedMeasuresEventTime: member '$n' has no " +
+          "MEASURES — use matchPatternsSharedEventTime for the plain " +
+          "binding shape")
+      validateStreamingMeasures(st, spec,
+        s"matchPatternsSharedMeasuresEventTime: member '$n'")
+    }
+    val keyName = spec.keyCol.getOrElse("__global")
+    val outSchema = StructType(Seq(
+      StructField("qname", StringType, nullable = false),
+      StructField(keyName, LongType, nullable = false),
+      StructField("measures",
+        MapType(StringType, LongType, valueContainsNull = true),
+        nullable = false)))
+    sharedEventTime(df, stmts.map { case (n, st) => n -> st.query }, spec,
+      tsCol, delay, maxRunsPerKey, outSchema)(measuresRender(stmts))
+  }
+
+  /** The event-time shared-scan core behind
+    * [[matchPatternsSharedEventTime]] and
+    * [[matchPatternsSharedMeasuresEventTime]].
+    */
+  private def sharedEventTime(df: DataFrame,
+      queries: Seq[(String, CepQuery)], spec: SparkCep.CepSpec,
+      tsCol: String, delay: String, maxRunsPerKey: Option[Int],
+      outSchema: StructType)(render: SharedRender): DataFrame = {
     require(queries.nonEmpty, "matchPatternsSharedEventTime needs >= 1 query")
     val keyName = spec.keyCol.getOrElse("__global")
     queries.foreach { case (_, q) =>
@@ -1168,10 +1257,6 @@ object StreamingCep {
       spec, tsCol, delay)
     val orderName = attrNames.head
 
-    val outSchema = StructType(Seq(
-      StructField("qname", StringType, nullable = false),
-      StructField(keyName, LongType, nullable = false),
-      StructField("binding", StringType, nullable = false)))
     implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val stateEnc: Encoder[SharedMultiStateEt] =
       Encoders.product[SharedMultiStateEt]
@@ -1181,7 +1266,6 @@ object StreamingCep {
     val qVec = queries.toVector
     val names = qVec.map(_._1)
     val dsts = qVec.map { case (_, q) => DstCompiler.compile(q) }
-    val render = bindingRender(queries)
     val gates: Array[Set[String]] =
       qVec.map { case (_, q) =>
         SparkCep.memberFeedTypes(q, spec).orNull

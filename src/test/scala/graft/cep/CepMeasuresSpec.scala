@@ -239,6 +239,24 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pe == Set("b", "c"))
   }
 
+  test("expression and offset lowering keep ONE events join — hidden " +
+    "atoms ride the same explode/join/aggregate pass") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES SUM(c.v) - MIN(c.v) AS above_min, " +
+        "LAST(c.v) * 2 + FIRST(p.v) AS combo, " +
+        "FIRST(c.v, 1) AS c2_v, SUM(c.v) AS plain " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "C", 1L),
+      (1L, 3L, "P", 2L))
+    val plan = CepMeasures.run(df, st, spec).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    assert(plan.collect { case j: Join => j }.length == 1,
+      s"expected exactly one events join:\n$plan")
+    assert(plan.collect { case a: Aggregate => a }.length == 1,
+      s"expected exactly one aggregation:\n$plan")
+  }
+
   test("statement render round-trips measures") {
     val st = CepSql.parseStatement(
       "PATTERN (s -> c{1,2} -> p) " +

@@ -111,6 +111,110 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
         s"batch ${batch.length}")
   }
 
+  /** Out-of-order event-time fixture: ts = event_id seconds (event-time
+    * order IS the batch order), four slices with a deterministic ~20%
+    * displaced one slice later, flush sentinels driving the final
+    * watermark past every real event — the `StreamingMultiSharedSpec`
+    * construction. Returns (dir, schema, delaySec).
+    */
+  private def outOfOrderDir(tag: String)
+      : (String, org.apache.spark.sql.types.StructType, Long) = {
+    val s = spark
+    import s.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("event_id").cast("timestamp").as("ts"))
+    val mm = ev.selectExpr("min(event_id)", "max(event_id)").head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = (hi - lo) / 4 + 1
+    val delaySec = width + 10
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"cep-meas-et-$tag").toString
+    val sliced = ev.withColumn("slice",
+      org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.lit(3L),
+        org.apache.spark.sql.functions.floor(
+          (col("event_id") - lo) / width) +
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.xxhash64(col("event_id")),
+              org.apache.spark.sql.functions.lit(5L)) === 0L, 1L)
+            .otherwise(0L)))
+    for (sl <- 0L until 4L) {
+      sliced.filter(col("slice") === sl).drop("slice")
+        .orderBy(org.apache.spark.sql.functions.xxhash64(col("event_id")))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    for (k <- 2L to 3L) {
+      Seq((-1L, hi + k, "__flush", 9999.0, hi + k * delaySec))
+        .toDF("user_id", "event_id", "event_type", "value", "tsec")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("tsec").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    (dir, spark.read.parquet(dir).schema, delaySec)
+  }
+
+  test("event-time single-query measures == batch on out-of-order input") {
+    val st = graft.Queries.cepSqlMeasuresExprStatement
+    val batch = CepMeasures.run(events, st, spec).collect().map { r =>
+      val vals = st.measures.map(_.alias).map(a => a ->
+        (if (r.isNullAt(r.fieldIndex(a))) None
+         else Some(r.getLong(r.fieldIndex(a))))).toMap
+      reprOf("q", r.getLong(r.fieldIndex("user_id")), vals)
+    }.toVector.sorted
+    assert(batch.nonEmpty)
+    val (dir, schema, delaySec) = outOfOrderDir("single")
+    val streamDf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = StreamingCep.matchPatternMeasuresEventTime(streamDf, st,
+      spec, tsCol = "ts", delay = s"$delaySec seconds")
+    val sq = out.writeStream.format("memory").queryName("meas_et_single")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        sq.processAllAvailable()
+        spark.sql("SELECT * FROM meas_et_single")
+          .where(col("user_id") =!= -1L) // the flush sentinels' key
+          .collect().map { r =>
+            val vals = st.measures.map(_.alias).map(a => a ->
+              (if (r.isNullAt(r.fieldIndex(a))) None
+               else Some(r.getLong(r.fieldIndex(a))))).toMap
+            reprOf("q", r.getLong(r.fieldIndex("user_id")), vals)
+          }.toVector.sorted
+      } finally sq.stop()
+    assert(streamed == batch,
+      s"event-time measures diverged: ${streamed.length} vs ${batch.length}")
+  }
+
+  test("event-time shared measures == batch runShared on out-of-order " +
+    "input") {
+    val batch = batchReprs
+    val (dir, schema, delaySec) = outOfOrderDir("shared")
+    val streamDf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = StreamingCep.matchPatternsSharedMeasuresEventTime(streamDf,
+      members, spec, tsCol = "ts", delay = s"$delaySec seconds")
+    val sq = out.writeStream.format("memory").queryName("meas_et_shared")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        sq.processAllAvailable()
+        spark.sql("SELECT * FROM meas_et_shared")
+          .where(col("user_id") =!= -1L)
+          .collect().map { r =>
+            val m = r.getAs[Map[String, Any]]("measures")
+            reprOf(r.getString(r.fieldIndex("qname")),
+              r.getLong(r.fieldIndex("user_id")),
+              m.map { case (k, v) => k ->
+                Option(v).map(_.asInstanceOf[Long]) })
+          }.toVector.sorted
+      } finally sq.stop()
+    assert(streamed == batch,
+      s"event-time shared measures diverged: ${streamed.length} vs " +
+        s"${batch.length}")
+  }
+
   test("a binding-shape checkpoint restores into the measures operator " +
     "mid-match (shared state compat)") {
     val s = spark
@@ -182,6 +286,6 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
     bad("PATTERN (a -> b) DEFINE a AS signup; b AS purchase",
       "has no MEASURES")
     bad("PATTERN (a -> b) MEASURES MATCH_NUMBER() * 10 + COUNT(a) AS x " +
-      "DEFINE a AS signup; b AS purchase", "nullary measures are batch-only")
+      "DEFINE a AS signup; b AS purchase", "MATCH_NUMBER() is batch-only")
   }
 }
