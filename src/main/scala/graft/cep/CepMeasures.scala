@@ -848,10 +848,32 @@ object CepMeasures {
     * members only (the frame carries order ids; `ALL ROWS` members run
     * solo), each with a non-empty MEASURES list. Solo-vs-shared
     * equality is differential-pinned in `CepMeasuresSpec`.
+    *
+    * The shared frame is MATERIALIZED ONCE before the per-member slices
+    * are built: without that, each returned frame carries its own copy
+    * of the full `CepMultiMatchExec` subtree, and although ReuseExchange
+    * dedupes the scan and key shuffle below the operator, the NFA sweep
+    * itself re-runs k times — each time matching all k patterns —
+    * asymptotically worse than k solo passes. With a [[graft.ops
+    * .CacheLease]] the frame is `persist`ed (MEMORY_AND_DISK, replayable
+    * on executor loss) and tracked on the lease, which the caller closes
+    * after consuming the results; without one it is `localCheckpoint`ed
+    * eagerly — self-releasing (swept by the ContextCleaner on GC and by
+    * `CacheScope.withCaches` at harness boundaries) at the cost of
+    * cut lineage, the right default for one-shot jobs. Either way the
+    * match frame being materialized is the SMALL side (matches, not
+    * events). Single execution is pinned by `CepSharedSinglePassSpec`
+    * via the skew gauge's event count.
+    *
+    * @param skewAcc passed through to the shared operator (fires once
+    *   per fed event — with the materialization above, exactly once).
     */
   def runShared(df: DataFrame,
       stmts: Seq[(String, CepSql.CepSqlStatement)], spec: CepSpec,
-      maxRunsPerKey: Option[Int] = None): Seq[(String, DataFrame)] = {
+      maxRunsPerKey: Option[Int] = None,
+      lease: Option[graft.ops.CacheLease] = None,
+      skewAcc: Option[CepSkewAccumulator] = None)
+      : Seq[(String, DataFrame)] = {
     require(stmts.nonEmpty, "runShared: empty member set")
     stmts.foreach { case (n, st) =>
       require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
@@ -861,8 +883,14 @@ object CepMeasures {
         s"runShared: member '$n' has no MEASURES — use " +
           "SparkCep.matchPatternsShared for the plain binding shape")
     }
-    val shared = SparkCep.matchPatternsShared(df,
-      stmts.map { case (n, st) => n -> st.query }, spec, maxRunsPerKey)
+    val sharedPlan = SparkCep.matchPatternsShared(df,
+      stmts.map { case (n, st) => n -> st.query }, spec, maxRunsPerKey,
+      skewAcc)
+    val shared = lease match {
+      case Some(l) => l.track(sharedPlan.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      case None => sharedPlan.localCheckpoint(eager = true)
+    }
     val keyOut = spec.keyCol.map(col).toSeq
     stmts.map { case (n, st) =>
       val names = SparkCep.patternNames(st.query.patseq)
