@@ -940,6 +940,72 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
 
+  /** SQL:2016 `^` partition-start anchor end-to-end: did the user's
+    * JOURNEY start with a signup, and when did it first convert to a
+    * click? `^` pins `s` to the partition's true first event (runs seed
+    * only there — also a state bound), so users whose first event is
+    * anything else produce nothing; `->` then binds the first following
+    * click. At most one match per user by construction. Anchored
+    * queries decline the alphabet pushdown (the anchor observes the
+    * TRUE partition edge — `SparkCep.prefilter`); the oracle reads the
+    * same two positions with window functions.
+    */
+  val cepSqlAnchorFirstStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (^ s -> c) MEASURES FIRST(s) AS s_id, LAST(c) AS c_id " +
+        "DEFINE s AS signup; c AS click", eventSchema)
+
+  def cepSqlAnchorFirst(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlAnchorFirstStatement, eventSpec)
+      .orderBy("user_id", "s_id", "c_id")
+
+  val cepSqlAnchorFirstSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS seq
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id AS s_id
+      |  FROM seqd WHERE seq = 1 AND event_type = 'signup')
+      |SELECT f.user_id, f.s_id, min(c.event_id) AS c_id
+      |FROM f JOIN seqd c ON c.user_id = f.user_id
+      |  AND c.event_type = 'click' AND c.seq > 1
+      |GROUP BY f.user_id, f.s_id
+      |ORDER BY f.user_id, s_id, c_id""".stripMargin
+
+  /** SQL:2016 `$` partition-end anchor end-to-end: did the user's
+    * journey END in a click immediately followed by a purchase? `$`
+    * requires the match's completing event to be the partition's true
+    * last event — mid-stream click→purchase pairs are not matches and
+    * fire no skip effects. Strict adjacency + `$` pins the pair to the
+    * final two events, so the oracle is a reverse row_number read.
+    * `$` is batch-only (streaming rejects it loudly — an unbounded
+    * stream has no partition end; spec-pinned in `CepAnchorSpec`).
+    */
+  val cepSqlAnchorLastStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (c p $) MEASURES FIRST(c) AS c_id, LAST(p) AS p_id " +
+        "DEFINE c AS click; p AS purchase", eventSchema)
+
+  def cepSqlAnchorLast(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlAnchorLastStatement, eventSpec)
+      .orderBy("user_id", "c_id", "p_id")
+
+  val cepSqlAnchorLastSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+      |      AS rseq
+      |  FROM events)
+      |SELECT p.user_id, c.event_id AS c_id, p.event_id AS p_id
+      |FROM seqd p JOIN seqd c ON c.user_id = p.user_id AND c.rseq = 2
+      |WHERE p.rseq = 1 AND p.event_type = 'purchase'
+      |  AND c.event_type = 'click'
+      |ORDER BY p.user_id, c_id, p_id""".stripMargin
+
   /** AVG measures + the SELF-CONTAINED statement form: the funnel again,
     * but the statement carries its own `PARTITION BY user_id ORDER BY
     * event_id TYPE event_type` sections, so `CepMeasures.run(df, st)`
@@ -1805,6 +1871,27 @@ object Queries {
       |FROM w WHERE event_type = 'purchase' AND t1 = 'purchase' AND t2 = 'purchase'
       |  AND v0 <= 100 AND v0 + v1 <= 100 AND v0 + v1 + v2 <= 100
       |ORDER BY user_id, ids""".stripMargin
+
+  /** SQL:2016 aggregates in DEFINE end-to-end: the SAME budget query as
+    * `cep_iter_budget`, declared in the standard syntax
+    * (`WHERE SUM(a.value) <= 100`) instead of the hand-written LET
+    * register. The parse-time desugaring (`CepSql.rewriteAggs`) lowers
+    * it to a hidden `__agg0` register with exactly the iter-budget
+    * fold — the condition judges each candidate with the current event
+    * tentatively included (the standard's DEFINE rule), so the two
+    * formulations share one oracle. Solo-vs-manual equality is also
+    * differential-pinned in `CepDefineAggSpec`.
+    */
+  val cepSqlDefineAggQuery: CepQuery = CepSql.parse(
+    "PATTERN (a{2,3}) DEFINE a AS purchase WHERE SUM(a.value) <= 100",
+    eventSchema)
+
+  def cepSqlDefineAgg(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepSqlDefineAggQuery)
+      .select(col("user_id"), idsCol("a").as("ids"))
+      .orderBy("user_id", "ids")
+
+  val cepSqlDefineAggSql: String = cepIterBudgetSql
 
   /** §2 #7 gpat-inf {1,∞} of (signup · purchase): maximal-and-partial
     * alternating chains — every (start, repetition-count) combination, as
@@ -6404,6 +6491,9 @@ object Queries {
     "cep_greedy_click_runs" -> cepGreedyClickRunsQuery,
     "cep_sql_funnel" -> cepSqlFunnelQuery,
     "cep_iter_budget" -> cepIterBudgetQuery,
+    // DEFINE-aggregate sugar lowered to the same register machinery —
+    // riding every gate pins the desugared fold on real data
+    "cep_sql_define_agg" -> cepSqlDefineAggQuery,
     "cep_until_error_runs" -> cepUntilErrorRunsQuery,
     // PREV navigation: streaming feeds it from the per-key history in
     // state (codec v5) where batch uses the lag window — the gate pins
@@ -6414,7 +6504,12 @@ object Queries {
     // batch==stream, event-time) pins the Alt NFA on real data
     "cep_sql_alt_outcome" -> cepSqlAltOutcomeQuery,
     // permute: the shared-name union NFA through the same gates
-    "cep_sql_permute" -> cepSqlPermuteStatement.query
+    "cep_sql_permute" -> cepSqlPermuteStatement.query,
+    // '^' start anchor: STREAMS (the step counter rides the codec) —
+    // riding the batch==stream gate pins the seed-once + firstTake==1
+    // emit gate across micro-batch boundaries. '$' must NOT appear
+    // here: streaming rejects it loudly (CepAnchorSpec).
+    "cep_sql_anchor_first" -> cepSqlAnchorFirstStatement.query
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6436,6 +6531,8 @@ object Queries {
     "cep_greedy_click_runs" -> cepGreedyClickRuns _,
     "cep_sql_funnel" -> cepSqlFunnel _,
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnel _,
+    "cep_sql_anchor_first" -> cepSqlAnchorFirst _,
+    "cep_sql_anchor_last" -> cepSqlAnchorLast _,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffset _,
     "cep_sql_measures_expr" -> cepSqlMeasuresExpr _,
@@ -6451,6 +6548,7 @@ object Queries {
     "cep_shed_gauge" -> cepShedGauge _,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignups _,
     "cep_iter_budget" -> cepIterBudget _,
+    "cep_sql_define_agg" -> cepSqlDefineAgg _,
     "cep_until_error_runs" -> cepUntilErrorRuns _,
     "cep_agg_match_counts" -> cepAggMatchCounts _,
     "cep_multi_shared" -> cepMultiShared _,
@@ -6596,6 +6694,8 @@ object Queries {
     "cep_greedy_click_runs" -> cepGreedyClickRunsSql,
     "cep_sql_funnel" -> cepSqlFunnelSql,
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnelSql,
+    "cep_sql_anchor_first" -> cepSqlAnchorFirstSql,
+    "cep_sql_anchor_last" -> cepSqlAnchorLastSql,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffsetSql,
     "cep_sql_measures_expr" -> cepSqlMeasuresExprSql,
@@ -6611,6 +6711,7 @@ object Queries {
     "cep_shed_gauge" -> cepShedGaugeSql,
     "cep_timeout_abandoned_signups" -> cepTimeoutAbandonedSignupsSql,
     "cep_iter_budget" -> cepIterBudgetSql,
+    "cep_sql_define_agg" -> cepSqlDefineAggSql,
     "rel_q1_pricing" -> relQ1PricingSql,
     "rel_q3_top_orders" -> relQ3TopOrdersSql,
     "rel_nation_stats" -> relNationStatsSql,

@@ -25,7 +25,19 @@ package graft.cep
   * see [[Nav]]):
   *
   * {{{
-  * query  := PATTERN '(' seq ')' [MEASURES meas (',' meas)*]
+  * query  := PATTERN '(' ['^'] alt ['$'] ')'
+  *           (SQL:2016 partition anchors, TOP LEVEL ONLY — a documented
+  *            deviation from per-branch anchors. '^': the match must
+  *            START at the partition's first event (runs seed only
+  *            there — also a state bound). '$': the match must END at
+  *            the partition's last event; mid-partition accepts are
+  *            not matches and trigger no skip effects. '$' is
+  *            BATCH-ONLY — an unbounded stream has no partition end;
+  *            every streaming operator rejects it loudly. Anchored
+  *            queries drop the alphabet pushdown: the anchor observes
+  *            the TRUE partition edge, which a prefiltered stream
+  *            cannot witness.)
+  *           [MEASURES meas (',' meas)*]
   *           [SUBSET u '=' '(' name (',' name)* ')'
   *                   (',' u '=' '(' … ')')*]     (union variables:
   *            a measure over `u` sees the members' bindings merged in
@@ -157,6 +169,8 @@ object CepSql {
   private case object TExclOpen extends Tok  // {- (output exclusion)
   private case object TExclClose extends Tok // -}
   private case class TNeg(mode: Pattern.NegMode) extends Tok // !next( / !fby(
+  private case object TCaret extends Tok     // ^ (partition-start anchor)
+  private case object TDollar extends Tok    // $ (partition-end anchor)
 
   private def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -175,6 +189,8 @@ object CepSql {
       else if (c == '}') { out += TRBrace; i += 1 }
       else if (c == ',') { out += TComma; i += 1 }
       else if (c == ':') { out += TColon; i += 1 }
+      else if (c == '^') { out += TCaret; i += 1 }
+      else if (c == '$') { out += TDollar; i += 1 }
       else if (c == '+') { out += TPlus; i += 1 }
       else if (c == '*') { out += TStar; i += 1 }
       else if (c == '?') { out += TQmark; i += 1 }
@@ -423,7 +439,113 @@ object CepSql {
     None
   }
 
-  private def parseDef(text: String): (String, Def) = {
+  /** SQL:2016 running aggregates as DEFINE conditions —
+    * `b AS click WHERE SUM(b.value) < 100` — desugared AT PARSE TIME to
+    * the LET register machinery the engine already evaluates exactly
+    * (`cep_iter_budget`): each distinct aggregate atom becomes a hidden
+    * integer register (`__agg<k>`) folded on the TARGET name's takes,
+    * and the atom's occurrence in the condition becomes plain register
+    * arithmetic. RUNNING semantics only, per the standard's DEFINE rule:
+    * the current row is tentatively classified as the defining variable,
+    * so a SELF-targeted atom includes the current event
+    * (`SUM(b.value)` in b's own WHERE → `(R + value)` with
+    * `LET R = 0 THEN R + value`), while a CROSS-targeted atom reads the
+    * register as-is (`SUM(a.price)` in b's WHERE → `R` folded on a's
+    * takes). Supported: SUM/COUNT (self + cross; an empty fold reads 0
+    * — a documented deviation from SQL's NULL empty-SUM), MIN/MAX/AVG
+    * (SELF-only: their empty state has no honest integer encoding —
+    * MIN/MAX desugar to the boolean-arithmetic fold
+    * `R*(R<=v) + v*(v<R)` off `Long.MaxValue`/`MinValue`, AVG to a
+    * floored SUM/COUNT quotient, DuckDB `//`). Rejected loudly:
+    * `FINAL`/`RUNNING` prefixes (FINAL is meaningless mid-match; the
+    * running form is the default and only form), aggregates in
+    * UNTIL/LET sections, unknown or GROUP targets, attribute-less
+    * SUM/MIN/MAX/AVG and attributed COUNT. The desugared form is what
+    * the statement carries — `render` prints the LET/arithmetic form,
+    * which re-parses to the same query (the sugar itself does not
+    * round-trip; spec-pinned in `CepDefineAggSpec`).
+    */
+  private val AggRe =
+    """\b(SUM|COUNT|MIN|MAX|AVG)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\)""".r
+  private val AggPrefixRe = """\b(FINAL|RUNNING)\s+(SUM|COUNT|MIN|MAX|AVG)\s*\(""".r
+
+  private final class AggCtx {
+    var n: Int = 0
+    /** (target name, hidden register) — attached to the target's Def
+      * after every DEFINE has parsed (the target may parse later).
+      */
+    val pending =
+      scala.collection.mutable.ArrayBuffer.empty[(String, VarDef)]
+    /** one register set per distinct (fn, target, attr) atom. */
+    val seen =
+      scala.collection.mutable.HashMap.empty[(String, String, String), String]
+  }
+
+  private def rewriteAggs(section: String, selfName: String,
+      ctx: AggCtx): String = {
+    AggPrefixRe.findFirstMatchIn(section).foreach { m =>
+      throw new IllegalArgumentException(
+        s"CEP SQL DEFINE: '${m.group(1)} ${m.group(2)}(...)' — DEFINE " +
+          "aggregates are RUNNING by definition (the only form); drop " +
+          s"the ${m.group(1)} prefix")
+    }
+    AggRe.replaceAllIn(section, m => {
+      val fn = m.group(1)
+      val target = m.group(2)
+      val attr = Option(m.group(3))
+      val self = target == selfName
+      if (fn == "COUNT") require(attr.isEmpty,
+        s"CEP SQL DEFINE: COUNT($target.${attr.getOrElse("")}) — COUNT " +
+          "takes no attribute")
+      else require(attr.isDefined,
+        s"CEP SQL DEFINE: $fn($target) needs an attribute " +
+          s"($fn($target.<attr>))")
+      if (!self && fn != "SUM" && fn != "COUNT")
+        throw new IllegalArgumentException(
+          s"CEP SQL DEFINE: $fn($target${attr.fold("")("." + _)}) in " +
+            s"'$selfName' — MIN/MAX/AVG aggregates are self-only (their " +
+            "empty fold has no honest integer encoding); SUM/COUNT may " +
+            "target another name")
+      val a = attr.getOrElse("")
+      val reg = ctx.seen.getOrElseUpdate((fn, target, a), {
+        val base = s"__agg${ctx.n}"
+        ctx.n += 1
+        fn match {
+          case "SUM" =>
+            ctx.pending += target -> VarDef(base, 0L,
+              Expr.parse(s"$base + $a"))
+          case "COUNT" =>
+            ctx.pending += target -> VarDef(base, 0L,
+              Expr.parse(s"$base + 1"))
+          case "MIN" =>
+            ctx.pending += target -> VarDef(base, Long.MaxValue,
+              Expr.parse(s"$base * ($base <= $a) + $a * ($a < $base)"))
+          case "MAX" =>
+            ctx.pending += target -> VarDef(base, Long.MinValue,
+              Expr.parse(s"$base * ($base >= $a) + $a * ($a > $base)"))
+          case "AVG" =>
+            ctx.pending += target -> VarDef(base + "s", 0L,
+              Expr.parse(s"${base}s + $a"))
+            ctx.pending += target -> VarDef(base + "c", 0L,
+              Expr.parse(s"${base}c + 1"))
+        }
+        base
+      })
+      val repl = (fn, self) match {
+        case ("SUM", true)    => s"($reg + $a)"
+        case ("COUNT", true)  => s"($reg + 1)"
+        case ("MIN", true)    =>
+          s"($reg * ($reg <= $a) + $a * ($a < $reg))"
+        case ("MAX", true)    =>
+          s"($reg * ($reg >= $a) + $a * ($a > $reg))"
+        case ("AVG", true)    => s"((${reg}s + $a) // (${reg}c + 1))"
+        case (_, false)       => reg // SUM/COUNT cross-target
+      }
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+  }
+
+  private def parseDef(text: String, aggCtx: AggCtx): (String, Def) = {
     val t = text.trim
     val (name, rest0) = splitAtKeyword(t, Seq("AS")) match {
       case Some((n, _, r)) => (n.trim, r.trim)
@@ -450,13 +572,29 @@ object CepSql {
           case None              => (body.trim, None)
         }
       kw match {
-        // conditions get the PREV/NEXT navigation rewrite + NULL guards
-        // (Nav): navigation is only meaningful where a row is being
-        // judged, i.e. in boolean contexts
-        case "WHERE" => cndt = Nav.guard(Expr.parse(Nav.rewriteText(section)))
+        // conditions get the aggregate desugaring (see `rewriteAggs`),
+        // then the PREV/NEXT navigation rewrite + NULL guards (Nav):
+        // navigation is only meaningful where a row is being judged,
+        // i.e. in boolean contexts
+        case "WHERE" => cndt = Nav.guard(Expr.parse(
+          Nav.rewriteText(rewriteAggs(section, name, aggCtx))))
         case "UNTIL" =>
+          AggRe.findFirstMatchIn(section).foreach { m =>
+            throw new IllegalArgumentException(
+              s"CEP SQL DEFINE: aggregate '${m.matched}' in the UNTIL " +
+                "of '" + name + "' — aggregates desugar to per-take " +
+                "registers, whose value at a stop event (not taken as " +
+                "any name) has no standard meaning; fold a LET " +
+                "register by hand if you need one")
+          }
           until = Some(Nav.guard(Expr.parse(Nav.rewriteText(section))))
         case "LET" =>
+          AggRe.findFirstMatchIn(section).foreach { m =>
+            throw new IllegalArgumentException(
+              s"CEP SQL DEFINE: aggregate '${m.matched}' in a LET of '" +
+                name + "' — registers fold takes directly; write the " +
+                "fold out instead of nesting an aggregate")
+          }
           vars = section.split(',').toVector.map { item =>
             val eq = item.indexOf('=')
             require(eq > 0, s"CEP SQL LET: expected 'x = init THEN " +
@@ -1019,11 +1157,37 @@ object CepSql {
         case Some((d, kw, r)) => (d, Some((kw, r)))
         case None             => (afterDefineKw, None)
       }
+    val aggCtx = new AggCtx
     val defs = defsText.split(';').filter(_.trim.nonEmpty)
-      .map(parseDef).toVector
+      .map(parseDef(_, aggCtx)).toVector
     defs.groupBy(_._1).foreach { case (n, ds) =>
       require(ds.length == 1, s"CEP SQL: duplicate DEFINE for '$n'") }
-    val defMap = defs.toMap
+    // attach the desugared aggregate registers to their TARGET defs
+    // (the target may have parsed after the referencing condition)
+    val defMap: Map[String, Def] =
+      if (aggCtx.pending.isEmpty) defs.toMap
+      else {
+        defs.foreach { case (_, d) =>
+          d.vars.foreach(v => require(!v.name.startsWith("__agg"),
+            s"CEP SQL LET: register '${v.name}' uses the reserved " +
+              "'__agg' prefix (aggregate desugaring)"))
+        }
+        val byTarget = aggCtx.pending.groupBy(_._1)
+        byTarget.keys.foreach { t =>
+          val d = defs.collectFirst { case (n, d0) if n == t => d0 }
+            .getOrElse(throw new IllegalArgumentException(
+              s"CEP SQL DEFINE: aggregate over '$t' — no such DEFINE"))
+          require(d.event != GroupEvent,
+            s"CEP SQL DEFINE: aggregate over '$t' — a GROUP label binds " +
+              "no events to aggregate")
+        }
+        defs.map { case (n, d) =>
+          byTarget.get(n) match {
+            case Some(extra) => n -> d.copy(vars = d.vars ++ extra.map(_._2))
+            case None        => n -> d
+          }
+        }.toMap
+      }
 
     var within: Option[Int] = None
     var withinTime: Option[WithinTime] = None
@@ -1083,7 +1247,26 @@ object CepSql {
       cursor = nextCur
     }
 
-    val parser = new PParser(lex(patBody))
+    // SQL:2016 partition anchors: `^` leads, `$` trails, TOP LEVEL ONLY
+    // (a documented deviation — SQL:2016 permits anchors per alternation
+    // branch; here they are query-level modifiers, see CepQuery)
+    val toks0 = lex(patBody)
+    val anchorStart = toks0.headOption.contains(TCaret)
+    val afterStart = if (anchorStart) toks0.tail else toks0
+    val anchorEnd = afterStart.lastOption.contains(TDollar)
+    val toks = if (anchorEnd) afterStart.init else afterStart
+    toks.foreach {
+      case TCaret => throw new IllegalArgumentException(
+        "CEP SQL pattern: '^' is only supported as the very first " +
+          "element of the PATTERN body (top-level partition-start " +
+          "anchor; per-branch anchors are a documented deviation)")
+      case TDollar => throw new IllegalArgumentException(
+        "CEP SQL pattern: '$' is only supported as the very last " +
+          "element of the PATTERN body (top-level partition-end " +
+          "anchor; per-branch anchors are a documented deviation)")
+      case _ => ()
+    }
+    val parser = new PParser(toks)
     val alt = parser.parseAlt()
     parser.assertDone()
     // a DEFINEd name may appear at most once in BINDING position (units
@@ -1196,7 +1379,8 @@ object CepSql {
         "(with ONE ROW PER MATCH there are no per-event output rows " +
         "to exclude)")
     CepSqlStatement(
-      CepQuery(lowered, schema, strategy, within, withinTime),
+      CepQuery(lowered, schema, strategy, within, withinTime,
+        anchorStart = anchorStart, anchorEnd = anchorEnd),
       measures, partitionBy, orderByCol, typeColOpt,
       rowsPerMatch.getOrElse(RowsPerMatch.OneRow), subsets, excluded)
   }
@@ -1363,7 +1547,8 @@ object CepSql {
         s"${seqS(c.left)}$sepTok$tok(${c.neg.name}) ${rightUnit(c.right)}"
       case other => unit(other)
     }
-    val body = topS(q.patseq)
+    val body = (if (q.anchorStart) "^ " else "") + topS(q.patseq) +
+      (if (q.anchorEnd) " $" else "")
     def atomS(m: CepMeasures.Measure): String =
       s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}" +
         (if (m.offset != 0) s", ${m.offset}" else "") + ")"

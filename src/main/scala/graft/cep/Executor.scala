@@ -71,7 +71,27 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
       * the timedOutPartials operators / `runWithTimeouts`, which drain
       * after every feed.
       */
-    val captureTimeouts: Boolean = false)
+    val captureTimeouts: Boolean = false,
+    /** SQL:2016 `^` partition-start anchor (`CepQuery.anchorStart`): the
+      * match's first take must be the partition's first event. Two
+      * mechanisms: (1) seed a new run only at step 1 — later seeds can
+      * never first-take at step 1, so this is a pure state bound; and
+      * (2) an emit gate `firstTake == 1`, needed because a pattern with
+      * an OPTIONAL prefix (`Dst.hasUntakenIgnorePrefix`) lets the
+      * step-1 run ignore events before its first take and start the
+      * match later — such accepts are not matches under the anchor and
+      * fire no skip effects.
+      */
+    val anchorStart: Boolean = false,
+    /** SQL:2016 `$` partition-end anchor (`CepQuery.anchorEnd`): emit
+      * matches only from a feed flagged `isLast` (the partition's final
+      * event). A mid-partition accept is not a match at all — it neither
+      * emits nor triggers the after-match skip strategy. The 1-arg
+      * `feed` never flags, so operators that cannot know the partition
+      * end (streaming) emit nothing — they must reject `anchorEnd`
+      * up front instead (`SparkCep.checkWithinStateBound`).
+      */
+    val anchorEnd: Boolean = false)
     extends Serializable {
 
   require(within.forall(_ >= 1), s"within must be >= 1, got $within")
@@ -151,7 +171,10 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     * (post-accept states with no ε-reachable consuming edge), which
     * linger in the run set until the next feed sweeps them. The
     * streaming idle-key GC keys on this: `liveRunCount == 0` means the
-    * key's state restores indistinguishably from fresh.
+    * key's state restores indistinguishably from fresh — EXCEPT under
+    * `anchorStart`, where the step counter itself is semantics (a fresh
+    * key re-seeds at its next event; a drained anchored key must not),
+    * so anchored queries forgo the GC like withinTime/navigation do.
     */
   def liveRunCount: Int =
     S.count { case (_, c) => dst.canConsumeFrom.contains(c.q.name) }
@@ -203,8 +226,20 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     dst.stateByName.getOrElse(name,
       throw new IllegalStateException(s"unknown state $name"))
 
-  /** Feed one event; return the matches completed by it, in order. */
-  def feed(event: Event): Vector[Match] = {
+  /** Feed one event; return the matches completed by it, in order.
+    * Equivalent to `feed(event, isLast = false)` — under `anchorEnd`
+    * this emits nothing (see the 2-arg overload).
+    */
+  def feed(event: Event): Vector[Match] = feed(event, isLast = false)
+
+  /** Feed one event, flagging whether it is the partition's LAST event.
+    * Without `anchorEnd` the flag is ignored. With it, matches are
+    * emitted only when `isLast` — and run-set mutation by the skip
+    * strategy is suppressed entirely (mid-partition accepts are not
+    * matches under `$`, and at the true end no later event exists for
+    * a skip to protect).
+    */
+  def feed(event: Event, isLast: Boolean): Vector[Match] = {
     i += 1
     // the step counter is an Int (it rides the streaming state codec);
     // wrapping would silently corrupt `within` spans and the firstTake
@@ -236,10 +271,12 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
     }
 
     // swap, not copy: the old S becomes this step's work queue (consumed
-    // only here) and a fresh S accumulates the survivors
+    // only here) and a fresh S accumulates the survivors. Under the `^`
+    // anchor only the FIRST event seeds a run — every match must start
+    // at the partition's first event, so later seeds could never emit
     val t = S
     S = ArrayBuffer.empty
-    t += ((i, dst.initialConfiguration))
+    if (!anchorStart || i == 1) t += ((i, dst.initialConfiguration))
 
     var idx = 0
     while (idx < t.length) {
@@ -285,53 +322,14 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
       }
     }
 
-    // emit phase
-    val out = Vector.newBuilder[Match]
-    val lazyDelete = scala.collection.mutable.HashSet.empty[Int]
-    // anchor-strategy prune threshold: runs whose first take precedes it
-    // are dead (suppressed in this loop, filtered from S below). Monotone
-    // within the step by construction (a later match's anchor is >= its
-    // own firstTake >= any earlier threshold it survived), and needs no
-    // carry across steps: the post-loop filter physically removes pruned
-    // runs, and future runs first-take at steps >= the current one.
-    var pruneBelow = 0
-    var j = 0
-    var done = false
-    while (j < S.length && !done) {
-      val (k, conf) = S(j)
-      j += 1
-      // window check: an accepting config's last take is always the
-      // current step/event, so the position span is i - firstTake and the
-      // event-time span is ts - firstTakeTs
-      if (!lazyDelete.contains(k) && conf.firstTake >= pruneBelow &&
-          dst.accept(conf) &&
-          within.forall(w => i - conf.firstTake < w) &&
-          withinTime.forall(wt => ts - conf.firstTakeTs < wt.span)) {
-        out += dst.output(conf)
-        strategy match {
-          case AfterMatchStrategy.NoSkip => ()
-          case AfterMatchStrategy.SkipToNext =>
-            lazyDelete += k
-          case AfterMatchStrategy.SkipPastLastEvent =>
-            S.clear(); done = true
-          // anchor miss (stamp 0) raises nothing — documented NoSkip
-          // fallback for matches that bound no event to the anchor
-          case AfterMatchStrategy.SkipToFirst(_) =>
-            if (conf.anchorFirst > pruneBelow) pruneBelow = conf.anchorFirst
-          case AfterMatchStrategy.SkipToLast(_) =>
-            if (conf.anchorLast > pruneBelow) pruneBelow = conf.anchorLast
-        }
-      }
-    }
-    if (lazyDelete.nonEmpty)
-      S = S.filterNot { case (k, _) => lazyDelete.contains(k) }
-    // anchor-strategy prune: untaken runs (firstTake 0) survive — they
-    // are duplicates of fresh current-step spawns, which no threshold
-    // can precede (see the strategy's doc on `AfterMatchStrategy`)
-    if (pruneBelow > 0)
-      S = S.filter { case (_, c) =>
-        c.firstTake == 0 || c.firstTake >= pruneBelow
-      }
+    // emit phase. Under the `$` anchor, mid-partition accepts are not
+    // matches (nothing emits, no skip effects fire — runs sail on); at
+    // the flagged last event, matches emit but the strategy still never
+    // mutates the run set (no later event exists for a skip to protect)
+    val out =
+      if (!anchorEnd) emitPhase(ts, mutateRuns = true)
+      else if (isLast) emitPhase(ts, mutateRuns = false)
+      else Vector.empty[Match]
 
     // window pruning: a run whose first take is already w-1 steps old can
     // never emit again (any future accept has span >= i+1 - firstTake >=
@@ -396,6 +394,79 @@ final class Executor(val dst: Dst, val strategy: AfterMatchStrategy,
             "runs instead of failing)")
     }
 
+    out
+  }
+
+  /** The emit loop over the post-step run set: collect accepting
+    * configurations that pass the window gates, applying the after-match
+    * skip strategy's WITHIN-STEP suppression (SkipToNext's one-match-
+    * per-run, SkipPastLastEvent's first-match-only, the anchor
+    * strategies' prune threshold). `mutateRuns = false` (the `$`-anchor
+    * path) computes the same match vector but leaves `S` untouched —
+    * skip strategies act on future events, which the end anchor's only
+    * emit point (the partition's last event) does not have.
+    *
+    * Anchor-strategy prune threshold (`pruneBelow`): runs whose first
+    * take precedes it are dead (suppressed in this loop, filtered from
+    * S below). Monotone within the step by construction (a later
+    * match's anchor is >= its own firstTake >= any earlier threshold it
+    * survived), and needs no carry across steps: the post-loop filter
+    * physically removes pruned runs, and future runs first-take at
+    * steps >= the current one.
+    */
+  private def emitPhase(ts: Long, mutateRuns: Boolean): Vector[Match] = {
+    val out = Vector.newBuilder[Match]
+    val lazyDelete = scala.collection.mutable.HashSet.empty[Int]
+    var pruneBelow = 0
+    var clearAll = false
+    var j = 0
+    var done = false
+    while (j < S.length && !done) {
+      val (k, conf) = S(j)
+      j += 1
+      // window check: an accepting config's last take is always the
+      // current step/event, so the position span is i - firstTake and the
+      // event-time span is ts - firstTakeTs
+      // `^` gate: the match's FIRST TAKE must be the partition's first
+      // event. Seed suppression alone is not enough — a pattern with an
+      // optional prefix (`a? -> b`, Dst.hasUntakenIgnorePrefix) lets the
+      // step-1 run ignore events BEFORE its first take, starting the
+      // match later; such an accept is not a match under the anchor
+      // (accepting configs always have firstTake >= 1: acceptance
+      // requires a take)
+      if (!lazyDelete.contains(k) && conf.firstTake >= pruneBelow &&
+          (!anchorStart || conf.firstTake == 1) &&
+          dst.accept(conf) &&
+          within.forall(w => i - conf.firstTake < w) &&
+          withinTime.forall(wt => ts - conf.firstTakeTs < wt.span)) {
+        out += dst.output(conf)
+        strategy match {
+          case AfterMatchStrategy.NoSkip => ()
+          case AfterMatchStrategy.SkipToNext =>
+            lazyDelete += k
+          case AfterMatchStrategy.SkipPastLastEvent =>
+            clearAll = true; done = true
+          // anchor miss (stamp 0) raises nothing — documented NoSkip
+          // fallback for matches that bound no event to the anchor
+          case AfterMatchStrategy.SkipToFirst(_) =>
+            if (conf.anchorFirst > pruneBelow) pruneBelow = conf.anchorFirst
+          case AfterMatchStrategy.SkipToLast(_) =>
+            if (conf.anchorLast > pruneBelow) pruneBelow = conf.anchorLast
+        }
+      }
+    }
+    if (mutateRuns) {
+      if (clearAll) S.clear()
+      if (lazyDelete.nonEmpty)
+        S = S.filterNot { case (k, _) => lazyDelete.contains(k) }
+      // anchor-strategy prune: untaken runs (firstTake 0) survive — they
+      // are duplicates of fresh current-step spawns, which no threshold
+      // can precede (see the strategy's doc on `AfterMatchStrategy`)
+      if (pruneBelow > 0)
+        S = S.filter { case (_, c) =>
+          c.firstTake == 0 || c.firstTake >= pruneBelow
+        }
+    }
     out.result()
   }
 }
@@ -407,7 +478,14 @@ final class CepOperator(val executor: Executor) {
   def apply(input: IterableOnce[Event]): Vector[Match] = {
     executor.reset()
     val out = Vector.newBuilder[Match]
-    input.iterator.foreach(ev => out ++= executor.feed(ev))
+    if (executor.anchorEnd) {
+      // `$` needs the last-event flag — one-element lookahead
+      val it = input.iterator.buffered
+      while (it.hasNext) {
+        val ev = it.next()
+        out ++= executor.feed(ev, isLast = !it.hasNext)
+      }
+    } else input.iterator.foreach(ev => out ++= executor.feed(ev))
     out.result()
   }
 }
@@ -417,7 +495,8 @@ object CepOperator {
       captureTimeouts: Boolean = false): CepOperator =
     new CepOperator(new Executor(DstCompiler.compile(query), query.strategy,
       within = query.within, withinTime = query.withinTime,
-      captureTimeouts = captureTimeouts))
+      captureTimeouts = captureTimeouts,
+      anchorStart = query.anchorStart, anchorEnd = query.anchorEnd))
 
   /** One-shot convenience: run `query` over an ordered event sequence. */
   def run(query: CepQuery, input: IterableOnce[Event]): Vector[Match] =

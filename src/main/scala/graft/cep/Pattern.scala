@@ -465,7 +465,30 @@ final case class CepQuery(
       * when time never goes backwards. Composable with `within` (both
       * gates then apply). `None` = no time window.
       */
-    withinTime: Option[WithinTime] = None
+    withinTime: Option[WithinTime] = None,
+    /** SQL:2016 `^` partition-start anchor: the match must START at the
+      * partition's first event — its first taken event is the key's
+      * first event. Operationally the executor seeds a run only at the
+      * first event per key (a pure state win: later seeds could never
+      * match) AND gates emission on `firstTake == 1`, which closes the
+      * optional-prefix hole where the step-1 run ignores events before
+      * its first take (`Dst.hasUntakenIgnorePrefix`); both are
+      * differential-pinned in `CepAnchorSpec` against the filtered
+      * model "earliest bound ordinal == partition's first ordinal".
+      * Streams fine (the per-key step counter rides the state codec).
+      */
+    anchorStart: Boolean = false,
+    /** SQL:2016 `$` partition-end anchor: the match must END at the
+      * partition's last event — a match is emitted only when the event
+      * completing it (its last take; acceptance always rides a take,
+      * `Dst.accept`) is the partition's final event. Mid-partition
+      * accepts are not matches at all, so they trigger NO after-match
+      * skip effects. BATCH-ONLY: an unbounded stream has no partition
+      * end, so every streaming operator rejects it loudly
+      * (`SparkCep.checkWithinStateBound`) — a documented deviation
+      * from engines that fake it with inactivity timeouts.
+      */
+    anchorEnd: Boolean = false
 ) extends Serializable {
   // validate at query construction (driver side) — the Executor's own
   // require would otherwise surface as repeated task failures

@@ -157,7 +157,8 @@ object SparkCep {
     val orderName = attrNames.head
     val out = parted.mapPartitions { rows =>
       val executor = new Executor(DstCompiler.compile(query),
-        query.strategy, Some(-cap), query.within, query.withinTime)
+        query.strategy, Some(-cap), query.within, query.withinTime,
+        anchorStart = query.anchorStart, anchorEnd = query.anchorEnd)
       val br = rows.buffered
       new Iterator[Row] {
         def hasNext: Boolean = br.hasNext
@@ -175,7 +176,9 @@ object SparkCep {
                 attrs += attrNames(i - 2) -> row.getLong(i)
               i += 1
             }
-            n += executor.feed(Event(row.getString(2), attrs.result())).size
+            val isLast = !(br.hasNext && br.head.getLong(0) == key)
+            n += executor.feed(Event(row.getString(2), attrs.result()),
+              isLast).size
           }
           Row(key, n, executor.shedCount, cap.toLong)
         }
@@ -234,9 +237,14 @@ object SparkCep {
             nullable = false)))
     val orderName = attrNames.head
     val out = parted.mapPartitions { rows =>
+      // NOTE: the 1-arg feed is correct here even under `anchorEnd` —
+      // the matches are discarded (only the timeout side output is
+      // kept), and with emission suppressed the skip strategy never
+      // prunes mid-partition, exactly the `$` semantics.
       val executor = new Executor(DstCompiler.compile(query),
         query.strategy, effMaxRuns, query.within, query.withinTime,
-        captureTimeouts = true)
+        captureTimeouts = true,
+        anchorStart = query.anchorStart, anchorEnd = query.anchorEnd)
       var curKey = 0L
       var started = false
       rows.flatMap { row =>
@@ -304,9 +312,15 @@ object SparkCep {
       if (spec.keyCol.isDefined) Long.MaxValue
       else df.sparkSession.conf.get(CepRuntimeWarnings.UnkeyedWarnRowsKey,
         CepRuntimeWarnings.UnkeyedWarnRowsDefault.toString).toLong
-    val out = parted.mapPartitions { rows =>
+    val out = parted.mapPartitions { rows0 =>
       val executor =
-        new Executor(DstCompiler.compile(query), query.strategy, effMaxRuns, query.within, query.withinTime)
+        new Executor(DstCompiler.compile(query), query.strategy, effMaxRuns,
+          query.within, query.withinTime,
+          anchorStart = query.anchorStart, anchorEnd = query.anchorEnd)
+      // `$` needs the last-event-of-key flag: one-element lookahead
+      // (typed Rows are fresh objects per record — peeking is safe)
+      val rows = rows0.buffered
+      val needLast = query.anchorEnd
       // resolve the optional gauge once per task: the per-event cost when
       // disabled is a single null check, not an Option dispatch + closure
       val acc = skewAcc.orNull
@@ -329,7 +343,9 @@ object SparkCep {
           i += 1
         }
         val ev = Event(row.getString(2), attrs.result())
-        val matches = executor.feed(ev)
+        val isLast = needLast &&
+          (!rows.hasNext || rows.head.getLong(0) != key)
+        val matches = executor.feed(ev, isLast)
         if (acc != null) {
           acc.add((key, executor.runCount.toLong))
           val sc = executor.shedCount
@@ -535,6 +551,18 @@ object SparkCep {
 
   private[cep] def checkWithinStateBound(query: CepQuery,
       maxRuns: Option[Int], streaming: Boolean): Unit = {
+    // `$` is batch-only: an unbounded stream has no partition end, so
+    // the anchor could never emit — reject loudly at every streaming
+    // entry point instead of silently producing zero matches. (A
+    // documented deviation from engines that approximate partition end
+    // with inactivity timeouts; `^` streams fine — the per-key step
+    // counter rides the state codec.)
+    if (streaming && query.anchorEnd)
+      throw new IllegalArgumentException(
+        "CEP '$' end anchor is batch-only: an unbounded stream has no " +
+          "partition end. Run the anchored query in batch, or drop the " +
+          "anchor and filter matches downstream once the partition is " +
+          "known to be complete.")
     if ((query.within.isDefined || query.withinTime.isDefined) &&
         maxRuns.isEmpty &&
         DstCompiler.compile(query).hasUntakenIgnorePrefix) {
@@ -592,6 +620,15 @@ object SparkCep {
     * observable — no filter there.
     */
   def prefilter(query: CepQuery, spec: CepSpec): Option[Column] = {
+    // partition anchors make EVERY dropped event observable: `^` pins
+    // the match start to the partition's true first event and `$` the
+    // match end to its true last event — if that event is non-Σ the
+    // anchored result must be empty for the key, but a prefiltered
+    // stream would present the first/last SURVIVING event as the
+    // partition edge and wrongly match. No pushdown for anchored
+    // queries (they are also the queries that least need it: `^`
+    // bounds live runs by construction).
+    if (query.anchorStart || query.anchorEnd) return None
     // `within` counts STREAM POSITIONS, so dropping ignorable events
     // before the NFA would shrink every span and admit matches the
     // window should reject — the one observer that makes skipped

@@ -298,6 +298,15 @@ object StreamingCep {
     * non-late arrivals (events already behind the watermark are dropped —
     * standard late-data policy), release the strict prefix below the
     * watermark. Returns (ready, still-buffered).
+    *
+    * Epoch-0 boundary: BEFORE this buffer ever runs, Spark's own
+    * stateful late-row filter drops rows whose event time is <= the
+    * current watermark — and the INITIAL watermark is 0, so an event
+    * timestamped exactly epoch 0 never reaches the operator at all.
+    * Real event times are never epoch 0; synthetic ts columns derived
+    * from 0-based ids must offset away from it (the event-time gates
+    * use id+1 seconds — found by the `^` anchor, which observes the
+    * true first event).
     */
   private def releaseBuffer(prev: Seq[BufEvent], incoming: Vector[BufEvent],
       wmMs: Long): (Vector[BufEvent], Vector[BufEvent]) = {
@@ -441,7 +450,9 @@ object StreamingCep {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
-          val executor = new Executor(dst, query.strategy, effMaxRuns, query.within, query.withinTime)
+          val executor = new Executor(dst, query.strategy, effMaxRuns,
+            query.within, query.withinTime,
+            anchorStart = query.anchorStart)
           val nf = new NavFeed(navs)
           if (state.exists) {
             val st = CepStateCodec.decode(state.get)
@@ -485,7 +496,7 @@ object StreamingCep {
           // theirs (the physical-row history on a run-free key feeds the
           // NEXT event's PREV), so both forgo the GC.
           if (executor.liveRunCount == 0 && query.withinTime.isEmpty &&
-              !nf.active)
+              !nf.active && !query.anchorStart)
             state.remove()
           else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
@@ -560,7 +571,8 @@ object StreamingCep {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
-            query.within, query.withinTime)
+            query.within, query.withinTime,
+            anchorStart = query.anchorStart)
           val nf = new NavFeed(navs)
           if (state.exists) {
             val stt = CepStateCodec.decode(state.get)
@@ -589,7 +601,7 @@ object StreamingCep {
           }
           val snap = snapshotState(executor)
           if (executor.liveRunCount == 0 && query.withinTime.isEmpty &&
-              !nf.active)
+              !nf.active && !query.anchorStart)
             state.remove()
           else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
@@ -647,7 +659,8 @@ object StreamingCep {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
-            query.within, query.withinTime, captureTimeouts = true)
+            query.within, query.withinTime, captureTimeouts = true,
+            anchorStart = query.anchorStart)
           val nf = new NavFeed(navs)
           if (state.exists) {
             val st = CepStateCodec.decode(state.get)
@@ -674,7 +687,7 @@ object StreamingCep {
           val snap = snapshotState(executor)
           // idle-key state GC (see matchPattern)
           if (executor.liveRunCount == 0 && query.withinTime.isEmpty &&
-              !nf.active)
+              !nf.active && !query.anchorStart)
             state.remove()
           else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
@@ -829,7 +842,8 @@ object StreamingCep {
         (key: Long, rows: Iterator[Row], state: GroupState[SharedMultiState]) =>
           val executors = qVec.zipWithIndex.map { case ((_, q), i) =>
             new Executor(dsts(i), q.strategy, effMaxRuns,
-              q.within, q.withinTime)
+              q.within, q.withinTime,
+              anchorStart = q.anchorStart)
           }
           val nf = new NavFeed(navs)
           if (state.exists) {
@@ -860,7 +874,8 @@ object StreamingCep {
           // idle-key state GC: all members run-free, no member query
           // carrying a withinTime floor, no navigation history to keep
           if (executors.forall(_.liveRunCount == 0) &&
-              qVec.forall(_._2.withinTime.isEmpty) && !nf.active)
+              qVec.forall(q => q._2.withinTime.isEmpty &&
+                !q._2.anchorStart) && !nf.active)
             state.remove()
           else {
             val base = encodeMembers(executors, CepStateCodec.VariantArrival)
@@ -996,7 +1011,9 @@ object StreamingCep {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
-          val executor = new Executor(dst, query.strategy, effMaxRuns, query.within, query.withinTime)
+          val executor = new Executor(dst, query.strategy, effMaxRuns,
+            query.within, query.withinTime,
+            anchorStart = query.anchorStart)
           val prev = if (state.exists) CepStateCodec.decode(state.get)
             else CepStateEt(0, Nil, Nil)
           // deterministic cross-variant refusal (see matchPattern): an
@@ -1035,7 +1052,8 @@ object StreamingCep {
           val snap = snapshotState(executor)
           // idle-key state GC: no live runs AND nothing buffered ==
           // fresh key (see matchPattern)
-          if (executor.liveRunCount == 0 && still.isEmpty &&
+          if (executor.liveRunCount == 0 && !query.anchorStart &&
+              still.isEmpty &&
               query.withinTime.isEmpty && !nf.active) state.remove()
           else {
             state.update(CepStateCodec.encode(
@@ -1096,7 +1114,8 @@ object StreamingCep {
         (key: Long, rows: Iterator[Row],
             state: GroupState[CepStateCodec.VersionedState]) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
-            query.within, query.withinTime, captureTimeouts = true)
+            query.within, query.withinTime, captureTimeouts = true,
+            anchorStart = query.anchorStart)
           val prev = if (state.exists) CepStateCodec.decode(state.get)
             else CepStateEt(0, Nil, Nil)
           if (prev.variant == CepStateCodec.VariantArrival)
@@ -1124,7 +1143,8 @@ object StreamingCep {
           }
           val snap = snapshotState(executor)
           // idle-key state GC (see matchPattern)
-          if (executor.liveRunCount == 0 && still.isEmpty &&
+          if (executor.liveRunCount == 0 && !query.anchorStart &&
+              still.isEmpty &&
               query.withinTime.isEmpty && !nf.active) state.remove()
           else {
             state.update(CepStateCodec.encode(
@@ -1278,7 +1298,8 @@ object StreamingCep {
         (key: Long, rows: Iterator[Row], state: GroupState[SharedMultiStateEt]) =>
           val executors = qVec.zipWithIndex.map { case ((_, q), i) =>
             new Executor(dsts(i), q.strategy, effMaxRuns,
-              q.within, q.withinTime)
+              q.within, q.withinTime,
+              anchorStart = q.anchorStart)
           }
           val nf = new NavFeed(navs)
           val prevBuffer: Vector[BufEvent] =
@@ -1304,7 +1325,8 @@ object StreamingCep {
           }
 
           // idle-key state GC: all members empty AND nothing buffered
-          if (executors.forall(_.liveRunCount == 0) && still.isEmpty &&
+          if (executors.forall(_.liveRunCount == 0) &&
+              qVec.forall(!_._2.anchorStart) && still.isEmpty &&
               qVec.forall(_._2.withinTime.isEmpty) && !nf.active)
             state.remove()
           else {

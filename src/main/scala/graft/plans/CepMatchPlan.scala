@@ -171,10 +171,19 @@ final case class CepMatchExec(
       if (keyed) Long.MaxValue
       else conf.getConfString(CepRuntimeWarnings.UnkeyedWarnRowsKey,
         CepRuntimeWarnings.UnkeyedWarnRowsDefault.toString).toLong
-    child.execute().mapPartitions({ iter =>
+    child.execute().mapPartitions({ iter0 =>
       val proj = UnsafeProjection.create(outTypes)
       val executor =
-        new Executor(DstCompiler.compile(q), q.strategy, maxRuns, q.within, q.withinTime)
+        new Executor(DstCompiler.compile(q), q.strategy, maxRuns, q.within,
+          q.withinTime,
+          anchorStart = q.anchorStart, anchorEnd = q.anchorEnd)
+      // `$` needs the last-event-of-key flag — one-element lookahead.
+      // UNSAFE-ROW CAUTION: the child iterator reuses its row buffer, so
+      // `iter.head` invalidates the current row — the peek must happen
+      // AFTER the row is fully decoded (key long + Event copy), which
+      // the body below guarantees (decode first, peek, then feed).
+      val iter = iter0.buffered
+      val needLast = q.anchorEnd
       // gauge resolved once per task; disabled cost is one null check
       val acc = skew.orNull
       val guard = new CepRuntimeWarnings.UnkeyedCounter(unkeyedWarnRows)
@@ -188,7 +197,9 @@ final case class CepMatchExec(
           executor.reset(); prevShed = 0L; curKey = key; started = true
         }
         val ev = CepRowDecode.decode(row, key, aNames, oName)
-        val matches = executor.feed(ev)
+        val isLast = needLast &&
+          (!iter.hasNext || iter.head.getLong(0) != key)
+        val matches = executor.feed(ev, isLast)
         if (acc != null) {
           acc.add((key, executor.runCount.toLong))
           // shed telemetry: delta since the last event (reset() zeroes
@@ -282,7 +293,7 @@ final case class CepMultiMatchExec(
       if (keyed) Long.MaxValue
       else conf.getConfString(CepRuntimeWarnings.UnkeyedWarnRowsKey,
         CepRuntimeWarnings.UnkeyedWarnRowsDefault.toString).toLong
-    child.execute().mapPartitions({ iter =>
+    child.execute().mapPartitions({ iter0 =>
       import org.apache.spark.unsafe.types.UTF8String
       val proj = UnsafeProjection.create(outTypes)
       // qname as UTF8String once per task, not per match
@@ -292,8 +303,14 @@ final case class CepMultiMatchExec(
       }
       val executors = qSeq.map { case (_, q) =>
         new Executor(DstCompiler.compile(q), q.strategy, maxRuns,
-          q.within, q.withinTime)
+          q.within, q.withinTime,
+          anchorStart = q.anchorStart, anchorEnd = q.anchorEnd)
       }
+      // `$` on any member needs the last-event-of-key flag (per-KEY, so
+      // one peek serves all members). Same UnsafeRow caution as the
+      // single-query exec: peek only after the row is fully decoded.
+      val iter = iter0.buffered
+      val needLast = qSeq.exists(_._2.anchorEnd)
       // null = feed everything (member declined a prefilter)
       val gates: Array[Set[String]] = fTypes.map(_.orNull).toArray
       // per-event scratch: this row's matches per member (reused — safe,
@@ -312,6 +329,8 @@ final case class CepMultiMatchExec(
           curKey = key; started = true
         }
         val ev = CepRowDecode.decode(row, key, aNames, oName)
+        val isLast = needLast &&
+          (!iter.hasNext || iter.head.getLong(0) != key)
         val tpe = ev.tpe
         var maxRunCount = 0L
         // feed every member eagerly (the gauge samples POST-feed run
@@ -324,10 +343,13 @@ final case class CepMultiMatchExec(
           // alphabet are invisible to it (SparkCep.memberFeedTypes) —
           // skipping the feed leaves its state, and hence runCount,
           // exactly as feeding would
+          // an anchored member never declares a gate (SparkCep.prefilter
+          // returns None for anchored queries), so the flagged last
+          // event always reaches it
           val gate = gates(qi)
           matchesByQ(qi) =
             if (gate == null || (tpe != null && gate.contains(tpe))) {
-              val ms = executors(qi).feed(ev)
+              val ms = executors(qi).feed(ev, isLast)
               if (ms.nonEmpty) any = true
               ms
             } else Vector.empty

@@ -1,0 +1,139 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+import GoldenUtil._
+
+/** SQL:2016 running aggregates as DEFINE conditions
+  * (`CepSql.rewriteAggs`): `b AS click WHERE SUM(b.value) < 100`
+  * desugars at parse time to the LET register machinery
+  * (`cep_iter_budget`'s engine path) — a hidden `__agg<k>` register
+  * folded on the target's takes, the atom replaced by register
+  * arithmetic. Self-targeted atoms include the current event (the
+  * standard's rule: the current row is tentatively classified as the
+  * defining variable); cross-targeted SUM/COUNT read the register
+  * as-is.
+  */
+class CepDefineAggSpec extends AnyFunSuite {
+
+  private val schema: Vector[(String, Vector[String])] = Vector(
+    "A" -> Vector("id", "v"), "B" -> Vector("id", "v"))
+
+  /** (type, v) events with 1-based ids. */
+  private def evs(pairs: (String, Int)*): Vector[Event] =
+    pairs.zipWithIndex.map { case ((t, v), i) =>
+      Event(t, Vector("id" -> (i + 1).toLong, "v" -> v.toLong))
+    }.toVector
+
+  private def ids(ms: Vector[Match]): Vector[Vector[(String, Vector[Long])]] =
+    ms.map(_.map { case (n, es) => n -> es.map(_("id")) })
+
+  test("self SUM == the hand-written LET register formulation " +
+    "(seeded random streams)") {
+    val sugared = CepSql.parse(
+      "PATTERN (a{2,3}) DEFINE a AS A WHERE SUM(a.v) <= 100", schema)
+    val manual = CepSql.parse(
+      "PATTERN (a{2,3}) DEFINE a AS A WHERE X + v <= 100 " +
+        "LET X = 0 THEN X + v", schema)
+    val rnd = new scala.util.Random(20260819L)
+    for (trial <- 0 until 40) {
+      val in = evs((1 to (4 + rnd.nextInt(8))).map(_ =>
+        (if (rnd.nextBoolean()) "A" else "B", rnd.nextInt(60))): _*)
+      assert(ids(CepOperator.run(sugared, in)) ==
+        ids(CepOperator.run(manual, in)), s"trial $trial")
+    }
+  }
+
+  test("self COUNT includes the current candidate") {
+    // at most 2 a's ever taken per run: the 3rd candidate sees COUNT=3
+    val q = CepSql.parse(
+      "PATTERN (a{1,3}) DEFINE a AS A WHERE COUNT(a) <= 2", schema)
+    val out = CepOperator.run(q, evs(("A", 1), ("A", 1), ("A", 1)))
+    // runs at e1: [1], [1,2] (3rd blocked); e2: [2], [2,3]; e3: [3]
+    assert(ids(out) == Vector(
+      Vector("a" -> Vector(1L)),
+      Vector("a" -> Vector(1L, 2L)),
+      Vector("a" -> Vector(2L)),
+      Vector("a" -> Vector(2L, 3L)),
+      Vector("a" -> Vector(3L))))
+  }
+
+  test("cross-target SUM: the register folds the OTHER name's takes " +
+    "and excludes the current row") {
+    // b accepted only once the a-run sums past 5; b's own value is not
+    // part of the sum
+    val q = CepSql.parse(
+      "PATTERN (a{1,2} -> b) DEFINE a AS A; b AS B WHERE SUM(a.v) > 5",
+      schema)
+    // a=[e1(3)] sum 3: b rejected; a=[e1,e2] sum 7: b at e3 accepted
+    val out = CepOperator.run(q, evs(("A", 3), ("A", 4), ("B", 100)))
+    assert(ids(out) ==
+      Vector(Vector("a" -> Vector(1L, 2L), "b" -> Vector(3L))))
+  }
+
+  test("self MIN / MAX / AVG desugar to exact integer folds") {
+    val qMin = CepSql.parse(
+      "PATTERN (a{2,3}) DEFINE a AS A WHERE MIN(a.v) >= 4", schema)
+    // values 5,4,3: [5],[5,4] ok; [5,4,3] min 3 rejected; [4],[4,3] x
+    val outMin = CepOperator.run(qMin, evs(("A", 5), ("A", 4), ("A", 3)))
+    assert(ids(outMin) == Vector(Vector("a" -> Vector(1L, 2L))))
+    val qMax = CepSql.parse(
+      "PATTERN (a{2,3}) DEFINE a AS A WHERE MAX(a.v) <= 4", schema)
+    val outMax = CepOperator.run(qMax, evs(("A", 3), ("A", 4), ("A", 5)))
+    assert(ids(outMax) == Vector(Vector("a" -> Vector(1L, 2L))))
+    // AVG is the floored quotient: avg(3,4)=3 — DuckDB `//`
+    val qAvg = CepSql.parse(
+      "PATTERN (a{2,2}) DEFINE a AS A WHERE AVG(a.v) <= 3", schema)
+    val outAvg = CepOperator.run(qAvg, evs(("A", 3), ("A", 4)))
+    assert(ids(outAvg) == Vector(Vector("a" -> Vector(1L, 2L))))
+  }
+
+  test("one register per distinct atom; repeated atoms share it") {
+    val st = CepSql.parseStatement(
+      "PATTERN (a{1,3}) DEFINE a AS A " +
+        "WHERE SUM(a.v) >= 2 and SUM(a.v) <= 9", schema)
+    val vars = st.query.patseq match {
+      case l: Pattern.Lpat => l.vars
+      case other => fail(s"unexpected $other")
+    }
+    assert(vars.map(_.name) == Vector("__agg0"))
+  }
+
+  test("render prints the desugared LET form and re-parses to the " +
+    "same query (the sugar does not round-trip; documented)") {
+    val st = CepSql.parseStatement(
+      "PATTERN (a{2,3}) MEASURES COUNT(a) AS n " +
+        "DEFINE a AS A WHERE SUM(a.v) <= 100", schema)
+    val rendered = CepSql.render(st)
+    assert(rendered.contains("LET __agg0 = 0 THEN __agg0 + v"),
+      rendered)
+    assert(CepSql.parseStatement(rendered, schema) == st)
+  }
+
+  test("rejections: non-running prefix, aggregates outside WHERE, bad " +
+    "shapes, reserved registers") {
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.parseStatement(sql, schema)
+      }
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("PATTERN (a) DEFINE a AS A WHERE FINAL SUM(a.v) < 9",
+      "RUNNING by definition")
+    bad("PATTERN (a) DEFINE a AS A WHERE RUNNING SUM(a.v) < 9",
+      "RUNNING by definition")
+    bad("PATTERN (a{1,}) DEFINE a AS A UNTIL SUM(a.v) > 9",
+      "UNTIL")
+    bad("PATTERN (a) DEFINE a AS A WHERE X < 5 " +
+      "LET X = 0 THEN SUM(a.v)", "LET")
+    bad("PATTERN (a -> b) DEFINE a AS A; b AS B WHERE MIN(a.v) > 1",
+      "self-only")
+    bad("PATTERN (a) DEFINE a AS A WHERE COUNT(a.v) > 1",
+      "COUNT takes no attribute")
+    bad("PATTERN (a) DEFINE a AS A WHERE SUM(a) > 1",
+      "needs an attribute")
+    bad("PATTERN (a) DEFINE a AS A WHERE SUM(z.v) > 1",
+      "no such DEFINE")
+    bad("PATTERN (a) DEFINE a AS A WHERE SUM(a.v) > 1 " +
+      "LET __agg9 = 0 THEN __agg9 + v", "reserved '__agg'")
+  }
+}

@@ -37,7 +37,7 @@ class CepSqlFuzzSpec extends AnyFunSuite {
       "PATTERN DEFINE MEASURES WITHIN AFTER MATCH SKIP ALL ONE ROWS " +
         "ROW PER BY ORDER TYPE AS GROUP UNTIL LET THEN WHERE FINAL " +
         "RUNNING PREV NEXT PERMUTE UNMATCHED WITH " +
-        "abc v {}()->~>!?*+,.;:0123456789-{- -} \n\t"
+        "abc v {}()->~>!?*+,.;:0123456789-{- -}^$ \n\t"
     for (_ <- 0 until 2000) {
       val n = 1 + rnd.nextInt(80)
       val s = new StringBuilder
@@ -68,6 +68,8 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         "ORDER BY id TYPE t DEFINE a AS A; b AS B; c AS C",
       "PATTERN (a -> b) MEASURES LAST(b.v) - FIRST(a.v, 1) AS spread, " +
         "10 * (COUNT(a) + COUNT(b)) AS n10 " +
+        "DEFINE a AS A; b AS B WHERE v > 1",
+      "PATTERN (^ a -> b{1,2} $) MEASURES FIRST(a) AS i " +
         "DEFINE a AS A; b AS B WHERE v > 1")
     for (_ <- 0 until 2000) {
       val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
@@ -110,7 +112,9 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         if (rnd.nextBoolean()) AfterMatchStrategy.NoSkip
         else AfterMatchStrategy.SkipToNext,
         if (rnd.nextBoolean()) Some(1 + rnd.nextInt(50)) else None,
-        None)
+        None,
+        anchorStart = rnd.nextInt(4) == 0,
+        anchorEnd = rnd.nextInt(4) == 0)
       // an alias-less atom for expression trees (alias "" by the Atom
       // convention), or an aliased plain measure
       def rndMeasure(alias: String, allowNullary: Boolean)

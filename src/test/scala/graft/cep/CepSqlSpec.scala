@@ -60,7 +60,11 @@ class CepSqlSpec extends AnyFunSuite {
         "p AS purchase WHERE value < 50; x AS error"),
     "cep_sql_permute" ->
       ("PATTERN (s -> PERMUTE(c, p)) DEFINE s AS signup; c AS click; " +
-        "p AS purchase WITHIN 8")
+        "p AS purchase WITHIN 8"),
+    "cep_sql_anchor_first" ->
+      "PATTERN (^ s -> c) DEFINE s AS signup; c AS click",
+    "cep_sql_define_agg" ->
+      "PATTERN (a{2,3}) DEFINE a AS purchase WHERE SUM(a.value) <= 100"
   )
 
   test("every registry CepQuery round-trips through its SQL form") {

@@ -42,9 +42,16 @@ class EventTimeRegistryGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+    // ts = event_id + 1 seconds: the +1 keeps the GLOBAL-MIN event off
+    // epoch 0 — Spark's stateful late-row filter drops rows with event
+    // time <= the watermark, and the initial watermark is 0, so an
+    // epoch-0 event silently never reaches the operator. Harmless for
+    // most patterns (caught nothing for rounds), but the `^` anchor
+    // observes the TRUE first event and failed the gate on exactly
+    // that dropped row.
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), col("event_id").cast("timestamp").as("ts"))
+        col("value"), (col("event_id") + 1).cast("timestamp").as("ts"))
     val mm = ev.selectExpr("min(event_id)", "max(event_id)").head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val width = (hi - lo) / 4 + 1
