@@ -15,6 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.CepStrategy)
+    // MATCH_RECOGNIZE in the FROM clause (GraftSql): statements without
+    // it delegate verbatim (one cheap scan per statement)
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName,

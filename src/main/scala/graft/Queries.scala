@@ -1006,6 +1006,110 @@ object Queries {
       |  AND c.event_type = 'click'
       |ORDER BY p.user_id, c_id, p_id""".stripMargin
 
+  /** Division in measure expressions end-to-end: the funnel emitting a
+    * length-normalized rate (`SUM(c.value) / COUNT(c)` — the motivating
+    * case for lifting the old no-division restriction) plus a NEGATIVE
+    * quotient (`(MIN - MAX) / 2`) that makes the semantics observable:
+    * '/' is DuckDB-`//`-exact TRUNCATION toward zero (-7/2 = -3; a
+    * floored division would say -4 and hash-mismatch this oracle),
+    * lowered to Catalyst `IntegralDivide` under `TryEval` — long-exact,
+    * NULL on a zero divisor even with ANSI on. AVG deliberately keeps
+    * the floored exact mean (both appear here).
+    */
+  val cepSqlMeasuresDivStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES FIRST(s) AS s_id, SUM(c.value) / COUNT(c) AS c_rate, " +
+        "(MIN(c.value) - MAX(c.value)) / 2 AS half_drop, " +
+        "AVG(c.value) AS c_avg " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlMeasuresDiv(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlMeasuresDivStatement, eventSpec)
+      .orderBy("user_id", "s_id", "c_rate", "half_drop", "c_avg")
+
+  val cepSqlMeasuresDivSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT m.user_id, m.s_id,
+      |  CAST((e1.v + COALESCE(e2.v, 0)) //
+      |    (CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END) AS BIGINT)
+      |    AS c_rate,
+      |  CAST((LEAST(e1.v, COALESCE(e2.v, e1.v)) -
+      |        GREATEST(e1.v, COALESCE(e2.v, e1.v))) // 2 AS BIGINT)
+      |    AS half_drop,
+      |  CAST(FLOOR((e1.v + COALESCE(e2.v, 0)) /
+      |    (CASE WHEN m.c2_seq IS NULL THEN 1.0 ELSE 2.0 END)) AS BIGINT)
+      |    AS c_avg
+      |FROM m
+      |JOIN seqd e1 ON e1.user_id = m.user_id AND e1.seq = m.c1_seq
+      |LEFT JOIN seqd e2 ON e2.user_id = m.user_id AND e2.seq = m.c2_seq
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
+  /** MATCH_RECOGNIZE as a true FROM-clause table operator (`GraftSql`):
+    * the statement text goes through the SQL surface — table name
+    * resolved from the catalog, `TYPE ... IN` declaring the event-type
+    * universe inline, outer SELECT/ORDER BY composing over the match
+    * frame — and lowers to the same Catalyst-planned operator +
+    * MEASURES projection as every other cep row. This row drives the
+    * extension-less `GraftSql.sql` entry (the Verify session is built
+    * without extensions); the literal `spark.sql(...)` route through
+    * the injected parser is the SAME rewrite, pinned end-to-end on an
+    * extension-enabled session in `GraftSqlSpec`.
+    */
+  def cepSqlFromClause(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events").createOrReplaceTempView("graft_mr_events")
+    GraftSql.sql(spark,
+      """SELECT user_id, s_id, c_id FROM graft_mr_events MATCH_RECOGNIZE (
+        |  PATTERN (s -> c)
+        |  MEASURES FIRST(s) AS s_id, LAST(c) AS c_id
+        |  PARTITION BY user_id ORDER BY event_id
+        |  TYPE event_type IN (click, purchase, error, signup, view)
+        |  DEFINE s AS signup; c AS click
+        |) ORDER BY user_id, s_id, c_id""".stripMargin)
+  }
+
+  val cepSqlFromClauseSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup')
+      |SELECT g.user_id, g.s_id, min(c.event_id) AS c_id
+      |FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |  AND c.seq > g.s_seq AND c.event_type = 'click'
+      |GROUP BY g.user_id, g.s_id
+      |ORDER BY g.user_id, s_id, c_id""".stripMargin
+
   /** AVG measures + the SELF-CONTAINED statement form: the funnel again,
     * but the statement carries its own `PARTITION BY user_id ORDER BY
     * event_id TYPE event_type` sections, so `CepMeasures.run(df, st)`
@@ -6533,6 +6637,8 @@ object Queries {
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnel _,
     "cep_sql_anchor_first" -> cepSqlAnchorFirst _,
     "cep_sql_anchor_last" -> cepSqlAnchorLast _,
+    "cep_sql_measures_div" -> cepSqlMeasuresDiv _,
+    "cep_sql_from_clause" -> cepSqlFromClause _,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffset _,
     "cep_sql_measures_expr" -> cepSqlMeasuresExpr _,
@@ -6696,6 +6802,8 @@ object Queries {
     "cep_sql_measures_funnel" -> cepSqlMeasuresFunnelSql,
     "cep_sql_anchor_first" -> cepSqlAnchorFirstSql,
     "cep_sql_anchor_last" -> cepSqlAnchorLastSql,
+    "cep_sql_measures_div" -> cepSqlMeasuresDivSql,
+    "cep_sql_from_clause" -> cepSqlFromClauseSql,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffsetSql,
     "cep_sql_measures_expr" -> cepSqlMeasuresExprSql,

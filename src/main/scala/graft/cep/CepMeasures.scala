@@ -192,6 +192,15 @@ object CepMeasures {
     final case class Add(l: MExpr, r: MExpr) extends MExpr
     final case class Sub(l: MExpr, r: MExpr) extends MExpr
     final case class Mul(l: MExpr, r: MExpr) extends MExpr
+    /** Integer division `/` — DuckDB `//` semantics EXACTLY: truncation
+      * toward zero (`7 / -2 = -3`, unlike Python's floored `//`), NULL
+      * on a zero divisor. Lowered to Catalyst `IntegralDivide` (`div`),
+      * which is long-exact — no double round-trip. Note AVG is the one
+      * deliberate exception: it keeps the FLOORED quotient (the
+      * documented exact-integer-mean convention, visible only on
+      * negative sums).
+      */
+    final case class Div(l: MExpr, r: MExpr) extends MExpr
 
     /** The distinct atoms of an expression, in first-occurrence order. */
     def atoms(e: MExpr): Vector[Measure] = {
@@ -201,6 +210,7 @@ object CepMeasures {
         case Add(l, r) => walk(l) ++ walk(r)
         case Sub(l, r) => walk(l) ++ walk(r)
         case Mul(l, r) => walk(l) ++ walk(r)
+        case Div(l, r) => walk(l) ++ walk(r)
       }
       walk(e).distinct
     }
@@ -227,6 +237,25 @@ object CepMeasures {
     */
   private def floorDiv(sumC: Column, cntC: Column): Column =
     ((sumC - pmod(sumC, cntC)) / cntC).cast(LongType)
+
+  /** Measure-expression `/`: DuckDB-`//`-exact integer division —
+    * truncation toward zero, NULL on a zero divisor — via Catalyst
+    * `IntegralDivide` (long-exact, no double round-trip). Distinct from
+    * [[floorDiv]], which AVG keeps for the floored exact mean.
+    */
+  private def truncDiv(l: Column, r: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    // TryEval pins NULL-on-zero-divisor regardless of the session's
+    // ANSI setting (Spark 4 defaults ANSI on, which would otherwise
+    // throw DIVIDE_BY_ZERO where DuckDB returns NULL; a bare
+    // EvalMode.TRY on the node still throws — the registry wraps
+    // try_* functions in TryEval, so we do the same)
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.TryEval(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          GraftColumnBridge.expression(l), GraftColumnBridge.expression(r),
+          org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)))
+  }
 
   /** Shared validation for both output modes. `reserved` = output-shape
     * column names the mode itself emits. `subsets` = SQL:2016 SUBSET
@@ -310,6 +339,8 @@ object CepMeasures {
       case MExpr.Add(l, r) => exprCol(l, isFinal) + exprCol(r, isFinal)
       case MExpr.Sub(l, r) => exprCol(l, isFinal) - exprCol(r, isFinal)
       case MExpr.Mul(l, r) => exprCol(l, isFinal) * exprCol(r, isFinal)
+      case MExpr.Div(l, r) => truncDiv(exprCol(l, isFinal),
+        exprCol(r, isFinal))
     }
     val atoms = items.collect { case m: Measure => m } ++
       hidden.map { case (m, al) => m.copy(alias = al) }
@@ -578,6 +609,13 @@ object CepMeasures {
     * (each row sees the aggregate over the match's rows up to and
     * including itself, the MATCH_RECOGNIZE default in this mode).
     *
+    * DOCUMENTED DEVIATION (exclusion × `withUnmatched`): SQL:2016 and
+    * Trino prohibit `{- -}` row-pattern exclusion under WITH UNMATCHED
+    * ROWS; this engine accepts the combination with defined semantics —
+    * an excluded row is MATCHED (it binds and feeds measures), so it is
+    * omitted from the output and can never surface as an unmatched row.
+    * Spec-pinned in `CepExclusionSpec`.
+    *
     * `match_no` is a DETERMINISTIC per-key sequence in temporal order:
     * `row_number` ordered by the match's earliest bound ordinal with the
     * binding arrays as tiebreaker (see [[matchSeqWindow]] for why the
@@ -802,6 +840,9 @@ object CepMeasures {
       case MExpr.Add(l, r) => for (a <- eval(l); b <- eval(r)) yield a + b
       case MExpr.Sub(l, r) => for (a <- eval(l); b <- eval(r)) yield a - b
       case MExpr.Mul(l, r) => for (a <- eval(l); b <- eval(r)) yield a * b
+      case MExpr.Div(l, r) => // JVM `/` truncates toward zero, like
+        // IntegralDivide and DuckDB `//`; zero divisor -> NULL
+        for (a <- eval(l); b <- eval(r) if b != 0L) yield a / b
     }
     item match {
       case m: Measure     => evalMeasure(m, byName, orderName, subsets)

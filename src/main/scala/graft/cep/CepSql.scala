@@ -44,9 +44,24 @@ package graft.cep
   *            stream order — COUNT(u), FIRST(u), SUM(u.attr), …)
   *           [ONE ROW PER MATCH | ALL ROWS PER MATCH
   *            [WITH UNMATCHED ROWS]]   (unmatched rows join the ALL
-  *            ROWS output with NULL match_no/classifier/measures;
-  *            excluded `{- -}` rows are matched, never "unmatched")
-  *           [PARTITION BY col] [ORDER BY col] [TYPE col]
+  *            ROWS output with NULL match_no/classifier/measures.
+  *            DOCUMENTED DEVIATION: SQL:2016 — and Trino — PROHIBIT
+  *            `{- -}` exclusion under WITH UNMATCHED ROWS; this
+  *            grammar accepts the combination with defined semantics:
+  *            an excluded row is MATCHED, so it is omitted from the
+  *            output and never surfaces as an unmatched row —
+  *            spec-pinned in `CepExclusionSpec`)
+  *           [PARTITION BY col] [ORDER BY col]
+  *           [TYPE col [IN '(' t (',' t)* ')']]
+  *           (the optional IN-list declares the EVENT-TYPE UNIVERSE
+  *            inline, making the statement fully self-contained — the
+  *            FROM-clause / spark.sql surface, where no caller schema
+  *            exists. It is mutually exclusive with a caller-supplied
+  *            schema, must cover every DEFINEd event type, and drives
+  *            relaxed-contiguity ignore-edge enumeration exactly like
+  *            a schema; per-type attribute lists become the
+  *            statement's referenced attrs. `render` prints the plain
+  *            TYPE form — the IN-list is parse-side sugar.)
   *           DEFINE def (';' def)*
   *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
   * meas   := [RUNNING | FINAL] mexpr AS alias
@@ -55,11 +70,16 @@ package graft.cep
   *           measure atoms and non-negative integer literals —
   *           `LAST(c.v) - FIRST(c.v) AS spread`. A NULL atom
   *           (measure-over-missing) propagates NULL through the whole
-  *           expression. No division: DuckDB promotes integer '/' to
-  *           DOUBLE where Spark DIV truncates; AVG covers the mean.
-  *           CLASSIFIER() is STRING-typed and rejected in arithmetic;
-  *           MATCH_NUMBER() participates, batch-only.)
-  * mterm  := mfact ('*' mfact)*
+  *           expression. '/' is integer division with DuckDB-`//`
+  *           semantics EXACTLY: truncation toward zero, NULL on a zero
+  *           divisor (Catalyst IntegralDivide — long-exact). AVG
+  *           remains the FLOORED exact mean, visible only on negative
+  *           sums. Arithmetic is non-ANSI 64-bit: + - * silently WRAP
+  *           on overflow (DuckDB, the oracle, errors on BIGINT
+  *           overflow instead — keep measured magnitudes inside long
+  *           range). CLASSIFIER() is STRING-typed and rejected in
+  *           arithmetic; MATCH_NUMBER() participates, batch-only.)
+  * mterm  := mfact (('*' | '/') mfact)*
   * mfact  := INT | '(' mexpr ')'
   *         | FN '(' name ['.' attr] [',' k] ')'
   *           (the `,k` logical offset is SQL:2016's optional
@@ -1023,8 +1043,12 @@ object CepSql {
     def term(): CepMeasures.MExpr = {
       var e = factor()
       ws()
-      while (peek == '*') { i += 1; e = CepMeasures.MExpr.Mul(e, factor())
-        ws() }
+      while (peek == '*' || peek == '/') {
+        val op = peek; i += 1
+        e = if (op == '*') CepMeasures.MExpr.Mul(e, factor())
+            else CepMeasures.MExpr.Div(e, factor())
+        ws()
+      }
       e
     }
     def expr(): CepMeasures.MExpr = {
@@ -1051,7 +1075,7 @@ object CepSql {
   }
 
   def parseStatement(sql: String,
-      schema: Vector[(String, Vector[String])]): CepSqlStatement = {
+      callerSchema: Vector[(String, Vector[String])]): CepSqlStatement = {
     val text = sql.trim
     val (_, _, afterPattern) = splitAtKeyword(text, Seq("PATTERN"))
       .getOrElse(throw new IllegalArgumentException(
@@ -1084,6 +1108,7 @@ object CepSql {
     var orderByCol: Option[String] = None
     var typeColOpt: Option[String] = None
     var rowsPerMatch: Option[RowsPerMatch] = None
+    var inTypes: Option[Vector[String]] = None
     val specKws = Seq("MEASURES", "SUBSET", "PARTITION", "ORDER", "TYPE",
       "ONE", "ALL")
     var subsets = Vector.empty[(String, Vector[String])]
@@ -1132,7 +1157,32 @@ object CepSql {
               orderByCol = Some(byIdent("ORDER", section))
             case "TYPE" =>
               once(typeColOpt)
-              typeColOpt = Some(specIdent("TYPE", section))
+              // `TYPE col [IN (t1, ..., tn)]`: the optional IN-list
+              // declares the EVENT-TYPE UNIVERSE inline, making the
+              // statement fully self-contained (the FROM-clause /
+              // spark.sql surface, where no caller schema exists). The
+              // universe drives relaxed-contiguity ignore-edge
+              // enumeration exactly like a caller-supplied schema; per-
+              // type attribute lists become the statement's referenced
+              // attrs (real column existence is checked at plan time).
+              splitAtKeyword(section, Seq("IN")) match {
+                case Some((colPart, _, rest)) =>
+                  typeColOpt = Some(specIdent("TYPE", colPart))
+                  val r = rest.trim
+                  require(r.startsWith("(") && r.endsWith(")"),
+                    s"CEP SQL: TYPE ... IN expects '(t1, ..., tn)', " +
+                      s"got '$r'")
+                  val ts = r.substring(1, r.length - 1).split(',')
+                    .map(_.trim).toVector
+                  ts.foreach(t => require(t.nonEmpty &&
+                    t.forall(c => c.isLetterOrDigit || c == '_'),
+                    s"CEP SQL: bad event type '$t' in TYPE ... IN"))
+                  require(ts.distinct.length == ts.length,
+                    "CEP SQL: duplicate event types in TYPE ... IN")
+                  inTypes = Some(ts)
+                case None =>
+                  typeColOpt = Some(specIdent("TYPE", section))
+              }
             case "ONE" | "ALL" =>
               require(rowsPerMatch.isEmpty,
                 "CEP SQL: duplicate rows-per-match clause")
@@ -1310,6 +1360,38 @@ object CepSql {
             "bind no events")
       }
     }
+    // lowering happens here (not at the tail) so the inline-universe
+    // schema below can reuse the spec's exact reference derivation
+    val excl = scala.collection.mutable.Set.empty[String]
+    val lowered = lowerAlt(alt, defMap, excl)
+    // effective schema: the caller's, or the inline `TYPE ... IN`
+    // universe (FROM-clause surface) with per-type attrs = everything
+    // the statement references (the same derivation
+    // `CepSqlStatement.spec` uses for attrCols, plus the order column)
+    // — measure validation then passes exactly for referenced attrs,
+    // and real column existence is checked when the spec's attrCols
+    // hit the actual table at plan time
+    val schema: Vector[(String, Vector[String])] = inTypes match {
+      case None => callerSchema
+      case Some(ts) =>
+        require(callerSchema.isEmpty,
+          "CEP SQL: TYPE ... IN (...) declares the event-type universe " +
+            "inline — drop the IN-list when a schema is supplied by the " +
+            "caller (the two could silently disagree)")
+        val defEvents = defMap.values.map(_.event)
+          .filter(_ != GroupEvent).toSet
+        val missing = defEvents -- ts.toSet
+        require(missing.isEmpty,
+          s"CEP SQL: DEFINE event type(s) " +
+            s"${missing.toVector.sorted.mkString(", ")} missing from " +
+            "the TYPE ... IN universe")
+        val refAttrs = (patternRefs(lowered) -- patternVars(lowered)) ++
+          measures.flatMap(CepMeasures.MeasureItem.atomsOf)
+            .flatMap(_.attr) ++
+          orderByCol ++ withinTime.map(_.tsAttr)
+        val attrs = refAttrs.toVector.sorted
+        ts.map(_ -> attrs)
+    }
     // measure targets must be event-binding DEFINEs (or SUBSETs of
     // them) with known attrs — a SUBSET attribute must exist on EVERY
     // member's event type. An expression item validates every atom.
@@ -1365,8 +1447,6 @@ object CepSql {
         s"CEP SQL SUBSET: '$u' member '$n' never binds (it appears " +
           "only as a negation guard)"))
     }
-    val excl = scala.collection.mutable.Set.empty[String]
-    val lowered = lowerAlt(alt, defMap, excl)
     val excluded = excl.toVector.sorted
     // SQL:2016 ties the exclusion syntax to ALL ROWS PER MATCH — with
     // one row per match there are no per-event rows to omit, so a
@@ -1559,7 +1639,7 @@ object CepSql {
     // the identity on parser-producible trees.
     def lvl(e: CepMeasures.MExpr): Int = e match {
       case _: CepMeasures.MExpr.Add | _: CepMeasures.MExpr.Sub => 1
-      case _: CepMeasures.MExpr.Mul                            => 2
+      case _: CepMeasures.MExpr.Mul | _: CepMeasures.MExpr.Div => 2
       case _                                                   => 3
     }
     def measExprS(e: CepMeasures.MExpr): String = {
@@ -1571,6 +1651,7 @@ object CepSql {
         case CepMeasures.MExpr.Add(l, r) => s"${sub(l, 1)} + ${sub(r, 2)}"
         case CepMeasures.MExpr.Sub(l, r) => s"${sub(l, 1)} - ${sub(r, 2)}"
         case CepMeasures.MExpr.Mul(l, r) => s"${sub(l, 2)} * ${sub(r, 3)}"
+        case CepMeasures.MExpr.Div(l, r) => s"${sub(l, 2)} / ${sub(r, 3)}"
       }
     }
     val measS =

@@ -152,13 +152,6 @@ final class DstCompiler(query: CepQuery) {
     * units) and are exempt from the disjoint-branch check, which
     * applies pairwise across indices.
     */
-  private def expandedBranches(p: Pattern): Vector[(Pattern, Int)] =
-    altBranches(p).zipWithIndex.flatMap {
-      case (pm: Pattern.Permute, i) =>
-        Pattern.permuteBranches(pm).map(_ -> i)
-      case (other, i) => Vector(other -> i)
-    }
-
   private def takeDataUpdate(
       vars: Vector[VarDef]): (Set[String], DataUpdate, Map[String, Long]) = {
     val x = vars.map(_.name).toSet
@@ -504,9 +497,8 @@ final class DstCompiler(query: CepQuery) {
       case Vector(pm: Pattern.Permute) =>
         compileCombinePermuteRight(ast.contiguity, compileNode(ast.left),
           pm)
-      case bs if expandedBranches(ast.right).length > 1 =>
-        compileCombineAltRight(ast.contiguity, compileNode(ast.left),
-          expandedBranches(ast.right))
+      case bs if bs.length > 1 =>
+        compileCombineAltRight(ast.contiguity, compileNode(ast.left), bs)
       case _ => compileCombinePlain(ast)
     }
 
@@ -679,14 +671,40 @@ final class DstCompiler(query: CepQuery) {
     * ε's), exactly as `q02` is in the plain path.
     */
   private def compileCombineAltRight(contiguity: Contiguity, left: Dst,
-      branchesWithOrigin: Vector[(Pattern, Int)]): Dst = {
-    val branches = branchesWithOrigin.map(_._1)
-    val rs = branches.map(compileNode)
-    // same disjointness contract as compileAlt, across ALL branches —
-    // except pairs expanded from the SAME PERMUTE (equal origin index),
-    // which share their names by construction (see expandedBranches)
-    for (i <- rs.indices; j <- i + 1 until rs.length
-         if branchesWithOrigin(i)._2 != branchesWithOrigin(j)._2) {
+      branches: Vector[Pattern]): Dst = {
+    // PERMUTE branches embed their SUBSET LATTICE (declaration-order
+    // out map, k unit heads) instead of expanding to the k! strict
+    // chains — the same shape (and the same boundary-machinery
+    // collapse) the lone-PERMUTE path uses, so a permute's cost and
+    // output contract do not change just because a sibling branch
+    // exists. `heads` lists each branch's boundary heads: one
+    // (head-pattern, entry state, head-take edges) per normal branch,
+    // one PER UNIT for a permute branch.
+    final case class RB(dst: Dst,
+        heads: Vector[(Pattern, State, Vector[Transition])])
+    val rbs: Vector[RB] = branches.map {
+      case pm: Pattern.Permute =>
+        val (r, entries) = compilePermuteLattice(pm)
+        // non-strict boundaries key per-unit waits on each unit's head
+        // event — ambiguous if a unit can bind ZERO events (same guard
+        // as the lone-lattice path, compileCombinePermuteRight)
+        if (contiguity != Contiguity.Strict)
+          pm.units.foreach(u => require(!canMatchEmpty(u),
+            "relaxed combine into PERMUTE needs units that cannot " +
+              "match empty (a {0,n} unit makes the ordering's head " +
+              "ambiguous)"))
+        RB(r, pm.units.zip(entries).map { case (u, entry) =>
+          (u, entry, headTakes(r, entry))
+        })
+      case other =>
+        val r = compileNode(other)
+        RB(r, Vector((other, r.q0,
+          r.startFrom(r.q0).filter(_.isTake).toVector)))
+    }
+    val rs = rbs.map(_.dst)
+    // same disjointness contract as compileAlt, across branches (a
+    // permute shares names INSIDE its lattice legitimately)
+    for (i <- rs.indices; j <- i + 1 until rs.length) {
       val dupNames = rs(i).pi.intersect(rs(j).pi)
       require(dupNames.isEmpty,
         s"alternation branches must bind disjoint pattern names; " +
@@ -703,7 +721,9 @@ final class DstCompiler(query: CepQuery) {
     rs.foreach(states ++= _.states)
     val d = ArrayBuffer.from(left.delta)
     // the fork — reversed so the LEFTMOST branch is walked first (the
-    // executor processes ε-successors LIFO; see compileAlt)
+    // executor processes ε-successors LIFO; see compileAlt). A permute
+    // branch's lattice root forks its units in declaration order
+    // itself.
     for (r <- rs.reverse)
       d += new Transition(q02, Pred.epsilon, r.q0, DataUpdate.Id,
         StreamUpdate.Id)
@@ -722,12 +742,17 @@ final class DstCompiler(query: CepQuery) {
     contiguity match {
       case Contiguity.Strict => ()
       case Contiguity.Relaxed =>
-        for ((r, b) <- rs.zip(branches)) {
-          val (rEv, rCndt) = headEventCndt(b)
-          val qIg = state(s"${r.q0.name}-ignore")
+        // one wait per boundary head, keyed on that head's event —
+        // which is only unambiguous when the head cannot bind empty
+        // (the chain path enforces this inside headEventCndt; permute
+        // units are checked here like the lone-lattice path does)
+        for (rb <- rbs; (hp, entry, takes) <- rb.heads) {
+          val (rEv, rCndt) = headEventCndt(hp)
+          val qIg = state(s"${entry.name}-ignore")
           states += qIg
-          for (edge <- r.startFrom(r.q0) if edge.isTake)
-            d += new Transition(qIg, edge.p, edge.q2, edge.alpha, edge.beta)
+          for (edge <- takes)
+            d += new Transition(qIg, edge.p, edge.q2, edge.alpha,
+              edge.beta)
           val negPred = Pred(Some(rEv), rCndt).neg
           d += new Transition(q02, negPred, qIg, DataUpdate.Id,
             StreamUpdate.Id)
@@ -743,7 +768,7 @@ final class DstCompiler(query: CepQuery) {
       case Contiguity.NdRelaxed =>
         val qIg = state(s"${q02.name}-ignore")
         states += qIg
-        for (r <- rs; edge <- r.startFrom(r.q0) if edge.isTake)
+        for (rb <- rbs; (_, _, takes) <- rb.heads; edge <- takes)
           d += new Transition(qIg, edge.p, edge.q2, edge.alpha, edge.beta)
         val anyPred = Pred(Some(Pred.AnyType), Expr.True)
         d += new Transition(q02, anyPred, qIg, DataUpdate.Id,

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** MATCH_RECOGNIZE in the FROM clause ([[GraftSql]]): the injected
+  * parser path (`spark.sql` on a session built WITH `GraftExtensions`)
+  * and the extension-less `GraftSql.sql` path lower through the same
+  * rewrite; outer SQL composes over the match frame; errors carry the
+  * body position.
+  */
+class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, 1L, "S", 5L), (1L, 2L, "C", 7L), (1L, 3L, "P", 2L),
+      (2L, 10L, "C", 1L), (2L, 11L, "S", 3L), (2L, 12L, "C", 9L))
+      .toDF("k", "id", "t", "v")
+      .createOrReplaceTempView("mr_events")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val body =
+    """PATTERN (s -> c) MEASURES FIRST(s) AS s_id, LAST(c) AS c_id,
+      |SUM(c.v) AS cv PARTITION BY k ORDER BY id TYPE t IN (S, C, P)
+      |DEFINE s AS S; c AS C""".stripMargin
+
+  test("spark.sql: SELECT ... FROM t MATCH_RECOGNIZE (...) through the " +
+    "injected parser, with outer projection/filter/order composing") {
+    val out = spark.sql(
+      s"""SELECT k, s_id, c_id FROM mr_events MATCH_RECOGNIZE ($body)
+         |WHERE c_id > 0 ORDER BY k, s_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toVector
+    assert(out == Vector((1L, 1L, 2L), (2L, 11L, 12L)))
+  }
+
+  test("extension-less path: GraftSql.sql lowers identically") {
+    val out = GraftSql.sql(spark,
+      s"""SELECT k, cv FROM mr_events MATCH_RECOGNIZE ($body)
+         |ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(out == Vector((1L, 7L), (2L, 9L)))
+    // statements without MATCH_RECOGNIZE delegate verbatim
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM mr_events").head().getLong(0) == 6L)
+  }
+
+  test("outer aggregation over the match frame") {
+    val out = spark.sql(
+      s"""SELECT count(*) AS n, sum(cv) AS total
+         |FROM mr_events MATCH_RECOGNIZE ($body)""".stripMargin).head()
+    assert((out.getLong(0), out.getLong(1)) == (2L, 16L))
+  }
+
+  test("errors carry the body position and a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """SELECT * FROM mr_events MATCH_RECOGNIZE (
+          |PATTERN (s) DEFINE s AS S)""".stripMargin)
+    }
+    assert(e.getMessage.contains("MATCH_RECOGNIZE body"), e.getMessage)
+    assert(e.getMessage.contains("line 1"), e.getMessage)
+    // missing inline universe → the self-contained-spec error surfaces
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(
+        """SELECT * FROM mr_events MATCH_RECOGNIZE (
+          |PATTERN (s) MEASURES FIRST(s) AS i PARTITION BY k
+          |ORDER BY id TYPE t DEFINE s AS S)""".stripMargin)
+    }
+    assert(e2.getMessage.contains("MATCH_RECOGNIZE body"), e2.getMessage)
+    // two MATCH_RECOGNIZE clauses → rejected loudly
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""SELECT * FROM mr_events MATCH_RECOGNIZE ($body) x
+           |JOIN mr_events MATCH_RECOGNIZE ($body) y ON x.k = y.k"""
+          .stripMargin)
+    }
+    assert(e3.getMessage.contains("one MATCH_RECOGNIZE per statement"),
+      e3.getMessage)
+  }
+
+  test("TYPE ... IN universe: DEFINE types must be members; caller " +
+    "schema conflicts rejected") {
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """SELECT * FROM mr_events MATCH_RECOGNIZE (
+          |PATTERN (s) MEASURES FIRST(s) AS i PARTITION BY k
+          |ORDER BY id TYPE t IN (C, P) DEFINE s AS S)""".stripMargin)
+    }
+    assert(e.getMessage.contains("missing from the TYPE ... IN"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cep.CepSql.parseStatement(
+        "PATTERN (s) MEASURES FIRST(s) AS i PARTITION BY k ORDER BY id " +
+          "TYPE t IN (S) DEFINE s AS S",
+        Vector("S" -> Vector("id")))
+    }
+    assert(e2.getMessage.contains("drop the IN-list"), e2.getMessage)
+  }
+
+  test("relaxed contiguity uses the inline universe for ignore edges " +
+    "(a type only in the IN-list is ignorable between units)") {
+    // P sits between S and C; with the universe declaring P, the
+    // relaxed '->' ignores it. (1: S(1) C(2) direct; 2: S(11) C(12).)
+    val out = GraftSql.sql(spark,
+      s"""SELECT k, s_id, c_id FROM mr_events MATCH_RECOGNIZE (
+         |PATTERN (s -> c) MEASURES FIRST(s) AS s_id, LAST(c) AS c_id
+         |PARTITION BY k ORDER BY id TYPE t IN (S, C, P)
+         |DEFINE s AS S; c AS C WHERE v > 8) ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toVector
+    // key 1: S(1), candidates C(2,v=7) fails cndt (relaxed: binds only
+    // the FIRST c-candidate... c-candidate = C failing v>8 is a relaxed
+    // ignore), P(3) ignorable via universe, no v>8 C → no match.
+    // key 2: S(11) -> C(12,v=9) matches.
+    assert(out == Vector((2L, 11L, 12L)))
+  }
+}

@@ -305,6 +305,44 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
       Some(5L), Some(0L)))
   }
 
+  test("measure expressions: '/' is DuckDB-// integer division — " +
+    "truncation toward zero, NULL on zero divisor; AVG stays floored") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2}) " +
+        "MEASURES SUM(c.v) / COUNT(c) AS rate, " +
+        "(0 - SUM(c.v)) / 2 AS neg_rate, " +
+        "COUNT(c) / (COUNT(c) - COUNT(c)) AS div0, " +
+        "AVG(c.v) AS floored " +
+        "DEFINE s AS S; c AS C", schema)
+    // S(1), C(2,v=7), C(3,v=4): matches c=[2] (sum 7) and c=[2,3] (11)
+    val df = eventsDf(
+      (1L, 1L, "S", 0L), (1L, 2L, "C", 7L), (1L, 3L, "C", 4L))
+    val out = CepMeasures.run(df, st, spec).orderBy("rate")
+      .collect().toVector
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("rate")),
+        r.getLong(r.fieldIndex("neg_rate")),
+        r.isNullAt(r.fieldIndex("div0")),
+        r.getLong(r.fieldIndex("floored")))
+    // c=[2,3]: 11/2 = 5; -11/2 = -5 (TRUNCATED — floored would be -6);
+    // AVG(7,4) = floor(11/2) = 5. c=[2]: 7/1 = 7; -7/2 = -3.
+    assert(out.map(row) == Vector(
+      (5L, -5L, true, 5L), (7L, -3L, true, 7L)))
+    // streaming/eval fold agrees on the truncated quotient and the
+    // zero-divisor NULL
+    import CepMeasures.MExpr._
+    val cnt = CepMeasures.Measure(CepMeasures.Fn.Count, "c", None, "")
+    val sumv = CepMeasures.Measure(CepMeasures.Fn.Sum, "c", Some("v"), "")
+    val byName = Map("s" -> Vector(Event("S", Vector("id" -> 1L))),
+      "c" -> Vector(Event("C", Vector("id" -> 2L, "v" -> 7L)),
+        Event("C", Vector("id" -> 3L, "v" -> 4L))))
+    def ev(e: CepMeasures.MExpr) = CepMeasures.evalItem(
+      CepMeasures.ExprMeasure(e, "x"), byName, "id", Map.empty)
+    assert(ev(Div(Sub(Lit(0), Atom(sumv)), Lit(2))) == Some(-5L))
+    assert(ev(Div(Atom(sumv), Atom(cnt))) == Some(5L))
+    assert(ev(Div(Atom(cnt), Sub(Atom(cnt), Atom(cnt)))) == None)
+  }
+
   test("measure expressions: long arithmetic over atoms, hand-computed; " +
     "NULL atoms poison the expression") {
     val st = CepSql.parseStatement(

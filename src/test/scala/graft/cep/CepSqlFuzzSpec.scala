@@ -70,7 +70,9 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         "10 * (COUNT(a) + COUNT(b)) AS n10 " +
         "DEFINE a AS A; b AS B WHERE v > 1",
       "PATTERN (^ a -> b{1,2} $) MEASURES FIRST(a) AS i " +
-        "DEFINE a AS A; b AS B WHERE v > 1")
+        "DEFINE a AS A; b AS B WHERE v > 1",
+      "PATTERN (a -> b{1,3}) MEASURES SUM(b.v) / COUNT(b) AS rate " +
+        "DEFINE a AS A WHERE SUM(a.v) < 100; b AS B")
     for (_ <- 0 until 2000) {
       val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
       rnd.nextInt(4) match {
@@ -151,12 +153,14 @@ class CepSqlFuzzSpec extends AnyFunSuite {
           if (rnd.nextInt(4) == 0)
             CepMeasures.MExpr.Lit(rnd.nextInt(100).toLong)
           else CepMeasures.MExpr.Atom(rndMeasure("", allowNullary = false))
-        } else rnd.nextInt(3) match {
+        } else rnd.nextInt(4) match {
           case 0 => CepMeasures.MExpr.Add(rndExpr(depth - 1),
             rndExpr(rnd.nextInt(depth)))
           case 1 => CepMeasures.MExpr.Sub(rndExpr(depth - 1),
             rndExpr(rnd.nextInt(depth)))
           case 2 => CepMeasures.MExpr.Mul(rndExpr(depth - 1),
+            rndExpr(rnd.nextInt(depth)))
+          case 3 => CepMeasures.MExpr.Div(rndExpr(depth - 1),
             rndExpr(rnd.nextInt(depth)))
         }
       val measures: Vector[CepMeasures.MeasureItem] =
@@ -168,10 +172,11 @@ class CepSqlFuzzSpec extends AnyFunSuite {
             val l = CepMeasures.MExpr.Atom(
               rndMeasure("", allowNullary = false))
             val r = rndExpr(rnd.nextInt(3))
-            val top = rnd.nextInt(3) match {
+            val top = rnd.nextInt(4) match {
               case 0 => CepMeasures.MExpr.Add(l, r)
               case 1 => CepMeasures.MExpr.Sub(l, r)
               case 2 => CepMeasures.MExpr.Mul(l, r)
+              case 3 => CepMeasures.MExpr.Div(l, r)
             }
             CepMeasures.ExprMeasure(top, s"m$i", rnd.nextBoolean())
           } else rndMeasure(s"m$i", allowNullary = true)

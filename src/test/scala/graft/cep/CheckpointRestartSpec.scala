@@ -75,6 +75,58 @@ class CheckpointRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((1L, 1L, 2L)))
   }
 
+  test("^ anchor across a checkpointed restart: a drained key's step " +
+    "counter survives (no re-seed), a fresh key still seeds") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ckpt-anchor").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/checkpoint"
+    val outDir = s"$dir/out"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", LongType)))
+    val q = CepQuery(
+      Pattern.Combine(Contiguity.Strict, Pattern.spat("a", "signup", "True"),
+        Pattern.spat("b", "purchase", "True")),
+      Vector("signup" -> Vector("event_id", "value"),
+        "purchase" -> Vector("event_id", "value"),
+        "click" -> Vector("event_id", "value")),
+      anchorStart = true)
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+    def startQuery() = {
+      val in = graft.sources.EventSource.jsonStream(spark, inDir, schema)
+      StreamingCep.matchPattern(in, q, spec)
+        .selectExpr("user_id", "a[0] as a_id", "b[0] as b_id")
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // batch 1: user 1's FIRST event is a click — the ^-run dies and the
+    // run set drains to zero. The GC guard must still keep the key's
+    // step counter (state with step>0 is semantics under ^).
+    Seq((1L, 1L, "click", 0L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart: user 1 now sends signup+purchase — a LOST step counter
+    // would re-seed at the signup and emit a bogus match; user 2 is
+    // genuinely fresh and must match.
+    Seq((1L, 2L, "signup", 0L), (1L, 3L, "purchase", 1L),
+      (2L, 10L, "signup", 0L), (2L, 11L, "purchase", 1L))
+      .toDF("user_id", "event_id", "event_type", "value")
+      .write.mode("append").json(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.schema(StructType(Seq(
+      StructField("user_id", LongType), StructField("a_id", LongType),
+      StructField("b_id", LongType)))).json(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 10L, 11L)))
+  }
+
   /** Review fix e2e: a checkpoint written by the EVENT-TIME operator
     * while events sit in its reorder buffer must be REFUSED by the
     * arrival-order operator — restoring it would silently drop the

@@ -193,6 +193,49 @@ class PermuteSpec extends AnyFunSuite {
     }
   }
 
+  test("expansion law holds for PERMUTE ALONGSIDE an alternation " +
+    "branch under a combine (the lattice-embedded alt path)") {
+    // s -> (PERMUTE(a, b) | d): compiled via compileCombineAltRight
+    // with the permute's subset lattice embedded — NOT the k! chain
+    // expansion. Multiset-equal to the hand-built expansion ∪ d.
+    val units: Vector[Pattern] = Vector(
+      spat("a", "e", "name == 1"),
+      lpat("b", "e", "name == 2", Contiguity.Strict, 1, 2))
+    val pm = Permute(units)
+    val dBr: Pattern = spat("d", "e", "price < 3")
+    val expansion: Vector[Pattern] =
+      units.permutations.map(_.reduceLeft[Pattern](
+        Combine(Contiguity.Strict, _, _))).toVector :+ dBr
+    for (contig <- Vector(Contiguity.Strict, Contiguity.Relaxed,
+        Contiguity.NdRelaxed);
+        (stream, si) <- randomStreams(20260820L + contig.##, 6, 14)
+          .zipWithIndex) {
+      val shape = (p: Pattern) =>
+        Combine(contig, spat("s", "e", "name == 3"), p)
+      val got = multiset(CepOperator.run(
+        CepQuery(shape(Alt(pm, dBr)), schemaINP), stream))
+      val want = multiset(expansion.flatMap(br =>
+        CepOperator.run(CepQuery(shape(br), schemaINP), stream)))
+      assert(got == want, s"contig $contig stream $si")
+    }
+  }
+
+  test("PERMUTE in an alternation branch keeps the DECLARATION-order " +
+    "out map whichever ordering bound (the lattice contract)") {
+    val q = CepQuery(
+      Combine(Contiguity.Relaxed,
+        spat("s", "e", "name == 3"),
+        Alt(
+          Permute(Vector(spat("a", "e", "name == 1"),
+            spat("b", "e", "name == 2"))),
+          spat("d", "e", "price > 8"))),
+      schemaINP)
+    // b-then-a binding: pairs still print a before b (and s first)
+    val out = runQuery(q, eventsOf((3, 0), (2, 0), (1, 0)))
+    assert(streamRepr(out) ==
+      "[{'s': [e(1,3,0)], 'a': [e(3,1,0)], 'b': [e(2,2,0)]}]")
+  }
+
   // ------------------------------------------------------------ rejections
 
   test("constructor rejects <2, >5, and name-sharing units") {
