@@ -66,6 +66,27 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((out.getLong(0), out.getLong(1)) == (2L, 16L))
   }
 
+  test("ALL ROWS PER MATCH and partition anchors pass through the " +
+    "FROM-clause surface") {
+    val rows = spark.sql(
+      """SELECT k, id, classifier FROM mr_events MATCH_RECOGNIZE (
+        |PATTERN (s c) MEASURES COUNT(c) AS n ALL ROWS PER MATCH
+        |PARTITION BY k ORDER BY id TYPE t IN (S, C, P)
+        |DEFINE s AS S; c AS C) ORDER BY k, id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toVector
+    assert(rows == Vector((1L, 1L, "s"), (1L, 2L, "c"),
+      (2L, 11L, "s"), (2L, 12L, "c")))
+    // '^' anchor: only key 1's journey STARTS with an S
+    val anchored = spark.sql(
+      """SELECT k, s_id FROM mr_events MATCH_RECOGNIZE (
+        |PATTERN (^ s -> c) MEASURES FIRST(s) AS s_id
+        |PARTITION BY k ORDER BY id TYPE t IN (S, C, P)
+        |DEFINE s AS S; c AS C) ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(anchored == Vector((1L, 1L)))
+  }
+
   test("errors carry the body position and a clear message") {
     val e = intercept[IllegalArgumentException] {
       spark.sql(

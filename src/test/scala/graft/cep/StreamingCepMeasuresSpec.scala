@@ -91,6 +91,46 @@ class StreamingCepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("^-anchored streaming measures == batch across micro-batch " +
+    "boundaries (the seed-once + firstTake gate rides the codec)") {
+    val s = spark
+    import s.implicits._
+    val stA = CepSql.parseStatement(
+      "PATTERN (^ s -> c) MEASURES FIRST(s) AS s_id, LAST(c) AS c_id, " +
+        "SUM(c.value) AS c_sum DEFINE s AS signup; c AS click", schema)
+    val rnd = new scala.util.Random(20260821L)
+    val types = Vector("signup", "click", "purchase")
+    val evs = (1 to 90).map { i =>
+      Ev(1L + rnd.nextInt(6), i.toLong, types(rnd.nextInt(3)),
+        rnd.nextInt(50).toLong)
+    }
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingCep.matchPatternMeasures(mem.toDF(), stA, spec)
+      .writeStream.format("memory").queryName("cep_meas_anchor")
+      .outputMode("append").start()
+    try {
+      evs.grouped(20).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = s.sql("SELECT * FROM cep_meas_anchor").collect()
+      .map(rowKey).toVector.sortBy(_.toString)
+    val batch = CepMeasures.run(evs.toDF(), stA, spec).collect()
+      .map(rowKey).toVector.sortBy(_.toString)
+    assert(streamed.nonEmpty, "fixture produced no anchored matches")
+    assert(streamed == batch)
+    // '$' is rejected loudly by the streaming measures operator too
+    val stEnd = CepSql.parseStatement(
+      "PATTERN (s -> c $) MEASURES FIRST(s) AS s_id " +
+        "DEFINE s AS signup; c AS click", schema)
+    val e = intercept[IllegalArgumentException] {
+      StreamingCep.matchPatternMeasures(mem.toDF(), stEnd, spec)
+    }
+    assert(e.getMessage.contains("batch-only"))
+  }
+
   test("empty optional binding streams as COUNT 0 / NULLs, like batch") {
     val s = spark
     import s.implicits._

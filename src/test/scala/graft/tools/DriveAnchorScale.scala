@@ -4,27 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.cep._
 
-/** Scale probe for the round-11 CEP additions:
+/** Scale probe for the `^` partition-start anchor: the anchored funnel
+  * seeds ONE run per key (seed-at-step-1 + firstTake==1 emit gate)
+  * where the unanchored form seeds at every event — on dense keys that
+  * is the difference between O(1) and O(events-in-flight) live runs per
+  * key. The probe feeds the same parquet-backed stream through both
+  * forms and reports seconds, matches, and the skew gauge's max
+  * live-run count (the per-key state bound the anchor buys). Note the
+  * anchored form also declines the alphabet pushdown (it must observe
+  * the true partition edge), so its scan is the FULL stream — the probe
+  * shows the state win surviving that handicap.
   *
-  *  1. ANCHOR SKIP AS A STATE BOUND — nd-relaxed pairs keep one waiting
-  *     run per seen loop-head event under NoSkip (per-key state grows
-  *     linearly with the key's lifetime: the shape that needs the
-  *     maxRuns valve), while `SkipToLast` prunes every older taken run
-  *     at each match — O(1) live runs per key REGARDLESS of lifetime,
-  *     no valve needed. The probe runs the same pattern both ways on
-  *     the same synthetic keyed volume and prints the skew gauge's max
-  *     live-run count + wall time for each.
-  *
-  *  2. TIMEOUT SIDE OUTPUT AT VOLUME — `timedOutPartials` on a
-  *     windowed funnel over the same volume: within-pruning bounds the
-  *     run set by the window span, and the timeout projection adds no
-  *     shuffle beyond the match operator's single key exchange.
-  *
-  * Event mix per synthetic id (deterministic splitmix hash): 2% "click",
-  * 5% "purchase", 5% "signup", rest "view" — a sparse-pattern stream,
-  * as in real entity logs.
-  *
-  * Usage: DriveAnchorScale [threads] [nEvents] [nKeys]
+  * Usage: DriveAnchorScale [threads] [nEvents]
   */
 object DriveAnchorScale {
   def main(args: Array[String]): Unit = {
@@ -33,63 +24,43 @@ object DriveAnchorScale {
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val n = args.lift(1).map(_.toLong).getOrElse(4000000L)
-    val k = args.lift(2).map(_.toInt).getOrElse(1000)
-
-    val mix = udf { (id: Long) =>
-      var z = id + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      val u = (z >>> 11) % 100L
-      if (u < 2) "click" else if (u < 7) "purchase"
-      else if (u < 12) "signup" else "view"
-    }
-    val events = spark.range(n).select(
-      (col("id") % k).as("user_id"),
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(4000000L)
+    val path = s"/tmp/graft_anchor_scale_$n"
+    spark.range(n).select(
+      (col("id") % 400).as("user_id"),
       col("id").as("event_id"),
-      mix(col("id")).as("event_type"),
-      (col("id") % 97).as("value")).cache()
-    events.count()
-
-    val spec = SparkCep.CepSpec(Some("user_id"), "event_id",
-      "event_type", Seq("value"))
-    val schema = Vector("click" -> Vector("event_id", "value"),
-      "purchase" -> Vector("event_id", "value"),
-      "signup" -> Vector("event_id", "value"),
-      "view" -> Vector("event_id", "value"))
-    val pairs = Pattern.lpat("a", "click", "True", Contiguity.NdRelaxed,
-      2, 2)
-
-    def probe(name: String, strat: AfterMatchStrategy,
-        cap: Option[Int]): Unit = {
-      val acc = CepSkewAccumulator.registered(spark, s"skew_$name")
-      val t0 = System.nanoTime()
-      val m = SparkCep.matchPattern(events,
-        CepQuery(pairs, schema, strat), spec, maxRunsPerKey = cap,
-        skewAcc = Some(acc)).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$name%-14s matches=$m%9d maxLiveRuns=${acc.value.maxRuns}%6d " +
-        f"wall=$sec%6.1f s  (${n / sec / 1e6}%4.1f M ev/s)")
-    }
-    println(s"== anchor-skip state bound: nd-relaxed pairs, n=$n k=$k ==")
-    probe("NoSkip", AfterMatchStrategy.NoSkip, Some(100000))
-    probe("SkipToLast", AfterMatchStrategy.SkipToLast("a"), Some(100000))
-
-    println(s"== timeout side output: signup->purchase within 50 ==")
-    val funnel = CepQuery(
+      element_at(
+        array(lit("click"), lit("view"), lit("purchase"), lit("signup"),
+          lit("error")),
+        (pmod(hash(col("id")), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      pmod(col("id") * 40503, lit(500)).as("value"),
+      sha2(col("id").cast("string"), 256).as("props"))
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val schema = Vector("click", "view", "purchase", "signup", "error")
+      .map(_ -> Vector("event_id", "value"))
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id", "event_type",
+      Seq("value"))
+    def q(anchored: Boolean) = CepQuery(
       Pattern.Combine(Contiguity.Relaxed,
         Pattern.spat("s", "signup", "True"),
-        Pattern.spat("p", "purchase", "True")),
-      schema, within = Some(50))
-    val t0 = System.nanoTime()
-    val timeouts = SparkCep.timedOutPartials(events, funnel, spec).count()
-    val sec0 = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val matches = SparkCep.matchPattern(events, funnel, spec).count()
-    val sec1 = (System.nanoTime() - t1) / 1e9
-    println(f"timeouts=$timeouts%9d wall=$sec0%6.1f s; " +
-      f"matches=$matches%9d wall=$sec1%6.1f s")
+        Pattern.spat("p", "purchase", "value < 250")),
+      schema, anchorStart = anchored)
+
+    SparkCep.matchPatternExec(df, q(anchored = false), spec).count() // warm
+
+    for (anchored <- Vector(false, true)) {
+      val acc = CepSkewAccumulator.registered(spark, s"anchor_$anchored")
+      val t0 = System.nanoTime()
+      val m = SparkCep.matchPatternExec(df, q(anchored), spec,
+        skewAcc = Some(acc)).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"ANCHOR=$anchored MATCHES=$m SECONDS=$sec%.2f " +
+        f"MAX_LIVE_RUNS=${acc.value.maxRuns} " +
+        f"FED=${acc.value.events} " +
+        f"EVENTS_PER_SEC=${(acc.value.events / sec).toLong}")
+    }
     spark.stop()
   }
 }
