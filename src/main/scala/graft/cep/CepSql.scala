@@ -137,9 +137,10 @@ package graft.cep
   *            feeds MEASURES normally, but its rows are OMITTED from
   *            `ALL ROWS PER MATCH` output — and it requires that mode,
   *            rejected under ONE ROW PER MATCH)
-  * quant  := ('+' | '*' | '?' | '{' n ',' [m] '}') ['~' | '~~'] ['!']
+  * quant  := ('+' | '*' | '?' | '{' n [',' [m]] '}') ['~' | '~~'] ['!']
   *           ('+' = {1,}, '*' = {0,}, '?' = {0,1} (optional);
-  *            open upper bound = unbounded loop;
+  *            '{n}' = exactly n (SQL:2016, = '{n,n}');
+  *            open upper bound '{n,}' = unbounded loop;
   *            '~' relaxed / '~~' nd-relaxed ITERATION contiguity, strict
   *            by default; trailing '!' = greedy)
   * gquant := ('+' | '*' | '{' n ',' [m] '}') ['!']    (group repeat;
@@ -384,10 +385,15 @@ object CepSql {
           case other => throw new IllegalArgumentException(
             s"CEP SQL pattern: expected loop lower bound, got $other")
         }
-        expect(TComma, "','")
+        // SQL:2016 `{n}` = exactly n (= `{n,n}`); `{n,}` open upper
         val to = peek match {
-          case Some(TNum(m)) => next(); Some(m)
-          case _             => None
+          case Some(TComma) =>
+            next()
+            peek match {
+              case Some(TNum(m)) => next(); Some(m)
+              case _             => None
+            }
+          case _ => Some(from)
         }
         expect(TRBrace, "'}'")
         Some((from, to))
@@ -1280,8 +1286,12 @@ object CepSql {
         case "AFTER" =>
           val norm = section.replaceAll("\\s+", " ").trim
           strategy = norm match {
-            case "MATCH SKIP TO NEXT"        => AfterMatchStrategy.SkipToNext
-            case "MATCH SKIP PAST LAST EVENT" =>
+            // FlinkCEP spellings (canonical — render emits these) plus
+            // the SQL:2016 names as accepted aliases
+            case "MATCH SKIP TO NEXT" | "MATCH SKIP TO NEXT ROW" =>
+              AfterMatchStrategy.SkipToNext
+            case "MATCH SKIP PAST LAST EVENT" |
+                 "MATCH SKIP PAST LAST ROW" =>
               AfterMatchStrategy.SkipPastLastEvent
             case s if s.startsWith("MATCH SKIP TO FIRST ") =>
               AfterMatchStrategy.SkipToFirst(

@@ -245,6 +245,43 @@ class CepAnchorSpec extends AnyFunSuite {
       plain.copy(anchorEnd = true), spec).isEmpty)
   }
 
+  test("SQL: '{n}' quantifier and SQL:2016 skip spellings parse as " +
+    "aliases of the canonical forms") {
+    val a = CepSql.parseStatement(
+      "PATTERN (s c{2}) DEFINE s AS S; c AS C " +
+        "AFTER MATCH SKIP TO NEXT ROW", sqlSchema)
+    val b = CepSql.parseStatement(
+      "PATTERN (s c{2,2}) DEFINE s AS S; c AS C " +
+        "AFTER MATCH SKIP TO NEXT", sqlSchema)
+    assert(a.query == b.query)
+    val c = CepSql.parseStatement(
+      "PATTERN (s) DEFINE s AS S AFTER MATCH SKIP PAST LAST ROW",
+      sqlSchema)
+    assert(c.query.strategy == AfterMatchStrategy.SkipPastLastEvent)
+  }
+
+  test("$ anchored: typed operator == Catalyst exec on real keyed data " +
+    "(both thread the last-event-of-key flag)") {
+    val dir = "/root/testdata/sf0.001"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      for (q <- Vector(
+          graft.Queries.cepSqlAnchorLastStatement.query,
+          graft.Queries.cepSqlAnchorFirstStatement.query)) {
+        val spec = graft.Queries.eventSpec
+        def canon(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(_.toString).sorted.toVector
+        val typed = canon(SparkCep.matchPattern(df, q, spec))
+        val exec = canon(SparkCep.matchPatternExec(df, q, spec))
+        assert(typed.nonEmpty, s"$q produced no matches at sf0.001")
+        assert(typed == exec, s"$q diverged typed vs exec")
+      }
+    } finally spark.stop()
+  }
+
   test("streaming rejects the $ end anchor loudly at the shared " +
     "validation choke point") {
     val q = CepQuery(spat("a", "e", "True"), schemaINP, anchorEnd = true)
