@@ -1110,6 +1110,45 @@ object Queries {
       |GROUP BY g.user_id, g.s_id
       |ORDER BY g.user_id, s_id, c_id""".stripMargin
 
+  /** PERMUTE with a GROUP member end-to-end: `PERMUTE(s, (c p))` —
+    * a signup and an adjacent click→purchase pair in EITHER order, the
+    * pair permuting as ONE unit with its internal sequence intact
+    * (SQL:2016 allows any primary as a permute member; the grammar
+    * accepts name units and '(...)' groups). Strict within an ordering,
+    * so matches are adjacent triples: (signup, click, purchase) or
+    * (click, purchase, signup) — one LEAD window pass in the oracle,
+    * classified both ways.
+    */
+  val cepSqlPermuteGroupStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (PERMUTE(s, (c p))) " +
+        "MEASURES FIRST(s) AS s_id, FIRST(c) AS c_id, LAST(p) AS p_id " +
+        "DEFINE s AS signup; c AS click; p AS purchase", eventSchema)
+
+  def cepSqlPermuteGroup(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlPermuteGroupStatement, eventSpec)
+      .orderBy("user_id", "s_id", "c_id", "p_id")
+
+  val cepSqlPermuteGroupSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type, 1) OVER win AS t1,
+      |    LEAD(event_id, 1) OVER win AS i1,
+      |    LEAD(event_type, 2) OVER win AS t2,
+      |    LEAD(event_id, 2) OVER win AS i2
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT user_id, s_id, c_id, p_id FROM (
+      |  SELECT user_id, event_id AS s_id, i1 AS c_id, i2 AS p_id
+      |  FROM w WHERE event_type = 'signup' AND t1 = 'click'
+      |    AND t2 = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, i2, event_id, i1
+      |  FROM w WHERE event_type = 'click' AND t1 = 'purchase'
+      |    AND t2 = 'signup')
+      |ORDER BY user_id, s_id, c_id, p_id""".stripMargin
+
   /** AVG measures + the SELF-CONTAINED statement form: the funnel again,
     * but the statement carries its own `PARTITION BY user_id ORDER BY
     * event_id TYPE event_type` sections, so `CepMeasures.run(df, st)`
@@ -6609,6 +6648,9 @@ object Queries {
     "cep_sql_alt_outcome" -> cepSqlAltOutcomeQuery,
     // permute: the shared-name union NFA through the same gates
     "cep_sql_permute" -> cepSqlPermuteStatement.query,
+    // permute with a GROUP member: the lattice embeds the group's
+    // sub-automaton — gates pin it across micro-batch boundaries
+    "cep_sql_permute_group" -> cepSqlPermuteGroupStatement.query,
     // '^' start anchor: STREAMS (the step counter rides the codec) —
     // riding the batch==stream gate pins the seed-once + firstTake==1
     // emit gate across micro-batch boundaries. '$' must NOT appear
@@ -6639,6 +6681,7 @@ object Queries {
     "cep_sql_anchor_last" -> cepSqlAnchorLast _,
     "cep_sql_measures_div" -> cepSqlMeasuresDiv _,
     "cep_sql_from_clause" -> cepSqlFromClause _,
+    "cep_sql_permute_group" -> cepSqlPermuteGroup _,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffset _,
     "cep_sql_measures_expr" -> cepSqlMeasuresExpr _,
@@ -6804,6 +6847,7 @@ object Queries {
     "cep_sql_anchor_last" -> cepSqlAnchorLastSql,
     "cep_sql_measures_div" -> cepSqlMeasuresDivSql,
     "cep_sql_from_clause" -> cepSqlFromClauseSql,
+    "cep_sql_permute_group" -> cepSqlPermuteGroupSql,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffsetSql,
     "cep_sql_measures_expr" -> cepSqlMeasuresExprSql,

@@ -125,12 +125,14 @@ package graft.cep
   *           at the boundary; the name's DEFINE gives its type/condition)
   * unit   := name [quant]
   *         | '(' alt ')' [gquant] [':' name]
-  *         | 'PERMUTE' '(' name [quant] (',' name [quant])* ')'
+  *         | 'PERMUTE' '(' pmember (',' pmember)* ')'
   *           (SQL:2016 permutation: match the members in ANY order,
   *            sequenced strictly within an ordering; expands to the
-  *            k! orderings in lexicographic (= priority) order. The
-  *            members share one DEFINE each and bind in EVERY match —
-  *            2..5 members, pairwise-distinct names; see
+  *            k! orderings in lexicographic (= priority) order but
+  *            compiles as a subset lattice. pmember := name [quant]
+  *            | '(' alt ')' [gquant] — a group member permutes as one
+  *            unit with its internal structure intact. Members bind in
+  *            EVERY match — 2..5 members, pairwise-disjoint names; see
   *            [[Pattern.Permute]])
   *         | '{-' name [quant] '-}'
   *           (SQL:2016 output exclusion: the unit matches, binds and
@@ -262,7 +264,12 @@ object CepSql {
       gquant: Option[(Int, Option[Int], Boolean)],
       label: Option[String]) extends PU
   /** `PERMUTE(a, b{1,2}~, …)` — members are name units only. */
-  private case class PPermute(members: Vector[PName]) extends PU
+  /** `PERMUTE(a, (b -> c), d{1,2})` — members are name units or
+    * parenthesised groups (SQL:2016 allows any primary; groups cover
+    * the sequenced/alternation cases — the engine's `Pattern.Permute`
+    * takes arbitrary units already).
+    */
+  private case class PPermute(members: Vector[PU]) extends PU
   /** `{- b{1,2} -}` — SQL:2016 output exclusion: the unit matches and
     * measures normally but its rows are omitted from `ALL ROWS PER
     * MATCH` output. Name units only.
@@ -343,11 +350,16 @@ object CepSql {
         PExcl(inner)
       case TName("PERMUTE") if peek.contains(TLPar) =>
         next() // consume '('
-        val members = Vector.newBuilder[PName]
-        def member(): PName = next() match {
+        val members = Vector.newBuilder[PU]
+        def member(): PU = next() match {
           case TName(n) => PName(n, parseQuant())
+          case TLPar =>
+            val g = parseAlt()
+            expect(TRPar, "')'")
+            PGroup(g, parseGQuant(), None)
           case other => throw new IllegalArgumentException(
-            s"CEP SQL pattern: PERMUTE members are name units, got $other")
+            "CEP SQL pattern: PERMUTE members are name units or " +
+              s"'(...)' groups, got $other")
         }
         members += member()
         while (peek.contains(TComma)) { next(); members += member() }
@@ -1341,8 +1353,8 @@ object CepSql {
       def unit(u: PU): Vector[String] = u match {
         case PName(n, _)         => Vector(n)
         case PGroup(g, _, label) => bindingNamesOfAlt(g) ++ label.toVector
-        // each member binds ONE sink shared across the k! branches
-        case PPermute(ms)        => ms.map(_.name)
+        // each member binds ONE sink (set) shared across the orderings
+        case PPermute(ms)        => ms.flatMap(unit)
         // exclusion is output-only: the member binds normally
         case PExcl(m)            => Vector(m.name)
       }

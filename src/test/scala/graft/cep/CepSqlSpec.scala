@@ -64,7 +64,10 @@ class CepSqlSpec extends AnyFunSuite {
     "cep_sql_anchor_first" ->
       "PATTERN (^ s -> c) DEFINE s AS signup; c AS click",
     "cep_sql_define_agg" ->
-      "PATTERN (a{2,3}) DEFINE a AS purchase WHERE SUM(a.value) <= 100"
+      "PATTERN (a{2,3}) DEFINE a AS purchase WHERE SUM(a.value) <= 100",
+    "cep_sql_permute_group" ->
+      ("PATTERN (PERMUTE(s, (c p))) DEFINE s AS signup; c AS click; " +
+        "p AS purchase")
   )
 
   test("every registry CepQuery round-trips through its SQL form") {

@@ -298,10 +298,37 @@ class PermuteSpec extends AnyFunSuite {
     assert(CepSql.parseStatement(CepSql.render(st), sqlSchema) == st)
   }
 
-  test("CepSql PERMUTE rejections: non-name members, bad member names") {
-    intercept[IllegalArgumentException] {
-      CepSql.parse("PATTERN (PERMUTE(a, (b c))) " +
+  test("CepSql PERMUTE group members: '(b c)' permutes as ONE unit " +
+    "with its internal sequence intact, and round-trips") {
+    val st = CepSql.parseStatement(
+      "PATTERN (PERMUTE(a, (b c))) " +
         "DEFINE a AS S; b AS C; c AS P", sqlSchema)
+    val pm = st.query.patseq match {
+      case p: Permute => p
+      case other => fail(s"unexpected lowering: $other")
+    }
+    assert(pm.units.length == 2)
+    assert(CepSql.parseStatement(CepSql.render(st), sqlSchema) == st)
+    // executor semantics: the group unit stays CONTIGUOUS inside each
+    // ordering — a(S) then b(C) c(P), or b c then a
+    val q = CepQuery(
+      Permute(Vector(
+        spat("a", "e", "name == 1"),
+        Gpat(Combine(Contiguity.Strict,
+          spat("b", "e", "name == 2"), spat("c", "e", "name == 3"))))),
+      schemaINP)
+    assert(streamRepr(runQuery(q, eventsOf((1, 0), (2, 0), (3, 0)))) ==
+      "[{'a': [e(1,1,0)], 'b': [e(2,2,0)], 'c': [e(3,3,0)]}]")
+    assert(streamRepr(runQuery(q, eventsOf((2, 0), (3, 0), (1, 0)))) ==
+      "[{'a': [e(3,1,0)], 'b': [e(1,2,0)], 'c': [e(2,3,0)]}]")
+    // interleaving the group breaks the match
+    assert(runQuery(q, eventsOf((2, 0), (1, 0), (3, 0))).isEmpty)
+  }
+
+  test("CepSql PERMUTE rejections: non-unit members, bad member names") {
+    intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (PERMUTE(a, {- b -})) " +
+        "DEFINE a AS S; b AS C", sqlSchema)
     }
     intercept[IllegalArgumentException] {
       CepSql.parse("PATTERN (PERMUTE(a, nope)) DEFINE a AS S", sqlSchema)

@@ -123,7 +123,7 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
     import s.implicits._
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), col("event_id").cast("timestamp").as("ts"))
+        col("value"), (col("event_id") + 1).cast("timestamp").as("ts"))
     val mm = ev.selectExpr("min(event_id)", "max(event_id)").head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val width = (hi - lo) / 4 + 1

@@ -78,6 +78,16 @@ class StreamingMultiSharedSpec extends AnyFunSuite with BeforeAndAfterAll {
     "registry nav member (shared history)" -> Seq(
       "prev_ascending" -> graft.Queries.cepSqlPrevAscendingStatement.query,
       "spat_purchase" -> graft.Queries.cepSpatPurchaseQuery,
+      "next_signup_purchase" -> graft.Queries.cepNextSignupPurchaseQuery),
+    // a ^-ANCHORED member: the anchored query declines its prefilter
+    // (union filter off for the set), seeds once per key (the state
+    // codec carries the step counter across micro-batches), and the
+    // shared idle-key GC is disabled for the whole set (a drained
+    // anchored key must not restore as fresh) — all while the other
+    // members behave exactly as solo
+    "registry anchored member (^ seed-once, GC exempt)" -> Seq(
+      "anchor_first" -> graft.Queries.cepSqlAnchorFirstStatement.query,
+      "spat_purchase" -> graft.Queries.cepSpatPurchaseQuery,
       "next_signup_purchase" -> graft.Queries.cepNextSignupPurchaseQuery))
 
   for ((label, qs) <- registryTrios)
@@ -114,9 +124,12 @@ class StreamingMultiSharedSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = batchShared(qs)
     assert(batch.nonEmpty)
 
+    // +1s: an epoch-0 event time is silently dropped by Spark's
+    // stateful late-row filter (initial watermark 0) — see
+    // StreamingCep.releaseBuffer and the registry event-time gate
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), col("event_id").cast("timestamp").as("ts"))
+        col("value"), (col("event_id") + 1).cast("timestamp").as("ts"))
     val mm = ev.selectExpr("min(event_id)", "max(event_id)").head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val width = (hi - lo) / 4 + 1

@@ -57,7 +57,7 @@ object DriveMultiStream {
     val etDir = java.nio.file.Files
       .createTempDirectory("drive-multi-et").toString
     for (s <- 0 until 4)
-      ev.withColumn("ts", col("event_id").cast("timestamp"))
+      ev.withColumn("ts", (col("event_id") + 1).cast("timestamp"))
         .filter(col("event_id")
           .between(lo + s * width, lo + (s + 1) * width - 1))
         .coalesce(1).write.mode("append").parquet(etDir)
