@@ -245,6 +245,22 @@ class CepAnchorSpec extends AnyFunSuite {
       plain.copy(anchorEnd = true), spec).isEmpty)
   }
 
+  test("$ composes with WITHIN: the end-anchored match still honors " +
+    "the step window at its single emit point") {
+    val q = CepQuery(
+      Combine(Contiguity.Relaxed,
+        spat("a", "e", "name == 1"), spat("b", "e", "name == 2")),
+      schemaINP, within = Some(2), anchorEnd = true)
+    // span must be < 2 AND b must take the last event: only the
+    // adjacent pair ending at the end qualifies
+    assert(streamRepr(runQuery(q, eventsOf((1, 0), (2, 0)))) ==
+      "[{'a': [e(1,1,0)], 'b': [e(2,2,0)]}]")
+    // a...b ends at the last event but spans 3 steps — window rejects
+    assert(runQuery(q, eventsOf((1, 0), (3, 0), (2, 0))).isEmpty)
+    // in-window pair exists mid-stream but does not END the partition
+    assert(runQuery(q, eventsOf((1, 0), (2, 0), (3, 0))).isEmpty)
+  }
+
   test("SQL: '{n}' quantifier and SQL:2016 skip spellings parse as " +
     "aliases of the canonical forms") {
     val a = CepSql.parseStatement(
