@@ -584,6 +584,18 @@ object SparkCep {
     * i.e. composite) keys hash via xxhash64, since a cast would null out
     * (or, under ANSI, error on) every non-numeric value.
     */
+  /** The operator's internal key is a LONG: numeric keys cast exactly;
+    * any other type (string/struct) goes through `xxhash64`. KNOWN
+    * TRADE-OFF at extreme cardinality: a 64-bit hash collision silently
+    * INTERLEAVES two entities' event sequences into one logical stream
+    * (birthday bound ≈ n²/2^65 — negligible at millions of keys, ~3%
+    * for ANY collision at 1B string keys, near-certain at 10B). For
+    * corpus-scale runs keyed by a string id, dictionary-encode the key
+    * to a unique long upstream (a one-off join against a key dimension)
+    * — numeric keys are exact. Documented in SCALE.md Known trade-offs;
+    * generalizing the operator contract to exact arbitrary-typed keys
+    * is the structural fix.
+    */
   private[cep] def keyExpr(df: DataFrame, spec: CepSpec): Column =
     spec.keyCol match {
       case Some(k) =>

@@ -114,6 +114,42 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       e3.getMessage)
   }
 
+  test("fuzz: garbage and mutated MR statements parse or fail loudly " +
+    "through the full sql path (no crashes, no hangs)") {
+    val rnd = new scala.util.Random(20260822L)
+    val alphabet = "SELECT FROM MATCH_RECOGNIZE PATTERN DEFINE MEASURES " +
+      "PARTITION ORDER TYPE IN AS WHERE mr_events k id t v ()*,.;^$ \n"
+    def attempt(sql: String): Unit =
+      try { GraftSql.sql(spark, sql); () }
+      catch {
+        case e @ (_: IllegalArgumentException |
+                  _: org.apache.spark.sql.AnalysisException |
+                  _: org.apache.spark.sql.catalyst.parser.ParseException) =>
+          assert(e.getMessage != null && e.getMessage.nonEmpty, sql)
+        case e: Throwable =>
+          fail(s"non-loud ${e.getClass.getName}: ${e.getMessage}\n  $sql")
+      }
+    for (_ <- 0 until 300) {
+      val n = 1 + rnd.nextInt(60)
+      attempt((0 until n).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val valid = s"SELECT k FROM mr_events MATCH_RECOGNIZE ($body)"
+    for (_ <- 0 until 300) {
+      val toks = valid.split(' ').toBuffer
+      rnd.nextInt(3) match {
+        case 0 => toks.remove(rnd.nextInt(toks.length))
+        case 1 =>
+          val t = toks(rnd.nextInt(toks.length))
+          toks.insert(rnd.nextInt(toks.length + 1), t)
+        case 2 =>
+          val i = rnd.nextInt(toks.length)
+          toks(i) = toks(i).drop(1)
+      }
+      attempt(toks.mkString(" "))
+    }
+  }
+
   test("TYPE ... IN universe: DEFINE types must be members; caller " +
     "schema conflicts rejected") {
     val e = intercept[IllegalArgumentException] {
