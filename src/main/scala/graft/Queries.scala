@@ -1149,6 +1149,41 @@ object Queries {
       |    AND t2 = 'signup')
       |ORDER BY user_id, s_id, c_id, p_id""".stripMargin
 
+  /** Aggregates in DEFINE over a SUBSET union variable: adjacent
+    * signup→purchase pairs within a JOINT budget —
+    * `p AS purchase WHERE SUM(u.value) <= 120` with `u = (s, p)`. One
+    * shared register folds both members' takes, and the current
+    * candidate is included because `p` is itself a member (the
+    * standard's current-row rule lifted to the union) — so the
+    * condition is exactly `floor(s.value) + floor(p.value) <= 120`,
+    * one LEAD window pass in the oracle.
+    */
+  val cepSqlSubsetAggStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s p) MEASURES FIRST(s) AS s_id, LAST(p) AS p_id " +
+        "SUBSET u = (s, p) " +
+        "DEFINE s AS signup; p AS purchase WHERE SUM(u.value) <= 120",
+      eventSchema)
+
+  def cepSqlSubsetAgg(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlSubsetAggStatement, eventSpec)
+      .orderBy("user_id", "s_id", "p_id")
+
+  val cepSqlSubsetAggSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    LEAD(event_type) OVER win AS t1,
+      |    LEAD(event_id) OVER win AS i1,
+      |    CAST(FLOOR(LEAD(value) OVER win) AS BIGINT) AS v1
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT user_id, event_id AS s_id, i1 AS p_id
+      |FROM w WHERE event_type = 'signup' AND t1 = 'purchase'
+      |  AND v + v1 <= 120
+      |ORDER BY user_id, s_id, p_id""".stripMargin
+
   /** AVG measures + the SELF-CONTAINED statement form: the funnel again,
     * but the statement carries its own `PARTITION BY user_id ORDER BY
     * event_id TYPE event_type` sections, so `CepMeasures.run(df, st)`
@@ -6651,6 +6686,9 @@ object Queries {
     // permute with a GROUP member: the lattice embeds the group's
     // sub-automaton — gates pin it across micro-batch boundaries
     "cep_sql_permute_group" -> cepSqlPermuteGroupStatement.query,
+    // subset-target DEFINE aggregate: the shared register riding the
+    // gates pins the union fold across micro-batch boundaries
+    "cep_sql_subset_agg" -> cepSqlSubsetAggStatement.query,
     // '^' start anchor: STREAMS (the step counter rides the codec) —
     // riding the batch==stream gate pins the seed-once + firstTake==1
     // emit gate across micro-batch boundaries. '$' must NOT appear
@@ -6682,6 +6720,7 @@ object Queries {
     "cep_sql_measures_div" -> cepSqlMeasuresDiv _,
     "cep_sql_from_clause" -> cepSqlFromClause _,
     "cep_sql_permute_group" -> cepSqlPermuteGroup _,
+    "cep_sql_subset_agg" -> cepSqlSubsetAgg _,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffset _,
     "cep_sql_measures_expr" -> cepSqlMeasuresExpr _,
@@ -6848,6 +6887,7 @@ object Queries {
     "cep_sql_measures_div" -> cepSqlMeasuresDivSql,
     "cep_sql_from_clause" -> cepSqlFromClauseSql,
     "cep_sql_permute_group" -> cepSqlPermuteGroupSql,
+    "cep_sql_subset_agg" -> cepSqlSubsetAggSql,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffsetSql,
     "cep_sql_measures_expr" -> cepSqlMeasuresExprSql,

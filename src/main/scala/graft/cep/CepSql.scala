@@ -489,8 +489,14 @@ object CepSql {
     * (`SUM(b.value)` in b's own WHERE → `(R + value)` with
     * `LET R = 0 THEN R + value`), while a CROSS-targeted atom reads the
     * register as-is (`SUM(a.price)` in b's WHERE → `R` folded on a's
-    * takes). Supported: SUM/COUNT (self + cross; an empty fold reads 0
-    * — a documented deviation from SQL's NULL empty-SUM), MIN/MAX/AVG
+    * takes). Supported: SUM/COUNT (self + cross + SUBSET targets; an
+    * empty fold reads 0 — a documented deviation from SQL's NULL
+    * empty-SUM. A SUBSET target attaches ONE shared register to every
+    * member def, and includes the current candidate exactly when the
+    * defining name is itself a member; members spread across
+    * ALTERNATION branches are rejected downstream by the compiler's
+    * branch-register disjointness — sequential members compose
+    * freely), MIN/MAX/AVG
     * (SELF-only: their empty state has no honest integer encoding —
     * MIN/MAX desugar to the boolean-arithmetic fold
     * `R*(R<=v) + v*(v<R)` off `Long.MaxValue`/`MinValue`, AVG to a
@@ -520,7 +526,7 @@ object CepSql {
   }
 
   private def rewriteAggs(section: String, selfName: String,
-      ctx: AggCtx): String = {
+      ctx: AggCtx, subsets: Map[String, Vector[String]]): String = {
     AggPrefixRe.findFirstMatchIn(section).foreach { m =>
       throw new IllegalArgumentException(
         s"CEP SQL DEFINE: '${m.group(1)} ${m.group(2)}(...)' — DEFINE " +
@@ -531,30 +537,40 @@ object CepSql {
       val fn = m.group(1)
       val target = m.group(2)
       val attr = Option(m.group(3))
-      val self = target == selfName
+      // a SUBSET target folds on EVERY member's takes (one shared
+      // register attached to each member def); the current candidate is
+      // included exactly when the defining name is itself a member (the
+      // standard's current-row-classified-as-self rule, lifted to the
+      // union). SUM/COUNT only — like cross-name targets.
+      val members: Vector[String] =
+        subsets.getOrElse(target, Vector(target))
+      val self =
+        if (subsets.contains(target)) members.contains(selfName)
+        else target == selfName
       if (fn == "COUNT") require(attr.isEmpty,
         s"CEP SQL DEFINE: COUNT($target.${attr.getOrElse("")}) — COUNT " +
           "takes no attribute")
       else require(attr.isDefined,
         s"CEP SQL DEFINE: $fn($target) needs an attribute " +
           s"($fn($target.<attr>))")
-      if (!self && fn != "SUM" && fn != "COUNT")
+      if ((!self || subsets.contains(target)) &&
+          fn != "SUM" && fn != "COUNT")
         throw new IllegalArgumentException(
           s"CEP SQL DEFINE: $fn($target${attr.fold("")("." + _)}) in " +
             s"'$selfName' — MIN/MAX/AVG aggregates are self-only (their " +
             "empty fold has no honest integer encoding); SUM/COUNT may " +
-            "target another name")
+            "target another name or a SUBSET")
       val a = attr.getOrElse("")
       val reg = ctx.seen.getOrElseUpdate((fn, target, a), {
         val base = s"__agg${ctx.n}"
         ctx.n += 1
         fn match {
           case "SUM" =>
-            ctx.pending += target -> VarDef(base, 0L,
-              Expr.parse(s"$base + $a"))
+            members.foreach(t => ctx.pending += t -> VarDef(base, 0L,
+              Expr.parse(s"$base + $a")))
           case "COUNT" =>
-            ctx.pending += target -> VarDef(base, 0L,
-              Expr.parse(s"$base + 1"))
+            members.foreach(t => ctx.pending += t -> VarDef(base, 0L,
+              Expr.parse(s"$base + 1")))
           case "MIN" =>
             ctx.pending += target -> VarDef(base, Long.MaxValue,
               Expr.parse(s"$base * ($base <= $a) + $a * ($a < $base)"))
@@ -583,7 +599,8 @@ object CepSql {
     })
   }
 
-  private def parseDef(text: String, aggCtx: AggCtx): (String, Def) = {
+  private def parseDef(text: String, aggCtx: AggCtx,
+      subsets: Map[String, Vector[String]]): (String, Def) = {
     val t = text.trim
     val (name, rest0) = splitAtKeyword(t, Seq("AS")) match {
       case Some((n, _, r)) => (n.trim, r.trim)
@@ -615,7 +632,7 @@ object CepSql {
         // navigation is only meaningful where a row is being judged,
         // i.e. in boolean contexts
         case "WHERE" => cndt = Nav.guard(Expr.parse(
-          Nav.rewriteText(rewriteAggs(section, name, aggCtx))))
+          Nav.rewriteText(rewriteAggs(section, name, aggCtx, subsets))))
         case "UNTIL" =>
           AggRe.findFirstMatchIn(section).foreach { m =>
             throw new IllegalArgumentException(
@@ -1227,7 +1244,7 @@ object CepSql {
       }
     val aggCtx = new AggCtx
     val defs = defsText.split(';').filter(_.trim.nonEmpty)
-      .map(parseDef(_, aggCtx)).toVector
+      .map(parseDef(_, aggCtx, subsets.toMap)).toVector
     defs.groupBy(_._1).foreach { case (n, ds) =>
       require(ds.length == 1, s"CEP SQL: duplicate DEFINE for '$n'") }
     // attach the desugared aggregate registers to their TARGET defs

@@ -109,6 +109,44 @@ class CepDefineAggSpec extends AnyFunSuite {
     assert(CepSql.parseStatement(rendered, schema) == st)
   }
 
+  test("SUBSET target: one shared register folds every member's takes; " +
+    "current candidate included iff self is a member") {
+    // u = (a, b): b's WHERE sees a's takes PLUS the current b candidate
+    val st = CepSql.parseStatement(
+      "PATTERN (a b) MEASURES FIRST(a) AS a_id, LAST(b) AS b_id " +
+        "SUBSET u = (a, b) " +
+        "DEFINE a AS A; b AS B WHERE SUM(u.v) <= 10", schema)
+    val q = st.query
+    // register attached to BOTH defs
+    def varsOf(p: Pattern): Vector[String] = p match {
+      case s: Pattern.Spat    => s.vars.map(_.name)
+      case c: Pattern.Combine => varsOf(c.left) ++ varsOf(c.right)
+      case other              => fail(s"unexpected $other")
+    }
+    assert(varsOf(q.patseq) == Vector("__agg0", "__agg0"))
+    // a(4) b(6): 4+6 <= 10 matches; a(4) b(7): 11 > 10 no match
+    assert(ids(CepOperator.run(q, evs(("A", 4), ("B", 6)))) ==
+      Vector(Vector("a" -> Vector(1L), "b" -> Vector(2L))))
+    assert(CepOperator.run(q, evs(("A", 4), ("B", 7))).isEmpty)
+    // non-member self: condition in a THIRD name counts members only
+    val st2 = CepSql.parseStatement(
+      "PATTERN (a b c2) MEASURES FIRST(a) AS a_id " +
+        "SUBSET u = (a, b) " +
+        "DEFINE a AS A; b AS B; c2 AS A WHERE SUM(u.v) > 5", schema)
+    // a(3) b(3) c2(0): u-sum 6 > 5 at c2's judge time (c2 not included)
+    assert(CepOperator.run(st2.query,
+      evs(("A", 3), ("B", 3), ("A", 0))).nonEmpty)
+    assert(CepOperator.run(st2.query,
+      evs(("A", 2), ("B", 3), ("A", 99))).isEmpty)
+    // MIN/MAX/AVG over a SUBSET: rejected
+    val e = intercept[IllegalArgumentException] {
+      CepSql.parseStatement(
+        "PATTERN (a b) MEASURES FIRST(a) AS i SUBSET u = (a, b) " +
+          "DEFINE a AS A; b AS B WHERE MIN(u.v) > 1", schema)
+    }
+    assert(e.getMessage.contains("self-only"), e.getMessage)
+  }
+
   test("rejections: non-running prefix, aggregates outside WHERE, bad " +
     "shapes, reserved registers") {
     def bad(sql: String, frag: String): Unit = {

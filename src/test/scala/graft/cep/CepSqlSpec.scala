@@ -67,7 +67,13 @@ class CepSqlSpec extends AnyFunSuite {
       "PATTERN (a{2,3}) DEFINE a AS purchase WHERE SUM(a.value) <= 100",
     "cep_sql_permute_group" ->
       ("PATTERN (PERMUTE(s, (c p))) DEFINE s AS signup; c AS click; " +
-        "p AS purchase")
+        "p AS purchase"),
+    // SUBSET-target DEFINE aggregate: SUBSET without MEASURES is a
+    // valid measure-free statement, so parse() lowers it directly (the
+    // desugared register lives on both member defs)
+    "cep_sql_subset_agg" ->
+      ("PATTERN (s p) SUBSET u = (s, p) " +
+        "DEFINE s AS signup; p AS purchase WHERE SUM(u.value) <= 120")
   )
 
   test("every registry CepQuery round-trips through its SQL form") {
