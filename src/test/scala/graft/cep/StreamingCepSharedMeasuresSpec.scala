@@ -53,13 +53,17 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
   private def events = spark.read.parquet(s"$sfDir/events.parquet")
   private val spec = graft.Queries.eventSpec
 
-  // three members on ONE scan, covering every measure tier: plain
-  // positional+attribute atoms, FIRST/LAST offsets + SUBSET union, and
-  // measure expressions
+  // four members on ONE scan, covering every measure tier: plain
+  // positional+attribute atoms, FIRST/LAST offsets + SUBSET union,
+  // measure expressions, and a ^-ANCHORED member (seed-once state +
+  // the firstTake emit gate riding the SHARED codec; its presence also
+  // turns the union prefilter off for the whole set — the other
+  // members must be unaffected)
   private val members: Seq[(String, CepSql.CepSqlStatement)] = Seq(
     "funnel" -> graft.Queries.cepSqlMeasuresStatement,
     "offset" -> graft.Queries.cepSqlMeasuresOffsetStatement,
-    "expr" -> graft.Queries.cepSqlMeasuresExprStatement)
+    "expr" -> graft.Queries.cepSqlMeasuresExprStatement,
+    "anchored" -> graft.Queries.cepSqlAnchorFirstStatement)
 
   /** Canonical row repr `qname|key|a1=v1,a2=v2,…` (aliases sorted; NULL
     * prints as `a=∅`) for both sides of the gate.
