@@ -45,6 +45,12 @@ package graft.cep
   *           [ONE ROW PER MATCH | ALL ROWS PER MATCH
   *            [WITH UNMATCHED ROWS]]   (unmatched rows join the ALL
   *            ROWS output with NULL match_no/classifier/measures.
+  *            EMPTY MATCHES are never emitted — acceptance requires a
+  *            take (`Dst.accept`), so a fully-optional pattern like
+  *            `a*` yields no zero-event rows: the engine's fixed
+  *            behavior is SQL:2016's OMIT EMPTY MATCHES, and the
+  *            SHOW EMPTY MATCHES mode does not exist (documented
+  *            deviation; FlinkCEP behaves the same way).
   *            DOCUMENTED DEVIATION: SQL:2016 — and Trino — PROHIBIT
   *            `{- -}` exclusion under WITH UNMATCHED ROWS; this
   *            grammar accepts the combination with defined semantics:
