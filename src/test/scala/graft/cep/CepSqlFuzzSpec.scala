@@ -72,7 +72,11 @@ class CepSqlFuzzSpec extends AnyFunSuite {
       "PATTERN (^ a -> b{1,2} $) MEASURES FIRST(a) AS i " +
         "DEFINE a AS A; b AS B WHERE v > 1",
       "PATTERN (a -> b{1,3}) MEASURES SUM(b.v) / COUNT(b) AS rate " +
-        "DEFINE a AS A WHERE SUM(a.v) < 100; b AS B")
+        "DEFINE a AS A WHERE SUM(a.v) < 100; b AS B",
+      "PATTERN (a b{2}) MEASURES FIRST(a) AS i SUBSET u = (a, b) " +
+        "DEFINE a AS A; b AS B WHERE SUM(u.v) <= 50",
+      "PATTERN (x -> PERMUTE(a, (b c))) MEASURES COUNT(a) AS n " +
+        "DEFINE x AS A; a AS B; b AS C; c AS A")
     for (_ <- 0 until 2000) {
       val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
       rnd.nextInt(4) match {
