@@ -111,6 +111,29 @@ class CepSharedSinglePassSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally lease.close()
   }
 
+  test("anchored members ride the shared scan: ^ and $ members equal " +
+    "their solo runs (isLast threads through the multi-exec; the " +
+    "anchored members also disable the union prefilter)") {
+    val anchored = CepSql.parseStatements(Seq(
+      "first" -> ("PATTERN (^ s -> p) MEASURES FIRST(s) AS a, " +
+        "SUM(p.v) AS d DEFINE s AS S; p AS P"),
+      "last" -> ("PATTERN (s p $) MEASURES FIRST(s) AS a, " +
+        "SUM(p.v) AS d DEFINE s AS S; p AS P"),
+      "plain" -> ("PATTERN (s c) MEASURES FIRST(s) AS a, " +
+        "SUM(c.v) AS d DEFINE s AS S; c AS C")), schema)
+    val df = events()
+    def canon(d: DataFrame): Vector[String] =
+      d.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .toVector.sorted
+    for ((name, got) <- CepMeasures.runShared(df, anchored, spec)) {
+      val st = anchored.find(_._1 == name).get._2
+      val solo = canon(CepMeasures.run(df, st, spec))
+      assert(canon(got) == solo, s"member $name diverged from solo")
+      if (name == "first" || name == "last")
+        assert(solo.nonEmpty, s"$name produced no matches — vacuous")
+    }
+  }
+
   test("shared members still equal solo runs (fix changed cost, not " +
     "semantics)") {
     val df = events()
