@@ -60,5 +60,40 @@ context:
       Pattern.Alt(Pattern.spat("a", "e", "True"),
         Pattern.spat("a", "e", "True")),
       Vector("e" -> Vector("id"))))).failed.map(_.getMessage))
+
+    // round-15 surface: partition anchors, DEFINE aggregates (plain +
+    // SUBSET target), and the loud anchor/aggregate rejection paths
+    val sch = Vector("signup" -> Vector("id", "value"),
+      "purchase" -> Vector("id", "value"),
+      "error" -> Vector("id", "value"))
+    val anchQ = CepSql.parse(
+      "PATTERN (^ s -> p $) DEFINE s AS signup; p AS purchase", sch)
+    // positive: starts at the signup AND the first purchase is the
+    // last event; negative: evs's first purchase is mid-stream, and a
+    // foreign first event kills the ^-run
+    println("ANCHOR_MATCHES=" + CepOperator.run(anchQ, Vector(
+      Event("signup", "id" -> 1L, "value" -> 0L),
+      Event("error", "id" -> 2L, "value" -> 0L),
+      Event("purchase", "id" -> 3L, "value" -> 5L))))
+    println("ANCHOR_MID_EMPTY=" + CepOperator.run(anchQ, evs))
+    println("ANCHOR_HEAD_EMPTY=" + CepOperator.run(anchQ,
+      Vector(Event("error", "id" -> 1L, "value" -> 0L)) ++ evs))
+    println("ANCHOR_RENDER_RT=" + (CepSql.parse(CepSql.render(anchQ),
+      anchQ.schema) == anchQ))
+    println("ANCHOR_INTERIOR_ERR=" + scala.util.Try(CepSql.parse(
+      "PATTERN (s ^ p) DEFINE s AS signup; p AS purchase", sch))
+      .failed.map(_.getMessage))
+    val aggQ = CepSql.parse(
+      "PATTERN (p{1,3}) DEFINE p AS purchase WHERE SUM(p.value) <= 30",
+      sch)
+    println("AGG_MATCHES=" + CepOperator.run(aggQ, evs))
+    val subAggQ = CepSql.parse(
+      "PATTERN (s p) SUBSET u = (s, p) " +
+        "DEFINE s AS signup; p AS purchase WHERE SUM(u.value) <= 10",
+      sch)
+    println("SUBSET_AGG_MATCHES=" + CepOperator.run(subAggQ, evs))
+    println("AGG_FINAL_ERR=" + scala.util.Try(CepSql.parse(
+      "PATTERN (p) DEFINE p AS purchase WHERE FINAL SUM(p.value) < 9",
+      sch)).failed.map(_.getMessage))
   }
 }
