@@ -46,6 +46,14 @@ import graft.cep.{CepMeasures, CepSql}
   * (projections, filters, joins, ORDER BY) composes over the match
   * frame. One MATCH_RECOGNIZE per statement. Errors carry the
   * statement position of the MATCH_RECOGNIZE body.
+  *
+  * Source restriction: the input must be a NAMED table or view
+  * (optionally multipart, `db.events`) — not a parenthesised subquery
+  * and not a backtick-quoted identifier. A subquery source falls
+  * through to Spark's own parser, which rejects the trailing
+  * MATCH_RECOGNIZE parenthesis loudly; name the subquery as a temp
+  * view first (which also gives the match a stable input for the
+  * ORDER BY column's uniqueness contract).
   */
 object GraftSql {
 
