@@ -147,6 +147,34 @@ class CepDefineAggSpec extends AnyFunSuite {
     assert(e.getMessage.contains("self-only"), e.getMessage)
   }
 
+  test("aggregates coexist with a hand-written LET register in the " +
+    "same DEFINE (user vars first, desugared registers appended)") {
+    val st = CepSql.parseStatement(
+      "PATTERN (a{1,3}) " +
+        "DEFINE a AS A WHERE SUM(a.v) <= 20 and N <= 2 " +
+        "LET N = 0 THEN N + 1", schema)
+    val vars = st.query.patseq match {
+      case l: Pattern.Lpat => l.vars.map(_.name)
+      case other           => fail(s"unexpected $other")
+    }
+    assert(vars == Vector("N", "__agg0"))
+    // v = 5, 7, 9, 3: budget 20 AND at most 2 prior takes (N counts
+    // takes so far, condition sees N BEFORE the update — a third take
+    // sees N=2 <= 2, a fourth would see 3)
+    val got = ids(CepOperator.run(st.query,
+      evs(("A", 5), ("A", 7), ("A", 9), ("A", 3))))
+    // [1,2,3] sum 21 blocked by the budget; [2,3,4] (sum 19, third
+    // take sees N=2) passes both gates. Emission order = completion
+    // order: [3] completes at e3, before [2,3,4] completes at e4.
+    assert(got == Vector(
+      Vector("a" -> Vector(1L)), Vector("a" -> Vector(1L, 2L)),
+      Vector("a" -> Vector(2L)), Vector("a" -> Vector(2L, 3L)),
+      Vector("a" -> Vector(3L)),
+      Vector("a" -> Vector(2L, 3L, 4L)),
+      Vector("a" -> Vector(3L, 4L)),
+      Vector("a" -> Vector(4L))))
+  }
+
   test("rejections: non-running prefix, aggregates outside WHERE, bad " +
     "shapes, reserved registers") {
     def bad(sql: String, frag: String): Unit = {
