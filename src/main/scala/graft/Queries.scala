@@ -1386,6 +1386,78 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY 1, 2, 4""".stripMargin
 
+  /** Aggregate-ARGUMENT expressions (SQL:2016 <value expression> inside
+    * a measure aggregate — `CepMeasures.AExpr`): per-event arithmetic
+    * over ONE variable's attributes feeds SUM/MIN/MAX/AVG/FIRST/LAST,
+    * e.g. `SUM(c.value * c.value)`. The lowered plan is IDENTICAL to
+    * plain attribute measures — the same single explode→join→aggregate
+    * pass; the argument is a column expression over the joined event
+    * attributes, so an expression argument costs no extra join or
+    * shuffle (and at scale inherits the same AQE broadcast of the small
+    * match side). The oracle recomputes each aggregate from the funnel
+    * CTEs' bound positions in closed form (`value` is non-negative in
+    * this corpus, so DuckDB's floored `//` agrees with the engine's
+    * truncating `/`).
+    */
+  val cepSqlAggArgStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_c, " +
+        "SUM(c.value * c.value) AS c_energy, " +
+        "AVG(2 * c.value + 1) AS c_scaled, " +
+        "MAX(c.value * c.value - c.value) AS c_hi, " +
+        "LAST(p.value / 2) AS p_half " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlAggArg(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlAggArgStatement)
+      .orderBy("user_id", "s_id", "n_c")
+
+  val cepSqlAggArgSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT m.user_id, m.s_id,
+      |  CAST(CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END AS BIGINT)
+      |    AS n_c,
+      |  e1.v * e1.v + COALESCE(e2.v * e2.v, 0) AS c_energy,
+      |  ((2 * e1.v + 1) + COALESCE(2 * e2.v + 1, 0))
+      |    // (CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END) AS c_scaled,
+      |  GREATEST(e1.v * e1.v - e1.v,
+      |    COALESCE(e2.v * e2.v - e2.v, e1.v * e1.v - e1.v)) AS c_hi,
+      |  ep.v // 2 AS p_half
+      |FROM m
+      |JOIN seqd e1 ON e1.user_id = m.user_id AND e1.seq = m.c1_seq
+      |LEFT JOIN seqd e2 ON e2.user_id = m.user_id AND e2.seq = m.c2_seq
+      |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** `ALL ROWS PER MATCH` (`CepMeasures.allRows`): the other
     * MATCH_RECOGNIZE output shape — ONE ROW PER BOUND EVENT with the
     * per-key `match_no` sequence, the `classifier` (which pattern name
@@ -2070,6 +2142,89 @@ object Queries {
       .orderBy("user_id", "ids")
 
   val cepSqlDefineAggSql: String = cepIterBudgetSql
+
+  /** SQL:2016 logical navigation in DEFINE — `FIRST(a.value)`: runs of
+    * 2–3 consecutive purchases that never fall below the run's FIRST
+    * value. Desugars at parse time to a set-once register pair
+    * (`CepSql.rewriteAggs`: value register + seen flag, atomic via the
+    * pre-update η); the NoSkip loop emits every 2- and 3-prefix exactly
+    * like `cep_iter_budget`, so the oracle is the same LEAD-window
+    * pair/triple closed form with the ascending-from-first condition.
+    */
+  val cepSqlNavFirstQuery: CepQuery = CepSql.parse(
+    "PATTERN (a{2,3}) DEFINE a AS purchase WHERE value >= FIRST(a.value)",
+    eventSchema)
+
+  def cepSqlNavFirst(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepSqlNavFirstQuery)
+      .select(col("user_id"), idsCol("a").as("ids"))
+      .orderBy("user_id", "ids")
+
+  val cepSqlNavFirstSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v0,
+      |    LEAD(event_type, 1) OVER w1 AS t1, LEAD(event_id, 1) OVER w1 AS i1,
+      |    CAST(FLOOR(LEAD(value, 1) OVER w1) AS BIGINT) AS v1,
+      |    LEAD(event_type, 2) OVER w1 AS t2, LEAD(event_id, 2) OVER w1 AS i2,
+      |    CAST(FLOOR(LEAD(value, 2) OVER w1) AS BIGINT) AS v2
+      |  FROM events WINDOW w1 AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT user_id, CAST(event_id AS VARCHAR) || ',' || CAST(i1 AS VARCHAR) AS ids
+      |FROM w WHERE event_type = 'purchase' AND t1 = 'purchase'
+      |  AND v1 >= v0
+      |UNION ALL
+      |SELECT user_id,
+      |  CAST(event_id AS VARCHAR) || ',' || CAST(i1 AS VARCHAR) || ',' || CAST(i2 AS VARCHAR)
+      |FROM w WHERE event_type = 'purchase' AND t1 = 'purchase' AND t2 = 'purchase'
+      |  AND v1 >= v0 AND v2 >= v0
+      |ORDER BY user_id, ids""".stripMargin
+
+  /** SQL:2016 logical navigation in DEFINE — cross-target
+    * `LAST(c.value)`: consecutive click pairs followed by the first
+    * purchase that beats the SECOND click's value (`value >
+    * LAST(c.value)` — the register re-set on each take of `c`, so the
+    * purchase is judged against the pair's latest click, not its
+    * first). Relaxed contiguity skips purchases failing the condition,
+    * so the bound `p` is the min-seq satisfying purchase — exactly the
+    * oracle's GROUP BY/min closed form.
+    */
+  val cepSqlNavLastQuery: CepQuery = CepSql.parse(
+    "PATTERN (c{2,2}~ -> p) DEFINE c AS click; " +
+      "p AS purchase WHERE value > LAST(c.value)",
+    eventSchema)
+
+  def cepSqlNavLast(spark: SparkSession, dir: String): DataFrame =
+    cep(spark, dir, cepSqlNavLastQuery)
+      .select(col("user_id"), idsCol("c").as("c_ids"),
+        idsCol("p").as("p_ids"))
+      .orderBy("user_id", "c_ids", "p_ids")
+
+  val cepSqlNavLastSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |clk AS (
+      |  SELECT user_id, event_id, seq, v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY seq) AS cn
+      |  FROM seqd WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT a.user_id, a.event_id AS c1_id, b.event_id AS c2_id,
+      |    b.seq AS c2_seq, b.v AS c2_v
+      |  FROM clk a JOIN clk b ON b.user_id = a.user_id AND b.cn = a.cn + 1),
+      |m AS (
+      |  SELECT pr.user_id, pr.c1_id, pr.c2_id, min(p.seq) AS p_seq
+      |  FROM pairs pr JOIN seqd p ON p.user_id = pr.user_id
+      |    AND p.seq > pr.c2_seq AND p.event_type = 'purchase'
+      |    AND p.v > pr.c2_v
+      |  GROUP BY pr.user_id, pr.c1_id, pr.c2_id)
+      |SELECT m.user_id,
+      |  CAST(m.c1_id AS VARCHAR) || ',' || CAST(m.c2_id AS VARCHAR)
+      |    AS c_ids,
+      |  CAST(ep.event_id AS VARCHAR) AS p_ids
+      |FROM m JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
+      |ORDER BY 1, 2, 3""".stripMargin
 
   /** §2 #7 gpat-inf {1,∞} of (signup · purchase): maximal-and-partial
     * alternating chains — every (start, repetition-count) combination, as
@@ -6672,6 +6827,11 @@ object Queries {
     // DEFINE-aggregate sugar lowered to the same register machinery —
     // riding every gate pins the desugared fold on real data
     "cep_sql_define_agg" -> cepSqlDefineAggQuery,
+    // DEFINE logical navigation (FIRST set-once pair / LAST re-set
+    // register): the registers ride the run-state codec, so the
+    // batch==stream gates pin them across micro-batch boundaries
+    "cep_sql_nav_first" -> cepSqlNavFirstQuery,
+    "cep_sql_nav_last" -> cepSqlNavLastQuery,
     "cep_until_error_runs" -> cepUntilErrorRunsQuery,
     // PREV navigation: streaming feeds it from the per-key history in
     // state (codec v5) where batch uses the lag window — the gate pins
@@ -6724,6 +6884,9 @@ object Queries {
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffset _,
     "cep_sql_measures_expr" -> cepSqlMeasuresExpr _,
+    "cep_sql_agg_arg" -> cepSqlAggArg _,
+    "cep_sql_nav_first" -> cepSqlNavFirst _,
+    "cep_sql_nav_last" -> cepSqlNavLast _,
     "cep_sql_all_rows" -> cepSqlAllRows _,
     "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
     "cep_sql_unmatched" -> cepSqlUnmatched _,
@@ -6891,6 +7054,9 @@ object Queries {
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,
     "cep_sql_measures_offset" -> cepSqlMeasuresOffsetSql,
     "cep_sql_measures_expr" -> cepSqlMeasuresExprSql,
+    "cep_sql_agg_arg" -> cepSqlAggArgSql,
+    "cep_sql_nav_first" -> cepSqlNavFirstSql,
+    "cep_sql_nav_last" -> cepSqlNavLastSql,
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
     "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,

@@ -132,16 +132,35 @@ object CepMeasures {
     * measure is final by definition and the modifier is a no-op.
     */
   final case class Measure(fn: Fn, name: String, attr: Option[String],
-      alias: String, isFinal: Boolean = false, offset: Int = 0)
+      alias: String, isFinal: Boolean = false, offset: Int = 0,
+      argExpr: Option[AExpr] = None)
       extends MeasureItem {
+    argExpr.foreach { ae =>
+      require(attr.isEmpty,
+        s"MEASURES: ${fn.sqlName}($name) — an attribute target and an " +
+          "argument expression are mutually exclusive")
+      require(fn == Fn.First || fn == Fn.Last || fn == Fn.Sum ||
+        fn == Fn.Min || fn == Fn.Max || fn == Fn.Avg,
+        s"MEASURES: ${fn.sqlName} takes no argument expression " +
+          "(FIRST/LAST/SUM/MIN/MAX/AVG only)")
+      require(AExpr.refs(ae).nonEmpty,
+        s"MEASURES: ${fn.sqlName}($name) argument expression references " +
+          "no attribute — a constant aggregate argument is positional " +
+          s"(${fn.sqlName}($name)) or a literal in the outer expression")
+      require(!ae.isInstanceOf[AExpr.Ref],
+        s"MEASURES: a bare attribute ref is the plain " +
+          s"${fn.sqlName}($name.attr) form, not an argument expression " +
+          "(canonical representation — parse∘render identity)")
+    }
     fn match {
-      case Fn.Count => require(attr.isEmpty,
+      case Fn.Count => require(attr.isEmpty && argExpr.isEmpty,
         s"MEASURES: COUNT($name) takes no attribute")
-      case Fn.Sum | Fn.Min | Fn.Max | Fn.Avg => require(attr.isDefined,
-        s"MEASURES: ${fn.sqlName}($name) needs an attribute " +
-          s"(${fn.sqlName}($name.attr))")
+      case Fn.Sum | Fn.Min | Fn.Max | Fn.Avg =>
+        require(attr.isDefined || argExpr.isDefined,
+          s"MEASURES: ${fn.sqlName}($name) needs an attribute " +
+            s"(${fn.sqlName}($name.attr)) or an argument expression")
       case Fn.Classifier | Fn.MatchNo =>
-        require(name.isEmpty && attr.isEmpty,
+        require(name.isEmpty && attr.isEmpty && argExpr.isEmpty,
           s"MEASURES: ${fn.sqlName}() is nullary — no pattern name or " +
             "attribute")
       case _ => ()
@@ -153,11 +172,115 @@ object CepMeasures {
       s"MEASURES: only FIRST/LAST take an offset (${fn.sqlName})")
   }
 
+  /** Whether the measure needs the per-event attribute join (an `attr`
+    * target or an argument expression) — the ATTRIBUTE tier — as opposed
+    * to the pure binding-array POSITIONAL tier.
+    */
+  private[cep] def isAttrTier(m: Measure): Boolean =
+    m.attr.isDefined || m.argExpr.isDefined
+
+  /** Every event attribute the measure reads at the joined event. */
+  private[cep] def attrsOf(m: Measure): Vector[String] =
+    m.attr.map(Vector(_)).getOrElse(m.argExpr.fold(Vector.empty[String])(
+      AExpr.refs))
+
+  /** The per-event value column of an attribute-tier measure over the
+    * joined `__a_<attr>` columns: the attribute itself, or the argument
+    * expression evaluated per bound event (NULL attribute → NULL value,
+    * which the enclosing aggregate then skips — SQL
+    * aggregate-over-expression).
+    */
+  private def valueCol(m: Measure): Column = m.argExpr match {
+    case Some(ae) => AExpr.toColumn(ae, a => col(s"__a_$a"), truncDiv)
+    case None     => col(s"__a_${m.attr.get}")
+  }
+
   /** Nullary measure constructors. */
   def classifier(alias: String, isFinal: Boolean = false): Measure =
     Measure(Fn.Classifier, "", None, alias, isFinal)
   def matchNumber(alias: String): Measure =
     Measure(Fn.MatchNo, "", None, alias)
+
+  /** Aggregate-ARGUMENT expression — SQL:2016's <value expression>
+    * inside a measure aggregate (`SUM(a.price * a.qty)`), integer
+    * fragment: long arithmetic over ONE pattern (or SUBSET) variable's
+    * attributes and non-negative integer literals, evaluated PER BOUND
+    * EVENT before the aggregate folds. [[Ref]] leaves are attribute
+    * names; the owning [[Measure]]'s `name` qualifies every ref (the
+    * standard requires all refs inside one aggregate to share a
+    * variable, and so do we — the parser rejects mixed names).
+    *
+    * Semantics mirror the outer <measure expression> ([[MExpr]])
+    * operator-for-operator: `+ - *` are non-ANSI 64-bit (silent wrap on
+    * overflow — DuckDB, the oracle, errors instead; keep magnitudes in
+    * long range), `/` is DuckDB-`//`-exact integer division (truncation
+    * toward zero, NULL on a zero divisor), and a NULL attribute poisons
+    * the EVENT's value — SUM/MIN/MAX/AVG then skip that event (SQL
+    * aggregate-over-expression), while FIRST/LAST read their target
+    * event's possibly-NULL value as-is. Both tiers agree: the batch
+    * column lowering ([[AExpr.toColumn]]) and the streaming emission
+    * fold ([[AExpr.eval]]) are differential-pinned batch==stream in
+    * `StreamingCepMeasuresSpec`.
+    */
+  sealed trait AExpr extends Serializable
+  object AExpr {
+    /** Attribute `attr` of the bound event under evaluation. */
+    final case class Ref(attr: String) extends AExpr
+    final case class Lit(v: Long) extends AExpr
+    final case class Add(l: AExpr, r: AExpr) extends AExpr
+    final case class Sub(l: AExpr, r: AExpr) extends AExpr
+    final case class Mul(l: AExpr, r: AExpr) extends AExpr
+    /** Integer `/` — DuckDB-`//` semantics like [[MExpr.Div]]. */
+    final case class Div(l: AExpr, r: AExpr) extends AExpr
+
+    /** Distinct referenced attributes, first-occurrence order. */
+    def refs(e: AExpr): Vector[String] = {
+      def walk(e: AExpr): Vector[String] = e match {
+        case Ref(a)    => Vector(a)
+        case Lit(_)    => Vector.empty
+        case Add(l, r) => walk(l) ++ walk(r)
+        case Sub(l, r) => walk(l) ++ walk(r)
+        case Mul(l, r) => walk(l) ++ walk(r)
+        case Div(l, r) => walk(l) ++ walk(r)
+      }
+      walk(e).distinct
+    }
+
+    /** Column lowering over the joined event side: `ref` resolves an
+      * attribute name to its column; `div` is the caller's
+      * DuckDB-`//`-exact division (NULL on zero divisor). Plain Spark
+      * `+ - *` NULL-propagate, which is exactly the poison-the-event
+      * contract.
+      */
+    def toColumn(e: AExpr, ref: String => Column,
+        div: (Column, Column) => Column): Column = e match {
+      case Ref(a)    => ref(a)
+      case Lit(v)    => lit(v)
+      case Add(l, r) => toColumn(l, ref, div) + toColumn(r, ref, div)
+      case Sub(l, r) => toColumn(l, ref, div) - toColumn(r, ref, div)
+      case Mul(l, r) => toColumn(l, ref, div) * toColumn(r, ref, div)
+      case Div(l, r) => div(toColumn(l, ref, div), toColumn(r, ref, div))
+    }
+
+    /** Emission-time fold over one bound event: `ref` resolves an
+      * attribute (None = missing → poisons the value). JVM `/`
+      * truncates toward zero like IntegralDivide and DuckDB `//`; a
+      * zero divisor yields None.
+      */
+    def eval(e: AExpr, ref: String => Option[Long]): Option[Long] =
+      e match {
+        case Ref(a)    => ref(a)
+        case Lit(v)    => Some(v)
+        case Add(l, r) =>
+          for (a <- eval(l, ref); b <- eval(r, ref)) yield a + b
+        case Sub(l, r) =>
+          for (a <- eval(l, ref); b <- eval(r, ref)) yield a - b
+        case Mul(l, r) =>
+          for (a <- eval(l, ref); b <- eval(r, ref)) yield a * b
+        case Div(l, r) =>
+          for (a <- eval(l, ref); b <- eval(r, ref) if b != 0L) yield a / b
+      }
+  }
 
   /** A measure VALUE EXPRESSION tree — SQL:2016's <measure expression>,
     * integer fragment: `+`/`-`/`*` over measure atoms and non-negative
@@ -284,7 +407,8 @@ object CepMeasures {
           require(names.contains(m.name) || subsets.contains(m.name),
             s"MEASURES: '${m.name}' is not a pattern or SUBSET name " +
               s"(have ${(names ++ subsets.keys).mkString(", ")})")
-        m.attr.foreach(a => require(
+        (m.attr.toVector ++ m.argExpr.fold(Vector.empty[String])(
+          AExpr.refs)).foreach(a => require(
           a == spec.orderCol || spec.attrCols.contains(a),
           s"MEASURES: attribute '$a' is not in the CEP spec " +
             s"(order '${spec.orderCol}', attrs " +
@@ -523,16 +647,16 @@ object CepMeasures {
       case Fn.MatchNo    => col("__match_no")
       case _             => positional(m, membersOf(m.name))
     }
-    val attrMeasures = measures.filter(_.attr.isDefined)
+    val attrMeasures = measures.filter(isAttrTier)
     if (attrMeasures.isEmpty) {
       // pure positional: no identity, no join, no shuffle
       withSeq.select(
         keyOut ++ measures.map(m => posCol(m).as(m.alias)): _*)
     } else {
-      val posMeasures = measures.filter(_.attr.isEmpty)
+      val posMeasures = measures.filterNot(isAttrTier)
       val measuredNames =
         attrMeasures.flatMap(m => membersOf(m.name)).distinct.sorted
-      val attrsNeeded = attrMeasures.flatMap(_.attr).distinct
+      val attrsNeeded = attrMeasures.flatMap(attrsOf).distinct
       // FIRST/LAST(name.attr, k): the TARGET ordinal is positionally
       // computable from the binding arrays BEFORE the explode (the k-th
       // order id from the relevant end, NULL when the binding is
@@ -576,7 +700,7 @@ object CepMeasures {
         offsetMeasures.map(m => col(s"__t_${m.alias}")))
       val aggs = attrMeasures.map { m =>
         val isNm = col("__nm").isin(membersOf(m.name): _*)
-        val v = when(isNm, col(s"__a_${m.attr.get}"))
+        val v = when(isNm, valueCol(m))
         (m.fn match {
           case Fn.Sum   => sum(v)
           case Fn.Min   => min(v)
@@ -598,7 +722,7 @@ object CepMeasures {
       }
       val perMatch = joined.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
       perMatch.select(keyOut ++ measures.map { m =>
-        if (m.attr.isEmpty) col(s"__p_${m.alias}").as(m.alias)
+        if (!isAttrTier(m)) col(s"__p_${m.alias}").as(m.alias)
         else col(m.alias)
       }: _*)
     }
@@ -664,11 +788,11 @@ object CepMeasures {
       .withColumn("__ord", col("__pr.ord"))
       .drop("__pr")
 
-    val attrMeasures = atoms.filter(_.attr.isDefined)
+    val attrMeasures = atoms.filter(isAttrTier)
     val joined =
       if (attrMeasures.isEmpty) exploded
       else {
-        val ev = eventSide(events, spec, attrMeasures.flatMap(_.attr).distinct)
+        val ev = eventSide(events, spec, attrMeasures.flatMap(attrsOf).distinct)
         val cond = keyName match {
           case Some(k) =>
             exploded(k) === ev("__k") && exploded("__ord") === ev("__eord")
@@ -700,16 +824,15 @@ object CepMeasures {
       } else {
       val runW = if (m.isFinal) finalW else runWdefault
       val isNm = col("classifier").isin(membersOf(m.name): _*)
-      (m.attr match {
-        case None => m.fn match {
+      (if (!isAttrTier(m)) m.fn match {
           case Fn.Count => count(when(isNm, lit(1))).over(runW)
           case Fn.First => min(when(isNm, col("__ord"))).over(runW)
           case Fn.Last  => max(when(isNm, col("__ord"))).over(runW)
           case other => throw new IllegalStateException(
             s"${other.sqlName} is attribute-only") // unreachable
         }
-        case Some(a) =>
-          val v = when(isNm, col(s"__a_$a"))
+        else {
+          val v = when(isNm, valueCol(m))
           m.fn match {
             case Fn.Sum   => sum(v).over(runW)
             case Fn.Min   => min(v).over(runW)
@@ -801,28 +924,35 @@ object CepMeasures {
     // None out of range — measure-over-missing, matching the batch tier
     def firstAt: Option[Event] = binding.lift(m.offset)
     def lastAt: Option[Event] = binding.lift(binding.length - 1 - m.offset)
-    m.attr match {
-      case None => m.fn match {
-        case Fn.Count => Some(binding.length.toLong)
-        case Fn.First => firstAt.map(_(orderName))
-        case Fn.Last  => lastAt.map(_(orderName))
-        case other => throw new IllegalStateException(
-          s"${other.sqlName} is attribute-only") // unreachable (ctor)
-      }
-      case Some(a) => m.fn match {
-        case Fn.First => firstAt.flatMap(_.get(a))
-        case Fn.Last  => lastAt.flatMap(_.get(a))
-        case _ =>
-          val vals = binding.flatMap(_.get(a))
-          if (vals.isEmpty) None
-          else m.fn match {
-            case Fn.Sum => Some(vals.sum)
-            case Fn.Min => Some(vals.min)
-            case Fn.Max => Some(vals.max)
-            case Fn.Avg => Some(Math.floorDiv(vals.sum, vals.length.toLong))
-            case _ => throw new IllegalStateException("unreachable")
-          }
-      }
+    // per-event value: the attribute, or the argument expression folded
+    // over the event's attributes (AExpr.eval — None poisons the event)
+    def evVal(a: String)(ev: Event): Option[Long] = ev.get(a)
+    def valOf: Event => Option[Long] = (m.attr, m.argExpr) match {
+      case (Some(a), _)    => evVal(a)
+      case (None, Some(e)) => ev => AExpr.eval(e, a => ev.get(a))
+      case (None, None)    => throw new IllegalStateException(
+        "positional measure reached the attribute fold") // unreachable
+    }
+    if (!isAttrTier(m)) m.fn match {
+      case Fn.Count => Some(binding.length.toLong)
+      case Fn.First => firstAt.map(_(orderName))
+      case Fn.Last  => lastAt.map(_(orderName))
+      case other => throw new IllegalStateException(
+        s"${other.sqlName} is attribute-only") // unreachable (ctor)
+    }
+    else m.fn match {
+      case Fn.First => firstAt.flatMap(valOf)
+      case Fn.Last  => lastAt.flatMap(valOf)
+      case _ =>
+        val vals = binding.flatMap(valOf)
+        if (vals.isEmpty) None
+        else m.fn match {
+          case Fn.Sum => Some(vals.sum)
+          case Fn.Min => Some(vals.min)
+          case Fn.Max => Some(vals.max)
+          case Fn.Avg => Some(Math.floorDiv(vals.sum, vals.length.toLong))
+          case _ => throw new IllegalStateException("unreachable")
+        }
     }
   }
 

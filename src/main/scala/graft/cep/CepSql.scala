@@ -87,7 +87,21 @@ package graft.cep
   *           arithmetic; MATCH_NUMBER() participates, batch-only.)
   * mterm  := mfact (('*' | '/') mfact)*
   * mfact  := INT | '(' mexpr ')'
-  *         | FN '(' name ['.' attr] [',' k] ')'
+  *         | FN '(' aarg [',' k] ')'
+  * aarg   := name                         (positional — order ids)
+  *         | aexpr                        (SQL:2016 aggregate over a
+  *           VALUE EXPRESSION of one variable's attributes —
+  *           `SUM(a.price * a.qty)`, `AVG(2 * c.v + 1)`. Same integer
+  *           fragment and semantics as the outer mexpr: `+ - *` wrap,
+  *           `/` is DuckDB-`//`-exact, a NULL attribute poisons the
+  *           EVENT's value and the aggregate skips that event
+  *           (FIRST/LAST read the target event's possibly-NULL value).
+  *           Every ref must be qualified (`name.attr`) and all refs
+  *           must share ONE pattern or SUBSET name — SQL:2016's
+  *           one-variable rule. COUNT takes no expression.)
+  * aexpr  := aterm (('+' | '-') aterm)*
+  * aterm  := afact (('*' | '/') afact)*
+  * afact  := INT | '(' aexpr ')' | name '.' attr
   *           (the `,k` logical offset is SQL:2016's optional
   *           second argument to FIRST/LAST: FIRST(a.v, k) reads the
   *           (k+1)-th bound event from the start, LAST(a.v, k) from the
@@ -160,6 +174,11 @@ package graft.cep
   *           [LET x '=' init THEN update (',' x '=' init THEN update)*]
   *           [UNTIL expr]                              (unbounded loops)
   *         | name AS GROUP [UNTIL expr]                (group labels)
+  *           (a WHERE may embed SQL:2016 RUNNING aggregates
+  *            `SUM/COUNT/MIN/MAX/AVG(x[.attr])` and LOGICAL NAVIGATION
+  *            `FIRST/LAST(x.attr)` — both desugar at parse time to LET
+  *            registers; see `rewriteAggs` for targets, semantics and
+  *            the empty-fold/unbound-read 0 deviation)
   * skip   := TO NEXT | PAST LAST EVENT | TO FIRST name | TO LAST name
   * }}}
   *
@@ -506,18 +525,35 @@ object CepSql {
     * (SELF-only: their empty state has no honest integer encoding —
     * MIN/MAX desugar to the boolean-arithmetic fold
     * `R*(R<=v) + v*(v<R)` off `Long.MaxValue`/`MinValue`, AVG to a
-    * floored SUM/COUNT quotient, DuckDB `//`). Rejected loudly:
+    * floored SUM/COUNT quotient, DuckDB `//`).
+    *
+    * SQL:2016 LOGICAL NAVIGATION rides the same registers:
+    * `FIRST(x.attr)` / `LAST(x.attr)` in a WHERE read the first/latest
+    * take of `x` (self/cross/SUBSET targets like SUM — LAST is one
+    * register re-set per take; FIRST is a set-once pair gated by a seen
+    * flag, atomic because updates read the pre-update η). Self reads
+    * follow the standard's running rule — the current row is
+    * tentatively the defining variable, so self-`LAST` IS the current
+    * attr and self-`FIRST` falls back to it before the first take. A
+    * CROSS read before the target ever binds reads the register's
+    * init 0 — same documented deviation as the empty SUM fold (SQL
+    * would say NULL; sequence later variables after their targets to
+    * never observe it). No offsets (`FIRST(x.attr, k)` is a MEASURES
+    * form) and no PREV/NEXT nesting.
+    *
+    * Rejected loudly:
     * `FINAL`/`RUNNING` prefixes (FINAL is meaningless mid-match; the
-    * running form is the default and only form), aggregates in
-    * UNTIL/LET sections, unknown or GROUP targets, attribute-less
-    * SUM/MIN/MAX/AVG and attributed COUNT. The desugared form is what
-    * the statement carries — `render` prints the LET/arithmetic form,
-    * which re-parses to the same query (the sugar itself does not
-    * round-trip; spec-pinned in `CepDefineAggSpec`).
+    * running form is the default and only form), aggregates/navigation
+    * in UNTIL/LET sections, unknown or GROUP targets, attribute-less
+    * SUM/MIN/MAX/AVG/FIRST/LAST and attributed COUNT. The desugared
+    * form is what the statement carries — `render` prints the
+    * LET/arithmetic form, which re-parses to the same query (the sugar
+    * itself does not round-trip; spec-pinned in `CepDefineAggSpec`).
     */
   private val AggRe =
-    """\b(SUM|COUNT|MIN|MAX|AVG)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\)""".r
-  private val AggPrefixRe = """\b(FINAL|RUNNING)\s+(SUM|COUNT|MIN|MAX|AVG)\s*\(""".r
+    """\b(SUM|COUNT|MIN|MAX|AVG|FIRST|LAST)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\)""".r
+  private val AggPrefixRe =
+    """\b(FINAL|RUNNING)\s+(SUM|COUNT|MIN|MAX|AVG|FIRST|LAST)\s*\(""".r
 
   private final class AggCtx {
     var n: Int = 0
@@ -560,12 +596,12 @@ object CepSql {
         s"CEP SQL DEFINE: $fn($target) needs an attribute " +
           s"($fn($target.<attr>))")
       if ((!self || subsets.contains(target)) &&
-          fn != "SUM" && fn != "COUNT")
+          fn != "SUM" && fn != "COUNT" && fn != "FIRST" && fn != "LAST")
         throw new IllegalArgumentException(
           s"CEP SQL DEFINE: $fn($target${attr.fold("")("." + _)}) in " +
             s"'$selfName' — MIN/MAX/AVG aggregates are self-only (their " +
-            "empty fold has no honest integer encoding); SUM/COUNT may " +
-            "target another name or a SUBSET")
+            "empty fold has no honest integer encoding); SUM/COUNT and " +
+            "FIRST/LAST navigation may target another name or a SUBSET")
       val a = attr.getOrElse("")
       val reg = ctx.seen.getOrElseUpdate((fn, target, a), {
         val base = s"__agg${ctx.n}"
@@ -588,6 +624,20 @@ object CepSql {
               Expr.parse(s"${base}s + $a"))
             ctx.pending += target -> VarDef(base + "c", 0L,
               Expr.parse(s"${base}c + 1"))
+          // SQL:2016 logical navigation — LAST: the latest take's attr;
+          // FIRST: set-once (the seen flag `<base>s` gates the update;
+          // both expressions read the PRE-update η, so the pair commits
+          // atomically per take — see DataUpdate)
+          case "LAST" =>
+            members.foreach(t => ctx.pending += t -> VarDef(base, 0L,
+              Expr.parse(a)))
+          case "FIRST" =>
+            members.foreach { t =>
+              ctx.pending += t -> VarDef(base, 0L,
+                Expr.parse(
+                  s"$base * (${base}s >= 1) + $a * (${base}s < 1)"))
+              ctx.pending += t -> VarDef(base + "s", 0L, Expr.parse("1"))
+            }
         }
         base
       })
@@ -599,7 +649,13 @@ object CepSql {
         case ("MAX", true)    =>
           s"($reg * ($reg >= $a) + $a * ($a > $reg))"
         case ("AVG", true)    => s"((${reg}s + $a) // (${reg}c + 1))"
-        case (_, false)       => reg // SUM/COUNT cross-target
+        // running-navigation self reads: the current row is tentatively
+        // the defining variable, so LAST = the current attr, FIRST = the
+        // register once seen, else the current attr
+        case ("LAST", true)   => s"($a)"
+        case ("FIRST", true)  =>
+          s"($reg * (${reg}s >= 1) + $a * (${reg}s < 1))"
+        case (_, false)       => reg // SUM/COUNT/FIRST/LAST cross-target
       }
       java.util.regex.Matcher.quoteReplacement(repl)
     })
@@ -642,7 +698,7 @@ object CepSql {
         case "UNTIL" =>
           AggRe.findFirstMatchIn(section).foreach { m =>
             throw new IllegalArgumentException(
-              s"CEP SQL DEFINE: aggregate '${m.matched}' in the UNTIL " +
+              s"CEP SQL DEFINE: aggregate/navigation '${m.matched}' in the UNTIL " +
                 "of '" + name + "' — aggregates desugar to per-take " +
                 "registers, whose value at a stop event (not taken as " +
                 "any name) has no standard meaning; fold a LET " +
@@ -652,7 +708,7 @@ object CepSql {
         case "LET" =>
           AggRe.findFirstMatchIn(section).foreach { m =>
             throw new IllegalArgumentException(
-              s"CEP SQL DEFINE: aggregate '${m.matched}' in a LET of '" +
+              s"CEP SQL DEFINE: aggregate/navigation '${m.matched}' in a LET of '" +
                 name + "' — registers fold takes directly; write the " +
                 "fold out instead of nesting an aggregate")
           }
@@ -816,7 +872,8 @@ object CepSql {
           "an explicit CepSpec)"))
       val free = patternRefs(query.patseq) -- patternVars(query.patseq)
       val attrs = free ++
-        measures.flatMap(CepMeasures.MeasureItem.atomsOf).flatMap(_.attr) ++
+        measures.flatMap(CepMeasures.MeasureItem.atomsOf)
+          .flatMap(CepMeasures.attrsOf) ++
         query.withinTime.map(_.tsAttr)
       SparkCep.CepSpec(partitionBy, ord, tc, (attrs - ord).toVector.sorted)
     }
@@ -1013,9 +1070,13 @@ object CepSql {
     *
     *   expr   := term (('+' | '-') term)*      (left-associative)
     *   term   := factor ('*' factor)*
-    *   factor := INT | '(' expr ')' | FN '(' name ['.' attr] [',' k] ')'
+    *   factor := INT | '(' expr ')' | FN '(' aarg [',' k] ')'
     *           | 'MATCH_NUMBER()'              (CLASSIFIER() is STRING —
     *                                            rejected in arithmetic)
+    *   aarg   := name | name '.' attr
+    *           | <aexpr over one name's attrs> (aggregate-argument
+    *             expression — `SUM(a.price * a.qty)`; see the grammar
+    *             doc's `aexpr` production)
     *
     * A bare single atom parses through the fast-path regexes above and
     * yields a plain [[CepMeasures.Measure]]; this path produces an
@@ -1057,21 +1118,110 @@ object CepSql {
     def atom(fnName: String): CepMeasures.MExpr = {
       val fn = CepMeasures.Fn.fromName(fnName)
       ws(); eat('(')
-      if (CepMeasures.Fn.isNullary(fn)) { ws(); eat(')')
-        CepMeasures.MExpr.Atom(CepMeasures.Measure(fn, "", None, ""))
-      } else {
-        val name = ident()
+      def parseOff(): Int = {
         ws()
-        val attr = if (peek == '.') { i += 1; Some(ident()) } else None
-        ws()
-        val off = if (peek == ',') { i += 1
+        if (peek == ',') { i += 1
           val n = number()
           if (n > Int.MaxValue) fail("offset out of range")
           n.toInt
         } else 0
-        ws(); eat(')')
-        CepMeasures.MExpr.Atom(
-          CepMeasures.Measure(fn, name, attr, "", offset = off))
+      }
+      if (CepMeasures.Fn.isNullary(fn)) { ws(); eat(')')
+        CepMeasures.MExpr.Atom(CepMeasures.Measure(fn, "", None, ""))
+      } else {
+        // the aggregate ARGUMENT: a bare `name` (positional) or
+        // `name.attr` with no arithmetic keeps the plain-atom shape;
+        // a literal, a parenthesis, or an operator after the first ref
+        // parses as an aggregate-argument expression (SQL:2016 value
+        // expression, integer fragment — `SUM(a.price * a.qty)`) whose
+        // qualified refs must all share ONE pattern (or SUBSET) name
+        val argNames = scala.collection.mutable.LinkedHashSet.empty[String]
+        def aFact(): CepMeasures.AExpr = {
+          ws()
+          if (peek == '(') { i += 1; val e = aExpr(); ws(); eat(')'); e }
+          else if (peek.isDigit) CepMeasures.AExpr.Lit(number())
+          else {
+            val n = ident()
+            ws()
+            if (peek != '.') fail(
+              s"aggregate-argument refs must be qualified ('$n.attr')")
+            i += 1
+            argNames += n
+            CepMeasures.AExpr.Ref(ident())
+          }
+        }
+        def aTermTail(first: CepMeasures.AExpr): CepMeasures.AExpr = {
+          var e = first
+          ws()
+          while (peek == '*' || peek == '/') {
+            val op = peek; i += 1
+            e = if (op == '*') CepMeasures.AExpr.Mul(e, aFact())
+                else CepMeasures.AExpr.Div(e, aFact())
+            ws()
+          }
+          e
+        }
+        def aExprTail(first: CepMeasures.AExpr): CepMeasures.AExpr = {
+          var e = aTermTail(first)
+          ws()
+          while (peek == '+' || peek == '-') {
+            val op = peek; i += 1
+            e = if (op == '+') CepMeasures.AExpr.Add(e, aTermTail(aFact()))
+                else CepMeasures.AExpr.Sub(e, aTermTail(aFact()))
+            ws()
+          }
+          e
+        }
+        def aExpr(): CepMeasures.AExpr = aExprTail(aFact())
+        def oneName(): String = {
+          if (argNames.size != 1) fail(
+            "an aggregate argument must reference exactly one pattern " +
+              s"(or SUBSET) name, got {${argNames.mkString(", ")}}")
+          argNames.head
+        }
+        ws()
+        if (peek.isDigit || peek == '(') {
+          val e = aExpr()
+          val off = parseOff()
+          ws(); eat(')')
+          e match {
+            // a parenthesized bare ref collapses to the plain atom, so
+            // parse∘render stays the identity (render never emits it)
+            case CepMeasures.AExpr.Ref(attr) =>
+              CepMeasures.MExpr.Atom(CepMeasures.Measure(fn, oneName(),
+                Some(attr), "", offset = off))
+            case other =>
+              CepMeasures.MExpr.Atom(CepMeasures.Measure(fn, oneName(),
+                None, "", offset = off, argExpr = Some(other)))
+          }
+        } else {
+          val name = ident()
+          ws()
+          if (peek == '.') {
+            i += 1
+            argNames += name
+            val e = aExprTail(CepMeasures.AExpr.Ref(ident()))
+            val off = parseOff()
+            ws(); eat(')')
+            e match {
+              // no arithmetic — the plain fn(name.attr) atom
+              case CepMeasures.AExpr.Ref(attr) =>
+                CepMeasures.MExpr.Atom(
+                  CepMeasures.Measure(fn, name, Some(attr), "",
+                    offset = off))
+              case other =>
+                CepMeasures.MExpr.Atom(CepMeasures.Measure(fn, oneName(),
+                  None, "", offset = off, argExpr = Some(other)))
+            }
+          } else if (peek == ',' || peek == ')') {
+            // positional fn(name[, k])
+            val off = parseOff()
+            ws(); eat(')')
+            CepMeasures.MExpr.Atom(
+              CepMeasures.Measure(fn, name, None, "", offset = off))
+          } else fail(
+            s"aggregate-argument refs must be qualified ('$name.attr')")
+        }
       }
     }
     def factor(): CepMeasures.MExpr = {
@@ -1432,7 +1582,7 @@ object CepSql {
             "the TYPE ... IN universe")
         val refAttrs = (patternRefs(lowered) -- patternVars(lowered)) ++
           measures.flatMap(CepMeasures.MeasureItem.atomsOf)
-            .flatMap(_.attr) ++
+            .flatMap(CepMeasures.attrsOf) ++
           orderByCol ++ withinTime.map(_.tsAttr)
         val attrs = refAttrs.toVector.sorted
         ts.map(_ -> attrs)
@@ -1455,7 +1605,8 @@ object CepSql {
               "bind no events to measure")
           Vector(d.event)
       }
-      m.attr.foreach { a =>
+      (m.attr.toVector ++ m.argExpr.fold(Vector.empty[String])(
+        CepMeasures.AExpr.refs)).foreach { a =>
         events.foreach { ev =>
           val attrs = schema.collectFirst { case (e, as) if e == ev => as }
             .getOrElse(Vector.empty)
@@ -1674,9 +1825,34 @@ object CepSql {
     }
     val body = (if (q.anchorStart) "^ " else "") + topS(q.patseq) +
       (if (q.anchorEnd) " $" else "")
-    def atomS(m: CepMeasures.Measure): String =
-      s"${m.fn.sqlName}(${m.name}${m.attr.fold("")("." + _)}" +
+    // aggregate-argument expression render — same precedence scheme as
+    // the outer measure expression below (leaves print as `name.attr`)
+    def aLvl(e: CepMeasures.AExpr): Int = e match {
+      case _: CepMeasures.AExpr.Add | _: CepMeasures.AExpr.Sub => 1
+      case _: CepMeasures.AExpr.Mul | _: CepMeasures.AExpr.Div => 2
+      case _                                                   => 3
+    }
+    def argExprS(e: CepMeasures.AExpr, name: String): String = {
+      def sub(c: CepMeasures.AExpr, minLvl: Int): String =
+        if (aLvl(c) < minLvl) s"(${argExprS(c, name)})"
+        else argExprS(c, name)
+      e match {
+        case CepMeasures.AExpr.Ref(a)    => s"$name.$a"
+        case CepMeasures.AExpr.Lit(v)    => v.toString
+        case CepMeasures.AExpr.Add(l, r) => s"${sub(l, 1)} + ${sub(r, 2)}"
+        case CepMeasures.AExpr.Sub(l, r) => s"${sub(l, 1)} - ${sub(r, 2)}"
+        case CepMeasures.AExpr.Mul(l, r) => s"${sub(l, 2)} * ${sub(r, 3)}"
+        case CepMeasures.AExpr.Div(l, r) => s"${sub(l, 2)} / ${sub(r, 3)}"
+      }
+    }
+    def atomS(m: CepMeasures.Measure): String = {
+      val arg = m.argExpr match {
+        case Some(ae) => argExprS(ae, m.name)
+        case None     => s"${m.name}${m.attr.fold("")("." + _)}"
+      }
+      s"${m.fn.sqlName}($arg" +
         (if (m.offset != 0) s", ${m.offset}" else "") + ")"
+    }
     // precedence-aware expression render: + and - at level 1, * at 2,
     // leaves at 3. The parser is left-associative, so a LEFT child at
     // the same level needs no parentheses but a RIGHT one does (it could

@@ -202,4 +202,101 @@ class CepDefineAggSpec extends AnyFunSuite {
     bad("PATTERN (a) DEFINE a AS A WHERE SUM(a.v) > 1 " +
       "LET __agg9 = 0 THEN __agg9 + v", "reserved '__agg'")
   }
+
+  test("LAST navigation: self == the plain attr (running rule); cross " +
+    "reads the target's latest take (hand-written LET differential)") {
+    val rnd = new scala.util.Random(20260822L)
+    // self-LAST IS the current row
+    val self = CepSql.parse(
+      "PATTERN (a{2,2}) DEFINE a AS A WHERE LAST(a.v) >= 4", schema)
+    val plain = CepSql.parse(
+      "PATTERN (a{2,2}) DEFINE a AS A WHERE v >= 4", schema)
+    // cross-LAST == a hand-written re-set register on the target
+    val sugared = CepSql.parse(
+      "PATTERN (a{1,2} -> b) DEFINE a AS A; b AS B WHERE v > LAST(a.v)",
+      schema)
+    val manual = CepSql.parse(
+      "PATTERN (a{1,2} -> b) DEFINE a AS A LET L = 0 THEN v; " +
+        "b AS B WHERE v > L", schema)
+    for (trial <- 0 until 40) {
+      val in = evs((1 to (4 + rnd.nextInt(8))).map(_ =>
+        (if (rnd.nextBoolean()) "A" else "B", rnd.nextInt(10))): _*)
+      assert(ids(CepOperator.run(self, in)) ==
+        ids(CepOperator.run(plain, in)), s"self trial $trial")
+      assert(ids(CepOperator.run(sugared, in)) ==
+        ids(CepOperator.run(manual, in)), s"cross trial $trial")
+    }
+  }
+
+  test("FIRST navigation: set-once register pair (atomic via pre-update " +
+    "η); self falls back to the current row before the first take") {
+    // ascending-from-first: every a must be >= the run's FIRST a
+    val q = CepSql.parse(
+      "PATTERN (a{2,3}) DEFINE a AS A WHERE v >= FIRST(a.v)", schema)
+    // A(5) A(3) A(6): run@e1 dies at e2 (3 < 5, strict); run@e2 takes
+    // e2,e3; run@e3 is a 1-prefix (below {2,3})
+    val out = CepOperator.run(q, evs(("A", 5), ("A", 3), ("A", 6)))
+    assert(ids(out) == Vector(Vector("a" -> Vector(2L, 3L))))
+    // cross-FIRST == a hand-written set-once pair; FIRST ≠ LAST on a
+    // loop target (the differential stream has both orders)
+    val sugared = CepSql.parse(
+      "PATTERN (a{2,2} -> b) DEFINE a AS A; b AS B WHERE v > FIRST(a.v)",
+      schema)
+    val manual = CepSql.parse(
+      "PATTERN (a{2,2} -> b) DEFINE a AS A " +
+        "LET F = 0 THEN F * (Fs >= 1) + v * (Fs < 1), Fs = 0 THEN 1; " +
+        "b AS B WHERE v > F", schema)
+    val rnd = new scala.util.Random(20260823L)
+    for (trial <- 0 until 40) {
+      val in = evs((1 to (4 + rnd.nextInt(8))).map(_ =>
+        (if (rnd.nextBoolean()) "A" else "B", rnd.nextInt(10))): _*)
+      assert(ids(CepOperator.run(sugared, in)) ==
+        ids(CepOperator.run(manual, in)), s"trial $trial")
+    }
+  }
+
+  test("navigation SUBSET target: the union's first/latest take; " +
+    "current candidate included iff self is a member") {
+    // u = (a, b): b judged against the union's FIRST — which is a's
+    // take (a binds before b), so b sees a's value
+    val q = CepSql.parse(
+      "PATTERN (a -> b) SUBSET u = (a, b) " +
+        "DEFINE a AS A; b AS B WHERE v >= FIRST(u.v)", schema)
+    // A(4), B(3): 3 >= 4 fails; A(4), B(5): 5 >= 4 binds
+    assert(ids(CepOperator.run(q, evs(("A", 4), ("B", 3)))) ==
+      Vector())
+    assert(ids(CepOperator.run(q, evs(("A", 4), ("B", 5)))) ==
+      Vector(Vector("a" -> Vector(1L), "b" -> Vector(2L))))
+    // LAST over the union in b's own WHERE: current row IS the union's
+    // latest (self ∈ members) — always the plain attr
+    val ql = CepSql.parse(
+      "PATTERN (a -> b) SUBSET u = (a, b) " +
+        "DEFINE a AS A; b AS B WHERE LAST(u.v) > 3", schema)
+    assert(ids(CepOperator.run(ql, evs(("A", 9), ("B", 2)))) == Vector())
+    assert(ids(CepOperator.run(ql, evs(("A", 1), ("B", 4)))) ==
+      Vector(Vector("a" -> Vector(1L), "b" -> Vector(2L))))
+  }
+
+  test("navigation rejections: prefixes, outside WHERE, attribute-less, " +
+    "offsets unsupported") {
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.parseStatement(sql, schema)
+      }
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("PATTERN (a) DEFINE a AS A WHERE RUNNING LAST(a.v) < 9",
+      "RUNNING by definition")
+    bad("PATTERN (a{1,}) DEFINE a AS A UNTIL LAST(a.v) > 9", "UNTIL")
+    bad("PATTERN (a) DEFINE a AS A WHERE X < 5 " +
+      "LET X = 0 THEN FIRST(a.v)", "LET")
+    bad("PATTERN (a) DEFINE a AS A WHERE FIRST(a) > 1",
+      "needs an attribute")
+    // FIRST(x.attr, k) is a MEASURES form — the DEFINE rewrite never
+    // matches it, so the offset comma reaches Expr.parse and fails there
+    intercept[IllegalArgumentException] {
+      CepSql.parseStatement(
+        "PATTERN (a{2,2}) DEFINE a AS A WHERE FIRST(a.v, 1) > 1", schema)
+    }
+  }
 }

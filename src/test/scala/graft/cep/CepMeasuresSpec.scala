@@ -559,4 +559,127 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
           "DEFINE s AS S", schema)
     }
   }
+
+  test("aggregate-argument expressions: per-event value expressions " +
+    "inside SUM/MIN/MAX/AVG/FIRST/LAST, hand-computed; batch == fold") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES SUM(c.v * c.v) AS energy, " +
+        "AVG(2 * c.v + 1) AS avg2, " +
+        "MIN(c.v - 10) AS lo, " +
+        "MAX(c.v * c.v - c.v) AS hi, " +
+        "FIRST(c.v * 3) AS f3, " +
+        "LAST(p.v / 2) AS ph, " +
+        "LAST(c.v * c.v, 1) AS pen_sq " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    // parse shape: an arg-expr atom carries argExpr and no attr
+    val energy = st.measures(0).asInstanceOf[CepMeasures.Measure]
+    assert(energy.argExpr.isDefined && energy.attr.isEmpty &&
+      energy.name == "c")
+    // S(1), C(2,v=7), C(3,v=4), P(4,v=9): matches c=[2] and c=[2,3]
+    val df = eventsDf(
+      (1L, 1L, "S", 0L), (1L, 2L, "C", 7L), (1L, 3L, "C", 4L),
+      (1L, 4L, "P", 9L))
+    def g(r: Row, n: String): Any =
+      if (r.isNullAt(r.fieldIndex(n))) null else r.getLong(r.fieldIndex(n))
+    val out = CepMeasures.run(df, st, spec)
+      .orderBy("energy")
+      .collect().map(r => (g(r, "energy"), g(r, "avg2"), g(r, "lo"),
+        g(r, "hi"), g(r, "f3"), g(r, "ph"), g(r, "pen_sq"))).toVector
+    assert(out == Vector(
+      // c=[2]: 49, (15)//1, -3, 42, 21, 9/2=4, offset-1 off the end: NULL
+      (49L, 15L, -3L, 42L, 21L, 4L, null),
+      // c=[2,3]: 49+16, (15+9)//2, -6, max(42,12), 21, 4, 2nd-from-last
+      (65L, 12L, -6L, 42L, 21L, 4L, 49L)))
+    // streaming fold agrees measure-for-measure (the batch==stream gate
+    // in StreamingCepMeasuresSpec covers the operator; this pins the
+    // fold arithmetic itself)
+    val byName = Map(
+      "s" -> Vector(Event("S", Vector("id" -> 1L, "v" -> 0L))),
+      "c" -> Vector(Event("C", Vector("id" -> 2L, "v" -> 7L)),
+        Event("C", Vector("id" -> 3L, "v" -> 4L))),
+      "p" -> Vector(Event("P", Vector("id" -> 4L, "v" -> 9L))))
+    assert(st.measures.map(m => CepMeasures.evalItem(m, byName, "id")) ==
+      Vector(Some(65L), Some(12L), Some(-6L), Some(42L), Some(21L),
+        Some(4L), Some(49L)))
+    // division by zero inside the argument poisons the EVENT (NULL), in
+    // both tiers
+    val stZ = CepSql.parseStatement(
+      "PATTERN (s -> p) MEASURES LAST(p.v / (p.v - 9)) AS z " +
+        "DEFINE s AS S; p AS P", schema)
+    val rz = CepMeasures.run(eventsDf((1L, 1L, "S", 0L),
+      (1L, 2L, "P", 9L)), stZ, spec).collect().head
+    assert(rz.isNullAt(rz.fieldIndex("z")))
+    assert(CepMeasures.evalItem(stZ.measures(0),
+      Map("s" -> Vector(Event("S", Vector("id" -> 1L, "v" -> 0L))),
+        "p" -> Vector(Event("P", Vector("id" -> 2L, "v" -> 9L)))),
+      "id") == None)
+  }
+
+  test("aggregate-argument expressions: SUBSET union target, ALL ROWS " +
+    "running form, and composition with the outer measure expression") {
+    // SUBSET union: SUM over the merged binding in stream order
+    val stU = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES SUM(u.v * u.v) AS u_energy, " +
+        "SUM(c.v * c.v) + COUNT(p) AS combined " +
+        "SUBSET u = (c, p) " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    val df = eventsDf(
+      (1L, 1L, "S", 0L), (1L, 2L, "C", 7L), (1L, 3L, "C", 4L),
+      (1L, 4L, "P", 9L))
+    val outU = CepMeasures.run(df, stU, spec).orderBy("u_energy")
+      .collect().map(r => (r.getLong(r.fieldIndex("u_energy")),
+        r.getLong(r.fieldIndex("combined")))).toVector
+    assert(outU == Vector(
+      (49L + 81L, 50L),        // c=[2]:   49+81, 49+1
+      (49L + 16L + 81L, 66L))) // c=[2,3]: 49+16+81, 65+1
+    // ALL ROWS PER MATCH: the arg expression feeds the RUNNING window
+    val stR = CepSql.parseStatement(
+      "PATTERN (s -> c{2,2}) " +
+        "MEASURES SUM(c.v * c.v) AS r_energy " +
+        "ALL ROWS PER MATCH " +
+        "DEFINE s AS S; c AS C", schema)
+    val outR = CepMeasures.run(df, stR, spec)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(r.fieldIndex("r_energy"))) null
+        else r.getLong(r.fieldIndex("r_energy")))).toVector
+    assert(outR == Vector((1L, null), (2L, 49L), (3L, 65L)))
+  }
+
+  test("aggregate-argument expressions render round-trip; bad forms " +
+    "fail loudly") {
+    val sqls = Vector(
+      "PATTERN (a -> b) MEASURES SUM(a.v * a.v) + 1 AS x " +
+        "DEFINE a AS S; b AS C",
+      "PATTERN (a -> b) MEASURES AVG((a.v + 1) * 2) AS y " +
+        "DEFINE a AS S; b AS C",
+      "PATTERN (a -> b) MEASURES FIRST(a.v * 2, 1) AS z, " +
+        "MIN(b.v / 3 - 1) AS w DEFINE a AS S; b AS C")
+    for (sql <- sqls) {
+      val st = CepSql.parseStatement(sql, schema)
+      val again = CepSql.parseStatement(CepSql.render(st), schema)
+      assert(again == st, s"round-trip diverged for: $sql\n" +
+        s"rendered: ${CepSql.render(st)}")
+    }
+    // a parenthesized bare ref collapses to the plain atom form
+    val c = CepSql.parseStatement(
+      "PATTERN (a -> b) MEASURES SUM((a.v)) AS x DEFINE a AS S; b AS C",
+      schema).measures(0).asInstanceOf[CepMeasures.Measure]
+    assert(c.attr.contains("v") && c.argExpr.isEmpty)
+    def bad(measures: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.parseStatement(
+          s"PATTERN (a -> b) MEASURES $measures DEFINE a AS S; b AS C",
+          schema)
+      }
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    bad("SUM(a.v * b.v) AS x", "exactly one pattern")
+    bad("SUM(v * 2) AS x", "must be qualified")
+    bad("COUNT(a.v * 2) AS x", "takes no argument expression")
+    bad("SUM(1 + 2) AS x", "exactly one pattern")
+    bad("SUM(a.nope * 2) AS x", "no attribute 'nope'")
+  }
 }

@@ -134,20 +134,56 @@ class CepSqlFuzzSpec extends AnyFunSuite {
           else // arithmetic: MATCH_NUMBER only (CLASSIFIER is a string)
             CepMeasures.Measure(CepMeasures.Fn.MatchNo, "", None, alias)
         else {
-          val attr = fn match {
-            case CepMeasures.Fn.Count => None
-            case CepMeasures.Fn.Sum | CepMeasures.Fn.Min |
-                 CepMeasures.Fn.Max | CepMeasures.Fn.Avg => Some("v")
-            case _ => if (rnd.nextBoolean()) Some("w") else None
-          }
           // FIRST/LAST may carry a logical offset (SQL:2016 second arg)
           val off = fn match {
             case CepMeasures.Fn.First | CepMeasures.Fn.Last =>
               rnd.nextInt(3)
             case _ => 0
           }
-          CepMeasures.Measure(fn, nm, attr, alias,
-            alias.nonEmpty && rnd.nextBoolean(), offset = off)
+          // 1-in-4 aggregate-ARGUMENT expression (`SUM(a.v * a.w)`);
+          // compound by construction — a bare ref is the plain form
+          if (fn != CepMeasures.Fn.Count && rnd.nextInt(4) == 0)
+            CepMeasures.Measure(fn, nm, None, alias,
+              alias.nonEmpty && rnd.nextBoolean(), offset = off,
+              argExpr = Some(rndArg()))
+          else {
+            val attr = fn match {
+              case CepMeasures.Fn.Count => None
+              case CepMeasures.Fn.Sum | CepMeasures.Fn.Min |
+                   CepMeasures.Fn.Max | CepMeasures.Fn.Avg => Some("v")
+              case _ => if (rnd.nextBoolean()) Some("w") else None
+            }
+            CepMeasures.Measure(fn, nm, attr, alias,
+              alias.nonEmpty && rnd.nextBoolean(), offset = off)
+          }
+        }
+      }
+      // aggregate-argument tree: refs over the shared attrs v/w plus
+      // literals; rndArg forces an operator top with a ref on the left
+      // so the tree is compound and references ≥1 attribute
+      def rndAExpr(depth: Int): CepMeasures.AExpr =
+        if (depth == 0) {
+          if (rnd.nextInt(3) == 0)
+            CepMeasures.AExpr.Lit(rnd.nextInt(50).toLong)
+          else CepMeasures.AExpr.Ref(if (rnd.nextBoolean()) "v" else "w")
+        } else rnd.nextInt(4) match {
+          case 0 => CepMeasures.AExpr.Add(rndAExpr(depth - 1),
+            rndAExpr(rnd.nextInt(depth)))
+          case 1 => CepMeasures.AExpr.Sub(rndAExpr(depth - 1),
+            rndAExpr(rnd.nextInt(depth)))
+          case 2 => CepMeasures.AExpr.Mul(rndAExpr(depth - 1),
+            rndAExpr(rnd.nextInt(depth)))
+          case 3 => CepMeasures.AExpr.Div(rndAExpr(depth - 1),
+            rndAExpr(rnd.nextInt(depth)))
+        }
+      def rndArg(): CepMeasures.AExpr = {
+        val l = CepMeasures.AExpr.Ref(if (rnd.nextBoolean()) "v" else "w")
+        val r = rndAExpr(rnd.nextInt(2))
+        rnd.nextInt(4) match {
+          case 0 => CepMeasures.AExpr.Add(l, r)
+          case 1 => CepMeasures.AExpr.Sub(l, r)
+          case 2 => CepMeasures.AExpr.Mul(l, r)
+          case 3 => CepMeasures.AExpr.Div(l, r)
         }
       }
       // random expression tree; any shape round-trips (the renderer

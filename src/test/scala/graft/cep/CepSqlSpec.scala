@@ -65,6 +65,12 @@ class CepSqlSpec extends AnyFunSuite {
       "PATTERN (^ s -> c) DEFINE s AS signup; c AS click",
     "cep_sql_define_agg" ->
       "PATTERN (a{2,3}) DEFINE a AS purchase WHERE SUM(a.value) <= 100",
+    "cep_sql_nav_first" ->
+      ("PATTERN (a{2,3}) DEFINE a AS purchase " +
+        "WHERE value >= FIRST(a.value)"),
+    "cep_sql_nav_last" ->
+      ("PATTERN (c{2,2}~ -> p) DEFINE c AS click; " +
+        "p AS purchase WHERE value > LAST(c.value)"),
     "cep_sql_permute_group" ->
       ("PATTERN (PERMUTE(s, (c p))) DEFINE s AS signup; c AS click; " +
         "p AS purchase"),

@@ -95,5 +95,37 @@ context:
     println("AGG_FINAL_ERR=" + scala.util.Try(CepSql.parse(
       "PATTERN (p) DEFINE p AS purchase WHERE FINAL SUM(p.value) < 9",
       sch)).failed.map(_.getMessage))
+
+    // round-15 continuation: DEFINE logical navigation (FIRST set-once /
+    // LAST re-set registers) and aggregate-ARGUMENT measure expressions
+    val navQ = CepSql.parse(
+      "PATTERN (p{2,2}) DEFINE p AS purchase WHERE value >= FIRST(p.value)",
+      sch)
+    // purchases 10 then 20: ascending-from-first binds both; 20 then 10
+    // kills the run at the second candidate
+    println("NAV_FIRST_MATCHES=" + CepOperator.run(navQ, Vector(
+      Event("purchase", "id" -> 1L, "value" -> 10L),
+      Event("purchase", "id" -> 2L, "value" -> 20L))))
+    println("NAV_FIRST_EMPTY=" + CepOperator.run(navQ, Vector(
+      Event("purchase", "id" -> 1L, "value" -> 20L),
+      Event("purchase", "id" -> 2L, "value" -> 10L))))
+    println("NAV_UNTIL_ERR=" + scala.util.Try(CepSql.parse(
+      "PATTERN (p{1,}) DEFINE p AS purchase UNTIL LAST(p.value) > 9",
+      sch)).failed.map(_.getMessage))
+    val argSt = CepSql.parseStatement(
+      "PATTERN (s -> p) MEASURES SUM(p.value * p.value) AS energy, " +
+        "LAST(p.value / 3) AS third " +
+        "DEFINE s AS signup; p AS purchase", sch)
+    println("AGG_ARG_FOLD=" + argSt.measures.map(m =>
+      CepMeasures.evalItem(m, Map(
+        "s" -> Vector(Event("signup", "id" -> 1L, "value" -> 0L)),
+        "p" -> Vector(Event("purchase", "id" -> 2L, "value" -> 10L))),
+        "id")))
+    println("AGG_ARG_RENDER_RT=" + (CepSql.parseStatement(
+      CepSql.render(argSt), sch) == argSt))
+    println("AGG_ARG_MIXED_ERR=" + scala.util.Try(CepSql.parseStatement(
+      "PATTERN (s -> p) MEASURES SUM(s.value * p.value) AS x " +
+        "DEFINE s AS signup; p AS purchase", sch))
+      .failed.map(_.getMessage))
   }
 }
