@@ -1458,6 +1458,74 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Nested PHYSICAL navigation in MEASURES (SQL:2016
+    * `PREV/NEXT(FIRST/LAST(...))` — `CepMeasures.PhysNav`): resolve the
+    * logical target event, then read the attribute from the row k
+    * PHYSICAL rows away in the user's partition — any event type, bound
+    * or not. Lowered as lag/lead columns on the event side of the ONE
+    * measures join (a single per-key window pass shared by all
+    * navigated measures — the same cost class as the DEFINE-side
+    * PREV batch lag), so navigation adds no extra join. NULL past a
+    * partition edge, exactly the oracle's LEFT JOIN at seq±k.
+    */
+  val cepSqlNavPhysStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_c, " +
+        "PREV(LAST(c.value)) AS before_last_c, " +
+        "NEXT(FIRST(c.value), 2) AS two_after_c1, " +
+        "PREV(FIRST(s.value)) AS before_s " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlNavPhys(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlNavPhysStatement)
+      .orderBy("user_id", "s_id", "n_c")
+
+  val cepSqlNavPhysSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT m.user_id, m.s_id,
+      |  CAST(CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END AS BIGINT)
+      |    AS n_c,
+      |  eb.v AS before_last_c,
+      |  ea.v AS two_after_c1,
+      |  es.v AS before_s
+      |FROM m
+      |LEFT JOIN seqd eb ON eb.user_id = m.user_id
+      |  AND eb.seq = COALESCE(m.c2_seq, m.c1_seq) - 1
+      |LEFT JOIN seqd ea ON ea.user_id = m.user_id
+      |  AND ea.seq = m.c1_seq + 2
+      |LEFT JOIN seqd es ON es.user_id = m.user_id
+      |  AND es.seq = m.s_seq - 1
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** `ALL ROWS PER MATCH` (`CepMeasures.allRows`): the other
     * MATCH_RECOGNIZE output shape — ONE ROW PER BOUND EVENT with the
     * per-key `match_no` sequence, the `classifier` (which pattern name
@@ -6887,6 +6955,7 @@ object Queries {
     "cep_sql_agg_arg" -> cepSqlAggArg _,
     "cep_sql_nav_first" -> cepSqlNavFirst _,
     "cep_sql_nav_last" -> cepSqlNavLast _,
+    "cep_sql_nav_phys" -> cepSqlNavPhys _,
     "cep_sql_all_rows" -> cepSqlAllRows _,
     "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
     "cep_sql_unmatched" -> cepSqlUnmatched _,
@@ -7057,6 +7126,7 @@ object Queries {
     "cep_sql_agg_arg" -> cepSqlAggArgSql,
     "cep_sql_nav_first" -> cepSqlNavFirstSql,
     "cep_sql_nav_last" -> cepSqlNavLastSql,
+    "cep_sql_nav_phys" -> cepSqlNavPhysSql,
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
     "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,

@@ -131,10 +131,35 @@ object CepMeasures {
     * aggregate up to the current row. In `ONE ROW PER MATCH` every
     * measure is final by definition and the modifier is a no-op.
     */
+  /** SQL:2016 nested PHYSICAL navigation around a FIRST/LAST measure —
+    * `PREV(LAST(a.v), k)` / `NEXT(FIRST(a.v), k)`: once the logical
+    * target event is resolved (the first/last bound event, offsets
+    * included), read the attribute from the row `steps` PHYSICAL rows
+    * before/after it in the key's partition input order — any event
+    * type, bound or not, exactly the DEFINE-side `PREV(attr, k)`
+    * convention ([[Nav]]). Past a partition edge the value is NULL
+    * (SQL's navigation-out-of-frame). `steps >= 1`; `PREV(x)` is
+    * `steps = 1`, the standard's default.
+    */
+  final case class PhysNav(isNext: Boolean, steps: Int) {
+    require(steps >= 1, s"physical navigation needs steps >= 1 ($steps)")
+    /** Signed shift: negative = PREV (lag), positive = NEXT (lead). */
+    def signed: Int = if (isNext) steps else -steps
+  }
+
   final case class Measure(fn: Fn, name: String, attr: Option[String],
       alias: String, isFinal: Boolean = false, offset: Int = 0,
-      argExpr: Option[AExpr] = None)
+      argExpr: Option[AExpr] = None, phys: Option[PhysNav] = None)
       extends MeasureItem {
+    phys.foreach { _ =>
+      require(fn == Fn.First || fn == Fn.Last,
+        s"MEASURES: PREV/NEXT nest around FIRST/LAST only " +
+          s"(${fn.sqlName})")
+      require(attr.isDefined || argExpr.isDefined,
+        s"MEASURES: PREV/NEXT(${fn.sqlName}($name)) — physical " +
+          "navigation reads an attribute of the navigated row; the " +
+          "positional form has no navigable value")
+    }
     argExpr.foreach { ae =>
       require(attr.isEmpty,
         s"MEASURES: ${fn.sqlName}($name) — an attribute target and an " +
@@ -190,10 +215,28 @@ object CepMeasures {
     * which the enclosing aggregate then skips — SQL
     * aggregate-over-expression).
     */
-  private def valueCol(m: Measure): Column = m.argExpr match {
-    case Some(ae) => AExpr.toColumn(ae, a => col(s"__a_$a"), truncDiv)
-    case None     => col(s"__a_${m.attr.get}")
+  private def valueCol(m: Measure): Column = {
+    // a physically-navigated measure reads the SHIFTED columns the
+    // event side precomputed (lag/lead over the key partition) — the
+    // join still lands on the bound event's row, the shift rides it
+    def ref(a: String): Column = m.phys match {
+      case Some(pn) => col(shiftName(a, pn.signed))
+      case None     => col(s"__a_$a")
+    }
+    m.argExpr match {
+      case Some(ae) => AExpr.toColumn(ae, ref, truncDiv)
+      case None     => ref(m.attr.get)
+    }
   }
+
+  /** Internal name of attribute `a` shifted by `s` physical rows. */
+  private def shiftName(a: String, s: Int): String =
+    if (s < 0) s"__a_${a}_p${-s}" else s"__a_${a}_n$s"
+
+  /** The (attr, signed shift) pairs a measure set needs precomputed. */
+  private def shiftsOf(ms: Seq[Measure]): Seq[(String, Int)] =
+    ms.flatMap(m => m.phys.toSeq.flatMap(pn =>
+      attrsOf(m).map(a => (a, pn.signed)))).distinct
 
   /** Nullary measure constructors. */
   def classifier(alias: String, isFinal: Boolean = false): Measure =
@@ -287,10 +330,16 @@ object CepMeasures {
     * integer literals, e.g. `LAST(a.v) - FIRST(a.v)` or
     * `100 * COUNT(c) + COUNT(p)`. All-long arithmetic; a NULL atom
     * (measure-over-missing) propagates NULL through the whole
-    * expression, exactly SQL. Division is deliberately absent: the two
-    * engines the oracle gate spans disagree on integer `/` (DuckDB
-    * promotes to DOUBLE, Spark `DIV` truncates) — `AVG` covers the
-    * mean, the one division real measures need.
+    * expression, exactly SQL. `/` is the one [[Div]] documents: DuckDB
+    * `//` exact (truncation toward zero, NULL on a zero divisor); `AVG`
+    * keeps its separate FLOORED exact-mean convention.
+    *
+    * OVERFLOW: `+ - *` are non-ANSI 64-bit and silently WRAP in both
+    * tiers (the Spark column lowering and `evalItem`'s long fold agree
+    * bit-for-bit). DuckDB — the oracle the correctness gate replays —
+    * ERRORS on BIGINT overflow instead, so a measured magnitude outside
+    * long range surfaces as an oracle failure, not a silent mismatch;
+    * keep measured products inside long range.
     */
   sealed trait MExpr extends Serializable
   object MExpr {
@@ -590,14 +639,30 @@ object CepMeasures {
   }
 
   /** Events projected to the join shape: hashed key, long order, long
-    * attrs under collision-free internal names.
+    * attrs under collision-free internal names. `shifts` adds one
+    * lag/lead column per (attr, signed steps) pair — physical
+    * navigation for `PREV/NEXT(FIRST/LAST(...))` measures. The window
+    * is ONE per-key sort pass over the event side (Spark coalesces all
+    * shifts into a single Window node: same partition, same order) —
+    * the identical cost class as the DEFINE-side `PREV(attr)` batch
+    * lag, and absent entirely when no measure navigates.
     */
   private def eventSide(events: DataFrame, spec: CepSpec,
-      attrs: Seq[String]): DataFrame =
-    events.select(
+      attrs: Seq[String], shifts: Seq[(String, Int)] = Nil): DataFrame = {
+    val base = events.select(
       SparkCep.keyExpr(events, spec).as("__k") +:
         col(spec.orderCol).cast(LongType).as("__eord") +:
         attrs.map(a => col(a).cast(LongType).as(s"__a_$a")): _*)
+    if (shifts.isEmpty) base
+    else {
+      val w = Window.partitionBy(col("__k")).orderBy(col("__eord"))
+      shifts.foldLeft(base) { case (df, (a, s)) =>
+        df.withColumn(shiftName(a, s),
+          if (s < 0) lag(col(s"__a_$a"), -s).over(w)
+          else lead(col(s"__a_$a"), s).over(w))
+      }
+    }
+  }
 
   /** Project `measures` over a match frame produced by the `SparkCep`
     * operators from `events` under `spec`. Output: the key column (when
@@ -680,14 +745,18 @@ object CepMeasures {
         ((Seq(col("__mid")) ++ keyOut ++
           posMeasures.map(m => posCol(m).as(s"__p_${m.alias}")) ++
           offsetMeasures.map(m =>
-            positional(m.copy(attr = None), membersOf(m.name))
+            // the positional TARGET ordinal — strip the value-side
+            // fields (attr/argExpr/phys); the k-th bound order id is
+            // the same whatever the measure reads at it
+            positional(m.copy(attr = None, argExpr = None, phys = None),
+              membersOf(m.name))
               .as(s"__t_${m.alias}"))) :+
           (if (mayBeEmpty) explode_outer(pairs)
            else explode(pairs)).as("__pr")): _*)
         .withColumn("__nm", col("__pr.nm"))
         .withColumn("__ord", col("__pr.ord"))
         .drop("__pr")
-      val ev = eventSide(events, spec, attrsNeeded)
+      val ev = eventSide(events, spec, attrsNeeded, shiftsOf(attrMeasures))
       val cond = keyName match {
         case Some(k) =>
           exploded(k) === ev("__k") && exploded("__ord") === ev("__eord")
@@ -762,11 +831,18 @@ object CepMeasures {
     val reserved = Set("match_no", "classifier", spec.orderCol)
     // RUNNING `LAST(x, k)` is "k-th from the end OF THE ROWS SO FAR" — a
     // per-row re-read with no window-function form; documented deviation
-    measures.flatMap(MeasureItem.atomsOf).foreach(m => require(
-      m.offset == 0,
-      s"ALL ROWS PER MATCH: ${m.fn.sqlName}(${m.name}" +
-        s"${m.attr.fold("")("." + _)}, ${m.offset}) — FIRST/LAST " +
-        "offsets are ONE ROW PER MATCH only"))
+    measures.flatMap(MeasureItem.atomsOf).foreach { m =>
+      require(m.offset == 0,
+        s"ALL ROWS PER MATCH: ${m.fn.sqlName}(${m.name}" +
+          s"${m.attr.fold("")("." + _)}, ${m.offset}) — FIRST/LAST " +
+          "offsets are ONE ROW PER MATCH only")
+      // the running windows resolve FIRST/LAST with ignoreNulls over the
+      // name-guarded value, which cannot tell a partition-edge NULL from
+      // an other-name row — a documented deviation
+      require(m.phys.isEmpty,
+        s"ALL ROWS PER MATCH: PREV/NEXT(${m.fn.sqlName}(...)) physical " +
+          "navigation is ONE ROW PER MATCH only")
+    }
     val names = validate(query, spec, measures, reserved, subsets)
     excluded.foreach(n => require(names.contains(n),
       s"exclusion: '$n' is not a pattern name " +
@@ -913,6 +989,11 @@ object CepMeasures {
     require(!Fn.isNullary(m.fn),
       s"${m.fn.sqlName}() has no emission-time fold (batch-only; the " +
         "streaming operator rejects it at construction)")
+    require(m.phys.isEmpty,
+      "PREV/NEXT physical navigation has no emission-time fold — the " +
+        "navigated row may be an unbound neighbor the match never " +
+        "carried (batch-only; the streaming operator rejects it at " +
+        "construction)")
     val binding = subsets.get(m.name) match {
       case None => byName.getOrElse(m.name, Vector.empty)
       case Some(members) =>

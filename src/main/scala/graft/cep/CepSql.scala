@@ -88,6 +88,22 @@ package graft.cep
   * mterm  := mfact (('*' | '/') mfact)*
   * mfact  := INT | '(' mexpr ')'
   *         | FN '(' aarg [',' k] ')'
+  *         | ('PREV' | 'NEXT') '(' FL '(' aarg [',' k] ')' [',' steps] ')'
+  *           (SQL:2016 NESTED PHYSICAL NAVIGATION, FL := FIRST | LAST:
+  *            resolve the logical target event, then read the
+  *            attribute/argument from the row `steps` (default 1)
+  *            PHYSICAL rows before/after it in the key's partition
+  *            input order — any event type, bound or not, the
+  *            DEFINE-side PREV/NEXT convention. NULL past a partition
+  *            edge. Batch ONE ROW PER MATCH only: ALL ROWS and the
+  *            streaming operators reject it loudly — the navigated row
+  *            may be an unbound neighbor the match state never
+  *            carried. Costs one per-key lag/lead window over the
+  *            event side, shared across all navigated measures.
+  *            The un-nested SQL:2016 spelling `PREV(name.attr
+  *            [, steps])` is accepted as sugar for
+  *            `PREV(LAST(name.attr)[, steps])` — the standard's
+  *            implicit-LAST reading under final semantics.)
   * aarg   := name                         (positional — order ids)
   *         | aexpr                        (SQL:2016 aggregate over a
   *           VALUE EXPRESSION of one variable's attributes —
@@ -159,14 +175,22 @@ package graft.cep
   *            feeds MEASURES normally, but its rows are OMITTED from
   *            `ALL ROWS PER MATCH` output — and it requires that mode,
   *            rejected under ONE ROW PER MATCH)
-  * quant  := ('+' | '*' | '?' | '{' n [',' [m]] '}') ['~' | '~~'] ['!']
+  * quant  := ('+' | '*' | '?' | '{' n [',' [m]] '}') ['?']
+  *           ['~' | '~~'] ['!']
   *           ('+' = {1,}, '*' = {0,}, '?' = {0,1} (optional);
   *            '{n}' = exactly n (SQL:2016, = '{n,n}');
   *            open upper bound '{n,}' = unbounded loop;
+  *            the optional second '?' is SQL:2016's RELUCTANT marker
+  *            ('*?', '+?', '??', '{n,m}?') — the engine's quantifiers
+  *            are reluctant BY DEFAULT (SQL:2016 defaults to greedy: a
+  *            documented deviation, shared with FlinkCEP), so the
+  *            standard spelling parses as an explicit no-op and
+  *            combining it with the greedy '!' is rejected;
   *            '~' relaxed / '~~' nd-relaxed ITERATION contiguity, strict
   *            by default; trailing '!' = greedy)
-  * gquant := ('+' | '*' | '{' n ',' [m] '}') ['!']    (group repeat;
-  *           trailing '!' = greedy iterations, as on name quantifiers)
+  * gquant := ('+' | '*' | '{' n ',' [m] '}') ['?'] ['!']  (group repeat;
+  *           trailing '!' = greedy iterations and '?' = the reluctant
+  *           no-op marker, as on name quantifiers)
   *           (':' name labels an unbounded group so a DEFINE of the
   *            form `name AS GROUP UNTIL expr` can attach its stop
   *            condition — groups bind no events of their own)
@@ -437,8 +461,21 @@ object CepSql {
       case _ => None
     }
 
+    /** SQL:2016 reluctant marker (`*?`, `+?`, `??`, `{n,m}?`): the
+      * engine's quantifiers are RELUCTANT BY DEFAULT (the SQL:2016
+      * default is greedy — a documented deviation, shared with
+      * FlinkCEP), so the standard spelling parses as an explicit no-op.
+      * Combining it with the trailing greedy `!` is a contradiction and
+      * rejected. `render` prints the canonical (unmarked) form.
+      */
+    private def parseReluctant(): Boolean = peek match {
+      case Some(TQmark) => next(); true
+      case _            => false
+    }
+
     private def parseQuant(): Option[Quant] = parseBounds().map {
       case (from, to) =>
+        val reluctant = parseReluctant()
         val contig = peek match {
           case Some(TTilde)  => next(); Contiguity.Relaxed
           case Some(TTilde2) => next(); Contiguity.NdRelaxed
@@ -448,15 +485,22 @@ object CepSql {
           case Some(TBang) => next(); true
           case _           => false
         }
+        if (reluctant && greedy) throw new IllegalArgumentException(
+          "CEP SQL pattern: a quantifier cannot be both reluctant " +
+            "('?') and greedy ('!')")
         Quant(from, to, contig, greedy)
     }
 
     private def parseGQuant(): Option[(Int, Option[Int], Boolean)] =
       parseBounds().map { case (f, t) =>
+        val reluctant = parseReluctant()
         val g = peek match {
           case Some(TBang) => next(); true
           case _           => false
         }
+        if (reluctant && g) throw new IllegalArgumentException(
+          "CEP SQL pattern: a group quantifier cannot be both " +
+            "reluctant ('?') and greedy ('!')")
         (f, t, g)
       }
 
@@ -982,8 +1026,10 @@ object CepSql {
     st.query
   }
 
+  // NOT PREV/NEXT: the physical-navigation wrappers (incl. the
+  // un-nested `PREV(a.v)` sugar) go through the recursive parser
   private val MeasureRe =
-    """^(?:(RUNNING|FINAL)\s+)?([A-Z]+)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(?:,\s*(\d+)\s*)?\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    """^(?:(RUNNING|FINAL)\s+)?(?!PREV\b|NEXT\b)([A-Z]+)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\.\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(?:,\s*(\d+)\s*)?\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
 
   /** SQL:2016 nullary match-level measures: `CLASSIFIER()` (the last
     * bound event's pattern name — "which branch matched" under an
@@ -1115,7 +1161,48 @@ object CepSql {
       catch { case _: NumberFormatException =>
         fail(s"integer literal out of range at offset $start") }
     }
-    def atom(fnName: String): CepMeasures.MExpr = {
+    def atom(fnName: String): CepMeasures.MExpr.Atom =
+      if (fnName == "PREV" || fnName == "NEXT") {
+        // SQL:2016 nested physical navigation:
+        //   PREV(FIRST/LAST(name.attr[, k])[, steps])
+        // the navigated row is `steps` PHYSICAL rows before/after the
+        // logical target (default 1); batch-only downstream
+        val isNext = fnName == "NEXT"
+        ws(); eat('(')
+        val innerName = ident()
+        if (innerName == "PREV" || innerName == "NEXT")
+          fail("PREV/NEXT do not nest in each other — one physical " +
+            "hop around one FIRST/LAST")
+        def steps(): Int = {
+          ws()
+          if (peek == ',') { i += 1
+            val n = number()
+            if (n < 1 || n > Int.MaxValue)
+              fail("PREV/NEXT steps must be a positive integer")
+            n.toInt
+          } else 1
+        }
+        ws()
+        val m = if (peek == '.') {
+          // un-nested SQL:2016 form `PREV(name.attr[, steps])` — in
+          // ONE ROW PER MATCH's final semantics this is sugar for
+          // `PREV(LAST(name.attr)[, steps])`; canonicalized to the
+          // nested AST (render prints the nested form)
+          i += 1
+          val attr = ident()
+          val s = steps()
+          ws(); eat(')')
+          CepMeasures.Measure(CepMeasures.Fn.Last, innerName, Some(attr),
+            "", phys = Some(CepMeasures.PhysNav(isNext, s)))
+        } else {
+          val innerAtom = atom(innerName).m
+          val s = steps()
+          ws(); eat(')')
+          innerAtom.copy(phys = Some(CepMeasures.PhysNav(isNext, s)))
+        }
+        CepMeasures.MExpr.Atom(m)
+      } else atomFn(fnName)
+    def atomFn(fnName: String): CepMeasures.MExpr.Atom = {
       val fn = CepMeasures.Fn.fromName(fnName)
       ws(); eat('(')
       def parseOff(): Int = {
@@ -1850,8 +1937,14 @@ object CepSql {
         case Some(ae) => argExprS(ae, m.name)
         case None     => s"${m.name}${m.attr.fold("")("." + _)}"
       }
-      s"${m.fn.sqlName}($arg" +
+      val base = s"${m.fn.sqlName}($arg" +
         (if (m.offset != 0) s", ${m.offset}" else "") + ")"
+      m.phys match {
+        case Some(pn) =>
+          (if (pn.isNext) "NEXT(" else "PREV(") + base +
+            (if (pn.steps != 1) s", ${pn.steps}" else "") + ")"
+        case None => base
+      }
     }
     // precedence-aware expression render: + and - at level 1, * at 2,
     // leaves at 3. The parser is left-associative, so a LEFT child at

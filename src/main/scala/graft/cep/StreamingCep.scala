@@ -955,6 +955,13 @@ object StreamingCep {
         "emit ONE ROW PER MATCH and explode downstream, or run the " +
         "ALL ROWS projection per micro-batch via foreachBatch")
     st.measures.flatMap(CepMeasures.MeasureItem.atomsOf)
+      .find(_.phys.isDefined).foreach { m =>
+      throw new IllegalArgumentException(
+        s"$opName: PREV/NEXT(${m.fn.sqlName}(...)) physical navigation " +
+          "is batch-only — the navigated row may be an unbound " +
+          "neighbor the match state never carried")
+    }
+    st.measures.flatMap(CepMeasures.MeasureItem.atomsOf)
       .find(m => CepMeasures.Fn.isNullary(m.fn)).foreach { m =>
       val why = m.fn match {
         case CepMeasures.Fn.MatchNo =>

@@ -682,4 +682,83 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     bad("SUM(1 + 2) AS x", "exactly one pattern")
     bad("SUM(a.nope * 2) AS x", "no attribute 'nope'")
   }
+
+  test("nested physical navigation PREV/NEXT around FIRST/LAST: the " +
+    "shifted partition row, NULL past the edge, offsets/arguments " +
+    "compose; hand-computed") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES COUNT(c) AS n_c, " +
+        "PREV(LAST(c.v)) AS before_last_c, " +
+        "NEXT(FIRST(c.v), 2) AS two_after_first_c, " +
+        "PREV(FIRST(s.v)) AS before_s, " +
+        "PREV(LAST(c.v * 10)) AS before_last_c10, " +
+        "PREV(LAST(c.v, 1)) AS pen_prev " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    // S(1,v=2), C(2,v=7), C(3,v=4), P(4,v=9): matches c=[2] and c=[2,3]
+    val df = eventsDf(
+      (1L, 1L, "S", 2L), (1L, 2L, "C", 7L), (1L, 3L, "C", 4L),
+      (1L, 4L, "P", 9L))
+    def g(r: Row, n: String): Any =
+      if (r.isNullAt(r.fieldIndex(n))) null else r.getLong(r.fieldIndex(n))
+    val out = CepMeasures.run(df, st, spec).orderBy("n_c")
+      .collect().map(r => (g(r, "n_c"), g(r, "before_last_c"),
+        g(r, "two_after_first_c"), g(r, "before_s"),
+        g(r, "before_last_c10"), g(r, "pen_prev"))).toVector
+    assert(out == Vector(
+      // c=[2]: PREV(last c@2) = S(v=2); NEXT(first c@2, 2) = P(v=9);
+      // PREV of s@1 falls off the partition; arg expr over the shifted
+      // row: 2*10; offset target NULL on the 1-click fork
+      (1L, 2L, 9L, null, 20L, null),
+      // c=[2,3]: PREV(last c@3) = C(v=7); offset LAST(c,1)@2 → PREV = 2
+      (2L, 7L, 9L, null, 70L, 2L)))
+    // render round-trips, with and without explicit steps
+    val again = CepSql.parseStatement(CepSql.render(st), schema)
+    assert(again == st, CepSql.render(st))
+    // plan shape: ALL shifts collapse into ONE Window node on the event
+    // side (same partition, same order — CollapseWindow), so physical
+    // navigation costs a single per-key sort pass however many measures
+    // navigate
+    val winNodes = CepMeasures.run(df, st, spec)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(winNodes.length == 1, s"expected 1 Window node, got " +
+      s"${winNodes.length}")
+    // rejections: ALL ROWS, streaming fold, bad nesting shapes
+    val stAll = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES PREV(LAST(c.v)) AS x ALL ROWS PER MATCH " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    val eAll = intercept[IllegalArgumentException] {
+      CepMeasures.run(df, stAll, spec).collect()
+    }
+    assert(eAll.getMessage.contains("ONE ROW PER MATCH only"))
+    val ePhysFold = intercept[IllegalArgumentException] {
+      CepMeasures.evalMeasure(
+        st.measures(1).asInstanceOf[CepMeasures.Measure],
+        Map("c" -> Vector(Event("C", Vector("id" -> 2L, "v" -> 7L)))),
+        "id")
+    }
+    assert(ePhysFold.getMessage.contains("batch-only"))
+    def bad(measures: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.parseStatement(
+          s"PATTERN (a -> b) MEASURES $measures DEFINE a AS S; b AS C",
+          schema)
+      }
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    bad("PREV(COUNT(a)) AS x", "nest around FIRST/LAST only")
+    bad("PREV(LAST(a)) AS x", "positional form has no navigable value")
+    bad("PREV(NEXT(LAST(a.v))) AS x", "do not nest in each other")
+    bad("PREV(LAST(a.v), 0) AS x", "must be a positive integer")
+    // un-nested SQL:2016 spelling: PREV(a.v[, k]) is implicit-LAST sugar
+    def one(measures: String): CepMeasures.MeasureItem =
+      CepSql.parseStatement(
+        s"PATTERN (a -> b) MEASURES $measures DEFINE a AS S; b AS C",
+        schema).measures(0)
+    assert(one("PREV(a.v) AS x") == one("PREV(LAST(a.v)) AS x"))
+    assert(one("NEXT(a.v, 3) AS x") == one("NEXT(LAST(a.v), 3) AS x"))
+  }
 }

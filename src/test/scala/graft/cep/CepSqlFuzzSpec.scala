@@ -76,7 +76,13 @@ class CepSqlFuzzSpec extends AnyFunSuite {
       "PATTERN (a b{2}) MEASURES FIRST(a) AS i SUBSET u = (a, b) " +
         "DEFINE a AS A; b AS B WHERE SUM(u.v) <= 50",
       "PATTERN (x -> PERMUTE(a, (b c))) MEASURES COUNT(a) AS n " +
-        "DEFINE x AS A; a AS B; b AS C; c AS A")
+        "DEFINE x AS A; a AS B; b AS C; c AS A",
+      "PATTERN (a -> b{1,2}) MEASURES SUM(b.v * b.v) AS energy, " +
+        "AVG(2 * b.w + 1) AS sc, PREV(LAST(b.v)) AS pl, " +
+        "NEXT(FIRST(b.v * 3), 2) AS nf " +
+        "DEFINE a AS A; b AS B WHERE v >= FIRST(b.v)",
+      "PATTERN (a*? -> b{1,3}?~ c??) DEFINE a AS A " +
+        "WHERE v > LAST(a.v) - 5; b AS B; c AS C")
     for (_ <- 0 until 2000) {
       val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
       rnd.nextInt(4) match {
@@ -142,20 +148,30 @@ class CepSqlFuzzSpec extends AnyFunSuite {
           }
           // 1-in-4 aggregate-ARGUMENT expression (`SUM(a.v * a.w)`);
           // compound by construction — a bare ref is the plain form
-          if (fn != CepMeasures.Fn.Count && rnd.nextInt(4) == 0)
-            CepMeasures.Measure(fn, nm, None, alias,
-              alias.nonEmpty && rnd.nextBoolean(), offset = off,
-              argExpr = Some(rndArg()))
-          else {
-            val attr = fn match {
-              case CepMeasures.Fn.Count => None
-              case CepMeasures.Fn.Sum | CepMeasures.Fn.Min |
-                   CepMeasures.Fn.Max | CepMeasures.Fn.Avg => Some("v")
-              case _ => if (rnd.nextBoolean()) Some("w") else None
+          val m =
+            if (fn != CepMeasures.Fn.Count && rnd.nextInt(4) == 0)
+              CepMeasures.Measure(fn, nm, None, alias,
+                alias.nonEmpty && rnd.nextBoolean(), offset = off,
+                argExpr = Some(rndArg()))
+            else {
+              val attr = fn match {
+                case CepMeasures.Fn.Count => None
+                case CepMeasures.Fn.Sum | CepMeasures.Fn.Min |
+                     CepMeasures.Fn.Max | CepMeasures.Fn.Avg => Some("v")
+                case _ => if (rnd.nextBoolean()) Some("w") else None
+              }
+              CepMeasures.Measure(fn, nm, attr, alias,
+                alias.nonEmpty && rnd.nextBoolean(), offset = off)
             }
-            CepMeasures.Measure(fn, nm, attr, alias,
-              alias.nonEmpty && rnd.nextBoolean(), offset = off)
-          }
+          // 1-in-4 nested physical navigation around an attribute-tier
+          // FIRST/LAST (PREV/NEXT of the resolved target's row)
+          if ((m.fn == CepMeasures.Fn.First ||
+              m.fn == CepMeasures.Fn.Last) &&
+              (m.attr.isDefined || m.argExpr.isDefined) &&
+              rnd.nextInt(4) == 0)
+            m.copy(phys = Some(CepMeasures.PhysNav(rnd.nextBoolean(),
+              1 + rnd.nextInt(3))))
+          else m
         }
       }
       // aggregate-argument tree: refs over the shared attrs v/w plus

@@ -128,6 +128,31 @@ class CepSqlSpec extends AnyFunSuite {
       Pattern.Spat("c", "C", Expr.True)))
   }
 
+  test("SQL:2016 reluctant spellings parse as the (reluctant) default; " +
+    "reluctant + greedy is rejected") {
+    def same(sugared: String, plain: String): Unit =
+      assert(CepSql.parse(sugared, schema) == CepSql.parse(plain, schema),
+        sugared)
+    same("PATTERN (a*? -> b) DEFINE a AS A; b AS B",
+      "PATTERN (a* -> b) DEFINE a AS A; b AS B")
+    same("PATTERN (a+? -> b) DEFINE a AS A; b AS B",
+      "PATTERN (a+ -> b) DEFINE a AS A; b AS B")
+    same("PATTERN (a?? b) DEFINE a AS A; b AS B",
+      "PATTERN (a? b) DEFINE a AS A; b AS B")
+    same("PATTERN (a{1,3}?~ -> b) DEFINE a AS A; b AS B",
+      "PATTERN (a{1,3}~ -> b) DEFINE a AS A; b AS B")
+    same("PATTERN ((a b){1,2}?) DEFINE a AS A; b AS B",
+      "PATTERN ((a b){1,2}) DEFINE a AS A; b AS B")
+    val e = intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (a*?! -> b) DEFINE a AS A; b AS B", schema)
+    }
+    assert(e.getMessage.contains("both reluctant"))
+    val eg = intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN ((a b)*?!) DEFINE a AS A; b AS B", schema)
+    }
+    assert(eg.getMessage.contains("both"))
+  }
+
   test("'?' is the optional quantifier: {0,1}") {
     val q = CepSql.parse("PATTERN (a b? c) DEFINE a AS A; b AS B; c AS C",
       schema)
