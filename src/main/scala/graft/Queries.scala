@@ -1458,6 +1458,75 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** DISTINCT aggregates and attributed COUNT in MEASURES:
+    * `COUNT(DISTINCT c.value / 100)` / `SUM(DISTINCT ...)` collapse
+    * duplicate per-event values before the aggregate (the `/ 100`
+    * bucketing makes real duplicates common in this corpus);
+    * `COUNT(c.value)` is SQL's non-NULL count. Batch lowers to
+    * `count_distinct`/`sum_distinct` inside the SAME single
+    * explode→join→aggregate pass; streaming folds `.distinct` per match
+    * at emission. ONE ROW PER MATCH only (window functions take no
+    * DISTINCT). The oracle computes the 1- and 2-click distinct sets in
+    * closed form over the funnel CTEs.
+    */
+  val cepSqlDistinctAggStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES FIRST(s) AS s_id, COUNT(c) AS n_c, " +
+        "COUNT(c.value) AS n_cv, " +
+        "COUNT(DISTINCT c.value / 100) AS n_db, " +
+        "SUM(DISTINCT c.value / 100) AS s_db " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlDistinctAggStatement)
+      .orderBy("user_id", "s_id", "n_c")
+
+  val cepSqlDistinctAggSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT m.user_id, m.s_id,
+      |  CAST(CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END AS BIGINT)
+      |    AS n_c,
+      |  CAST(CASE WHEN m.c2_seq IS NULL THEN 1 ELSE 2 END AS BIGINT)
+      |    AS n_cv,
+      |  CAST(CASE WHEN m.c2_seq IS NULL OR e2.v // 100 = e1.v // 100
+      |    THEN 1 ELSE 2 END AS BIGINT) AS n_db,
+      |  e1.v // 100 + CASE WHEN m.c2_seq IS NULL
+      |    OR e2.v // 100 = e1.v // 100 THEN 0 ELSE e2.v // 100 END
+      |    AS s_db
+      |FROM m
+      |JOIN seqd e1 ON e1.user_id = m.user_id AND e1.seq = m.c1_seq
+      |LEFT JOIN seqd e2 ON e2.user_id = m.user_id AND e2.seq = m.c2_seq
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** Nested PHYSICAL navigation in MEASURES (SQL:2016
     * `PREV/NEXT(FIRST/LAST(...))` — `CepMeasures.PhysNav`): resolve the
     * logical target event, then read the attribute from the row k
@@ -6956,6 +7025,7 @@ object Queries {
     "cep_sql_nav_first" -> cepSqlNavFirst _,
     "cep_sql_nav_last" -> cepSqlNavLast _,
     "cep_sql_nav_phys" -> cepSqlNavPhys _,
+    "cep_sql_distinct_agg" -> cepSqlDistinctAgg _,
     "cep_sql_all_rows" -> cepSqlAllRows _,
     "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
     "cep_sql_unmatched" -> cepSqlUnmatched _,
@@ -7127,6 +7197,7 @@ object Queries {
     "cep_sql_nav_first" -> cepSqlNavFirstSql,
     "cep_sql_nav_last" -> cepSqlNavLastSql,
     "cep_sql_nav_phys" -> cepSqlNavPhysSql,
+    "cep_sql_distinct_agg" -> cepSqlDistinctAggSql,
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
     "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,

@@ -149,8 +149,22 @@ object CepMeasures {
 
   final case class Measure(fn: Fn, name: String, attr: Option[String],
       alias: String, isFinal: Boolean = false, offset: Int = 0,
-      argExpr: Option[AExpr] = None, phys: Option[PhysNav] = None)
+      argExpr: Option[AExpr] = None, phys: Option[PhysNav] = None,
+      distinct: Boolean = false)
       extends MeasureItem {
+    if (distinct) {
+      require(fn == Fn.Count || fn == Fn.Sum,
+        s"MEASURES: DISTINCT applies to COUNT/SUM only (${fn.sqlName} — " +
+          "MIN/MAX are distinct-invariant, AVG(DISTINCT) has no " +
+          "exact-integer-mean reading worth the trap)")
+      require(attr.isDefined || argExpr.isDefined,
+        s"MEASURES: ${fn.sqlName}(DISTINCT $name) needs an attribute or " +
+          "argument expression — order ids are unique, so positional " +
+          "DISTINCT is the plain form")
+      require(phys.isEmpty,
+        "MEASURES: DISTINCT and PREV/NEXT physical navigation do not " +
+          "compose (navigation is FIRST/LAST-only)")
+    }
     phys.foreach { _ =>
       require(fn == Fn.First || fn == Fn.Last,
         s"MEASURES: PREV/NEXT nest around FIRST/LAST only " +
@@ -164,10 +178,9 @@ object CepMeasures {
       require(attr.isEmpty,
         s"MEASURES: ${fn.sqlName}($name) — an attribute target and an " +
           "argument expression are mutually exclusive")
-      require(fn == Fn.First || fn == Fn.Last || fn == Fn.Sum ||
-        fn == Fn.Min || fn == Fn.Max || fn == Fn.Avg,
+      require(!Fn.isNullary(fn),
         s"MEASURES: ${fn.sqlName} takes no argument expression " +
-          "(FIRST/LAST/SUM/MIN/MAX/AVG only)")
+          "(FIRST/LAST/COUNT/SUM/MIN/MAX/AVG only)")
       require(AExpr.refs(ae).nonEmpty,
         s"MEASURES: ${fn.sqlName}($name) argument expression references " +
           "no attribute — a constant aggregate argument is positional " +
@@ -178,8 +191,10 @@ object CepMeasures {
           "(canonical representation — parse∘render identity)")
     }
     fn match {
-      case Fn.Count => require(attr.isEmpty && argExpr.isEmpty,
-        s"MEASURES: COUNT($name) takes no attribute")
+      // COUNT(name) = bound-event count (positional); COUNT(name.attr)
+      // = SQL's non-NULL count over the attribute/argument (attribute
+      // tier), with or without DISTINCT
+      case Fn.Count => ()
       case Fn.Sum | Fn.Min | Fn.Max | Fn.Avg =>
         require(attr.isDefined || argExpr.isDefined,
           s"MEASURES: ${fn.sqlName}($name) needs an attribute " +
@@ -771,10 +786,14 @@ object CepMeasures {
         val isNm = col("__nm").isin(membersOf(m.name): _*)
         val v = when(isNm, valueCol(m))
         (m.fn match {
-          case Fn.Sum   => sum(v)
+          case Fn.Sum   => if (m.distinct) sum_distinct(v) else sum(v)
           case Fn.Min   => min(v)
           case Fn.Max   => max(v)
           case Fn.Avg   => floorDiv(sum(v), count(v))
+          // attributed COUNT: SQL's non-NULL count (DISTINCT collapses
+          // duplicate values) — never NULL, 0 over an empty binding
+          case Fn.Count =>
+            if (m.distinct) count_distinct(v) else count(v)
           // an offset FIRST/LAST reads exactly the row whose order id is
           // the pre-computed target (order ids are unique within a
           // key+match, so at most one row matches; a NULL target — the
@@ -785,8 +804,6 @@ object CepMeasures {
           // sentinel) are ignored by min_by/max_by
           case Fn.First => min_by(v, when(isNm, col("__ord")))
           case Fn.Last  => max_by(v, when(isNm, col("__ord")))
-          case Fn.Count => throw new IllegalStateException(
-            "COUNT is positional-only") // unreachable (ctor check)
         }).as(m.alias)
       }
       val perMatch = joined.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
@@ -842,6 +859,11 @@ object CepMeasures {
       require(m.phys.isEmpty,
         s"ALL ROWS PER MATCH: PREV/NEXT(${m.fn.sqlName}(...)) physical " +
           "navigation is ONE ROW PER MATCH only")
+      // Spark window functions take no DISTINCT, and a running distinct
+      // count has no window-function form — a documented deviation
+      require(!m.distinct,
+        s"ALL ROWS PER MATCH: ${m.fn.sqlName}(DISTINCT ...) is " +
+          "ONE ROW PER MATCH only")
     }
     val names = validate(query, spec, measures, reserved, subsets)
     excluded.foreach(n => require(names.contains(n),
@@ -916,8 +938,9 @@ object CepMeasures {
             case Fn.Avg   => floorDiv(sum(v).over(runW), count(v).over(runW))
             case Fn.First => first(v, ignoreNulls = true).over(runW)
             case Fn.Last  => last(v, ignoreNulls = true).over(runW)
-            case Fn.Count => throw new IllegalStateException(
-              "COUNT is positional-only") // unreachable
+            // attributed COUNT: running non-NULL count (DISTINCT is
+            // rejected above — window functions take no DISTINCT)
+            case Fn.Count => count(v).over(runW)
             case other => throw new IllegalStateException(
               s"${other.sqlName} is nullary") // unreachable (dispatch above)
           }
@@ -1025,8 +1048,13 @@ object CepMeasures {
       case Fn.First => firstAt.flatMap(valOf)
       case Fn.Last  => lastAt.flatMap(valOf)
       case _ =>
-        val vals = binding.flatMap(valOf)
-        if (vals.isEmpty) None
+        // DISTINCT (COUNT/SUM only, ctor-checked) collapses duplicate
+        // per-event values BEFORE the fold — O(match) like the rest
+        val rawVals = binding.flatMap(valOf)
+        val vals = if (m.distinct) rawVals.distinct else rawVals
+        // attributed COUNT is SQL's non-NULL count: 0, never NULL
+        if (m.fn == Fn.Count) Some(vals.length.toLong)
+        else if (vals.isEmpty) None
         else m.fn match {
           case Fn.Sum => Some(vals.sum)
           case Fn.Min => Some(vals.min)

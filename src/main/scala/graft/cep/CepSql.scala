@@ -87,7 +87,13 @@ package graft.cep
   *           arithmetic; MATCH_NUMBER() participates, batch-only.)
   * mterm  := mfact (('*' | '/') mfact)*
   * mfact  := INT | '(' mexpr ')'
-  *         | FN '(' aarg [',' k] ')'
+  *         | FN '(' ['DISTINCT'] aarg [',' k] ')'
+  *           (DISTINCT — COUNT/SUM only — collapses duplicate per-event
+  *            values before the aggregate: COUNT(DISTINCT c.v) distinct
+  *            non-NULL values, SUM(DISTINCT c.v) sum of distinct
+  *            values. Attributed COUNT(name.attr) without DISTINCT is
+  *            SQL's non-NULL count. ONE ROW PER MATCH only — window
+  *            functions take no DISTINCT, so ALL ROWS rejects it.)
   *         | ('PREV' | 'NEXT') '(' FL '(' aarg [',' k] ')' [',' steps] ')'
   *           (SQL:2016 NESTED PHYSICAL NAVIGATION, FL := FIRST | LAST:
   *            resolve the logical target event, then read the
@@ -1267,6 +1273,15 @@ object CepSql {
           argNames.head
         }
         ws()
+        // SQL DISTINCT set quantifier — COUNT/SUM over the distinct
+        // per-event values (word-bounded so a ref named "DISTINCTx"
+        // still parses as a ref)
+        val distinct =
+          if (body.regionMatches(i, "DISTINCT", 0, 8) &&
+              (i + 8 >= body.length ||
+                (!body(i + 8).isLetterOrDigit && body(i + 8) != '_'))) {
+            i += 8; ws(); true
+          } else false
         if (peek.isDigit || peek == '(') {
           val e = aExpr()
           val off = parseOff()
@@ -1276,10 +1291,11 @@ object CepSql {
             // parse∘render stays the identity (render never emits it)
             case CepMeasures.AExpr.Ref(attr) =>
               CepMeasures.MExpr.Atom(CepMeasures.Measure(fn, oneName(),
-                Some(attr), "", offset = off))
+                Some(attr), "", offset = off, distinct = distinct))
             case other =>
               CepMeasures.MExpr.Atom(CepMeasures.Measure(fn, oneName(),
-                None, "", offset = off, argExpr = Some(other)))
+                None, "", offset = off, argExpr = Some(other),
+                distinct = distinct))
           }
         } else {
           val name = ident()
@@ -1295,17 +1311,20 @@ object CepSql {
               case CepMeasures.AExpr.Ref(attr) =>
                 CepMeasures.MExpr.Atom(
                   CepMeasures.Measure(fn, name, Some(attr), "",
-                    offset = off))
+                    offset = off, distinct = distinct))
               case other =>
                 CepMeasures.MExpr.Atom(CepMeasures.Measure(fn, oneName(),
-                  None, "", offset = off, argExpr = Some(other)))
+                  None, "", offset = off, argExpr = Some(other),
+                  distinct = distinct))
             }
           } else if (peek == ',' || peek == ')') {
-            // positional fn(name[, k])
+            // positional fn(name[, k]) — DISTINCT over order ids is the
+            // plain form; the ctor rejects the marker loudly
             val off = parseOff()
             ws(); eat(')')
             CepMeasures.MExpr.Atom(
-              CepMeasures.Measure(fn, name, None, "", offset = off))
+              CepMeasures.Measure(fn, name, None, "", offset = off,
+                distinct = distinct))
           } else fail(
             s"aggregate-argument refs must be qualified ('$name.attr')")
         }
@@ -1937,7 +1956,8 @@ object CepSql {
         case Some(ae) => argExprS(ae, m.name)
         case None     => s"${m.name}${m.attr.fold("")("." + _)}"
       }
-      val base = s"${m.fn.sqlName}($arg" +
+      val base = s"${m.fn.sqlName}(" +
+        (if (m.distinct) "DISTINCT " else "") + arg +
         (if (m.offset != 0) s", ${m.offset}" else "") + ")"
       m.phys match {
         case Some(pn) =>

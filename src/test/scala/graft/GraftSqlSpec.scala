@@ -59,6 +59,21 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) AS n FROM mr_events").head().getLong(0) == 6L)
   }
 
+  test("round-15 measure surface through the FROM clause: DISTINCT, " +
+    "aggregate arguments, physical navigation") {
+    val out = spark.sql(
+      """SELECT k, n_db, energy, pl FROM mr_events MATCH_RECOGNIZE (
+        |PATTERN (s -> c) MEASURES COUNT(DISTINCT c.v / 3) AS n_db,
+        |SUM(c.v * c.v) AS energy, PREV(LAST(c.v)) AS pl
+        |PARTITION BY k ORDER BY id TYPE t IN (S, C, P)
+        |DEFINE s AS S; c AS C) ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toVector
+    // k=1: c=id2(v7) after s=id1(v5) → PREV(last c) = s's v; k=2:
+    // c=id12(v9) after s=id11(v3) → PREV = 3
+    assert(out == Vector((1L, 1L, 49L, 5L), (2L, 1L, 81L, 3L)))
+  }
+
   test("outer aggregation over the match frame") {
     val out = spark.sql(
       s"""SELECT count(*) AS n, sum(cv) AS total

@@ -191,8 +191,10 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     bad("PATTERN (a) MEASURES MEDIAN(a) AS x DEFINE a AS S",
       "unknown function")
-    bad("PATTERN (a) MEASURES COUNT(a.v) AS x DEFINE a AS S",
-      "takes no attribute")
+    // COUNT(a.v) is LEGAL since the DISTINCT work: SQL's non-NULL count
+    assert(CepSql.parseStatement(
+      "PATTERN (a) MEASURES COUNT(a.v) AS x DEFINE a AS S", schema)
+      .measures(0).asInstanceOf[CepMeasures.Measure].attr.contains("v"))
     bad("PATTERN (a) MEASURES SUM(a) AS x DEFINE a AS S",
       "needs an attribute")
     bad("PATTERN (a) MEASURES COUNT(z) AS x DEFINE a AS S", "no DEFINE")
@@ -678,7 +680,14 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     bad("SUM(a.v * b.v) AS x", "exactly one pattern")
     bad("SUM(v * 2) AS x", "must be qualified")
-    bad("COUNT(a.v * 2) AS x", "takes no argument expression")
+    // nullary fns take no argument expression (ctor-level: the parser
+    // rejects the paren shape first)
+    val eNul = intercept[IllegalArgumentException] {
+      CepMeasures.Measure(CepMeasures.Fn.MatchNo, "", None, "x",
+        argExpr = Some(CepMeasures.AExpr.Mul(
+          CepMeasures.AExpr.Ref("v"), CepMeasures.AExpr.Lit(2L))))
+    }
+    assert(eNul.getMessage.contains("takes no argument expression"))
     bad("SUM(1 + 2) AS x", "exactly one pattern")
     bad("SUM(a.nope * 2) AS x", "no attribute 'nope'")
   }
@@ -760,5 +769,64 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
         schema).measures(0)
     assert(one("PREV(a.v) AS x") == one("PREV(LAST(a.v)) AS x"))
     assert(one("NEXT(a.v, 3) AS x") == one("NEXT(LAST(a.v), 3) AS x"))
+  }
+
+  test("DISTINCT aggregates and attributed COUNT: hand-computed; " +
+    "batch == fold; ALL ROWS and bad shapes reject loudly") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,3}~ -> p) " +
+        "MEASURES COUNT(c) AS n_c, COUNT(c.v) AS n_cv, " +
+        "COUNT(DISTINCT c.v) AS n_dv, SUM(DISTINCT c.v) AS s_dv, " +
+        "SUM(DISTINCT c.v * c.v) AS s_dsq " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    // S(1), C(2,7), C(3,7), C(4,4), P(5,9): c = [2], [2,3], [2,3,4]
+    val df = eventsDf(
+      (1L, 1L, "S", 0L), (1L, 2L, "C", 7L), (1L, 3L, "C", 7L),
+      (1L, 4L, "C", 4L), (1L, 5L, "P", 9L))
+    val out = CepMeasures.run(df, st, spec).orderBy("n_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toVector
+    assert(out == Vector(
+      (1L, 1L, 1L, 1L, 7L, 49L),   // [7]
+      (1L, 2L, 2L, 1L, 7L, 49L),   // [7,7]: one distinct value
+      (1L, 3L, 3L, 2L, 11L, 65L))) // [7,7,4]
+    // emission-time fold agrees
+    val byName = Map(
+      "s" -> Vector(Event("S", Vector("id" -> 1L, "v" -> 0L))),
+      "c" -> Vector(Event("C", Vector("id" -> 2L, "v" -> 7L)),
+        Event("C", Vector("id" -> 3L, "v" -> 7L)),
+        Event("C", Vector("id" -> 4L, "v" -> 4L))),
+      "p" -> Vector(Event("P", Vector("id" -> 5L, "v" -> 9L))))
+    assert(st.measures.map(m => CepMeasures.evalItem(m, byName, "id")) ==
+      Vector(Some(3L), Some(3L), Some(2L), Some(11L), Some(65L)))
+    // attributed COUNT over an EMPTY binding is 0, not NULL (SQL COUNT)
+    val stOpt = CepSql.parseStatement(
+      "PATTERN (s c? -> p) MEASURES COUNT(c.v) AS n_cv, " +
+        "COUNT(DISTINCT c.v) AS n_dv " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    val r0 = CepMeasures.run(eventsDf((1L, 1L, "S", 0L),
+      (1L, 2L, "P", 3L)), stOpt, spec).collect().head
+    assert(r0.getLong(r0.fieldIndex("n_cv")) == 0L)
+    assert(r0.getLong(r0.fieldIndex("n_dv")) == 0L)
+    // render round-trips
+    assert(CepSql.parseStatement(CepSql.render(st), schema) == st)
+    def bad(measures: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.parseStatement(
+          s"PATTERN (a -> b) MEASURES $measures DEFINE a AS S; b AS C",
+          schema)
+      }
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    bad("AVG(DISTINCT a.v) AS x", "DISTINCT applies to COUNT/SUM only")
+    bad("COUNT(DISTINCT a) AS x", "positional DISTINCT is the plain form")
+    // ALL ROWS rejects DISTINCT at run time (window fns take none)
+    val stAll = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2}) MEASURES COUNT(DISTINCT c.v) AS x " +
+        "ALL ROWS PER MATCH DEFINE s AS S; c AS C", schema)
+    val eAll = intercept[IllegalArgumentException] {
+      CepMeasures.run(df, stAll, spec).collect()
+    }
+    assert(eAll.getMessage.contains("ONE ROW PER MATCH only"))
   }
 }

@@ -82,7 +82,10 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         "NEXT(FIRST(b.v * 3), 2) AS nf " +
         "DEFINE a AS A; b AS B WHERE v >= FIRST(b.v)",
       "PATTERN (a*? -> b{1,3}?~ c??) DEFINE a AS A " +
-        "WHERE v > LAST(a.v) - 5; b AS B; c AS C")
+        "WHERE v > LAST(a.v) - 5; b AS B; c AS C",
+      "PATTERN (a -> b{1,3}) MEASURES COUNT(DISTINCT b.v) AS dv, " +
+        "SUM(DISTINCT b.v * b.w) AS ds, COUNT(b.w) AS nw " +
+        "DEFINE a AS A; b AS B")
     for (_ <- 0 until 2000) {
       val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
       rnd.nextInt(4) match {
@@ -155,13 +158,20 @@ class CepSqlFuzzSpec extends AnyFunSuite {
                 argExpr = Some(rndArg()))
             else {
               val attr = fn match {
-                case CepMeasures.Fn.Count => None
+                // attributed COUNT (non-NULL count) 1-in-3
+                case CepMeasures.Fn.Count =>
+                  if (rnd.nextInt(3) == 0) Some("v") else None
                 case CepMeasures.Fn.Sum | CepMeasures.Fn.Min |
                      CepMeasures.Fn.Max | CepMeasures.Fn.Avg => Some("v")
                 case _ => if (rnd.nextBoolean()) Some("w") else None
               }
+              // DISTINCT: COUNT/SUM with a value side only
+              val dist = attr.isDefined &&
+                (fn == CepMeasures.Fn.Count || fn == CepMeasures.Fn.Sum) &&
+                rnd.nextInt(3) == 0
               CepMeasures.Measure(fn, nm, attr, alias,
-                alias.nonEmpty && rnd.nextBoolean(), offset = off)
+                alias.nonEmpty && rnd.nextBoolean(), offset = off,
+                distinct = dist)
             }
           // 1-in-4 nested physical navigation around an attribute-tier
           // FIRST/LAST (PREV/NEXT of the resolved target's row)

@@ -57,7 +57,11 @@ class StreamingCepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SUM(c.value * c.value) AS c_energy, " +
       "AVG(2 * c.value + 1) AS c_sc, " +
       "MAX(c.value - 25) AS c_hi, " +
-      "LAST(p.value / (p.value - 10)) AS p_div " +
+      "LAST(p.value / (p.value - 10)) AS p_div, " +
+      // DISTINCT aggregates: the fold's .distinct must equal batch's
+      // count_distinct/sum_distinct (bucketed so duplicates occur)
+      "COUNT(DISTINCT c.value / 3) AS c_db, " +
+      "SUM(DISTINCT c.value) AS c_ds " +
       "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8", schema)
 
   private def rowKey(r: Row): Vector[Option[Long]] =
@@ -208,14 +212,16 @@ class StreamingCepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     val no = Option.empty[Long]
     assert(out == Set(
       // (user, s_id, n_c, c_sum, c_min, c_avg, c_last, p_id, c_2nd,
-      //  c_pen, c_spread, c_energy, c_sc, c_hi, p_div)
+      //  c_pen, c_spread, c_energy, c_sc, c_hi, p_div, c_db, c_ds)
       // c=[2]: the offset measures fall off the 1-click binding;
-      // arg exprs over v=7: 49, (15)//1, 7-25, p: 9/(9-10)
+      // arg exprs over v=7: 49, (15)//1, 7-25, p: 9/(9-10); distinct
+      // buckets {7/3}={2} → 1, distinct values {7} → 7
       v(l(1), l(1), l(1), l(7), l(7), l(7), l(7), l(4), no, no, l(0),
-        l(49), l(15), l(-18), l(-9)),
+        l(49), l(15), l(-18), l(-9), l(1), l(7)),
       // c=[2,3] (v 7,4): 2nd click's value 4; 2nd-from-last ordinal 2;
-      // arg exprs: 49+16, (15+9)//2, max(-18,-21), 9/(9-10)
+      // arg exprs: 49+16, (15+9)//2, max(-18,-21), 9/(9-10); buckets
+      // {2,1} → 2, distinct values {7,4} → 11
       v(l(1), l(1), l(2), l(11), l(4), l(5), l(4), l(4), l(4), l(2),
-        l(-3), l(65), l(12), l(-18), l(-9))))
+        l(-3), l(65), l(12), l(-18), l(-9), l(2), l(11))))
   }
 }
