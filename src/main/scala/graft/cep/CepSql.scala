@@ -69,7 +69,12 @@ package graft.cep
   *            statement's referenced attrs. `render` prints the plain
   *            TYPE form — the IN-list is parse-side sugar.)
   *           DEFINE def (';' def)*
-  *           [WITHIN n [ON attr]] [AFTER MATCH SKIP skip]
+  *           [WITHIN n [ON attr]
+  *            | WITHIN INTERVAL q unit ON attr]   (INTERVAL sugar for
+  *            the event-time window only: `INTERVAL '5' MINUTE ON ts`
+  *            = `300 ON ts`; unit SECOND|MINUTE|HOUR|DAY, the ts
+  *            attribute is in seconds; render prints the plain form)
+  *           [AFTER MATCH SKIP skip]
   * meas   := [RUNNING | FINAL] mexpr AS alias
   * mexpr  := mterm (('+' | '-') mterm)*      (SQL:2016 <measure
   *           expression>, integer fragment: long arithmetic over
@@ -181,11 +186,12 @@ package graft.cep
   *            feeds MEASURES normally, but its rows are OMITTED from
   *            `ALL ROWS PER MATCH` output — and it requires that mode,
   *            rejected under ONE ROW PER MATCH)
-  * quant  := ('+' | '*' | '?' | '{' n [',' [m]] '}') ['?']
+  * quant  := ('+' | '*' | '?' | '{' [n] ',' [m] '}' | '{' n '}') ['?']
   *           ['~' | '~~'] ['!']
   *           ('+' = {1,}, '*' = {0,}, '?' = {0,1} (optional);
   *            '{n}' = exactly n (SQL:2016, = '{n,n}');
   *            open upper bound '{n,}' = unbounded loop;
+  *            open lower bound '{,m}' = '{0,m}' (SQL:2016);
   *            the optional second '?' is SQL:2016's RELUCTANT marker
   *            ('*?', '+?', '??', '{n,m}?') — the engine's quantifiers
   *            are reluctant BY DEFAULT (SQL:2016 defaults to greedy: a
@@ -447,6 +453,18 @@ object CepSql {
       case Some(TQmark) => next(); Some((0, Some(1)))
       case Some(TLBrace) =>
         next()
+        // SQL:2016 `{,m}` = open LOWER bound = `{0,m}`
+        if (peek.contains(TComma)) {
+          next()
+          val m = next() match {
+            case TNum(n) => n
+            case other => throw new IllegalArgumentException(
+              s"CEP SQL pattern: expected loop upper bound after " +
+                s"'{,', got $other")
+          }
+          expect(TRBrace, "'}'")
+          Some((0, Some(m)))
+        } else {
         val from = next() match {
           case TNum(n) => n
           case other => throw new IllegalArgumentException(
@@ -464,6 +482,7 @@ object CepSql {
         }
         expect(TRBrace, "'}'")
         Some((from, to))
+        }
       case _ => None
     }
 
@@ -1567,12 +1586,38 @@ object CepSql {
                   s"${Int.MaxValue}], got $v")
             v.toInt
           }
+          // SQL INTERVAL sugar for the EVENT-TIME window: `WITHIN
+          // INTERVAL '5' MINUTE ON ts` = `WITHIN 300 ON ts` (the span
+          // is seconds, so the ts attribute must be in seconds —
+          // INTERVAL has no reading for the step window). Canonical
+          // render stays the plain-integer form.
+          def intervalSeconds(qty: String, unit: String): Long = {
+            val q = qty.stripPrefix("'").stripSuffix("'")
+            val n = num(q)
+            require(n >= 1, s"CEP SQL: INTERVAL '$q' must be >= 1")
+            val mult = unit match {
+              case "SECOND" | "SECONDS" => 1L
+              case "MINUTE" | "MINUTES" => 60L
+              case "HOUR" | "HOURS"     => 3600L
+              case "DAY" | "DAYS"       => 86400L
+              case other => throw new IllegalArgumentException(
+                s"CEP SQL: INTERVAL unit SECOND|MINUTE|HOUR|DAY, " +
+                  s"got '$other'")
+            }
+            require(n <= Long.MaxValue / mult,
+              s"CEP SQL: INTERVAL '$q' $unit overflows")
+            n * mult
+          }
           section.split("\\s+").toVector match {
             case Vector(n) => within = Some(stepWindow(n))
             case Vector(n, "ON", attr) =>
               withinTime = Some(WithinTime(attr, num(n)))
+            case Vector("INTERVAL", qty, unit, "ON", attr) =>
+              withinTime =
+                Some(WithinTime(attr, intervalSeconds(qty, unit)))
             case _ => throw new IllegalArgumentException(
-              s"CEP SQL: WITHIN expects 'n' or 'n ON attr', got '$section'")
+              s"CEP SQL: WITHIN expects 'n', 'n ON attr', or " +
+                s"'INTERVAL <q> <unit> ON attr', got '$section'")
           }
         case "AFTER" =>
           val norm = section.replaceAll("\\s+", " ").trim

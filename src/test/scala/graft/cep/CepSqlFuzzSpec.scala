@@ -37,7 +37,8 @@ class CepSqlFuzzSpec extends AnyFunSuite {
       "PATTERN DEFINE MEASURES WITHIN AFTER MATCH SKIP ALL ONE ROWS " +
         "ROW PER BY ORDER TYPE AS GROUP UNTIL LET THEN WHERE FINAL " +
         "RUNNING PREV NEXT PERMUTE UNMATCHED WITH " +
-        "abc v {}()->~>!?*+,.;:0123456789-{- -}^$ \n\t"
+        "DISTINCT INTERVAL MINUTE SECOND HOUR DAY " +
+        "abc v {}()->~>!?*+,.;:0123456789-{- -}^$' \n\t"
     for (_ <- 0 until 2000) {
       val n = 1 + rnd.nextInt(80)
       val s = new StringBuilder
@@ -85,7 +86,9 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         "WHERE v > LAST(a.v) - 5; b AS B; c AS C",
       "PATTERN (a -> b{1,3}) MEASURES COUNT(DISTINCT b.v) AS dv, " +
         "SUM(DISTINCT b.v * b.w) AS ds, COUNT(b.w) AS nw " +
-        "DEFINE a AS A; b AS B")
+        "DEFINE a AS A; b AS B",
+      "PATTERN (a{,3} -> b) DEFINE a AS A; b AS B " +
+        "WITHIN INTERVAL '5' MINUTE ON w")
     for (_ <- 0 until 2000) {
       val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
       rnd.nextInt(4) match {

@@ -153,6 +153,36 @@ class CepSqlSpec extends AnyFunSuite {
     assert(eg.getMessage.contains("both"))
   }
 
+  test("SQL:2016 '{,m}' open lower bound = {0,m}; INTERVAL sugar for " +
+    "the event-time window") {
+    assert(CepSql.parse("PATTERN (a{,3} -> b) DEFINE a AS A; b AS B",
+      schema) ==
+      CepSql.parse("PATTERN (a{0,3} -> b) DEFINE a AS A; b AS B", schema))
+    assert(CepSql.parse("PATTERN ((a b){,2}) DEFINE a AS A; b AS B",
+      schema) ==
+      CepSql.parse("PATTERN ((a b){0,2}) DEFINE a AS A; b AS B", schema))
+    val q = CepSql.parse(
+      "PATTERN (a -> b) DEFINE a AS A; b AS B " +
+        "WITHIN INTERVAL '5' MINUTE ON ts", schema)
+    assert(q.withinTime.contains(WithinTime("ts", 300L)))
+    assert(CepSql.parse(
+      "PATTERN (a -> b) DEFINE a AS A; b AS B " +
+        "WITHIN INTERVAL '2' HOURS ON ts", schema)
+      .withinTime.contains(WithinTime("ts", 7200L)))
+    // render canonicalizes to the plain integer form and round-trips
+    assert(CepSql.parse(CepSql.render(q), q.schema) == q)
+    val e = intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (a -> b) DEFINE a AS A; b AS B " +
+        "WITHIN INTERVAL '5' FORTNIGHT ON ts", schema)
+    }
+    assert(e.getMessage.contains("unit"))
+    // INTERVAL has no step-window reading
+    intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (a -> b) DEFINE a AS A; b AS B " +
+        "WITHIN INTERVAL '5' MINUTE", schema)
+    }
+  }
+
   test("'?' is the optional quantifier: {0,1}") {
     val q = CepSql.parse("PATTERN (a b? c) DEFINE a AS A; b AS B; c AS C",
       schema)

@@ -63,7 +63,11 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
     "funnel" -> graft.Queries.cepSqlMeasuresStatement,
     "offset" -> graft.Queries.cepSqlMeasuresOffsetStatement,
     "expr" -> graft.Queries.cepSqlMeasuresExprStatement,
-    "anchored" -> graft.Queries.cepSqlAnchorFirstStatement)
+    "anchored" -> graft.Queries.cepSqlAnchorFirstStatement,
+    // the round-15 continuation surface: DISTINCT aggregates and
+    // aggregate-ARGUMENT expressions fold per match at emission — the
+    // shared gate pins them against batch runShared's column lowering
+    "distinct" -> graft.Queries.cepSqlDistinctAggStatement)
 
   /** Canonical row repr `qname|key|a1=v1,a2=v2,…` (aliases sorted; NULL
     * prints as `a=∅`) for both sides of the gate.
@@ -159,36 +163,43 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
     (dir, spark.read.parquet(dir).schema, delaySec)
   }
 
-  test("event-time single-query measures == batch on out-of-order input") {
-    val st = graft.Queries.cepSqlMeasuresExprStatement
-    val batch = CepMeasures.run(events, st, spec).collect().map { r =>
-      val vals = st.measures.map(_.alias).map(a => a ->
-        (if (r.isNullAt(r.fieldIndex(a))) None
-         else Some(r.getLong(r.fieldIndex(a))))).toMap
-      reprOf("q", r.getLong(r.fieldIndex("user_id")), vals)
-    }.toVector.sorted
-    assert(batch.nonEmpty)
-    val (dir, schema, delaySec) = outOfOrderDir("single")
-    val streamDf = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
-    val out = StreamingCep.matchPatternMeasuresEventTime(streamDf, st,
-      spec, tsCol = "ts", delay = s"$delaySec seconds")
-    val sq = out.writeStream.format("memory").queryName("meas_et_single")
-      .outputMode("append").start()
-    val streamed =
-      try {
-        sq.processAllAvailable()
-        spark.sql("SELECT * FROM meas_et_single")
-          .where(col("user_id") =!= -1L) // the flush sentinels' key
-          .collect().map { r =>
-            val vals = st.measures.map(_.alias).map(a => a ->
-              (if (r.isNullAt(r.fieldIndex(a))) None
-               else Some(r.getLong(r.fieldIndex(a))))).toMap
-            reprOf("q", r.getLong(r.fieldIndex("user_id")), vals)
-          }.toVector.sorted
-      } finally sq.stop()
-    assert(streamed == batch,
-      s"event-time measures diverged: ${streamed.length} vs ${batch.length}")
+  test("event-time single-query measures == batch on out-of-order input " +
+    "(expression, aggregate-argument and DISTINCT statements)") {
+    for ((tag, st) <- Seq(
+        ("expr", graft.Queries.cepSqlMeasuresExprStatement),
+        ("aggarg", graft.Queries.cepSqlAggArgStatement),
+        ("distinct", graft.Queries.cepSqlDistinctAggStatement))) {
+      val batch = CepMeasures.run(events, st, spec).collect().map { r =>
+        val vals = st.measures.map(_.alias).map(a => a ->
+          (if (r.isNullAt(r.fieldIndex(a))) None
+           else Some(r.getLong(r.fieldIndex(a))))).toMap
+        reprOf("q", r.getLong(r.fieldIndex("user_id")), vals)
+      }.toVector.sorted
+      assert(batch.nonEmpty, tag)
+      val (dir, schema, delaySec) = outOfOrderDir(s"single_$tag")
+      val streamDf = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val out = StreamingCep.matchPatternMeasuresEventTime(streamDf, st,
+        spec, tsCol = "ts", delay = s"$delaySec seconds")
+      val sq = out.writeStream.format("memory")
+        .queryName(s"meas_et_single_$tag")
+        .outputMode("append").start()
+      val streamed =
+        try {
+          sq.processAllAvailable()
+          spark.sql(s"SELECT * FROM meas_et_single_$tag")
+            .where(col("user_id") =!= -1L) // the flush sentinels' key
+            .collect().map { r =>
+              val vals = st.measures.map(_.alias).map(a => a ->
+                (if (r.isNullAt(r.fieldIndex(a))) None
+                 else Some(r.getLong(r.fieldIndex(a))))).toMap
+              reprOf("q", r.getLong(r.fieldIndex("user_id")), vals)
+            }.toVector.sorted
+        } finally sq.stop()
+      assert(streamed == batch,
+        s"event-time measures diverged ($tag): ${streamed.length} vs " +
+          s"${batch.length}")
+    }
   }
 
   test("event-time shared measures == batch runShared on out-of-order " +

@@ -127,5 +127,17 @@ context:
       "PATTERN (s -> p) MEASURES SUM(s.value * p.value) AS x " +
         "DEFINE s AS signup; p AS purchase", sch))
       .failed.map(_.getMessage))
+
+    // SQL:2016 sugar: '{,m}' open lower bound and WITHIN INTERVAL
+    println("OPEN_LOWER_EQ=" + (CepSql.parse(
+      "PATTERN (p{,2} -> s) DEFINE p AS purchase; s AS signup", sch) ==
+      CepSql.parse(
+        "PATTERN (p{0,2} -> s) DEFINE p AS purchase; s AS signup", sch)))
+    println("INTERVAL_WITHIN=" + CepSql.parse(
+      "PATTERN (s -> p) DEFINE s AS signup; p AS purchase " +
+        "WITHIN INTERVAL '2' MINUTES ON value", sch).withinTime)
+    println("INTERVAL_STEP_ERR=" + scala.util.Try(CepSql.parse(
+      "PATTERN (s -> p) DEFINE s AS signup; p AS purchase " +
+        "WITHIN INTERVAL '2' MINUTES", sch)).failed.map(_.getMessage))
   }
 }
