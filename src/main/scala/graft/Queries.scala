@@ -1458,6 +1458,57 @@ object Queries {
       |JOIN seqd ep ON ep.user_id = m.user_id AND ep.seq = m.p_seq
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** SQL:2016 SAME-VARIABLE ALTERNATION (`CepSql` rename +
+    * auto-SUBSET desugar): `s` binds in BOTH branches of
+    * `(s -> c | s -> x)` — the standard permits it; the engine's sinks
+    * bind by name, so the parser renames per branch (`__b0_s`/`__b1_s`,
+    * same DEFINE) and merges them with a hidden SUBSET under `s`, the
+    * trick PERMUTE's desugaring already uses. Measures over `s` see
+    * whichever branch bound; COUNT(c)/COUNT(x) tell the branches apart.
+    * The oracle is the two arms in closed form — first click (or first
+    * error) after each signup inside the step window.
+    */
+  val cepSqlAltSharedVarStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c | s -> x) " +
+        "MEASURES FIRST(s) AS s_id, FIRST(s.value) AS s_v, " +
+        "COUNT(c) AS n_c, COUNT(x) AS n_x " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; x AS error WITHIN 5",
+      eventSchema)
+
+  def cepSqlAltSharedVar(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlAltSharedVarStatement)
+      .orderBy("user_id", "s_id", "n_c")
+
+  val cepSqlAltSharedVarSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, v AS s_v, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |arm_c AS (
+      |  SELECT g.user_id, g.s_id, g.s_v
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_v, g.s_seq
+      |  HAVING min(c.seq) - g.s_seq < 5),
+      |arm_x AS (
+      |  SELECT g.user_id, g.s_id, g.s_v
+      |  FROM sig g JOIN seqd x ON x.user_id = g.user_id
+      |    AND x.seq > g.s_seq AND x.event_type = 'error'
+      |  GROUP BY g.user_id, g.s_id, g.s_v, g.s_seq
+      |  HAVING min(x.seq) - g.s_seq < 5)
+      |SELECT user_id, s_id, s_v, CAST(1 AS BIGINT) AS n_c,
+      |  CAST(0 AS BIGINT) AS n_x FROM arm_c
+      |UNION ALL
+      |SELECT user_id, s_id, s_v, CAST(0 AS BIGINT) AS n_c,
+      |  CAST(1 AS BIGINT) AS n_x FROM arm_x
+      |ORDER BY 1, 2, 4""".stripMargin
+
   /** DISTINCT aggregates and attributed COUNT in MEASURES:
     * `COUNT(DISTINCT c.value / 100)` / `SUM(DISTINCT ...)` collapse
     * duplicate per-event values before the aggregate (the `/ 100`
@@ -7026,6 +7077,7 @@ object Queries {
     "cep_sql_nav_last" -> cepSqlNavLast _,
     "cep_sql_nav_phys" -> cepSqlNavPhys _,
     "cep_sql_distinct_agg" -> cepSqlDistinctAgg _,
+    "cep_sql_alt_shared_var" -> cepSqlAltSharedVar _,
     "cep_sql_all_rows" -> cepSqlAllRows _,
     "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
     "cep_sql_unmatched" -> cepSqlUnmatched _,
@@ -7198,6 +7250,7 @@ object Queries {
     "cep_sql_nav_last" -> cepSqlNavLastSql,
     "cep_sql_nav_phys" -> cepSqlNavPhysSql,
     "cep_sql_distinct_agg" -> cepSqlDistinctAggSql,
+    "cep_sql_alt_shared_var" -> cepSqlAltSharedVarSql,
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
     "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,

@@ -158,11 +158,18 @@ package graft.cep
   *           either branch; binds LOOSER than concatenation, so
   *           `a b | c` = `(a b) | c`. A match binds only the names of
   *           the branch it went through — the other branch's columns
-  *           are empty. Branch names must be DISJOINT — a deviation
-  *           from SQL:2016, which permits the same pattern variable in
-  *           both branches; here the DST binds sinks by name, so reuse
-  *           a DEFINE across branches under two names and merge with a
-  *           SUBSET (what PERMUTE's desugaring does). The PATTERN
+  *           are empty. SAME-VARIABLE BRANCHES (SQL:2016's rule that a
+  *           variable may appear in several branches) are supported
+  *           for TOP-LEVEL branches, once per branch, in ONE ROW PER
+  *           MATCH statements with MEASURES over event DEFINEs: the
+  *           parser renames per branch (`__b<i>_<name>`, same DEFINE)
+  *           and merges with a hidden auto-SUBSET under the original
+  *           name — the trick PERMUTE's desugaring uses — so measures
+  *           over the shared name see whichever branch bound. Outside
+  *           that scope (nested alternations, the raw binding frame,
+  *           ALL ROWS, CLASSIFIER(), LET/aggregate registers on the
+  *           reused DEFINE, user SUBSETs over it) the reuse rejects
+  *           loudly — documented deviations. The PATTERN
   *           body and every '(...)' group hold an `alt`.)
   * seq    := unit (sep [neg] unit)*
   * sep    :=            (juxtaposition = strict contiguity)
@@ -1530,7 +1537,7 @@ object CepSql {
       require(ds.length == 1, s"CEP SQL: duplicate DEFINE for '$n'") }
     // attach the desugared aggregate registers to their TARGET defs
     // (the target may have parsed after the referencing condition)
-    val defMap: Map[String, Def] =
+    val defMap0: Map[String, Def] =
       if (aggCtx.pending.isEmpty) defs.toMap
       else {
         defs.foreach { case (_, d) =>
@@ -1663,7 +1670,7 @@ object CepSql {
       case _ => ()
     }
     val parser = new PParser(toks)
-    val alt = parser.parseAlt()
+    val alt0 = parser.parseAlt()
     parser.assertDone()
     // a DEFINEd name may appear at most once in BINDING position (units
     // and group labels): sinks bind by name, so PATTERN (a -> a) would
@@ -1684,6 +1691,96 @@ object CepSql {
       }
       unit(s.head) ++ s.tail.flatMap { case (_, _, u) => unit(u) }
     }
+    // SQL:2016 SAME-VARIABLE ALTERNATION: a name binding ONCE in each
+    // of several TOP-LEVEL branches desugars to per-branch hidden names
+    // (`__b<i>_<name>`, same DEFINE) merged by an auto-SUBSET under the
+    // original name — the rename+union trick PERMUTE's desugaring
+    // already uses, so measures over the shared name see whichever
+    // branch bound. Supported scope (everything outside rejects loudly
+    // as before — documented deviations): TOP-LEVEL branches only, ONE
+    // ROW PER MATCH with MEASURES (the raw binding frame and ALL ROWS
+    // classifier would expose the hidden names), no LET or
+    // desugared-aggregate registers on the reused DEFINE (the copies
+    // would collide at the compiler's branch-register disjointness),
+    // no CLASSIFIER() measure, and no user SUBSET over the reused name.
+    val topOcc: Map[String, Vector[Int]] = alt0.branches.zipWithIndex
+      .flatMap { case (b, i) => bindingNamesOf(b).map(_ -> i) }
+      .groupBy(_._1).map { case (n, v) => n -> v.map(_._2) }
+    val reused: Map[String, Vector[Int]] = topOcc.filter {
+      case (n, bs) => bs.length > 1 && bs.distinct.length == bs.length
+    }
+    val (alt, hiddenDefs, autoSubsets) =
+      if (reused.isEmpty)
+        (alt0, Map.empty[String, Def], Vector.empty[(String,
+          Vector[String])])
+      else {
+        def unsupported(why: String): Nothing =
+          throw new IllegalArgumentException(
+            "CEP SQL: a pattern name binding in several alternation " +
+              s"branches is supported only as ONE ROW PER MATCH with " +
+              s"MEASURES over event DEFINEs — $why")
+        if (measures.isEmpty) unsupported(
+          "add MEASURES (the raw binding frame would expose the hidden " +
+            "per-branch columns)")
+        if (!rowsPerMatch.forall(_ == RowsPerMatch.OneRow)) unsupported(
+          "ALL ROWS PER MATCH would emit hidden per-branch classifiers")
+        measures.flatMap(CepMeasures.MeasureItem.atomsOf).foreach(m =>
+          if (m.fn == CepMeasures.Fn.Classifier) unsupported(
+            "CLASSIFIER() would print the hidden per-branch names"))
+        reused.keys.toVector.sorted.foreach { n =>
+          val d = defMap0.getOrElse(n, throw new IllegalArgumentException(
+            s"CEP SQL: pattern name '$n' has no DEFINE"))
+          if (d.event == GroupEvent) unsupported(
+            s"'$n' is a GROUP label (labels carry run-scoped UNTIL " +
+              "state that cannot be branch-copied)")
+          if (d.vars.nonEmpty) unsupported(
+            s"'$n' carries LET/aggregate registers, whose branch copies " +
+              "would collide (fold by hand per branch instead)")
+          if (aggCtx.pending.exists(_._1 == n)) unsupported(
+            s"a DEFINE aggregate/navigation targets '$n' — its register " +
+              "would attach to the unbound original name")
+          if (subsets.exists { case (u, ms) =>
+            u == n || ms.contains(n) }) unsupported(
+            s"a user SUBSET names '$n'")
+        }
+        def renameSeq(s: PSeq, from: String, to: String): PSeq = {
+          def unit(u: PU): PU = u match {
+            case p: PName if p.name == from => p.copy(name = to)
+            case p: PName                   => p
+            // group LABELS are GROUP defs, rejected above — only the
+            // body renames; negation guards reference the DEFINE (not a
+            // sink) and stay untouched by design
+            case g: PGroup =>
+              g.copy(alt = PAlt(g.alt.branches.map(renameSeq(_, from, to))))
+            case pm: PPermute => pm.copy(members = pm.members.map(unit))
+            case e: PExcl if e.member.name == from =>
+              PExcl(e.member.copy(name = to))
+            case e: PExcl => e
+          }
+          PSeq(unit(s.head),
+            s.tail.map { case (c, neg, u) => (c, neg, unit(u)) })
+        }
+        var branches = alt0.branches
+        val hidden = scala.collection.mutable.LinkedHashMap.empty[String,
+          Def]
+        val autos = Vector.newBuilder[(String, Vector[String])]
+        reused.toVector.sortBy(_._1).foreach { case (n, bs) =>
+          val members = bs.map { bi =>
+            val nn = s"__b${bi}_$n"
+            require(!defMap0.contains(nn) && !topOcc.contains(nn),
+              s"CEP SQL: hidden branch name '$nn' collides with a " +
+                "declared name — rename it")
+            branches = branches.updated(bi, renameSeq(branches(bi), n, nn))
+            hidden(nn) = defMap0(n)
+            nn
+          }
+          autos += n -> members
+        }
+        (PAlt(branches), hidden.toMap, autos.result())
+      }
+    val autoSubsetNames = autoSubsets.map(_._1).toSet
+    subsets = subsets ++ autoSubsets
+    val defMap: Map[String, Def] = defMap0 ++ hiddenDefs
     // ALSO rejects the same name binding in two alternation BRANCHES —
     // a shared sink would merge the branches' bindings (the compiler
     // enforces branch disjointness too; this is the earlier, named error)
@@ -1691,12 +1788,13 @@ object CepSql {
       require(uses.length == 1,
         s"CEP SQL: pattern name '$n' appears ${uses.length} times — " +
           "each DEFINEd name may appear at most once in binding " +
-          "position in PATTERN (negation guards are exempt)")
+          "position in PATTERN (negation guards are exempt; once per " +
+          "TOP-LEVEL alternation branch desugars to an auto-SUBSET)")
     }
     // SUBSET members must be event-binding DEFINEs that actually bind
     val subsetMap = subsets.toMap
     subsets.foreach { case (u, ms) =>
-      require(!defMap.contains(u),
+      require(autoSubsetNames.contains(u) || !defMap.contains(u),
         s"CEP SQL SUBSET: '$u' collides with a DEFINEd name")
       ms.foreach { n =>
         val d = defMap.getOrElse(n, throw new IllegalArgumentException(

@@ -310,13 +310,23 @@ class AltSpec extends AnyFunSuite {
         Spat("y", "e", Expr.parse("name == 2"))), 2, 2))
   }
 
-  test("SQL: the same name binding in two branches is rejected") {
+  test("SQL: the same name in two branches needs the MEASURES scope " +
+    "(the binding-frame surface rejects; CepAltReuseSpec covers the " +
+    "supported desugar)") {
     val ex = intercept[IllegalArgumentException] {
       CepSql.parse(
         """PATTERN (a | a)
           |DEFINE a AS e WHERE name == 1""".stripMargin, sqlSchema)
     }
-    assert(ex.getMessage.contains("at most once"))
+    assert(ex.getMessage.contains("add MEASURES"))
+    // within ONE branch the generic at-most-once rule still fires
+    val ex2 = intercept[IllegalArgumentException] {
+      CepSql.parse(
+        """PATTERN (a a | b)
+          |DEFINE a AS e WHERE name == 1;
+          |       b AS e WHERE name == 2""".stripMargin, sqlSchema)
+    }
+    assert(ex2.getMessage.contains("at most once"))
   }
 
   test("SQL: render round-trips alternation statements") {

@@ -139,5 +139,18 @@ context:
     println("INTERVAL_STEP_ERR=" + scala.util.Try(CepSql.parse(
       "PATTERN (s -> p) DEFINE s AS signup; p AS purchase " +
         "WITHIN INTERVAL '2' MINUTES", sch)).failed.map(_.getMessage))
+
+    // SQL:2016 same-variable alternation: rename + auto-SUBSET desugar
+    val altReuse = CepSql.parseStatement(
+      "PATTERN (s -> p | s -> x) " +
+        "MEASURES FIRST(s.value) AS s_v, COUNT(p) AS n_p, COUNT(x) AS n_x " +
+        "DEFINE s AS signup; p AS purchase; x AS error", sch)
+    println("ALT_REUSE_SUBSET=" + altReuse.subsetMap)
+    println("ALT_REUSE_RT=" + (CepSql.parseStatement(
+      CepSql.render(altReuse), sch) == altReuse))
+    println("ALT_REUSE_NOMEAS_ERR=" + scala.util.Try(CepSql.parse(
+      "PATTERN (s -> p | s -> x) " +
+        "DEFINE s AS signup; p AS purchase; x AS error", sch))
+      .failed.map(_.getMessage))
   }
 }
