@@ -145,6 +145,71 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("differential: the round-15 measure surface == an independent " +
+    "model (argument exprs, DISTINCT, physical navigation; seeded " +
+    "random streams)") {
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2}~ -> p) " +
+        "MEASURES SUM(c.v * c.v) AS energy, " +
+        "AVG(2 * c.v + 1) AS sc, " +
+        "COUNT(DISTINCT c.v) AS ndv, " +
+        "SUM(DISTINCT c.v / 2) AS sdb, " +
+        "PREV(LAST(c.v)) AS pl, " +
+        "NEXT(FIRST(c.v), 2) AS nf, " +
+        "COUNT(c.v) AS ncv " +
+        "DEFINE s AS S; c AS C; p AS P WITHIN 6", schema)
+    val rnd = new scala.util.Random(20260825L)
+    for (trial <- 0 until 20) {
+      val types = Vector("S", "C", "P")
+      val n = 12 + rnd.nextInt(12)
+      val evs = (1 to n).map { i =>
+        (1L + rnd.nextInt(2), i.toLong, types(rnd.nextInt(3)),
+          rnd.nextInt(10).toLong)
+      }
+      val df = eventsDf(evs: _*)
+      def opt(r: Row, f: String): Option[Long] = {
+        val i = r.fieldIndex(f)
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      }
+      val got = CepMeasures.run(df, st, spec)
+        .collect().map(r => (r.getLong(0),
+          r.getLong(r.fieldIndex("energy")),
+          r.getLong(r.fieldIndex("sc")),
+          r.getLong(r.fieldIndex("ndv")),
+          r.getLong(r.fieldIndex("sdb")),
+          opt(r, "pl"), opt(r, "nf"),
+          r.getLong(r.fieldIndex("ncv"))))
+        .toVector.sortBy(_.toString)
+      val byKey = evs.groupBy(_._1)
+      val want = byKey.toVector.flatMap { case (k, kevs) =>
+        val ordered = kevs.sortBy(_._2)
+        val stream = ordered.map(e =>
+          Event(e._3, Vector("id" -> e._2, "v" -> e._4)))
+        val idToPos = ordered.map(_._2).zipWithIndex.toMap
+        val posToV = ordered.map(_._4)
+        CepOperator.run(st.query, stream).map { m =>
+          val mm = m.toMap
+          val cvals = mm("c").map(e => posToV(idToPos(e("id"))))
+          // physical neighbors of the logical targets, None at edges
+          def at(pos: Int): Option[Long] =
+            if (pos < 0 || pos >= posToV.length) None else Some(posToV(pos))
+          val lastPos = idToPos(mm("c").last("id"))
+          val firstPos = idToPos(mm("c").head("id"))
+          (k,
+            cvals.map(v => v * v).sum,                     // energy
+            Math.floorDiv(cvals.map(v => 2 * v + 1).sum,   // AVG, floored
+              cvals.length.toLong),
+            cvals.distinct.length.toLong,                  // ndv
+            cvals.map(_ / 2).distinct.sum,                 // sdb
+            at(lastPos - 1),                               // PREV(LAST)
+            at(firstPos + 2),                              // NEXT(FIRST, 2)
+            cvals.length.toLong)                           // COUNT(c.v)
+        }
+      }.sortBy(_.toString)
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
   test("runShared: shared-scan measures == each statement run solo") {
     val stmts = CepSql.parseStatements(Seq(
       "m1" -> ("PATTERN (s -> c{1,2} -> p) MEASURES FIRST(s) AS a, " +
