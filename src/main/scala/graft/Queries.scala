@@ -1904,6 +1904,84 @@ object Queries {
       |  WHERE b.event_id IS NULL)
       |ORDER BY user_id, match_no, event_id""".stripMargin
 
+  /** SQL:2016 `ALL ROWS PER MATCH SHOW EMPTY MATCHES`
+    * (`CepMeasures.allRows(showEmpty = true)`): the pattern `c{0,3}` is
+    * NULLABLE, so every event where the attempt yields only the empty
+    * match emits one NULL-classifier row with empty-set measures
+    * (COUNT 0, SUM NULL), numbered in sequence with the real matches.
+    * Under the reluctant default + SKIP PAST LAST ROW each click is its
+    * own singleton match and every non-click event is an empty-match
+    * site, so the output is a TOTAL relabeling of the events table —
+    * `match_no` (and the `MATCH_NUMBER()` measure) is exactly the
+    * per-user event sequence number, which is the closed form the
+    * oracle states directly. The sites pass is one anti-join/coverage
+    * join over the (key, order) projection; the empty rows ride the
+    * classifier-guarded measure windows with no extra pass.
+    */
+  val cepSqlShowEmptyStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (c{0,3}) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.value) AS c_v, " +
+        "MATCH_NUMBER() AS mn " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE c AS click AFTER MATCH SKIP PAST LAST ROW",
+      eventSchema)
+
+  def cepSqlShowEmpty(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlShowEmptyStatement)
+      .orderBy("user_id", "event_id")
+
+  val cepSqlShowEmptySql: String =
+    """SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS match_no,
+      |  CASE WHEN event_type = 'click' THEN 'c' END AS classifier,
+      |  event_id,
+      |  CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+      |    AS BIGINT) AS n_c,
+      |  CASE WHEN event_type = 'click'
+      |    THEN CAST(FLOOR(value) AS BIGINT) END AS c_v,
+      |  CAST(row_number() OVER w AS BIGINT) AS mn
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** `ONE ROW PER MATCH SHOW EMPTY MATCHES` (engine extension spelling
+    * of the SQL:2016 default ONE-ROW behavior, where empty matches are
+    * always output — [[graft.cep.CepMeasures.project]] `showEmpty`):
+    * same nullable `c{0,3}` matcher as `cep_sql_show_empty`, projected
+    * to one SUMMARY row per match — real singleton clicks carry COUNT 1
+    * and the click's value, empty matches COUNT 0 / NULL, and
+    * `MATCH_NUMBER()` interleaves both by site ordinal, so `mn` is
+    * again the per-user event sequence number. Exercises the
+    * positional tier AND the sentinel explode_outer + LEFT-join
+    * attribute tier over a frame with synthetic empty seeds.
+    */
+  val cepSqlOneRowEmptyStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (c{0,3}) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.value) AS c_v, " +
+        "MATCH_NUMBER() AS mn " +
+        "ONE ROW PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE c AS click AFTER MATCH SKIP PAST LAST ROW",
+      eventSchema)
+
+  def cepSqlOneRowEmpty(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlOneRowEmptyStatement)
+      .orderBy("user_id", "mn")
+
+  val cepSqlOneRowEmptySql: String =
+    """SELECT user_id,
+      |  CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+      |    AS BIGINT) AS n_c,
+      |  CASE WHEN event_type = 'click'
+      |    THEN CAST(FLOOR(value) AS BIGINT) END AS c_v,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+      |    AS BIGINT) AS mn
+      |FROM events
+      |ORDER BY user_id, mn""".stripMargin
+
   /** SQL:2016 row navigation in DEFINE conditions ([[graft.cep.Nav]]):
     * `PREV(value)` is attribute `value` of the previous PHYSICAL row of
     * the user's partition in `event_id` order — not the previous bound
@@ -7081,6 +7159,8 @@ object Queries {
     "cep_sql_all_rows" -> cepSqlAllRows _,
     "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
     "cep_sql_unmatched" -> cepSqlUnmatched _,
+    "cep_sql_show_empty" -> cepSqlShowEmpty _,
+    "cep_sql_one_row_empty" -> cepSqlOneRowEmpty _,
     "cep_sql_prev_ascending" -> cepSqlPrevAscending _,
     "cep_sql_nav_peaks" -> cepSqlNavPeaks _,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnel _,
@@ -7254,6 +7334,8 @@ object Queries {
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
     "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,
+    "cep_sql_show_empty" -> cepSqlShowEmptySql,
+    "cep_sql_one_row_empty" -> cepSqlOneRowEmptySql,
     "cep_sql_prev_ascending" -> cepSqlPrevAscendingSql,
     "cep_sql_nav_peaks" -> cepSqlNavPeaksSql,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnelSql,

@@ -3,7 +3,7 @@ package graft.cep
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 import SparkCep.CepSpec
 
@@ -688,14 +688,59 @@ object CepMeasures {
     */
   def project(matches: DataFrame, events: DataFrame, query: CepQuery,
       spec: CepSpec, measures: Vector[MeasureItem],
-      subsets: Map[String, Vector[String]] = Map.empty): DataFrame = {
+      subsets: Map[String, Vector[String]] = Map.empty,
+      showEmpty: Boolean = false): DataFrame = {
     require(measures.nonEmpty, "MEASURES: empty measure list")
     val names = validate(query, spec, measures, Set.empty, subsets)
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val keyOut = keyName.map(col).toSeq
     val (atoms, outCols) = lowerItems(measures)
-    projectAtoms(matches, events, query, spec, atoms, subsets, names,
-      keyName, keyOut)
+    // `ONE ROW PER MATCH SHOW EMPTY MATCHES` (engine extension — the
+    // standard has no SHOW/OMIT option under ONE ROW, where empty
+    // matches of a nullable pattern are simply always output; the
+    // explicit spelling opts into exactly that standard behavior while
+    // the engine's bare default stays OMIT): each empty-match site
+    // ([[emptySites]] — same rules and restrictions as the ALL ROWS
+    // mode) becomes a synthetic empty-binding seed in the match frame,
+    // so it projects to one summary row with empty-set measures (COUNT
+    // 0, others NULL, CLASSIFIER() NULL, MATCH_NUMBER() interleaved by
+    // site ordinal).
+    val doEmpty = showEmpty && Pattern.canMatchEmpty(query.patseq)
+    if (showEmpty) {
+      require(!query.anchorStart && !query.anchorEnd,
+        "SHOW EMPTY MATCHES with '^'/'$' partition anchors is not " +
+          "supported — the interaction between zero-width matches and " +
+          "partition-edge anchoring is undefined here")
+      query.strategy match {
+        case AfterMatchStrategy.NoSkip | AfterMatchStrategy.SkipToNext |
+            AfterMatchStrategy.SkipPastLastEvent => ()
+        case other => throw new IllegalArgumentException(
+          s"SHOW EMPTY MATCHES: AFTER MATCH SKIP ${other.name} — " +
+            "empty-match sites are defined for NoSkip, SkipToNext and " +
+            "SkipPastLastEvent only (a to-first/to-last resume point " +
+            "of a zero-width match is undefined)")
+      }
+    }
+    val frame =
+      if (!doEmpty) matches
+      else {
+        // the seed union + site derivation both consume the match
+        // frame — materialize it ONCE so the NFA sweep below doesn't
+        // run twice (see the identical note in [[allRows]])
+        val matchFrame = matches.localCheckpoint(eager = true)
+        val emptyArr = array().cast(ArrayType(LongType))
+        val sites = emptySites(matchFrame, events, spec, keyName, names,
+          query.strategy)
+        val emptySeed = sites.select(
+          keyOut ++ names.map(n => emptyArr.as(n)) :+
+            col("__site").as("__anchor"): _*)
+        val realSeed = matchFrame.select(
+          keyOut ++ names.map(col) :+
+            array_min(concat(names.map(col): _*)).as("__anchor"): _*)
+        realSeed.unionByName(emptySeed)
+      }
+    projectAtoms(frame, events, query, spec, atoms, subsets, names,
+      keyName, keyOut, anchored = doEmpty)
       .select(keyOut ++ outCols: _*)
   }
 
@@ -706,19 +751,28 @@ object CepMeasures {
   private def projectAtoms(matches: DataFrame, events: DataFrame,
       query: CepQuery, spec: CepSpec, measures: Vector[Measure],
       subsets: Map[String, Vector[String]], names: Vector[String],
-      keyName: Option[String], keyOut: Seq[Column]): DataFrame = {
+      keyName: Option[String], keyOut: Seq[Column],
+      anchored: Boolean = false): DataFrame = {
     def membersOf(n: String): Vector[String] =
       subsets.getOrElse(n, Vector(n))
 
     // MATCH_NUMBER() stamps the frame once, BEFORE any branch below —
     // a deterministic per-key window over the binding arrays (one pass
     // over the small match frame), carried through explode/aggregate
-    // like any positional measure
+    // like any positional measure. An `anchored` frame (SHOW EMPTY
+    // MATCHES) carries empty-binding seeds whose start would be NULL —
+    // its explicit `__anchor` column leads the sort instead, so empty
+    // matches number in sequence with the real ones.
     val withSeq =
-      if (measures.exists(_.fn == Fn.MatchNo))
+      if (measures.exists(_.fn == Fn.MatchNo)) {
+        val w =
+          if (anchored)
+            keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
+              .orderBy(col("__anchor") +: names.map(col): _*)
+          else matchSeqWindow(keyName, names)
         matches.withColumn("__match_no",
-          row_number().over(matchSeqWindow(keyName, names)).cast(LongType))
-      else matches
+          row_number().over(w).cast(LongType))
+      } else matches
     // positional-tier column for one measure (nullary measures are
     // match-level: classifier reads the binding arrays, match_no the
     // stamped sequence)
@@ -749,7 +803,7 @@ object CepMeasures {
       // left-outer join preserves its left side and can never broadcast
       // it, pinning the plan to a full event-table shuffle. A SUBSET
       // target is empty only when EVERY member is.
-      val mayBeEmpty = {
+      val mayBeEmpty = anchored || {
         val pe = possiblyEmptyNames(query.patseq)
         attrMeasures.exists(m => membersOf(m.name).forall(pe.contains))
       }
@@ -838,14 +892,59 @@ object CepMeasures {
     * `project`, then aggregate over `(key, match_no) ROWS UNBOUNDED
     * PRECEDING` windows — per-match frames, so window state is O(match),
     * not O(partition).
+    *
+    * `showEmpty` — SQL:2016 `SHOW EMPTY MATCHES` (see the grammar
+    * contract in [[CepSql]]): when the pattern is nullable, empty-match
+    * sites ([[emptySites]]) union into the match frame as synthetic
+    * empty-binding seeds BEFORE numbering (so `match_no` interleaves
+    * temporally), explode (outer) to one NULL-classifier row each at
+    * the site ordinal, and ride the same classifier-guarded measure
+    * windows — COUNT 0, other measures NULL, `MATCH_NUMBER()` the
+    * interleaved number, FINAL/RUNNING CLASSIFIER() NULL — with no
+    * extra pass beyond the one site join.
     */
   def allRows(matches: DataFrame, events: DataFrame, query: CepQuery,
       spec: CepSpec, measures: Vector[MeasureItem],
       subsets: Map[String, Vector[String]] = Map.empty,
       excluded: Set[String] = Set.empty,
-      withUnmatched: Boolean = false): DataFrame = {
+      withUnmatched: Boolean = false,
+      showEmpty: Boolean = false): DataFrame = {
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val reserved = Set("match_no", "classifier", spec.orderCol)
+    // SHOW EMPTY MATCHES consumes the match frame TWICE (the seed
+    // union and the site derivation), and WITH UNMATCHED ROWS consumes
+    // its exploded form twice (the output and the bound set) — without
+    // materialization each consumer re-runs the whole NFA sweep below
+    // it (ReuseExchange dedupes exchanges, not the match operator),
+    // doubling the dominant cost at scale. Same hazard and same fix as
+    // `runShared`: localCheckpoint the SMALL side (matches, not
+    // events) once — self-releasing (ContextCleaner / CacheScope),
+    // batch-only here so cut lineage is fine. `DriveShowEmptyScale`
+    // measures the win.
+    val matchFrame =
+      if (showEmpty || withUnmatched) matches.localCheckpoint(eager = true)
+      else matches
+    if (showEmpty) {
+      // SQL:2016 `SHOW EMPTY MATCHES`: see the mode's contract at the
+      // grammar (`CepSql` scaladoc) — sites below, numbering at the
+      // seed union, measures ride the classifier-guarded windows
+      require(!withUnmatched,
+        "SHOW EMPTY MATCHES and WITH UNMATCHED ROWS are mutually " +
+          "exclusive rows-per-match options (as in SQL:2016)")
+      query.strategy match {
+        case AfterMatchStrategy.NoSkip | AfterMatchStrategy.SkipToNext |
+            AfterMatchStrategy.SkipPastLastEvent => ()
+        case other => throw new IllegalArgumentException(
+          s"SHOW EMPTY MATCHES: AFTER MATCH SKIP ${other.name} — " +
+            "empty-match sites are defined for NoSkip, SkipToNext and " +
+            "SkipPastLastEvent only (a to-first/to-last resume point " +
+            "of a zero-width match is undefined)")
+      }
+      require(!query.anchorStart && !query.anchorEnd,
+        "SHOW EMPTY MATCHES with '^'/'$' partition anchors is not " +
+          "supported — the interaction between zero-width matches and " +
+          "partition-edge anchoring is undefined here")
+    }
     // RUNNING `LAST(x, k)` is "k-th from the end OF THE ROWS SO FAR" — a
     // per-row re-read with no window-function form; documented deviation
     measures.flatMap(MeasureItem.atomsOf).foreach { m =>
@@ -877,14 +976,58 @@ object CepMeasures {
     val (atoms, outCols) = lowerItems(measures)
 
     val keyOut = keyName.map(col).toSeq
-    val withNo = matches.withColumn("match_no",
-      row_number().over(matchSeqWindow(keyName, names)).cast(LongType))
+    // `SHOW EMPTY MATCHES` is live only when the pattern is NULLABLE
+    // (can match zero events) — otherwise empty matches cannot occur
+    // and the mode degrades to plain ALL ROWS at zero extra cost
+    val doEmpty = showEmpty && Pattern.canMatchEmpty(query.patseq)
+    val withNo =
+      if (!doEmpty)
+        matchFrame.withColumn("match_no",
+          row_number().over(matchSeqWindow(keyName, names)).cast(LongType))
+      else {
+        // Empty matches are SYNTHETIC SEED ROWS unioned into the match
+        // frame BEFORE numbering: every name's binding array empty, the
+        // site ordinal as the match anchor. Numbering then interleaves
+        // real and empty matches temporally in one row_number pass
+        // (anchor leads; a site is never a real match's start under
+        // either site rule, so anchors cannot tie across the union; the
+        // binding arrays stay as the deterministic real-vs-real
+        // tiebreaker). Downstream, the empty seed explodes (outer) to
+        // exactly one NULL-classifier row that rides the same
+        // classifier-guarded measure windows — COUNT 0, everything
+        // else NULL, per SQL aggregate-over-empty.
+        val emptyArr = array().cast(ArrayType(LongType))
+        val sites = emptySites(matchFrame, events, spec, keyName, names,
+          query.strategy)
+        val emptySeed = sites.select(
+          keyOut ++ names.map(n => emptyArr.as(n)) :+
+            col("__site").as("__anchor"): _*)
+        val realSeed = matchFrame.select(
+          keyOut ++ names.map(col) :+
+            array_min(concat(names.map(col): _*)).as("__anchor"): _*)
+        realSeed.unionByName(emptySeed).withColumn("match_no",
+          row_number().over(
+            keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
+              .orderBy(col("__anchor") +: names.map(col): _*))
+            .cast(LongType))
+      }
     val exploded = withNo.select(
-      (keyOut :+ col("match_no")) :+
-        explode(bindingPairs(names)).as("__pr"): _*)
+      (keyOut :+ col("match_no")) ++
+        (if (doEmpty) Seq(col("__anchor")) else Nil) :+
+        (if (doEmpty) explode_outer(bindingPairs(names))
+         else explode(bindingPairs(names))).as("__pr"): _*)
       .withColumn("classifier", col("__pr.nm"))
-      .withColumn("__ord", col("__pr.ord"))
+      // the empty seed's single outer row has a NULL pair — its output
+      // ordinal is the SITE itself (the row where the empty match
+      // occurred, SQL:2016's one-output-row-per-empty-match). Its
+      // (key, ordinal) is a real input event, so the attribute join
+      // below keeps it on the inner path; every measure is
+      // classifier-guarded, so the joined values never leak into one.
+      .withColumn("__ord",
+        if (doEmpty) coalesce(col("__pr.ord"), col("__anchor"))
+        else col("__pr.ord"))
       .drop("__pr")
+      .drop("__anchor")
 
     val attrMeasures = atoms.filter(isAttrTier)
     val joined =
@@ -960,6 +1103,11 @@ object CepMeasures {
     // computation by construction (spec-pinned in `CepExclusionSpec`)
     val matched =
       if (excluded.isEmpty) out
+      // an empty match's classifier is NULL — `isin` over NULL is NULL,
+      // which a bare `!…` filter would drop; empty-match rows are never
+      // excluded (an excluded VARIABLE binds no rows in them)
+      else if (doEmpty) out.where(col("classifier").isNull ||
+        !col("classifier").isin(excluded.toSeq: _*))
       else out.where(!col("classifier").isin(excluded.toSeq: _*))
     if (!withUnmatched) matched
     else {
@@ -993,6 +1141,71 @@ object CepMeasures {
 
   private def joinedDrop(df: DataFrame): DataFrame =
     df.drop("__k", "__eord")
+
+  /** `SHOW EMPTY MATCHES` sites — the input rows where an EMPTY match
+    * occurs, `(key?, __site)`, derived from the reported (non-empty)
+    * match frame per the after-match discipline:
+    *
+    *  - `SkipPastLastEvent`: attempts resume after a match's last bound
+    *    event, so sites are the events NOT COVERED by any match's
+    *    closed ordinal span `[earliest bound, latest bound]` (under
+    *    relaxed contiguity, ignored mid-span rows never receive an
+    *    attempt — they are covered). Coverage is a RUNNING-MAX WINDOW
+    *    MERGE, not an interval join: span rows `(key, start, end)`
+    *    union with event rows `(key, ord)`, one per-key window ordered
+    *    by position (span-before-event on ties) computes the running
+    *    max span end, and an event is a site iff that max is NULL or
+    *    < its ordinal — O(1) per row. (The first formulation kept an
+    *    array of spans per key and `exists`-scanned it per event:
+    *    O(events × spans-per-key), which `DriveShowEmptyProfile`
+    *    measured at 21 s of a 24 s total on a 2M-event/1000-spans-per-
+    *    key stream — the window merge collapses it to one sort pass.)
+    *  - `NoSkip` / `SkipToNext`: attempts start at EVERY event, so
+    *    sites are the events that START no reported match — one
+    *    anti-join against the distinct (key, start) pairs, the small
+    *    side broadcast-eligible.
+    *
+    * Both shapes add exactly one pass over the event table and touch
+    * only the (key, order) projection of it.
+    */
+  private def emptySites(matches: DataFrame, events: DataFrame,
+      spec: CepSpec, keyName: Option[String], names: Vector[String],
+      strategy: AfterMatchStrategy): DataFrame = {
+    val evProj = events.select(
+      keyName.map(k => SparkCep.keyExpr(events, spec).as(k)).toSeq :+
+        col(spec.orderCol).cast(LongType).as("__site"): _*)
+    val startCol = array_min(concat(names.map(col): _*))
+    strategy match {
+      case AfterMatchStrategy.SkipPastLastEvent =>
+        // running-max merge: span rows sort BEFORE the event at the
+        // same position (__mk 0 < 1), so a span starting AT an event's
+        // ordinal covers it; the running max of span ends over all
+        // spans at or before the event's position is >= the ordinal
+        // exactly when some span covers it
+        val spanRows = matches.select(
+          keyName.map(col).toSeq :+ startCol.as("__pos") :+
+            array_max(concat(names.map(col): _*)).as("__end") :+
+            lit(0).as("__mk"): _*)
+        val evRows = evProj.select(
+          keyName.map(col).toSeq :+ col("__site").as("__pos") :+
+            lit(null).cast(LongType).as("__end") :+
+            lit(1).as("__mk"): _*)
+        val w = keyName
+          .fold(Window.partitionBy())(k => Window.partitionBy(k))
+          .orderBy(col("__pos"), col("__mk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spanRows.unionByName(evRows)
+          .withColumn("__cov", max(col("__end")).over(w))
+          .where(col("__mk") === 1 &&
+            (col("__cov").isNull || col("__cov") < col("__pos")))
+          .select(keyName.map(col).toSeq :+
+            col("__pos").as("__site"): _*)
+      case _ => // NoSkip / SkipToNext (validated by the caller)
+        val starts = matches.select(
+          keyName.map(col).toSeq :+ startCol.as("__site"): _*).distinct()
+        evProj.join(starts, keyName.toSeq :+ "__site", "left_anti")
+    }
+  }
 
   /** Emission-time evaluation of one measure over a completed match —
     * the STREAMING tier: at emission the match still carries its bound
@@ -1100,12 +1313,18 @@ object CepMeasures {
     st.rowsPerMatch match {
       case CepSql.RowsPerMatch.OneRow =>
         project(frames, df, st.query, spec, st.measures, st.subsetMap)
+      case CepSql.RowsPerMatch.OneRowShowEmpty =>
+        project(frames, df, st.query, spec, st.measures, st.subsetMap,
+          showEmpty = true)
       case CepSql.RowsPerMatch.AllRows =>
         allRows(frames, df, st.query, spec, st.measures, st.subsetMap,
           st.excluded.toSet)
       case CepSql.RowsPerMatch.AllRowsUnmatched =>
         allRows(frames, df, st.query, spec, st.measures, st.subsetMap,
           st.excluded.toSet, withUnmatched = true)
+      case CepSql.RowsPerMatch.AllRowsShowEmpty =>
+        allRows(frames, df, st.query, spec, st.measures, st.subsetMap,
+          st.excluded.toSet, showEmpty = true)
     }
   }
 
@@ -1193,7 +1412,9 @@ object CepMeasures {
     allRows(SparkCep.matchPatternExec(df, st.query, spec), df, st.query,
       spec, st.measures, st.subsetMap, st.excluded.toSet,
       withUnmatched =
-        st.rowsPerMatch == CepSql.RowsPerMatch.AllRowsUnmatched)
+        st.rowsPerMatch == CepSql.RowsPerMatch.AllRowsUnmatched,
+      showEmpty =
+        st.rowsPerMatch == CepSql.RowsPerMatch.AllRowsShowEmpty)
 
   def runAllRows(df: DataFrame, st: CepSql.CepSqlStatement): DataFrame =
     runAllRows(df, st, st.spec)

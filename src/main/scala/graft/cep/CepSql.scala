@@ -42,15 +42,36 @@ package graft.cep
   *                   (',' u '=' '(' … ')')*]     (union variables:
   *            a measure over `u` sees the members' bindings merged in
   *            stream order — COUNT(u), FIRST(u), SUM(u.attr), …)
-  *           [ONE ROW PER MATCH | ALL ROWS PER MATCH
-  *            [WITH UNMATCHED ROWS]]   (unmatched rows join the ALL
+  *           [ONE ROW PER MATCH
+  *            [SHOW EMPTY MATCHES | OMIT EMPTY MATCHES]
+  *            | ALL ROWS PER MATCH
+  *            [SHOW EMPTY MATCHES | OMIT EMPTY MATCHES
+  *             | WITH UNMATCHED ROWS]]   (unmatched rows join the ALL
   *            ROWS output with NULL match_no/classifier/measures.
-  *            EMPTY MATCHES are never emitted — acceptance requires a
-  *            take (`Dst.accept`), so a fully-optional pattern like
-  *            `a*` yields no zero-event rows: the engine's fixed
-  *            behavior is SQL:2016's OMIT EMPTY MATCHES, and the
-  *            SHOW EMPTY MATCHES mode does not exist (documented
-  *            deviation; FlinkCEP behaves the same way).
+  *            The default is SQL:2016's OMIT EMPTY MATCHES (the
+  *            explicit spelling parses to the same statement; the NFA
+  *            itself never reports a zero-width match — acceptance
+  *            requires a take, `Dst.accept`). SHOW EMPTY MATCHES
+  *            surfaces them relationally: when the pattern is NULLABLE
+  *            (`Pattern.canMatchEmpty` — e.g. `c{0,3}`), every input
+  *            row where a match attempt yields only the empty match
+  *            emits ONE row with NULL classifier and empty-set
+  *            measures (COUNT 0, others NULL), numbered in sequence
+  *            with the real matches by site ordinal. Attempt sites
+  *            follow the skip discipline: NoSkip/SKIP TO NEXT ROW —
+  *            every event that starts no reported match; SKIP PAST
+  *            LAST ROW — every event outside all reported matches'
+  *            closed [first-bound, last-bound] ordinal spans.
+  *            SKIP TO FIRST/LAST, '^'/'$' anchors and negation
+  *            patterns (treated as non-nullable) are rejected/inert
+  *            with this mode — documented deviations. Under ONE ROW
+  *            PER MATCH the engine's bare default is ALSO OMIT (a
+  *            documented deviation — SQL:2016 always outputs empty
+  *            matches there and has no OMIT option); the extension
+  *            spelling ONE ROW PER MATCH SHOW EMPTY MATCHES opts into
+  *            the standard behavior — one summary row per empty match
+  *            (COUNT 0, NULL measures, NULL CLASSIFIER(), interleaved
+  *            MATCH_NUMBER()), same site rules and restrictions.
   *            DOCUMENTED DEVIATION: SQL:2016 — and Trino — PROHIBIT
   *            `{- -}` exclusion under WITH UNMATCHED ROWS; this
   *            grammar accepts the combination with defined semantics:
@@ -906,9 +927,28 @@ object CepSql {
   sealed trait RowsPerMatch extends Serializable
   object RowsPerMatch {
     case object OneRow extends RowsPerMatch
+    /** `ONE ROW PER MATCH SHOW EMPTY MATCHES` — engine extension
+      * spelling (SQL:2016 puts no SHOW/OMIT option under ONE ROW,
+      * where empty matches are always output; the engine's bare
+      * default is OMIT — documented deviation). The explicit spelling
+      * opts into the standard behavior: one summary row per empty
+      * match with COUNT 0 / NULL measures and interleaved
+      * `MATCH_NUMBER()` ([[CepMeasures.project]] `showEmpty`).
+      */
+    case object OneRowShowEmpty extends RowsPerMatch
+    /** `ALL ROWS PER MATCH` — the engine's fixed default is SQL:2016's
+      * `OMIT EMPTY MATCHES` (the explicit spelling parses to this).
+      */
     case object AllRows extends RowsPerMatch
     /** `ALL ROWS PER MATCH WITH UNMATCHED ROWS` (SQL:2016). */
     case object AllRowsUnmatched extends RowsPerMatch
+    /** `ALL ROWS PER MATCH SHOW EMPTY MATCHES` (SQL:2016) — zero-width
+      * matches of a NULLABLE pattern surface as one NULL-classifier row
+      * each, numbered in sequence with the real matches
+      * ([[CepMeasures.allRows]] `showEmpty`; batch-only like the mode's
+      * other variants).
+      */
+    case object AllRowsShowEmpty extends RowsPerMatch
   }
 
   /** A parsed CEP SQL statement: the lowered query plus any MEASURES
@@ -1512,13 +1552,25 @@ object CepSql {
               val got = section.trim.replaceAll("\\s+", " ")
               rowsPerMatch = (kw, got) match {
                 case ("ONE", "ROW PER MATCH") => Some(RowsPerMatch.OneRow)
+                // engine-extension spellings: the bare default is OMIT
+                case ("ONE", "ROW PER MATCH OMIT EMPTY MATCHES") =>
+                  Some(RowsPerMatch.OneRow)
+                case ("ONE", "ROW PER MATCH SHOW EMPTY MATCHES") =>
+                  Some(RowsPerMatch.OneRowShowEmpty)
                 case ("ALL", "ROWS PER MATCH") => Some(RowsPerMatch.AllRows)
+                // the explicit spelling of the default (SQL:2016)
+                case ("ALL", "ROWS PER MATCH OMIT EMPTY MATCHES") =>
+                  Some(RowsPerMatch.AllRows)
+                case ("ALL", "ROWS PER MATCH SHOW EMPTY MATCHES") =>
+                  Some(RowsPerMatch.AllRowsShowEmpty)
                 case ("ALL", "ROWS PER MATCH WITH UNMATCHED ROWS") =>
                   Some(RowsPerMatch.AllRowsUnmatched)
                 case _ => throw new IllegalArgumentException(
                   s"CEP SQL: expected '${
-                    if (kw == "ONE") "ONE ROW PER MATCH"
-                    else "ALL ROWS PER MATCH [WITH UNMATCHED ROWS]"
+                    if (kw == "ONE") "ONE ROW PER MATCH [SHOW EMPTY " +
+                      "MATCHES | OMIT EMPTY MATCHES]"
+                    else "ALL ROWS PER MATCH [SHOW EMPTY MATCHES | " +
+                      "OMIT EMPTY MATCHES | WITH UNMATCHED ROWS]"
                   }', got '$kw $got'")
               }
           }
@@ -1899,6 +1951,7 @@ object CepSql {
     // it the same way)
     require(excluded.isEmpty ||
       rowsPerMatch.contains(RowsPerMatch.AllRows) ||
+      rowsPerMatch.contains(RowsPerMatch.AllRowsShowEmpty) ||
       rowsPerMatch.contains(RowsPerMatch.AllRowsUnmatched),
       "CEP SQL: '{- ... -}' exclusion requires ALL ROWS PER MATCH " +
         "(with ONE ROW PER MATCH there are no per-event output rows " +
@@ -2146,7 +2199,11 @@ object CepSql {
       }.mkString(", ") + "\n"
     val rpmS = rowsPerMatch match {
       case RowsPerMatch.OneRow  => Seq.empty[String] // the default
+      case RowsPerMatch.OneRowShowEmpty =>
+        Seq("ONE ROW PER MATCH SHOW EMPTY MATCHES")
       case RowsPerMatch.AllRows => Seq("ALL ROWS PER MATCH")
+      case RowsPerMatch.AllRowsShowEmpty =>
+        Seq("ALL ROWS PER MATCH SHOW EMPTY MATCHES")
       case RowsPerMatch.AllRowsUnmatched =>
         Seq("ALL ROWS PER MATCH WITH UNMATCHED ROWS")
     }

@@ -116,7 +116,11 @@ final class DstCompiler(query: CepQuery) {
 
   /** Can the pattern match ZERO events? (`{0,n}` quantifiers and their
     * compositions.) Decides whether a chain's head unit is its first
-    * CONSUMED unit — see [[headEventCndt]].
+    * CONSUMED unit — see [[headEventCndt]]. The user-facing nullability
+    * contract is [[Pattern.canMatchEmpty]] (SHOW EMPTY MATCHES); it
+    * differs only on `CombineNot` (conservative false there), which is
+    * unreachable — an ε-accepting `CombineNot.left` is rejected at
+    * compile time.
     */
   private def canMatchEmpty(p: Pattern): Boolean = p match {
     case _: Pattern.Spat       => false

@@ -382,6 +382,45 @@ object Pattern {
     case _: Spat | _: Lpat => false
   }
 
+  /** Whether the pattern can match the EMPTY event sequence — SQL:2016
+    * "nullability", the gate for `SHOW EMPTY MATCHES` sites
+    * (`CepMeasures.allRows(showEmpty = true)`): an empty match can
+    * occur only when the whole pattern accepts zero events.
+    *
+    *  - a single event (`Spat`) never does; a loop does iff its lower
+    *    bound is 0;
+    *  - a sequence (`Combine`) does iff BOTH sides do; an alternation
+    *    iff EITHER branch; a `PERMUTE` iff EVERY unit;
+    *  - a group does iff its child does, or its own quantifier admits
+    *    zero iterations (`{0,n}` / `{0,}`);
+    *  - a NEGATION (`CombineNot`) is treated as NOT nullable — the
+    *    meaning of a zero-width guard ("no event between two empty
+    *    matches") is undefined here, so negation patterns never
+    *    produce empty matches (documented deviation; the engine's
+    *    negatives are beyond SQL:2016 anyway).
+    *
+    * NOTE this is the can-match-ZERO-EVENTS predicate, not
+    * `CepMeasures.possiblyEmptyNames` (which asks which NAMES can be
+    * unbound inside a NON-empty match). `DstCompiler` keeps a private
+    * variant for its chain-head analysis that propagates through
+    * `CombineNot` as left && right — the two agree on every
+    * constructible pattern (an ε-accepting `CombineNot.left` is
+    * rejected at compile time), but THIS one is the user-facing
+    * nullability contract.
+    */
+  def canMatchEmpty(p: Pattern): Boolean = p match {
+    case _: Spat       => false
+    case l: Lpat       => l.from == 0
+    case l: LpatInf    => l.from == 0
+    case c: Combine    => canMatchEmpty(c.left) && canMatchEmpty(c.right)
+    case _: CombineNot => false // conservative: see scaladoc
+    case a: Alt        => canMatchEmpty(a.left) || canMatchEmpty(a.right)
+    case p: Permute    => p.units.forall(canMatchEmpty)
+    case g: Gpat       => canMatchEmpty(g.child)
+    case g: GpatTimes  => g.from == 0 || canMatchEmpty(g.child)
+    case g: GpatInf    => g.from == 0 || canMatchEmpty(g.child)
+  }
+
   // -- convenience constructors with string conditions ---------------------
   def spat(name: String, event: String, cndt: String): Spat =
     Spat(name, event, Expr.parse(cndt))

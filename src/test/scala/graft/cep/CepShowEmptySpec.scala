@@ -1,0 +1,342 @@
+package graft.cep
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import SparkCep.CepSpec
+
+/** SQL:2016 `ALL ROWS PER MATCH SHOW EMPTY MATCHES`
+  * (`CepMeasures.allRows(showEmpty = true)` + the grammar spelling):
+  * when the pattern is NULLABLE (`Pattern.canMatchEmpty`), every input
+  * row where a match attempt yields only the empty match emits ONE row
+  * with NULL classifier and empty-set measures (COUNT 0, others NULL),
+  * numbered IN SEQUENCE with the real matches by site ordinal.
+  *
+  * Site rules pinned here: under `SkipPastLastEvent` sites are the
+  * events outside every match's closed [first-bound, last-bound] span;
+  * under `NoSkip`/`SkipToNext` they are the events that start no
+  * reported match. `SkipToFirst/Last` and `^`/`$` anchors are rejected
+  * loudly; a non-nullable pattern makes the mode a zero-cost no-op.
+  */
+class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val schema: Vector[(String, Vector[String])] = Vector(
+    "A" -> Vector("id", "v"), "C" -> Vector("id", "v"),
+    "X" -> Vector("id", "v"))
+
+  private def eventsDf(rows: (Long, Long, String, Long)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("k", "id", "t", "v")
+  }
+
+  /** (key, match_no, classifier-or-"-", id, n_c, sv-or -1) rows. */
+  private def shape(df: DataFrame): Vector[(Long, Long, String, Long,
+      Long, Long)] =
+    df.orderBy("k", "match_no", "id").collect().map { r =>
+      (r.getLong(r.fieldIndex("k")),
+        r.getLong(r.fieldIndex("match_no")),
+        if (r.isNullAt(r.fieldIndex("classifier"))) "-"
+        else r.getString(r.fieldIndex("classifier")),
+        r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("n_c")),
+        if (r.isNullAt(r.fieldIndex("sv"))) -1L
+        else r.getLong(r.fieldIndex("sv")))
+    }.toVector
+
+  test("parse/render: SHOW EMPTY MATCHES round-trips; OMIT EMPTY " +
+    "MATCHES is the explicit default spelling") {
+    val show = CepSql.parseStatement(
+      "PATTERN (c{0,3}) MEASURES COUNT(c) AS n_c " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C", schema)
+    assert(show.rowsPerMatch == CepSql.RowsPerMatch.AllRowsShowEmpty)
+    assert(CepSql.render(show).contains(
+      "ALL ROWS PER MATCH SHOW EMPTY MATCHES"))
+    assert(CepSql.parseStatement(CepSql.render(show), schema) == show)
+    val omit = CepSql.parseStatement(
+      "PATTERN (c{0,3}) MEASURES COUNT(c) AS n_c " +
+        "ALL ROWS PER MATCH OMIT EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C", schema)
+    assert(omit.rowsPerMatch == CepSql.RowsPerMatch.AllRows)
+    // OMIT is the default: renders as the plain mode, stable round-trip
+    assert(!CepSql.render(omit).contains("OMIT"))
+    assert(CepSql.parseStatement(CepSql.render(omit), schema) == omit)
+  }
+
+  test("canMatchEmpty: the SQL:2016 nullability lattice") {
+    import Pattern._
+    val c1 = spat("c", "C", "True")
+    val l0 = lpat("a", "A", "True", Contiguity.Strict, 0, 3)
+    val l1 = lpat("a", "A", "True", Contiguity.Strict, 1, 3)
+    assert(!canMatchEmpty(c1))
+    assert(canMatchEmpty(l0) && !canMatchEmpty(l1))
+    assert(canMatchEmpty(lpatInf("a", "A", "True", Contiguity.Relaxed, 0)))
+    assert(!canMatchEmpty(Combine(Contiguity.Relaxed, l0, c1)))
+    assert(canMatchEmpty(Combine(Contiguity.Relaxed, l0,
+      lpat("b", "C", "True", Contiguity.Strict, 0, 2))))
+    assert(canMatchEmpty(Alt(c1, l0)) && !canMatchEmpty(Alt(c1, l1)))
+    assert(canMatchEmpty(GpatTimes(c1, 0, 2)))
+    assert(!canMatchEmpty(GpatTimes(c1, 1, 2)))
+    assert(canMatchEmpty(Gpat(l0)) && !canMatchEmpty(Gpat(c1)))
+    // negation: conservatively NOT nullable (documented)
+    assert(!canMatchEmpty(CombineNot(Contiguity.Relaxed, l0,
+      negSpec("n", "X", "True"), NegMode.NotNext,
+      lpat("b", "C", "True", Contiguity.Strict, 0, 2))))
+  }
+
+  test("SKIP PAST LAST ROW: singleton matches + empty sites, " +
+    "interleaved numbering") {
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,3}) MEASURES COUNT(c) AS n_c, SUM(c.v) AS sv " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW", schema)
+    // key 1: A C C A — reluctant {0,3} under skip-past: each click its
+    // own match; A rows are empty-match sites. key 2: clicks only.
+    val df = eventsDf(
+      (1L, 1L, "A", 9L), (1L, 2L, "C", 5L), (1L, 3L, "C", 7L),
+      (1L, 4L, "A", 9L), (2L, 10L, "C", 3L))
+    assert(shape(CepMeasures.run(df, st)) == Vector(
+      (1L, 1L, "-", 1L, 0L, -1L),
+      (1L, 2L, "c", 2L, 1L, 5L),
+      (1L, 3L, "c", 3L, 1L, 7L),
+      (1L, 4L, "-", 4L, 0L, -1L),
+      (2L, 1L, "c", 10L, 1L, 3L)))
+  }
+
+  test("SKIP PAST LAST ROW: multi-event spans cover their rows; " +
+    "running measures on real matches are untouched") {
+    // (c{2,2} | x{0,1}) is nullable via the x branch; the c branch
+    // binds two strictly-contiguous clicks, so its span covers both
+    val st = CepSql.parseStatement(
+      "PATTERN (c{2,2} | x{0,1}) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.v) AS sv " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C; x AS X AFTER MATCH SKIP PAST LAST ROW", schema)
+    val df = eventsDf(
+      (1L, 1L, "A", 0L), (1L, 2L, "C", 5L), (1L, 3L, "C", 7L),
+      (1L, 4L, "A", 0L), (1L, 5L, "X", 2L), (1L, 6L, "C", 1L))
+    assert(shape(CepMeasures.run(df, st)) == Vector(
+      (1L, 1L, "-", 1L, 0L, -1L),       // site before the pair
+      (1L, 2L, "c", 2L, 1L, 5L),        // running
+      (1L, 2L, "c", 3L, 2L, 12L),
+      (1L, 3L, "-", 4L, 0L, -1L),       // between the pair and the x
+      (1L, 4L, "x", 5L, 0L, -1L),       // real match, zero c's
+      (1L, 5L, "-", 6L, 0L, -1L)))      // lone click: c{2,2} can't bind
+  }
+
+  test("SKIP TO NEXT ROW: sites are the non-start events; NoSkip " +
+    "keeps every per-start match under one number each") {
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,3}) MEASURES COUNT(c) AS n_c, SUM(c.v) AS sv " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C", schema)
+    // NoSkip (the default): C(1) C(2) A(3) — matches [1], [1,2], [2]
+    // (reluctant emits every accepting length under NoSkip); site: 3
+    val df = eventsDf(
+      (1L, 1L, "C", 4L), (1L, 2L, "C", 6L), (1L, 3L, "A", 0L))
+    assert(shape(CepMeasures.run(df, st)) == Vector(
+      (1L, 1L, "c", 1L, 1L, 4L),
+      (1L, 2L, "c", 1L, 1L, 4L),
+      (1L, 2L, "c", 2L, 2L, 10L),
+      (1L, 3L, "c", 2L, 1L, 6L),
+      (1L, 4L, "-", 3L, 0L, -1L)))
+  }
+
+  test("MATCH_NUMBER() measure on an empty row is the interleaved " +
+    "number; CLASSIFIER() is NULL") {
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,3}) MEASURES COUNT(c) AS n_c, " +
+        "MATCH_NUMBER() AS mn, CLASSIFIER() AS cl " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW", schema)
+    val df = eventsDf((1L, 1L, "A", 0L), (1L, 2L, "C", 5L))
+    val out = CepMeasures.run(df, st).orderBy("id").collect().map { r =>
+      (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("match_no")),
+        r.getLong(r.fieldIndex("mn")),
+        if (r.isNullAt(r.fieldIndex("cl"))) "-"
+        else r.getString(r.fieldIndex("cl")))
+    }.toVector
+    assert(out == Vector((1L, 1L, 1L, "-"), (2L, 2L, 2L, "c")))
+  }
+
+  test("exclusion x SHOW EMPTY: excluded real rows vanish, empty " +
+    "rows survive the NULL-classifier filter") {
+    val st = CepSql.parseStatement(
+      "PATTERN ({- c{0,3} -}) MEASURES COUNT(c) AS n_c " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW", schema)
+    val df = eventsDf((1L, 1L, "A", 0L), (1L, 2L, "C", 5L))
+    val out = CepMeasures.run(df, st).orderBy("id").collect().map { r =>
+      (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("match_no")))
+    }.toVector
+    // the click row is excluded from output; the empty row (and its
+    // interleaved number 1) remains
+    assert(out == Vector((1L, 1L)))
+  }
+
+  test("non-nullable pattern: SHOW EMPTY MATCHES is a no-op equal to " +
+    "plain ALL ROWS PER MATCH") {
+    val base = "PATTERN (c{1,3}) MEASURES COUNT(c) AS n_c, " +
+      "SUM(c.v) AS sv ALL ROWS PER MATCH%s " +
+      "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C"
+    val df = eventsDf(
+      (1L, 1L, "A", 9L), (1L, 2L, "C", 5L), (1L, 3L, "C", 7L))
+    val show = CepMeasures.run(df, CepSql.parseStatement(
+      base.format(" SHOW EMPTY MATCHES"), schema))
+    val plain = CepMeasures.run(df, CepSql.parseStatement(
+      base.format(""), schema))
+    assert(shape(show) == shape(plain))
+  }
+
+  test("unkeyed feed: sites and numbering over the single global " +
+    "partition") {
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,3}) MEASURES COUNT(c) AS n_c, SUM(c.v) AS sv " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "ORDER BY id TYPE t DEFINE c AS C " +
+        "AFTER MATCH SKIP PAST LAST ROW", schema)
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "A", 2L), (2L, "C", 5L), (3L, "A", 0L))
+      .toDF("id", "t", "v")
+    val out = CepMeasures.run(df, st).orderBy("id").collect().map { r =>
+      (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("match_no")),
+        if (r.isNullAt(r.fieldIndex("classifier"))) "-"
+        else r.getString(r.fieldIndex("classifier")))
+    }.toVector
+    assert(out == Vector((1L, 1L, "-"), (2L, 2L, "c"), (3L, 3L, "-")))
+  }
+
+  test("rejections: SKIP TO FIRST/LAST, anchors, UNMATCHED combination") {
+    val df = eventsDf((1L, 1L, "C", 5L))
+    def run(sql: String): Unit =
+      CepMeasures.run(df, CepSql.parseStatement(sql, schema)).collect()
+    val base = "PATTERN (%s) MEASURES COUNT(c) AS n_c " +
+      "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+      "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C%s"
+    val e1 = intercept[IllegalArgumentException] {
+      run(base.format("c{0,3}", " AFTER MATCH SKIP TO FIRST c"))
+    }
+    assert(e1.getMessage.contains("SHOW EMPTY MATCHES"))
+    val e2 = intercept[IllegalArgumentException] {
+      run(base.format("^ c{0,3}", ""))
+    }
+    assert(e2.getMessage.contains("anchors"))
+    // the grammar spellings are alternatives of ONE clause — both at
+    // once is a duplicate rows-per-match clause
+    val e3 = intercept[IllegalArgumentException] {
+      CepSql.parseStatement(
+        "PATTERN (c{0,3}) MEASURES COUNT(c) AS n_c " +
+          "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+          "ALL ROWS PER MATCH WITH UNMATCHED ROWS " +
+          "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C", schema)
+    }
+    assert(e3.getMessage.contains("duplicate"))
+  }
+
+  test("ONE ROW PER MATCH SHOW EMPTY MATCHES: one summary row per " +
+    "empty match, interleaved MATCH_NUMBER, positional tier") {
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,3}) MEASURES COUNT(c) AS n_c, " +
+        "MATCH_NUMBER() AS mn, CLASSIFIER() AS cl " +
+        "ONE ROW PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW", schema)
+    assert(st.rowsPerMatch == CepSql.RowsPerMatch.OneRowShowEmpty)
+    assert(CepSql.parseStatement(CepSql.render(st), schema) == st)
+    // A(1) C(2) A(3): empty, singleton click, empty — numbered 1, 2, 3
+    val df = eventsDf((1L, 1L, "A", 0L), (1L, 2L, "C", 5L),
+      (1L, 3L, "A", 0L))
+    val out = CepMeasures.run(df, st).orderBy("mn").collect().map { r =>
+      (r.getLong(r.fieldIndex("mn")), r.getLong(r.fieldIndex("n_c")),
+        if (r.isNullAt(r.fieldIndex("cl"))) "-"
+        else r.getString(r.fieldIndex("cl")))
+    }.toVector
+    assert(out == Vector((1L, 0L, "-"), (2L, 1L, "c"), (3L, 0L, "-")))
+  }
+
+  test("ONE ROW SHOW EMPTY: attribute-tier measures are NULL over an " +
+    "empty match (sentinel explode + left join path)") {
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,3}) MEASURES SUM(c.v) AS sv, MIN(c.v) AS mv, " +
+        "COUNT(c) AS n_c " +
+        "ONE ROW PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW", schema)
+    val df = eventsDf((1L, 1L, "A", 7L), (1L, 2L, "C", 5L))
+    val out = CepMeasures.run(df, st).orderBy("n_c").collect().map { r =>
+      (if (r.isNullAt(r.fieldIndex("sv"))) -1L
+       else r.getLong(r.fieldIndex("sv")),
+        if (r.isNullAt(r.fieldIndex("mv"))) -1L
+        else r.getLong(r.fieldIndex("mv")),
+        r.getLong(r.fieldIndex("n_c")))
+    }.toVector
+    // the A row's v=7 must NOT leak into the empty match's measures
+    assert(out == Vector((-1L, -1L, 0L), (5L, 5L, 1L)))
+  }
+
+  test("ONE ROW: explicit OMIT EMPTY MATCHES spelling is the default; " +
+    "SHOW on a non-nullable pattern is a no-op") {
+    val omit = CepSql.parseStatement(
+      "PATTERN (c{0,3}) MEASURES COUNT(c) AS n_c " +
+        "ONE ROW PER MATCH OMIT EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C", schema)
+    assert(omit.rowsPerMatch == CepSql.RowsPerMatch.OneRow)
+    assert(!CepSql.render(omit).contains("OMIT"))
+    val base = "PATTERN (c{1,3}) MEASURES COUNT(c) AS n_c " +
+      "ONE ROW PER MATCH%s PARTITION BY k ORDER BY id TYPE t DEFINE c AS C"
+    val df = eventsDf((1L, 1L, "A", 9L), (1L, 2L, "C", 5L))
+    val show = CepMeasures.run(df, CepSql.parseStatement(
+      base.format(" SHOW EMPTY MATCHES"), schema)).collect()
+    val plain = CepMeasures.run(df, CepSql.parseStatement(
+      base.format(""), schema)).collect()
+    assert(show.map(_.toString).sorted.toVector ==
+      plain.map(_.toString).sorted.toVector)
+  }
+
+  test("every input row surfaces exactly once under SKIP PAST LAST " +
+    "ROW show-empty (partition invariant, randomized)") {
+    val rnd = new scala.util.Random(20260816L)
+    val types = Vector("A", "C", "X")
+    val rows = (1L to 400L).map(i =>
+      (i % 7L, i, types(rnd.nextInt(3)), rnd.nextInt(10).toLong))
+    val df = eventsDf(rows: _*)
+    val st = CepSql.parseStatement(
+      "PATTERN (c{2,2} | x{0,1}) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.v) AS sv " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C; x AS X AFTER MATCH SKIP PAST LAST ROW", schema)
+    val out = CepMeasures.run(df, st)
+      .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // under skip-past + show-empty with STRICT spans (no ignorable
+    // mid-span rows) every event is either inside exactly one span or
+    // exactly one site
+    assert(out.length == out.distinct.length)
+    val covered = out.toSet
+    assert(rows.forall { case (k, id, _, _) => covered((k, id)) },
+      "an input row surfaced neither as a match row nor a site")
+  }
+}

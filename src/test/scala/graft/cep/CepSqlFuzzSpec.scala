@@ -254,9 +254,13 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         partitionBy = if (rnd.nextBoolean()) Some("k") else None,
         orderBy = if (rnd.nextBoolean()) Some("id") else None,
         typeCol = if (rnd.nextBoolean()) Some("t") else None,
-        rowsPerMatch =
-          if (rnd.nextBoolean()) CepSql.RowsPerMatch.AllRows
-          else CepSql.RowsPerMatch.OneRow)
+        rowsPerMatch = rnd.nextInt(5) match {
+          case 0 => CepSql.RowsPerMatch.OneRow
+          case 1 => CepSql.RowsPerMatch.AllRows
+          case 2 => CepSql.RowsPerMatch.AllRowsShowEmpty
+          case 3 => CepSql.RowsPerMatch.AllRowsUnmatched
+          case 4 => CepSql.RowsPerMatch.OneRowShowEmpty
+        })
       val again = CepSql.parseStatement(CepSql.render(st), schema)
       assert(again == st, s"trial $trial:\n${CepSql.render(st)}")
     }
