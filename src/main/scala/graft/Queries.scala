@@ -1982,6 +1982,40 @@ object Queries {
       |FROM events
       |ORDER BY user_id, mn""".stripMargin
 
+  /** SQL:2016 multi-column `PARTITION BY user_id, event_type`
+    * ([[graft.cep.CepMeasures]] `runMultiKey`): matching keys on ONE
+    * xxhash64 composite column and the restore join puts the ORIGINAL
+    * columns back in front of the output. Strict `a b` adjacency inside
+    * a (user, type) partition means "consecutive clicks in the user's
+    * CLICK SUBSEQUENCE" — a different relation than single-key
+    * adjacency (other-type events between two clicks don't break the
+    * pair here), which is what the oracle's type-filtered lag window
+    * states directly.
+    */
+  val cepSqlMultiKeyStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (a b) " +
+        "MEASURES FIRST(a) AS a_id, LAST(b) AS b_id, SUM(b.value) AS b_v " +
+        "PARTITION BY user_id, event_type ORDER BY event_id " +
+        "TYPE event_type DEFINE a AS click; b AS click",
+      eventSchema)
+
+  def cepSqlMultiKey(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlMultiKeyStatement)
+      .orderBy("user_id", "a_id")
+
+  val cepSqlMultiKeySql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS p_id
+      |  FROM events WHERE event_type = 'click')
+      |SELECT user_id, event_type, p_id AS a_id, event_id AS b_id,
+      |  v AS b_v
+      |FROM c WHERE p_id IS NOT NULL
+      |ORDER BY user_id, a_id""".stripMargin
+
   /** SQL:2016 row navigation in DEFINE conditions ([[graft.cep.Nav]]):
     * `PREV(value)` is attribute `value` of the previous PHYSICAL row of
     * the user's partition in `event_id` order — not the previous bound
@@ -7161,6 +7195,7 @@ object Queries {
     "cep_sql_unmatched" -> cepSqlUnmatched _,
     "cep_sql_show_empty" -> cepSqlShowEmpty _,
     "cep_sql_one_row_empty" -> cepSqlOneRowEmpty _,
+    "cep_sql_multi_key" -> cepSqlMultiKey _,
     "cep_sql_prev_ascending" -> cepSqlPrevAscending _,
     "cep_sql_nav_peaks" -> cepSqlNavPeaks _,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnel _,
@@ -7336,6 +7371,7 @@ object Queries {
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,
     "cep_sql_show_empty" -> cepSqlShowEmptySql,
     "cep_sql_one_row_empty" -> cepSqlOneRowEmptySql,
+    "cep_sql_multi_key" -> cepSqlMultiKeySql,
     "cep_sql_prev_ascending" -> cepSqlPrevAscendingSql,
     "cep_sql_nav_peaks" -> cepSqlNavPeaksSql,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnelSql,

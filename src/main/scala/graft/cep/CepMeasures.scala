@@ -1329,10 +1329,48 @@ object CepMeasures {
   }
 
   /** Self-contained form: the statement carries its own `PARTITION BY` /
-    * `ORDER BY` / `TYPE` spec sections.
+    * `ORDER BY` / `TYPE` spec sections. A multi-column `PARTITION BY`
+    * routes through [[runMultiKey]].
     */
   def run(df: DataFrame, st: CepSql.CepSqlStatement): DataFrame =
-    run(df, st, st.spec)
+    if (st.partitionByCols.nonEmpty) runMultiKey(df, st)
+    else run(df, st, st.spec)
+
+  /** SQL:2016 multi-column `PARTITION BY a, b, …`: the single-key match
+    * operators take one key column, so the composite key is derived as
+    * ONE xxhash64 column over the list — the same hashed-key identity
+    * contract non-numeric single keys already have (`CepSpec` scaladoc:
+    * key identity is preserved under the hash, and a hash collision
+    * would merge partitions — the documented trade-off, now spanning
+    * column tuples). A row with ANY NULL partition column gets a NULL
+    * composite key and is dropped by the operator's null-key drop,
+    * exactly like a NULL single key.
+    *
+    * Unlike the single-column string-key case (whose output key IS the
+    * hash), the ORIGINAL columns are restored into the output: one
+    * equi-join against the distinct `(cols…, hash)` tuples — bounded by
+    * the partition count, so AQE broadcasts it under any realistic
+    * cardinality — with the partition columns leading the output
+    * schema, per the standard. Batch-only: the restore join's build
+    * side is derived from the same input (the streaming operators
+    * reject the statement at `spec` time).
+    */
+  private def runMultiKey(df: DataFrame,
+      st: CepSql.CepSqlStatement): DataFrame = {
+    val cols = st.partitionByCols
+    cols.foreach(c => require(df.columns.contains(c),
+      s"multi-column PARTITION BY: '$c' is not a column of the input " +
+        s"(have ${df.columns.mkString(", ")})"))
+    val hash = when(cols.map(col(_).isNotNull).reduce(_ && _),
+      xxhash64(cols.map(col): _*))
+    val res = run(df.withColumn("__mkey", hash), st,
+      st.specWithKey(Some("__mkey")))
+    val keyMap = df.select(cols.map(col): _*).distinct()
+      .withColumn("__mkey", hash).where(col("__mkey").isNotNull)
+    val rest = res.columns.filterNot(_ == "__mkey").toSeq
+    res.join(keyMap, Seq("__mkey"))
+      .select(cols.map(col) ++ rest.map(col): _*)
+  }
 
   /** k MEASURED statements on ONE shared scan: match every member with
     * `SparkCep.matchPatternsShared` (one scan, one union pushdown

@@ -78,7 +78,15 @@ package graft.cep
   *            an excluded row is MATCHED, so it is omitted from the
   *            output and never surfaces as an unmatched row —
   *            spec-pinned in `CepExclusionSpec`)
-  *           [PARTITION BY col] [ORDER BY col]
+  *           [PARTITION BY col (',' col)*] [ORDER BY col]
+  *           (a MULTI-column PARTITION BY derives ONE xxhash64
+  *            composite key for matching — the hashed-key identity
+  *            contract single non-numeric keys already have — and the
+  *            execution path (`CepMeasures.run`) joins the original
+  *            columns back into the output, leading the schema. Batch
+  *            only; the shared scan and the streaming operators reject
+  *            it. ORDER BY stays single-column: the order column must
+  *            be one unique-per-key sequence — a documented deviation.)
   *           [TYPE col [IN '(' t (',' t)* ')']]
   *           (the optional IN-list declares the EVENT-TYPE UNIVERSE
   *            inline, making the statement fully self-contained — the
@@ -967,7 +975,21 @@ object CepSql {
       typeCol: Option[String] = None,
       rowsPerMatch: RowsPerMatch = RowsPerMatch.OneRow,
       subsets: Vector[(String, Vector[String])] = Vector.empty,
-      excluded: Vector[String] = Vector.empty) {
+      excluded: Vector[String] = Vector.empty,
+      /** SQL:2016 multi-column `PARTITION BY a, b, …` — non-empty (and
+        * then always length >= 2) ONLY for a composite key;
+        * `partitionBy` is None in that case. Executes through
+        * [[CepMeasures.run]], which derives one xxhash64 composite key
+        * column for matching and joins the original columns back into
+        * the output ([[CepMeasures]] `runMultiKey`); `spec` rejects it
+        * (the single-key operators cannot take a column LIST).
+        */
+      partitionByCols: Vector[String] = Vector.empty) {
+    require(partitionByCols.isEmpty || partitionByCols.length >= 2,
+      "partitionByCols is the MULTI-column form — use partitionBy for " +
+        "a single key column")
+    require(partitionByCols.isEmpty || partitionBy.isEmpty,
+      "partitionBy and partitionByCols are mutually exclusive")
 
     /** SUBSET union variables as the lookup the measures tiers take. */
     def subsetMap: Map[String, Vector[String]] = subsets.toMap
@@ -980,6 +1002,18 @@ object CepSql {
       * plus measure attributes and the event-time window attribute.
       */
     def spec: SparkCep.CepSpec = {
+      require(partitionByCols.isEmpty,
+        "CEP SQL: multi-column PARTITION BY has no single-key CepSpec " +
+          "— execute the statement with CepMeasures.run, which derives " +
+          "the composite key")
+      specWithKey(partitionBy)
+    }
+
+    /** [[spec]] with the key column overridden — the composite-key
+      * execution path ([[CepMeasures]] `runMultiKey`) passes its
+      * derived hash column.
+      */
+    private[cep] def specWithKey(key: Option[String]): SparkCep.CepSpec = {
       val ord = orderBy.getOrElse(throw new IllegalArgumentException(
         "CEP SQL: statement has no ORDER BY section — supply one (or " +
           "pass an explicit CepSpec)"))
@@ -991,7 +1025,7 @@ object CepSql {
         measures.flatMap(CepMeasures.MeasureItem.atomsOf)
           .flatMap(CepMeasures.attrsOf) ++
         query.withinTime.map(_.tsAttr)
-      SparkCep.CepSpec(partitionBy, ord, tc, (attrs - ord).toVector.sorted)
+      SparkCep.CepSpec(key, ord, tc, (attrs - ord).toVector.sorted)
     }
   }
 
@@ -1054,8 +1088,8 @@ object CepSql {
         s"CEP SQL shared scan: member '$name' declares MEASURES — the " +
           "shared operator emits the (qname, key, binding) reporting " +
           "shape; run the statement alone with CepMeasures.run instead")
-      require(st.partitionBy.isEmpty && st.orderBy.isEmpty &&
-        st.typeCol.isEmpty,
+      require(st.partitionBy.isEmpty && st.partitionByCols.isEmpty &&
+        st.orderBy.isEmpty && st.typeCol.isEmpty,
         s"CEP SQL shared scan: member '$name' carries its own " +
           "PARTITION BY/ORDER BY/TYPE — the member set shares ONE spec, " +
           "passed to matchPatternsShared")
@@ -1075,8 +1109,8 @@ object CepSql {
       : Seq[(String, CepSqlStatement)] =
     stmts.map { case (name, sql) =>
       val st = parseStatement(sql, schema)
-      require(st.partitionBy.isEmpty && st.orderBy.isEmpty &&
-        st.typeCol.isEmpty,
+      require(st.partitionBy.isEmpty && st.partitionByCols.isEmpty &&
+        st.orderBy.isEmpty && st.typeCol.isEmpty,
         s"CEP SQL shared scan: member '$name' carries its own " +
           "PARTITION BY/ORDER BY/TYPE — the member set shares ONE spec, " +
           "passed to CepMeasures.runShared")
@@ -1468,6 +1502,7 @@ object CepSql {
     // own key/order/type mapping instead of requiring an external CepSpec
     var measures = Vector.empty[CepMeasures.MeasureItem]
     var partitionBy: Option[String] = None
+    var partitionByCols: Vector[String] = Vector.empty
     var orderByCol: Option[String] = None
     var typeColOpt: Option[String] = None
     var rowsPerMatch: Option[RowsPerMatch] = None
@@ -1487,6 +1522,19 @@ object CepSql {
         (t.length > 2 && t(2).isWhitespace),
         s"CEP SQL: expected '$kw BY <column>', got '$kw ${t}'")
       specIdent(s"$kw BY", t.drop(2))
+    }
+    // `PARTITION BY a, b, …` — a comma list of distinct identifiers
+    def byIdents(kw: String, s: String): Vector[String] = {
+      val t = s.trim
+      require(t.startsWith("BY") &&
+        (t.length > 2 && t(2).isWhitespace),
+        s"CEP SQL: expected '$kw BY <column[, column…]>', got '$kw $t'")
+      val cols = t.drop(2).split(',').toVector
+        .map(c => specIdent(s"$kw BY", c))
+      require(cols.distinct.length == cols.length,
+        s"CEP SQL: duplicate column in $kw BY list " +
+          s"(${cols.mkString(", ")})")
+      cols
     }
     splitAtKeyword(preDefine, specKws) match {
       case None => require(preDefine.trim.isEmpty,
@@ -1514,7 +1562,12 @@ object CepSql {
               subsets = parseSubsets(section)
             case "PARTITION" =>
               once(partitionBy)
-              partitionBy = Some(byIdent("PARTITION", section))
+              require(partitionByCols.isEmpty,
+                "CEP SQL: duplicate PARTITION section")
+              byIdents("PARTITION", section) match {
+                case Vector(one) => partitionBy = Some(one)
+                case many        => partitionByCols = many
+              }
             case "ORDER" =>
               once(orderByCol)
               orderByCol = Some(byIdent("ORDER", section))
@@ -1932,9 +1985,10 @@ object CepSql {
       require(!subsetMap.contains(m.alias),
         s"CEP SQL MEASURES: alias '${m.alias}' collides with a SUBSET " +
           "name")
-      partitionBy.foreach(k => require(m.alias != k,
-        s"CEP SQL MEASURES: alias '${m.alias}' collides with the " +
-          "PARTITION BY column"))
+      (partitionBy.toVector ++ partitionByCols).foreach(k =>
+        require(m.alias != k,
+          s"CEP SQL MEASURES: alias '${m.alias}' collides with a " +
+            "PARTITION BY column"))
       require(!m.alias.startsWith("__"),
         s"CEP SQL MEASURES: alias '${m.alias}' uses the reserved '__' " +
           "prefix")
@@ -1960,7 +2014,8 @@ object CepSql {
       CepQuery(lowered, schema, strategy, within, withinTime,
         anchorStart = anchorStart, anchorEnd = anchorEnd),
       measures, partitionBy, orderByCol, typeColOpt,
-      rowsPerMatch.getOrElse(RowsPerMatch.OneRow), subsets, excluded)
+      rowsPerMatch.getOrElse(RowsPerMatch.OneRow), subsets, excluded,
+      partitionByCols)
   }
 
   // --------------------------------------------------------------- render
@@ -1977,7 +2032,7 @@ object CepSql {
     */
   def render(st: CepSqlStatement): String =
     render(st.query, st.measures, st.partitionBy, st.orderBy, st.typeCol,
-      st.rowsPerMatch, st.subsets, st.excluded)
+      st.rowsPerMatch, st.subsets, st.excluded, st.partitionByCols)
 
   def render(q: CepQuery,
       measures: Vector[CepMeasures.MeasureItem] = Vector.empty,
@@ -1986,7 +2041,8 @@ object CepSql {
       typeCol: Option[String] = None,
       rowsPerMatch: RowsPerMatch = RowsPerMatch.OneRow,
       subsets: Vector[(String, Vector[String])] = Vector.empty,
-      excluded: Vector[String] = Vector.empty): String = {
+      excluded: Vector[String] = Vector.empty,
+      partitionByCols: Vector[String] = Vector.empty): String = {
     val defs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val bindingSeen = scala.collection.mutable.Set.empty[String]
     def bindOnce(name: String): Unit = {
@@ -2207,8 +2263,11 @@ object CepSql {
       case RowsPerMatch.AllRowsUnmatched =>
         Seq("ALL ROWS PER MATCH WITH UNMATCHED ROWS")
     }
-    val specS = (rpmS ++
-      partitionBy.map(k => s"PARTITION BY $k").toSeq ++
+    val partS =
+      if (partitionByCols.nonEmpty)
+        Seq(s"PARTITION BY ${partitionByCols.mkString(", ")}")
+      else partitionBy.map(k => s"PARTITION BY $k").toSeq
+    val specS = (rpmS ++ partS ++
       orderBy.map(o => s"ORDER BY $o").toSeq ++
       typeCol.map(t => s"TYPE $t").toSeq) match {
       case Seq() => ""

@@ -250,8 +250,12 @@ class CepSqlFuzzSpec extends AnyFunSuite {
             CepMeasures.ExprMeasure(top, s"m$i", rnd.nextBoolean())
           } else rndMeasure(s"m$i", allowNullary = true)
         }
+      val multiKey = rnd.nextInt(4) == 0
       val st = CepSql.CepSqlStatement(query, measures,
-        partitionBy = if (rnd.nextBoolean()) Some("k") else None,
+        partitionBy =
+          if (!multiKey && rnd.nextBoolean()) Some("k") else None,
+        partitionByCols =
+          if (multiKey) Vector("k", "k2") else Vector.empty,
         orderBy = if (rnd.nextBoolean()) Some("id") else None,
         typeCol = if (rnd.nextBoolean()) Some("t") else None,
         rowsPerMatch = rnd.nextInt(5) match {
