@@ -7143,6 +7143,11 @@ object Queries {
     "cep_sql_alt_outcome" -> cepSqlAltOutcomeQuery,
     // permute: the shared-name union NFA through the same gates
     "cep_sql_permute" -> cepSqlPermuteStatement.query,
+    // a NULLABLE top-level loop ({0,n}) under skip-past: the gates pin
+    // the optional-loop NFA + run-state codec across micro-batches
+    // (the SHOW EMPTY projection itself is batch-only; the MATCHER
+    // streams)
+    "cep_sql_show_empty" -> cepSqlShowEmptyStatement.query,
     // permute with a GROUP member: the lattice embeds the group's
     // sub-automaton — gates pin it across micro-batch boundaries
     "cep_sql_permute_group" -> cepSqlPermuteGroupStatement.query,

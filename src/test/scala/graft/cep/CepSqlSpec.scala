@@ -79,7 +79,9 @@ class CepSqlSpec extends AnyFunSuite {
     // desugared register lives on both member defs)
     "cep_sql_subset_agg" ->
       ("PATTERN (s p) SUBSET u = (s, p) " +
-        "DEFINE s AS signup; p AS purchase WHERE SUM(u.value) <= 120")
+        "DEFINE s AS signup; p AS purchase WHERE SUM(u.value) <= 120"),
+    "cep_sql_show_empty" ->
+      "PATTERN (c{0,3}) DEFINE c AS click AFTER MATCH SKIP PAST LAST ROW"
   )
 
   test("every registry CepQuery round-trips through its SQL form") {
