@@ -102,6 +102,36 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(anchored == Vector((1L, 1L)))
   }
 
+  test("round-15 continuation surface through the FROM clause: " +
+    "SHOW EMPTY MATCHES and multi-column PARTITION BY") {
+    // show-empty: nullable c{0,2} under skip-past — every row of key 2
+    // surfaces (C rows as singleton matches, the S row as an empty
+    // match with n_c = 0 and an interleaved number)
+    val se = spark.sql(
+      """SELECT match_no, classifier, id, n_c
+        |FROM mr_events MATCH_RECOGNIZE (
+        |PATTERN (c{0,2}) MEASURES COUNT(c) AS n_c
+        |ALL ROWS PER MATCH SHOW EMPTY MATCHES
+        |PARTITION BY k ORDER BY id TYPE t IN (S, C, P)
+        |DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW)
+        |WHERE k = 2 ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "-" else r.getString(1),
+        r.getLong(2), r.getLong(3))).toVector
+    assert(se == Vector(
+      (1L, "c", 10L, 1L), (2L, "-", 11L, 0L), (3L, "c", 12L, 1L)))
+    // multi-key: (k, t) partitions — adjacent same-type rows per key;
+    // the original partition columns lead the output schema
+    val mk = spark.sql(
+      """SELECT k, t, a_id, b_id FROM mr_events MATCH_RECOGNIZE (
+        |PATTERN (a b) MEASURES FIRST(a) AS a_id, LAST(b) AS b_id
+        |PARTITION BY k, t ORDER BY id TYPE t IN (S, C, P)
+        |DEFINE a AS C; b AS C) ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toVector
+    assert(mk == Vector((2L, "C", 10L, 12L)))
+  }
+
   test("errors carry the body position and a clear message") {
     val e = intercept[IllegalArgumentException] {
       spark.sql(

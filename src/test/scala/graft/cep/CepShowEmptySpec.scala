@@ -316,6 +316,45 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
       plain.map(_.toString).sorted.toVector)
   }
 
+  test("WITHIN x SHOW EMPTY: a window that kills a match turns its " +
+    "rows into empty-match sites") {
+    val base = "PATTERN (c{2,2} | x{0,1}) MEASURES COUNT(c) AS n_c " +
+      "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+      "PARTITION BY k ORDER BY id TYPE t " +
+      "DEFINE c AS C; x AS X WITHIN %d AFTER MATCH SKIP PAST LAST ROW"
+    val df = eventsDf(
+      (1L, 1L, "C", 5L), (1L, 2L, "C", 7L), (1L, 3L, "X", 2L))
+    def got(w: Int) = CepMeasures.run(df,
+      CepSql.parseStatement(base.format(w), schema))
+      .orderBy("id").collect().map { r =>
+        (r.getLong(r.fieldIndex("id")),
+          if (r.isNullAt(r.fieldIndex("classifier"))) "-"
+          else r.getString(r.fieldIndex("classifier")))
+      }.toVector
+    // WITHIN 2 keeps the adjacent pair (1 step apart): pair + x match
+    assert(got(2) == Vector((1L, "c"), (2L, "c"), (3L, "x")))
+    // WITHIN 1 kills it: both clicks become empty-match sites — the
+    // site set is derived from the REPORTED matches, after the window
+    assert(got(1) == Vector((1L, "-"), (2L, "-"), (3L, "x")))
+  }
+
+  test("SUBSET measures over empty rows stay NULL/0 (union of empty " +
+    "bindings)") {
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,2}) MEASURES COUNT(u) AS n_u, SUM(u.v) AS sv " +
+        "SUBSET u = (c) " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW", schema)
+    val df = eventsDf((1L, 1L, "A", 9L), (1L, 2L, "C", 4L))
+    val out = CepMeasures.run(df, st).orderBy("id").collect().map { r =>
+      (r.getLong(r.fieldIndex("id")), r.getLong(r.fieldIndex("n_u")),
+        if (r.isNullAt(r.fieldIndex("sv"))) -1L
+        else r.getLong(r.fieldIndex("sv")))
+    }.toVector
+    assert(out == Vector((1L, 0L, -1L), (2L, 1L, 4L)))
+  }
+
   test("every input row surfaces exactly once under SKIP PAST LAST " +
     "ROW show-empty (partition invariant, randomized)") {
     val rnd = new scala.util.Random(20260816L)
