@@ -67,8 +67,11 @@ object CepMeasures {
       * alternation this is the "which branch matched" projection. In
       * `ALL ROWS PER MATCH` it is the current row's classifier
       * (RUNNING, the column the mode already emits) or the last row's
-      * under `FINAL`. STRING-typed; batch-only in the streaming
-      * measures operator (its state schema is integer measures).
+      * under `FINAL`. STRING-typed. The single-query streaming
+      * measures operators emit it at emission time ([[evalClassifier]]
+      * — the fold needs no state beyond the match itself); the SHARED
+      * streaming shape rejects it (its measures column is a
+      * long-valued map).
       */
     case object Classifier extends Fn { val sqlName = "CLASSIFIER" }
     /** SQL:2016 `MATCH_NUMBER()` — NULLARY. The deterministic per-key
@@ -1277,6 +1280,45 @@ object CepMeasures {
         }
     }
   }
+
+  /** Emission-time `CLASSIFIER()` — the pattern name of the match's
+    * LAST bound event (the standard's final-classifier reading,
+    * mirroring [[classifierCol]] exactly: the name whose binding ends
+    * at the greatest order id; order ids are unique within a match, so
+    * there is no tie). None for a match binding nothing — unreachable
+    * from the NFA (acceptance requires a take) but total here.
+    */
+  def evalClassifier(byName: Map[String, Vector[Event]],
+      orderName: String): Option[String] = {
+    val cands = byName.iterator.collect {
+      case (n, evs) if evs.nonEmpty => n -> evs.last(orderName)
+    }.toVector
+    if (cands.isEmpty) None else Some(cands.maxBy(_._2)._1)
+  }
+
+  /** The Spark-SQL type of one measure item in a streaming sink row:
+    * `CLASSIFIER()` is STRING, everything else long. (A classifier
+    * inside arithmetic is rejected at `MExpr.Atom` construction, so a
+    * classifier atom is always a plain [[Measure]].)
+    */
+  def itemDataType(item: MeasureItem): DataType = item match {
+    case m: Measure if m.fn == Fn.Classifier => StringType
+    case _                                   => LongType
+  }
+
+  /** Emission-time value of a measure item, boxed for a streaming sink
+    * `Row`: the classifier's string, or the long fold ([[evalItem]]);
+    * null for measure-over-missing either way.
+    */
+  def evalItemBoxed(item: MeasureItem, byName: Map[String, Vector[Event]],
+      orderName: String,
+      subsets: Map[String, Vector[String]] = Map.empty): AnyRef =
+    item match {
+      case m: Measure if m.fn == Fn.Classifier =>
+        evalClassifier(byName, orderName).orNull
+      case _ =>
+        evalItem(item, byName, orderName, subsets).map(Long.box).orNull
+    }
 
   /** Emission-time evaluation of a measure ITEM: a plain measure folds
     * via [[evalMeasure]]; an expression folds its atoms and combines

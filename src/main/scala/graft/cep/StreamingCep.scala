@@ -538,7 +538,8 @@ object StreamingCep {
     // inside a measure expression (MATCH_NUMBER() is legal in batch
     // arithmetic but needs the key's total match order; CLASSIFIER()
     // never reaches here, the Atom constructor rejects it in arithmetic)
-    validateStreamingMeasures(st, spec, "matchPatternMeasures")
+    validateStreamingMeasures(st, spec, "matchPatternMeasures",
+      allowClassifier = true)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val effMaxRuns =
@@ -554,7 +555,8 @@ object StreamingCep {
     val outSchema = StructType(
       StructField(keyName, LongType, nullable = false) +:
         st.measures.map(m =>
-          StructField(m.alias, LongType, nullable = true)))
+          StructField(m.alias, CepMeasures.itemDataType(m),
+            nullable = true)))
     implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
       Encoders.product[CepStateCodec.VersionedState]
@@ -595,8 +597,8 @@ object StreamingCep {
               .map { m =>
                 val byName = m.toMap
                 Row.fromSeq(key +: measures.map(ms =>
-                  CepMeasures.evalItem(ms, byName, orderName,
-                    st.subsetMap).map(Long.box).orNull))
+                  CepMeasures.evalItemBoxed(ms, byName, orderName,
+                    st.subsetMap)))
               }
           }
           val snap = snapshotState(executor)
@@ -930,23 +932,25 @@ object StreamingCep {
   def matchPatternMeasuresEventTime(df: DataFrame,
       st: CepSql.CepSqlStatement, spec: SparkCep.CepSpec, tsCol: String,
       delay: String, maxRunsPerKey: Option[Int] = None): DataFrame = {
-    validateStreamingMeasures(st, spec, "matchPatternMeasuresEventTime")
+    validateStreamingMeasures(st, spec,
+      "matchPatternMeasuresEventTime", allowClassifier = true)
     val keyName = spec.keyCol.getOrElse("__global")
     val outSchema = StructType(
       StructField(keyName, LongType, nullable = false) +:
         st.measures.map(m =>
-          StructField(m.alias, LongType, nullable = true)))
+          StructField(m.alias, CepMeasures.itemDataType(m),
+            nullable = true)))
     etSingle(df, st.query, spec, tsCol, delay, maxRunsPerKey, outSchema)(
       (key, byName, orderName) => Row.fromSeq(key +: st.measures.map(ms =>
-        CepMeasures.evalItem(ms, byName, orderName, st.subsetMap)
-          .map(Long.box).orNull)))
+        CepMeasures.evalItemBoxed(ms, byName, orderName, st.subsetMap))))
   }
 
   /** The `ONE ROW PER MATCH` + non-nullary-measures contract shared by
     * every streaming measures operator.
     */
   private def validateStreamingMeasures(st: CepSql.CepSqlStatement,
-      spec: SparkCep.CepSpec, opName: String): Unit = {
+      spec: SparkCep.CepSpec, opName: String,
+      allowClassifier: Boolean = false): Unit = {
     require(st.measures.nonEmpty, s"$opName: empty MEASURES")
     require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
       s"$opName: ALL ROWS PER MATCH is batch-only — its " +
@@ -962,17 +966,21 @@ object StreamingCep {
           "neighbor the match state never carried")
     }
     st.measures.flatMap(CepMeasures.MeasureItem.atomsOf)
-      .find(m => CepMeasures.Fn.isNullary(m.fn)).foreach { m =>
+      .find(m => CepMeasures.Fn.isNullary(m.fn) &&
+        !(allowClassifier && m.fn == CepMeasures.Fn.Classifier))
+      .foreach { m =>
       val why = m.fn match {
         case CepMeasures.Fn.MatchNo =>
           "MATCH_NUMBER() is batch-only — the deterministic per-key " +
             "sequence needs a total order over a key's matches, which " +
             "an unbounded stream cannot close"
         case _ =>
-          "CLASSIFIER() is batch-only here — the streaming measures " +
-            "state/output schema is integer measures; project " +
-            "COUNT(name) per branch instead, or classify downstream " +
-            "from the batch operator"
+          // the single-query measures operators emit a typed row and
+          // accept CLASSIFIER() (allowClassifier); the SHARED shape's
+          // measures column is a long-valued map and cannot carry it
+          "CLASSIFIER() is string-typed and the shared reporting " +
+            "shape's measures map is long-valued — run the member solo " +
+            "with matchPatternMeasures (which supports it)"
       }
       throw new IllegalArgumentException(s"$opName: $why")
     }

@@ -142,6 +142,65 @@ class StreamingCepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("batch-only"))
   }
 
+  test("CLASSIFIER() streams: batch==stream over an alternation " +
+    "(which branch closed the match), string-typed output column") {
+    val s = spark
+    import s.implicits._
+    // s then EITHER a strict click pair OR a purchase — the classifier
+    // is the match's final pattern name ('c' or 'p'), folded at
+    // emission (no state beyond the match itself)
+    val stC = CepSql.parseStatement(
+      "PATTERN (s -> (c{2,2} | p)) MEASURES FIRST(s) AS s_id, " +
+        "CLASSIFIER() AS outcome, COUNT(c) AS n_c " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 6", schema)
+    val rnd = new scala.util.Random(20260816L)
+    val types = Vector("signup", "click", "purchase", "view")
+    val evs = (1 to 120).map { i =>
+      Ev(1L + rnd.nextInt(4), i.toLong, types(rnd.nextInt(4)),
+        rnd.nextInt(50).toLong)
+    }
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingCep.matchPatternMeasures(mem.toDF(), stC, spec)
+    assert(out.schema("outcome").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val q = out.writeStream.format("memory").queryName("cep_meas_cl")
+      .outputMode("append").start()
+    try {
+      evs.grouped(30).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def shape(r: Row): (Long, Long, String, Long) =
+      (r.getLong(r.fieldIndex("user_id")),
+        r.getLong(r.fieldIndex("s_id")),
+        r.getString(r.fieldIndex("outcome")),
+        r.getLong(r.fieldIndex("n_c")))
+    val streamed = s.sql("SELECT * FROM cep_meas_cl").collect()
+      .map(shape).toVector.sorted
+    val batch = CepMeasures.run(evs.toDF(), stC, spec).collect()
+      .map(shape).toVector.sorted
+    assert(streamed.nonEmpty, "fixture produced no matches")
+    assert(streamed.exists(_._3 == "c") && streamed.exists(_._3 == "p"),
+      "fixture should exercise both branches")
+    assert(streamed == batch)
+    // the SHARED reporting shape still rejects it (long-valued map)
+    val e = intercept[IllegalArgumentException] {
+      StreamingCep.matchPatternsSharedMeasures(mem.toDF(),
+        Seq("m" -> stC), spec)
+    }
+    assert(e.getMessage.contains("long-valued"))
+    // MATCH_NUMBER() stays rejected
+    val stMn = CepSql.parseStatement(
+      "PATTERN (s -> p) MEASURES MATCH_NUMBER() AS mn " +
+        "DEFINE s AS signup; p AS purchase", schema)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingCep.matchPatternMeasures(mem.toDF(), stMn, spec)
+    }
+    assert(e2.getMessage.contains("MATCH_NUMBER"))
+  }
+
   test("empty optional binding streams as COUNT 0 / NULLs, like batch") {
     val s = spark
     import s.implicits._
