@@ -1982,6 +1982,61 @@ object Queries {
       |FROM events
       |ORDER BY user_id, mn""".stripMargin
 
+  /** SQL:2016 `COUNT(*)` / `COUNT(name.*)` in MEASURES (parse-side
+    * sugar — `COUNT(*)` desugars to the sum of the per-name positional
+    * counts, `COUNT(c.*)` to `COUNT(c)`): the funnel's row count is
+    * always the click count plus the two anchor events, which is the
+    * closed form the oracle states.
+    */
+  val cepSqlCountStarStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES COUNT(*) AS n_rows, FIRST(s) AS s_id, " +
+        "COUNT(c.*) AS n_c " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlCountStar(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"), cepSqlCountStarStatement)
+      .orderBy("user_id", "s_id", "n_c")
+
+  val cepSqlCountStarSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8)
+      |SELECT user_id,
+      |  CAST(CASE WHEN c2_seq IS NULL THEN 3 ELSE 4 END AS BIGINT)
+      |    AS n_rows,
+      |  s_id,
+      |  CAST(CASE WHEN c2_seq IS NULL THEN 1 ELSE 2 END AS BIGINT)
+      |    AS n_c
+      |FROM m
+      |ORDER BY user_id, s_id, n_c""".stripMargin
+
   /** SQL:2016 multi-column `PARTITION BY user_id, event_type`
     * ([[graft.cep.CepMeasures]] `runMultiKey`): matching keys on ONE
     * xxhash64 composite column and the restore join puts the ORIGINAL
@@ -7201,6 +7256,7 @@ object Queries {
     "cep_sql_show_empty" -> cepSqlShowEmpty _,
     "cep_sql_one_row_empty" -> cepSqlOneRowEmpty _,
     "cep_sql_multi_key" -> cepSqlMultiKey _,
+    "cep_sql_count_star" -> cepSqlCountStar _,
     "cep_sql_prev_ascending" -> cepSqlPrevAscending _,
     "cep_sql_nav_peaks" -> cepSqlNavPeaks _,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnel _,
@@ -7377,6 +7433,7 @@ object Queries {
     "cep_sql_show_empty" -> cepSqlShowEmptySql,
     "cep_sql_one_row_empty" -> cepSqlOneRowEmptySql,
     "cep_sql_multi_key" -> cepSqlMultiKeySql,
+    "cep_sql_count_star" -> cepSqlCountStarSql,
     "cep_sql_prev_ascending" -> cepSqlPrevAscendingSql,
     "cep_sql_nav_peaks" -> cepSqlNavPeaksSql,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnelSql,

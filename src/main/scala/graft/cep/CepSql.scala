@@ -121,6 +121,14 @@ package graft.cep
   *           arithmetic; MATCH_NUMBER() participates, batch-only.)
   * mterm  := mfact (('*' | '/') mfact)*
   * mfact  := INT | '(' mexpr ')'
+  *         | 'COUNT' '(' '*' ')' | 'COUNT' '(' name '.' '*' ')'
+  *           (SQL:2016: every row of the match / every row mapped to
+  *            `name`. Parse-side sugar — `COUNT(name.*)` ≡ the
+  *            positional `COUNT(name)`; `COUNT(*)` desugars to
+  *            `COUNT(n1) + … + COUNT(nk)` over the pattern names
+  *            (plain `COUNT(n)` when the pattern binds one name), so
+  *            it rides every tier — batch, ALL ROWS running, streaming
+  *            fold. `render` prints the desugared form.)
   *         | FN '(' ['DISTINCT'] aarg [',' k] ')'
   *           (DISTINCT — COUNT/SUM only — collapses duplicate per-event
   *            values before the aggregate: COUNT(DISTINCT c.v) distinct
@@ -1145,6 +1153,20 @@ object CepSql {
   private val NullaryMeasureRe =
     """^(?:(RUNNING|FINAL)\s+)?(CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
 
+  /** SQL:2016 `COUNT(*)` (every row of the match) and `COUNT(name.*)`
+    * (every row mapped to `name` — ≡ the positional `COUNT(name)`).
+    * Parse-side sugar: `COUNT(*)` desugars once the pattern names are
+    * known — to plain `COUNT(n)` for a one-name pattern, else to the
+    * measure expression `COUNT(n1) + … + COUNT(nk)` (each bound event
+    * maps to exactly one name, so the sum IS the row count; under ALL
+    * ROWS the running sums compose the same way). `render` prints the
+    * desugared form, like the grammar's other sugar.
+    */
+  private val CountStarRe =
+    """^(?:(RUNNING|FINAL)\s+)?COUNT\s*\(\s*\*\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+  private val CountNameStarRe =
+    """^(?:(RUNNING|FINAL)\s+)?COUNT\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*\*\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+
   /** Split at commas OUTSIDE parentheses — the item separator of the
     * MEASURES and SUBSET sections, whose items carry nested commas
     * (`FIRST(a.v, 2)`, `u = (a, b)`).
@@ -1199,6 +1221,15 @@ object CepSql {
 
   private def parseMeasure(text: String): CepMeasures.MeasureItem =
     text.trim match {
+      // COUNT(name.*) ≡ COUNT(name); COUNT(*) parses to a '*'-named
+      // placeholder the statement assembler desugars once the pattern
+      // names are known (see CountStarRe)
+      case CountNameStarRe(sem, name, alias) =>
+        CepMeasures.Measure(CepMeasures.Fn.Count, name, None, alias,
+          isFinal = sem == "FINAL")
+      case CountStarRe(sem, alias) =>
+        CepMeasures.Measure(CepMeasures.Fn.Count, "*", None, alias,
+          isFinal = sem == "FINAL")
       case NullaryMeasureRe(sem, fn, alias) =>
         CepMeasures.Measure(CepMeasures.Fn.fromName(fn), "", None, alias,
           isFinal = sem == "FINAL")
@@ -1940,6 +1971,22 @@ object CepSql {
           orderByCol ++ withinTime.map(_.tsAttr)
         val attrs = refAttrs.toVector.sorted
         ts.map(_ -> attrs)
+    }
+    // COUNT(*) desugar (see CountStarRe): one-name pattern → plain
+    // COUNT(n); else COUNT(n1) + … + COUNT(nk) over the names in
+    // declaration order (each bound event maps to exactly one name).
+    // Before target validation, which knows nothing of '*'.
+    measures = measures.map {
+      case m: CepMeasures.Measure
+          if m.fn == CepMeasures.Fn.Count && m.name == "*" =>
+        val ordered = bindingNamesOfAlt(alt).distinct
+        if (ordered.size == 1) m.copy(name = ordered.head)
+        else CepMeasures.ExprMeasure(
+          ordered.map(n => CepMeasures.MExpr.Atom(
+            CepMeasures.Measure(CepMeasures.Fn.Count, n, None, "")))
+            .reduceLeft[CepMeasures.MExpr](CepMeasures.MExpr.Add(_, _)),
+          m.alias, m.isFinal)
+      case other => other
     }
     // measure targets must be event-binding DEFINEs (or SUBSETs of
     // them) with known attrs — a SUBSET attribute must exist on EVERY
