@@ -355,6 +355,47 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Vector((1L, 0L, -1L), (2L, 1L, 4L)))
   }
 
+  test("randomized model differential: the relational site pipeline " +
+    "equals the in-JVM model over the reported matches") {
+    val rnd = new scala.util.Random(20260817L)
+    val types = Vector("A", "C", "X")
+    for (trial <- 0 until 4) {
+      val rows = (1L to 150L).map(i =>
+        (i % 5L, i, types(rnd.nextInt(3)), rnd.nextInt(9).toLong))
+      val df = eventsDf(rows: _*)
+      for (skip <- Seq("", " AFTER MATCH SKIP TO NEXT ROW",
+        " AFTER MATCH SKIP PAST LAST ROW")) {
+        val st = CepSql.parseStatement(
+          "PATTERN (c{2,2} | x{0,1}) MEASURES COUNT(c) AS n_c " +
+            "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+            "PARTITION BY k ORDER BY id TYPE t " +
+            s"DEFINE c AS C; x AS X$skip", schema)
+        // the reported matches, independent of the measures pipeline
+        val frames = SparkCep.matchPatternExec(df, st.query, st.spec)
+          .collect().map { r =>
+          val ords = Seq("c", "x").flatMap(n =>
+            r.getSeq[Long](r.fieldIndex(n)))
+          (r.getLong(r.fieldIndex("k")), ords.min, ords.max)
+        }
+        // the model: non-start events, or span-uncovered events
+        val pastLast = skip.contains("PAST LAST")
+        val modelSites = rows.collect {
+          case (k, id, _, _)
+              if frames.filter(_._1 == k).forall { case (_, s, e) =>
+                if (pastLast) id < s || id > e else id != s
+              } => (k, id)
+        }.toSet
+        val engineSites = CepMeasures.run(df, st).collect().collect {
+          case r if r.isNullAt(r.fieldIndex("classifier")) =>
+            (r.getLong(r.fieldIndex("k")),
+              r.getLong(r.fieldIndex("id")))
+        }.toSet
+        assert(engineSites == modelSites,
+          s"trial $trial skip='$skip': sites diverge from the model")
+      }
+    }
+  }
+
   test("every input row surfaces exactly once under SKIP PAST LAST " +
     "ROW show-empty (partition invariant, randomized)") {
     val rnd = new scala.util.Random(20260816L)
