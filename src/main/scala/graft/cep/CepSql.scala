@@ -1778,9 +1778,17 @@ object CepSql {
             case s if s.startsWith("MATCH SKIP TO LAST ") =>
               AfterMatchStrategy.SkipToLast(
                 s.stripPrefix("MATCH SKIP TO LAST ").trim)
+            // SQL:2016's bare `SKIP TO <variable>` ≡ SKIP TO LAST
+            // <variable> (the standard's implicit-LAST reading; the
+            // exact TO NEXT [ROW] spellings matched above, so a bare
+            // name here is unambiguous). Parse sugar — render prints
+            // the explicit TO LAST form.
+            case s if s.startsWith("MATCH SKIP TO ") =>
+              AfterMatchStrategy.SkipToLast(
+                s.stripPrefix("MATCH SKIP TO ").trim)
             case other => throw new IllegalArgumentException(
               "CEP SQL: AFTER MATCH SKIP expects TO NEXT | PAST LAST " +
-                s"EVENT | TO FIRST <name> | TO LAST <name>, got '$other'")
+                s"EVENT | TO [FIRST | LAST] <name>, got '$other'")
           }
       }
       cursor = nextCur

@@ -295,6 +295,24 @@ class SkipToAnchorSpec extends AnyFunSuite {
     assert(cases == 160)
   }
 
+  test("SQL:2016 bare 'AFTER MATCH SKIP TO var' parses as SKIP TO " +
+    "LAST var (implicit-LAST sugar; render prints the explicit form)") {
+    val sch: Vector[(String, Vector[String])] =
+      Vector("A" -> Vector("id"), "B" -> Vector("id"))
+    val bare = CepSql.parse(
+      "PATTERN (a{2,2}~~) DEFINE a AS A AFTER MATCH SKIP TO a", sch)
+    assert(bare.strategy == AfterMatchStrategy.SkipToLast("a"))
+    val explicit = CepSql.parse(
+      "PATTERN (a{2,2}~~) DEFINE a AS A AFTER MATCH SKIP TO LAST a", sch)
+    assert(bare == explicit)
+    assert(CepSql.render(bare).contains("SKIP TO LAST a"))
+    assert(CepSql.parse(CepSql.render(bare), sch) == bare)
+    // the exact TO NEXT spellings stay themselves
+    assert(CepSql.parse(
+      "PATTERN (a{2,2}~~) DEFINE a AS A AFTER MATCH SKIP TO NEXT ROW",
+      sch).strategy == AfterMatchStrategy.SkipToNext)
+  }
+
   test("strategy name round-trips through fromName") {
     for (s <- Seq(AfterMatchStrategy.SkipToFirst("a"),
         AfterMatchStrategy.SkipToLast("b1"))) {
