@@ -88,7 +88,14 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         "SUM(DISTINCT b.v * b.w) AS ds, COUNT(b.w) AS nw " +
         "DEFINE a AS A; b AS B",
       "PATTERN (a{,3} -> b) DEFINE a AS A; b AS B " +
-        "WITHIN INTERVAL '5' MINUTE ON w")
+        "WITHIN INTERVAL '5' MINUTE ON w",
+      "PATTERN (b{0,3}) MEASURES COUNT(*) AS n, COUNT(b.*) AS nb " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES PARTITION BY k, k2 " +
+        "ORDER BY id TYPE t DEFINE b AS B AFTER MATCH SKIP PAST " +
+        "LAST ROW",
+      "PATTERN (a b{0,2}) MEASURES COUNT(*) AS n " +
+        "ONE ROW PER MATCH OMIT EMPTY MATCHES " +
+        "DEFINE a AS A; b AS B AFTER MATCH SKIP TO a")
     for (_ <- 0 until 2000) {
       val base = valid(rnd.nextInt(valid.length)).split(' ').toBuffer
       rnd.nextInt(4) match {
