@@ -1455,7 +1455,8 @@ object CepMeasures {
       : Seq[(String, DataFrame)] = {
     require(stmts.nonEmpty, "runShared: empty member set")
     stmts.foreach { case (n, st) =>
-      require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
+      require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow ||
+        st.rowsPerMatch == CepSql.RowsPerMatch.OneRowShowEmpty,
         s"runShared: member '$n' declares ALL ROWS PER MATCH — the " +
           "shared frame carries order ids only; run that member solo")
       require(st.measures.nonEmpty,
@@ -1482,7 +1483,12 @@ object CepMeasures {
       }
       val frames = shared.where(col("qname") === n)
         .select(keyOut ++ arrays: _*)
-      n -> project(frames, df, st.query, spec, st.measures, st.subsetMap)
+      // a SHOW EMPTY member projects through the same slice: the frame
+      // below project's own localCheckpoint is already the materialized
+      // shared one, so the sweep still runs once for the whole set
+      n -> project(frames, df, st.query, spec, st.measures, st.subsetMap,
+        showEmpty =
+          st.rowsPerMatch == CepSql.RowsPerMatch.OneRowShowEmpty)
     }
   }
 

@@ -1122,7 +1122,8 @@ object CepSql {
         s"CEP SQL shared scan: member '$name' carries its own " +
           "PARTITION BY/ORDER BY/TYPE — the member set shares ONE spec, " +
           "passed to CepMeasures.runShared")
-      require(st.rowsPerMatch == RowsPerMatch.OneRow,
+      require(st.rowsPerMatch == RowsPerMatch.OneRow ||
+        st.rowsPerMatch == RowsPerMatch.OneRowShowEmpty,
         s"CEP SQL shared scan: member '$name' declares ALL ROWS PER " +
           "MATCH — the shared frame carries order ids only; run it solo")
       name -> st

@@ -355,6 +355,31 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Vector((1L, 0L, -1L), (2L, 1L, 4L)))
   }
 
+  test("SHOW EMPTY member on the batch shared scan equals the solo " +
+    "run (the slice rides the same seed-union projection)") {
+    val spec = SparkCep.CepSpec(Some("k"), "id", "t", Seq("v"))
+    val st1 = CepSql.parseStatement(
+      "PATTERN (c{0,2}) MEASURES COUNT(c) AS n_c, SUM(c.v) AS sv, " +
+        "MATCH_NUMBER() AS mn ONE ROW PER MATCH SHOW EMPTY MATCHES " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW", schema)
+    val st2 = CepSql.parseStatement(
+      "PATTERN (a x) MEASURES FIRST(a) AS a_id, LAST(x) AS x_id " +
+        "DEFINE a AS A; x AS X", schema)
+    val rnd = new scala.util.Random(20260819L)
+    val types = Vector("A", "C", "X")
+    val df = eventsDf((1L to 200L).map(i =>
+      (i % 4L, i, types(rnd.nextInt(3)), rnd.nextInt(9).toLong)): _*)
+    val shared = CepMeasures.runShared(df,
+      Seq("se" -> st1, "ax" -> st2), spec).toMap
+    def shape(d: DataFrame) = d.collect().map { r =>
+      (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "-" else r.get(i).toString).mkString("|")
+    }.sorted.toVector
+    assert(shape(shared("se")) == shape(CepMeasures.run(df, st1, spec)))
+    assert(shape(shared("ax")) == shape(CepMeasures.run(df, st2, spec)))
+    assert(shape(shared("se")).nonEmpty)
+  }
+
   test("randomized model differential: the relational site pipeline " +
     "equals the in-JVM model over the reported matches") {
     val rnd = new scala.util.Random(20260817L)
