@@ -202,6 +202,44 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
     }
   }
 
+  test("event-time CLASSIFIER() == batch on out-of-order input " +
+    "(string-typed emission through the reorder buffer)") {
+    val clSchema: Vector[(String, Vector[String])] = Vector(
+      "signup" -> Vector("event_id", "value"),
+      "click" -> Vector("event_id", "value"),
+      "purchase" -> Vector("event_id", "value"))
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> (c{2,2} | p)) MEASURES FIRST(s) AS s_id, " +
+        "CLASSIFIER() AS outcome " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 6",
+      clSchema)
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getLong(r.fieldIndex("user_id")),
+        r.getLong(r.fieldIndex("s_id")),
+        r.getString(r.fieldIndex("outcome")))
+    }.toVector.sorted
+    val batch = shape(CepMeasures.run(events, st, spec).collect())
+    assert(batch.nonEmpty, "fixture produced no matches")
+    val (dir, schema, delaySec) = outOfOrderDir("classifier")
+    val streamDf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = StreamingCep.matchPatternMeasuresEventTime(streamDf, st,
+      spec, tsCol = "ts", delay = s"$delaySec seconds")
+    assert(out.schema("outcome").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val sq = out.writeStream.format("memory").queryName("meas_et_cl")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        sq.processAllAvailable()
+        shape(spark.sql("SELECT * FROM meas_et_cl")
+          .where(col("user_id") =!= -1L).collect())
+      } finally sq.stop()
+    assert(streamed == batch,
+      s"event-time classifier diverged: ${streamed.length} vs " +
+        s"${batch.length}")
+  }
+
   test("event-time shared measures == batch runShared on out-of-order " +
     "input") {
     val batch = batchReprs
