@@ -2259,6 +2259,48 @@ object Queries {
       |       OR (next_type = 'purchase' AND next_val < 50))
       |ORDER BY user_id, s_id""".stripMargin
 
+  /** SQL:2016 TARGETED `CLASSIFIER(U)` ([[graft.cep.CepMeasures]]):
+    * `CLASSIFIER(u)` over the SUBSET of the two branches names which
+    * outcome closed the match (the last row mapped to a member of u);
+    * `CLASSIFIER(p)` is that name only when the p-branch bound — NULL
+    * on the x-branch, exercising the target-never-binds arm on real
+    * data. Same strict signup→(purchase|error) shape as
+    * `cep_sql_alt_outcome`, so the oracle is the same single LEAD
+    * window with CASE arms producing the names directly.
+    */
+  val cepSqlClassifierTargetStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s (p | x)) " +
+        "MEASURES FIRST(s) AS s_id, CLASSIFIER(u) AS outcome, " +
+        "CLASSIFIER(p) AS p_cl " +
+        "SUBSET u = (p, x) " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; p AS purchase WHERE value < 50; x AS error",
+      eventSchema)
+
+  def cepSqlClassifierTarget(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlClassifierTargetStatement)
+      .orderBy("user_id", "s_id")
+
+  val cepSqlClassifierTargetSql: String =
+    """SELECT user_id, event_id AS s_id,
+      |  CASE WHEN next_type = 'purchase' AND next_val < 50
+      |       THEN 'p' ELSE 'x' END AS outcome,
+      |  CASE WHEN next_type = 'purchase' AND next_val < 50
+      |       THEN 'p' END AS p_cl
+      |FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type) OVER w AS next_type,
+      |    LEAD(event_id) OVER w AS next_id,
+      |    LEAD(CAST(FLOOR(value) AS BIGINT)) OVER w AS next_val
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t
+      |WHERE event_type = 'signup'
+      |  AND (next_type = 'error'
+      |       OR (next_type = 'purchase' AND next_val < 50))
+      |ORDER BY user_id, s_id""".stripMargin
+
   /** MEASURES over an alternation: `SUBSET u = (p, x)` unions the two
     * branches, so `SUM(u.value)` reads whichever branch bound — the
     * MATCH_RECOGNIZE way to project "the outcome's value" without
@@ -7257,6 +7299,7 @@ object Queries {
     "cep_sql_one_row_empty" -> cepSqlOneRowEmpty _,
     "cep_sql_multi_key" -> cepSqlMultiKey _,
     "cep_sql_count_star" -> cepSqlCountStar _,
+    "cep_sql_classifier_target" -> cepSqlClassifierTarget _,
     "cep_sql_prev_ascending" -> cepSqlPrevAscending _,
     "cep_sql_nav_peaks" -> cepSqlNavPeaks _,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnel _,
@@ -7434,6 +7477,7 @@ object Queries {
     "cep_sql_one_row_empty" -> cepSqlOneRowEmptySql,
     "cep_sql_multi_key" -> cepSqlMultiKeySql,
     "cep_sql_count_star" -> cepSqlCountStarSql,
+    "cep_sql_classifier_target" -> cepSqlClassifierTargetSql,
     "cep_sql_prev_ascending" -> cepSqlPrevAscendingSql,
     "cep_sql_nav_peaks" -> cepSqlNavPeaksSql,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnelSql,

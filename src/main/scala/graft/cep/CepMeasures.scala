@@ -61,7 +61,10 @@ object CepMeasures {
     case object Min extends Fn { val sqlName = "MIN" }
     case object Max extends Fn { val sqlName = "MAX" }
     case object Avg extends Fn { val sqlName = "AVG" }
-    /** SQL:2016 `CLASSIFIER()` — NULLARY (no pattern-name target). In
+    /** SQL:2016 `CLASSIFIER([U])` — nullary, or with an optional bare
+      * variable/SUBSET TARGET (`Measure.name`; empty = nullary): the
+      * pick below restricted to the last row mapped to (a member of)
+      * the target, NULL when none is. In
       * `ONE ROW PER MATCH` it is the pattern name of the match's LAST
       * bound event (the standard's final-classifier reading) — with an
       * alternation this is the "which branch matched" projection. In
@@ -202,7 +205,14 @@ object CepMeasures {
         require(attr.isDefined || argExpr.isDefined,
           s"MEASURES: ${fn.sqlName}($name) needs an attribute " +
             s"(${fn.sqlName}($name.attr)) or an argument expression")
-      case Fn.Classifier | Fn.MatchNo =>
+      // SQL:2016 CLASSIFIER([U]): optional bare variable/SUBSET target
+      // — the name of the LAST row mapped to (a member of) U; nullary
+      // form = over every variable. Never an attribute.
+      case Fn.Classifier =>
+        require(attr.isEmpty && argExpr.isEmpty,
+          s"MEASURES: CLASSIFIER takes a bare variable or SUBSET " +
+            "name (or none) — no attribute or expression")
+      case Fn.MatchNo =>
         require(name.isEmpty && attr.isEmpty && argExpr.isEmpty,
           s"MEASURES: ${fn.sqlName}() is nullary — no pattern name or " +
             "attribute")
@@ -470,7 +480,9 @@ object CepMeasures {
     }
     measures.foreach { item =>
       MeasureItem.atomsOf(item).foreach { m =>
-        if (!Fn.isNullary(m.fn))
+        // a targeted CLASSIFIER(U) names like any other measure
+        if (!Fn.isNullary(m.fn) ||
+            (m.fn == Fn.Classifier && m.name.nonEmpty))
           require(names.contains(m.name) || subsets.contains(m.name),
             s"MEASURES: '${m.name}' is not a pattern or SUBSET name " +
               s"(have ${(names ++ subsets.keys).mkString(", ")})")
@@ -780,7 +792,11 @@ object CepMeasures {
     // match-level: classifier reads the binding arrays, match_no the
     // stamped sequence)
     def posCol(m: Measure): Column = m.fn match {
-      case Fn.Classifier => classifierCol(names)
+      // CLASSIFIER(U): last row mapped to a member of U — the same
+      // greatest-last-ordinal pick restricted to the target's members
+      case Fn.Classifier =>
+        classifierCol(if (m.name.isEmpty) names
+          else membersOf(m.name).toVector)
       case Fn.MatchNo    => col("__match_no")
       case _             => positional(m, membersOf(m.name))
     }
@@ -1059,10 +1075,22 @@ object CepMeasures {
       Window.unboundedFollowing)
     val measureCols = atoms.map { m =>
       if (m.fn == Fn.Classifier) {
-        // RUNNING = the current row's classifier (the mode's own
-        // column); FINAL = the match's last row's
-        (if (m.isFinal) last(col("classifier")).over(finalW)
-         else col("classifier")).as(m.alias)
+        if (m.name.isEmpty)
+          // RUNNING = the current row's classifier (the mode's own
+          // column — the last row so far is the current one); FINAL =
+          // the match's last row's
+          (if (m.isFinal) last(col("classifier")).over(finalW)
+           else col("classifier")).as(m.alias)
+        else {
+          // CLASSIFIER(U): the variable of the last row SO FAR (or of
+          // the whole match under FINAL) mapped to a member of U —
+          // NULL until one is
+          val g = when(
+            col("classifier").isin(membersOf(m.name): _*),
+            col("classifier"))
+          last(g, ignoreNulls = true)
+            .over(if (m.isFinal) finalW else runWdefault).as(m.alias)
+        }
       } else if (m.fn == Fn.MatchNo) {
         col("match_no").as(m.alias) // constant per match; FINAL ≡ RUNNING
       } else {
@@ -1289,9 +1317,12 @@ object CepMeasures {
     * from the NFA (acceptance requires a take) but total here.
     */
   def evalClassifier(byName: Map[String, Vector[Event]],
-      orderName: String): Option[String] = {
+      orderName: String,
+      members: Option[Vector[String]] = None): Option[String] = {
+    val within = members.map(_.toSet)
     val cands = byName.iterator.collect {
-      case (n, evs) if evs.nonEmpty => n -> evs.last(orderName)
+      case (n, evs) if evs.nonEmpty && within.forall(_.contains(n)) =>
+        n -> evs.last(orderName)
     }.toVector
     if (cands.isEmpty) None else Some(cands.maxBy(_._2)._1)
   }
@@ -1315,7 +1346,9 @@ object CepMeasures {
       subsets: Map[String, Vector[String]] = Map.empty): AnyRef =
     item match {
       case m: Measure if m.fn == Fn.Classifier =>
-        evalClassifier(byName, orderName).orNull
+        evalClassifier(byName, orderName,
+          if (m.name.isEmpty) None
+          else Some(subsets.getOrElse(m.name, Vector(m.name)))).orNull
       case _ =>
         evalItem(item, byName, orderName, subsets).map(Long.box).orNull
     }

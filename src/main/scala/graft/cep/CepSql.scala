@@ -172,9 +172,15 @@ package graft.cep
   *           end; NULL when the binding is shorter. ONE ROW PER MATCH
   *           and streaming only — ALL ROWS PER MATCH rejects a non-zero
   *           offset, a documented deviation)
-  *         | [RUNNING | FINAL] 'CLASSIFIER()' AS alias   (the last bound
-  *           event's pattern name — under an alternation, which branch
-  *           matched; STRING-typed; FINAL in ALL ROWS = last row's)
+  *         | [RUNNING | FINAL] 'CLASSIFIER' '(' [name] ')' AS alias
+  *           (the last bound event's pattern name — under an
+  *           alternation, which branch matched; STRING-typed; FINAL in
+  *           ALL ROWS = last row's. SQL:2016's optional TARGET — a
+  *           variable or SUBSET name — restricts the pick to the last
+  *           row mapped to (a member of) it: ONE ROW = its last bound
+  *           member's name, ALL ROWS RUNNING = the target's variable
+  *           among the rows so far (NULL until one binds), FINAL = over
+  *           the whole match; streams via the emission fold)
   *         | 'MATCH_NUMBER()' AS alias   (deterministic per-key match
   *           sequence in temporal order-found order — row_number by the
   *           match's earliest bound ordinal, binding arrays as
@@ -1148,8 +1154,10 @@ object CepSql {
 
   /** SQL:2016 nullary match-level measures: `CLASSIFIER()` (the last
     * bound event's pattern name — "which branch matched" under an
-    * alternation) and `MATCH_NUMBER()` (the deterministic per-key match
-    * sequence). Batch-only in the streaming measures operator.
+    * alternation; the TARGETED `CLASSIFIER(u)` form parses through the
+    * general MeasureRe) and `MATCH_NUMBER()` (the deterministic per-key
+    * match sequence; batch-only — the classifier streams via the
+    * emission fold).
     */
   private val NullaryMeasureRe =
     """^(?:(RUNNING|FINAL)\s+)?(CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
@@ -2001,8 +2009,9 @@ object CepSql {
     // them) with known attrs — a SUBSET attribute must exist on EVERY
     // member's event type. An expression item validates every atom.
     measures.flatMap(CepMeasures.MeasureItem.atomsOf).foreach { m =>
-      if (CepMeasures.Fn.isNullary(m.fn)) {
+      if (CepMeasures.Fn.isNullary(m.fn) && m.name.isEmpty) {
         // nullary match-level measures have no name/attr to validate
+        // (a TARGETED CLASSIFIER(U) carries a name and validates below)
       } else {
       val events: Vector[String] = subsetMap.get(m.name) match {
         case Some(ms) => ms.map(defMap(_).event)
