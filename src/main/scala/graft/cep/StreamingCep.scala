@@ -952,6 +952,13 @@ object StreamingCep {
       spec: SparkCep.CepSpec, opName: String,
       allowClassifier: Boolean = false): Unit = {
     require(st.measures.nonEmpty, s"$opName: empty MEASURES")
+    require(st.rowsPerMatch != CepSql.RowsPerMatch.OneRowShowEmpty &&
+      st.rowsPerMatch != CepSql.RowsPerMatch.AllRowsShowEmpty,
+      s"$opName: SHOW EMPTY MATCHES is batch-only — empty-match sites " +
+        "are derived from a partition's COMPLETE reported match set " +
+        "(non-starts / span-uncovered rows), which an unbounded stream " +
+        "cannot close; run the batch projection per micro-batch via " +
+        "foreachBatch if needed")
     require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
       s"$opName: ALL ROWS PER MATCH is batch-only — its " +
         "deterministic per-key match_no sequence needs a total order " +

@@ -229,6 +229,25 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Vector((1L, 1L, "-"), (2L, 2L, "c"), (3L, 3L, "-")))
   }
 
+  test("streaming rejects SHOW EMPTY with its own reason (not the " +
+    "generic ALL ROWS one)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev]
+    val spec = SparkCep.CepSpec(Some("user_id"), "event_id",
+      "event_type", Seq("value"))
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,2}) MEASURES COUNT(c) AS n_c " +
+        "ONE ROW PER MATCH SHOW EMPTY MATCHES DEFINE c AS click",
+      Vector("click" -> Vector("event_id", "value")))
+    val e = intercept[IllegalArgumentException] {
+      StreamingCep.matchPatternMeasures(mem.toDF(), st, spec)
+    }
+    assert(e.getMessage.contains("SHOW EMPTY MATCHES is batch-only"))
+  }
+
   test("rejections: SKIP TO FIRST/LAST, anchors, UNMATCHED combination") {
     val df = eventsDf((1L, 1L, "C", 5L))
     def run(sql: String): Unit =
