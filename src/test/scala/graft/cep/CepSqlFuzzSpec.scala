@@ -148,8 +148,13 @@ class CepSqlFuzzSpec extends AnyFunSuite {
         val fn = fns(rnd.nextInt(fns.length))
         if (CepMeasures.Fn.isNullary(fn))
           if (allowNullary)
-            CepMeasures.Measure(fn, "", None, alias,
-              alias.nonEmpty && rnd.nextBoolean())
+            CepMeasures.Measure(fn,
+              // a CLASSIFIER sometimes carries a TARGET (SQL:2016
+              // CLASSIFIER(U)) — round-trips through the general regex
+              if (fn == CepMeasures.Fn.Classifier && rnd.nextBoolean())
+                names(rnd.nextInt(names.length))
+              else "",
+              None, alias, alias.nonEmpty && rnd.nextBoolean())
           else // arithmetic: MATCH_NUMBER only (CLASSIFIER is a string)
             CepMeasures.Measure(CepMeasures.Fn.MatchNo, "", None, alias)
         else {
