@@ -2259,6 +2259,41 @@ object Queries {
       |       OR (next_type = 'purchase' AND next_val < 50))
       |ORDER BY user_id, s_id""".stripMargin
 
+  /** COMPOSITION row: multi-column `PARTITION BY user_id, event_type`
+    * × `ALL ROWS PER MATCH SHOW EMPTY MATCHES` × `COUNT(*)` in one
+    * statement — the composite-key restore join feeding the seed-union
+    * projection. Within each (user, type) partition the nullable
+    * `c{0,2}` matcher makes every click of the click-partition a
+    * singleton match and EVERY other row an empty-match site, so the
+    * output is a total relabeling of the events table with `match_no`
+    * = the per-(user, type) sequence number — the closed form the
+    * oracle states directly.
+    */
+  val cepSqlMultiKeyEmptyStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (c{0,2}) MEASURES COUNT(*) AS n_rows " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY user_id, event_type ORDER BY event_id " +
+        "TYPE event_type DEFINE c AS click " +
+        "AFTER MATCH SKIP PAST LAST ROW",
+      eventSchema)
+
+  def cepSqlMultiKeyEmpty(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlMultiKeyEmptyStatement)
+      .orderBy("user_id", "event_id")
+
+  val cepSqlMultiKeyEmptySql: String =
+    """SELECT user_id, event_type,
+      |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY event_id) AS BIGINT) AS match_no,
+      |  CASE WHEN event_type = 'click' THEN 'c' END AS classifier,
+      |  event_id,
+      |  CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+      |    AS BIGINT) AS n_rows
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** SQL:2016 TARGETED `CLASSIFIER(U)` ([[graft.cep.CepMeasures]]):
     * `CLASSIFIER(u)` over the SUBSET of the two branches names which
     * outcome closed the match (the last row mapped to a member of u);
@@ -7300,6 +7335,7 @@ object Queries {
     "cep_sql_multi_key" -> cepSqlMultiKey _,
     "cep_sql_count_star" -> cepSqlCountStar _,
     "cep_sql_classifier_target" -> cepSqlClassifierTarget _,
+    "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmpty _,
     "cep_sql_prev_ascending" -> cepSqlPrevAscending _,
     "cep_sql_nav_peaks" -> cepSqlNavPeaks _,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnel _,
@@ -7478,6 +7514,7 @@ object Queries {
     "cep_sql_multi_key" -> cepSqlMultiKeySql,
     "cep_sql_count_star" -> cepSqlCountStarSql,
     "cep_sql_classifier_target" -> cepSqlClassifierTargetSql,
+    "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmptySql,
     "cep_sql_prev_ascending" -> cepSqlPrevAscendingSql,
     "cep_sql_nav_peaks" -> cepSqlNavPeaksSql,
     "cep_sql_subset_funnel" -> cepSqlSubsetFunnelSql,
