@@ -721,21 +721,7 @@ object CepMeasures {
     // 0, others NULL, CLASSIFIER() NULL, MATCH_NUMBER() interleaved by
     // site ordinal).
     val doEmpty = showEmpty && Pattern.canMatchEmpty(query.patseq)
-    if (showEmpty) {
-      require(!query.anchorStart && !query.anchorEnd,
-        "SHOW EMPTY MATCHES with '^'/'$' partition anchors is not " +
-          "supported — the interaction between zero-width matches and " +
-          "partition-edge anchoring is undefined here")
-      query.strategy match {
-        case AfterMatchStrategy.NoSkip | AfterMatchStrategy.SkipToNext |
-            AfterMatchStrategy.SkipPastLastEvent => ()
-        case other => throw new IllegalArgumentException(
-          s"SHOW EMPTY MATCHES: AFTER MATCH SKIP ${other.name} — " +
-            "empty-match sites are defined for NoSkip, SkipToNext and " +
-            "SkipPastLastEvent only (a to-first/to-last resume point " +
-            "of a zero-width match is undefined)")
-      }
-    }
+    if (showEmpty) requireShowEmptySupported(query)
     val frame =
       if (!doEmpty) matches
       else {
@@ -950,19 +936,7 @@ object CepMeasures {
       require(!withUnmatched,
         "SHOW EMPTY MATCHES and WITH UNMATCHED ROWS are mutually " +
           "exclusive rows-per-match options (as in SQL:2016)")
-      query.strategy match {
-        case AfterMatchStrategy.NoSkip | AfterMatchStrategy.SkipToNext |
-            AfterMatchStrategy.SkipPastLastEvent => ()
-        case other => throw new IllegalArgumentException(
-          s"SHOW EMPTY MATCHES: AFTER MATCH SKIP ${other.name} — " +
-            "empty-match sites are defined for NoSkip, SkipToNext and " +
-            "SkipPastLastEvent only (a to-first/to-last resume point " +
-            "of a zero-width match is undefined)")
-      }
-      require(!query.anchorStart && !query.anchorEnd,
-        "SHOW EMPTY MATCHES with '^'/'$' partition anchors is not " +
-          "supported — the interaction between zero-width matches and " +
-          "partition-edge anchoring is undefined here")
+      requireShowEmptySupported(query)
     }
     // RUNNING `LAST(x, k)` is "k-th from the end OF THE ROWS SO FAR" — a
     // per-row re-read with no window-function form; documented deviation
@@ -1172,6 +1146,28 @@ object CepMeasures {
 
   private def joinedDrop(df: DataFrame): DataFrame =
     df.drop("__k", "__eord")
+
+  /** The SHOW EMPTY MATCHES support envelope, shared by [[project]] and
+    * [[allRows]]: site rules exist for NoSkip / SkipToNext /
+    * SkipPastLastEvent only, and partition anchors are rejected (the
+    * interaction of zero-width matches with partition-edge anchoring is
+    * undefined here).
+    */
+  private def requireShowEmptySupported(query: CepQuery): Unit = {
+    query.strategy match {
+      case AfterMatchStrategy.NoSkip | AfterMatchStrategy.SkipToNext |
+          AfterMatchStrategy.SkipPastLastEvent => ()
+      case other => throw new IllegalArgumentException(
+        s"SHOW EMPTY MATCHES: AFTER MATCH SKIP ${other.name} — " +
+          "empty-match sites are defined for NoSkip, SkipToNext and " +
+          "SkipPastLastEvent only (a to-first/to-last resume point " +
+          "of a zero-width match is undefined)")
+    }
+    require(!query.anchorStart && !query.anchorEnd,
+      "SHOW EMPTY MATCHES with '^'/'$' partition anchors is not " +
+        "supported — the interaction between zero-width matches and " +
+        "partition-edge anchoring is undefined here")
+  }
 
   /** `SHOW EMPTY MATCHES` sites — the input rows where an EMPTY match
     * occurs, `(key?, __site)`, derived from the reported (non-empty)
