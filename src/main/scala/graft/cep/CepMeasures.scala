@@ -724,22 +724,12 @@ object CepMeasures {
     if (showEmpty) requireShowEmptySupported(query)
     val frame =
       if (!doEmpty) matches
-      else {
+      else
         // the seed union + site derivation both consume the match
         // frame — materialize it ONCE so the NFA sweep below doesn't
         // run twice (see the identical note in [[allRows]])
-        val matchFrame = matches.localCheckpoint(eager = true)
-        val emptyArr = array().cast(ArrayType(LongType))
-        val sites = emptySites(matchFrame, events, spec, keyName, names,
-          query.strategy)
-        val emptySeed = sites.select(
-          keyOut ++ names.map(n => emptyArr.as(n)) :+
-            col("__site").as("__anchor"): _*)
-        val realSeed = matchFrame.select(
-          keyOut ++ names.map(col) :+
-            array_min(concat(names.map(col): _*)).as("__anchor"): _*)
-        realSeed.unionByName(emptySeed)
-      }
+        emptySeedUnion(matches.localCheckpoint(eager = true), events,
+          spec, keyName, keyOut, names, query.strategy)
     projectAtoms(frame, events, query, spec, atoms, subsets, names,
       keyName, keyOut, anchored = doEmpty)
       .select(keyOut ++ outCols: _*)
@@ -767,9 +757,7 @@ object CepMeasures {
     val withSeq =
       if (measures.exists(_.fn == Fn.MatchNo)) {
         val w =
-          if (anchored)
-            keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
-              .orderBy(col("__anchor") +: names.map(col): _*)
+          if (anchored) anchoredSeqWindow(keyName, names)
           else matchSeqWindow(keyName, names)
         matches.withColumn("__match_no",
           row_number().over(w).cast(LongType))
@@ -916,19 +904,6 @@ object CepMeasures {
       showEmpty: Boolean = false): DataFrame = {
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val reserved = Set("match_no", "classifier", spec.orderCol)
-    // SHOW EMPTY MATCHES consumes the match frame TWICE (the seed
-    // union and the site derivation), and WITH UNMATCHED ROWS consumes
-    // its exploded form twice (the output and the bound set) — without
-    // materialization each consumer re-runs the whole NFA sweep below
-    // it (ReuseExchange dedupes exchanges, not the match operator),
-    // doubling the dominant cost at scale. Same hazard and same fix as
-    // `runShared`: localCheckpoint the SMALL side (matches, not
-    // events) once — self-releasing (ContextCleaner / CacheScope),
-    // batch-only here so cut lineage is fine. `DriveShowEmptyScale`
-    // measures the win.
-    val matchFrame =
-      if (showEmpty || withUnmatched) matches.localCheckpoint(eager = true)
-      else matches
     if (showEmpty) {
       // SQL:2016 `SHOW EMPTY MATCHES`: see the mode's contract at the
       // grammar (`CepSql` scaladoc) — sites below, numbering at the
@@ -973,37 +948,39 @@ object CepMeasures {
     // (can match zero events) — otherwise empty matches cannot occur
     // and the mode degrades to plain ALL ROWS at zero extra cost
     val doEmpty = showEmpty && Pattern.canMatchEmpty(query.patseq)
+    // The two-consumer modes re-read the match frame (seed union +
+    // sites / output + bound set); each consumer would re-run the
+    // whole NFA sweep below it (ReuseExchange dedupes exchanges, not
+    // the match operator). Same hazard and fix as `runShared`:
+    // localCheckpoint the SMALL side once — self-releasing, batch-only
+    // here so cut lineage is fine (`DriveShowEmptyScale` measures the
+    // win; `CepShowEmptySinglePassSpec` pins it). Gated on the ACTUAL
+    // double consumption, after validation — an inert SHOW EMPTY
+    // (non-nullable pattern) stays zero-cost.
+    val matchFrame =
+      if (doEmpty || withUnmatched) matches.localCheckpoint(eager = true)
+      else matches
     val withNo =
       if (!doEmpty)
         matchFrame.withColumn("match_no",
           row_number().over(matchSeqWindow(keyName, names)).cast(LongType))
-      else {
+      else
         // Empty matches are SYNTHETIC SEED ROWS unioned into the match
-        // frame BEFORE numbering: every name's binding array empty, the
-        // site ordinal as the match anchor. Numbering then interleaves
-        // real and empty matches temporally in one row_number pass
-        // (anchor leads; a site is never a real match's start under
-        // either site rule, so anchors cannot tie across the union; the
-        // binding arrays stay as the deterministic real-vs-real
-        // tiebreaker). Downstream, the empty seed explodes (outer) to
-        // exactly one NULL-classifier row that rides the same
-        // classifier-guarded measure windows — COUNT 0, everything
-        // else NULL, per SQL aggregate-over-empty.
-        val emptyArr = array().cast(ArrayType(LongType))
-        val sites = emptySites(matchFrame, events, spec, keyName, names,
+        // frame BEFORE numbering ([[emptySeedUnion]]); numbering then
+        // interleaves real and empty matches temporally in one
+        // row_number pass ([[anchoredSeqWindow]] — anchor leads; a site
+        // is never a real match's start under either site rule, so
+        // anchors cannot tie across the union; the binding arrays stay
+        // as the deterministic real-vs-real tiebreaker). Downstream,
+        // the empty seed explodes (outer) to exactly one
+        // NULL-classifier row that rides the same classifier-guarded
+        // measure windows — COUNT 0, everything else NULL, per SQL
+        // aggregate-over-empty.
+        emptySeedUnion(matchFrame, events, spec, keyName, keyOut, names,
           query.strategy)
-        val emptySeed = sites.select(
-          keyOut ++ names.map(n => emptyArr.as(n)) :+
-            col("__site").as("__anchor"): _*)
-        val realSeed = matchFrame.select(
-          keyOut ++ names.map(col) :+
-            array_min(concat(names.map(col): _*)).as("__anchor"): _*)
-        realSeed.unionByName(emptySeed).withColumn("match_no",
-          row_number().over(
-            keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
-              .orderBy(col("__anchor") +: names.map(col): _*))
-            .cast(LongType))
-      }
+          .withColumn("match_no",
+            row_number().over(anchoredSeqWindow(keyName, names))
+              .cast(LongType))
     val exploded = withNo.select(
       (keyOut :+ col("match_no")) ++
         (if (doEmpty) Seq(col("__anchor")) else Nil) :+
@@ -1147,6 +1124,36 @@ object CepMeasures {
   private def joinedDrop(df: DataFrame): DataFrame =
     df.drop("__k", "__eord")
 
+  /** The SHOW EMPTY seed union shared by [[project]] and [[allRows]]:
+    * the (materialized) match frame plus ONE synthetic empty-binding
+    * row per site ([[emptySites]]), every row carrying its `__anchor`
+    * ordinal — real matches their earliest bound ordinal, empty seeds
+    * the site itself — ready for [[anchoredSeqWindow]] numbering.
+    */
+  private def emptySeedUnion(matchFrame: DataFrame, events: DataFrame,
+      spec: CepSpec, keyName: Option[String], keyOut: Seq[Column],
+      names: Vector[String], strategy: AfterMatchStrategy): DataFrame = {
+    val emptyArr = array().cast(ArrayType(LongType))
+    val sites = emptySites(matchFrame, events, spec, keyName, names,
+      strategy)
+    val emptySeed = sites.select(
+      keyOut ++ names.map(n => emptyArr.as(n)) :+
+        col("__site").as("__anchor"): _*)
+    val realSeed = matchFrame.select(
+      keyOut ++ names.map(col) :+
+        array_min(concat(names.map(col): _*)).as("__anchor"): _*)
+    realSeed.unionByName(emptySeed)
+  }
+
+  /** Deterministic numbering window over a seed union: the explicit
+    * `__anchor` leads (an all-empty seed has a NULL binding start), the
+    * binding arrays tiebreak real matches sharing an anchor.
+    */
+  private def anchoredSeqWindow(keyName: Option[String],
+      names: Vector[String]) =
+    keyName.fold(Window.partitionBy())(k => Window.partitionBy(k))
+      .orderBy(col("__anchor") +: names.map(col): _*)
+
   /** The SHOW EMPTY MATCHES support envelope, shared by [[project]] and
     * [[allRows]]: site rules exist for NoSkip / SkipToNext /
     * SkipPastLastEvent only, and partition anchors are rejected (the
@@ -1198,8 +1205,14 @@ object CepMeasures {
   private def emptySites(matches: DataFrame, events: DataFrame,
       spec: CepSpec, keyName: Option[String], names: Vector[String],
       strategy: AfterMatchStrategy): DataFrame = {
-    val evProj = events.select(
-      keyName.map(k => SparkCep.keyExpr(events, spec).as(k)).toSeq :+
+    // mirror the match operators' NULL-KEY DROP (`SparkCep.prepare`):
+    // a NULL-keyed row never reaches the NFA, so it is not an attempt
+    // site either — without this filter it would survive the anti-join
+    // (NULL never equals a start) and surface as a phantom empty match
+    val evBase = spec.keyCol.fold(events)(k =>
+      events.where(col(k).isNotNull))
+    val evProj = evBase.select(
+      keyName.map(k => SparkCep.keyExpr(evBase, spec).as(k)).toSeq :+
         col(spec.orderCol).cast(LongType).as("__site"): _*)
     val startCol = array_min(concat(names.map(col): _*))
     strategy match {

@@ -105,6 +105,16 @@ package graft.cep
   *            attribute is in seconds; render prints the plain form)
   *           [AFTER MATCH SKIP skip]
   * meas   := [RUNNING | FINAL] mexpr AS alias
+  *         | [RUNNING | FINAL] 'COUNT' '(' '*' ')' AS alias
+  *         | [RUNNING | FINAL] 'COUNT' '(' name '.' '*' ')' AS alias
+  *           (SQL:2016 row counts — WHOLE-MEASURE forms only, not
+  *            arithmetic atoms: `COUNT(name.*)` ≡ the positional
+  *            `COUNT(name)`; `COUNT(*)` desugars to
+  *            `COUNT(n1) + … + COUNT(nk)` over the EVENT-BINDING
+  *            pattern names in declaration order (GROUP labels bind no
+  *            events and are excluded; plain `COUNT(n)` when one name
+  *            binds), riding every tier — batch, ALL ROWS running,
+  *            streaming fold. `render` prints the desugared form.)
   * mexpr  := mterm (('+' | '-') mterm)*      (SQL:2016 <measure
   *           expression>, integer fragment: long arithmetic over
   *           measure atoms and non-negative integer literals —
@@ -121,14 +131,6 @@ package graft.cep
   *           arithmetic; MATCH_NUMBER() participates, batch-only.)
   * mterm  := mfact (('*' | '/') mfact)*
   * mfact  := INT | '(' mexpr ')'
-  *         | 'COUNT' '(' '*' ')' | 'COUNT' '(' name '.' '*' ')'
-  *           (SQL:2016: every row of the match / every row mapped to
-  *            `name`. Parse-side sugar — `COUNT(name.*)` ≡ the
-  *            positional `COUNT(name)`; `COUNT(*)` desugars to
-  *            `COUNT(n1) + … + COUNT(nk)` over the pattern names
-  *            (plain `COUNT(n)` when the pattern binds one name), so
-  *            it rides every tier — batch, ALL ROWS running, streaming
-  *            fold. `render` prints the desugared form.)
   *         | FN '(' ['DISTINCT'] aarg [',' k] ')'
   *           (DISTINCT — COUNT/SUM only — collapses duplicate per-event
   *            values before the aggregate: COUNT(DISTINCT c.v) distinct
@@ -1108,8 +1110,11 @@ object CepSql {
           "PARTITION BY/ORDER BY/TYPE — the member set shares ONE spec, " +
           "passed to matchPatternsShared")
       require(st.rowsPerMatch == RowsPerMatch.OneRow,
-        s"CEP SQL shared scan: member '$name' declares ALL ROWS PER " +
-          "MATCH — the shared operator emits one binding row per match")
+        s"CEP SQL shared scan: member '$name' declares a rows-per-match " +
+          "mode other than plain ONE ROW PER MATCH — the measure-free " +
+          "shared operator emits one binding row per match (SHOW EMPTY " +
+          "MATCHES needs a MEASURES projection: use parseStatements + " +
+          "CepMeasures.runShared, or run the member solo)")
       name -> st.query
     }
 
@@ -1130,8 +1135,9 @@ object CepSql {
           "passed to CepMeasures.runShared")
       require(st.rowsPerMatch == RowsPerMatch.OneRow ||
         st.rowsPerMatch == RowsPerMatch.OneRowShowEmpty,
-        s"CEP SQL shared scan: member '$name' declares ALL ROWS PER " +
-          "MATCH — the shared frame carries order ids only; run it solo")
+        s"CEP SQL shared scan: member '$name' declares an ALL ROWS " +
+          "PER MATCH mode — the shared frame carries order ids only; " +
+          "run it solo")
       name -> st
     }
 
@@ -1876,7 +1882,8 @@ object CepSql {
           "add MEASURES (the raw binding frame would expose the hidden " +
             "per-branch columns)")
         if (!rowsPerMatch.forall(_ == RowsPerMatch.OneRow)) unsupported(
-          "ALL ROWS PER MATCH would emit hidden per-branch classifiers")
+          "a rows-per-match mode other than plain ONE ROW PER MATCH " +
+            "would surface the hidden per-branch classifiers/rows")
         measures.flatMap(CepMeasures.MeasureItem.atomsOf).foreach(m =>
           if (m.fn == CepMeasures.Fn.Classifier) unsupported(
             "CLASSIFIER() would print the hidden per-branch names"))
@@ -1992,11 +1999,15 @@ object CepSql {
     // COUNT(*) desugar (see CountStarRe): one-name pattern → plain
     // COUNT(n); else COUNT(n1) + … + COUNT(nk) over the names in
     // declaration order (each bound event maps to exactly one name).
-    // Before target validation, which knows nothing of '*'.
+    // GROUP labels bind no events — they contribute nothing to the row
+    // count and would be rejected as measure targets, so they are
+    // excluded from the sum. Before target validation, which knows
+    // nothing of '*'.
     measures = measures.map {
       case m: CepMeasures.Measure
           if m.fn == CepMeasures.Fn.Count && m.name == "*" =>
         val ordered = bindingNamesOfAlt(alt).distinct
+          .filterNot(n => defMap.get(n).exists(_.event == GroupEvent))
         if (ordered.size == 1) m.copy(name = ordered.head)
         else CepMeasures.ExprMeasure(
           ordered.map(n => CepMeasures.MExpr.Atom(

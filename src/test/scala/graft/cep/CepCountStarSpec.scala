@@ -57,6 +57,21 @@ class CepCountStarSpec extends AnyFunSuite with BeforeAndAfterAll {
       CepMeasures.Measure(CepMeasures.Fn.Count, "c", None, "n")))
   }
 
+  test("COUNT(*) excludes GROUP labels from the desugared sum (labels " +
+    "bind no events)") {
+    val st = CepSql.parseStatement(
+      "PATTERN ((s c){1,}:g) MEASURES COUNT(*) AS n " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE s AS S; c AS C; g AS GROUP UNTIL v > 90", schema)
+    val r = CepSql.render(st)
+    assert(r.contains("COUNT(s) + COUNT(c) AS n") && !r.contains("COUNT(g)"))
+    // S(1) C(2): one group iteration, two bound rows
+    val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "C", 5L))
+    val out = CepMeasures.run(df, st).collect()
+      .map(_.getLong(1)).toVector
+    assert(out == Vector(2L))
+  }
+
   test("batch: COUNT(*) is the match's row count") {
     val st = CepSql.parseStatement(
       "PATTERN (s -> c{1,2} -> p) " +

@@ -229,6 +229,34 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Vector((1L, 1L, "-"), (2L, 2L, "c"), (3L, 3L, "-")))
   }
 
+  test("NULL-keyed rows never surface as empty-match sites (the " +
+    "operators' null-key drop applies to sites too)") {
+    val s = spark
+    import s.implicits._
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,2}) MEASURES COUNT(c) AS n_c " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW", schema)
+    val df = Seq(
+      (Option(1L), 1L, "A", 0L), (Option(1L), 2L, "C", 5L),
+      (Option.empty[Long], 3L, "A", 0L), (Option.empty[Long], 4L, "C", 1L))
+      .toDF("k", "id", "t", "v")
+    val out = CepMeasures.run(df, st).select("id").collect()
+      .map(_.getLong(0)).toVector.sorted
+    // rows 3 and 4 carry a NULL key: the NFA never sees them, so they
+    // are not matches AND not sites — both skip-past and the
+    // NoSkip/SkipToNext anti-join arms must drop them
+    assert(out == Vector(1L, 2L))
+    val stNext = CepSql.parseStatement(
+      "PATTERN (c{0,2}) MEASURES COUNT(c) AS n_c " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C", schema)
+    val outNext = CepMeasures.run(df, stNext).select("id").collect()
+      .map(_.getLong(0)).toVector.distinct.sorted
+    assert(!outNext.contains(3L) && !outNext.contains(4L))
+  }
+
   test("streaming rejects SHOW EMPTY with its own reason (not the " +
     "generic ALL ROWS one)") {
     val s = spark
