@@ -163,7 +163,7 @@ class CepAltReuseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ALL ROWS
     bad("PATTERN (s -> c | s -> x) MEASURES COUNT(c) AS n " +
       "ALL ROWS PER MATCH DEFINE s AS S; c AS C; x AS X",
-      "ALL ROWS PER MATCH would emit hidden")
+      "would surface the hidden per-branch")
     // CLASSIFIER
     bad("PATTERN (s -> c | s -> x) MEASURES CLASSIFIER() AS w " +
       "DEFINE s AS S; c AS C; x AS X", "CLASSIFIER() would print")
