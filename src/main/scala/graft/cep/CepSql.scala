@@ -1787,20 +1787,30 @@ object CepSql {
             case "MATCH SKIP PAST LAST EVENT" |
                  "MATCH SKIP PAST LAST ROW" =>
               AfterMatchStrategy.SkipPastLastEvent
+            // the anchor operand must be a SINGLE identifier at the
+            // parse site: the bare-TO sugar below would otherwise
+            // accept any trailing text ('SKIP TO FIRST' → anchor
+            // "FIRST", 'SKIP TO NEXT ROWS' → anchor "NEXT ROWS"), and
+            // since an anchor that never binds falls back to NoSkip at
+            // the Executor, such typos would silently change match
+            // semantics instead of failing here
             case s if s.startsWith("MATCH SKIP TO FIRST ") =>
-              AfterMatchStrategy.SkipToFirst(
-                s.stripPrefix("MATCH SKIP TO FIRST ").trim)
+              AfterMatchStrategy.SkipToFirst(specIdent(
+                "AFTER MATCH SKIP TO FIRST",
+                s.stripPrefix("MATCH SKIP TO FIRST ")))
             case s if s.startsWith("MATCH SKIP TO LAST ") =>
-              AfterMatchStrategy.SkipToLast(
-                s.stripPrefix("MATCH SKIP TO LAST ").trim)
+              AfterMatchStrategy.SkipToLast(specIdent(
+                "AFTER MATCH SKIP TO LAST",
+                s.stripPrefix("MATCH SKIP TO LAST ")))
             // SQL:2016's bare `SKIP TO <variable>` ≡ SKIP TO LAST
             // <variable> (the standard's implicit-LAST reading; the
             // exact TO NEXT [ROW] spellings matched above, so a bare
             // name here is unambiguous). Parse sugar — render prints
             // the explicit TO LAST form.
             case s if s.startsWith("MATCH SKIP TO ") =>
-              AfterMatchStrategy.SkipToLast(
-                s.stripPrefix("MATCH SKIP TO ").trim)
+              AfterMatchStrategy.SkipToLast(specIdent(
+                "AFTER MATCH SKIP TO",
+                s.stripPrefix("MATCH SKIP TO ")))
             case other => throw new IllegalArgumentException(
               "CEP SQL: AFTER MATCH SKIP expects TO NEXT | PAST LAST " +
                 s"EVENT | TO [FIRST | LAST] <name>, got '$other'")
@@ -2073,6 +2083,24 @@ object CepSql {
       ms.foreach(n => require(bindingNames.contains(n),
         s"CEP SQL SUBSET: '$u' member '$n' never binds (it appears " +
           "only as a negation guard)"))
+    }
+    // SKIP TO FIRST/LAST anchors must be DEFINEd event-binding names:
+    // the Executor treats an anchor that never binds as the documented
+    // NoSkip fallback, so an unknown (typo'd) anchor would silently
+    // change match semantics — reject it at parse time instead. SUBSET
+    // names are not anchors (the strategy resumes at one bound EVENT).
+    strategy match {
+      case AfterMatchStrategy.SkipToFirst(a) =>
+        require(bindingNamesOfAlt(alt).contains(a),
+          s"CEP SQL: AFTER MATCH SKIP TO FIRST $a — '$a' is not a " +
+            s"pattern variable (have ${bindingNamesOfAlt(alt).distinct
+              .mkString(", ")})")
+      case AfterMatchStrategy.SkipToLast(a) =>
+        require(bindingNamesOfAlt(alt).contains(a),
+          s"CEP SQL: AFTER MATCH SKIP TO LAST $a — '$a' is not a " +
+            s"pattern variable (have ${bindingNamesOfAlt(alt).distinct
+              .mkString(", ")})")
+      case _ => ()
     }
     val excluded = excl.toVector.sorted
     // SQL:2016 ties the exclusion syntax to ALL ROWS PER MATCH — with

@@ -424,4 +424,45 @@ class CepSqlSpec extends AnyFunSuite {
     assert(CepOperator.run(q, evs) == CepOperator.run(twin, evs))
     assert(CepOperator.run(q, evs).nonEmpty)
   }
+
+  test("SKIP TO anchors are validated at parse time: single identifier, " +
+    "must be a DEFINEd pattern variable (typos cannot silently become " +
+    "the NoSkip fallback)") {
+    // forgotten variable: 'SKIP TO FIRST' would previously parse as
+    // bare-TO sugar with anchor "FIRST"
+    val e1 = intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (a{2,2}~~) DEFINE a AS A " +
+        "AFTER MATCH SKIP TO FIRST", schema)
+    }
+    assert(e1.getMessage.contains("AFTER MATCH SKIP TO"))
+    // trailing junk: 'TO NEXT ROWS' is not 'TO NEXT ROW' and must not
+    // become SkipToLast("NEXT ROWS")
+    val e2 = intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (a{2,2}~~) DEFINE a AS A " +
+        "AFTER MATCH SKIP TO NEXT ROWS", schema)
+    }
+    assert(e2.getMessage.contains("single column name") ||
+      e2.getMessage.contains("AFTER MATCH SKIP"))
+    // well-formed identifier that is not a DEFINEd variable
+    val e3 = intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (a{2,2}~~) DEFINE a AS A " +
+        "AFTER MATCH SKIP TO LAST z", schema)
+    }
+    assert(e3.getMessage.contains("not a pattern variable"))
+    val e4 = intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (a{2,2}~~) DEFINE a AS A " +
+        "AFTER MATCH SKIP TO z", schema)
+    }
+    assert(e4.getMessage.contains("not a pattern variable"))
+    // a negation guard never binds -- not a valid anchor either
+    val e5 = intercept[IllegalArgumentException] {
+      CepSql.parse("PATTERN (a ->!fby(n) b) DEFINE a AS A; b AS B; " +
+        "n AS C AFTER MATCH SKIP TO FIRST n", schema)
+    }
+    assert(e5.getMessage.contains("not a pattern variable"))
+    // the happy paths keep parsing (bare TO = implicit LAST)
+    assert(CepSql.parse("PATTERN (a{2,2}~~) DEFINE a AS A " +
+      "AFTER MATCH SKIP TO a", schema).strategy ==
+      AfterMatchStrategy.SkipToLast("a"))
+  }
 }
