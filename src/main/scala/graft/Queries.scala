@@ -2039,8 +2039,8 @@ object Queries {
 
   /** SQL:2016 multi-column `PARTITION BY user_id, event_type`
     * ([[graft.cep.CepMeasures]] `runMultiKey`): matching keys on ONE
-    * xxhash64 composite column and the restore join puts the ORIGINAL
-    * columns back in front of the output. Strict `a b` adjacency inside
+    * EXACT composite struct column whose fields expand back in front
+    * of the output. Strict `a b` adjacency inside
     * a (user, type) partition means "consecutive clicks in the user's
     * CLICK SUBSEQUENCE" — a different relation than single-key
     * adjacency (other-type events between two clicks don't break the
@@ -2070,6 +2070,44 @@ object Queries {
       |  v AS b_v
       |FROM c WHERE p_id IS NOT NULL
       |ORDER BY user_id, a_id""".stripMargin
+
+  /** EXACT STRING-keyed CEP — the registry face of the exact-key
+    * contract (round 16; retires the xxhash64 hashed-key trade-off):
+    * the partition key is a derived STRING id `'u' || user_id`, carried
+    * through the match operator, the measures join and the output
+    * verbatim. The oracle keys on the SAME string expression in DuckDB,
+    * so the hash-exact gate proves key identity is exact end to end —
+    * no collision budget at any cardinality. The statement routes
+    * through the full SQL surface (`CepMeasures.run` → prepare →
+    * `matchPatternExec` → attribute-tier measures join on the string
+    * key).
+    */
+  val cepStringKeyStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (a b) " +
+        "MEASURES FIRST(a) AS a_id, LAST(b.value) AS b_val " +
+        "PARTITION BY ukey ORDER BY event_id TYPE event_type " +
+        "DEFINE a AS signup; b AS purchase",
+      eventSchema)
+
+  def cepStringKey(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(
+      table(spark, dir, "events").withColumn("ukey",
+        concat(lit("u"), col("user_id").cast("string"))),
+      cepStringKeyStatement)
+      .orderBy("ukey", "a_id")
+
+  val cepStringKeySql: String =
+    """SELECT 'u' || CAST(user_id AS VARCHAR) AS ukey,
+      |  event_id AS a_id, CAST(FLOOR(next_value) AS BIGINT) AS b_val
+      |FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type) OVER w AS next_type,
+      |    LEAD(value) OVER w AS next_value
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t
+      |WHERE event_type = 'signup' AND next_type = 'purchase'
+      |ORDER BY ukey, a_id""".stripMargin
 
   /** SQL:2016 row navigation in DEFINE conditions ([[graft.cep.Nav]]):
     * `PREV(value)` is attribute `value` of the previous PHYSICAL row of
@@ -7333,6 +7371,7 @@ object Queries {
     "cep_sql_show_empty" -> cepSqlShowEmpty _,
     "cep_sql_one_row_empty" -> cepSqlOneRowEmpty _,
     "cep_sql_multi_key" -> cepSqlMultiKey _,
+    "cep_string_key" -> cepStringKey _,
     "cep_sql_count_star" -> cepSqlCountStar _,
     "cep_sql_classifier_target" -> cepSqlClassifierTarget _,
     "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmpty _,
@@ -7512,6 +7551,7 @@ object Queries {
     "cep_sql_show_empty" -> cepSqlShowEmptySql,
     "cep_sql_one_row_empty" -> cepSqlOneRowEmptySql,
     "cep_sql_multi_key" -> cepSqlMultiKeySql,
+    "cep_string_key" -> cepStringKeySql,
     "cep_sql_count_star" -> cepSqlCountStarSql,
     "cep_sql_classifier_target" -> cepSqlClassifierTargetSql,
     "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmptySql,

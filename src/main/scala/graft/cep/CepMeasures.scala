@@ -1194,6 +1194,18 @@ object CepMeasures {
     *    O(events × spans-per-key), which `DriveShowEmptyProfile`
     *    measured at 21 s of a 24 s total on a 2M-event/1000-spans-per-
     *    key stream — the window merge collapses it to one sort pass.)
+    *  - `SkipToFirst(a)` / `SkipToLast(a)`: attempts resume AT the
+    *    anchor event (the first/last event bound to `a` in the match),
+    *    so the PRUNE-ADJUSTED span a match covers is
+    *    `[earliest bound, max(start, anchor - 1)]` — the anchor itself
+    *    gets a fresh attempt and can host an empty match (e.g. the
+    *    matched click that ends an `s -> c` match under SKIP TO LAST c
+    *    is a site; under SKIP PAST LAST ROW it would be covered). A
+    *    match where `a` never binds prunes nothing (the documented
+    *    NoSkip fallback) — its span degenerates to its own start. Every
+    *    span covers its own start (`anchor >= start`), so "uncovered"
+    *    still implies "starts no reported match". Same running-max
+    *    window merge as skip-past.
     *  - `NoSkip` / `SkipToNext`: attempts start at EVERY event, so
     *    sites are the events that START no reported match — one
     *    anti-join against the distinct (key, start) pairs, the small
@@ -1215,32 +1227,53 @@ object CepMeasures {
       keyName.map(k => SparkCep.keyExpr(evBase, spec).as(k)).toSeq :+
         col(spec.orderCol).cast(LongType).as("__site"): _*)
     val startCol = array_min(concat(names.map(col): _*))
+    // running-max merge shared by the span-shaped strategies: span rows
+    // sort BEFORE the event at the same position (__mk 0 < 1), so a
+    // span starting AT an event's ordinal covers it; the running max of
+    // span ends over all spans at or before the event's position is
+    // >= the ordinal exactly when some span covers it
+    def spanMerge(endCol: Column): DataFrame = {
+      val spanRows = matches.select(
+        keyName.map(col).toSeq :+ startCol.as("__pos") :+
+          endCol.as("__end") :+
+          lit(0).as("__mk"): _*)
+      val evRows = evProj.select(
+        keyName.map(col).toSeq :+ col("__site").as("__pos") :+
+          lit(null).cast(LongType).as("__end") :+
+          lit(1).as("__mk"): _*)
+      val w = keyName
+        .fold(Window.partitionBy())(k => Window.partitionBy(k))
+        .orderBy(col("__pos"), col("__mk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spanRows.unionByName(evRows)
+        .withColumn("__cov", max(col("__end")).over(w))
+        .where(col("__mk") === 1 &&
+          (col("__cov").isNull || col("__cov") < col("__pos")))
+        .select(keyName.map(col).toSeq :+
+          col("__pos").as("__site"): _*)
+    }
+    // prune-adjusted span end for the anchor strategies: the event
+    // just before the anchor (the resume point gets a fresh attempt),
+    // never before the match's own start; anchor-never-bound = the
+    // NoSkip fallback — the span degenerates to the start alone. An
+    // anchor that is not a pattern name at all (programmatic queries
+    // only — SQL rejects it at parse) is the same fallback for EVERY
+    // match.
+    def anchorSpans(a: String, isFirst: Boolean): DataFrame = {
+      val anchorCol =
+        if (!names.contains(a)) lit(null).cast(LongType)
+        else if (isFirst) when(size(col(a)) > 0, element_at(col(a), 1))
+        else when(size(col(a)) > 0, element_at(col(a), -1))
+      spanMerge(coalesce(greatest(startCol, anchorCol - 1), startCol))
+    }
     strategy match {
       case AfterMatchStrategy.SkipPastLastEvent =>
-        // running-max merge: span rows sort BEFORE the event at the
-        // same position (__mk 0 < 1), so a span starting AT an event's
-        // ordinal covers it; the running max of span ends over all
-        // spans at or before the event's position is >= the ordinal
-        // exactly when some span covers it
-        val spanRows = matches.select(
-          keyName.map(col).toSeq :+ startCol.as("__pos") :+
-            array_max(concat(names.map(col): _*)).as("__end") :+
-            lit(0).as("__mk"): _*)
-        val evRows = evProj.select(
-          keyName.map(col).toSeq :+ col("__site").as("__pos") :+
-            lit(null).cast(LongType).as("__end") :+
-            lit(1).as("__mk"): _*)
-        val w = keyName
-          .fold(Window.partitionBy())(k => Window.partitionBy(k))
-          .orderBy(col("__pos"), col("__mk"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        spanRows.unionByName(evRows)
-          .withColumn("__cov", max(col("__end")).over(w))
-          .where(col("__mk") === 1 &&
-            (col("__cov").isNull || col("__cov") < col("__pos")))
-          .select(keyName.map(col).toSeq :+
-            col("__pos").as("__site"): _*)
-      case _ => // NoSkip / SkipToNext (validated by the caller)
+        spanMerge(array_max(concat(names.map(col): _*)))
+      case AfterMatchStrategy.SkipToFirst(a) =>
+        anchorSpans(a, isFirst = true)
+      case AfterMatchStrategy.SkipToLast(a) =>
+        anchorSpans(a, isFirst = false)
+      case _ => // NoSkip / SkipToNext
         val starts = matches.select(
           keyName.map(col).toSeq :+ startCol.as("__site"): _*).distinct()
         evProj.join(starts, keyName.toSeq :+ "__site", "left_anti")
@@ -1422,38 +1455,42 @@ object CepMeasures {
 
   /** SQL:2016 multi-column `PARTITION BY a, b, …`: the single-key match
     * operators take one key column, so the composite key is derived as
-    * ONE xxhash64 column over the list — the same hashed-key identity
-    * contract non-numeric single keys already have (`CepSpec` scaladoc:
-    * key identity is preserved under the hash, and a hash collision
-    * would merge partitions — the documented trade-off, now spanning
-    * column tuples). A row with ANY NULL partition column gets a NULL
-    * composite key and is dropped by the operator's null-key drop,
-    * exactly like a NULL single key.
-    *
-    * Unlike the single-column string-key case (whose output key IS the
-    * hash), the ORIGINAL columns are restored into the output: one
-    * equi-join against the distinct `(cols…, hash)` tuples — bounded by
-    * the partition count, so AQE broadcasts it under any realistic
-    * cardinality — with the partition columns leading the output
-    * schema, per the standard. Batch-only: the restore join's build
-    * side is derived from the same input (the streaming operators
-    * reject the statement at `spec` time).
+    * ONE STRUCT column over the list — EXACT, like every other key type
+    * (the operators carry non-numeric keys through verbatim), so two
+    * distinct column tuples can never merge and no restore join is
+    * needed: the output simply expands the struct's fields back into
+    * the original leading columns, per the standard. A row with ANY
+    * NULL partition column gets a NULL composite key and is dropped by
+    * the operator's null-key drop, exactly like a NULL single key
+    * (`struct(a, b)` itself is never NULL, hence the explicit guard).
+    * (Earlier rounds derived an xxhash64 composite and joined the
+    * original tuples back — retired with the hashed-key contract: the
+    * join was an extra broadcast pass and a 64-bit collision both
+    * merged partitions AND duplicated restore rows.)
     */
   private def runMultiKey(df: DataFrame,
       st: CepSql.CepSqlStatement): DataFrame = {
-    val cols = st.partitionByCols
+    val res = run(df.withColumn("__mkey", multiKeyExpr(df, st.partitionByCols)),
+      st, st.specWithKey(Some("__mkey")))
+    val rest = res.columns.filterNot(_ == "__mkey").toSeq
+    res.select(st.partitionByCols.map(c =>
+      col("__mkey").getField(c).as(c)) ++ rest.map(col): _*)
+  }
+
+  /** The composite-key struct for a multi-column `PARTITION BY`: NULL
+    * when any member column is NULL (the operator's null-key drop then
+    * applies), the exact column tuple otherwise. Shared by the batch
+    * dispatch above and the streaming operators
+    * (`StreamingCep.matchPatternMeasures`).
+    */
+  private[cep] def multiKeyExpr(df: DataFrame,
+      cols: Seq[String]): Column = {
+    require(cols.nonEmpty, "multi-column PARTITION BY: empty column list")
     cols.foreach(c => require(df.columns.contains(c),
       s"multi-column PARTITION BY: '$c' is not a column of the input " +
         s"(have ${df.columns.mkString(", ")})"))
-    val hash = when(cols.map(col(_).isNotNull).reduce(_ && _),
-      xxhash64(cols.map(col): _*))
-    val res = run(df.withColumn("__mkey", hash), st,
-      st.specWithKey(Some("__mkey")))
-    val keyMap = df.select(cols.map(col): _*).distinct()
-      .withColumn("__mkey", hash).where(col("__mkey").isNotNull)
-    val rest = res.columns.filterNot(_ == "__mkey").toSeq
-    res.join(keyMap, Seq("__mkey"))
-      .select(cols.map(col) ++ rest.map(col): _*)
+    when(cols.map(col(_).isNotNull).reduce(_ && _),
+      struct(cols.map(col): _*))
   }
 
   /** k MEASURED statements on ONE shared scan: match every member with

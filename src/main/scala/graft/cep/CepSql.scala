@@ -79,14 +79,14 @@ package graft.cep
   *            output and never surfaces as an unmatched row —
   *            spec-pinned in `CepExclusionSpec`)
   *           [PARTITION BY col (',' col)*] [ORDER BY col]
-  *           (a MULTI-column PARTITION BY derives ONE xxhash64
-  *            composite key for matching — the hashed-key identity
-  *            contract single non-numeric keys already have — and the
-  *            execution path (`CepMeasures.run`) joins the original
-  *            columns back into the output, leading the schema. Batch
-  *            only; the shared scan and the streaming operators reject
-  *            it. ORDER BY stays single-column: the order column must
-  *            be one unique-per-key sequence — a documented deviation.)
+  *           (a MULTI-column PARTITION BY derives ONE composite
+  *            STRUCT key for matching — exact, like every key type —
+  *            and the execution paths (`CepMeasures.run`,
+  *            `StreamingCep.matchPatternMeasures`) expand the struct's
+  *            fields back into the output's leading columns. The
+  *            shared scan rejects it. ORDER BY stays single-column:
+  *            the order column must be one unique-per-key sequence —
+  *            a documented deviation.)
   *           [TYPE col [IN '(' t (',' t)* ')']]
   *           (the optional IN-list declares the EVENT-TYPE UNIVERSE
   *            inline, making the statement fully self-contained — the
@@ -995,10 +995,12 @@ object CepSql {
       /** SQL:2016 multi-column `PARTITION BY a, b, …` — non-empty (and
         * then always length >= 2) ONLY for a composite key;
         * `partitionBy` is None in that case. Executes through
-        * [[CepMeasures.run]], which derives one xxhash64 composite key
-        * column for matching and joins the original columns back into
-        * the output ([[CepMeasures]] `runMultiKey`); `spec` rejects it
-        * (the single-key operators cannot take a column LIST).
+        * [[CepMeasures.run]] (batch) or
+        * `StreamingCep.matchPatternMeasures` (streaming), which derive
+        * one EXACT composite struct-key column for matching and expand
+        * its fields back into the output's leading columns
+        * ([[CepMeasures]] `runMultiKey`); `spec` rejects it (the
+        * single-key operators cannot take a column LIST).
         */
       partitionByCols: Vector[String] = Vector.empty) {
     require(partitionByCols.isEmpty || partitionByCols.length >= 2,
@@ -1027,7 +1029,7 @@ object CepSql {
 
     /** [[spec]] with the key column overridden — the composite-key
       * execution path ([[CepMeasures]] `runMultiKey`) passes its
-      * derived hash column.
+      * derived struct column.
       */
     private[cep] def specWithKey(key: Option[String]): SparkCep.CepSpec = {
       val ord = orderBy.getOrElse(throw new IllegalArgumentException(

@@ -51,6 +51,14 @@ import StreamingCep.{BufEvent, CepStateEt, SerEvent, SerRun}
   *        a nav query; a nav query restoring a sig-less checkpoint is
   *        refused loudly by the operator (`StreamingCep.checkNavSig`),
   *        never silently treated as a partition start.
+  *
+  * EXACT KEYS (round 16) need NO version: the key never enters this
+  * payload — it is the state STORE's key, whose schema is now the key
+  * column's own type (`SparkCep.keyType`: long for numeric keys, so
+  * every pre-existing checkpoint restores unchanged; string/struct for
+  * the newly-exact key types). Switching a checkpoint's key TYPE is
+  * refused by Spark's state-store schema check before any payload is
+  * read — pinned in `CepExactKeySpec`.
   */
 object CepStateCodec {
 

@@ -27,10 +27,12 @@ object SparkCep {
     * (FIXTURES.md §3): `orderCol` must be unique-per-key and defines arrival
     * order; `attrCols` become integer attributes visible to conditions
     * (cast to long, truncating); the order column itself is always visible
-    * as an attribute under its own name. `keyCol` may be any type: numeric
-    * keys are used as-is (cast to long); non-numeric keys (strings, structs)
-    * are hashed to a long with xxhash64 — key identity is preserved, the
-    * numeric key value in the output is then a hash, not the original.
+    * as an attribute under its own name. `keyCol` may be any type and is
+    * EXACT for all of them: numeric keys cast to long (a fractional
+    * double key truncates — dedupe upstream if that distinction
+    * matters); non-numeric keys (strings, structs, …) are carried
+    * through the operator verbatim and appear in the output under their
+    * original type and value.
     */
   final case class CepSpec(
       keyCol: Option[String],
@@ -150,7 +152,7 @@ object SparkCep {
         prepared.repartition(1).sortWithinPartitions(col("__ord"))
     }
     val outSchema = StructType(Seq(
-      StructField(keyName, LongType, nullable = false),
+      StructField(keyName, keyType(df, spec), nullable = false),
       StructField("n_matches", LongType, nullable = false),
       StructField("shed_runs", LongType, nullable = false),
       StructField("cap", LongType, nullable = false)))
@@ -163,10 +165,12 @@ object SparkCep {
       new Iterator[Row] {
         def hasNext: Boolean = br.hasNext
         def next(): Row = {
-          val key = br.head.getLong(0)
+          // external Rows are fresh objects — generic key equality is
+          // exact for every key type (long, string, struct)
+          val key = br.head.get(0)
           executor.reset()
           var n = 0L
-          while (br.hasNext && br.head.getLong(0) == key) {
+          while (br.hasNext && br.head.get(0) == key) {
             val row = br.next()
             val attrs = Vector.newBuilder[(String, Long)]
             attrs += orderName -> row.getLong(1)
@@ -176,7 +180,7 @@ object SparkCep {
                 attrs += attrNames(i - 2) -> row.getLong(i)
               i += 1
             }
-            val isLast = !(br.hasNext && br.head.getLong(0) == key)
+            val isLast = !(br.hasNext && br.head.get(0) == key)
             n += executor.feed(Event(row.getString(2), attrs.result()),
               isLast).size
           }
@@ -231,7 +235,7 @@ object SparkCep {
         prepared.repartition(1).sortWithinPartitions(col("__ord"))
     }
     val outSchema = StructType(
-      StructField(keyName, LongType, nullable = false) +:
+      StructField(keyName, keyType(df, spec), nullable = false) +:
         piNames.map(n =>
           StructField(n, ArrayType(LongType, containsNull = false),
             nullable = false)))
@@ -245,10 +249,10 @@ object SparkCep {
         query.strategy, effMaxRuns, query.within, query.withinTime,
         captureTimeouts = true,
         anchorStart = query.anchorStart, anchorEnd = query.anchorEnd)
-      var curKey = 0L
+      var curKey: Any = null
       var started = false
       rows.flatMap { row =>
-        val key = row.getLong(0)
+        val key = row.get(0)
         if (!started || key != curKey) {
           executor.reset(); curKey = key; started = true
         }
@@ -299,7 +303,7 @@ object SparkCep {
     }
 
     val outSchema = StructType(
-      StructField(keyName, LongType, nullable = false) +:
+      StructField(keyName, keyType(df, spec), nullable = false) +:
         piNames.map(n =>
           StructField(n, ArrayType(LongType, containsNull = false),
             nullable = false))
@@ -325,12 +329,14 @@ object SparkCep {
       // disabled is a single null check, not an Option dispatch + closure
       val acc = skewAcc.orNull
       val guard = new CepRuntimeWarnings.UnkeyedCounter(unkeyedWarnRows)
-      var curKey = 0L
+      var curKey: Any = null
       var started = false
       var prevShed = 0L
       rows.flatMap { row =>
         guard.tick()
-        val key = row.getLong(0)
+        // generic (boxed) key: exact equality for every key type —
+        // external Rows hold fresh objects, so no copy is needed
+        val key = row.get(0)
         if (!started || key != curKey) {
           executor.reset(); prevShed = 0L; curKey = key; started = true
         }
@@ -344,10 +350,10 @@ object SparkCep {
         }
         val ev = Event(row.getString(2), attrs.result())
         val isLast = needLast &&
-          (!rows.hasNext || rows.head.getLong(0) != key)
+          (!rows.hasNext || rows.head.get(0) != key)
         val matches = executor.feed(ev, isLast)
         if (acc != null) {
-          acc.add((key, executor.runCount.toLong))
+          acc.add((keyGaugeId(key), executor.runCount.toLong))
           val sc = executor.shedCount
           if (sc != prevShed) { acc.addShed(sc - prevShed); prevShed = sc }
         }
@@ -386,7 +392,7 @@ object SparkCep {
     val spark = df.sparkSession
     GraftColumnBridge.addStrategy(spark, graft.plans.CepStrategy)
     val output =
-      AttributeReference(keyName, LongType, nullable = false)() +:
+      AttributeReference(keyName, keyType(df, spec), nullable = false)() +:
         piNames.map(n => AttributeReference(n,
           ArrayType(LongType, containsNull = false), nullable = false)())
     val plan = graft.plans.CepMatchPlan(query, spec.keyCol.isDefined,
@@ -451,7 +457,7 @@ object SparkCep {
     GraftColumnBridge.addStrategy(spark, graft.plans.CepStrategy)
     val output = Seq(
       AttributeReference("qname", StringType, nullable = false)(),
-      AttributeReference(keyName, LongType, nullable = false)(),
+      AttributeReference(keyName, keyType(df, spec), nullable = false)(),
       AttributeReference("binding", StringType, nullable = false)())
     val plan = graft.plans.CepMultiMatchPlan(queries.toVector,
       queries.map { case (_, q) => memberFeedTypes(q, spec) }.toVector,
@@ -579,32 +585,52 @@ object SparkCep {
     }
   }
 
-  /** Long key derivation shared by the batch and streaming operators:
-    * numeric key columns cast (truncating); non-numeric (string, struct —
-    * i.e. composite) keys hash via xxhash64, since a cast would null out
-    * (or, under ANSI, error on) every non-numeric value.
-    */
-  /** The operator's internal key is a LONG: numeric keys cast exactly;
-    * any other type (string/struct) goes through `xxhash64`. KNOWN
-    * TRADE-OFF at extreme cardinality: a 64-bit hash collision silently
-    * INTERLEAVES two entities' event sequences into one logical stream
-    * (birthday bound ≈ n²/2^65 — negligible at millions of keys, ~3%
-    * for ANY collision at 1B string keys, near-certain at 10B). For
-    * corpus-scale runs keyed by a string id, dictionary-encode the key
-    * to a unique long upstream (a one-off join against a key dimension)
-    * — numeric keys are exact. Documented in SCALE.md Known trade-offs;
-    * generalizing the operator contract to exact arbitrary-typed keys
-    * is the structural fix.
+  /** Key derivation shared by the batch and streaming operators — EXACT
+    * for every type: numeric key columns cast to long (the canonical
+    * integer key — exact, since the reference's key domain is integer
+    * ids; a fractional double key truncates, documented at `CepSpec`);
+    * any other type (string, struct/composite, date, …) is carried
+    * THROUGH the operator as-is — partitioning, in-partition grouping,
+    * state addressing and the output key column all use the original
+    * value, so two distinct keys can never merge. (Earlier rounds
+    * hashed non-numeric keys to a long with xxhash64, which admitted a
+    * silent 64-bit-collision interleave at corpus-scale key
+    * cardinality — retired; there is no collision budget anymore.)
     */
   private[cep] def keyExpr(df: DataFrame, spec: CepSpec): Column =
     spec.keyCol match {
       case Some(k) =>
         df.schema(k).dataType match {
           case _: NumericType => col(k).cast(LongType)
-          case _              => xxhash64(col(k))
+          case _              => col(k)
         }
       case None => lit(0L)
     }
+
+  /** The operator-facing type of the key column [[keyExpr]] derives:
+    * long for numeric (and the unkeyed sentinel), the column's own type
+    * otherwise. This is also the OUTPUT key column's type.
+    */
+  private[cep] def keyType(df: DataFrame, spec: CepSpec): DataType =
+    spec.keyCol match {
+      case Some(k) =>
+        df.schema(k).dataType match {
+          case _: NumericType => LongType
+          case dt             => dt
+        }
+      case None => LongType
+    }
+
+  /** Long surrogate of a key value for the skew gauge (telemetry only —
+    * never used for identity): the value itself for long keys, a
+    * deterministic hashCode otherwise. Two keys sharing a surrogate
+    * merely share a gauge label; match semantics are exact regardless.
+    */
+  private[graft] def keyGaugeId(key: Any): Long = key match {
+    case l: java.lang.Long => l.longValue()
+    case null              => 0L
+    case other             => other.hashCode.toLong
+  }
 
   /** Pre-NFA filter pushdown (SURVEY.md §4): a predicate applied *before*
     * the key shuffle, reaching the parquet scan — at corpus scale this cuts

@@ -108,11 +108,46 @@ object StreamingCep {
     Event(row.getString(typeIdx), attrs.result())
   }
 
-  private def matchToRow(key: Long, m: Match, piNames: Vector[String],
+  private def matchToRow(key: Any, m: Match, piNames: Vector[String],
       orderName: String): Row = {
     val byName = m.toMap
     Row.fromSeq(key +: piNames.map(n =>
       byName.getOrElse(n, Vector.empty).map(_(orderName))))
+  }
+
+  /** The per-key stateful dispatch shared by every streaming operator:
+    * group the prepared frame by its key column (ordinal 0) under the
+    * key's EXACT type and run `f` per key with explicit state/output
+    * encoders. Long (numeric/unkeyed), string and struct (multi-column
+    * `PARTITION BY`) keys are supported — the state store's KEY schema
+    * is the key's own type, so key identity is exact end-to-end (no
+    * hashed-key collision contract), and Spark's state schema check
+    * refuses a checkpoint whose key type changed, loudly. Numeric keys
+    * keep the exact long layout earlier rounds wrote — their
+    * checkpoints restore unchanged. Other key types: cast to long or
+    * string upstream, or wrap in a struct.
+    */
+  private def groupedFlatMap[S](prepared: DataFrame, keyDt: DataType,
+      timeout: GroupStateTimeout, stateEnc: Encoder[S],
+      outEnc: Encoder[Row])(
+      f: (Any, Iterator[Row], GroupState[S]) => Iterator[Row])
+      : Dataset[Row] = keyDt match {
+    case LongType =>
+      prepared.groupByKey(_.getLong(0))(Encoders.scalaLong)
+        .flatMapGroupsWithState[S, Row](OutputMode.Append(), timeout)(
+          (k: Long, rows, st) => f(k, rows, st))(stateEnc, outEnc)
+    case StringType =>
+      prepared.groupByKey(_.getString(0))(Encoders.STRING)
+        .flatMapGroupsWithState[S, Row](OutputMode.Append(), timeout)(
+          (k: String, rows, st) => f(k, rows, st))(stateEnc, outEnc)
+    case st0: StructType =>
+      prepared.groupByKey(_.getStruct(0))(Encoders.row(st0))
+        .flatMapGroupsWithState[S, Row](OutputMode.Append(), timeout)(
+          (k: Row, rows, st) => f(k, rows, st))(stateEnc, outEnc)
+    case other => throw new IllegalArgumentException(
+      s"streaming CEP key type $other is not supported — cast the key " +
+        "to a long or string upstream, or use a (multi-column) struct " +
+        "key (batch supports any key type)")
   }
 
   private def toSer(e: Event): SerEvent =
@@ -337,14 +372,14 @@ object StreamingCep {
     * one output Row.
     */
   private type SharedRender =
-    (Int, Long, Map[String, Vector[Event]], String) => Row
+    (Int, Any, Map[String, Vector[Event]], String) => Row
 
   /** Gated feed shared by the shared streaming operators (gate semantics
     * proven at `SparkCep.memberFeedTypes`); the output shape is the
     * renderer's affair.
     */
   private def feedShared(executors: Vector[Executor],
-      gates: Array[Set[String]], key: Long, orderName: String,
+      gates: Array[Set[String]], key: Any, orderName: String,
       ev: Event)(render: SharedRender): Seq[Row] =
     executors.indices.flatMap { i =>
       val gate = gates(i)
@@ -429,27 +464,23 @@ object StreamingCep {
     val orderName = attrNames.head
 
     val outSchema = StructType(
-      StructField(keyName, LongType, nullable = false) +:
+      StructField(keyName, SparkCep.keyType(df, spec), nullable = false) +:
         piNames.map(n =>
           StructField(n, ArrayType(LongType, containsNull = false),
             nullable = false)))
-    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[CepStateCodec.VersionedState] =
       Encoders.product[CepStateCodec.VersionedState]
-
-    import prepared.sparkSession.implicits._
 
     // compile once on the driver; the immutable DST ships in the closure
     // and is shared by every key in the task (state names resolve against
     // it stably across batches/restarts since compilation is deterministic)
     val dst = DstCompiler.compile(query)
 
-    prepared
-      .groupByKey(_.getLong(0))
-      .flatMapGroupsWithState[CepStateCodec.VersionedState, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[Row],
-            state: GroupState[CepStateCodec.VersionedState]) =>
+    groupedFlatMap[CepStateCodec.VersionedState](prepared,
+      SparkCep.keyType(df, spec), GroupStateTimeout.NoTimeout(),
+      stateEnc, outEnc) {
+        (key, rows, state) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
             query.within, query.withinTime,
             anchorStart = query.anchorStart)
@@ -533,6 +564,25 @@ object StreamingCep {
     */
   def matchPatternMeasures(df: DataFrame, st: CepSql.CepSqlStatement,
       spec: SparkCep.CepSpec, maxRunsPerKey: Option[Int] = None): DataFrame = {
+    // multi-column `PARTITION BY a, b, …` — the streaming form of
+    // `CepMeasures.runMultiKey`: derive the EXACT composite struct key,
+    // run single-key (the struct rides the state store's key schema
+    // verbatim — no restore join, no hash, batch-identical identity),
+    // and expand the struct back into the original leading columns.
+    if (st.partitionByCols.nonEmpty) {
+      require(spec.keyCol.isEmpty,
+        "matchPatternMeasures: the statement declares a multi-column " +
+          "PARTITION BY — pass a spec without keyCol (the composite " +
+          "key is derived from the statement)")
+      val keyed = df.withColumn("__mkey",
+        CepMeasures.multiKeyExpr(df, st.partitionByCols))
+      val inner = matchPatternMeasures(keyed,
+        st.copy(partitionByCols = Vector.empty),
+        spec.copy(keyCol = Some("__mkey")), maxRunsPerKey)
+      val rest = inner.columns.filterNot(_ == "__mkey").toSeq
+      return inner.select(st.partitionByCols.map(c =>
+        col("__mkey").getField(c).as(c)) ++ rest.map(col): _*)
+    }
     val query = st.query
     // nullary atoms are rejected wherever they appear — standalone or
     // inside a measure expression (MATCH_NUMBER() is legal in batch
@@ -553,25 +603,21 @@ object StreamingCep {
     val orderName = attrNames.head
 
     val outSchema = StructType(
-      StructField(keyName, LongType, nullable = false) +:
+      StructField(keyName, SparkCep.keyType(df, spec), nullable = false) +:
         st.measures.map(m =>
           StructField(m.alias, CepMeasures.itemDataType(m),
             nullable = true)))
-    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[CepStateCodec.VersionedState] =
       Encoders.product[CepStateCodec.VersionedState]
-
-    import prepared.sparkSession.implicits._
 
     val dst = DstCompiler.compile(query)
     val measures = st.measures
 
-    prepared
-      .groupByKey(_.getLong(0))
-      .flatMapGroupsWithState[CepStateCodec.VersionedState, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[Row],
-            state: GroupState[CepStateCodec.VersionedState]) =>
+    groupedFlatMap[CepStateCodec.VersionedState](prepared,
+      SparkCep.keyType(df, spec), GroupStateTimeout.NoTimeout(),
+      stateEnc, outEnc) {
+        (key, rows, state) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
             query.within, query.withinTime,
             anchorStart = query.anchorStart)
@@ -645,21 +691,18 @@ object StreamingCep {
     val (prepared, attrNames) = SparkCep.prepareWithFilter(df, None, spec)
     val orderName = attrNames.head
     val outSchema = StructType(
-      StructField(keyName, LongType, nullable = false) +:
+      StructField(keyName, SparkCep.keyType(df, spec), nullable = false) +:
         piNames.map(n =>
           StructField(n, ArrayType(LongType, containsNull = false),
             nullable = false)))
-    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[CepStateCodec.VersionedState] =
       Encoders.product[CepStateCodec.VersionedState]
-    import prepared.sparkSession.implicits._
     val dst = DstCompiler.compile(query)
-    prepared
-      .groupByKey(_.getLong(0))
-      .flatMapGroupsWithState[CepStateCodec.VersionedState, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[Row],
-            state: GroupState[CepStateCodec.VersionedState]) =>
+    groupedFlatMap[CepStateCodec.VersionedState](prepared,
+      SparkCep.keyType(df, spec), GroupStateTimeout.NoTimeout(),
+      stateEnc, outEnc) {
+        (key, rows, state) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
             query.within, query.withinTime, captureTimeouts = true,
             anchorStart = query.anchorStart)
@@ -751,7 +794,7 @@ object StreamingCep {
     val keyName = spec.keyCol.getOrElse("__global")
     val outSchema = StructType(Seq(
       StructField("qname", StringType, nullable = false),
-      StructField(keyName, LongType, nullable = false),
+      StructField(keyName, SparkCep.keyType(df, spec), nullable = false),
       StructField("binding", StringType, nullable = false)))
     sharedArrival(df, queries, spec, maxRunsPerKey, outSchema)(
       bindingRender(queries))
@@ -791,7 +834,7 @@ object StreamingCep {
     val keyName = spec.keyCol.getOrElse("__global")
     val outSchema = StructType(Seq(
       StructField("qname", StringType, nullable = false),
-      StructField(keyName, LongType, nullable = false),
+      StructField(keyName, SparkCep.keyType(df, spec), nullable = false),
       StructField("measures",
         MapType(StringType, LongType, valueContainsNull = true),
         nullable = false)))
@@ -822,11 +865,9 @@ object StreamingCep {
       spec)
     val orderName = attrNames.head
 
-    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stateEnc: Encoder[SharedMultiState] =
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[SharedMultiState] =
       Encoders.product[SharedMultiState]
-
-    import prepared.sparkSession.implicits._
 
     val qVec = queries.toVector
     val names = qVec.map(_._1)
@@ -837,11 +878,10 @@ object StreamingCep {
         SparkCep.memberFeedTypes(q, spec).orNull
       }.toArray
 
-    prepared
-      .groupByKey(_.getLong(0))
-      .flatMapGroupsWithState[SharedMultiState, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[Row], state: GroupState[SharedMultiState]) =>
+    groupedFlatMap[SharedMultiState](prepared,
+      SparkCep.keyType(df, spec), GroupStateTimeout.NoTimeout(),
+      stateEnc, outEnc) {
+        (key, rows, state) =>
           val executors = qVec.zipWithIndex.map { case ((_, q), i) =>
             new Executor(dsts(i), q.strategy, effMaxRuns,
               q.within, q.withinTime,
@@ -911,7 +951,8 @@ object StreamingCep {
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     val outSchema = StructType(
-      StructField(keyName, LongType, nullable = false) +:
+      StructField(keyName, SparkCep.keyType(df, spec),
+        nullable = false) +:
         piNames.map(n =>
           StructField(n, ArrayType(LongType, containsNull = false),
             nullable = false)))
@@ -932,11 +973,28 @@ object StreamingCep {
   def matchPatternMeasuresEventTime(df: DataFrame,
       st: CepSql.CepSqlStatement, spec: SparkCep.CepSpec, tsCol: String,
       delay: String, maxRunsPerKey: Option[Int] = None): DataFrame = {
+    // multi-column PARTITION BY: exact composite struct key, expanded
+    // back into the leading output columns (see matchPatternMeasures)
+    if (st.partitionByCols.nonEmpty) {
+      require(spec.keyCol.isEmpty,
+        "matchPatternMeasuresEventTime: the statement declares a " +
+          "multi-column PARTITION BY — pass a spec without keyCol " +
+          "(the composite key is derived from the statement)")
+      val keyed = df.withColumn("__mkey",
+        CepMeasures.multiKeyExpr(df, st.partitionByCols))
+      val inner = matchPatternMeasuresEventTime(keyed,
+        st.copy(partitionByCols = Vector.empty),
+        spec.copy(keyCol = Some("__mkey")), tsCol, delay, maxRunsPerKey)
+      val rest = inner.columns.filterNot(_ == "__mkey").toSeq
+      return inner.select(st.partitionByCols.map(c =>
+        col("__mkey").getField(c).as(c)) ++ rest.map(col): _*)
+    }
     validateStreamingMeasures(st, spec,
       "matchPatternMeasuresEventTime", allowClassifier = true)
     val keyName = spec.keyCol.getOrElse("__global")
     val outSchema = StructType(
-      StructField(keyName, LongType, nullable = false) +:
+      StructField(keyName, SparkCep.keyType(df, spec),
+        nullable = false) +:
         st.measures.map(m =>
           StructField(m.alias, CepMeasures.itemDataType(m),
             nullable = true)))
@@ -1004,7 +1062,7 @@ object StreamingCep {
   private def etSingle(df: DataFrame, query: CepQuery,
       spec: SparkCep.CepSpec, tsCol: String, delay: String,
       maxRunsPerKey: Option[Int], outSchema: StructType)(
-      render: (Long, Map[String, Vector[Event]], String) => Row)
+      render: (Any, Map[String, Vector[Event]], String) => Row)
       : DataFrame = {
     // PREV is history-fed AT RELEASE TIME: the NFA consumes events in
     // watermark-released (ts, ord) order, so that is the physical-row
@@ -1019,20 +1077,16 @@ object StreamingCep {
     val (prepared, attrNames) = etPrepare(df, None, spec, tsCol, delay)
     val orderName = attrNames.head
 
-    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[CepStateCodec.VersionedState] =
       Encoders.product[CepStateCodec.VersionedState]
-
-    import prepared.sparkSession.implicits._
 
     val dst = DstCompiler.compile(query)
 
-    prepared
-      .groupByKey(_.getLong(0))
-      .flatMapGroupsWithState[CepStateCodec.VersionedState, Row](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: Long, rows: Iterator[Row],
-            state: GroupState[CepStateCodec.VersionedState]) =>
+    groupedFlatMap[CepStateCodec.VersionedState](prepared,
+      SparkCep.keyType(df, spec), GroupStateTimeout.EventTimeTimeout(),
+      stateEnc, outEnc) {
+        (key, rows, state) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
             query.within, query.withinTime,
             anchorStart = query.anchorStart)
@@ -1120,21 +1174,19 @@ object StreamingCep {
     val (prepared, attrNames) = etPrepare(df, None, spec, tsCol, delay)
     val orderName = attrNames.head
     val outSchema = StructType(
-      StructField(keyName, LongType, nullable = false) +:
+      StructField(keyName, SparkCep.keyType(df, spec),
+        nullable = false) +:
         piNames.map(n =>
           StructField(n, ArrayType(LongType, containsNull = false),
             nullable = false)))
-    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stateEnc: Encoder[CepStateCodec.VersionedState] =
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[CepStateCodec.VersionedState] =
       Encoders.product[CepStateCodec.VersionedState]
-    import prepared.sparkSession.implicits._
     val dst = DstCompiler.compile(query)
-    prepared
-      .groupByKey(_.getLong(0))
-      .flatMapGroupsWithState[CepStateCodec.VersionedState, Row](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: Long, rows: Iterator[Row],
-            state: GroupState[CepStateCodec.VersionedState]) =>
+    groupedFlatMap[CepStateCodec.VersionedState](prepared,
+      SparkCep.keyType(df, spec), GroupStateTimeout.EventTimeTimeout(),
+      stateEnc, outEnc) {
+        (key, rows, state) =>
           val executor = new Executor(dst, query.strategy, effMaxRuns,
             query.within, query.withinTime, captureTimeouts = true,
             anchorStart = query.anchorStart)
@@ -1235,7 +1287,7 @@ object StreamingCep {
     val keyName = spec.keyCol.getOrElse("__global")
     val outSchema = StructType(Seq(
       StructField("qname", StringType, nullable = false),
-      StructField(keyName, LongType, nullable = false),
+      StructField(keyName, SparkCep.keyType(df, spec), nullable = false),
       StructField("binding", StringType, nullable = false)))
     sharedEventTime(df, queries, spec, tsCol, delay, maxRunsPerKey,
       outSchema)(bindingRender(queries))
@@ -1266,7 +1318,7 @@ object StreamingCep {
     val keyName = spec.keyCol.getOrElse("__global")
     val outSchema = StructType(Seq(
       StructField("qname", StringType, nullable = false),
-      StructField(keyName, LongType, nullable = false),
+      StructField(keyName, SparkCep.keyType(df, spec), nullable = false),
       StructField("measures",
         MapType(StringType, LongType, valueContainsNull = true),
         nullable = false)))
@@ -1299,11 +1351,9 @@ object StreamingCep {
       spec, tsCol, delay)
     val orderName = attrNames.head
 
-    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stateEnc: Encoder[SharedMultiStateEt] =
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[SharedMultiStateEt] =
       Encoders.product[SharedMultiStateEt]
-
-    import prepared.sparkSession.implicits._
 
     val qVec = queries.toVector
     val names = qVec.map(_._1)
@@ -1313,11 +1363,10 @@ object StreamingCep {
         SparkCep.memberFeedTypes(q, spec).orNull
       }.toArray
 
-    prepared
-      .groupByKey(_.getLong(0))
-      .flatMapGroupsWithState[SharedMultiStateEt, Row](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: Long, rows: Iterator[Row], state: GroupState[SharedMultiStateEt]) =>
+    groupedFlatMap[SharedMultiStateEt](prepared,
+      SparkCep.keyType(df, spec), GroupStateTimeout.EventTimeTimeout(),
+      stateEnc, outEnc) {
+        (key, rows, state) =>
           val executors = qVec.zipWithIndex.map { case ((_, q), i) =>
             new Executor(dsts(i), q.strategy, effMaxRuns,
               q.within, q.withinTime,

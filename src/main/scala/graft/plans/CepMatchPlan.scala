@@ -91,8 +91,47 @@ final case class CepMultiMatchPlan(
   *  - a null type is a non-matching event type (matchPattern
   *    semantics — it still advances strict contiguity), never an NPE.
   */
+/** Typed access to the child's key column (ordinal 0) for the exec
+  * loops — EXACT for every key type. `read` returns a TRANSIENT value
+  * for var-length types (a `UTF8String`/struct view into the child's
+  * reused UnsafeRow buffer): `copy` it before holding it across rows
+  * (the per-key `curKey`), and only ever compare a fresh read against a
+  * held COPY (`UTF8String`/`UnsafeRow` equality is value/byte equality,
+  * and both sides of a comparison come from the same child projection,
+  * so byte equality is value equality). Long keys read primitively and
+  * box — immutable, no copy needed.
+  */
+private[plans] object CepKeyAccess {
+  def reader(dt: org.apache.spark.sql.types.DataType)
+      : InternalRow => Any = dt match {
+    case org.apache.spark.sql.types.LongType => r => r.getLong(0)
+    case org.apache.spark.sql.types.StringType => r => r.getUTF8String(0)
+    case st: org.apache.spark.sql.types.StructType =>
+      r => r.getStruct(0, st.size)
+    case other => r => r.get(0, other)
+  }
+  def copier(dt: org.apache.spark.sql.types.DataType): Any => Any =
+    dt match {
+      case org.apache.spark.sql.types.StringType =>
+        v => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
+      case _: org.apache.spark.sql.types.StructType =>
+        v => v.asInstanceOf[InternalRow].copy()
+      case org.apache.spark.sql.types.BinaryType =>
+        v => v.asInstanceOf[Array[Byte]].clone()
+      case _ => identity
+    }
+  /** Value equality; binary keys need content comparison. */
+  def eq(dt: org.apache.spark.sql.types.DataType)
+      : (Any, Any) => Boolean = dt match {
+    case org.apache.spark.sql.types.BinaryType =>
+      (a, b) => java.util.Arrays.equals(
+        a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case _ => (a, b) => a == b
+  }
+}
+
 private[plans] object CepRowDecode {
-  def decode(row: InternalRow, key: Long, aNames: Vector[String],
+  def decode(row: InternalRow, key: Any, aNames: Vector[String],
       oName: String): Event = {
     if (row.isNullAt(1)) throw new IllegalArgumentException(
       s"CEP order column is null for key $key — order values must be " +
@@ -171,6 +210,7 @@ final case class CepMatchExec(
       if (keyed) Long.MaxValue
       else conf.getConfString(CepRuntimeWarnings.UnkeyedWarnRowsKey,
         CepRuntimeWarnings.UnkeyedWarnRowsDefault.toString).toLong
+    val keyDt = child.output.head.dataType
     child.execute().mapPartitions({ iter0 =>
       val proj = UnsafeProjection.create(outTypes)
       val executor =
@@ -180,28 +220,35 @@ final case class CepMatchExec(
       // `$` needs the last-event-of-key flag — one-element lookahead.
       // UNSAFE-ROW CAUTION: the child iterator reuses its row buffer, so
       // `iter.head` invalidates the current row — the peek must happen
-      // AFTER the row is fully decoded (key long + Event copy), which
+      // AFTER the row is fully decoded (key copy + Event copy), which
       // the body below guarantees (decode first, peek, then feed).
       val iter = iter0.buffered
       val needLast = q.anchorEnd
       // gauge resolved once per task; disabled cost is one null check
       val acc = skew.orNull
       val guard = new CepRuntimeWarnings.UnkeyedCounter(unkeyedWarnRows)
-      var curKey = 0L
+      val keyGet = CepKeyAccess.reader(keyDt)
+      val keyCopy = CepKeyAccess.copier(keyDt)
+      val keyEq = CepKeyAccess.eq(keyDt)
+      // curKey always holds a COPY (safe across the row-buffer reuse);
+      // transient reads are only ever compared against it, never held
+      var curKey: Any = null
       var started = false
       var prevShed = 0L
       iter.flatMap { row =>
         guard.tick()
-        val key = row.getLong(0)
-        if (!started || key != curKey) {
-          executor.reset(); prevShed = 0L; curKey = key; started = true
+        val k0 = keyGet(row)
+        if (!started || !keyEq(k0, curKey)) {
+          executor.reset(); prevShed = 0L
+          curKey = keyCopy(k0); started = true
         }
-        val ev = CepRowDecode.decode(row, key, aNames, oName)
+        val ev = CepRowDecode.decode(row, curKey, aNames, oName)
         val isLast = needLast &&
-          (!iter.hasNext || iter.head.getLong(0) != key)
+          (!iter.hasNext || !keyEq(keyGet(iter.head), curKey))
         val matches = executor.feed(ev, isLast)
         if (acc != null) {
-          acc.add((key, executor.runCount.toLong))
+          acc.add((graft.cep.SparkCep.keyGaugeId(curKey),
+            executor.runCount.toLong))
           // shed telemetry: delta since the last event (reset() zeroes
           // the executor's counter at each key switch)
           val sc = executor.shedCount
@@ -214,7 +261,7 @@ final case class CepMatchExec(
         matches.iterator.map { m =>
           val byName = m.toMap
           val vals = new Array[Any](nOut)
-          vals(0) = key
+          vals(0) = curKey
           var j = 0
           while (j < names.length) {
             val ids = byName.getOrElse(names(j), Vector.empty)
@@ -293,6 +340,7 @@ final case class CepMultiMatchExec(
       if (keyed) Long.MaxValue
       else conf.getConfString(CepRuntimeWarnings.UnkeyedWarnRowsKey,
         CepRuntimeWarnings.UnkeyedWarnRowsDefault.toString).toLong
+    val keyDt = child.output.head.dataType
     child.execute().mapPartitions({ iter0 =>
       import org.apache.spark.unsafe.types.UTF8String
       val proj = UnsafeProjection.create(outTypes)
@@ -318,19 +366,23 @@ final case class CepMultiMatchExec(
       val matchesByQ = new Array[Vector[graft.cep.Match]](executors.length)
       val acc = skew.orNull
       val guard = new CepRuntimeWarnings.UnkeyedCounter(unkeyedWarnRows)
-      var curKey = 0L
+      val keyGet = CepKeyAccess.reader(keyDt)
+      val keyCopy = CepKeyAccess.copier(keyDt)
+      val keyEq = CepKeyAccess.eq(keyDt)
+      // curKey always holds a COPY (see CepMatchExec)
+      var curKey: Any = null
       var started = false
       var prevShed = 0L
       iter.flatMap { row =>
         guard.tick()
-        val key = row.getLong(0)
-        if (!started || key != curKey) {
+        val k0 = keyGet(row)
+        if (!started || !keyEq(k0, curKey)) {
           executors.foreach(_.reset()); prevShed = 0L
-          curKey = key; started = true
+          curKey = keyCopy(k0); started = true
         }
-        val ev = CepRowDecode.decode(row, key, aNames, oName)
+        val ev = CepRowDecode.decode(row, curKey, aNames, oName)
         val isLast = needLast &&
-          (!iter.hasNext || iter.head.getLong(0) != key)
+          (!iter.hasNext || !keyEq(keyGet(iter.head), curKey))
         val tpe = ev.tpe
         var maxRunCount = 0L
         // feed every member eagerly (the gauge samples POST-feed run
@@ -358,7 +410,7 @@ final case class CepMultiMatchExec(
           qi += 1
         }
         if (acc != null) {
-          acc.add((key, maxRunCount))
+          acc.add((graft.cep.SparkCep.keyGaugeId(curKey), maxRunCount))
           var sc = 0L
           var si = 0
           while (si < executors.length) { sc += executors(si).shedCount; si += 1 }
@@ -391,7 +443,7 @@ final case class CepMultiMatchExec(
               }
               j += 1
             }
-            proj(new GenericInternalRow(Array[Any](names(q), key,
+            proj(new GenericInternalRow(Array[Any](names(q), curKey,
               UTF8String.fromString(sb.toString))))
           }
         }

@@ -8,7 +8,8 @@ import org.scalatest.BeforeAndAfterAll
 
 /** Sinks (CSV/JSON/Parquet round-trips of match frames, reference-format
   * testcase artifacts) and composite (multi-column) keys via a struct key
-  * column hashed with xxhash64.
+  * column carried through the operator EXACTLY (output key = the
+  * original struct value).
   */
 class MatchSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -72,7 +73,7 @@ class MatchSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "0,\"t.yml\",\"pat\",\"[]\",\"a: e(1,1,0); b: e(2,2,0)\",1.5")
   }
 
-  test("composite keys: struct column hashes per distinct (k1, k2) pair") {
+  test("composite keys: struct column is carried exactly per (k1, k2) pair") {
     val s = spark
     import s.implicits._
     // two composite entities sharing user_id 1 but differing in device
@@ -91,10 +92,11 @@ class MatchSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSet
     // strict pairs only within each composite (user, device) sequence
     assert(out == Set((1L, 2L), (3L, 4L), (5L, 6L)))
-    // distinct composite keys map to distinct hashed key values
+    // the OUTPUT key is the original struct value, exactly
     val keys = SparkCep.matchPattern(df, q,
       SparkCep.CepSpec(Some("__ck"), "event_id", "event_type", Seq("value")))
-      .collect().map(_.getLong(0)).toSet
-    assert(keys.size == 3)
+      .collect().map(r => (r.getStruct(0).getLong(0),
+        r.getStruct(0).getString(1))).toSet
+    assert(keys == Set((1L, "ph"), (1L, "pc"), (2L, "ph")))
   }
 }

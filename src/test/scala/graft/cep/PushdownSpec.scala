@@ -144,7 +144,7 @@ class PushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(neg)
   }
 
-  test("non-numeric (string) keys are hashed, not cast to null") {
+  test("non-numeric (string) keys are carried through exactly") {
     val s = spark
     import s.implicits._
     val strEvents = events.map { case (k, id, t, v) => (s"user-$k", id, t, v) }
@@ -153,15 +153,15 @@ class PushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       Pattern.Combine(Contiguity.Relaxed, Pattern.spat("x", "a", "True"),
         Pattern.spat("y", "b", "True")), schema)
     val got = SparkCep.matchPattern(df, q, spec).collect().map { r =>
-      (r.getLong(0), r.getSeq[Long](1).mkString("+"),
+      (r.getString(0), r.getSeq[Long](1).mkString("+"),
         r.getSeq[Long](2).mkString("+"))
     }
-    // same match multiset as the numeric-key ground truth, with distinct
-    // string keys mapped to distinct hashed longs
+    // same match multiset as the numeric-key ground truth, with the
+    // ORIGINAL string keys in the output (exact-key contract)
     val want = groundTruth(q)
     assert(got.length == want.size)
-    assert(got.map(_._1).distinct.length ==
-      want.map(_._1).toSeq.distinct.length)
+    assert(got.map(_._1).toSet ==
+      want.map(k => s"user-${k._1}").toSet)
   }
 
   test("null attribute raises in both pushed and non-pushed paths") {
