@@ -389,6 +389,67 @@ object Queries {
       |  FROM w WHERE event_type = 'click' AND nt = 'purchase')
       |ORDER BY qname, user_id, s_id""".stripMargin
 
+  /** `ALL ROWS PER MATCH` members on the SHARED scan
+    * (`CepMeasures.runShared` now admits every rows-per-match mode):
+    * two adjacent-pair statements matched in ONE operator pass, each
+    * emitting one row PER BOUND EVENT with running measures — order ids
+    * suffice, since `allRows` reconstructs the per-event rows from the
+    * shared frame's binding arrays plus the events table. Under the
+    * strict pairs the running SUM is NULL on the head row and the
+    * purchase value on the pair row, `match_no` is the per-user pair
+    * sequence, and the oracle is one LEAD pass expanded two-rows-per-
+    * pair. Mixed-mode sets (ONE ROW + ALL ROWS + UNMATCHED + SHOW
+    * EMPTY) are single-sweep-pinned in `CepSharedSinglePassSpec`.
+    */
+  val cepSqlSharedAllRowsStatements: Seq[(String, String)] = Seq(
+    "sp_rows" ->
+      ("PATTERN (s p) MEASURES SUM(p.value) AS val " +
+        "ALL ROWS PER MATCH DEFINE s AS signup; p AS purchase"),
+    "cp_rows" ->
+      ("PATTERN (c p) MEASURES SUM(p.value) AS val " +
+        "ALL ROWS PER MATCH DEFINE c AS click; p AS purchase"))
+
+  def cepSqlSharedAllRows(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.runShared(table(spark, dir, "events"),
+      CepSql.parseStatements(cepSqlSharedAllRowsStatements, eventSchema),
+      eventSpec)
+      .map { case (n, df) => df.select(lit(n).as("qname"),
+        col("user_id"), col("match_no"), col("classifier"),
+        col("event_id"), col("val")) }
+      .reduce(_ unionByName _)
+      .orderBy("qname", "user_id", "match_no", "event_id")
+
+  val cepSqlSharedAllRowsSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type) OVER win AS nt,
+      |    LEAD(event_id) OVER win AS nid,
+      |    LEAD(CAST(FLOOR(value) AS BIGINT)) OVER win AS nv
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id)),
+      |sp AS (
+      |  SELECT user_id, event_id AS s_id, nid AS p_id, nv AS val,
+      |    CAST(row_number() OVER
+      |      (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS mno
+      |  FROM w WHERE event_type = 'signup' AND nt = 'purchase'),
+      |cp AS (
+      |  SELECT user_id, event_id AS s_id, nid AS p_id, nv AS val,
+      |    CAST(row_number() OVER
+      |      (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS mno
+      |  FROM w WHERE event_type = 'click' AND nt = 'purchase')
+      |SELECT qname, user_id, match_no, classifier, event_id, val FROM (
+      |  SELECT 'sp_rows' AS qname, user_id, mno AS match_no,
+      |    's' AS classifier, s_id AS event_id, CAST(NULL AS BIGINT) AS val
+      |  FROM sp
+      |  UNION ALL
+      |  SELECT 'sp_rows', user_id, mno, 'p', p_id, val FROM sp
+      |  UNION ALL
+      |  SELECT 'cp_rows', user_id, mno, 'c', s_id, CAST(NULL AS BIGINT)
+      |  FROM cp
+      |  UNION ALL
+      |  SELECT 'cp_rows', user_id, mno, 'p', p_id, val FROM cp)
+      |ORDER BY qname, user_id, match_no, event_id""".stripMargin
+
   /** Beyond-parity negative pattern (FlinkCEP `notNext`): signup
     * immediately followed by a purchase that is NOT cheap (`value < 50`
     * negated) — a cheap purchase right after the signup is a stop, not a
@@ -1981,6 +2042,120 @@ object Queries {
       |    AS BIGINT) AS mn
       |FROM events
       |ORDER BY user_id, mn""".stripMargin
+
+  /** `SHOW EMPTY MATCHES` under an ANCHOR skip strategy (`AFTER MATCH
+    * SKIP TO LAST c`): sites are the events outside the PRUNE-ADJUSTED
+    * spans `[start, max(start, anchor - 1)]` — the resume-point event
+    * gets a fresh attempt and can itself host an empty match. With
+    * strict click pairs (`c{2,2}`), anchor pruning keeps every
+    * overlapping pair (a run first-taking at the raised threshold
+    * survives), each pair's span covers only its START, and an `error`
+    * match binds no `c` (NoSkip fallback — degenerate span covers
+    * itself). So: a click followed by a click starts a pair match; an
+    * error is an `x` match; EVERY other event — including the second
+    * click of a pair that starts none — is an empty-match site. Every
+    * event anchors exactly one match or site, so `match_no` is the
+    * per-user event sequence number and the oracle is the closed
+    * lead()-form below.
+    */
+  val cepSqlShowEmptyAnchorStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (c{2,2} | x{0,1}) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.value) AS sv " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE c AS click; x AS error AFTER MATCH SKIP TO LAST c",
+      eventSchema)
+
+  def cepSqlShowEmptyAnchor(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlShowEmptyAnchorStatement)
+      .orderBy("user_id", "match_no", "event_id")
+
+  val cepSqlShowEmptyAnchorSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    lead(event_type) OVER w AS nt,
+      |    lead(event_id) OVER w AS nid,
+      |    CAST(FLOOR(lead(value) OVER w) AS BIGINT) AS nv,
+      |    CAST(row_number() OVER w AS BIGINT) AS mno
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT * FROM (
+      |  SELECT user_id, mno AS match_no, 'c' AS classifier, event_id,
+      |    CAST(1 AS BIGINT) AS n_c, v AS sv
+      |  FROM seqd WHERE event_type = 'click' AND nt = 'click'
+      |  UNION ALL
+      |  SELECT user_id, mno, 'c', nid, CAST(2 AS BIGINT), v + nv
+      |  FROM seqd WHERE event_type = 'click' AND nt = 'click'
+      |  UNION ALL
+      |  SELECT user_id, mno, 'x', event_id, CAST(0 AS BIGINT),
+      |    CAST(NULL AS BIGINT)
+      |  FROM seqd WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT user_id, mno, CAST(NULL AS VARCHAR), event_id,
+      |    CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM seqd WHERE event_type <> 'error'
+      |    AND NOT (event_type = 'click' AND COALESCE(nt, '') = 'click'))
+      |ORDER BY user_id, match_no, event_id""".stripMargin
+
+  /** TYPED STRING ATTRIBUTES (round 16, beyond-reference —
+    * [[graft.cep.Event]] `strs`): a STRING input column rides the CEP
+    * event model end-to-end, type-driven from the input schema
+    * (`SparkCep.attrProj`). Here a derived `host` column (`'h' +
+    * props.k % 3` — a real string dimension of the events table)
+    * gates the click take in DEFINE (`host == 'h1'` — equality against
+    * a literal, the string tier's admission rule) and surfaces through
+    * a STRING-typed `LAST(c.host)` measure. Long-only invariants hold
+    * everywhere else (arithmetic/registers reject loudly —
+    * `CepStringAttrSpec`). The oracle replays the derivation and the
+    * first-qualifying-click-within-6 semantics in closed form
+    * (positional WITHIN disables the pushdown, so steps are RAW
+    * per-user positions — same discipline as `cep_within_*`).
+    */
+  val eventSchemaHost: Vector[(String, Vector[String])] =
+    eventSchema.map { case (t, attrs) => (t, attrs :+ "host") }
+
+  val cepSqlStringAttrStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c) " +
+        "MEASURES FIRST(s) AS s_id, LAST(c) AS c_id, " +
+        "LAST(c.host) AS c_host, SUM(c.value) AS c_v " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click WHERE host == 'h1' WITHIN 6",
+      eventSchemaHost)
+
+  def cepSqlStringAttr(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(
+      table(spark, dir, "events").withColumn("host",
+        concat(lit("h"), (regexp_extract(col("props"), "[0-9]+", 0)
+          .cast("long") % 3).cast("string"))),
+      cepSqlStringAttrStatement)
+      .orderBy("user_id", "s_id")
+
+  val cepSqlStringAttrSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    'h' || CAST(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)
+      |      % 3 AS VARCHAR) AS host,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS step
+      |  FROM events),
+      |s AS (SELECT user_id, event_id AS s_id, step AS astep
+      |      FROM r WHERE event_type = 'signup'),
+      |c AS (SELECT user_id, step FROM r
+      |      WHERE event_type = 'click' AND host = 'h1'),
+      |fp AS (
+      |  SELECT s.user_id, s.s_id, min(c.step) AS bstep
+      |  FROM s JOIN c ON c.user_id = s.user_id AND c.step > s.astep
+      |    AND c.step - s.astep < 6
+      |  GROUP BY 1, 2)
+      |SELECT f.user_id, f.s_id, r.event_id AS c_id, r.host AS c_host,
+      |  r.v AS c_v
+      |FROM fp f JOIN r ON r.user_id = f.user_id AND r.step = f.bstep
+      |ORDER BY f.user_id, f.s_id""".stripMargin
 
   /** SQL:2016 `COUNT(*)` / `COUNT(name.*)` in MEASURES (parse-side
     * sugar — `COUNT(*)` desugars to the sum of the per-name positional
@@ -7369,9 +7544,11 @@ object Queries {
     "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
     "cep_sql_unmatched" -> cepSqlUnmatched _,
     "cep_sql_show_empty" -> cepSqlShowEmpty _,
+    "cep_sql_show_empty_anchor" -> cepSqlShowEmptyAnchor _,
     "cep_sql_one_row_empty" -> cepSqlOneRowEmpty _,
     "cep_sql_multi_key" -> cepSqlMultiKey _,
     "cep_string_key" -> cepStringKey _,
+    "cep_sql_string_attr" -> cepSqlStringAttr _,
     "cep_sql_count_star" -> cepSqlCountStar _,
     "cep_sql_classifier_target" -> cepSqlClassifierTarget _,
     "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmpty _,
@@ -7391,6 +7568,7 @@ object Queries {
     "cep_multi_shared_pushdown" -> cepMultiSharedPushdown _,
     "cep_sql_multi_shared" -> cepSqlMultiShared _,
     "cep_sql_multi_measures" -> cepSqlMultiMeasures _,
+    "cep_sql_shared_all_rows" -> cepSqlSharedAllRows _,
     "rel_q1_pricing" -> relQ1Pricing _,
     "rel_q3_top_orders" -> relQ3TopOrders _,
     "rel_nation_stats" -> relNationStats _,
@@ -7516,6 +7694,7 @@ object Queries {
     "cep_multi_shared_pushdown" -> cepMultiSharedPushdownSql,
     "cep_sql_multi_shared" -> cepSqlMultiSharedSql,
     "cep_sql_multi_measures" -> cepSqlMultiMeasuresSql,
+    "cep_sql_shared_all_rows" -> cepSqlSharedAllRowsSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_lsh_calibration" -> dedupLshCalibrationSql,
     "dedup_incremental" -> dedupIncrementalSql,
@@ -7549,9 +7728,11 @@ object Queries {
     "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,
     "cep_sql_show_empty" -> cepSqlShowEmptySql,
+    "cep_sql_show_empty_anchor" -> cepSqlShowEmptyAnchorSql,
     "cep_sql_one_row_empty" -> cepSqlOneRowEmptySql,
     "cep_sql_multi_key" -> cepSqlMultiKeySql,
     "cep_string_key" -> cepStringKeySql,
+    "cep_sql_string_attr" -> cepSqlStringAttrSql,
     "cep_sql_count_star" -> cepSqlCountStarSql,
     "cep_sql_classifier_target" -> cepSqlClassifierTargetSql,
     "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmptySql,

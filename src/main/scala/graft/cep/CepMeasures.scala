@@ -232,6 +232,43 @@ object CepMeasures {
   private[cep] def isAttrTier(m: Measure): Boolean =
     m.attr.isDefined || m.argExpr.isDefined
 
+  /** The STRING-typed attributes of the events table under `spec`
+    * (round 16, type-driven — the input column's Spark type decides,
+    * mirroring `SparkCep.attrProj`).
+    */
+  private[cep] def strAttrsOf(events: DataFrame, spec: CepSpec)
+      : Set[String] =
+    spec.attrCols.filter(a =>
+      events.columns.contains(a) &&
+        events.schema(a).dataType == StringType).toSet
+
+  /** The string tier's measure envelope: a string attribute is readable
+    * by plain `FIRST`/`LAST` (the value — STRING-typed output) and
+    * `COUNT` (non-null count, with or without DISTINCT) measures only.
+    * Arithmetic of any kind — SUM/MIN/MAX/AVG, aggregate-argument
+    * expressions, measure expressions — stays Long-only by design and
+    * rejects loudly.
+    */
+  private[cep] def requireStrMeasuresSupported(measures: Vector[MeasureItem],
+      strAttrs: Set[String]): Unit =
+    if (strAttrs.nonEmpty) measures.foreach { item =>
+      val strAtoms = MeasureItem.atomsOf(item)
+        .filter(m => attrsOf(m).exists(strAttrs.contains))
+      strAtoms.foreach { m =>
+        require(m.argExpr.isEmpty,
+          s"MEASURES: '${item.alias}' — argument expressions are long " +
+            "arithmetic; string attributes are FIRST/LAST/COUNT-only")
+        require(m.fn == Fn.First || m.fn == Fn.Last || m.fn == Fn.Count,
+          s"MEASURES: ${m.fn.sqlName}(${m.name}.${m.attr.getOrElse("")}) " +
+            "— a string attribute supports FIRST/LAST (the value) and " +
+            "COUNT (non-null count) only; no arithmetic aggregates")
+      }
+      if (strAtoms.nonEmpty) require(item.isInstanceOf[Measure],
+        s"MEASURES: expression '${item.alias}' reads a string " +
+          "attribute — measure expressions are long arithmetic; use a " +
+          "plain FIRST/LAST/COUNT measure")
+    }
+
   /** Every event attribute the measure reads at the joined event. */
   private[cep] def attrsOf(m: Measure): Vector[String] =
     m.attr.map(Vector(_)).getOrElse(m.argExpr.fold(Vector.empty[String])(
@@ -679,10 +716,17 @@ object CepMeasures {
     */
   private def eventSide(events: DataFrame, spec: CepSpec,
       attrs: Seq[String], shifts: Seq[(String, Int)] = Nil): DataFrame = {
+    // type-driven (round 16): STRING attr columns stay strings — the
+    // FIRST/LAST string-measure values; everything else keeps the
+    // integer model (mirrors SparkCep.attrProj)
+    def proj(a: String): Column = events.schema(a).dataType match {
+      case StringType => col(a).as(s"__a_$a")
+      case _          => col(a).cast(LongType).as(s"__a_$a")
+    }
     val base = events.select(
       SparkCep.keyExpr(events, spec).as("__k") +:
         col(spec.orderCol).cast(LongType).as("__eord") +:
-        attrs.map(a => col(a).cast(LongType).as(s"__a_$a")): _*)
+        attrs.map(proj): _*)
     if (shifts.isEmpty) base
     else {
       val w = Window.partitionBy(col("__k")).orderBy(col("__eord"))
@@ -707,6 +751,7 @@ object CepMeasures {
       showEmpty: Boolean = false): DataFrame = {
     require(measures.nonEmpty, "MEASURES: empty measure list")
     val names = validate(query, spec, measures, Set.empty, subsets)
+    requireStrMeasuresSupported(measures, strAttrsOf(events, spec))
     val keyName = spec.keyCol.filter(matches.columns.contains)
     val keyOut = keyName.map(col).toSeq
     val (atoms, outCols) = lowerItems(measures)
@@ -933,6 +978,7 @@ object CepMeasures {
           "ONE ROW PER MATCH only")
     }
     val names = validate(query, spec, measures, reserved, subsets)
+    requireStrMeasuresSupported(measures, strAttrsOf(events, spec))
     excluded.foreach(n => require(names.contains(n),
       s"exclusion: '$n' is not a pattern name " +
         s"(have ${names.mkString(", ")})"))
@@ -969,7 +1015,7 @@ object CepMeasures {
         // frame BEFORE numbering ([[emptySeedUnion]]); numbering then
         // interleaves real and empty matches temporally in one
         // row_number pass ([[anchoredSeqWindow]] — anchor leads; a site
-        // is never a real match's start under either site rule, so
+        // is never a real match's start under any site rule, so
         // anchors cannot tie across the union; the binding arrays stay
         // as the deterministic real-vs-real tiebreaker). Downstream,
         // the empty seed explodes (outer) to exactly one
@@ -1107,11 +1153,8 @@ object CepMeasures {
       val unmatchedRows = evProj.join(bound,
         keyName.toSeq :+ spec.orderCol, "left_anti")
       val nullMeasures = measures.map { item =>
-        val tpe: DataType = item match {
-          case m: Measure if m.fn == Fn.Classifier => StringType
-          case _                                   => LongType
-        }
-        lit(null).cast(tpe).as(item.alias)
+        lit(null).cast(itemDataType(item, strAttrsOf(events, spec)))
+          .as(item.alias)
       }
       val unmatchedOut = unmatchedRows.select(
         (keyOut :+ lit(null).cast(LongType).as("match_no") :+
@@ -1155,21 +1198,14 @@ object CepMeasures {
       .orderBy(col("__anchor") +: names.map(col): _*)
 
   /** The SHOW EMPTY MATCHES support envelope, shared by [[project]] and
-    * [[allRows]]: site rules exist for NoSkip / SkipToNext /
-    * SkipPastLastEvent only, and partition anchors are rejected (the
-    * interaction of zero-width matches with partition-edge anchoring is
-    * undefined here).
+    * [[allRows]]: every after-match strategy has a site rule
+    * ([[emptySites]] — NoSkip/SkipToNext anti-join on starts,
+    * SkipPastLastEvent full-span coverage, SkipToFirst/SkipToLast
+    * prune-adjusted-span coverage), but partition anchors are rejected
+    * (the interaction of zero-width matches with partition-edge
+    * anchoring is undefined here).
     */
   private def requireShowEmptySupported(query: CepQuery): Unit = {
-    query.strategy match {
-      case AfterMatchStrategy.NoSkip | AfterMatchStrategy.SkipToNext |
-          AfterMatchStrategy.SkipPastLastEvent => ()
-      case other => throw new IllegalArgumentException(
-        s"SHOW EMPTY MATCHES: AFTER MATCH SKIP ${other.name} — " +
-          "empty-match sites are defined for NoSkip, SkipToNext and " +
-          "SkipPastLastEvent only (a to-first/to-last resume point " +
-          "of a zero-width match is undefined)")
-    }
     require(!query.anchorStart && !query.anchorEnd,
       "SHOW EMPTY MATCHES with '^'/'$' partition anchors is not " +
         "supported — the interaction between zero-width matches and " +
@@ -1370,27 +1406,58 @@ object CepMeasures {
   }
 
   /** The Spark-SQL type of one measure item in a streaming sink row:
-    * `CLASSIFIER()` is STRING, everything else long. (A classifier
-    * inside arithmetic is rejected at `MExpr.Atom` construction, so a
-    * classifier atom is always a plain [[Measure]].)
+    * `CLASSIFIER()` is STRING, as is a `FIRST`/`LAST` over a
+    * string-typed attribute (`strAttrs` — round 16); everything else
+    * long. (A classifier inside arithmetic is rejected at `MExpr.Atom`
+    * construction, so a classifier atom is always a plain [[Measure]];
+    * string atoms in arithmetic are rejected by
+    * `requireStrMeasuresSupported` / `validateStreamingMeasures`.)
     */
-  def itemDataType(item: MeasureItem): DataType = item match {
+  def itemDataType(item: MeasureItem,
+      strAttrs: Set[String] = Set.empty): DataType = item match {
     case m: Measure if m.fn == Fn.Classifier => StringType
+    case m: Measure if (m.fn == Fn.First || m.fn == Fn.Last) &&
+        m.attr.exists(strAttrs.contains) => StringType
     case _                                   => LongType
   }
 
   /** Emission-time value of a measure item, boxed for a streaming sink
-    * `Row`: the classifier's string, or the long fold ([[evalItem]]);
-    * null for measure-over-missing either way.
+    * `Row`: the classifier's string, a string-attribute FIRST/LAST's
+    * string (or COUNT's non-null long — `strAttrs`, round 16), or the
+    * long fold ([[evalItem]]); null for measure-over-missing either way.
     */
   def evalItemBoxed(item: MeasureItem, byName: Map[String, Vector[Event]],
       orderName: String,
-      subsets: Map[String, Vector[String]] = Map.empty): AnyRef =
+      subsets: Map[String, Vector[String]] = Map.empty,
+      strAttrs: Set[String] = Set.empty): AnyRef =
     item match {
       case m: Measure if m.fn == Fn.Classifier =>
         evalClassifier(byName, orderName,
           if (m.name.isEmpty) None
           else Some(subsets.getOrElse(m.name, Vector(m.name)))).orNull
+      case m: Measure if m.attr.exists(strAttrs.contains) =>
+        // the string tier mirrors the batch join: FIRST/LAST read the
+        // target event's (possibly absent → null) string value, COUNT
+        // counts the events carrying one
+        val binding = subsets.get(m.name) match {
+          case None => byName.getOrElse(m.name, Vector.empty)
+          case Some(members) =>
+            members.flatMap(n => byName.getOrElse(n, Vector.empty))
+              .sortBy(_(orderName))
+        }
+        val a = m.attr.get
+        m.fn match {
+          case Fn.First => binding.lift(m.offset).flatMap(_.getStr(a)).orNull
+          case Fn.Last =>
+            binding.lift(binding.length - 1 - m.offset)
+              .flatMap(_.getStr(a)).orNull
+          case Fn.Count =>
+            val vs = binding.flatMap(_.getStr(a))
+            Long.box((if (m.distinct) vs.distinct else vs).length.toLong)
+          case other => throw new IllegalStateException(
+            s"${other.sqlName} over a string attribute — rejected at " +
+              "validation") // unreachable
+        }
       case _ =>
         evalItem(item, byName, orderName, subsets).map(Long.box).orNull
     }
@@ -1502,10 +1569,18 @@ object CepMeasures {
     * order); this reconstructs the per-name binding arrays with pure
     * column functions — `split` keeps trailing empty components, and an
     * empty component parses to an empty array, exactly the
-    * possibly-empty convention [[project]] consumes. ONE ROW PER MATCH
-    * members only (the frame carries order ids; `ALL ROWS` members run
-    * solo), each with a non-empty MEASURES list. Solo-vs-shared
-    * equality is differential-pinned in `CepMeasuresSpec`.
+    * possibly-empty convention [[project]] consumes. `ALL ROWS PER
+    * MATCH` members (plain, WITH UNMATCHED ROWS, SHOW EMPTY MATCHES)
+    * ride the SAME slice: order ids suffice — [[allRows]] already
+    * reconstructs the per-event rows from binding arrays + the events
+    * table, so k ALL-ROWS statements cost one scan and one NFA sweep
+    * like their ONE-ROW siblings (each member then pays its own
+    * explode + event join, which it would pay solo too). ONE ROW
+    * members need a non-empty MEASURES list ([[project]] requires
+    * one); ALL ROWS members may measure nothing (the mode's own
+    * relabeling columns remain). Solo-vs-shared equality is
+    * differential-pinned in `CepMeasuresSpec` (ONE ROW) and
+    * `CepSharedSinglePassSpec` (ALL ROWS shapes).
     *
     * The shared frame is MATERIALIZED ONCE before the per-member slices
     * are built: without that, each returned frame carries its own copy
@@ -1534,11 +1609,9 @@ object CepMeasures {
       : Seq[(String, DataFrame)] = {
     require(stmts.nonEmpty, "runShared: empty member set")
     stmts.foreach { case (n, st) =>
-      require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow ||
-        st.rowsPerMatch == CepSql.RowsPerMatch.OneRowShowEmpty,
-        s"runShared: member '$n' declares ALL ROWS PER MATCH — the " +
-          "shared frame carries order ids only; run that member solo")
-      require(st.measures.nonEmpty,
+      require(st.measures.nonEmpty ||
+        st.rowsPerMatch != CepSql.RowsPerMatch.OneRow &&
+        st.rowsPerMatch != CepSql.RowsPerMatch.OneRowShowEmpty,
         s"runShared: member '$n' has no MEASURES — use " +
           "SparkCep.matchPatternsShared for the plain binding shape")
     }
@@ -1562,12 +1635,26 @@ object CepMeasures {
       }
       val frames = shared.where(col("qname") === n)
         .select(keyOut ++ arrays: _*)
-      // a SHOW EMPTY member projects through the same slice: the frame
-      // below project's own localCheckpoint is already the materialized
-      // shared one, so the sweep still runs once for the whole set
-      n -> project(frames, df, st.query, spec, st.measures, st.subsetMap,
-        showEmpty =
-          st.rowsPerMatch == CepSql.RowsPerMatch.OneRowShowEmpty)
+      // a SHOW EMPTY / UNMATCHED member re-consumes its slice: the
+      // frame below the mode's own localCheckpoint is already the
+      // materialized shared one, so the sweep still runs once for the
+      // whole set
+      n -> (st.rowsPerMatch match {
+        case CepSql.RowsPerMatch.OneRow =>
+          project(frames, df, st.query, spec, st.measures, st.subsetMap)
+        case CepSql.RowsPerMatch.OneRowShowEmpty =>
+          project(frames, df, st.query, spec, st.measures, st.subsetMap,
+            showEmpty = true)
+        case CepSql.RowsPerMatch.AllRows =>
+          allRows(frames, df, st.query, spec, st.measures, st.subsetMap,
+            st.excluded.toSet)
+        case CepSql.RowsPerMatch.AllRowsUnmatched =>
+          allRows(frames, df, st.query, spec, st.measures, st.subsetMap,
+            st.excluded.toSet, withUnmatched = true)
+        case CepSql.RowsPerMatch.AllRowsShowEmpty =>
+          allRows(frames, df, st.query, spec, st.measures, st.subsetMap,
+            st.excluded.toSet, showEmpty = true)
+      })
     }
   }
 

@@ -61,10 +61,15 @@ package graft.cep
   *            follow the skip discipline: NoSkip/SKIP TO NEXT ROW —
   *            every event that starts no reported match; SKIP PAST
   *            LAST ROW — every event outside all reported matches'
-  *            closed [first-bound, last-bound] ordinal spans.
-  *            SKIP TO FIRST/LAST, '^'/'$' anchors and negation
-  *            patterns (treated as non-nullable) are rejected/inert
-  *            with this mode — documented deviations. Under ONE ROW
+  *            closed [first-bound, last-bound] ordinal spans; SKIP TO
+  *            FIRST/LAST a — every event outside the PRUNE-ADJUSTED
+  *            spans [first-bound, max(start, anchor - 1)] (the anchor
+  *            event gets a fresh attempt and can itself host an empty
+  *            match; a match never binding `a` prunes nothing — the
+  *            documented NoSkip fallback — so its span degenerates to
+  *            its own start). '^'/'$' anchors and negation patterns
+  *            (treated as non-nullable) are rejected/inert with this
+  *            mode — documented deviations. Under ONE ROW
   *            PER MATCH the engine's bare default is ALSO OMIT (a
   *            documented deviation — SQL:2016 always outputs empty
   *            matches there and has no OMIT option); the extension
@@ -1122,8 +1127,10 @@ object CepSql {
 
   /** The MEASURED shared-scan parse: k statements WITH MEASURES onto
     * one shared operator pass (`CepMeasures.runShared`). Spec sections
-    * are still per-SET (one spec, passed to runShared), and members are
-    * ONE ROW PER MATCH by construction of the shared frame.
+    * are still per-SET (one spec, passed to runShared). Any
+    * rows-per-match mode is admitted — `runShared` reconstructs ONE ROW
+    * members' measures and ALL ROWS members' per-event rows from the
+    * same order-id frame.
     */
   def parseStatements(stmts: Seq[(String, String)],
       schema: Vector[(String, Vector[String])])
@@ -1135,11 +1142,6 @@ object CepSql {
         s"CEP SQL shared scan: member '$name' carries its own " +
           "PARTITION BY/ORDER BY/TYPE — the member set shares ONE spec, " +
           "passed to CepMeasures.runShared")
-      require(st.rowsPerMatch == RowsPerMatch.OneRow ||
-        st.rowsPerMatch == RowsPerMatch.OneRowShowEmpty,
-        s"CEP SQL shared scan: member '$name' declares an ALL ROWS " +
-          "PER MATCH mode — the shared frame carries order ids only; " +
-          "run it solo")
       name -> st
     }
 

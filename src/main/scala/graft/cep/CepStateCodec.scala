@@ -51,6 +51,12 @@ import StreamingCep.{BufEvent, CepStateEt, SerEvent, SerRun}
   *        a nav query; a nav query restoring a sig-less checkpoint is
   *        refused loudly by the operator (`StreamingCep.checkNavSig`),
   *        never silently treated as a partition start.
+  *   - 6: every serialized event (run ctx, reorder buffer, nav history)
+  *        appends its STRING-attribute section (round 16 typed values —
+  *        `Event.strs`). v5 and below migrate with empty strings —
+  *        EXACT, because no earlier build projected string attributes
+  *        (they were cast to long, all-NULL, and never entered an
+  *        event), so no old checkpoint can carry one.
   *
   * EXACT KEYS (round 16) need NO version: the key never enters this
   * payload — it is the state STORE's key, whose schema is now the key
@@ -62,7 +68,7 @@ import StreamingCep.{BufEvent, CepStateEt, SerEvent, SerRun}
   */
 object CepStateCodec {
 
-  val Version = 5
+  val Version = 6
 
   /** Which streaming operator wrote the checkpoint. The two variants feed
     * events in different orders (arrival vs watermark-released event
@@ -113,6 +119,11 @@ object CepStateCodec {
       b.names.zip(b.vals).foreach { case (n, v) =>
         out.writeUTF(n); out.writeLong(v)
       }
+      // v6 string-attribute section
+      out.writeInt(b.sNames.size)
+      b.sNames.zip(b.sVals).foreach { case (n, v) =>
+        out.writeUTF(n); out.writeUTF(v)
+      }
     }
     // v5 navigation section
     out.writeInt(s.navSig.size); s.navSig.foreach(out.writeUTF)
@@ -122,10 +133,10 @@ object CepStateCodec {
   }
 
   def decode(v: VersionedState): CepStateEt = {
-    if (v.ver != Version && v.ver != 4 && v.ver != 3 && v.ver != 2)
+    if (v.ver > Version || v.ver < 2)
       throw new IllegalStateException(
         s"CEP streaming state version ${v.ver} is not supported by this " +
-          s"build (supports $Version, migrates 4, 3 and 2). The checkpoint was " +
+          s"build (supports $Version, migrates 5, 4, 3 and 2). The checkpoint was " +
           "written by a different engine version: either run that " +
           "version, or discard the checkpoint directory and restart the " +
           "query from fresh input (matches already emitted are not " +
@@ -144,7 +155,7 @@ object CepStateCodec {
       val eta = Vector.fill(in.readInt())((in.readUTF(), in.readLong()))
       val ctx = Vector.fill(in.readInt()) {
         val k = in.readUTF()
-        (k, Vector.fill(in.readInt())(readEvent(in)))
+        (k, Vector.fill(in.readInt())(readEvent(in, v.ver)))
       }
       val firstTake = in.readInt()
       val firstTakeTs = in.readLong()
@@ -158,14 +169,19 @@ object CepStateCodec {
     val buffer = Vector.fill(in.readInt()) {
       val ts = in.readLong(); val ord = in.readLong(); val tpe = in.readUTF()
       val attrs = Vector.fill(in.readInt())((in.readUTF(), in.readLong()))
-      BufEvent(ts, ord, tpe, attrs.map(_._1), attrs.map(_._2))
+      val strs =
+        if (v.ver >= 6)
+          Vector.fill(in.readInt())((in.readUTF(), in.readUTF()))
+        else Vector.empty[(String, String)]
+      BufEvent(ts, ord, tpe, attrs.map(_._1), attrs.map(_._2),
+        strs.map(_._1), strs.map(_._2))
     }
     // v4/v3/v2 migration: no navigation section (exact — see version
     // history; the operator refuses a nav query over a sig-less payload)
     val (navSig, navHist) =
       if (v.ver >= 5)
         (Vector.fill(in.readInt())(in.readUTF()),
-          Vector.fill(in.readInt())(readEvent(in)))
+          Vector.fill(in.readInt())(readEvent(in, v.ver)))
       else (Vector.empty[String], Vector.empty[SerEvent])
     CepStateEt(step, runs, buffer, clock, variant, navSig, navHist)
   }
@@ -176,11 +192,21 @@ object CepStateCodec {
     e.names.zip(e.vals).foreach { case (n, v) =>
       out.writeUTF(n); out.writeLong(v)
     }
+    // v6 string-attribute section
+    out.writeInt(e.sNames.size)
+    e.sNames.zip(e.sVals).foreach { case (n, v) =>
+      out.writeUTF(n); out.writeUTF(v)
+    }
   }
 
-  private def readEvent(in: DataInputStream): SerEvent = {
+  private def readEvent(in: DataInputStream, ver: Int): SerEvent = {
     val tpe = in.readUTF()
     val attrs = Vector.fill(in.readInt())((in.readUTF(), in.readLong()))
-    SerEvent(tpe, attrs.map(_._1), attrs.map(_._2))
+    // v5-and-below migration: no string section (exact — see history)
+    val strs =
+      if (ver >= 6) Vector.fill(in.readInt())((in.readUTF(), in.readUTF()))
+      else Vector.empty[(String, String)]
+    SerEvent(tpe, attrs.map(_._1), attrs.map(_._2),
+      strs.map(_._1), strs.map(_._2))
   }
 }

@@ -52,6 +52,24 @@ object CompiledExpr {
   final case class CNot(e: CExpr) extends CExpr
   final case class CNeg(e: CExpr) extends CExpr
 
+  /** STRING tier (round 16): a string-typed side of an equality, and
+    * the two boolean-valued string nodes. String sides exist only
+    * under [[CStrCmp]]/[[CStrIn]] — compile-time typed via the
+    * literal-side rule ([[Expr.StrLit]]), so the numeric hot path
+    * never tests for them.
+    */
+  sealed trait CStr extends Serializable
+  final case class CStrLit(v: String) extends CStr
+  /** A ref read from `event.strs` (last occurrence wins, parity with
+    * the numeric generic path); registers are never strings, so a miss
+    * raises the NameError directly.
+    */
+  final case class CStrRef(name: String) extends CStr
+  /** `==` (`ne = false`) / `!=` over two string sides. */
+  final case class CStrCmp(ne: Boolean, l: CStr, r: CStr) extends CExpr
+  /** `x in ('a','b',…)` — literal-set membership. */
+  final case class CStrIn(e: CStr, values: Set[String]) extends CExpr
+
   // opcodes (compile-time resolved; the parser only emits these)
   private final val ADD = 0; private final val SUB = 1
   private final val MUL = 2; private final val MOD = 3
@@ -66,9 +84,13 @@ object CompiledExpr {
   def compile(e: Expr, layout: Vector[String]): CExpr = e match {
     case Expr.Lit(v)     => CLit(v)
     case Expr.BoolLit(b) => CLit(if (b) 1L else 0L)
+    case Expr.StrLit(s) => throw new Expr.EvalException(
+      s"string literal '$s' in a numeric position — strings are " +
+        "equality/IN-only")
     case Expr.Ref(n) =>
       val slot = if (layout == null) -1 else layout.indexOf(n)
       if (slot >= 0) CAttr(slot, n) else CRef(n)
+    case Expr.InSet(x, vs) => CStrIn(compileStr(x), vs.toSet)
     case Expr.Arith(op, l, r) =>
       val code = op match {
         case "+" => ADD; case "-" => SUB; case "*" => MUL
@@ -76,6 +98,16 @@ object CompiledExpr {
         case other => throw new Expr.EvalException(s"bad arith op $other")
       }
       CArith(code, compile(l, layout), compile(r, layout))
+    // the literal side types the comparison as a string equality
+    case Expr.Cmp(op, l, r)
+        if l.isInstanceOf[Expr.StrLit] || r.isInstanceOf[Expr.StrLit] =>
+      val ne = op match {
+        case "==" => false
+        case "!=" => true
+        case other => throw new Expr.EvalException(
+          s"string comparison '$other' — strings support ==/!=/in only")
+      }
+      CStrCmp(ne, compileStr(l), compileStr(r))
     case Expr.Cmp(op, l, r) =>
       val code = op match {
         case "==" => EQ; case "!=" => NE; case "<" => LT
@@ -87,6 +119,34 @@ object CompiledExpr {
     case Expr.Or(l, r)  => COr(compile(l, layout), compile(r, layout))
     case Expr.Not(x)    => CNot(compile(x, layout))
     case Expr.Neg(x)    => CNeg(compile(x, layout))
+  }
+
+  /** Compile a string-typed side (literal or string-attribute ref). */
+  private def compileStr(e: Expr): CStr = e match {
+    case Expr.StrLit(s) => CStrLit(s)
+    case Expr.Ref(n)    => CStrRef(n)
+    case other => throw new Expr.EvalException(
+      s"expression $other cannot be string-typed — string comparisons " +
+        "take an attribute name or a literal on each side")
+  }
+
+  /** Evaluate a string side against the event's string attributes
+    * (last occurrence wins, parity with the numeric generic path).
+    */
+  private def evalStr(e: CStr, ev: Event): String = e match {
+    case CStrLit(s) => s
+    case CStrRef(name) =>
+      if (ev != null) {
+        val a = ev.strs
+        var i = a.length - 1
+        while (i >= 0) {
+          val kv = a(i)
+          if ((kv._1 eq name) || kv._1 == name) return kv._2
+          i -= 1
+        }
+      }
+      throw new Expr.EvalException(
+        s"string attribute '$name' is not defined")
   }
 
   /** Generic name resolution, exact parity with `Expr.Env`:
@@ -143,6 +203,11 @@ object CompiledExpr {
         case _  => a >= b // GE
       }
       if (res) 1L else 0L
+    case CStrCmp(ne, l, r) =>
+      val res = evalStr(l, ev) == evalStr(r, ev)
+      if (res != ne) 1L else 0L
+    case CStrIn(x, vs) =>
+      if (vs.contains(evalStr(x, ev))) 1L else 0L
     case CAnd(l, r) =>
       val a = eval(l, ev, eta); if (a == 0L) a else eval(r, ev, eta)
     case COr(l, r) =>

@@ -124,7 +124,8 @@ final case class Pred(evType: Option[String], expr: Expr) {
       case Some(ev) => ev.attrMap
       case None     => Pred.emptyAttrs
     }
-    Expr.evalBoolIn(expr, Expr.env(attrs, eta))
+    Expr.evalBoolIn(expr, Expr.env(attrs, eta,
+      event.fold(Pred.emptyStrs)(_.strMap)))
   }
 }
 
@@ -132,6 +133,7 @@ object Pred {
   val AnyType = "*"
   def epsilon: Pred = Pred(None, Expr.True)
   private[cep] val emptyAttrs = Map.empty[String, Long]
+  private[cep] val emptyStrs = Map.empty[String, String]
 }
 
 /** Data-register update α: every expression reads the *pre-update* η
@@ -161,7 +163,8 @@ final case class DataUpdate(alpha: Vector[(String, Expr)]) {
         m
       } else {
         val env =
-          Expr.env(event.map(_.attrMap).getOrElse(Pred.emptyAttrs), eta)
+          Expr.env(event.map(_.attrMap).getOrElse(Pred.emptyAttrs), eta,
+            event.fold(Pred.emptyStrs)(_.strMap))
         eta ++ alpha.map { case (k, e) =>
           k -> Expr.evalNumIn(e, env)
         }

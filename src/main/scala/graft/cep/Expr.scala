@@ -19,6 +19,20 @@ object Expr {
   final case class Lit(v: Long) extends Expr
   final case class BoolLit(v: Boolean) extends Expr
   final case class Ref(name: String) extends Expr
+  /** A STRING literal (`'a.com'` — round 16, beyond-reference). String
+    * values enter conditions ONLY through equality/inequality against a
+    * literal ([[Cmp]] `==`/`!=`) or literal-set membership ([[InSet]]);
+    * arithmetic, ordering comparisons, truthiness and registers stay
+    * Long-only by design. The literal side is what types the
+    * comparison: `host == 'a.com'` resolves `host` as a string
+    * attribute of the event (`Event.strs`) — two bare refs always
+    * compare numerically.
+    */
+  final case class StrLit(v: String) extends Expr
+  /** `e in ('a', 'b', …)` — string-literal-set membership; `not in`
+    * parses to `Not(InSet(…))`.
+    */
+  final case class InSet(e: Expr, values: Vector[String]) extends Expr
   /** op in + - * % // */
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr
   /** op in == != < <= > >= */
@@ -28,32 +42,46 @@ object Expr {
   final case class Not(e: Expr) extends Expr
   final case class Neg(e: Expr) extends Expr
 
-  /** Runtime value: Python-style int-or-bool. */
+  /** Runtime value: Python-style int-or-bool (plus the string tier). */
   sealed trait Val extends Serializable
   final case class Num(v: Long) extends Val
   final case class Bool(v: Boolean) extends Val
+  final case class Str(v: String) extends Val
 
   def truthy(v: Val): Boolean = v match {
     case Num(n)  => n != 0L
     case Bool(b) => b
+    case Str(s) => throw new EvalException(
+      s"string value '$s' has no truthiness here — strings enter " +
+        "conditions only through ==/!= against a literal or 'in'")
   }
 
   def toNum(v: Val): Long = v match {
     case Num(n)  => n
     case Bool(b) => if (b) 1L else 0L
+    case Str(s) => throw new EvalException(
+      s"string value '$s' in arithmetic — string attributes are " +
+        "equality/IN-only")
   }
 
   final class EvalException(msg: String) extends RuntimeException(msg)
 
   /** Layered environment: `primary` shadows `fallback` (the reference's
     * `{**env, **attrs}` merge) without allocating a merged map per
-    * evaluation — this sits on the NFA's innermost loop.
+    * evaluation — this sits on the NFA's innermost loop. `strs` is the
+    * event's string-attribute map (round 16) — a separate namespace
+    * resolved only inside string comparisons; registers are never
+    * strings.
     */
-  final class Env(primary: Map[String, Long], fallback: Map[String, Long]) {
+  final class Env(primary: Map[String, Long], fallback: Map[String, Long],
+      val strs: Map[String, String] = Map.empty) {
     def lookup(n: String): Long =
       primary.getOrElse(n,
         fallback.getOrElse(n,
           throw new EvalException(s"name '$n' is not defined")))
+    def lookupStr(n: String): String =
+      strs.getOrElse(n,
+        throw new EvalException(s"string attribute '$n' is not defined"))
   }
 
   private val emptyMap = Map.empty[String, Long]
@@ -61,13 +89,36 @@ object Expr {
   def env(primary: Map[String, Long], fallback: Map[String, Long]): Env =
     new Env(primary, fallback)
 
+  def env(primary: Map[String, Long], fallback: Map[String, Long],
+      strs: Map[String, String]): Env =
+    new Env(primary, fallback, strs)
+
+  /** Whether the expression is STRING-typed — a literal, or a ref
+    * forced string by the comparison context. Only these two shapes
+    * are; everything else is numeric.
+    */
+  private def isStrSide(e: Expr): Boolean = e.isInstanceOf[StrLit]
+
+  /** Evaluate a string-typed side: the literal itself, or a ref
+    * resolved against the event's string attributes.
+    */
+  private def evalStrSide(e: Expr, env: Env): String = e match {
+    case StrLit(s) => s
+    case Ref(n)    => env.lookupStr(n)
+    case other => throw new EvalException(
+      s"expression $other cannot be string-typed — string comparisons " +
+        "take an attribute name or a literal on each side")
+  }
+
   /** Evaluate against a flat environment (event attrs shadow data vars). */
   def eval(e: Expr, m: Map[String, Long]): Val = evalIn(e, new Env(m, emptyMap))
 
   def evalIn(e: Expr, env: Env): Val = e match {
     case Lit(v)     => Num(v)
     case BoolLit(b) => Bool(b)
+    case StrLit(s)  => Str(s)
     case Ref(n)     => Num(env.lookup(n))
+    case InSet(x, vs) => Bool(vs.contains(evalStrSide(x, env)))
     case Arith(op, l, r) =>
       val a = toNum(evalIn(l, env)); val b = toNum(evalIn(r, env))
       Num(op match {
@@ -77,6 +128,16 @@ object Expr {
         case "%" => Math.floorMod(a, b) // Python % semantics
         case "//" => Math.floorDiv(a, b) // Python floor division
         case other => throw new EvalException(s"bad arith op $other")
+      })
+    case Cmp(op, l, r) if isStrSide(l) || isStrSide(r) =>
+      // the literal side types the comparison: the other side resolves
+      // as a string attribute; only equality is defined on strings
+      val a = evalStrSide(l, env); val b = evalStrSide(r, env)
+      Bool(op match {
+        case "==" => a == b
+        case "!=" => a != b
+        case other => throw new EvalException(
+          s"string comparison '$other' — strings support ==/!=/in only")
       })
     case Cmp(op, l, r) =>
       val a = toNum(evalIn(l, env)); val b = toNum(evalIn(r, env))
@@ -111,7 +172,12 @@ object Expr {
   def evalNumIn(e: Expr, env: Env): Long = e match {
     case Lit(v)     => v
     case BoolLit(b) => if (b) 1L else 0L
+    case StrLit(s) => throw new EvalException(
+      s"string literal '$s' in a numeric position — strings are " +
+        "equality/IN-only")
     case Ref(n)     => env.lookup(n)
+    case InSet(x, vs) =>
+      if (vs.contains(evalStrSide(x, env))) 1L else 0L
     case Arith(op, l, r) =>
       val a = evalNumIn(l, env); val b = evalNumIn(r, env)
       op match {
@@ -122,6 +188,15 @@ object Expr {
         case "//" => Math.floorDiv(a, b)
         case other => throw new EvalException(s"bad arith op $other")
       }
+    case Cmp(op, l, r) if isStrSide(l) || isStrSide(r) =>
+      val a = evalStrSide(l, env); val b = evalStrSide(r, env)
+      val res = op match {
+        case "==" => a == b
+        case "!=" => a != b
+        case other => throw new EvalException(
+          s"string comparison '$other' — strings support ==/!=/in only")
+      }
+      if (res) 1L else 0L
     case Cmp(op, l, r) =>
       val a = evalNumIn(l, env); val b = evalNumIn(r, env)
       val res = op match {
@@ -151,14 +226,35 @@ object Expr {
     * subtract the declared register names to get the free attributes).
     */
   def refs(e: Expr): Set[String] = e match {
-    case Lit(_) | BoolLit(_) => Set.empty
+    case Lit(_) | BoolLit(_) | StrLit(_) => Set.empty
     case Ref(n)              => Set(n)
+    case InSet(x, _)         => refs(x)
     case Arith(_, l, r)      => refs(l) ++ refs(r)
     case Cmp(_, l, r)        => refs(l) ++ refs(r)
     case And(l, r)           => refs(l) ++ refs(r)
     case Or(l, r)            => refs(l) ++ refs(r)
     case Not(x)              => refs(x)
     case Neg(x)              => refs(x)
+  }
+
+  /** The names the expression reads as STRING attributes: refs compared
+    * (`==`/`!=`) against a string literal and refs inside `in` sets —
+    * the only positions the string tier admits. Drives the Spark-side
+    * projection (`SparkCep.prepare` keeps these columns as strings) and
+    * the compiled tier's typing.
+    */
+  def strRefs(e: Expr): Set[String] = e match {
+    case Cmp(_, Ref(n), StrLit(_)) => Set(n)
+    case Cmp(_, StrLit(_), Ref(n)) => Set(n)
+    case InSet(Ref(n), _)          => Set(n)
+    case Arith(_, l, r)            => strRefs(l) ++ strRefs(r)
+    case Cmp(_, l, r)              => strRefs(l) ++ strRefs(r)
+    case And(l, r)                 => strRefs(l) ++ strRefs(r)
+    case Or(l, r)                  => strRefs(l) ++ strRefs(r)
+    case Not(x)                    => strRefs(x)
+    case Neg(x)                    => strRefs(x)
+    case InSet(x, _)               => strRefs(x)
+    case _                         => Set.empty
   }
 
   /** Parse the Python-expression subset. */
@@ -229,7 +325,33 @@ private[cep] final class ExprParser(input: String) {
       else if (eat("<=")) "<=" else if (eat(">=")) ">="
       else if (eat("<")) "<" else if (eat(">")) ">"
       else null
-    if (op == null) l else Expr.Cmp(op, l, addExpr())
+    if (op != null) Expr.Cmp(op, l, addExpr())
+    else if (eatKw("in")) Expr.InSet(l, inList())
+    else {
+      // Python's `not in` (the only infix `not`)
+      val save = pos
+      if (eatKw("not")) {
+        if (eatKw("in")) Expr.Not(Expr.InSet(l, inList()))
+        else { pos = save; l }
+      } else l
+    }
+  }
+
+  /** `( 'a' , 'b' , … )` — the literal set of an `in` membership. */
+  private def inList(): Vector[String] = {
+    if (!eat("(")) fail(s"expected '(' after 'in' at $pos")
+    val vs = Vector.newBuilder[String]
+    var go = true
+    while (go) {
+      skipWs()
+      atom() match {
+        case Expr.StrLit(s) => vs += s
+        case other => fail(s"'in' takes string literals, got $other")
+      }
+      if (!eat(",")) go = false
+    }
+    if (!eat(")")) fail(s"expected ')' closing 'in' list at $pos")
+    vs.result()
   }
 
   private def addExpr(): Expr = {
@@ -264,7 +386,17 @@ private[cep] final class ExprParser(input: String) {
 
   private def atom(): Expr = {
     skipWs()
-    if (eat("(")) {
+    if (peek == '\'') {
+      // string literal: single-quoted, no escapes (a quote cannot
+      // appear inside — beyond-reference string tier, equality/IN only)
+      pos += 1
+      val start = pos
+      while (pos < input.length && input.charAt(pos) != '\'') pos += 1
+      if (pos >= input.length) fail("unterminated string literal")
+      val s = input.substring(start, pos)
+      pos += 1
+      Expr.StrLit(s)
+    } else if (eat("(")) {
       val e = orExpr()
       if (!eat(")")) fail(s"expected ')' at $pos")
       e

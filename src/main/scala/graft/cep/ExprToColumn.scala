@@ -40,6 +40,20 @@ object ExprToColumn {
           // with the NFA evaluator
           case _ => return None
         }
+      // string tier (round 16): equality against a literal and IN push
+      // as UNCAST string comparisons — the NFA compares the projected
+      // string value verbatim, so the predicates agree. (A NULL string
+      // attribute is dropped by the filter where the NFA would raise
+      // its NameError — the same relationship the numeric casts have.)
+      case Expr.Cmp(op, l, r)
+          if l.isInstanceOf[Expr.StrLit] || r.isInstanceOf[Expr.StrLit] =>
+        for (a <- goStr(l); b <- goStr(r)) yield op match {
+          case "==" => a === b
+          case "!=" => a =!= b
+          case _    => return None
+        }
+      case Expr.InSet(x, vs) =>
+        goStr(x).map(_.isin(vs: _*))
       case Expr.Cmp(op, l, r) =>
         for (a <- go(l); b <- go(r)) yield op match {
           case "==" => a === b
@@ -58,6 +72,13 @@ object ExprToColumn {
       case Expr.Neg(x)              => go(x).map(c => -c)
       case _                        => None // Python truthy-int logic: not pushable
     }
+    def goStr(e: Expr): Option[Column] = e match {
+      case Expr.StrLit(s) => Some(lit(s))
+      case Expr.Ref(n) =>
+        if (dataVars.contains(n) || !attrs.contains(n)) None
+        else Some(col(n))
+      case _ => None
+    }
     if (isBool(e)) go(e) else None
   }
 
@@ -68,6 +89,7 @@ object ExprToColumn {
   private def isBool(e: Expr): Boolean = e match {
     case _: Expr.BoolLit => true
     case _: Expr.Cmp     => true
+    case _: Expr.InSet   => true
     case Expr.And(l, r)  => isBool(l) && isBool(r)
     case Expr.Or(l, r)   => isBool(l) && isBool(r)
     case Expr.Not(x)     => isBool(x)

@@ -337,6 +337,7 @@ object Pattern {
       case _: Expr.And => 2
       case _: Expr.Not => 3
       case _: Expr.Cmp => 4
+      case _: Expr.InSet => 4
       case Expr.Arith(op, _, _) => if (op == "+" || op == "-") 5 else 6
       case _: Expr.Neg => 7
       case _           => 10
@@ -350,7 +351,10 @@ object Pattern {
       e match {
         case Expr.Lit(v)          => v.toString
         case Expr.BoolLit(b)      => if (b) "True" else "False"
+        case Expr.StrLit(s)       => s"'$s'"
         case Expr.Ref(n)          => n
+        case Expr.InSet(x, vs) =>
+          s"${rhs(x)} in (${vs.map(v => s"'$v'").mkString(", ")})"
         case Expr.Arith(op, l, r) => s"${lhs(l)} $op ${rhs(r)}"
         // comparison is non-associative in our grammar — parenthesise an
         // equal-precedence child on either side

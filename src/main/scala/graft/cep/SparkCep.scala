@@ -25,8 +25,12 @@ object SparkCep {
 
   /** Column mapping from a relational event table to the CEP event model
     * (FIXTURES.md §3): `orderCol` must be unique-per-key and defines arrival
-    * order; `attrCols` become integer attributes visible to conditions
-    * (cast to long, truncating); the order column itself is always visible
+    * order; `attrCols` become attributes visible to conditions, typed by
+    * the INPUT COLUMN's type — a STRING column stays a string (visible
+    * to DEFINE `==`/`!=`-against-literal and `in` conditions and to
+    * FIRST/LAST measures; never arithmetic or registers), every other
+    * type keeps the reference's integer model (cast to long,
+    * truncating); the order column itself is always visible
     * as an attribute under its own name. `keyCol` may be any type and is
     * EXACT for all of them: numeric keys cast to long (a fractional
     * double key truncates — dedupe upstream if that distinction
@@ -85,7 +89,7 @@ object SparkCep {
         keyExprC.as("__key") +:
           col(spec.orderCol).cast(LongType).as("__ord") +:
           col(spec.typeCol).cast(StringType).as("__type") +:
-          attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*
+          attrNames.drop(1).map(c => attrProj(df, c)): _*
       )
       (prepared, attrNames)
     } else {
@@ -113,10 +117,59 @@ object SparkCep {
         col("__key") +:
           col(spec.orderCol).cast(LongType).as("__ord") +:
           col(spec.typeCol).cast(StringType).as("__type") +:
-          attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*
+          attrNames.drop(1).map(c => attrProj(source, c)): _*
       )
       (prepared, attrNames)
     }
+  }
+
+  /** TYPE-DRIVEN attribute projection (round 16): a STRING-typed input
+    * column stays a string — it lands in `Event.strs`, visible to
+    * DEFINE equality/IN conditions and FIRST/LAST measures; every
+    * other type keeps the reference's integer model (cast to long,
+    * truncating). The projected frame's own schema is the contract the
+    * row→Event decoders read (`decodeEvent`/`CepRowDecode`), so the
+    * typing cannot drift between formulations. (Before round 16 a
+    * string attr column was cast to long — all-NULL — so no green
+    * query can have depended on the old behavior.)
+    */
+  private def attrProj(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case StringType => col(c).as(c)
+      case _          => col(c).cast(LongType).as(c)
+    }
+
+  /** Which positions of a prepared frame are STRING attrs (index-aligned
+    * with the full row — positions before the attrs are always false).
+    */
+  private[graft] def strAttrFlags(prepared: DataFrame): Array[Boolean] =
+    prepared.schema.fields.map(f =>
+      f.dataType == StringType && f.name != "__type")
+
+  /** Row→Event decode over a prepared frame: order at 1, type at 2,
+    * attrs from 3 (string positions per `flags` land in `Event.strs`).
+    * Shared by the typed batch operators; the Catalyst exec mirrors it
+    * in `CepRowDecode` (InternalRow).
+    */
+  private[cep] def decodeEvent(row: org.apache.spark.sql.Row,
+      attrNames: Vector[String], orderName: String,
+      flags: Array[Boolean]): Event = {
+    val attrs = Vector.newBuilder[(String, Long)]
+    var strs: scala.collection.mutable.Builder[(String, String),
+      Vector[(String, String)]] = null
+    attrs += orderName -> row.getLong(1)
+    var i = 3
+    while (i < row.length) {
+      if (!row.isNullAt(i)) {
+        if (flags(i)) {
+          if (strs == null) strs = Vector.newBuilder
+          strs += attrNames(i - 2) -> row.getString(i)
+        } else attrs += attrNames(i - 2) -> row.getLong(i)
+      }
+      i += 1
+    }
+    Event(row.getString(2), attrs.result(),
+      if (strs == null) Vector.empty else strs.result())
   }
 
   /** The shed valve's telemetry AS DATA: run `query` per key with the
@@ -157,6 +210,7 @@ object SparkCep {
       StructField("shed_runs", LongType, nullable = false),
       StructField("cap", LongType, nullable = false)))
     val orderName = attrNames.head
+    val strFlags = strAttrFlags(parted)
     val out = parted.mapPartitions { rows =>
       val executor = new Executor(DstCompiler.compile(query),
         query.strategy, Some(-cap), query.within, query.withinTime,
@@ -172,16 +226,9 @@ object SparkCep {
           var n = 0L
           while (br.hasNext && br.head.get(0) == key) {
             val row = br.next()
-            val attrs = Vector.newBuilder[(String, Long)]
-            attrs += orderName -> row.getLong(1)
-            var i = 3
-            while (i < row.length) {
-              if (!row.isNullAt(i))
-                attrs += attrNames(i - 2) -> row.getLong(i)
-              i += 1
-            }
             val isLast = !(br.hasNext && br.head.get(0) == key)
-            n += executor.feed(Event(row.getString(2), attrs.result()),
+            n += executor.feed(
+              decodeEvent(row, attrNames, orderName, strFlags),
               isLast).size
           }
           Row(key, n, executor.shedCount, cap.toLong)
@@ -240,6 +287,7 @@ object SparkCep {
           StructField(n, ArrayType(LongType, containsNull = false),
             nullable = false)))
     val orderName = attrNames.head
+    val strFlags = strAttrFlags(parted)
     val out = parted.mapPartitions { rows =>
       // NOTE: the 1-arg feed is correct here even under `anchorEnd` —
       // the matches are discarded (only the timeout side output is
@@ -256,15 +304,7 @@ object SparkCep {
         if (!started || key != curKey) {
           executor.reset(); curKey = key; started = true
         }
-        val attrs = Vector.newBuilder[(String, Long)]
-        attrs += orderName -> row.getLong(1)
-        var i = 3
-        while (i < row.length) {
-          if (!row.isNullAt(i))
-            attrs += attrNames(i - 2) -> row.getLong(i)
-          i += 1
-        }
-        executor.feed(Event(row.getString(2), attrs.result()))
+        executor.feed(decodeEvent(row, attrNames, orderName, strFlags))
         executor.drainTimedOut().map { conf =>
           Row.fromSeq(key +: executor.partialOutput(conf, piNames)
             .map(_._2.map(_(orderName))))
@@ -309,6 +349,7 @@ object SparkCep {
             nullable = false))
     )
     val orderName = attrNames.head
+    val strFlags = strAttrFlags(parted)
 
     // unkeyed = every row in one task; the guard makes a table-scale feed
     // loud instead of silently serial (see CepRuntimeWarnings)
@@ -340,15 +381,7 @@ object SparkCep {
         if (!started || key != curKey) {
           executor.reset(); prevShed = 0L; curKey = key; started = true
         }
-        val attrs = Vector.newBuilder[(String, Long)]
-        attrs += orderName -> row.getLong(1)
-        var i = 3
-        while (i < row.length) {
-          if (!row.isNullAt(i))
-            attrs += attrNames(i - 2) -> row.getLong(i)
-          i += 1
-        }
-        val ev = Event(row.getString(2), attrs.result())
+        val ev = decodeEvent(row, attrNames, orderName, strFlags)
         val isLast = needLast &&
           (!rows.hasNext || rows.head.get(0) != key)
         val matches = executor.feed(ev, isLast)

@@ -55,12 +55,16 @@ object StreamingCep {
   def useRocksDbStateStore(spark: org.apache.spark.sql.SparkSession): Unit =
     rocksDbStateStoreConfs.foreach { case (k, v) => spark.conf.set(k, v) }
 
-  /** Serializable event binding (attr names/values in order). */
-  final case class SerEvent(tpe: String, names: Seq[String], vals: Seq[Long])
+  /** Serializable event binding (attr names/values in order; `sNames`/
+    * `sVals` are the STRING attributes — round 16, codec v6).
+    */
+  final case class SerEvent(tpe: String, names: Seq[String], vals: Seq[Long],
+      sNames: Seq[String] = Nil, sVals: Seq[String] = Nil)
 
   /** A buffered not-yet-processed event for the event-time variant. */
   final case class BufEvent(ts: Long, ord: Long, tpe: String,
-      names: Seq[String], vals: Seq[Long])
+      names: Seq[String], vals: Seq[Long],
+      sNames: Seq[String] = Nil, sVals: Seq[String] = Nil)
 
   /** Event-time state: NFA runs + the reorder buffer, plus (v3) the
     * withinTime clock floor and the writing operator's variant tag, plus
@@ -94,18 +98,27 @@ object StreamingCep {
     * silently corrupt match ids and `(ts, ord)` release order.
     */
   private def rowToEvent(row: Row, ordIdx: Int, typeIdx: Int, attrStart: Int,
-      attrNames: Vector[String], orderName: String): Event = {
+      attrNames: Vector[String], orderName: String,
+      strFlags: Array[Boolean]): Event = {
     if (row.isNullAt(ordIdx)) throw new IllegalArgumentException(
       "CEP order column is null — order values must be non-null and " +
         "unique per key")
     val attrs = Vector.newBuilder[(String, Long)]
+    var strs: scala.collection.mutable.Builder[(String, String),
+      Vector[(String, String)]] = null
     attrs += orderName -> row.getLong(ordIdx)
     var i = attrStart
     while (i < row.length) {
-      if (!row.isNullAt(i)) attrs += attrNames(i - attrStart + 1) -> row.getLong(i)
+      if (!row.isNullAt(i)) {
+        if (strFlags(i)) {
+          if (strs == null) strs = Vector.newBuilder
+          strs += attrNames(i - attrStart + 1) -> row.getString(i)
+        } else attrs += attrNames(i - attrStart + 1) -> row.getLong(i)
+      }
       i += 1
     }
-    Event(row.getString(typeIdx), attrs.result())
+    Event(row.getString(typeIdx), attrs.result(),
+      if (strs == null) Vector.empty else strs.result())
   }
 
   private def matchToRow(key: Any, m: Match, piNames: Vector[String],
@@ -151,9 +164,11 @@ object StreamingCep {
   }
 
   private def toSer(e: Event): SerEvent =
-    SerEvent(e.tpe, e.attrs.map(_._1), e.attrs.map(_._2))
+    SerEvent(e.tpe, e.attrs.map(_._1), e.attrs.map(_._2),
+      e.strs.map(_._1), e.strs.map(_._2))
   private def fromSer(e: SerEvent): Event =
-    Event(e.tpe, e.names.zip(e.vals).toVector)
+    Event(e.tpe, e.names.zip(e.vals).toVector,
+      e.sNames.zip(e.sVals).toVector)
 
   private def snapshotState(ex: Executor): CepState = {
     val (step, runs) = ex.snapshot
@@ -404,18 +419,35 @@ object StreamingCep {
       }.mkString(";"))
   }
 
-  /** The measured shared shape `(qname, key, measures)` — alias →
-    * emission-time folded value (`CepMeasures.evalItem`), NULL kept for
-    * measure-over-missing.
+  /** The measured shared shape `(qname, key, measures, smeasures)` —
+    * alias → emission-time folded value, NULL kept for
+    * measure-over-missing. TWO maps split by the item's declared type
+    * (`CepMeasures.itemDataType`): long-valued measures in `measures`,
+    * STRING-valued ones — `CLASSIFIER()` and FIRST/LAST over a
+    * string-typed attribute (round 16) — in `smeasures` (empty when a
+    * member declares none). The split keeps the long map's existing
+    * contract while giving string measures a typed sink, so the shared
+    * shape no longer rejects CLASSIFIER().
     */
-  private def measuresRender(stmts: Seq[(String, CepSql.CepSqlStatement)])
-      : SharedRender = {
+  private def measuresRender(stmts: Seq[(String, CepSql.CepSqlStatement)],
+      strAttrs: Set[String]): SharedRender = {
     val names = stmts.toVector.map(_._1)
     val sVec = stmts.toVector.map(_._2)
-    (i, key, byName, orderName) =>
-      Row(names(i), key, sVec(i).measures.map(it =>
-        it.alias -> CepMeasures.evalItem(it, byName, orderName,
-          sVec(i).subsetMap).map(Long.box).orNull).toMap)
+    val isStrItem = stmts.toVector.map(_._2.measures.map(it =>
+      CepMeasures.itemDataType(it, strAttrs) ==
+        org.apache.spark.sql.types.StringType))
+    (i, key, byName, orderName) => {
+      val st = sVec(i)
+      val flags = isStrItem(i)
+      val longs = Map.newBuilder[String, Any]
+      val strs = Map.newBuilder[String, Any]
+      st.measures.zip(flags).foreach { case (it, isStr) =>
+        val v = CepMeasures.evalItemBoxed(it, byName, orderName,
+          st.subsetMap, strAttrs)
+        if (isStr) strs += it.alias -> v else longs += it.alias -> v
+      }
+      Row(names(i), key, longs.result(), strs.result())
+    }
   }
 
   /** Snapshot / restore of k member run-sets through the versioned
@@ -461,6 +493,7 @@ object StreamingCep {
     val (prepared, attrNames) =
       if (navs.isEmpty) SparkCep.prepare(df, query, spec)
       else SparkCep.prepareWithFilter(df, None, spec)
+    val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
 
     val outSchema = StructType(
@@ -511,7 +544,7 @@ object StreamingCep {
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
             executor.feed(nf.augment(
-              rowToEvent(row, 1, 2, 3, attrNames, orderName)))
+              rowToEvent(row, 1, 2, 3, attrNames, orderName, strFlags)))
               .map(matchToRow(key, _, piNames, orderName))
           }
           val snap = snapshotState(executor)
@@ -600,12 +633,15 @@ object StreamingCep {
     val (prepared, attrNames) =
       if (navs.isEmpty) SparkCep.prepare(df, query, spec)
       else SparkCep.prepareWithFilter(df, None, spec)
+    val strFlags = SparkCep.strAttrFlags(prepared)
+    val strAttrs = CepMeasures.strAttrsOf(df, spec)
+    CepMeasures.requireStrMeasuresSupported(st.measures, strAttrs)
     val orderName = attrNames.head
 
     val outSchema = StructType(
       StructField(keyName, SparkCep.keyType(df, spec), nullable = false) +:
         st.measures.map(m =>
-          StructField(m.alias, CepMeasures.itemDataType(m),
+          StructField(m.alias, CepMeasures.itemDataType(m, strAttrs),
             nullable = true)))
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
     val stateEnc: Encoder[CepStateCodec.VersionedState] =
@@ -639,12 +675,12 @@ object StreamingCep {
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
             executor.feed(nf.augment(
-              rowToEvent(row, 1, 2, 3, attrNames, orderName)))
+              rowToEvent(row, 1, 2, 3, attrNames, orderName, strFlags)))
               .map { m =>
                 val byName = m.toMap
                 Row.fromSeq(key +: measures.map(ms =>
                   CepMeasures.evalItemBoxed(ms, byName, orderName,
-                    st.subsetMap)))
+                    st.subsetMap, strAttrs)))
               }
           }
           val snap = snapshotState(executor)
@@ -689,6 +725,7 @@ object StreamingCep {
     // that closes a window. PREV is history-fed as in matchPattern.
     val navs = streamingNavs(query, spec)
     val (prepared, attrNames) = SparkCep.prepareWithFilter(df, None, spec)
+    val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
     val outSchema = StructType(
       StructField(keyName, SparkCep.keyType(df, spec), nullable = false) +:
@@ -724,7 +761,7 @@ object StreamingCep {
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
             executor.feed(nf.augment(
-              rowToEvent(row, 1, 2, 3, attrNames, orderName)))
+              rowToEvent(row, 1, 2, 3, attrNames, orderName, strFlags)))
             executor.drainTimedOut().map(c =>
               matchToRow(key, executor.partialOutput(c, piNames),
                 piNames, orderName))
@@ -824,23 +861,36 @@ object StreamingCep {
       stmts: Seq[(String, CepSql.CepSqlStatement)], spec: SparkCep.CepSpec,
       maxRunsPerKey: Option[Int] = None): DataFrame = {
     require(stmts.nonEmpty, "matchPatternsSharedMeasures needs >= 1 member")
+    val strAttrs = CepMeasures.strAttrsOf(df, spec)
     stmts.foreach { case (n, st) =>
       require(st.measures.nonEmpty,
         s"matchPatternsSharedMeasures: member '$n' has no MEASURES — " +
           "use matchPatternsShared for the plain binding shape")
       validateStreamingMeasures(st, spec,
-        s"matchPatternsSharedMeasures: member '$n'")
+        s"matchPatternsSharedMeasures: member '$n'",
+        allowClassifier = true)
+      CepMeasures.requireStrMeasuresSupported(st.measures, strAttrs)
     }
     val keyName = spec.keyCol.getOrElse("__global")
-    val outSchema = StructType(Seq(
+    sharedArrival(df, stmts.map { case (n, st) => n -> st.query }, spec,
+      maxRunsPerKey, sharedMeasuresSchema(df, spec, keyName))(
+      measuresRender(stmts, strAttrs))
+  }
+
+  /** The shared measured output schema: `(qname, key, measures:
+    * map<string,long>, smeasures: map<string,string>)`.
+    */
+  private def sharedMeasuresSchema(df: DataFrame, spec: SparkCep.CepSpec,
+      keyName: String): StructType =
+    StructType(Seq(
       StructField("qname", StringType, nullable = false),
       StructField(keyName, SparkCep.keyType(df, spec), nullable = false),
       StructField("measures",
         MapType(StringType, LongType, valueContainsNull = true),
+        nullable = false),
+      StructField("smeasures",
+        MapType(StringType, StringType, valueContainsNull = true),
         nullable = false)))
-    sharedArrival(df, stmts.map { case (n, st) => n -> st.query }, spec,
-      maxRunsPerKey, outSchema)(measuresRender(stmts))
-  }
 
   /** The arrival-order shared-scan core behind [[matchPatternsShared]]
     * and [[matchPatternsSharedMeasures]]: one `flatMapGroupsWithState`
@@ -863,6 +913,7 @@ object StreamingCep {
       df,
       if (navs.isEmpty) SparkCep.unionPrefilter(queries, spec) else None,
       spec)
+    val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
 
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
@@ -910,7 +961,7 @@ object StreamingCep {
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
             feedShared(executors, gates, key, orderName,
-              nf.augment(rowToEvent(row, 1, 2, 3, attrNames, orderName)))(
+              nf.augment(rowToEvent(row, 1, 2, 3, attrNames, orderName, strFlags)))(
               render)
           }
           // idle-key state GC: all members run-free, no member query
@@ -992,15 +1043,18 @@ object StreamingCep {
     validateStreamingMeasures(st, spec,
       "matchPatternMeasuresEventTime", allowClassifier = true)
     val keyName = spec.keyCol.getOrElse("__global")
+    val strAttrs = CepMeasures.strAttrsOf(df, spec)
+    CepMeasures.requireStrMeasuresSupported(st.measures, strAttrs)
     val outSchema = StructType(
       StructField(keyName, SparkCep.keyType(df, spec),
         nullable = false) +:
         st.measures.map(m =>
-          StructField(m.alias, CepMeasures.itemDataType(m),
+          StructField(m.alias, CepMeasures.itemDataType(m, strAttrs),
             nullable = true)))
     etSingle(df, st.query, spec, tsCol, delay, maxRunsPerKey, outSchema)(
       (key, byName, orderName) => Row.fromSeq(key +: st.measures.map(ms =>
-        CepMeasures.evalItemBoxed(ms, byName, orderName, st.subsetMap))))
+        CepMeasures.evalItemBoxed(ms, byName, orderName, st.subsetMap,
+          strAttrs))))
   }
 
   /** The `ONE ROW PER MATCH` + non-nullary-measures contract shared by
@@ -1040,12 +1094,11 @@ object StreamingCep {
             "sequence needs a total order over a key's matches, which " +
             "an unbounded stream cannot close"
         case _ =>
-          // the single-query measures operators emit a typed row and
-          // accept CLASSIFIER() (allowClassifier); the SHARED shape's
-          // measures column is a long-valued map and cannot carry it
-          "CLASSIFIER() is string-typed and the shared reporting " +
-            "shape's measures map is long-valued — run the member solo " +
-            "with matchPatternMeasures (which supports it)"
+          // every streaming measures operator now carries CLASSIFIER()
+          // (typed single-query rows; the shared shape's `smeasures`
+          // string map — round 16); this branch guards any future
+          // caller that opts out
+          "CLASSIFIER() is not supported by this operator"
       }
       throw new IllegalArgumentException(s"$opName: $why")
     }
@@ -1075,6 +1128,7 @@ object StreamingCep {
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
     val (prepared, attrNames) = etPrepare(df, None, spec, tsCol, delay)
+    val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
 
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
@@ -1111,17 +1165,19 @@ object StreamingCep {
 
           val wmMs = state.getCurrentWatermarkMs()
           val incoming = rows.map { row =>
-            val ev = rowToEvent(row, 2, 3, 4, attrNames, orderName)
+            val ev = rowToEvent(row, 2, 3, 4, attrNames, orderName, strFlags)
             // millisecond precision — sub-second out-of-order events must
             // still sort by true event time
             BufEvent(row.getTimestamp(1).getTime, row.getLong(2), ev.tpe,
-              ev.attrs.map(_._1), ev.attrs.map(_._2))
+              ev.attrs.map(_._1), ev.attrs.map(_._2),
+              ev.strs.map(_._1), ev.strs.map(_._2))
           }.toVector
           // the watermark guarantees nothing earlier can still arrive —
           // release the prefix up to it, in event-time order
           val (ready, still) = releaseBuffer(prev.buffer, incoming, wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
-            executor.feed(nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector)))
+            executor.feed(nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector,
+              e.sNames.zip(e.sVals).toVector)))
               .map(m => render(key, m.toMap, orderName))
           }
 
@@ -1172,6 +1228,7 @@ object StreamingCep {
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
     val (prepared, attrNames) = etPrepare(df, None, spec, tsCol, delay)
+    val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
     val outSchema = StructType(
       StructField(keyName, SparkCep.keyType(df, spec),
@@ -1204,13 +1261,15 @@ object StreamingCep {
           restoreState(executor, CepState(prev.step, prev.runs), prev.clock)
           val wmMs = state.getCurrentWatermarkMs()
           val incoming = rows.map { row =>
-            val ev = rowToEvent(row, 2, 3, 4, attrNames, orderName)
+            val ev = rowToEvent(row, 2, 3, 4, attrNames, orderName, strFlags)
             BufEvent(row.getTimestamp(1).getTime, row.getLong(2), ev.tpe,
-              ev.attrs.map(_._1), ev.attrs.map(_._2))
+              ev.attrs.map(_._1), ev.attrs.map(_._2),
+              ev.strs.map(_._1), ev.strs.map(_._2))
           }.toVector
           val (ready, still) = releaseBuffer(prev.buffer, incoming, wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
-            executor.feed(nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector)))
+            executor.feed(nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector,
+              e.sNames.zip(e.sVals).toVector)))
             executor.drainTimedOut().map(c =>
               matchToRow(key, executor.partialOutput(c, piNames),
                 piNames, orderName))
@@ -1307,23 +1366,22 @@ object StreamingCep {
       : DataFrame = {
     require(stmts.nonEmpty,
       "matchPatternsSharedMeasuresEventTime needs >= 1 member")
+    val strAttrs = CepMeasures.strAttrsOf(df, spec)
     stmts.foreach { case (n, st) =>
       require(st.measures.nonEmpty,
         s"matchPatternsSharedMeasuresEventTime: member '$n' has no " +
           "MEASURES — use matchPatternsSharedEventTime for the plain " +
           "binding shape")
       validateStreamingMeasures(st, spec,
-        s"matchPatternsSharedMeasuresEventTime: member '$n'")
+        s"matchPatternsSharedMeasuresEventTime: member '$n'",
+        allowClassifier = true)
+      CepMeasures.requireStrMeasuresSupported(st.measures, strAttrs)
     }
     val keyName = spec.keyCol.getOrElse("__global")
-    val outSchema = StructType(Seq(
-      StructField("qname", StringType, nullable = false),
-      StructField(keyName, SparkCep.keyType(df, spec), nullable = false),
-      StructField("measures",
-        MapType(StringType, LongType, valueContainsNull = true),
-        nullable = false)))
     sharedEventTime(df, stmts.map { case (n, st) => n -> st.query }, spec,
-      tsCol, delay, maxRunsPerKey, outSchema)(measuresRender(stmts))
+      tsCol, delay, maxRunsPerKey,
+      sharedMeasuresSchema(df, spec, keyName))(
+      measuresRender(stmts, strAttrs))
   }
 
   /** The event-time shared-scan core behind
@@ -1349,6 +1407,7 @@ object StreamingCep {
     val (prepared, attrNames) = etPrepare(df,
       if (navs.isEmpty) SparkCep.unionPrefilter(queries, spec) else None,
       spec, tsCol, delay)
+    val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
 
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
@@ -1385,14 +1444,16 @@ object StreamingCep {
 
           val wmMs = state.getCurrentWatermarkMs()
           val incoming = rows.map { row =>
-            val ev = rowToEvent(row, 2, 3, 4, attrNames, orderName)
+            val ev = rowToEvent(row, 2, 3, 4, attrNames, orderName, strFlags)
             BufEvent(row.getTimestamp(1).getTime, row.getLong(2), ev.tpe,
-              ev.attrs.map(_._1), ev.attrs.map(_._2))
+              ev.attrs.map(_._1), ev.attrs.map(_._2),
+              ev.strs.map(_._1), ev.strs.map(_._2))
           }.toVector
           val (ready, still) = releaseBuffer(prevBuffer, incoming, wmMs)
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
             feedShared(executors, gates, key, orderName,
-              nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector)))(render)
+              nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector,
+              e.sNames.zip(e.sVals).toVector)))(render)
           }
 
           // idle-key state GC: all members empty AND nothing buffered

@@ -131,21 +131,40 @@ private[plans] object CepKeyAccess {
 }
 
 private[plans] object CepRowDecode {
+  /** `strFlags(i)` marks position `i` as a STRING attribute (round 16
+    * type-driven projection, `SparkCep.attrProj`) — decoded into
+    * `Event.strs`; everything else stays the long tier. The UTF8String
+    * is converted (copied) — the event may outlive the row buffer.
+    */
   def decode(row: InternalRow, key: Any, aNames: Vector[String],
-      oName: String): Event = {
+      oName: String, strFlags: Array[Boolean]): Event = {
     if (row.isNullAt(1)) throw new IllegalArgumentException(
       s"CEP order column is null for key $key — order values must be " +
         "non-null and unique per key")
     val attrs = Vector.newBuilder[(String, Long)]
+    var strs: scala.collection.mutable.Builder[(String, String),
+      Vector[(String, String)]] = null
     attrs += oName -> row.getLong(1)
     var i = 3
     while (i < row.numFields) {
-      if (!row.isNullAt(i)) attrs += aNames(i - 2) -> row.getLong(i)
+      if (!row.isNullAt(i)) {
+        if (strFlags(i)) {
+          if (strs == null) strs = Vector.newBuilder
+          strs += aNames(i - 2) -> row.getUTF8String(i).toString
+        } else attrs += aNames(i - 2) -> row.getLong(i)
+      }
       i += 1
     }
     val tpe = if (row.isNullAt(2)) null else row.getUTF8String(2).toString
-    Event(tpe, attrs.result())
+    Event(tpe, attrs.result(),
+      if (strs == null) Vector.empty else strs.result())
   }
+
+  /** The per-position string flags of an exec's child output. */
+  def flagsOf(output: Seq[Attribute]): Array[Boolean] =
+    output.map(a =>
+      a.dataType == org.apache.spark.sql.types.StringType &&
+        a.name != "__type").toArray
 }
 
 final case class CepMatchExec(
@@ -199,6 +218,7 @@ final case class CepMatchExec(
     val names = piNames.toVector
     val aNames = attrNames.toVector
     val oName = orderName
+    val strFlags = CepRowDecode.flagsOf(child.output)
     val maxRuns = maxRunsPerKey
     val outTypes = output.map(_.dataType).toArray
     val nOut = outTypes.length
@@ -242,7 +262,7 @@ final case class CepMatchExec(
           executor.reset(); prevShed = 0L
           curKey = keyCopy(k0); started = true
         }
-        val ev = CepRowDecode.decode(row, curKey, aNames, oName)
+        val ev = CepRowDecode.decode(row, curKey, aNames, oName, strFlags)
         val isLast = needLast &&
           (!iter.hasNext || !keyEq(keyGet(iter.head), curKey))
         val matches = executor.feed(ev, isLast)
@@ -333,6 +353,7 @@ final case class CepMultiMatchExec(
     val fTypes = feedTypes
     val aNames = attrNames.toVector
     val oName = orderName
+    val strFlags = CepRowDecode.flagsOf(child.output)
     val maxRuns = maxRunsPerKey
     val outTypes = output.map(_.dataType).toArray
     val skew = skewAcc
@@ -380,7 +401,7 @@ final case class CepMultiMatchExec(
           executors.foreach(_.reset()); prevShed = 0L
           curKey = keyCopy(k0); started = true
         }
-        val ev = CepRowDecode.decode(row, curKey, aNames, oName)
+        val ev = CepRowDecode.decode(row, curKey, aNames, oName, strFlags)
         val isLast = needLast &&
           (!iter.hasNext || !keyEq(keyGet(iter.head), curKey))
         val tpe = ev.tpe

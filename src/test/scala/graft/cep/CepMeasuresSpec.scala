@@ -234,12 +234,8 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"trial $trial member $name diverged")
       }
     }
-    // rejections: ALL ROWS member, measure-free member
-    intercept[IllegalArgumentException] {
-      CepSql.parseStatements(Seq("m" ->
-        ("PATTERN (s) MEASURES COUNT(s) AS n ALL ROWS PER MATCH " +
-          "DEFINE s AS S")), schema)
-    }
+    // rejection: a measure-free ONE ROW member (ALL ROWS members are
+    // admitted since round 16 — CepSharedSinglePassSpec pins them)
     intercept[IllegalArgumentException] {
       CepMeasures.runShared(eventsDf((1L, 1L, "S", 0L)),
         CepSql.parseStatements(Seq("m" -> "PATTERN (s) DEFINE s AS S"),

@@ -134,6 +134,48 @@ class CepSharedSinglePassSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ALL ROWS members ride the shared scan: plain, WITH UNMATCHED " +
+    "ROWS and SHOW EMPTY MATCHES members equal their solo runs, and " +
+    "the mixed set still sweeps once") {
+    val mixed = CepSql.parseStatements(Seq(
+      "one" -> ("PATTERN (s p) MEASURES FIRST(s) AS a, SUM(p.v) AS d " +
+        "DEFINE s AS S; p AS P"),
+      "all" -> ("PATTERN (s c) MEASURES COUNT(c) AS n, SUM(c.v) AS d " +
+        "ALL ROWS PER MATCH DEFINE s AS S; c AS C"),
+      "unm" -> ("PATTERN (s c) MEASURES COUNT(c) AS n " +
+        "ALL ROWS PER MATCH WITH UNMATCHED ROWS " +
+        "DEFINE s AS S; c AS C AFTER MATCH SKIP TO NEXT ROW"),
+      "empt" -> ("PATTERN (c{0,2}) MEASURES COUNT(c) AS n, " +
+        "SUM(c.v) AS d ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW")), schema)
+    val df = events()
+    // one sweep for the whole mixed set, however the members re-consume
+    // their slices (UNMATCHED reads its slice twice, SHOW EMPTY three
+    // times — all behind the shared materialization + their own
+    // localCheckpoint)
+    val accBase = CepSkewAccumulator.registered(spark, "probe_mix_base")
+    SparkCep.matchPatternsShared(df,
+      mixed.map { case (n, st) => n -> st.query }, spec,
+      skewAcc = Some(accBase)).count()
+    val onePass = accBase.value.events
+    assert(onePass > 0L)
+    val acc = CepSkewAccumulator.registered(spark, "probe_mix")
+    val members = CepMeasures.runShared(df, mixed, spec,
+      skewAcc = Some(acc))
+    members.foreach(_._2.collect())
+    assert(acc.value.events == onePass,
+      s"mixed set swept ${acc.value.events} events, expected $onePass")
+    def canon(d: DataFrame): Vector[String] =
+      d.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .toVector.sorted
+    for ((name, got) <- members) {
+      val st = mixed.find(_._1 == name).get._2
+      val solo = canon(CepMeasures.run(df, st, spec))
+      assert(canon(got) == solo, s"member $name diverged from solo")
+      assert(solo.nonEmpty, s"member $name matched nothing — vacuous")
+    }
+  }
+
   test("shared members still equal solo runs (fix changed cost, not " +
     "semantics)") {
     val df = events()

@@ -16,8 +16,13 @@ import SparkCep.CepSpec
   * Site rules pinned here: under `SkipPastLastEvent` sites are the
   * events outside every match's closed [first-bound, last-bound] span;
   * under `NoSkip`/`SkipToNext` they are the events that start no
-  * reported match. `SkipToFirst/Last` and `^`/`$` anchors are rejected
-  * loudly; a non-nullable pattern makes the mode a zero-cost no-op.
+  * reported match; under `SkipToFirst/Last a` they are the events
+  * outside the PRUNE-ADJUSTED spans [start, max(start, anchor - 1)] —
+  * the anchor event gets a fresh attempt and can itself host an empty
+  * match, and a match never binding `a` prunes nothing (NoSkip
+  * fallback: its span degenerates to its own start). `^`/`$` anchors
+  * are rejected loudly; a non-nullable pattern makes the mode a
+  * zero-cost no-op.
   */
 class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -276,17 +281,55 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("SHOW EMPTY MATCHES is batch-only"))
   }
 
-  test("rejections: SKIP TO FIRST/LAST, anchors, UNMATCHED combination") {
+  test("SKIP TO LAST anchor: the resume-point click hosts an empty " +
+    "match (prune-adjusted spans leave the anchor uncovered)") {
+    val st = CepSql.parseStatement(
+      "PATTERN (c{2,2} | x{0,1}) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.v) AS sv " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C; x AS X AFTER MATCH SKIP TO LAST c", schema)
+    // A C C C A X — anchor pruning keeps BOTH overlapping pairs [2,3]
+    // and [3,4] (run 3's first take equals the raised threshold); the
+    // prune-adjusted spans cover only each pair's START, so click 4 —
+    // bound in a match, covered under SKIP PAST LAST ROW — is a SITE
+    // here (the resume point gets a fresh attempt, which yields only
+    // the empty match). The x match binds no c: NoSkip fallback, its
+    // degenerate span still covers itself.
+    val df = eventsDf(
+      (1L, 1L, "A", 0L), (1L, 2L, "C", 5L), (1L, 3L, "C", 7L),
+      (1L, 4L, "C", 9L), (1L, 5L, "A", 0L), (1L, 6L, "X", 2L))
+    assert(shape(CepMeasures.run(df, st)) == Vector(
+      (1L, 1L, "-", 1L, 0L, -1L),
+      (1L, 2L, "c", 2L, 1L, 5L),
+      (1L, 2L, "c", 3L, 2L, 12L),
+      (1L, 3L, "c", 3L, 1L, 7L),
+      (1L, 3L, "c", 4L, 2L, 16L),
+      (1L, 4L, "-", 4L, 0L, -1L),
+      (1L, 5L, "-", 5L, 0L, -1L),
+      (1L, 6L, "x", 6L, 0L, -1L)))
+    // ONE ROW SHOW EMPTY rides the same sites: one summary row per
+    // real/empty match, interleaved numbering
+    val one = CepSql.parseStatement(
+      "PATTERN (c{2,2} | x{0,1}) " +
+        "MEASURES COUNT(c) AS n_c, MATCH_NUMBER() AS mn " +
+        "ONE ROW PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C; x AS X AFTER MATCH SKIP TO LAST c", schema)
+    val got = CepMeasures.run(df, one).orderBy("mn").collect().map(r =>
+      (r.getLong(r.fieldIndex("mn")),
+        r.getLong(r.fieldIndex("n_c")))).toVector
+    assert(got == Vector((1L, 0L), (2L, 2L), (3L, 2L), (4L, 0L),
+      (5L, 0L), (6L, 0L)))
+  }
+
+  test("rejections: partition anchors, UNMATCHED combination") {
     val df = eventsDf((1L, 1L, "C", 5L))
     def run(sql: String): Unit =
       CepMeasures.run(df, CepSql.parseStatement(sql, schema)).collect()
     val base = "PATTERN (%s) MEASURES COUNT(c) AS n_c " +
       "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
       "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C%s"
-    val e1 = intercept[IllegalArgumentException] {
-      run(base.format("c{0,3}", " AFTER MATCH SKIP TO FIRST c"))
-    }
-    assert(e1.getMessage.contains("SHOW EMPTY MATCHES"))
     val e2 = intercept[IllegalArgumentException] {
       run(base.format("^ c{0,3}", ""))
     }
@@ -428,42 +471,73 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("randomized model differential: the relational site pipeline " +
-    "equals the in-JVM model over the reported matches") {
+    "equals the in-JVM model over the reported matches, all five " +
+    "after-match strategies") {
     val rnd = new scala.util.Random(20260817L)
     val types = Vector("A", "C", "X")
-    for (trial <- 0 until 4) {
+    // the in-JVM model: per reported match, the covered ordinal span
+    // under the strategy — [start, end-bound] for skip-past,
+    // [start, max(start, anchor-1)] for the anchor strategies (fallback
+    // start when the anchor never binds), degenerate [start, start] for
+    // NoSkip/SkipToNext (start-only coverage = the anti-join rule,
+    // since every span covers its start)
+    def modelSites(rows: Seq[(Long, Long, String, Long)],
+        frames: Seq[(Long, Map[String, Seq[Long]])],
+        skip: String): Set[(Long, Long)] = {
+      val spans = frames.map { case (k, byName) =>
+        val all = byName.values.flatten
+        val start = all.min
+        val end =
+          if (skip.contains("PAST LAST")) all.max
+          else if (skip.contains("TO FIRST") || skip.contains("TO LAST")) {
+            val a = skip.trim.split(' ').last
+            val b = byName.getOrElse(a, Seq.empty)
+            if (b.isEmpty) start
+            else math.max(start,
+              (if (skip.contains("TO FIRST")) b.min else b.max) - 1L)
+          } else start
+        (k, start, end)
+      }
+      rows.collect {
+        case (k, id, _, _)
+            if spans.forall { case (sk, s, e) =>
+              sk != k || id < s || id > e } => (k, id)
+      }.toSet
+    }
+    val skips = Seq("", " AFTER MATCH SKIP TO NEXT ROW",
+      " AFTER MATCH SKIP PAST LAST ROW",
+      " AFTER MATCH SKIP TO FIRST c", " AFTER MATCH SKIP TO LAST c",
+      " AFTER MATCH SKIP TO FIRST x", " AFTER MATCH SKIP TO LAST x")
+    // two nullable shapes: the alternation (anchor = branch head) and
+    // a sequenced combine (the x anchor sits strictly INSIDE the span,
+    // so the prune-adjusted end differs from both skip-past and NoSkip)
+    val patterns = Seq("c{2,2} | x{0,1}", "c{0,2} -> x{0,1}")
+    for (trial <- 0 until 3; pat <- patterns) {
       val rows = (1L to 150L).map(i =>
         (i % 5L, i, types(rnd.nextInt(3)), rnd.nextInt(9).toLong))
       val df = eventsDf(rows: _*)
-      for (skip <- Seq("", " AFTER MATCH SKIP TO NEXT ROW",
-        " AFTER MATCH SKIP PAST LAST ROW")) {
+      for (skip <- skips) {
         val st = CepSql.parseStatement(
-          "PATTERN (c{2,2} | x{0,1}) MEASURES COUNT(c) AS n_c " +
+          s"PATTERN ($pat) MEASURES COUNT(c) AS n_c " +
             "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
             "PARTITION BY k ORDER BY id TYPE t " +
             s"DEFINE c AS C; x AS X$skip", schema)
         // the reported matches, independent of the measures pipeline
         val frames = SparkCep.matchPatternExec(df, st.query, st.spec)
           .collect().map { r =>
-          val ords = Seq("c", "x").flatMap(n =>
-            r.getSeq[Long](r.fieldIndex(n)))
-          (r.getLong(r.fieldIndex("k")), ords.min, ords.max)
-        }
-        // the model: non-start events, or span-uncovered events
-        val pastLast = skip.contains("PAST LAST")
-        val modelSites = rows.collect {
-          case (k, id, _, _)
-              if frames.filter(_._1 == k).forall { case (_, s, e) =>
-                if (pastLast) id < s || id > e else id != s
-              } => (k, id)
-        }.toSet
+            (r.getLong(r.fieldIndex("k")),
+              Seq("c", "x").map(n =>
+                n -> r.getSeq[Long](r.fieldIndex(n))).toMap
+                .filter(_._2.nonEmpty))
+          }.toSeq
         val engineSites = CepMeasures.run(df, st).collect().collect {
           case r if r.isNullAt(r.fieldIndex("classifier")) =>
             (r.getLong(r.fieldIndex("k")),
               r.getLong(r.fieldIndex("id")))
         }.toSet
-        assert(engineSites == modelSites,
-          s"trial $trial skip='$skip': sites diverge from the model")
+        assert(engineSites == modelSites(rows, frames, skip),
+          s"trial $trial pattern='$pat' skip='$skip': sites diverge " +
+            "from the model")
       }
     }
   }

@@ -126,6 +126,89 @@ class CepStateCodecSpec extends AnyFunSuite {
     assert(decoded.runs.forall(r => r.anchorFirst == 0 && r.anchorLast == 0))
   }
 
+  test("v6 round-trips STRING attributes on ctx events, buffer and " +
+    "nav history") {
+    val sEv = SerEvent("a", Seq("event_id"), Seq(1L),
+      Seq("host", "page"), Seq("a.com", "/x"))
+    val s6 = state.copy(
+      runs = Seq(run.copy(ctxVals = Seq(Seq(sEv), Seq(sEv)))),
+      buffer = Seq(BufEvent(1L, 2L, "c", Seq("event_id"), Seq(3L),
+        Seq("host"), Seq("b.com"))),
+      navSig = Seq("__nav_v"), navHist = Seq(sEv))
+    val decoded = CepStateCodec.decode(CepStateCodec.encode(s6))
+    assert(decoded.runs.head.ctxVals.head.head == sEv)
+    assert(decoded.buffer == s6.buffer)
+    assert(decoded.navHist == Seq(sEv))
+  }
+
+  /** Hand-rolled v5 payload: v3 header + run walk WITH anchor stamps +
+    * buffer + nav section, all WITHOUT string sections — the bytes a
+    * v5 build wrote.
+    */
+  private def v5Payload(s: CepStateEt): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeByte(s.variant); out.writeLong(s.clock)
+    out.writeInt(s.step)
+    out.writeInt(s.runs.size)
+    s.runs.foreach { r =>
+      out.writeInt(r.start); out.writeUTF(r.q); out.writeBoolean(r.lastTake)
+      val eps = r.revEps.sorted
+      out.writeInt(eps.size); eps.foreach(out.writeUTF)
+      out.writeInt(r.etaKeys.size)
+      r.etaKeys.zip(r.etaVals).foreach { case (k, v) =>
+        out.writeUTF(k); out.writeLong(v)
+      }
+      out.writeInt(r.ctxKeys.size)
+      r.ctxKeys.zip(r.ctxVals).foreach { case (k, evs) =>
+        out.writeUTF(k); out.writeInt(evs.size)
+        evs.foreach { e =>
+          out.writeUTF(e.tpe); out.writeInt(e.names.size)
+          e.names.zip(e.vals).foreach { case (n, v) =>
+            out.writeUTF(n); out.writeLong(v)
+          }
+        }
+      }
+      out.writeInt(r.firstTake); out.writeLong(r.firstTakeTs)
+      out.writeInt(r.anchorFirst); out.writeInt(r.anchorLast)
+    }
+    out.writeInt(s.buffer.size)
+    s.buffer.foreach { b =>
+      out.writeLong(b.ts); out.writeLong(b.ord); out.writeUTF(b.tpe)
+      out.writeInt(b.names.size)
+      b.names.zip(b.vals).foreach { case (n, v) =>
+        out.writeUTF(n); out.writeLong(v)
+      }
+    }
+    out.writeInt(s.navSig.size); s.navSig.foreach(out.writeUTF)
+    out.writeInt(s.navHist.size)
+    s.navHist.foreach { e =>
+      out.writeUTF(e.tpe); out.writeInt(e.names.size)
+      e.names.zip(e.vals).foreach { case (n, v) =>
+        out.writeUTF(n); out.writeLong(v)
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  test("v5 payloads migrate: anchor stamps and nav kept, string " +
+    "attributes default empty") {
+    val tagged = state.copy(clock = 7L,
+      variant = CepStateCodec.VariantArrival,
+      runs = Seq(run.copy(anchorFirst = 1, anchorLast = 3)),
+      navSig = Seq("__nav_v"),
+      navHist = Seq(SerEvent("a", Seq("event_id"), Seq(1L))))
+    val v5 = CepStateCodec.VersionedState(5, v5Payload(tagged))
+    val decoded = CepStateCodec.decode(v5)
+    assert(decoded.clock == 7L)
+    assert(decoded.runs.head.anchorFirst == 1)
+    assert(decoded.runs.head.anchorLast == 3)
+    assert(decoded.navSig == Seq("__nav_v"))
+    assert(decoded.runs.head.ctxVals.flatten.forall(_.sNames.isEmpty))
+    assert(decoded.buffer.forall(_.sNames.isEmpty))
+  }
+
   test("v2 payloads migrate: derived clock sentinel + unknown variant") {
     val v2 = CepStateCodec.VersionedState(2, oldPayload(state,
       withV3Header = false))

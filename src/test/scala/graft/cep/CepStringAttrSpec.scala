@@ -1,0 +1,235 @@
+package graft.cep
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import SparkCep.CepSpec
+
+/** TYPED STRING ATTRIBUTES (round 16, beyond-reference): a STRING input
+  * column rides `Event.strs` end-to-end — DEFINE equality/IN conditions
+  * (`host == 'a.com'`, `host in ('a','b')`, `not in`), FIRST/LAST
+  * string measures (STRING-typed output), COUNT over a string attr, the
+  * prefilter pushdown, the typed and Catalyst batch paths, and the
+  * streaming operator with codec v6 state. Long-only invariants stay:
+  * arithmetic/registers/ordering comparisons over strings reject
+  * loudly.
+  */
+case class EvS(user_id: Long, event_id: Long, event_type: String,
+    value: Long, host: String)
+
+class CepStringAttrSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val schema: Vector[(String, Vector[String])] = Vector(
+    "signup" -> Vector("event_id", "value", "host"),
+    "click" -> Vector("event_id", "value", "host"),
+    "purchase" -> Vector("event_id", "value", "host"),
+    // 'view' must be DECLARED for relaxed contiguity to skip it — an
+    // undeclared type has no ignore edge and kills the run (reference
+    // alphabet semantics)
+    "view" -> Vector("event_id", "value", "host"))
+  private val spec = CepSpec(Some("user_id"), "event_id", "event_type",
+    Seq("value", "host"))
+
+  private def events(n: Int = 200, seed: Long = 20260816L): Vector[EvS] = {
+    val rnd = new scala.util.Random(seed)
+    val types = Vector("signup", "click", "purchase", "view")
+    val hosts = Vector("a.com", "b.com", "c.com")
+    (1 to n).map(i => EvS(1L + rnd.nextInt(4), i.toLong,
+      types(rnd.nextInt(4)), rnd.nextInt(50).toLong,
+      hosts(rnd.nextInt(3)))).toVector
+  }
+
+  private def df(evs: Vector[EvS]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    evs.toDF()
+  }
+
+  // ---------------------------------------------------------- Expr tier
+
+  test("parser: string literals, in, not in; render round-trips") {
+    val e = Expr.parse("host == 'a.com' and value > 3")
+    assert(Expr.strRefs(e) == Set("host"))
+    val in = Expr.parse("host in ('a.com', 'b.com')")
+    assert(in == Expr.InSet(Expr.Ref("host"),
+      Vector("a.com", "b.com")))
+    val notIn = Expr.parse("host not in ('a.com')")
+    assert(notIn == Expr.Not(Expr.InSet(Expr.Ref("host"),
+      Vector("a.com"))))
+    // render (reference condition syntax) re-parses to the same AST
+    for (x <- Seq(e, in, notIn))
+      assert(Expr.parse(Pattern.ExprRepr(x)) == x)
+  }
+
+  test("eval: equality both ways, in; arithmetic/ordering over strings " +
+    "raise; compiled tier agrees") {
+    val env = Expr.env(Map("value" -> 7L), Map.empty,
+      Map("host" -> "a.com"))
+    def num(s: String): Long = Expr.evalNumIn(Expr.parse(s), env)
+    assert(num("host == 'a.com'") == 1L)
+    assert(num("'b.com' != host") == 1L)
+    assert(num("host in ('b.com', 'a.com')") == 1L)
+    assert(num("host not in ('b.com')") == 1L)
+    assert(num("host == 'a.com' and value == 7") == 1L)
+    intercept[Expr.EvalException](num("host < 'b.com'"))
+    intercept[Expr.EvalException](num("host + 1 == 2"))
+    // a numeric attr compared to a string literal resolves the ref on
+    // the STRING side (the literal types the comparison) — NameError
+    intercept[Expr.EvalException](num("value == 'a.com'"))
+    // compiled tier: same values through Event.strs resolution
+    val ev = Event("click", Vector("event_id" -> 1L, "value" -> 7L),
+      Vector("host" -> "a.com"))
+    def cnum(s: String): Long = CompiledExpr.eval(
+      CompiledExpr.compile(Expr.parse(s), null), ev, Map.empty)
+    assert(cnum("host == 'a.com'") == 1L)
+    assert(cnum("host != 'b.com'") == 1L)
+    assert(cnum("host in ('x', 'a.com')") == 1L)
+    assert(cnum("host not in ('a.com')") == 0L)
+    intercept[Expr.EvalException](cnum("nope == 'a.com'"))
+  }
+
+  // ----------------------------------------------------------- batch
+
+  private val stSql =
+    "PATTERN (s -> c) " +
+      "MEASURES FIRST(s) AS s_id, LAST(c.host) AS c_host, " +
+      "FIRST(c.host) AS f_host, COUNT(c.host) AS n_h, " +
+      "SUM(c.value) AS c_v " +
+      "DEFINE s AS signup; c AS click WHERE host == 'a.com' WITHIN 6"
+
+  test("batch: string DEFINE condition + FIRST/LAST/COUNT string " +
+    "measures; typed and Catalyst paths agree; in-JVM model agrees") {
+    val evs = events()
+    val st = CepSql.parseStatement(stSql, schema)
+    val got = CepMeasures.run(df(evs), st, spec)
+    assert(got.schema("c_host").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toVector.sorted
+    assert(rows.nonEmpty, "no matches — fixture is vacuous")
+    // every matched click is an a.com click (the condition held)
+    assert(rows.forall(_._3 == "a.com"))
+    assert(rows.forall(r => r._3 == r._4 && r._5 == 1L))
+    // in-JVM model: first a.com click within 6 steps after each signup
+    // (relaxed combine: non-qualifying events are ignorable, the first
+    // qualifying click takes)
+    val byKey = evs.groupBy(_.user_id)
+    val model = byKey.toVector.flatMap { case (k, kevs) =>
+      val sorted = kevs.sortBy(_.event_id)
+      sorted.zipWithIndex.collect {
+        case (e, i) if e.event_type == "signup" =>
+          sorted.drop(i + 1).take(5).zipWithIndex.find { case (c, _) =>
+            c.event_type == "click" && c.host == "a.com" }
+            .map { case (c, _) => (k, e.event_id, c.event_id) }
+      }.flatten
+    }
+    val gotPairs = rows.map(r => (r._1, r._2)).toSet
+    val modelPairs = model.map(m => (m._1, m._2)).toSet
+    assert(gotPairs == modelPairs,
+      s"matched signups diverge from the model")
+  }
+
+  test("batch: IN condition; typed operator equals the Catalyst exec") {
+    val evs = events(300, 20260817L)
+    val q = CepSql.parse(
+      "PATTERN (s -> c) DEFINE s AS signup; " +
+        "c AS click WHERE host in ('a.com', 'c.com') WITHIN 4", schema)
+    def canon(d: DataFrame): Vector[String] =
+      d.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .toVector.sorted
+    val typed = canon(SparkCep.matchPattern(df(evs), q, spec))
+    val exec = canon(SparkCep.matchPatternExec(df(evs), q, spec))
+    assert(typed == exec)
+    assert(typed.nonEmpty)
+  }
+
+  test("prefilter: a single-spat string equality/IN pushes down as an " +
+    "UNCAST string predicate and changes nothing") {
+    val evs = events(300, 20260818L)
+    // single Spat — the shape whose condition (not just type) pushes
+    // down; a positional WITHIN or multi-step pattern vetoes it
+    val q = CepSql.parse(
+      "PATTERN (c) DEFINE c AS click WHERE host in ('b.com', 'c.com')",
+      schema)
+    val pf = SparkCep.prefilter(q, spec)
+    assert(pf.isDefined, "string condition produced no prefilter")
+    assert(pf.get.toString.contains("b.com"))
+    val got = SparkCep.matchPatternExec(df(evs), q, spec)
+      .collect().map(_.toString).sorted
+    // model: every click with one of the two hosts, singleton match
+    val model = evs.filter(e => e.event_type == "click" &&
+      Set("b.com", "c.com").contains(e.host))
+    assert(got.length == model.length)
+    assert(got.nonEmpty)
+  }
+
+  test("rejections: string attr in SUM/arithmetic measures, registers") {
+    val evs = df(events(50))
+    def bad(sql: String): Unit = {
+      val st = CepSql.parseStatement(sql, schema)
+      intercept[IllegalArgumentException] {
+        CepMeasures.run(evs, st, spec).collect()
+      }
+    }
+    bad("PATTERN (s -> c) MEASURES SUM(c.host) AS x " +
+      "DEFINE s AS signup; c AS click WITHIN 4")
+    bad("PATTERN (s -> c) MEASURES LAST(c.host) - FIRST(c.host) AS x " +
+      "DEFINE s AS signup; c AS click WITHIN 4")
+    bad("PATTERN (s -> c) MEASURES MIN(c.host) AS x " +
+      "DEFINE s AS signup; c AS click WITHIN 4")
+  }
+
+  test("CepSql render round-trips a statement with string condition") {
+    val st = CepSql.parseStatement(stSql, schema)
+    assert(CepSql.parseStatement(CepSql.render(st), schema) == st)
+  }
+
+  // --------------------------------------------------------- streaming
+
+  test("streaming measures == batch with a string condition and " +
+    "string measures, across micro-batch boundaries") {
+    val s = spark
+    import s.implicits._
+    val evs = events(160, 20260819L)
+    val st = CepSql.parseStatement(stSql, schema)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[EvS]
+    val out = StreamingCep.matchPatternMeasures(mem.toDF(), st, spec)
+    assert(out.schema("c_host").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val q = out.writeStream.format("memory").queryName("cep_str_stream")
+      .outputMode("append").start()
+    try {
+      evs.grouped(40).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def canonRows(rows: Array[Row]): Vector[String] =
+      rows.map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "-" else String.valueOf(r.get(i)))
+        .mkString("|")).toVector.sorted
+    val streamed = canonRows(
+      spark.table("cep_str_stream").collect())
+    val batch = canonRows(CepMeasures.run(df(evs), st, spec).collect())
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}

@@ -185,12 +185,16 @@ class StreamingCepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exists(_._3 == "c") && streamed.exists(_._3 == "p"),
       "fixture should exercise both branches")
     assert(streamed == batch)
-    // the SHARED reporting shape still rejects it (long-valued map)
-    val e = intercept[IllegalArgumentException] {
-      StreamingCep.matchPatternsSharedMeasures(mem.toDF(),
-        Seq("m" -> stC), spec)
-    }
-    assert(e.getMessage.contains("long-valued"))
+    // the SHARED reporting shape carries it too (round 16): string
+    // measures land in the `smeasures` string map — gate-pinned
+    // batch==stream in StreamingCepSharedMeasuresSpec; here just the
+    // schema contract
+    val sharedOut = StreamingCep.matchPatternsSharedMeasures(mem.toDF(),
+      Seq("m" -> stC), spec)
+    assert(sharedOut.schema("smeasures").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
     // MATCH_NUMBER() stays rejected
     val stMn = CepSql.parseStatement(
       "PATTERN (s -> p) MEASURES MATCH_NUMBER() AS mn " +

@@ -67,25 +67,39 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
     // the round-15 continuation surface: DISTINCT aggregates and
     // aggregate-ARGUMENT expressions fold per match at emission — the
     // shared gate pins them against batch runShared's column lowering
-    "distinct" -> graft.Queries.cepSqlDistinctAggStatement)
+    "distinct" -> graft.Queries.cepSqlDistinctAggStatement,
+    // round 16: CLASSIFIER() rides the shared shape's string map
+    // (`smeasures`) — the alternation decides which branch names the
+    // match's last row
+    "outcome" -> CepSql.parseStatement(
+      "PATTERN (s -> (c{2,2} | p)) MEASURES FIRST(s) AS s_id, " +
+        "CLASSIFIER() AS oc " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 6",
+      Vector(
+        "signup" -> Vector("event_id", "value"),
+        "click" -> Vector("event_id", "value"),
+        "purchase" -> Vector("event_id", "value"))))
 
   /** Canonical row repr `qname|key|a1=v1,a2=v2,…` (aliases sorted; NULL
-    * prints as `a=∅`) for both sides of the gate.
+    * prints as `a=∅`; values stringified — longs and strings compare
+    * under one shape) for both sides of the gate.
     */
   private def reprOf(qname: String, key: Long,
-      vals: Map[String, Option[Long]]): String =
+      vals: Map[String, Option[String]]): String =
     s"$qname|$key|" + vals.toVector.sortBy(_._1)
-      .map { case (a, v) => s"$a=${v.fold("∅")(_.toString)}" }
+      .map { case (a, v) => s"$a=${v.getOrElse("∅")}" }
       .mkString(",")
 
   private def batchReprs: Vector[String] =
     CepMeasures.runShared(events, members, spec).flatMap {
       case (name, df) =>
-        val aliases = members.toMap.apply(name).measures.map(_.alias)
+        val items = members.toMap.apply(name).measures
         df.collect().map { r =>
-          val vals = aliases.map(a => a ->
-            (if (r.isNullAt(r.fieldIndex(a))) None
-             else Some(r.getLong(r.fieldIndex(a))))).toMap
+          val vals = items.map { it =>
+            val i = r.fieldIndex(it.alias)
+            it.alias -> (if (r.isNullAt(i)) None
+              else Some(String.valueOf(r.get(i))))
+          }.toMap
           reprOf(name, r.getLong(r.fieldIndex("user_id")), vals)
         }
     }.toVector.sorted
@@ -99,19 +113,19 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
     val out = StreamingCep.matchPatternsSharedMeasures(streamDf, members,
       spec)
     assert(out.columns.toVector ==
-      Vector("user_id", "qname", "measures") ||
-      out.columns.toVector == Vector("qname", "user_id", "measures"))
+      Vector("qname", "user_id", "measures", "smeasures"))
     val sq = out.writeStream.format("memory").queryName("shared_meas")
       .outputMode("append").start()
     val streamed =
       try {
         sq.processAllAvailable()
         spark.sql("SELECT * FROM shared_meas").collect().map { r =>
-          val m = r.getAs[Map[String, Any]]("measures")
+          val m = r.getAs[Map[String, Any]]("measures") ++
+            r.getAs[Map[String, Any]]("smeasures")
           reprOf(r.getString(r.fieldIndex("qname")),
             r.getLong(r.fieldIndex("user_id")),
             m.map { case (k, v) => k ->
-              Option(v).map(_.asInstanceOf[Long]) })
+              Option(v).map(String.valueOf) })
         }.toVector.sorted
       } finally sq.stop()
     assert(streamed == batch,
@@ -172,7 +186,7 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
       val batch = CepMeasures.run(events, st, spec).collect().map { r =>
         val vals = st.measures.map(_.alias).map(a => a ->
           (if (r.isNullAt(r.fieldIndex(a))) None
-           else Some(r.getLong(r.fieldIndex(a))))).toMap
+           else Some(String.valueOf(r.getLong(r.fieldIndex(a)))))).toMap
         reprOf("q", r.getLong(r.fieldIndex("user_id")), vals)
       }.toVector.sorted
       assert(batch.nonEmpty, tag)
@@ -192,7 +206,7 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
             .collect().map { r =>
               val vals = st.measures.map(_.alias).map(a => a ->
                 (if (r.isNullAt(r.fieldIndex(a))) None
-                 else Some(r.getLong(r.fieldIndex(a))))).toMap
+                 else Some(String.valueOf(r.getLong(r.fieldIndex(a)))))).toMap
               reprOf("q", r.getLong(r.fieldIndex("user_id")), vals)
             }.toVector.sorted
         } finally sq.stop()
@@ -256,11 +270,12 @@ class StreamingCepSharedMeasuresSpec extends AnyFunSuite
         spark.sql("SELECT * FROM meas_et_shared")
           .where(col("user_id") =!= -1L)
           .collect().map { r =>
-            val m = r.getAs[Map[String, Any]]("measures")
+            val m = r.getAs[Map[String, Any]]("measures") ++
+              r.getAs[Map[String, Any]]("smeasures")
             reprOf(r.getString(r.fieldIndex("qname")),
               r.getLong(r.fieldIndex("user_id")),
               m.map { case (k, v) => k ->
-                Option(v).map(_.asInstanceOf[Long]) })
+                Option(v).map(String.valueOf) })
           }.toVector.sorted
       } finally sq.stop()
     assert(streamed == batch,
