@@ -37,70 +37,142 @@ import graft.cep.{CepMeasures, CepSql}
   *    harness session): identical rewrite + lowering, delegating the
   *    surrounding statement to the session's own parser.
   *
-  * Lowering: the `<table> MATCH_RECOGNIZE (<body>)` fragment is
-  * replaced by a placeholder relation in the statement text; the body
-  * parses through `CepSql.parseStatement` (empty caller schema — the
-  * inline universe) and runs through the standard Catalyst-planned
-  * operator + MEASURES projection (`CepMeasures.run`); the placeholder
-  * is then substituted with the lowered plan, so arbitrary outer SQL
-  * (projections, filters, joins, ORDER BY) composes over the match
-  * frame. One MATCH_RECOGNIZE per statement. Errors carry the
-  * statement position of the MATCH_RECOGNIZE body.
+  * Lowering (round 16 — COMPOSABLE): each `<source> MATCH_RECOGNIZE
+  * (<body>)` fragment is replaced by a distinct placeholder relation,
+  * LEFT TO RIGHT, repeating until no fragment remains; each body parses
+  * through `CepSql.parseStatement` (empty caller schema — the inline
+  * universe) and runs through the standard Catalyst-planned operator +
+  * MEASURES projection (`CepMeasures.run`); the placeholders are then
+  * substituted back into the delegate-parsed outer plan, so arbitrary
+  * outer SQL (projections, filters, joins, set ops, ORDER BY) composes
+  * over any number of match frames in one statement. `<source>` may be:
   *
-  * Source restriction: the input must be a NAMED table or view
-  * (optionally multipart, `db.events`) — not a parenthesised subquery
-  * and not a backtick-quoted identifier. A subquery source falls
-  * through to Spark's own parser, which rejects the trailing
-  * MATCH_RECOGNIZE parenthesis loudly; name the subquery as a temp
-  * view first (which also gives the match a stable input for the
-  * ORDER BY column's uniqueness contract).
+  *  - a NAMED table or view (optionally multipart, `db.events`;
+  *    backtick quoting is not supported);
+  *  - a PARENTHESISED SUBQUERY — `(SELECT …) MATCH_RECOGNIZE (…)`:
+  *    the subquery parses through the session's own parser and becomes
+  *    the match input (give derived rows a unique ORDER BY column —
+  *    the operator's uniqueness contract applies to what it is fed);
+  *  - a PRECEDING MATCH_RECOGNIZE fragment — left-to-right rewriting
+  *    makes chained `t MATCH_RECOGNIZE (…) MATCH_RECOGNIZE (…)` and
+  *    MR-inside-subquery nesting compose naturally (the inner fragment
+  *    lowers first; its placeholder resolves inside the outer source).
+  *
+  * Errors carry the statement position of the offending
+  * MATCH_RECOGNIZE body. The balanced-paren scans are quote-aware
+  * (a `'…'` string literal inside a body — the string-attribute tier —
+  * may contain parentheses).
   */
 object GraftSql {
 
-  private val MrHead =
-    """(?i)([A-Za-z_][A-Za-z0-9_\.]*)\s+MATCH_RECOGNIZE\s*\(""".r
+  private val Kw = "MATCH_RECOGNIZE"
 
   /** Fast pre-check so the injected parser costs one scan per statement
     * (case-insensitive contains, no upper-cased copy).
     */
-  private[graft] def mentionsMr(sqlText: String): Boolean = {
-    val n = "MATCH_RECOGNIZE".length
-    var i = 0
-    while (i + n <= sqlText.length) {
-      if (sqlText.regionMatches(true, i, "MATCH_RECOGNIZE", 0, n))
-        return true
+  private[graft] def mentionsMr(sqlText: String): Boolean =
+    kwIndex(sqlText, 0) >= 0
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Index of the next word-boundary MATCH_RECOGNIZE at or after
+    * `from`, or -1.
+    */
+  private def kwIndex(sqlText: String, from: Int): Int = {
+    var i = math.max(0, from)
+    while (i + Kw.length <= sqlText.length) {
+      if (sqlText.regionMatches(true, i, Kw, 0, Kw.length) &&
+          (i == 0 || !isIdentChar(sqlText(i - 1))) &&
+          (i + Kw.length == sqlText.length ||
+            !isIdentChar(sqlText(i + Kw.length))))
+        return i
       i += 1
     }
-    false
+    -1
   }
 
-  /** Extracted fragment: (prefix, table, body, suffix, bodyOffset). */
-  private[graft] final case class MrFragment(prefix: String, table: String,
-      body: String, suffix: String, bodyOffset: Int)
+  /** Extracted fragment: `source` is a table name (`isSubquery` false)
+    * or the inner text of a parenthesised subquery (true).
+    */
+  private[graft] final case class MrFragment(prefix: String,
+      source: String, isSubquery: Boolean, body: String, suffix: String,
+      bodyOffset: Int)
 
   private[graft] def extract(sqlText: String): Option[MrFragment] = {
-    val m = MrHead.findFirstMatchIn(sqlText).getOrElse(return None)
-    val table = m.group(1)
-    // m ends just after '('; scan the balanced body
-    val open = m.end - 1
+    var at = kwIndex(sqlText, 0)
+    // skip keyword occurrences not followed by '(' (e.g. inside a
+    // string literal of some outer clause — let the delegate parser
+    // judge those)
+    var open = -1
+    while (at >= 0 && open < 0) {
+      var j = at + Kw.length
+      while (j < sqlText.length && sqlText(j).isWhitespace) j += 1
+      if (j < sqlText.length && sqlText(j) == '(') open = j
+      else at = kwIndex(sqlText, at + 1)
+    }
+    if (at < 0) return None
+    // balanced, quote-aware forward scan for the body
     var depth = 0
+    var inStr = false
     var i = open
     var close = -1
     while (i < sqlText.length && close < 0) {
       val c = sqlText(i)
-      if (c == '(') depth += 1
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
       else if (c == ')') { depth -= 1; if (depth == 0) close = i }
       i += 1
     }
     if (close < 0)
       throw err(sqlText, open,
         "MATCH_RECOGNIZE: unbalanced parentheses in the body")
+    val body = sqlText.substring(open + 1, close)
     val suffix = sqlText.substring(close + 1)
-    if (MrHead.findFirstMatchIn(suffix).isDefined)
-      throw err(sqlText, close,
-        "one MATCH_RECOGNIZE per statement is supported")
-    Some(MrFragment(sqlText.substring(0, m.start), table,
-      sqlText.substring(open + 1, close), suffix, open + 1))
+    // backward source scan: a parenthesised subquery or a named table
+    var k = at - 1
+    while (k >= 0 && sqlText(k).isWhitespace) k -= 1
+    if (k < 0)
+      throw err(sqlText, at,
+        "MATCH_RECOGNIZE has no source — write " +
+          "'<table|(subquery)> MATCH_RECOGNIZE (…)'")
+    if (sqlText(k) == ')') {
+      var depth2 = 0
+      var inStr2 = false
+      var p = k
+      var openSrc = -1
+      // quote-aware backward scan: a quote toggles string state; this
+      // is exact when literals contain no escaped quotes (the dialect
+      // has none)
+      while (p >= 0 && openSrc < 0) {
+        val c = sqlText(p)
+        if (inStr2) { if (c == '\'') inStr2 = false }
+        else if (c == '\'') inStr2 = true
+        else if (c == ')') depth2 += 1
+        else if (c == '(') { depth2 -= 1; if (depth2 == 0) openSrc = p }
+        p -= 1
+      }
+      if (openSrc < 0)
+        throw err(sqlText, k,
+          "MATCH_RECOGNIZE: unbalanced parentheses in the subquery " +
+            "source")
+      Some(MrFragment(sqlText.substring(0, openSrc),
+        sqlText.substring(openSrc + 1, k), isSubquery = true, body,
+        suffix, open + 1))
+    } else {
+      var p = k
+      while (p >= 0 && (isIdentChar(sqlText(p)) || sqlText(p) == '.'))
+        p -= 1
+      val table = sqlText.substring(p + 1, k + 1)
+      if (table.isEmpty)
+        throw err(sqlText, at,
+          "MATCH_RECOGNIZE source must be a named table/view or a " +
+            "parenthesised subquery (backtick-quoted identifiers are " +
+            "not supported)")
+      Some(MrFragment(sqlText.substring(0, p + 1), table,
+        isSubquery = false, body, suffix, open + 1))
+    }
   }
 
   private def err(sqlText: String, offset: Int, msg: String)
@@ -113,40 +185,74 @@ object GraftSql {
 
   private val Placeholder = "__graft_match_recognize"
 
+  /** Substitute lowered placeholder relations into `plan` (each under
+    * its alias — the source table's last name part, or `mr` for
+    * subquery sources, so outer qualification keeps working).
+    */
+  private def substitute(plan: LogicalPlan,
+      lowered: collection.Map[String, (String, DataFrame)]): LogicalPlan =
+    plan.transformUp {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 1 &&
+            lowered.contains(u.multipartIdentifier.head) =>
+        val (alias, df) = lowered(u.multipartIdentifier.head)
+        SubqueryAlias(alias, df.queryExecution.logical)
+    }
+
   /** Rewrite + lower + substitute, delegating the surrounding statement
-    * to `delegate`. Returns None when the text has no MATCH_RECOGNIZE.
+    * to `delegate`. Returns None when the text has no MATCH_RECOGNIZE
+    * fragment.
     */
   private[graft] def rewritePlan(session: SparkSession,
       delegate: String => LogicalPlan, sqlText: String)
       : Option[LogicalPlan] = {
     if (!mentionsMr(sqlText)) return None
-    val frag = extract(sqlText).getOrElse(return None)
-    val lowered: DataFrame =
-      try {
-        val df = session.table(frag.table)
-        val st = CepSql.parseStatement(frag.body, Vector.empty)
-        // an empty universe is silently degenerate (relaxed-contiguity
-        // ignore edges enumerate the declared types — zero types means
-        // zero declared-type ignores), so the FROM-clause form REQUIRES
-        // the inline IN-list
-        require(st.query.schema.nonEmpty,
-          "the FROM-clause form needs 'TYPE <col> IN (t1, ..., tn)' — " +
-            "the inline event-type universe drives relaxed-contiguity " +
-            "ignore edges and must list every type the stream carries")
-        CepMeasures.run(df, st)
-      } catch {
-        case e: IllegalArgumentException =>
-          throw err(sqlText, frag.bodyOffset,
-            s"MATCH_RECOGNIZE body: ${e.getMessage}")
+    val lowered =
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, DataFrame)]
+    var text = sqlText
+    var idx = 0
+    var go = true
+    while (go) {
+      extract(text) match {
+        case None => go = false
+        case Some(frag) =>
+          val name = s"${Placeholder}_$idx"
+          idx += 1
+          val input: DataFrame =
+            if (frag.isSubquery)
+              GraftColumnBridge.ofRows(session,
+                substitute(delegate(frag.source), lowered))
+            else lowered.get(frag.source) match {
+              // chained MR: the source is a fragment lowered earlier
+              case Some((_, df)) => df
+              case None          => session.table(frag.source)
+            }
+          val df: DataFrame =
+            try {
+              val st = CepSql.parseStatement(frag.body, Vector.empty)
+              // an empty universe is silently degenerate
+              // (relaxed-contiguity ignore edges enumerate the declared
+              // types — zero types means zero declared-type ignores), so
+              // the FROM-clause form REQUIRES the inline IN-list
+              require(st.query.schema.nonEmpty,
+                "the FROM-clause form needs 'TYPE <col> IN (t1, ..., " +
+                  "tn)' — the inline event-type universe drives " +
+                  "relaxed-contiguity ignore edges and must list every " +
+                  "type the stream carries")
+              CepMeasures.run(input, st)
+            } catch {
+              case e: IllegalArgumentException =>
+                throw err(text, frag.bodyOffset,
+                  s"MATCH_RECOGNIZE body: ${e.getMessage}")
+            }
+          val alias =
+            if (frag.isSubquery) "mr" else frag.source.split('.').last
+          lowered(name) = (alias, df)
+          text = frag.prefix + name + frag.suffix
       }
-    val rewritten = frag.prefix + Placeholder + frag.suffix
-    val outer = delegate(rewritten)
-    Some(outer.transformUp {
-      case u: UnresolvedRelation
-          if u.multipartIdentifier == Seq(Placeholder) =>
-        SubqueryAlias(frag.table.split('.').last,
-          lowered.queryExecution.logical)
-    })
+    }
+    if (lowered.isEmpty) return None
+    Some(substitute(delegate(text), lowered))
   }
 
   /** The extension-less entry point: same lowering as the injected

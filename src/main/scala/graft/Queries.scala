@@ -1171,6 +1171,55 @@ object Queries {
       |GROUP BY g.user_id, g.s_id
       |ORDER BY g.user_id, s_id, c_id""".stripMargin
 
+  /** FROM-clause COMPOSABILITY (round 16 — the one-per-statement and
+    * named-table-only restrictions are gone, [[graft.GraftSql]]): TWO
+    * `MATCH_RECOGNIZE` fragments in ONE statement under a UNION ALL,
+    * the second sourced from a PARENTHESISED SUBQUERY (errors filtered
+    * out BEFORE matching, so its strict click→purchase adjacency is
+    * judged on the filtered stream — visibly different from the raw
+    * one, which the oracle's second LEAD pass replays over the same
+    * filter). Each fragment lowers independently and the outer set op
+    * composes over both match frames.
+    */
+  def cepSqlFromUnion(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events").createOrReplaceTempView("graft_mr_events")
+    GraftSql.sql(spark,
+      """SELECT 'sp' AS q, user_id, a_id, b_id
+        |FROM graft_mr_events MATCH_RECOGNIZE (
+        |  PATTERN (s p) MEASURES FIRST(s) AS a_id, LAST(p) AS b_id
+        |  PARTITION BY user_id ORDER BY event_id
+        |  TYPE event_type IN (click, purchase, error, signup, view)
+        |  DEFINE s AS signup; p AS purchase)
+        |UNION ALL
+        |SELECT 'cp', user_id, a_id, b_id FROM
+        |(SELECT * FROM graft_mr_events WHERE event_type <> 'error')
+        |MATCH_RECOGNIZE (
+        |  PATTERN (c p) MEASURES FIRST(c) AS a_id, LAST(p) AS b_id
+        |  PARTITION BY user_id ORDER BY event_id
+        |  TYPE event_type IN (click, purchase, signup, view)
+        |  DEFINE c AS click; p AS purchase)
+        |ORDER BY q, user_id, a_id""".stripMargin)
+  }
+
+  val cepSqlFromUnionSql: String =
+    """WITH w1 AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type) OVER win AS nt, LEAD(event_id) OVER win AS nid
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id)),
+      |w2 AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LEAD(event_type) OVER win AS nt, LEAD(event_id) OVER win AS nid
+      |  FROM events WHERE event_type <> 'error'
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT q, user_id, a_id, b_id FROM (
+      |  SELECT 'sp' AS q, user_id, event_id AS a_id, nid AS b_id
+      |  FROM w1 WHERE event_type = 'signup' AND nt = 'purchase'
+      |  UNION ALL
+      |  SELECT 'cp', user_id, event_id, nid
+      |  FROM w2 WHERE event_type = 'click' AND nt = 'purchase')
+      |ORDER BY q, user_id, a_id""".stripMargin
+
   /** PERMUTE with a GROUP member end-to-end: `PERMUTE(s, (c p))` —
     * a signup and an adjacent click→purchase pair in EITHER order, the
     * pair permuting as ONE unit with its internal sequence intact
@@ -7529,6 +7578,7 @@ object Queries {
     "cep_sql_anchor_last" -> cepSqlAnchorLast _,
     "cep_sql_measures_div" -> cepSqlMeasuresDiv _,
     "cep_sql_from_clause" -> cepSqlFromClause _,
+    "cep_sql_from_union" -> cepSqlFromUnion _,
     "cep_sql_permute_group" -> cepSqlPermuteGroup _,
     "cep_sql_subset_agg" -> cepSqlSubsetAgg _,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvg _,
@@ -7713,6 +7763,7 @@ object Queries {
     "cep_sql_anchor_last" -> cepSqlAnchorLastSql,
     "cep_sql_measures_div" -> cepSqlMeasuresDivSql,
     "cep_sql_from_clause" -> cepSqlFromClauseSql,
+    "cep_sql_from_union" -> cepSqlFromUnionSql,
     "cep_sql_permute_group" -> cepSqlPermuteGroupSql,
     "cep_sql_subset_agg" -> cepSqlSubsetAggSql,
     "cep_sql_measures_avg" -> cepSqlMeasuresAvgSql,

@@ -148,15 +148,62 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
           |ORDER BY id TYPE t DEFINE s AS S)""".stripMargin)
     }
     assert(e2.getMessage.contains("MATCH_RECOGNIZE body"), e2.getMessage)
-    // two MATCH_RECOGNIZE clauses → rejected loudly
-    val e3 = intercept[IllegalArgumentException] {
-      spark.sql(
-        s"""SELECT * FROM mr_events MATCH_RECOGNIZE ($body) x
-           |JOIN mr_events MATCH_RECOGNIZE ($body) y ON x.k = y.k"""
-          .stripMargin)
-    }
-    assert(e3.getMessage.contains("one MATCH_RECOGNIZE per statement"),
-      e3.getMessage)
+  }
+
+  test("composability: TWO MATCH_RECOGNIZE fragments joined in one " +
+    "statement (round 16 — the one-per restriction is gone)") {
+    val out = spark.sql(
+      s"""SELECT x.k, x.s_id, y.c_id
+         |FROM mr_events MATCH_RECOGNIZE ($body) x
+         |JOIN mr_events MATCH_RECOGNIZE ($body) y ON x.k = y.k
+         |ORDER BY x.k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toVector
+    assert(out == Vector((1L, 1L, 2L), (2L, 11L, 12L)))
+    // UNION ALL shape too — each fragment lowers independently
+    val u = spark.sql(
+      s"""SELECT 'a' AS q, k FROM mr_events MATCH_RECOGNIZE ($body)
+         |UNION ALL
+         |SELECT 'b', k FROM mr_events MATCH_RECOGNIZE ($body)
+         |ORDER BY q, k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toVector
+    assert(u == Vector(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)))
+  }
+
+  test("composability: a parenthesised SUBQUERY source (round 16)") {
+    // exclude key 2's leading C — its s->c pair survives unchanged;
+    // the subquery parses through the session's own parser
+    val out = spark.sql(
+      s"""SELECT k, s_id, c_id FROM
+         |(SELECT * FROM mr_events WHERE id <> 10)
+         |MATCH_RECOGNIZE ($body) ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toVector
+    assert(out == Vector((1L, 1L, 2L), (2L, 11L, 12L)))
+    // a subquery that CHANGES the frame: drop key 1's C — only key 2
+    // matches
+    val out2 = GraftSql.sql(spark,
+      s"""SELECT k, s_id FROM
+         |(SELECT * FROM mr_events WHERE NOT (k = 1 AND t = 'C'))
+         |MATCH_RECOGNIZE ($body) ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(out2 == Vector((2L, 11L)))
+  }
+
+  test("composability: chained and nested MATCH_RECOGNIZE (round 16)") {
+    // nested: the inner MR's ONE-ROW frame (k, s_id, c_id, cv) feeds
+    // an outer MR through a subquery that reshapes it into an event
+    // stream (type column from the match size, order from s_id)
+    val out = spark.sql(
+      s"""SELECT k, first_s FROM
+         |(SELECT k, s_id, 'M' AS mt FROM mr_events
+         |  MATCH_RECOGNIZE ($body))
+         |MATCH_RECOGNIZE (
+         |PATTERN (m) MEASURES FIRST(m) AS first_s
+         |PARTITION BY k ORDER BY s_id TYPE mt IN (M)
+         |DEFINE m AS M) ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(out == Vector((1L, 1L), (2L, 11L)))
   }
 
   test("fuzz: garbage and mutated MR statements parse or fail loudly " +
