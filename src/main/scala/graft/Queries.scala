@@ -2149,6 +2149,47 @@ object Queries {
       |    AND NOT (event_type = 'click' AND COALESCE(nt, '') = 'click'))
       |ORDER BY user_id, match_no, event_id""".stripMargin
 
+  /** `SHOW EMPTY MATCHES` under the `^` START anchor (round 16 — the
+    * last SHOW EMPTY gap with a defined reading): every match must
+    * start at the key's FIRST event, so that event is the ONLY attempt
+    * site — a user emits one singleton click match if their journey
+    * starts with a click (the reluctant loop's first accept under
+    * skip-past), else exactly one empty-match row at their first
+    * event. One row per user either way, which is the closed form the
+    * oracle states over `row_number() = 1`. `$` stays rejected
+    * (documented: a zero-width match at the partition end has no input
+    * row to emit).
+    */
+  val cepSqlShowEmptyStartStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (^ c{0,2}) " +
+        "MEASURES COUNT(c) AS n_c, SUM(c.value) AS sv " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE c AS click AFTER MATCH SKIP PAST LAST ROW",
+      eventSchema)
+
+  def cepSqlShowEmptyStart(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlShowEmptyStartStatement)
+      .orderBy("user_id", "event_id")
+
+  val cepSqlShowEmptyStartSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS rn
+      |  FROM events)
+      |SELECT user_id, CAST(1 AS BIGINT) AS match_no,
+      |  CASE WHEN event_type = 'click' THEN 'c' END AS classifier,
+      |  event_id,
+      |  CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+      |    AS BIGINT) AS n_c,
+      |  CASE WHEN event_type = 'click' THEN v END AS sv
+      |FROM f WHERE rn = 1
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** TYPED STRING ATTRIBUTES (round 16, beyond-reference —
     * [[graft.cep.Event]] `strs`): a STRING input column rides the CEP
     * event model end-to-end, type-driven from the input schema
@@ -7595,6 +7636,7 @@ object Queries {
     "cep_sql_unmatched" -> cepSqlUnmatched _,
     "cep_sql_show_empty" -> cepSqlShowEmpty _,
     "cep_sql_show_empty_anchor" -> cepSqlShowEmptyAnchor _,
+    "cep_sql_show_empty_start" -> cepSqlShowEmptyStart _,
     "cep_sql_one_row_empty" -> cepSqlOneRowEmpty _,
     "cep_sql_multi_key" -> cepSqlMultiKey _,
     "cep_string_key" -> cepStringKey _,
@@ -7780,6 +7822,7 @@ object Queries {
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,
     "cep_sql_show_empty" -> cepSqlShowEmptySql,
     "cep_sql_show_empty_anchor" -> cepSqlShowEmptyAnchorSql,
+    "cep_sql_show_empty_start" -> cepSqlShowEmptyStartSql,
     "cep_sql_one_row_empty" -> cepSqlOneRowEmptySql,
     "cep_sql_multi_key" -> cepSqlMultiKeySql,
     "cep_string_key" -> cepStringKeySql,

@@ -774,7 +774,8 @@ object CepMeasures {
         // frame — materialize it ONCE so the NFA sweep below doesn't
         // run twice (see the identical note in [[allRows]])
         emptySeedUnion(matches.localCheckpoint(eager = true), events,
-          spec, keyName, keyOut, names, query.strategy)
+          spec, keyName, keyOut, names, query.strategy,
+          query.anchorStart)
     projectAtoms(frame, events, query, spec, atoms, subsets, names,
       keyName, keyOut, anchored = doEmpty)
       .select(keyOut ++ outCols: _*)
@@ -1023,7 +1024,7 @@ object CepMeasures {
         // measure windows — COUNT 0, everything else NULL, per SQL
         // aggregate-over-empty.
         emptySeedUnion(matchFrame, events, spec, keyName, keyOut, names,
-          query.strategy)
+          query.strategy, query.anchorStart)
           .withColumn("match_no",
             row_number().over(anchoredSeqWindow(keyName, names))
               .cast(LongType))
@@ -1175,10 +1176,11 @@ object CepMeasures {
     */
   private def emptySeedUnion(matchFrame: DataFrame, events: DataFrame,
       spec: CepSpec, keyName: Option[String], keyOut: Seq[Column],
-      names: Vector[String], strategy: AfterMatchStrategy): DataFrame = {
+      names: Vector[String], strategy: AfterMatchStrategy,
+      anchorStart: Boolean = false): DataFrame = {
     val emptyArr = array().cast(ArrayType(LongType))
     val sites = emptySites(matchFrame, events, spec, keyName, names,
-      strategy)
+      strategy, anchorStart)
     val emptySeed = sites.select(
       keyOut ++ names.map(n => emptyArr.as(n)) :+
         col("__site").as("__anchor"): _*)
@@ -1201,15 +1203,21 @@ object CepMeasures {
     * [[allRows]]: every after-match strategy has a site rule
     * ([[emptySites]] — NoSkip/SkipToNext anti-join on starts,
     * SkipPastLastEvent full-span coverage, SkipToFirst/SkipToLast
-    * prune-adjusted-span coverage), but partition anchors are rejected
-    * (the interaction of zero-width matches with partition-edge
-    * anchoring is undefined here).
+    * prune-adjusted-span coverage), and so does the `^` START anchor
+    * (every match must start at the partition's first event, so that
+    * event is the ONLY attempt site — a key contributes one empty
+    * match iff it reports no match at all). The `$` END anchor stays
+    * rejected: a zero-width match "ending at the partition's last
+    * event" has no defined position (the standard's anchors mark row
+    * boundaries; an empty match under `$` would sit after the last
+    * row, which is not an input row to emit).
     */
   private def requireShowEmptySupported(query: CepQuery): Unit = {
-    require(!query.anchorStart && !query.anchorEnd,
-      "SHOW EMPTY MATCHES with '^'/'$' partition anchors is not " +
-        "supported — the interaction between zero-width matches and " +
-        "partition-edge anchoring is undefined here")
+    require(!query.anchorEnd,
+      "SHOW EMPTY MATCHES with the '$' partition-end anchor is not " +
+        "supported — a zero-width match ending at the partition edge " +
+        "has no input row to emit ('^' is supported: the key's first " +
+        "event is the only attempt site)")
   }
 
   /** `SHOW EMPTY MATCHES` sites — the input rows where an EMPTY match
@@ -1252,7 +1260,8 @@ object CepMeasures {
     */
   private def emptySites(matches: DataFrame, events: DataFrame,
       spec: CepSpec, keyName: Option[String], names: Vector[String],
-      strategy: AfterMatchStrategy): DataFrame = {
+      strategy: AfterMatchStrategy,
+      anchorStart: Boolean = false): DataFrame = {
     // mirror the match operators' NULL-KEY DROP (`SparkCep.prepare`):
     // a NULL-keyed row never reaches the NFA, so it is not an attempt
     // site either — without this filter it would survive the anti-join
@@ -1301,6 +1310,26 @@ object CepMeasures {
         else if (isFirst) when(size(col(a)) > 0, element_at(col(a), 1))
         else when(size(col(a)) > 0, element_at(col(a), -1))
       spanMerge(coalesce(greatest(startCol, anchorCol - 1), startCol))
+    }
+    // `^` START anchor: every match starts at the key's FIRST event,
+    // so that event is the only attempt site regardless of strategy —
+    // a key hosts one empty match iff it reports no match at all. One
+    // per-key min + one anti-join against the matched keys.
+    if (anchorStart) {
+      val firsts = keyName match {
+        case Some(k) =>
+          evProj.groupBy(col(k)).agg(min(col("__site")).as("__site"))
+        case None => evProj.agg(min(col("__site")).as("__site"))
+      }
+      return keyName match {
+        case Some(k) =>
+          firsts.join(matches.select(col(k)).distinct(), Seq(k),
+            "left_anti")
+        case None =>
+          // unkeyed: ANY reported match covers the single global site
+          firsts.join(matches.select(lit(1).as("__m")).limit(1),
+            lit(true), "left_anti")
+      }
     }
     strategy match {
       case AfterMatchStrategy.SkipPastLastEvent =>

@@ -323,6 +323,49 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 0L), (6L, 0L)))
   }
 
+  test("'^' START anchor: the key's first event is the only attempt " +
+    "site — one empty match per matchless key") {
+    val st = CepSql.parseStatement(
+      "PATTERN (^ c{0,2}) MEASURES COUNT(c) AS n_c, SUM(c.v) AS sv " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW", schema)
+    // key 1 starts with a click → the reluctant loop's FIRST accept is
+    // the singleton [1] (skip-past clears the run set and '^' never
+    // re-seeds), which covers the first event — NO site, and events 2-3
+    // are not attempt positions under '^' at all; key 2 starts with A →
+    // exactly one site at its first event; key 3 (no clicks) → one site
+    val df = eventsDf(
+      (1L, 1L, "C", 5L), (1L, 2L, "C", 7L), (1L, 3L, "A", 0L),
+      (2L, 10L, "A", 0L), (2L, 11L, "C", 4L),
+      (3L, 20L, "X", 2L), (3L, 21L, "A", 0L))
+    assert(shape(CepMeasures.run(df, st)) == Vector(
+      (1L, 1L, "c", 1L, 1L, 5L),
+      (2L, 1L, "-", 10L, 0L, -1L),
+      (3L, 1L, "-", 20L, 0L, -1L)))
+    // NoSkip emits every accepting length from the anchored seed; the
+    // sites are unchanged (any match covers the first event)
+    val noskip = CepSql.parseStatement(
+      "PATTERN (^ c{0,2}) MEASURES COUNT(c) AS n_c, SUM(c.v) AS sv " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C", schema)
+    assert(shape(CepMeasures.run(df, noskip)) == Vector(
+      (1L, 1L, "c", 1L, 1L, 5L),
+      (1L, 2L, "c", 1L, 1L, 5L),
+      (1L, 2L, "c", 2L, 2L, 12L),
+      (2L, 1L, "-", 10L, 0L, -1L),
+      (3L, 1L, "-", 20L, 0L, -1L)))
+    // ONE ROW PER MATCH rides the same sites
+    val one = CepSql.parseStatement(
+      "PATTERN (^ c{0,2}) MEASURES COUNT(c) AS n_c " +
+        "ONE ROW PER MATCH SHOW EMPTY MATCHES " +
+        "PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE c AS C AFTER MATCH SKIP PAST LAST ROW", schema)
+    val got = CepMeasures.run(df, one).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("n_c")))).toVector
+    assert(got == Vector((1L, 1L), (2L, 0L), (3L, 0L)))
+  }
+
   test("rejections: partition anchors, UNMATCHED combination") {
     val df = eventsDf((1L, 1L, "C", 5L))
     def run(sql: String): Unit =
@@ -331,9 +374,9 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
       "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
       "PARTITION BY k ORDER BY id TYPE t DEFINE c AS C%s"
     val e2 = intercept[IllegalArgumentException] {
-      run(base.format("^ c{0,3}", ""))
+      run(base.format("c{0,3} $", ""))
     }
-    assert(e2.getMessage.contains("anchors"))
+    assert(e2.getMessage.contains("partition-end anchor"))
     // the grammar spellings are alternatives of ONE clause — both at
     // once is a duplicate rows-per-match clause
     val e3 = intercept[IllegalArgumentException] {
@@ -539,6 +582,27 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
           s"trial $trial pattern='$pat' skip='$skip': sites diverge " +
             "from the model")
       }
+      // '^' START anchor (any strategy): the key's first event is the
+      // only attempt site — a key with no reported match hosts exactly
+      // one empty match at its first event, a matched key none
+      val stA = CepSql.parseStatement(
+        s"PATTERN (^ $pat) MEASURES COUNT(c) AS n_c " +
+          "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+          "PARTITION BY k ORDER BY id TYPE t " +
+          "DEFINE c AS C; x AS X AFTER MATCH SKIP PAST LAST ROW",
+        schema)
+      val matchedKeys = SparkCep.matchPatternExec(df, stA.query, stA.spec)
+        .select("k").collect().map(_.getLong(0)).toSet
+      val firstByKey = rows.groupBy(_._1).map { case (k, evs) =>
+        k -> evs.map(_._2).min }
+      val modelA = firstByKey.collect {
+        case (k, first) if !matchedKeys(k) => (k, first) }.toSet
+      val engineA = CepMeasures.run(df, stA).collect().collect {
+        case r if r.isNullAt(r.fieldIndex("classifier")) =>
+          (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("id")))
+      }.toSet
+      assert(engineA == modelA,
+        s"trial $trial pattern='^ $pat': anchored sites diverge")
     }
   }
 

@@ -103,6 +103,54 @@ class CepStringAttrSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Expr.EvalException](cnum("nope == 'a.com'"))
   }
 
+  test("fuzz: random string/long condition trees — parse∘render " +
+    "identity, interpreted == compiled on random events, loud errors") {
+    val rnd = new scala.util.Random(20260820L)
+    val hosts = Vector("a.com", "b.com", "c.com", "x")
+    def rndStrCond(): String = rnd.nextInt(4) match {
+      case 0 => s"host == '${hosts(rnd.nextInt(4))}'"
+      case 1 => s"'${hosts(rnd.nextInt(4))}' != host"
+      case 2 => s"host in (${(0 to rnd.nextInt(2)).map(_ =>
+        s"'${hosts(rnd.nextInt(4))}'").mkString(", ")})"
+      case 3 => s"host not in ('${hosts(rnd.nextInt(4))}')"
+    }
+    def rndNumCond(): String = rnd.nextInt(3) match {
+      case 0 => s"v ${Vector("==", "!=", "<", ">=")(rnd.nextInt(4))} " +
+        s"${rnd.nextInt(9)}"
+      case 1 => s"v + ${rnd.nextInt(5)} > ${rnd.nextInt(9)}"
+      case 2 => s"not (v == ${rnd.nextInt(9)})"
+    }
+    def rndTree(depth: Int): String =
+      if (depth == 0) { if (rnd.nextBoolean()) rndStrCond() else rndNumCond() }
+      else rnd.nextInt(3) match {
+        case 0 => s"(${rndTree(depth - 1)}) and (${rndTree(depth - 1)})"
+        case 1 => s"(${rndTree(depth - 1)}) or (${rndTree(depth - 1)})"
+        case 2 => s"not (${rndTree(depth - 1)})"
+      }
+    for (_ <- 0 until 300) {
+      val src = rndTree(rnd.nextInt(3))
+      val e = Expr.parse(src)
+      // render → re-parse identity
+      assert(Expr.parse(Pattern.ExprRepr(e)) == e, src)
+      // interpreted == compiled on a random event (both layouts)
+      val ev = Event("T", Vector("v" -> rnd.nextInt(9).toLong),
+        Vector("host" -> hosts(rnd.nextInt(4))))
+      val env = Expr.env(ev.attrMap, Map.empty, ev.strMap)
+      val interp =
+        try Right(Expr.evalNumIn(e, env) != 0L)
+        catch { case x: Expr.EvalException => Left(x.getMessage) }
+      val compiled =
+        try Right(CompiledExpr.eval(
+          CompiledExpr.compile(e, Vector("v")), ev, Map.empty) != 0L)
+        catch { case x: Expr.EvalException => Left(x.getMessage) }
+      (interp, compiled) match {
+        case (Right(a), Right(b)) => assert(a == b, src)
+        case (Left(_), Left(_))   => () // both loud — same class
+        case other => fail(s"tiers disagree on '$src': $other")
+      }
+    }
+  }
+
   // ----------------------------------------------------------- batch
 
   private val stSql =
