@@ -4512,6 +4512,35 @@ object Queries {
        |FROM clusters ORDER BY doc_id""".stripMargin
   }
 
+  /** PPS SYSTEMATIC sampling (round 16 —
+    * [[graft.ops.Sampling.ppsSystematicSample]]): ~20 docs per source
+    * with inclusion probability proportional to `n_chars`, by walking
+    * each source's cumulative-weight line with stride
+    * `ceil(total/20)` — the standard probability-proportional-to-size
+    * design (big docs more likely, never more than k picks). ALL
+    * INTEGER (no float keys — exponential-key reservoir methods need
+    * `ln`/`pow`, which are libm-dependent and hash-fragile across
+    * engines), one window pass per stratum, exactly reproducible: the
+    * oracle replays the same cumulative grid with SUM() OVER.
+    */
+  def samplePpsSystematic(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.ppsSystematicSample(
+      table(spark, dir, "documents"), "doc_id", "source", "n_chars",
+      k = 20)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "doc_id")
+
+  val samplePpsSystematicSql: String =
+    """WITH g AS (
+      |  SELECT source, doc_id, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    (SUM(n_chars) OVER (PARTITION BY source) + 19) // 20 AS stride
+      |  FROM documents)
+      |SELECT source, doc_id, n_chars FROM g
+      |WHERE cum // stride > (cum - n_chars) // stride
+      |ORDER BY source, doc_id""".stripMargin
+
   /** Deterministic stratified sampling: permille rates per language
     * (downsample dominant `en`, keep tails) via the engine-portable
     * polynomial hash of the doc id — reproducible across engines, runs,
@@ -7709,6 +7738,7 @@ object Queries {
     "dedup_cluster_keep" -> dedupClusterKeep _,
     "split_leakage_free" -> splitLeakageFree _,
     "sample_stratified" -> sampleStratified _,
+    "sample_pps_systematic" -> samplePpsSystematic _,
     "pipeline_curate" -> pipelineCurate _,
     "pipeline_curate_full" -> pipelineCurateFull _,
     "pipeline_prep_shards" -> pipelinePrepShards _,
@@ -7880,6 +7910,7 @@ object Queries {
     "dedup_cluster_keep" -> dedupClusterKeepSql,
     "split_leakage_free" -> splitLeakageFreeSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_pps_systematic" -> samplePpsSystematicSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
     "pipeline_prep_shards" -> pipelinePrepShardsSql,

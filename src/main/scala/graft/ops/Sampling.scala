@@ -126,4 +126,33 @@ object Sampling {
       .filter(col("__rk") <= col("quota"))
       .drop("__rk")
   }
+
+  /** PPS SYSTEMATIC sampling (probability proportional to size): per
+    * stratum, pick ~`k` rows with inclusion probability proportional
+    * to `weightCol`, by walking the cumulative-weight line with a
+    * fixed stride (`ceil(total/k)`) — a row is selected iff the stride
+    * grid crosses its weight interval, i.e. `cum DIV stride >
+    * (cum - w) DIV stride`. ALL-INTEGER arithmetic (exact across
+    * engines, runs and partitionings — no float keys, unlike
+    * exponential-key reservoir methods whose `ln`/`pow` are
+    * libm-dependent), one window pass per stratum; a row heavier than
+    * the stride is always selected (standard PPS behavior). Weights
+    * must be positive; the per-stratum pick count is
+    * `ceil(total/stride) <= k`, and the deterministic `idCol` walk
+    * order makes the grid reproducible.
+    */
+  def ppsSystematicSample(df: DataFrame, idCol: String,
+      strataCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"ppsSystematicSample: k must be >= 1 ($k)")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__stride",
+        expr(s"(sum(__w) OVER (PARTITION BY $strataCol) + ${k - 1}L) " +
+          s"DIV ${k}L"))
+      .filter(expr("__cum DIV __stride > (__cum - __w) DIV __stride"))
+      .drop("__w", "__cum", "__stride")
+  }
 }

@@ -657,4 +657,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rep = Sketches.hllReport(df.repartition(7), "tok").collect()(0)
     assert(rep.getLong(1) == est)
   }
+  test("ppsSystematicSample: all-integer PPS — at most k per stratum, " +
+    "stride-heavy rows always picked, weight share drives inclusion") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(20260823L)
+    // stratum a: one giant row among small ones; stratum b: uniform
+    val rows =
+      (1 to 400).map(i => (i.toLong, "a",
+        if (i == 137) 100000L else 1L + rnd.nextInt(5))) ++
+      (401 to 800).map(i => (i.toLong, "b", 10L))
+    val df = rows.toDF("id", "grp", "w")
+    val k = 20
+    val picked = Sampling.ppsSystematicSample(df, "id", "grp", "w", k)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toVector
+    val byGrp = picked.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byGrp.values.forall(_ <= k), byGrp.toString)
+    // uniform stratum b: exactly k picks (the grid lands k times)
+    assert(byGrp("b") == k, byGrp.toString)
+    // the giant row dominates stratum a's total: it absorbs most of
+    // the stride grid (emitted ONCE — sampling without replacement),
+    // so a's DISTINCT pick count collapses while the giant is certain
+    assert(picked.contains((137L, "a")))
+    assert(byGrp("a") >= 1 && byGrp("a") <= k, byGrp.toString)
+    // deterministic: repartitioning changes nothing
+    val again = Sampling.ppsSystematicSample(df.repartition(7), "id",
+      "grp", "w", k).collect().map(r => (r.getLong(0), r.getString(1)))
+      .toVector.sortBy(_._1)
+    assert(again == picked.sortBy(_._1))
+  }
 }
