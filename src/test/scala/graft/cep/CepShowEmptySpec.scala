@@ -366,6 +366,29 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Vector((1L, 1L), (2L, 0L), (3L, 0L)))
   }
 
+  test("'^' START anchor, UNKEYED: the global first event is the " +
+    "single site iff no match is reported") {
+    val s = spark
+    import s.implicits._
+    val st = CepSql.parseStatement(
+      "PATTERN (^ c{0,2}) MEASURES COUNT(c) AS n_c " +
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES " +
+        "ORDER BY id TYPE t DEFINE c AS C " +
+        "AFTER MATCH SKIP PAST LAST ROW", schema)
+    // starts with A → one global empty site at id 1
+    val noMatch = Seq((1L, "A", 0L), (2L, "C", 5L)).toDF("id", "t", "v")
+    val got = CepMeasures.run(noMatch, st).collect().map(r =>
+      (r.getLong(r.fieldIndex("id")),
+        r.isNullAt(r.fieldIndex("classifier")))).toVector
+    assert(got == Vector((1L, true)))
+    // starts with C → the singleton match covers the site; no empty row
+    val matched = Seq((1L, "C", 5L), (2L, "A", 0L)).toDF("id", "t", "v")
+    val got2 = CepMeasures.run(matched, st).collect().map(r =>
+      (r.getLong(r.fieldIndex("id")),
+        r.isNullAt(r.fieldIndex("classifier")))).toVector
+    assert(got2 == Vector((1L, false)))
+  }
+
   test("rejections: partition anchors, UNMATCHED combination") {
     val df = eventsDf((1L, 1L, "C", 5L))
     def run(sql: String): Unit =
