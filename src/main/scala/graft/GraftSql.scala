@@ -47,8 +47,8 @@ import graft.cep.{CepMeasures, CepSql}
   * outer SQL (projections, filters, joins, set ops, ORDER BY) composes
   * over any number of match frames in one statement. `<source>` may be:
   *
-  *  - a NAMED table or view (optionally multipart, `db.events`;
-  *    backtick quoting is not supported);
+  *  - a NAMED table or view (optionally multipart, `db.events`; each
+  *    part may be backtick-quoted — round 17);
   *  - a PARENTHESISED SUBQUERY — `(SELECT …) MATCH_RECOGNIZE (…)`:
   *    the subquery parses through the session's own parser and becomes
   *    the match input (give derived rows a unique ORDER BY column —
@@ -59,9 +59,12 @@ import graft.cep.{CepMeasures, CepSql}
   *    lowers first; its placeholder resolves inside the outer source).
   *
   * Errors carry the statement position of the offending
-  * MATCH_RECOGNIZE body. The balanced-paren scans are quote-aware
-  * (a `'…'` string literal inside a body — the string-attribute tier —
-  * may contain parentheses).
+  * MATCH_RECOGNIZE body IN THE ORIGINAL STATEMENT (positions are
+  * translated back through the placeholder rewrites — round 17). The
+  * keyword scan and the balanced-paren scans are quote-aware (a `'…'`
+  * string literal — in a body or in the OUTER statement — may contain
+  * parentheses or the MATCH_RECOGNIZE keyword itself; a literal-only
+  * mention delegates to the session's parser untouched).
   */
 object GraftSql {
 
@@ -77,17 +80,32 @@ object GraftSql {
     c.isLetterOrDigit || c == '_'
 
   /** Index of the next word-boundary MATCH_RECOGNIZE at or after
-    * `from`, or -1.
+    * `from`, or -1. QUOTE-AWARE (round 17): the scan tracks
+    * single-quote string and backtick identifier state from the start
+    * of the statement, so `WHERE note = 'foo MATCH_RECOGNIZE (x)'` (or
+    * a column named `` `MATCH_RECOGNIZE` ``) is NOT treated as a
+    * fragment — such statements delegate to the session's parser
+    * untouched, as the paren scans already did for literal parens.
     */
   private def kwIndex(sqlText: String, from: Int): Int = {
-    var i = math.max(0, from)
-    while (i + Kw.length <= sqlText.length) {
-      if (sqlText.regionMatches(true, i, Kw, 0, Kw.length) &&
-          (i == 0 || !isIdentChar(sqlText(i - 1))) &&
-          (i + Kw.length == sqlText.length ||
-            !isIdentChar(sqlText(i + Kw.length))))
-        return i
-      i += 1
+    var i = 0
+    var inStr = false
+    var inTick = false
+    while (i < sqlText.length) {
+      val c = sqlText(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '`') { inTick = true; i += 1 }
+      else {
+        if (i >= from && i + Kw.length <= sqlText.length &&
+            sqlText.regionMatches(true, i, Kw, 0, Kw.length) &&
+            (i == 0 || !isIdentChar(sqlText(i - 1))) &&
+            (i + Kw.length == sqlText.length ||
+              !isIdentChar(sqlText(i + Kw.length))))
+          return i
+        i += 1
+      }
     }
     -1
   }
@@ -99,7 +117,16 @@ object GraftSql {
       source: String, isSubquery: Boolean, body: String, suffix: String,
       bodyOffset: Int)
 
-  private[graft] def extract(sqlText: String): Option[MrFragment] = {
+  /** `orig`/`toOrig` (round 17): after a fragment is rewritten to a
+    * placeholder, positions in the working text drift from the user's
+    * statement; callers pass the ORIGINAL text plus a translator so
+    * errors for second and later fragments still report the position
+    * in what the user wrote.
+    */
+  private[graft] def extract(sqlText: String, orig: String = null,
+      toOrig: Int => Int = identity): Option[MrFragment] = {
+    def errAt(offset: Int, msg: String): IllegalArgumentException =
+      err(if (orig == null) sqlText else orig, toOrig(offset), msg)
     var at = kwIndex(sqlText, 0)
     // skip keyword occurrences not followed by '(' (e.g. inside a
     // string literal of some outer clause — let the delegate parser
@@ -126,7 +153,7 @@ object GraftSql {
       i += 1
     }
     if (close < 0)
-      throw err(sqlText, open,
+      throw errAt(open,
         "MATCH_RECOGNIZE: unbalanced parentheses in the body")
     val body = sqlText.substring(open + 1, close)
     val suffix = sqlText.substring(close + 1)
@@ -134,7 +161,7 @@ object GraftSql {
     var k = at - 1
     while (k >= 0 && sqlText(k).isWhitespace) k -= 1
     if (k < 0)
-      throw err(sqlText, at,
+      throw errAt(at,
         "MATCH_RECOGNIZE has no source — write " +
           "'<table|(subquery)> MATCH_RECOGNIZE (…)'")
     if (sqlText(k) == ')') {
@@ -154,26 +181,53 @@ object GraftSql {
         p -= 1
       }
       if (openSrc < 0)
-        throw err(sqlText, k,
+        throw errAt(k,
           "MATCH_RECOGNIZE: unbalanced parentheses in the subquery " +
             "source")
       Some(MrFragment(sqlText.substring(0, openSrc),
         sqlText.substring(openSrc + 1, k), isSubquery = true, body,
         suffix, open + 1))
     } else {
+      // named (optionally multipart) table, each part bare or
+      // backtick-quoted (round 17): scan segments right-to-left —
+      // a `...` segment may contain any character except a backtick
       var p = k
-      while (p >= 0 && (isIdentChar(sqlText(p)) || sqlText(p) == '.'))
-        p -= 1
+      var done = false
+      while (!done && p >= 0) {
+        if (sqlText(p) == '`') {
+          val q = sqlText.lastIndexOf('`', p - 1)
+          if (q < 0)
+            throw errAt(p,
+              "MATCH_RECOGNIZE: unbalanced backtick in the source " +
+                "identifier")
+          p = q - 1
+        } else {
+          val st = p
+          while (p >= 0 && isIdentChar(sqlText(p))) p -= 1
+          if (p == st) done = true // nothing consumed: name ends here
+        }
+        if (!done) {
+          if (p >= 0 && sqlText(p) == '.') p -= 1 else done = true
+        }
+      }
       val table = sqlText.substring(p + 1, k + 1)
       if (table.isEmpty)
-        throw err(sqlText, at,
+        throw errAt(at,
           "MATCH_RECOGNIZE source must be a named table/view or a " +
-            "parenthesised subquery (backtick-quoted identifiers are " +
-            "not supported)")
+            "parenthesised subquery")
       Some(MrFragment(sqlText.substring(0, p + 1), table,
         isSubquery = false, body, suffix, open + 1))
     }
   }
+
+  /** The alias a named source resolves under: the last name part,
+    * unquoted (`db.events` and `` db.`events` `` both alias `events`).
+    */
+  private[graft] def lastNamePart(source: String): String =
+    if (source.endsWith("`")) {
+      val q = source.lastIndexOf('`', source.length - 2)
+      source.substring(q + 1, source.length - 1)
+    } else source.substring(source.lastIndexOf('.') + 1)
 
   private def err(sqlText: String, offset: Int, msg: String)
       : IllegalArgumentException = {
@@ -212,8 +266,20 @@ object GraftSql {
     var text = sqlText
     var idx = 0
     var go = true
+    // placeholder rewrites applied so far, newest first, each
+    // `(regionStart, nameLen, regionLen)` in the text it was applied
+    // to — inverted newest-first, they translate a position in the
+    // working text back to the user's original statement, so error
+    // line/pos reporting never drifts after the first fragment
+    var edits: List[(Int, Int, Int)] = Nil
+    def toOrig(off: Int): Int =
+      edits.foldLeft(off) { case (o, (start, nameLen, regionLen)) =>
+        if (o < start) o
+        else if (o >= start + nameLen) o + (regionLen - nameLen)
+        else start
+      }
     while (go) {
-      extract(text) match {
+      extract(text, sqlText, toOrig) match {
         case None => go = false
         case Some(frag) =>
           val name = s"${Placeholder}_$idx"
@@ -242,12 +308,15 @@ object GraftSql {
               CepMeasures.run(input, st)
             } catch {
               case e: IllegalArgumentException =>
-                throw err(text, frag.bodyOffset,
+                throw err(sqlText, toOrig(frag.bodyOffset),
                   s"MATCH_RECOGNIZE body: ${e.getMessage}")
             }
           val alias =
-            if (frag.isSubquery) "mr" else frag.source.split('.').last
+            if (frag.isSubquery) "mr" else lastNamePart(frag.source)
           lowered(name) = (alias, df)
+          val regionLen =
+            text.length - frag.prefix.length - frag.suffix.length
+          edits = (frag.prefix.length, name.length, regionLen) :: edits
           text = frag.prefix + name + frag.suffix
       }
     }

@@ -2247,6 +2247,106 @@ object Queries {
       |FROM fp f JOIN r ON r.user_id = f.user_id AND r.step = f.bstep
       |ORDER BY f.user_id, f.s_id""".stripMargin
 
+  /** STRING LIKE + ordering in DEFINE (round 17, beyond-reference —
+    * `Expr.Like` / code-point `Cmp` over string attributes): a derived
+    * two-dimensional `host` string (`h<k%3>` + `.com`/`.org` by k's
+    * parity) gates the click take with `like`-pattern and `not like`
+    * predicates. No WITHIN → the all-relaxed shape keeps the type
+    * PREFILTER PUSHDOWN (`event_type IN (signup, click)` at the scan;
+    * a single-spat query would push the like itself — `ExprToColumn`
+    * lowers it to Spark's own `like`, exact for backslash-free
+    * patterns). One match per signup: the first subsequent
+    * qualifying click (a relaxed ignore edge never skips a qualifying
+    * event). The oracle replays the derivation and LIKE in DuckDB
+    * (same `%`/`_`, no-escape semantics; binary collation == the
+    * engine's code-point order).
+    */
+  private val hostDeriveSpark: org.apache.spark.sql.Column = {
+    val k = regexp_extract(col("props"), "[0-9]+", 0).cast("long")
+    concat(lit("h"), (k % 3).cast("string"),
+      when(k % 2 === 0, ".com").otherwise(".org"))
+  }
+
+  private val hostDeriveSql: String =
+    "'h' || CAST(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) " +
+      "% 3 AS VARCHAR) || CASE WHEN " +
+      "CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 2 = 0 " +
+      "THEN '.com' ELSE '.org' END"
+
+  val cepSqlStringLikeStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c) " +
+        "MEASURES FIRST(s) AS s_id, LAST(c) AS c_id, " +
+        "LAST(c.host) AS c_host " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; " +
+        "c AS click WHERE host like 'h%.com' and host not like 'h0%'",
+      eventSchemaHost)
+
+  def cepSqlStringLike(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(
+      table(spark, dir, "events").withColumn("host", hostDeriveSpark),
+      cepSqlStringLikeStatement)
+      .orderBy("user_id", "s_id")
+
+  val cepSqlStringLikeSql: String =
+    s"""WITH r AS (
+      |  SELECT user_id, event_id, event_type,
+      |    $hostDeriveSql AS host
+      |  FROM events),
+      |s AS (SELECT user_id, event_id AS s_id FROM r
+      |      WHERE event_type = 'signup'),
+      |c AS (SELECT user_id, event_id, host FROM r
+      |      WHERE event_type = 'click'
+      |        AND host LIKE 'h%.com' AND host NOT LIKE 'h0%'),
+      |fp AS (
+      |  SELECT s.user_id, s.s_id, min(c.event_id) AS c_id
+      |  FROM s JOIN c ON c.user_id = s.user_id AND c.event_id > s.s_id
+      |  GROUP BY 1, 2)
+      |SELECT f.user_id, f.s_id, f.c_id, c.host AS c_host
+      |FROM fp f JOIN c ON c.user_id = f.user_id AND c.event_id = f.c_id
+      |ORDER BY f.user_id, f.s_id""".stripMargin
+
+  /** STRING ORDERING in DEFINE (round 17): the same derived host gated
+    * by code-point range predicates (`host >= 'h1' and host < 'h2'` —
+    * selects h1.com/h1.org). `Expr.strCompare` is UTF-8 byte order =
+    * Spark UTF8String = DuckDB binary collation, so the NFA, the
+    * pushed-down range filter and the oracle agree exactly.
+    */
+  val cepSqlStringOrderStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c) " +
+        "MEASURES FIRST(s) AS s_id, LAST(c) AS c_id, " +
+        "LAST(c.host) AS c_host " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; " +
+        "c AS click WHERE host >= 'h1' and host < 'h2'",
+      eventSchemaHost)
+
+  def cepSqlStringOrder(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(
+      table(spark, dir, "events").withColumn("host", hostDeriveSpark),
+      cepSqlStringOrderStatement)
+      .orderBy("user_id", "s_id")
+
+  val cepSqlStringOrderSql: String =
+    s"""WITH r AS (
+      |  SELECT user_id, event_id, event_type,
+      |    $hostDeriveSql AS host
+      |  FROM events),
+      |s AS (SELECT user_id, event_id AS s_id FROM r
+      |      WHERE event_type = 'signup'),
+      |c AS (SELECT user_id, event_id, host FROM r
+      |      WHERE event_type = 'click'
+      |        AND host >= 'h1' AND host < 'h2'),
+      |fp AS (
+      |  SELECT s.user_id, s.s_id, min(c.event_id) AS c_id
+      |  FROM s JOIN c ON c.user_id = s.user_id AND c.event_id > s.s_id
+      |  GROUP BY 1, 2)
+      |SELECT f.user_id, f.s_id, f.c_id, c.host AS c_host
+      |FROM fp f JOIN c ON c.user_id = f.user_id AND c.event_id = f.c_id
+      |ORDER BY f.user_id, f.s_id""".stripMargin
+
   /** SQL:2016 `COUNT(*)` / `COUNT(name.*)` in MEASURES (parse-side
     * sugar — `COUNT(*)` desugars to the sum of the per-name positional
     * counts, `COUNT(c.*)` to `COUNT(c)`): the funnel's row count is
@@ -7670,6 +7770,8 @@ object Queries {
     "cep_sql_multi_key" -> cepSqlMultiKey _,
     "cep_string_key" -> cepStringKey _,
     "cep_sql_string_attr" -> cepSqlStringAttr _,
+    "cep_sql_string_like" -> cepSqlStringLike _,
+    "cep_sql_string_order" -> cepSqlStringOrder _,
     "cep_sql_count_star" -> cepSqlCountStar _,
     "cep_sql_classifier_target" -> cepSqlClassifierTarget _,
     "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmpty _,
@@ -7857,6 +7959,8 @@ object Queries {
     "cep_sql_multi_key" -> cepSqlMultiKeySql,
     "cep_string_key" -> cepStringKeySql,
     "cep_sql_string_attr" -> cepSqlStringAttrSql,
+    "cep_sql_string_like" -> cepSqlStringLikeSql,
+    "cep_sql_string_order" -> cepSqlStringOrderSql,
     "cep_sql_count_star" -> cepSqlCountStarSql,
     "cep_sql_classifier_target" -> cepSqlClassifierTargetSql,
     "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmptySql,

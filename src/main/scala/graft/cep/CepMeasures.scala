@@ -126,10 +126,13 @@ object CepMeasures {
     * `offset` is SQL:2016's optional second argument to FIRST/LAST:
     * `FIRST(a.v, k)` reads the (k+1)-th bound event from the start,
     * `LAST(a.v, k)` the (k+1)-th from the end — NULL when the binding
-    * is shorter (aggregate-over-missing). ONE ROW PER MATCH and the
-    * streaming fold only; `ALL ROWS PER MATCH` rejects a non-zero
-    * offset (its RUNNING `k-th from the end so far` has no
-    * window-function form — a documented deviation).
+    * is shorter (aggregate-over-missing). Supported by ONE ROW PER
+    * MATCH, the streaming fold, and (round 17) `ALL ROWS PER MATCH`
+    * for FINAL FIRST/LAST and RUNNING FIRST (nth_value over the
+    * per-match windows); RUNNING `LAST(x, k)` alone stays rejected —
+    * `k-th from the end so far` has no window-function form (a
+    * documented deviation; FINAL LAST(x, k) is the whole-match
+    * reading).
     *
     * `isFinal` is the SQL:2016 `FINAL` modifier and only matters in
     * `ALL ROWS PER MATCH`: a FINAL measure shows the aggregate over the
@@ -959,13 +962,22 @@ object CepMeasures {
           "exclusive rows-per-match options (as in SQL:2016)")
       requireShowEmptySupported(query)
     }
-    // RUNNING `LAST(x, k)` is "k-th from the end OF THE ROWS SO FAR" — a
-    // per-row re-read with no window-function form; documented deviation
+    // FIRST/LAST offsets (round 17): FINAL FIRST/LAST(x, k) is the
+    // (k+1)-th bound event from the start/end of the WHOLE match —
+    // nth_value over the existing per-match unbounded windows (the
+    // LAST form over the descending twin); RUNNING FIRST(x, k) is the
+    // (k+1)-th so far — nth_value over the running frame. RUNNING
+    // `LAST(x, k)` alone stays rejected: "k-th from the end OF THE
+    // ROWS SO FAR" is a per-row re-read with no window-function form
+    // (documented deviation; write FINAL LAST(x, k) for the
+    // whole-match reading).
     measures.flatMap(MeasureItem.atomsOf).foreach { m =>
-      require(m.offset == 0,
-        s"ALL ROWS PER MATCH: ${m.fn.sqlName}(${m.name}" +
-          s"${m.attr.fold("")("." + _)}, ${m.offset}) — FIRST/LAST " +
-          "offsets are ONE ROW PER MATCH only")
+      require(m.offset == 0 || m.isFinal || m.fn == Fn.First,
+        s"ALL ROWS PER MATCH: RUNNING ${m.fn.sqlName}(${m.name}" +
+          s"${m.attr.fold("")("." + _)}, ${m.offset}) — the k-th from " +
+          "the end of the rows SO FAR has no window form; use FINAL " +
+          s"${m.fn.sqlName}(...) for the whole-match reading, or ONE " +
+          "ROW PER MATCH")
       // the running windows resolve FIRST/LAST with ignoreNulls over the
       // name-guarded value, which cannot tell a partition-edge NULL from
       // an other-name row — a documented deviation
@@ -1071,6 +1083,13 @@ object CepMeasures {
       matchW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val finalW = matchW.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
+    // descending twin for FINAL LAST(x, k): the k+1-th from the END is
+    // the k+1-th from the start of the reversed frame (whole-match
+    // frame, so the value is constant per match either way)
+    val finalWDesc = keyName.fold(Window.partitionBy(col("match_no")))(k =>
+      Window.partitionBy(col(k), col("match_no")))
+      .orderBy(col("__ord").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val measureCols = atoms.map { m =>
       if (m.fn == Fn.Classifier) {
         if (m.name.isEmpty)
@@ -1091,6 +1110,26 @@ object CepMeasures {
         }
       } else if (m.fn == Fn.MatchNo) {
         col("match_no").as(m.alias) // constant per match; FINAL ≡ RUNNING
+      } else if (m.offset > 0) {
+        // offset FIRST/LAST (round 17; validation above admits FINAL
+        // FIRST/LAST and RUNNING FIRST). nth_value(…, k+1, ignoreNulls)
+        // over the name-guarded value skips other-name rows; the
+        // attribute tier wraps the value in a STRUCT first, so a bound
+        // event with a NULL attribute is still COUNTED by the walk and
+        // contributes its NULL — exactly SQL's "attribute of the
+        // (k+1)-th bound event", not "the (k+1)-th non-NULL value".
+        val isNm = col("classifier").isin(membersOf(m.name): _*)
+        val w =
+          if (m.fn == Fn.Last) finalWDesc
+          else if (m.isFinal) finalW
+          else runWdefault
+        (if (!isAttrTier(m))
+           nth_value(when(isNm, col("__ord")), m.offset + 1,
+             ignoreNulls = true).over(w)
+         else
+           nth_value(when(isNm, struct(valueCol(m).as("v"))),
+             m.offset + 1, ignoreNulls = true).over(w).getField("v")
+        ).as(m.alias)
       } else {
       val runW = if (m.isFinal) finalW else runWdefault
       val isNm = col("classifier").isin(membersOf(m.name): _*)
@@ -1319,7 +1358,14 @@ object CepMeasures {
       val firsts = keyName match {
         case Some(k) =>
           evProj.groupBy(col(k)).agg(min(col("__site")).as("__site"))
-        case None => evProj.agg(min(col("__site")).as("__site"))
+        case None =>
+          // a GLOBAL agg emits one row even over an empty input (NULL
+          // min) — and matches is empty too, so the anti-join would
+          // keep it and an empty table would emit a phantom empty-match
+          // seed with a NULL anchor; the keyed groupBy branch has no
+          // such row to begin with
+          evProj.agg(min(col("__site")).as("__site"))
+            .where(col("__site").isNotNull)
       }
       return keyName match {
         case Some(k) =>

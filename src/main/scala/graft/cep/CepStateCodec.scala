@@ -3,7 +3,7 @@ package graft.cep
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
   DataInputStream, DataOutputStream}
 
-import StreamingCep.{BufEvent, CepStateEt, SerEvent, SerRun}
+import StreamingCep.{BufEvent, CepStateEt, PendingSite, SerEvent, SerRun}
 
 /** Versioned binary codec for the streaming CEP per-key state.
   *
@@ -57,6 +57,14 @@ import StreamingCep.{BufEvent, CepStateEt, SerEvent, SerRun}
   *        EXACT, because no earlier build projected string attributes
   *        (they were cast to long, all-NULL, and never entered an
   *        event), so no old checkpoint can carry one.
+  *   - 7: appends the streaming SHOW EMPTY MATCHES section (round 17) —
+  *        a tracked-flag byte plus the pending empty-match sites
+  *        (`ord`, `ts`, `step` each). v6 and below migrate with
+  *        tracked = false and no sites — EXACT, because no earlier
+  *        build accepted SHOW EMPTY on streaming input; a SHOW EMPTY
+  *        query restoring an untracked mid-key payload is refused
+  *        loudly (`EmptySiteTracker.restore`), never silently treated
+  *        as site-free.
   *
   * EXACT KEYS (round 16) need NO version: the key never enters this
   * payload — it is the state STORE's key, whose schema is now the key
@@ -68,7 +76,7 @@ import StreamingCep.{BufEvent, CepStateEt, SerEvent, SerRun}
   */
 object CepStateCodec {
 
-  val Version = 6
+  val Version = 7
 
   /** Which streaming operator wrote the checkpoint. The two variants feed
     * events in different orders (arrival vs watermark-released event
@@ -128,6 +136,12 @@ object CepStateCodec {
     // v5 navigation section
     out.writeInt(s.navSig.size); s.navSig.foreach(out.writeUTF)
     out.writeInt(s.navHist.size); s.navHist.foreach(writeEvent(out, _))
+    // v7 SHOW EMPTY section
+    out.writeBoolean(s.trackedEmpty)
+    out.writeInt(s.pending.size)
+    s.pending.foreach { ps =>
+      out.writeLong(ps.ord); out.writeLong(ps.ts); out.writeInt(ps.step)
+    }
     out.flush()
     VersionedState(Version, bos.toByteArray)
   }
@@ -136,7 +150,7 @@ object CepStateCodec {
     if (v.ver > Version || v.ver < 2)
       throw new IllegalStateException(
         s"CEP streaming state version ${v.ver} is not supported by this " +
-          s"build (supports $Version, migrates 5, 4, 3 and 2). The checkpoint was " +
+          s"build (supports $Version, migrates 6, 5, 4, 3 and 2). The checkpoint was " +
           "written by a different engine version: either run that " +
           "version, or discard the checkpoint directory and restart the " +
           "query from fresh input (matches already emitted are not " +
@@ -183,7 +197,16 @@ object CepStateCodec {
         (Vector.fill(in.readInt())(in.readUTF()),
           Vector.fill(in.readInt())(readEvent(in, v.ver)))
       else (Vector.empty[String], Vector.empty[SerEvent])
-    CepStateEt(step, runs, buffer, clock, variant, navSig, navHist)
+    // v6-and-below migration: no SHOW EMPTY section (exact — see
+    // history; the tracker refuses an untracked mid-key payload)
+    val (trackedEmpty, pending) =
+      if (v.ver >= 7)
+        (in.readBoolean(), Vector.fill(in.readInt()) {
+          PendingSite(in.readLong(), in.readLong(), in.readInt())
+        })
+      else (false, Vector.empty[PendingSite])
+    CepStateEt(step, runs, buffer, clock, variant, navSig, navHist,
+      trackedEmpty, pending)
   }
 
   private def writeEvent(out: DataOutputStream, e: SerEvent): Unit = {

@@ -65,10 +65,18 @@ object CompiledExpr {
     * raises the NameError directly.
     */
   final case class CStrRef(name: String) extends CStr
-  /** `==` (`ne = false`) / `!=` over two string sides. */
-  final case class CStrCmp(ne: Boolean, l: CStr, r: CStr) extends CExpr
+  /** Comparison over two string sides — equality, and (round 17)
+    * code-point ordering (`Expr.strCompare`); `op` is the shared
+    * comparison opcode table.
+    */
+  final case class CStrCmp(op: Int, l: CStr, r: CStr) extends CExpr
   /** `x in ('a','b',…)` — literal-set membership. */
   final case class CStrIn(e: CStr, values: Set[String]) extends CExpr
+  /** `x like '<pattern>'` — the regex is compiled once at expression
+    * compile time (`Expr.likeRegex`), anchored, DOTALL.
+    */
+  final case class CLike(e: CStr, rx: java.util.regex.Pattern)
+      extends CExpr
 
   // opcodes (compile-time resolved; the parser only emits these)
   private final val ADD = 0; private final val SUB = 1
@@ -91,6 +99,7 @@ object CompiledExpr {
       val slot = if (layout == null) -1 else layout.indexOf(n)
       if (slot >= 0) CAttr(slot, n) else CRef(n)
     case Expr.InSet(x, vs) => CStrIn(compileStr(x), vs.toSet)
+    case Expr.Like(x, p) => CLike(compileStr(x), Expr.likeRegex(p))
     case Expr.Arith(op, l, r) =>
       val code = op match {
         case "+" => ADD; case "-" => SUB; case "*" => MUL
@@ -98,16 +107,15 @@ object CompiledExpr {
         case other => throw new Expr.EvalException(s"bad arith op $other")
       }
       CArith(code, compile(l, layout), compile(r, layout))
-    // the literal side types the comparison as a string equality
+    // the literal side types the comparison as a string comparison
     case Expr.Cmp(op, l, r)
         if l.isInstanceOf[Expr.StrLit] || r.isInstanceOf[Expr.StrLit] =>
-      val ne = op match {
-        case "==" => false
-        case "!=" => true
-        case other => throw new Expr.EvalException(
-          s"string comparison '$other' — strings support ==/!=/in only")
+      val code = op match {
+        case "==" => EQ; case "!=" => NE; case "<" => LT
+        case "<=" => LE; case ">" => GT; case ">=" => GE
+        case other => throw new Expr.EvalException(s"bad cmp op $other")
       }
-      CStrCmp(ne, compileStr(l), compileStr(r))
+      CStrCmp(code, compileStr(l), compileStr(r))
     case Expr.Cmp(op, l, r) =>
       val code = op match {
         case "==" => EQ; case "!=" => NE; case "<" => LT
@@ -203,11 +211,21 @@ object CompiledExpr {
         case _  => a >= b // GE
       }
       if (res) 1L else 0L
-    case CStrCmp(ne, l, r) =>
-      val res = evalStr(l, ev) == evalStr(r, ev)
-      if (res != ne) 1L else 0L
+    case CStrCmp(op, l, r) =>
+      val a = evalStr(l, ev); val b = evalStr(r, ev)
+      val res = op match {
+        case EQ => a == b
+        case NE => a != b
+        case LT => Expr.strCompare(a, b) < 0
+        case LE => Expr.strCompare(a, b) <= 0
+        case GT => Expr.strCompare(a, b) > 0
+        case _  => Expr.strCompare(a, b) >= 0 // GE
+      }
+      if (res) 1L else 0L
     case CStrIn(x, vs) =>
       if (vs.contains(evalStr(x, ev))) 1L else 0L
+    case CLike(x, rx) =>
+      if (rx.matcher(evalStr(x, ev)).matches()) 1L else 0L
     case CAnd(l, r) =>
       val a = eval(l, ev, eta); if (a == 0L) a else eval(r, ev, eta)
     case COr(l, r) =>

@@ -20,19 +20,63 @@ object Expr {
   final case class BoolLit(v: Boolean) extends Expr
   final case class Ref(name: String) extends Expr
   /** A STRING literal (`'a.com'` — round 16, beyond-reference). String
-    * values enter conditions ONLY through equality/inequality against a
-    * literal ([[Cmp]] `==`/`!=`) or literal-set membership ([[InSet]]);
-    * arithmetic, ordering comparisons, truthiness and registers stay
-    * Long-only by design. The literal side is what types the
-    * comparison: `host == 'a.com'` resolves `host` as a string
-    * attribute of the event (`Event.strs`) — two bare refs always
-    * compare numerically.
+    * values enter conditions ONLY through comparison against a literal
+    * ([[Cmp]] — equality, and since round 17 code-point ordering),
+    * literal-set membership ([[InSet]]) or pattern match ([[Like]]);
+    * arithmetic, truthiness and registers stay Long-only by design.
+    * The literal side is what types the comparison: `host == 'a.com'`
+    * resolves `host` as a string attribute of the event (`Event.strs`)
+    * — two bare refs always compare numerically.
     */
   final case class StrLit(v: String) extends Expr
   /** `e in ('a', 'b', …)` — string-literal-set membership; `not in`
     * parses to `Not(InSet(…))`.
     */
   final case class InSet(e: Expr, values: Vector[String]) extends Expr
+  /** `e like '<pattern>'` — SQL LIKE over the string tier (round 17):
+    * `%` matches any sequence (including newlines), `_` any single
+    * character, every other character itself; no escape character (the
+    * dialect's string literals have none). `not like` parses to
+    * `Not(Like(…))`. The pattern compiles once per node; matching is
+    * anchored (whole-string), as in SQL.
+    */
+  final case class Like(e: Expr, pattern: String) extends Expr {
+    @transient private lazy val rx = likeRegex(pattern)
+    def matches(s: String): Boolean = rx.matcher(s).matches()
+  }
+
+  /** LIKE pattern → anchored regex (`%`→`.*`, `_`→`.`, rest quoted),
+    * DOTALL so wildcards cross newlines (SQL semantics; Spark's `like`
+    * agrees, which keeps the prefilter pushdown exact).
+    */
+  private[cep] def likeRegex(pattern: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '%' => sb.append(".*")
+      case '_' => sb.append('.')
+      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    java.util.regex.Pattern.compile(sb.toString,
+      java.util.regex.Pattern.DOTALL)
+  }
+
+  /** Code-point string ordering (round 17): equals UTF-8 byte order —
+    * Spark's `UTF8String` comparison and DuckDB's binary collation —
+    * for all valid strings, so the NFA, the pushed-down prefilter and
+    * the oracle agree. (`String.compareTo` would diverge when a
+    * supplementary character meets a char in U+E000..U+FFFF: UTF-16
+    * code units order surrogates below them.)
+    */
+  def strCompare(a: String, b: String): Int = {
+    val la = a.length; val lb = b.length
+    var i = 0
+    while (i < la && i < lb) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(la, lb)
+  }
   /** op in + - * % // */
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr
   /** op in == != < <= > >= */
@@ -53,15 +97,16 @@ object Expr {
     case Bool(b) => b
     case Str(s) => throw new EvalException(
       s"string value '$s' has no truthiness here — strings enter " +
-        "conditions only through ==/!= against a literal or 'in'")
+        "conditions only through comparison against a literal, " +
+        "'in', or 'like'")
   }
 
   def toNum(v: Val): Long = v match {
     case Num(n)  => n
     case Bool(b) => if (b) 1L else 0L
     case Str(s) => throw new EvalException(
-      s"string value '$s' in arithmetic — string attributes are " +
-        "equality/IN-only")
+      s"string value '$s' in arithmetic — string attributes support " +
+        "comparison/in/like only")
   }
 
   final class EvalException(msg: String) extends RuntimeException(msg)
@@ -129,15 +174,20 @@ object Expr {
         case "//" => Math.floorDiv(a, b) // Python floor division
         case other => throw new EvalException(s"bad arith op $other")
       })
+    case lk: Like => Bool(lk.matches(evalStrSide(lk.e, env)))
     case Cmp(op, l, r) if isStrSide(l) || isStrSide(r) =>
       // the literal side types the comparison: the other side resolves
-      // as a string attribute; only equality is defined on strings
+      // as a string attribute; ordering is code-point order (round 17
+      // — `strCompare`, the pushdown/oracle-exact collation)
       val a = evalStrSide(l, env); val b = evalStrSide(r, env)
       Bool(op match {
         case "==" => a == b
         case "!=" => a != b
-        case other => throw new EvalException(
-          s"string comparison '$other' — strings support ==/!=/in only")
+        case "<"  => strCompare(a, b) < 0
+        case "<=" => strCompare(a, b) <= 0
+        case ">"  => strCompare(a, b) > 0
+        case ">=" => strCompare(a, b) >= 0
+        case other => throw new EvalException(s"bad cmp op $other")
       })
     case Cmp(op, l, r) =>
       val a = toNum(evalIn(l, env)); val b = toNum(evalIn(r, env))
@@ -188,13 +238,18 @@ object Expr {
         case "//" => Math.floorDiv(a, b)
         case other => throw new EvalException(s"bad arith op $other")
       }
+    case lk: Like =>
+      if (lk.matches(evalStrSide(lk.e, env))) 1L else 0L
     case Cmp(op, l, r) if isStrSide(l) || isStrSide(r) =>
       val a = evalStrSide(l, env); val b = evalStrSide(r, env)
       val res = op match {
         case "==" => a == b
         case "!=" => a != b
-        case other => throw new EvalException(
-          s"string comparison '$other' — strings support ==/!=/in only")
+        case "<"  => strCompare(a, b) < 0
+        case "<=" => strCompare(a, b) <= 0
+        case ">"  => strCompare(a, b) > 0
+        case ">=" => strCompare(a, b) >= 0
+        case other => throw new EvalException(s"bad cmp op $other")
       }
       if (res) 1L else 0L
     case Cmp(op, l, r) =>
@@ -229,6 +284,7 @@ object Expr {
     case Lit(_) | BoolLit(_) | StrLit(_) => Set.empty
     case Ref(n)              => Set(n)
     case InSet(x, _)         => refs(x)
+    case Like(x, _)          => refs(x)
     case Arith(_, l, r)      => refs(l) ++ refs(r)
     case Cmp(_, l, r)        => refs(l) ++ refs(r)
     case And(l, r)           => refs(l) ++ refs(r)
@@ -238,15 +294,20 @@ object Expr {
   }
 
   /** The names the expression reads as STRING attributes: refs compared
-    * (`==`/`!=`) against a string literal and refs inside `in` sets —
-    * the only positions the string tier admits. Drives the Spark-side
-    * projection (`SparkCep.prepare` keeps these columns as strings) and
-    * the compiled tier's typing.
+    * against a string literal and refs inside `in` sets — the only
+    * positions the string tier admits. NOTE: the Spark-side projection
+    * is NOT driven by this — it is type-driven from the input schema
+    * (`SparkCep.attrProj`); this walker feeds the BUILD-TIME typing
+    * audit (`SparkCep.checkStrTyping`), which rejects a query whose
+    * condition reads a non-string input column (or a LET register) in
+    * a string position, instead of failing per event at runtime.
     */
   def strRefs(e: Expr): Set[String] = e match {
     case Cmp(_, Ref(n), StrLit(_)) => Set(n)
     case Cmp(_, StrLit(_), Ref(n)) => Set(n)
     case InSet(Ref(n), _)          => Set(n)
+    case Like(Ref(n), _)           => Set(n)
+    case Like(x, _)                => strRefs(x)
     case Arith(_, l, r)            => strRefs(l) ++ strRefs(r)
     case Cmp(_, l, r)              => strRefs(l) ++ strRefs(r)
     case And(l, r)                 => strRefs(l) ++ strRefs(r)
@@ -327,13 +388,24 @@ private[cep] final class ExprParser(input: String) {
       else null
     if (op != null) Expr.Cmp(op, l, addExpr())
     else if (eatKw("in")) Expr.InSet(l, inList())
+    else if (eatKw("like")) Expr.Like(l, likePattern())
     else {
-      // Python's `not in` (the only infix `not`)
+      // Python's `not in` / `not like` (the only infix `not`s)
       val save = pos
       if (eatKw("not")) {
         if (eatKw("in")) Expr.Not(Expr.InSet(l, inList()))
+        else if (eatKw("like")) Expr.Not(Expr.Like(l, likePattern()))
         else { pos = save; l }
       } else l
+    }
+  }
+
+  /** The string-literal pattern of a `like`. */
+  private def likePattern(): String = {
+    skipWs()
+    atom() match {
+      case Expr.StrLit(s) => s
+      case other => fail(s"'like' takes a string-literal pattern, got $other")
     }
   }
 

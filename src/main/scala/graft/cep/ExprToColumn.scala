@@ -40,20 +40,31 @@ object ExprToColumn {
           // with the NFA evaluator
           case _ => return None
         }
-      // string tier (round 16): equality against a literal and IN push
-      // as UNCAST string comparisons — the NFA compares the projected
-      // string value verbatim, so the predicates agree. (A NULL string
-      // attribute is dropped by the filter where the NFA would raise
-      // its NameError — the same relationship the numeric casts have.)
+      // string tier (round 16): comparison against a literal and IN
+      // push as UNCAST string comparisons — the NFA compares the
+      // projected string value verbatim, so the predicates agree
+      // (ordering too: `Expr.strCompare` is code-point order, which is
+      // UTF8String's byte order). (A NULL string attribute is dropped
+      // by the filter where the NFA would raise its NameError — the
+      // same relationship the numeric casts have.)
       case Expr.Cmp(op, l, r)
           if l.isInstanceOf[Expr.StrLit] || r.isInstanceOf[Expr.StrLit] =>
         for (a <- goStr(l); b <- goStr(r)) yield op match {
           case "==" => a === b
           case "!=" => a =!= b
+          case "<"  => a < b
+          case "<=" => a <= b
+          case ">"  => a > b
+          case ">=" => a >= b
           case _    => return None
         }
       case Expr.InSet(x, vs) =>
         goStr(x).map(_.isin(vs: _*))
+      // `like` pushes as Spark's own like ONLY for backslash-free
+      // patterns: the dialect has no escape character, Spark's like
+      // treats '\\' as one — they agree exactly on patterns without it
+      case Expr.Like(x, p) if !p.contains('\\') =>
+        goStr(x).map(_.like(p))
       case Expr.Cmp(op, l, r) =>
         for (a <- go(l); b <- go(r)) yield op match {
           case "==" => a === b
@@ -90,6 +101,7 @@ object ExprToColumn {
     case _: Expr.BoolLit => true
     case _: Expr.Cmp     => true
     case _: Expr.InSet   => true
+    case _: Expr.Like    => true
     case Expr.And(l, r)  => isBool(l) && isBool(r)
     case Expr.Or(l, r)   => isBool(l) && isBool(r)
     case Expr.Not(x)     => isBool(x)

@@ -215,7 +215,9 @@ object Nav {
           extra += nv.hasName -> 0L
       }
     }
-    Event(ev.tpe, ev.attrs ++ extra.result())
+    // keep the string attributes (round 17 — a nav query with a string
+    // DEFINE condition used to lose `Event.strs` here)
+    Event(ev.tpe, ev.attrs ++ extra.result(), ev.strs)
   }
 
   /** Project an event to the attributes the navigation history needs —
@@ -251,6 +253,6 @@ object Nav {
             extra += nv.hasName -> 0L
         }
       }
-      Event(ev.tpe, ev.attrs ++ extra.result())
+      Event(ev.tpe, ev.attrs ++ extra.result(), ev.strs)
     }
 }

@@ -257,6 +257,25 @@ object Pattern {
     case g: GpatInf    => registers(g.child)
   }
 
+  /** Every condition expression the pattern evaluates: take conditions,
+    * negative-spec conditions, `until` stop-conditions and LET register
+    * updates — the build-time string-typing audit walks these
+    * (`SparkCep.checkStrTyping`).
+    */
+  def conditions(p: Pattern): Vector[Expr] = p match {
+    case s: Spat       => s.cndt +: s.vars.map(_.update)
+    case l: Lpat       => l.cndt +: l.vars.map(_.update)
+    case l: LpatInf    => (l.cndt +: l.vars.map(_.update)) ++ l.until
+    case c: Combine    => conditions(c.left) ++ conditions(c.right)
+    case c: CombineNot =>
+      conditions(c.left) ++ conditions(c.right) :+ c.neg.cndt
+    case a: Alt        => conditions(a.left) ++ conditions(a.right)
+    case p: Permute    => p.units.flatMap(conditions)
+    case g: Gpat       => conditions(g.child)
+    case g: GpatTimes  => conditions(g.child)
+    case g: GpatInf    => conditions(g.child) ++ g.until
+  }
+
   /** Transparent grouping. */
   final case class Gpat(child: Pattern) extends Pattern
 
@@ -338,6 +357,7 @@ object Pattern {
       case _: Expr.Not => 3
       case _: Expr.Cmp => 4
       case _: Expr.InSet => 4
+      case _: Expr.Like => 4
       case Expr.Arith(op, _, _) => if (op == "+" || op == "-") 5 else 6
       case _: Expr.Neg => 7
       case _           => 10
@@ -355,6 +375,7 @@ object Pattern {
         case Expr.Ref(n)          => n
         case Expr.InSet(x, vs) =>
           s"${rhs(x)} in (${vs.map(v => s"'$v'").mkString(", ")})"
+        case Expr.Like(x, p)      => s"${rhs(x)} like '$p'"
         case Expr.Arith(op, l, r) => s"${lhs(l)} $op ${rhs(r)}"
         // comparison is non-associative in our grammar — parenthesise an
         // equal-precedence child on either side

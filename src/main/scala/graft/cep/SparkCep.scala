@@ -50,8 +50,48 @@ object SparkCep {
     * `(__key, __ord, __type, attr…)` projection.
     */
   private[graft] def prepare(df: DataFrame, query: CepQuery, spec: CepSpec)
-      : (DataFrame, Vector[String]) =
+      : (DataFrame, Vector[String]) = {
+    checkStrTyping(df, query, spec)
     prepareWithFilter(df, prefilter(query, spec), spec, Nav.ofQuery(query))
+  }
+
+  /** BUILD-TIME typing audit of the string tier (round 17): every name a
+    * condition reads in a STRING position (`Expr.strRefs` — compared to
+    * a string literal, matched with `like`, or in an IN set) must be a
+    * string-typed input column. A long column in a string position used
+    * to surface only at runtime, per event, as the NameError "string
+    * attribute '<n>' is not defined" (the projection is type-driven, so
+    * a non-string column never lands in `Event.strs`); a LET register in
+    * a string position always raises (registers are long-only). Both now
+    * fail loudly when the operator is BUILT, naming the column and its
+    * actual type. Names that are not input columns are left to the
+    * evaluator's NameError — they may be navigation aliases or
+    * genuinely undefined, which the runtime already reports.
+    */
+  private[cep] def checkStrTyping(df: DataFrame, query: CepQuery,
+      spec: CepSpec): Unit = {
+    val exprs = Pattern.conditions(query.patseq)
+    if (exprs.isEmpty) return
+    val regs = Pattern.registers(query.patseq)
+    val cols = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    exprs.iterator.flatMap(Expr.strRefs(_).iterator).foreach { n =>
+      if (regs.contains(n))
+        throw new IllegalArgumentException(
+          s"CEP condition uses LET register '$n' in a string position " +
+            "(compared to a string literal / like / in) — registers " +
+            "are long-valued; string values enter conditions only " +
+            "through string-typed event attributes")
+      cols.get(n) match {
+        case Some(StringType) | None => ()
+        case Some(dt) =>
+          throw new IllegalArgumentException(
+            s"CEP condition uses '$n' in a string position (compared " +
+              s"to a string literal / like / in), but input column " +
+              s"'$n' is ${dt.simpleString}, not string — cast it " +
+              "upstream or compare numerically")
+      }
+    }
+  }
 
   /** `prepare` with the pre-NFA filter supplied by the caller — the
     * single-query path passes its own `prefilter`, the shared multi-query
@@ -133,7 +173,7 @@ object SparkCep {
     * string attr column was cast to long — all-NULL — so no green
     * query can have depended on the old behavior.)
     */
-  private def attrProj(df: DataFrame, c: String): Column =
+  private[cep] def attrProj(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case StringType => col(c).as(c)
       case _          => col(c).cast(LongType).as(c)
@@ -272,6 +312,7 @@ object SparkCep {
     // of a stream: the filtered stream ends before any event advances
     // the clock past the deadline, and the timeout is silently lost —
     // the match operators are immune because pruned runs emit nothing).
+    checkStrTyping(df, query, spec)
     val (prepared, attrNames) =
       prepareWithFilter(df, None, spec, Nav.ofQuery(query))
     val parted = spec.keyCol match {
@@ -482,6 +523,7 @@ object SparkCep {
     // bounded member too is harmless — its run set never nears the cap)
     val effMaxRuns =
       resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
+    queries.foreach { case (_, q) => checkStrTyping(df, q, spec) }
     val (prepared, attrNames) =
       prepareWithFilter(df, unionPrefilter(queries, spec), spec,
         queries.flatMap { case (_, q) => Nav.ofQuery(q) }

@@ -66,15 +66,27 @@ object StreamingCep {
       names: Seq[String], vals: Seq[Long],
       sNames: Seq[String] = Nil, sVals: Seq[String] = Nil)
 
+  /** A not-yet-final empty-match candidate site (streaming `SHOW EMPTY
+    * MATCHES`, round 17 — codec v7): the fed event's ordinal, the
+    * withinTime clock at its feed, and its per-key feed index. A site
+    * leaves the set either covered (a reported match's prune-adjusted
+    * span reached it) or FINAL (the within window provably closed with
+    * no covering match → one empty-match summary row emits).
+    */
+  final case class PendingSite(ord: Long, ts: Long, step: Int)
+
   /** Event-time state: NFA runs + the reorder buffer, plus (v3) the
     * withinTime clock floor and the writing operator's variant tag, plus
     * (v5) the navigation signature and per-key physical-row history
-    * (streaming `PREV` — see `checkNavSig`).
+    * (streaming `PREV` — see `checkNavSig`), plus (v7) the SHOW EMPTY
+    * site tracker (`trackedEmpty` tells a restore whether the writer
+    * tracked sites — see `EmptySiteTracker.restore`).
     */
   final case class CepStateEt(step: Int, runs: Seq[SerRun],
       buffer: Seq[BufEvent], clock: Long = Long.MinValue,
       variant: Byte = CepStateCodec.VariantUnknown,
-      navSig: Seq[String] = Nil, navHist: Seq[SerEvent] = Nil)
+      navSig: Seq[String] = Nil, navHist: Seq[SerEvent] = Nil,
+      trackedEmpty: Boolean = false, pending: Seq[PendingSite] = Nil)
 
   /** One live NFA run, state referenced by name. Carried in the
     * VERSIONED BINARY state payload (`CepStateCodec`), so adding fields
@@ -253,15 +265,20 @@ object StreamingCep {
     * per-key state is O(maxK × bases) for every key ever seen.
     */
   private def streamingNavs(query: CepQuery,
-      spec: SparkCep.CepSpec): Vector[Nav] = {
+      spec: SparkCep.CepSpec, allowNext: Boolean = false): Vector[Nav] = {
     val navs = Nav.ofQuery(query)
     val nexts = navs.filterNot(_.prev)
-    if (nexts.nonEmpty)
+    if (nexts.nonEmpty && !allowNext)
       throw new IllegalArgumentException(
-        "CEP navigation NEXT is not supported on streaming input (" +
+        "CEP navigation NEXT is not supported by this streaming " +
+          "operator (" +
           nexts.map(_.sqlForm).mkString(", ") + "): it references " +
           "FOLLOWING physical rows the unbounded stream has not " +
-          "produced yet. PREV is supported; run NEXT queries in batch.")
+          "produced yet. PREV is supported everywhere; NEXT is " +
+          "supported by the EVENT-TIME single-query operators " +
+          "(matchPatternEventTime / matchPatternMeasuresEventTime), " +
+          "whose watermark hold-back makes the followers final — or " +
+          "run the query in batch.")
     navs.foreach { nv =>
       require(nv.base == spec.orderCol || spec.attrCols.contains(nv.base),
         s"CEP streaming navigation ${nv.sqlForm}: base attribute " +
@@ -302,6 +319,95 @@ object StreamingCep {
     def serHist: Seq[SerEvent] = hist.map(toSer)
   }
 
+  /** Streaming `ONE ROW PER MATCH SHOW EMPTY MATCHES` (round 17): the
+    * per-key empty-match site tracker. Batch derives sites from the
+    * COMPLETE reported match set ([[CepMeasures.emptySites]]); a stream
+    * cannot close that set — but a WINDOWED query (within/withinTime)
+    * makes each site's status final in bounded feed distance: a match
+    * STARTING at position p takes its first event AT p, and the
+    * executor's accept guard (`i - firstTake < w`,
+    * `tsAttr - firstTakeTs < span`) kills every run started at p once
+    * w more events fed (positional) or the monotone tsAttr clock
+    * passed `ts_p + span` (time) — so after that point p's site status
+    * cannot change. The tracker mirrors the batch site rules exactly:
+    *
+    *  - every fed event enters the pending set (under the `^` anchor:
+    *    only the key's FIRST event — the only attempt site);
+    *  - every reported match removes the pending ordinals its
+    *    prune-adjusted span covers: `[start, start]` for
+    *    NoSkip/SkipToNext, `[start, last bound]` for SkipPastLastEvent,
+    *    `[start, max(start, anchor-1)]` for SkipToFirst/Last (anchor
+    *    unbound → start alone), everything for `^`;
+    *  - `flush` emits (and drops) every pending site whose window
+    *    provably closed — by EITHER bound when both are declared.
+    *
+    * Pending size is bounded by the window (sites flush as the feed
+    * advances), the same state-bound argument `within` already makes
+    * for the run set. Feed-driven throughout: correct for BOTH the
+    * arrival-order and the event-time operators (each tracks its own
+    * feed order, which is the order its matches see).
+    */
+  private final class EmptySiteTracker(active: Boolean,
+      strategy: AfterMatchStrategy, anchorStart: Boolean,
+      within: Option[Int], withinTimeSpan: Option[Long]) {
+    private var pend: Vector[PendingSite] = Vector.empty
+    def pending: Vector[PendingSite] = pend
+    def tracking: Boolean = active
+    def restore(st: CepStateEt): Unit = if (active) {
+      // a site tracked before the checkpoint must survive it — state
+      // written by a pre-v7 build (or a non-SHOW-EMPTY run) mid-key
+      // would silently LOSE sites, so refuse, mirroring checkNavSig
+      if (!st.trackedEmpty && st.step > 0)
+        throw new IllegalStateException(
+          "CEP streaming checkpoint was written without SHOW EMPTY " +
+            "MATCHES site tracking, but the query declares it — " +
+            "empty-match rows for already-fed events would be lost. " +
+            "Resume without SHOW EMPTY MATCHES, or discard the " +
+            "checkpoint directory.")
+      pend = st.pending.toVector
+    }
+    def onFeed(ord: Long, ts: Long, step: Int): Unit = if (active) {
+      // feed indices are 1-based (executor step counter semantics —
+      // `firstTake == 0` is the no-take sentinel), so the key's first
+      // event ever carries step 1
+      if (!anchorStart) pend = pend :+ PendingSite(ord, ts, step)
+      else if (step == 1) pend = Vector(PendingSite(ord, ts, step))
+    }
+    def onMatch(byName: Map[String, Vector[Event]],
+        orderName: String): Unit = if (active && pend.nonEmpty) {
+      if (anchorStart) { pend = Vector.empty; return }
+      val ords = byName.valuesIterator.flatten.map(_(orderName)).toVector
+      if (ords.isEmpty) return
+      val start = ords.min
+      def anchorEnd(a: String, first: Boolean): Long = {
+        val bound = byName.getOrElse(a, Vector.empty).map(_(orderName))
+        if (bound.isEmpty) start
+        else math.max(start, (if (first) bound.min else bound.max) - 1)
+      }
+      val end = strategy match {
+        case AfterMatchStrategy.SkipPastLastEvent => ords.max
+        case AfterMatchStrategy.SkipToFirst(a) => anchorEnd(a, first = true)
+        case AfterMatchStrategy.SkipToLast(a) => anchorEnd(a, first = false)
+        case _ => start // NoSkip / SkipToNext: non-starts host empties
+      }
+      pend = pend.filterNot(p => p.ord >= start && p.ord <= end)
+    }
+    /** Sites whose window closed, removed from the set — one empty
+      * summary row each. `stepNow` = total events fed, `clock` = the
+      * executor's monotone tsAttr floor.
+      */
+    def flush(stepNow: Int, clock: Long): Vector[PendingSite] =
+      if (!active || pend.isEmpty) Vector.empty
+      else {
+        val (done, keep) = pend.partition(p =>
+          within.exists(w => stepNow >= p.step + w) ||
+            withinTimeSpan.exists(t =>
+              clock != Long.MinValue && clock >= p.ts + t))
+        pend = keep
+        done
+      }
+  }
+
   /** Checkpoint contract for streaming navigation: the stored signature
     * (the nav value names the writer maintained history for) must equal
     * the query's — a nav query restoring a sig-less or different-sig
@@ -335,12 +441,18 @@ object StreamingCep {
         filtered.filter(col(k).isNotNull && col(tsCol).isNotNull)
       case None => filtered.filter(col(tsCol).isNotNull)
     }
+    // TYPE-DRIVEN attr projection, same rule as the arrival-order path
+    // (`SparkCep.attrProj`): a STRING input column stays a string so
+    // `strAttrFlags`/`rowToEvent` land it in `Event.strs` — before
+    // round 17 every attr was cast to long here, so a string attr came
+    // through all-NULL and the event-time path silently broke the
+    // string tier that the arrival-order path advertised.
     val prepared = source.select(
       SparkCep.keyExpr(df, spec).as("__key") +:
         col(tsCol).as("__ts") +:
         col(spec.orderCol).cast(LongType).as("__ord") +:
         col(spec.typeCol).cast(StringType).as("__type") +:
-        attrNames.drop(1).map(c => col(c).cast(LongType).as(c)): _*)
+        attrNames.drop(1).map(c => SparkCep.attrProj(source, c)): _*)
     (prepared, attrNames)
   }
 
@@ -492,7 +604,10 @@ object StreamingCep {
     // per-key history in state supplies the nav attributes instead.
     val (prepared, attrNames) =
       if (navs.isEmpty) SparkCep.prepare(df, query, spec)
-      else SparkCep.prepareWithFilter(df, None, spec)
+      else {
+        SparkCep.checkStrTyping(df, query, spec)
+        SparkCep.prepareWithFilter(df, None, spec)
+      }
     val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
 
@@ -622,7 +737,10 @@ object StreamingCep {
     // arithmetic but needs the key's total match order; CLASSIFIER()
     // never reaches here, the Atom constructor rejects it in arithmetic)
     validateStreamingMeasures(st, spec, "matchPatternMeasures",
-      allowClassifier = true)
+      allowClassifier = true, allowShowEmpty = true)
+    val trackEmpty =
+      st.rowsPerMatch == CepSql.RowsPerMatch.OneRowShowEmpty &&
+        Pattern.canMatchEmpty(st.query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val effMaxRuns =
@@ -632,7 +750,10 @@ object StreamingCep {
     // matchPattern)
     val (prepared, attrNames) =
       if (navs.isEmpty) SparkCep.prepare(df, query, spec)
-      else SparkCep.prepareWithFilter(df, None, spec)
+      else {
+        SparkCep.checkStrTyping(df, query, spec)
+        SparkCep.prepareWithFilter(df, None, spec)
+      }
     val strFlags = SparkCep.strAttrFlags(prepared)
     val strAttrs = CepMeasures.strAttrsOf(df, spec)
     CepMeasures.requireStrMeasuresSupported(st.measures, strAttrs)
@@ -658,6 +779,10 @@ object StreamingCep {
             query.within, query.withinTime,
             anchorStart = query.anchorStart)
           val nf = new NavFeed(navs)
+          val tracker = new EmptySiteTracker(trackEmpty,
+            query.strategy, query.anchorStart, query.within,
+            query.withinTime.map(_.span))
+          var stepIdx = 0
           if (state.exists) {
             val stt = CepStateCodec.decode(state.get)
             if (stt.variant == CepStateCodec.VariantEventTime ||
@@ -670,27 +795,40 @@ object StreamingCep {
                   "be lost). Resume with matchPatternEventTime, or " +
                   "discard the checkpoint directory.")
             nf.restore(stt)
+            tracker.restore(stt)
+            stepIdx = stt.step
             restoreState(executor, CepState(stt.step, stt.runs), stt.clock)
           }
+          def emptyRow: Row = Row.fromSeq(key +: measures.map(ms =>
+            CepMeasures.evalItemBoxed(ms, Map.empty, orderName,
+              st.subsetMap, strAttrs)))
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
-            executor.feed(nf.augment(
+            val ms = executor.feed(nf.augment(
               rowToEvent(row, 1, 2, 3, attrNames, orderName, strFlags)))
-              .map { m =>
-                val byName = m.toMap
-                Row.fromSeq(key +: measures.map(ms =>
-                  CepMeasures.evalItemBoxed(ms, byName, orderName,
-                    st.subsetMap, strAttrs)))
-              }
+            stepIdx += 1
+            tracker.onFeed(row.getLong(1), executor.clock, stepIdx)
+            ms.map { m =>
+              val byName = m.toMap
+              tracker.onMatch(byName, orderName)
+              Row.fromSeq(key +: measures.map(ms2 =>
+                CepMeasures.evalItemBoxed(ms2, byName, orderName,
+                  st.subsetMap, strAttrs)))
+            }
           }
           val snap = snapshotState(executor)
+          val empties =
+            tracker.flush(snap.step, executor.clock).map(_ => emptyRow)
           if (executor.liveRunCount == 0 && query.withinTime.isEmpty &&
-              !nf.active && !query.anchorStart)
+              !nf.active && !query.anchorStart &&
+              tracker.pending.isEmpty)
             state.remove()
           else state.update(CepStateCodec.encode(
             CepStateEt(snap.step, snap.runs, Nil, executor.clock,
-              CepStateCodec.VariantArrival, nf.sig, nf.serHist)))
-          out.iterator
+              CepStateCodec.VariantArrival, nf.sig, nf.serHist,
+              trackedEmpty = tracker.tracking,
+              pending = tracker.pending)))
+          (out ++ empties).iterator
       }
       .transform(ds =>
         if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
@@ -724,6 +862,7 @@ object StreamingCep {
     // the batch operator's doc) — a dropped event can be the only one
     // that closes a window. PREV is history-fed as in matchPattern.
     val navs = streamingNavs(query, spec)
+    SparkCep.checkStrTyping(df, query, spec)
     val (prepared, attrNames) = SparkCep.prepareWithFilter(df, None, spec)
     val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
@@ -909,6 +1048,8 @@ object StreamingCep {
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
     val navs = sharedNavs(queries, spec)
+    queries.foreach { case (_, q) =>
+      SparkCep.checkStrTyping(df, q, spec) }
     val (prepared, attrNames) = SparkCep.prepareWithFilter(
       df,
       if (navs.isEmpty) SparkCep.unionPrefilter(queries, spec) else None,
@@ -1041,7 +1182,11 @@ object StreamingCep {
         col("__mkey").getField(c).as(c)) ++ rest.map(col): _*)
     }
     validateStreamingMeasures(st, spec,
-      "matchPatternMeasuresEventTime", allowClassifier = true)
+      "matchPatternMeasuresEventTime", allowClassifier = true,
+      allowShowEmpty = true)
+    val trackEmpty =
+      st.rowsPerMatch == CepSql.RowsPerMatch.OneRowShowEmpty &&
+        Pattern.canMatchEmpty(st.query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     val strAttrs = CepMeasures.strAttrsOf(df, spec)
     CepMeasures.requireStrMeasuresSupported(st.measures, strAttrs)
@@ -1051,7 +1196,8 @@ object StreamingCep {
         st.measures.map(m =>
           StructField(m.alias, CepMeasures.itemDataType(m, strAttrs),
             nullable = true)))
-    etSingle(df, st.query, spec, tsCol, delay, maxRunsPerKey, outSchema)(
+    etSingle(df, st.query, spec, tsCol, delay, maxRunsPerKey, outSchema,
+      trackEmpty)(
       (key, byName, orderName) => Row.fromSeq(key +: st.measures.map(ms =>
         CepMeasures.evalItemBoxed(ms, byName, orderName, st.subsetMap,
           strAttrs))))
@@ -1062,16 +1208,33 @@ object StreamingCep {
     */
   private def validateStreamingMeasures(st: CepSql.CepSqlStatement,
       spec: SparkCep.CepSpec, opName: String,
-      allowClassifier: Boolean = false): Unit = {
+      allowClassifier: Boolean = false,
+      allowShowEmpty: Boolean = false): Unit = {
     require(st.measures.nonEmpty, s"$opName: empty MEASURES")
-    require(st.rowsPerMatch != CepSql.RowsPerMatch.OneRowShowEmpty &&
+    val showEmpty =
+      st.rowsPerMatch == CepSql.RowsPerMatch.OneRowShowEmpty
+    require((!showEmpty || allowShowEmpty) &&
       st.rowsPerMatch != CepSql.RowsPerMatch.AllRowsShowEmpty,
-      s"$opName: SHOW EMPTY MATCHES is batch-only — empty-match sites " +
-        "are derived from a partition's COMPLETE reported match set " +
-        "(non-starts / span-uncovered rows), which an unbounded stream " +
-        "cannot close; run the batch projection per micro-batch via " +
-        "foreachBatch if needed")
-    require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow,
+      s"$opName: this SHOW EMPTY MATCHES form is batch-only — " +
+        "empty-match sites are derived from a partition's COMPLETE " +
+        "reported match set, which an unbounded stream cannot close " +
+        "(the single-query measures operators support ONE ROW ... " +
+        "SHOW EMPTY MATCHES on WINDOWED queries, where the within " +
+        "window makes each site final in bounded feed distance); " +
+        "run the batch projection per micro-batch via foreachBatch " +
+        "if needed")
+    if (showEmpty && allowShowEmpty) {
+      require(st.query.within.isDefined || st.query.withinTime.isDefined,
+        s"$opName: streaming SHOW EMPTY MATCHES needs a WINDOWED query " +
+          "(WITHIN / WITHIN_TIME) — without a window an empty-match " +
+          "site's status never becomes final on an unbounded stream")
+      require(!st.query.anchorEnd,
+        s"$opName: SHOW EMPTY MATCHES with the '$$' partition-end " +
+          "anchor is not supported (as in batch — a zero-width match " +
+          "at the partition edge has no input row to emit)")
+    }
+    require(st.rowsPerMatch == CepSql.RowsPerMatch.OneRow ||
+      (showEmpty && allowShowEmpty),
       s"$opName: ALL ROWS PER MATCH is batch-only — its " +
         "deterministic per-key match_no sequence needs a total order " +
         "over a key's matches, which an unbounded stream cannot close; " +
@@ -1114,19 +1277,38 @@ object StreamingCep {
     */
   private def etSingle(df: DataFrame, query: CepQuery,
       spec: SparkCep.CepSpec, tsCol: String, delay: String,
-      maxRunsPerKey: Option[Int], outSchema: StructType)(
+      maxRunsPerKey: Option[Int], outSchema: StructType,
+      trackEmpty: Boolean = false)(
       render: (Any, Map[String, Vector[Event]], String) => Row)
       : DataFrame = {
     // PREV is history-fed AT RELEASE TIME: the NFA consumes events in
     // watermark-released (ts, ord) order, so that is the physical-row
     // order PREV navigates — consistent with the operator's own feed
     // semantics (late arrivals dropped before the buffer never enter
-    // the history, exactly as they never reach the NFA)
-    val navs = streamingNavs(query, spec)
+    // the history, exactly as they never reach the NFA).
+    //
+    // NEXT (round 17, event-time only): the same release order makes
+    // FOLLOWING rows knowable — released events all carry ts < the
+    // watermark, future arrivals all carry ts >= it, so the (ts, ord)
+    // successor of a released event that has k released successors is
+    // FINAL. The drain therefore HOLDS BACK the last maxK releasable
+    // events per key (they stay in the reorder buffer and feed in a
+    // later batch, exactly the feed sequence an uninterrupted stream
+    // would produce), and every fed event reads its NEXT values from
+    // the in-memory release slice — no extra state, no schema change.
+    // A key's tail events feed only when successors arrive; on a
+    // stream that simply stops they wait forever, which IS the
+    // unbounded-stream reading of "the following row" (batch resolves
+    // the partition edge to NULL because it can see the end).
+    val navs = streamingNavs(query, spec, allowNext = true)
+    val nextNavs = navs.filterNot(_.prev)
+    val prevNavs = navs.filter(_.prev)
+    val holdBack = nextNavs.map(_.k).maxOption.getOrElse(0)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
+    SparkCep.checkStrTyping(df, query, spec)
     val (prepared, attrNames) = etPrepare(df, None, spec, tsCol, delay)
     val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
@@ -1158,8 +1340,14 @@ object StreamingCep {
                 "matchPatternEventTime (different feed-order semantics). " +
                 "Resume with matchPattern, or discard the checkpoint " +
                 "directory.")
-          val nf = new NavFeed(navs)
-          if (state.exists) nf.restore(prev)
+          val nf = new NavFeed(prevNavs)
+          val tracker = new EmptySiteTracker(trackEmpty,
+            query.strategy, query.anchorStart, query.within,
+            query.withinTime.map(_.span))
+          if (state.exists) {
+            nf.restore(prev)
+            tracker.restore(prev)
+          }
           restoreState(executor,
             CepState(prev.step, prev.runs), prev.clock)
 
@@ -1174,28 +1362,73 @@ object StreamingCep {
           }.toVector
           // the watermark guarantees nothing earlier can still arrive —
           // release the prefix up to it, in event-time order
-          val (ready, still) = releaseBuffer(prev.buffer, incoming, wmMs)
-          val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
-            executor.feed(nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector,
-              e.sNames.zip(e.sVals).toVector)))
-              .map(m => render(key, m.toMap, orderName))
+          val (ready, still0) = releaseBuffer(prev.buffer, incoming, wmMs)
+          val sortedReady = ready.sortBy(e => (e.ts, e.ord))
+          // NEXT hold-back (see the operator doc above): keep the last
+          // maxK releasable events buffered so every fed event's NEXT
+          // followers sit in this very slice, already final
+          val feedCount =
+            if (holdBack == 0) sortedReady.length
+            else math.max(0, sortedReady.length - holdBack)
+          val feedNow = sortedReady.take(feedCount)
+          def bufAttr(f: BufEvent, base: String): Option[Long] = {
+            // last occurrence wins — parity with the generic lookup
+            val idx = f.names.lastIndexOf(base)
+            if (idx >= 0) Some(f.vals(idx)) else None
           }
+          def withNext(ev: Event, i: Int): Event =
+            if (nextNavs.isEmpty) ev
+            else {
+              val extra = Vector.newBuilder[(String, Long)]
+              nextNavs.foreach { nv =>
+                // i + k < sortedReady.length by the hold-back
+                bufAttr(sortedReady(i + nv.k), nv.base) match {
+                  case Some(x) =>
+                    extra += nv.valueName -> x
+                    extra += nv.hasName -> 1L
+                  case None =>
+                    extra += nv.hasName -> 0L
+                }
+              }
+              Event(ev.tpe, ev.attrs ++ extra.result(), ev.strs)
+            }
+          val out = feedNow.zipWithIndex.flatMap { case (e, i) =>
+            val ms = executor.feed(nf.augment(withNext(
+              Event(e.tpe, e.names.zip(e.vals).toVector,
+                e.sNames.zip(e.sVals).toVector), i)))
+            tracker.onFeed(e.ord, executor.clock, prev.step + i + 1)
+            ms.map { m =>
+              val byName = m.toMap
+              tracker.onMatch(byName, orderName)
+              render(key, byName, orderName)
+            }
+          }
+          val still = sortedReady.drop(feedCount) ++ still0
 
           val snap = snapshotState(executor)
+          val empties = tracker.flush(snap.step, executor.clock)
+            .map(_ => render(key, Map.empty[String, Vector[Event]],
+              orderName))
           // idle-key state GC: no live runs AND nothing buffered ==
           // fresh key (see matchPattern)
           if (executor.liveRunCount == 0 && !query.anchorStart &&
-              still.isEmpty &&
+              still.isEmpty && tracker.pending.isEmpty &&
               query.withinTime.isEmpty && !nf.active) state.remove()
           else {
             state.update(CepStateCodec.encode(
               CepStateEt(snap.step, snap.runs, still, executor.clock,
-                CepStateCodec.VariantEventTime, nf.sig, nf.serHist)))
-            if (still.nonEmpty)
-              // wake when the watermark passes the earliest buffered event
-              state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+                CepStateCodec.VariantEventTime, nf.sig, nf.serHist,
+                trackedEmpty = tracker.tracking,
+                pending = tracker.pending)))
+            // wake when the watermark passes the earliest GENUINELY
+            // buffered event (ts >= wm). Held-back events (ts < wm)
+            // are waiting for DATA (successors), not for time — a
+            // timeout cannot resolve them, and their past-watermark
+            // timestamps would be rejected by the state store anyway.
+            val wake = still0.map(_.ts).minOption
+            wake.foreach(t => state.setTimeoutTimestamp(t + 1))
           }
-          out.iterator
+          (out ++ empties).iterator
       }
       .transform(ds =>
         if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
@@ -1227,6 +1460,7 @@ object StreamingCep {
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
+    SparkCep.checkStrTyping(df, query, spec)
     val (prepared, attrNames) = etPrepare(df, None, spec, tsCol, delay)
     val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
@@ -1404,6 +1638,8 @@ object StreamingCep {
     // is untouched; the union filter is disabled under nav as in the
     // arrival-order shared operator
     val navs = sharedNavs(queries, spec)
+    queries.foreach { case (_, q) =>
+      SparkCep.checkStrTyping(df, q, spec) }
     val (prepared, attrNames) = etPrepare(df,
       if (navs.isEmpty) SparkCep.unionPrefilter(queries, spec) else None,
       spec, tsCol, delay)

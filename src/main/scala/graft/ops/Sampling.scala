@@ -140,6 +140,14 @@ object Sampling {
     * must be positive; the per-stratum pick count is
     * `ceil(total/stride) <= k`, and the deterministic `idCol` walk
     * order makes the grid reproducible.
+    *
+    * Scale note: the running cumulative sum serializes each stratum
+    * through one task (systematic sampling needs a total order per
+    * stratum — inherent). Strata here are languages/sources, so the
+    * hottest stratum is a bounded fraction of the corpus; if a single
+    * stratum ever dominates at 100 TB, split the walk into the two-pass
+    * per-partition prefix-sum form used by `Packing.packGlobalByBudget`
+    * (partial sums per partition, broadcast offsets, local walk).
     */
   def ppsSystematicSample(df: DataFrame, idCol: String,
       strataCol: String, weightCol: String, k: Int): DataFrame = {

@@ -13,9 +13,16 @@ class BenchStampSpec extends AnyFunSuite {
     assert(Bench.DefaultLoadThreshold <= 2.0)
     assert(Bench.resolveLoadThreshold(Map.empty)
       == Bench.DefaultLoadThreshold)
-    assert(Bench.stampContaminated(6.36, Bench.DefaultLoadThreshold))
-    assert(Bench.stampContaminated(2.01, Bench.DefaultLoadThreshold))
-    assert(!Bench.stampContaminated(0.47, Bench.DefaultLoadThreshold))
+    assert(Bench.stampContaminated(6.36, 6.1, Bench.DefaultLoadThreshold))
+    assert(Bench.stampContaminated(2.01, 1.0, Bench.DefaultLoadThreshold))
+    assert(!Bench.stampContaminated(0.47, 0.8, Bench.DefaultLoadThreshold))
+  }
+
+  test("stamp gates on load5 too: a recently-busy box is contaminated " +
+      "even when load1 has already decayed (round-16 driver artifact: " +
+      "load1 1.65 / load5 3.63 shipped a smeared run stamped clean)") {
+    assert(Bench.stampContaminated(1.65, 3.63, Bench.DefaultLoadThreshold))
+    assert(!Bench.stampContaminated(1.65, 1.9, Bench.DefaultLoadThreshold))
   }
 
   test("env override parses; malformed values fall back to the default") {

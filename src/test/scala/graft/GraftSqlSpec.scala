@@ -278,4 +278,70 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     // key 2: S(11) -> C(12,v=9) matches.
     assert(out == Vector((2L, 11L, 12L)))
   }
+
+  // ------------------------------------------------- round-17 surface
+
+  test("quote-aware keyword scan: MATCH_RECOGNIZE inside a string " +
+    "literal (or a backticked identifier) delegates untouched") {
+    // literal mention only — must NOT be treated as a fragment
+    val out = spark.sql(
+      "SELECT count(*) AS n FROM mr_events " +
+        "WHERE t != 'x MATCH_RECOGNIZE (y)'").collect()
+    assert(out.head.getLong(0) == 6L)
+    // literal mention alongside a REAL fragment: the real one lowers,
+    // the literal one survives as data
+    val out2 = spark.sql(
+      s"""SELECT k, s_id, 'see MATCH_RECOGNIZE (docs)' AS note
+         |FROM mr_events MATCH_RECOGNIZE ($body) ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toVector
+    assert(out2 == Vector(
+      (1L, 1L, "see MATCH_RECOGNIZE (docs)"),
+      (2L, 11L, "see MATCH_RECOGNIZE (docs)")))
+    // backticked column named MATCH_RECOGNIZE is not a fragment either
+    val out3 = spark.sql(
+      "SELECT t AS `MATCH_RECOGNIZE` FROM mr_events WHERE id = 1")
+      .collect()
+    assert(out3.head.getString(0) == "S")
+  }
+
+  test("backtick-quoted source identifiers resolve and alias by the " +
+    "unquoted last part") {
+    val out = spark.sql(
+      s"""SELECT k, s_id FROM `mr_events` MATCH_RECOGNIZE ($body)
+         |ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(out == Vector((1L, 1L), (2L, 11L)))
+    // alias = unquoted last part: outer qualification works
+    val out2 = spark.sql(
+      s"""SELECT mr_events.s_id FROM `mr_events` MATCH_RECOGNIZE ($body)
+         |ORDER BY mr_events.s_id""".stripMargin)
+      .collect().map(_.getLong(0)).toVector
+    assert(out2 == Vector(1L, 11L))
+  }
+
+  test("error positions for SECOND and later fragments report the " +
+    "original statement position") {
+    val good = s"mr_events MATCH_RECOGNIZE ($body)"
+    // the second body has a parse error (bad DEFINE). Position must be
+    // computed against the ORIGINAL text, which is much longer than the
+    // placeholder-rewritten text at the time the second body parses.
+    val sql =
+      s"""SELECT * FROM $good MATCH_RECOGNIZE (PATTERN (z)
+         |MEASURES FIRST(z) AS z_id PARTITION BY k ORDER BY s_id
+         |TYPE qname IN (S) DEFINE !!!)""".stripMargin
+    val e = intercept[IllegalArgumentException](GraftSql.sql(spark, sql))
+    val m = """line (\d+), pos (\d+)\)""".r
+    val pos = m.findFirstMatchIn(e.getMessage)
+    assert(pos.isDefined, e.getMessage)
+    val line = pos.get.group(1).toInt
+    // the offending body starts on line 1 of the ORIGINAL statement
+    // (right after the first, valid fragment); against the REWRITTEN
+    // text the first fragment has collapsed to a placeholder and the
+    // position would drift left by its length — assert the reported
+    // line/pos points into the original text at the second body
+    val bodyAt = sql.indexOf("PATTERN (z)")
+    val expLine = sql.substring(0, bodyAt).count(_ == '\n') + 1
+    assert(line == expLine, s"line $line != $expLine: ${e.getMessage}")
+  }
 }

@@ -519,15 +519,56 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, Some(9L), 111L))) // p row: unchanged running c aggregates
   }
 
-  test("ALL ROWS PER MATCH rejects a non-zero FIRST/LAST offset") {
-    val st = CepSql.parseStatement(
-      "PATTERN (s -> p) MEASURES FIRST(s.v, 1) AS x " +
+  test("ALL ROWS PER MATCH rejects RUNNING LAST with a non-zero offset " +
+    "(no window form); FINAL and RUNNING FIRST offsets work — r17") {
+    // the one remaining rejection: RUNNING k-th-from-the-end-so-far
+    val bad = CepSql.parseStatement(
+      "PATTERN (s -> p) MEASURES LAST(s.v, 1) AS x " +
         "ALL ROWS PER MATCH DEFINE s AS S; p AS P", schema)
     val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "P", 1L))
     val e = intercept[IllegalArgumentException] {
-      CepMeasures.run(df, st, spec)
+      CepMeasures.run(df, bad, spec)
     }
-    assert(e.getMessage.contains("ONE ROW PER MATCH only"))
+    assert(e.getMessage.contains("FINAL"), e.getMessage)
+
+    // FINAL FIRST/LAST(x, k): the (k+1)-th bound event of the whole
+    // match, constant per row; RUNNING FIRST(x, k): the (k+1)-th
+    // bound SO FAR (NULL until it exists)
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{3,3}~ -> p) " +
+        "MEASURES FINAL FIRST(c.v, 1) AS ff1, FINAL LAST(c.v, 1) AS fl1, " +
+        "FINAL LAST(c, 2) AS fl2pos, FIRST(c.v, 1) AS rf1 " +
+        "ALL ROWS PER MATCH PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    assert(CepSql.parseStatement(CepSql.render(st), schema) == st)
+    // one match: s(1) c(2,v=5) c(3,v=9) c(4,v=7) p(5)
+    val df2 = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "C", 5L),
+      (1L, 3L, "C", 9L), (1L, 4L, "C", 7L), (1L, 5L, "P", 2L))
+    val out = CepMeasures.run(df2, st, spec).orderBy("id").collect()
+      .map { r =>
+        (r.getLong(r.fieldIndex("id")),
+          r.getLong(r.fieldIndex("ff1")),
+          r.getLong(r.fieldIndex("fl1")),
+          r.getLong(r.fieldIndex("fl2pos")),
+          if (r.isNullAt(r.fieldIndex("rf1"))) -1L
+          else r.getLong(r.fieldIndex("rf1")))
+      }.toVector
+    // ff1 = 2nd c's v = 9; fl1 = 2nd-from-end c's v = 9; fl2pos =
+    // 3rd-from-end c's ORD = 2; rf1 = NULL until two c's bound, then 9
+    assert(out == Vector(
+      (1L, 9L, 9L, 2L, -1L),
+      (2L, 9L, 9L, 2L, -1L),
+      (3L, 9L, 9L, 2L, 9L),
+      (4L, 9L, 9L, 2L, 9L),
+      (5L, 9L, 9L, 2L, 9L)))
+    // offset past the binding: NULL (aggregate-over-missing)
+    val stBeyond = CepSql.parseStatement(
+      "PATTERN (s -> p) MEASURES FINAL FIRST(s.v, 3) AS x " +
+        "ALL ROWS PER MATCH DEFINE s AS S; p AS P", schema)
+    val out2 = CepMeasures.run(
+      eventsDf((1L, 1L, "S", 0L), (1L, 2L, "P", 1L)), stBeyond, spec)
+      .collect()
+    assert(out2.forall(_.isNullAt(out2.head.fieldIndex("x"))))
   }
 
   test("FINAL vs RUNNING measure semantics in ALL ROWS PER MATCH") {

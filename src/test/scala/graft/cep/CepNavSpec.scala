@@ -109,21 +109,25 @@ class CepNavSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = s.sqlContext
     val mem = MemoryStream[Ev]
     // PREV is streaming-supported (per-key history in state —
-    // StreamingCepNavSpec); NEXT references rows the unbounded stream
-    // has not produced and stays rejected
+    // StreamingCepNavSpec); NEXT is supported by the EVENT-TIME
+    // single-query operators (watermark hold-back —
+    // StreamingCepNavSpec) and stays rejected on the arrival-order
+    // and shared operators
     val q = CepSql.parse(
       "PATTERN (x y) DEFINE x AS click; y AS click " +
         "WHERE value > NEXT(value)", schema)
     val e = intercept[IllegalArgumentException](
       StreamingCep.matchPattern(mem.toDF(), q, spec))
-    assert(e.getMessage.contains("NEXT is not supported on streaming"))
-    // NEXT refuses on every streaming operator, shared included
+    assert(e.getMessage.contains(
+      "NEXT is not supported by this streaming operator"))
+    // ... shared included, event-time or not
     val e2 = intercept[IllegalArgumentException](
       StreamingCep.matchPatternsSharedEventTime(
         mem.toDF().withColumn("ts",
           org.apache.spark.sql.functions.current_timestamp()),
         Seq("nav" -> q), spec, "ts", "1 second"))
-    assert(e2.getMessage.contains("NEXT is not supported on streaming"))
+    assert(e2.getMessage.contains(
+      "NEXT is not supported by this streaming operator"))
   }
 
   // ------------------------------------------------------- pure semantics

@@ -262,8 +262,9 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!outNext.contains(3L) && !outNext.contains(4L))
   }
 
-  test("streaming rejects SHOW EMPTY with its own reason (not the " +
-    "generic ALL ROWS one)") {
+  test("streaming SHOW EMPTY: unwindowed ONE ROW rejects with the " +
+    "WINDOWED reason (the windowed form is supported — " +
+    "StreamingShowEmptySpec)") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -278,7 +279,7 @@ class CepShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException] {
       StreamingCep.matchPatternMeasures(mem.toDF(), st, spec)
     }
-    assert(e.getMessage.contains("SHOW EMPTY MATCHES is batch-only"))
+    assert(e.getMessage.contains("WINDOWED"), e.getMessage)
   }
 
   test("SKIP TO LAST anchor: the resume-point click hosts an empty " +

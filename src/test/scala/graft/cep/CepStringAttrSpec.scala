@@ -13,8 +13,9 @@ import SparkCep.CepSpec
   * string measures (STRING-typed output), COUNT over a string attr, the
   * prefilter pushdown, the typed and Catalyst batch paths, and the
   * streaming operator with codec v6 state. Long-only invariants stay:
-  * arithmetic/registers/ordering comparisons over strings reject
-  * loudly.
+  * arithmetic/registers over strings reject loudly (ordering
+  * comparisons and `like` joined the admitted set in round 17 —
+  * `ExprStringOrderLikeSpec`).
   */
 case class EvS(user_id: Long, event_id: Long, event_type: String,
     value: Long, host: String)
@@ -86,7 +87,8 @@ class CepStringAttrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(num("host in ('b.com', 'a.com')") == 1L)
     assert(num("host not in ('b.com')") == 1L)
     assert(num("host == 'a.com' and value == 7") == 1L)
-    intercept[Expr.EvalException](num("host < 'b.com'"))
+    // ordering is part of the string tier since round 17
+    assert(num("host < 'b.com'") == 1L)
     intercept[Expr.EvalException](num("host + 1 == 2"))
     // a numeric attr compared to a string literal resolves the ref on
     // the STRING side (the literal types the comparison) — NameError
@@ -279,5 +281,78 @@ class CepStringAttrSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = canonRows(CepMeasures.run(df(evs), st, spec).collect())
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("EVENT-TIME streaming measures == batch with a string condition " +
+    "and string measures (etPrepare keeps string attrs uncast — r17)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val evs = events(160, 20260825L)
+    val st = CepSql.parseStatement(stSql, schema)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[EvS]
+    // event time = event_id + 1 seconds (offset away from epoch 0 —
+    // the initial watermark); arrival order == event-time order here,
+    // the string tier is what is under test
+    val withTs = mem.toDF().withColumn("ts",
+      timestamp_seconds(col("event_id") + 1))
+    val out = StreamingCep.matchPatternMeasuresEventTime(withTs, st,
+      spec, tsCol = "ts", delay = "5 seconds")
+    assert(out.schema("c_host").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val q = out.writeStream.format("memory").queryName("cep_str_et")
+      .outputMode("append").start()
+    try {
+      evs.grouped(40).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+      // drain: a far-future event on an unused key advances the
+      // watermark past every buffered event
+      mem.addData(EvS(999L, 100000L, "view", 0L, "z"))
+      q.processAllAvailable()
+      mem.addData(EvS(999L, 200000L, "view", 0L, "z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canonRows(rows: Array[Row]): Vector[String] =
+      rows.map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "-" else String.valueOf(r.get(i)))
+        .mkString("|")).toVector.sorted
+    val streamed = canonRows(spark.table("cep_str_et")
+      .where(org.apache.spark.sql.functions.col("user_id") =!= 999L)
+      .collect())
+    val batch = canonRows(CepMeasures.run(df(evs), st, spec).collect())
+    assert(streamed.nonEmpty, "event-time stream produced no matches")
+    assert(streamed == batch)
+  }
+
+  test("build-time typing audit: a long column in a string position " +
+    "rejects when the operator is BUILT, naming column and type") {
+    val evs = df(events(30))
+    def built(cond: String): Unit = CepMeasures.run(evs,
+      CepSql.parseStatement("PATTERN (s -> c) MEASURES FIRST(s) AS x " +
+        s"DEFINE s AS signup; c AS click WHERE $cond WITHIN 4", schema),
+      spec)
+    // value is a LONG input column — every string position rejects at
+    // build (not per event at run)
+    for (cond <- Seq("value == 'a.com'", "value < 'a'",
+        "value like 'a%'", "value in ('a', 'b')")) {
+      val e = intercept[IllegalArgumentException](built(cond))
+      assert(e.getMessage.contains("'value'") &&
+        e.getMessage.contains("bigint"), s"$cond: ${e.getMessage}")
+    }
+    // a register in a string position rejects too
+    val q = CepQuery(
+      Pattern.Spat("c", "click", Expr.parse("budget == 'x'"),
+        Vector(VarDef("budget", 0L, Expr.parse("budget + 1")))),
+      schema)
+    val e2 = intercept[IllegalArgumentException](
+      SparkCep.matchPattern(evs, q, spec))
+    assert(e2.getMessage.contains("register"))
+    // a string column in a string position still builds and runs
+    built("host like 'a%'")
+    built("host < 'b'")
   }
 }

@@ -293,6 +293,95 @@ class StreamingCepNavSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $matches")
   }
 
+  test("event-time NEXT (round 17): hold-back feeds an event only when " +
+    "its followers are final; matches equal the event-time model") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // NEXT is PHYSICAL: x's follower may be a view
+    val q = CepSql.parse(
+      "PATTERN (x) DEFINE x AS click WHERE value < NEXT(value)", schema)
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val mem = MemoryStream[TsEv]
+    val out = StreamingCep.matchPatternEventTime(
+      mem.toDF(), q, spec, "ts", "5 seconds")
+    val sq = out.writeStream.format("memory").queryName("nav_et_next")
+      .outputMode("append").start()
+    try {
+      // out-of-order: the view@12 (v=9) arrives BEFORE click@11 (v=5);
+      // in event-time order click@11's NEXT value is 9 → match
+      mem.addData(TsEv(1, 2, "view", 9, t(12)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(1, 1, "click", 5, t(11)))
+      sq.processAllAvailable()
+      // watermark to 25: both release, click@11 feeds (its follower is
+      // in the same release slice), the view is HELD BACK (no follower)
+      mem.addData(TsEv(9, 99, "click", 0, t(30)))
+      sq.processAllAvailable()
+      // click@26 (v=2): successor arrives in a LATER batch
+      mem.addData(TsEv(1, 3, "click", 2, t(26)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(1, 4, "click", 7, t(27)))
+      sq.processAllAvailable()
+      // watermark past both: click@26 feeds with NEXT = 7 → match;
+      // click@27 stays held (its own follower is unknown — an
+      // unbounded stream cannot close the partition)
+      mem.addData(TsEv(9, 100, "click", 0, t(50)))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val matches = s.sql("SELECT * FROM nav_et_next").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    assert(matches == Set((1L, Vector(1L)), (1L, Vector(3L))),
+      s"got $matches")
+  }
+
+  test("event-time NEXT == batch on identical inputs (trailing " +
+    "ignorable views make every click's follower final)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val q = CepSql.parse(
+      "PATTERN (x y) DEFINE x AS click; y AS click " +
+        "WHERE value > NEXT(value)", schema)
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val rnd = new scala.util.Random(20260826L)
+    // ts == event_id seconds → event-time order == batch ORDER BY; two
+    // trailing views per key give every click a final follower, so the
+    // stream resolves exactly what batch sees
+    val evs = ((1 to 60).map { i =>
+      TsEv(1L + (i % 2), i.toLong,
+        if (rnd.nextInt(3) == 0) "view" else "click",
+        rnd.nextInt(9).toLong, t(i.toLong))
+    } ++ Seq(TsEv(1, 61, "view", 0, t(61)), TsEv(2, 62, "view", 0, t(62)),
+      TsEv(1, 63, "view", 0, t(63)), TsEv(2, 64, "view", 0, t(64)))).toVector
+    val mem = MemoryStream[TsEv]
+    val out = StreamingCep.matchPatternEventTime(
+      mem.toDF(), q, spec, "ts", "5 seconds")
+    val sq = out.writeStream.format("memory").queryName("nav_et_next_b")
+      .outputMode("append").start()
+    try {
+      evs.grouped(20).foreach { b =>
+        mem.addData(b: _*)
+        sq.processAllAvailable()
+      }
+      // drain: push the watermark far past the tail
+      mem.addData(TsEv(9, 999, "view", 0, t(1000)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(9, 1000, "view", 0, t(2000)))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = s.sql("SELECT * FROM nav_et_next_b")
+      .where($"user_id" =!= 9L).collect()
+      .map(r => (r.getLong(0),
+        (1 until r.length).map(i => r.getSeq[Long](i).toVector).toVector))
+      .toSet
+    val batch = batchMatches(q,
+      evs.map(e => Ev(e.user_id, e.event_id, e.event_type, e.value)))
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch " +
+      s"${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("timedOutPartials over a navigation query == batch") {
     val s = spark
     import s.implicits._
