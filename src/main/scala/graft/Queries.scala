@@ -1843,6 +1843,92 @@ object Queries {
       |  FROM m)
       |ORDER BY user_id, match_no, event_id""".stripMargin
 
+  /** ALL ROWS offset navigation (round 17 — `CepMeasures.allRows`
+    * FINAL FIRST/LAST + RUNNING FIRST offsets via nth_value over the
+    * per-match windows): the same funnel measured with
+    * `FINAL FIRST(c.value, 1)` (the SECOND bound click's value, NULL
+    * on one-click matches — constant per match), `FINAL LAST(c, 1)`
+    * (the second-from-the-end click's ORDINAL) and RUNNING
+    * `FIRST(c.value, 1)` (NULL until two clicks bound SO FAR). Oracle:
+    * the `cep_sql_all_rows` closed form with the offset values stated
+    * per arm in closed form.
+    */
+  val cepSqlAllRowsOffsetsStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (s -> c{1,2} -> p) " +
+        "MEASURES FINAL FIRST(c.value, 1) AS ff1, " +
+        "FINAL LAST(c, 1) AS fl1_ord, FIRST(c.value, 1) AS rf1 " +
+        "ALL ROWS PER MATCH " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
+      eventSchema)
+
+  def cepSqlAllRowsOffsets(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(table(spark, dir, "events"),
+      cepSqlAllRowsOffsetsStatement)
+      .orderBy("user_id", "match_no", "event_id")
+
+  val cepSqlAllRowsOffsetsSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, event_id AS s_id, seq AS s_seq
+      |  FROM seqd WHERE event_type = 'signup'),
+      |c1 AS (
+      |  SELECT g.user_id, g.s_id, g.s_seq, min(c.seq) AS c1_seq
+      |  FROM sig g JOIN seqd c ON c.user_id = g.user_id
+      |    AND c.seq > g.s_seq AND c.event_type = 'click'
+      |  GROUP BY g.user_id, g.s_id, g.s_seq),
+      |arms AS (
+      |  SELECT user_id, s_id, s_seq, c1_seq, NULL AS c2_seq FROM c1
+      |  UNION ALL
+      |  SELECT c1.user_id, c1.s_id, c1.s_seq, c1.c1_seq, n.seq
+      |  FROM c1 JOIN seqd n ON n.user_id = c1.user_id
+      |    AND n.seq = c1.c1_seq + 1 AND n.event_type = 'click'),
+      |m0 AS (
+      |  SELECT a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq,
+      |    min(p.seq) AS p_seq
+      |  FROM arms a JOIN seqd p ON p.user_id = a.user_id
+      |    AND p.seq > COALESCE(a.c2_seq, a.c1_seq)
+      |    AND p.event_type = 'purchase'
+      |  GROUP BY a.user_id, a.s_id, a.s_seq, a.c1_seq, a.c2_seq
+      |  HAVING min(p.seq) - a.s_seq < 8),
+      |m AS (
+      |  SELECT m0.user_id, m0.s_id,
+      |    e1.event_id AS c1_id, e1.v AS c1_v,
+      |    e2.event_id AS c2_id, e2.v AS c2_v,
+      |    ep.event_id AS p_id,
+      |    row_number() OVER (PARTITION BY m0.user_id
+      |      ORDER BY m0.s_id, e1.event_id, e2.event_id ASC NULLS FIRST,
+      |        ep.event_id) AS mno
+      |  FROM m0
+      |  JOIN seqd e1 ON e1.user_id = m0.user_id AND e1.seq = m0.c1_seq
+      |  LEFT JOIN seqd e2 ON e2.user_id = m0.user_id AND e2.seq = m0.c2_seq
+      |  JOIN seqd ep ON ep.user_id = m0.user_id AND ep.seq = m0.p_seq)
+      |SELECT user_id, CAST(mno AS BIGINT) AS match_no, classifier,
+      |  event_id, ff1, fl1_ord, rf1 FROM (
+      |  SELECT user_id, mno, 's' AS classifier, s_id AS event_id,
+      |    c2_v AS ff1,
+      |    CASE WHEN c2_id IS NULL THEN NULL ELSE c1_id END AS fl1_ord,
+      |    CAST(NULL AS BIGINT) AS rf1
+      |  FROM m
+      |  UNION ALL
+      |  SELECT user_id, mno, 'c', c1_id, c2_v,
+      |    CASE WHEN c2_id IS NULL THEN NULL ELSE c1_id END,
+      |    CAST(NULL AS BIGINT)
+      |  FROM m
+      |  UNION ALL
+      |  SELECT user_id, mno, 'c', c2_id, c2_v, c1_id, c2_v
+      |  FROM m WHERE c2_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, mno, 'p', p_id, c2_v,
+      |    CASE WHEN c2_id IS NULL THEN NULL ELSE c1_id END, c2_v
+      |  FROM m)
+      |ORDER BY user_id, match_no, event_id""".stripMargin
+
   /** SQL:2016 `{- x -}` output exclusion over the same `ALL ROWS`
     * funnel (`CepSql` exclusion unit + `CepMeasures.allRows`): the
     * clicks are excluded from the OUTPUT but still match and still feed
@@ -7761,6 +7847,7 @@ object Queries {
     "cep_sql_distinct_agg" -> cepSqlDistinctAgg _,
     "cep_sql_alt_shared_var" -> cepSqlAltSharedVar _,
     "cep_sql_all_rows" -> cepSqlAllRows _,
+    "cep_sql_all_rows_offsets" -> cepSqlAllRowsOffsets _,
     "cep_sql_excl_funnel" -> cepSqlExclFunnel _,
     "cep_sql_unmatched" -> cepSqlUnmatched _,
     "cep_sql_show_empty" -> cepSqlShowEmpty _,
@@ -7950,6 +8037,7 @@ object Queries {
     "cep_sql_distinct_agg" -> cepSqlDistinctAggSql,
     "cep_sql_alt_shared_var" -> cepSqlAltSharedVarSql,
     "cep_sql_all_rows" -> cepSqlAllRowsSql,
+    "cep_sql_all_rows_offsets" -> cepSqlAllRowsOffsetsSql,
     "cep_sql_excl_funnel" -> cepSqlExclFunnelSql,
     "cep_sql_unmatched" -> cepSqlUnmatchedSql,
     "cep_sql_show_empty" -> cepSqlShowEmptySql,

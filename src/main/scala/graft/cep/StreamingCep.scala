@@ -507,12 +507,25 @@ object StreamingCep {
     */
   private def feedShared(executors: Vector[Executor],
       gates: Array[Set[String]], key: Any, orderName: String,
-      ev: Event)(render: SharedRender): Seq[Row] =
+      ev: Event, trackers: Vector[EmptySiteTracker] = Vector.empty,
+      memberSteps: Array[Int] = null)(render: SharedRender): Seq[Row] =
     executors.indices.flatMap { i =>
       val gate = gates(i)
-      if (gate == null || (ev.tpe != null && gate.contains(ev.tpe)))
-        executors(i).feed(ev).map(m => render(i, key, m.toMap, orderName))
-      else Vector.empty
+      if (gate == null || (ev.tpe != null && gate.contains(ev.tpe))) {
+        val ms = executors(i).feed(ev)
+        if (trackers.nonEmpty) {
+          // tracked members run gate-less (sites are defined over the
+          // full feed), so memberSteps mirrors the executor's counter
+          memberSteps(i) += 1
+          trackers(i).onFeed(ev(orderName), executors(i).clock,
+            memberSteps(i))
+          ms.map { m =>
+            val byName = m.toMap
+            trackers(i).onMatch(byName, orderName)
+            render(i, key, byName, orderName)
+          }
+        } else ms.map(m => render(i, key, m.toMap, orderName))
+      } else Vector.empty
     }
 
   /** The classic shared reporting shape `(qname, key, binding)`: order
@@ -566,19 +579,29 @@ object StreamingCep {
     * binary codec (payloads tagged with the writing operator's variant).
     */
   private def encodeMembers(executors: Vector[Executor],
-      variant: Byte): Vector[CepStateCodec.VersionedState] =
-    executors.map { ex =>
+      variant: Byte,
+      trackers: Vector[EmptySiteTracker] = Vector.empty)
+      : Vector[CepStateCodec.VersionedState] =
+    executors.zipWithIndex.map { case (ex, i) =>
       val snap = snapshotState(ex)
+      val (te, pe) =
+        if (trackers.isEmpty) (false, Nil)
+        else (trackers(i).tracking, trackers(i).pending)
       CepStateCodec.encode(
-        CepStateEt(snap.step, snap.runs, Nil, ex.clock, variant))
+        CepStateEt(snap.step, snap.runs, Nil, ex.clock, variant,
+          trackedEmpty = te, pending = pe))
     }
 
+  /** Restore member executors and return the decoded states (the SHOW
+    * EMPTY trackers read their pending sections from them).
+    */
   private def restoreMembers(members: Seq[CepStateCodec.VersionedState],
-      executors: Vector[Executor]): Unit =
-    members.zip(executors).foreach { case (vs, ex) =>
+      executors: Vector[Executor]): Vector[CepStateEt] =
+    members.zip(executors).map { case (vs, ex) =>
       val st = CepStateCodec.decode(vs)
       restoreState(ex, CepState(st.step, st.runs), st.clock)
-    }
+      st
+    }.toVector
 
   /** Apply a CEP query to a *streaming* DataFrame. Input columns are mapped
     * exactly as in the batch operator (`SparkCep.CepSpec`); output rows are
@@ -747,9 +770,14 @@ object StreamingCep {
       SparkCep.resolveMaxRuns(df.sparkSession, Seq(query), maxRunsPerKey)
     val navs = streamingNavs(query, spec)
     // nav queries: no pre-NFA filter, history-fed nav attrs (see
-    // matchPattern)
+    // matchPattern). SHOW EMPTY disables it too: sites are defined
+    // over ALL events of the key (batch derives them from the raw
+    // table), and a withinTime all-skippable pattern would otherwise
+    // keep the type pushdown and silently drop the ignorable events
+    // that host empty matches (positional WITHIN already forgoes the
+    // pushdown, so only the withinTime form could hit this)
     val (prepared, attrNames) =
-      if (navs.isEmpty) SparkCep.prepare(df, query, spec)
+      if (navs.isEmpty && !trackEmpty) SparkCep.prepare(df, query, spec)
       else {
         SparkCep.checkStrTyping(df, query, spec)
         SparkCep.prepareWithFilter(df, None, spec)
@@ -1007,12 +1035,15 @@ object StreamingCep {
           "use matchPatternsShared for the plain binding shape")
       validateStreamingMeasures(st, spec,
         s"matchPatternsSharedMeasures: member '$n'",
-        allowClassifier = true)
+        allowClassifier = true, allowShowEmpty = true)
       CepMeasures.requireStrMeasuresSupported(st.measures, strAttrs)
     }
     val keyName = spec.keyCol.getOrElse("__global")
     sharedArrival(df, stmts.map { case (n, st) => n -> st.query }, spec,
-      maxRunsPerKey, sharedMeasuresSchema(df, spec, keyName))(
+      maxRunsPerKey, sharedMeasuresSchema(df, spec, keyName),
+      trackFlags = stmts.toVector.map { case (_, st) =>
+        st.rowsPerMatch == CepSql.RowsPerMatch.OneRowShowEmpty &&
+          Pattern.canMatchEmpty(st.query.patseq) })(
       measuresRender(stmts, strAttrs))
   }
 
@@ -1038,21 +1069,28 @@ object StreamingCep {
     */
   private def sharedArrival(df: DataFrame,
       queries: Seq[(String, CepQuery)], spec: SparkCep.CepSpec,
-      maxRunsPerKey: Option[Int], outSchema: StructType)(
+      maxRunsPerKey: Option[Int], outSchema: StructType,
+      trackFlags: Vector[Boolean] = Vector.empty)(
       render: SharedRender): DataFrame = {
     require(queries.nonEmpty, "matchPatternsShared needs >= 1 query")
     val keyName = spec.keyCol.getOrElse("__global")
     queries.foreach { case (_, q) =>
       SparkCep.checkWithinStateBound(q, maxRunsPerKey, streaming = true)
     }
+    val anyTrack = trackFlags.exists(identity)
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
     val navs = sharedNavs(queries, spec)
     queries.foreach { case (_, q) =>
       SparkCep.checkStrTyping(df, q, spec) }
+    // SHOW EMPTY members disable the union pushdown like nav does:
+    // sites are defined over ALL events of the key (see the single-op
+    // note at matchPatternMeasures)
     val (prepared, attrNames) = SparkCep.prepareWithFilter(
       df,
-      if (navs.isEmpty) SparkCep.unionPrefilter(queries, spec) else None,
+      if (navs.isEmpty && !anyTrack)
+        SparkCep.unionPrefilter(queries, spec)
+      else None,
       spec)
     val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
@@ -1064,11 +1102,19 @@ object StreamingCep {
     val qVec = queries.toVector
     val names = qVec.map(_._1)
     val dsts = qVec.map { case (_, q) => DstCompiler.compile(q) }
-    // null = feed everything (member declined a prefilter)
+    // null = feed everything (member declined a prefilter). A SHOW
+    // EMPTY member runs GATE-LESS: its sites are the full feed, and
+    // its executor's step/clock must advance on the site events
+    // themselves (the gate is an optimization the prefilter proof
+    // makes invisible, so dropping it only costs ignored feeds)
     val gates: Array[Set[String]] =
-      qVec.map { case (_, q) =>
-        SparkCep.memberFeedTypes(q, spec).orNull
+      qVec.zipWithIndex.map { case ((_, q), i) =>
+        if (i < trackFlags.length && trackFlags(i)) null
+        else SparkCep.memberFeedTypes(q, spec).orNull
       }.toArray
+    val flags =
+      if (trackFlags.nonEmpty) trackFlags
+      else Vector.fill(qVec.length)(false)
 
     groupedFlatMap[SharedMultiState](prepared,
       SparkCep.keyType(df, spec), GroupStateTimeout.NoTimeout(),
@@ -1080,6 +1126,12 @@ object StreamingCep {
               anchorStart = q.anchorStart)
           }
           val nf = new NavFeed(navs)
+          val trackers = qVec.indices.toVector.map { i =>
+            new EmptySiteTracker(flags(i), qVec(i)._2.strategy,
+              qVec(i)._2.anchorStart, qVec(i)._2.within,
+              qVec(i)._2.withinTime.map(_.span))
+          }
+          val memberSteps = new Array[Int](qVec.length)
           if (state.exists) {
             val stored = state.get
             validateMemberNames(stored.names, names)
@@ -1093,7 +1145,11 @@ object StreamingCep {
               else throw new IllegalStateException(
                 s"shared CEP checkpoint holds ${stored.members.size} " +
                   s"payloads for ${names.size} members — corrupt state")
-            restoreMembers(memberPayloads, executors)
+            val decoded = restoreMembers(memberPayloads, executors)
+            decoded.zipWithIndex.foreach { case (st, i) =>
+              trackers(i).restore(st)
+              memberSteps(i) = st.step
+            }
             // a missing section restores as an empty signature, which
             // checkNavSig refuses when this query set navigates
             nf.restore(navPayload.map(CepStateCodec.decode)
@@ -1102,24 +1158,32 @@ object StreamingCep {
           val events = rows.toVector.sortBy(_.getLong(1))
           val out = events.flatMap { row =>
             feedShared(executors, gates, key, orderName,
-              nf.augment(rowToEvent(row, 1, 2, 3, attrNames, orderName, strFlags)))(
+              nf.augment(rowToEvent(row, 1, 2, 3, attrNames, orderName, strFlags)),
+              trackers, memberSteps)(
               render)
+          }
+          val empties = qVec.indices.flatMap { i =>
+            trackers(i).flush(memberSteps(i), executors(i).clock)
+              .map(_ => render(i, key,
+                Map.empty[String, Vector[Event]], orderName))
           }
           // idle-key state GC: all members run-free, no member query
           // carrying a withinTime floor, no navigation history to keep
           if (executors.forall(_.liveRunCount == 0) &&
               qVec.forall(q => q._2.withinTime.isEmpty &&
-                !q._2.anchorStart) && !nf.active)
+                !q._2.anchorStart) && !nf.active &&
+              trackers.forall(_.pending.isEmpty))
             state.remove()
           else {
-            val base = encodeMembers(executors, CepStateCodec.VariantArrival)
+            val base = encodeMembers(executors,
+              CepStateCodec.VariantArrival, trackers)
             state.update(SharedMultiState(names,
               if (nf.active) base :+ CepStateCodec.encode(CepStateEt(
                 0, Nil, Nil, Long.MinValue, CepStateCodec.VariantArrival,
                 nf.sig, nf.serHist))
               else base))
           }
-          out.iterator
+          (out ++ empties).iterator
       }
       .transform(ds =>
         if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())
@@ -1218,9 +1282,10 @@ object StreamingCep {
       s"$opName: this SHOW EMPTY MATCHES form is batch-only — " +
         "empty-match sites are derived from a partition's COMPLETE " +
         "reported match set, which an unbounded stream cannot close " +
-        "(the single-query measures operators support ONE ROW ... " +
-        "SHOW EMPTY MATCHES on WINDOWED queries, where the within " +
-        "window makes each site final in bounded feed distance); " +
+        "(the measures operators — single-query and shared, " +
+        "arrival-order and event-time — support ONE ROW ... SHOW " +
+        "EMPTY MATCHES on WINDOWED queries, where the within window " +
+        "makes each site final in bounded feed distance); " +
         "run the batch projection per micro-batch via foreachBatch " +
         "if needed")
     if (showEmpty && allowShowEmpty) {
@@ -1608,13 +1673,16 @@ object StreamingCep {
           "binding shape")
       validateStreamingMeasures(st, spec,
         s"matchPatternsSharedMeasuresEventTime: member '$n'",
-        allowClassifier = true)
+        allowClassifier = true, allowShowEmpty = true)
       CepMeasures.requireStrMeasuresSupported(st.measures, strAttrs)
     }
     val keyName = spec.keyCol.getOrElse("__global")
     sharedEventTime(df, stmts.map { case (n, st) => n -> st.query }, spec,
       tsCol, delay, maxRunsPerKey,
-      sharedMeasuresSchema(df, spec, keyName))(
+      sharedMeasuresSchema(df, spec, keyName),
+      trackFlags = stmts.toVector.map { case (_, st) =>
+        st.rowsPerMatch == CepSql.RowsPerMatch.OneRowShowEmpty &&
+          Pattern.canMatchEmpty(st.query.patseq) })(
       measuresRender(stmts, strAttrs))
   }
 
@@ -1625,23 +1693,28 @@ object StreamingCep {
   private def sharedEventTime(df: DataFrame,
       queries: Seq[(String, CepQuery)], spec: SparkCep.CepSpec,
       tsCol: String, delay: String, maxRunsPerKey: Option[Int],
-      outSchema: StructType)(render: SharedRender): DataFrame = {
+      outSchema: StructType, trackFlags: Vector[Boolean] = Vector.empty)(
+      render: SharedRender): DataFrame = {
     require(queries.nonEmpty, "matchPatternsSharedEventTime needs >= 1 query")
     val keyName = spec.keyCol.getOrElse("__global")
     queries.foreach { case (_, q) =>
       SparkCep.checkWithinStateBound(q, maxRunsPerKey, streaming = true)
     }
+    val anyTrack = trackFlags.exists(identity)
     val effMaxRuns =
       SparkCep.resolveMaxRuns(df.sparkSession, queries.map(_._2), maxRunsPerKey)
     // shared navigation rides in the buffer payload (a CepStateEt
     // already carries the nav fields), so this operator's state schema
-    // is untouched; the union filter is disabled under nav as in the
+    // is untouched; the union filter is disabled under nav — and under
+    // SHOW EMPTY members (sites are the full feed) — as in the
     // arrival-order shared operator
     val navs = sharedNavs(queries, spec)
     queries.foreach { case (_, q) =>
       SparkCep.checkStrTyping(df, q, spec) }
     val (prepared, attrNames) = etPrepare(df,
-      if (navs.isEmpty) SparkCep.unionPrefilter(queries, spec) else None,
+      if (navs.isEmpty && !anyTrack)
+        SparkCep.unionPrefilter(queries, spec)
+      else None,
       spec, tsCol, delay)
     val strFlags = SparkCep.strAttrFlags(prepared)
     val orderName = attrNames.head
@@ -1653,10 +1726,15 @@ object StreamingCep {
     val qVec = queries.toVector
     val names = qVec.map(_._1)
     val dsts = qVec.map { case (_, q) => DstCompiler.compile(q) }
+    // SHOW EMPTY members run gate-less (see sharedArrival)
     val gates: Array[Set[String]] =
-      qVec.map { case (_, q) =>
-        SparkCep.memberFeedTypes(q, spec).orNull
+      qVec.zipWithIndex.map { case ((_, q), i) =>
+        if (i < trackFlags.length && trackFlags(i)) null
+        else SparkCep.memberFeedTypes(q, spec).orNull
       }.toArray
+    val flags =
+      if (trackFlags.nonEmpty) trackFlags
+      else Vector.fill(qVec.length)(false)
 
     groupedFlatMap[SharedMultiStateEt](prepared,
       SparkCep.keyType(df, spec), GroupStateTimeout.EventTimeTimeout(),
@@ -1668,11 +1746,21 @@ object StreamingCep {
               anchorStart = q.anchorStart)
           }
           val nf = new NavFeed(navs)
+          val trackers = qVec.indices.toVector.map { i =>
+            new EmptySiteTracker(flags(i), qVec(i)._2.strategy,
+              qVec(i)._2.anchorStart, qVec(i)._2.within,
+              qVec(i)._2.withinTime.map(_.span))
+          }
+          val memberSteps = new Array[Int](qVec.length)
           val prevBuffer: Vector[BufEvent] =
             if (state.exists) {
               val stored = state.get
               validateMemberNames(stored.names, names)
-              restoreMembers(stored.members, executors)
+              val decoded = restoreMembers(stored.members, executors)
+              decoded.zipWithIndex.foreach { case (st, i) =>
+                trackers(i).restore(st)
+                memberSteps(i) = st.step
+              }
               val bufEt = CepStateCodec.decode(stored.bufferPayload)
               nf.restore(bufEt)
               bufEt.buffer.toVector
@@ -1689,24 +1777,32 @@ object StreamingCep {
           val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
             feedShared(executors, gates, key, orderName,
               nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector,
-              e.sNames.zip(e.sVals).toVector)))(render)
+              e.sNames.zip(e.sVals).toVector)), trackers,
+              memberSteps)(render)
+          }
+          val empties = qVec.indices.flatMap { i =>
+            trackers(i).flush(memberSteps(i), executors(i).clock)
+              .map(_ => render(i, key,
+                Map.empty[String, Vector[Event]], orderName))
           }
 
           // idle-key state GC: all members empty AND nothing buffered
           if (executors.forall(_.liveRunCount == 0) &&
               qVec.forall(!_._2.anchorStart) && still.isEmpty &&
-              qVec.forall(_._2.withinTime.isEmpty) && !nf.active)
+              qVec.forall(_._2.withinTime.isEmpty) && !nf.active &&
+              trackers.forall(_.pending.isEmpty))
             state.remove()
           else {
             state.update(SharedMultiStateEt(names,
               CepStateCodec.encode(CepStateEt(0, Nil, still,
                 variant = CepStateCodec.VariantEventTime,
                 navSig = nf.sig, navHist = nf.serHist)),
-              encodeMembers(executors, CepStateCodec.VariantEventTime)))
+              encodeMembers(executors, CepStateCodec.VariantEventTime,
+                trackers)))
             if (still.nonEmpty)
               state.setTimeoutTimestamp(still.map(_.ts).min + 1)
           }
-          out.iterator
+          (out ++ empties).iterator
       }
       .transform(ds =>
         if (spec.keyCol.isEmpty) ds.drop(keyName) else ds.toDF())

@@ -229,6 +229,34 @@ class CepStringAttrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("prefilter: single-spat LIKE and string ORDERING push down " +
+    "(round 17) — and a backslash pattern declines the like pushdown") {
+    val evs = events(300, 20260832L)
+    val q = CepSql.parse(
+      "PATTERN (c) DEFINE c AS click " +
+        "WHERE host like '%.com' and host >= 'b'", schema)
+    val pf = SparkCep.prefilter(q, spec)
+    assert(pf.isDefined, "like/ordering condition produced no prefilter")
+    val repr = pf.get.toString
+    assert(repr.contains("%.com") && repr.contains("b"), repr)
+    val got = SparkCep.matchPatternExec(df(evs), q, spec)
+      .collect().map(_.toString).sorted
+    val model = evs.filter(e => e.event_type == "click" &&
+      e.host.endsWith(".com") && e.host >= "b")
+    assert(got.length == model.length)
+    assert(got.nonEmpty)
+    // a pattern containing a backslash does NOT push (Spark's like
+    // treats '\\' as an escape; the dialect has none) — the type
+    // condition still does, and the NFA filters exactly
+    val q2 = CepSql.parse(
+      "PATTERN (c) DEFINE c AS click WHERE host like 'a\\%'", schema)
+    val pf2 = SparkCep.prefilter(q2, spec)
+    assert(pf2.isDefined && !pf2.get.toString.contains("\\"), 
+      pf2.map(_.toString).toString)
+    assert(SparkCep.matchPatternExec(df(evs), q2, spec).collect()
+      .isEmpty) // no host contains a backslash
+  }
+
   test("rejections: string attr in SUM/arithmetic measures, registers") {
     val evs = df(events(50))
     def bad(sql: String): Unit = {

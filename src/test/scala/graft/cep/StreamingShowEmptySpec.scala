@@ -183,6 +183,26 @@ class StreamingShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"${streamed.size} vs ${batch.size}")
   }
 
+  test("RELAXED nullable loop + withinTime: the type prefilter is " +
+    "disabled under SHOW EMPTY (ignorable events ARE sites) — " +
+    "batch == stream") {
+    // c{0,2}~ is all-skippable and withinTime keeps the match
+    // operator's pushdown — but the view events it would drop host
+    // the empty matches, so SHOW EMPTY must forgo it (as batch does:
+    // sites derive from the RAW table)
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,2}~) MEASURES COUNT(c) AS n_c " +
+        "ONE ROW PER MATCH SHOW EMPTY MATCHES " +
+        "DEFINE c AS click WITHIN 6 ON event_id", schema)
+    val evs = evsMixed(30, 5, 20260831L)
+    assert(evs.exists(_.event_type == "view"))
+    val streamed = streamRows(st, "se_prefilter", evs.grouped(8).toSeq)
+    val batch = batchRows(st, evs)
+    assert(streamed == batch, s"${streamed.size} vs ${batch.size}")
+    // view sites are present (the pushdown would have dropped them)
+    assert(streamed.exists(_.endsWith("|0")))
+  }
+
   test("unwindowed streaming SHOW EMPTY rejects with the WINDOWED " +
     "reason; ALL ROWS SHOW EMPTY stays batch-only") {
     val s = spark
@@ -204,6 +224,111 @@ class StreamingShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
       StreamingCep.matchPatternMeasures(mem.toDF(), stAll, spec)
     }
     assert(e2.getMessage.contains("batch-only"), e2.getMessage)
+  }
+
+  // ---------------------------------------------------- shared scan
+
+  private val sharedMembers: Seq[(String, CepSql.CepSqlStatement)] = Seq(
+    // SHOW EMPTY windowed member: turns the union prefilter off and
+    // runs gate-less; sites from the FULL feed
+    "se" -> CepSql.parseStatement(
+      "PATTERN (c{0,2}) MEASURES COUNT(c) AS n_c, SUM(c.value) AS sv " +
+        "ONE ROW PER MATCH SHOW EMPTY MATCHES " +
+        "DEFINE c AS click WITHIN 3", schema),
+    // plain member on the same scan — must be unaffected
+    "plain" -> CepSql.parseStatement(
+      "PATTERN (x y) MEASURES FIRST(x) AS x_id, LAST(y) AS y_id " +
+        "DEFINE x AS click; y AS view", schema))
+
+  private def sharedRepr(qname: String, key: Long,
+      vals: Map[String, Option[String]]): String =
+    s"$qname|$key|" + vals.toVector.sortBy(_._1)
+      .map { case (a, v) => s"$a=${v.getOrElse("-")}" }.mkString(",")
+
+  private def sharedBatchReprs(evs: Seq[Ev]): Vector[String] = {
+    val s = spark
+    import s.implicits._
+    CepMeasures.runShared(evs.toDF(), sharedMembers, spec).flatMap {
+      case (name, df) =>
+        val items = sharedMembers.toMap.apply(name).measures
+        df.collect().map { r =>
+          val vals = items.map { it =>
+            val i = r.fieldIndex(it.alias)
+            it.alias -> (if (r.isNullAt(i)) None
+              else Some(String.valueOf(r.get(i))))
+          }.toMap
+          sharedRepr(name, r.getLong(r.fieldIndex("user_id")), vals)
+        }
+    }.toVector.sorted
+  }
+
+  private def sharedStreamReprs(name: String): Vector[String] =
+    spark.table(name).collect().map { r =>
+      val m = r.getAs[Map[String, Any]]("measures") ++
+        r.getAs[Map[String, Any]]("smeasures")
+      sharedRepr(r.getString(r.fieldIndex("qname")),
+        r.getLong(r.fieldIndex("user_id")),
+        m.map { case (k, v) => k -> Option(v).map(String.valueOf) })
+    }.toVector.sorted
+
+  test("SHARED scan, arrival-order: a SHOW EMPTY member == batch " +
+    "runShared member-for-member; the plain member is unaffected") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = evsMixed(40, 6, 20260901L)
+    val batch = sharedBatchReprs(evs)
+    assert(batch.exists(x => x.startsWith("se|") && x.endsWith("n_c=0,sv=-")),
+      s"fixture has no empty rows: $batch")
+    val mem = MemoryStream[Ev]
+    val out = StreamingCep.matchPatternsSharedMeasures(mem.toDF(),
+      sharedMembers, spec)
+    val sq = out.writeStream.format("memory").queryName("se_shared")
+      .outputMode("append").start()
+    try evs.grouped(11).foreach { b =>
+      mem.addData(b: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = sharedStreamReprs("se_shared")
+    assert(streamed == batch, s"${streamed.size} vs ${batch.size}")
+  }
+
+  test("SHARED scan, event-time: a SHOW EMPTY member == batch " +
+    "runShared with out-of-order arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = evsMixed(40, 6, 20260902L)
+    val batch = sharedBatchReprs(evs)
+    val rnd = new scala.util.Random(11L)
+    val mem = MemoryStream[TsEv]
+    val out = StreamingCep.matchPatternsSharedMeasuresEventTime(
+      mem.toDF(), sharedMembers, spec, "ts", "5 seconds")
+    val sq = out.writeStream.format("memory").queryName("se_shared_et")
+      .outputMode("append").start()
+    try {
+      evs.grouped(10).foreach { b =>
+        mem.addData(rnd.shuffle(b.map(e => TsEv(e.user_id, e.event_id,
+          e.event_type, e.value,
+          new java.sql.Timestamp(e.event_id * 1000)))): _*)
+        sq.processAllAvailable()
+      }
+      mem.addData(TsEv(9, 99990, "view", 0,
+        new java.sql.Timestamp(100000 * 1000L)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(9, 99991, "view", 0,
+        new java.sql.Timestamp(200000 * 1000L)))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("se_shared_et")
+      .where(col("user_id") =!= 9L).collect().map { r =>
+        val m = r.getAs[Map[String, Any]]("measures") ++
+          r.getAs[Map[String, Any]]("smeasures")
+        sharedRepr(r.getString(r.fieldIndex("qname")),
+          r.getLong(r.fieldIndex("user_id")),
+          m.map { case (k, v) => k -> Option(v).map(String.valueOf) })
+      }.toVector.sorted
+    assert(streamed == batch, s"${streamed.size} vs ${batch.size}")
   }
 
   test("codec v7 round-trips the SHOW EMPTY section; v6-style payloads " +
