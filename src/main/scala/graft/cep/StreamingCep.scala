@@ -347,7 +347,7 @@ object StreamingCep {
     * arrival-order and the event-time operators (each tracks its own
     * feed order, which is the order its matches see).
     */
-  private final class EmptySiteTracker(active: Boolean,
+  private[cep] final class EmptySiteTracker(active: Boolean,
       strategy: AfterMatchStrategy, anchorStart: Boolean,
       within: Option[Int], withinTimeSpan: Option[Long]) {
     private var pend: Vector[PendingSite] = Vector.empty

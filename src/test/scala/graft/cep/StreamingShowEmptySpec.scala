@@ -226,6 +226,65 @@ class StreamingShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("batch-only"), e2.getMessage)
   }
 
+  test("SHOW EMPTY composes with event-time NEXT (hold-back + site " +
+    "tracker in one operator): streamed rows are a sub-multiset of " +
+    "batch, cross-batch NEXT matches and empty sites both emit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val st = CepSql.parseStatement(
+      "PATTERN (c{0,2}) MEASURES COUNT(c) AS n_c " +
+        "ONE ROW PER MATCH SHOW EMPTY MATCHES " +
+        "DEFINE c AS click WHERE value < NEXT(value) WITHIN 3", schema)
+    // key 1: click(v=1) view click(v=2) click(v=9) click(v=5) ...
+    // clicks rise then fall; the view is a site; trailing clicks give
+    // followers. The unbounded stream legitimately never resolves the
+    // last held event or the trailing unflushed sites — so the gate is
+    // sub-multiset plus the specific rows that REQUIRED the
+    // composition, not full equality with an input batch can close.
+    val evs = Vector(
+      Ev(1, 1, "click", 1), Ev(1, 2, "view", 0), Ev(1, 3, "click", 2),
+      Ev(1, 4, "click", 9), Ev(1, 5, "click", 5), Ev(1, 6, "click", 6),
+      Ev(1, 7, "click", 7), Ev(1, 8, "click", 8), Ev(1, 9, "click", 9),
+      Ev(1, 10, "click", 10), Ev(1, 11, "click", 11))
+    val mem = MemoryStream[TsEv]
+    val out = StreamingCep.matchPatternMeasuresEventTime(
+      mem.toDF(), st, spec, "ts", "5 seconds")
+    val sq = out.writeStream.format("memory").queryName("se_next")
+      .outputMode("append").start()
+    try {
+      // split so click@3's NEXT (click@4) sits in a later batch
+      Seq(evs.take(3), evs.slice(3, 7), evs.drop(7)).foreach { b =>
+        mem.addData(b.map(e => TsEv(e.user_id, e.event_id, e.event_type,
+          e.value, new java.sql.Timestamp(e.event_id * 1000))): _*)
+        sq.processAllAvailable()
+      }
+      mem.addData(TsEv(9, 9999, "view", 0,
+        new java.sql.Timestamp(100000 * 1000L)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(9, 10000, "view", 0,
+        new java.sql.Timestamp(200000 * 1000L)))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = canon(spark.table("se_next")
+      .where(col("user_id") =!= 9L).collect())
+    val batch = batchRows(st, evs)
+    // sub-multiset: every streamed row consumes one batch occurrence
+    val remaining = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    batch.foreach(r => remaining(r) += 1)
+    streamed.foreach { r =>
+      assert(remaining(r) > 0, s"streamed row '$r' not in batch $batch")
+      remaining(r) -= 1
+    }
+    // the view site emitted an empty row, and a rising-pair match
+    // whose NEXT crossed the 3/4 batch boundary emitted too
+    assert(streamed.contains("1|0"), streamed)
+    assert(streamed.count(_ == "1|2") >= 1 || streamed.count(_ == "1|1") >= 1,
+      streamed)
+    assert(streamed.nonEmpty && batch.size >= streamed.size)
+  }
+
   // ---------------------------------------------------- shared scan
 
   private val sharedMembers: Seq[(String, CepSql.CepSqlStatement)] = Seq(
