@@ -276,6 +276,13 @@ class CepStringAttrSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("CepSql render round-trips a statement with string condition") {
     val st = CepSql.parseStatement(stSql, schema)
     assert(CepSql.parseStatement(CepSql.render(st), schema) == st)
+    // round 17: like / not like / ordering render round-trips too
+    val stLike = CepSql.parseStatement(
+      "PATTERN (s -> c) MEASURES FIRST(s) AS s_id " +
+        "DEFINE s AS signup; c AS click " +
+        "WHERE host like 'h%.com' and host not like 'h0%' " +
+        "and host >= 'a' WITHIN 4", schema)
+    assert(CepSql.parseStatement(CepSql.render(stLike), schema) == stLike)
   }
 
   // --------------------------------------------------------- streaming
