@@ -65,44 +65,65 @@ import graft.cep.{CepMeasures, CepSql}
   * string literal — in a body or in the OUTER statement — may contain
   * parentheses or the MATCH_RECOGNIZE keyword itself; a literal-only
   * mention delegates to the session's parser untouched).
+  *
+  * Round 18: the same postfix `<source> KW ( body )` machinery also
+  * rewrites the CURATION table operators — DEDUP_EXACT /
+  * DEDUP_MINHASH / SAMPLE_STRATIFIED / CHUNK_TOKENS ([[CurationSql]])
+  * — so the highest-traffic pipeline ops are `spark.sql`-invocable and
+  * compose with MATCH_RECOGNIZE, joins, and each other in one
+  * statement (fragments of all keywords lower leftmost-first through
+  * one placeholder pass).
   */
 object GraftSql {
 
   private val Kw = "MATCH_RECOGNIZE"
 
-  /** Fast pre-check so the injected parser costs one scan per statement
-    * (case-insensitive contains, no upper-cased copy).
+  /** Every postfix table-operator keyword the rewriter scans for:
+    * MATCH_RECOGNIZE plus the curation ladder ([[CurationSql]],
+    * round 18) — all share the `<source> KW ( body )` shape and the
+    * placeholder machinery.
+    */
+  private[graft] val AllKws: Vector[String] =
+    (Kw +: CurationSql.operators.keys.toVector).sorted
+
+  /** Fast pre-check so the injected parser costs one scan per keyword
+    * per statement (case-insensitive contains, no upper-cased copy).
     */
   private[graft] def mentionsMr(sqlText: String): Boolean =
-    kwIndex(sqlText, 0) >= 0
+    AllKws.exists(kw => kwIndex(sqlText, 0, kw) >= 0)
 
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_'
 
   /** Index of the next word-boundary MATCH_RECOGNIZE at or after
     * `from`, or -1. QUOTE-AWARE (round 17): the scan tracks
-    * single-quote string and backtick identifier state from the start
-    * of the statement, so `WHERE note = 'foo MATCH_RECOGNIZE (x)'` (or
-    * a column named `` `MATCH_RECOGNIZE` ``) is NOT treated as a
-    * fragment — such statements delegate to the session's parser
-    * untouched, as the paren scans already did for literal parens.
+    * single-quote string, double-quote string (Spark SQL accepts both
+    * by default — round-18 advisor note) and backtick identifier state
+    * from the start of the statement, so `WHERE note = 'foo
+    * MATCH_RECOGNIZE (x)'` (or a column named
+    * `` `MATCH_RECOGNIZE` ``) is NOT treated as a fragment — such
+    * statements delegate to the session's parser untouched, as the
+    * paren scans already did for literal parens.
     */
-  private def kwIndex(sqlText: String, from: Int): Int = {
+  private def kwIndex(sqlText: String, from: Int, kw: String): Int = {
     var i = 0
     var inStr = false
+    var inDq = false
     var inTick = false
     while (i < sqlText.length) {
       val c = sqlText(i)
       if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inDq) { if (c == '"') inDq = false; i += 1 }
       else if (inTick) { if (c == '`') inTick = false; i += 1 }
       else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '"') { inDq = true; i += 1 }
       else if (c == '`') { inTick = true; i += 1 }
       else {
-        if (i >= from && i + Kw.length <= sqlText.length &&
-            sqlText.regionMatches(true, i, Kw, 0, Kw.length) &&
+        if (i >= from && i + kw.length <= sqlText.length &&
+            sqlText.regionMatches(true, i, kw, 0, kw.length) &&
             (i == 0 || !isIdentChar(sqlText(i - 1))) &&
-            (i + Kw.length == sqlText.length ||
-              !isIdentChar(sqlText(i + Kw.length))))
+            (i + kw.length == sqlText.length ||
+              !isIdentChar(sqlText(i + kw.length))))
           return i
         i += 1
       }
@@ -111,11 +132,13 @@ object GraftSql {
   }
 
   /** Extracted fragment: `source` is a table name (`isSubquery` false)
-    * or the inner text of a parenthesised subquery (true).
+    * or the inner text of a parenthesised subquery (true); `kw` is the
+    * operator keyword the fragment was extracted for (MATCH_RECOGNIZE
+    * or a [[CurationSql]] operator).
     */
   private[graft] final case class MrFragment(prefix: String,
       source: String, isSubquery: Boolean, body: String, suffix: String,
-      bodyOffset: Int)
+      bodyOffset: Int, kw: String = "MATCH_RECOGNIZE")
 
   /** `orig`/`toOrig` (round 17): after a fragment is rewritten to a
     * placeholder, positions in the working text drift from the user's
@@ -127,34 +150,45 @@ object GraftSql {
       toOrig: Int => Int = identity): Option[MrFragment] = {
     def errAt(offset: Int, msg: String): IllegalArgumentException =
       err(if (orig == null) sqlText else orig, toOrig(offset), msg)
-    var at = kwIndex(sqlText, 0)
-    // skip keyword occurrences not followed by '(' (e.g. inside a
-    // string literal of some outer clause — let the delegate parser
-    // judge those)
-    var open = -1
-    while (at >= 0 && open < 0) {
-      var j = at + Kw.length
-      while (j < sqlText.length && sqlText(j).isWhitespace) j += 1
-      if (j < sqlText.length && sqlText(j) == '(') open = j
-      else at = kwIndex(sqlText, at + 1)
-    }
-    if (at < 0) return None
-    // balanced, quote-aware forward scan for the body
+    // the LEFTMOST fragment of ANY registered operator keyword wins —
+    // nested/chained fragments then lower inside-out across keywords,
+    // exactly as chained MATCH_RECOGNIZE always has. Keyword
+    // occurrences not followed by '(' are skipped (e.g. a mention in
+    // some outer clause — let the delegate parser judge those).
+    val hit: Option[(Int, Int, String)] = AllKws.flatMap { kw =>
+      var at = kwIndex(sqlText, 0, kw)
+      var open0 = -1
+      while (at >= 0 && open0 < 0) {
+        var j = at + kw.length
+        while (j < sqlText.length && sqlText(j).isWhitespace) j += 1
+        if (j < sqlText.length && sqlText(j) == '(') open0 = j
+        else at = kwIndex(sqlText, at + 1, kw)
+      }
+      if (at >= 0) Some((at, open0, kw)) else None
+    }.minByOption(_._1)
+    if (hit.isEmpty) return None
+    val (at, open, fragKw) = hit.get
+    // balanced, quote-aware forward scan for the body (both string
+    // quote styles, mirroring kwIndex — a double-quoted literal with a
+    // lone paren must not unbalance the scan)
     var depth = 0
     var inStr = false
+    var inDq = false
     var i = open
     var close = -1
     while (i < sqlText.length && close < 0) {
       val c = sqlText(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else if (c == '\'') inStr = true
+      else if (c == '"') inDq = true
       else if (c == '(') depth += 1
       else if (c == ')') { depth -= 1; if (depth == 0) close = i }
       i += 1
     }
     if (close < 0)
       throw errAt(open,
-        "MATCH_RECOGNIZE: unbalanced parentheses in the body")
+        s"$fragKw: unbalanced parentheses in the body")
     val body = sqlText.substring(open + 1, close)
     val suffix = sqlText.substring(close + 1)
     // backward source scan: a parenthesised subquery or a named table
@@ -162,31 +196,34 @@ object GraftSql {
     while (k >= 0 && sqlText(k).isWhitespace) k -= 1
     if (k < 0)
       throw errAt(at,
-        "MATCH_RECOGNIZE has no source — write " +
-          "'<table|(subquery)> MATCH_RECOGNIZE (…)'")
+        s"$fragKw has no source — write " +
+          s"'<table|(subquery)> $fragKw (…)'")
     if (sqlText(k) == ')') {
       var depth2 = 0
       var inStr2 = false
+      var inDq2 = false
       var p = k
       var openSrc = -1
-      // quote-aware backward scan: a quote toggles string state; this
-      // is exact when literals contain no escaped quotes (the dialect
-      // has none)
+      // quote-aware backward scan (both quote styles): a quote toggles
+      // string state; this is exact when literals contain no escaped
+      // quotes (the dialect has none)
       while (p >= 0 && openSrc < 0) {
         val c = sqlText(p)
         if (inStr2) { if (c == '\'') inStr2 = false }
+        else if (inDq2) { if (c == '"') inDq2 = false }
         else if (c == '\'') inStr2 = true
+        else if (c == '"') inDq2 = true
         else if (c == ')') depth2 += 1
         else if (c == '(') { depth2 -= 1; if (depth2 == 0) openSrc = p }
         p -= 1
       }
       if (openSrc < 0)
         throw errAt(k,
-          "MATCH_RECOGNIZE: unbalanced parentheses in the subquery " +
+          s"$fragKw: unbalanced parentheses in the subquery " +
             "source")
       Some(MrFragment(sqlText.substring(0, openSrc),
         sqlText.substring(openSrc + 1, k), isSubquery = true, body,
-        suffix, open + 1))
+        suffix, open + 1, fragKw))
     } else {
       // named (optionally multipart) table, each part bare or
       // backtick-quoted (round 17): scan segments right-to-left —
@@ -198,7 +235,7 @@ object GraftSql {
           val q = sqlText.lastIndexOf('`', p - 1)
           if (q < 0)
             throw errAt(p,
-              "MATCH_RECOGNIZE: unbalanced backtick in the source " +
+              s"$fragKw: unbalanced backtick in the source " +
                 "identifier")
           p = q - 1
         } else {
@@ -213,10 +250,10 @@ object GraftSql {
       val table = sqlText.substring(p + 1, k + 1)
       if (table.isEmpty)
         throw errAt(at,
-          "MATCH_RECOGNIZE source must be a named table/view or a " +
+          s"$fragKw source must be a named table/view or a " +
             "parenthesised subquery")
       Some(MrFragment(sqlText.substring(0, p + 1), table,
-        isSubquery = false, body, suffix, open + 1))
+        isSubquery = false, body, suffix, open + 1, fragKw))
     }
   }
 
@@ -295,24 +332,28 @@ object GraftSql {
             }
           val df: DataFrame =
             try {
-              val st = CepSql.parseStatement(frag.body, Vector.empty)
-              // an empty universe is silently degenerate
-              // (relaxed-contiguity ignore edges enumerate the declared
-              // types — zero types means zero declared-type ignores), so
-              // the FROM-clause form REQUIRES the inline IN-list
-              require(st.query.schema.nonEmpty,
-                "the FROM-clause form needs 'TYPE <col> IN (t1, ..., " +
-                  "tn)' — the inline event-type universe drives " +
-                  "relaxed-contiguity ignore edges and must list every " +
-                  "type the stream carries")
-              CepMeasures.run(input, st)
+              if (frag.kw == Kw) {
+                val st = CepSql.parseStatement(frag.body, Vector.empty)
+                // an empty universe is silently degenerate
+                // (relaxed-contiguity ignore edges enumerate the declared
+                // types — zero types means zero declared-type ignores), so
+                // the FROM-clause form REQUIRES the inline IN-list
+                require(st.query.schema.nonEmpty,
+                  "the FROM-clause form needs 'TYPE <col> IN (t1, ..., " +
+                    "tn)' — the inline event-type universe drives " +
+                    "relaxed-contiguity ignore edges and must list every " +
+                    "type the stream carries")
+                CepMeasures.run(input, st)
+              } else CurationSql.operators(frag.kw)(input, frag.body)
             } catch {
               case e: IllegalArgumentException =>
                 throw err(sqlText, toOrig(frag.bodyOffset),
-                  s"MATCH_RECOGNIZE body: ${e.getMessage}")
+                  s"${frag.kw} body: ${e.getMessage}")
             }
           val alias =
-            if (frag.isSubquery) "mr" else lastNamePart(frag.source)
+            if (!frag.isSubquery) lastNamePart(frag.source)
+            else if (frag.kw == Kw) "mr"
+            else frag.kw.toLowerCase
           lowered(name) = (alias, df)
           val regionLen =
             text.length - frag.prefix.length - frag.suffix.length

@@ -1843,21 +1843,24 @@ object Queries {
       |  FROM m)
       |ORDER BY user_id, match_no, event_id""".stripMargin
 
-  /** ALL ROWS offset navigation (round 17 — `CepMeasures.allRows`
-    * FINAL FIRST/LAST + RUNNING FIRST offsets via nth_value over the
-    * per-match windows): the same funnel measured with
-    * `FINAL FIRST(c.value, 1)` (the SECOND bound click's value, NULL
-    * on one-click matches — constant per match), `FINAL LAST(c, 1)`
-    * (the second-from-the-end click's ORDINAL) and RUNNING
-    * `FIRST(c.value, 1)` (NULL until two clicks bound SO FAR). Oracle:
-    * the `cep_sql_all_rows` closed form with the offset values stated
-    * per arm in closed form.
+  /** ALL ROWS offset navigation (round 17; RUNNING LAST round 18 —
+    * `CepMeasures.allRows` FINAL/RUNNING FIRST/LAST offsets via
+    * nth_value over the per-match windows, LAST forms over descending
+    * twins): the same funnel measured with `FINAL FIRST(c.value, 1)`
+    * (the SECOND bound click's value, NULL on one-click matches —
+    * constant per match), `FINAL LAST(c, 1)` (the second-from-the-end
+    * click's ORDINAL), RUNNING `FIRST(c.value, 1)` (NULL until two
+    * clicks bound SO FAR) and RUNNING `LAST(c.value, 1)` (the
+    * second-from-the-end take SO FAR — NULL until two clicks bound,
+    * then the first click's value). Oracle: the `cep_sql_all_rows`
+    * closed form with the offset values stated per arm in closed form.
     */
   val cepSqlAllRowsOffsetsStatement: CepSql.CepSqlStatement =
     CepSql.parseStatement(
       "PATTERN (s -> c{1,2} -> p) " +
         "MEASURES FINAL FIRST(c.value, 1) AS ff1, " +
-        "FINAL LAST(c, 1) AS fl1_ord, FIRST(c.value, 1) AS rf1 " +
+        "FINAL LAST(c, 1) AS fl1_ord, FIRST(c.value, 1) AS rf1, " +
+        "RUNNING LAST(c.value, 1) AS rl1 " +
         "ALL ROWS PER MATCH " +
         "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
         "DEFINE s AS signup; c AS click; p AS purchase WITHIN 8",
@@ -1909,23 +1912,24 @@ object Queries {
       |  LEFT JOIN seqd e2 ON e2.user_id = m0.user_id AND e2.seq = m0.c2_seq
       |  JOIN seqd ep ON ep.user_id = m0.user_id AND ep.seq = m0.p_seq)
       |SELECT user_id, CAST(mno AS BIGINT) AS match_no, classifier,
-      |  event_id, ff1, fl1_ord, rf1 FROM (
+      |  event_id, ff1, fl1_ord, rf1, rl1 FROM (
       |  SELECT user_id, mno, 's' AS classifier, s_id AS event_id,
       |    c2_v AS ff1,
       |    CASE WHEN c2_id IS NULL THEN NULL ELSE c1_id END AS fl1_ord,
-      |    CAST(NULL AS BIGINT) AS rf1
+      |    CAST(NULL AS BIGINT) AS rf1, CAST(NULL AS BIGINT) AS rl1
       |  FROM m
       |  UNION ALL
       |  SELECT user_id, mno, 'c', c1_id, c2_v,
       |    CASE WHEN c2_id IS NULL THEN NULL ELSE c1_id END,
-      |    CAST(NULL AS BIGINT)
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
       |  FROM m
       |  UNION ALL
-      |  SELECT user_id, mno, 'c', c2_id, c2_v, c1_id, c2_v
+      |  SELECT user_id, mno, 'c', c2_id, c2_v, c1_id, c2_v, c1_v
       |  FROM m WHERE c2_id IS NOT NULL
       |  UNION ALL
       |  SELECT user_id, mno, 'p', p_id, c2_v,
-      |    CASE WHEN c2_id IS NULL THEN NULL ELSE c1_id END, c2_v
+      |    CASE WHEN c2_id IS NULL THEN NULL ELSE c1_id END, c2_v,
+      |    CASE WHEN c2_id IS NULL THEN NULL ELSE c1_v END
       |  FROM m)
       |ORDER BY user_id, match_no, event_id""".stripMargin
 
@@ -2432,6 +2436,66 @@ object Queries {
       |SELECT f.user_id, f.s_id, f.c_id, c.host AS c_host
       |FROM fp f JOIN c ON c.user_id = f.user_id AND c.event_id = f.c_id
       |ORDER BY f.user_id, f.s_id""".stripMargin
+
+  /** SQL:2016 `LIKE ... ESCAPE` + literal-backslash LIKE patterns in
+    * DEFINE (round 18, beyond-reference): two derived string attrs —
+    * `tag` = `h<k%3>_<com|org>` (contains a literal underscore) and
+    * `path` = `p\<k%5>` (contains a literal backslash) — gate a
+    * single-variable pattern, so BOTH predicates push into the scan
+    * (`ExprToColumn`: the escape form lowers to Spark's own
+    * `like(str, pat, esc)`; the no-escape backslash form pushes with
+    * doubled backslashes — round 18 closed the old backslash-free
+    * restriction). `'h1!_c%' escape '!'` is h1 + LITERAL `_` + c… —
+    * matches `h1_com` only (misreading `!` literally, or `_` as a
+    * wildcard, selects nothing / everything); `'p\1%'` has NO escape
+    * char, so the backslash is an ordinary literal — exactly DuckDB's
+    * reading of both patterns (ESCAPE clause; no default escape).
+    */
+  val eventSchemaTagPath: Vector[(String, Vector[String])] =
+    eventSchema.map { case (t, attrs) => (t, attrs :+ "tag" :+ "path") }
+
+  private val tagDeriveSpark: org.apache.spark.sql.Column = {
+    val k = regexp_extract(col("props"), "[0-9]+", 0).cast("long")
+    concat(lit("h"), (k % 3).cast("string"), lit("_"),
+      when(k % 2 === 0, "com").otherwise("org"))
+  }
+  private val pathDeriveSpark: org.apache.spark.sql.Column = {
+    val k = regexp_extract(col("props"), "[0-9]+", 0).cast("long")
+    concat(lit("p\\"), (k % 5).cast("string"))
+  }
+
+  val cepSqlLikeEscapeStatement: CepSql.CepSqlStatement =
+    CepSql.parseStatement(
+      "PATTERN (c) " +
+        "MEASURES FIRST(c) AS c_id, LAST(c.tag) AS c_tag, " +
+        "LAST(c.path) AS c_path " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE c AS click WHERE tag like 'h1!_c%' escape '!' " +
+        "and path like 'p\\1%'",
+      eventSchemaTagPath)
+
+  def cepSqlLikeEscape(spark: SparkSession, dir: String): DataFrame =
+    CepMeasures.run(
+      table(spark, dir, "events")
+        .withColumn("tag", tagDeriveSpark)
+        .withColumn("path", pathDeriveSpark),
+      cepSqlLikeEscapeStatement)
+      .orderBy("user_id", "c_id")
+
+  val cepSqlLikeEscapeSql: String = {
+    val kExpr = "CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)"
+    s"""WITH r AS (
+      |  SELECT user_id, event_id, event_type,
+      |    'h' || CAST($kExpr % 3 AS VARCHAR) || '_' ||
+      |      CASE WHEN $kExpr % 2 = 0 THEN 'com' ELSE 'org' END AS tag,
+      |    'p\\' || CAST($kExpr % 5 AS VARCHAR) AS path
+      |  FROM events)
+      |SELECT user_id, event_id AS c_id, tag AS c_tag, path AS c_path
+      |FROM r
+      |WHERE event_type = 'click'
+      |  AND tag LIKE 'h1!_c%' ESCAPE '!' AND path LIKE 'p\\1%'
+      |ORDER BY user_id, c_id""".stripMargin
+  }
 
   /** SQL:2016 `COUNT(*)` / `COUNT(name.*)` in MEASURES (parse-side
     * sugar — `COUNT(*)` desugars to the sum of the per-name positional
@@ -4751,6 +4815,45 @@ object Queries {
        |       WHEN lang = 'zh' THEN 800
        |       ELSE 600 END
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The curation ladder through the SQL surface (round 18 —
+    * [[CurationSql]] FROM-clause table operators via [[GraftSql]]):
+    * each `sql_*` row is the SAME computation as its programmatic
+    * registry sibling (`dedup_exact` / `sample_stratified` /
+    * `text_chunks`), invoked from a SQL statement a platform user could
+    * type — the operator lowers to the identical op call, so these rows
+    * pin hash-equality of the two surfaces against the siblings'
+    * oracles. The temp view is (re)registered per call from the same
+    * parquet read the siblings use.
+    */
+  private def curDocsView(spark: SparkSession, dir: String): Unit =
+    table(spark, dir, "documents").createOrReplaceTempView("documents_v")
+
+  def sqlDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    curDocsView(spark, dir)
+    GraftSql.sql(spark,
+      """SELECT doc_id, keep_id, group_cnt
+        |FROM documents_v DEDUP_EXACT (ID doc_id TEXT text)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  def sqlSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    curDocsView(spark, dir)
+    GraftSql.sql(spark,
+      """SELECT doc_id, lang
+        |FROM documents_v SAMPLE_STRATIFIED (ID doc_id STRATUM lang
+        |  RATES ('en' 300, 'zh' 800) DEFAULT 600)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  def sqlChunkTokens(spark: SparkSession, dir: String): DataFrame = {
+    curDocsView(spark, dir)
+    GraftSql.sql(spark,
+      """SELECT doc_id, chunk_id, tok_off, n_tok, chunk_text
+        |FROM documents_v CHUNK_TOKENS (ID doc_id TEXT text
+        |  SIZE 32 OVERLAP 8)
+        |ORDER BY doc_id, chunk_id""".stripMargin)
   }
 
   /** End-to-end corpus curation — the canonical training-data pipeline as
@@ -7859,6 +7962,10 @@ object Queries {
     "cep_sql_string_attr" -> cepSqlStringAttr _,
     "cep_sql_string_like" -> cepSqlStringLike _,
     "cep_sql_string_order" -> cepSqlStringOrder _,
+    "cep_sql_like_escape" -> cepSqlLikeEscape _,
+    "sql_dedup_exact" -> sqlDedupExact _,
+    "sql_sample_stratified" -> sqlSampleStratified _,
+    "sql_chunk_tokens" -> sqlChunkTokens _,
     "cep_sql_count_star" -> cepSqlCountStar _,
     "cep_sql_classifier_target" -> cepSqlClassifierTarget _,
     "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmpty _,
@@ -8049,6 +8156,10 @@ object Queries {
     "cep_sql_string_attr" -> cepSqlStringAttrSql,
     "cep_sql_string_like" -> cepSqlStringLikeSql,
     "cep_sql_string_order" -> cepSqlStringOrderSql,
+    "cep_sql_like_escape" -> cepSqlLikeEscapeSql,
+    "sql_dedup_exact" -> dedupExactSql,
+    "sql_sample_stratified" -> sampleStratifiedSql,
+    "sql_chunk_tokens" -> textChunksSql,
     "cep_sql_count_star" -> cepSqlCountStarSql,
     "cep_sql_classifier_target" -> cepSqlClassifierTargetSql,
     "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmptySql,

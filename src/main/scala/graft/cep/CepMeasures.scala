@@ -127,12 +127,10 @@ object CepMeasures {
     * `FIRST(a.v, k)` reads the (k+1)-th bound event from the start,
     * `LAST(a.v, k)` the (k+1)-th from the end — NULL when the binding
     * is shorter (aggregate-over-missing). Supported by ONE ROW PER
-    * MATCH, the streaming fold, and (round 17) `ALL ROWS PER MATCH`
-    * for FINAL FIRST/LAST and RUNNING FIRST (nth_value over the
-    * per-match windows); RUNNING `LAST(x, k)` alone stays rejected —
-    * `k-th from the end so far` has no window-function form (a
-    * documented deviation; FINAL LAST(x, k) is the whole-match
-    * reading).
+    * MATCH, the streaming fold, and `ALL ROWS PER MATCH` for every
+    * FINAL/RUNNING FIRST/LAST combination (round 17; RUNNING LAST
+    * closed round 18 — nth_value over the per-match windows, the LAST
+    * forms over descending twins).
     *
     * `isFinal` is the SQL:2016 `FINAL` modifier and only matters in
     * `ALL ROWS PER MATCH`: a FINAL measure shows the aggregate over the
@@ -962,22 +960,19 @@ object CepMeasures {
           "exclusive rows-per-match options (as in SQL:2016)")
       requireShowEmptySupported(query)
     }
-    // FIRST/LAST offsets (round 17): FINAL FIRST/LAST(x, k) is the
-    // (k+1)-th bound event from the start/end of the WHOLE match —
-    // nth_value over the existing per-match unbounded windows (the
-    // LAST form over the descending twin); RUNNING FIRST(x, k) is the
-    // (k+1)-th so far — nth_value over the running frame. RUNNING
-    // `LAST(x, k)` alone stays rejected: "k-th from the end OF THE
-    // ROWS SO FAR" is a per-row re-read with no window-function form
-    // (documented deviation; write FINAL LAST(x, k) for the
-    // whole-match reading).
+    // FIRST/LAST offsets (round 17; RUNNING LAST closed round 18):
+    // FINAL FIRST/LAST(x, k) is the (k+1)-th bound event from the
+    // start/end of the WHOLE match — nth_value over the existing
+    // per-match unbounded windows (the LAST form over the descending
+    // twin); RUNNING FIRST(x, k) is the (k+1)-th so far — nth_value
+    // over the running frame; RUNNING LAST(x, k) is the (k+1)-th from
+    // the END of the rows so far — nth_value over the DESCENDING
+    // running twin (`ORDER BY __ord DESC ROWS BETWEEN CURRENT ROW AND
+    // UNBOUNDED FOLLOWING`: the frame walks backwards from the current
+    // row, so its (k+1)-th ignoreNulls value IS the k-th-from-the-end
+    // take so far, current row included — the round-17 "no window
+    // form" deviation had missed the reversed running frame).
     measures.flatMap(MeasureItem.atomsOf).foreach { m =>
-      require(m.offset == 0 || m.isFinal || m.fn == Fn.First,
-        s"ALL ROWS PER MATCH: RUNNING ${m.fn.sqlName}(${m.name}" +
-          s"${m.attr.fold("")("." + _)}, ${m.offset}) — the k-th from " +
-          "the end of the rows SO FAR has no window form; use FINAL " +
-          s"${m.fn.sqlName}(...) for the whole-match reading, or ONE " +
-          "ROW PER MATCH")
       // the running windows resolve FIRST/LAST with ignoreNulls over the
       // name-guarded value, which cannot tell a partition-edge NULL from
       // an other-name row — a documented deviation
@@ -1090,6 +1085,14 @@ object CepMeasures {
       Window.partitionBy(col(k), col("match_no")))
       .orderBy(col("__ord").desc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // descending RUNNING twin for RUNNING LAST(x, k): under the desc
+    // order the frame [CURRENT ROW, UNBOUNDED FOLLOWING] is exactly the
+    // rows UP TO the current one walked backwards, so nth_value(k+1)
+    // reads the k-th-from-the-end take SO FAR (round 18)
+    val runWDesc = keyName.fold(Window.partitionBy(col("match_no")))(k =>
+      Window.partitionBy(col(k), col("match_no")))
+      .orderBy(col("__ord").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val measureCols = atoms.map { m =>
       if (m.fn == Fn.Classifier) {
         if (m.name.isEmpty)
@@ -1111,16 +1114,18 @@ object CepMeasures {
       } else if (m.fn == Fn.MatchNo) {
         col("match_no").as(m.alias) // constant per match; FINAL ≡ RUNNING
       } else if (m.offset > 0) {
-        // offset FIRST/LAST (round 17; validation above admits FINAL
-        // FIRST/LAST and RUNNING FIRST). nth_value(…, k+1, ignoreNulls)
-        // over the name-guarded value skips other-name rows; the
-        // attribute tier wraps the value in a STRUCT first, so a bound
-        // event with a NULL attribute is still COUNTED by the walk and
-        // contributes its NULL — exactly SQL's "attribute of the
-        // (k+1)-th bound event", not "the (k+1)-th non-NULL value".
+        // offset FIRST/LAST (round 17; RUNNING LAST round 18).
+        // nth_value(…, k+1, ignoreNulls) over the name-guarded value
+        // skips other-name rows; the attribute tier wraps the value in
+        // a STRUCT first, so a bound event with a NULL attribute is
+        // still COUNTED by the walk and contributes its NULL — exactly
+        // SQL's "attribute of the (k+1)-th bound event", not "the
+        // (k+1)-th non-NULL value". LAST walks the descending twin —
+        // whole-match frame under FINAL, backwards-from-current-row
+        // frame under RUNNING.
         val isNm = col("classifier").isin(membersOf(m.name): _*)
         val w =
-          if (m.fn == Fn.Last) finalWDesc
+          if (m.fn == Fn.Last) { if (m.isFinal) finalWDesc else runWDesc }
           else if (m.isFinal) finalW
           else runWdefault
         (if (!isAttrTier(m))

@@ -99,7 +99,7 @@ object CompiledExpr {
       val slot = if (layout == null) -1 else layout.indexOf(n)
       if (slot >= 0) CAttr(slot, n) else CRef(n)
     case Expr.InSet(x, vs) => CStrIn(compileStr(x), vs.toSet)
-    case Expr.Like(x, p) => CLike(compileStr(x), Expr.likeRegex(p))
+    case Expr.Like(x, p, esc) => CLike(compileStr(x), Expr.likeRegex(p, esc))
     case Expr.Arith(op, l, r) =>
       val code = op match {
         case "+" => ADD; case "-" => SUB; case "*" => MUL

@@ -33,29 +33,68 @@ object Expr {
     * parses to `Not(InSet(…))`.
     */
   final case class InSet(e: Expr, values: Vector[String]) extends Expr
-  /** `e like '<pattern>'` — SQL LIKE over the string tier (round 17):
-    * `%` matches any sequence (including newlines), `_` any single
-    * character, every other character itself; no escape character (the
-    * dialect's string literals have none). `not like` parses to
-    * `Not(Like(…))`. The pattern compiles once per node; matching is
-    * anchored (whole-string), as in SQL.
+  /** `e like '<pattern>' [escape '<c>']` — SQL LIKE over the string
+    * tier (round 17; ESCAPE round 18): `%` matches any sequence
+    * (including newlines), `_` any single character, every other
+    * character itself. With an ESCAPE character `c` (SQL:2016
+    * `<like predicate>`, any single code point), `c%`/`c_`/`cc` match
+    * the literal `%`/`_`/`c`; `c` before anything else — or ending the
+    * pattern — is rejected at parse time, exactly Spark's `LIKE ...
+    * ESCAPE` rule, so the prefilter pushdown stays exact. Without
+    * ESCAPE there is no escape character at all: backslash is an
+    * ordinary literal (the dialect's string literals have no escapes).
+    * `not like` parses to `Not(Like(…))`. The pattern compiles once per
+    * node; matching is anchored (whole-string), as in SQL.
     */
-  final case class Like(e: Expr, pattern: String) extends Expr {
-    @transient private lazy val rx = likeRegex(pattern)
+  final case class Like(e: Expr, pattern: String,
+      escape: Option[String] = None) extends Expr {
+    @transient private lazy val rx = likeRegex(pattern, escape)
     def matches(s: String): Boolean = rx.matcher(s).matches()
   }
 
   /** LIKE pattern → anchored regex (`%`→`.*`, `_`→`.`, rest quoted),
     * DOTALL so wildcards cross newlines (SQL semantics; Spark's `like`
-    * agrees, which keeps the prefilter pushdown exact).
+    * agrees, which keeps the prefilter pushdown exact). Literal runs
+    * are quoted as RUNS, never per UTF-16 char: `Pattern.quote` of a
+    * lone surrogate half never matches the intact astral code point
+    * (round-18 advisor fix — a supplementary character in a pattern
+    * used to be split into two separately-quoted surrogates and the
+    * NFA missed every match). The escape character is compared by CODE
+    * POINT, so an astral escape works too.
     */
-  private[cep] def likeRegex(pattern: String): java.util.regex.Pattern = {
-    val sb = new StringBuilder
-    pattern.foreach {
-      case '%' => sb.append(".*")
-      case '_' => sb.append('.')
-      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+  private[cep] def likeRegex(pattern: String,
+      escape: Option[String] = None): java.util.regex.Pattern = {
+    escape.foreach { e =>
+      require(e.codePointCount(0, e.length) == 1,
+        s"LIKE ESCAPE must be a single character, got '$e'")
     }
+    val escCp = escape.map(_.codePointAt(0)).getOrElse(-1)
+    val sb = new StringBuilder
+    val run = new StringBuilder // pending literal run, quoted as one \Q…\E
+    def flush(): Unit = if (run.nonEmpty) {
+      sb.append(java.util.regex.Pattern.quote(run.toString)); run.clear()
+    }
+    var i = 0
+    while (i < pattern.length) {
+      val cp = pattern.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp == escCp) {
+        if (i >= pattern.length)
+          throw new IllegalArgumentException(
+            s"LIKE pattern '$pattern' must not end with its escape " +
+              s"character '${escape.get}'")
+        val nx = pattern.codePointAt(i)
+        if (nx != '%' && nx != '_' && nx != escCp)
+          throw new IllegalArgumentException(
+            s"LIKE pattern '$pattern': the escape character " +
+              s"'${escape.get}' may only precede '%', '_' or itself")
+        run.appendAll(Character.toChars(nx))
+        i += Character.charCount(nx)
+      } else if (cp == '%') { flush(); sb.append(".*") }
+      else if (cp == '_') { flush(); sb.append('.') }
+      else run.appendAll(Character.toChars(cp))
+    }
+    flush()
     java.util.regex.Pattern.compile(sb.toString,
       java.util.regex.Pattern.DOTALL)
   }
@@ -284,7 +323,7 @@ object Expr {
     case Lit(_) | BoolLit(_) | StrLit(_) => Set.empty
     case Ref(n)              => Set(n)
     case InSet(x, _)         => refs(x)
-    case Like(x, _)          => refs(x)
+    case Like(x, _, _)       => refs(x)
     case Arith(_, l, r)      => refs(l) ++ refs(r)
     case Cmp(_, l, r)        => refs(l) ++ refs(r)
     case And(l, r)           => refs(l) ++ refs(r)
@@ -306,8 +345,8 @@ object Expr {
     case Cmp(_, Ref(n), StrLit(_)) => Set(n)
     case Cmp(_, StrLit(_), Ref(n)) => Set(n)
     case InSet(Ref(n), _)          => Set(n)
-    case Like(Ref(n), _)           => Set(n)
-    case Like(x, _)                => strRefs(x)
+    case Like(Ref(n), _, _)        => Set(n)
+    case Like(x, _, _)             => strRefs(x)
     case Arith(_, l, r)            => strRefs(l) ++ strRefs(r)
     case Cmp(_, l, r)              => strRefs(l) ++ strRefs(r)
     case And(l, r)                 => strRefs(l) ++ strRefs(r)
@@ -388,24 +427,44 @@ private[cep] final class ExprParser(input: String) {
       else null
     if (op != null) Expr.Cmp(op, l, addExpr())
     else if (eatKw("in")) Expr.InSet(l, inList())
-    else if (eatKw("like")) Expr.Like(l, likePattern())
+    else if (eatKw("like")) likeTail(l)
     else {
       // Python's `not in` / `not like` (the only infix `not`s)
       val save = pos
       if (eatKw("not")) {
         if (eatKw("in")) Expr.Not(Expr.InSet(l, inList()))
-        else if (eatKw("like")) Expr.Not(Expr.Like(l, likePattern()))
+        else if (eatKw("like")) Expr.Not(likeTail(l))
         else { pos = save; l }
       } else l
     }
   }
 
-  /** The string-literal pattern of a `like`. */
-  private def likePattern(): String = {
+  /** `'<pattern>' [escape '<c>']` after a `like` keyword. The regex is
+    * compiled here once to surface a bad pattern (trailing or misplaced
+    * escape character, SQL:2016 rule) as a parse error at the statement
+    * rather than at first evaluation.
+    */
+  private def likeTail(l: Expr): Expr.Like = {
+    val p = likePattern("'like' takes a string-literal pattern")
+    val esc =
+      if (eatKw("escape")) {
+        val e = likePattern("'escape' takes a single-character " +
+          "string literal")
+        if (e.codePointCount(0, e.length) != 1)
+          fail(s"'escape' takes exactly one character, got '$e'")
+        Some(e)
+      } else None
+    try Expr.likeRegex(p, esc)
+    catch { case ex: IllegalArgumentException => fail(ex.getMessage) }
+    Expr.Like(l, p, esc)
+  }
+
+  /** The string-literal operand of a `like` / `escape`. */
+  private def likePattern(what: String): String = {
     skipWs()
     atom() match {
       case Expr.StrLit(s) => s
-      case other => fail(s"'like' takes a string-literal pattern, got $other")
+      case other => fail(s"$what, got $other")
     }
   }
 

@@ -60,11 +60,28 @@ object ExprToColumn {
         }
       case Expr.InSet(x, vs) =>
         goStr(x).map(_.isin(vs: _*))
-      // `like` pushes as Spark's own like ONLY for backslash-free
-      // patterns: the dialect has no escape character, Spark's like
-      // treats '\\' as one — they agree exactly on patterns without it
-      case Expr.Like(x, p) if !p.contains('\\') =>
-        goStr(x).map(_.like(p))
+      // `like` pushes as Spark's own like. Without ESCAPE the dialect
+      // treats backslash as an ordinary literal while Spark's default
+      // escape is '\\' — doubling every backslash makes Spark read each
+      // as an escaped literal backslash, so backslash-containing
+      // patterns push too (round 18; they used to fall to the NFA).
+      // With ESCAPE, `functions.like(str, pat, esc)` implements the
+      // same SQL:2016 rule `likeRegex` mirrors (escape before %/_/
+      // itself only — invalid patterns were already rejected at parse
+      // time), so the predicates agree exactly. Guards: an astral
+      // (supplementary) code point anywhere in the pattern stays
+      // NFA-only — Spark's escapeLikeRegex quotes per UTF-16 char, and
+      // a separately-quoted surrogate half never matches the intact
+      // code point (the engine-side regex quotes literal RUNS and is
+      // correct; pushing would disagree) — and so does an astral
+      // escape character (Spark's escape is a single UTF-16 char).
+      case Expr.Like(x, p, esc)
+          if p.codePoints().noneMatch(cp => cp > 0xFFFF) &&
+            esc.forall(_.length == 1) =>
+        esc match {
+          case None    => goStr(x).map(_.like(p.replace("\\", "\\\\")))
+          case Some(e) => goStr(x).map(c => like(c, lit(p), lit(e)))
+        }
       case Expr.Cmp(op, l, r) =>
         for (a <- go(l); b <- go(r)) yield op match {
           case "==" => a === b

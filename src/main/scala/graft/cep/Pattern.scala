@@ -375,7 +375,8 @@ object Pattern {
         case Expr.Ref(n)          => n
         case Expr.InSet(x, vs) =>
           s"${rhs(x)} in (${vs.map(v => s"'$v'").mkString(", ")})"
-        case Expr.Like(x, p)      => s"${rhs(x)} like '$p'"
+        case Expr.Like(x, p, esc) =>
+          s"${rhs(x)} like '$p'" + esc.fold("")(e => s" escape '$e'")
         case Expr.Arith(op, l, r) => s"${lhs(l)} $op ${rhs(r)}"
         // comparison is non-associative in our grammar — parenthesise an
         // equal-precedence child on either side

@@ -246,8 +246,8 @@ object StreamingCep {
     * the error names the member's own navigation.
     */
   private def sharedNavs(queries: Seq[(String, CepQuery)],
-      spec: SparkCep.CepSpec): Vector[Nav] =
-    queries.flatMap { case (_, q) => streamingNavs(q, spec) }
+      spec: SparkCep.CepSpec, allowNext: Boolean = false): Vector[Nav] =
+    queries.flatMap { case (_, q) => streamingNavs(q, spec, allowNext) }
       .distinct.sortBy(_.valueName).toVector
 
   /** Navigation contract for the ARRIVAL-ORDER streaming operators:
@@ -270,15 +270,17 @@ object StreamingCep {
     val nexts = navs.filterNot(_.prev)
     if (nexts.nonEmpty && !allowNext)
       throw new IllegalArgumentException(
-        "CEP navigation NEXT is not supported by this streaming " +
-          "operator (" +
+        "CEP navigation NEXT is not supported by the ARRIVAL-ORDER " +
+          "streaming operators (" +
           nexts.map(_.sqlForm).mkString(", ") + "): it references " +
           "FOLLOWING physical rows the unbounded stream has not " +
           "produced yet. PREV is supported everywhere; NEXT is " +
-          "supported by the EVENT-TIME single-query operators " +
-          "(matchPatternEventTime / matchPatternMeasuresEventTime), " +
-          "whose watermark hold-back makes the followers final — or " +
-          "run the query in batch.")
+          "supported by the EVENT-TIME operators, single-query and " +
+          "shared (matchPatternEventTime / matchPatternMeasuresEventTime " +
+          "/ matchPatternsSharedEventTime / " +
+          "matchPatternsSharedMeasuresEventTime), whose watermark " +
+          "hold-back makes the followers final — or run the query in " +
+          "batch.")
     navs.foreach { nv =>
       require(nv.base == spec.orderCol || spec.attrCols.contains(nv.base),
         s"CEP streaming navigation ${nv.sqlForm}: base attribute " +
@@ -288,6 +290,31 @@ object StreamingCep {
     }
     navs
   }
+
+  /** NEXT augmentation over a watermark-release slice — ONE
+    * implementation for the single-query and shared event-time
+    * operators so the hold-back semantics cannot drift between them:
+    * event `i` of `sortedReady` reads each `NEXT(base, k)` value from
+    * slice position `i + k`, which the caller's hold-back (only the
+    * first `length - maxK` events are fed) guarantees exists and is
+    * final. Last occurrence of the base wins — parity with the generic
+    * attribute lookup.
+    */
+  private def withNextFromSlice(nextNavs: Vector[Nav],
+      sortedReady: Vector[BufEvent], ev: Event, i: Int): Event =
+    if (nextNavs.isEmpty) ev
+    else {
+      val extra = Vector.newBuilder[(String, Long)]
+      nextNavs.foreach { nv =>
+        val f = sortedReady(i + nv.k)
+        val idx = f.names.lastIndexOf(nv.base)
+        if (idx >= 0) {
+          extra += nv.valueName -> f.vals(idx)
+          extra += nv.hasName -> 1L
+        } else extra += nv.hasName -> 0L
+      }
+      Event(ev.tpe, ev.attrs ++ extra.result(), ev.strs)
+    }
 
   /** Per-key navigation feed state, ONE implementation for every
     * streaming operator that supports `PREV` so the history semantics
@@ -508,8 +535,9 @@ object StreamingCep {
   private def feedShared(executors: Vector[Executor],
       gates: Array[Set[String]], key: Any, orderName: String,
       ev: Event, trackers: Vector[EmptySiteTracker] = Vector.empty,
-      memberSteps: Array[Int] = null)(render: SharedRender): Seq[Row] =
-    executors.indices.flatMap { i =>
+      memberSteps: Array[Int] = null,
+      only: Int => Boolean = _ => true)(render: SharedRender): Seq[Row] =
+    executors.indices.filter(only).flatMap { i =>
       val gate = gates(i)
       if (gate == null || (ev.tpe != null && gate.contains(ev.tpe))) {
         val ms = executors(i).feed(ev)
@@ -1436,29 +1464,9 @@ object StreamingCep {
             if (holdBack == 0) sortedReady.length
             else math.max(0, sortedReady.length - holdBack)
           val feedNow = sortedReady.take(feedCount)
-          def bufAttr(f: BufEvent, base: String): Option[Long] = {
-            // last occurrence wins — parity with the generic lookup
-            val idx = f.names.lastIndexOf(base)
-            if (idx >= 0) Some(f.vals(idx)) else None
-          }
-          def withNext(ev: Event, i: Int): Event =
-            if (nextNavs.isEmpty) ev
-            else {
-              val extra = Vector.newBuilder[(String, Long)]
-              nextNavs.foreach { nv =>
-                // i + k < sortedReady.length by the hold-back
-                bufAttr(sortedReady(i + nv.k), nv.base) match {
-                  case Some(x) =>
-                    extra += nv.valueName -> x
-                    extra += nv.hasName -> 1L
-                  case None =>
-                    extra += nv.hasName -> 0L
-                }
-              }
-              Event(ev.tpe, ev.attrs ++ extra.result(), ev.strs)
-            }
           val out = feedNow.zipWithIndex.flatMap { case (e, i) =>
-            val ms = executor.feed(nf.augment(withNext(
+            val ms = executor.feed(nf.augment(withNextFromSlice(
+              nextNavs, sortedReady,
               Event(e.tpe, e.names.zip(e.vals).toVector,
                 e.sNames.zip(e.sVals).toVector), i)))
             tracker.onFeed(e.ord, executor.clock, prev.step + i + 1)
@@ -1620,8 +1628,12 @@ object StreamingCep {
     * events in their own state store (k× the state bytes, k× the
     * watermark bookkeeping) on top of k source reads.
     *
-    * Late-data policy, release rule, and timeout wake-up are exactly
-    * `matchPatternEventTime`'s; member feed gates and the union-filter
+    * Late-data policy, release rule, timeout wake-up, and (round 18)
+    * the NEXT watermark hold-back are exactly
+    * `matchPatternEventTime`'s — the reorder buffer is already shared
+    * across members, so holding back the last maxK releasable events
+    * (maxK over every member's NEXT offsets) finalizes followers for
+    * all members at once; member feed gates and the union-filter
     * sandwich are exactly the arrival-order shared operator's
     * (`SparkCep.memberFeedTypes` — dropping a non-alphabet event from a
     * prefiltered member's feed is what its own prefilter would have done
@@ -1707,8 +1719,29 @@ object StreamingCep {
     // already carries the nav fields), so this operator's state schema
     // is untouched; the union filter is disabled under nav — and under
     // SHOW EMPTY members (sites are the full feed) — as in the
-    // arrival-order shared operator
-    val navs = sharedNavs(queries, spec)
+    // arrival-order shared operator. NEXT (round 18): the single-query
+    // event-time hold-back applies to the SHARED reorder buffer
+    // PER MEMBER — the shared scan must stay a transparent fusion of k
+    // independent operators, and a member WITHOUT NEXT run standalone
+    // would feed every watermark-released event immediately, so here
+    // it must too. Members WITH NEXT feed only the first
+    // `len - holdBack` of each release slice (holdBack = max offset
+    // over every member's NEXT navs — a smaller-k member rides the
+    // larger hold, trading a bounded extra delay for one shared
+    // frontier); the withheld tail stays in the buffer ALREADY FED to
+    // the non-NEXT members, so the count of such events persists in
+    // the buffer payload's otherwise-unused `step` field (zero codec
+    // change: a pre-NEXT checkpoint decodes step 0 = nothing pre-fed,
+    // which is exactly its truth). PREV augmentation happens ONCE per
+    // event at FIRST release — the held tail is stored in augmented
+    // form so its re-release cannot re-advance the nav history.
+    val navs = sharedNavs(queries, spec, allowNext = true)
+    val nextNavs = navs.filterNot(_.prev)
+    val prevNavs = navs.filter(_.prev)
+    val holdBack = nextNavs.map(_.k).maxOption.getOrElse(0)
+    val memberHolds: Vector[Boolean] = queries.toVector.map { case (_, q) =>
+      streamingNavs(q, spec, allowNext = true).exists(!_.prev)
+    }
     queries.foreach { case (_, q) =>
       SparkCep.checkStrTyping(df, q, spec) }
     val (prepared, attrNames) = etPrepare(df,
@@ -1745,14 +1778,14 @@ object StreamingCep {
               q.within, q.withinTime,
               anchorStart = q.anchorStart)
           }
-          val nf = new NavFeed(navs)
+          val nf = new NavFeed(prevNavs)
           val trackers = qVec.indices.toVector.map { i =>
             new EmptySiteTracker(flags(i), qVec(i)._2.strategy,
               qVec(i)._2.anchorStart, qVec(i)._2.within,
               qVec(i)._2.withinTime.map(_.span))
           }
           val memberSteps = new Array[Int](qVec.length)
-          val prevBuffer: Vector[BufEvent] =
+          val (prevBuffer: Vector[BufEvent], heldPrev: Int) =
             if (state.exists) {
               val stored = state.get
               validateMemberNames(stored.names, names)
@@ -1763,8 +1796,8 @@ object StreamingCep {
               }
               val bufEt = CepStateCodec.decode(stored.bufferPayload)
               nf.restore(bufEt)
-              bufEt.buffer.toVector
-            } else Vector.empty
+              (bufEt.buffer.toVector, bufEt.step)
+            } else (Vector.empty[BufEvent], 0)
 
           val wmMs = state.getCurrentWatermarkMs()
           val incoming = rows.map { row =>
@@ -1773,13 +1806,49 @@ object StreamingCep {
               ev.attrs.map(_._1), ev.attrs.map(_._2),
               ev.strs.map(_._1), ev.strs.map(_._2))
           }.toVector
-          val (ready, still) = releaseBuffer(prevBuffer, incoming, wmMs)
-          val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
-            feedShared(executors, gates, key, orderName,
-              nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector,
-              e.sNames.zip(e.sVals).toVector)), trackers,
-              memberSteps)(render)
+          val (ready, still0) = releaseBuffer(prevBuffer, incoming, wmMs)
+          val sortedReady = ready.sortBy(e => (e.ts, e.ord))
+          // Per-member NEXT hold-back (see the nav comment above).
+          // heldPrev = events at the FRONT of this slice that an earlier
+          // batch already fed to the non-NEXT members (they re-release
+          // every batch until the NEXT members catch up, and they are
+          // the globally smallest (ts, ord) by the watermark's
+          // monotonicity, so a count suffices to identify them).
+          val len = sortedReady.length
+          val feedCount = if (holdBack == 0) len else math.max(0, len - holdBack)
+          // PREV augmentation: once per event, at first release, in
+          // global order; indices < heldPrev were augmented when first
+          // released and carry their nav attrs in the stored payload
+          val augmented: Vector[Event] = sortedReady.zipWithIndex.map {
+            case (e, i) =>
+              val raw = Event(e.tpe, e.names.zip(e.vals).toVector,
+                e.sNames.zip(e.sVals).toVector)
+              if (i < heldPrev) raw else nf.augment(raw)
           }
+          val out = sortedReady.indices.flatMap { i =>
+            val toNext = i < feedCount          // NEXT members' frontier
+            val toPlain = i >= heldPrev         // non-NEXT members' frontier
+            if (!toNext && !toPlain) Vector.empty
+            else {
+              // followers at i + k exist and are final for i < feedCount
+              val ev =
+                if (toNext)
+                  withNextFromSlice(nextNavs, sortedReady, augmented(i), i)
+                else augmented(i)
+              feedShared(executors, gates, key, orderName, ev, trackers,
+                memberSteps,
+                only = m => if (memberHolds(m)) toNext else toPlain)(render)
+            }
+          }
+          // the withheld tail stays buffered in AUGMENTED form (its nav
+          // attrs are final; re-augmenting on re-release would corrupt
+          // the history) — `still0` events are raw, they have not fed
+          val heldTail = (feedCount until len).map { i =>
+            val e = sortedReady(i); val a = augmented(i)
+            BufEvent(e.ts, e.ord, a.tpe, a.attrs.map(_._1),
+              a.attrs.map(_._2), a.strs.map(_._1), a.strs.map(_._2))
+          }.toVector
+          val still = heldTail ++ still0
           val empties = qVec.indices.flatMap { i =>
             trackers(i).flush(memberSteps(i), executors(i).clock)
               .map(_ => render(i, key,
@@ -1793,14 +1862,19 @@ object StreamingCep {
               trackers.forall(_.pending.isEmpty))
             state.remove()
           else {
+            // the buffer payload's step field carries the held-tail
+            // count (events already fed to the non-NEXT members)
             state.update(SharedMultiStateEt(names,
-              CepStateCodec.encode(CepStateEt(0, Nil, still,
+              CepStateCodec.encode(CepStateEt(heldTail.length, Nil, still,
                 variant = CepStateCodec.VariantEventTime,
                 navSig = nf.sig, navHist = nf.serHist)),
               encodeMembers(executors, CepStateCodec.VariantEventTime,
                 trackers)))
-            if (still.nonEmpty)
-              state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+            // wake only for GENUINELY buffered events (ts >= wm, see
+            // etSingle): held-back events wait for DATA, not time, and
+            // their past-watermark timestamps would be rejected anyway
+            val wake = still0.map(_.ts).minOption
+            wake.foreach(t => state.setTimeoutTimestamp(t + 1))
           }
           (out ++ empties).iterator
       }

@@ -344,4 +344,133 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expLine = sql.substring(0, bodyAt).count(_ == '\n') + 1
     assert(line == expLine, s"line $line != $expLine: ${e.getMessage}")
   }
+
+  // ------------------------- curation table operators (round 18) ------
+
+  private def docsView(): Unit = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog again", "en"),
+      (3L, "the quick brown fox jumps over the lazy cat again", "en"),
+      (4L, "completely different text about spark and scala", "en"),
+      (5L, "noch ein ganz anderer text", "de"),
+      (6L, "und noch einer dazu hier", "de"))
+      .toDF("doc_id", "text", "lang")
+      .createOrReplaceTempView("cur_docs")
+  }
+
+  test("DEDUP_EXACT via spark.sql equals DedupOps.exactDedup, and " +
+    "composes with outer SQL") {
+    docsView()
+    val out = spark.sql(
+      """SELECT doc_id, keep_id, group_cnt
+        |FROM cur_docs DEDUP_EXACT (ID doc_id TEXT text)
+        |ORDER BY doc_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    val prog = ops.DedupOps.exactDedup(spark.table("cur_docs"),
+      "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    assert(out == prog)
+    assert(out.take(2) == Vector((1L, 1L, 2L), (2L, 1L, 2L)))
+    // outer filter composes: keepers only
+    val keepers = spark.sql(
+      """SELECT doc_id FROM cur_docs DEDUP_EXACT (ID doc_id TEXT text)
+        |WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin)
+      .collect().map(_.getLong(0)).toVector
+    assert(keepers == Vector(1L, 3L, 4L, 5L, 6L))
+    // DIGEST flag: same keep map through the sha2 shuffle key
+    val dg = spark.sql(
+      """SELECT doc_id, keep_id FROM cur_docs
+        |DEDUP_EXACT (ID doc_id TEXT text DIGEST)
+        |ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(dg == out.map(t => (t._1, t._2)))
+  }
+
+  test("SAMPLE_STRATIFIED and CHUNK_TOKENS via spark.sql equal their " +
+    "programmatic ops") {
+    docsView()
+    val sOut = spark.sql(
+      """SELECT doc_id, lang FROM cur_docs
+        |SAMPLE_STRATIFIED (ID doc_id STRATUM lang
+        |                   RATES ('en' 300, 'de' 800) DEFAULT 600)
+        |ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toVector
+    val sProg = ops.Sampling.stratifiedSample(spark.table("cur_docs"),
+      "doc_id", "lang", Map("en" -> 300, "de" -> 800), defaultMilli = 600)
+      .select("doc_id", "lang").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toVector
+    assert(sOut == sProg)
+
+    val cOut = spark.sql(
+      """SELECT doc_id, chunk_id, tok_off, n_tok, chunk_text
+        |FROM cur_docs CHUNK_TOKENS (ID doc_id TEXT text SIZE 4 OVERLAP 1)
+        |ORDER BY doc_id, chunk_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toVector
+    val cProg = ops.Chunking.chunkByTokens(spark.table("cur_docs"),
+      "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toVector
+    assert(cOut == cProg)
+    assert(cOut.nonEmpty && cOut.head._5.split(" ").length == 4)
+  }
+
+  test("DEDUP_MINHASH via spark.sql equals DedupOps.minHashLshPairs, " +
+    "and curation ops compose with MATCH_RECOGNIZE in one statement") {
+    docsView()
+    val mOut = spark.sql(
+      """SELECT id1, id2, est_milli FROM cur_docs
+        |DEDUP_MINHASH (ID doc_id TEXT text MAX_BUCKET 64)
+        |ORDER BY id1, id2""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    val mProg = ops.DedupOps.minHashLshPairs(spark.table("cur_docs"),
+      "doc_id", "text", maxBucketSize = 64L).orderBy("id1", "id2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    assert(mOut == mProg)
+    // identical docs 1/2 must pair with full signature agreement
+    assert(mOut.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1000L))
+
+    // one statement mixing a curation op and MATCH_RECOGNIZE: dedup
+    // keepers joined against a match frame
+    val mixed = spark.sql(
+      s"""SELECT m.k, m.s_id, d.doc_id
+         |FROM mr_events MATCH_RECOGNIZE ($body) AS m
+         |JOIN (SELECT doc_id FROM cur_docs
+         |      DEDUP_EXACT (ID doc_id TEXT text)
+         |      WHERE doc_id = keep_id) AS d
+         |  ON d.doc_id = m.k
+         |ORDER BY m.k""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    assert(mixed == Vector((1L, 1L, 1L)))
+  }
+
+  test("curation body errors carry the statement position and section " +
+    "names; quote-aware scan leaves literal mentions alone") {
+    docsView()
+    val e1 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "SELECT * FROM cur_docs DEDUP_EXACT (ID doc_id)"))
+    assert(e1.getMessage.contains("TEXT"), e1.getMessage)
+    assert(e1.getMessage.contains("line 1"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "SELECT * FROM cur_docs CHUNK_TOKENS (ID doc_id TEXT text " +
+        "SIZE 4 OVERLAP 9)"))
+    assert(e2.getMessage.contains("overlap"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "SELECT * FROM cur_docs DEDUP_EXACT (BOGUS x ID doc_id TEXT text)"))
+    assert(e3.getMessage.contains("BOGUS"), e3.getMessage)
+    // a literal-only mention is NOT a fragment — delegates untouched
+    val lit = spark.sql(
+      "SELECT count(*) AS n FROM cur_docs WHERE text = 'DEDUP_EXACT (x)'")
+      .head().getLong(0)
+    assert(lit == 0L)
+    val lit2 = spark.sql(
+      "SELECT count(*) AS n FROM cur_docs WHERE text = \"DEDUP_EXACT (x)\"")
+      .head().getLong(0)
+    assert(lit2 == 0L)
+  }
 }

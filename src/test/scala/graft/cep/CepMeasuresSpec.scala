@@ -519,25 +519,17 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, Some(9L), 111L))) // p row: unchanged running c aggregates
   }
 
-  test("ALL ROWS PER MATCH rejects RUNNING LAST with a non-zero offset " +
-    "(no window form); FINAL and RUNNING FIRST offsets work — r17") {
-    // the one remaining rejection: RUNNING k-th-from-the-end-so-far
-    val bad = CepSql.parseStatement(
-      "PATTERN (s -> p) MEASURES LAST(s.v, 1) AS x " +
-        "ALL ROWS PER MATCH DEFINE s AS S; p AS P", schema)
-    val df = eventsDf((1L, 1L, "S", 0L), (1L, 2L, "P", 1L))
-    val e = intercept[IllegalArgumentException] {
-      CepMeasures.run(df, bad, spec)
-    }
-    assert(e.getMessage.contains("FINAL"), e.getMessage)
-
+  test("ALL ROWS PER MATCH offset navigation: FINAL FIRST/LAST, RUNNING " +
+    "FIRST (r17) and RUNNING LAST over the descending running twin (r18)") {
     // FINAL FIRST/LAST(x, k): the (k+1)-th bound event of the whole
     // match, constant per row; RUNNING FIRST(x, k): the (k+1)-th
-    // bound SO FAR (NULL until it exists)
+    // bound SO FAR (NULL until it exists); RUNNING LAST(x, k): the
+    // (k+1)-th from the END of the takes so far, current row included
     val st = CepSql.parseStatement(
       "PATTERN (s -> c{3,3}~ -> p) " +
         "MEASURES FINAL FIRST(c.v, 1) AS ff1, FINAL LAST(c.v, 1) AS fl1, " +
-        "FINAL LAST(c, 2) AS fl2pos, FIRST(c.v, 1) AS rf1 " +
+        "FINAL LAST(c, 2) AS fl2pos, FIRST(c.v, 1) AS rf1, " +
+        "RUNNING LAST(c.v, 1) AS rl1, RUNNING LAST(c, 1) AS rl1pos " +
         "ALL ROWS PER MATCH PARTITION BY k ORDER BY id TYPE t " +
         "DEFINE s AS S; c AS C; p AS P", schema)
     assert(CepSql.parseStatement(CepSql.render(st), schema) == st)
@@ -546,21 +538,25 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 3L, "C", 9L), (1L, 4L, "C", 7L), (1L, 5L, "P", 2L))
     val out = CepMeasures.run(df2, st, spec).orderBy("id").collect()
       .map { r =>
+        def opt(f: String): Long =
+          if (r.isNullAt(r.fieldIndex(f))) -1L
+          else r.getLong(r.fieldIndex(f))
         (r.getLong(r.fieldIndex("id")),
           r.getLong(r.fieldIndex("ff1")),
           r.getLong(r.fieldIndex("fl1")),
           r.getLong(r.fieldIndex("fl2pos")),
-          if (r.isNullAt(r.fieldIndex("rf1"))) -1L
-          else r.getLong(r.fieldIndex("rf1")))
+          opt("rf1"), opt("rl1"), opt("rl1pos"))
       }.toVector
     // ff1 = 2nd c's v = 9; fl1 = 2nd-from-end c's v = 9; fl2pos =
-    // 3rd-from-end c's ORD = 2; rf1 = NULL until two c's bound, then 9
+    // 3rd-from-end c's ORD = 2; rf1 = NULL until two c's bound, then 9;
+    // rl1 = 2nd-from-end take so far: NULL, NULL, 5, 9, 9;
+    // rl1pos = its ordinal: NULL, NULL, 2, 3, 3
     assert(out == Vector(
-      (1L, 9L, 9L, 2L, -1L),
-      (2L, 9L, 9L, 2L, -1L),
-      (3L, 9L, 9L, 2L, 9L),
-      (4L, 9L, 9L, 2L, 9L),
-      (5L, 9L, 9L, 2L, 9L)))
+      (1L, 9L, 9L, 2L, -1L, -1L, -1L),
+      (2L, 9L, 9L, 2L, -1L, -1L, -1L),
+      (3L, 9L, 9L, 2L, 9L, 5L, 2L),
+      (4L, 9L, 9L, 2L, 9L, 9L, 3L),
+      (5L, 9L, 9L, 2L, 9L, 9L, 3L)))
     // offset past the binding: NULL (aggregate-over-missing)
     val stBeyond = CepSql.parseStatement(
       "PATTERN (s -> p) MEASURES FINAL FIRST(s.v, 3) AS x " +

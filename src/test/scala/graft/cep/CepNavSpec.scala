@@ -110,24 +110,22 @@ class CepNavSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mem = MemoryStream[Ev]
     // PREV is streaming-supported (per-key history in state —
     // StreamingCepNavSpec); NEXT is supported by the EVENT-TIME
-    // single-query operators (watermark hold-back —
-    // StreamingCepNavSpec) and stays rejected on the arrival-order
-    // and shared operators
+    // operators, single-query (r17) and shared (r18) — watermark
+    // hold-back, StreamingCepNavSpec — and stays rejected on the
+    // ARRIVAL-ORDER operators, single and shared, with a message that
+    // routes the user to the event-time forms
     val q = CepSql.parse(
       "PATTERN (x y) DEFINE x AS click; y AS click " +
         "WHERE value > NEXT(value)", schema)
     val e = intercept[IllegalArgumentException](
       StreamingCep.matchPattern(mem.toDF(), q, spec))
     assert(e.getMessage.contains(
-      "NEXT is not supported by this streaming operator"))
-    // ... shared included, event-time or not
+      "NEXT is not supported by the ARRIVAL-ORDER streaming operators"))
+    assert(e.getMessage.contains("matchPatternsSharedEventTime"))
     val e2 = intercept[IllegalArgumentException](
-      StreamingCep.matchPatternsSharedEventTime(
-        mem.toDF().withColumn("ts",
-          org.apache.spark.sql.functions.current_timestamp()),
-        Seq("nav" -> q), spec, "ts", "1 second"))
+      StreamingCep.matchPatternsShared(mem.toDF(), Seq("nav" -> q), spec))
     assert(e2.getMessage.contains(
-      "NEXT is not supported by this streaming operator"))
+      "NEXT is not supported by the ARRIVAL-ORDER streaming operators"))
   }
 
   // ------------------------------------------------------- pure semantics

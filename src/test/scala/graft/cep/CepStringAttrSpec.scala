@@ -245,16 +245,43 @@ class CepStringAttrSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.host.endsWith(".com") && e.host >= "b")
     assert(got.length == model.length)
     assert(got.nonEmpty)
-    // a pattern containing a backslash does NOT push (Spark's like
-    // treats '\\' as an escape; the dialect has none) — the type
-    // condition still does, and the NFA filters exactly
+    // a backslash pattern PUSHES since round 18 — the dialect's
+    // literal backslash translates to Spark's escaped form (doubled),
+    // so the predicates agree exactly; no host contains one, so the
+    // match set is empty either way
     val q2 = CepSql.parse(
       "PATTERN (c) DEFINE c AS click WHERE host like 'a\\%'", schema)
     val pf2 = SparkCep.prefilter(q2, spec)
-    assert(pf2.isDefined && !pf2.get.toString.contains("\\"), 
+    assert(pf2.isDefined && pf2.get.toString.contains("\\\\"),
       pf2.map(_.toString).toString)
     assert(SparkCep.matchPatternExec(df(evs), q2, spec).collect()
       .isEmpty) // no host contains a backslash
+    // LIKE ... ESCAPE pushes as Spark's three-arg like (round 18) and
+    // the batch result equals the NFA model. Hosts are a/b/c.com:
+    // '%.c_m' (the `_` is WILD) matches every host; '%.c!_m' escape
+    // '!' makes the `_` LITERAL and matches nothing — same pattern
+    // chars, opposite result, so a pushdown that mishandled the escape
+    // would flip one of the two assertions. (SQL:2016 — and Spark, and
+    // this dialect — reject an escape before anything but %/_/itself
+    // at parse time, so there is no "escape an ordinary char" form.)
+    val q3 = CepSql.parse(
+      "PATTERN (c) DEFINE c AS click " +
+        "WHERE host like '%.c_m' escape '!'", schema)
+    val pf3 = SparkCep.prefilter(q3, spec)
+    assert(pf3.isDefined && pf3.get.toString.toLowerCase
+      .contains("like"), pf3.map(_.toString).toString)
+    val got3 = SparkCep.matchPatternExec(df(evs), q3, spec).collect()
+    val model3 = evs.filter(_.event_type == "click")
+    assert(got3.length == model3.length)
+    assert(got3.nonEmpty)
+    val q4 = CepSql.parse(
+      "PATTERN (c) DEFINE c AS click " +
+        "WHERE host like '%.c!_m' escape '!'", schema)
+    val pf4 = SparkCep.prefilter(q4, spec)
+    assert(pf4.isDefined && pf4.get.toString.toLowerCase
+      .contains("like"), pf4.map(_.toString).toString)
+    assert(SparkCep.matchPatternExec(df(evs), q4, spec).collect()
+      .isEmpty) // no host contains a literal underscore
   }
 
   test("rejections: string attr in SUM/arithmetic measures, registers") {

@@ -170,6 +170,74 @@ class ExprStringOrderLikeSpec extends AnyFunSuite {
     }
   }
 
+  test("astral (supplementary) characters in LIKE patterns match the " +
+    "intact code point — r18 advisor fix") {
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, non-BMP
+    // the old per-UTF-16-char quoting split the surrogate pair into two
+    // separately-quoted halves and Java regex never matched
+    assert(Expr.Like(Expr.Ref("h"), emoji).matches(emoji))
+    assert(Expr.Like(Expr.Ref("h"), s"a$emoji%").matches(s"a${emoji}xyz"))
+    assert(!Expr.Like(Expr.Ref("h"), emoji).matches("a"))
+    // `_` is one CODE POINT: it matches the astral char whole
+    assert(Expr.Like(Expr.Ref("h"), "a_b").matches(s"a${emoji}b"))
+    // astral ESCAPE character works (compared by code point)
+    assert(Expr.Like(Expr.Ref("h"), s"$emoji%x", Some(emoji))
+      .matches("%x"))
+    // compiled tier agrees
+    val ev = Event("T", Vector("v" -> 1L), Vector("host" -> emoji))
+    assert(CompiledExpr.eval(CompiledExpr.compile(
+      Expr.parse(s"host like '$emoji'"), Vector("v")), ev, Map.empty) == 1L)
+  }
+
+  test("LIKE ESCAPE (r18): parse, render round-trip, semantics, and " +
+    "the SQL:2016 invalid-pattern rejections") {
+    val e = Expr.parse("host like 'h!_c%' escape '!'")
+    assert(e == Expr.Like(Expr.Ref("host"), "h!_c%", Some("!")))
+    assert(Expr.parse(Pattern.ExprRepr(e)) == e)
+    val ne = Expr.parse("host not like '100!%' escape '!'")
+    assert(ne == Expr.Not(Expr.Like(Expr.Ref("host"), "100!%", Some("!"))))
+    assert(Expr.parse(Pattern.ExprRepr(ne)) == ne)
+
+    // escaped wildcards are literal; unescaped ones still wild
+    val like = Expr.Like(Expr.Ref("h"), "h!_c%", Some("!"))
+    assert(like.matches("h_com"))
+    assert(like.matches("h_c"))
+    assert(!like.matches("hXcom")) // `_` is literal under the escape
+    // escape before itself is the literal escape char
+    assert(Expr.Like(Expr.Ref("h"), "a!!b", Some("!")).matches("a!b"))
+    // escaped % is literal
+    assert(Expr.Like(Expr.Ref("h"), "100!%", Some("!")).matches("100%"))
+    assert(!Expr.Like(Expr.Ref("h"), "100!%", Some("!")).matches("1000"))
+    // backslash with NO escape clause stays an ordinary literal
+    assert(Expr.Like(Expr.Ref("h"), "p\\1%").matches("p\\1x"))
+    assert(!Expr.Like(Expr.Ref("h"), "p\\1%").matches("p1x"))
+
+    // Spark's rule: escape may precede only %, _ or itself; a pattern
+    // must not END with the escape char — rejected AT PARSE TIME
+    intercept[IllegalArgumentException](
+      Expr.parse("host like 'a!bc' escape '!'"))
+    intercept[IllegalArgumentException](
+      Expr.parse("host like 'abc!' escape '!'"))
+    // escape must be exactly one character
+    intercept[IllegalArgumentException](
+      Expr.parse("host like 'a%' escape '!!'"))
+    intercept[IllegalArgumentException](
+      Expr.parse("host like 'a%' escape ''"))
+
+    // compiled == interpreted parity incl. escapes
+    for ((src, host, want) <- Seq(
+        ("host like 'h!_c%' escape '!'", "h_com", 1L),
+        ("host like 'h!_c%' escape '!'", "hXcom", 0L),
+        ("host not like '1!%' escape '!'", "1%", 0L),
+        ("host like 'p\\1%'", "p\\1z", 1L))) {
+      assert(num(src, host) == want, src)
+      assert(comp(src, host) == want, src)
+    }
+    // strRefs sees through the escape form
+    assert(Expr.strRefs(Expr.parse("host like 'a!%' escape '!'"))
+      == Set("host"))
+  }
+
   test("strRefs covers ordering and like positions") {
     assert(Expr.strRefs(Expr.parse("host < 'b'")) == Set("host"))
     assert(Expr.strRefs(Expr.parse("'b' >= host")) == Set("host"))

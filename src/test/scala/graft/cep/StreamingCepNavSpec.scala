@@ -561,4 +561,162 @@ class StreamingCepNavSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mig = CepStateCodec.decode(v4)
     assert(mig.navSig.isEmpty && mig.navHist.isEmpty && mig.step == 3)
   }
+
+  test("shared event-time NEXT (round 18): the hold-back on the SHARED " +
+    "reorder buffer makes batch == stream on out-of-order input; the " +
+    "arrival-order shared operator still rejects NEXT, naming the " +
+    "event-time shared forms") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val qNext = CepSql.parse(
+      "PATTERN (x) DEFINE x AS click WHERE value < NEXT(value)", schema)
+    val qPlain = CepSql.parse(
+      "PATTERN (a -> b) DEFINE a AS view; b AS view", schema)
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val rnd = new scala.util.Random(20260827L)
+    // ts == event_id seconds, trailing views finalize every follower
+    val evs = ((1 to 50).map { i =>
+      TsEv(1L + (i % 2), i.toLong,
+        if (rnd.nextInt(3) == 0) "view" else "click",
+        rnd.nextInt(9).toLong, t(i.toLong))
+    } ++ Seq(TsEv(1, 61, "view", 0, t(61)),
+      TsEv(2, 62, "view", 0, t(62)),
+      TsEv(1, 63, "view", 0, t(63)),
+      TsEv(2, 64, "view", 0, t(64)))).toVector
+    // out-of-order ARRIVAL inside 10-event windows (< the 10 s delay)
+    val arrived = evs.grouped(10).flatMap(g => rnd.shuffle(g)).toVector
+    val mem = MemoryStream[TsEv]
+    val out = StreamingCep.matchPatternsSharedEventTime(
+      mem.toDF(), Seq("nxt" -> qNext, "plain" -> qPlain), spec,
+      "ts", "10 seconds")
+    val sq = out.writeStream.format("memory").queryName("shared_et_next")
+      .outputMode("append").start()
+    try {
+      arrived.grouped(13).foreach { b =>
+        mem.addData(b: _*); sq.processAllAvailable()
+      }
+      mem.addData(TsEv(9, 999, "view", 0, t(1000)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(9, 1000, "view", 0, t(2000)))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = s.sql("SELECT * FROM shared_et_next")
+      .where($"user_id" =!= 9L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // batch model per member over the event-time order
+    val plainEvs = evs.filter(_.user_id != 9)
+      .map(e => Ev(e.user_id, e.event_id, e.event_type, e.value))
+    val expect: Set[(String, Long, String)] =
+      Seq("nxt" -> qNext, "plain" -> qPlain).flatMap { case (nm, q) =>
+        batchMatches(q, plainEvs).map { case (k, binding) =>
+          (nm, k, binding.map(_.mkString(",")).mkString(";"))
+        }
+      }.toSet
+    assert(streamed == expect,
+      s"streamed ${streamed.size} vs batch ${expect.size}")
+    assert(streamed.exists(_._1 == "nxt"))
+
+    // arrival-order shared operators: NEXT still rejected, and the
+    // message routes the user to the event-time shared forms
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingCep.matchPatternsShared(mem.toDF(),
+        Seq("nxt" -> qNext, "plain" -> qPlain), spec)
+    }
+    assert(e1.getMessage.contains("ARRIVAL-ORDER"), e1.getMessage)
+    assert(e1.getMessage.contains("matchPatternsSharedEventTime"),
+      e1.getMessage)
+  }
+
+  test("shared event-time NEXT: a held-back event crosses a " +
+    "checkpointed restart (it rides the shared buffer payload) and " +
+    "feeds when its follower finally releases") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ckpt-shared-et-next").toString
+    val inDir = s"$dir/in"
+    val ckpt = s"$dir/checkpoint"
+    val outDir = s"$dir/out"
+    val jsonSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", LongType),
+      StructField("ts_sec", LongType)))
+    val qNext = CepSql.parse(
+      "PATTERN (x) DEFINE x AS click WHERE value < NEXT(value)", schema)
+    val qPlain = CepSql.parse(
+      "PATTERN (a -> b) DEFINE a AS view; b AS view", schema)
+    def startQuery() = {
+      val in = graft.sources.EventSource.jsonStream(spark, inDir,
+        jsonSchema).withColumn("ts",
+          org.apache.spark.sql.functions.col("ts_sec").cast("timestamp"))
+      StreamingCep.matchPatternsSharedEventTime(in,
+        Seq("nxt" -> qNext, "plain" -> qPlain), spec, "ts", "10 seconds")
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // batch 1: click@10 (v=5) and click@11 (v=9) release when the
+    // key-9 driver pushes the watermark to 30; click@10 feeds with
+    // NEXT = 9 (match), click@11 is HELD BACK (follower unknown)
+    Seq((1L, 10L, "click", 5L, 10L), (1L, 11L, "click", 9L, 11L),
+      (9L, 99L, "view", 0L, 40L))
+      .toDF("user_id", "event_id", "event_type", "value", "ts_sec")
+      .write.mode("append").json(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart: the held-back click@11 must come back from the RESTORED
+    // shared buffer; its follower click@35 (v=99) releases under the
+    // next watermark push → click@11 feeds with NEXT = 99 (match)
+    Seq((1L, 35L, "click", 99L, 35L), (9L, 100L, "view", 0L, 60L))
+      .toDF("user_id", "event_id", "event_type", "value", "ts_sec")
+      .write.mode("append").json(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.schema(StructType(Seq(
+      StructField("qname", StringType), StructField("user_id", LongType),
+      StructField("binding", StringType)))).json(outDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(out == Set(("nxt", 1L, "10"), ("nxt", 1L, "11")), s"got $out")
+  }
+
+  test("shared event-time MEASURES accept NEXT members (round 18)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val stNext = CepSql.parseStatement(
+      "PATTERN (x) MEASURES FIRST(x) AS x_id, LAST(x.value) AS x_v " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE x AS click WHERE value < NEXT(value)", schema)
+    val stPlain = CepSql.parseStatement(
+      "PATTERN (a -> b) MEASURES FIRST(a) AS a_id, LAST(b) AS b_id " +
+        "PARTITION BY user_id ORDER BY event_id TYPE event_type " +
+        "DEFINE a AS view; b AS view", schema)
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val mem = MemoryStream[TsEv]
+    val out = StreamingCep.matchPatternsSharedMeasuresEventTime(
+      mem.toDF(), Seq("nxt" -> stNext, "plain" -> stPlain), spec,
+      "ts", "5 seconds")
+    val sq = out.writeStream.format("memory")
+      .queryName("shared_et_next_m").outputMode("append").start()
+    try {
+      // rising click pair + a view pair, out of order
+      mem.addData(TsEv(1, 2, "click", 8, t(12)), TsEv(1, 1, "click", 3, t(11)),
+        TsEv(1, 3, "view", 0, t(13)), TsEv(1, 4, "view", 0, t(14)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(9, 99, "view", 0, t(50)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(9, 100, "view", 0, t(100)))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val rows = s.sql("SELECT qname, user_id, measures FROM shared_et_next_m")
+      .where($"user_id" =!= 9L).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getMap[String, Long](2).toMap)).toSet
+    // click@1 (3 < 8) and click@2 (8 < 0? no — NEXT is view v=0) →
+    // only click@1 matches the nxt member; the view pair matches plain
+    assert(rows == Set(
+      ("nxt", 1L, Map("x_id" -> 1L, "x_v" -> 3L)),
+      ("plain", 1L, Map("a_id" -> 3L, "b_id" -> 4L))), s"got $rows")
+  }
 }
