@@ -927,4 +927,76 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(eAll.getMessage.contains("ONE ROW PER MATCH only"))
   }
+
+  test("differential: ALL ROWS RUNNING/FINAL LAST(x, k) == an " +
+    "independent per-row model over the executor's own matches " +
+    "(seeded random streams; r18 — the descending running twin)") {
+    // rl0 rides the PLAIN RUNNING LAST path, rl1/rl2pos the new
+    // offset path over the descending running frame, fl1 the FINAL
+    // descending twin — one statement ties all three to the same
+    // per-row walk, and the model recomputes each from the binding
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> c{1,2}~ -> p) " +
+        "MEASURES FINAL FIRST(s) AS s_id, FINAL COUNT(c) AS n_c, " +
+        "FINAL LAST(p) AS p_id, RUNNING LAST(c.v) AS rl0, " +
+        "RUNNING LAST(c.v, 1) AS rl1, RUNNING LAST(c, 2) AS rl2pos, " +
+        "FINAL LAST(c.v, 1) AS fl1 " +
+        "ALL ROWS PER MATCH PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE s AS S; c AS C; p AS P WITHIN 6", schema)
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 20) {
+      val types = Vector("S", "C", "P")
+      val n = 12 + rnd.nextInt(12)
+      val evs = (1 to n).map { i =>
+        (1L + rnd.nextInt(2), i.toLong, types(rnd.nextInt(3)),
+          rnd.nextInt(10).toLong)
+      }
+      val df = eventsDf(evs: _*)
+      def opt(r: Row, f: String): Option[Long] = {
+        val i = r.fieldIndex(f)
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      }
+      // one tuple per OUTPUT ROW, match-pinned by (s_id, n_c, p_id);
+      // compared as sorted multisets (overlapping NoSkip matches can
+      // share rows, so no per-row key exists — the full-tuple multiset
+      // is the faithful comparison)
+      val got = CepMeasures.run(df, st, spec).collect().map { r =>
+        (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("id")),
+          r.getString(r.fieldIndex("classifier")),
+          r.getLong(r.fieldIndex("s_id")), r.getLong(r.fieldIndex("n_c")),
+          r.getLong(r.fieldIndex("p_id")),
+          opt(r, "rl0"), opt(r, "rl1"), opt(r, "rl2pos"), opt(r, "fl1"))
+      }.toVector.sortBy(_.toString)
+      val byKey = evs.groupBy(_._1)
+      val want = byKey.toVector.flatMap { case (k, kevs) =>
+        val stream = kevs.sortBy(_._2).map(e =>
+          Event(e._3, Vector("id" -> e._2, "v" -> e._4)))
+        val vOf = kevs.map(e => e._2 -> e._4).toMap
+        CepOperator.run(st.query, stream).flatMap { m =>
+          val mm = m.toMap
+          val rows = mm.toVector.flatMap { case (nm, es) =>
+            es.map(e => (e("id"), nm)) }.sortBy(_._1)
+          val cAll = mm("c").map(_("id"))
+          def lastK(sofar: Vector[Long], kk: Int): Option[Long] =
+            sofar.lift(sofar.length - 1 - kk)
+          rows.map { case (id, nm) =>
+            val cSoFar = cAll.filter(_ <= id)
+            (k, id, nm, mm("s").head("id"), cAll.length.toLong,
+              mm("p").head("id"),
+              lastK(cSoFar, 0).map(vOf),          // RUNNING LAST(c.v)
+              lastK(cSoFar, 1).map(vOf),          // RUNNING LAST(c.v, 1)
+              lastK(cSoFar, 2),                   // RUNNING LAST(c, 2)
+              lastK(cAll, 1).map(vOf))            // FINAL LAST(c.v, 1)
+          }
+        }
+      }.sortBy(_.toString)
+      assert(got == want, s"trial $trial diverged")
+      // the last row of every match agrees RUNNING == FINAL for the
+      // same offset (emission-time reading)
+      got.groupBy(t => (t._1, t._4, t._5, t._6)).foreach { case (_, rs) =>
+        val last = rs.maxBy(_._2)
+        assert(last._8 == last._10, s"trial $trial last-row rl1 != fl1")
+      }
+    }
+  }
 }
