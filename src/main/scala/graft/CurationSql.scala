@@ -16,6 +16,8 @@ import org.apache.spark.sql.DataFrame
   *   SAMPLE_STRATIFIED (ID doc_id STRATUM lang
   *                      RATES ('en' 300, 'zh' 800) DEFAULT 600)
   * SELECT * FROM documents CHUNK_TOKENS (ID doc_id TEXT text SIZE 32 OVERLAP 8)
+  * SELECT * FROM documents
+  *   PACK_SHARDS (ID doc_id TEXT text STRATA (lang, source) BUDGET 512)
   * }}}
   *
   * Each operator lowers to EXACTLY the programmatic op (`DedupOps`,
@@ -26,7 +28,8 @@ import org.apache.spark.sql.DataFrame
   * DEDUP_EXACT → `(id, keep_id, group_cnt)`; DEDUP_MINHASH →
   * `(id1, id2, est_milli)` candidate pairs; SAMPLE_STRATIFIED → the
   * input schema filtered; CHUNK_TOKENS → `(id, chunk_id, tok_off,
-  * n_tok, chunk_text)`.
+  * n_tok, chunk_text)`; PACK_SHARDS → `(strata…, id, n_tok,
+  * start_off, shard_id)`.
   *
   * Grammar: section keywords are UPPERCASE words (as in the
   * MATCH_RECOGNIZE body); column references are bare identifiers;
@@ -45,6 +48,7 @@ object CurationSql {
     "DEDUP_MINHASH" -> dedupMinhash _,
     "SAMPLE_STRATIFIED" -> sampleStratified _,
     "CHUNK_TOKENS" -> chunkTokens _,
+    "PACK_SHARDS" -> packShards _,
   )
 
   private def dedupExact(input: DataFrame, body: String): DataFrame = {
@@ -75,6 +79,19 @@ object CurationSql {
     ops.Chunking.chunkByTokens(input, s.ident("ID"), s.ident("TEXT"),
       chunkTokens = s.int("SIZE"),
       overlapTokens = s.intOpt("OVERLAP").getOrElse(0))
+  }
+
+  /** `PACK_SHARDS (ID c TEXT c STRATA (c1, c2, …) BUDGET n)` →
+    * [[ops.Packing.packByBudget]] — stratified running-sum shard
+    * assignment. STRATA is required non-empty: the op itself rejects an
+    * unstratified window (single-task at scale; use the programmatic
+    * `packGlobalByBudget`, the prefix-sum formulation, for the global
+    * shape).
+    */
+  private def packShards(input: DataFrame, body: String): DataFrame = {
+    val s = new Sections(body, Set("ID", "TEXT", "STRATA", "BUDGET"))
+    ops.Packing.packByBudget(input, s.ident("ID"), s.ident("TEXT"),
+      s.idents("STRATA"), budgetTokens = s.int("BUDGET").toLong)
   }
 
   // ------------------------------------------------------------ parsing
@@ -141,6 +158,22 @@ object CurationSql {
       case Vector(n) if n.forall(_.isDigit) => n.toInt
       case other => throw new IllegalArgumentException(
         s"'$kw' takes an integer, got '${other.mkString(" ")}'")
+    }
+
+    /** `( col , col , … )` — a parenthesised identifier list. */
+    def idents(kw: String): Seq[String] = sections.get(kw) match {
+      case None => throw new IllegalArgumentException(
+        s"missing required section '$kw'")
+      case Some(op) =>
+        require(op.headOption.contains("(") && op.lastOption.contains(")"),
+          s"'$kw' takes a parenthesised column list: (lang, source)")
+        val items = op.slice(1, op.length - 1).filterNot(_ == ",")
+        require(items.nonEmpty && items.forall(id =>
+          id.headOption.exists(c => c.isLetter || c == '_') &&
+            id.forall(c => c.isLetterOrDigit || c == '_')),
+          s"'$kw' entries must be column names, got " +
+            s"'${op.mkString(" ")}'")
+        items
     }
 
     /** `( 'stratum' rate , 'stratum' rate , … )` */

@@ -4856,6 +4856,15 @@ object Queries {
         |ORDER BY doc_id, chunk_id""".stripMargin)
   }
 
+  def sqlPackShards(spark: SparkSession, dir: String): DataFrame = {
+    curDocsView(spark, dir)
+    GraftSql.sql(spark,
+      """SELECT lang, source, doc_id, n_tok, start_off, shard_id
+        |FROM documents_v PACK_SHARDS (ID doc_id TEXT text
+        |  STRATA (lang, source) BUDGET 512)
+        |ORDER BY lang, source, doc_id""".stripMargin)
+  }
+
   /** End-to-end corpus curation — the canonical training-data pipeline as
     * ONE composed query: quality gate → deterministic stratified sample →
     * normalized exact-dedup keepers → per-language counts. Every stage is
@@ -7966,6 +7975,7 @@ object Queries {
     "sql_dedup_exact" -> sqlDedupExact _,
     "sql_sample_stratified" -> sqlSampleStratified _,
     "sql_chunk_tokens" -> sqlChunkTokens _,
+    "sql_pack_shards" -> sqlPackShards _,
     "cep_sql_count_star" -> cepSqlCountStar _,
     "cep_sql_classifier_target" -> cepSqlClassifierTarget _,
     "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmpty _,
@@ -8160,6 +8170,7 @@ object Queries {
     "sql_dedup_exact" -> dedupExactSql,
     "sql_sample_stratified" -> sampleStratifiedSql,
     "sql_chunk_tokens" -> textChunksSql,
+    "sql_pack_shards" -> packShardsSql,
     "cep_sql_count_star" -> cepSqlCountStarSql,
     "cep_sql_classifier_target" -> cepSqlClassifierTargetSql,
     "cep_sql_multi_key_empty" -> cepSqlMultiKeyEmptySql,

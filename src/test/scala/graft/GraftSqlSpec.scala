@@ -449,6 +449,30 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mixed == Vector((1L, 1L, 1L)))
   }
 
+  test("PACK_SHARDS via spark.sql equals Packing.packByBudget") {
+    docsView()
+    val out = spark.sql(
+      """SELECT lang, doc_id, n_tok, start_off, shard_id
+        |FROM cur_docs PACK_SHARDS (ID doc_id TEXT text
+        |  STRATA (lang) BUDGET 8)
+        |ORDER BY lang, doc_id""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toVector
+    val prog = ops.Packing.packByBudget(spark.table("cur_docs"),
+      "doc_id", "text", Seq("lang"), budgetTokens = 8L)
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getString(r.fieldIndex("lang")),
+        r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("n_tok")),
+        r.getLong(r.fieldIndex("start_off")),
+        r.getLong(r.fieldIndex("shard_id")))).toVector
+    assert(out == prog)
+    assert(out.nonEmpty && out.exists(_._5 > 0)) // crosses a shard edge
+    // STRATA is required (the op rejects the unstratified window)
+    val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "SELECT * FROM cur_docs PACK_SHARDS (ID doc_id TEXT text BUDGET 8)"))
+    assert(e.getMessage.contains("STRATA"), e.getMessage)
+  }
+
   test("curation body errors carry the statement position and section " +
     "names; quote-aware scan leaves literal mentions alone") {
     docsView()

@@ -238,6 +238,60 @@ class ExprStringOrderLikeSpec extends AnyFunSuite {
       == Set("host"))
   }
 
+  test("LIKE ESCAPE model differential: token-level greedy matcher " +
+    "over random valid AND invalid patterns — r18") {
+    // independent model: tokenize under the SQL:2016 escape rule
+    // (escape before %/_/itself only; None = invalid pattern), then
+    // greedy-match over the token stream — shares NOTHING with
+    // likeRegex's quoted-run regex construction
+    def toks(p: String, esc: Char): Option[Vector[Either[Char, Char]]] = {
+      val out = Vector.newBuilder[Either[Char, Char]]
+      var i = 0
+      while (i < p.length) {
+        val c = p(i)
+        if (c == esc) {
+          if (i + 1 >= p.length) return None
+          val n = p(i + 1)
+          if (n != '%' && n != '_' && n != esc) return None
+          out += Left(n); i += 2
+        } else if (c == '%' || c == '_') { out += Right(c); i += 1 }
+        else { out += Left(c); i += 1 }
+      }
+      Some(out.result())
+    }
+    def model(s: String, ts: Vector[Either[Char, Char]]): Boolean = {
+      def go(si: Int, pi: Int): Boolean =
+        if (pi == ts.length) si == s.length
+        else ts(pi) match {
+          case Right('%') => (si to s.length).exists(k => go(k, pi + 1))
+          case Right(_)   => si < s.length && go(si + 1, pi + 1)
+          case Left(c)    => si < s.length && s(si) == c && go(si + 1, pi + 1)
+        }
+      go(0, 0)
+    }
+    val rnd = new scala.util.Random(20260830L)
+    val chars = "ab%_!"
+    def rndS(n: Int): String = (0 until rnd.nextInt(n)).map(_ =>
+      chars(rnd.nextInt(chars.length))).mkString
+    var valid = 0
+    var invalid = 0
+    for (_ <- 0 until 4000) {
+      val s = rndS(8) // raw — inputs carry literal %/_/! to hit the
+      val p = rndS(7) // escaped-wildcard-matches-literally cases
+      toks(p, '!') match {
+        case Some(ts) =>
+          valid += 1
+          val got = Expr.Like(Expr.Ref("h"), p, Some("!")).matches(s)
+          assert(got == model(s, ts), s"'$s' like '$p' escape '!'")
+        case None =>
+          invalid += 1
+          intercept[IllegalArgumentException](
+            Expr.likeRegex(p, Some("!")))
+      }
+    }
+    assert(valid > 500 && invalid > 500, s"$valid/$invalid")
+  }
+
   test("strRefs covers ordering and like positions") {
     assert(Expr.strRefs(Expr.parse("host < 'b'")) == Set("host"))
     assert(Expr.strRefs(Expr.parse("'b' >= host")) == Set("host"))
