@@ -68,9 +68,15 @@ object Bench {
     def procLoad1(): Double = math.max(procLoadN(0), procLoadN(1))
     val idleBound = sys.env.get("SPARK_GRAFT_WAIT_IDLE_SEC")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(600)
+    // Hysteresis (round 18): wait to 90% of the threshold, stamp at
+    // 100%. Three round-18 runs in a row cleared the wait gate at
+    // 1.9x and stamped `contaminated` at 2.0y seconds later — load5
+    // decays slowly and the two reads race; a 10% margin between the
+    // gate and the stamp makes a passed wait imply a clean stamp.
     val waitedSec =
       if (idleBound > 0)
-        waitForIdle(resolveLoadThreshold(), idleBound, () => procLoad1())
+        waitForIdle(resolveLoadThreshold() * 0.9, idleBound,
+          () => procLoad1())
       else 0.0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
