@@ -628,6 +628,69 @@ class StreamingCepNavSpec extends AnyFunSuite with BeforeAndAfterAll {
       e1.getMessage)
   }
 
+  test("shared event-time NEXT, MIXED offsets (k=1, k=2, plain member) " +
+    "across random micro-batch splits: per-member hold-back == batch " +
+    "(r18 seeded fuzz — the k=1 member rides the k=2 hold, the plain " +
+    "member feeds everything)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val qK1 = CepSql.parse(
+      "PATTERN (x) DEFINE x AS click WHERE value < NEXT(value)", schema)
+    val qK2 = CepSql.parse(
+      "PATTERN (x) DEFINE x AS click WHERE value < NEXT(value, 2)", schema)
+    val qPlain = CepSql.parse(
+      "PATTERN (a -> b) DEFINE a AS view; b AS view", schema)
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(20260817L + trial)
+      // trailing views give every click k=2 followers per key; the
+      // last two events of each key stay HELD for the NEXT members —
+      // the plain member must still consume them (view pairs)
+      val evs = ((1 to 40).map { i =>
+        TsEv(1L + (i % 2), i.toLong,
+          if (rnd.nextInt(3) == 0) "view" else "click",
+          rnd.nextInt(9).toLong, t(i.toLong))
+      } ++ (61 to 66).map(i =>
+        TsEv(1L + (i % 2), i.toLong, "view", 0, t(i.toLong)))).toVector
+      // out-of-order arrival within 8-event windows (< the 10 s delay)
+      val arrived = evs.grouped(8).flatMap(g => rnd.shuffle(g)).toVector
+      val mem = MemoryStream[TsEv]
+      val out = StreamingCep.matchPatternsSharedEventTime(mem.toDF(),
+        Seq("k1" -> qK1, "k2" -> qK2, "plain" -> qPlain), spec,
+        "ts", "10 seconds")
+      val name = s"shared_et_mixk_$trial"
+      val sq = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        arrived.grouped(5 + rnd.nextInt(9)).foreach { b =>
+          mem.addData(b: _*); sq.processAllAvailable()
+        }
+        mem.addData(TsEv(9, 999, "view", 0, t(1000)))
+        sq.processAllAvailable()
+        mem.addData(TsEv(9, 1000, "view", 0, t(2000)))
+        sq.processAllAvailable()
+      } finally sq.stop()
+      val streamed = s.sql(s"SELECT * FROM $name")
+        .where($"user_id" =!= 9L).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val plainEvs = evs.filter(_.user_id != 9)
+        .map(e => Ev(e.user_id, e.event_id, e.event_type, e.value))
+      val expect: Set[(String, Long, String)] =
+        Seq("k1" -> qK1, "k2" -> qK2, "plain" -> qPlain)
+          .flatMap { case (nm, q) =>
+            batchMatches(q, plainEvs).map { case (k, binding) =>
+              (nm, k, binding.map(_.mkString(",")).mkString(";"))
+            }
+          }.toSet
+      assert(streamed == expect,
+        s"trial $trial: streamed ${streamed.size} vs batch ${expect.size}")
+      assert(streamed.exists(_._1 == "k2"), s"trial $trial: no k2 matches")
+      assert(streamed.exists(_._1 == "plain"),
+        s"trial $trial: no plain matches")
+    }
+  }
+
   test("shared event-time NEXT: a held-back event crosses a " +
     "checkpointed restart (it rides the shared buffer payload) and " +
     "feeds when its follower finally releases") {
