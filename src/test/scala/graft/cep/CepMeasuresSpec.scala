@@ -999,4 +999,36 @@ class CepMeasuresSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("RUNNING/FINAL LAST offsets under {- -} exclusion and SUBSET: " +
+    "excluded rows still feed the offset walk (r18 — the interplay " +
+    "the round-17 deviation note worried about, hand-computed)") {
+    // c rows are EXCLUDED from output but bind: at the p row the
+    // c-takes so far are [5, 9], so RUNNING LAST(c.v, 1) = 5 — an
+    // implementation that filtered excluded rows BEFORE the window
+    // pass would read NULL here; u = (s, c) checks the SUBSET walk
+    // (takes so far at p: [7, 5, 9] -> second-from-end = 5)
+    val st = CepSql.parseStatement(
+      "PATTERN (s -> {- c{2,2} -} -> p) " +
+        "MEASURES RUNNING LAST(c.v, 1) AS rl1, FINAL LAST(c.v, 1) " +
+        "AS fl1, RUNNING LAST(u.v, 1) AS ru1 " +
+        "SUBSET u = (s, c) " +
+        "ALL ROWS PER MATCH PARTITION BY k ORDER BY id TYPE t " +
+        "DEFINE s AS S; c AS C; p AS P", schema)
+    val df = eventsDf((1L, 1L, "S", 7L), (1L, 2L, "C", 5L),
+      (1L, 3L, "C", 9L), (1L, 4L, "P", 2L))
+    val out = CepMeasures.run(df, st, spec).orderBy("id").collect()
+      .map { r =>
+        def opt(f: String): Long =
+          if (r.isNullAt(r.fieldIndex(f))) -1L
+          else r.getLong(r.fieldIndex(f))
+        (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("classifier")),
+          opt("rl1"), opt("fl1"), opt("ru1"))
+      }.toVector
+    // only s and p rows emit; fl1 = 5 on every row (whole-match);
+    // at s: no c yet (rl1 NULL), u-takes [7] (ru1 NULL — no second)
+    assert(out == Vector(
+      (1L, "s", -1L, 5L, -1L),
+      (4L, "p", 5L, 5L, 5L)), out.mkString(", "))
+  }
 }
