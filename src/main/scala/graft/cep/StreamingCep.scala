@@ -275,12 +275,12 @@ object StreamingCep {
           nexts.map(_.sqlForm).mkString(", ") + "): it references " +
           "FOLLOWING physical rows the unbounded stream has not " +
           "produced yet. PREV is supported everywhere; NEXT is " +
-          "supported by the EVENT-TIME operators, single-query and " +
-          "shared (matchPatternEventTime / matchPatternMeasuresEventTime " +
-          "/ matchPatternsSharedEventTime / " +
-          "matchPatternsSharedMeasuresEventTime), whose watermark " +
-          "hold-back makes the followers final — or run the query in " +
-          "batch.")
+          "supported by the EVENT-TIME operators, single-query, shared " +
+          "and timeouts (matchPatternEventTime / " +
+          "matchPatternMeasuresEventTime / matchPatternsSharedEventTime " +
+          "/ matchPatternsSharedMeasuresEventTime / " +
+          "timedOutPartialsEventTime), whose watermark hold-back makes " +
+          "the followers final — or run the query in batch.")
     navs.foreach { nv =>
       require(nv.base == spec.orderCol || spec.attrCols.contains(nv.base),
         s"CEP streaming navigation ${nv.sqlForm}: base attribute " +
@@ -1525,9 +1525,14 @@ object StreamingCep {
     require(query.within.isDefined || query.withinTime.isDefined,
       "timedOutPartialsEventTime needs a windowed query " +
         "(within/withinTime) — an unwindowed run never times out")
-    // PREV is history-fed at watermark-release time (see
-    // matchPatternEventTime)
-    val navs = streamingNavs(query, spec)
+    // PREV is history-fed at watermark-release time, NEXT (round 18)
+    // via the same hold-back as matchPatternEventTime — the run-state
+    // evolution stays identical to the match operator's (checkpoints
+    // keep interchanging), only the projection differs
+    val navs = streamingNavs(query, spec, allowNext = true)
+    val nextNavs = navs.filterNot(_.prev)
+    val prevNavs = navs.filter(_.prev)
+    val holdBack = nextNavs.map(_.k).maxOption.getOrElse(0)
     val piNames = SparkCep.patternNames(query.patseq)
     val keyName = spec.keyCol.getOrElse("__global")
     SparkCep.checkWithinStateBound(query, maxRunsPerKey, streaming = true)
@@ -1563,7 +1568,7 @@ object StreamingCep {
                 "timedOutPartialsEventTime (different feed-order " +
                 "semantics). Resume with the arrival-order operator, or " +
                 "discard the checkpoint directory.")
-          val nf = new NavFeed(navs)
+          val nf = new NavFeed(prevNavs)
           if (state.exists) nf.restore(prev)
           restoreState(executor, CepState(prev.step, prev.runs), prev.clock)
           val wmMs = state.getCurrentWatermarkMs()
@@ -1573,14 +1578,23 @@ object StreamingCep {
               ev.attrs.map(_._1), ev.attrs.map(_._2),
               ev.strs.map(_._1), ev.strs.map(_._2))
           }.toVector
-          val (ready, still) = releaseBuffer(prev.buffer, incoming, wmMs)
-          val out = ready.sortBy(e => (e.ts, e.ord)).flatMap { e =>
-            executor.feed(nf.augment(Event(e.tpe, e.names.zip(e.vals).toVector,
-              e.sNames.zip(e.sVals).toVector)))
-            executor.drainTimedOut().map(c =>
-              matchToRow(key, executor.partialOutput(c, piNames),
-                piNames, orderName))
+          val (ready, still0) = releaseBuffer(prev.buffer, incoming, wmMs)
+          val sortedReady = ready.sortBy(e => (e.ts, e.ord))
+          // NEXT hold-back, exactly matchPatternEventTime's
+          val feedCount =
+            if (holdBack == 0) sortedReady.length
+            else math.max(0, sortedReady.length - holdBack)
+          val out = sortedReady.take(feedCount).zipWithIndex.flatMap {
+            case (e, i) =>
+              executor.feed(nf.augment(withNextFromSlice(
+                nextNavs, sortedReady,
+                Event(e.tpe, e.names.zip(e.vals).toVector,
+                  e.sNames.zip(e.sVals).toVector), i)))
+              executor.drainTimedOut().map(c =>
+                matchToRow(key, executor.partialOutput(c, piNames),
+                  piNames, orderName))
           }
+          val still = sortedReady.drop(feedCount) ++ still0
           val snap = snapshotState(executor)
           // idle-key state GC (see matchPattern)
           if (executor.liveRunCount == 0 && !query.anchorStart &&
@@ -1590,8 +1604,9 @@ object StreamingCep {
             state.update(CepStateCodec.encode(
               CepStateEt(snap.step, snap.runs, still, executor.clock,
                 CepStateCodec.VariantEventTime, nf.sig, nf.serHist)))
-            if (still.nonEmpty)
-              state.setTimeoutTimestamp(still.map(_.ts).min + 1)
+            // held-back events (ts < wm) wait for DATA, not time
+            val wake = still0.map(_.ts).minOption
+            wake.foreach(t => state.setTimeoutTimestamp(t + 1))
           }
           out.iterator
       }

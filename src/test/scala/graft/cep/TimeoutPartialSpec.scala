@@ -332,4 +332,74 @@ class TimeoutPartialSpec extends AnyFunSuite {
       assert(e.getMessage.contains("windowed"))
     } finally spark.stop()
   }
+
+  test("event-time streaming timeouts accept NEXT (r18): hold-back " +
+    "feeds only follower-final events, timed-out partials == batch " +
+    "on out-of-order arrival") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      val schemaEv: Vector[(String, Vector[String])] = Vector(
+        "click" -> Vector("event_id", "value"),
+        "view" -> Vector("event_id", "value"),
+        "purchase" -> Vector("event_id", "value"))
+      // x binds a click whose NEXT event has a larger value; the
+      // purchase never comes, so every x run times out at the WITHIN
+      // sweep — the partial set depends on NEXT being fed correctly
+      val q = CepSql.parse(
+        "PATTERN (x -> p) DEFINE x AS click WHERE value < NEXT(value); " +
+          "p AS purchase WITHIN 3", schemaEv)
+      val spec = SparkCep.CepSpec(Some("user_id"), "event_id",
+        "event_type", Seq("value"))
+      val evs = Vector(
+        TsEv(1, 1, "click", 5, ts(1)), TsEv(1, 2, "click", 9, ts(2)),
+        TsEv(1, 3, "view", 0, ts(3)), TsEv(1, 4, "view", 0, ts(4)),
+        TsEv(1, 5, "click", 2, ts(5)), TsEv(1, 6, "view", 7, ts(6)),
+        TsEv(1, 7, "view", 0, ts(7)),
+        TsEv(2, 11, "click", 1, ts(11)), TsEv(2, 12, "view", 4, ts(12)),
+        TsEv(2, 13, "view", 0, ts(13)), TsEv(2, 14, "view", 0, ts(14)))
+      val rnd = new scala.util.Random(20260818L)
+      val arrived = evs.grouped(4).flatMap(g => rnd.shuffle(g)).toVector
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[TsEv]
+      val out = StreamingCep.timedOutPartialsEventTime(
+        mem.toDF(), q, spec, "ts", "5 seconds")
+      val sq = out.writeStream.format("memory").queryName("cep_et_to_next")
+        .outputMode("append").start()
+      try {
+        arrived.grouped(5).foreach { b =>
+          mem.addData(b: _*); sq.processAllAvailable()
+        }
+        mem.addData(TsEv(9, 99, "view", 0, ts(100)))
+        sq.processAllAvailable()
+        mem.addData(TsEv(9, 100, "view", 0, ts(200)))
+        sq.processAllAvailable()
+      } finally sq.stop()
+      val streamed = spark.sql("SELECT * FROM cep_et_to_next")
+        .where($"user_id" =!= 9L).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+          r.getSeq[Long](2).toVector)).toSet
+      // batch over the same events MINUS each key's final event (the
+      // stream holds it forever — its follower never arrives; batch
+      // resolves the edge to NULL and could differ there by design),
+      // shaped so both sides judge the same follower-final prefix
+      val batchEvs = evs.filter(e => e.user_id != 9)
+        .map(e => Ev(e.user_id, e.event_id, e.event_type, e.value))
+      val lastOf = batchEvs.groupBy(_.user_id)
+        .map { case (k, es) => k -> es.map(_.event_id).max }
+      val batch = SparkCep.timedOutPartials(
+        batchEvs.filterNot(e => lastOf(e.user_id) == e.event_id).toDF(),
+        q, spec)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+          r.getSeq[Long](2).toVector)).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(streamed.nonEmpty)
+      assert(streamed.exists(_._1 == 2L)) // both keys contribute
+    } finally spark.stop()
+  }
 }
