@@ -37,6 +37,19 @@ context:
       Event("purchase", "id" -> 4L, "value" -> 95L),
       Event("purchase", "id" -> 5L, "value" -> 20L))
     println("MATCHES=" + CepOperator.run(q, evs))
+    // round-18 surface: LIKE ... ESCAPE in a string condition (the
+    // escaped `_` is a literal underscore, not a wildcard)
+    val likeQ = CepSql.parse(
+      "PATTERN (c) DEFINE c AS page " +
+        "WHERE path like 'a!_%' escape '!'",
+      Vector("page" -> Vector("id")))
+    val likeEvs = Vector(
+      Event("page", Vector("id" -> 1L), Vector("path" -> "a_home")),
+      Event("page", Vector("id" -> 2L), Vector("path" -> "aXhome")))
+    println("LIKE_ESCAPE_MATCHES=" + CepOperator.run(likeQ, likeEvs))
+    println("LIKE_ESCAPE_ERR=" + scala.util.Try(CepSql.parse(
+      "PATTERN (c) DEFINE c AS page WHERE path like 'a!b' escape '!'",
+      Vector("page" -> Vector("id")))).failed.map(_.getMessage))
     println("PARSE_ERR=" + scala.util.Try(Expr.parse("name === 1")).failed.map(_.getMessage))
     println("EVAL_ERR=" + scala.util.Try(CepOperator.run(CepQuery(Pattern.spat("a", "e", "nosuchattr == 1"), Vector("e" -> Vector("id"))), Vector(Event("e", "id" -> 1L)))).failed.map(_.getMessage))
     println("EMPTY=" + CepOperator.run(q, Vector.empty))
