@@ -406,4 +406,82 @@ class StreamingShowEmptySpec extends AnyFunSuite with BeforeAndAfterAll {
     val back2 = CepStateCodec.decode(CepStateCodec.encode(plain))
     assert(!back2.trackedEmpty && back2.pending.isEmpty)
   }
+
+  test("SHARED scan, event-time: a SHOW EMPTY member WITH NEXT rides " +
+    "the per-member hold-back (r18) — its rows are a sub-multiset of " +
+    "batch with the cross-batch composition rows present; the plain " +
+    "member equals batch EXACTLY (it feeds the held tail immediately)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val members: Seq[(String, CepSql.CepSqlStatement)] = Seq(
+      "sen" -> CepSql.parseStatement(
+        "PATTERN (c{0,2}) MEASURES COUNT(c) AS n_c " +
+          "ONE ROW PER MATCH SHOW EMPTY MATCHES " +
+          "DEFINE c AS click WHERE value < NEXT(value) WITHIN 3", schema),
+      "plain" -> CepSql.parseStatement(
+        "PATTERN (x y) MEASURES FIRST(x) AS x_id, LAST(y) AS y_id " +
+          "DEFINE x AS click; y AS view", schema))
+    // same fixture shape as the single-query composition case: clicks
+    // rise then fall, a view hosts a site and closes a plain match
+    val evs = Vector(
+      Ev(1, 1, "click", 1), Ev(1, 2, "view", 0), Ev(1, 3, "click", 2),
+      Ev(1, 4, "click", 9), Ev(1, 5, "click", 5), Ev(1, 6, "click", 6),
+      Ev(1, 7, "click", 7), Ev(1, 8, "click", 8), Ev(1, 9, "click", 9),
+      Ev(1, 10, "click", 10), Ev(1, 11, "view", 11))
+    val mem = MemoryStream[TsEv]
+    val out = StreamingCep.matchPatternsSharedMeasuresEventTime(
+      mem.toDF(), members, spec, "ts", "5 seconds")
+    val sq = out.writeStream.format("memory").queryName("se_next_shared")
+      .outputMode("append").start()
+    try {
+      Seq(evs.take(3), evs.slice(3, 7), evs.drop(7)).foreach { b =>
+        mem.addData(b.map(e => TsEv(e.user_id, e.event_id, e.event_type,
+          e.value, new java.sql.Timestamp(e.event_id * 1000))): _*)
+        sq.processAllAvailable()
+      }
+      mem.addData(TsEv(9, 9999, "view", 0,
+        new java.sql.Timestamp(100000 * 1000L)))
+      sq.processAllAvailable()
+      mem.addData(TsEv(9, 10000, "view", 0,
+        new java.sql.Timestamp(200000 * 1000L)))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    def reprs(qname: String): Vector[String] =
+      spark.table("se_next_shared")
+        .where(col("user_id") =!= 9L)
+        .where(col("qname") === qname).collect().map { r =>
+          val m = r.getAs[Map[String, Any]]("measures") ++
+            r.getAs[Map[String, Any]]("smeasures")
+          m.toVector.sortBy(_._1)
+            .map { case (k, v) => Option(v).fold(s"$k=-")(x => s"$k=$x") }
+            .mkString(",")
+        }.toVector.sorted
+    // plain member: full equality — non-NEXT, consumes every released
+    // event including the sen member's held tail
+    val plainBatch = CepMeasures.run(evs.toDF(), members(1)._2, spec)
+      .collect().map { r =>
+        Vector("x_id", "y_id").map(a => s"$a=${r.get(r.fieldIndex(a))}")
+          .mkString(",")
+      }.toVector.sorted
+    assert(reprs("plain") == plainBatch, s"plain diverged")
+    assert(plainBatch.nonEmpty)
+    // sen member: sub-multiset of batch (the held event and the last
+    // unflushed sites legitimately never resolve on an unbounded
+    // stream), with the composition rows present
+    val senBatch = CepMeasures.run(evs.toDF(), members(0)._2, spec)
+      .collect().map { r =>
+        s"n_c=${r.get(r.fieldIndex("n_c"))}"
+      }.toVector.sorted
+    val senStreamed = reprs("sen")
+    val remaining = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    senBatch.foreach(r => remaining(r) += 1)
+    senStreamed.foreach { r =>
+      assert(remaining(r) > 0, s"streamed '$r' not in batch $senBatch")
+      remaining(r) -= 1
+    }
+    assert(senStreamed.contains("n_c=0"), senStreamed)  // a flushed site
+    assert(senStreamed.exists(_ != "n_c=0"), senStreamed) // a NEXT match
+  }
 }
