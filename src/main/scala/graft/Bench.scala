@@ -209,8 +209,17 @@ object Bench {
     // another). Adopted rows are recorded in `rerun_queries` with the
     // smeared median kept as `queries_smeared` so the substitution is
     // visible in the artifact, never silent.
+    // gate on noisy(r) alone: the first-pass loop only exits !noisy or
+    // attempts-exhausted, and a row whose attempts were consumed by
+    // FAILED runs (r.runs < 7) is exactly the intermittent kind this
+    // mechanism exists for — a runs >= 7 gate would skip it (r18 review)
     val stillNoisy = resultsFirst.filter { case (_, r) =>
-      noisy(r) && r.runs >= maxWarmRuns }.keys.toSeq.sorted
+      noisy(r) }.keys.toSeq.sorted
+    // the re-run gets its OWN wall interval; qWall keeps the FIRST
+    // pass's, which is the interval queries_smeared's median came from
+    // (overwriting it would detach the smear from its burst window)
+    val rWall = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
     val reruns: Map[String, R] = stillNoisy.flatMap { name =>
       val fn = SparkEntry.queries(name)
       val t0 = wallNow()
@@ -218,7 +227,7 @@ object Bench {
         .filter(_ >= 0)
       val r2 = stats(resultsFirst(name).cold, ok)
       if (r2.med >= 0 && !noisy(r2)) {
-        qWall(name) = (t0, wallNow())
+        rWall(name) = (t0, wallNow())
         Some(name -> r2)
       } else None
     }.toMap
@@ -239,15 +248,20 @@ object Bench {
     // mid-run contamination that the start-load stamp cannot see.
     val totalLo = results.values.map(_.lo).filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    def jwall(sel: ((Double, Double)) => Double) = qWall
-      .map { case (k, v) => "\"" + k + "\":" + f"${sel(v)}%.1f" }
+    // tenth-of-a-second precision, LOCALE-INDEPENDENT (f"%.1f" renders
+    // "12,3" under comma-decimal default locales — invalid JSON; r18
+    // review)
+    def r1(v: Double): String = (math.round(v * 10) / 10.0).toString
+    def jwallOf(m: scala.collection.Map[String, (Double, Double)],
+        sel: ((Double, Double)) => Double) = m
+      .map { case (k, v) => "\"" + k + "\":" + r1(sel(v)) }
       .mkString("{", ",", "}")
     val rerunList = stillNoisy.filter(reruns.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val smeared = stillNoisy.filter(reruns.contains)
       .map(n => "\"" + n + "\":" + resultsFirst(n).med)
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.cold)},"queries_median":${jmap(_.med)},"queries_p25":${jmap(_.lo)},"queries_p75":${jmap(_.hi)},"queries_t0":${jwall(_._1)},"queries_t1":${jwall(_._2)},"rerun_queries":$rerunList,"queries_smeared":$smeared,"total_median":$totalMedian,"total_lo":$totalLo,"loadavg":"$loadStart","loadavg_end":"$loadavg","load1_start":$load1Start,"load5_start":$load5Start,"extra_warm_runs":$extraWarmRuns,"contamination_threshold":$loadThreshold,"contaminated":$contaminated,"idle_wait_sec":$waitedSec,"bench_wall_sec":$wallSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.cold)},"queries_median":${jmap(_.med)},"queries_p25":${jmap(_.lo)},"queries_p75":${jmap(_.hi)},"queries_t0":${jwallOf(qWall, _._1)},"queries_t1":${jwallOf(qWall, _._2)},"rerun_queries":$rerunList,"queries_smeared":$smeared,"rerun_t0":${jwallOf(rWall, _._1)},"rerun_t1":${jwallOf(rWall, _._2)},"total_median":$totalMedian,"total_lo":$totalLo,"loadavg":"$loadStart","loadavg_end":"$loadavg","load1_start":$load1Start,"load5_start":$load5Start,"extra_warm_runs":$extraWarmRuns,"contamination_threshold":$loadThreshold,"contaminated":$contaminated,"idle_wait_sec":$waitedSec,"bench_wall_sec":$wallSec,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a grep that truncated round 4's
     // artifact (lost ~10 queries' medians). Persist the full line ourselves

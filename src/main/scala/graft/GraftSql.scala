@@ -110,11 +110,26 @@ object GraftSql {
     var inStr = false
     var inDq = false
     var inTick = false
+    var inLine = false // -- line comment (round 18: a keyword in a
+    var blk = 0        // comment is a mention, not a fragment; Spark's
+                       // bracketed comments nest, so blk is a depth)
     while (i < sqlText.length) {
       val c = sqlText(i)
-      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      if (inLine) { if (c == '\n') inLine = false; i += 1 }
+      else if (blk > 0) {
+        if (c == '*' && i + 1 < sqlText.length && sqlText(i + 1) == '/') {
+          blk -= 1; i += 2
+        } else if (c == '/' && i + 1 < sqlText.length &&
+            sqlText(i + 1) == '*') { blk += 1; i += 2 }
+        else i += 1
+      }
+      else if (inStr) { if (c == '\'') inStr = false; i += 1 }
       else if (inDq) { if (c == '"') inDq = false; i += 1 }
       else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '-' && i + 1 < sqlText.length &&
+          sqlText(i + 1) == '-') { inLine = true; i += 2 }
+      else if (c == '/' && i + 1 < sqlText.length &&
+          sqlText(i + 1) == '*') { blk = 1; i += 2 }
       else if (c == '\'') { inStr = true; i += 1 }
       else if (c == '"') { inDq = true; i += 1 }
       else if (c == '`') { inTick = true; i += 1 }
@@ -129,6 +144,39 @@ object GraftSql {
       }
     }
     -1
+  }
+
+  /** Words that cannot BE the source of a postfix table operator. An
+    * occurrence whose backward source scan would land on one of these
+    * (e.g. `SELECT chunk_tokens(text) FROM docs` — a same-named scalar
+    * function; `FROM chunk_tokens(10)` — a table-valued function) is
+    * NOT a fragment: it is skipped and the statement delegates to the
+    * session parser untouched, so registering the curation operator
+    * names costs existing statements nothing (round 18).
+    */
+  private val NonSourceWords: Set[String] = Set(
+    "select", "from", "where", "join", "on", "and", "or", "not", "by",
+    "group", "order", "having", "limit", "union", "intersect", "except",
+    "distinct", "all", "as", "case", "when", "then", "else", "end",
+    "in", "is", "like", "between", "exists", "values", "set", "insert",
+    "update", "delete", "with", "over", "partition", "cross", "inner",
+    "left", "right", "full", "outer", "semi", "anti", "lateral", "using")
+
+  /** Is there a PLAUSIBLE operator source directly before position
+    * `at`? Plausible = a `)` (subquery), a backtick (quoted part), or
+    * an identifier whose word is not a reserved clause keyword.
+    */
+  private def plausibleSourceBefore(sqlText: String, at: Int): Boolean = {
+    var k = at - 1
+    while (k >= 0 && sqlText(k).isWhitespace) k -= 1
+    if (k < 0) false
+    else if (sqlText(k) == ')' || sqlText(k) == '`') true
+    else if (isIdentChar(sqlText(k))) {
+      val end = k
+      while (k >= 0 && isIdentChar(sqlText(k))) k -= 1
+      !NonSourceWords.contains(
+        sqlText.substring(k + 1, end + 1).toLowerCase)
+    } else false
   }
 
   /** Extracted fragment: `source` is a table name (`isSubquery` false)
@@ -161,7 +209,11 @@ object GraftSql {
       while (at >= 0 && open0 < 0) {
         var j = at + kw.length
         while (j < sqlText.length && sqlText(j).isWhitespace) j += 1
-        if (j < sqlText.length && sqlText(j) == '(') open0 = j
+        // a fragment needs BOTH a parenthesised body and a plausible
+        // source — `SELECT chunk_tokens(x)` (same-named function) or
+        // `FROM chunk_tokens(10)` (TVF) skip here and delegate
+        if (j < sqlText.length && sqlText(j) == '(' &&
+            plausibleSourceBefore(sqlText, at)) open0 = j
         else at = kwIndex(sqlText, at + 1, kw)
       }
       if (at >= 0) Some((at, open0, kw)) else None

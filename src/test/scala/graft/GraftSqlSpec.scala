@@ -473,6 +473,40 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("STRATA"), e.getMessage)
   }
 
+  test("a same-named FUNCTION call is not a fragment (r18): the " +
+    "operator keywords only claim occurrences with a plausible source; " +
+    "comment mentions delegate too") {
+    docsView()
+    // a user's scalar UDF that happens to share an operator name —
+    // `SELECT chunk_tokens(...)` must delegate to the session parser
+    // (the word after SELECT cannot be a table-operator source)
+    spark.udf.register("chunk_tokens", (s: String) => s.length)
+    val n = spark.sql(
+      "SELECT chunk_tokens(text) AS n FROM cur_docs WHERE doc_id = 4")
+      .head().getInt(0)
+    assert(n == "completely different text about spark and scala".length)
+    // ... and in a WHERE clause (preceded by a reserved word)
+    val m = spark.sql(
+      "SELECT count(*) AS c FROM cur_docs WHERE chunk_tokens(text) > 30")
+      .head().getLong(0)
+    assert(m > 0)
+    // a comment mention is not a fragment — line and bracketed
+    val c1 = spark.sql(
+      "SELECT count(*) AS c FROM cur_docs -- DEDUP_EXACT (ID doc_id)\n")
+      .head().getLong(0)
+    assert(c1 == 6L)
+    val c2 = spark.sql(
+      "SELECT count(*) AS c /* MATCH_RECOGNIZE (x) */ FROM cur_docs")
+      .head().getLong(0)
+    assert(c2 == 6L)
+    // the REAL operator still fires right next to those shapes
+    val keep = spark.sql(
+      """SELECT count(*) AS c -- DEDUP_EXACT (mention)
+        |FROM cur_docs DEDUP_EXACT (ID doc_id TEXT text)
+        |WHERE doc_id = keep_id""".stripMargin).head().getLong(0)
+    assert(keep == 5L)
+  }
+
   test("curation body errors carry the statement position and section " +
     "names; quote-aware scan leaves literal mentions alone") {
     docsView()
