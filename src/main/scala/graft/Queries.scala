@@ -22,7 +22,10 @@ object Queries {
     // columns read as long and land in the LongType branch below instead
     // of failing the scan outright.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"), s"$dir/$name.parquet")
+    // driver-side footer schema: skips the per-read inference JOB
+    // (~110 ms/build at sf0.1 — ReadOverheadLab; ParquetSchema scaladoc)
+    normalizeTs(graft.ops.ParquetSchema.read(spark, s"$dir/$name.parquet"),
+      s"$dir/$name.parquet")
   }
 
   /** Canonical event-time: `ts` is always LONG EPOCH MICROS after this —
@@ -4107,7 +4110,7 @@ object Queries {
   def textLangidModel(spark: SparkSession, dir: String): DataFrame = {
     val m = graft.ops.LangIdModel.loadModel(
       spark, graft.ops.LangIdModel.modelPath)
-    val docs = spark.read.parquet(graft.ops.LangIdModel.corpusPath)
+    val docs = graft.ops.ParquetSchema.read(spark, graft.ops.LangIdModel.corpusPath)
       .filter(col("split") === "test")
     graft.ops.LangIdModel.predictDocs(docs, "doc_id", "lang", "text", m)
       .orderBy("doc_id")
@@ -6186,7 +6189,7 @@ object Queries {
     * committed pre-encode truth.
     */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame =
-    MultiModal.imageFeatures(spark.read.parquet(MultiModal.imagesPath))
+    MultiModal.imageFeatures(graft.ops.ParquetSchema.read(spark, MultiModal.imagesPath))
       .orderBy("asset_id")
 
   val mmFeaturesSql: String =
@@ -6205,7 +6208,7 @@ object Queries {
     */
   def mmImageDedup(spark: SparkSession, dir: String): DataFrame =
     MultiModal.imageNearDupPairs(
-        spark.read.parquet(MultiModal.imagesPath), maxHamming = 6)
+        graft.ops.ParquetSchema.read(spark, MultiModal.imagesPath), maxHamming = 6)
       .orderBy("id1", "id2")
 
   val mmImageDedupSql: String =
@@ -6236,7 +6239,7 @@ object Queries {
     * audio codec) checking the committed pre-encode truth.
     */
   def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame =
-    MultiModal.audioFeatures(spark.read.parquet(MultiModal.audioPath))
+    MultiModal.audioFeatures(graft.ops.ParquetSchema.read(spark, MultiModal.audioPath))
       .orderBy("asset_id")
 
   val mmAudioFeaturesSql: String =
@@ -6253,7 +6256,7 @@ object Queries {
     */
   def mmAudioDedup(spark: SparkSession, dir: String): DataFrame =
     MultiModal.audioNearDupPairs(
-        spark.read.parquet(MultiModal.audioPath), maxHamming = 6)
+        graft.ops.ParquetSchema.read(spark, MultiModal.audioPath), maxHamming = 6)
       .orderBy("id1", "id2")
 
   val mmAudioDedupSql: String =
@@ -6279,7 +6282,7 @@ object Queries {
     * the committed pre-encode ehashes.
     */
   def mmAudioDedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val assets = spark.read.parquet(MultiModal.audioPath)
+    val assets = graft.ops.ParquetSchema.read(spark, MultiModal.audioPath)
     val pairs = MultiModal.audioNearDupPairs(assets, maxHamming = 6)
       .select(col("id1"), col("id2"))
     DedupOps.nearDupKeepMap(assets.select(col("asset_id")), "asset_id",
@@ -6327,7 +6330,7 @@ object Queries {
     * checking the committed pre-encode truth.
     */
   def mmVideoFeatures(spark: SparkSession, dir: String): DataFrame =
-    MultiModal.videoFeatures(spark.read.parquet(MultiModal.videoPath))
+    MultiModal.videoFeatures(graft.ops.ParquetSchema.read(spark, MultiModal.videoPath))
       .orderBy("asset_id")
 
   val mmVideoFeaturesSql: String =
@@ -6343,7 +6346,7 @@ object Queries {
     * committed per-frame pre-encode expectations.
     */
   def mmVideoFrames(spark: SparkSession, dir: String): DataFrame =
-    MultiModal.videoFrameFeatures(spark.read.parquet(MultiModal.videoPath))
+    MultiModal.videoFrameFeatures(graft.ops.ParquetSchema.read(spark, MultiModal.videoPath))
       .orderBy("asset_id", "frame_no")
 
   val mmVideoFramesSql: String =
@@ -6361,7 +6364,7 @@ object Queries {
     */
   def mmVideoDedup(spark: SparkSession, dir: String): DataFrame =
     MultiModal.videoNearDupPairs(
-        spark.read.parquet(MultiModal.videoPath), maxHamming = 6)
+        graft.ops.ParquetSchema.read(spark, MultiModal.videoPath), maxHamming = 6)
       .orderBy("id1", "id2")
 
   val mmVideoDedupSql: String =
@@ -6388,7 +6391,7 @@ object Queries {
     * thashes.
     */
   def mmVideoDedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val assets = spark.read.parquet(MultiModal.videoPath)
+    val assets = graft.ops.ParquetSchema.read(spark, MultiModal.videoPath)
     val pairs = MultiModal.videoNearDupPairs(assets, maxHamming = 6)
       .select(col("id1"), col("id2"))
     DedupOps.nearDupKeepMap(assets.select(col("asset_id")), "asset_id",
@@ -7266,7 +7269,7 @@ object Queries {
     * reachability min, exactly like `dedup_cluster_keep`.
     */
   def mmImageDedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val assets = spark.read.parquet(MultiModal.imagesPath)
+    val assets = graft.ops.ParquetSchema.read(spark, MultiModal.imagesPath)
     val pairs = MultiModal.imageNearDupPairs(assets, maxHamming = 6)
       .select(col("id1"), col("id2"))
     DedupOps.nearDupKeepMap(assets.select(col("asset_id")), "asset_id",

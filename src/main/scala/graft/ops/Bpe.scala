@@ -203,7 +203,8 @@ object Bpe {
   }
 
   def loadMerges(spark: SparkSession, path: String): Seq[Merge] =
-    spark.read.parquet(path).collect()
+    LocalParquet.collect(spark, path).getOrElse(
+        graft.ops.ParquetSchema.read(spark, path).collect())
       .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2)))
       .sortBy(_.rank).toSeq
 

@@ -279,7 +279,10 @@ object Codebooks {
   }
 
   def loadCoarse(spark: SparkSession, path: String): Array[Array[Double]] =
-    spark.read.parquet(path).orderBy("cw").collect()
+    LocalParquet.collect(spark, path)
+      .map(_.sortBy(_.getLong(0)))
+      .getOrElse(
+        graft.ops.ParquetSchema.read(spark, path).orderBy("cw").collect())
       .map(_.getSeq[Double](1).toArray)
 
   def writePq(spark: SparkSession, path: String,
@@ -300,7 +303,8 @@ object Codebooks {
 
   def loadPq(spark: SparkSession, path: String)
       : Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(path).orderBy("j", "cw").collect()
+    val rows = LocalParquet.collect(spark, path).getOrElse(
+      graft.ops.ParquetSchema.read(spark, path).orderBy("j", "cw").collect())
     rows.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (_, rs) =>
       rs.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray)
     }

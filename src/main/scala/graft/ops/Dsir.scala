@@ -151,7 +151,8 @@ object Dsir {
 
   def loadWeights(spark: SparkSession, path: String): Weights = {
     val lam = new Array[Long](dim)
-    spark.read.parquet(path).collect().foreach { r =>
+    LocalParquet.collect(spark, path).getOrElse(
+      graft.ops.ParquetSchema.read(spark, path).collect()).foreach { r =>
       lam(r.getLong(0).toInt) = r.getLong(1)
     }
     Weights(lam)

@@ -173,7 +173,8 @@ object LangIdModel {
   }
 
   def loadModel(spark: SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(path).collect()
+    val rows = LocalParquet.collect(spark, path).getOrElse(
+      graft.ops.ParquetSchema.read(spark, path).collect())
     val theta = langs.map(_ -> new Array[Long](dim)).toMap
     val prior = scala.collection.mutable.Map.empty[String, Long]
     rows.foreach { r =>

@@ -205,7 +205,8 @@ object NgramLm {
   }
 
   def loadModel(spark: SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(path).collect()
+    val rows = LocalParquet.collect(spark, path).getOrElse(
+      graft.ops.ParquetSchema.read(spark, path).collect())
     val uni = Map.newBuilder[Long, Long]
     val bi = Map.newBuilder[Long, Long]
     val meta = scala.collection.mutable.Map.empty[Long, Long]

@@ -93,10 +93,19 @@ object Packing {
   def packGlobalByBudget(df: DataFrame, idCol: String, textCol: String,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budget $budgetTokens")
-    val counted = df
+    // Cache the NARROW (id, n_tok) projection BEFORE the range exchange:
+    // RangePartitioner first runs a boundary-SAMPLING job over its child,
+    // so an uncached child executes the whole upstream pipeline one extra
+    // time (measured round 18: the sample pass re-ran the dedup+chunk
+    // chain of pipeline_ingest_day). Two longs per doc — the §8
+    // "decide with small rows" metadata frame, bounded at any corpus
+    // size; released by the caller via CacheScope like the range cache.
+    val meta = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as(idCol),
         size(TextOps.tokens(col(textCol))).cast(LongType).as("n_tok"))
+      .cache()
+    val counted = meta
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
       .cache()

@@ -179,8 +179,9 @@ object QualityModel {
   }
 
   def loadWeights(spark: SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(path)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = LocalParquet.collect(spark, path).getOrElse(
+        graft.ops.ParquetSchema.read(spark, path).collect())
+      .map(r => (r.getLong(0), r.getLong(1)))
     val w = new Array[Long](dim)
     var b = 0L
     rows.foreach { case (bk, wv) =>

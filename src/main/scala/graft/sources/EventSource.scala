@@ -31,7 +31,8 @@ object EventSource {
     */
   def parquet(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
+    // driver-side footer schema — skips the inference job (ParquetSchema)
+    graft.ops.ParquetSchema.read(spark, path)
   }
 
   def csv(spark: SparkSession, path: String, schema: StructType,
