@@ -32,7 +32,7 @@ object Chunking {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlap must be in [0, chunkTokens): $overlapTokens")
     val stride = chunkTokens - overlapTokens
-    val toks = filter(split(col(textCol), " "), x => x =!= lit(""))
+    val toks = TextOps.tokens(col(textCol)) // codegen array_remove form
     df.select(col(idCol).cast(LongType).as(idCol), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)

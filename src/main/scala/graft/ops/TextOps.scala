@@ -17,7 +17,12 @@ object TextOps {
 
   /** Whitespace tokens, empty-safe (multi-space gaps yield no empty tokens). */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    // array_remove == the filter-HOF form (null in → null out, all empty
+    // strings dropped, order kept) but fully codegen: HOF lambdas are
+    // CodegenFallback and evaluate interpreted per element — measured
+    // 15-30% slower on token-heavy stages (HofLab, round-18
+    // optimization); equality spec-pinned in TextOpsSpec
+    array_remove(split(text, " "), "")
 
   /** Exact long integral division (SQL `div` / Catalyst `IntegralDivide`):
     * stays in 64-bit integer arithmetic where `Column./` would round-trip
@@ -117,8 +122,10 @@ object TextOps {
     val nTok = size(toks).cast(LongType)
     val nStop = size(filter(toks,
       t => lower(t).isin(stopwords.map(lit): _*))).cast(LongType)
-    val charSum = aggregate(transform(toks, t => length(t).cast(LongType)),
-      lit(0L), (a, c) => a + c)
+    // Σ length(token) == chars left after deleting the split character —
+    // one codegen translate instead of an interpreted aggregate∘transform
+    // HOF pass per doc (HofLab; equality pinned in TextOpsSpec)
+    val charSum = length(translate(textCol, " ", "")).cast(LongType)
     val nPunct = (length(textCol) -
       length(translate(textCol, ".,!?;:", ""))).cast(LongType)
     // floor of an exact double quotient == integer division for these
