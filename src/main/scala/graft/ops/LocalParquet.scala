@@ -40,11 +40,19 @@ object LocalParquet {
       val st = fs.getFileStatus(p)
       val files =
         if (!st.isDirectory) Array(st)
-        else fs.listStatus(p).filter { e =>
-          val n = e.getPath.getName
-          e.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
-            !n.startsWith(".")
-        }.sortBy(_.getPath.getName)
+        else {
+          val entries = fs.listStatus(p)
+          // mixed layout (top-level part files + partition subdirs) would
+          // return PARTIAL rows instead of falling back — any directory
+          // entry means the layout is not a flat artifact (r18 advice);
+          // mirror ParquetSchema.of and let the cluster read handle it
+          if (entries.exists(_.isDirectory)) return None
+          entries.filter { e =>
+            val n = e.getPath.getName
+            e.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".")
+          }.sortBy(_.getPath.getName)
+        }
       if (files.isEmpty || files.map(_.getLen).sum > maxBytes) return None
       val out = Array.newBuilder[Row]
       for (f <- files) {
@@ -87,7 +95,11 @@ object LocalParquet {
 
   private def decodeField(g: Group, f: Type, i: Int): Option[Any] =
     f match {
-      case p: PrimitiveType =>
+      // a legacy `repeated` PRIMITIVE column (1-level list) would decode
+      // as its first element only — a silent wrong value; fall through to
+      // the documented None-and-fallback instead (r18 advice). Spark
+      // writes 3-level lists, so committed artifacts never hit this.
+      case p: PrimitiveType if !p.isRepetition(Type.Repetition.REPEATED) =>
         p.getPrimitiveTypeName match {
           // plain or integer-annotated INT64 only: a TIMESTAMP annotation
           // must NOT decode as a raw long (Spark collects it as a

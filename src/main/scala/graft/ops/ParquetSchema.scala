@@ -51,36 +51,54 @@ object ParquetSchema {
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
-      val dataFile =
-        if (!st.isDirectory) Some(st.getPath)
+      val dataFiles: Seq[Path] =
+        if (!st.isDirectory) Seq(st.getPath)
         else {
           val entries = fs.listStatus(p)
           // flat part directory only: any subdirectory (hive partitioning)
-          // means inference must discover partition columns — bail out
-          if (entries.exists(_.isDirectory)) None
+          // means inference must discover partition columns — bail out.
+          // Summary files (_metadata/_common_metadata) also bail: Spark's
+          // inference would prefer them, and their presence marks a
+          // multi-writer/evolved directory this fast path must not guess
+          // about (r18 advice).
+          if (entries.exists(_.isDirectory) ||
+              entries.exists { e =>
+                val n = e.getPath.getName
+                n == "_metadata" || n == "_common_metadata"
+              }) Seq.empty
           else entries.iterator
             .map(_.getPath)
-            .find { f =>
+            .filter { f =>
               val n = f.getName
               n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
             }
+            .toSeq.sortBy(_.getName)
         }
-      dataFile.map { f =>
-        val footer = ParquetFileReader.readFooter(
-          conf, f, ParquetMetadataConverter.SKIP_ROW_GROUPS)
-        val meta = footer.getFileMetaData
-        val fromSparkMeta =
-          Option(meta.getKeyValueMetaData.get(SparkMetadataKey))
-            .flatMap { json =>
-              scala.util.Try(
-                DataType.fromJson(json).asInstanceOf[StructType]).toOption
-            }
-        val schema = fromSparkMeta.getOrElse {
-          new org.apache.spark.sql.execution.datasources.parquet
-            .ParquetToSparkSchemaConverter(spark.sessionState.conf)
-            .convert(meta.getSchema)
+      // multi-part directories: every footer must resolve to the SAME
+      // schema, else inference (which merges/first-picks under its own
+      // rules) could legitimately differ — bail to it. Footers are ~2 ms
+      // each on the driver; cap the check so a huge flat directory falls
+      // back to the cluster job instead of serializing on the driver.
+      if (dataFiles.isEmpty || dataFiles.length > 32) None
+      else {
+        val schemas = dataFiles.map { f =>
+          val footer = ParquetFileReader.readFooter(
+            conf, f, ParquetMetadataConverter.SKIP_ROW_GROUPS)
+          val meta = footer.getFileMetaData
+          val fromSparkMeta =
+            Option(meta.getKeyValueMetaData.get(SparkMetadataKey))
+              .flatMap { json =>
+                scala.util.Try(
+                  DataType.fromJson(json).asInstanceOf[StructType]).toOption
+              }
+          val schema = fromSparkMeta.getOrElse {
+            new org.apache.spark.sql.execution.datasources.parquet
+              .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+              .convert(meta.getSchema)
+          }
+          asNullable(schema) // file-source relations are always nullable
         }
-        asNullable(schema) // file-source relations are always nullable
+        if (schemas.distinct.length == 1) Some(schemas.head) else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
