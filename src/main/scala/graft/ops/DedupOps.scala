@@ -104,29 +104,42 @@ object DedupOps {
       n: Int = 3, simMilli: Int = 500,
       maxShingleFreq: Long = Long.MaxValue): DataFrame = {
     val idx = shingleIndex(df, idCol, textCol, n)
-    val filtered =
+    val capped =
       if (maxShingleFreq == Long.MaxValue) idx
       else {
         import org.apache.spark.sql.expressions.Window
         idx.withColumn("freq", count(lit(1)).over(
           Window.partitionBy(col("sh"))))
-          .filter(col("freq") <= maxShingleFreq).drop("freq")
+          .filter(col("freq") <= maxShingleFreq)
       }
+    // EAGER materialization (round 19), not a lazy cache: AQE materializes
+    // the self-join's broadcast side and probe side CONCURRENTLY, and the
+    // two racing consumers each recomputed the whole shingle+cap chain
+    // against a still-cold cache (ProfileQ: two identical ~8 s stages
+    // writing the same 118k index rows). localCheckpoint(eager) computes
+    // the chain exactly once and both consumers read the stored blocks —
+    // measured 1.7× on the full pair pipeline (JaccardLab v6/v9 vs v0),
+    // value-identical output. Released by the caller like the caches
+    // (CacheScope drops localCheckpoints too).
+    val filtered = capped.localCheckpoint(true)
     val counts = filtered.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sh"))
+    // freq-1 shingles can never produce a pair (a shared shingle sits in
+    // two docs, so its frequency is >= 2) — pruning them from the join
+    // input is exact, and at corpus scale unique shingles are the LONG
+    // TAIL of the index, so the join input shrinks by the tail's mass
+    // (JaccardLab v9; value-identity asserted there and by the oracle).
+    val idx2 =
+      (if (maxShingleFreq == Long.MaxValue) filtered
+       else filtered.filter(col("freq") >= 2L).drop("freq"))
     // the self-join carries only (sh, id) — 16-byte rows, fully codegen'd —
     // and the per-doc shingle counts join back onto the *aggregated*
     // (id1, id2, inter) pairs, orders of magnitude fewer rows than the raw
     // join output. (A groupBy-collect_list + JVM pair-emission variant
-    // measured ~2× slower here: boxed Row emission loses to the codegen'd
-    // hash join.) No broadcast hint: AQE broadcasts counts while it fits
-    // and falls back to a shuffle join at corpus scale. Cache the index:
-    // both sides of the self-join read it, and alias-differing projections
-    // defeat exchange reuse (the default storage level spills, never OOMs).
-    val idx2 = filtered.cache()
-    // alias-based self-join: both sides share the exact same child plan,
-    // so the shuffle on sh is computed once and reused (ReusedExchange)
-    // instead of exchanging the index twice under diverging projections
+    // measured ~2× slower here, and a posting-run pair-count map pass
+    // slower still — boxed Row emission loses to the codegen'd hash join;
+    // JaccardLab v8.) No broadcast hint: AQE broadcasts counts while it
+    // fits and falls back to a shuffle join at corpus scale.
     idx2.as("a").join(idx2.as("b"), col("a.sh") === col("b.sh"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
